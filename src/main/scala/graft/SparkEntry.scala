@@ -1,13 +1,79 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import graft.operators._
+
+/** Driver contract — see /root/repo/SURVEY.md §2 for the inventory. */
 object SparkEntry {
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
+    Relational.pricingSummary(Tables(spark, "/root/testdata/sf0.001"))
+
+  private def q(fn: Tables => DataFrame): (SparkSession, String) => DataFrame =
+    (spark, dir) => fn(Tables(spark, dir))
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // 2.2 relational / OLAP core
+    "q1_pricing_summary"   -> q(Relational.pricingSummary),
+    "q2_filter_project"    -> q(Relational.filterProject),
+    "q3_shipping_priority" -> q(Relational.shippingPriority),
+    "q4_order_priority"    -> q(Relational.orderPriority),
+    "q5_local_supplier"    -> q(Relational.localSupplier),
+    "q6_forecast_revenue"  -> q(Relational.forecastRevenue),
+    "q_groupby_having"     -> q(Relational.groupByHaving),
+    "q_distinct_agg"       -> q(Relational.distinctAgg),
+    "q_topk_per_group"     -> q(Relational.topkPerGroup),
+    "q_running_sum"        -> q(Relational.runningSum),
+    "q_lag_lead"           -> q(Relational.lagLead),
+    "q_rollup"             -> q(Relational.rollupTotals),
+    "q_pivot"              -> q(Relational.pivotEventValues),
+    "q_union_dedup"        -> q(Relational.unionDedup),
+    "q_anti_join"          -> q(Relational.antiJoin),
+    "q_percentile"         -> q(Relational.percentiles),
+    "q_stats"              -> q(Relational.stats),
+    "q_asof_join"          -> q(Relational.asofJoin),
+    "q_sessionize"         -> q(Relational.sessionize),
+    "q_tumbling_agg"       -> q(Relational.tumblingAgg),
+    "q_json_extract"       -> q(Relational.jsonExtract),
+    // 2.1 ETL surface (reference parity)
+    "etl_dim_products"     -> q(Etl.dimProducts),
+    "etl_dim_customers"    -> q(Etl.dimCustomers),
+    "etl_fact_sales"       -> q(Etl.factSales),
+    "etl_fact_inventory"   -> q(Etl.factInventory),
+    "etl_normalize"        -> q(Etl.normalize),
+  )
+
+  /** For each key in `queries`, equivalent ANSI SQL runnable by DuckDB on
+    * the same parquet tables. Omitted keys get a rows-only check.
+    */
+  def oracleSql: Map[String, String] = Map(
+    "q1_pricing_summary"   -> Relational.pricingSummarySql,
+    "q2_filter_project"    -> Relational.filterProjectSql,
+    "q3_shipping_priority" -> Relational.shippingPrioritySql,
+    "q4_order_priority"    -> Relational.orderPrioritySql,
+    "q5_local_supplier"    -> Relational.localSupplierSql,
+    "q6_forecast_revenue"  -> Relational.forecastRevenueSql,
+    "q_groupby_having"     -> Relational.groupByHavingSql,
+    "q_distinct_agg"       -> Relational.distinctAggSql,
+    "q_topk_per_group"     -> Relational.topkPerGroupSql,
+    "q_running_sum"        -> Relational.runningSumSql,
+    "q_lag_lead"           -> Relational.lagLeadSql,
+    "q_rollup"             -> Relational.rollupTotalsSql,
+    "q_pivot"              -> Relational.pivotEventValuesSql,
+    "q_union_dedup"        -> Relational.unionDedupSql,
+    "q_anti_join"          -> Relational.antiJoinSql,
+    "q_percentile"         -> Relational.percentilesSql,
+    "q_stats"              -> Relational.statsSql,
+    "q_asof_join"          -> Relational.asofJoinSql,
+    "q_sessionize"         -> Relational.sessionizeSql,
+    "q_tumbling_agg"       -> Relational.tumblingAggSql,
+    "q_json_extract"       -> Relational.jsonExtractSql,
+    "etl_dim_products"     -> Etl.dimProductsSql,
+    "etl_dim_customers"    -> Etl.dimCustomersSql,
+    "etl_fact_sales"       -> Etl.factSalesSql,
+    "etl_fact_inventory"   -> Etl.factInventorySql,
+    "etl_normalize"        -> Etl.normalizeSql,
+  )
 }

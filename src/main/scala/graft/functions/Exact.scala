@@ -1,0 +1,34 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Exact-decimal aggregate math.
+  *
+  * Summing doubles is order-dependent, so the same query can return
+  * different last-ulp results across partitionings — and across engines.
+  * All money/quantity aggregates therefore cast to DECIMAL first (exact,
+  * order-independent), aggregate, and only cast back to double at the very
+  * end. This makes results reproducible on any cluster layout and lets the
+  * DuckDB oracle hash-match bit-for-bit.
+  */
+object Exact {
+
+  /** Money / quantity: 2-decimal domain values (prices, quantities). */
+  def dec(c: Column): Column = c.cast(DecimalType(12, 2))
+
+  /** Rates in [0,1]: discounts, taxes. */
+  def rate(c: Column): Column = c.cast(DecimalType(4, 2))
+
+  /** SUM(dec(c)) surfaced as double. */
+  def dsum(c: Column): Column = sum(dec(c)).cast("double")
+
+  /** Exact revenue term: extendedprice * (1 - discount). */
+  def discPrice(ext: Column, disc: Column): Column =
+    dec(ext) * (lit(1) - rate(disc)).cast(DecimalType(8, 4))
+
+  /** Exact charge term: extendedprice * (1 - discount) * (1 + tax). */
+  def charge(ext: Column, disc: Column, tax: Column): Column =
+    dec(ext) * ((lit(1) - rate(disc)) * (lit(1) + rate(tax))).cast(DecimalType(8, 4))
+}

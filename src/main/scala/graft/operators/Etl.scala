@@ -1,0 +1,144 @@
+package graft.operators
+
+import graft.Tables
+import graft.functions.Exact._
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Reference-parity ETL surface.
+  *
+  * Mirrors the reference's transform/load semantics (all refs to
+  * /root/reference):
+  *  - dimension conformance — `transform_for_clickhouse`, etl.py:443-454
+  *    (rename id→product_id / customer_id, name→product_name, UTC ts);
+  *  - star-schema fact enrichment — etl.py:456-464 (sales events LEFT JOIN
+  *    customer dim LEFT JOIN product dim);
+  *  - snapshot facts — minio_loader.py:245 (date, product, warehouse,
+  *    stock);
+  *  - `_normalize_df` — loaders.py:727-761 (alias mapping, Decimal(12,2)
+  *    ROUND_HALF_UP money, int coercion with null→default, required
+  *    columns).
+  *
+  * Spark-first design: dims are plain projections (codegen'd, pushdown
+  * preserved); the enrichment join broadcasts the dims — on a 100 TB fact
+  * stream this is a map-side join with zero shuffle of the fact table.
+  */
+object Etl {
+
+  /** Product dimension from `part` (stands in for Postgres `products`). */
+  def dimProducts(t: Tables): DataFrame =
+    t.part.select(
+        col("p_partkey").as("product_id"),
+        concat(lit("SKU-"), lpad(col("p_partkey").cast("string"), 8, "0")).as("sku"),
+        col("p_name").as("product_name"),
+        col("p_brand").as("category"),
+        col("p_retailprice").cast(DecimalType(12, 2)).cast("double").as("price"),
+        lit("EUR").as("currency"))
+      .orderBy("product_id")
+
+  val dimProductsSql: String =
+    """SELECT p_partkey AS product_id,
+      | 'SKU-' || lpad(CAST(p_partkey AS VARCHAR), 8, '0') AS sku,
+      | p_name AS product_name,
+      | p_brand AS category,
+      | CAST(CAST(p_retailprice AS DECIMAL(12,2)) AS DOUBLE) AS price,
+      | 'EUR' AS currency
+      |FROM part
+      |ORDER BY product_id""".stripMargin
+
+  /** Customer dimension from `customer`. */
+  def dimCustomers(t: Tables): DataFrame =
+    t.customer.select(
+        col("c_custkey").as("customer_id"),
+        concat(lit("CUST-"), lpad(col("c_custkey").cast("string"), 10, "0")).as("external_id"),
+        col("c_name").as("name"),
+        col("c_mktsegment").as("segment"),
+        col("c_acctbal").cast(DecimalType(12, 2)).cast("double").as("acctbal"))
+      .orderBy("customer_id")
+
+  val dimCustomersSql: String =
+    """SELECT c_custkey AS customer_id,
+      | 'CUST-' || lpad(CAST(c_custkey AS VARCHAR), 10, '0') AS external_id,
+      | c_name AS name,
+      | c_mktsegment AS segment,
+      | CAST(CAST(c_acctbal AS DECIMAL(12,2)) AS DOUBLE) AS acctbal
+      |FROM customer
+      |ORDER BY customer_id""".stripMargin
+
+  /** Star-schema fact enrichment (etl.py:456-464): events LEFT JOIN the
+    * customer and product dims. Both dims are broadcast — the fact side
+    * streams through map-side hash joins with no shuffle.
+    */
+  def factSales(t: Tables): DataFrame = {
+    val cust = t.customer.select(
+      col("c_custkey"), col("c_name").as("customer_name"), col("c_mktsegment").as("segment"))
+    val prod = t.part.select(
+      col("p_partkey"), col("p_name").as("product_name"), col("p_brand").as("category"))
+    t.events
+      .withColumn("product_id", col("event_id") % 2000)
+      .join(broadcast(cust), col("user_id") === col("c_custkey"), "left")
+      .join(broadcast(prod), col("product_id") === col("p_partkey"), "left")
+      .select(
+        col("event_id"), col("ts"), col("user_id").as("customer_id"), col("product_id"),
+        col("event_type"), col("value"),
+        col("customer_name"), col("segment"), col("product_name"), col("category"))
+      .orderBy("event_id")
+  }
+
+  val factSalesSql: String =
+    """SELECT e.event_id, CAST(e.ts AS TIMESTAMP) AS ts, e.user_id AS customer_id,
+      | e.event_id % 2000 AS product_id,
+      | e.event_type, e.value,
+      | c.c_name AS customer_name, c.c_mktsegment AS segment,
+      | p.p_name AS product_name, p.p_brand AS category
+      |FROM events e
+      |LEFT JOIN customer c ON e.user_id = c.c_custkey
+      |LEFT JOIN part p ON e.event_id % 2000 = p.p_partkey
+      |ORDER BY e.event_id""".stripMargin
+
+  /** Snapshot inventory facts (minio_loader.py:245-255 schema:
+    * date / product_id / warehouse_id / stock_units), derived as a day-grain
+    * rollup of lineitem with a synthetic warehouse from the supplier key.
+    */
+  def factInventory(t: Tables): DataFrame =
+    t.lineitem
+      .groupBy(
+        to_date(col("l_shipdate")).as("date"),
+        col("l_partkey").as("product_id"),
+        concat(lit("wh-"), lpad((col("l_suppkey") % 3 + 1).cast("string"), 2, "0"))
+          .as("warehouse_id"))
+      .agg(sum(dec(col("l_quantity"))).cast("double").as("stock_units"))
+      .orderBy("date", "product_id", "warehouse_id")
+
+  val factInventorySql: String =
+    """SELECT CAST(l_shipdate AS DATE) AS date, l_partkey AS product_id,
+      | 'wh-' || lpad(CAST(l_suppkey % 3 + 1 AS VARCHAR), 2, '0') AS warehouse_id,
+      | CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS stock_units
+      |FROM lineitem
+      |GROUP BY 1, 2, 3
+      |ORDER BY date, product_id, warehouse_id""".stripMargin
+
+  /** `_normalize_df` parity (loaders.py:727-761): money quantized to
+    * Decimal(12,2) HALF_UP, integer coercion with null→0, alias mapping,
+    * null-text defaults. Null paths are exercised in the spec with literal
+    * frames; here the same plan runs over `customer`.
+    */
+  def normalize(t: Tables): DataFrame =
+    t.customer.select(
+        col("c_custkey").cast("long").as("customer_id"),
+        coalesce(col("c_name"), lit("")).as("name"),
+        coalesce(col("c_mktsegment"), lit("UNKNOWN")).as("segment"),
+        coalesce(col("c_nationkey").cast("long"), lit(0L)).as("nation_id"),
+        col("c_acctbal").cast(DecimalType(12, 2)).cast("double").as("acctbal"))
+      .orderBy("customer_id")
+
+  val normalizeSql: String =
+    """SELECT CAST(c_custkey AS BIGINT) AS customer_id,
+      | COALESCE(c_name, '') AS name,
+      | COALESCE(c_mktsegment, 'UNKNOWN') AS segment,
+      | COALESCE(CAST(c_nationkey AS BIGINT), 0) AS nation_id,
+      | CAST(CAST(c_acctbal AS DECIMAL(12,2)) AS DOUBLE) AS acctbal
+      |FROM customer
+      |ORDER BY customer_id""".stripMargin
+}
