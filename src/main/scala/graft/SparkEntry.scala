@@ -43,6 +43,24 @@ object SparkEntry {
     "etl_fact_sales"       -> q(Etl.factSales),
     "etl_fact_inventory"   -> q(Etl.factInventory),
     "etl_normalize"        -> q(Etl.normalize),
+    // 2.3 dedup
+    "dedup_exact"          -> q(Dedup.exact),
+    "dedup_ngram_jaccard"  -> q(Dedup.ngramJaccard),
+    "dedup_minhash_lsh"    -> q(Dedup.minhashLsh),
+    "dedup_simhash"        -> q(Dedup.simhash),
+    "dedup_embedding"      -> q(Dedup.embeddingCosine),
+    // 2.4 similarity search
+    "ann_bruteforce_topk"  -> q(Similarity.bruteForceTopK),
+    "ann_lsh_topk"         -> q(Similarity.lshTopK),
+    "ann_ivf_topk"         -> q(Similarity.ivfTopK),
+    // 2.5 text analysis
+    "text_token_stats"     -> q(TextAnalysis.tokenStats),
+    "text_quality"         -> q(TextAnalysis.quality),
+    "text_langid"          -> q(TextAnalysis.langId),
+    "text_fingerprint"     -> q(TextAnalysis.fingerprint),
+    "text_rolling_hash"    -> q(TextAnalysis.rollingHashFingerprint),
+    // 2.6 multimodal
+    "mm_binary_pipeline"   -> q(Multimodal.binaryPipeline),
   )
 
   /** For each key in `queries`, equivalent ANSI SQL runnable by DuckDB on
@@ -75,5 +93,14 @@ object SparkEntry {
     "etl_fact_sales"       -> Etl.factSalesSql,
     "etl_fact_inventory"   -> Etl.factInventorySql,
     "etl_normalize"        -> Etl.normalizeSql,
+    "dedup_exact"          -> Dedup.exactSql,
+    "dedup_ngram_jaccard"  -> Dedup.ngramJaccardSql,
+    "dedup_minhash_lsh"    -> Dedup.minhashLshSql,
+    "dedup_embedding"      -> Dedup.embeddingCosineSql,
+    "ann_bruteforce_topk"  -> Similarity.bruteForceTopKSql,
+    "text_token_stats"     -> TextAnalysis.tokenStatsSql,
+    "text_quality"         -> TextAnalysis.qualitySql,
+    "text_langid"          -> TextAnalysis.langIdSql,
+    "text_fingerprint"     -> TextAnalysis.fingerprintSql,
   )
 }

@@ -1,0 +1,47 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Word n-gram shingling shared by the dedup / text-analysis operators.
+  *
+  * Tokenization is a plain split on single spaces so the DuckDB oracle
+  * (`string_split(text, ' ')`) sees byte-identical tokens.
+  */
+object Shingles {
+
+  /** Tokens of column `c` (single-space split, keeps empties). */
+  def words(c: String): Column = split(col(c), " ")
+
+  /** Distinct word 3-grams from a pre-split tokens column (split the text
+    * ONCE in its own projection — Catalyst does not CSE inside lambda
+    * bodies, so inlining the split costs 3 full re-tokenizations per
+    * gram). 1-based `element_at` mirrors DuckDB list indexing.
+    */
+  def grams3FromTokens(toksCol: String): Column = expr(
+    s"""CASE WHEN size($toksCol) >= 3 THEN
+       |  array_distinct(transform(sequence(1, size($toksCol) - 2),
+       |    i -> concat(element_at($toksCol, i), ' ',
+       |                element_at($toksCol, i + 1), ' ',
+       |                element_at($toksCol, i + 2))))
+       |ELSE cast(array() as array<string>) END""".stripMargin)
+
+  /** doc_id + distinct word-3-gram projection of the documents table. */
+  def gramsOf(documents: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    documents
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+      .select(col("doc_id"), grams3FromTokens("toks").as("grams"))
+
+  /** DuckDB equivalent of [[grams3]] for oracle SQL. */
+  def grams3Sql(c: String): String =
+    s"""CASE WHEN len(string_split($c, ' ')) >= 3 THEN
+       |  list_distinct(list_transform(range(1, len(string_split($c, ' ')) - 1),
+       |    i -> string_split($c, ' ')[i] || ' ' || string_split($c, ' ')[i+1] || ' ' || string_split($c, ' ')[i+2]))
+       |ELSE [] END""".stripMargin
+
+  /** Exact Jaccard similarity of two distinct-element string arrays, in
+    * double (intersection over union).
+    */
+  def jaccard(a: Column, b: Column): Column =
+    size(array_intersect(a, b)).cast("double") / size(array_union(a, b))
+}

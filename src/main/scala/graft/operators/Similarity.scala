@@ -1,0 +1,156 @@
+package graft.operators
+
+import graft.Tables
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Approximate-nearest-neighbour search over an embedding column.
+  *
+  * Three tiers:
+  *  - brute force: exact cosine top-k, the correctness baseline (linear
+  *    scan, fine when the query set is small and the corpus is the big
+  *    side — it's one broadcast + one TakeOrdered).
+  *  - random-hyperplane LSH: corpus bucketed by a 16-bit sign signature —
+  *    at scale, a query probes one bucket (≈ corpus/65536) instead of
+  *    everything.
+  *  - IVF: coarse k-means quantizer, probe the nearest cells. The
+  *    centroid model is tiny driver-side state (k×dim doubles); the data
+  *    never leaves the cluster.
+  */
+object Similarity {
+
+  /** Exact cosine in double: sequential left fold via the codegen'd
+    * [[graft.functions.DotProduct]], bit-identical to DuckDB's
+    * `list_dot_product` (verified empirically).
+    */
+  def cosine(a: Column, b: Column): Column =
+    graft.functions.DotProduct(a, b) /
+      (sqrt(graft.functions.DotProduct(a, a)) * sqrt(graft.functions.DotProduct(b, b)))
+
+  private def vectors(t: Tables): DataFrame =
+    t.embeddings.select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+
+  private def queryVector(t: Tables): DataFrame =
+    vectors(t).where(col("vec_id") === 0).select(col("v").as("qv"))
+
+  /** Exact top-10 cosine neighbours of vec_id 0. */
+  def bruteForceTopK(t: Tables): DataFrame =
+    vectors(t)
+      .where(col("vec_id") =!= 0)
+      .crossJoin(broadcast(queryVector(t)))
+      .select(col("vec_id"), cosine(col("v"), col("qv")).as("cosine"))
+      .orderBy(col("cosine").desc, col("vec_id"))
+      .limit(10)
+
+  val bruteForceTopKSql: String =
+    """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+      |q AS (SELECT v AS qv FROM e WHERE vec_id = 0)
+      |SELECT e.vec_id,
+      | list_dot_product(e.v, q.qv) /
+      |   (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(q.qv, q.qv))) AS cosine
+      |FROM e CROSS JOIN q
+      |WHERE e.vec_id <> 0
+      |ORDER BY cosine DESC, vec_id
+      |LIMIT 10""".stripMargin
+
+  private val NumPlanes = 6 // 64 buckets; sized so buckets hold ~n/64 vectors
+  private val Dim       = 64
+
+  /** Deterministic ±1 hyperplanes (fixed LCG seed — no runtime RNG). */
+  private[operators] val planes: Seq[Seq[Double]] = {
+    var s = 0x9e3779b97f4a7c15L
+    def next(): Long = { s = s * 6364136223846793005L + 1442695040888963407L; s }
+    Seq.fill(NumPlanes)(Seq.fill(Dim)(if ((next() >>> 40 & 1) == 1) 1.0 else -1.0))
+  }
+
+  private def signBucket(v: Column): Column = {
+    val lits = planes.map(p => typedLit(p))
+    (0 until NumPlanes).map { i =>
+      val dot = aggregate(zip_with(v, lits(i), (a, b) => a * b), lit(0.0), (acc, x) => acc + x)
+      when(dot > 0, lit(1 << i)).otherwise(lit(0))
+    }.reduce[Column](_ + _)
+  }
+
+  /** LSH ANN: corpus bucketed by sign signature; the query probes its own
+    * bucket plus all 1-bit-flip neighbours (multiprobe), then exact
+    * rerank. Rows-only (bucket membership is implementation-defined).
+    * At scale: candidate fetch touches ~(planes+1)/2^planes of the corpus.
+    */
+  def lshTopK(t: Tables): DataFrame = {
+    val bucketed = vectors(t).withColumn("bucket", signBucket(col("v")))
+    val probes = bucketed.where(col("vec_id") === 0)
+      .select(col("v").as("qv"), col("bucket").as("qbucket"))
+      .withColumn("probe",
+        explode(array(col("qbucket") +:
+          (0 until NumPlanes).map(i => col("qbucket").bitwiseXOR(1 << i)): _*)))
+    bucketed
+      .where(col("vec_id") =!= 0)
+      .join(broadcast(probes), col("bucket") === col("probe"))
+      .select(col("vec_id"), cosine(col("v"), col("qv")).as("cosine"))
+      .orderBy(col("cosine").desc, col("vec_id"))
+      .limit(10)
+  }
+
+  private val NumCells  = 16
+  private val NumProbes = 4
+  private val Iters     = 2
+
+  /** IVF ANN: k-means coarse quantizer (deterministic init: the first k
+    * vectors), Lloyd iterations as DataFrame aggregations, then probe the
+    * cells nearest the query and rerank exactly. Rows-only.
+    *
+    * The collect() here pulls only the k×dim centroid model (16×64
+    * doubles) to the driver — bounded state, independent of corpus size.
+    */
+  def ivfTopK(t: Tables): DataFrame = {
+    val vecs = vectors(t).cache()
+    def assign(cents: Seq[(Int, Seq[Double])]): DataFrame = {
+      val centArr = array(cents.map { case (id, c) =>
+        struct(lit(id).as("cell"), typedLit(c).as("c"))
+      }: _*)
+      vecs
+        .withColumn("cents", centArr)
+        .withColumn("cell",
+          expr("""array_min(transform(cents, s ->
+                    struct(aggregate(zip_with(v, s.c, (a, b) -> (a - b) * (a - b)),
+                                     0D, (acc, x) -> acc + x) AS d, s.cell AS cell))).cell"""))
+        .drop("cents")
+    }
+    var cents: Seq[(Int, Seq[Double])] = vecs
+      .where(col("vec_id") < NumCells)
+      .orderBy("vec_id")
+      .collect()
+      .map(r => (r.getLong(0).toInt, r.getSeq[Double](1)))
+      .toSeq
+    for (_ <- 0 until Iters) {
+      val assigned = assign(cents)
+      cents = assigned
+        .select(col("cell"), posexplode(col("v")).as(Seq("pos", "x")))
+        .groupBy("cell", "pos")
+        .agg(avg(col("x")).as("m"))
+        .groupBy("cell")
+        .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("pm"))
+        .select(col("cell"), expr("transform(pm, s -> s.m)").as("c"))
+        .collect()
+        .map(r => (r.getInt(0), r.getSeq[Double](1)))
+        .toSeq
+        .sortBy(_._1)
+    }
+    val assigned = assign(cents).cache()
+    val q = assigned.where(col("vec_id") === 0).select(col("v").as("qv")).collect()(0)
+    val qv = q.getSeq[Double](0)
+    val probeCells = cents
+      .map { case (id, c) =>
+        (id, c.zip(qv).map { case (a, b) => (a - b) * (a - b) }.sum)
+      }
+      .sortBy(_._2)
+      .take(NumProbes)
+      .map(_._1)
+    assigned
+      .where(col("cell").isin(probeCells: _*) && col("vec_id") =!= 0)
+      .crossJoin(broadcast(assigned.where(col("vec_id") === 0).select(col("v").as("qv"))))
+      .select(col("vec_id"), cosine(col("v"), col("qv")).as("cosine"), col("cell"))
+      .orderBy(col("cosine").desc, col("vec_id"))
+      .limit(10)
+  }
+}

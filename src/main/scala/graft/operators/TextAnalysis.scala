@@ -1,0 +1,150 @@
+package graft.operators
+
+import graft.Tables
+import graft.functions.RollingHash
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text analysis for training-data curation: token stats, quality
+  * scoring, language ID, fingerprinting. Everything is a codegen'd
+  * projection over the documents table — embarrassingly parallel, no
+  * shuffle except the final presentation sort.
+  */
+object TextAnalysis {
+
+  private def toks: Column = split(col("text"), " ")
+
+  /** Token counting: whitespace tokens, distinct tokens, mean token
+    * length (derived arithmetically so both engines agree exactly).
+    */
+  def tokenStats(t: Tables): DataFrame =
+    t.documents.select(
+        col("doc_id"),
+        size(toks).as("n_tokens"),
+        size(array_distinct(toks)).as("n_distinct"),
+        ((length(col("text")) - (size(toks) - 1)).cast("double") / size(toks))
+          .as("mean_token_len"))
+      .orderBy("doc_id")
+
+  val tokenStatsSql: String =
+    """SELECT doc_id,
+      | len(string_split(text, ' ')) AS n_tokens,
+      | len(list_distinct(string_split(text, ' '))) AS n_distinct,
+      | CAST(length(text) - (len(string_split(text, ' ')) - 1) AS DOUBLE)
+      |   / len(string_split(text, ' ')) AS mean_token_len
+      |FROM documents
+      |ORDER BY doc_id""".stripMargin
+
+  private val Stopwords = Seq("the", "a", "of", "and", "to", "in", "is")
+
+  /** Quality scoring: stopword ratio, alphabetic-character ratio,
+    * length factor — combined into one score. All double arithmetic uses
+    * the same expression tree as the oracle, so scores match exactly.
+    */
+  def quality(t: Tables): DataFrame = {
+    val sw = Stopwords.map(s => s"'$s'").mkString(", ")
+    t.documents.select(
+        col("doc_id"),
+        (expr(s"size(filter(split(text, ' '), w -> w IN ($sw)))").cast("double")
+          / size(toks)).as("stopword_ratio"),
+        (length(regexp_replace(col("text"), "[^a-z]", "")).cast("double")
+          / length(col("text"))).as("alpha_ratio"),
+        least(lit(1.0), size(toks).cast("double") / 100.0).as("length_factor"))
+      .withColumn("quality_score",
+        lit(0.4) * col("stopword_ratio") + lit(0.3) * col("alpha_ratio")
+          + lit(0.3) * col("length_factor"))
+      .orderBy("doc_id")
+  }
+
+  val qualitySql: String = {
+    val sw = Stopwords.map(s => s"'$s'").mkString(", ")
+    s"""SELECT doc_id, stopword_ratio, alpha_ratio, length_factor,
+       | 0.4 * stopword_ratio + 0.3 * alpha_ratio + 0.3 * length_factor AS quality_score
+       |FROM (
+       | SELECT doc_id,
+       |  CAST(len(list_filter(string_split(text, ' '), w -> w IN ($sw))) AS DOUBLE)
+       |    / len(string_split(text, ' ')) AS stopword_ratio,
+       |  CAST(length(regexp_replace(text, '[^a-z]', '', 'g')) AS DOUBLE)
+       |    / length(text) AS alpha_ratio,
+       |  least(1.0, CAST(len(string_split(text, ' ')) AS DOUBLE) / 100.0) AS length_factor
+       | FROM documents)
+       |ORDER BY doc_id""".stripMargin
+  }
+
+  private val LangStopwords: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "and", "of", "is"),
+    "es" -> Seq("el", "la", "de", "que", "y"),
+    "fr" -> Seq("le", "la", "de", "et", "les"),
+    "de" -> Seq("der", "die", "und", "das", "ist"))
+
+  /** Language ID: stopword-hit scoring per language plus a CJK
+    * character check, highest count wins with a fixed priority order.
+    * (A production system would use char-n-gram profiles; the contract
+    * here is a deterministic, engine-portable heuristic.)
+    */
+  def langId(t: Tables): DataFrame = {
+    def hits(wordsList: Seq[String]): Column = {
+      val sw = wordsList.map(s => s"'$s'").mkString(", ")
+      expr(s"size(filter(split(text, ' '), w -> w IN ($sw)))")
+    }
+    val scored = t.documents.select(
+      (Seq(col("doc_id"), col("lang").as("declared_lang"),
+        length(regexp_replace(col("text"), "[^一-鿿]", "")).as("cjk_chars")) ++
+        LangStopwords.map { case (l, ws) => hits(ws).as(s"${l}_hits") }): _*)
+    scored.withColumn("predicted_lang",
+        when(col("cjk_chars") > 0, "zh")
+          .when(col("es_hits") > col("en_hits") && col("es_hits") >= col("fr_hits")
+            && col("es_hits") >= col("de_hits"), "es")
+          .when(col("fr_hits") > col("en_hits") && col("fr_hits") >= col("de_hits"), "fr")
+          .when(col("de_hits") > col("en_hits"), "de")
+          .otherwise("en"))
+      .orderBy("doc_id")
+  }
+
+  val langIdSql: String = {
+    def hitsSql(ws: Seq[String]): String =
+      s"len(list_filter(string_split(text, ' '), w -> w IN (${ws.map(s => s"'$s'").mkString(", ")})))"
+    val cols = LangStopwords.map { case (l, ws) => s" ${hitsSql(ws)} AS ${l}_hits," }.mkString("\n")
+    val cjkRe = "[^\\x{4e00}-\\x{9fff}]"
+    s"""SELECT doc_id, declared_lang, cjk_chars, en_hits, es_hits, fr_hits, de_hits,
+       | CASE WHEN cjk_chars > 0 THEN 'zh'
+       |      WHEN es_hits > en_hits AND es_hits >= fr_hits AND es_hits >= de_hits THEN 'es'
+       |      WHEN fr_hits > en_hits AND fr_hits >= de_hits THEN 'fr'
+       |      WHEN de_hits > en_hits THEN 'de'
+       |      ELSE 'en' END AS predicted_lang
+       |FROM (
+       | SELECT doc_id, lang AS declared_lang,
+       |  length(regexp_replace(text, '$cjkRe', '', 'g')) AS cjk_chars,
+       |$cols
+       |  text
+       | FROM documents)
+       |ORDER BY doc_id""".stripMargin
+  }
+
+  /** Key-collision fingerprint (OpenRefine style): sorted distinct
+    * tokens re-joined and hashed — whitespace/order/duplication
+    * insensitive duplicate key.
+    */
+  def fingerprint(t: Tables): DataFrame =
+    t.documents.select(
+        col("doc_id"),
+        md5(concat_ws(" ", array_sort(array_distinct(split(lower(trim(col("text"))), " ")))))
+          .as("fingerprint"))
+      .orderBy("doc_id")
+
+  val fingerprintSql: String =
+    """SELECT doc_id,
+      | md5(array_to_string(list_sort(list_distinct(string_split(lower(trim(text)), ' '))), ' ')) AS fingerprint
+      |FROM documents
+      |ORDER BY doc_id""".stripMargin
+
+  /** Polynomial rolling-hash fingerprint via the custom codegen'd
+    * Catalyst expression [[graft.functions.RollingHash]]. Rows-only (the
+    * hash is implementation-defined).
+    */
+  def rollingHashFingerprint(t: Tables): DataFrame =
+    t.documents.select(
+        col("doc_id"),
+        RollingHash(col("text")).as("rolling_hash"))
+      .orderBy("doc_id")
+}
