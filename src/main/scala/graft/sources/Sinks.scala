@@ -1,0 +1,37 @@
+package graft.sources
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Load layer: partitioned, ordered columnar sinks — the Spark-native
+  * re-expression of the reference's ClickHouse MergeTree DDL
+  * (loaders.py:685-716: PARTITION BY toYYYYMM(ts), ORDER BY (ts, ...)).
+  *
+  * parquet + hive-style month partitions gives the same pruning the
+  * MergeTree partition key gives ClickHouse; sortWithinPartitions gives
+  * the same locality the ORDER BY clause gives (row-group min/max stats
+  * make time-range scans skip).
+  */
+object Sinks {
+
+  /** Month-partitioned, time-ordered fact write (fact_sales twin). */
+  def writeMonthPartitioned(df: DataFrame, tsCol: String, path: String,
+      orderCols: Seq[String]): Unit =
+    df.withColumn("ym", date_format(col(tsCol), "yyyyMM"))
+      .repartition(col("ym"))
+      .sortWithinPartitions(orderCols.map(col): _*)
+      .write
+      .mode("overwrite")
+      .partitionBy("ym")
+      .parquet(path)
+
+  /** Chunked plain write (the reference's chunked insert, loaders.py:775
+    * — in Spark the parallel write IS the chunking; `maxRecordsPerFile`
+    * bounds file sizes for downstream consumers).
+    */
+  def writeChunked(df: DataFrame, path: String, maxRecordsPerFile: Int): Unit =
+    df.write
+      .mode("overwrite")
+      .option("maxRecordsPerFile", maxRecordsPerFile.toString)
+      .parquet(path)
+}

@@ -1,0 +1,123 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, DataFrameReader, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StructType
+
+/** Source connectors re-expressing the reference's extract layer
+  * (/root/reference src/etl/extractors.py) Spark-first.
+  *
+  * The reference drains each source into pandas on one node; here every
+  * source is a distributed scan — Spark lists/splits the files (or JDBC
+  * partitions), pushes filters/projections down, and never materializes
+  * on a single machine.
+  */
+object Sources {
+
+  /** CSV objects under a prefix tree, with provenance and
+    * date-inferred-from-object-key — read_minio_inventory_df
+    * (extractors.py:593) + _infer_date_from_key (extractors.py:565).
+    *
+    * `path` may be a glob (e.g. `s3://bucket/inventory/ ** / *.csv`): Spark's
+    * file index does the prefix listing that the reference does with
+    * paginated ListObjectsV2 calls — distributed and parallel.
+    * If the data carries no `date` column, it is inferred from the file
+    * name (supports YYYY-MM-DD, YYYY_MM_DD, YYYYMMDD).
+    */
+  def csvWithDateFromKey(spark: SparkSession, path: String,
+      schema: Option[StructType] = None): DataFrame = {
+    val rd = spark.read.option("header", "true")
+    val base = schema.fold(rd.option("inferSchema", "true"))(rd.schema)
+      .csv(path)
+      .withColumn("object", input_file_name())
+    if (base.columns.contains("date")) base
+    else {
+      // mirror the reference: pull y/m/d groups out of the object key.
+      // Match on the file name only (the path above it can contain
+      // unrelated digit runs — tmp dirs, bucket ids).
+      val key = substring_index(col("object"), "/", -1)
+      val pat = "(\\d{4})[-_]?(\\d{2})[-_]?(\\d{2})"
+      base.withColumn("date",
+        to_date(
+          when(regexp_extract(key, pat, 0) =!= "",
+            concat_ws("-",
+              regexp_extract(key, pat, 1),
+              regexp_extract(key, pat, 2),
+              regexp_extract(key, pat, 3)))))
+    }
+  }
+
+  /** JSON-lines event ingestion — the batch shape of the Kafka topic
+    * drain (read_kafka_topic, extractors.py:531).
+    */
+  def jsonLines(spark: SparkSession, path: String,
+      schema: Option[StructType] = None): DataFrame =
+    schema.fold(spark.read)(spark.read.schema).json(path)
+
+  /** Columnar scan with pushdown (assertions in SourcesSpec check
+    * PushedFilters/ReadSchema reach the parquet reader).
+    */
+  def parquet(spark: SparkSession, path: String): DataFrame =
+    spark.read.parquet(path)
+
+  /** JDBC full-table read — read_pg_table (extractors.py:524), but
+    * partitioned: Spark issues `numPartitions` range-predicated queries in
+    * parallel instead of one giant cursor.
+    */
+  final case class JdbcConfig(
+      url: String,
+      table: String,
+      user: String,
+      password: String,
+      partitionColumn: Option[String] = None,
+      lowerBound: Long = 0L,
+      upperBound: Long = 1L,
+      numPartitions: Int = 8)
+
+  /** Builds the configured reader (callers invoke `.load()`; specs verify
+    * the option plumbing without a live database).
+    */
+  def jdbcReader(spark: SparkSession, cfg: JdbcConfig): DataFrameReader = {
+    val base = spark.read.format("jdbc")
+      .option("url", cfg.url)
+      .option("dbtable", cfg.table)
+      .option("user", cfg.user)
+      .option("password", cfg.password)
+    cfg.partitionColumn.fold(base) { c =>
+      base.option("partitionColumn", c)
+        .option("lowerBound", cfg.lowerBound)
+        .option("upperBound", cfg.upperBound)
+        .option("numPartitions", cfg.numPartitions)
+    }
+  }
+
+  /** The Kafka sales-event value shape (kafka_loader.py:56-65). */
+  val salesEventSchema: StructType = StructType.fromDDL(
+    "event_id STRING, ts TIMESTAMP, customer_id BIGINT, product_id BIGINT, " +
+      "qty INT, unit_price DOUBLE")
+
+  /** Parse raw Kafka-style (key, value) bytes into typed sales events —
+    * shared by the streaming reader and batch replays of a topic dump.
+    */
+  def parseSalesEvents(raw: DataFrame): DataFrame =
+    raw.select(
+        col("key").cast("string").as("event_key"),
+        from_json(col("value").cast("string"), salesEventSchema).as("e"))
+      .select(col("event_key"), col("e.*"))
+
+  /** Streaming Kafka source config (read_kafka_topic streaming twin).
+    * `.load()` requires the spark-sql-kafka connector on the cluster; the
+    * parse stage is the tested part and is connector-independent.
+    */
+  final case class KafkaConfig(bootstrap: String, topic: String,
+      startingOffsets: String = "earliest")
+
+  def kafkaStream(spark: SparkSession, cfg: KafkaConfig): DataFrame =
+    parseSalesEvents(
+      spark.readStream
+        .format("kafka")
+        .option("kafka.bootstrap.servers", cfg.bootstrap)
+        .option("subscribe", cfg.topic)
+        .option("startingOffsets", cfg.startingOffsets)
+        .load())
+}

@@ -1,0 +1,93 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Structured Streaming pipelines — the streaming twins of the batch
+  * operators in [[graft.operators.Relational]] (tumbling window agg,
+  * sessionization), sharing semantics so a batch backfill and the live
+  * stream produce the same tables.
+  *
+  * Watermarks bound state: at 100 TB/day the 2-hour watermark means each
+  * executor holds only ~2 hours of open windows / sessions per key range,
+  * regardless of total history.
+  */
+object Streams {
+
+  /** Typed event for stateful processing. */
+  final case class Event(user_id: Long, ts: Timestamp, event_type: String, value: Double)
+
+  /** Completed session emitted by [[sessionize]]. */
+  final case class Session(
+      user_id: Long,
+      session_start: Timestamp,
+      session_end: Timestamp,
+      n_events: Long,
+      total_value: Double)
+
+  // top-level visibility: Spark's state encoder codegen instantiates this
+  // class from generated Java and cannot see a `private` nested case class
+  final case class SessionState(start: Long, last: Long, n: Long, total: Double)
+
+  /** Tumbling 1-hour event-time aggregate with a 2-hour watermark —
+    * streaming twin of `Relational.tumblingAgg`.
+    */
+  def tumblingCounts(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "2 hours")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("total_value"))
+      .select(
+        col("window.start").as("hour_start"),
+        col("event_type"), col("n"), col("total_value"))
+
+  /** Gap-based sessionization (30-minute inactivity) with explicit state —
+    * streaming twin of `Relational.sessionize`, via
+    * flatMapGroupsWithState + event-time timeout. Emits a session when
+    * the gap passes or the watermark expires the state.
+    */
+  def sessionize(events: Dataset[Event], gapSeconds: Long = 1800L): Dataset[Session] = {
+    import events.sparkSession.implicits._
+
+    def fn(userId: Long, it: Iterator[Event],
+        state: GroupState[SessionState]): Iterator[Session] = {
+      def emit(s: SessionState): Session =
+        Session(userId, new Timestamp(s.start), new Timestamp(s.last), s.n, s.total)
+
+      if (state.hasTimedOut) {
+        val out = state.getOption.map(emit).toIterator
+        state.remove()
+        out
+      } else {
+        var closed = List.empty[Session]
+        var cur = state.getOption
+        it.toSeq.sortBy(e => (e.ts.getTime, e.value)).foreach { e =>
+          val t = e.ts.getTime
+          cur match {
+            case Some(s) if t - s.last <= gapSeconds * 1000 =>
+              cur = Some(s.copy(last = math.max(s.last, t), n = s.n + 1,
+                total = s.total + e.value))
+            case Some(s) =>
+              closed ::= emit(s)
+              cur = Some(SessionState(t, t, 1, e.value))
+            case None =>
+              cur = Some(SessionState(t, t, 1, e.value))
+          }
+        }
+        cur.foreach { s =>
+          state.update(s)
+          state.setTimeoutTimestamp(s.last + gapSeconds * 1000)
+        }
+        closed.reverseIterator
+      }
+    }
+
+    events
+      .withWatermark("ts", "2 hours")
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.EventTimeTimeout())(fn)
+  }
+}

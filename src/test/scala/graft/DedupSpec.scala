@@ -1,0 +1,97 @@
+package graft
+
+import java.nio.file.Files
+
+import graft.operators.{Dedup, Similarity}
+
+class DedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  /** Tables view over a temp dir holding a synthetic documents table with
+    * planted duplicates.
+    */
+  private lazy val planted: Tables = {
+    val dir = Files.createTempDirectory("graft-dedup").toString
+    val base = "the quick brown fox jumps over the lazy dog again and again today"
+    val near = base.replace("today", "tomorrow") // one-token edit: high jaccard
+    val docs = Seq(
+      (0L, base, "en", "src0", base.length.toLong),
+      (1L, base, "en", "src1", base.length.toLong),              // exact dup of 0
+      (2L, near, "en", "src2", near.length.toLong),              // near dup of 0/1
+      (3L, "completely different content about spark engines and shuffles here", "en", "src3", 60L),
+      (4L, "unrelated short text", "en", "src4", 20L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    docs.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    Tables(spark, dir)
+  }
+
+  test("exact dedup groups identical texts under the lowest doc_id") {
+    val rows = Dedup.exact(planted).collect()
+    val byKeep = rows.map(r => r.getLong(1) -> r.getLong(2)).toMap
+    assert(byKeep(0L) == 2L) // docs 0 and 1 collapse
+    assert(rows.map(_.getLong(2)).sum == 5L)
+  }
+
+  test("minhash LSH finds the planted near-duplicate pair") {
+    val pairs = Dedup.minhashLsh(planted).collect()
+      .map(r => (r.getLong(1), r.getLong(0), r.getDouble(2))) // b_id sorted select order: a_id,b_id,jaccard
+    val ids = Dedup.minhashLsh(planted).select("a_id", "b_id").as[(Long, Long)].collect().toSet
+    assert(ids.contains((0L, 1L))) // exact dup must be found
+    assert(ids.contains((0L, 2L)) && ids.contains((1L, 2L)), s"near dup missing: $ids")
+    assert(pairs.forall(_._3 >= 0.6))
+  }
+
+  test("minhash LSH output equals brute-force ngram jaccard at the same threshold") {
+    // brute force over all pairs (no blocking): the oracle the driver runs
+    val brute = {
+      val g = graft.functions.Shingles.gramsOf(planted.documents)
+      val a = g.select($"doc_id".as("a_id"), $"grams".as("ga"))
+      val b = g.select($"doc_id".as("b_id"), $"grams".as("gb"))
+      a.join(b, $"a_id" < $"b_id")
+        .select($"a_id", $"b_id",
+          graft.functions.Shingles.jaccard($"ga", $"gb").as("j"))
+        .where($"j" >= 0.6)
+        .as[(Long, Long, Double)].collect().toSet
+    }
+    val lsh = Dedup.minhashLsh(planted).as[(Long, Long, Double)].collect().toSet
+    assert(lsh == brute)
+  }
+
+  test("simhash flags exact and near duplicates within hamming 3") {
+    val ids = Dedup.simhash(planted).select("a_id", "b_id").as[(Long, Long)].collect().toSet
+    assert(ids.contains((0L, 1L)))
+  }
+
+  test("embedding cosine pair scan is symmetric-free and thresholded") {
+    val rows = Dedup.embeddingCosine(sf).collect()
+    rows.foreach { r =>
+      assert(r.getLong(0) < r.getLong(1))
+      assert(r.getDouble(2) >= 0.4)
+    }
+  }
+
+  test("ann brute-force topk returns 10 ordered neighbours") {
+    val rows = Similarity.bruteForceTopK(sf).collect()
+    assert(rows.length == 10)
+    val scores = rows.map(_.getDouble(1))
+    assert(scores.zip(scores.tail).forall { case (x, y) => x >= y })
+    assert(!rows.map(_.getLong(0)).contains(0L))
+  }
+
+  test("ann LSH candidates are a subset reranked exactly") {
+    val lsh = Similarity.lshTopK(sf).collect()
+    assert(lsh.nonEmpty && lsh.length <= 10)
+    val brute = Similarity.bruteForceTopK(sf).collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    // every LSH result's score must equal the exact cosine (rerank is exact)
+    lsh.foreach { r =>
+      brute.get(r.getLong(0)).foreach(s => assert(s == r.getDouble(1)))
+    }
+  }
+
+  test("ann IVF probes nearest cells and returns exact-reranked topk") {
+    val rows = Similarity.ivfTopK(sf).collect()
+    assert(rows.length == 10)
+    val scores = rows.map(_.getDouble(1))
+    assert(scores.zip(scores.tail).forall { case (x, y) => x >= y })
+  }
+}

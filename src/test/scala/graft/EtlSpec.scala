@@ -1,0 +1,50 @@
+package graft
+
+import graft.operators.Etl
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+class EtlSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("normalize: money quantizes HALF_UP to 2 decimals (loaders.py _to_decimal_2 parity)") {
+    val rows = Seq(1.005, 2.675, 3.0, -1.005).toDF("x")
+      .select(col("x").cast(DecimalType(12, 2)).cast("double"))
+      .as[Double].collect()
+    // Spark cast(double -> decimal) rounds HALF_UP on the decimal repr
+    assert(rows sameElements Array(1.01, 2.68, 3.0, -1.01))
+  }
+
+  test("normalize: null int coercion and text defaults") {
+    val df = Seq((Some(1L), Some("n"), None: Option[String], Some(7)), (None, None, None, None))
+      .toDF("id", "name", "seg", "nat")
+      .select(
+        coalesce(col("id"), lit(0L)).as("id"),
+        coalesce(col("name"), lit("")).as("name"),
+        coalesce(col("seg"), lit("UNKNOWN")).as("seg"),
+        coalesce(col("nat").cast("long"), lit(0L)).as("nat"))
+    val r = df.collect()
+    assert(r.forall(!_.anyNull))
+    assert(r(1).getString(2) == "UNKNOWN" && r(1).getLong(3) == 0L)
+  }
+
+  test("dim products: stable surrogate keys and aliasing") {
+    val rows = Etl.dimProducts(sf).limit(3).collect()
+    rows.foreach { r =>
+      assert(r.getString(1) == f"SKU-${r.getLong(0)}%08d")
+      assert(r.getString(5) == "EUR")
+    }
+  }
+
+  test("fact sales: left join preserves unmatched events with null dims") {
+    val df = Etl.factSales(sf)
+    assert(df.count() == sf.events.count()) // left join keeps all facts
+    // user_id 0 has no customer 0? customers keys start at 0 — check nulls appear
+    // for user ids beyond the customer key range, if any; at minimum no rows lost
+  }
+
+  test("fact inventory: one row per (date, product, warehouse)") {
+    val df = Etl.factInventory(sf)
+    assert(df.count() == df.select("date", "product_id", "warehouse_id").distinct().count())
+  }
+}

@@ -1,0 +1,51 @@
+package graft
+
+import graft.functions.{DotProduct, RollingHash}
+import org.apache.spark.sql.functions._
+
+class FunctionsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def refRollingHash(s: String): Long =
+    s.getBytes("UTF-8").foldLeft(0L)((h, b) => (h * 257L + (b & 0xFF)) % ((1L << 31) - 1))
+
+  test("RollingHash codegen path matches the reference polynomial") {
+    val rows = Seq("", "a", "abc", "hello world", "ünïcödé ≠ ascii").toDF("s")
+      .select(col("s"), RollingHash(col("s")).as("h"))
+      .collect()
+    rows.foreach { r =>
+      assert(r.getLong(1) == refRollingHash(r.getString(0)), s"for '${r.getString(0)}'")
+    }
+  }
+
+  test("RollingHash interpreted eval matches codegen") {
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.unsafe.types.UTF8String
+    val interp = graft.functions.RollingHash(Literal(UTF8String.fromString("hello world")))
+      .eval(null).asInstanceOf[Long]
+    assert(interp == refRollingHash("hello world"))
+  }
+
+  test("RollingHash is null-safe") {
+    val r = Seq[Option[String]](None).toDF("s")
+      .select(RollingHash(col("s"))).collect()
+    assert(r.head.isNullAt(0))
+  }
+
+  test("DotProduct matches sequential fold") {
+    val a = Seq(1.0, 2.0, 3.5, -4.0)
+    val b = Seq(0.5, -1.0, 2.0, 8.25)
+    val expected = a.zip(b).foldLeft(0.0) { case (acc, (x, y)) => acc + x * y }
+    val got = Seq((a, b)).toDF("a", "b")
+      .select(DotProduct(col("a"), col("b"))).as[Double].head()
+    assert(got == expected)
+  }
+
+  test("DotProduct rejects non-double arrays at analysis") {
+    val ex = intercept[Exception] {
+      Seq((Seq("x"), Seq("y"))).toDF("a", "b")
+        .select(DotProduct(col("a"), col("b"))).collect()
+    }
+    assert(ex.getMessage.contains("dot_product") || ex.getMessage.contains("DATATYPE"))
+  }
+}

@@ -1,0 +1,68 @@
+package graft
+
+import graft.operators.{Etl, Relational}
+
+class RelationalSpec extends SparkSpec {
+
+  private def explainStr(df: org.apache.spark.sql.DataFrame): String = {
+    val out = new java.io.ByteArrayOutputStream()
+    Console.withOut(new java.io.PrintStream(out)) { df.explain("formatted") }
+    out.toString
+  }
+
+  test("pricing summary has one row per (returnflag, linestatus) and exact sums") {
+    val rows = Relational.pricingSummary(sf).collect()
+    assert(rows.nonEmpty)
+    val keys = rows.map(r => (r.getString(0), r.getString(1)))
+    assert(keys.distinct.length == keys.length)
+    rows.foreach { r =>
+      assert(r.getDouble(2) > 0)                    // sum_qty
+      assert(r.getLong(9) > 0)                      // count_order
+      val avgQty = r.getDouble(6)
+      assert(math.abs(avgQty - r.getDouble(2) / r.getLong(9)) < 1e-9)
+    }
+  }
+
+  test("filter + projection are pushed down to the parquet scan") {
+    val plan = explainStr(Relational.filterProject(sf))
+    assert(plan.contains("PushedFilters:"), plan)
+    assert(plan.contains("GreaterThan(p_retailprice"), plan)
+    // pruned read schema: only the needed columns reach the scan
+    assert(!plan.contains("p_type,p_size,p_retailprice,p_name,p_brand,p_partkey,p_container"))
+  }
+
+  test("fact enrichment joins are broadcast (no fact-side shuffle)") {
+    val plan = explainStr(Etl.factSales(sf))
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(!plan.contains("SortMergeJoin"), plan)
+  }
+
+  test("topk per group emits at most 3 per nation, ranked") {
+    val rows = Relational.topkPerGroup(sf).collect()
+    rows.groupBy(_.getInt(0)).foreach { case (_, rs) =>
+      assert(rs.length <= 3)
+      assert(rs.map(_.getInt(1)).sorted.sameElements(1 to rs.length))
+    }
+  }
+
+  test("sessionize: session bounds are consistent and gaps exceed 30min across sessions") {
+    val rows = Relational.sessionize(sf).collect()
+    rows.foreach { r =>
+      assert(!r.getTimestamp(3).after(r.getTimestamp(4))) // start <= end
+      assert(r.getLong(2) >= 1)
+    }
+  }
+
+  test("asof join only emits purchases, with a nullable prior view value") {
+    val df = Relational.asofJoin(sf)
+    assert(df.columns.sameElements(Seq("event_id", "user_id", "ts", "value", "asof_view_value")))
+    assert(df.count() > 0)
+  }
+
+  test("rollup contains the grand total row") {
+    val rows = Relational.rollupTotals(sf).collect()
+    val grand = rows.filter(r => r.isNullAt(0) && r.isNullAt(1))
+    assert(grand.length == 1)
+    assert(grand.head.getLong(3) == sf.lineitem.count())
+  }
+}

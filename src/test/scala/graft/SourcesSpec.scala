@@ -1,0 +1,82 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+
+import graft.sources.{Sinks, Sources}
+import org.apache.spark.sql.functions._
+
+class SourcesSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("csv source infers snapshot date from the object key (extractors.py:565 parity)") {
+    val dir = Files.createTempDirectory("graft-csv")
+    // minio_loader.py naming: stock_{wh}_{YYYYMMDD}.csv under inventory/YYYY/MM/
+    val sub = Files.createDirectories(Paths.get(dir.toString, "inventory", "2025", "01"))
+    Files.writeString(sub.resolve("stock_wh-01_20250106.csv"),
+      "product_id,warehouse_id,stock_units\n1,wh-01,10\n2,wh-01,7\n")
+    Files.writeString(sub.resolve("stock_wh-02_20250113.csv"),
+      "product_id,warehouse_id,stock_units\n1,wh-02,4\n")
+    val df = Sources.csvWithDateFromKey(spark, s"$dir/inventory/*/*/*.csv")
+    assert(df.columns.contains("object") && df.columns.contains("date"))
+    val dates = df.select(col("date").cast("string")).distinct().as[String].collect().sorted
+    assert(dates.sameElements(Array("2025-01-06", "2025-01-13")))
+    assert(df.count() == 3)
+  }
+
+  test("csv source keeps an existing date column untouched") {
+    val dir = Files.createTempDirectory("graft-csv2")
+    Files.writeString(dir.resolve("stock_wh-01_20250101.csv"),
+      "date,product_id,stock_units\n2024-12-31,1,5\n")
+    val df = Sources.csvWithDateFromKey(spark, s"$dir/*.csv")
+    assert(df.select(col("date").cast("string")).as[String].head() == "2024-12-31")
+  }
+
+  test("json-lines source reads the kafka event value shape") {
+    val dir = Files.createTempDirectory("graft-jsonl")
+    Files.writeString(dir.resolve("events.jsonl"),
+      """{"event_id":"e1","ts":"2025-01-01T10:00:00Z","customer_id":5,"product_id":2,"qty":3,"unit_price":9.99}
+        |{"event_id":"e2","ts":"2025-01-01T10:00:10Z","customer_id":6,"product_id":1,"qty":1,"unit_price":19.5}
+        |""".stripMargin)
+    val df = Sources.jsonLines(spark, dir.toString, Some(Sources.salesEventSchema))
+    assert(df.count() == 2)
+    assert(df.schema("unit_price").dataType.typeName == "double")
+  }
+
+  test("kafka value parser decodes (key, value) byte pairs") {
+    val raw = Seq(
+      ("e1".getBytes, """{"event_id":"e1","ts":"2025-01-01T10:00:00Z","customer_id":5,"product_id":2,"qty":3,"unit_price":9.99}""".getBytes))
+      .toDF("key", "value")
+    val parsed = Sources.parseSalesEvents(raw).collect().head
+    assert(parsed.getAs[String]("event_key") == "e1")
+    assert(parsed.getAs[Long]("customer_id") == 5L)
+    assert(parsed.getAs[Double]("unit_price") == 9.99)
+  }
+
+  test("jdbc reader builds a partitioned range-scan config") {
+    val rd = Sources.jdbcReader(spark, Sources.JdbcConfig(
+      url = "jdbc:postgresql://example:5432/erp_db", table = "products",
+      user = "u", password = "p", partitionColumn = Some("id"),
+      lowerBound = 0, upperBound = 1000, numPartitions = 8))
+    assert(rd != null) // plumbing only; .load() needs a live database
+  }
+
+  test("month-partitioned sink writes hive-style ym directories (MergeTree parity)") {
+    val out = Files.createTempDirectory("graft-sink").toString + "/fact"
+    Sinks.writeMonthPartitioned(sf.events.limit(500), "ts", out, Seq("ts", "event_id"))
+    val dirs = new java.io.File(out).listFiles().filter(_.isDirectory).map(_.getName).sorted
+    assert(dirs.nonEmpty && dirs.forall(_.matches("ym=\\d{6}")))
+    val back = spark.read.parquet(out)
+    assert(back.count() == 500)
+  }
+
+  test("parquet scan prunes columns (ReadSchema only carries what is selected)") {
+    val df = Sources.parquet(spark, "/root/testdata/sf0.001/lineitem.parquet")
+      .select("l_orderkey", "l_quantity").where(col("l_quantity") > 10)
+    val out = new java.io.ByteArrayOutputStream()
+    Console.withOut(new java.io.PrintStream(out)) { df.explain("formatted") }
+    val plan = out.toString
+    assert(plan.contains("l_orderkey") && plan.contains("l_quantity"))
+    assert(!plan.contains("l_extendedprice"))
+    assert(plan.contains("PushedFilters:"))
+  }
+}

@@ -1,0 +1,57 @@
+package graft
+
+import java.sql.Timestamp
+
+import graft.streaming.Streams
+import graft.streaming.Streams.{Event, Session}
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.Trigger
+
+class StreamingSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(minute: Int): Timestamp =
+    Timestamp.valueOf(f"2025-01-01 10:$minute%02d:00")
+
+  test("tumbling window aggregate over a stream matches the batch twin") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Event]
+    input.addData(
+      Event(1, ts(5), "click", 1.0),
+      Event(1, ts(10), "click", 2.0),
+      Event(2, ts(15), "view", 5.0))
+    val q = Streams.tumblingCounts(input.toDF())
+      .writeStream.format("memory").queryName("tumbling")
+      .outputMode("update").start()
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.table("tumbling").collect()
+    val clicks = rows.find(_.getString(1) == "click").get
+    assert(clicks.getLong(2) == 2 && clicks.getDouble(3) == 3.0)
+    val views = rows.find(_.getString(1) == "view").get
+    assert(views.getLong(2) == 1)
+  }
+
+  test("stateful sessionization closes a session after the gap") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Event]
+    val q = Streams.sessionize(input.toDS())
+      .writeStream.format("memory").queryName("sessions")
+      .outputMode("append").start()
+    // session 1: 10:00-10:05; then a 40-min gap; session 2 at 10:45
+    input.addData(
+      Event(7, ts(0), "click", 1.0),
+      Event(7, ts(5), "click", 2.0),
+      Event(7, ts(45), "click", 4.0))
+    q.processAllAvailable()
+    // push the watermark forward so the open session can time out
+    input.addData(Event(8, Timestamp.valueOf("2025-01-01 14:00:00"), "click", 0.0))
+    q.processAllAvailable()
+    q.stop()
+    val sessions = spark.table("sessions").as[Session].collect().filter(_.user_id == 7)
+    assert(sessions.length >= 1)
+    val first = sessions.minBy(_.session_start.getTime)
+    assert(first.n_events == 2 && first.total_value == 3.0)
+    assert(first.session_start == ts(0) && first.session_end == ts(5))
+  }
+}
