@@ -37,6 +37,14 @@ object SparkEntry {
     "q_sessionize"         -> q(Relational.sessionize),
     "q_tumbling_agg"       -> q(Relational.tumblingAgg),
     "q_json_extract"       -> q(Relational.jsonExtract),
+    "q_cube"               -> q(Relational2.cubeTotals),
+    "q_intersect"          -> q(Relational2.intersectKeys),
+    "q_except"             -> q(Relational2.exceptKeys),
+    "q_string_funcs"       -> q(Relational2.stringFuncs),
+    "q_date_funcs"         -> q(Relational2.dateFuncs),
+    "q_salted_skew_agg"    -> q(Relational2.saltedSkewAgg),
+    "q_global_topn"        -> q(Relational2.globalTopN),
+    "q_case_when"          -> q(Relational2.caseWhen),
     // 2.1 ETL surface (reference parity)
     "etl_dim_products"     -> q(Etl.dimProducts),
     "etl_dim_customers"    -> q(Etl.dimCustomers),
@@ -88,6 +96,14 @@ object SparkEntry {
     "q_sessionize"         -> Relational.sessionizeSql,
     "q_tumbling_agg"       -> Relational.tumblingAggSql,
     "q_json_extract"       -> Relational.jsonExtractSql,
+    "q_cube"               -> Relational2.cubeTotalsSql,
+    "q_intersect"          -> Relational2.intersectKeysSql,
+    "q_except"             -> Relational2.exceptKeysSql,
+    "q_string_funcs"       -> Relational2.stringFuncsSql,
+    "q_date_funcs"         -> Relational2.dateFuncsSql,
+    "q_salted_skew_agg"    -> Relational2.saltedSkewAggSql,
+    "q_global_topn"        -> Relational2.globalTopNSql,
+    "q_case_when"          -> Relational2.caseWhenSql,
     "etl_dim_products"     -> Etl.dimProductsSql,
     "etl_dim_customers"    -> Etl.dimCustomersSql,
     "etl_fact_sales"       -> Etl.factSalesSql,
