@@ -45,6 +45,7 @@ object SparkEntry {
     "q_salted_skew_agg"    -> q(Relational2.saltedSkewAgg),
     "q_global_topn"        -> q(Relational2.globalTopN),
     "q_case_when"          -> q(Relational2.caseWhen),
+    "q_sliding_agg"        -> q(Relational2.slidingAgg),
     // 2.1 ETL surface (reference parity)
     "etl_dim_products"     -> q(Etl.dimProducts),
     "etl_dim_customers"    -> q(Etl.dimCustomers),
@@ -69,6 +70,7 @@ object SparkEntry {
     "text_rolling_hash"    -> q(TextAnalysis.rollingHashFingerprint),
     // 2.6 multimodal
     "mm_binary_pipeline"   -> q(Multimodal.binaryPipeline),
+    "mm_batched_decode"    -> q(Multimodal.decodeBatched),
   )
 
   /** For each key in `queries`, equivalent ANSI SQL runnable by DuckDB on
@@ -104,6 +106,7 @@ object SparkEntry {
     "q_salted_skew_agg"    -> Relational2.saltedSkewAggSql,
     "q_global_topn"        -> Relational2.globalTopNSql,
     "q_case_when"          -> Relational2.caseWhenSql,
+    "q_sliding_agg"        -> Relational2.slidingAggSql,
     "etl_dim_products"     -> Etl.dimProductsSql,
     "etl_dim_customers"    -> Etl.dimCustomersSql,
     "etl_fact_sales"       -> Etl.factSalesSql,

@@ -35,6 +35,38 @@ object Multimodal {
     * the pattern a 100 TB image pipeline needs (binary column never
     * leaves the executors, features are small and columnar).
     */
+  /** Record shape for the batched decode path. */
+  final case class MediaRecord(doc_id: Long, payload: Array[Byte])
+  final case class MediaFeatures(
+      doc_id: Long, n_bytes: Int, first_byte: Int, last_byte: Int, checksum: Long)
+
+  /** Partition-batched decode via `mapPartitions` — the Scala analog of a
+    * pandas-UDF `mapInPandas` stage: the (stub) codec is initialized once
+    * per partition, then streams records through it. This is the seam
+    * where a real decoder (JNI image/audio lib) plugs in per executor.
+    */
+  def decodeBatched(t: Tables): DataFrame = {
+    val spark = t.spark
+    import spark.implicits._
+    t.documents
+      .select(col("doc_id"), col("text").cast("binary").as("payload"))
+      .as[MediaRecord]
+      .mapPartitions { it =>
+        // per-partition "codec" init happens here (stubbed: plain arithmetic)
+        it.map { r =>
+          val b = r.payload
+          MediaFeatures(
+            r.doc_id,
+            b.length,
+            if (b.nonEmpty) b.head & 0xFF else -1,
+            if (b.nonEmpty) b.last & 0xFF else -1,
+            b.foldLeft(0L)((acc, x) => acc * 31 + (x & 0xFF)))
+        }
+      }
+      .toDF()
+      .orderBy("doc_id")
+  }
+
   def binaryPipeline(t: Tables): DataFrame =
     t.documents
       .select(

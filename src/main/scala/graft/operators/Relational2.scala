@@ -145,6 +145,31 @@ object Relational2 {
       |ORDER BY o_totalprice DESC, o_orderkey
       |LIMIT 25""".stripMargin
 
+  /** Sliding (hopping) event-time windows: 1-hour windows every 30
+    * minutes — each event lands in exactly two windows. Batch twin of the
+    * streaming hop aggregation; Spark's `window()` explodes the hops,
+    * the oracle unnests the same two bucket starts.
+    */
+  def slidingAgg(t: Tables): DataFrame =
+    t.events
+      .groupBy(
+        window(col("ts"), "1 hour", "30 minutes").getField("start").as("win_start"),
+        col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(dec(col("value"))).cast("double").as("total_value"))
+      .orderBy("win_start", "event_type")
+
+  val slidingAggSql: String =
+    """SELECT win_start, event_type, COUNT(*) AS n,
+      | CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total_value
+      |FROM (
+      | SELECT event_type, value,
+      |  unnest([time_bucket(INTERVAL '30 minutes', CAST(ts AS TIMESTAMP)),
+      |          time_bucket(INTERVAL '30 minutes', CAST(ts AS TIMESTAMP)) - INTERVAL '30 minutes'])
+      |    AS win_start
+      | FROM events)
+      |GROUP BY win_start, event_type
+      |ORDER BY win_start, event_type""".stripMargin
+
   /** Conditional expressions: CASE ladders + NULL-aware arithmetic. */
   def caseWhen(t: Tables): DataFrame =
     t.customer.select(
