@@ -25,6 +25,20 @@ object Sinks {
       .partitionBy("ym")
       .parquet(path)
 
+  /** Bucketed table write: pre-shuffles once on the bucket key so that
+    * later joins/aggregations on that key are Exchange-free (the Spark
+    * analog of co-located MergeTree tables). Requires `saveAsTable`
+    * (bucket metadata lives in the catalog).
+    */
+  def writeBucketed(df: DataFrame, table: String, bucketCol: String,
+      numBuckets: Int): Unit =
+    df.write
+      .mode("overwrite")
+      .bucketBy(numBuckets, bucketCol)
+      .sortBy(bucketCol)
+      .format("parquet")
+      .saveAsTable(table)
+
   /** Chunked plain write (the reference's chunked insert, loaders.py:775
     * — in Spark the parallel write IS the chunking; `maxRecordsPerFile`
     * bounds file sizes for downstream consumers).

@@ -60,6 +60,10 @@ object Sources {
   def parquet(spark: SparkSession, path: String): DataFrame =
     spark.read.parquet(path)
 
+  /** ORC scan — second columnar format, same pushdown machinery. */
+  def orc(spark: SparkSession, path: String): DataFrame =
+    spark.read.orc(path)
+
   /** JDBC full-table read — read_pg_table (extractors.py:524), but
     * partitioned: Spark issues `numPartitions` range-predicated queries in
     * parallel instead of one giant cursor.

@@ -69,6 +69,39 @@ class SourcesSpec extends SparkSpec {
     assert(back.count() == 500)
   }
 
+  test("orc roundtrip preserves schema and rows") {
+    val out = Files.createTempDirectory("graft-orc").toString + "/events"
+    sf.events.limit(200).write.mode("overwrite").orc(out)
+    val back = Sources.orc(spark, out)
+    assert(back.count() == 200)
+    assert(back.schema("value").dataType.typeName == "double")
+  }
+
+  test("bucketed tables join without an exchange (co-located join)") {
+    val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      // force a sort-merge join so the bucketing (not broadcast) is on trial
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      Sinks.writeBucketed(sf.orders.select("o_orderkey", "o_custkey", "o_totalprice"),
+        "b_orders", "o_orderkey", 4)
+      Sinks.writeBucketed(sf.lineitem.select("l_orderkey", "l_quantity"),
+        "b_lineitem", "l_orderkey", 4)
+      val joined = spark.table("b_orders")
+        .join(spark.table("b_lineitem"),
+          col("o_orderkey") === col("l_orderkey"))
+      val out = new java.io.ByteArrayOutputStream()
+      Console.withOut(new java.io.PrintStream(out)) { joined.explain("formatted") }
+      val plan = out.toString
+      assert(plan.contains("SortMergeJoin"), plan)
+      assert(!plan.contains("Exchange"), s"bucketed join should not shuffle:\n$plan")
+      assert(joined.count() == sf.lineitem.count())
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
+      spark.sql("DROP TABLE IF EXISTS b_orders")
+      spark.sql("DROP TABLE IF EXISTS b_lineitem")
+    }
+  }
+
   test("parquet scan prunes columns (ReadSchema only carries what is selected)") {
     val df = Sources.parquet(spark, "/root/testdata/sf0.001/lineitem.parquet")
       .select("l_orderkey", "l_quantity").where(col("l_quantity") > 10)
