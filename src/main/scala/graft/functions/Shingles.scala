@@ -26,11 +26,13 @@ object Shingles {
        |                element_at($toksCol, i + 2))))
        |ELSE cast(array() as array<string>) END""".stripMargin)
 
-  /** doc_id + distinct word-3-gram projection of the documents table. */
+  /** doc_id + distinct word-3-gram projection of the documents table,
+    * via the native [[WordNGrams]] expression (one JVM call per row
+    * instead of an interpreted lambda per gram).
+    */
   def gramsOf(documents: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
     documents
-      .select(col("doc_id"), split(col("text"), " ").as("toks"))
-      .select(col("doc_id"), grams3FromTokens("toks").as("grams"))
+      .select(col("doc_id"), array_distinct(WordNGrams(col("text"), 3)).as("grams"))
 
   /** DuckDB equivalent of [[grams3]] for oracle SQL. */
   def grams3Sql(c: String): String =
