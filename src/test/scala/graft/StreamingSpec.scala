@@ -32,6 +32,30 @@ class StreamingSpec extends SparkSpec {
     assert(views.getLong(2) == 1)
   }
 
+  test("file-source stream: new JSONL files flow through the windowed agg") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-stream").toString
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(dir, "batch1.jsonl"),
+      """{"user_id":1,"ts":"2025-01-01T10:05:00Z","event_type":"click","value":2.5}
+        |{"user_id":2,"ts":"2025-01-01T10:20:00Z","event_type":"click","value":1.5}
+        |""".stripMargin)
+    val schema = org.apache.spark.sql.types.StructType.fromDDL(
+      "user_id BIGINT, ts TIMESTAMP, event_type STRING, value DOUBLE")
+    val stream = spark.readStream.schema(schema).json(dir)
+    val q = Streams.tumblingCounts(stream)
+      .writeStream.format("memory").queryName("filestream")
+      .outputMode("update").start()
+    q.processAllAvailable()
+    // a second file arrives later — the stream picks it up incrementally
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(dir, "batch2.jsonl"),
+      """{"user_id":3,"ts":"2025-01-01T10:40:00Z","event_type":"click","value":6.0}
+        |""".stripMargin)
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.table("filestream").collect()
+    val latest = rows.filter(_.getString(1) == "click").maxBy(_.getLong(2))
+    assert(latest.getLong(2) == 3 && latest.getDouble(3) == 10.0)
+  }
+
   test("stateful sessionization closes a session after the gap") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[Event]
