@@ -46,6 +46,10 @@ object SparkEntry {
     "q_global_topn"        -> q(Relational2.globalTopN),
     "q_case_when"          -> q(Relational2.caseWhen),
     "q_sliding_agg"        -> q(Relational2.slidingAgg),
+    "q_arg_extremes"       -> q(Relational3.argExtremes),
+    "q_array_agg"          -> q(Relational3.arrayAgg),
+    "q_regex_extract"      -> q(Relational3.regexExtract),
+    "q_range_frame"        -> q(Relational3.rangeFrame),
     // 2.1 ETL surface (reference parity)
     "etl_dim_products"     -> q(Etl.dimProducts),
     "etl_dim_customers"    -> q(Etl.dimCustomers),
@@ -107,6 +111,10 @@ object SparkEntry {
     "q_global_topn"        -> Relational2.globalTopNSql,
     "q_case_when"          -> Relational2.caseWhenSql,
     "q_sliding_agg"        -> Relational2.slidingAggSql,
+    "q_arg_extremes"       -> Relational3.argExtremesSql,
+    "q_array_agg"          -> Relational3.arrayAggSql,
+    "q_regex_extract"      -> Relational3.regexExtractSql,
+    "q_range_frame"        -> Relational3.rangeFrameSql,
     "etl_dim_products"     -> Etl.dimProductsSql,
     "etl_dim_customers"    -> Etl.dimCustomersSql,
     "etl_fact_sales"       -> Etl.factSalesSql,

@@ -1,0 +1,98 @@
+package graft.operators
+
+import graft.Tables
+import graft.functions.Exact._
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Third tranche: ordered-argument aggregates, nested array results,
+  * regex extraction, RANGE window frames.
+  */
+object Relational3 {
+
+  /** min_by / max_by: which order carries the min/max price per status.
+    * Ties broken deterministically by taking the extreme orderkey via a
+    * struct ordering (DuckDB arg_min/arg_max on a struct behaves the
+    * same: lexicographic on (price, orderkey)).
+    */
+  def argExtremes(t: Tables): DataFrame =
+    t.orders
+      .groupBy("o_orderstatus")
+      .agg(
+        min(struct(col("o_totalprice"), col("o_orderkey"))).getField("o_orderkey")
+          .as("cheapest_order"),
+        max(struct(col("o_totalprice"), col("o_orderkey"))).getField("o_orderkey")
+          .as("priciest_order"),
+        min(col("o_totalprice")).as("min_price"),
+        max(col("o_totalprice")).as("max_price"))
+      .orderBy("o_orderstatus")
+
+  val argExtremesSql: String =
+    """SELECT o_orderstatus,
+      | (MIN(struct_pack(p := o_totalprice, k := o_orderkey))).k AS cheapest_order,
+      | (MAX(struct_pack(p := o_totalprice, k := o_orderkey))).k AS priciest_order,
+      | MIN(o_totalprice) AS min_price,
+      | MAX(o_totalprice) AS max_price
+      |FROM orders
+      |GROUP BY o_orderstatus
+      |ORDER BY o_orderstatus""".stripMargin
+
+  /** Nested array results: per-nation sorted list of top customer keys.
+    * collect_list is partition-order dependent, so the contract is a
+    * SORTED array — order-independent and engine-portable.
+    */
+  def arrayAgg(t: Tables): DataFrame =
+    t.customer
+      .where(col("c_acctbal") > 9900)
+      .groupBy("c_nationkey")
+      .agg(array_sort(collect_list(col("c_custkey"))).as("rich_customers"),
+        count(lit(1)).as("n"))
+      .orderBy("c_nationkey")
+
+  val arrayAggSql: String =
+    """SELECT c_nationkey, list_sort(list(c_custkey)) AS rich_customers, COUNT(*) AS n
+      |FROM customer
+      |WHERE c_acctbal > 9900
+      |GROUP BY c_nationkey
+      |ORDER BY c_nationkey""".stripMargin
+
+  /** Regex extraction/matching over text columns. */
+  def regexExtract(t: Tables): DataFrame =
+    t.documents.select(
+        col("doc_id"),
+        regexp_extract(col("source"), "src(\\d+)", 1).cast("int").as("src_num"),
+        col("text").rlike("spark .* table").as("mentions_spark_table"),
+        size(expr("regexp_extract_all(text, 'query', 0)")).as("query_mentions"))
+      .orderBy("doc_id")
+
+  val regexExtractSql: String =
+    """SELECT doc_id,
+      | CAST(regexp_extract(source, 'src(\d+)', 1) AS INT) AS src_num,
+      | regexp_matches(text, 'spark .* table') AS mentions_spark_table,
+      | len(regexp_extract_all(text, 'query', 0)) AS query_mentions
+      |FROM documents
+      |ORDER BY doc_id""".stripMargin
+
+  /** RANGE window frame: 7-day trailing revenue per customer, frame
+    * defined on epoch seconds so both engines share numeric range
+    * semantics exactly.
+    */
+  def rangeFrame(t: Tables): DataFrame = {
+    val w = Window.partitionBy("o_custkey").orderBy(col("epoch_s"))
+      .rangeBetween(-7L * 86400, 0)
+    t.orders
+      .withColumn("epoch_s", col("o_orderdate").cast("timestamp").cast("long"))
+      .select(col("o_custkey"), col("o_orderkey"), col("o_orderdate"),
+        sum(dec(col("o_totalprice"))).over(w).cast("double").as("trailing_7d"))
+      .orderBy("o_custkey", "o_orderdate", "o_orderkey")
+  }
+
+  val rangeFrameSql: String =
+    """SELECT o_custkey, o_orderkey, o_orderdate,
+      | CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) OVER (
+      |   PARTITION BY o_custkey ORDER BY CAST(epoch(o_orderdate) AS BIGINT)
+      |   RANGE BETWEEN 604800 PRECEDING AND CURRENT ROW) AS DOUBLE) AS trailing_7d
+      |FROM orders
+      |ORDER BY o_custkey, o_orderdate, o_orderkey""".stripMargin
+}
