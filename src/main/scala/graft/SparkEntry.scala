@@ -50,6 +50,8 @@ object SparkEntry {
     "q_array_agg"          -> q(Relational3.arrayAgg),
     "q_regex_extract"      -> q(Relational3.regexExtract),
     "q_range_frame"        -> q(Relational3.rangeFrame),
+    "q_rank_funcs"         -> q(Relational3.rankFuncs),
+    "q_sketch_aggs"        -> q(Relational3.sketchAggs),
     // 2.1 ETL surface (reference parity)
     "etl_dim_products"     -> q(Etl.dimProducts),
     "etl_dim_customers"    -> q(Etl.dimCustomers),
@@ -115,6 +117,7 @@ object SparkEntry {
     "q_array_agg"          -> Relational3.arrayAggSql,
     "q_regex_extract"      -> Relational3.regexExtractSql,
     "q_range_frame"        -> Relational3.rangeFrameSql,
+    "q_rank_funcs"         -> Relational3.rankFuncsSql,
     "etl_dim_products"     -> Etl.dimProductsSql,
     "etl_dim_customers"    -> Etl.dimCustomersSql,
     "etl_fact_sales"       -> Etl.factSalesSql,

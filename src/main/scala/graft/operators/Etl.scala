@@ -119,6 +119,30 @@ object Etl {
       |GROUP BY 1, 2, 3
       |ORDER BY date, product_id, warehouse_id""".stripMargin
 
+  /** End-to-end ETL run mirroring the reference's `main` (etl.py:475):
+    * extract all sources → conform dims → enrich facts → load partitioned
+    * sinks. One call materializes the same four tables the reference
+    * inserts into ClickHouse, as month-partitioned ordered parquet.
+    */
+  def pipeline(t: Tables, outDir: String): Map[String, Long] = {
+    val dims = Map(
+      "dim_products"  -> dimProducts(t),
+      "dim_customers" -> dimCustomers(t))
+    dims.foreach { case (name, df) =>
+      graft.sources.Sinks.writeChunked(df, s"$outDir/$name", 1000000)
+    }
+    val facts = Map(
+      "fact_sales"     -> (factSales(t), "ts", Seq("ts", "event_id")),
+      "fact_inventory" -> (factInventory(t), "date", Seq("date", "product_id", "warehouse_id")))
+    facts.foreach { case (name, (df, tsCol, order)) =>
+      graft.sources.Sinks.writeMonthPartitioned(df, tsCol, s"$outDir/$name", order)
+    }
+    val spark = t.spark
+    (dims.keys ++ facts.keys).map { name =>
+      name -> spark.read.parquet(s"$outDir/$name").count()
+    }.toMap
+  }
+
   /** `_normalize_df` parity (loaders.py:727-761): money quantized to
     * Decimal(12,2) HALF_UP, integer coercion with null→0, alias mapping,
     * null-text defaults. Null paths are exercised in the spec with literal

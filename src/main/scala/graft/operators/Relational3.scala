@@ -88,6 +88,47 @@ object Relational3 {
       .orderBy("o_custkey", "o_orderdate", "o_orderkey")
   }
 
+  /** Ranking-function coverage: rank / dense_rank / percent_rank /
+    * cume_dist / ntile in one window.
+    */
+  def rankFuncs(t: Tables): DataFrame = {
+    val w = Window.partitionBy("c_mktsegment").orderBy(col("c_acctbal").desc, col("c_custkey"))
+    t.customer.select(
+        col("c_mktsegment"), col("c_custkey"), col("c_acctbal"),
+        rank().over(w).as("rnk"),
+        dense_rank().over(w).as("drnk"),
+        percent_rank().over(w).as("prnk"),
+        cume_dist().over(w).as("cdist"),
+        ntile(4).over(w).as("quartile"))
+      .orderBy("c_mktsegment", "rnk")
+  }
+
+  val rankFuncsSql: String =
+    """SELECT c_mktsegment, c_custkey, c_acctbal,
+      | CAST(RANK() OVER w AS INT) AS rnk,
+      | CAST(DENSE_RANK() OVER w AS INT) AS drnk,
+      | PERCENT_RANK() OVER w AS prnk,
+      | CUME_DIST() OVER w AS cdist,
+      | CAST(NTILE(4) OVER w AS INT) AS quartile
+      |FROM customer
+      |WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC, c_custkey)
+      |ORDER BY c_mktsegment, rnk""".stripMargin
+
+  /** Sketch aggregates for the 100 TB path: HyperLogLog distinct counts
+    * and quantile sketches — constant memory per group where the exact
+    * versions need the full key set. Rows-only (sketch internals are
+    * implementation-defined), sanity-bounded in specs.
+    */
+  def sketchAggs(t: Tables): DataFrame =
+    t.orders
+      .groupBy("o_orderpriority")
+      .agg(
+        approx_count_distinct(col("o_custkey"), 0.02).as("approx_customers"),
+        countDistinct(col("o_custkey")).as("exact_customers"),
+        expr("approx_percentile(o_totalprice, array(0.5, 0.9), 1000)").as("price_quantiles"),
+        count(lit(1)).as("n"))
+      .orderBy("o_orderpriority")
+
   val rangeFrameSql: String =
     """SELECT o_custkey, o_orderkey, o_orderdate,
       | CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) OVER (

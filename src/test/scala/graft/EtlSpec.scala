@@ -43,6 +43,28 @@ class EtlSpec extends SparkSpec {
     // for user ids beyond the customer key range, if any; at minimum no rows lost
   }
 
+  test("end-to-end pipeline materializes all four star-schema tables") {
+    val out = java.nio.file.Files.createTempDirectory("graft-etl").toString
+    val counts = Etl.pipeline(sf, out)
+    assert(counts.keySet == Set("dim_products", "dim_customers", "fact_sales", "fact_inventory"))
+    assert(counts.values.forall(_ > 0))
+    assert(counts("fact_sales") == sf.events.count())
+    // facts are month-partitioned on disk
+    val salesDirs = new java.io.File(s"$out/fact_sales").listFiles()
+      .filter(_.isDirectory).map(_.getName)
+    assert(salesDirs.nonEmpty && salesDirs.forall(_.startsWith("ym=")))
+  }
+
+  test("sketch aggregates stay within the configured error of exact counts") {
+    val rows = graft.operators.Relational3.sketchAggs(sf).collect()
+    rows.foreach { r =>
+      val approx = r.getLong(1).toDouble
+      val exact  = r.getLong(2).toDouble
+      assert(math.abs(approx - exact) / exact < 0.1, s"approx $approx vs exact $exact")
+      assert(r.getSeq[Double](3).length == 2)
+    }
+  }
+
   test("fact inventory: one row per (date, product, warehouse)") {
     val df = Etl.factInventory(sf)
     assert(df.count() == df.select("date", "product_id", "warehouse_id").distinct().count())
