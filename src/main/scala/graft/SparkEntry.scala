@@ -70,6 +70,7 @@ object SparkEntry {
     "ann_ivf_topk"         -> q(Similarity.ivfTopK),
     // 2.5 text analysis
     "text_token_stats"     -> q(TextAnalysis.tokenStats),
+    "text_bpe_tokens"      -> q(TextAnalysis.bpeTokens),
     "text_quality"         -> q(TextAnalysis.quality),
     "text_langid"          -> q(TextAnalysis.langId),
     "text_fingerprint"     -> q(TextAnalysis.fingerprint),
@@ -129,6 +130,7 @@ object SparkEntry {
     "dedup_embedding"      -> Dedup.embeddingCosineSql,
     "ann_bruteforce_topk"  -> Similarity.bruteForceTopKSql,
     "text_token_stats"     -> TextAnalysis.tokenStatsSql,
+    "text_bpe_tokens"      -> TextAnalysis.bpeTokensSql,
     "text_quality"         -> TextAnalysis.qualitySql,
     "text_langid"          -> TextAnalysis.langIdSql,
     "text_fingerprint"     -> TextAnalysis.fingerprintSql,

@@ -35,6 +35,26 @@ object TextAnalysis {
       |FROM documents
       |ORDER BY doc_id""".stripMargin
 
+  /** BPE-style pre-tokenization count: the GPT-2-family splitter shape
+    * (letter runs / digit runs / punctuation runs, each with optional
+    * leading space) — the standard cheap token-count estimator when the
+    * real tokenizer can't ship to executors.
+    */
+  def bpeTokens(t: Tables): DataFrame =
+    t.documents.select(
+        col("doc_id"),
+        size(expr("regexp_extract_all(text, ' ?[a-z]+| ?[0-9]+| ?[^a-z0-9 ]+', 0)"))
+          .as("n_bpe_tokens"),
+        size(split(col("text"), " ")).as("n_ws_tokens"))
+      .orderBy("doc_id")
+
+  val bpeTokensSql: String =
+    """SELECT doc_id,
+      | len(regexp_extract_all(text, ' ?[a-z]+| ?[0-9]+| ?[^a-z0-9 ]+')) AS n_bpe_tokens,
+      | len(string_split(text, ' ')) AS n_ws_tokens
+      |FROM documents
+      |ORDER BY doc_id""".stripMargin
+
   private val Stopwords = Seq("the", "a", "of", "and", "to", "in", "is")
 
   /** Quality scoring: stopword ratio, alphabetic-character ratio,

@@ -44,6 +44,16 @@ object Streams {
         col("window.start").as("hour_start"),
         col("event_type"), col("n"), col("total_value"))
 
+  /** Streaming exact dedup: drop events whose key was already seen within
+    * the watermark horizon — the streaming twin of `Dedup.exact`. State
+    * is bounded by the watermark (old keys age out), which is what makes
+    * exact dedup feasible on an unbounded 100 TB/day stream.
+    */
+  def dedupStream(events: DataFrame, keyCols: Seq[String]): DataFrame =
+    events
+      .withWatermark("ts", "2 hours")
+      .dropDuplicatesWithinWatermark(keyCols)
+
   /** Gap-based sessionization (30-minute inactivity) with explicit state —
     * streaming twin of `Relational.sessionize`, via
     * flatMapGroupsWithState + event-time timeout. Emits a session when

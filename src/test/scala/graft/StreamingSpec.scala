@@ -56,6 +56,21 @@ class StreamingSpec extends SparkSpec {
     assert(latest.getLong(2) == 3 && latest.getDouble(3) == 10.0)
   }
 
+  test("streaming dedup drops repeated keys within the watermark") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Event]
+    input.addData(
+      Event(1, ts(0), "click", 1.0),
+      Event(1, ts(0), "click", 1.0), // duplicate key (user_id, ts)
+      Event(2, ts(1), "view", 2.0))
+    val q = Streams.dedupStream(input.toDF(), Seq("user_id", "ts"))
+      .writeStream.format("memory").queryName("deduped")
+      .outputMode("append").start()
+    q.processAllAvailable()
+    q.stop()
+    assert(spark.table("deduped").count() == 2)
+  }
+
   test("stateful sessionization closes a session after the gap") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[Event]
