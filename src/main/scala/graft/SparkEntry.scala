@@ -52,6 +52,9 @@ object SparkEntry {
     "q_range_frame"        -> q(Relational3.rangeFrame),
     "q_rank_funcs"         -> q(Relational3.rankFuncs),
     "q_sketch_aggs"        -> q(Relational3.sketchAggs),
+    "embed_normalize"      -> q(Embeddings.normalize),
+    "embed_centroids"      -> q(Embeddings.centroids),
+    "q_profile"            -> q(Profiler.customerProfile),
     // 2.1 ETL surface (reference parity)
     "etl_dim_products"     -> q(Etl.dimProducts),
     "etl_dim_customers"    -> q(Etl.dimCustomers),
@@ -119,6 +122,9 @@ object SparkEntry {
     "q_regex_extract"      -> Relational3.regexExtractSql,
     "q_range_frame"        -> Relational3.rangeFrameSql,
     "q_rank_funcs"         -> Relational3.rankFuncsSql,
+    "embed_normalize"      -> Embeddings.normalizeSql,
+    "embed_centroids"      -> Embeddings.centroidsSql,
+    "q_profile"            -> Profiler.customerProfileSql,
     "etl_dim_products"     -> Etl.dimProductsSql,
     "etl_dim_customers"    -> Etl.dimCustomersSql,
     "etl_fact_sales"       -> Etl.factSalesSql,
