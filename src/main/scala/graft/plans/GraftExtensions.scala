@@ -69,5 +69,6 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[RollingHash].getName, "rolling_hash"),
       (args: Seq[Expression]) => RollingHash(args.head)))
     ext.injectOptimizerRule(_ => DotProductRewrite)
+    ext.injectPlannerStrategy(_ => TopKPerKeyStrategy)
   }
 }
