@@ -55,6 +55,14 @@ object SparkEntry {
     "embed_normalize"      -> q(Embeddings.normalize),
     "embed_centroids"      -> q(Embeddings.centroids),
     "q_profile"            -> q(Profiler.customerProfile),
+    // custom whole-operator plan node (heap top-k; graft.plans.TopKPerKey)
+    "q_topk_heap"          -> ((s, dir) => {
+      import org.apache.spark.sql.functions.col
+      graft.plans.TopKPerKey(Tables(s, dir).customer, Seq("c_nationkey"),
+          Seq(("c_acctbal", false), ("c_custkey", true)), 3)
+        .select("c_nationkey", "c_custkey", "c_name", "c_acctbal")
+        .orderBy(col("c_nationkey"), col("c_acctbal").desc, col("c_custkey"))
+    }),
     // 2.1 ETL surface (reference parity)
     "etl_dim_products"     -> q(Etl.dimProducts),
     "etl_dim_customers"    -> q(Etl.dimCustomers),
@@ -125,6 +133,13 @@ object SparkEntry {
     "embed_normalize"      -> Embeddings.normalizeSql,
     "embed_centroids"      -> Embeddings.centroidsSql,
     "q_profile"            -> Profiler.customerProfileSql,
+    "q_topk_heap"          ->
+      """SELECT c_nationkey, c_custkey, c_name, c_acctbal FROM (
+        | SELECT c_nationkey, c_custkey, c_name, c_acctbal,
+        |  ROW_NUMBER() OVER (PARTITION BY c_nationkey ORDER BY c_acctbal DESC, c_custkey) AS rk
+        | FROM customer)
+        |WHERE rk <= 3
+        |ORDER BY c_nationkey, c_acctbal DESC, c_custkey""".stripMargin,
     "etl_dim_products"     -> Etl.dimProductsSql,
     "etl_dim_customers"    -> Etl.dimCustomersSql,
     "etl_fact_sales"       -> Etl.factSalesSql,
