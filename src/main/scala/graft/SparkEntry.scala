@@ -37,6 +37,14 @@ object SparkEntry {
     "q_sessionize"         -> q(Relational.sessionize),
     "q_tumbling_agg"       -> q(Relational.tumblingAgg),
     "q_json_extract"       -> q(Relational.jsonExtract),
+    "q7_volume_shipping"   -> q(Relational4.volumeShipping),
+    "q8_market_share"      -> q(Relational4.marketShare),
+    "q10_returned_items"   -> q(Relational4.returnedItems),
+    "q13_cust_distribution"-> q(Relational4.custDistribution),
+    "q14_promo_revenue"    -> q(Relational4.promoRevenue),
+    "q17_small_qty"        -> q(Relational4.smallQtyRevenue),
+    "q18_large_orders"     -> q(Relational4.largeOrders),
+    "q19_disjunctive"      -> q(Relational4.disjunctiveRevenue),
     "q_cube"               -> q(Relational2.cubeTotals),
     "q_intersect"          -> q(Relational2.intersectKeys),
     "q_except"             -> q(Relational2.exceptKeys),
@@ -116,6 +124,14 @@ object SparkEntry {
     "q_sessionize"         -> Relational.sessionizeSql,
     "q_tumbling_agg"       -> Relational.tumblingAggSql,
     "q_json_extract"       -> Relational.jsonExtractSql,
+    "q7_volume_shipping"   -> Relational4.volumeShippingSql,
+    "q8_market_share"      -> Relational4.marketShareSql,
+    "q10_returned_items"   -> Relational4.returnedItemsSql,
+    "q13_cust_distribution"-> Relational4.custDistributionSql,
+    "q14_promo_revenue"    -> Relational4.promoRevenueSql,
+    "q17_small_qty"        -> Relational4.smallQtyRevenueSql,
+    "q18_large_orders"     -> Relational4.largeOrdersSql,
+    "q19_disjunctive"      -> Relational4.disjunctiveRevenueSql,
     "q_cube"               -> Relational2.cubeTotalsSql,
     "q_intersect"          -> Relational2.intersectKeysSql,
     "q_except"             -> Relational2.exceptKeysSql,
