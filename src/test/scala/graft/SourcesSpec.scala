@@ -102,6 +102,18 @@ class SourcesSpec extends SparkSpec {
     }
   }
 
+  test("month-partitioned reads prune partitions (PartitionFilters at the scan)") {
+    val out = Files.createTempDirectory("graft-prune").toString + "/fact"
+    Sinks.writeMonthPartitioned(sf.events, "ts", out, Seq("ts", "event_id"))
+    val df = spark.read.parquet(out).where(col("ym") === "202401")
+    val outBuf = new java.io.ByteArrayOutputStream()
+    Console.withOut(new java.io.PrintStream(outBuf)) { df.explain("formatted") }
+    val plan = outBuf.toString
+    assert(plan.contains("PartitionFilters"), plan)
+    assert(plan.contains("ym"), plan)
+    assert(df.count() > 0)
+  }
+
   test("parquet scan prunes columns (ReadSchema only carries what is selected)") {
     val df = Sources.parquet(spark, "/root/testdata/sf0.001/lineitem.parquet")
       .select("l_orderkey", "l_quantity").where(col("l_quantity") > 10)
