@@ -54,6 +54,8 @@ object SparkEntry {
     "q_global_topn"        -> q(Relational2.globalTopN),
     "q_case_when"          -> q(Relational2.caseWhen),
     "q_sliding_agg"        -> q(Relational2.slidingAgg),
+    "q_forward_fill"       -> q(TimeSeries.forwardFill),
+    "q_histogram"          -> q(TimeSeries.histogram),
     "q_arg_extremes"       -> q(Relational3.argExtremes),
     "q_array_agg"          -> q(Relational3.arrayAgg),
     "q_regex_extract"      -> q(Relational3.regexExtract),
@@ -141,6 +143,8 @@ object SparkEntry {
     "q_global_topn"        -> Relational2.globalTopNSql,
     "q_case_when"          -> Relational2.caseWhenSql,
     "q_sliding_agg"        -> Relational2.slidingAggSql,
+    "q_forward_fill"       -> TimeSeries.forwardFillSql,
+    "q_histogram"          -> TimeSeries.histogramSql,
     "q_arg_extremes"       -> Relational3.argExtremesSql,
     "q_array_agg"          -> Relational3.arrayAggSql,
     "q_regex_extract"      -> Relational3.regexExtractSql,
