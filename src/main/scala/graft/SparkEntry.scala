@@ -99,6 +99,10 @@ object SparkEntry {
     // 2.6 multimodal
     "mm_binary_pipeline"   -> q(Multimodal.binaryPipeline),
     "mm_batched_decode"    -> q(Multimodal.decodeBatched),
+    "mm_decode_images"     -> q(Multimodal.decodeImages),
+    "mm_resize"            -> ((s, dir) =>
+      Multimodal.resize(Multimodal.decodeImages(Tables(s, dir)), 128)),
+    "mm_sample_frames"     -> q(Multimodal.sampleFrames(_, 10)),
   )
 
   /** For each key in `queries`, equivalent ANSI SQL runnable by DuckDB on

@@ -40,6 +40,75 @@ object Multimodal {
   final case class MediaFeatures(
       doc_id: Long, n_bytes: Int, first_byte: Int, last_byte: Int, checksum: Long)
 
+  /** Decoded-image stand-in: typed metadata a real codec would emit. */
+  final case class DecodedImage(
+      doc_id: Long, width: Int, height: Int, channels: Int, batch_id: Long)
+
+  /** Sampled frame from a "video" payload. */
+  final case class Frame(doc_id: Long, frame_idx: Int, frame_hash: Long)
+
+  private val BatchSize = 64
+
+  /** STUB decode to image metadata — deterministic dims derived from the
+    * payload. Batch semantics mirror a pandas-UDF `mapInPandas` stage:
+    * records are processed in bounded batches (BatchSize) with one codec
+    * "call" per batch; batch_id is surfaced so the spec can assert the
+    * batch shape. A real decoder replaces `decodeOne` only.
+    */
+  def decodeImages(t: Tables): DataFrame = {
+    val spark = t.spark
+    import spark.implicits._
+    def decodeOne(r: MediaRecord, batchId: Long): DecodedImage = {
+      val n = r.payload.length
+      DecodedImage(r.doc_id, 64 + n % 512, 64 + (n * 7) % 512, 3, batchId)
+    }
+    t.documents
+      .select(col("doc_id"), col("text").cast("binary").as("payload"))
+      .as[MediaRecord]
+      .mapPartitions { it =>
+        it.grouped(BatchSize).zipWithIndex.flatMap { case (batch, i) =>
+          // one per-batch codec invocation happens here in a real impl
+          batch.map(decodeOne(_, i.toLong))
+        }
+      }
+      .toDF()
+      .orderBy("doc_id")
+  }
+
+  /** STUB resize: new dims + a deterministic resampled checksum. The
+    * plumbing point: resize composes on the decoded schema without
+    * another shuffle (narrow transform).
+    */
+  def resize(decoded: DataFrame, maxSide: Int): DataFrame =
+    decoded
+      .withColumn("scale",
+        least(lit(1.0), lit(maxSide) / greatest(col("width"), col("height"))))
+      .withColumn("out_w", ceil(col("width") * col("scale")).cast("int"))
+      .withColumn("out_h", ceil(col("height") * col("scale")).cast("int"))
+      .drop("scale")
+
+  /** STUB frame sampling: every k-th "frame" of a video payload, as an
+    * exploded (doc, frame) table — the shape a frame-level training
+    * pipeline consumes.
+    */
+  def sampleFrames(t: Tables, everyK: Int = 10): DataFrame = {
+    val spark = t.spark
+    import spark.implicits._
+    t.documents
+      .select(col("doc_id"), col("text").cast("binary").as("payload"))
+      .as[MediaRecord]
+      .flatMap { r =>
+        val nFrames = math.max(1, r.payload.length / 16)
+        (0 until nFrames by everyK).map { i =>
+          val h = r.payload.slice(i * 16, i * 16 + 16)
+            .foldLeft(1125899906842597L)((acc, b) => acc * 31 + (b & 0xFF))
+          Frame(r.doc_id, i, h)
+        }
+      }
+      .toDF()
+      .orderBy("doc_id", "frame_idx")
+  }
+
   /** Partition-batched decode via `mapPartitions` — the Scala analog of a
     * pandas-UDF `mapInPandas` stage: the (stub) codec is initialized once
     * per partition, then streams records through it. This is the seam

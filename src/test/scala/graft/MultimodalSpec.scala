@@ -1,0 +1,50 @@
+package graft
+
+import graft.operators.Multimodal
+
+class MultimodalSpec extends SparkSpec {
+
+  test("binary pipeline carries payload + typed metadata with deterministic features") {
+    val rows = Multimodal.binaryPipeline(sf).collect()
+    assert(rows.length == sf.documents.count())
+    rows.foreach { r =>
+      assert(r.getInt(1) > 0)                       // n_bytes
+      assert(r.getSeq[Double](4).length == 4)       // features shape
+    }
+    // deterministic: same input → same features
+    val again = Multimodal.binaryPipeline(sf).collect()
+    assert(rows.map(_.toString).sameElements(again.map(_.toString)))
+  }
+
+  test("batched decode processes records in bounded batches") {
+    val decoded = Multimodal.decodeImages(sf)
+    val rows = decoded.collect()
+    assert(rows.length == sf.documents.count())
+    // batch ids are small (bounded batches), dims are in the stub range
+    rows.foreach { r =>
+      assert(r.getInt(1) >= 64 && r.getInt(1) < 64 + 512) // width
+      assert(r.getInt(3) == 3)                            // channels
+      assert(r.getLong(4) >= 0)                           // batch_id
+    }
+    val maxBatch = rows.map(_.getLong(4)).max
+    assert(maxBatch <= rows.length / 64 + 1)
+  }
+
+  test("resize composes on the decoded schema and bounds the long side") {
+    val resized = Multimodal.resize(Multimodal.decodeImages(sf), maxSide = 128)
+    resized.collect().foreach { r =>
+      val w = r.getAs[Int]("out_w"); val h = r.getAs[Int]("out_h")
+      assert(w <= 128 && h <= 128)
+      assert(w > 0 && h > 0)
+    }
+  }
+
+  test("frame sampling explodes every k-th frame with stable hashes") {
+    val frames = Multimodal.sampleFrames(sf, everyK = 5)
+    val rows = frames.collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r => assert(r.getInt(1) % 5 == 0) }
+    val again = Multimodal.sampleFrames(sf, everyK = 5).collect()
+    assert(rows.map(_.toString).sameElements(again.map(_.toString)))
+  }
+}
