@@ -56,6 +56,10 @@ object SparkEntry {
     "q_sliding_agg"        -> q(Relational2.slidingAgg),
     "q_forward_fill"       -> q(TimeSeries.forwardFill),
     "q_histogram"          -> q(TimeSeries.histogram),
+    "q_latest_by_key"      -> q(Quality.latestByKey),
+    "q_dq_checks"          -> q(Quality.dqChecks),
+    "q_full_outer"         -> q(Quality.fullOuter),
+    "q_null_safe_join"     -> q(Quality.nullSafeJoin),
     "q_arg_extremes"       -> q(Relational3.argExtremes),
     "q_array_agg"          -> q(Relational3.arrayAgg),
     "q_regex_extract"      -> q(Relational3.regexExtract),
@@ -149,6 +153,10 @@ object SparkEntry {
     "q_sliding_agg"        -> Relational2.slidingAggSql,
     "q_forward_fill"       -> TimeSeries.forwardFillSql,
     "q_histogram"          -> TimeSeries.histogramSql,
+    "q_latest_by_key"      -> Quality.latestByKeySql,
+    "q_dq_checks"          -> Quality.dqChecksSql,
+    "q_full_outer"         -> Quality.fullOuterSql,
+    "q_null_safe_join"     -> Quality.nullSafeJoinSql,
     "q_arg_extremes"       -> Relational3.argExtremesSql,
     "q_array_agg"          -> Relational3.arrayAggSql,
     "q_regex_extract"      -> Relational3.regexExtractSql,

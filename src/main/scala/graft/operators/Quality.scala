@@ -1,0 +1,125 @@
+package graft.operators
+
+import graft.Tables
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Change-data and data-quality operators: CDC log compaction, rule
+  * checks, and the remaining join shapes.
+  */
+object Quality {
+
+  /** CDC compaction: latest state per key from an append-only change log
+    * (events as the log, user as the key). One shuffle on the key; at
+    * scale this is the standard upsert-materialization pattern.
+    */
+  def latestByKey(t: Tables): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("ts").desc, col("event_id").desc)
+    t.events
+      .withColumn("rn", row_number().over(w))
+      .where(col("rn") === 1)
+      .select("user_id", "event_id", "ts", "event_type", "value")
+      .orderBy("user_id")
+  }
+
+  val latestByKeySql: String =
+    """SELECT user_id, event_id, ts, event_type, value FROM (
+      | SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts, event_type, value,
+      |  ROW_NUMBER() OVER (PARTITION BY user_id
+      |    ORDER BY CAST(ts AS TIMESTAMP) DESC, event_id DESC) AS rn
+      | FROM events)
+      |WHERE rn = 1
+      |ORDER BY user_id""".stripMargin
+
+  /** Data-quality rule sweep: each rule one aggregate, violations counted
+    * in a single pass per table (the pre-load gate the reference's
+    * `_normalize_df` required-columns check hints at, loaders.py:757).
+    */
+  def dqChecks(t: Tables): DataFrame = {
+    val spark = t.spark
+    import spark.implicits._
+    val orders = t.orders
+    val lineitem = t.lineitem
+    val nullKeys = orders.where(col("o_orderkey").isNull).count()
+    val dupPk = orders.groupBy("o_orderkey").count().where(col("count") > 1).count()
+    val fkOrphans = lineitem
+      .join(orders, col("l_orderkey") === col("o_orderkey"), "left_anti").count()
+    val rangeViolations = lineitem
+      .where(col("l_discount") < 0 || col("l_discount") > 1 || col("l_quantity") <= 0)
+      .count()
+    Seq(
+      ("fk_lineitem_orders_orphans", fkOrphans),
+      ("null_order_keys", nullKeys),
+      ("orders_pk_duplicates", dupPk),
+      ("range_violations", rangeViolations))
+      .toDF("rule", "n_violations")
+      .orderBy("rule")
+  }
+
+  val dqChecksSql: String =
+    """SELECT 'fk_lineitem_orders_orphans' AS rule,
+      | (SELECT COUNT(*) FROM lineitem WHERE NOT EXISTS
+      |   (SELECT 1 FROM orders WHERE o_orderkey = l_orderkey)) AS n_violations
+      |UNION ALL
+      |SELECT 'null_order_keys',
+      | (SELECT COUNT(*) FROM orders WHERE o_orderkey IS NULL)
+      |UNION ALL
+      |SELECT 'orders_pk_duplicates',
+      | (SELECT COUNT(*) FROM (SELECT o_orderkey FROM orders GROUP BY o_orderkey HAVING COUNT(*) > 1))
+      |UNION ALL
+      |SELECT 'range_violations',
+      | (SELECT COUNT(*) FROM lineitem WHERE l_discount < 0 OR l_discount > 1 OR l_quantity <= 0)
+      |ORDER BY rule""".stripMargin
+
+  /** FULL OUTER join: customer vs supplier presence per nation. */
+  def fullOuter(t: Tables): DataFrame = {
+    val c = t.customer.groupBy(col("c_nationkey").as("ckey"))
+      .agg(count(lit(1)).as("n_customers"))
+    val s = t.supplier.groupBy(col("s_nationkey").as("skey"))
+      .agg(count(lit(1)).as("n_suppliers"))
+    c.join(s, col("ckey") === col("skey"), "full_outer")
+      .select(
+        coalesce(col("ckey"), col("skey")).as("nationkey"),
+        coalesce(col("n_customers"), lit(0L)).as("n_customers"),
+        coalesce(col("n_suppliers"), lit(0L)).as("n_suppliers"))
+      .orderBy("nationkey")
+  }
+
+  val fullOuterSql: String =
+    """SELECT COALESCE(ckey, skey) AS nationkey,
+      | COALESCE(n_customers, 0) AS n_customers,
+      | COALESCE(n_suppliers, 0) AS n_suppliers
+      |FROM (SELECT c_nationkey AS ckey, COUNT(*) AS n_customers FROM customer GROUP BY 1) c
+      |FULL OUTER JOIN (SELECT s_nationkey AS skey, COUNT(*) AS n_suppliers FROM supplier GROUP BY 1) s
+      | ON ckey = skey
+      |ORDER BY nationkey""".stripMargin
+
+  /** Null-safe equality join (`<=>` / IS NOT DISTINCT FROM): match rows
+    * even when the join key is NULL on both sides.
+    */
+  def nullSafeJoin(t: Tables): DataFrame = {
+    val a = t.customer.select(
+      col("c_custkey"),
+      when(col("c_acctbal") < 0, col("c_mktsegment")).as("seg_or_null"))
+    val b = t.customer
+      .groupBy(when(col("c_acctbal") < 0, col("c_mktsegment")).as("seg_key"))
+      .agg(count(lit(1)).as("n_in_group"))
+    a.join(b, col("seg_or_null") <=> col("seg_key"))
+      .select("c_custkey", "seg_or_null", "n_in_group")
+      .orderBy("c_custkey")
+  }
+
+  val nullSafeJoinSql: String =
+    """SELECT c_custkey, seg_or_null, n_in_group
+      |FROM (
+      | SELECT c_custkey,
+      |  CASE WHEN c_acctbal < 0 THEN c_mktsegment END AS seg_or_null
+      | FROM customer) a
+      |JOIN (
+      | SELECT CASE WHEN c_acctbal < 0 THEN c_mktsegment END AS seg_key,
+      |  COUNT(*) AS n_in_group
+      | FROM customer GROUP BY 1) b
+      | ON seg_or_null IS NOT DISTINCT FROM seg_key
+      |ORDER BY c_custkey""".stripMargin
+}
