@@ -114,6 +114,27 @@ class SourcesSpec extends SparkSpec {
     assert(df.count() > 0)
   }
 
+  test("upsert rewrites only touched partitions and keeps latest per key") {
+    import java.sql.Timestamp
+    val out = Files.createTempDirectory("graft-upsert").toString + "/state"
+    def row(id: Long, ts: String, v: Double) = (id, Timestamp.valueOf(ts), v)
+    val base = Seq(
+      row(1, "2024-01-10 00:00:00", 1.0),
+      row(2, "2024-01-15 00:00:00", 2.0),
+      row(3, "2024-02-10 00:00:00", 3.0)).toDF("id", "ts", "v")
+    Sinks.upsertByKey(spark, out, base, "id", "ts")
+    // update key 1 (jan partition), insert key 4 (mar partition)
+    val batch = Seq(
+      row(1, "2024-01-20 00:00:00", 10.0),
+      row(4, "2024-03-01 00:00:00", 4.0)).toDF("id", "ts", "v")
+    Sinks.upsertByKey(spark, out, batch, "id", "ts")
+    val state = spark.read.parquet(out)
+      .select("id", "v").as[(Long, Double)].collect().toMap
+    assert(state == Map(1L -> 10.0, 2L -> 2.0, 3L -> 3.0, 4L -> 4.0))
+    val partitions = new java.io.File(out).listFiles().filter(_.isDirectory).map(_.getName).sorted
+    assert(partitions.sameElements(Array("ym=202401", "ym=202402", "ym=202403")))
+  }
+
   test("parquet scan prunes columns (ReadSchema only carries what is selected)") {
     val df = Sources.parquet(spark, "/root/testdata/sf0.001/lineitem.parquet")
       .select("l_orderkey", "l_quantity").where(col("l_quantity") > 10)
