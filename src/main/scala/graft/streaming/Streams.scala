@@ -54,6 +54,22 @@ object Streams {
       .withWatermark("ts", "2 hours")
       .dropDuplicatesWithinWatermark(keyCols)
 
+  /** Stream-stream interval join: purchases enriched with a view by the
+    * same user in the preceding hour. Both sides are watermarked and the
+    * time-interval condition bounds join state on both sides — the only
+    * way a stream-stream join stays finite on an unbounded feed.
+    */
+  def purchaseViewJoin(purchases: DataFrame, views: DataFrame): DataFrame = {
+    val p = purchases.withWatermark("ts", "1 hour")
+      .select(col("user_id").as("p_user"), col("ts").as("p_ts"), col("value").as("p_value"))
+    val v = views.withWatermark("ts", "2 hours")
+      .select(col("user_id").as("v_user"), col("ts").as("v_ts"), col("value").as("v_value"))
+    p.join(v,
+      col("p_user") === col("v_user") &&
+        col("v_ts") >= col("p_ts") - expr("INTERVAL 1 HOUR") &&
+        col("v_ts") <= col("p_ts"))
+  }
+
   /** Gap-based sessionization (30-minute inactivity) with explicit state —
     * streaming twin of `Relational.sessionize`, via
     * flatMapGroupsWithState + event-time timeout. Emits a session when

@@ -56,6 +56,25 @@ class StreamingSpec extends SparkSpec {
     assert(latest.getLong(2) == 3 && latest.getDouble(3) == 10.0)
   }
 
+  test("stream-stream interval join pairs purchases with recent views") {
+    implicit val sqlCtx = spark.sqlContext
+    val purchases = MemoryStream[Event]
+    val views = MemoryStream[Event]
+    purchases.addData(Event(1, ts(30), "purchase", 100.0))
+    views.addData(
+      Event(1, ts(10), "view", 1.0),   // 20 min before: joins
+      Event(1, ts(40), "view", 2.0),   // after the purchase: must not join
+      Event(2, ts(29), "view", 3.0))   // other user: must not join
+    val q = Streams.purchaseViewJoin(purchases.toDF(), views.toDF())
+      .writeStream.format("memory").queryName("ssjoin")
+      .outputMode("append").start()
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.table("ssjoin").collect()
+    assert(rows.length == 1)
+    assert(rows.head.getAs[Double]("v_value") == 1.0)
+  }
+
   test("streaming dedup drops repeated keys within the watermark") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[Event]
