@@ -60,6 +60,7 @@ object SparkEntry {
     "q_dq_checks"          -> q(Quality.dqChecks),
     "q_full_outer"         -> q(Quality.fullOuter),
     "q_null_safe_join"     -> q(Quality.nullSafeJoin),
+    "q_sql_interface"      -> q(Sql.sqlInterface),
     "q_arg_extremes"       -> q(Relational3.argExtremes),
     "q_array_agg"          -> q(Relational3.arrayAgg),
     "q_regex_extract"      -> q(Relational3.regexExtract),
@@ -157,6 +158,7 @@ object SparkEntry {
     "q_dq_checks"          -> Quality.dqChecksSql,
     "q_full_outer"         -> Quality.fullOuterSql,
     "q_null_safe_join"     -> Quality.nullSafeJoinSql,
+    "q_sql_interface"      -> Sql.sqlInterfaceSql,
     "q_arg_extremes"       -> Relational3.argExtremesSql,
     "q_array_agg"          -> Relational3.arrayAggSql,
     "q_regex_extract"      -> Relational3.regexExtractSql,
