@@ -10,22 +10,6 @@ import org.apache.spark.sql.functions._
   */
 object Shingles {
 
-  /** Tokens of column `c` (single-space split, keeps empties). */
-  def words(c: String): Column = split(col(c), " ")
-
-  /** Distinct word 3-grams from a pre-split tokens column (split the text
-    * ONCE in its own projection — Catalyst does not CSE inside lambda
-    * bodies, so inlining the split costs 3 full re-tokenizations per
-    * gram). 1-based `element_at` mirrors DuckDB list indexing.
-    */
-  def grams3FromTokens(toksCol: String): Column = expr(
-    s"""CASE WHEN size($toksCol) >= 3 THEN
-       |  array_distinct(transform(sequence(1, size($toksCol) - 2),
-       |    i -> concat(element_at($toksCol, i), ' ',
-       |                element_at($toksCol, i + 1), ' ',
-       |                element_at($toksCol, i + 2))))
-       |ELSE cast(array() as array<string>) END""".stripMargin)
-
   /** doc_id + distinct word-3-gram projection of the documents table,
     * via the native [[WordNGrams]] expression (one JVM call per row
     * instead of an interpreted lambda per gram).

@@ -5,7 +5,6 @@ import java.sql.Timestamp
 import graft.streaming.Streams
 import graft.streaming.Streams.{Event, Session}
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
-import org.apache.spark.sql.streaming.Trigger
 
 class StreamingSpec extends SparkSpec {
   import spark.implicits._
