@@ -90,6 +90,7 @@ object SparkEntry {
     "dedup_minhash_lsh"    -> q(Dedup.minhashLsh),
     "dedup_simhash"        -> q(Dedup.simhash),
     "dedup_embedding"      -> q(Dedup.embeddingCosine),
+    "dedup_editdistance"   -> q(Dedup.editDistance),
     // 2.4 similarity search
     "ann_bruteforce_topk"  -> q(Similarity.bruteForceTopK),
     "ann_lsh_topk"         -> q(Similarity.lshTopK),
@@ -183,6 +184,7 @@ object SparkEntry {
     "dedup_ngram_jaccard"  -> Dedup.ngramJaccardSql,
     "dedup_minhash_lsh"    -> Dedup.minhashLshSql,
     "dedup_embedding"      -> Dedup.embeddingCosineSql,
+    "dedup_editdistance"   -> Dedup.editDistanceSql,
     "ann_bruteforce_topk"  -> Similarity.bruteForceTopKSql,
     "text_token_stats"     -> TextAnalysis.tokenStatsSql,
     "text_bpe_tokens"      -> TextAnalysis.bpeTokensSql,

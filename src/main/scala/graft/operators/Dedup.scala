@@ -167,6 +167,34 @@ object Dedup {
       .orderBy("a_id", "b_id")
   }
 
+  /** Fuzzy value clustering: edit-distance pairs over the DISTINCT values
+    * of a key column (the OpenRefine "cluster & edit" shape for messy
+    * dimension keys). Distinct-first keeps the pair space tiny even when
+    * the table is huge — dedupe the domain, not the rows; a length-band
+    * block prunes the remaining quadratic.
+    */
+  def editDistance(t: Tables): DataFrame = {
+    val names = t.part.select(col("p_name").as("name")).distinct()
+    val a = names.select(col("name").as("a_name"))
+    val b = names.select(col("name").as("b_name"))
+    a.join(b,
+        col("a_name") < col("b_name") &&
+          abs(length(col("a_name")) - length(col("b_name"))) <= 2)
+      .withColumn("dist", levenshtein(col("a_name"), col("b_name")))
+      .where(col("dist") <= 3)
+      .orderBy("a_name", "b_name")
+  }
+
+  val editDistanceSql: String =
+    """SELECT a.name AS a_name, b.name AS b_name,
+      | CAST(levenshtein(a.name, b.name) AS INT) AS dist
+      |FROM (SELECT DISTINCT p_name AS name FROM part) a,
+      |     (SELECT DISTINCT p_name AS name FROM part) b
+      |WHERE a.name < b.name
+      |  AND abs(length(a.name) - length(b.name)) <= 2
+      |  AND levenshtein(a.name, b.name) <= 3
+      |ORDER BY a_name, b_name""".stripMargin
+
   /** Embedding-cosine near-dup pairs in exact double math (sequential
     * fold == DuckDB `list_dot_product`, verified bitwise). Brute-force
     * pair scan is the small-N oracle path; the scale path is

@@ -54,6 +54,20 @@ object Streams {
       .withWatermark("ts", "2 hours")
       .dropDuplicatesWithinWatermark(keyCols)
 
+  /** Streaming CDC upsert: each micro-batch merges into the partitioned
+    * parquet state table via `foreachBatch` + the batch upsert sink —
+    * the standard streaming-materialized-view pattern when the sink has
+    * no native streaming upsert.
+    */
+  def upsertStream(events: DataFrame, path: String, keyCol: String,
+      tsCol: String): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    events.writeStream
+      .outputMode("update")
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        if (!batch.isEmpty)
+          graft.sources.Sinks.upsertByKey(batch.sparkSession, path, batch, keyCol, tsCol)
+      }
+
   /** Stream-stream interval join: purchases enriched with a view by the
     * same user in the preceding hour. Both sides are watermarked and the
     * time-interval condition bounds join state on both sides — the only

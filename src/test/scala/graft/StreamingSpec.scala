@@ -74,6 +74,21 @@ class StreamingSpec extends SparkSpec {
     assert(rows.head.getAs[Double]("v_value") == 1.0)
   }
 
+  test("streaming CDC upsert materializes latest state per key via foreachBatch") {
+    implicit val sqlCtx = spark.sqlContext
+    val out = java.nio.file.Files.createTempDirectory("graft-supsert").toString + "/state"
+    val input = MemoryStream[Event]
+    input.addData(Event(1, ts(0), "click", 1.0), Event(2, ts(1), "view", 2.0))
+    val q = Streams.upsertStream(input.toDF(), out, "user_id", "ts").start()
+    q.processAllAvailable()
+    input.addData(Event(1, ts(30), "click", 9.0)) // newer version of key 1
+    q.processAllAvailable()
+    q.stop()
+    val state = spark.read.parquet(out)
+      .select("user_id", "value").as[(Long, Double)].collect().toMap
+    assert(state == Map(1L -> 9.0, 2L -> 2.0))
+  }
+
   test("streaming dedup drops repeated keys within the watermark") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[Event]
