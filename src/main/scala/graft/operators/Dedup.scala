@@ -175,12 +175,9 @@ object Dedup {
     * pairwise similarity into an actual deduplicated corpus.
     */
   def clusters(t: Tables): DataFrame = {
-    val g = graft.functions.Shingles.gramsOf(t.documents)
-    val a = g.select(col("doc_id").as("a_id"), col("grams").as("a_grams"))
-    val b = g.select(col("doc_id").as("b_id"), col("grams").as("b_grams"))
-    val pairs = a.join(b, col("a_id") < col("b_id"))
-      .where(graft.functions.Shingles.jaccard(col("a_grams"), col("b_grams")) >= 0.6)
-      .select("a_id", "b_id")
+    // anchor-blocked edge generation (same blocking as ngramJaccard —
+    // equi-join on the min gram, never the n² pair space)
+    val pairs = ngramJaccard(t).select("a_id", "b_id")
     val edges = pairs.select(col("a_id").as("x"), col("b_id").as("y"))
       .union(pairs.select(col("b_id").as("x"), col("a_id").as("y")))
     var labels = t.documents.select(col("doc_id").as("id"), col("doc_id").as("lbl"))
@@ -205,9 +202,10 @@ object Dedup {
     s"""WITH g AS (
        | SELECT doc_id, ${Shingles.grams3Sql("text")} AS grams
        | FROM documents),
+       |ga AS (SELECT doc_id, grams, list_min(grams) AS anchor FROM g),
        |p AS (
        | SELECT a.doc_id AS a_id, b.doc_id AS b_id
-       | FROM g a JOIN g b ON a.doc_id < b.doc_id
+       | FROM ga a JOIN ga b ON a.anchor = b.anchor AND a.doc_id < b.doc_id
        | WHERE CAST(len(list_distinct(list_intersect(a.grams, b.grams))) AS DOUBLE)
        |    / len(list_distinct(list_concat(a.grams, b.grams))) >= 0.6),
        |e AS (SELECT a_id AS x, b_id AS y FROM p UNION ALL SELECT b_id, a_id FROM p),
