@@ -66,6 +66,8 @@ object SparkEntry {
     "q_regex_extract"      -> q(Relational3.regexExtract),
     "q_range_frame"        -> q(Relational3.rangeFrame),
     "q_rank_funcs"         -> q(Relational3.rankFuncs),
+    "q_interval_join"      -> q(Relational3.intervalJoin),
+    "q_window_analytics"   -> q(Relational3.windowAnalytics),
     "q_sketch_aggs"        -> q(Relational3.sketchAggs),
     "embed_normalize"      -> q(Embeddings.normalize),
     "embed_centroids"      -> q(Embeddings.centroids),
@@ -168,6 +170,8 @@ object SparkEntry {
     "q_regex_extract"      -> Relational3.regexExtractSql,
     "q_range_frame"        -> Relational3.rangeFrameSql,
     "q_rank_funcs"         -> Relational3.rankFuncsSql,
+    "q_interval_join"      -> Relational3.intervalJoinSql,
+    "q_window_analytics"   -> Relational3.windowAnalyticsSql,
     "embed_normalize"      -> Embeddings.normalizeSql,
     "embed_centroids"      -> Embeddings.centroidsSql,
     "q_profile"            -> Profiler.customerProfileSql,

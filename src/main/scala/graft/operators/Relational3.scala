@@ -88,6 +88,68 @@ object Relational3 {
       .orderBy("o_custkey", "o_orderdate", "o_orderkey")
   }
 
+  /** Batch event-time interval join (twin of the streaming version in
+    * [[graft.streaming.Streams.purchaseViewJoin]]): views in the hour
+    * before each purchase, aggregated per purchase.
+    */
+  def intervalJoin(t: Tables): DataFrame = {
+    val p = t.events.where(col("event_type") === "purchase")
+      .select(col("event_id").as("p_id"), col("user_id").as("p_user"),
+        col("ts").as("p_ts"), col("value").as("p_value"))
+    val v = t.events.where(col("event_type") === "view")
+      .select(col("user_id").as("v_user"), col("ts").as("v_ts"),
+        col("value").as("v_value"))
+    p.join(v,
+        col("p_user") === col("v_user") &&
+          col("v_ts") >= col("p_ts") - expr("INTERVAL 1 HOUR") &&
+          col("v_ts") < col("p_ts"), "left")
+      .groupBy("p_id", "p_user", "p_ts", "p_value")
+      .agg(count(col("v_ts")).as("n_prior_views"),
+        sum(dec(col("v_value"))).cast("double").as("prior_view_value"))
+      .orderBy("p_id")
+  }
+
+  val intervalJoinSql: String =
+    """SELECT p_id, p_user, p_ts, p_value,
+      | COUNT(v_ts) AS n_prior_views,
+      | CAST(SUM(CAST(v_value AS DECIMAL(12,2))) AS DOUBLE) AS prior_view_value
+      |FROM (
+      | SELECT event_id AS p_id, user_id AS p_user,
+      |  CAST(ts AS TIMESTAMP) AS p_ts, value AS p_value
+      | FROM events WHERE event_type = 'purchase') p
+      |LEFT JOIN (
+      | SELECT user_id AS v_user, CAST(ts AS TIMESTAMP) AS v_ts, value AS v_value
+      | FROM events WHERE event_type = 'view') v
+      | ON p_user = v_user AND v_ts >= p_ts - INTERVAL 1 HOUR AND v_ts < p_ts
+      |GROUP BY p_id, p_user, p_ts, p_value
+      |ORDER BY p_id""".stripMargin
+
+  /** Window analytics: first/nth value and share-of-partition-total
+    * (ratio_to_report) in one pass.
+    */
+  def windowAnalytics(t: Tables): DataFrame = {
+    val wOrd = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.partitionBy("o_custkey")
+    t.orders.select(
+        col("o_custkey"), col("o_orderkey"), col("o_orderdate"),
+        first(col("o_totalprice")).over(wOrd).as("first_order_price"),
+        (dec(col("o_totalprice")).cast("double") /
+          sum(dec(col("o_totalprice"))).over(wAll).cast("double")).as("share_of_customer"))
+      .orderBy("o_custkey", "o_orderdate", "o_orderkey")
+  }
+
+  val windowAnalyticsSql: String =
+    """SELECT o_custkey, o_orderkey, o_orderdate,
+      | FIRST_VALUE(o_totalprice) OVER (PARTITION BY o_custkey
+      |   ORDER BY o_orderdate, o_orderkey
+      |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS first_order_price,
+      | CAST(CAST(o_totalprice AS DECIMAL(12,2)) AS DOUBLE)
+      |   / CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) OVER (PARTITION BY o_custkey) AS DOUBLE)
+      |   AS share_of_customer
+      |FROM orders
+      |ORDER BY o_custkey, o_orderdate, o_orderkey""".stripMargin
+
   /** Ranking-function coverage: rank / dense_rank / percent_rank /
     * cume_dist / ntile in one window.
     */
