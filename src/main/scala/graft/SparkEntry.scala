@@ -67,6 +67,7 @@ object SparkEntry {
     "q_range_frame"        -> q(Relational3.rangeFrame),
     "q_rank_funcs"         -> q(Relational3.rankFuncs),
     "q_interval_join"      -> q(Relational3.intervalJoin),
+    "q_session_window"     -> q(Relational3.sessionWindow),
     "q_window_analytics"   -> q(Relational3.windowAnalytics),
     "q_sketch_aggs"        -> q(Relational3.sketchAggs),
     "embed_normalize"      -> q(Embeddings.normalize),
@@ -171,6 +172,7 @@ object SparkEntry {
     "q_range_frame"        -> Relational3.rangeFrameSql,
     "q_rank_funcs"         -> Relational3.rankFuncsSql,
     "q_interval_join"      -> Relational3.intervalJoinSql,
+    "q_session_window"     -> Relational3.sessionWindowSql,
     "q_window_analytics"   -> Relational3.windowAnalyticsSql,
     "embed_normalize"      -> Embeddings.normalizeSql,
     "embed_centroids"      -> Embeddings.centroidsSql,

@@ -124,6 +124,39 @@ object Relational3 {
       |GROUP BY p_id, p_user, p_ts, p_value
       |ORDER BY p_id""".stripMargin
 
+  /** Built-in session windows (`session_window`, usable identically in
+    * batch and Structured Streaming): 30-minute-gap sessions per user.
+    * The window end is last-event + gap by definition; the oracle derives
+    * the same bounds from the lag/cumsum sessionization.
+    */
+  def sessionWindow(t: Tables): DataFrame =
+    t.events
+      .groupBy(session_window(col("ts"), "30 minutes").as("w"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(dec(col("value"))).cast("double").as("total_value"))
+      .select(col("user_id"), col("w.start").as("session_start"),
+        col("w.end").as("session_end"), col("n_events"), col("total_value"))
+      .orderBy("user_id", "session_start")
+
+  val sessionWindowSql: String =
+    """SELECT user_id, MIN(ts) AS session_start,
+      | MAX(ts) + INTERVAL 30 MINUTE AS session_end,
+      | COUNT(*) AS n_events,
+      | CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total_value
+      |FROM (
+      | SELECT user_id, ts, value,
+      |  CAST(SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+      | FROM (
+      |  SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts, value,
+      |   CASE WHEN prev_s IS NULL OR epoch(CAST(ts AS TIMESTAMP)) - prev_s >= 1800.0 THEN 1 ELSE 0 END AS is_new
+      |  FROM (
+      |   SELECT user_id, event_id, ts, value,
+      |    LAG(epoch(CAST(ts AS TIMESTAMP)), 1) OVER (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id) AS prev_s
+      |   FROM events)))
+      |GROUP BY user_id, session_id
+      |ORDER BY user_id, session_start""".stripMargin
+
   /** Window analytics: first/nth value and share-of-partition-total
     * (ratio_to_report) in one pass.
     */
