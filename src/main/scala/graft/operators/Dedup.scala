@@ -178,8 +178,12 @@ object Dedup {
     // anchor-blocked edge generation (same blocking as ngramJaccard —
     // equi-join on the min gram, never the n² pair space)
     val pairs = ngramJaccard(t).select("a_id", "b_id")
+    // cached: each propagation round re-reads the edge set, and edges are
+    // tiny (near-dup pairs), so this avoids recomputing the similarity
+    // join per round
     val edges = pairs.select(col("a_id").as("x"), col("b_id").as("y"))
       .union(pairs.select(col("b_id").as("x"), col("a_id").as("y")))
+      .cache()
     var labels = t.documents.select(col("doc_id").as("id"), col("doc_id").as("lbl"))
     for (i <- 0 until 3) {
       // per-round column names keep repeated self-joins unambiguous
