@@ -11,6 +11,7 @@ object SparkSpec {
     val s = GraftSession.builder(master = "local[4]", shufflePartitions = 4)
       .config("spark.sql.warehouse.dir",
         java.nio.file.Files.createTempDirectory("graft-warehouse").toString)
+      .withExtensions(new graft.plans.GraftExtensions)
       .getOrCreate()
     s.sparkContext.setLogLevel("ERROR")
     s
