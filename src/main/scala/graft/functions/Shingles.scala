@@ -25,9 +25,9 @@ object Shingles {
        |    i -> string_split($c, ' ')[i] || ' ' || string_split($c, ' ')[i+1] || ' ' || string_split($c, ' ')[i+2]))
        |ELSE [] END""".stripMargin
 
-  /** Exact Jaccard similarity of two distinct-element string arrays, in
-    * double (intersection over union).
+  /** Exact Jaccard similarity of two string arrays (distinct-set
+    * semantics, intersection over union in double) — the native
+    * single-pass [[JaccardSim]] expression.
     */
-  def jaccard(a: Column, b: Column): Column =
-    size(array_intersect(a, b)).cast("double") / size(array_union(a, b))
+  def jaccard(a: Column, b: Column): Column = JaccardSim(a, b)
 }
