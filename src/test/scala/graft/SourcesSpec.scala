@@ -135,6 +135,42 @@ class SourcesSpec extends SparkSpec {
     assert(partitions.sameElements(Array("ym=202401", "ym=202402", "ym=202403")))
   }
 
+  test("malformed JSON lines surface in _corrupt_record instead of failing the read") {
+    val dir = Files.createTempDirectory("graft-corrupt")
+    Files.writeString(dir.resolve("mixed.jsonl"),
+      """{"event_id":"ok1","ts":"2025-01-01T10:00:00Z","customer_id":1,"product_id":2,"qty":1,"unit_price":5.0}
+        |this is not json at all
+        |{"event_id":"ok2","ts":"2025-01-01T10:01:00Z","customer_id":2,"product_id":3,"qty":2,"unit_price":7.5}
+        |""".stripMargin)
+    val schema = org.apache.spark.sql.types.StructType.fromDDL(
+      Sources.salesEventSchema.toDDL + ", _corrupt_record STRING")
+    val df = spark.read.schema(schema).json(dir.toString).cache()
+    assert(df.count() == 3)
+    assert(df.where(col("_corrupt_record").isNotNull).count() == 1)
+    assert(df.where(col("event_id").isNotNull).count() == 2)
+    df.unpersist()
+  }
+
+  test("json rows with missing fields land as nulls, not errors") {
+    val dir = Files.createTempDirectory("graft-missing")
+    Files.writeString(dir.resolve("partial.jsonl"),
+      """{"event_id":"e1","customer_id":5}
+        |""".stripMargin)
+    val row = Sources.jsonLines(spark, dir.toString, Some(Sources.salesEventSchema))
+      .collect().head
+    assert(row.getAs[String]("event_id") == "e1")
+    assert(row.isNullAt(row.fieldIndex("unit_price")))
+  }
+
+  test("schema evolution: mergeSchema unions columns across parquet batches") {
+    val dir = Files.createTempDirectory("graft-evolve").toString
+    Seq((1L, "a")).toDF("id", "v1").write.parquet(s"$dir/batch=1")
+    Seq((2L, "b", 9.5)).toDF("id", "v1", "v2_added").write.parquet(s"$dir/batch=2")
+    val merged = spark.read.option("mergeSchema", "true").parquet(dir)
+    assert(merged.columns.toSet == Set("id", "v1", "v2_added", "batch"))
+    assert(merged.where(col("v2_added").isNull).count() == 1)
+  }
+
   test("parquet scan prunes columns (ReadSchema only carries what is selected)") {
     val df = Sources.parquet(spark, "/root/testdata/sf0.001/lineitem.parquet")
       .select("l_orderkey", "l_quantity").where(col("l_quantity") > 10)
