@@ -68,6 +68,9 @@ object SparkEntry {
     "q_rank_funcs"         -> q(Relational3.rankFuncs),
     "q_interval_join"      -> q(Relational3.intervalJoin),
     "q_session_window"     -> q(Relational3.sessionWindow),
+    "q_moving_average"     -> q(Analytics.movingAverage),
+    "q_cohorts"            -> q(Analytics.cohorts),
+    "q_funnel"             -> q(Analytics.funnel),
     "q_window_analytics"   -> q(Relational3.windowAnalytics),
     "q_sketch_aggs"        -> q(Relational3.sketchAggs),
     "embed_normalize"      -> q(Embeddings.normalize),
@@ -173,6 +176,9 @@ object SparkEntry {
     "q_rank_funcs"         -> Relational3.rankFuncsSql,
     "q_interval_join"      -> Relational3.intervalJoinSql,
     "q_session_window"     -> Relational3.sessionWindowSql,
+    "q_moving_average"     -> Analytics.movingAverageSql,
+    "q_cohorts"            -> Analytics.cohortsSql,
+    "q_funnel"             -> Analytics.funnelSql,
     "q_window_analytics"   -> Relational3.windowAnalyticsSql,
     "embed_normalize"      -> Embeddings.normalizeSql,
     "embed_centroids"      -> Embeddings.centroidsSql,

@@ -1,0 +1,109 @@
+package graft.operators
+
+import graft.Tables
+import graft.functions.Exact._
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Product-analytics workloads: smoothing, cohorts, funnels — the query
+  * shapes the reference's ClickHouse consumer exists to answer.
+  */
+object Analytics {
+
+  /** Centered moving average (±3 rows) of daily event totals — the
+    * smoothing transform for dashboard series.
+    */
+  def movingAverage(t: Tables): DataFrame = {
+    val daily = t.events
+      .groupBy(to_date(col("ts")).as("d"))
+      .agg(sum(dec(col("value"))).cast("double").as("day_total"))
+    val w = Window.orderBy("d").rowsBetween(-3, 3)
+    daily
+      .select(col("d"), col("day_total"),
+        (sum(dec(col("day_total"))).over(w).cast("double") /
+          count(lit(1)).over(w)).as("smoothed"))
+      .orderBy("d")
+  }
+
+  val movingAverageSql: String =
+    """SELECT d, day_total,
+      | CAST(SUM(CAST(day_total AS DECIMAL(12,2))) OVER w AS DOUBLE)
+      |   / COUNT(*) OVER w AS smoothed
+      |FROM (
+      | SELECT CAST(CAST(ts AS TIMESTAMP) AS DATE) AS d,
+      |  CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS day_total
+      | FROM events GROUP BY 1)
+      |WINDOW w AS (ORDER BY d ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)
+      |ORDER BY d""".stripMargin
+
+  /** Cohort analysis: users grouped by first-activity week, tracked over
+    * subsequent weeks — the canonical retention matrix.
+    */
+  def cohorts(t: Tables): DataFrame = {
+    val firstWeek = t.events
+      .groupBy("user_id")
+      .agg(date_trunc("week", min(col("ts"))).as("cohort_week"))
+    t.events
+      .join(firstWeek, "user_id")
+      .groupBy(col("cohort_week"),
+        date_trunc("week", col("ts")).as("activity_week"))
+      .agg(countDistinct(col("user_id")).as("active_users"),
+        count(lit(1)).as("n_events"))
+      .orderBy("cohort_week", "activity_week")
+  }
+
+  val cohortsSql: String =
+    """SELECT cohort_week, date_trunc('week', CAST(e.ts AS TIMESTAMP)) AS activity_week,
+      | COUNT(DISTINCT e.user_id) AS active_users,
+      | COUNT(*) AS n_events
+      |FROM events e
+      |JOIN (
+      | SELECT user_id, date_trunc('week', MIN(CAST(ts AS TIMESTAMP))) AS cohort_week
+      | FROM events GROUP BY user_id) f
+      | ON e.user_id = f.user_id
+      |GROUP BY cohort_week, activity_week
+      |ORDER BY cohort_week, activity_week""".stripMargin
+
+  /** Ordered funnel: users who viewed, then clicked after their first
+    * view, then purchased after that click — per-user min-timestamp
+    * stage gating, counted into funnel stages.
+    */
+  def funnel(t: Tables): DataFrame = {
+    val stages = t.events
+      .groupBy("user_id")
+      .agg(
+        min(when(col("event_type") === "view", col("ts"))).as("first_view"),
+        min(when(col("event_type") === "click", col("ts"))).as("first_click"),
+        min(when(col("event_type") === "purchase", col("ts"))).as("first_purchase"))
+    val gated = stages.select(
+      col("user_id"),
+      col("first_view").isNotNull.as("s1_view"),
+      (col("first_view").isNotNull && col("first_click") > col("first_view")).as("s2_click"),
+      (col("first_view").isNotNull && col("first_click") > col("first_view") &&
+        col("first_purchase") > col("first_click")).as("s3_purchase"))
+    gated.agg(
+      count(lit(1)).as("n_users"),
+      sum(when(col("s1_view"), 1L).otherwise(0L)).as("viewed"),
+      sum(when(col("s2_click"), 1L).otherwise(0L)).as("clicked_after_view"),
+      sum(when(col("s3_purchase"), 1L).otherwise(0L)).as("purchased_after_click"))
+  }
+
+  val funnelSql: String =
+    """SELECT COUNT(*) AS n_users,
+      | CAST(SUM(CASE WHEN s1_view THEN 1 ELSE 0 END) AS BIGINT) AS viewed,
+      | CAST(SUM(CASE WHEN s2_click THEN 1 ELSE 0 END) AS BIGINT) AS clicked_after_view,
+      | CAST(SUM(CASE WHEN s3_purchase THEN 1 ELSE 0 END) AS BIGINT) AS purchased_after_click
+      |FROM (
+      | SELECT user_id,
+      |  first_view IS NOT NULL AS s1_view,
+      |  first_view IS NOT NULL AND first_click > first_view AS s2_click,
+      |  first_view IS NOT NULL AND first_click > first_view
+      |    AND first_purchase > first_click AS s3_purchase
+      | FROM (
+      |  SELECT user_id,
+      |   MIN(CASE WHEN event_type = 'view' THEN CAST(ts AS TIMESTAMP) END) AS first_view,
+      |   MIN(CASE WHEN event_type = 'click' THEN CAST(ts AS TIMESTAMP) END) AS first_click,
+      |   MIN(CASE WHEN event_type = 'purchase' THEN CAST(ts AS TIMESTAMP) END) AS first_purchase
+      |  FROM events GROUP BY user_id))""".stripMargin
+}
