@@ -57,6 +57,9 @@ object SparkEntry {
     "q_forward_fill"       -> q(TimeSeries.forwardFill),
     "q_histogram"          -> q(TimeSeries.histogram),
     "q_latest_by_key"      -> q(Quality.latestByKey),
+    "q_scd2"               -> q(Quality.scd2),
+    "q_mode_per_key"       -> q(Quality.modePerKey),
+    "dedup_fingerprint_groups" -> q(Quality.fingerprintGroups),
     "q_dq_checks"          -> q(Quality.dqChecks),
     "q_full_outer"         -> q(Quality.fullOuter),
     "q_null_safe_join"     -> q(Quality.nullSafeJoin),
@@ -165,6 +168,9 @@ object SparkEntry {
     "q_forward_fill"       -> TimeSeries.forwardFillSql,
     "q_histogram"          -> TimeSeries.histogramSql,
     "q_latest_by_key"      -> Quality.latestByKeySql,
+    "q_scd2"               -> Quality.scd2Sql,
+    "q_mode_per_key"       -> Quality.modePerKeySql,
+    "dedup_fingerprint_groups" -> Quality.fingerprintGroupsSql,
     "q_dq_checks"          -> Quality.dqChecksSql,
     "q_full_outer"         -> Quality.fullOuterSql,
     "q_null_safe_join"     -> Quality.nullSafeJoinSql,

@@ -72,6 +72,82 @@ object Quality {
       | (SELECT COUNT(*) FROM lineitem WHERE l_discount < 0 OR l_discount > 1 OR l_quantity <= 0)
       |ORDER BY rule""".stripMargin
 
+  /** SCD2 interval construction from a change log: each event becomes a
+    * versioned row with [valid_from, valid_to) bounds and a current flag
+    * — the slowly-changing-dimension build every warehouse load needs.
+    */
+  def scd2(t: Tables): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    t.events
+      .where(col("user_id") < 20)
+      .select(
+        col("user_id"), col("event_id"), col("value"),
+        col("ts").as("valid_from"),
+        lead(col("ts"), 1).over(w).as("valid_to"))
+      .withColumn("is_current", col("valid_to").isNull)
+      .orderBy("user_id", "valid_from", "event_id")
+  }
+
+  val scd2Sql: String =
+    """SELECT user_id, event_id, value, valid_from,
+      | LEAD(valid_from, 1) OVER (PARTITION BY user_id
+      |   ORDER BY valid_from, event_id) AS valid_to,
+      | LEAD(valid_from, 1) OVER (PARTITION BY user_id
+      |   ORDER BY valid_from, event_id) IS NULL AS is_current
+      |FROM (
+      | SELECT user_id, event_id, value, CAST(ts AS TIMESTAMP) AS valid_from
+      | FROM events WHERE user_id < 20)
+      |ORDER BY user_id, valid_from, event_id""".stripMargin
+
+  /** Key-collision dedup end-to-end: fingerprint groups with keeper and
+    * member list (the group-forming step after
+    * [[TextAnalysis.fingerprint]]).
+    */
+  def fingerprintGroups(t: Tables): DataFrame =
+    t.documents
+      .withColumn("fp",
+        md5(concat_ws(" ", array_sort(array_distinct(split(lower(trim(col("text"))), " "))))))
+      .groupBy("fp")
+      .agg(
+        min(col("doc_id")).as("keep_id"),
+        count(lit(1)).as("n_members"),
+        array_sort(collect_list(col("doc_id"))).as("members"))
+      .where(col("n_members") > 1)
+      .orderBy("keep_id")
+
+  val fingerprintGroupsSql: String =
+    """SELECT fp, MIN(doc_id) AS keep_id, COUNT(*) AS n_members,
+      | list_sort(list(doc_id)) AS members
+      |FROM (
+      | SELECT doc_id,
+      |  md5(array_to_string(list_sort(list_distinct(string_split(lower(trim(text)), ' '))), ' ')) AS fp
+      | FROM documents)
+      |GROUP BY fp
+      |HAVING COUNT(*) > 1
+      |ORDER BY keep_id""".stripMargin
+
+  /** Deterministic per-key mode: most frequent event type per user, ties
+    * broken alphabetically (rank-based, so both engines agree — the
+    * built-in `mode` leaves ties unspecified).
+    */
+  def modePerKey(t: Tables): DataFrame = {
+    val counts = t.events.groupBy("user_id", "event_type").agg(count(lit(1)).as("n"))
+    val w = Window.partitionBy("user_id").orderBy(col("n").desc, col("event_type"))
+    counts
+      .withColumn("rk", row_number().over(w))
+      .where(col("rk") === 1)
+      .select(col("user_id"), col("event_type").as("mode_event"), col("n"))
+      .orderBy("user_id")
+  }
+
+  val modePerKeySql: String =
+    """SELECT user_id, event_type AS mode_event, n FROM (
+      | SELECT user_id, event_type, n,
+      |  ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY n DESC, event_type) AS rk
+      | FROM (SELECT user_id, event_type, COUNT(*) AS n FROM events GROUP BY 1, 2))
+      |WHERE rk = 1
+      |ORDER BY user_id""".stripMargin
+
   /** FULL OUTER join: customer vs supplier presence per nation. */
   def fullOuter(t: Tables): DataFrame = {
     val c = t.customer.groupBy(col("c_nationkey").as("ckey"))
