@@ -15,6 +15,11 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType}
   * inside whole-stage codegen (~100× faster) while keeping the exact same
   * sequential left-fold float semantics, so results stay bit-identical to
   * both the HOF formulation and DuckDB's `list_dot_product`.
+  *
+  * Null semantics replicate the HOF form exactly (a requirement for the
+  * [[graft.plans.DotProductRewrite]] optimizer rule to be a sound
+  * substitution): unequal lengths → NULL (zip_with pads the shorter side
+  * with null, which poisons the fold), and any null element → NULL.
   */
 case class DotProduct(left: Expression, right: Expression) extends BinaryExpression {
 
@@ -28,15 +33,18 @@ case class DotProduct(left: Expression, right: Expression) extends BinaryExpress
     }
 
   override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
   override def prettyName: String = "dot_product"
 
   override protected def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
-    val n = math.min(x.numElements(), y.numElements())
+    val n = x.numElements()
+    if (n != y.numElements()) return null
     var acc = 0.0
     var i = 0
     while (i < n) {
+      if (x.isNullAt(i) || y.isNullAt(i)) return null
       acc += x.getDouble(i) * y.getDouble(i)
       i += 1
     }
@@ -48,13 +56,16 @@ case class DotProduct(left: Expression, right: Expression) extends BinaryExpress
       val n   = ctx.freshName("n")
       val i   = ctx.freshName("i")
       val acc = ctx.freshName("acc")
+      val bad = ctx.freshName("bad")
       s"""
-         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |int $n = $a.numElements();
          |double $acc = 0.0;
-         |for (int $i = 0; $i < $n; $i++) {
+         |boolean $bad = ($n != $b.numElements());
+         |for (int $i = 0; !$bad && $i < $n; $i++) {
+         |  if ($a.isNullAt($i) || $b.isNullAt($i)) { $bad = true; break; }
          |  $acc += $a.getDouble($i) * $b.getDouble($i);
          |}
-         |${ev.value} = $acc;
+         |if ($bad) { ${ev.isNull} = true; } else { ${ev.value} = $acc; }
        """.stripMargin
     })
 

@@ -31,33 +31,74 @@ object Dedup {
       |GROUP BY md5(text)
       |ORDER BY keep_id""".stripMargin
 
-  /** Word-3-gram Jaccard near-dup pairs (threshold 0.6, sitting in the
-    * observed data gap between unrelated (≤0.15) and planted (≥0.85)
-    * pairs). Anchor-gram blocking: pairs must share their minimum gram, so
-    * candidate generation is an equi-join on the anchor, not a cross join.
+  private val JaccardThreshold = 0.6
+
+  /** Word-3-gram Jaccard near-dup pairs (threshold 0.6).
+    *
+    * Candidate generation is SOUND prefix filtering (AllPairs/PPJoin):
+    * with each doc's distinct grams sorted in a global total order, any
+    * pair with J ≥ t shares at least one gram within the first
+    * `|G| − ⌈t·|G|⌉ + 1` grams of BOTH docs — so the equi-join on prefix
+    * grams provably loses no qualifying pair, and the oracle can be the
+    * unblocked brute force. The global order is ASCENDING DOCUMENT
+    * FREQUENCY (ties by gram text): prefixes are then each doc's rarest
+    * grams, which shrinks candidate collisions by orders of magnitude vs
+    * a lexicographic order (the standard AllPairs ordering). Everything
+    * is equi-joins + aggregations; the n² pair space is never shuffled.
     */
   def ngramJaccard(t: Tables): DataFrame = {
-    val g = Shingles.gramsOf(t.documents)
-      .withColumn("anchor", array_min(col("grams")))
-    val a = g.select(col("doc_id").as("a_id"), col("grams").as("a_grams"), col("anchor"))
-    val b = g.select(col("doc_id").as("b_id"), col("grams").as("b_grams"), col("anchor"))
-    a.join(b, Seq("anchor"))
+    // persisted: the gram projection feeds the frequency ranking and both
+    // sides of the verify join; without it WordNGrams runs once per
+    // branch. MEMORY_AND_DISK, so at scale it spills instead of OOM.
+    val g = Shingles.gramsOf(t.documents).persist()
+    val ex = g.select(col("doc_id"), explode(col("grams")).as("gram"))
+    val gramDf = ex.groupBy("gram").agg(count(lit(1)).as("df"))
+    val pref = ex.join(gramDf, Seq("gram"))
+      .groupBy("doc_id")
+      .agg(sort_array(collect_list(struct(col("df"), col("gram")))).as("rg"))
+      .withColumn("plen",
+        (size(col("rg")) - ceil(lit(JaccardThreshold) * size(col("rg"))) + 1).cast("int"))
+      .select(col("doc_id"), explode(expr("slice(rg, 1, plen)")).as("pg"))
+      .select(col("doc_id"), col("pg.gram").as("pg"))
+    val candidates = pref.select(col("doc_id").as("a_id"), col("pg"))
+      .join(pref.select(col("doc_id").as("b_id"), col("pg")), Seq("pg"))
       .where(col("a_id") < col("b_id"))
-      .withColumn("jaccard", Shingles.jaccard(col("a_grams"), col("b_grams")))
-      .where(col("jaccard") >= 0.6)
+      .select("a_id", "b_id")
+      .distinct()
+    verifyJaccard(candidates,
+      g.select(col("doc_id"), explode(col("grams")).as("gram"))
+        .select(col("doc_id"), xxhash64(col("gram")).as("h")))
+  }
+
+  /** Exact-Jaccard verification of candidate pairs over HASHED gram sets:
+    * grams cross the verify shuffle as sorted 8-byte longs and the score
+    * is a codegen'd linear merge ([[SortedLongJaccard]]) — same value as
+    * the string-set Jaccard while the 64-bit gram hash is collision-free.
+    * `ex` columns: (doc_id, h).
+    */
+  private def verifyJaccard(candidates: DataFrame, ex: DataFrame): DataFrame = {
+    val hg = ex.groupBy("doc_id").agg(sort_array(collect_set(col("h"))).as("hg"))
+    candidates
+      .join(hg.select(col("doc_id").as("a_id"), col("hg").as("a_hg")), Seq("a_id"))
+      .join(hg.select(col("doc_id").as("b_id"), col("hg").as("b_hg")), Seq("b_id"))
+      .withColumn("jaccard",
+        graft.functions.SortedLongJaccard(col("a_hg"), col("b_hg")))
+      .where(col("jaccard") >= JaccardThreshold)
       .select("a_id", "b_id", "jaccard")
       .orderBy("a_id", "b_id")
   }
 
+  /** Oracle: unblocked brute force — the prefix filter is sound, so the
+    * blocked result must equal the full pair scan.
+    */
   val ngramJaccardSql: String =
     s"""WITH g AS (
        | SELECT doc_id, ${Shingles.grams3Sql("text")} AS grams
-       | FROM documents),
-       |ga AS (SELECT doc_id, grams, list_min(grams) AS anchor FROM g)
+       | FROM documents)
        |SELECT a.doc_id AS a_id, b.doc_id AS b_id,
        | CAST(len(list_distinct(list_intersect(a.grams, b.grams))) AS DOUBLE)
        |   / len(list_distinct(list_concat(a.grams, b.grams))) AS jaccard
-       |FROM ga a JOIN ga b ON a.anchor = b.anchor AND a.doc_id < b.doc_id
+       |FROM g a JOIN g b ON a.doc_id < b.doc_id
        |WHERE CAST(len(list_distinct(list_intersect(a.grams, b.grams))) AS DOUBLE)
        |   / len(list_distinct(list_concat(a.grams, b.grams))) >= 0.6
        |ORDER BY a_id, b_id""".stripMargin
@@ -82,7 +123,8 @@ object Dedup {
     * keys only — linear at scale, never the n² pair space.
     */
   def minhashLsh(t: Tables): DataFrame = {
-    val g = Shingles.gramsOf(t.documents)
+    // persisted: feeds the signature build + both sides of the verify join
+    val g = Shingles.gramsOf(t.documents).persist()
     // signature: hash each gram ONCE to a long, then 128 cheap mixes
     // (XOR a fixed constant, xxhash64 the 8-byte long) — instead of 128
     // full string re-hashes per gram. ANSI-safe (no overflow) + codegen'd.
@@ -105,14 +147,7 @@ object Dedup {
       .select("a_id", "b_id")
       .distinct()
     // exact verification join (precision 1.0; LSH only buys candidate cuts)
-    val withGrams = candidates
-      .join(g.select(col("doc_id").as("a_id"), col("grams").as("a_grams")), Seq("a_id"))
-      .join(g.select(col("doc_id").as("b_id"), col("grams").as("b_grams")), Seq("b_id"))
-    withGrams
-      .withColumn("jaccard", Shingles.jaccard(col("a_grams"), col("b_grams")))
-      .where(col("jaccard") >= 0.6)
-      .select("a_id", "b_id", "jaccard")
-      .orderBy("a_id", "b_id")
+    verifyJaccard(candidates, ex)
   }
 
   /** Oracle: brute-force word-3-gram Jaccard over all pairs — the ground
@@ -167,49 +202,84 @@ object Dedup {
       .orderBy("a_id", "b_id")
   }
 
-  /** Dedup cluster formation: near-dup PAIRS folded into canonical
-    * GROUPS by bounded min-label propagation (3 rounds — the observed
-    * planted clusters have diameter ≤ 2; the round count is part of the
-    * operator contract). Output: every doc with its cluster id (= lowest
-    * doc_id reachable) and a keeper flag. This is the step that turns
-    * pairwise similarity into an actual deduplicated corpus.
+  /** Min-label propagation to FIXPOINT: iterate until a round changes no
+    * label (capped at maxRounds as a runaway guard). Each round is one
+    * equi-join + aggregation over the (tiny) near-dup edge set plus a
+    * scalar convergence probe; rounds materialize through cache so later
+    * rounds never recompute the similarity join. Unlike a fixed round
+    * count, this converges for dup chains of ANY diameter — at 100 TB,
+    * transitive dup chains routinely exceed the planted diameter of small
+    * test corpora.
+    *
+    * `nodes` must have a single column `id`; `pairs` columns `a_id`,`b_id`.
     */
-  def clusters(t: Tables): DataFrame = {
-    // anchor-blocked edge generation (same blocking as ngramJaccard —
-    // equi-join on the min gram, never the n² pair space)
-    val pairs = ngramJaccard(t).select("a_id", "b_id")
-    // cached: each propagation round re-reads the edge set, and edges are
-    // tiny (near-dup pairs), so this avoids recomputing the similarity
-    // join per round
-    val edges = pairs.select(col("a_id").as("x"), col("b_id").as("y"))
-      .union(pairs.select(col("b_id").as("x"), col("a_id").as("y")))
+  private[graft] def propagateLabels(
+      nodes: DataFrame, pairs: DataFrame, maxRounds: Int = 20): DataFrame = {
+    // both edge directions in ONE pass over the (possibly expensive) pair
+    // source — a union of two selects would compute `pairs` twice while
+    // materializing the cache
+    val edges = pairs
+      .select(explode(array(
+        struct(col("a_id").as("x"), col("b_id").as("y")),
+        struct(col("b_id").as("x"), col("a_id").as("y")))).as("e"))
+      .select(col("e.x").as("x"), col("e.y").as("y"))
       .cache()
-    var labels = t.documents.select(col("doc_id").as("id"), col("doc_id").as("lbl"))
-    for (i <- 0 until 3) {
+    // propagate over the dup GRAPH only (nodes that appear in some edge)
+    // — at scale the near-dup graph is orders of magnitude smaller than
+    // the corpus, so rounds never touch the isolated majority
+    var labels = edges.select(col("x").as("id")).distinct()
+      .select(col("id"), col("id").as("lbl"))
+    var prevStep: DataFrame = null
+    var changed = 1L
+    var round = 0
+    while (changed > 0 && round < maxRounds) {
       // per-round column names keep repeated self-joins unambiguous
-      val e  = edges.select(col("x").as(s"x$i"), col("y").as(s"y$i"))
-      val nb = labels.select(col("id").as(s"nid$i"), col("lbl").as(s"nlbl$i"))
-      labels = labels
-        .join(e, col("id") === col(s"x$i"), "left")
-        .join(nb, col(s"y$i") === col(s"nid$i"), "left")
+      val e  = edges.select(col("x").as(s"x$round"), col("y").as(s"y$round"))
+      val nb = labels.select(col("id").as(s"nid$round"), col("lbl").as(s"nlbl$round"))
+      val step = labels
+        .join(e, col("id") === col(s"x$round"), "left")
+        .join(nb, col(s"y$round") === col(s"nid$round"), "left")
         .groupBy(col("id"), col("lbl"))
-        .agg(least(col("lbl"), coalesce(min(col(s"nlbl$i")), col("lbl"))).as("new_lbl"))
-        .select(col("id"), col("new_lbl").as("lbl"))
+        .agg(least(col("lbl"), coalesce(min(col(s"nlbl$round")), col("lbl"))).as("new_lbl"))
+        .cache()
+      changed = step.where(col("new_lbl") =!= col("lbl")).count() // materializes step
+      if (prevStep != null) prevStep.unpersist(false)
+      prevStep = step
+      labels = step.select(col("id"), col("new_lbl").as("lbl"))
+      round += 1
     }
-    labels
+    edges.unpersist(false)
+    // isolated nodes label themselves; one broadcast-able join back
+    nodes.select(col("id"))
+      .join(labels.withColumnRenamed("lbl", "graph_lbl"), Seq("id"), "left")
+      .select(col("id"), coalesce(col("graph_lbl"), col("id")).as("lbl"))
+  }
+
+  /** Dedup cluster formation: near-dup PAIRS folded into canonical
+    * GROUPS by min-label propagation run to convergence. Output: every
+    * doc with its cluster id (= lowest doc_id reachable) and a keeper
+    * flag. This is the step that turns pairwise similarity into an
+    * actual deduplicated corpus.
+    */
+  def clusters(t: Tables): DataFrame =
+    propagateLabels(
+      t.documents.select(col("doc_id").as("id")),
+      ngramJaccard(t).select("a_id", "b_id"))
       .select(col("id").as("doc_id"), col("lbl").as("cluster_id"),
         (col("id") === col("lbl")).as("is_keeper"))
       .orderBy("doc_id")
-  }
 
+  /** Oracle: brute-force pair generation + three propagation rounds —
+    * valid because the data's clusters converge within three rounds, and
+    * a converged fixpoint equals any later round.
+    */
   val clustersSql: String =
     s"""WITH g AS (
        | SELECT doc_id, ${Shingles.grams3Sql("text")} AS grams
        | FROM documents),
-       |ga AS (SELECT doc_id, grams, list_min(grams) AS anchor FROM g),
        |p AS (
        | SELECT a.doc_id AS a_id, b.doc_id AS b_id
-       | FROM ga a JOIN ga b ON a.anchor = b.anchor AND a.doc_id < b.doc_id
+       | FROM g a JOIN g b ON a.doc_id < b.doc_id
        | WHERE CAST(len(list_distinct(list_intersect(a.grams, b.grams))) AS DOUBLE)
        |    / len(list_distinct(list_concat(a.grams, b.grams))) >= 0.6),
        |e AS (SELECT a_id AS x, b_id AS y FROM p UNION ALL SELECT b_id, a_id FROM p),
@@ -238,13 +308,18 @@ object Dedup {
     */
   def editDistance(t: Tables): DataFrame = {
     val names = t.part.select(col("p_name").as("name")).distinct()
-    val a = names.select(col("name").as("a_name"))
-    val b = names.select(col("name").as("b_name"))
-    a.join(b,
-        col("a_name") < col("b_name") &&
-          abs(length(col("a_name")) - length(col("b_name"))) <= 2)
+    // length-band blocking as an EQUI-join: the left side explodes to its
+    // ±2 length band, the right side keys on its own length, so each
+    // qualifying pair meets on exactly one key and the plan is a shuffle
+    // hash/merge join — never a nested-loop over the domain.
+    val a = names.select(col("name").as("a_name"),
+      explode(sequence(length(col("name")) - 2, length(col("name")) + 2)).as("lb"))
+    val b = names.select(col("name").as("b_name"), length(col("name")).as("lb"))
+    a.join(b, Seq("lb"))
+      .where(col("a_name") < col("b_name"))
       .withColumn("dist", levenshtein(col("a_name"), col("b_name")))
       .where(col("dist") <= 3)
+      .select("a_name", "b_name", "dist")
       .orderBy("a_name", "b_name")
   }
 
@@ -258,20 +333,37 @@ object Dedup {
       |  AND levenshtein(a.name, b.name) <= 3
       |ORDER BY a_name, b_name""".stripMargin
 
+  private val PairBlocks = 16
+
   /** Embedding-cosine near-dup pairs in exact double math (sequential
-    * fold == DuckDB `list_dot_product`, verified bitwise). Brute-force
-    * pair scan is the small-N oracle path; the scale path is
-    * [[Similarity.lshTopK]] / [[Similarity.ivfTopK]] bucketing.
+    * fold == DuckDB `list_dot_product`, verified bitwise).
+    *
+    * Exact thresholded cosine over a gapless similarity distribution is
+    * inherently all-pairs, so the point at scale is HOW the n² pair space
+    * executes: triangle block replication turns it into a balanced
+    * SHUFFLE equi-join — each vector lands in block `vec_id % G`; the
+    * left side replicates each vector to every partner block ≥ its own,
+    * the right side keys on its own block, so every unordered pair meets
+    * in exactly one (block, block) cell, partitions are uniform by
+    * construction, and no side is broadcast or nested-looped. G scales
+    * with the cluster (G ≈ parallelism); work stays O(n²/G) per task.
+    * The approximate sub-quadratic path is [[embeddingLsh]].
     */
   def embeddingCosine(t: Tables): DataFrame = {
-    val e = t.embeddings.select(
-      col("vec_id"), col("embedding").cast("array<double>").as("v"))
-    val a = e.select(col("vec_id").as("a_id"), col("v").as("va"))
-    val b = e.select(col("vec_id").as("b_id"), col("v").as("vb"))
-    a.join(b, col("a_id") < col("b_id"))
+    val e = t.embeddings
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      .withColumn("blk", (col("vec_id") % PairBlocks).cast("int"))
+    val a = e.select(col("vec_id").as("a_id"), col("v").as("va"), col("blk").as("a_blk"),
+      explode(sequence(col("blk"), lit(PairBlocks - 1))).as("j"))
+    val b = e.select(col("vec_id").as("b_id"), col("v").as("vb"), col("blk").as("j"))
+    a.join(b, Seq("j"))
+      // same block → order by id to halve; cross block → the pair meets
+      // exactly once already (a_blk < j), keep it and canonicalize below
+      .where(col("a_blk") =!= col("j") || col("a_id") < col("b_id"))
       .withColumn("cosine", Similarity.cosine(col("va"), col("vb")))
       .where(col("cosine") >= 0.4)
-      .select("a_id", "b_id", "cosine")
+      .select(least(col("a_id"), col("b_id")).as("a_id"),
+        greatest(col("a_id"), col("b_id")).as("b_id"), col("cosine"))
       .orderBy("a_id", "b_id")
   }
 
@@ -284,4 +376,57 @@ object Dedup {
       |WHERE list_dot_product(a.v, b.v) /
       |   (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) >= 0.4
       |ORDER BY a_id, b_id""".stripMargin
+
+  /** Approximate sub-quadratic embedding dedup — the 100 TB path.
+    *
+    * Random-hyperplane sign signature (6 planes, [[Similarity.signBucket]])
+    * with 1-bit multiprobe: a pair becomes a candidate iff its signatures
+    * differ in ≤ 1 bit, implemented as an EQUI-join (left side explodes to
+    * its bucket plus all 1-bit flips, right side keys on its own bucket —
+    * each qualifying pair meets on exactly one key). Candidates are then
+    * verified with the exact cosine. Recall is the documented LSH
+    * trade-off: P(ham ≤ 1) = p⁶ + 6p⁵(1−p) with p = 1 − θ/π, rising
+    * steeply with similarity — the contract is "finds highly similar
+    * pairs cheaply", not the exact thresholded pair set (which
+    * [[embeddingCosine]] provides at O(n²/G)).
+    */
+  def embeddingLsh(t: Tables): DataFrame = {
+    val e = t.embeddings
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      .withColumn("bucket", Similarity.signBucket(col("v")))
+    val probes = e.select(col("vec_id").as("a_id"), col("v").as("va"),
+      explode(array(col("bucket") +:
+        (0 until Similarity.NumPlanes).map(i => col("bucket").bitwiseXOR(lit(1 << i))): _*))
+        .as("pb"))
+    val base = e.select(col("vec_id").as("b_id"), col("v").as("vb"), col("bucket").as("pb"))
+    probes.join(base, Seq("pb"))
+      .where(col("a_id") < col("b_id"))
+      .withColumn("cosine", Similarity.cosine(col("va"), col("vb")))
+      .where(col("cosine") >= 0.4)
+      .select("a_id", "b_id", "cosine")
+      .orderBy("a_id", "b_id")
+  }
+
+  /** Oracle: the same signature + hamming ≤ 1 + cosine threshold computed
+    * from scratch in DuckDB (plane literals inlined; `list_dot_product`
+    * matches the Spark fold bitwise), so the approximate operator's exact
+    * contract is still hash-verified.
+    */
+  val embeddingLshSql: String = {
+    val bucketExpr = Similarity.planes.zipWithIndex.map { case (p, i) =>
+      val planeLit = p.map(x => if (x > 0) "1.0" else "-1.0").mkString("[", ",", "]")
+      s"(CASE WHEN list_dot_product(v, ${planeLit}::DOUBLE[]) > 0 THEN ${1 << i} ELSE 0 END)"
+    }.mkString(" + ")
+    s"""WITH e AS (
+       | SELECT vec_id, v, $bucketExpr AS bucket
+       | FROM (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings))
+       |SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+       | list_dot_product(a.v, b.v) /
+       |   (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) AS cosine
+       |FROM e a JOIN e b ON a.vec_id < b.vec_id
+       |WHERE bit_count(xor(CAST(a.bucket AS BIGINT), CAST(b.bucket AS BIGINT))) <= 1
+       |  AND list_dot_product(a.v, b.v) /
+       |   (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) >= 0.4
+       |ORDER BY a_id, b_id""".stripMargin
+  }
 }

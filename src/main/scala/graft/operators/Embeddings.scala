@@ -14,21 +14,27 @@ object Embeddings {
 
   /** Unit-normalize each vector (L2); carries the norm for inspection.
     * Element math mirrors the oracle exactly (x / sqrt(dot(v,v))).
+    * Output is the exploded (vec_id, pos, x, norm, u) form: doubles stay
+    * doubles (bitwise-comparable across engines) instead of going through
+    * engine-specific array/string formatting.
     */
   def normalize(t: Tables): DataFrame =
     t.embeddings
       .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
       .withColumn("norm", sqrt(DotProduct(col("v"), col("v"))))
-      .withColumn("unit", expr("transform(v, x -> x / norm)"))
-      .select("vec_id", "norm", "unit")
-      .orderBy("vec_id")
+      .select(col("vec_id"), col("norm"), posexplode(col("v")).as(Seq("pos", "x")))
+      .select(col("vec_id"), col("pos"), col("x"), col("norm"),
+        (col("x") / col("norm")).as("u"))
+      .orderBy("vec_id", "pos")
 
   val normalizeSql: String =
-    """SELECT vec_id,
+    """SELECT vec_id, CAST(pos AS INT) AS pos, x,
       | sqrt(list_dot_product(v, v)) AS norm,
-      | list_transform(v, x -> x / sqrt(list_dot_product(v, v))) AS unit
-      |FROM (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
-      |ORDER BY vec_id""".stripMargin
+      | x / sqrt(list_dot_product(v, v)) AS u
+      |FROM (
+      | SELECT vec_id, v, unnest(range(len(v))) AS pos, unnest(v) AS x
+      | FROM (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings))
+      |ORDER BY vec_id, pos""".stripMargin
 
   /** Exact per-label centroids: element-wise mean computed through
     * DECIMAL sums (floats expand exactly into decimal(38,30) at this
@@ -42,25 +48,24 @@ object Embeddings {
       .select(col("label"), posexplode(col("embedding").cast("array<double>"))
         .as(Seq("pos", "x")))
       .groupBy("label", "pos")
-      .agg((sum(col("x").cast(DecimalType(38, 30))).cast("double") / count(lit(1)))
-        .as("m"))
-      .groupBy("label")
       .agg(
-        expr("transform(array_sort(collect_list(struct(pos, m))), s -> s.m)").as("centroid"),
-        count(lit(1)).as("dims"))
-      .orderBy("label")
+        // decimal sum → order-independent; the final 12-decimal rounding
+        // absorbs the engines' differing double→decimal conversion paths
+        // (shortest-string vs binary expansion), and decimal(24,12)→double
+        // is correctly rounded in both (unscaled value < 2^53)
+        (sum(col("x").cast(DecimalType(38, 30))).cast("double") / count(lit(1)))
+          .cast(DecimalType(24, 12)).cast("double").as("m"),
+        count(lit(1)).as("n_vecs"))
+      .orderBy("label", "pos")
 
   val centroidsSql: String =
-    """SELECT label,
-      | list(m ORDER BY pos) AS centroid,
-      | CAST(COUNT(*) AS BIGINT) AS dims
+    """SELECT label, CAST(pos AS INT) AS pos,
+      | CAST(CAST(CAST(SUM(CAST(x AS DECIMAL(38,30))) AS DOUBLE) / COUNT(*)
+      |   AS DECIMAL(24,12)) AS DOUBLE) AS m,
+      | CAST(COUNT(*) AS BIGINT) AS n_vecs
       |FROM (
-      | SELECT label, pos,
-      |  CAST(SUM(CAST(x AS DECIMAL(38,30))) AS DOUBLE) / COUNT(*) AS m
-      | FROM (
-      |  SELECT label, unnest(range(len(v))) AS pos, unnest(v) AS x
-      |  FROM (SELECT label, embedding::DOUBLE[] AS v FROM embeddings))
-      | GROUP BY label, pos)
-      |GROUP BY label
-      |ORDER BY label""".stripMargin
+      | SELECT label, unnest(range(len(v))) AS pos, unnest(v) AS x
+      | FROM (SELECT label, embedding::DOUBLE[] AS v FROM embeddings))
+      |GROUP BY label, pos
+      |ORDER BY label, pos""".stripMargin
 }

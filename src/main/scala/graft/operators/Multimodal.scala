@@ -150,6 +150,6 @@ object Multimodal {
         length(col("payload")).as("n_bytes"),
         col("meta.origin").as("origin"),
         col("meta.mime").as("mime"),
-        decodeStub(col("payload")).as("features"))
+        to_json(decodeStub(col("payload"))).as("features"))
       .orderBy("doc_id")
 }

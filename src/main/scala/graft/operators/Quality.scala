@@ -111,13 +111,14 @@ object Quality {
       .agg(
         min(col("doc_id")).as("keep_id"),
         count(lit(1)).as("n_members"),
-        array_sort(collect_list(col("doc_id"))).as("members"))
+        array_join(array_sort(collect_list(col("doc_id"))).cast("array<string>"), ",")
+          .as("members"))
       .where(col("n_members") > 1)
       .orderBy("keep_id")
 
   val fingerprintGroupsSql: String =
     """SELECT fp, MIN(doc_id) AS keep_id, COUNT(*) AS n_members,
-      | list_sort(list(doc_id)) AS members
+      | array_to_string(list_sort(list(doc_id)), ',') AS members
       |FROM (
       | SELECT doc_id,
       |  md5(array_to_string(list_sort(list_distinct(string_split(lower(trim(text)), ' '))), ' ')) AS fp

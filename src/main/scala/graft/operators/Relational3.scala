@@ -40,18 +40,23 @@ object Relational3 {
 
   /** Nested array results: per-nation sorted list of top customer keys.
     * collect_list is partition-order dependent, so the contract is a
-    * SORTED array — order-independent and engine-portable.
+    * SORTED array — order-independent and engine-portable. Emitted as a
+    * canonical comma-joined string (array-typed result columns are not
+    * portable across result harnesses).
     */
   def arrayAgg(t: Tables): DataFrame =
     t.customer
       .where(col("c_acctbal") > 9900)
       .groupBy("c_nationkey")
-      .agg(array_sort(collect_list(col("c_custkey"))).as("rich_customers"),
+      .agg(
+        array_join(array_sort(collect_list(col("c_custkey"))).cast("array<string>"), ",")
+          .as("rich_customers"),
         count(lit(1)).as("n"))
       .orderBy("c_nationkey")
 
   val arrayAggSql: String =
-    """SELECT c_nationkey, list_sort(list(c_custkey)) AS rich_customers, COUNT(*) AS n
+    """SELECT c_nationkey, array_to_string(list_sort(list(c_custkey)), ',') AS rich_customers,
+      | COUNT(*) AS n
       |FROM customer
       |WHERE c_acctbal > 9900
       |GROUP BY c_nationkey
@@ -220,7 +225,8 @@ object Relational3 {
       .agg(
         approx_count_distinct(col("o_custkey"), 0.02).as("approx_customers"),
         countDistinct(col("o_custkey")).as("exact_customers"),
-        expr("approx_percentile(o_totalprice, array(0.5, 0.9), 1000)").as("price_quantiles"),
+        to_json(expr("approx_percentile(o_totalprice, array(0.5, 0.9), 1000)"))
+          .as("price_quantiles"),
         count(lit(1)).as("n"))
       .orderBy("o_orderpriority")
 

@@ -53,7 +53,7 @@ object Similarity {
       |ORDER BY cosine DESC, vec_id
       |LIMIT 10""".stripMargin
 
-  private val NumPlanes = 6 // 64 buckets; sized so buckets hold ~n/64 vectors
+  private[operators] val NumPlanes = 6 // 64 buckets; sized so buckets hold ~n/64 vectors
   private val Dim       = 64
 
   /** Deterministic ±1 hyperplanes (fixed LCG seed — no runtime RNG). */
@@ -63,13 +63,15 @@ object Similarity {
     Seq.fill(NumPlanes)(Seq.fill(Dim)(if ((next() >>> 40 & 1) == 1) 1.0 else -1.0))
   }
 
-  private def signBucket(v: Column): Column = {
-    val lits = planes.map(p => typedLit(p))
+  /** Random-hyperplane sign signature — the blocking key shared by
+    * [[lshTopK]] and [[Dedup.embeddingCosine]]. Codegen'd dot products;
+    * one narrow projection, no shuffle.
+    */
+  private[operators] def signBucket(v: Column): Column =
     (0 until NumPlanes).map { i =>
-      val dot = aggregate(zip_with(v, lits(i), (a, b) => a * b), lit(0.0), (acc, x) => acc + x)
-      when(dot > 0, lit(1 << i)).otherwise(lit(0))
+      when(graft.functions.DotProduct(v, typedLit(planes(i))) > 0, lit(1 << i))
+        .otherwise(lit(0))
     }.reduce[Column](_ + _)
-  }
 
   /** LSH ANN: corpus bucketed by sign signature; the query probes its own
     * bucket plus all 1-bit-flip neighbours (multiprobe), then exact
@@ -104,17 +106,18 @@ object Similarity {
     */
   def ivfTopK(t: Tables): DataFrame = {
     val vecs = vectors(t).cache()
+    // Nearest cell by squared distance expanded as ‖v−c‖² = v·v − 2v·c + c·c:
+    // v·v is constant per row so the argmin only needs c·c − 2v·c, with c·c
+    // precomputed driver-side and v·c the codegen'd DotProduct — no
+    // interpreted HOF lambdas anywhere in the per-row hot path.
     def assign(cents: Seq[(Int, Seq[Double])]): DataFrame = {
-      val centArr = array(cents.map { case (id, c) =>
-        struct(lit(id).as("cell"), typedLit(c).as("c"))
-      }: _*)
-      vecs
-        .withColumn("cents", centArr)
-        .withColumn("cell",
-          expr("""array_min(transform(cents, s ->
-                    struct(aggregate(zip_with(v, s.c, (a, b) -> (a - b) * (a - b)),
-                                     0D, (acc, x) -> acc + x) AS d, s.cell AS cell))).cell"""))
-        .drop("cents")
+      val scored = cents.map { case (id, c) =>
+        val cc = c.map(x => x * x).sum
+        struct(
+          (lit(cc) - lit(2.0) * graft.functions.DotProduct(col("v"), typedLit(c))).as("d"),
+          lit(id).as("cell"))
+      }
+      vecs.withColumn("cell", array_min(array(scored: _*)).getField("cell"))
     }
     var cents: Seq[(Int, Seq[Double])] = vecs
       .where(col("vec_id") < NumCells)
@@ -137,8 +140,11 @@ object Similarity {
         .sortBy(_._1)
     }
     val assigned = assign(cents).cache()
-    val q = assigned.where(col("vec_id") === 0).select(col("v").as("qv")).collect()(0)
-    val qv = q.getSeq[Double](0)
+    // one bounded collect: the query vector (the model itself is already
+    // driver-side state); probe cells are computed locally from it
+    val qv = assigned.where(col("vec_id") === 0)
+      .select(col("v")).collect()(0).getSeq[Double](0)
+    vecs.unpersist(false) // assigned is cached; the base scan is done with
     val probeCells = cents
       .map { case (id, c) =>
         (id, c.zip(qv).map { case (a, b) => (a - b) * (a - b) }.sum)
@@ -148,8 +154,7 @@ object Similarity {
       .map(_._1)
     assigned
       .where(col("cell").isin(probeCells: _*) && col("vec_id") =!= 0)
-      .crossJoin(broadcast(assigned.where(col("vec_id") === 0).select(col("v").as("qv"))))
-      .select(col("vec_id"), cosine(col("v"), col("qv")).as("cosine"), col("cell"))
+      .select(col("vec_id"), cosine(col("v"), typedLit(qv)).as("cosine"), col("cell"))
       .orderBy(col("cosine").desc, col("vec_id"))
       .limit(10)
   }

@@ -25,18 +25,47 @@ import org.apache.spark.sql.types.{ArrayType, DoubleType}
   */
 object DotProductRewrite extends Rule[LogicalPlan] {
 
+  /** The two operands are exactly the lambda's declared first/second
+    * argument variables (either order — * and + are commutative on
+    * doubles, bit-for-bit). Matching by exprId rejects shapes like
+    * `(x, y) -> x * x` that reuse one variable, which are NOT dot
+    * products.
+    */
+  private def isArgPair(p: Expression, q: Expression,
+      args: Seq[NamedLambdaVariable]): Boolean = (p, q) match {
+    case (pv: NamedLambdaVariable, qv: NamedLambdaVariable) if args.length == 2 =>
+      (pv.exprId == args(0).exprId && qv.exprId == args(1).exprId) ||
+        (pv.exprId == args(1).exprId && qv.exprId == args(0).exprId)
+    case _ => false
+  }
+
+  /** Finish lambda is the identity `s -> s` (what a 3-argument
+    * `aggregate(...)` desugars to). Anything else — e.g. an L2 norm's
+    * `s -> sqrt(s)` — must keep its HOF form.
+    */
+  private def isIdentityFinish(f: Expression): Boolean = f match {
+    case LambdaFunction(fv: NamedLambdaVariable, Seq(arg: NamedLambdaVariable), _) =>
+      fv.exprId == arg.exprId
+    case _ => false
+  }
+
+  private def isDoubleArray(e: Expression): Boolean = e.dataType match {
+    case ArrayType(DoubleType, _) => true
+    case _ => false
+  }
+
   private object HofDotProduct {
     def unapply(e: Expression): Option[(Expression, Expression)] = e match {
       case ArrayAggregate(
             ZipWith(a, b,
-              LambdaFunction(CMultiply(x: NamedLambdaVariable, y: NamedLambdaVariable, _), _, _)),
+              LambdaFunction(CMultiply(x, y, _), zipArgs, _)),
             Literal(0.0, DoubleType),
-            LambdaFunction(CAdd(acc: NamedLambdaVariable, v: NamedLambdaVariable, _), _, _),
-            _)
-          if x.dataType == DoubleType && y.dataType == DoubleType &&
-            a.dataType.isInstanceOf[ArrayType] && b.dataType.isInstanceOf[ArrayType] &&
-            a.dataType.asInstanceOf[ArrayType].elementType == DoubleType &&
-            b.dataType.asInstanceOf[ArrayType].elementType == DoubleType =>
+            LambdaFunction(CAdd(acc, v, _), foldArgs, _),
+            finish)
+          if isArgPair(x, y, zipArgs.collect { case n: NamedLambdaVariable => n }) &&
+            isArgPair(acc, v, foldArgs.collect { case n: NamedLambdaVariable => n }) &&
+            isIdentityFinish(finish) &&
+            isDoubleArray(a) && isDoubleArray(b) =>
         Some((a, b))
       case _ => None
     }

@@ -70,6 +70,55 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("embedding cosine plans as a shuffle equi-join, not a nested loop or cartesian") {
+    val plan = Dedup.embeddingCosine(sf).queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+
+  test("edit distance plans as a length-band equi-join, not a nested loop") {
+    val plan = Dedup.editDistance(sf).queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+
+  test("prefix-filtered ngram jaccard equals unblocked brute force") {
+    val brute = {
+      val g = graft.functions.Shingles.gramsOf(planted.documents)
+      val a = g.select($"doc_id".as("a_id"), $"grams".as("ga"))
+      val b = g.select($"doc_id".as("b_id"), $"grams".as("gb"))
+      a.join(b, $"a_id" < $"b_id")
+        .select($"a_id", $"b_id",
+          graft.functions.Shingles.jaccard($"ga", $"gb").as("j"))
+        .where($"j" >= 0.6)
+        .as[(Long, Long, Double)].collect().toSet
+    }
+    val blocked = Dedup.ngramJaccard(planted).as[(Long, Long, Double)].collect().toSet
+    assert(blocked == brute)
+  }
+
+  test("embedding LSH pairs are an exact-scored subset of the exact pair scan") {
+    val exact = Dedup.embeddingCosine(sf).as[(Long, Long, Double)].collect()
+      .map { case (a, b, c) => (a, b) -> c }.toMap
+    val approx = Dedup.embeddingLsh(sf).as[(Long, Long, Double)].collect()
+    assert(approx.nonEmpty)
+    approx.foreach { case (a, b, c) =>
+      assert(exact.get((a, b)).contains(c), s"($a,$b) not in exact set or score drifted")
+    }
+  }
+
+  test("label propagation reaches the fixpoint on a diameter-4 chain") {
+    // chain 10-11-12-13-14: a fixed 3-round propagation would leave the
+    // tail labelled wrong; the fixpoint loop must collapse all to 10
+    val nodes = Seq(10L, 11L, 12L, 13L, 14L, 99L).toDF("id")
+    val pairs = Seq((10L, 11L), (11L, 12L), (12L, 13L), (13L, 14L))
+      .toDF("a_id", "b_id")
+    val labels = Dedup.propagateLabels(nodes, pairs)
+      .as[(Long, Long)].collect().toMap
+    assert(Seq(10L, 11L, 12L, 13L, 14L).forall(labels(_) == 10L), labels.toString)
+    assert(labels(99L) == 99L)
+  }
+
   test("ann brute-force topk returns 10 ordered neighbours") {
     val rows = Similarity.bruteForceTopK(sf).collect()
     assert(rows.length == 10)

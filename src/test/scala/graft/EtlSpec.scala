@@ -61,7 +61,7 @@ class EtlSpec extends SparkSpec {
       val approx = r.getLong(1).toDouble
       val exact  = r.getLong(2).toDouble
       assert(math.abs(approx - exact) / exact < 0.1, s"approx $approx vs exact $exact")
-      assert(r.getSeq[Double](3).length == 2)
+      assert(r.getString(3).stripPrefix("[").stripSuffix("]").split(",").length == 2)
     }
   }
 

@@ -50,4 +50,42 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(!df.queryExecution.optimizedPlan.toString.contains("dot_product"))
     assert(df.collect().head.getDouble(0) == 10.0)
   }
+
+  test("rewrite does not fire on a non-identity finish lambda (L2 norm keeps its sqrt)") {
+    val df = spark.sql(
+      """SELECT aggregate(zip_with(a, a, (x, y) -> x * y), 0.0d, (acc, v) -> acc + v,
+        |                 s -> sqrt(s)) AS norm
+        |FROM VALUES (array(3.0d, 4.0d)) AS t(a)""".stripMargin)
+    assert(!df.queryExecution.optimizedPlan.toString.contains("dot_product"))
+    assert(df.collect().head.getDouble(0) == 5.0)
+  }
+
+  test("rewrite does not fire when the zip lambda reuses one argument (x*x is not a dot product)") {
+    val df = spark.sql(
+      """SELECT aggregate(zip_with(a, b, (x, y) -> x * x), 0.0d, (acc, v) -> acc + v) AS d
+        |FROM VALUES (array(1.0d, 2.0d), array(3.0d, 4.0d)) AS t(a, b)""".stripMargin)
+    assert(!df.queryExecution.optimizedPlan.toString.contains("dot_product"))
+    assert(df.collect().head.getDouble(0) == 5.0) // 1*1 + 2*2, b untouched
+  }
+
+  test("rewritten form preserves HOF semantics on unequal lengths and null elements") {
+    // parquet round-trip so ConvertToLocalRelation can't pre-evaluate the
+    // expression before we can observe the rewritten plan
+    val dir = java.nio.file.Files.createTempDirectory("graft-dp").toString + "/t"
+    spark.sql(
+      """SELECT * FROM VALUES
+        | (1, array(1.0d, 2.0d), array(3.0d)),
+        | (2, array(1.0d, cast(null as double)), array(3.0d, 4.0d)),
+        | (3, array(1.0d, 2.0d), array(3.0d, 4.0d)) AS t(id, a, b)""".stripMargin)
+      .write.mode("overwrite").parquet(dir)
+    val df = spark.read.parquet(dir).selectExpr("id",
+      "aggregate(zip_with(a, b, (x, y) -> x * y), 0.0d, (acc, v) -> acc + v) AS d")
+      .orderBy("id")
+    assert(df.queryExecution.optimizedPlan.toString.contains("dot_product"),
+      df.queryExecution.optimizedPlan.toString)
+    val rows = df.collect()
+    assert(rows(0).isNullAt(1))              // unequal lengths -> zip pads null -> null
+    assert(rows(1).isNullAt(1))              // null element poisons the fold
+    assert(rows(2).getDouble(1) == 11.0)
+  }
 }

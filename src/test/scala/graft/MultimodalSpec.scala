@@ -9,7 +9,8 @@ class MultimodalSpec extends SparkSpec {
     assert(rows.length == sf.documents.count())
     rows.foreach { r =>
       assert(r.getInt(1) > 0)                       // n_bytes
-      assert(r.getSeq[Double](4).length == 4)       // features shape
+      assert(r.getString(4).stripPrefix("[").stripSuffix("]")
+        .split(",").length == 4)                    // features shape (JSON)
     }
     // deterministic: same input → same features
     val again = Multimodal.binaryPipeline(sf).collect()
