@@ -19,6 +19,15 @@ final case class Tables(spark: SparkSession, dir: String) {
     * reader rejects. Read it as raw nanos (legacy conf) and truncate to
     * microseconds — the same ns→µs truncation DuckDB applies, so oracle
     * comparisons agree.
+    *
+    * DELIBERATELY SESSION-WIDE: the conf is consulted again at scan
+    * execution time, so a set-and-restore around this (lazy) read would
+    * fail at runtime. The visible effect is that any later nanos-timestamp
+    * parquet read in the session also arrives as raw longs instead of
+    * erroring — acceptable for this engine's sessions, which own their
+    * builder (see Bench/Verify/specs); callers embedding graft in a
+    * session that must keep strict nanos rejection should read events
+    * through a separate session.
     */
   private def eventsRaw: DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")

@@ -8,7 +8,8 @@ import org.apache.spark.sql.types.{DataType, LongType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** Polynomial (Karp-Rabin) rolling hash over a string's UTF-8 bytes:
-  * h = Σ byteᵢ · B^(n-1-i) mod M, with B=257, M=2⁶¹-1.
+  * h = Σ byteᵢ · B^(n-1-i) mod M, with B=257, M=2⁶¹−1 (Mersenne; see
+  * [[RollingHash.step]] for the overflow-free reduction).
   *
   * A native Catalyst `Expression` with `doGenCode` so document
   * fingerprinting stays inside whole-stage codegen (a Scala UDF would
@@ -56,13 +57,24 @@ case class RollingHash(child: Expression) extends UnaryExpression {
 
 object RollingHash {
   final val Base: Long = 257L
-  final val Mod: Long  = (1L << 31) - 1 // Mersenne prime 2^31-1
+  final val Mod: Long  = (1L << 61) - 1 // Mersenne prime 2^61-1
 
   /** One hash step; called from both interpreted eval and generated code.
-    * h < Mod, so h*Base + byte < 2^40 — no 64-bit overflow.
+    *
+    * h < 2^61, so h·257 spans up to 2^69 — the product is formed as a
+    * 128-bit (hi, lo) pair and reduced with the Mersenne identities
+    * 2^64 ≡ 8 and 2^61 ≡ 1 (mod 2^61−1), keeping the fingerprint space at
+    * 61 bits (birthday bound ~2^30.5 docs, vs ~65k at the 31-bit modulus).
     */
-  def step(h: Long, b: Byte): Long =
-    (h * Base + (b & 0xFFL)) % Mod
+  def step(h: Long, b: Byte): Long = {
+    val lo = h * Base // wrapping low 64 bits
+    val hi = Math.multiplyHigh(h, Base)
+    var r = (lo & Mod) + (lo >>> 61) + (hi << 3)
+    if (r >= Mod) r -= Mod
+    r += (b & 0xFFL)
+    if (r >= Mod) r -= Mod
+    r
+  }
 
   /** Column API: `RollingHash(col("text"))`. */
   def apply(c: Column): Column =

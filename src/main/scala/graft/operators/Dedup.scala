@@ -165,29 +165,42 @@ object Dedup {
        |   / len(list_distinct(list_concat(a.grams, b.grams))) >= 0.6
        |ORDER BY a_id, b_id""".stripMargin
 
-  /** 64-bit SimHash near-dup pairs (hamming ≤ 3), rows-only.
+  private val SimBits = 60 // 15 md5 hex chars — portable big-endian parse
+  private val SimSegs = 4  // pigeonhole: hamming ≤ 3 pairs share ≥ 1 of 4 segments
+
+  /** 60-bit SimHash near-dup pairs (hamming ≤ 3).
     *
-    * Pigeonhole blocking: split the signature into 4×16-bit segments; any
+    * The per-gram hash is the first 15 hex chars of md5 parsed big-endian
+    * — computable bit-identically in any engine with md5 (Spark `conv`,
+    * DuckDB `'0x…'::BIGINT`), unlike xxhash64, so the oracle can rebuild
+    * the full signature from the raw table.
+    *
+    * Pigeonhole blocking: split the signature into 4×15-bit segments; any
     * pair within hamming 3 shares at least one identical segment, so the
-    * candidate join is an equi-join on (segment_idx, segment_value).
+    * candidate join is an equi-join on (segment_idx, segment_value) and —
+    * because the blocking is COMPLETE for hamming ≤ 3 — the output equals
+    * the brute-force signature scan the oracle runs.
     */
   def simhash(t: Tables): DataFrame = {
     val g = Shingles.gramsOf(t.documents)
     val ex = g.select(col("doc_id"), explode(col("grams")).as("gram"))
-      .select(col("doc_id"), xxhash64(col("gram")).as("h"))
-    val bitCols = (0 until 64).map { j =>
+      .select(col("doc_id"),
+        conv(substring(md5(col("gram")), 1, 15), 16, 10).cast("long").as("h"))
+    val bitCols = (0 until SimBits).map { j =>
       sum(when(shiftrightunsigned(col("h"), j).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"b$j")
     }
     val bitSums = ex.groupBy("doc_id").agg(bitCols.head, bitCols.tail: _*)
     val sim = bitSums.select(
       col("doc_id"),
-      (0 until 64).map { j =>
+      (0 until SimBits).map { j =>
         when(col(s"b$j") > 0, shiftleft(lit(1L), j)).otherwise(0L)
       }.reduce[Column](_ bitwiseOR _).as("simhash"))
+    val segBits = SimBits / SimSegs
     val seg = sim.select(
       col("doc_id"), col("simhash"),
-      posexplode(array((0 until 4).map(s =>
-        shiftrightunsigned(col("simhash"), s * 16).bitwiseAND(0xFFFFL)): _*))
+      posexplode(array((0 until SimSegs).map(s =>
+        shiftrightunsigned(col("simhash"), s * segBits)
+          .bitwiseAND((1L << segBits) - 1)): _*))
         .as(Seq("seg_idx", "seg_val")))
     val sa = seg.select(col("doc_id").as("a_id"), col("simhash").as("a_sim"),
       col("seg_idx"), col("seg_val"))
@@ -200,6 +213,37 @@ object Dedup {
       .distinct()
       .where(col("hamming") <= 3)
       .orderBy("a_id", "b_id")
+  }
+
+  /** Oracle: rebuild every 60-bit signature in SQL (same md5-derived gram
+    * hash, same majority bit votes) and brute-force the hamming scan —
+    * the segment blocking is complete for hamming ≤ 3, so results match.
+    */
+  val simhashSql: String = {
+    val bitSums = (0 until SimBits)
+      .map(j => s"SUM(CASE WHEN (h >> $j) & 1 = 1 THEN 1 ELSE -1 END) AS b$j")
+      .mkString(",\n   ")
+    val sigBits = (0 until SimBits)
+      .map(j => s"(CASE WHEN b$j > 0 THEN (CAST(1 AS BIGINT) << $j) ELSE 0 END)")
+      .mkString(" | ")
+    s"""WITH g AS (
+       | SELECT doc_id, ${Shingles.grams3Sql("text")} AS grams
+       | FROM documents),
+       |e AS (SELECT doc_id, unnest(grams) AS gram FROM g),
+       |h AS (
+       | SELECT doc_id,
+       |  CAST('0x' || substr(md5(gram), 1, 15) AS BIGINT) AS h
+       | FROM e),
+       |b AS (
+       | SELECT doc_id,
+       |   $bitSums
+       | FROM h GROUP BY doc_id),
+       |s AS (SELECT doc_id, $sigBits AS sig FROM b)
+       |SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+       | CAST(bit_count(xor(a.sig, b.sig)) AS INT) AS hamming
+       |FROM s a JOIN s b ON a.doc_id < b.doc_id
+       |WHERE bit_count(xor(a.sig, b.sig)) <= 3
+       |ORDER BY a_id, b_id""".stripMargin
   }
 
   /** Min-label propagation to FIXPOINT: iterate until a round changes no

@@ -119,7 +119,7 @@ object Etl {
       |GROUP BY 1, 2, 3
       |ORDER BY date, product_id, warehouse_id""".stripMargin
 
-  /** End-to-end ETL run mirroring the reference's `main` (etl.py:475):
+  /** End-to-end ETL run mirroring the reference's `main` (etl.py:56):
     * extract all sources → conform dims → enrich facts → load partitioned
     * sinks. One call materializes the same four tables the reference
     * inserts into ClickHouse, as month-partitioned ordered parquet.
@@ -143,10 +143,12 @@ object Etl {
     }.toMap
   }
 
-  /** `_normalize_df` parity (loaders.py:727-761): money quantized to
+  /** `_normalize_df` parity (loaders.py:115): money quantized to
     * Decimal(12,2) HALF_UP, integer coercion with null→0, alias mapping,
     * null-text defaults. Null paths are exercised in the spec with literal
-    * frames; here the same plan runs over `customer`.
+    * frames; here the same plan runs over `customer`. The UUID and
+    * required-columns branches of `_normalize_df` live in
+    * [[conformToSchema]].
     */
   def normalize(t: Tables): DataFrame =
     t.customer.select(
@@ -165,4 +167,38 @@ object Etl {
       | CAST(CAST(c_acctbal AS DECIMAL(12,2)) AS DOUBLE) AS acctbal
       |FROM customer
       |ORDER BY customer_id""".stripMargin
+
+  /** The schema-conformance half of `_normalize_df` (loaders.py:115):
+    * alias mapping (`customer_name`→`name`, loaders.py:121), UUID-typed
+    * `event_id` coerced to its canonical string form (loaders.py:141 —
+    * parquet UUIDs arrive as 16-byte binary; string event_ids pass
+    * through), and the required-columns contract: missing columns RAISE
+    * (loaders.py:145), matching the reference's fail-fast load gate, and
+    * the output carries exactly `required` in order.
+    */
+  def conformToSchema(df: DataFrame, required: Seq[String]): DataFrame = {
+    val aliased =
+      if (df.columns.contains("customer_name") && !df.columns.contains("name")
+          && required.contains("name"))
+        df.withColumn("name", col("customer_name"))
+      else df
+    val withUuid =
+      if (aliased.columns.contains("event_id"))
+        aliased.schema("event_id").dataType match {
+          case org.apache.spark.sql.types.BinaryType =>
+            // 16-byte UUID → 8-4-4-4-12 hex form, lowercase (str(uuid.UUID))
+            aliased.withColumn("event_id",
+              concat_ws("-",
+                substring(lower(hex(col("event_id"))), 1, 8),
+                substring(lower(hex(col("event_id"))), 9, 4),
+                substring(lower(hex(col("event_id"))), 13, 4),
+                substring(lower(hex(col("event_id"))), 17, 4),
+                substring(lower(hex(col("event_id"))), 21, 12)))
+          case _ => aliased.withColumn("event_id", col("event_id").cast("string"))
+        }
+      else aliased
+    val missing = required.filterNot(withUuid.columns.contains)
+    require(missing.isEmpty, s"Required columns are missing: $missing")
+    withUuid.select(required.map(col): _*)
+  }
 }

@@ -12,9 +12,13 @@ import org.apache.spark.sql.functions._
   */
 object Profiler {
 
-  /** Generic profile of any DataFrame: one row per column. */
+  /** Generic profile of any DataFrame: one row per column. ONE job — the
+    * row count rides in the same aggregation as the per-column stats
+    * (`count(lit(1))`), and the single collected row is bounded state
+    * (4 scalars per column).
+    */
   def profile(df: DataFrame): DataFrame = {
-    val aggs = df.schema.fields.flatMap { f =>
+    val aggs = count(lit(1)).as("__total") +: df.schema.fields.toSeq.flatMap { f =>
       val c = col(f.name)
       Seq(
         count(c).as(s"${f.name}__nonnull"),
@@ -22,16 +26,16 @@ object Profiler {
         min(c).cast("string").as(s"${f.name}__min"),
         max(c).cast("string").as(s"${f.name}__max"))
     }
-    val total = df.count()
     val row = df.agg(aggs.head, aggs.tail: _*).collect().head
+    val total = row.getLong(0)
     val spark = df.sparkSession
     import spark.implicits._
     df.schema.fields.zipWithIndex.map { case (f, i) =>
       (f.name, f.dataType.typeName, total,
-        total - row.getLong(i * 4),
-        row.getLong(i * 4 + 1),
-        Option(row.get(i * 4 + 2)).map(_.toString).orNull,
-        Option(row.get(i * 4 + 3)).map(_.toString).orNull)
+        total - row.getLong(i * 4 + 1),
+        row.getLong(i * 4 + 2),
+        Option(row.get(i * 4 + 3)).map(_.toString).orNull,
+        Option(row.get(i * 4 + 4)).map(_.toString).orNull)
     }.toSeq
       .toDF("col_name", "dtype", "n_rows", "n_null", "n_distinct", "min_val", "max_val")
       .orderBy("col_name")

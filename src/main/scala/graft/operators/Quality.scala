@@ -32,28 +32,38 @@ object Quality {
       |WHERE rn = 1
       |ORDER BY user_id""".stripMargin
 
-  /** Data-quality rule sweep: each rule one aggregate, violations counted
-    * in a single pass per table (the pre-load gate the reference's
-    * `_normalize_df` required-columns check hints at, loaders.py:757).
+  /** Data-quality rule sweep (the pre-load gate the reference's
+    * `_normalize_df` required-columns check hints at, loaders.py:145).
+    *
+    * ONE pass per table, no driver-side actions: the null-key and
+    * duplicate-PK rules share a single groupBy over orders, the FK and
+    * range rules share a single left join over lineitem, and the four
+    * scalars meet in a 1×1 cross join that `stack` unpivots — the whole
+    * sweep is one lazy plan instead of four separate count jobs.
     */
   def dqChecks(t: Tables): DataFrame = {
-    val spark = t.spark
-    import spark.implicits._
-    val orders = t.orders
-    val lineitem = t.lineitem
-    val nullKeys = orders.where(col("o_orderkey").isNull).count()
-    val dupPk = orders.groupBy("o_orderkey").count().where(col("count") > 1).count()
-    val fkOrphans = lineitem
-      .join(orders, col("l_orderkey") === col("o_orderkey"), "left_anti").count()
-    val rangeViolations = lineitem
-      .where(col("l_discount") < 0 || col("l_discount") > 1 || col("l_quantity") <= 0)
-      .count()
-    Seq(
-      ("fk_lineitem_orders_orphans", fkOrphans),
-      ("null_order_keys", nullKeys),
-      ("orders_pk_duplicates", dupPk),
-      ("range_violations", rangeViolations))
-      .toDF("rule", "n_violations")
+    val orderStats = t.orders
+      .groupBy(col("o_orderkey"))
+      .agg(count(lit(1)).as("cnt"))
+      .agg(
+        coalesce(sum(when(col("o_orderkey").isNull, col("cnt"))), lit(0L))
+          .as("null_order_keys"),
+        count(when(col("cnt") > 1, 1)).as("orders_pk_duplicates"))
+    val lineitemStats = t.lineitem
+      .select("l_orderkey", "l_discount", "l_quantity")
+      .join(t.orders.select(col("o_orderkey")).distinct(), // NOT EXISTS semantics even under dup PKs
+        col("l_orderkey") === col("o_orderkey"), "left")
+      .agg(
+        count(when(col("o_orderkey").isNull, 1)).as("fk_lineitem_orders_orphans"),
+        count(when(col("l_discount") < 0 || col("l_discount") > 1 ||
+          col("l_quantity") <= 0, 1)).as("range_violations"))
+    orderStats.crossJoin(lineitemStats) // two 1-row branches
+      .selectExpr(
+        """stack(4,
+          | 'fk_lineitem_orders_orphans', fk_lineitem_orders_orphans,
+          | 'null_order_keys', null_order_keys,
+          | 'orders_pk_duplicates', orders_pk_duplicates,
+          | 'range_violations', range_violations) AS (rule, n_violations)""".stripMargin)
       .orderBy("rule")
   }
 

@@ -5,12 +5,14 @@ import org.apache.spark.sql.functions._
 
 /** Load layer: partitioned, ordered columnar sinks — the Spark-native
   * re-expression of the reference's ClickHouse MergeTree DDL
-  * (loaders.py:685-716: PARTITION BY toYYYYMM(ts), ORDER BY (ts, ...)).
+  * (_create_tables, loaders.py:45: MergeTree ORDER BY / toYYYYMM
+  * partitioning).
   *
   * parquet + hive-style month partitions gives the same pruning the
   * MergeTree partition key gives ClickHouse; sortWithinPartitions gives
   * the same locality the ORDER BY clause gives (row-group min/max stats
-  * make time-range scans skip).
+  * make time-range scans skip). For reference-parity users who DO load a
+  * database, [[jdbcWriter]] is the chunked-insert twin.
   */
 object Sinks {
 
@@ -50,12 +52,22 @@ object Sinks {
     val withYm = updates.withColumn("ym", date_format(col(tsCol), "yyyyMM"))
     val touched = withYm.select("ym").distinct()
       .collect().map(_.getString(0)).toSeq
+    // only a genuinely-missing table may fall back to "first write"; any
+    // other read failure must propagate — silently substituting an empty
+    // frame here would make the overwrite below DROP the stored rows of
+    // every touched partition
     val existing =
-      try spark.read.parquet(path).where(col("ym").isin(touched: _*))
-      catch { case _: Throwable => spark.createDataFrame(
-        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], withYm.schema) }
+      if (fileExists(spark, path))
+        spark.read.parquet(path).where(col("ym").isin(touched: _*))
+      else spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], withYm.schema)
+    // tsCol desc picks the latest version; the key itself can't break the
+    // tie (constant within the window), so order on ALL remaining columns
+    // to make equal-timestamp winners deterministic
+    val tieBreak = withYm.columns.toSeq
+      .filter(c => c != keyCol && c != tsCol).map(c => col(c).desc)
     val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(keyCol).orderBy(col(tsCol).desc)
+      .partitionBy(keyCol).orderBy(col(tsCol).desc +: tieBreak: _*)
     val merged = existing.unionByName(withYm)
       .withColumn("_rn", row_number().over(w))
       .where(col("_rn") === 1)
@@ -66,7 +78,7 @@ object Sinks {
     finally prev.foreach(spark.conf.set("spark.sql.sources.partitionOverwriteMode", _))
   }
 
-  /** Chunked plain write (the reference's chunked insert, loaders.py:775
+  /** Chunked plain write (the reference's chunked insert, loaders.py:151
     * — in Spark the parallel write IS the chunking; `maxRecordsPerFile`
     * bounds file sizes for downstream consumers).
     */
@@ -75,4 +87,42 @@ object Sinks {
       .mode("overwrite")
       .option("maxRecordsPerFile", maxRecordsPerFile.toString)
       .parquet(path)
+
+  private def fileExists(spark: org.apache.spark.sql.SparkSession,
+      path: String): Boolean = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    p.getFileSystem(spark.sessionState.newHadoopConf()).exists(p)
+  }
+
+  /** Database write sink — the load half of the reference's pipeline
+    * (_insert_df, loaders.py:151: chunked inserts of CH_CHUNK_ROWS rows,
+    * loaders.py:13). In Spark every partition inserts in parallel over
+    * its own connection and `batchsize` plays the CH_CHUNK_ROWS role
+    * (rows per round-trip); `numPartitions` caps concurrent connections
+    * so a 1000-executor job can't open 1000 sessions against one server.
+    * Returns the configured writer; callers invoke `.save()` (specs
+    * verify option plumbing without a live database).
+    */
+  final case class JdbcSinkConfig(
+      url: String,
+      table: String,
+      user: String,
+      password: String,
+      batchSize: Int = 200000, // CH_CHUNK_ROWS default, loaders.py:13
+      numPartitions: Option[Int] = Some(8),
+      truncate: Boolean = false)
+
+  def jdbcWriter(df: DataFrame,
+      cfg: JdbcSinkConfig): org.apache.spark.sql.DataFrameWriter[org.apache.spark.sql.Row] = {
+    val repartitioned = cfg.numPartitions.fold(df)(n => df.repartition(n))
+    repartitioned.write
+      .format("jdbc")
+      .mode("append")
+      .option("url", cfg.url)
+      .option("dbtable", cfg.table)
+      .option("user", cfg.user)
+      .option("password", cfg.password)
+      .option("batchsize", cfg.batchSize.toString)
+      .option("truncate", cfg.truncate.toString)
+  }
 }

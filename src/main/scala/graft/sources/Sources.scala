@@ -16,7 +16,7 @@ object Sources {
 
   /** CSV objects under a prefix tree, with provenance and
     * date-inferred-from-object-key — read_minio_inventory_df
-    * (extractors.py:593) + _infer_date_from_key (extractors.py:565).
+    * (extractors.py:103) + _infer_date_from_key (extractors.py:75).
     *
     * `path` may be a glob (e.g. `s3://bucket/inventory/ ** / *.csv`): Spark's
     * file index does the prefix listing that the reference does with
@@ -48,7 +48,7 @@ object Sources {
   }
 
   /** JSON-lines event ingestion — the batch shape of the Kafka topic
-    * drain (read_kafka_topic, extractors.py:531).
+    * drain (read_kafka_topic, extractors.py:41).
     */
   def jsonLines(spark: SparkSession, path: String,
       schema: Option[StructType] = None): DataFrame =
@@ -64,7 +64,7 @@ object Sources {
   def orc(spark: SparkSession, path: String): DataFrame =
     spark.read.orc(path)
 
-  /** JDBC full-table read — read_pg_table (extractors.py:524), but
+  /** JDBC full-table read — read_pg_table (extractors.py:34), but
     * partitioned: Spark issues `numPartitions` range-predicated queries in
     * parallel instead of one giant cursor.
     */
@@ -114,7 +114,9 @@ object Sources {
     * parse stage is the tested part and is connector-independent.
     */
   final case class KafkaConfig(bootstrap: String, topic: String,
-      startingOffsets: String = "earliest")
+      startingOffsets: String = "earliest",
+      endingOffsets: String = "latest",
+      maxRecords: Long = 50000L) // KAFKA_MAX_RECORDS default, extractors.py:15
 
   def kafkaStream(spark: SparkSession, cfg: KafkaConfig): DataFrame =
     parseSalesEvents(
@@ -124,4 +126,29 @@ object Sources {
         .option("subscribe", cfg.topic)
         .option("startingOffsets", cfg.startingOffsets)
         .load())
+
+  /** Bounded batch topic drain — read_kafka_topic (extractors.py:41):
+    * the reference reads a topic from the beginning, stops after
+    * KAFKA_MAX_RECORDS (extractors.py:62), and closes. The Spark twin is
+    * a BATCH Kafka scan over [startingOffsets, endingOffsets] with a
+    * `limit` for the max-records cap; partitions of the topic are read in
+    * parallel, not through one consumer loop.
+    *
+    * Returns the unparsed (key, value, ...) frame builder; compose with
+    * [[parseSalesEvents]] — `.load()` requires the spark-sql-kafka
+    * connector on the cluster (specs verify the option plumbing and the
+    * parse stage without a broker).
+    */
+  def kafkaBatchReader(spark: SparkSession, cfg: KafkaConfig): DataFrameReader =
+    spark.read
+      .format("kafka")
+      .option("kafka.bootstrap.servers", cfg.bootstrap)
+      .option("subscribe", cfg.topic)
+      .option("startingOffsets", cfg.startingOffsets)
+      .option("endingOffsets", cfg.endingOffsets)
+
+  /** The full drain: bounded batch read → typed sales events. */
+  def kafkaBatch(spark: SparkSession, cfg: KafkaConfig): DataFrame =
+    parseSalesEvents(kafkaBatchReader(spark, cfg).load())
+      .limit(cfg.maxRecords.toInt)
 }

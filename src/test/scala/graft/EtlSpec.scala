@@ -15,6 +15,25 @@ class EtlSpec extends SparkSpec {
     assert(rows sameElements Array(1.01, 2.68, 3.0, -1.01))
   }
 
+  test("conformToSchema: alias, UUID coercion, required-columns raise (loaders.py:115 parity)") {
+    // binary UUID → canonical 8-4-4-4-12 string
+    val uuid = java.util.UUID.fromString("12345678-9abc-def0-1122-334455667788")
+    val bb = java.nio.ByteBuffer.allocate(16)
+    bb.putLong(uuid.getMostSignificantBits).putLong(uuid.getLeastSignificantBits)
+    val binDf = Seq((bb.array(), 1L)).toDF("event_id", "customer_id")
+    val conformed = Etl.conformToSchema(binDf, Seq("event_id", "customer_id"))
+    assert(conformed.collect().head.getString(0) == uuid.toString)
+    // string event_id passes through; customer_name aliases to name
+    val strDf = Seq(("e-1", "Alice")).toDF("event_id", "customer_name")
+    val out = Etl.conformToSchema(strDf, Seq("event_id", "name"))
+    assert(out.columns.toSeq == Seq("event_id", "name"))
+    assert(out.collect().head.getString(1) == "Alice")
+    // missing required column raises (fail-fast load gate)
+    intercept[IllegalArgumentException] {
+      Etl.conformToSchema(strDf, Seq("event_id", "qty"))
+    }
+  }
+
   test("normalize: null int coercion and text defaults") {
     val df = Seq((Some(1L), Some("n"), None: Option[String], Some(7)), (None, None, None, None))
       .toDF("id", "name", "seg", "nat")

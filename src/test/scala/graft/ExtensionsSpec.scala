@@ -25,8 +25,11 @@ class ExtensionsSpec extends AnyFunSuite {
         "rolling_hash('abc') AS h").collect().head
     assert(r.getDouble(0) == 11.0)
     val expected = "abc".getBytes("UTF-8")
-      .foldLeft(0L)((h, b) => (h * 257L + (b & 0xFF)) % ((1L << 31) - 1))
+      .foldLeft(0L)(graft.functions.RollingHash.step)
     assert(r.getLong(1) == expected)
+    // small inputs: the 61-bit Mersenne reduction equals plain modular math
+    assert(expected == "abc".getBytes("UTF-8")
+      .foldLeft(BigInt(0))((h, b) => (h * 257 + (b & 0xFF)) % ((BigInt(1) << 61) - 1)))
   }
 
   test("optimizer rewrites the HOF dot-product pattern to the native expression") {

@@ -6,8 +6,12 @@ import org.apache.spark.sql.functions._
 class FunctionsSpec extends SparkSpec {
   import spark.implicits._
 
+  // arbitrary-precision reference: the 61-bit Mersenne reduction in
+  // RollingHash.step must equal plain modular arithmetic
   private def refRollingHash(s: String): Long =
-    s.getBytes("UTF-8").foldLeft(0L)((h, b) => (h * 257L + (b & 0xFF)) % ((1L << 31) - 1))
+    s.getBytes("UTF-8")
+      .foldLeft(BigInt(0))((h, b) => (h * 257 + (b & 0xFF)) % ((BigInt(1) << 61) - 1))
+      .toLong
 
   test("RollingHash codegen path matches the reference polynomial") {
     val rows = Seq("", "a", "abc", "hello world", "ünïcödé ≠ ascii").toDF("s")

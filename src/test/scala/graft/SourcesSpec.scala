@@ -8,7 +8,7 @@ import org.apache.spark.sql.functions._
 class SourcesSpec extends SparkSpec {
   import spark.implicits._
 
-  test("csv source infers snapshot date from the object key (extractors.py:565 parity)") {
+  test("csv source infers snapshot date from the object key (extractors.py:75 parity)") {
     val dir = Files.createTempDirectory("graft-csv")
     // minio_loader.py naming: stock_{wh}_{YYYYMMDD}.csv under inventory/YYYY/MM/
     val sub = Files.createDirectories(Paths.get(dir.toString, "inventory", "2025", "01"))
@@ -58,6 +58,52 @@ class SourcesSpec extends SparkSpec {
       user = "u", password = "p", partitionColumn = Some("id"),
       lowerBound = 0, upperBound = 1000, numPartitions = 8))
     assert(rd != null) // plumbing only; .load() needs a live database
+  }
+
+  test("kafka batch drain: bounded offsets config + max-records parse parity") {
+    // option plumbing (no broker: .load() is the only untestable step)
+    val rd = Sources.kafkaBatchReader(spark, Sources.KafkaConfig(
+      bootstrap = "broker:9092", topic = "sales_events",
+      startingOffsets = "earliest", endingOffsets = "latest"))
+    assert(rd != null)
+    // the parse + max-records cap over raw (key, value) bytes — the same
+    // stage kafkaBatch applies after the connector scan
+    val raw = (1 to 10).map { i =>
+      (s"e$i".getBytes,
+        s"""{"event_id":"e$i","ts":"2025-01-01T10:00:0${i % 10}Z","customer_id":$i,"product_id":1,"qty":1,"unit_price":2.5}""".getBytes)
+    }.toDF("key", "value")
+    val capped = Sources.parseSalesEvents(raw).limit(5)
+    assert(capped.count() == 5) // KAFKA_MAX_RECORDS semantics (extractors.py:62)
+    assert(capped.schema.fieldNames.contains("event_key"))
+  }
+
+  test("jdbc writer builds a chunked-insert config (loaders.py:151 parity)") {
+    val wr = Sinks.jdbcWriter(sf.customer.limit(10), Sinks.JdbcSinkConfig(
+      url = "jdbc:clickhouse://example:8123/erp", table = "dim_customers",
+      user = "u", password = "p", batchSize = 200000))
+    assert(wr != null) // plumbing only; .save() needs a live database
+  }
+
+  test("upsert propagates read failures instead of silently dropping stored rows") {
+    import java.sql.Timestamp
+    val out = Files.createTempDirectory("graft-upsert-bad").toString + "/state"
+    // path EXISTS but is not a readable parquet table → must throw, not
+    // fall back to the empty frame (which would rewrite partitions empty)
+    Files.createDirectories(Paths.get(out))
+    Files.writeString(Paths.get(out, "not-parquet.txt"), "garbage")
+    val batch = Seq((1L, Timestamp.valueOf("2024-01-10 00:00:00"), 1.0))
+      .toDF("id", "ts", "v")
+    intercept[Exception] { Sinks.upsertByKey(spark, out, batch, "id", "ts") }
+  }
+
+  test("upsert breaks equal-timestamp ties deterministically") {
+    import java.sql.Timestamp
+    val out = Files.createTempDirectory("graft-upsert-tie").toString + "/state"
+    val ts = Timestamp.valueOf("2024-01-10 00:00:00")
+    val batch = Seq((1L, ts, 1.0), (1L, ts, 9.0), (1L, ts, 5.0)).toDF("id", "ts", "v")
+    Sinks.upsertByKey(spark, out, batch, "id", "ts")
+    val state = spark.read.parquet(out).select("id", "v").as[(Long, Double)].collect()
+    assert(state.toSeq == Seq((1L, 9.0))) // desc order on remaining cols
   }
 
   test("month-partitioned sink writes hive-style ym directories (MergeTree parity)") {
