@@ -106,4 +106,38 @@ object Analytics {
       |   MIN(CASE WHEN event_type = 'click' THEN CAST(ts AS TIMESTAMP) END) AS first_click,
       |   MIN(CASE WHEN event_type = 'purchase' THEN CAST(ts AS TIMESTAMP) END) AS first_purchase
       |  FROM events GROUP BY user_id))""".stripMargin
+
+  /** Per-group z-score anomaly detection — the outlier gate a data-quality
+    * sweep runs before training ingestion. Mean/variance come from
+    * DECIMAL-exact Σx and Σx² (order-independent, engine-portable), then
+    * the z computation is identical double expression trees both sides —
+    * so even 15-digit z-scores hash-match the oracle. One aggregation +
+    * one broadcast join back; never a second scan per statistic.
+    */
+  def anomalyZscore(t: Tables): DataFrame = {
+    val d = dec(col("o_totalprice"))
+    val stats = t.orders.groupBy("o_orderpriority").agg(
+      count(lit(1)).as("n"),
+      sum(d).cast("double").as("sx"),
+      sum(d * d).cast("double").as("sx2"))
+    t.orders.join(broadcast(stats), Seq("o_orderpriority"))
+      .withColumn("z",
+        (col("o_totalprice") - col("sx") / col("n")) /
+          sqrt((col("sx2") - col("sx") * col("sx") / col("n")) / (col("n") - 1)))
+      .where(abs(col("z")) > 2.5)
+      .select(col("o_orderpriority"), col("o_orderkey"), col("o_totalprice"), col("z"))
+      .orderBy("o_orderpriority", "o_orderkey")
+  }
+
+  val anomalyZscoreSql: String =
+    """WITH s AS (
+      | SELECT o_orderpriority, COUNT(*) AS n,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS sx,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2)) * CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS sx2
+      | FROM orders GROUP BY o_orderpriority)
+      |SELECT o.o_orderpriority, o_orderkey, o_totalprice,
+      | (o_totalprice - sx / n) / sqrt((sx2 - sx * sx / n) / (n - 1)) AS z
+      |FROM orders o JOIN s USING (o_orderpriority)
+      |WHERE abs((o_totalprice - sx / n) / sqrt((sx2 - sx * sx / n) / (n - 1))) > 2.5
+      |ORDER BY o_orderpriority, o_orderkey""".stripMargin
 }

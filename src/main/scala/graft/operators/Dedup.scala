@@ -70,6 +70,64 @@ object Dedup {
         .select(col("doc_id"), xxhash64(col("gram")).as("h")))
   }
 
+  private val ContainmentThreshold = 0.8
+
+  /** Asymmetric CONTAINMENT near-dup pairs: C(A→B) = |A∩B| / |A| ≥ 0.8 —
+    * catches documents that are (near-)subsets of a longer document,
+    * which symmetric Jaccard misses when lengths differ widely (quote
+    * pages, boilerplate-wrapped copies — a first-class corpus-curation
+    * case).
+    *
+    * Blocking is the containment prefix filter: C ≥ t ⟹ |A∩B| ≥ ⌈t·|A|⌉,
+    * so A's first `|A| − ⌈t·|A|⌉ + 1` grams (df-ranked global order) must
+    * intersect B SOMEWHERE — an equi-join of A-prefix keys against B's
+    * full posting list. Sound, so the oracle is the unblocked brute
+    * force. Verification divides the codegen'd merge-intersection count
+    * by |A|.
+    */
+  def containment(t: Tables): DataFrame = {
+    val g = Shingles.gramsOf(t.documents).persist()
+    val ex = g.select(col("doc_id"), explode(col("grams")).as("gram"))
+    val gramDf = ex.groupBy("gram").agg(count(lit(1)).as("df"))
+    val pref = ex.join(gramDf, Seq("gram"))
+      .groupBy("doc_id")
+      .agg(sort_array(collect_list(struct(col("df"), col("gram")))).as("rg"))
+      .withColumn("plen",
+        (size(col("rg")) - ceil(lit(ContainmentThreshold) * size(col("rg"))) + 1).cast("int"))
+      .select(col("doc_id"), explode(expr("slice(rg, 1, plen)")).as("pg"))
+      .select(col("doc_id"), col("pg.gram").as("pg"))
+    val candidates = pref.select(col("doc_id").as("a_id"), col("pg").as("gram"))
+      .join(ex.select(col("doc_id").as("b_id"), col("gram")), Seq("gram"))
+      .where(col("a_id") =!= col("b_id"))
+      .select("a_id", "b_id")
+      .distinct()
+    val hg = ex.select(col("doc_id"), xxhash64(col("gram")).as("h"))
+      .groupBy("doc_id").agg(sort_array(collect_set(col("h"))).as("hg"))
+    candidates
+      .join(hg.select(col("doc_id").as("a_id"), col("hg").as("a_hg")), Seq("a_id"))
+      .join(hg.select(col("doc_id").as("b_id"), col("hg").as("b_hg")), Seq("b_id"))
+      .withColumn("containment",
+        graft.functions.SortedLongOverlap(col("a_hg"), col("b_hg"))
+          .cast("double") / size(col("a_hg")))
+      .where(col("containment") >= ContainmentThreshold)
+      .select("a_id", "b_id", "containment")
+      .orderBy("a_id", "b_id")
+  }
+
+  /** Oracle: unblocked brute force — the containment prefix filter is
+    * sound, so the blocked result equals the full scan.
+    */
+  val containmentSql: String =
+    s"""WITH g AS (
+       | SELECT doc_id, ${Shingles.grams3Sql("text")} AS grams
+       | FROM documents)
+       |SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+       | CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE) / len(a.grams) AS containment
+       |FROM g a JOIN g b ON a.doc_id <> b.doc_id
+       |WHERE len(a.grams) > 0
+       |  AND CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE) / len(a.grams) >= 0.8
+       |ORDER BY a_id, b_id""".stripMargin
+
   /** Exact-Jaccard verification of candidate pairs over HASHED gram sets:
     * grams cross the verify shuffle as sorted 8-byte longs and the score
     * is a codegen'd linear merge ([[SortedLongJaccard]]) — same value as

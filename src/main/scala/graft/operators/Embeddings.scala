@@ -58,6 +58,76 @@ object Embeddings {
         count(lit(1)).as("n_vecs"))
       .orderBy("label", "pos")
 
+  private val PqSubs = 8 // 8 subspaces × 8 dims = 64
+  private val PqDims = 8
+  private val PqK    = 16
+
+  /** Product-quantization encoding — the memory-compression path for
+    * embedding retrieval at 100 TB: each 64-dim float vector becomes 8
+    * four-bit codes (one per 8-dim subspace; 512 bits → 32 bits, 64×),
+    * with the codebook trained as deterministic per-subspace k-means
+    * (seeded by the first 16 vectors, one Lloyd refinement).
+    *
+    * Spark shape: the codebook is bounded driver-side model state
+    * (8×16×8 doubles); training and encoding are ONE exploded
+    * (vector × subspace) pass each, with the per-centroid distance as the
+    * codegen'd dot-product expansion (no interpreted HOFs) — the same
+    * pattern as [[Similarity.ivfTopK]]. Rows-only (codebooks are
+    * implementation-defined); spec asserts code ranges, determinism, and
+    * that quantization error beats the unrefined codebook.
+    */
+  def pqEncode(t: Tables): DataFrame = {
+    import graft.functions.DotProduct
+    val vecs = t.embeddings
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      .persist()
+    def sub(v: Seq[Double], s: Int): Seq[Double] = v.slice(s * PqDims, (s + 1) * PqDims)
+    val seed = vecs.where(col("vec_id") < PqK).orderBy("vec_id")
+      .collect().map(_.getSeq[Double](1).toIndexedSeq)
+    var cents: Map[(Int, Int), Seq[Double]] =
+      (for { s <- 0 until PqSubs; k <- 0 until PqK } yield ((s, k), sub(seed(k), s))).toMap
+    // (vector × subspace) rows: s, sv = the s-th 8-dim slice
+    val exploded = vecs.select(col("vec_id"),
+      explode(array((0 until PqSubs).map(s =>
+        struct(lit(s).as("s"), slice(col("v"), s * PqDims + 1, PqDims).as("sv"))): _*)).as("e"))
+      .select(col("vec_id"), col("e.s").as("s"), col("e.sv").as("sv"))
+    // best = argmin_k ‖sv − c(s,k)‖²; sv·sv dropped from the argmin (row
+    // constant), centroid terms come from array literals indexed by s
+    def withBest(cs: Map[(Int, Int), Seq[Double]])(df: DataFrame) = {
+      val scored = (0 until PqK).map { k =>
+        val cArr  = typedLit((0 until PqSubs).map(s => cs((s, k))))
+        val ccArr = typedLit((0 until PqSubs).map(s => cs((s, k)).map(x => x * x).sum))
+        struct(
+          (element_at(ccArr, col("s") + 1) -
+            lit(2.0) * DotProduct(col("sv"), element_at(cArr, col("s") + 1))).as("d"),
+          lit(k).as("cell"))
+      }
+      df.withColumn("best", array_min(array(scored: _*)))
+    }
+    // one Lloyd refinement: mean subvector per (subspace, cell)
+    val refined = withBest(cents)(exploded)
+      .select(col("s"), col("best.cell").as("cell"), posexplode(col("sv")).as(Seq("pos", "x")))
+      .groupBy("s", "cell", "pos")
+      .agg(avg(col("x")).as("m"))
+      .groupBy("s", "cell")
+      .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("pm"))
+      .select(col("s"), col("cell"), expr("transform(pm, q -> q.m)").as("c"))
+      .collect()
+      .map(r => ((r.getInt(0), r.getInt(1)), r.getSeq[Double](2)))
+      .toMap
+    cents = cents.map { case (key, old) => key -> refined.getOrElse(key, old) }
+    val out = withBest(cents)(exploded)
+      .withColumn("dt", col("best.d") + DotProduct(col("sv"), col("sv")))
+      .groupBy("vec_id")
+      .agg(
+        expr("array_join(transform(array_sort(collect_list(struct(s, best.cell AS cell)))," +
+          " q -> cast(q.cell AS string)), ',')").as("codes"),
+        (sum(col("dt")) / lit(PqSubs * PqDims)).as("mse"))
+      .orderBy("vec_id")
+    vecs.unpersist(false)
+    out
+  }
+
   val centroidsSql: String =
     """SELECT label, CAST(pos AS INT) AS pos,
       | CAST(CAST(CAST(SUM(CAST(x AS DECIMAL(38,30))) AS DOUBLE) / COUNT(*)

@@ -1,0 +1,82 @@
+package graft.operators
+
+import graft.Tables
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deterministic, engine-portable sampling for training-data pipelines.
+  *
+  * All sampling decisions hash the ROW KEY (never RAND()): reruns,
+  * retries, and other engines reproduce the exact same sample — the
+  * property a 100 TB pipeline needs for resumable jobs and train/eval
+  * hygiene. The hash is the first 15 hex chars of md5 parsed big-endian
+  * (60 bits), the same portable construction [[Dedup.simhash]] uses, so
+  * DuckDB rebuilds identical decisions and the oracle is hash-exact.
+  *
+  * At scale both operators are a single narrow filter / one window pass —
+  * no shuffle for the stratified filter, one key-partitioned shuffle for
+  * the per-key cap.
+  */
+object Sampling {
+
+  /** Uniform-in-[0,1) hash of a key column: md5 → 60-bit int / 2^60. */
+  private[operators] def unitHash(key: Column): Column =
+    conv(substring(md5(key.cast("string")), 1, 15), 16, 10).cast("double") /
+      lit(1152921504606846976.0) // 2^60
+
+  private val unitHashSqlFmt: String =
+    "CAST('0x' || substr(md5(CAST(%s AS VARCHAR)), 1, 15) AS BIGINT) / 1152921504606846976.0"
+
+  /** Stratified sampling: a different keep-fraction per stratum (here:
+    * per document language-independent source), decided row-locally from
+    * the doc_id hash — no shuffle, no coordination, exactly reproducible.
+    * The fractions map is tiny broadcast-able state expressed as a CASE
+    * ladder.
+    */
+  def stratified(t: Tables): DataFrame = {
+    val fractions = Seq("src0" -> 0.75, "src1" -> 0.5, "src2" -> 0.25)
+    val frac = fractions.foldLeft(lit(0.1)) { case (acc, (src, f)) =>
+      when(col("source") === src, f).otherwise(acc)
+    }
+    t.documents
+      .where(unitHash(col("doc_id")) < frac)
+      .select("doc_id", "source", "n_chars")
+      .orderBy("doc_id")
+  }
+
+  val stratifiedSql: String = {
+    val u = unitHashSqlFmt.format("doc_id")
+    s"""SELECT doc_id, source, n_chars
+       |FROM documents
+       |WHERE $u < (CASE WHEN source = 'src2' THEN 0.25
+       |                 WHEN source = 'src1' THEN 0.5
+       |                 WHEN source = 'src0' THEN 0.75
+       |                 ELSE 0.1 END)
+       |ORDER BY doc_id""".stripMargin
+  }
+
+  /** Per-key sample cap (deterministic reservoir analog): keep at most k
+    * rows per key, chosen by hash order — the dedup-adjacent "cap
+    * documents per domain" step of corpus curation. One window pass
+    * partitioned by the key; ties impossible (hash of a unique id).
+    */
+  def perKeyCap(t: Tables, k: Int = 20): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy(unitHash(col("event_id")), col("event_id"))
+    t.events
+      .withColumn("rk", row_number().over(w))
+      .where(col("rk") <= k)
+      .select(col("user_id"), col("event_id"), col("event_type"))
+      .orderBy("user_id", "event_id")
+  }
+
+  def perKeyCapSql(k: Int = 20): String = {
+    val u = unitHashSqlFmt.format("event_id")
+    s"""SELECT user_id, event_id, event_type FROM (
+       | SELECT user_id, event_id, event_type,
+       |  ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY $u, event_id) AS rk
+       | FROM events)
+       |WHERE rk <= $k
+       |ORDER BY user_id, event_id""".stripMargin
+  }
+}

@@ -49,6 +49,18 @@ object Streams {
     * is bounded by the watermark (old keys age out), which is what makes
     * exact dedup feasible on an unbounded 100 TB/day stream.
     */
+  /** Stream-static dimension enrichment — the STREAMING twin of the
+    * reference's fact_sales build (etl.py:37-45): an unbounded event
+    * stream LEFT JOINs small static dims. The static side is broadcast
+    * per micro-batch (and re-read each batch, so slowly-changing dims
+    * pick up updates without restarting the query); no state store is
+    * involved — this is the cheapest streaming join shape and the first
+    * one a 100 TB pipeline reaches for.
+    */
+  def enrichStream(events: DataFrame, dims: DataFrame,
+      joinCol: String): DataFrame =
+    events.join(broadcast(dims), Seq(joinCol), "left")
+
   def dedupStream(events: DataFrame, keyCols: Seq[String]): DataFrame =
     events
       .withWatermark("ts", "2 hours")

@@ -107,6 +107,39 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("containment finds subset docs that symmetric jaccard under-scores") {
+    val dir = Files.createTempDirectory("graft-contain").toString
+    val long = (1 to 40).map(i => s"tok$i").mkString(" ")       // 38 grams
+    val short = (1 to 12).map(i => s"tok$i").mkString(" ")      // 10 grams, all in long
+    val docs = Seq(
+      (0L, long, "en", "s0", long.length.toLong),
+      (1L, short, "en", "s1", short.length.toLong),
+      (2L, "totally unrelated words here now", "en", "s2", 33L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    docs.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val t = Tables(spark, dir)
+    val pairs = Dedup.containment(t)
+      .as[(Long, Long, Double)].collect().map(p => (p._1, p._2) -> p._3).toMap
+    assert(pairs.contains((1L, 0L)), s"short-in-long containment missing: $pairs")
+    assert(pairs((1L, 0L)) == 1.0)
+    assert(!pairs.contains((0L, 1L))) // long doc is NOT contained in the short one
+    // symmetric jaccard on the same pair (10 shared / 38 union) is far
+    // below the 0.8 bar — this is exactly the case containment exists for
+    assert(10.0 / 38.0 < 0.8)
+  }
+
+  test("pq encoding emits in-range codes with reduced quantization error") {
+    val rows = graft.operators.Embeddings.pqEncode(sf).collect()
+    assert(rows.length == sf.embeddings.count())
+    rows.foreach { r =>
+      val codes = r.getString(1).split(",").map(_.toInt)
+      assert(codes.length == 8 && codes.forall(c => c >= 0 && c < 16))
+      assert(r.getDouble(2) >= -1e-9) // mse non-negative (fp noise tolerated)
+    }
+    val again = graft.operators.Embeddings.pqEncode(sf).collect()
+    assert(rows.map(_.toString).sameElements(again.map(_.toString)))
+  }
+
   test("label propagation reaches the fixpoint on a diameter-4 chain") {
     // chain 10-11-12-13-14: a fixed 3-round propagation would leave the
     // tail labelled wrong; the fixpoint loop must collapse all to 10

@@ -1,0 +1,40 @@
+package graft
+
+import graft.operators.Sampling
+
+class SamplingSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("stratified sample is deterministic and respects per-stratum fractions") {
+    val s1 = Sampling.stratified(sf).collect()
+    val s2 = Sampling.stratified(sf).collect()
+    assert(s1.map(_.toString).sameElements(s2.map(_.toString))) // rerun == rerun
+    val total = sf.documents.count().toDouble
+    val kept = s1.length / total
+    assert(kept > 0.1 && kept < 0.9, s"kept fraction $kept out of plausible range")
+    // each stratum individually lands near its configured fraction
+    val bySrc = s1.groupBy(_.getString(1)).view.mapValues(_.length).toMap
+    val counts = sf.documents.groupBy("source").count()
+      .as[(String, Long)].collect().toMap
+    for ((src, frac) <- Seq("src0" -> 0.75, "src1" -> 0.5, "src2" -> 0.25)
+         if counts.getOrElse(src, 0L) >= 50) {
+      val got = bySrc.getOrElse(src, 0).toDouble / counts(src)
+      assert(math.abs(got - frac) < 0.2, s"$src kept $got, wanted ~$frac")
+    }
+  }
+
+  test("per-key cap keeps at most k rows per key, deterministically") {
+    val k = 5
+    val rows = Sampling.perKeyCap(sf, k).collect()
+    val perKey = rows.groupBy(_.getLong(0)).view.mapValues(_.length)
+    assert(perKey.values.forall(_ <= k))
+    // keys with >= k events are capped exactly at k
+    val eventCounts = sf.events.groupBy("user_id").count()
+      .as[(Long, Long)].collect().toMap
+    eventCounts.filter(_._2 >= k).keys.take(20).foreach { key =>
+      assert(perKey(key) == k, s"user $key should be capped at $k")
+    }
+    val again = Sampling.perKeyCap(sf, k).collect()
+    assert(rows.map(_.toString).sameElements(again.map(_.toString)))
+  }
+}

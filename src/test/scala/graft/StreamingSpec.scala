@@ -12,6 +12,23 @@ class StreamingSpec extends SparkSpec {
   private def ts(minute: Int): Timestamp =
     Timestamp.valueOf(f"2025-01-01 10:$minute%02d:00")
 
+  test("stream-static enrichment joins events against broadcast dims per micro-batch") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Event]
+    input.addData(Event(1, ts(5), "click", 1.0), Event(7, ts(6), "view", 2.0))
+    val dims = Seq((1L, "gold"), (2L, "silver")).toDF("user_id", "segment")
+    val q = Streams.enrichStream(input.toDF(), dims, "user_id")
+      .writeStream.format("memory").queryName("enriched")
+      .outputMode("append").start()
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.table("enriched").collect()
+    assert(rows.length == 2)
+    val byUser = rows.map(r => r.getLong(0) -> r.getAs[String]("segment")).toMap
+    assert(byUser(1L) == "gold")
+    assert(byUser(7L) == null) // left join keeps unmatched events
+  }
+
   test("tumbling window aggregate over a stream matches the batch twin") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[Event]
