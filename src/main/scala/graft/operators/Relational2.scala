@@ -190,4 +190,26 @@ object Relational2 {
       | CASE WHEN c_acctbal >= 0 THEN c_acctbal END AS positive_bal
       |FROM customer
       |ORDER BY c_custkey""".stripMargin
+
+  /** GROUPING SETS — the general multi-aggregation form that ROLLUP/CUBE
+    * specialize: per (priority, status), per status alone, and the grand
+    * total, in ONE pass (Spark expands the sets in a single Expand +
+    * aggregate, not three scans).
+    */
+  def groupingSetsTotals(t: Tables): DataFrame =
+    t.orders
+      .groupingSets(
+        Seq(Seq(col("o_orderpriority"), col("o_orderstatus")),
+          Seq(col("o_orderstatus")), Seq()),
+        col("o_orderpriority"), col("o_orderstatus"))
+      .agg(count(lit(1)).as("n"),
+        sum(dec(col("o_totalprice"))).cast("double").as("total"))
+      .orderBy(col("o_orderpriority").asc_nulls_first, col("o_orderstatus").asc_nulls_first)
+
+  val groupingSetsTotalsSql: String =
+    """SELECT o_orderpriority, o_orderstatus, CAST(COUNT(*) AS BIGINT) AS n,
+      | CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS total
+      |FROM orders
+      |GROUP BY GROUPING SETS ((o_orderpriority, o_orderstatus), (o_orderstatus), ())
+      |ORDER BY o_orderpriority ASC NULLS FIRST, o_orderstatus ASC NULLS FIRST""".stripMargin
 }

@@ -167,4 +167,44 @@ object TextAnalysis {
         col("doc_id"),
         RollingHash(col("text")).as("rolling_hash"))
       .orderBy("doc_id")
+
+  // PII patterns restricted to syntax with identical semantics in Java
+  // regex and RE2 (DuckDB): no backrefs, no lookaround.
+  private val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  private val PhoneRe = "\\b\\d{3}[-. ]\\d{3}[-. ]\\d{4}\\b"
+  private val Ipv4Re  = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+
+  /** PII scrubbing — the redaction pass a training corpus runs before
+    * anything else: emails, phone numbers, and IPv4 literals replaced by
+    * typed placeholders, with per-doc redaction counts for auditing.
+    * Pure codegen'd regexp_replace/extract chain: shuffle-free, scales as
+    * a narrow map over the corpus.
+    */
+  def piiScrub(t: Tables): DataFrame =
+    t.documents.select(
+        col("doc_id"),
+        regexp_replace(
+          regexp_replace(
+            regexp_replace(col("text"), EmailRe, "[EMAIL]"),
+            PhoneRe, "[PHONE]"),
+          Ipv4Re, "[IP]").as("scrubbed"),
+        size(expr(s"regexp_extract_all(text, '${EmailRe.replace("\\", "\\\\")}', 0)"))
+          .as("n_emails"),
+        size(expr(s"regexp_extract_all(text, '${PhoneRe.replace("\\", "\\\\")}', 0)"))
+          .as("n_phones"),
+        size(expr(s"regexp_extract_all(text, '${Ipv4Re.replace("\\", "\\\\")}', 0)"))
+          .as("n_ips"))
+      .orderBy("doc_id")
+
+  val piiScrubSql: String =
+    s"""SELECT doc_id,
+       | regexp_replace(regexp_replace(regexp_replace(text,
+       |   '$EmailRe', '[EMAIL]', 'g'),
+       |   '$PhoneRe', '[PHONE]', 'g'),
+       |   '$Ipv4Re', '[IP]', 'g') AS scrubbed,
+       | CAST(len(regexp_extract_all(text, '$EmailRe', 0)) AS INT) AS n_emails,
+       | CAST(len(regexp_extract_all(text, '$PhoneRe', 0)) AS INT) AS n_phones,
+       | CAST(len(regexp_extract_all(text, '$Ipv4Re', 0)) AS INT) AS n_ips
+       |FROM documents
+       |ORDER BY doc_id""".stripMargin
 }

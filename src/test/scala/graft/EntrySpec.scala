@@ -21,6 +21,22 @@ class EntrySpec extends SparkSpec {
     assert(SparkEntry.entry(spark).count() > 0)
   }
 
+  test("pii scrub redacts emails, phones, and IPs (synthetic PII)") {
+    import spark.implicits._
+    val dir2 = java.nio.file.Files.createTempDirectory("graft-pii").toString
+    val docs = Seq(
+      (0L, "contact alice.smith+x@example.co.uk or 555-123-4567 from 192.168.0.1 now", "en", "s", 70L),
+      (1L, "no pii in this one", "en", "s", 18L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    docs.write.mode("overwrite").parquet(s"$dir2/documents.parquet")
+    val rows = graft.operators.TextAnalysis.piiScrub(Tables(spark, dir2)).collect()
+    val r0 = rows(0)
+    assert(r0.getString(1) == "contact [EMAIL] or [PHONE] from [IP] now", r0.getString(1))
+    assert(r0.getInt(2) == 1 && r0.getInt(3) == 1 && r0.getInt(4) == 1)
+    assert(rows(1).getString(1) == "no pii in this one")
+    assert(rows(1).getInt(2) == 0)
+  }
+
   test("a representative sample of queries executes end-to-end at sf0.001") {
     val sample = Seq("q1_pricing_summary", "q5_local_supplier", "q_asof_join",
       "dedup_minhash_lsh", "ann_bruteforce_topk", "text_quality",
