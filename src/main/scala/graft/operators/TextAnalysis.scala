@@ -168,6 +168,21 @@ object TextAnalysis {
         RollingHash(col("text")).as("rolling_hash"))
       .orderBy("doc_id")
 
+  /** Oracle: the same base-257 mod-2⁶¹−1 fold replayed in SQL over
+    * per-character code points with HUGEINT arithmetic. Valid because the
+    * documents corpus is pure ASCII (code point == UTF-8 byte); a
+    * non-ASCII corpus would make this comparison fail loudly rather than
+    * silently pass — which is the behavior we want from an oracle.
+    */
+  val rollingHashFingerprintSql: String =
+    """SELECT doc_id,
+      | CAST(list_reduce(
+      |   list_prepend(CAST(0 AS HUGEINT),
+      |     list_transform(string_split(text, ''), c -> CAST(ascii(c) AS HUGEINT))),
+      |   (h, b) -> (h * 257 + b) % 2305843009213693951) AS BIGINT) AS rolling_hash
+      |FROM documents
+      |ORDER BY doc_id""".stripMargin
+
   // PII patterns restricted to syntax with identical semantics in Java
   // regex and RE2 (DuckDB): no backrefs, no lookaround.
   private val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
@@ -195,6 +210,50 @@ object TextAnalysis {
         size(expr(s"regexp_extract_all(text, '${Ipv4Re.replace("\\", "\\\\")}', 0)"))
           .as("n_ips"))
       .orderBy("doc_id")
+
+  private val HhK = 200 // heavy hitter = gram with > 1/200 of all gram instances
+
+  /** Corpus boilerplate detection: word-3-grams occurring in more than
+    * 1/200 of all gram instances — the repeated headers/footers/templates
+    * a curation pipeline strips before dedup.
+    *
+    * Pass 1 is the bounded-memory Misra-Gries sketch
+    * ([[graft.functions.MisraGries]], a typed Aggregator: ≤ k counters
+    * per partial, one shuffle of k-entry maps) which provably contains
+    * every true heavy hitter; pass 2 re-counts ONLY the candidate grams
+    * exactly and applies the integer threshold `count·k > total`. Output
+    * is exact and deterministic, so the oracle is a plain HAVING over the
+    * full gram multiset — at 100 TB the sketch pass is what makes this
+    * feasible (the full gram cardinality never materializes).
+    */
+  def boilerplateGrams(t: Tables): DataFrame = {
+    val spark = t.documents.sparkSession
+    import spark.implicits._
+    val ex = graft.functions.Shingles.gramsOf(t.documents)
+      .select(explode(col("grams")).as("gram")).persist()
+    val mg = new graft.functions.MisraGries(HhK)
+    val candidates = ex.as[String].select(mg.toColumn.name("cands")).head()
+    val out = ex.where(col("gram").isin(candidates: _*))
+      .groupBy("gram")
+      .agg(count(lit(1)).as("n"))
+      .crossJoin(broadcast(ex.agg(count(lit(1)).as("total"))))
+      .where(col("n") * HhK > col("total"))
+      .select(col("gram"), col("n"), col("total"))
+      .orderBy("gram")
+    out
+  }
+
+  val boilerplateGramsSql: String =
+    s"""WITH g AS (
+       | SELECT doc_id, ${graft.functions.Shingles.grams3Sql("text")} AS grams
+       | FROM documents),
+       |e AS (SELECT unnest(grams) AS gram FROM g),
+       |tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS total FROM e)
+       |SELECT gram, CAST(COUNT(*) AS BIGINT) AS n, total
+       |FROM e, tot
+       |GROUP BY gram, total
+       |HAVING COUNT(*) * $HhK > total
+       |ORDER BY gram""".stripMargin
 
   val piiScrubSql: String =
     s"""SELECT doc_id,

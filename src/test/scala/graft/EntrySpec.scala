@@ -37,6 +37,24 @@ class EntrySpec extends SparkSpec {
     assert(rows(1).getInt(2) == 0)
   }
 
+  test("boilerplate heavy hitters: planted template gram found exactly") {
+    import spark.implicits._
+    val dir2 = java.nio.file.Files.createTempDirectory("graft-hh").toString
+    // 60 docs share a footer; unique prefixes keep other grams rare
+    val docs = (0 until 100).map { i =>
+      val footer = if (i < 60) " follow us on the web today" else s" unique tail $i x y"
+      (i.toLong, s"doc $i body token$i word${i * 7}" + footer, "en", "s", 50L)
+    }.toDF("doc_id", "text", "lang", "source", "n_chars")
+    docs.write.mode("overwrite").parquet(s"$dir2/documents.parquet")
+    val rows = graft.operators.TextAnalysis.boilerplateGrams(Tables(spark, dir2))
+      .collect()
+    val grams = rows.map(_.getString(0)).toSet
+    assert(grams.contains("follow us on"), s"planted boilerplate missing: $grams")
+    assert(grams.contains("on the web"))
+    // every reported gram genuinely clears the exact threshold
+    rows.foreach(r => assert(r.getLong(1) * 200 > r.getLong(2)))
+  }
+
   test("a representative sample of queries executes end-to-end at sf0.001") {
     val sample = Seq("q1_pricing_summary", "q5_local_supplier", "q_asof_join",
       "dedup_minhash_lsh", "ann_bruteforce_topk", "text_quality",
