@@ -82,6 +82,14 @@ class DedupSpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct"), plan)
   }
 
+  test("containment and ngram jaccard plan without nested loops or cartesians") {
+    Seq(Dedup.containment(sf), Dedup.ngramJaccard(sf)).foreach { df =>
+      val plan = df.queryExecution.executedPlan.toString
+      assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+      assert(!plan.contains("CartesianProduct"), plan)
+    }
+  }
+
   test("prefix-filtered ngram jaccard equals unblocked brute force") {
     val brute = {
       val g = graft.functions.Shingles.gramsOf(planted.documents)

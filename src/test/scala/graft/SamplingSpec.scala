@@ -23,6 +23,13 @@ class SamplingSpec extends SparkSpec {
     }
   }
 
+  test("stratified sampling decision is a narrow filter (no hash exchange)") {
+    // the only exchange allowed is the presentation orderBy's range
+    // partitioning — the sampling decision itself must not shuffle
+    val plan = Sampling.stratified(sf).queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange hashpartitioning"), plan)
+  }
+
   test("per-key cap keeps at most k rows per key, deterministically") {
     val k = 5
     val rows = Sampling.perKeyCap(sf, k).collect()
