@@ -151,4 +151,15 @@ object Sources {
   def kafkaBatch(spark: SparkSession, cfg: KafkaConfig): DataFrame =
     parseSalesEvents(kafkaBatchReader(spark, cfg).load())
       .limit(cfg.maxRecords.toInt)
+
+  /** Incremental extract: only rows with `tsCol` strictly after the last
+    * processed watermark. The reference re-drains every source per run
+    * (extract_dataframes, etl.py:11) — fine for a dev node, ruinous at
+    * 100 TB. Expressed as a plain filter so it PUSHES DOWN to the scan
+    * (min/max row-group stats + partition pruning skip untouched data;
+    * spec-asserted via PushedFilters).
+    */
+  def readSince(spark: SparkSession, path: String, tsCol: String,
+      watermark: java.sql.Timestamp): DataFrame =
+    spark.read.parquet(path).where(col(tsCol) > lit(watermark))
 }

@@ -181,6 +181,45 @@ class SourcesSpec extends SparkSpec {
     assert(partitions.sameElements(Array("ym=202401", "ym=202402", "ym=202403")))
   }
 
+  test("incremental extract pushes the watermark filter to the scan") {
+    import java.sql.Timestamp
+    val out = Files.createTempDirectory("graft-incr").toString + "/events"
+    sf.events.limit(1000).write.mode("overwrite").parquet(out)
+    val wm = Timestamp.valueOf("2024-06-01 00:00:00")
+    val df = Sources.readSince(spark, out, "ts", wm)
+    val buf = new java.io.ByteArrayOutputStream()
+    Console.withOut(new java.io.PrintStream(buf)) { df.explain("formatted") }
+    assert(buf.toString.contains("PushedFilters"), buf.toString)
+    assert(buf.toString.contains("GreaterThan(ts"), buf.toString)
+    // semantics: strictly-after watermark
+    val minTs = df.agg(org.apache.spark.sql.functions.min("ts")).collect()(0).getTimestamp(0)
+    assert(minTs == null || minTs.after(wm))
+  }
+
+  test("incremental aggregate state equals the full recompute after two batches") {
+    val out = Files.createTempDirectory("graft-aggstate").toString + "/state"
+    val all = sf.events.limit(2000).cache()
+    val b1 = all.where(col("event_id") % 2 === 0)
+    val b2 = all.where(col("event_id") % 2 =!= 0)
+    Sinks.mergeAggState(spark, out, b1, Seq("user_id", "event_type"), Seq("value"))
+    Sinks.mergeAggState(spark, out, b2, Seq("user_id", "event_type"), Seq("value"))
+    val full = all.groupBy("user_id", "event_type")
+      .agg(count(lit(1)).cast("long").as("n"), sum(col("value")).as("value"))
+      .orderBy("user_id", "event_type").collect()
+    val incr = spark.read.parquet(out)
+      .orderBy("user_id", "event_type")
+      .select("user_id", "event_type", "n", "value").collect()
+    assert(incr.length == full.length)
+    // counts exact; double sums compared with tolerance (addition order
+    // differs between the one-shot and two-batch paths)
+    incr.zip(full).foreach { case (a, b) =>
+      assert(a.getLong(0) == b.getLong(0) && a.getString(1) == b.getString(1))
+      assert(a.getLong(2) == b.getLong(2))
+      assert(math.abs(a.getDouble(3) - b.getDouble(3)) < 1e-9)
+    }
+    all.unpersist()
+  }
+
   test("malformed JSON lines surface in _corrupt_record instead of failing the read") {
     val dir = Files.createTempDirectory("graft-corrupt")
     Files.writeString(dir.resolve("mixed.jsonl"),
