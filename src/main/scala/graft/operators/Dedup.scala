@@ -46,28 +46,37 @@ object Dedup {
     * a lexicographic order (the standard AllPairs ordering). Everything
     * is equi-joins + aggregations; the n² pair space is never shuffled.
     */
+  /** (doc_id, pg): each doc's prefix grams under the df-ranked global
+    * order (ascending document frequency, ties by gram text), prefix
+    * length `|G| − ⌈t·|G|⌉ + 1` — the shared sound-blocking front end of
+    * [[ngramJaccard]] and [[containment]]. `ex` columns: (doc_id, gram).
+    */
+  private def dfRankedPrefix(ex: DataFrame, threshold: Double): DataFrame = {
+    val gramDf = ex.groupBy("gram").agg(count(lit(1)).as("df"))
+    ex.join(gramDf, Seq("gram"))
+      .groupBy("doc_id")
+      .agg(sort_array(collect_list(struct(col("df"), col("gram")))).as("rg"))
+      .withColumn("plen",
+        (size(col("rg")) - ceil(lit(threshold) * size(col("rg"))) + 1).cast("int"))
+      .select(col("doc_id"), explode(expr("slice(rg, 1, plen)")).as("pg"))
+      .select(col("doc_id"), col("pg.gram").as("pg"))
+  }
+
   def ngramJaccard(t: Tables): DataFrame = {
     // persisted: the gram projection feeds the frequency ranking and both
     // sides of the verify join; without it WordNGrams runs once per
     // branch. MEMORY_AND_DISK, so at scale it spills instead of OOM.
+    // (Verify/long-lived sessions release via catalog.clearCache between
+    // queries — the cache lives exactly as long as its plan is useful.)
     val g = Shingles.gramsOf(t.documents).persist()
     val ex = g.select(col("doc_id"), explode(col("grams")).as("gram"))
-    val gramDf = ex.groupBy("gram").agg(count(lit(1)).as("df"))
-    val pref = ex.join(gramDf, Seq("gram"))
-      .groupBy("doc_id")
-      .agg(sort_array(collect_list(struct(col("df"), col("gram")))).as("rg"))
-      .withColumn("plen",
-        (size(col("rg")) - ceil(lit(JaccardThreshold) * size(col("rg"))) + 1).cast("int"))
-      .select(col("doc_id"), explode(expr("slice(rg, 1, plen)")).as("pg"))
-      .select(col("doc_id"), col("pg.gram").as("pg"))
+    val pref = dfRankedPrefix(ex, JaccardThreshold)
     val candidates = pref.select(col("doc_id").as("a_id"), col("pg"))
       .join(pref.select(col("doc_id").as("b_id"), col("pg")), Seq("pg"))
       .where(col("a_id") < col("b_id"))
       .select("a_id", "b_id")
       .distinct()
-    verifyJaccard(candidates,
-      g.select(col("doc_id"), explode(col("grams")).as("gram"))
-        .select(col("doc_id"), xxhash64(col("gram")).as("h")))
+    verifyJaccard(candidates, ex.select(col("doc_id"), xxhash64(col("gram")).as("h")))
   }
 
   private val ContainmentThreshold = 0.8
@@ -88,27 +97,17 @@ object Dedup {
   def containment(t: Tables): DataFrame = {
     val g = Shingles.gramsOf(t.documents).persist()
     val ex = g.select(col("doc_id"), explode(col("grams")).as("gram"))
-    val gramDf = ex.groupBy("gram").agg(count(lit(1)).as("df"))
-    val pref = ex.join(gramDf, Seq("gram"))
-      .groupBy("doc_id")
-      .agg(sort_array(collect_list(struct(col("df"), col("gram")))).as("rg"))
-      .withColumn("plen",
-        (size(col("rg")) - ceil(lit(ContainmentThreshold) * size(col("rg"))) + 1).cast("int"))
-      .select(col("doc_id"), explode(expr("slice(rg, 1, plen)")).as("pg"))
-      .select(col("doc_id"), col("pg.gram").as("pg"))
-    val candidates = pref.select(col("doc_id").as("a_id"), col("pg").as("gram"))
+    val candidates = dfRankedPrefix(ex, ContainmentThreshold)
+      .select(col("doc_id").as("a_id"), col("pg").as("gram"))
       .join(ex.select(col("doc_id").as("b_id"), col("gram")), Seq("gram"))
       .where(col("a_id") =!= col("b_id"))
       .select("a_id", "b_id")
       .distinct()
-    val hg = ex.select(col("doc_id"), xxhash64(col("gram")).as("h"))
-      .groupBy("doc_id").agg(sort_array(collect_set(col("h"))).as("hg"))
-    candidates
-      .join(hg.select(col("doc_id").as("a_id"), col("hg").as("a_hg")), Seq("a_id"))
-      .join(hg.select(col("doc_id").as("b_id"), col("hg").as("b_hg")), Seq("b_id"))
-      .withColumn("containment",
-        graft.functions.SortedLongOverlap(col("a_hg"), col("b_hg"))
-          .cast("double") / size(col("a_hg")))
+    scoreCandidates(candidates, ex.select(col("doc_id"), xxhash64(col("gram")).as("h"))) {
+      (aHg, bHg) =>
+        graft.functions.SortedLongOverlap(aHg, bHg).cast("double") / size(aHg)
+    }
+      .withColumnRenamed("score", "containment")
       .where(col("containment") >= ContainmentThreshold)
       .select("a_id", "b_id", "containment")
       .orderBy("a_id", "b_id")
@@ -128,23 +127,32 @@ object Dedup {
        |  AND CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE) / len(a.grams) >= 0.8
        |ORDER BY a_id, b_id""".stripMargin
 
-  /** Exact-Jaccard verification of candidate pairs over HASHED gram sets:
-    * grams cross the verify shuffle as sorted 8-byte longs and the score
-    * is a codegen'd linear merge ([[SortedLongJaccard]]) — same value as
-    * the string-set Jaccard while the 64-bit gram hash is collision-free.
-    * `ex` columns: (doc_id, h).
+  /** Score candidate (a_id, b_id) pairs over HASHED gram sets: grams
+    * cross the verify shuffle as sorted 8-byte longs and `score` is a
+    * caller-supplied expression over the two sorted arrays (codegen'd
+    * merge loops) — same values as string-set math while the 64-bit gram
+    * hash is collision-free. `ex` columns: (doc_id, h); output:
+    * (a_id, b_id, score).
     */
-  private def verifyJaccard(candidates: DataFrame, ex: DataFrame): DataFrame = {
+  private def scoreCandidates(candidates: DataFrame, ex: DataFrame)(
+      score: (Column, Column) => Column): DataFrame = {
     val hg = ex.groupBy("doc_id").agg(sort_array(collect_set(col("h"))).as("hg"))
     candidates
       .join(hg.select(col("doc_id").as("a_id"), col("hg").as("a_hg")), Seq("a_id"))
       .join(hg.select(col("doc_id").as("b_id"), col("hg").as("b_hg")), Seq("b_id"))
-      .withColumn("jaccard",
-        graft.functions.SortedLongJaccard(col("a_hg"), col("b_hg")))
+      .withColumn("score", score(col("a_hg"), col("b_hg")))
+      .select("a_id", "b_id", "score")
+  }
+
+  /** Exact-Jaccard verification of candidate pairs (see
+    * [[scoreCandidates]]; [[graft.functions.SortedLongJaccard]] merge).
+    */
+  private def verifyJaccard(candidates: DataFrame, ex: DataFrame): DataFrame =
+    scoreCandidates(candidates, ex)(graft.functions.SortedLongJaccard(_, _))
+      .withColumnRenamed("score", "jaccard")
       .where(col("jaccard") >= JaccardThreshold)
       .select("a_id", "b_id", "jaccard")
       .orderBy("a_id", "b_id")
-  }
 
   /** Oracle: unblocked brute force — the prefix filter is sound, so the
     * blocked result must equal the full pair scan.
@@ -408,30 +416,38 @@ object Dedup {
     * the table is huge — dedupe the domain, not the rows; a length-band
     * block prunes the remaining quadratic.
     */
+  private val EditDistMax = 3
+
   def editDistance(t: Tables): DataFrame = {
     val names = t.part.select(col("p_name").as("name")).distinct()
-    // length-band blocking as an EQUI-join: the left side explodes to its
-    // ±2 length band, the right side keys on its own length, so each
-    // qualifying pair meets on exactly one key and the plan is a shuffle
-    // hash/merge join — never a nested-loop over the domain.
+    // length-band blocking as an EQUI-join: levenshtein ≥ |len(a)−len(b)|,
+    // so a ±EditDistMax band is COMPLETE for dist ≤ EditDistMax — the
+    // left side explodes to its band, the right keys on its own length,
+    // each qualifying pair meets on exactly one key, and the plan is a
+    // shuffle hash/merge join — never a nested-loop over the domain.
     val a = names.select(col("name").as("a_name"),
-      explode(sequence(length(col("name")) - 2, length(col("name")) + 2)).as("lb"))
+      explode(sequence(
+        length(col("name")) - EditDistMax,
+        length(col("name")) + EditDistMax)).as("lb"))
     val b = names.select(col("name").as("b_name"), length(col("name")).as("lb"))
     a.join(b, Seq("lb"))
       .where(col("a_name") < col("b_name"))
       .withColumn("dist", levenshtein(col("a_name"), col("b_name")))
-      .where(col("dist") <= 3)
+      .where(col("dist") <= EditDistMax)
       .select("a_name", "b_name", "dist")
       .orderBy("a_name", "b_name")
   }
 
+  /** Oracle: NO length predicate — the band is an implementation detail
+    * that must not narrow the semantics (dist ≤ 3 alone defines the
+    * output; the band is complete for it).
+    */
   val editDistanceSql: String =
     """SELECT a.name AS a_name, b.name AS b_name,
       | CAST(levenshtein(a.name, b.name) AS INT) AS dist
       |FROM (SELECT DISTINCT p_name AS name FROM part) a,
       |     (SELECT DISTINCT p_name AS name FROM part) b
       |WHERE a.name < b.name
-      |  AND abs(length(a.name) - length(b.name)) <= 2
       |  AND levenshtein(a.name, b.name) <= 3
       |ORDER BY a_name, b_name""".stripMargin
 

@@ -82,10 +82,15 @@ object Embeddings {
       .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
       .persist()
     def sub(v: Seq[Double], s: Int): Seq[Double] = v.slice(s * PqDims, (s + 1) * PqDims)
-    val seed = vecs.where(col("vec_id") < PqK).orderBy("vec_id")
+    // seed = the PqK lowest-id vectors, whatever their ids are; a corpus
+    // with fewer than PqK vectors wraps around (duplicate seed centroids
+    // merge in the Lloyd step)
+    val seed = vecs.orderBy("vec_id").limit(PqK)
       .collect().map(_.getSeq[Double](1).toIndexedSeq)
+    require(seed.nonEmpty, "pqEncode needs a non-empty embeddings table")
     var cents: Map[(Int, Int), Seq[Double]] =
-      (for { s <- 0 until PqSubs; k <- 0 until PqK } yield ((s, k), sub(seed(k), s))).toMap
+      (for { s <- 0 until PqSubs; k <- 0 until PqK }
+        yield ((s, k), sub(seed(k % seed.length), s))).toMap
     // (vector × subspace) rows: s, sv = the s-th 8-dim slice
     val exploded = vecs.select(col("vec_id"),
       explode(array((0 until PqSubs).map(s =>

@@ -186,14 +186,22 @@ object Etl {
       if (aliased.columns.contains("event_id"))
         aliased.schema("event_id").dataType match {
           case org.apache.spark.sql.types.BinaryType =>
-            // 16-byte UUID → 8-4-4-4-12 hex form, lowercase (str(uuid.UUID))
+            // 16-byte UUID → 8-4-4-4-12 hex form, lowercase (str(uuid.UUID)).
+            // NULL stays NULL; a wrong-length payload FAILS the batch, the
+            // way the reference's uuid.UUID(bytes=...) raises — never a
+            // silently malformed id.
             aliased.withColumn("event_id",
-              concat_ws("-",
-                substring(lower(hex(col("event_id"))), 1, 8),
-                substring(lower(hex(col("event_id"))), 9, 4),
-                substring(lower(hex(col("event_id"))), 13, 4),
-                substring(lower(hex(col("event_id"))), 17, 4),
-                substring(lower(hex(col("event_id"))), 21, 12)))
+              when(col("event_id").isNull, lit(null).cast("string"))
+                .when(length(col("event_id")) === 16,
+                  concat_ws("-",
+                    substring(lower(hex(col("event_id"))), 1, 8),
+                    substring(lower(hex(col("event_id"))), 9, 4),
+                    substring(lower(hex(col("event_id"))), 13, 4),
+                    substring(lower(hex(col("event_id"))), 17, 4),
+                    substring(lower(hex(col("event_id"))), 21, 12)))
+                .otherwise(raise_error(
+                  concat(lit("event_id is not a 16-byte UUID: 0x"),
+                    hex(col("event_id"))))))
           case _ => aliased.withColumn("event_id", col("event_id").cast("string"))
         }
       else aliased

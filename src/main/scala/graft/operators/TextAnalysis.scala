@@ -192,24 +192,25 @@ object TextAnalysis {
   /** PII scrubbing — the redaction pass a training corpus runs before
     * anything else: emails, phone numbers, and IPv4 literals replaced by
     * typed placeholders, with per-doc redaction counts for auditing.
-    * Pure codegen'd regexp_replace/extract chain: shuffle-free, scales as
-    * a narrow map over the corpus.
+    * Counts are taken on the PROGRESSIVELY scrubbed text (phones counted
+    * after email redaction, etc.) so they equal the placeholders actually
+    * emitted even when patterns overlap. Pure codegen'd
+    * regexp_replace/extract chain: shuffle-free, a narrow map over the
+    * corpus.
     */
-  def piiScrub(t: Tables): DataFrame =
+  def piiScrub(t: Tables): DataFrame = {
+    val noEmail = regexp_replace(col("text"), EmailRe, "[EMAIL]")
+    val noPhone = regexp_replace(noEmail, PhoneRe, "[PHONE]")
+    def count(in: org.apache.spark.sql.Column, re: String) =
+      size(regexp_extract_all(in, lit(re), lit(0)))
     t.documents.select(
         col("doc_id"),
-        regexp_replace(
-          regexp_replace(
-            regexp_replace(col("text"), EmailRe, "[EMAIL]"),
-            PhoneRe, "[PHONE]"),
-          Ipv4Re, "[IP]").as("scrubbed"),
-        size(expr(s"regexp_extract_all(text, '${EmailRe.replace("\\", "\\\\")}', 0)"))
-          .as("n_emails"),
-        size(expr(s"regexp_extract_all(text, '${PhoneRe.replace("\\", "\\\\")}', 0)"))
-          .as("n_phones"),
-        size(expr(s"regexp_extract_all(text, '${Ipv4Re.replace("\\", "\\\\")}', 0)"))
-          .as("n_ips"))
+        regexp_replace(noPhone, Ipv4Re, "[IP]").as("scrubbed"),
+        count(col("text"), EmailRe).as("n_emails"),
+        count(noEmail, PhoneRe).as("n_phones"),
+        count(noPhone, Ipv4Re).as("n_ips"))
       .orderBy("doc_id")
+  }
 
   private val HhK = 200 // heavy hitter = gram with > 1/200 of all gram instances
 
@@ -257,13 +258,16 @@ object TextAnalysis {
 
   val piiScrubSql: String =
     s"""SELECT doc_id,
-       | regexp_replace(regexp_replace(regexp_replace(text,
-       |   '$EmailRe', '[EMAIL]', 'g'),
-       |   '$PhoneRe', '[PHONE]', 'g'),
-       |   '$Ipv4Re', '[IP]', 'g') AS scrubbed,
+       | regexp_replace(no_phone, '$Ipv4Re', '[IP]', 'g') AS scrubbed,
        | CAST(len(regexp_extract_all(text, '$EmailRe', 0)) AS INT) AS n_emails,
-       | CAST(len(regexp_extract_all(text, '$PhoneRe', 0)) AS INT) AS n_phones,
-       | CAST(len(regexp_extract_all(text, '$Ipv4Re', 0)) AS INT) AS n_ips
-       |FROM documents
+       | CAST(len(regexp_extract_all(no_email, '$PhoneRe', 0)) AS INT) AS n_phones,
+       | CAST(len(regexp_extract_all(no_phone, '$Ipv4Re', 0)) AS INT) AS n_ips
+       |FROM (
+       | SELECT doc_id, text, no_email,
+       |  regexp_replace(no_email, '$PhoneRe', '[PHONE]', 'g') AS no_phone
+       | FROM (
+       |  SELECT doc_id, text,
+       |   regexp_replace(text, '$EmailRe', '[EMAIL]', 'g') AS no_email
+       |  FROM documents))
        |ORDER BY doc_id""".stripMargin
 }

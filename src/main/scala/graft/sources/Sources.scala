@@ -148,9 +148,13 @@ object Sources {
       .option("endingOffsets", cfg.endingOffsets)
 
   /** The full drain: bounded batch read → typed sales events. */
-  def kafkaBatch(spark: SparkSession, cfg: KafkaConfig): DataFrame =
+  def kafkaBatch(spark: SparkSession, cfg: KafkaConfig): DataFrame = {
+    require(cfg.maxRecords > 0, s"maxRecords must be positive: ${cfg.maxRecords}")
+    // limit() takes an Int; a Long cap beyond Int.MaxValue means
+    // "unbounded for any realistic drain" — clamp instead of overflowing
     parseSalesEvents(kafkaBatchReader(spark, cfg).load())
-      .limit(cfg.maxRecords.toInt)
+      .limit(math.min(cfg.maxRecords, Int.MaxValue.toLong).toInt)
+  }
 
   /** Incremental extract: only rows with `tsCol` strictly after the last
     * processed watermark. The reference re-drains every source per run

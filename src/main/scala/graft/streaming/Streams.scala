@@ -44,23 +44,25 @@ object Streams {
         col("window.start").as("hour_start"),
         col("event_type"), col("n"), col("total_value"))
 
-  /** Streaming exact dedup: drop events whose key was already seen within
-    * the watermark horizon — the streaming twin of `Dedup.exact`. State
-    * is bounded by the watermark (old keys age out), which is what makes
-    * exact dedup feasible on an unbounded 100 TB/day stream.
-    */
   /** Stream-static dimension enrichment — the STREAMING twin of the
     * reference's fact_sales build (etl.py:37-45): an unbounded event
-    * stream LEFT JOINs small static dims. The static side is broadcast
-    * per micro-batch (and re-read each batch, so slowly-changing dims
-    * pick up updates without restarting the query); no state store is
-    * involved — this is the cheapest streaming join shape and the first
-    * one a 100 TB pipeline reaches for.
+    * stream LEFT JOINs small static dims, broadcast per micro-batch; no
+    * state store involved — the cheapest streaming join shape and the
+    * first one a 100 TB pipeline reaches for. Note the static side's
+    * CONTENT refresh depends on the source: plain file sources pin their
+    * file listing when the DataFrame is created, so slowly-changing dims
+    * need a table/catalog source (or a query restart) to pick up new
+    * files — don't rely on per-batch re-listing from a parquet path.
     */
   def enrichStream(events: DataFrame, dims: DataFrame,
       joinCol: String): DataFrame =
     events.join(broadcast(dims), Seq(joinCol), "left")
 
+  /** Streaming exact dedup: drop events whose key was already seen within
+    * the watermark horizon — the streaming twin of `Dedup.exact`. State
+    * is bounded by the watermark (old keys age out), which is what makes
+    * exact dedup feasible on an unbounded 100 TB/day stream.
+    */
   def dedupStream(events: DataFrame, keyCols: Seq[String]): DataFrame =
     events
       .withWatermark("ts", "2 hours")

@@ -82,6 +82,16 @@ class DedupSpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct"), plan)
   }
 
+  test("edit distance finds pairs at the band edge (len diff 3, dist 3)") {
+    val dir = Files.createTempDirectory("graft-editdist").toString
+    val parts = Seq("abc", "abcxyz", "zzzz").zipWithIndex
+      .map { case (n, i) => (i.toLong, n) }.toDF("p_partkey", "p_name")
+    parts.write.mode("overwrite").parquet(s"$dir/part.parquet")
+    val pairs = Dedup.editDistance(Tables(spark, dir))
+      .as[(String, String, Int)].collect().toSet
+    assert(pairs.contains(("abc", "abcxyz", 3)), s"band-edge pair missing: $pairs")
+  }
+
   test("containment and ngram jaccard plan without nested loops or cartesians") {
     Seq(Dedup.containment(sf), Dedup.ngramJaccard(sf)).foreach { df =>
       val plan = df.queryExecution.executedPlan.toString

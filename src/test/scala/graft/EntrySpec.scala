@@ -37,6 +37,19 @@ class EntrySpec extends SparkSpec {
     assert(rows(1).getInt(2) == 0)
   }
 
+  test("pii scrub counts match emitted placeholders when patterns overlap") {
+    import spark.implicits._
+    val dir2 = java.nio.file.Files.createTempDirectory("graft-pii2").toString
+    // the email regex consumes the phone-looking token: ONE [EMAIL], no [PHONE]
+    val docs = Seq((0L, "reach me 555-123-4567@corp.example.com ok", "en", "s", 41L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    docs.write.mode("overwrite").parquet(s"$dir2/documents.parquet")
+    val r = graft.operators.TextAnalysis.piiScrub(Tables(spark, dir2)).collect().head
+    val scrubbed = r.getString(1)
+    assert(scrubbed.count(_ == '[') == r.getInt(2) + r.getInt(3) + r.getInt(4),
+      s"placeholders vs counts: $scrubbed ${r.getInt(2)} ${r.getInt(3)} ${r.getInt(4)}")
+  }
+
   test("boilerplate heavy hitters: planted template gram found exactly") {
     import spark.implicits._
     val dir2 = java.nio.file.Files.createTempDirectory("graft-hh").toString

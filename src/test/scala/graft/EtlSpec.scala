@@ -32,6 +32,15 @@ class EtlSpec extends SparkSpec {
     intercept[IllegalArgumentException] {
       Etl.conformToSchema(strDf, Seq("event_id", "qty"))
     }
+    // NULL binary uuid stays NULL (not a garbage empty string)
+    val nullDf = Seq((Option.empty[Array[Byte]], 2L)).toDF("event_id", "customer_id")
+    val nullRow = Etl.conformToSchema(nullDf, Seq("event_id", "customer_id")).collect().head
+    assert(nullRow.isNullAt(0))
+    // wrong-length binary fails the batch, like uuid.UUID(bytes=...) raising
+    val shortDf = Seq((Array[Byte](1, 2, 3, 4), 3L)).toDF("event_id", "customer_id")
+    intercept[Exception] {
+      Etl.conformToSchema(shortDf, Seq("event_id", "customer_id")).collect()
+    }
   }
 
   test("normalize: null int coercion and text defaults") {
