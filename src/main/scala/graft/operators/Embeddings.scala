@@ -113,7 +113,9 @@ object Embeddings {
     val refined = withBest(cents)(exploded)
       .select(col("s"), col("best.cell").as("cell"), posexplode(col("sv")).as(Seq("pos", "x")))
       .groupBy("s", "cell", "pos")
-      .agg(avg(col("x")).as("m"))
+      // decimal-exact mean: partition-order independent, so the codebook
+      // (and therefore every code) is deterministic run to run
+      .agg((sum(col("x").cast(DecimalType(38, 30))).cast("double") / count(lit(1))).as("m"))
       .groupBy("s", "cell")
       .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("pm"))
       .select(col("s"), col("cell"), expr("transform(pm, q -> q.m)").as("c"))

@@ -124,6 +124,52 @@ object Sinks {
     p.getFileSystem(spark.sessionState.newHadoopConf()).exists(p)
   }
 
+  /** Small-file compaction: rewrite a parquet table into ≈targetBytes
+    * files. Streaming/incremental sinks accrete many small files; at
+    * 100 TB that degrades every later scan (task-per-file scheduling,
+    * footer reads, no row-group locality). Staged write + atomic-ish
+    * swap: the new files land in a sibling temp dir, then the dirs are
+    * exchanged — readers never observe a half-compacted table, and the
+    * source is never read while being overwritten.
+    *
+    * Returns (filesBefore, filesAfter).
+    */
+  def compact(spark: org.apache.spark.sql.SparkSession, path: String,
+      targetFileBytes: Long, partitionCols: Seq[String] = Nil): (Int, Int) = {
+    val conf = spark.sessionState.newHadoopConf()
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(conf)
+    def parquetFiles(dir: org.apache.hadoop.fs.Path): Seq[org.apache.hadoop.fs.FileStatus] = {
+      val it = fs.listFiles(dir, true)
+      val buf = scala.collection.mutable.ArrayBuffer[org.apache.hadoop.fs.FileStatus]()
+      while (it.hasNext) {
+        val st = it.next()
+        if (st.getPath.getName.endsWith(".parquet")) buf += st
+      }
+      buf.toSeq
+    }
+    val before = parquetFiles(p)
+    val totalBytes = before.map(_.getLen).sum
+    val nFiles = math.max(1, math.ceil(totalBytes.toDouble / targetFileBytes).toInt)
+    val tmp = new org.apache.hadoop.fs.Path(path + "__compacting")
+    fs.delete(tmp, true)
+    val df = spark.read.parquet(path)
+    val writer =
+      (if (partitionCols.nonEmpty)
+         // partition-local shuffle: files coalesce within each partition
+         df.repartition(nFiles, partitionCols.map(org.apache.spark.sql.functions.col): _*)
+           .write.partitionBy(partitionCols: _*)
+       else df.repartition(nFiles).write)
+        .mode("overwrite")
+    writer.parquet(tmp.toString)
+    val old = new org.apache.hadoop.fs.Path(path + "__pre_compact")
+    fs.delete(old, true)
+    require(fs.rename(p, old), s"compact: could not stage out $path")
+    require(fs.rename(tmp, p), s"compact: could not swap in $tmp")
+    fs.delete(old, true)
+    (before.size, parquetFiles(p).size)
+  }
+
   /** Database write sink — the load half of the reference's pipeline
     * (_insert_df, loaders.py:151: chunked inserts of CH_CHUNK_ROWS rows,
     * loaders.py:13). In Spark every partition inserts in parallel over

@@ -220,6 +220,21 @@ class SourcesSpec extends SparkSpec {
     all.unpersist()
   }
 
+  test("compaction collapses small files without changing the data") {
+    val out = Files.createTempDirectory("graft-compact").toString + "/t"
+    // force many tiny files
+    sf.events.limit(2000).repartition(1)
+      .write.option("maxRecordsPerFile", "50").parquet(out)
+    val beforeRows = spark.read.parquet(out).count()
+    val (nBefore, nAfter) = Sinks.compact(spark, out, targetFileBytes = 512L * 1024 * 1024)
+    assert(nBefore >= 15, s"expected many small files, got $nBefore")
+    assert(nAfter == 1, s"expected 1 compacted file, got $nAfter")
+    assert(spark.read.parquet(out).count() == beforeRows)
+    // no staging leftovers
+    assert(!new java.io.File(out + "__compacting").exists())
+    assert(!new java.io.File(out + "__pre_compact").exists())
+  }
+
   test("malformed JSON lines surface in _corrupt_record instead of failing the read") {
     val dir = Files.createTempDirectory("graft-corrupt")
     Files.writeString(dir.resolve("mixed.jsonl"),
