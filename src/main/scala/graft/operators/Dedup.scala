@@ -312,19 +312,24 @@ object Dedup {
        |ORDER BY a_id, b_id""".stripMargin
   }
 
-  /** Min-label propagation to FIXPOINT: iterate until a round changes no
-    * label (capped at maxRounds as a runaway guard). Each round is one
-    * equi-join + aggregation over the (tiny) near-dup edge set plus a
-    * scalar convergence probe; rounds materialize through cache so later
-    * rounds never recompute the similarity join. Unlike a fixed round
-    * count, this converges for dup chains of ANY diameter — at 100 TB,
-    * transitive dup chains routinely exceed the planted diameter of small
-    * test corpora.
+  /** Min-label propagation to FIXPOINT — hybrid execution.
+    *
+    * The near-dup edge list is orders of magnitude smaller than the
+    * corpus (it only contains actual duplicate pairs), so when it fits
+    * comfortably on the driver (≤ driverEdgeLimit edges, counted during
+    * cache materialization) the component labels come from a local
+    * union-find — exact same result, none of the per-round job overhead.
+    * Larger graphs run the distributed loop: one equi-join + aggregation
+    * per round over the edge-touched subgraph with a scalar convergence
+    * probe, converging for dup chains of ANY diameter (a fixed round
+    * count would not). Both paths produce the connected component's
+    * minimum id as the label.
     *
     * `nodes` must have a single column `id`; `pairs` columns `a_id`,`b_id`.
     */
   private[graft] def propagateLabels(
-      nodes: DataFrame, pairs: DataFrame, maxRounds: Int = 20): DataFrame = {
+      nodes: DataFrame, pairs: DataFrame, maxRounds: Int = 20,
+      driverEdgeLimit: Long = 1000000L): DataFrame = {
     // both edge directions in ONE pass over the (possibly expensive) pair
     // source — a union of two selects would compute `pairs` twice while
     // materializing the cache
@@ -334,6 +339,29 @@ object Dedup {
         struct(col("b_id").as("x"), col("a_id").as("y")))).as("e"))
       .select(col("e.x").as("x"), col("e.y").as("y"))
       .cache()
+    val edgeCount = edges.count() // also materializes the cache
+    if (edgeCount <= driverEdgeLimit) {
+      val spark = nodes.sparkSession
+      import spark.implicits._
+      // union-find with path compression; roots keep the minimum id
+      val parent = scala.collection.mutable.Map[Long, Long]()
+      def find(a: Long): Long = {
+        var r = a
+        while (parent.getOrElse(r, r) != r) r = parent.getOrElse(r, r)
+        var c = a
+        while (parent.getOrElse(c, c) != c) { val n = parent(c); parent(c) = r; c = n }
+        r
+      }
+      edges.select("x", "y").as[(Long, Long)].collect().foreach { case (x, y) =>
+        val (rx, ry) = (find(x), find(y))
+        if (rx != ry) { if (rx < ry) parent(ry) = rx else parent(rx) = ry }
+      }
+      val labelDf = parent.keys.toSeq.map(k => (k, find(k))).toDF("id", "graph_lbl")
+      edges.unpersist(false)
+      return nodes.select(col("id"))
+        .join(broadcast(labelDf), Seq("id"), "left")
+        .select(col("id"), coalesce(col("graph_lbl"), col("id")).as("lbl"))
+    }
     // propagate over the dup GRAPH only (nodes that appear in some edge)
     // — at scale the near-dup graph is orders of magnitude smaller than
     // the corpus, so rounds never touch the isolated majority

@@ -158,16 +158,21 @@ class DedupSpec extends SparkSpec {
     assert(rows.map(_.toString).sameElements(again.map(_.toString)))
   }
 
-  test("label propagation reaches the fixpoint on a diameter-4 chain") {
+  test("label propagation reaches the fixpoint on a diameter-4 chain (both paths)") {
     // chain 10-11-12-13-14: a fixed 3-round propagation would leave the
-    // tail labelled wrong; the fixpoint loop must collapse all to 10
+    // tail labelled wrong; both execution paths must collapse all to 10
     val nodes = Seq(10L, 11L, 12L, 13L, 14L, 99L).toDF("id")
     val pairs = Seq((10L, 11L), (11L, 12L), (12L, 13L), (13L, 14L))
       .toDF("a_id", "b_id")
-    val labels = Dedup.propagateLabels(nodes, pairs)
-      .as[(Long, Long)].collect().toMap
-    assert(Seq(10L, 11L, 12L, 13L, 14L).forall(labels(_) == 10L), labels.toString)
-    assert(labels(99L) == 99L)
+    // driver union-find path (default threshold) AND distributed rounds
+    // (threshold forced to 0) must agree exactly
+    Seq(1000000L, 0L).foreach { limit =>
+      val labels = Dedup.propagateLabels(nodes, pairs, driverEdgeLimit = limit)
+        .as[(Long, Long)].collect().toMap
+      assert(Seq(10L, 11L, 12L, 13L, 14L).forall(labels(_) == 10L),
+        s"limit=$limit: $labels")
+      assert(labels(99L) == 99L, s"limit=$limit")
+    }
   }
 
   test("ann brute-force topk returns 10 ordered neighbours") {
