@@ -169,42 +169,31 @@ object Dedup {
        |   / len(list_distinct(list_concat(a.grams, b.grams))) >= 0.6
        |ORDER BY a_id, b_id""".stripMargin
 
-  private val NumHashes = 128
+  private val NumHashes = graft.functions.MinHashSig.NumHashes // 128
   private val BandRows  = 4
   private val NumBands  = NumHashes / BandRows // 32
-
-  /** Deterministic mix constants (fixed LCG seed — no runtime RNG). */
-  private val mixB: IndexedSeq[Long] = {
-    var s = 0x243f6a8885a308d3L
-    def next(): Long = { s = s * 6364136223846793005L + 1442695040888963407L; s }
-    (0 until NumHashes).map(_ => next())
-  }
 
   /** MinHash signatures + LSH banding + exact-Jaccard verification.
     *
     * r=4 rows × b=32 bands: P(candidate | j) = 1-(1-j⁴)^32 ≈ 0.99 at
     * j=0.6 and ≈ 1-1e-10 at j=0.85, so with the data's similarity gap the
     * verified output equals the brute-force truth (which is exactly what
-    * the oracle computes). Candidate generation shuffles (band, bucket)
-    * keys only — linear at scale, never the n² pair space.
+    * the oracle computes). The whole 128-permutation signature comes from
+    * ONE [[graft.functions.MinHashSig]] call per doc — a narrow map, no
+    * (doc, gram) shuffle; candidate generation then shuffles
+    * (band, bucket) keys only — linear at scale, never the n² pair space.
     */
   def minhashLsh(t: Tables): DataFrame = {
-    // persisted: feeds the signature build + both sides of the verify join
+    // persisted: feeds the signature build + the verify join
     val g = Shingles.gramsOf(t.documents).persist()
-    // signature: hash each gram ONCE to a long, then 128 cheap mixes
-    // (XOR a fixed constant, xxhash64 the 8-byte long) — instead of 128
-    // full string re-hashes per gram. ANSI-safe (no overflow) + codegen'd.
-    val ex = g.select(col("doc_id"), explode(col("grams")).as("gram"))
-      .select(col("doc_id"), xxhash64(col("gram")).as("h"))
-    val sigCols = (0 until NumHashes).map { i =>
-      min(xxhash64(col("h").bitwiseXOR(lit(mixB(i))))).as(s"m$i")
-    }
-    val sig = ex.groupBy("doc_id").agg(sigCols.head, sigCols.tail: _*)
+    val sig = g.where(size(col("grams")) > 0)
+      .select(col("doc_id"), graft.functions.MinHashSig(col("grams")).as("sig"))
     // band hash = hash of the band's 4 signature slots
     val bands = sig.select(
       col("doc_id"),
       posexplode(array((0 until NumBands).map { b =>
-        xxhash64((b * BandRows until (b + 1) * BandRows).map(i => col(s"m$i")): _*)
+        xxhash64((b * BandRows until (b + 1) * BandRows)
+          .map(i => col("sig").getItem(i)): _*)
       }: _*)).as(Seq("band_idx", "band_hash")))
     val ca = bands.select(col("doc_id").as("a_id"), col("band_idx"), col("band_hash"))
     val cb = bands.select(col("doc_id").as("b_id"), col("band_idx"), col("band_hash"))
@@ -213,7 +202,9 @@ object Dedup {
       .select("a_id", "b_id")
       .distinct()
     // exact verification join (precision 1.0; LSH only buys candidate cuts)
-    verifyJaccard(candidates, ex)
+    verifyJaccard(candidates,
+      g.select(col("doc_id"), explode(col("grams")).as("gram"))
+        .select(col("doc_id"), xxhash64(col("gram")).as("h")))
   }
 
   /** Oracle: brute-force word-3-gram Jaccard over all pairs — the ground
@@ -249,18 +240,11 @@ object Dedup {
     */
   def simhash(t: Tables): DataFrame = {
     val g = Shingles.gramsOf(t.documents)
-    val ex = g.select(col("doc_id"), explode(col("grams")).as("gram"))
-      .select(col("doc_id"),
-        conv(substring(md5(col("gram")), 1, 15), 16, 10).cast("long").as("h"))
-    val bitCols = (0 until SimBits).map { j =>
-      sum(when(shiftrightunsigned(col("h"), j).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"b$j")
-    }
-    val bitSums = ex.groupBy("doc_id").agg(bitCols.head, bitCols.tail: _*)
-    val sim = bitSums.select(
-      col("doc_id"),
-      (0 until SimBits).map { j =>
-        when(col(s"b$j") > 0, shiftleft(lit(1L), j)).otherwise(0L)
-      }.reduce[Column](_ bitwiseOR _).as("simhash"))
+    // whole 60-bit signature from ONE SimHashSig call per doc (same
+    // md5-derived gram hash + ±1 bit votes the oracle rebuilds in SQL) —
+    // a narrow map instead of an explode + 60-column aggregate shuffle
+    val sim = g.where(size(col("grams")) > 0)
+      .select(col("doc_id"), graft.functions.SimHashSig(col("grams")).as("simhash"))
     val segBits = SimBits / SimSegs
     val seg = sim.select(
       col("doc_id"), col("simhash"),
