@@ -21,8 +21,11 @@ TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
 def canon(df: pd.DataFrame) -> pd.DataFrame:
     df = df.reindex(sorted(df.columns), axis=1)
     if len(df):
-        df = df.sort_values(by=list(df.columns), ignore_index=True,
-                            key=lambda s: s.astype(str))
+        # IMPORTANT: plain sort_values, exactly like the driver's harness —
+        # it raises on unhashable cells (numpy arrays), so any output shape
+        # that would crash the driver crashes HERE first. Do not add a
+        # key=astype(str): that silently passes outputs the driver rejects.
+        df = df.sort_values(by=list(df.columns), ignore_index=True)
     return df.reset_index(drop=True)
 
 
