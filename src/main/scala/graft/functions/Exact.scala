@@ -31,4 +31,14 @@ object Exact {
   /** Exact charge term: extendedprice * (1 - discount) * (1 + tax). */
   def charge(ext: Column, disc: Column, tax: Column): Column =
     dec(ext) * ((lit(1) - rate(disc)) * (lit(1) + rate(tax))).cast(DecimalType(8, 4))
+
+  /** Order-independent mean of a double column via a DECIMAL(38,15) sum
+    * — deterministic across partitionings AND engines (both round each
+    * element to 15 decimals the same way, then sum exactly). 23 integer
+    * digits of headroom: summing 10¹⁵ elements of magnitude 10⁸ still
+    * fits, where a scale-30 decimal would overflow (to NULL with ANSI
+    * off) beyond ~10⁸ total. Used by every k-means/centroid update.
+    */
+  def decimalMean(c: Column): Column =
+    sum(c.cast(DecimalType(38, 15))).cast("double") / count(lit(1))
 }

@@ -57,12 +57,14 @@ object MinHashSig {
     val n = arr.numElements()
     while (g < n) {
       val s = arr.getUTF8String(g)
-      val h = XXH64.hashUnsafeBytes(s.getBaseObject, s.getBaseOffset, s.numBytes, 42L)
-      var i = 0
-      while (i < NumHashes) {
-        val m = XXH64.hashLong(h ^ mix(i), 42L)
-        if (m < mins(i)) mins(i) = m
-        i += 1
+      if (s != null) { // null elements contribute nothing (ignored grams)
+        val h = XXH64.hashUnsafeBytes(s.getBaseObject, s.getBaseOffset, s.numBytes, 42L)
+        var i = 0
+        while (i < NumHashes) {
+          val m = XXH64.hashLong(h ^ mix(i), 42L)
+          if (m < mins(i)) mins(i) = m
+          i += 1
+        }
       }
       g += 1
     }
@@ -129,11 +131,14 @@ object SimHashSig {
     var g = 0
     val n = arr.numElements()
     while (g < n) {
-      val h = gramHash(arr.getUTF8String(g).getBytes)
-      var j = 0
-      while (j < Bits) {
-        if (((h >>> j) & 1L) == 1L) votes(j) += 1 else votes(j) -= 1
-        j += 1
+      val s = arr.getUTF8String(g)
+      if (s != null) { // null elements contribute no votes (ignored grams)
+        val h = gramHash(s.getBytes)
+        var j = 0
+        while (j < Bits) {
+          if (((h >>> j) & 1L) == 1L) votes(j) += 1 else votes(j) -= 1
+          j += 1
+        }
       }
       g += 1
     }

@@ -53,7 +53,7 @@ object Embeddings {
         // absorbs the engines' differing double→decimal conversion paths
         // (shortest-string vs binary expansion), and decimal(24,12)→double
         // is correctly rounded in both (unscaled value < 2^53)
-        (sum(col("x").cast(DecimalType(38, 30))).cast("double") / count(lit(1)))
+        graft.functions.Exact.decimalMean(col("x"))
           .cast(DecimalType(24, 12)).cast("double").as("m"),
         count(lit(1)).as("n_vecs"))
       .orderBy("label", "pos")
@@ -113,9 +113,8 @@ object Embeddings {
     val refined = withBest(cents)(exploded)
       .select(col("s"), col("best.cell").as("cell"), posexplode(col("sv")).as(Seq("pos", "x")))
       .groupBy("s", "cell", "pos")
-      // decimal-exact mean: partition-order independent, so the codebook
-      // (and therefore every code) is deterministic run to run
-      .agg((sum(col("x").cast(DecimalType(38, 30))).cast("double") / count(lit(1))).as("m"))
+      // order-independent mean → codebook (and every code) deterministic
+      .agg(graft.functions.Exact.decimalMean(col("x")).as("m"))
       .groupBy("s", "cell")
       .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("pm"))
       .select(col("s"), col("cell"), expr("transform(pm, q -> q.m)").as("c"))
@@ -137,7 +136,7 @@ object Embeddings {
 
   val centroidsSql: String =
     """SELECT label, CAST(pos AS INT) AS pos,
-      | CAST(CAST(CAST(SUM(CAST(x AS DECIMAL(38,30))) AS DOUBLE) / COUNT(*)
+      | CAST(CAST(CAST(SUM(CAST(x AS DECIMAL(38,15))) AS DOUBLE) / COUNT(*)
       |   AS DECIMAL(24,12)) AS DOUBLE) AS m,
       | CAST(COUNT(*) AS BIGINT) AS n_vecs
       |FROM (

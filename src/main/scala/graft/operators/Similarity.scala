@@ -130,10 +130,8 @@ object Similarity {
       cents = assigned
         .select(col("cell"), posexplode(col("v")).as(Seq("pos", "x")))
         .groupBy("cell", "pos")
-        // decimal-exact mean keeps the quantizer (and probe sets)
-        // deterministic across runs and partitionings
-        .agg((sum(col("x").cast(org.apache.spark.sql.types.DecimalType(38, 30)))
-          .cast("double") / count(lit(1))).as("m"))
+        // order-independent mean → quantizer and probe sets deterministic
+        .agg(graft.functions.Exact.decimalMean(col("x")).as("m"))
         .groupBy("cell")
         .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("pm"))
         .select(col("cell"), expr("transform(pm, s -> s.m)").as("c"))

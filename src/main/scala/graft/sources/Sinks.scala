@@ -127,19 +127,40 @@ object Sinks {
   /** Small-file compaction: rewrite a parquet table into ≈targetBytes
     * files. Streaming/incremental sinks accrete many small files; at
     * 100 TB that degrades every later scan (task-per-file scheduling,
-    * footer reads, no row-group locality). Staged write + atomic-ish
-    * swap: the new files land in a sibling temp dir, then the dirs are
-    * exchanged — readers never observe a half-compacted table, and the
-    * source is never read while being overwritten.
+    * footer reads, no row-group locality).
+    *
+    * Safety properties:
+    *  - the rewrite reads an explicit SNAPSHOT file list, and files that
+    *    appear after the snapshot (concurrent appends) are carried over
+    *    into the compacted table during the swap — never deleted;
+    *  - a crash between the two swap renames is recovered on the next
+    *    call (the staged-out dir is restored);
+    *  - partitioned tables split LARGE partitions too: rows are salted
+    *    within each partition so every partition gets
+    *    ≈ its-bytes / targetBytes files, not one giant file.
+    * The swap itself is two renames; readers in that window should
+    * retry — for always-consistent readers use a transactional table
+    * format, which is exactly what this operator is the poor-man's
+    * version of.
     *
     * Returns (filesBefore, filesAfter).
     */
   def compact(spark: org.apache.spark.sql.SparkSession, path: String,
       targetFileBytes: Long, partitionCols: Seq[String] = Nil): (Int, Int) = {
+    import org.apache.hadoop.fs.Path
+    import org.apache.spark.sql.functions.{col, lit, pmod, struct, xxhash64}
     val conf = spark.sessionState.newHadoopConf()
-    val p = new org.apache.hadoop.fs.Path(path)
+    val p = new Path(path)
     val fs = p.getFileSystem(conf)
-    def parquetFiles(dir: org.apache.hadoop.fs.Path): Seq[org.apache.hadoop.fs.FileStatus] = {
+    val tmp = new Path(path + "__compacting")
+    val old = new Path(path + "__pre_compact")
+    // crash recovery: a previous run staged the table out but died before
+    // swapping the new one in — restore it
+    if (!fs.exists(p) && fs.exists(old)) require(fs.rename(old, p),
+      s"compact: could not restore $old")
+    fs.delete(tmp, true)
+    fs.delete(old, true)
+    def parquetFiles(dir: Path): Seq[org.apache.hadoop.fs.FileStatus] = {
       val it = fs.listFiles(dir, true)
       val buf = scala.collection.mutable.ArrayBuffer[org.apache.hadoop.fs.FileStatus]()
       while (it.hasNext) {
@@ -148,26 +169,44 @@ object Sinks {
       }
       buf.toSeq
     }
-    val before = parquetFiles(p)
-    val totalBytes = before.map(_.getLen).sum
+    def relTo(root: Path, f: Path): String =
+      f.toUri.getPath.stripPrefix(root.toUri.getPath).stripPrefix("/")
+    val snapshot = parquetFiles(p)
+    val snapshotRel = snapshot.map(st => relTo(p, st.getPath)).toSet
+    val totalBytes = snapshot.map(_.getLen).sum
     val nFiles = math.max(1, math.ceil(totalBytes.toDouble / targetFileBytes).toInt)
-    val tmp = new org.apache.hadoop.fs.Path(path + "__compacting")
-    fs.delete(tmp, true)
-    val df = spark.read.parquet(path)
+    // read the snapshot EXPLICITLY (basePath keeps hive partition columns)
+    val df = spark.read.option("basePath", path)
+      .parquet(snapshot.map(_.getPath.toString): _*)
     val writer =
-      (if (partitionCols.nonEmpty)
-         // partition-local shuffle: files coalesce within each partition
-         df.repartition(nFiles, partitionCols.map(org.apache.spark.sql.functions.col): _*)
+      (if (partitionCols.nonEmpty) {
+         // salt within partitions so a big partition still splits into
+         // ≈ its share of nFiles; salt derives from row content (no RNG)
+         val nPartDirs = math.max(1, fs.listStatus(p).count(_.isDirectory))
+         val perPart = math.max(1, math.ceil(nFiles.toDouble / nPartDirs).toInt)
+         val dataCols = df.columns.filterNot(partitionCols.contains).map(col)
+         df.withColumn("__salt", pmod(xxhash64(struct(dataCols: _*)), lit(perPart)))
+           .repartition(nFiles, (partitionCols.map(col) :+ col("__salt")): _*)
+           .drop("__salt")
            .write.partitionBy(partitionCols: _*)
-       else df.repartition(nFiles).write)
+       } else df.repartition(nFiles).write)
         .mode("overwrite")
     writer.parquet(tmp.toString)
-    val old = new org.apache.hadoop.fs.Path(path + "__pre_compact")
-    fs.delete(old, true)
     require(fs.rename(p, old), s"compact: could not stage out $path")
     require(fs.rename(tmp, p), s"compact: could not swap in $tmp")
+    // carry over files appended concurrently with the rewrite: anything
+    // under the staged-out dir that was NOT in the snapshot
+    parquetFiles(old).foreach { st =>
+      val rel = relTo(old, st.getPath)
+      if (!snapshotRel.contains(rel)) {
+        val dest = new Path(p, rel)
+        fs.mkdirs(dest.getParent)
+        require(fs.rename(st.getPath, dest),
+          s"compact: could not carry over concurrent append ${st.getPath}")
+      }
+    }
     fs.delete(old, true)
-    (before.size, parquetFiles(p).size)
+    (snapshot.size, parquetFiles(p).size)
   }
 
   /** Database write sink — the load half of the reference's pipeline

@@ -235,6 +235,44 @@ class SourcesSpec extends SparkSpec {
     assert(!new java.io.File(out + "__pre_compact").exists())
   }
 
+  test("compaction recovers a table staged out by a crashed predecessor") {
+    val out = Files.createTempDirectory("graft-compact2").toString + "/t"
+    sf.events.limit(500).repartition(1)
+      .write.option("maxRecordsPerFile", "50").parquet(out)
+    val total = spark.read.parquet(out).count()
+    // simulate a crash between the two swap renames: the table dir was
+    // staged out and the new one never swapped in
+    java.nio.file.Files.move(
+      java.nio.file.Paths.get(out),
+      java.nio.file.Paths.get(out + "__pre_compact"))
+    val (_, nAfter) = Sinks.compact(spark, out, targetFileBytes = 512L * 1024 * 1024)
+    assert(nAfter == 1)
+    assert(spark.read.parquet(out).count() == total)
+    assert(!new java.io.File(out + "__pre_compact").exists())
+  }
+
+  test("partitioned compaction splits large partitions toward the target size") {
+    val out = Files.createTempDirectory("graft-compact3").toString + "/t"
+    sf.events.limit(1000)
+      .withColumn("ym", date_format(col("ts"), "yyyyMM"))
+      .repartition(1)
+      .write.option("maxRecordsPerFile", "25").partitionBy("ym").parquet(out)
+    val rows = spark.read.parquet(out).count()
+    // tiny target: every partition must produce MULTIPLE files, proving
+    // the within-partition salt actually splits (one-file-per-partition
+    // was the old failure mode)
+    val (_, nAfter) = Sinks.compact(spark, out, targetFileBytes = 16L * 1024,
+      partitionCols = Seq("ym"))
+    val partDirs = new java.io.File(out).listFiles().filter(_.isDirectory)
+    assert(partDirs.nonEmpty)
+    val filesPerPart = partDirs.map(d =>
+      d.listFiles().count(_.getName.endsWith(".parquet")))
+    assert(filesPerPart.exists(_ > 1),
+      s"expected some partition split into multiple files: ${filesPerPart.toSeq}")
+    assert(spark.read.parquet(out).count() == rows)
+    assert(nAfter == filesPerPart.sum)
+  }
+
   test("malformed JSON lines surface in _corrupt_record instead of failing the read") {
     val dir = Files.createTempDirectory("graft-corrupt")
     Files.writeString(dir.resolve("mixed.jsonl"),
