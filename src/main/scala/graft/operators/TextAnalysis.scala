@@ -3,6 +3,7 @@ package graft.operators
 import graft.Tables
 import graft.functions.RollingHash
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Text analysis for training-data curation: token stats, quality
@@ -211,6 +212,65 @@ object TextAnalysis {
         count(noPhone, Ipv4Re).as("n_ips"))
       .orderBy("doc_id")
   }
+
+  private val PackCapacity = 2048 // tokens per packed training sequence
+  private val PackBucket   = 64   // docs per cumsum bucket (coarse prefix-sum level)
+
+  /** Sequence packing — the concat-and-chunk step that turns a document
+    * corpus into fixed-capacity training sequences: documents are laid
+    * end-to-end in doc_id order and each doc belongs to the bin where its
+    * first token lands (`floor(exclusive_cumsum / capacity)`).
+    *
+    * The global running offset is a DISTRIBUTED TWO-LEVEL PREFIX SUM:
+    * per-bucket cumulative sums (windows partitioned by `doc_id div 64`)
+    * plus a second tiny window over per-bucket totals — no
+    * all-rows-to-one-partition global window anywhere, so the plan holds
+    * at corpus scale. Integer token counts keep both levels exact, and
+    * the oracle is the flat `SUM() OVER (ORDER BY doc_id)` the two-level
+    * form provably equals.
+    */
+  def packSequences(t: Tables): DataFrame = {
+    val toks = t.documents.select(
+      col("doc_id"),
+      (size(split(col("text"), " "))).as("n_tokens"),
+      expr(s"doc_id div $PackBucket").as("bucket")) // integer div, not double `/`
+    val wInBucket = Window.partitionBy("bucket").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val local = toks.withColumn("local_cum", sum(col("n_tokens")).over(wInBucket))
+    val wBuckets = Window.orderBy("bucket")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = toks.groupBy("bucket")
+      .agg(sum(col("n_tokens")).as("bucket_total"))
+      .withColumn("bucket_offset",
+        coalesce(sum(col("bucket_total")).over(wBuckets), lit(0L)))
+      .select("bucket", "bucket_offset")
+    local.join(broadcast(offsets), Seq("bucket"))
+      .withColumn("start_offset",
+        col("bucket_offset") + col("local_cum") - col("n_tokens"))
+      .withColumn("bin", expr(s"start_offset div $PackCapacity"))
+      .groupBy("bin")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("total_tokens"),
+        min(col("doc_id")).as("first_doc"),
+        max(col("doc_id")).as("last_doc"))
+      .orderBy("bin")
+  }
+
+  val packSequencesSql: String =
+    s"""SELECT CAST(start_offset // $PackCapacity AS BIGINT) AS bin, -- floor div, surfaced as BIGINT
+       | CAST(COUNT(*) AS BIGINT) AS n_docs,
+       | CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+       | MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
+       |FROM (
+       | SELECT doc_id, n_tokens,
+       |  COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS start_offset
+       | FROM (
+       |  SELECT doc_id, len(string_split(text, ' ')) AS n_tokens
+       |  FROM documents))
+       |GROUP BY bin
+       |ORDER BY bin""".stripMargin
 
   private val HhK = 200 // heavy hitter = gram with > 1/200 of all gram instances
 

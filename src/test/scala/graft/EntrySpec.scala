@@ -68,6 +68,24 @@ class EntrySpec extends SparkSpec {
     rows.foreach(r => assert(r.getLong(1) * 200 > r.getLong(2)))
   }
 
+  test("sequence packing bins are contiguous and conserve the token count") {
+    import org.apache.spark.sql.functions._
+    val t = Tables(spark, dir)
+    val out = graft.operators.TextAnalysis.packSequences(t).collect()
+    assert(out.nonEmpty)
+    val bins = out.map(_.getLong(0))
+    assert(bins.head == 0L && bins.sameElements(bins.indices.map(_.toLong)),
+      "bins must be contiguous from 0")
+    val packedTokens = out.map(_.getLong(2)).sum
+    val corpusTokens = t.documents
+      .agg(sum(size(split(col("text"), " ")))).collect()(0).getLong(0)
+    assert(packedTokens == corpusTokens, s"$packedTokens != $corpusTokens")
+    // doc ranges of consecutive bins don't overlap (packing is in order)
+    out.sliding(2).foreach { case Array(a, b) =>
+      assert(a.getLong(4) < b.getLong(3), s"bins overlap: $a vs $b")
+    }
+  }
+
   test("a representative sample of queries executes end-to-end at sf0.001") {
     val sample = Seq("q1_pricing_summary", "q5_local_supplier", "q_asof_join",
       "dedup_minhash_lsh", "ann_bruteforce_topk", "text_quality",
