@@ -98,6 +98,26 @@ object Streams {
         col("v_ts") <= col("p_ts"))
   }
 
+  /** Stream-stream LEFT OUTER interval join: purchases pair with views in
+    * the preceding hour, and a purchase with NO matching view is still
+    * emitted (null view columns) — but only once the view-side watermark
+    * guarantees no match can arrive, which is what makes outer streaming
+    * joins need watermarks on BOTH sides plus a time-bound condition
+    * (otherwise unmatched-state would be unbounded and results
+    * non-final). State per key is bounded by the interval + watermark.
+    */
+  def purchaseViewLeftJoin(purchases: DataFrame, views: DataFrame): DataFrame = {
+    val p = purchases.withWatermark("ts", "1 hour")
+      .select(col("user_id").as("p_user"), col("ts").as("p_ts"), col("value").as("p_value"))
+    val v = views.withWatermark("ts", "2 hours")
+      .select(col("user_id").as("v_user"), col("ts").as("v_ts"), col("value").as("v_value"))
+    p.join(v,
+      col("p_user") === col("v_user") &&
+        col("v_ts") >= col("p_ts") - expr("INTERVAL 1 HOUR") &&
+        col("v_ts") <= col("p_ts"),
+      "left_outer")
+  }
+
   /** Gap-based sessionization (30-minute inactivity) with explicit state —
     * streaming twin of `Relational.sessionize`, via
     * flatMapGroupsWithState + event-time timeout. Emits a session when

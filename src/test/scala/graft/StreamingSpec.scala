@@ -91,6 +91,32 @@ class StreamingSpec extends SparkSpec {
     assert(rows.head.getAs[Double]("v_value") == 1.0)
   }
 
+  test("stream-stream LEFT OUTER join emits unmatched purchases after the watermark") {
+    implicit val sqlCtx = spark.sqlContext
+    val purchases = MemoryStream[Event]
+    val views = MemoryStream[Event]
+    purchases.addData(
+      Event(1, ts(30), "purchase", 100.0),  // has a matching view
+      Event(3, ts(31), "purchase", 50.0))   // NO view: must surface with nulls
+    views.addData(Event(1, ts(10), "view", 1.0))
+    val q = Streams.purchaseViewLeftJoin(purchases.toDF(), views.toDF())
+      .writeStream.format("memory").queryName("ssleft")
+      .outputMode("append").start()
+    q.processAllAvailable()
+    // advance BOTH watermarks far past the interval so the engine can
+    // prove no view for user 3 will ever arrive
+    purchases.addData(Event(9, Timestamp.valueOf("2025-01-01 16:00:00"), "purchase", 1.0))
+    views.addData(Event(9, Timestamp.valueOf("2025-01-01 16:00:00"), "view", 1.0))
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.table("ssleft").collect()
+    val byUser = rows.groupBy(_.getAs[Long]("p_user"))
+    assert(byUser(1L).exists(_.getAs[Double]("v_value") == 1.0))
+    val unmatched = byUser(3L)
+    assert(unmatched.length == 1 && unmatched.head.isNullAt(
+      unmatched.head.fieldIndex("v_value")), rows.mkString("; "))
+  }
+
   test("streaming CDC upsert materializes latest state per key via foreachBatch") {
     implicit val sqlCtx = spark.sqlContext
     val out = java.nio.file.Files.createTempDirectory("graft-supsert").toString + "/state"
