@@ -146,12 +146,17 @@ object Dedup {
 
   /** Exact-Jaccard verification of candidate pairs (see
     * [[scoreCandidates]]; [[graft.functions.SortedLongJaccard]] merge).
+    * The verified pair set is persisted (it is tiny — actual near-dups)
+    * so downstream consumers with the same pair source ([[clusters]]
+    * after [[ngramJaccard]] in one session) reuse it instead of
+    * re-running candidate generation + verification.
     */
   private def verifyJaccard(candidates: DataFrame, ex: DataFrame): DataFrame =
     scoreCandidates(candidates, ex)(graft.functions.SortedLongJaccard(_, _))
       .withColumnRenamed("score", "jaccard")
       .where(col("jaccard") >= JaccardThreshold)
       .select("a_id", "b_id", "jaccard")
+      .persist()
       .orderBy("a_id", "b_id")
 
   /** Oracle: unblocked brute force — the prefix filter is sound, so the

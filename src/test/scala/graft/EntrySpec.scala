@@ -89,7 +89,11 @@ class EntrySpec extends SparkSpec {
   test("a representative sample of queries executes end-to-end at sf0.001") {
     val sample = Seq("q1_pricing_summary", "q5_local_supplier", "q_asof_join",
       "dedup_minhash_lsh", "ann_bruteforce_topk", "text_quality",
-      "etl_fact_sales", "q_session_window", "q_topk_heap", "dedup_clusters")
+      "etl_fact_sales", "q_session_window", "q_topk_heap", "dedup_clusters",
+      // round-2 additions
+      "dedup_containment", "dedup_embedding_lsh", "sample_stratified",
+      "q_anomaly_zscore", "q_grouping_sets", "text_pack_sequences",
+      "text_boilerplate", "embed_pq")
     sample.foreach { name =>
       val n = SparkEntry.queries(name)(spark, dir).count()
       assert(n >= 0, s"$name failed")
