@@ -33,11 +33,17 @@ object Exact {
     dec(ext) * ((lit(1) - rate(disc)) * (lit(1) + rate(tax))).cast(DecimalType(8, 4))
 
   /** Order-independent mean of a double column via a DECIMAL(38,15) sum
-    * — deterministic across partitionings AND engines (both round each
-    * element to 15 decimals the same way, then sum exactly). 23 integer
-    * digits of headroom: summing 10¹⁵ elements of magnitude 10⁸ still
-    * fits, where a scale-30 decimal would overflow (to NULL with ANSI
-    * off) beyond ~10⁸ total. Used by every k-means/centroid update.
+    * — deterministic across partitionings, with 23 integer digits of
+    * headroom (summing 10¹⁵ elements of magnitude 10⁸ still fits, where
+    * a scale-30 decimal would overflow — to NULL with ANSI off — beyond
+    * ~10⁸ total).
+    *
+    * For DETERMINISM-ONLY paths (k-means/quantizer updates, where no
+    * external oracle recomputes the value). An ORACLE-COMPARED mean
+    * should prefer a scale-30 sum + explicit final rounding (see
+    * `Embeddings.centroids`): per-element scale-15 rounding can disagree
+    * between engines near decimal boundaries more often than the
+    * sub-ulp noise a scale-30 sum carries.
     */
   def decimalMean(c: Column): Column =
     sum(c.cast(DecimalType(38, 15))).cast("double") / count(lit(1))

@@ -149,7 +149,10 @@ object Dedup {
     * The verified pair set is persisted (it is tiny — actual near-dups)
     * so downstream consumers with the same pair source ([[clusters]]
     * after [[ngramJaccard]] in one session) reuse it instead of
-    * re-running candidate generation + verification.
+    * re-running candidate generation + verification. Cache lifecycle
+    * belongs to the session owner (Verify clears between queries; a
+    * long-lived service should `spark.catalog.clearCache()` on its own
+    * cadence) — the entries are bounded by true near-dup counts.
     */
   private def verifyJaccard(candidates: DataFrame, ex: DataFrame): DataFrame =
     scoreCandidates(candidates, ex)(graft.functions.SortedLongJaccard(_, _))

@@ -37,11 +37,11 @@ object Embeddings {
       |ORDER BY vec_id, pos""".stripMargin
 
   /** Exact per-label centroids: element-wise mean computed through
-    * DECIMAL sums (floats expand exactly into decimal(38,30) at this
-    * magnitude), so the result is partition-order independent and
-    * engine-portable — the same trick [[graft.functions.Exact]] uses for
-    * money, applied to vector math. At scale this is one partial-agg
-    * shuffle keyed by (label, dim).
+    * scale-30 DECIMAL sums (element rounding error is sub-ulp at this
+    * magnitude) + a final 12-decimal rounding, so the result is
+    * partition-order independent and engine-portable — the same trick
+    * [[graft.functions.Exact]] uses for money, applied to vector math.
+    * At scale this is one partial-agg shuffle keyed by (label, dim).
     */
   def centroids(t: Tables): DataFrame =
     t.embeddings
@@ -49,11 +49,14 @@ object Embeddings {
         .as(Seq("pos", "x")))
       .groupBy("label", "pos")
       .agg(
-        // decimal sum → order-independent; the final 12-decimal rounding
-        // absorbs the engines' differing double→decimal conversion paths
+        // scale-30 decimal sum → order-independent with only sub-ulp
+        // element rounding; the final 12-decimal rounding absorbs the
+        // engines' differing double→decimal conversion paths
         // (shortest-string vs binary expansion), and decimal(24,12)→double
-        // is correctly rounded in both (unscaled value < 2^53)
-        graft.functions.Exact.decimalMean(col("x"))
+        // is correctly rounded in both (unscaled value < 2^53). The
+        // oracle recomputes this exactly, which is why the scale stays 30
+        // here (sub-ulp noise) rather than decimalMean's 15 (headroom).
+        (sum(col("x").cast(DecimalType(38, 30))).cast("double") / count(lit(1)))
           .cast(DecimalType(24, 12)).cast("double").as("m"),
         count(lit(1)).as("n_vecs"))
       .orderBy("label", "pos")
@@ -136,7 +139,7 @@ object Embeddings {
 
   val centroidsSql: String =
     """SELECT label, CAST(pos AS INT) AS pos,
-      | CAST(CAST(CAST(SUM(CAST(x AS DECIMAL(38,15))) AS DOUBLE) / COUNT(*)
+      | CAST(CAST(CAST(SUM(CAST(x AS DECIMAL(38,30))) AS DOUBLE) / COUNT(*)
       |   AS DECIMAL(24,12)) AS DOUBLE) AS m,
       | CAST(COUNT(*) AS BIGINT) AS n_vecs
       |FROM (

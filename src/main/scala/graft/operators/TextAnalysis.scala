@@ -222,12 +222,14 @@ object TextAnalysis {
     * first token lands (`floor(exclusive_cumsum / capacity)`).
     *
     * The global running offset is a DISTRIBUTED TWO-LEVEL PREFIX SUM:
-    * per-bucket cumulative sums (windows partitioned by `doc_id div 64`)
-    * plus a second tiny window over per-bucket totals — no
-    * all-rows-to-one-partition global window anywhere, so the plan holds
-    * at corpus scale. Integer token counts keep both levels exact, and
-    * the oracle is the flat `SUM() OVER (ORDER BY doc_id)` the two-level
-    * form provably equals.
+    * per-bucket cumulative sums (windows partitioned by `doc_id div B`)
+    * plus a second window over the per-bucket totals, which is n/B rows —
+    * the single-partition stage shrinks by the bucket factor instead of
+    * seeing every row. B is a constant 64 here (right for test scale);
+    * at extreme corpus sizes pick B ≈ √n or add a third level — the
+    * output is identical for any B. Integer token counts keep both
+    * levels exact, and the oracle is the flat
+    * `SUM() OVER (ORDER BY doc_id)` the two-level form provably equals.
     */
   def packSequences(t: Tables): DataFrame = {
     val toks = t.documents.select(

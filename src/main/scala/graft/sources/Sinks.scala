@@ -129,37 +129,36 @@ object Sinks {
     * 100 TB that degrades every later scan (task-per-file scheduling,
     * footer reads, no row-group locality).
     *
-    * Safety properties:
-    *  - the rewrite reads an explicit SNAPSHOT file list, and files that
-    *    appear after the snapshot (concurrent appends) are carried over
-    *    into the compacted table during the swap — never deleted;
+    * Safety properties (and their limits — this is the poor-man's
+    * version of a transactional table format, and says so):
+    *  - the rewrite reads an explicit SNAPSHOT file list, persisted as a
+    *    manifest inside the new table dir; appends that FULLY COMMIT
+    *    before the swap are carried over — never deleted — even if the
+    *    process crashes mid-carry-over (the next call finishes the job
+    *    from the manifest);
     *  - a crash between the two swap renames is recovered on the next
     *    call (the staged-out dir is restored);
+    *  - appends whose commit is IN FLIGHT during the swap window are not
+    *    protected (their task files travel with the rename mid-commit) —
+    *    pause writers across the swap, or use a real table format;
+    *  - readers racing the two renames should retry;
     *  - partitioned tables split LARGE partitions too: rows are salted
-    *    within each partition so every partition gets
-    *    ≈ its-bytes / targetBytes files, not one giant file.
-    * The swap itself is two renames; readers in that window should
-    * retry — for always-consistent readers use a transactional table
-    * format, which is exactly what this operator is the poor-man's
-    * version of.
+    *    round-robin within each partition so every partition gets
+    *    ≈ its-bytes / targetBytes files, not one giant file (leaf
+    *    partition dirs counted from the snapshot, so multi-level
+    *    partitioning sizes correctly).
     *
     * Returns (filesBefore, filesAfter).
     */
   def compact(spark: org.apache.spark.sql.SparkSession, path: String,
       targetFileBytes: Long, partitionCols: Seq[String] = Nil): (Int, Int) = {
     import org.apache.hadoop.fs.Path
-    import org.apache.spark.sql.functions.{col, lit, pmod, struct, xxhash64}
+    import org.apache.spark.sql.functions.{col, lit, monotonically_increasing_id, pmod}
     val conf = spark.sessionState.newHadoopConf()
     val p = new Path(path)
     val fs = p.getFileSystem(conf)
     val tmp = new Path(path + "__compacting")
     val old = new Path(path + "__pre_compact")
-    // crash recovery: a previous run staged the table out but died before
-    // swapping the new one in — restore it
-    if (!fs.exists(p) && fs.exists(old)) require(fs.rename(old, p),
-      s"compact: could not restore $old")
-    fs.delete(tmp, true)
-    fs.delete(old, true)
     def parquetFiles(dir: Path): Seq[org.apache.hadoop.fs.FileStatus] = {
       val it = fs.listFiles(dir, true)
       val buf = scala.collection.mutable.ArrayBuffer[org.apache.hadoop.fs.FileStatus]()
@@ -171,8 +170,40 @@ object Sinks {
     }
     def relTo(root: Path, f: Path): String =
       f.toUri.getPath.stripPrefix(root.toUri.getPath).stripPrefix("/")
+    def manifestPath(dir: Path) = new Path(dir, "_compact_manifest")
+    def readManifest(dir: Path): Option[Set[String]] =
+      if (!fs.exists(manifestPath(dir))) None
+      else {
+        val in = fs.open(manifestPath(dir))
+        try Some(scala.io.Source.fromInputStream(in, "UTF-8").getLines().toSet)
+        finally in.close()
+      }
+    // finish the job of a run that died after swap-in: carry over every
+    // staged-out file the manifest does NOT list (committed concurrent
+    // appends), then drop the staged-out dir
+    def carryOverAndClean(): Unit = {
+      if (fs.exists(old) && fs.exists(p)) {
+        val compactedAway = readManifest(p).getOrElse(Set.empty)
+        parquetFiles(old).foreach { st =>
+          val rel = relTo(old, st.getPath)
+          if (!compactedAway.contains(rel)) {
+            val dest = new Path(p, rel)
+            fs.mkdirs(dest.getParent)
+            require(fs.rename(st.getPath, dest),
+              s"compact: could not carry over concurrent append ${st.getPath}")
+          }
+        }
+        fs.delete(old, true)
+      }
+      fs.delete(manifestPath(p), false)
+    }
+    // crash recovery: staged out but never swapped in → restore; swapped
+    // in but carry-over unfinished → finish it from the manifest
+    if (!fs.exists(p) && fs.exists(old)) require(fs.rename(old, p),
+      s"compact: could not restore $old")
+    else carryOverAndClean()
+    fs.delete(tmp, true)
     val snapshot = parquetFiles(p)
-    val snapshotRel = snapshot.map(st => relTo(p, st.getPath)).toSet
     val totalBytes = snapshot.map(_.getLen).sum
     val nFiles = math.max(1, math.ceil(totalBytes.toDouble / targetFileBytes).toInt)
     // read the snapshot EXPLICITLY (basePath keeps hive partition columns)
@@ -180,32 +211,27 @@ object Sinks {
       .parquet(snapshot.map(_.getPath.toString): _*)
     val writer =
       (if (partitionCols.nonEmpty) {
-         // salt within partitions so a big partition still splits into
-         // ≈ its share of nFiles; salt derives from row content (no RNG)
-         val nPartDirs = math.max(1, fs.listStatus(p).count(_.isDirectory))
-         val perPart = math.max(1, math.ceil(nFiles.toDouble / nPartDirs).toInt)
-         val dataCols = df.columns.filterNot(partitionCols.contains).map(col)
-         df.withColumn("__salt", pmod(xxhash64(struct(dataCols: _*)), lit(perPart)))
+         // round-robin salt within partitions so a big partition still
+         // splits into ≈ its share of nFiles even when its rows are
+         // duplicates (a content hash would collapse those to one salt)
+         val nLeafDirs = math.max(1, snapshot.map(_.getPath.getParent).distinct.size)
+         val perPart = math.max(1, math.ceil(nFiles.toDouble / nLeafDirs).toInt)
+         df.withColumn("__salt", pmod(monotonically_increasing_id(), lit(perPart.toLong)))
            .repartition(nFiles, (partitionCols.map(col) :+ col("__salt")): _*)
            .drop("__salt")
            .write.partitionBy(partitionCols: _*)
        } else df.repartition(nFiles).write)
         .mode("overwrite")
     writer.parquet(tmp.toString)
+    // manifest = what the rewrite consumed; anything else found in the
+    // staged-out dir later is a committed concurrent append
+    val mOut = fs.create(manifestPath(tmp), true)
+    try mOut.write(snapshot.map(st => relTo(p, st.getPath))
+      .mkString("", "\n", "\n").getBytes("UTF-8"))
+    finally mOut.close()
     require(fs.rename(p, old), s"compact: could not stage out $path")
     require(fs.rename(tmp, p), s"compact: could not swap in $tmp")
-    // carry over files appended concurrently with the rewrite: anything
-    // under the staged-out dir that was NOT in the snapshot
-    parquetFiles(old).foreach { st =>
-      val rel = relTo(old, st.getPath)
-      if (!snapshotRel.contains(rel)) {
-        val dest = new Path(p, rel)
-        fs.mkdirs(dest.getParent)
-        require(fs.rename(st.getPath, dest),
-          s"compact: could not carry over concurrent append ${st.getPath}")
-      }
-    }
-    fs.delete(old, true)
+    carryOverAndClean()
     (snapshot.size, parquetFiles(p).size)
   }
 

@@ -87,7 +87,8 @@ object Streams {
     * time-interval condition bounds join state on both sides — the only
     * way a stream-stream join stays finite on an unbounded feed.
     */
-  def purchaseViewJoin(purchases: DataFrame, views: DataFrame): DataFrame = {
+  private def intervalJoin(purchases: DataFrame, views: DataFrame,
+      joinType: String): DataFrame = {
     val p = purchases.withWatermark("ts", "1 hour")
       .select(col("user_id").as("p_user"), col("ts").as("p_ts"), col("value").as("p_value"))
     val v = views.withWatermark("ts", "2 hours")
@@ -95,8 +96,12 @@ object Streams {
     p.join(v,
       col("p_user") === col("v_user") &&
         col("v_ts") >= col("p_ts") - expr("INTERVAL 1 HOUR") &&
-        col("v_ts") <= col("p_ts"))
+        col("v_ts") <= col("p_ts"),
+      joinType)
   }
+
+  def purchaseViewJoin(purchases: DataFrame, views: DataFrame): DataFrame =
+    intervalJoin(purchases, views, "inner")
 
   /** Stream-stream LEFT OUTER interval join: purchases pair with views in
     * the preceding hour, and a purchase with NO matching view is still
@@ -106,17 +111,8 @@ object Streams {
     * (otherwise unmatched-state would be unbounded and results
     * non-final). State per key is bounded by the interval + watermark.
     */
-  def purchaseViewLeftJoin(purchases: DataFrame, views: DataFrame): DataFrame = {
-    val p = purchases.withWatermark("ts", "1 hour")
-      .select(col("user_id").as("p_user"), col("ts").as("p_ts"), col("value").as("p_value"))
-    val v = views.withWatermark("ts", "2 hours")
-      .select(col("user_id").as("v_user"), col("ts").as("v_ts"), col("value").as("v_value"))
-    p.join(v,
-      col("p_user") === col("v_user") &&
-        col("v_ts") >= col("p_ts") - expr("INTERVAL 1 HOUR") &&
-        col("v_ts") <= col("p_ts"),
-      "left_outer")
-  }
+  def purchaseViewLeftJoin(purchases: DataFrame, views: DataFrame): DataFrame =
+    intervalJoin(purchases, views, "left_outer")
 
   /** Gap-based sessionization (30-minute inactivity) with explicit state —
     * streaming twin of `Relational.sessionize`, via

@@ -80,9 +80,11 @@ class EntrySpec extends SparkSpec {
     val corpusTokens = t.documents
       .agg(sum(size(split(col("text"), " ")))).collect()(0).getLong(0)
     assert(packedTokens == corpusTokens, s"$packedTokens != $corpusTokens")
-    // doc ranges of consecutive bins don't overlap (packing is in order)
-    out.sliding(2).foreach { case Array(a, b) =>
-      assert(a.getLong(4) < b.getLong(3), s"bins overlap: $a vs $b")
+    // doc ranges of consecutive bins don't overlap (packing is in order);
+    // guard: sliding(2) over a single bin yields a 1-element window
+    out.sliding(2).foreach {
+      case Array(a, b) => assert(a.getLong(4) < b.getLong(3), s"bins overlap: $a vs $b")
+      case _ => // single bin: nothing to compare
     }
   }
 

@@ -251,6 +251,30 @@ class SourcesSpec extends SparkSpec {
     assert(!new java.io.File(out + "__pre_compact").exists())
   }
 
+  test("compaction finishes an interrupted carry-over from its manifest") {
+    val out = Files.createTempDirectory("graft-compact4").toString + "/t"
+    sf.events.limit(200).repartition(1).write.parquet(out)
+    val total = spark.read.parquet(out).count()
+    // simulate: previous run swapped the new table in, wrote its
+    // manifest, but crashed before carrying over a concurrent append
+    // still sitting in the staged-out dir
+    val oldDir = java.nio.file.Paths.get(out + "__pre_compact")
+    java.nio.file.Files.createDirectories(oldDir)
+    val appendDir = Files.createTempDirectory("graft-append").toString + "/x"
+    sf.events.limit(50).repartition(1).write.parquet(appendDir)
+    val appendFile = new java.io.File(appendDir).listFiles()
+      .filter(_.getName.endsWith(".parquet")).head
+    java.nio.file.Files.copy(appendFile.toPath, oldDir.resolve("late-append.parquet"))
+    // manifest lists nothing from old → everything there is an append
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(out, "_compact_manifest"), "compacted-away.parquet\n")
+    Sinks.compact(spark, out, targetFileBytes = 512L * 1024 * 1024)
+    assert(spark.read.parquet(out).count() == total + 50,
+      "interrupted carry-over must rescue the staged-out append")
+    assert(!new java.io.File(out + "__pre_compact").exists())
+    assert(!new java.io.File(out, "_compact_manifest").exists())
+  }
+
   test("partitioned compaction splits large partitions toward the target size") {
     val out = Files.createTempDirectory("graft-compact3").toString + "/t"
     sf.events.limit(1000)
