@@ -119,12 +119,13 @@ object Similarity {
       }
       vecs.withColumn("cell", array_min(array(scored: _*)).getField("cell"))
     }
-    var cents: Seq[(Int, Seq[Double])] = vecs
+    val init: Seq[(Int, Seq[Double])] = vecs
       .where(col("vec_id") < NumCells)
       .orderBy("vec_id")
       .collect()
       .map(r => (r.getLong(0).toInt, r.getSeq[Double](1)))
       .toSeq
+    var cents = init
     for (_ <- 0 until Iters) {
       val assigned = assign(cents)
       cents = assigned
@@ -140,12 +141,13 @@ object Similarity {
         .toSeq
         .sortBy(_._1)
     }
-    val assigned = assign(cents).cache()
-    // one bounded collect: the query vector (the model itself is already
-    // driver-side state); probe cells are computed locally from it
-    val qv = assigned.where(col("vec_id") === 0)
-      .select(col("v")).collect()(0).getSeq[Double](0)
-    vecs.unpersist(false) // assigned is cached; the base scan is done with
+    // the query vector usually rode along in the init collect (vec 0 is
+    // among the first NumCells ids); only an id-gapped corpus pays an
+    // extra bounded fetch. No separate cache of the assignment — the
+    // final query is its only consumer and reads the cached base vectors.
+    val qv = init.find(_._1 == 0).map(_._2).getOrElse(
+      vecs.where(col("vec_id") === 0).select(col("v"))
+        .collect()(0).getSeq[Double](0))
     val probeCells = cents
       .map { case (id, c) =>
         (id, c.zip(qv).map { case (a, b) => (a - b) * (a - b) }.sum)
@@ -153,7 +155,7 @@ object Similarity {
       .sortBy(_._2)
       .take(NumProbes)
       .map(_._1)
-    assigned
+    assign(cents)
       .where(col("cell").isin(probeCells: _*) && col("vec_id") =!= 0)
       .select(col("vec_id"), cosine(col("v"), typedLit(qv)).as("cosine"), col("cell"))
       .orderBy(col("cosine").desc, col("vec_id"))
