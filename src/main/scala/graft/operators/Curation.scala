@@ -1,0 +1,139 @@
+package graft.operators
+
+import graft.Tables
+import graft.functions.WordNGrams
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Corpus-curation operators a training-data pipeline runs between raw
+  * ingestion and tokenization: benchmark decontamination, repetition
+  * filtering (the Gopher-style quality gates), and quality-weighted
+  * sampling. All deterministic — reruns reproduce the exact corpus.
+  */
+object Curation {
+
+  private val ContamN = 5
+
+  /** Benchmark decontamination: flag training documents sharing any
+    * word-5-gram with a held-out benchmark set (here the deterministic
+    * stand-in `doc_id % 97 = 0` — in production, the eval suites).
+    * This is the n-gram-overlap decontamination step every LLM data
+    * pipeline runs so eval prompts don't leak into training data.
+    *
+    * Spark shape: both sides explode to distinct (doc, gram-hash) rows;
+    * contamination is ONE equi-join on the 64-bit gram hash (benchmark
+    * side is tiny → broadcast) + one aggregation. Never pairwise over
+    * the corpus; linear in total grams at 100 TB.
+    */
+  def decontaminate(t: Tables): DataFrame = {
+    val g = t.documents
+      .select(col("doc_id"), explode(array_distinct(WordNGrams(col("text"), ContamN))).as("gram"))
+      .select(col("doc_id"), xxhash64(col("gram")).as("h"))
+    val bench = g.where(pmod(col("doc_id"), lit(97)) === 0)
+      .select(col("doc_id").as("bench_id"), col("h"))
+    g.where(pmod(col("doc_id"), lit(97)) =!= 0)
+      .join(broadcast(bench), Seq("h"))
+      .groupBy(col("doc_id"))
+      .agg(countDistinct(col("bench_id")).as("n_bench_matches"))
+      .orderBy("doc_id")
+  }
+
+  /** DuckDB word-5-gram list (distinct), mirroring [[WordNGrams]]. */
+  private def grams5Sql(c: String): String = {
+    val w = s"string_split($c, ' ')"
+    val concat = (0 until ContamN).map(i => s"$w[i+$i]").mkString(" || ' ' || ")
+    s"""CASE WHEN len($w) >= $ContamN THEN
+       |  list_distinct(list_transform(range(1, len($w) - ${ContamN - 2}), i -> $concat))
+       |ELSE [] END""".stripMargin
+  }
+
+  val decontaminateSql: String =
+    s"""WITH g AS (
+       | SELECT doc_id, ${grams5Sql("text")} AS grams FROM documents),
+       |e AS (SELECT doc_id, unnest(grams) AS gram FROM g),
+       |b AS (SELECT doc_id AS bench_id, gram FROM e WHERE doc_id % 97 = 0)
+       |SELECT e.doc_id, COUNT(DISTINCT b.bench_id) AS n_bench_matches
+       |FROM e JOIN b USING (gram)
+       |WHERE e.doc_id % 97 <> 0
+       |GROUP BY e.doc_id
+       |ORDER BY e.doc_id""".stripMargin
+
+  private val TopWordMax = 0.25
+  private val Dup2GramMax = 0.10
+
+  /** Repetition quality gate (Gopher-style): per document, the fraction
+    * of tokens taken by the single most frequent word and the fraction of
+    * duplicate word-2-grams; docs above either threshold are filtered.
+    * Both ratios are small-integer divisions, so every engine computes
+    * the identical double and the keep decision is portable.
+    *
+    * Spark shape: the 2-gram ratio is row-local (one narrow map via the
+    * native [[WordNGrams]]); the top-word ratio is explode → one
+    * (doc, word) aggregation → one doc aggregation, all partitioned by
+    * doc_id — linear, no corpus-wide state.
+    */
+  def repetitionFilter(t: Tables): DataFrame = {
+    val wordCounts = t.documents
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
+      .groupBy("doc_id", "word").agg(count(lit(1)).as("n"))
+      .groupBy("doc_id")
+      .agg((max(col("n")).cast("double") / sum(col("n"))).as("top_word_frac"))
+    val dup2g = t.documents.select(
+      col("doc_id"),
+      when(size(WordNGrams(col("text"), 2)) > 0,
+        lit(1.0) - size(array_distinct(WordNGrams(col("text"), 2))).cast("double") /
+          size(WordNGrams(col("text"), 2)))
+        .otherwise(lit(0.0)).as("dup_2gram_frac"))
+    wordCounts.join(dup2g, Seq("doc_id"))
+      .withColumn("keep",
+        col("top_word_frac") <= TopWordMax && col("dup_2gram_frac") <= Dup2GramMax)
+      .orderBy("doc_id")
+  }
+
+  val repetitionFilterSql: String =
+    s"""WITH w AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents),
+       |c AS (SELECT doc_id, word, COUNT(*) AS n FROM w GROUP BY doc_id, word),
+       |topw AS (
+       | SELECT doc_id, CAST(MAX(n) AS DOUBLE) / SUM(n) AS top_word_frac
+       | FROM c GROUP BY doc_id),
+       |g2 AS (
+       | SELECT doc_id,
+       |  CASE WHEN len(string_split(text, ' ')) >= 2 THEN
+       |   list_transform(range(1, len(string_split(text, ' '))),
+       |     i -> string_split(text, ' ')[i] || ' ' || string_split(text, ' ')[i+1])
+       |  ELSE [] END AS gs
+       | FROM documents),
+       |d2 AS (
+       | SELECT doc_id,
+       |  CASE WHEN len(gs) > 0
+       |   THEN 1.0 - CAST(len(list_distinct(gs)) AS DOUBLE) / len(gs)
+       |   ELSE 0.0 END AS dup_2gram_frac
+       | FROM g2)
+       |SELECT topw.doc_id, top_word_frac, dup_2gram_frac,
+       | top_word_frac <= $TopWordMax AND dup_2gram_frac <= $Dup2GramMax AS keep
+       |FROM topw JOIN d2 ON topw.doc_id = d2.doc_id
+       |ORDER BY topw.doc_id""".stripMargin
+
+  private val WeightScale = 600.0
+
+  /** Quality-weighted sampling: keep probability proportional to a
+    * per-row weight (here document length, capped at 1), decided by the
+    * portable doc_id hash — longer/higher-quality docs survive more
+    * often, short ones are thinned. Row-local filter: no shuffle, no
+    * RNG, rerun-exact at any scale.
+    */
+  def weightedSample(t: Tables): DataFrame =
+    t.documents
+      .withColumn("p_keep", least(lit(1.0), col("n_chars") / lit(WeightScale)))
+      .where(Sampling.unitHash(col("doc_id")) < col("p_keep"))
+      .select(col("doc_id"), col("source"), col("n_chars"), col("p_keep"))
+      .orderBy("doc_id")
+
+  val weightedSampleSql: String =
+    s"""SELECT doc_id, source, n_chars,
+       | LEAST(1.0, n_chars / $WeightScale) AS p_keep
+       |FROM documents
+       |WHERE CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT)
+       |   / 1152921504606846976.0 < LEAST(1.0, n_chars / $WeightScale)
+       |ORDER BY doc_id""".stripMargin
+}

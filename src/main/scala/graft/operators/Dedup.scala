@@ -58,8 +58,9 @@ object Dedup {
       .agg(sort_array(collect_list(struct(col("df"), col("gram")))).as("rg"))
       .withColumn("plen",
         (size(col("rg")) - ceil(lit(threshold) * size(col("rg"))) + 1).cast("int"))
-      .select(col("doc_id"), explode(expr("slice(rg, 1, plen)")).as("pg"))
-      .select(col("doc_id"), col("pg.gram").as("pg"))
+      .select(col("doc_id"), size(col("rg")).as("sz"),
+        explode(expr("slice(rg, 1, plen)")).as("pg"))
+      .select(col("doc_id"), col("sz"), col("pg.gram").as("pg"))
   }
 
   def ngramJaccard(t: Tables): DataFrame = {
@@ -71,9 +72,13 @@ object Dedup {
     val g = Shingles.gramsOf(t.documents).persist()
     val ex = g.select(col("doc_id"), explode(col("grams")).as("gram"))
     val pref = dfRankedPrefix(ex, JaccardThreshold)
-    val candidates = pref.select(col("doc_id").as("a_id"), col("pg"))
-      .join(pref.select(col("doc_id").as("b_id"), col("pg")), Seq("pg"))
-      .where(col("a_id") < col("b_id"))
+    // sound length filter: J ≥ t ⟹ min(|A|,|B|) ≥ t·max(|A|,|B|) —
+    // prunes candidate pairs before the distinct + verify shuffles
+    val candidates = pref.select(col("doc_id").as("a_id"), col("sz").as("a_sz"), col("pg"))
+      .join(pref.select(col("doc_id").as("b_id"), col("sz").as("b_sz"), col("pg")), Seq("pg"))
+      .where(col("a_id") < col("b_id") &&
+        least(col("a_sz"), col("b_sz")).cast("double") >=
+          lit(JaccardThreshold) * greatest(col("a_sz"), col("b_sz")))
       .select("a_id", "b_id")
       .distinct()
     verifyJaccard(candidates, ex.select(col("doc_id"), xxhash64(col("gram")).as("h")))
@@ -97,10 +102,15 @@ object Dedup {
   def containment(t: Tables): DataFrame = {
     val g = Shingles.gramsOf(t.documents).persist()
     val ex = g.select(col("doc_id"), explode(col("grams")).as("gram"))
+    // sound length filter: C(A→B) ≥ t ⟹ |A∩B| ≥ t·|A| and |A∩B| ≤ |B|,
+    // so |B| ≥ t·|A| — prune before the distinct + verify shuffles
+    val bsz = g.select(col("doc_id").as("b_id"), size(col("grams")).as("b_sz"))
     val candidates = dfRankedPrefix(ex, ContainmentThreshold)
-      .select(col("doc_id").as("a_id"), col("pg").as("gram"))
+      .select(col("doc_id").as("a_id"), col("sz").as("a_sz"), col("pg").as("gram"))
       .join(ex.select(col("doc_id").as("b_id"), col("gram")), Seq("gram"))
       .where(col("a_id") =!= col("b_id"))
+      .join(bsz, Seq("b_id"))
+      .where(col("b_sz").cast("double") >= lit(ContainmentThreshold) * col("a_sz"))
       .select("a_id", "b_id")
       .distinct()
     scoreCandidates(candidates, ex.select(col("doc_id"), xxhash64(col("gram")).as("h"))) {

@@ -1,0 +1,184 @@
+package graft.operators
+
+import graft.Tables
+import graft.functions.Exact._
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Fifth tranche: the last classic TPC-H shapes expressible on this
+  * schema — top-by-scalar-max (Q15), scalar-subquery-gated anti-join
+  * aggregation (Q22), multi-join derived-measure profit (Q9 shape), late
+  * shipment conditional counts (Q12 shape) — plus the gaps-and-islands
+  * streak pattern. (Q2/Q11/Q16/Q20 need a partsupp table this dataset
+  * does not have; Q12's shipmode/commitdate and Q22's phone column are
+  * adapted to the columns that exist, with the query SHAPE preserved.)
+  */
+object Relational5 {
+
+  private def revenueDec = sum(discPrice(col("l_extendedprice"), col("l_discount")))
+
+  /** Q15: supplier(s) with the maximum quarterly revenue. The per-supplier
+    * aggregate is computed once; the scalar max joins back by decimal
+    * EQUALITY (exact decimal sums make that portable), so ties all
+    * surface. At scale: one partial-agg shuffle + a broadcast of the
+    * 1-row max + a broadcast dim join.
+    */
+  def topSupplier(t: Tables): DataFrame = {
+    val rev = t.lineitem
+      .where(col("l_shipdate").between(
+        lit("1996-01-01").cast("timestamp"), lit("1996-03-31").cast("timestamp")))
+      .groupBy(col("l_suppkey"))
+      .agg(revenueDec.as("rev_dec"))
+    val mx = rev.agg(max(col("rev_dec")).as("mx"))
+    rev.join(broadcast(mx), col("rev_dec") === col("mx"))
+      .join(broadcast(t.supplier), col("l_suppkey") === col("s_suppkey"))
+      .select(col("s_suppkey"), col("s_name"),
+        col("rev_dec").cast("double").as("total_revenue"))
+      .orderBy("s_suppkey")
+  }
+
+  val topSupplierSql: String =
+    """WITH rev AS (
+      | SELECT l_suppkey,
+      |  SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(1 - CAST(l_discount AS DECIMAL(4,2)) AS DECIMAL(8,4))) AS rev_dec
+      | FROM lineitem
+      | WHERE l_shipdate BETWEEN TIMESTAMP '1996-01-01 00:00:00'
+      |                      AND TIMESTAMP '1996-03-31 00:00:00'
+      | GROUP BY l_suppkey)
+      |SELECT s_suppkey, s_name, CAST(rev_dec AS DOUBLE) AS total_revenue
+      |FROM rev JOIN supplier ON l_suppkey = s_suppkey
+      |WHERE rev_dec = (SELECT MAX(rev_dec) FROM rev)
+      |ORDER BY s_suppkey""".stripMargin
+
+  /** Q22: idle high-balance customers — balance above the positive-balance
+    * average (scalar subquery, exact decimal sum ÷ count so the threshold
+    * is the same double in any engine) and no orders (anti-join), grouped
+    * by segment. At scale: 1-row broadcast gate + broadcast-able anti
+    * join + one aggregation.
+    */
+  def idleCustomers(t: Tables): DataFrame = {
+    val avgBal = t.customer
+      .where(col("c_acctbal") > 0)
+      .agg((sum(dec(col("c_acctbal"))).cast("double") / count(lit(1))).as("avg_bal"))
+    t.customer
+      .crossJoin(broadcast(avgBal))
+      .where(col("c_acctbal") > col("avg_bal"))
+      .join(t.orders, col("c_custkey") === col("o_custkey"), "left_anti")
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("numcust"), dsum(col("c_acctbal")).as("totacctbal"))
+      .orderBy("c_mktsegment")
+  }
+
+  val idleCustomersSql: String =
+    """SELECT c_mktsegment, COUNT(*) AS numcust,
+      | CAST(SUM(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE) AS totacctbal
+      |FROM customer
+      |WHERE c_acctbal > (
+      |  SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*)
+      |  FROM customer WHERE c_acctbal > 0)
+      | AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+      |GROUP BY c_mktsegment
+      |ORDER BY c_mktsegment""".stripMargin
+
+  /** Q9 shape: profit by supplier nation × order year over a part-name
+    * filter, with the part's discounted retail price as the cost proxy
+    * (this dataset has no partsupp.ps_supplycost). Derived measure stays
+    * decimal end-to-end. At scale: part/supplier/nation broadcast; the
+    * lineitem⋈orders fact join shuffles on orderkey.
+    */
+  def profitByNation(t: Tables): DataFrame = {
+    val cost = dec(col("p_retailprice")) * lit(BigDecimal("0.60")).cast(DecimalType(4, 2)) *
+      dec(col("l_quantity"))
+    t.lineitem
+      .join(t.orders, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(t.part.where(col("p_name").contains("red"))),
+        col("l_partkey") === col("p_partkey"))
+      .join(broadcast(t.supplier), col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(t.nation), col("s_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name").as("nation"), year(col("o_orderdate")).as("o_year"))
+      .agg(sum(discPrice(col("l_extendedprice"), col("l_discount")) - cost)
+        .cast("double").as("profit"))
+      .orderBy(col("nation"), col("o_year").desc)
+  }
+
+  val profitByNationSql: String =
+    """SELECT n_name AS nation, CAST(year(o_orderdate) AS INT) AS o_year,
+      | CAST(SUM(
+      |   CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(1 - CAST(l_discount AS DECIMAL(4,2)) AS DECIMAL(8,4))
+      |   - CAST(p_retailprice AS DECIMAL(12,2)) * CAST(0.60 AS DECIMAL(4,2)) * CAST(l_quantity AS DECIMAL(12,2))
+      | ) AS DOUBLE) AS profit
+      |FROM lineitem, orders, part, supplier, nation
+      |WHERE l_orderkey = o_orderkey AND l_partkey = p_partkey
+      | AND l_suppkey = s_suppkey AND s_nationkey = n_nationkey
+      | AND p_name LIKE '%red%'
+      |GROUP BY n_name, year(o_orderdate)
+      |ORDER BY nation, o_year DESC""".stripMargin
+
+  /** Q12 shape: late-shipment priority counts per line status (this
+    * dataset has no shipmode/commitdate; "late" = shipped more than 60
+    * days after the order date, the status column stands in for the ship
+    * mode). One fact-fact join + conditional counts.
+    */
+  def latePriorityLines(t: Tables): DataFrame = {
+    val high = col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    t.lineitem
+      .join(t.orders, col("l_orderkey") === col("o_orderkey"))
+      .where(col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 60 DAYS") &&
+        col("l_shipdate").between(
+          lit("1996-01-01").cast("timestamp"), lit("1996-12-31").cast("timestamp")))
+      .groupBy(col("l_linestatus"))
+      .agg(
+        sum(when(high, 1L).otherwise(0L)).as("high_line_count"),
+        sum(when(high, 0L).otherwise(1L)).as("low_line_count"))
+      .orderBy("l_linestatus")
+  }
+
+  val latePriorityLinesSql: String =
+    """SELECT l_linestatus,
+      | CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+      | CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+      |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |WHERE l_shipdate > o_orderdate + INTERVAL 60 DAY
+      | AND l_shipdate BETWEEN TIMESTAMP '1996-01-01 00:00:00'
+      |                    AND TIMESTAMP '1996-12-31 00:00:00'
+      |GROUP BY l_linestatus
+      |ORDER BY l_linestatus""".stripMargin
+
+  /** Gaps-and-islands: longest consecutive-day activity streak per user.
+    * The classic (epoch_day − row_number) grouping trick — two window-free
+    * aggregations and one per-user window, all partitioned by user. Output
+    * per user: longest streak, number of streaks, total active days.
+    */
+  def activityStreaks(t: Tables): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy("d")
+    val days = t.events
+      .select(col("user_id"), to_date(col("ts")).as("d"))
+      .distinct()
+    days
+      .withColumn("grp",
+        datediff(col("d"), lit("1970-01-01").cast("date")) - row_number().over(w))
+      .groupBy("user_id", "grp")
+      .agg(count(lit(1)).as("len"))
+      .groupBy("user_id")
+      .agg(max(col("len")).as("longest_streak"),
+        count(lit(1)).as("n_streaks"),
+        sum(col("len")).as("active_days"))
+      .orderBy("user_id")
+  }
+
+  val activityStreaksSql: String =
+    """WITH days AS (
+      | SELECT DISTINCT user_id, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS d FROM events),
+      |r AS (
+      | SELECT user_id, d,
+      |  datediff('day', DATE '1970-01-01', d)
+      |    - ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY d) AS grp
+      | FROM days),
+      |s AS (SELECT user_id, grp, COUNT(*) AS len FROM r GROUP BY user_id, grp)
+      |SELECT user_id, MAX(len) AS longest_streak,
+      | CAST(COUNT(*) AS BIGINT) AS n_streaks,
+      | CAST(SUM(len) AS BIGINT) AS active_days
+      |FROM s GROUP BY user_id ORDER BY user_id""".stripMargin
+}

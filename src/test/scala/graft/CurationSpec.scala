@@ -1,0 +1,83 @@
+package graft
+
+import graft.operators.{Curation, Relational5}
+
+class CurationSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("decontaminate flags only non-benchmark docs and is deterministic") {
+    val rows = Curation.decontaminate(sf).collect()
+    // no benchmark doc may appear in the output
+    assert(rows.forall(_.getLong(0) % 97 != 0))
+    assert(rows.forall(_.getLong(1) >= 1)) // every flagged doc matched something
+    val again = Curation.decontaminate(sf).collect()
+    assert(rows.map(_.toString).sameElements(again.map(_.toString)))
+  }
+
+  test("decontaminate joins hashed grams with a broadcast benchmark side") {
+    val plan = Curation.decontaminate(sf).queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(!plan.contains("NestedLoop"), plan)
+  }
+
+  test("repetition filter ratios are in range and keep flag matches thresholds") {
+    val rows = Curation.repetitionFilter(sf).collect()
+    assert(rows.length == sf.documents.count())
+    rows.foreach { r =>
+      val topf = r.getDouble(1); val dup = r.getDouble(2); val keep = r.getBoolean(3)
+      assert(topf > 0.0 && topf <= 1.0)
+      assert(dup >= 0.0 && dup < 1.0)
+      assert(keep == (topf <= 0.25 && dup <= 0.10))
+    }
+    // the gate actually separates: some docs kept, some filtered
+    assert(rows.exists(_.getBoolean(3)) && rows.exists(!_.getBoolean(3)))
+  }
+
+  test("weighted sample keeps long docs more often than short ones") {
+    val rows = Curation.weightedSample(sf).collect()
+    assert(rows.nonEmpty && rows.length < sf.documents.count())
+    val again = Curation.weightedSample(sf).collect()
+    assert(rows.map(_.toString).sameElements(again.map(_.toString)))
+    // docs at the cap (p_keep = 1.0) are all present
+    val atCap = sf.documents.where($"n_chars" >= 600).count()
+    assert(rows.count(_.getDouble(3) == 1.0) == atCap)
+  }
+
+  test("weighted sampling decision is a narrow filter (no hash exchange)") {
+    val plan = Curation.weightedSample(sf).queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange hashpartitioning"), plan)
+  }
+
+  test("q15 top supplier: every returned supplier has the max revenue") {
+    val rows = Relational5.topSupplier(sf).collect()
+    assert(rows.nonEmpty)
+    val revs = rows.map(_.getDouble(2)).distinct
+    assert(revs.length == 1, s"ties must share one revenue, got ${revs.toSeq}")
+  }
+
+  test("q22 idle customers only counts customers without orders") {
+    val out = Relational5.idleCustomers(sf)
+    val total = out.agg(org.apache.spark.sql.functions.sum("numcust"))
+      .as[Option[Long]].head().getOrElse(0L)
+    val withOrders = sf.customer
+      .join(sf.orders, $"c_custkey" === $"o_custkey", "left_semi").count()
+    assert(total <= sf.customer.count() - withOrders)
+  }
+
+  test("gaps-islands streaks are consistent: longest <= active days") {
+    val rows = Relational5.activityStreaks(sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getLong(1) <= r.getLong(3)) // longest_streak <= active_days
+      assert(r.getLong(2) >= 1)            // at least one streak
+    }
+  }
+
+  test("q9/q12/q15 star joins broadcast their dimension sides") {
+    for (df <- Seq(Relational5.profitByNation(sf), Relational5.topSupplier(sf))) {
+      val plan = df.queryExecution.executedPlan.toString
+      assert(plan.contains("BroadcastHashJoin"), plan)
+      assert(!plan.contains("CartesianProduct"), plan)
+    }
+  }
+}
