@@ -129,6 +129,84 @@ object Analytics {
       .orderBy("o_orderpriority", "o_orderkey")
   }
 
+  /** RFM segmentation: recency / frequency / monetary per user, each
+    * quartile-scored with ntile over a fully tie-broken order (metric,
+    * then user_id — deterministic and engine-portable). The per-user
+    * rollup is one aggregation; the scoring windows rank the USER
+    * dimension (orders of magnitude smaller than the event fact), the
+    * standard shape for segmentation scoring.
+    */
+  def rfm(t: Tables): DataFrame = {
+    val maxTs = t.events.agg(max(col("ts")).as("max_ts"))
+    val base = t.events
+      .groupBy("user_id")
+      .agg(
+        max(col("ts")).as("last_ts"),
+        count(lit(1)).as("frequency"),
+        sum(dec(col("value"))).cast("double").as("monetary"))
+      .crossJoin(broadcast(maxTs))
+      .select(col("user_id"),
+        datediff(to_date(col("max_ts")), to_date(col("last_ts"))).as("recency_days"),
+        col("frequency"), col("monetary"))
+    val rW = Window.orderBy(col("recency_days"), col("user_id"))
+    val fW = Window.orderBy(col("frequency").desc, col("user_id"))
+    val mW = Window.orderBy(col("monetary").desc, col("user_id"))
+    base.select(col("user_id"), col("recency_days"), col("frequency"), col("monetary"),
+      ntile(4).over(rW).as("r_score"),
+      ntile(4).over(fW).as("f_score"),
+      ntile(4).over(mW).as("m_score"))
+      .orderBy("user_id")
+  }
+
+  val rfmSql: String =
+    """WITH base AS (
+      | SELECT user_id,
+      |  datediff('day',
+      |    CAST(MAX(CAST(ts AS TIMESTAMP)) AS DATE),
+      |    (SELECT CAST(MAX(CAST(ts AS TIMESTAMP)) AS DATE) FROM events)) AS recency_days,
+      |  COUNT(*) AS frequency,
+      |  CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS monetary
+      | FROM events GROUP BY user_id)
+      |SELECT user_id, CAST(recency_days AS INT) AS recency_days, frequency, monetary,
+      | NTILE(4) OVER (ORDER BY recency_days, user_id) AS r_score,
+      | NTILE(4) OVER (ORDER BY frequency DESC, user_id) AS f_score,
+      | NTILE(4) OVER (ORDER BY monetary DESC, user_id) AS m_score
+      |FROM base
+      |ORDER BY user_id""".stripMargin
+
+  /** First-order Markov transition matrix over per-user event sequences:
+    * (event_type → next event_type) counts and row-normalized
+    * probabilities. One lead() window partitioned by user (fact-sized,
+    * key-partitioned) + one small aggregation; the probability is an
+    * integer-ratio double, portable across engines.
+    */
+  def markovTransitions(t: Tables): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    val srcW = Window.partitionBy("src")
+    t.events
+      .select(col("user_id"), col("event_type").as("src"),
+        lead(col("event_type"), 1).over(w).as("dst"))
+      .where(col("dst").isNotNull)
+      .groupBy("src", "dst")
+      .agg(count(lit(1)).as("n"))
+      .withColumn("p", col("n").cast("double") / sum(col("n")).over(srcW))
+      .orderBy("src", "dst")
+  }
+
+  val markovTransitionsSql: String =
+    """WITH pairs AS (
+      | SELECT event_type AS src,
+      |  LEAD(event_type, 1) OVER (PARTITION BY user_id
+      |    ORDER BY CAST(ts AS TIMESTAMP), event_id) AS dst
+      | FROM events),
+      |c AS (
+      | SELECT src, dst, COUNT(*) AS n FROM pairs WHERE dst IS NOT NULL
+      | GROUP BY src, dst)
+      |SELECT src, dst, n,
+      | CAST(n AS DOUBLE) / CAST(SUM(n) OVER (PARTITION BY src) AS BIGINT) AS p
+      |FROM c
+      |ORDER BY src, dst""".stripMargin
+
   val anomalyZscoreSql: String =
     """WITH s AS (
       | SELECT o_orderpriority, COUNT(*) AS n,

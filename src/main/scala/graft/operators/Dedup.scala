@@ -205,18 +205,25 @@ object Dedup {
     // persisted: feeds the signature build + the verify join
     val g = Shingles.gramsOf(t.documents).persist()
     val sig = g.where(size(col("grams")) > 0)
-      .select(col("doc_id"), graft.functions.MinHashSig(col("grams")).as("sig"))
+      .select(col("doc_id"), size(col("grams")).as("sz"),
+        graft.functions.MinHashSig(col("grams")).as("sig"))
     // band hash = hash of the band's 4 signature slots
     val bands = sig.select(
-      col("doc_id"),
+      col("doc_id"), col("sz"),
       posexplode(array((0 until NumBands).map { b =>
         xxhash64((b * BandRows until (b + 1) * BandRows)
           .map(i => col("sig").getItem(i)): _*)
       }: _*)).as(Seq("band_idx", "band_hash")))
-    val ca = bands.select(col("doc_id").as("a_id"), col("band_idx"), col("band_hash"))
-    val cb = bands.select(col("doc_id").as("b_id"), col("band_idx"), col("band_hash"))
+    val ca = bands.select(col("doc_id").as("a_id"), col("sz").as("a_sz"),
+      col("band_idx"), col("band_hash"))
+    val cb = bands.select(col("doc_id").as("b_id"), col("sz").as("b_sz"),
+      col("band_idx"), col("band_hash"))
+    // sound length filter (J ≥ t ⟹ min ≥ t·max) prunes band collisions
+    // between very different-sized docs before the distinct + verify
     val candidates = ca.join(cb, Seq("band_idx", "band_hash"))
-      .where(col("a_id") < col("b_id"))
+      .where(col("a_id") < col("b_id") &&
+        least(col("a_sz"), col("b_sz")).cast("double") >=
+          lit(JaccardThreshold) * greatest(col("a_sz"), col("b_sz")))
       .select("a_id", "b_id")
       .distinct()
     // exact verification join (precision 1.0; LSH only buys candidate cuts)

@@ -73,6 +73,26 @@ class CurationSpec extends SparkSpec {
     }
   }
 
+  test("rfm scores are quartiles 1..4 and deterministic") {
+    val rows = graft.operators.Analytics.rfm(sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      Seq(4, 5, 6).foreach(i => assert(r.getInt(i) >= 1 && r.getInt(i) <= 4))
+      assert(r.getLong(2) >= 1) // frequency
+    }
+    val again = graft.operators.Analytics.rfm(sf).collect()
+    assert(rows.map(_.toString).sameElements(again.map(_.toString)))
+  }
+
+  test("markov transition probabilities sum to 1 per source state") {
+    val rows = graft.operators.Analytics.markovTransitions(sf).collect()
+    assert(rows.nonEmpty)
+    rows.groupBy(_.getString(0)).foreach { case (src, rs) =>
+      val total = rs.map(_.getDouble(3)).sum
+      assert(math.abs(total - 1.0) < 1e-9, s"$src probabilities sum to $total")
+    }
+  }
+
   test("q9/q12/q15 star joins broadcast their dimension sides") {
     for (df <- Seq(Relational5.profitByNation(sf), Relational5.topSupplier(sf))) {
       val plan = df.queryExecution.executedPlan.toString

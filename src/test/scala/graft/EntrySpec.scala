@@ -95,7 +95,12 @@ class EntrySpec extends SparkSpec {
       // round-2 additions
       "dedup_containment", "dedup_embedding_lsh", "sample_stratified",
       "q_anomaly_zscore", "q_grouping_sets", "text_pack_sequences",
-      "text_boilerplate", "embed_pq")
+      "text_boilerplate", "embed_pq",
+      // round-3 additions
+      "q9_profit_proxy", "q12_late_lines", "q15_top_supplier",
+      "q22_idle_customers", "q_gaps_islands", "q_rfm",
+      "q_markov_transitions", "text_decontaminate", "text_repetition",
+      "sample_weighted")
     sample.foreach { name =>
       val n = SparkEntry.queries(name)(spark, dir).count()
       assert(n >= 0, s"$name failed")
