@@ -130,11 +130,14 @@ object Analytics {
   }
 
   /** RFM segmentation: recency / frequency / monetary per user, each
-    * quartile-scored with ntile over a fully tie-broken order (metric,
-    * then user_id — deterministic and engine-portable). The per-user
-    * rollup is one aggregation; the scoring windows rank the USER
-    * dimension (orders of magnitude smaller than the event fact), the
-    * standard shape for segmentation scoring.
+    * quartile-scored over a fully tie-broken order (metric, then
+    * user_id — deterministic and engine-portable). The per-user rollup
+    * is one aggregation; scoring does NOT use an unpartitioned ntile
+    * window (all-rows-to-one-partition) — each score is a distributed
+    * exact global rank ([[Ranks.withGlobalRank]]: range repartition +
+    * per-partition offsets) folded through the exact NTILE formula, so
+    * the result still hash-matches the oracle's NTILE while every stage
+    * stays parallel at any user count.
     */
   def rfm(t: Tables): DataFrame = {
     val maxTs = t.events.agg(max(col("ts")).as("max_ts"))
@@ -148,13 +151,17 @@ object Analytics {
       .select(col("user_id"),
         datediff(to_date(col("max_ts")), to_date(col("last_ts"))).as("recency_days"),
         col("frequency"), col("monetary"))
-    val rW = Window.orderBy(col("recency_days"), col("user_id"))
-    val fW = Window.orderBy(col("frequency").desc, col("user_id"))
-    val mW = Window.orderBy(col("monetary").desc, col("user_id"))
-    base.select(col("user_id"), col("recency_days"), col("frequency"), col("monetary"),
-      ntile(4).over(rW).as("r_score"),
-      ntile(4).over(fW).as("f_score"),
-      ntile(4).over(mW).as("m_score"))
+      .persist() // three rank passes read it; tiny (one row per user)
+    val (rr, rn) = Ranks.withGlobalRank(base, "_rk", col("recency_days"), col("user_id"))
+    val r = rr.select(col("user_id"), Ranks.ntileOf(4, col("_rk"), rn).as("r_score"))
+    val (fr, fn) = Ranks.withGlobalRank(base, "_rk", col("frequency").desc, col("user_id"))
+    val f = fr.select(col("user_id"), Ranks.ntileOf(4, col("_rk"), fn).as("f_score"))
+    val (mr, mn) = Ranks.withGlobalRank(base, "_rk", col("monetary").desc, col("user_id"))
+    val m = mr.select(col("user_id"), Ranks.ntileOf(4, col("_rk"), mn).as("m_score"))
+    base
+      .join(r, Seq("user_id")).join(f, Seq("user_id")).join(m, Seq("user_id"))
+      .select(col("user_id"), col("recency_days"), col("frequency"), col("monetary"),
+        col("r_score"), col("f_score"), col("m_score"))
       .orderBy("user_id")
   }
 

@@ -84,6 +84,26 @@ class CurationSpec extends SparkSpec {
     assert(rows.map(_.toString).sameElements(again.map(_.toString)))
   }
 
+  test("distributed global rank + ntile formula equals the window ntile") {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    val df = sf.customer.select($"c_custkey", $"c_acctbal")
+    val (ranked, n) = graft.operators.Ranks
+      .withGlobalRank(df, "_rk", col("c_acctbal").desc, col("c_custkey"))
+    val viaRanks = ranked.select($"c_custkey",
+      graft.operators.Ranks.ntileOf(4, col("_rk"), n).as("nt"))
+    val viaWindow = df.select($"c_custkey",
+      ntile(4).over(Window.orderBy(col("c_acctbal").desc, col("c_custkey"))).as("nt"))
+    assert(viaRanks.except(viaWindow).isEmpty && viaWindow.except(viaRanks).isEmpty)
+  }
+
+  test("rfm plan has no unpartitioned window (single-partition scale hazard)") {
+    val plan = graft.operators.Analytics.rfm(sf).queryExecution.executedPlan.toString
+    // every Window partitions by _pid; an empty partition spec would read
+    // "windowspecdefinition(" immediately followed by the order spec only
+    assert(!plan.contains("Window [ntile"), plan)
+  }
+
   test("markov transition probabilities sum to 1 per source state") {
     val rows = graft.operators.Analytics.markovTransitions(sf).collect()
     assert(rows.nonEmpty)
