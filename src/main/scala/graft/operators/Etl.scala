@@ -209,4 +209,38 @@ object Etl {
     require(missing.isEmpty, s"Required columns are missing: $missing")
     withUuid.select(required.map(col): _*)
   }
+  /** Quarantine routing — the distributed answer to `_normalize_df`'s
+    * fail-fast raise (loaders.py:145): instead of killing a 100 TB batch
+    * on one bad row, every row is validated against the rule set and
+    * routed good/quarantined with machine-readable reasons (concat_ws
+    * skips non-firing rules, so the reason list is deterministic and
+    * string-typed — harness-safe). Row-local: one narrow projection, no
+    * shuffle; a pipeline writes the two routes to separate sinks.
+    */
+  def quarantine(t: Tables): DataFrame = {
+    val rules = Seq(
+      "unknown_type" -> !col("event_type").isin("view", "click", "purchase", "signup"),
+      "value_range" -> (col("value") < 0 || col("value") > 95),
+      "null_user" -> col("user_id").isNull)
+    t.events
+      .withColumn("reasons",
+        concat_ws(",", rules.map { case (n, c) => when(c, lit(n)) }: _*))
+      .withColumn("is_quarantined", col("reasons") =!= "")
+      .select(col("event_id"), col("event_type"), col("value"),
+        col("is_quarantined"), col("reasons"))
+      .orderBy("event_id")
+  }
+
+  val quarantineSql: String =
+    """SELECT event_id, event_type, value,
+      | reasons <> '' AS is_quarantined, reasons
+      |FROM (
+      | SELECT event_id, event_type, value,
+      |  concat_ws(',',
+      |   CASE WHEN event_type NOT IN ('view','click','purchase','signup')
+      |        THEN 'unknown_type' END,
+      |   CASE WHEN value < 0 OR value > 95 THEN 'value_range' END,
+      |   CASE WHEN user_id IS NULL THEN 'null_user' END) AS reasons
+      | FROM events)
+      |ORDER BY event_id""".stripMargin
 }

@@ -72,4 +72,49 @@ object TimeSeries {
       |FROM orders
       |GROUP BY 1
       |ORDER BY bucket""".stripMargin
+  /** Semi-additive month-end balances: per-part daily net movement →
+    * decimal-exact running balance → the balance on the LAST movement day
+    * of each month (balances sum over parts but NOT over time — the
+    * period-END value is the right monthly rollup, the classic
+    * inventory/account-balance semantics). Both windows are partitioned
+    * by part — no global window, scale-safe at any part count.
+    */
+  def semiAdditive(t: Tables): DataFrame = {
+    val daily = t.lineitem
+      .where(col("l_shipdate").between(
+        lit("1996-01-01").cast("timestamp"), lit("1997-12-31").cast("timestamp")))
+      .groupBy(col("l_partkey"), to_date(col("l_shipdate")).as("d"))
+      .agg(sum(dec(col("l_quantity"))).as("net"))
+    val wBal = Window.partitionBy("l_partkey").orderBy("d")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wMonth = Window.partitionBy(col("l_partkey"), date_trunc("month", col("d")))
+      .orderBy(col("d").desc)
+    daily
+      .withColumn("balance", sum(col("net")).over(wBal))
+      .withColumn("rk", row_number().over(wMonth))
+      .where(col("rk") === 1)
+      .select(col("l_partkey"), date_trunc("month", col("d")).as("month"),
+        col("balance").cast("double").as("month_end_balance"))
+      .orderBy("l_partkey", "month")
+  }
+
+  val semiAdditiveSql: String =
+    """WITH daily AS (
+      | SELECT l_partkey, CAST(l_shipdate AS DATE) AS d,
+      |  SUM(CAST(l_quantity AS DECIMAL(12,2))) AS net
+      | FROM lineitem
+      | WHERE l_shipdate BETWEEN TIMESTAMP '1996-01-01 00:00:00'
+      |                      AND TIMESTAMP '1997-12-31 00:00:00'
+      | GROUP BY l_partkey, CAST(l_shipdate AS DATE)),
+      |bal AS (
+      | SELECT l_partkey, d,
+      |  SUM(net) OVER (PARTITION BY l_partkey ORDER BY d
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS balance,
+      |  ROW_NUMBER() OVER (PARTITION BY l_partkey, date_trunc('month', d)
+      |    ORDER BY d DESC) AS rk
+      | FROM daily)
+      |SELECT l_partkey, CAST(date_trunc('month', d) AS TIMESTAMP) AS month,
+      | CAST(balance AS DOUBLE) AS month_end_balance
+      |FROM bal WHERE rk = 1
+      |ORDER BY l_partkey, month""".stripMargin
 }

@@ -113,6 +113,43 @@ class CurationSpec extends SparkSpec {
     }
   }
 
+  test("quarantine routes bad rows with accumulated reasons, good rows clean") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-quar").toString
+    val nanos = 1704067200L * 1000000000L // epoch nanos, as the raw source stores ts
+    Seq(
+      (1L, nanos, Option(7L), "view", 10.0, "{}"),
+      (2L, nanos, Option(7L), "error", 10.0, "{}"),
+      (3L, nanos, None, "error", -1.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val rows = graft.operators.Etl.quarantine(Tables(spark, dir)).collect()
+    assert(!rows(0).getBoolean(3) && rows(0).getString(4).isEmpty)
+    assert(rows(1).getBoolean(3) && rows(1).getString(4) == "unknown_type")
+    assert(rows(2).getBoolean(3) &&
+      rows(2).getString(4) == "unknown_type,value_range,null_user")
+  }
+
+  test("quarantine is a narrow row-local projection (no shuffle before sort)") {
+    val plan = graft.operators.Etl.quarantine(sf).queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange hashpartitioning"), plan)
+  }
+
+  test("semi-additive month-end balance equals total net through that month") {
+    import org.apache.spark.sql.functions._
+    val out = graft.operators.TimeSeries.semiAdditive(sf)
+    val lastRow = out.orderBy($"l_partkey", $"month".desc)
+      .groupBy("l_partkey").agg(first("month_end_balance").as("final_bal"))
+    // the final month-end balance per part == the part's total net movement
+    val truth = sf.lineitem
+      .where($"l_shipdate".between(
+        lit("1996-01-01").cast("timestamp"), lit("1997-12-31").cast("timestamp")))
+      .groupBy("l_partkey")
+      .agg(sum($"l_quantity".cast("decimal(12,2)")).cast("double").as("total_net"))
+    val joined = lastRow.join(truth, "l_partkey")
+      .where(abs($"final_bal" - $"total_net") > 1e-9)
+    assert(joined.isEmpty, joined.limit(5).collect().mkString(";"))
+  }
+
   test("q9/q12/q15 star joins broadcast their dimension sides") {
     for (df <- Seq(Relational5.profitByNation(sf), Relational5.topSupplier(sf))) {
       val plan = df.queryExecution.executedPlan.toString
