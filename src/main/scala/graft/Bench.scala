@@ -10,7 +10,9 @@ import org.apache.spark.sql.SparkSession
   * precision); the full per-query map is on the BENCH_DETAIL line above.
   */
 object Bench {
-  private def fmt(v: Double): String = f"$v%.3f"
+  // Locale.ROOT: a comma-decimal default locale would break the JSON
+  private def fmt(v: Double): String =
+    String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -43,9 +45,15 @@ object Bench {
     val budget = 1200
     val sb = new StringBuilder
     var kept = 0
+    var full = false
+    // stop at the first entry that doesn't fit so the kept set is a true
+    // slowest-N prefix (matching the queries_slowest label)
     all.foreach { case (k, v) =>
-      val entry = (if (kept > 0) "," else "") + s"\"$k\":${fmt(v)}"
-      if (sb.length + entry.length <= budget) { sb.append(entry); kept += 1 }
+      if (!full) {
+        val entry = (if (kept > 0) "," else "") + s"\"$k\":${fmt(v)}"
+        if (sb.length + entry.length <= budget) { sb.append(entry); kept += 1 }
+        else full = true
+      }
     }
     println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${all.size},"queries_slowest":$kept,"queries":{${sb.result()}},"sf":"$sfDir"}""")
     spark.stop()

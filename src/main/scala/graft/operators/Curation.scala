@@ -129,11 +129,12 @@ object Curation {
       .select(col("doc_id"), col("source"), col("n_chars"), col("p_keep"))
       .orderBy("doc_id")
 
-  val weightedSampleSql: String =
+  val weightedSampleSql: String = {
+    val u = Sampling.unitHashSqlFmt.format("doc_id")
     s"""SELECT doc_id, source, n_chars,
        | LEAST(1.0, n_chars / $WeightScale) AS p_keep
        |FROM documents
-       |WHERE CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT)
-       |   / 1152921504606846976.0 < LEAST(1.0, n_chars / $WeightScale)
+       |WHERE $u < LEAST(1.0, n_chars / $WeightScale)
        |ORDER BY doc_id""".stripMargin
+  }
 }

@@ -25,9 +25,10 @@ object Ranks {
     */
   def withGlobalRank(df: DataFrame, rankCol: String,
                      sortCols: Column*): (DataFrame, Long) = {
+    // no sortWithinPartitions here: the local row_number window re-sorts
+    // after its own _pid exchange anyway — a pre-sort would be dead work
     val sorted = df
       .repartitionByRange(sortCols: _*)
-      .sortWithinPartitions(sortCols: _*)
       .withColumn("_pid", spark_partition_id())
     val local = sorted.withColumn("_lrn",
       row_number().over(Window.partitionBy("_pid").orderBy(sortCols: _*)))

@@ -24,7 +24,7 @@ object Sampling {
     conv(substring(md5(key.cast("string")), 1, 15), 16, 10).cast("double") /
       lit(1152921504606846976.0) // 2^60
 
-  private val unitHashSqlFmt: String =
+  private[operators] val unitHashSqlFmt: String =
     "CAST('0x' || substr(md5(CAST(%s AS VARCHAR)), 1, 15) AS BIGINT) / 1152921504606846976.0"
 
   /** Stratified sampling: a different keep-fraction per stratum (here:

@@ -38,9 +38,15 @@ class CurationSpec extends SparkSpec {
     assert(rows.nonEmpty && rows.length < sf.documents.count())
     val again = Curation.weightedSample(sf).collect()
     assert(rows.map(_.toString).sameElements(again.map(_.toString)))
-    // docs at the cap (p_keep = 1.0) are all present
-    val atCap = sf.documents.where($"n_chars" >= 600).count()
-    assert(rows.count(_.getDouble(3) == 1.0) == atCap)
+    // no sf dir has docs at the 600-char cap, so exercise the p_keep=1.0
+    // branch with a synthetic corpus: capped docs must ALL survive
+    val dir = java.nio.file.Files.createTempDirectory("graft-wsample").toString
+    (0L until 50L).map(i => (i, "w " * 30, "en", "s", if (i < 25) 700L else 30L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val synth = Curation.weightedSample(Tables(spark, dir)).collect()
+    assert(synth.count(_.getDouble(3) == 1.0) == 25) // every capped doc kept
+    assert(synth.count(_.getDouble(3) < 1.0) < 25)   // short docs thinned
   }
 
   test("weighted sampling decision is a narrow filter (no hash exchange)") {
@@ -150,11 +156,13 @@ class CurationSpec extends SparkSpec {
     assert(joined.isEmpty, joined.limit(5).collect().mkString(";"))
   }
 
-  test("q9/q12/q15 star joins broadcast their dimension sides") {
+  test("q9/q15 star joins broadcast dims; q12 fact-fact join never cartesian") {
     for (df <- Seq(Relational5.profitByNation(sf), Relational5.topSupplier(sf))) {
       val plan = df.queryExecution.executedPlan.toString
       assert(plan.contains("BroadcastHashJoin"), plan)
       assert(!plan.contains("CartesianProduct"), plan)
     }
+    val q12 = Relational5.latePriorityLines(sf).queryExecution.executedPlan.toString
+    assert(!q12.contains("CartesianProduct") && !q12.contains("NestedLoop"), q12)
   }
 }
