@@ -81,7 +81,7 @@ object Dedup {
           lit(JaccardThreshold) * greatest(col("a_sz"), col("b_sz")))
       .select("a_id", "b_id")
       .distinct()
-    verifyJaccard(candidates, ex.select(col("doc_id"), xxhash64(col("gram")).as("h")))
+    verifyJaccard(candidates, hashedGramsOf(g))
   }
 
   private val ContainmentThreshold = 0.8
@@ -113,7 +113,7 @@ object Dedup {
       .where(col("b_sz").cast("double") >= lit(ContainmentThreshold) * col("a_sz"))
       .select("a_id", "b_id")
       .distinct()
-    scoreCandidates(candidates, ex.select(col("doc_id"), xxhash64(col("gram")).as("h"))) {
+    scoreCandidates(candidates, hashedGramsOf(g)) {
       (aHg, bHg) =>
         graft.functions.SortedLongOverlap(aHg, bHg).cast("double") / size(aHg)
     }
@@ -137,16 +137,24 @@ object Dedup {
        |  AND CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE) / len(a.grams) >= 0.8
        |ORDER BY a_id, b_id""".stripMargin
 
+  /** Per-doc sorted hashed-gram arrays, computed ROW-LOCALLY: grams are
+    * already distinct per doc, so no explode + collect_set aggregation
+    * (a full (doc, gram) shuffle) is needed — one narrow projection.
+    * Columns: (doc_id, hg).
+    */
+  private def hashedGramsOf(g: DataFrame): DataFrame =
+    g.select(col("doc_id"),
+      expr("array_sort(transform(grams, x -> xxhash64(x)))").as("hg"))
+
   /** Score candidate (a_id, b_id) pairs over HASHED gram sets: grams
     * cross the verify shuffle as sorted 8-byte longs and `score` is a
     * caller-supplied expression over the two sorted arrays (codegen'd
     * merge loops) — same values as string-set math while the 64-bit gram
-    * hash is collision-free. `ex` columns: (doc_id, h); output:
+    * hash is collision-free. `hg` columns: (doc_id, hg); output:
     * (a_id, b_id, score).
     */
-  private def scoreCandidates(candidates: DataFrame, ex: DataFrame)(
+  private def scoreCandidates(candidates: DataFrame, hg: DataFrame)(
       score: (Column, Column) => Column): DataFrame = {
-    val hg = ex.groupBy("doc_id").agg(sort_array(collect_set(col("h"))).as("hg"))
     candidates
       .join(hg.select(col("doc_id").as("a_id"), col("hg").as("a_hg")), Seq("a_id"))
       .join(hg.select(col("doc_id").as("b_id"), col("hg").as("b_hg")), Seq("b_id"))
@@ -164,8 +172,8 @@ object Dedup {
     * long-lived service should `spark.catalog.clearCache()` on its own
     * cadence) — the entries are bounded by true near-dup counts.
     */
-  private def verifyJaccard(candidates: DataFrame, ex: DataFrame): DataFrame =
-    scoreCandidates(candidates, ex)(graft.functions.SortedLongJaccard(_, _))
+  private def verifyJaccard(candidates: DataFrame, hg: DataFrame): DataFrame =
+    scoreCandidates(candidates, hg)(graft.functions.SortedLongJaccard(_, _))
       .withColumnRenamed("score", "jaccard")
       .where(col("jaccard") >= JaccardThreshold)
       .select("a_id", "b_id", "jaccard")
@@ -227,9 +235,7 @@ object Dedup {
       .select("a_id", "b_id")
       .distinct()
     // exact verification join (precision 1.0; LSH only buys candidate cuts)
-    verifyJaccard(candidates,
-      g.select(col("doc_id"), explode(col("grams")).as("gram"))
-        .select(col("doc_id"), xxhash64(col("gram")).as("h")))
+    verifyJaccard(candidates, hashedGramsOf(g))
   }
 
   /** Oracle: brute-force word-3-gram Jaccard over all pairs — the ground
