@@ -217,14 +217,22 @@ object Etl {
     * string-typed — harness-safe). Row-local: one narrow projection, no
     * shuffle; a pipeline writes the two routes to separate sinks.
     */
-  def quarantine(t: Tables): DataFrame = {
+  /** The event validation rule set as one string column: non-firing
+    * rules vanish (concat_ws skips nulls), good rows get "". Shared by
+    * the batch [[quarantine]] and [[graft.streaming.Streams]]' routing
+    * sink so both paths apply identical rules.
+    */
+  val quarantineReasons: org.apache.spark.sql.Column = {
     val rules = Seq(
       "unknown_type" -> !col("event_type").isin("view", "click", "purchase", "signup"),
       "value_range" -> (col("value") < 0 || col("value") > 95),
       "null_user" -> col("user_id").isNull)
+    concat_ws(",", rules.map { case (n, c) => when(c, lit(n)) }: _*)
+  }
+
+  def quarantine(t: Tables): DataFrame = {
     t.events
-      .withColumn("reasons",
-        concat_ws(",", rules.map { case (n, c) => when(c, lit(n)) }: _*))
+      .withColumn("reasons", quarantineReasons)
       .withColumn("is_quarantined", col("reasons") =!= "")
       .select(col("event_id"), col("event_type"), col("value"),
         col("is_quarantined"), col("reasons"))

@@ -82,6 +82,31 @@ object Streams {
           graft.sources.Sinks.upsertByKey(batch.sparkSession, path, batch, keyCol, tsCol)
       }
 
+  /** Streaming quarantine routing: each micro-batch is validated with
+    * the SAME rule column the batch [[graft.operators.Etl.quarantine]]
+    * uses, then split to good/quarantined parquet sinks — the streaming
+    * form of the dead-letter pattern (bad rows never block the stream,
+    * never vanish either). One narrow projection per batch; the two
+    * writes read the validated batch from its persisted form.
+    */
+  def quarantineStream(events: DataFrame, goodPath: String, badPath: String)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    events.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        if (!batch.isEmpty) {
+          val routed = batch
+            .withColumn("reasons", graft.operators.Etl.quarantineReasons)
+            .persist()
+          routed.where(col("reasons") === "").drop("reasons")
+            .write.mode("append").parquet(goodPath)
+          routed.where(col("reasons") =!= "")
+            .write.mode("append").parquet(badPath)
+          routed.unpersist(false)
+          ()
+        }
+      }
+
   /** Stream-stream interval join: purchases enriched with a view by the
     * same user in the preceding hour. Both sides are watermarked and the
     * time-interval condition bounds join state on both sides — the only

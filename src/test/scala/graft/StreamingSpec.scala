@@ -132,6 +132,27 @@ class StreamingSpec extends SparkSpec {
     assert(state == Map(1L -> 9.0, 2L -> 2.0))
   }
 
+  test("streaming quarantine routes each micro-batch to good/bad sinks") {
+    implicit val sqlCtx = spark.sqlContext
+    val base = java.nio.file.Files.createTempDirectory("graft-squar").toString
+    val (good, bad) = (base + "/good", base + "/bad")
+    val input = MemoryStream[Event]
+    input.addData(
+      Event(1, ts(0), "view", 10.0),      // clean
+      Event(2, ts(1), "error", 10.0),     // unknown_type
+      Event(3, ts(2), "purchase", 99.5))  // value_range
+    val q = Streams.quarantineStream(input.toDF(), good, bad).start()
+    q.processAllAvailable()
+    input.addData(Event(4, ts(3), "click", 5.0)) // second batch, clean
+    q.processAllAvailable()
+    q.stop()
+    val goodIds = spark.read.parquet(good).select("user_id").as[Long].collect().sorted
+    assert(goodIds.sameElements(Array(1L, 4L)))
+    val badRows = spark.read.parquet(bad)
+      .select("user_id", "reasons").as[(Long, String)].collect().toMap
+    assert(badRows == Map(2L -> "unknown_type", 3L -> "value_range"))
+  }
+
   test("streaming dedup drops repeated keys within the watermark") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[Event]
