@@ -131,10 +131,70 @@ object Embeddings {
       .agg(
         expr("array_join(transform(array_sort(collect_list(struct(s, best.cell AS cell)))," +
           " q -> cast(q.cell AS string)), ',')").as("codes"),
-        (sum(col("dt")) / lit(PqSubs * PqDims)).as("mse"))
+        // scale-30 decimal sum (order-independent, sub-ulp) + final
+        // 12-decimal rounding → engine-portable: absorbs Spark's
+        // shortest-string vs DuckDB's binary-expansion double→decimal
+        // conversion (the same recipe as [[centroids]])
+        ((sum(col("dt").cast(DecimalType(38, 30))).cast("double") /
+          lit(PqSubs * PqDims)).cast(DecimalType(24, 12)).cast("double")).as("mse"))
       .orderBy("vec_id")
     vecs.unpersist(false)
     out
+  }
+
+  /** Oracle: the whole PQ pipeline rebuilt in SQL — seed codebook from
+    * the PqK lowest-id vectors, per-(vector, subspace) argmin with the
+    * (distance, cell) tie-break, one DECIMAL-exact Lloyd refinement with
+    * unassigned (s, cell) slots keeping their seed centroid, then the
+    * final encode + decimal-exact MSE. Pairs bit-identically with the
+    * Spark side for the same reasons as `Similarity.ivfTopKSql`.
+    */
+  val pqEncodeSql: String = {
+    val subs = PqSubs; val dims = PqDims; val k = PqK
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |seed AS (
+       | SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS INT) AS cell, v
+       | FROM e ORDER BY vec_id LIMIT $k),
+       |ss AS (SELECT CAST(unnest(range($subs)) AS INT) AS s),
+       |c0 AS (
+       | SELECT ss.s, seed.cell, seed.v[(ss.s*$dims+1):(ss.s*$dims+$dims)] AS c
+       | FROM seed CROSS JOIN ss),
+       |e2 AS (
+       | SELECT e.vec_id, ss.s, e.v[(ss.s*$dims+1):(ss.s*$dims+$dims)] AS sv
+       | FROM e CROSS JOIN ss),
+       |a1 AS (
+       | SELECT vec_id, s, sv, cell FROM (
+       |  SELECT e2.vec_id, e2.s, e2.sv, c0.cell,
+       |   ROW_NUMBER() OVER (PARTITION BY e2.vec_id, e2.s
+       |    ORDER BY list_dot_product(c0.c, c0.c)
+       |      - 2 * list_dot_product(e2.sv, c0.c), c0.cell) AS rk
+       |  FROM e2 JOIN c0 ON e2.s = c0.s) WHERE rk = 1),
+       |c1 AS (
+       | SELECT s, cell, list(m ORDER BY pos) AS c FROM (
+       |  SELECT s, cell, pos,
+       |   CAST(SUM(CAST(x AS DECIMAL(38,15))) AS DOUBLE) / COUNT(*) AS m
+       |  FROM (SELECT s, cell, unnest(range(len(sv))) AS pos, unnest(sv) AS x FROM a1)
+       |  GROUP BY s, cell, pos)
+       | GROUP BY s, cell),
+       |cf AS (
+       | SELECT c0.s, c0.cell, COALESCE(c1.c, c0.c) AS c
+       | FROM c0 LEFT JOIN c1 ON c0.s = c1.s AND c0.cell = c1.cell),
+       |a2 AS (
+       | SELECT vec_id, s, sv, cell, d FROM (
+       |  SELECT e2.vec_id, e2.s, e2.sv, cf.cell,
+       |   list_dot_product(cf.c, cf.c) - 2 * list_dot_product(e2.sv, cf.c) AS d,
+       |   ROW_NUMBER() OVER (PARTITION BY e2.vec_id, e2.s
+       |    ORDER BY list_dot_product(cf.c, cf.c)
+       |      - 2 * list_dot_product(e2.sv, cf.c), cf.cell) AS rk
+       |  FROM e2 JOIN cf ON e2.s = cf.s) WHERE rk = 1)
+       |SELECT vec_id,
+       | string_agg(CAST(cell AS VARCHAR), ',' ORDER BY s) AS codes,
+       | CAST(CAST(
+       |   CAST(SUM(CAST(d + list_dot_product(sv, sv) AS DECIMAL(38,30))) AS DOUBLE)
+       |     / ${subs * dims} AS DECIMAL(24,12)) AS DOUBLE) AS mse
+       |FROM a2
+       |GROUP BY vec_id
+       |ORDER BY vec_id""".stripMargin
   }
 
   val centroidsSql: String =

@@ -93,9 +93,79 @@ object Similarity {
       .limit(10)
   }
 
+  /** Oracle: full signature rebuild — the ±1 hyperplanes are
+    * deterministic constants, so they inline into the SQL as literals and
+    * DuckDB recomputes the exact same buckets, probes, and rerank
+    * (list_dot_product folds bit-identically to [[graft.functions.DotProduct]]).
+    */
+  val lshTopKSql: String = {
+    def planeLit(p: Seq[Double]): String =
+      p.map(x => if (x > 0) "1.0" else "-1.0").mkString("[", ",", "]")
+    val bucketExpr = (0 until NumPlanes).map { i =>
+      s"(CASE WHEN list_dot_product(v, ${planeLit(planes(i))}) > 0 THEN ${1 << i} ELSE 0 END)"
+    }.mkString(" + ")
+    val probeList = ("qb" +: (0 until NumPlanes).map(i => s"xor(qb, ${1 << i})")).mkString(", ")
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |b AS (SELECT vec_id, v, $bucketExpr AS bucket FROM e),
+       |q AS (SELECT v AS qv, bucket AS qb FROM b WHERE vec_id = 0),
+       |probes AS (SELECT qv, unnest([$probeList]) AS probe FROM q)
+       |SELECT b.vec_id,
+       | list_dot_product(b.v, p.qv) /
+       |   (sqrt(list_dot_product(b.v, b.v)) * sqrt(list_dot_product(p.qv, p.qv))) AS cosine
+       |FROM b JOIN probes p ON b.bucket = p.probe
+       |WHERE b.vec_id <> 0
+       |ORDER BY cosine DESC, vec_id
+       |LIMIT 10""".stripMargin
+  }
+
   private val NumCells  = 16
   private val NumProbes = 4
   private val Iters     = 2
+
+  /** Oracle: the whole IVF pipeline rebuilt in SQL — deterministic init
+    * (first NumCells vectors), per-iteration argmin assignment with the
+    * same (distance, cell) tie-break, DECIMAL(38,15)-exact centroid
+    * means, probe selection by the same rank (q·q is row-constant so
+    * ordering by c·c − 2q·c equals ordering by squared distance), exact
+    * cosine rerank. Every arithmetic step pairs bit-identically with the
+    * Spark side (list_dot_product ≡ DotProduct, decimal sums exact).
+    */
+  val ivfTopKSql: String = {
+    def assign(from: String, cents: String): String =
+      s"""SELECT vec_id, v, cell FROM (
+         | SELECT $from.vec_id, $from.v, $cents.cell,
+         |  ROW_NUMBER() OVER (PARTITION BY $from.vec_id
+         |   ORDER BY list_dot_product($cents.c, $cents.c)
+         |     - 2 * list_dot_product($from.v, $cents.c), $cents.cell) AS rk
+         | FROM $from CROSS JOIN $cents) WHERE rk = 1""".stripMargin
+    def means(from: String): String =
+      s"""SELECT cell, list(m ORDER BY pos) AS c FROM (
+         | SELECT cell, pos,
+         |  CAST(SUM(CAST(x AS DECIMAL(38,15))) AS DOUBLE) / COUNT(*) AS m
+         | FROM (SELECT cell, unnest(range(len(v))) AS pos, unnest(v) AS x FROM $from)
+         | GROUP BY cell, pos)
+         |GROUP BY cell""".stripMargin
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |c0 AS (SELECT CAST(vec_id AS INT) AS cell, v AS c FROM e WHERE vec_id < $NumCells),
+       |a1 AS (${assign("e", "c0")}),
+       |c1 AS (${means("a1")}),
+       |a2 AS (${assign("e", "c1")}),
+       |c2 AS (${means("a2")}),
+       |q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
+       |probe AS (
+       | SELECT cell FROM c2, q
+       | ORDER BY list_dot_product(c, c) - 2 * list_dot_product(qv, c), cell
+       | LIMIT $NumProbes),
+       |a3 AS (${assign("e", "c2")})
+       |SELECT a3.vec_id,
+       | list_dot_product(a3.v, q.qv) /
+       |   (sqrt(list_dot_product(a3.v, a3.v)) * sqrt(list_dot_product(q.qv, q.qv))) AS cosine,
+       | a3.cell
+       |FROM a3 JOIN probe USING (cell), q
+       |WHERE a3.vec_id <> 0
+       |ORDER BY cosine DESC, vec_id
+       |LIMIT 10""".stripMargin
+  }
 
   /** IVF ANN: k-means coarse quantizer (deterministic init: the first k
     * vectors), Lloyd iterations as DataFrame aggregations, then probe the
