@@ -18,16 +18,18 @@ import org.apache.spark.sql.functions._
 object Multimodal {
 
   /** STUB — stands in for a real image/audio decode. Deterministic
-    * features derived from the payload bytes: [n_bytes, crc32 bucket,
-    * xxhash bucket, first-byte]. A real implementation would decode the
-    * media and emit e.g. resolution / duration / frame features with the
-    * exact same schema and batch shape.
+    * features derived from the payload bytes: [n_bytes, two md5 hash
+    * buckets, first-byte]. The hash buckets use the portable 15-hex-char
+    * md5 construction (same as [[Sampling.unitHash]]) so the fake decode
+    * is reproducible in ANY engine — a real implementation would decode
+    * the media and emit e.g. resolution / duration / frame features with
+    * the exact same schema and batch shape.
     */
   private def decodeStub(payload: org.apache.spark.sql.Column) = array(
-    length(payload).cast("double"),
-    (crc32(payload) % 1000).cast("double"),
-    abs(xxhash64(payload) % 1000).cast("double"),
-    expr("cast(conv(substr(hex(payload), 1, 2), 16, 10) as double)"))
+    length(payload).cast("long"),
+    conv(substring(md5(payload), 1, 15), 16, 10).cast("long") % 1000,
+    conv(substring(md5(payload), 17, 15), 16, 10).cast("long") % 1000,
+    expr("cast(conv(substr(hex(payload), 1, 2), 16, 10) as long)"))
 
   /** Binary ingestion + stubbed decode + feature extraction, batched
     * across partitions. The payload here is the document text re-cast to
@@ -136,6 +138,50 @@ object Multimodal {
       .orderBy("doc_id")
   }
 
+  /** Oracle for [[decodeBatched]]: the stub codec is a deterministic
+    * byte-fold, and the payload is the ASCII document text — so DuckDB
+    * replays the exact 64-bit wrapping fold in HUGEINT (mod 2⁶⁴, then
+    * mapped to the signed value), the same replay trick as the
+    * rolling-hash oracle.
+    */
+  val decodeBatchedSql: String = {
+    val m = "18446744073709551616" // 2^64 (HUGEINT literal)
+    s"""SELECT doc_id,
+       | CAST(length(text) AS INT) AS n_bytes,
+       | CASE WHEN length(text) > 0 THEN ascii(substr(text, 1, 1)) ELSE -1 END AS first_byte,
+       | CASE WHEN length(text) > 0 THEN ascii(substr(text, length(text), 1)) ELSE -1 END AS last_byte,
+       | CAST(CASE WHEN u >= 9223372036854775808 THEN u - $m ELSE u END AS BIGINT) AS checksum
+       |FROM (
+       | SELECT doc_id, text,
+       |  list_reduce(
+       |   list_prepend(CAST(0 AS HUGEINT),
+       |     list_transform(string_split(text, ''), c -> CAST(ascii(c) AS HUGEINT))),
+       |   (h, b) -> (h * 31 + b) % $m) AS u
+       | FROM documents)
+       |ORDER BY doc_id""".stripMargin
+  }
+
+  /** Oracle for [[sampleFrames]] (k = 10): frame boundaries and the
+    * seeded wrapping fold rebuilt over text substrings.
+    */
+  val sampleFramesSql: String = {
+    val m = "18446744073709551616"
+    s"""SELECT doc_id, CAST(frame_idx AS INT) AS frame_idx,
+       | CAST(CASE WHEN u >= 9223372036854775808 THEN u - $m ELSE u END AS BIGINT) AS frame_hash
+       |FROM (
+       | SELECT doc_id, frame_idx,
+       |  list_reduce(
+       |   list_prepend(CAST(1125899906842597 AS HUGEINT),
+       |     list_transform(string_split(substr(text, frame_idx * 16 + 1, 16), ''),
+       |       c -> CAST(ascii(c) AS HUGEINT))),
+       |   (h, b) -> (h * 31 + b) % $m) AS u
+       | FROM (
+       |  SELECT doc_id, text,
+       |   unnest(range(0, greatest(1, length(text) // 16), 10)) AS frame_idx
+       |  FROM documents))
+       |ORDER BY doc_id, frame_idx""".stripMargin
+  }
+
   def binaryPipeline(t: Tables): DataFrame =
     t.documents
       .select(
@@ -150,6 +196,52 @@ object Multimodal {
         length(col("payload")).as("n_bytes"),
         col("meta.origin").as("origin"),
         col("meta.mime").as("mime"),
-        to_json(decodeStub(col("payload"))).as("features"))
+        // integer features joined as a canonical string: portable across
+        // engines (double→string formatting would not be)
+        array_join(decodeStub(col("payload")), ",").as("features"))
       .orderBy("doc_id")
+
+  /** Oracle for [[binaryPipeline]]: the payload is the ASCII text, so
+    * every stub feature (length, portable md5 buckets, first byte)
+    * rebuilds exactly in SQL.
+    */
+  val binaryPipelineSql: String =
+    """SELECT doc_id,
+      | CAST(length(text) AS INT) AS n_bytes,
+      | source AS origin,
+      | 'text/plain' AS mime,
+      | array_to_string([
+      |   CAST(length(text) AS BIGINT),
+      |   CAST('0x' || substr(md5(text), 1, 15) AS BIGINT) % 1000,
+      |   CAST('0x' || substr(md5(text), 17, 15) AS BIGINT) % 1000,
+      |   CAST(ascii(substr(text, 1, 1)) AS BIGINT)], ',') AS features
+      |FROM documents
+      |ORDER BY doc_id""".stripMargin
+
+  /** Oracle for [[decodeImages]] minus the physical batch diagnostic
+    * (batch_id depends on the partition layout; the registered query
+    * projects it away — the spec asserts the batch shape instead).
+    */
+  val decodeImagesSql: String =
+    """SELECT doc_id,
+      | CAST(64 + length(text) % 512 AS INT) AS width,
+      | CAST(64 + (length(text) * 7) % 512 AS INT) AS height,
+      | 3 AS channels
+      |FROM documents
+      |ORDER BY doc_id""".stripMargin
+
+  /** Oracle for [[resize]] (maxSide 128) over [[decodeImagesSql]]'s dims:
+    * identical double scale arithmetic both engines.
+    */
+  val resizeSql: String =
+    """SELECT doc_id, width, height, channels,
+      | CAST(ceil(width * least(1.0, 128 / greatest(width, height))) AS INT) AS out_w,
+      | CAST(ceil(height * least(1.0, 128 / greatest(width, height))) AS INT) AS out_h
+      |FROM (
+      | SELECT doc_id,
+      |  CAST(64 + length(text) % 512 AS INT) AS width,
+      |  CAST(64 + (length(text) * 7) % 512 AS INT) AS height,
+      |  3 AS channels
+      | FROM documents)
+      |ORDER BY doc_id""".stripMargin
 }
