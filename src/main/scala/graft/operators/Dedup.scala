@@ -422,11 +422,35 @@ object Dedup {
         (col("id") === col("lbl")).as("is_keeper"))
       .orderBy("doc_id")
 
+  /** Keep-best dedup: within each near-dup cluster, keep the
+    * highest-quality representative (longest text, doc_id tie-break)
+    * instead of the lowest id — the selection step a production dedup
+    * actually ships. One window partitioned by cluster on top of
+    * [[clusters]]' labels.
+    */
+  def keepBest(t: Tables): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("cluster_id").orderBy(col("n_chars").desc, col("doc_id"))
+    clusters(t).select(col("doc_id"), col("cluster_id"))
+      .join(t.documents.select(col("doc_id"), col("n_chars")), Seq("doc_id"))
+      .withColumn("keep_best", row_number().over(w) === 1)
+      .select("doc_id", "cluster_id", "n_chars", "keep_best")
+      .orderBy("doc_id")
+  }
+
+  val keepBestSql: String =
+    s"""$clustersCte
+       |SELECT l3.id AS doc_id, l3.lbl AS cluster_id, d.n_chars,
+       | ROW_NUMBER() OVER (PARTITION BY l3.lbl
+       |   ORDER BY d.n_chars DESC, l3.id) = 1 AS keep_best
+       |FROM l3 JOIN documents d ON l3.id = d.doc_id
+       |ORDER BY doc_id""".stripMargin
+
   /** Oracle: brute-force pair generation + three propagation rounds —
     * valid because the data's clusters converge within three rounds, and
     * a converged fixpoint equals any later round.
     */
-  val clustersSql: String =
+  private lazy val clustersCte: String =
     s"""WITH g AS (
        | SELECT doc_id, ${Shingles.grams3Sql("text")} AS grams
        | FROM documents),
@@ -448,7 +472,10 @@ object Dedup {
        |l3 AS (
        | SELECT a.id, least(a.lbl, coalesce(min(nb.lbl), a.lbl)) AS lbl
        | FROM l2 a LEFT JOIN e ON a.id = e.x LEFT JOIN l2 nb ON e.y = nb.id
-       | GROUP BY a.id, a.lbl)
+       | GROUP BY a.id, a.lbl)""".stripMargin
+
+  val clustersSql: String =
+    s"""$clustersCte
        |SELECT id AS doc_id, lbl AS cluster_id, id = lbl AS is_keeper
        |FROM l3
        |ORDER BY doc_id""".stripMargin

@@ -79,6 +79,18 @@ class CurationSpec extends SparkSpec {
     }
   }
 
+  test("keep-best dedup keeps exactly one best-quality doc per cluster") {
+    val rows = graft.operators.Dedup.keepBest(sf).collect()
+    assert(rows.length == sf.documents.count())
+    rows.groupBy(_.getLong(1)).foreach { case (cid, rs) =>
+      val keepers = rs.filter(_.getBoolean(3))
+      assert(keepers.length == 1, s"cluster $cid has ${keepers.length} keepers")
+      // the keeper dominates by (n_chars desc, doc_id asc)
+      val best = rs.minBy(r => (-r.getLong(2), r.getLong(0)))
+      assert(keepers.head.getLong(0) == best.getLong(0))
+    }
+  }
+
   test("rfm scores are quartiles 1..4 and deterministic") {
     val rows = graft.operators.Analytics.rfm(sf).collect()
     assert(rows.nonEmpty)
