@@ -34,7 +34,13 @@ object Bench {
     val results = picked.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      val dt = (System.nanoTime() - t0) / 1e9
+      // session hygiene between queries (same as Verify): operators
+      // persist intermediates sized for their own lifetime; across 100+
+      // queries in one JVM those caches accumulate and degrade later
+      // queries. Clearing keeps every measurement cold and independent.
+      spark.catalog.clearCache()
+      name -> dt
     }
     val total = if (results.nonEmpty) results.values.sum else 0.0
     val all = results.toSeq.sortBy(-_._2)
