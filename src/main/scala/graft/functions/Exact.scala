@@ -47,4 +47,17 @@ object Exact {
     */
   def decimalMean(c: Column): Column =
     sum(c.cast(DecimalType(38, 15))).cast("double") / count(lit(1))
+
+  /** ORACLE-SAFE mean: scale-30 decimal sum (sub-ulp element rounding) +
+    * final DECIMAL(24,12) rounding. The 12-decimal result survives BOTH
+    * engines' double→decimal conversion styles and decimal→double is
+    * correctly rounded in both (unscaled < 2⁵³) — so a DuckDB replay of
+    * `CAST(CAST(CAST(SUM(CAST(x AS DECIMAL(38,30))) AS DOUBLE)/COUNT(*)
+    * AS DECIMAL(24,12)) AS DOUBLE)` is bit-identical. Use whenever the
+    * mean (or anything derived from it, like an argmin) is
+    * oracle-compared; see `Embeddings.centroids`.
+    */
+  def portableMean(c: Column): Column =
+    (sum(c.cast(DecimalType(38, 30))).cast("double") / count(lit(1)))
+      .cast(DecimalType(24, 12)).cast("double")
 }

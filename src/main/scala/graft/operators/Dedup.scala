@@ -601,10 +601,7 @@ object Dedup {
     * contract is still hash-verified.
     */
   val embeddingLshSql: String = {
-    val bucketExpr = Similarity.planes.zipWithIndex.map { case (p, i) =>
-      val planeLit = p.map(x => if (x > 0) "1.0" else "-1.0").mkString("[", ",", "]")
-      s"(CASE WHEN list_dot_product(v, ${planeLit}::DOUBLE[]) > 0 THEN ${1 << i} ELSE 0 END)"
-    }.mkString(" + ")
+    val bucketExpr = Similarity.bucketSqlExpr
     s"""WITH e AS (
        | SELECT vec_id, v, $bucketExpr AS bucket
        | FROM (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings))

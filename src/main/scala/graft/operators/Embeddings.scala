@@ -116,8 +116,9 @@ object Embeddings {
     val refined = withBest(cents)(exploded)
       .select(col("s"), col("best.cell").as("cell"), posexplode(col("sv")).as(Seq("pos", "x")))
       .groupBy("s", "cell", "pos")
-      // order-independent mean → codebook (and every code) deterministic
-      .agg(graft.functions.Exact.decimalMean(col("x")).as("m"))
+      // portable mean → codebook doubles identical in ANY engine, so the
+      // oracle's argmin replay cannot diverge on knife-edge assignments
+      .agg(graft.functions.Exact.portableMean(col("x")).as("m"))
       .groupBy("s", "cell")
       .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("pm"))
       .select(col("s"), col("cell"), expr("transform(pm, q -> q.m)").as("c"))
@@ -152,9 +153,15 @@ object Embeddings {
   val pqEncodeSql: String = {
     val subs = PqSubs; val dims = PqDims; val k = PqK
     s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-       |seed AS (
-       | SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS INT) AS cell, v
+       |sr AS (
+       | SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS INT) AS rn, v
        | FROM e ORDER BY vec_id LIMIT $k),
+       |ks AS (SELECT CAST(unnest(range($k)) AS INT) AS cell),
+       |-- seed wrap-around parity: a corpus with fewer than $k vectors
+       |-- reuses seeds cyclically, exactly like the Spark side
+       |seed AS (
+       | SELECT ks.cell, sr.v
+       | FROM ks JOIN sr ON sr.rn = ks.cell % (SELECT COUNT(*) FROM sr)),
        |ss AS (SELECT CAST(unnest(range($subs)) AS INT) AS s),
        |c0 AS (
        | SELECT ss.s, seed.cell, seed.v[(ss.s*$dims+1):(ss.s*$dims+$dims)] AS c
@@ -172,7 +179,8 @@ object Embeddings {
        |c1 AS (
        | SELECT s, cell, list(m ORDER BY pos) AS c FROM (
        |  SELECT s, cell, pos,
-       |   CAST(SUM(CAST(x AS DECIMAL(38,15))) AS DOUBLE) / COUNT(*) AS m
+       |   CAST(CAST(CAST(SUM(CAST(x AS DECIMAL(38,30))) AS DOUBLE) / COUNT(*)
+       |     AS DECIMAL(24,12)) AS DOUBLE) AS m
        |  FROM (SELECT s, cell, unnest(range(len(sv))) AS pos, unnest(sv) AS x FROM a1)
        |  GROUP BY s, cell, pos)
        | GROUP BY s, cell),

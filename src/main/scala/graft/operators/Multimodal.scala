@@ -29,7 +29,9 @@ object Multimodal {
     length(payload).cast("long"),
     conv(substring(md5(payload), 1, 15), 16, 10).cast("long") % 1000,
     conv(substring(md5(payload), 17, 15), 16, 10).cast("long") % 1000,
-    expr("cast(conv(substr(hex(payload), 1, 2), 16, 10) as long)"))
+    // empty payload → 0 (conv of '' is NULL, which array_join would
+    // silently drop — the oracle's ascii('') is 0)
+    coalesce(expr("cast(conv(substr(hex(payload), 1, 2), 16, 10) as long)"), lit(0L)))
 
   /** Binary ingestion + stubbed decode + feature extraction, batched
     * across partitions. The payload here is the document text re-cast to
@@ -170,11 +172,15 @@ object Multimodal {
        | CAST(CASE WHEN u >= 9223372036854775808 THEN u - $m ELSE u END AS BIGINT) AS frame_hash
        |FROM (
        | SELECT doc_id, frame_idx,
-       |  list_reduce(
-       |   list_prepend(CAST(1125899906842597 AS HUGEINT),
-       |     list_transform(string_split(substr(text, frame_idx * 16 + 1, 16), ''),
-       |       c -> CAST(ascii(c) AS HUGEINT))),
-       |   (h, b) -> (h * 31 + b) % $m) AS u
+       |  -- empty slice → the bare seed (DuckDB string_split('','') is
+       |  -- [''], which would fold one spurious ascii('')=0 step)
+       |  CASE WHEN length(substr(text, frame_idx * 16 + 1, 16)) = 0
+       |   THEN CAST(1125899906842597 AS HUGEINT)
+       |   ELSE list_reduce(
+       |    list_prepend(CAST(1125899906842597 AS HUGEINT),
+       |      list_transform(string_split(substr(text, frame_idx * 16 + 1, 16), ''),
+       |        c -> CAST(ascii(c) AS HUGEINT))),
+       |    (h, b) -> (h * 31 + b) % $m) END AS u
        | FROM (
        |  SELECT doc_id, text,
        |   unnest(range(0, greatest(1, length(text) // 16), 10)) AS frame_idx
@@ -218,30 +224,29 @@ object Multimodal {
       |FROM documents
       |ORDER BY doc_id""".stripMargin
 
+  /** One source of truth for the stub dims SQL (mirrors `decodeOne`). */
+  private val decodedDimsSubquery: String =
+    """SELECT doc_id,
+      | CAST(64 + length(text) % 512 AS INT) AS width,
+      | CAST(64 + (length(text) * 7) % 512 AS INT) AS height,
+      | 3 AS channels
+      |FROM documents""".stripMargin
+
   /** Oracle for [[decodeImages]] minus the physical batch diagnostic
     * (batch_id depends on the partition layout; the registered query
     * projects it away — the spec asserts the batch shape instead).
     */
   val decodeImagesSql: String =
-    """SELECT doc_id,
-      | CAST(64 + length(text) % 512 AS INT) AS width,
-      | CAST(64 + (length(text) * 7) % 512 AS INT) AS height,
-      | 3 AS channels
-      |FROM documents
-      |ORDER BY doc_id""".stripMargin
+    s"""$decodedDimsSubquery
+       |ORDER BY doc_id""".stripMargin
 
   /** Oracle for [[resize]] (maxSide 128) over [[decodeImagesSql]]'s dims:
     * identical double scale arithmetic both engines.
     */
   val resizeSql: String =
-    """SELECT doc_id, width, height, channels,
-      | CAST(ceil(width * least(1.0, 128 / greatest(width, height))) AS INT) AS out_w,
-      | CAST(ceil(height * least(1.0, 128 / greatest(width, height))) AS INT) AS out_h
-      |FROM (
-      | SELECT doc_id,
-      |  CAST(64 + length(text) % 512 AS INT) AS width,
-      |  CAST(64 + (length(text) * 7) % 512 AS INT) AS height,
-      |  3 AS channels
-      | FROM documents)
-      |ORDER BY doc_id""".stripMargin
+    s"""SELECT doc_id, width, height, channels,
+       | CAST(ceil(width * least(1.0, 128 / greatest(width, height))) AS INT) AS out_w,
+       | CAST(ceil(height * least(1.0, 128 / greatest(width, height))) AS INT) AS out_h
+       |FROM ($decodedDimsSubquery)
+       |ORDER BY doc_id""".stripMargin
 }

@@ -98,12 +98,19 @@ object Similarity {
     * DuckDB recomputes the exact same buckets, probes, and rerank
     * (list_dot_product folds bit-identically to [[graft.functions.DotProduct]]).
     */
-  val lshTopKSql: String = {
-    def planeLit(p: Seq[Double]): String =
-      p.map(x => if (x > 0) "1.0" else "-1.0").mkString("[", ",", "]")
-    val bucketExpr = (0 until NumPlanes).map { i =>
-      s"(CASE WHEN list_dot_product(v, ${planeLit(planes(i))}) > 0 THEN ${1 << i} ELSE 0 END)"
+  /** DuckDB expression computing [[signBucket]] over list column `v` —
+    * the single source of truth for the plane literals, shared by this
+    * oracle and [[Dedup.embeddingLshSql]].
+    */
+  private[operators] val bucketSqlExpr: String =
+    (0 until NumPlanes).map { i =>
+      val planeLit = planes(i).map(x => if (x > 0) "1.0" else "-1.0")
+        .mkString("[", ",", "]")
+      s"(CASE WHEN list_dot_product(v, $planeLit::DOUBLE[]) > 0 THEN ${1 << i} ELSE 0 END)"
     }.mkString(" + ")
+
+  val lshTopKSql: String = {
+    val bucketExpr = bucketSqlExpr
     val probeList = ("qb" +: (0 until NumPlanes).map(i => s"xor(qb, ${1 << i})")).mkString(", ")
     s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
        |b AS (SELECT vec_id, v, $bucketExpr AS bucket FROM e),
@@ -141,7 +148,8 @@ object Similarity {
     def means(from: String): String =
       s"""SELECT cell, list(m ORDER BY pos) AS c FROM (
          | SELECT cell, pos,
-         |  CAST(SUM(CAST(x AS DECIMAL(38,15))) AS DOUBLE) / COUNT(*) AS m
+         |  CAST(CAST(CAST(SUM(CAST(x AS DECIMAL(38,30))) AS DOUBLE) / COUNT(*)
+         |    AS DECIMAL(24,12)) AS DOUBLE) AS m
          | FROM (SELECT cell, unnest(range(len(v))) AS pos, unnest(v) AS x FROM $from)
          | GROUP BY cell, pos)
          |GROUP BY cell""".stripMargin
@@ -201,8 +209,12 @@ object Similarity {
       cents = assigned
         .select(col("cell"), posexplode(col("v")).as(Seq("pos", "x")))
         .groupBy("cell", "pos")
-        // order-independent mean → quantizer and probe sets deterministic
-        .agg(graft.functions.Exact.decimalMean(col("x")).as("m"))
+        // scale-30 decimal sum + final 12-decimal rounding: order-
+        // independent AND engine-portable BY CONSTRUCTION (the same
+        // recipe as Embeddings.centroids) — the oracle recomputes the
+        // exact same centroid doubles, so knife-edge argmin assignments
+        // cannot diverge between engines
+        .agg(graft.functions.Exact.portableMean(col("x")).as("m"))
         .groupBy("cell")
         .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("pm"))
         .select(col("cell"), expr("transform(pm, s -> s.m)").as("c"))
@@ -218,11 +230,17 @@ object Similarity {
     val qv = init.find(_._1 == 0).map(_._2).getOrElse(
       vecs.where(col("vec_id") === 0).select(col("v"))
         .collect()(0).getSeq[Double](0))
+    // probe rank = c·c − 2q·c (q·q is row-constant), with the SAME
+    // sequential fold the SQL oracle's list_dot_product uses — so the
+    // ranking is bit-identical across engines, not just mathematically
+    // equal (the (a−b)² form accumulates different rounding)
     val probeCells = cents
       .map { case (id, c) =>
-        (id, c.zip(qv).map { case (a, b) => (a - b) * (a - b) }.sum)
+        val cc = c.map(x => x * x).sum
+        val qc = c.zip(qv).map { case (a, b) => a * b }.sum
+        (id, cc - 2.0 * qc)
       }
-      .sortBy(_._2)
+      .sortBy(p => (p._2, p._1))
       .take(NumProbes)
       .map(_._1)
     assign(cents)

@@ -86,22 +86,25 @@ object Streams {
     * the SAME rule column the batch [[graft.operators.Etl.quarantine]]
     * uses, then split to good/quarantined parquet sinks — the streaming
     * form of the dead-letter pattern (bad rows never block the stream,
-    * never vanish either). One narrow projection per batch; the two
-    * writes read the validated batch from its persisted form.
+    * never vanish either). Each batch writes to its own
+    * `batch_id=<id>` partition with overwrite, so a replayed batch
+    * (crash between the two writes, or before the checkpoint commit)
+    * REWRITES its partition instead of appending duplicates —
+    * exactly-once output from an at-least-once foreachBatch.
     */
   def quarantineStream(events: DataFrame, goodPath: String, badPath: String)
       : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
     events.writeStream
       .outputMode("append")
-      .foreachBatch { (batch: DataFrame, _: Long) =>
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
         if (!batch.isEmpty) {
           val routed = batch
             .withColumn("reasons", graft.operators.Etl.quarantineReasons)
             .persist()
           routed.where(col("reasons") === "").drop("reasons")
-            .write.mode("append").parquet(goodPath)
+            .write.mode("overwrite").parquet(s"$goodPath/batch_id=$batchId")
           routed.where(col("reasons") =!= "")
-            .write.mode("append").parquet(badPath)
+            .write.mode("overwrite").parquet(s"$badPath/batch_id=$batchId")
           routed.unpersist(false)
           ()
         }
