@@ -75,6 +75,60 @@ object MinHashSig {
     GraftBridge.toColumn(MinHashSig(GraftBridge.toExpression(c)))
 }
 
+/** Sorted xxhash64 array of a document's grams in ONE expression call
+  * — the verify-stage payload for the dedup operators (codegen'd merge
+  * loops score the sorted arrays). Per-element values are identical to
+  * SQL `xxhash64(gram)` (same XXH64 over UTF-8 bytes, seed 42), so the
+  * result equals `array_sort(transform(grams, x -> xxhash64(x)))` while
+  * replacing the interpreted per-element HOF lambda with one tight JVM
+  * loop per row.
+  */
+case class HashedSortedGrams(child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"hashed_sorted_grams requires array<string> input, got $t")
+  }
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "hashed_sorted_grams"
+
+  override protected def nullSafeEval(input: Any): Any =
+    HashedSortedGrams.compute(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.HashedSortedGrams.compute($c);")
+
+  override protected def withNewChildInternal(newChild: Expression): HashedSortedGrams =
+    copy(child = newChild)
+}
+
+object HashedSortedGrams {
+
+  def compute(arr: ArrayData): ArrayData = {
+    val n = arr.numElements()
+    val out = new Array[Long](n)
+    var i = 0
+    var k = 0
+    while (i < n) {
+      val s = arr.getUTF8String(i)
+      if (s != null) { // null grams are ignored, as in the HOF form
+        out(k) = XXH64.hashUnsafeBytes(s.getBaseObject, s.getBaseOffset, s.numBytes, 42L)
+        k += 1
+      }
+      i += 1
+    }
+    val trimmed = if (k == n) out else java.util.Arrays.copyOf(out, k)
+    java.util.Arrays.sort(trimmed)
+    new GenericArrayData(trimmed)
+  }
+
+  def apply(c: Column): Column =
+    GraftBridge.toColumn(HashedSortedGrams(GraftBridge.toExpression(c)))
+}
+
 /** Whole-document 60-bit SimHash in ONE expression call.
   *
   * Per gram the hash is the first 60 bits of md5 (== the big-endian

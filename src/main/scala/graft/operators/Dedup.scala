@@ -143,8 +143,7 @@ object Dedup {
     * Columns: (doc_id, hg).
     */
   private def hashedGramsOf(g: DataFrame): DataFrame =
-    g.select(col("doc_id"),
-      expr("array_sort(transform(grams, x -> xxhash64(x)))").as("hg"))
+    g.select(col("doc_id"), graft.functions.HashedSortedGrams(col("grams")).as("hg"))
 
   /** Score candidate (a_id, b_id) pairs over HASHED gram sets: grams
     * cross the verify shuffle as sorted 8-byte longs and `score` is a

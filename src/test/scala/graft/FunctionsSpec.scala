@@ -6,6 +6,16 @@ import org.apache.spark.sql.functions._
 class FunctionsSpec extends SparkSpec {
   import spark.implicits._
 
+  test("HashedSortedGrams equals the sorted xxhash64 HOF form") {
+    import org.apache.spark.sql.functions._
+    val g = graft.functions.Shingles.gramsOf(sf.documents)
+    val native = g.select($"doc_id",
+      graft.functions.HashedSortedGrams(col("grams")).as("hg"))
+    val hof = g.select($"doc_id",
+      expr("array_sort(transform(grams, x -> xxhash64(x)))").as("hg"))
+    assert(native.except(hof).isEmpty && hof.except(native).isEmpty)
+  }
+
   // arbitrary-precision reference: the 61-bit Mersenne reduction in
   // RollingHash.step must equal plain modular arithmetic
   private def refRollingHash(s: String): Long =
