@@ -115,6 +115,22 @@ class CurationSpec extends SparkSpec {
     assert(viaRanks.except(viaWindow).isEmpty && viaWindow.except(viaRanks).isEmpty)
   }
 
+  test("ntile formula matches window ntile at edge-case sizes (n<k, ties of size)") {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    for (n <- Seq(1L, 2L, 3L, 4L, 5L, 7L, 9L, 64L)) {
+      val df = spark.range(n).toDF("id")
+      val (ranked, total) = graft.operators.Ranks
+        .withGlobalRank(df, "_rk", col("id"))
+      val viaRanks = ranked.select($"id",
+        graft.operators.Ranks.ntileOf(4, col("_rk"), total).as("nt"))
+      val viaWindow = df.select($"id",
+        ntile(4).over(Window.orderBy("id")).as("nt"))
+      assert(viaRanks.except(viaWindow).isEmpty &&
+        viaWindow.except(viaRanks).isEmpty, s"n=$n diverged")
+    }
+  }
+
   test("rfm plan has no unpartitioned window (single-partition scale hazard)") {
     val plan = graft.operators.Analytics.rfm(sf).queryExecution.executedPlan.toString
     // every Window partitions by _pid; an empty partition spec would read
