@@ -208,19 +208,26 @@ object Dedup {
     * (doc, gram) shuffle; candidate generation then shuffles
     * (band, bucket) keys only — linear at scale, never the n² pair space.
     */
+  /** (doc_id, sz, band_idx, band_hash) LSH band keys — the shared
+    * banding front end of [[minhashLsh]] and [[incrementalDedup]]. The
+    * whole signature is ONE [[graft.functions.MinHashSig]] call; band
+    * hash = xxhash64 of the band's [[BandRows]] signature slots.
+    */
+  private def bandsOf(g: DataFrame): DataFrame =
+    g.where(size(col("grams")) > 0)
+      .select(col("doc_id"), size(col("grams")).as("sz"),
+        graft.functions.MinHashSig(col("grams")).as("sig"))
+      .select(
+        col("doc_id"), col("sz"),
+        posexplode(array((0 until NumBands).map { b =>
+          xxhash64((b * BandRows until (b + 1) * BandRows)
+            .map(i => col("sig").getItem(i)): _*)
+        }: _*)).as(Seq("band_idx", "band_hash")))
+
   def minhashLsh(t: Tables): DataFrame = {
     // persisted: feeds the signature build + the verify join
     val g = Shingles.gramsOf(t.documents).persist()
-    val sig = g.where(size(col("grams")) > 0)
-      .select(col("doc_id"), size(col("grams")).as("sz"),
-        graft.functions.MinHashSig(col("grams")).as("sig"))
-    // band hash = hash of the band's 4 signature slots
-    val bands = sig.select(
-      col("doc_id"), col("sz"),
-      posexplode(array((0 until NumBands).map { b =>
-        xxhash64((b * BandRows until (b + 1) * BandRows)
-          .map(i => col("sig").getItem(i)): _*)
-      }: _*)).as(Seq("band_idx", "band_hash")))
+    val bands = bandsOf(g)
     val ca = bands.select(col("doc_id").as("a_id"), col("sz").as("a_sz"),
       col("band_idx"), col("band_hash"))
     val cb = bands.select(col("doc_id").as("b_id"), col("sz").as("b_sz"),
@@ -236,6 +243,53 @@ object Dedup {
     // exact verification join (precision 1.0; LSH only buys candidate cuts)
     verifyJaccard(candidates, hashedGramsOf(g))
   }
+
+  /** Incremental dedup — the shape a production pipeline runs DAILY:
+    * check a new BATCH (here the deterministic split doc_id % 5 = 0)
+    * against the standing CORPUS plus itself, without re-pairing the
+    * corpus against itself. The batch side of the band join is small, so
+    * candidate generation touches ~|batch|·bucket-collision work instead
+    * of the full-corpus pair space — at 100 TB the corpus bands are a
+    * precomputed index this join probes. Output: every verified near-dup
+    * pair involving a batch doc (batch↔corpus and batch↔batch).
+    */
+  def incrementalDedup(t: Tables): DataFrame = {
+    val g = Shingles.gramsOf(t.documents).persist()
+    val bands = bandsOf(g)
+    val isBatch = (c: Column) => pmod(c, lit(5)) === 0
+    val nb = bands.where(isBatch(col("doc_id")))
+      .select(col("doc_id").as("a_id"), col("sz").as("a_sz"),
+        col("band_idx"), col("band_hash"))
+    val all = bands.select(col("doc_id").as("b_id"), col("sz").as("b_sz"),
+      col("band_idx"), col("band_hash"))
+    val candidates = nb.join(all, Seq("band_idx", "band_hash"))
+      .where(col("a_id") =!= col("b_id") &&
+        least(col("a_sz"), col("b_sz")).cast("double") >=
+          lit(JaccardThreshold) * greatest(col("a_sz"), col("b_sz")))
+      // batch↔batch pairs meet twice (both sides are in `nb`); canonical
+      // (min, max) ordering + distinct collapses them
+      .select(least(col("a_id"), col("b_id")).as("a_id"),
+        greatest(col("a_id"), col("b_id")).as("b_id"))
+      .distinct()
+    verifyJaccard(candidates, hashedGramsOf(g))
+  }
+
+  /** Oracle: brute force over exactly the pairs that involve a batch
+    * doc — the incremental path must lose nothing vs a full re-dedup
+    * restricted to those pairs.
+    */
+  val incrementalDedupSql: String =
+    s"""WITH g AS (
+       | SELECT doc_id, ${Shingles.grams3Sql("text")} AS grams
+       | FROM documents)
+       |SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+       | CAST(len(list_distinct(list_intersect(a.grams, b.grams))) AS DOUBLE)
+       |   / len(list_distinct(list_concat(a.grams, b.grams))) AS jaccard
+       |FROM g a JOIN g b ON a.doc_id < b.doc_id
+       |WHERE (a.doc_id % 5 = 0 OR b.doc_id % 5 = 0)
+       |  AND CAST(len(list_distinct(list_intersect(a.grams, b.grams))) AS DOUBLE)
+       |   / len(list_distinct(list_concat(a.grams, b.grams))) >= 0.6
+       |ORDER BY a_id, b_id""".stripMargin
 
   /** Oracle: brute-force word-3-gram Jaccard over all pairs — the ground
     * truth MinHash+verify must reproduce.

@@ -79,6 +79,17 @@ class CurationSpec extends SparkSpec {
     }
   }
 
+  test("incremental dedup equals the batch-involved slice of full dedup") {
+    import org.apache.spark.sql.functions.col
+    val inc = graft.operators.Dedup.incrementalDedup(sf)
+    // every returned pair involves a batch doc
+    assert(inc.collect().forall(r => r.getLong(0) % 5 == 0 || r.getLong(1) % 5 == 0))
+    // and it equals the full-dedup output restricted to batch pairs
+    val full = graft.operators.Dedup.minhashLsh(sf)
+      .where(col("a_id") % 5 === 0 || col("b_id") % 5 === 0)
+    assert(inc.except(full).isEmpty && full.except(inc).isEmpty)
+  }
+
   test("keep-best dedup keeps exactly one best-quality doc per cluster") {
     val rows = graft.operators.Dedup.keepBest(sf).collect()
     assert(rows.length == sf.documents.count())
