@@ -5,6 +5,7 @@ import graft.functions.Exact._
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
 
 /** Time-series conditioning operators: dense date spines, gap filling by
   * forward fill, and value binning — the reshaping steps between raw
@@ -117,4 +118,48 @@ object TimeSeries {
       | CAST(balance AS DOUBLE) AS month_end_balance
       |FROM bal WHERE rk = 1
       |ORDER BY l_partkey, month""".stripMargin
+  /** Time-WEIGHTED average value per user over an irregular event
+    * timeline: each value is weighted by the seconds until the user's
+    * next event (classic sensor/price TWA — a plain AVG over-weights
+    * bursts). One lead() window partitioned by user + one aggregation;
+    * products accumulate in DECIMAL so the result is order-independent
+    * and engine-portable; zero-total-duration users are excluded (a
+    * double division by zero is engine-defined).
+    */
+  def timeWeightedAvg(t: Tables): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    t.events
+      .select(col("user_id"), col("value"),
+        (unix_timestamp(lead(col("ts"), 1).over(w)) -
+          unix_timestamp(col("ts"))).as("dur"))
+      .where(col("dur").isNotNull)
+      .groupBy("user_id")
+      .agg(
+        sum(dec(col("value")) * col("dur").cast(DecimalType(10, 0))).as("wsum"),
+        sum(col("dur")).as("total_dur"),
+        count(lit(1)).as("n_intervals"))
+      .where(col("total_dur") > 0)
+      .select(col("user_id"),
+        (col("wsum").cast("double") / col("total_dur")).as("twa"),
+        col("total_dur"), col("n_intervals"))
+      .orderBy("user_id")
+  }
+
+  val timeWeightedAvgSql: String =
+    """WITH p AS (
+      | SELECT user_id, value,
+      |  date_diff('second', CAST(ts AS TIMESTAMP),
+      |    LEAD(CAST(ts AS TIMESTAMP), 1) OVER (PARTITION BY user_id
+      |      ORDER BY CAST(ts AS TIMESTAMP), event_id)) AS dur
+      | FROM events)
+      |SELECT user_id,
+      | CAST(SUM(CAST(value AS DECIMAL(12,2)) * CAST(dur AS DECIMAL(10,0))) AS DOUBLE)
+      |   / CAST(SUM(dur) AS BIGINT) AS twa,
+      | CAST(SUM(dur) AS BIGINT) AS total_dur,
+      | CAST(COUNT(*) AS BIGINT) AS n_intervals
+      |FROM p
+      |WHERE dur IS NOT NULL
+      |GROUP BY user_id
+      |HAVING SUM(dur) > 0
+      |ORDER BY user_id""".stripMargin
 }

@@ -179,6 +179,18 @@ class CurationSpec extends SparkSpec {
     assert(!plan.contains("Exchange hashpartitioning"), plan)
   }
 
+  test("time-weighted average stays within each user's value range") {
+    import org.apache.spark.sql.functions._
+    val twa = graft.operators.TimeSeries.timeWeightedAvg(sf)
+    val bounds = sf.events.groupBy("user_id")
+      .agg(min("value").as("lo"), max("value").as("hi"))
+    val bad = twa.join(bounds, "user_id")
+      .where($"twa" < $"lo" - lit(1e-9) || $"twa" > $"hi" + lit(1e-9))
+    assert(bad.isEmpty, bad.limit(5).collect().mkString(";"))
+    // total_dur and n_intervals positive
+    assert(twa.collect().forall(r => r.getLong(2) > 0 && r.getLong(3) >= 1))
+  }
+
   test("semi-additive month-end balance equals total net through that month") {
     import org.apache.spark.sql.functions._
     val out = graft.operators.TimeSeries.semiAdditive(sf)
