@@ -111,18 +111,17 @@ object HashedSortedGrams {
     val n = arr.numElements()
     val out = new Array[Long](n)
     var i = 0
-    var k = 0
     while (i < n) {
       val s = arr.getUTF8String(i)
-      if (s != null) { // null grams are ignored, as in the HOF form
-        out(k) = XXH64.hashUnsafeBytes(s.getBaseObject, s.getBaseOffset, s.numBytes, 42L)
-        k += 1
-      }
+      // a null gram hashes to the seed (42), exactly like SQL xxhash64 —
+      // keeps the documented HOF equivalence true element-for-element
+      out(i) =
+        if (s == null) 42L
+        else XXH64.hashUnsafeBytes(s.getBaseObject, s.getBaseOffset, s.numBytes, 42L)
       i += 1
     }
-    val trimmed = if (k == n) out else java.util.Arrays.copyOf(out, k)
-    java.util.Arrays.sort(trimmed)
-    new GenericArrayData(trimmed)
+    java.util.Arrays.sort(out)
+    new GenericArrayData(out)
   }
 
   def apply(c: Column): Column =

@@ -140,6 +140,12 @@ object TimeSeries {
         count(lit(1)).as("n_intervals"))
       .where(col("total_dur") > 0)
       .select(col("user_id"),
+        // exact while the scaled weighted sum stays under 2⁵³ (≈9·10¹³
+        // cent-seconds per user): both engines then convert the decimal
+        // sum to the same double and divide by the same integer. A
+        // DECIMAL(24,12) re-rounding would NOT help here — these sums
+        // are terminating decimals that land on exact half-way points,
+        // where the engines' double→decimal conversions disagree.
         (col("wsum").cast("double") / col("total_dur")).as("twa"),
         col("total_dur"), col("n_intervals"))
       .orderBy("user_id")
