@@ -11,6 +11,11 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Forked `run` output normally passes through sbt's logger, which
+// prefixes every stdout line with "[info] " — that broke the bench
+// collector's JSON-line parse (it anchors on a line starting with '{').
+// StdoutOutput sends the forked JVM's stdout/stderr straight through.
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().
