@@ -151,17 +151,19 @@ object Analytics {
       .select(col("user_id"),
         datediff(to_date(col("max_ts")), to_date(col("last_ts"))).as("recency_days"),
         col("frequency"), col("monetary"))
-      .persist() // three rank passes read it; tiny (one row per user)
-    val (rr, rn) = Ranks.withGlobalRank(base, "_rk", col("recency_days"), col("user_id"))
-    val r = rr.select(col("user_id"), Ranks.ntileOf(4, col("_rk"), rn).as("r_score"))
-    val (fr, fn) = Ranks.withGlobalRank(base, "_rk", col("frequency").desc, col("user_id"))
-    val f = fr.select(col("user_id"), Ranks.ntileOf(4, col("_rk"), fn).as("f_score"))
-    val (mr, mn) = Ranks.withGlobalRank(base, "_rk", col("monetary").desc, col("user_id"))
-    val m = mr.select(col("user_id"), Ranks.ntileOf(4, col("_rk"), mn).as("m_score"))
+      .persist() // the fused rank pass + the final join both read it
+    // all three orderings ranked in ONE range shuffle (descending metrics
+    // negated; ties fall to user_id ascending, matching the NTILE oracle)
+    val (ranks, n) = Ranks.withGlobalRanksFused(base, "user_id", Seq(
+      "_rk_r" -> col("recency_days").cast("double"),
+      "_rk_f" -> -col("frequency").cast("double"),
+      "_rk_m" -> -col("monetary")))
     base
-      .join(r, Seq("user_id")).join(f, Seq("user_id")).join(m, Seq("user_id"))
+      .join(ranks, Seq("user_id"))
       .select(col("user_id"), col("recency_days"), col("frequency"), col("monetary"),
-        col("r_score"), col("f_score"), col("m_score"))
+        Ranks.ntileOf(4, col("_rk_r"), n).as("r_score"),
+        Ranks.ntileOf(4, col("_rk_f"), n).as("f_score"),
+        Ranks.ntileOf(4, col("_rk_m"), n).as("m_score"))
       .orderBy("user_id")
   }
 

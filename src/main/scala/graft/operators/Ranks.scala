@@ -51,6 +51,72 @@ object Ranks {
     (ranked, total)
   }
 
+  /** N independent global ranks in ONE range shuffle.
+    *
+    * Each metric is `(name, sortValue)` where `sortValue` is a
+    * double-valued Column (pre-negate for descending order; ties are
+    * broken by `keyCol` ascending, which must be unique per row). The
+    * input is exploded to `(metric, value, key)` rows, range-partitioned
+    * ONCE on `(metric, value, key)`, and locally ranked without any
+    * further exchange: after `sortWithinPartitions` the local position is
+    * `monotonically_increasing_id() - min(id in this (partition, metric)
+    * run)` — ids are consecutive within a partition, so no `_pid` window
+    * (which would re-shuffle) is needed. Per-(partition, metric) counts
+    * and first-ids are one bounded collect (≤ partitions × metrics rows);
+    * offsets rejoin as a broadcast.
+    *
+    * Compared to calling [[withGlobalRank]] per metric this runs one
+    * range shuffle + one tiny aggregation instead of `metrics.size`
+    * shuffle/collect rounds — the same latency argument as a two-level
+    * prefix sum, applied across orderings.
+    *
+    * Returns one row per input row: `keyCol` plus an exact 1-based rank
+    * column per metric, and the row count (shared by all metrics).
+    */
+  def withGlobalRanksFused(df: DataFrame, keyCol: String,
+                           metrics: Seq[(String, Column)]): (DataFrame, Long) = {
+    require(metrics.nonEmpty)
+    val spark = df.sparkSession
+    import spark.implicits._
+    val entries = metrics.zipWithIndex.map { case ((_, v), i) =>
+      // `+ 0.0` normalizes a negated zero: -0.0 and 0.0 must land in the
+      // same range bucket AND compare equal, so ties fall to the key
+      struct(lit(i).as("_m"), (v.cast("double") + lit(0.0)).as("_v"))
+    }
+    val tagged = df.select(col(keyCol).as("_key"), explode(array(entries: _*)).as("_e"))
+      .select(col("_key"), col("_e._m").as("_m"), col("_e._v").as("_v"))
+    val local = tagged
+      .repartitionByRange(col("_m"), col("_v"), col("_key"))
+      .sortWithinPartitions(col("_m"), col("_v"), col("_key"))
+      .withColumn("_pid", spark_partition_id())
+      .withColumn("_mid", monotonically_increasing_id())
+      .persist()
+    // (partition, metric) → run length + first id: bounded driver state
+    val stats = local.groupBy("_pid", "_m")
+      .agg(count(lit(1)).as("_n"), min(col("_mid")).as("_first"))
+      .collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getLong(2), r.getLong(3)))
+    val total = stats.filter(_._2 == 0).map(_._3).sum
+    val offsets = stats.groupBy(_._2).toSeq.flatMap { case (m, rows) =>
+      var acc = 0L
+      rows.sortBy(_._1).map { case (pid, _, n, first) =>
+        val o = (pid, m, acc, first); acc += n; o
+      }
+    }
+    val offsetDf = offsets.toDF("_pid", "_m", "_offset", "_first")
+    val rankCols = metrics.zipWithIndex.map { case ((name, _), i) =>
+      max(when(col("_m") === i, col("_rank"))).as(name)
+    }
+    val ranked = local
+      .join(broadcast(offsetDf), Seq("_pid", "_m"))
+      .select(col("_key"),
+        col("_m"), (col("_offset") + col("_mid") - col("_first") + 1).as("_rank"))
+      .groupBy("_key")
+      .agg(rankCols.head, rankCols.tail: _*)
+      .withColumnRenamed("_key", keyCol)
+    (ranked, total)
+  }
+
   /** Exact SQL NTILE(k) from a 1-based global rank over `total` rows:
     * with q = total div k and r = total mod k, the FIRST r buckets get
     * q+1 rows and the rest q — so ranks ≤ r·(q+1) land in bucket

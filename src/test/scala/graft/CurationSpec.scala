@@ -142,6 +142,22 @@ class CurationSpec extends SparkSpec {
     }
   }
 
+  test("fused multi-metric global rank equals per-metric window ranks") {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    val df = sf.customer.select($"c_custkey", $"c_acctbal", $"c_nationkey")
+    val (ranked, n) = graft.operators.Ranks.withGlobalRanksFused(df, "c_custkey", Seq(
+      "r_bal" -> -col("c_acctbal").cast("double"),
+      "r_nat" -> col("c_nationkey").cast("double")))
+    val viaWindow = df.select($"c_custkey",
+      row_number().over(Window.orderBy(col("c_acctbal").desc, col("c_custkey")))
+        .cast("long").as("r_bal"),
+      row_number().over(Window.orderBy(col("c_nationkey"), col("c_custkey")))
+        .cast("long").as("r_nat"))
+    assert(ranked.except(viaWindow).isEmpty && viaWindow.except(ranked).isEmpty)
+    assert(n == df.count())
+  }
+
   test("rfm plan has no unpartitioned window (single-partition scale hazard)") {
     val plan = graft.operators.Analytics.rfm(sf).queryExecution.executedPlan.toString
     // every Window partitions by _pid; an empty partition spec would read
