@@ -5,7 +5,11 @@ import java.nio.file.{Files, Paths}
   * plus oracle_sql.json, for the driver's DuckDB compare. */
 object Verify {
   def main(args: Array[String]): Unit = {
-    val Array(sfDir, outDir) = args
+    val (sfDir, outDir) = (args(0), args(1))
+    // optional args 3+: dump only the named queries (local iteration aid)
+    val picked =
+      if (args.length <= 2) SparkEntry.queries
+      else SparkEntry.queries.filter { case (k, _) => args.drop(2).contains(k) }
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     // the library's tuned session (AQE + coalescing + skew join + UTC),
     // exactly what a production run gets
@@ -14,7 +18,7 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
-    SparkEntry.queries.foreach { case (name, fn) =>
+    picked.foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>

@@ -137,4 +137,62 @@ object Curation {
        |WHERE $u < LEAST(1.0, n_chars / $WeightScale)
        |ORDER BY doc_id""".stripMargin
   }
+
+  /** Target corpus budget for [[domainMix]], as a fraction of the input. */
+  private val MixBudget = 0.5
+  /** Target domain weights over the 20 sources (sum to 1): half the
+    * budget on src0–4, 30% on src5–9, the tail split over src10–19.
+    */
+  private[operators] val MixWeights: Seq[(String, Double)] =
+    (0 to 4).map(i => s"src$i" -> 0.10) ++
+      (5 to 9).map(i => s"src$i" -> 0.06) ++
+      (10 to 19).map(i => s"src$i" -> 0.02)
+
+  /** Domain-mixture rebalancing — the "mix web/code/books to target
+    * proportions" step of training-data curation: given per-domain target
+    * weights and a total budget, each domain keeps
+    * `min(1, budget·w_domain / n_domain)` of its documents, decided
+    * row-locally by the portable doc_id hash. The per-domain counts are
+    * one tiny aggregation broadcast back; the keep decision is then a
+    * shuffle-free filter — rerun-exact, any scale. Domains smaller than
+    * their target keep everything (the fraction caps at 1).
+    */
+  def domainMix(t: Tables): DataFrame = {
+    val w = MixWeights.tail.foldLeft(
+      when(col("source") === MixWeights.head._1, MixWeights.head._2)) {
+      case (acc, (s, f)) => acc.when(col("source") === s, f)
+    }.otherwise(0.0)
+    val perDomain = t.documents.groupBy("source")
+      .agg(count(lit(1)).cast("long").as("ns"))
+    val total = perDomain.agg(sum(col("ns")).cast("long").as("total"))
+    val fracs = perDomain.crossJoin(broadcast(total))
+      .select(col("source"),
+        least(lit(1.0),
+          lit(MixBudget) * col("total").cast("double") * w /
+            col("ns").cast("double")).as("keep_frac"))
+    t.documents
+      .join(broadcast(fracs), Seq("source"))
+      .where(Sampling.unitHash(col("doc_id")) < col("keep_frac"))
+      .select(col("doc_id"), col("source"), col("keep_frac"))
+      .orderBy("doc_id")
+  }
+
+  val domainMixSql: String = {
+    val u = Sampling.unitHashSqlFmt.format("doc_id")
+    val wCase = MixWeights.map { case (s, f) =>
+      s"WHEN source = '$s' THEN $f"
+    }.mkString("CASE ", " ", " ELSE 0.0 END")
+    s"""WITH n AS (
+       | SELECT source, CAST(COUNT(*) AS BIGINT) AS ns FROM documents GROUP BY source),
+       |tot AS (SELECT CAST(SUM(ns) AS BIGINT) AS total FROM n),
+       |f AS (
+       | SELECT source,
+       |  LEAST(1.0, $MixBudget * CAST((SELECT total FROM tot) AS DOUBLE)
+       |    * ($wCase) / CAST(ns AS DOUBLE)) AS keep_frac
+       | FROM n)
+       |SELECT d.doc_id, d.source, f.keep_frac
+       |FROM documents d JOIN f USING (source)
+       |WHERE $u < f.keep_frac
+       |ORDER BY d.doc_id""".stripMargin
+  }
 }

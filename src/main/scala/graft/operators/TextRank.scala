@@ -49,6 +49,46 @@ object TextRank {
       |WHERE rk <= 3
       |ORDER BY doc_id, rk""".stripMargin
 
+  private val VocabSize = 200
+
+  /** Corpus vocabulary build — the tokenizer-prep step of a training
+    * pipeline: global token counts, the top-[[VocabSize]] tokens by
+    * frequency (ties by token text) with 1-based ranks and corpus
+    * coverage shares. One aggregation + a TakeOrdered top-k reduction;
+    * the rank window runs over the already-truncated top-k rows (bounded
+    * — never a corpus-wide single partition). The share is one
+    * long/long IEEE division — portable bit-for-bit.
+    */
+  def vocab(t: Tables): DataFrame = {
+    val counts = t.documents
+      .select(explode(split(col("text"), " ")).as("token"))
+      .where(length(col("token")) > 0)
+      .groupBy("token").agg(count(lit(1)).as("cnt"))
+    val total = counts.agg(sum(col("cnt")).cast("long").as("total"))
+    counts
+      .orderBy(col("cnt").desc, col("token")).limit(VocabSize)
+      .crossJoin(broadcast(total))
+      .withColumn("rank",
+        row_number().over(Window.orderBy(col("cnt").desc, col("token"))))
+      .select(col("rank"), col("token"), col("cnt"),
+        (col("cnt").cast("double") / col("total")).as("share"))
+      .orderBy("rank")
+  }
+
+  val vocabSql: String =
+    s"""WITH c AS (
+       | SELECT token, COUNT(*) AS cnt
+       | FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents)
+       | WHERE length(token) > 0
+       | GROUP BY token),
+       |tot AS (SELECT CAST(SUM(cnt) AS BIGINT) AS total FROM c)
+       |SELECT rank, token, cnt, share FROM (
+       | SELECT ROW_NUMBER() OVER (ORDER BY cnt DESC, token) AS rank,
+       |  token, cnt, CAST(cnt AS DOUBLE) / (SELECT total FROM tot) AS share
+       | FROM c)
+       |WHERE rank <= $VocabSize
+       |ORDER BY rank""".stripMargin
+
   /** Deterministic train/val/test split by content hash — the standard
     * leakage-safe split for training corpora: the assignment depends only
     * on the document identity (md5 prefix), not on partitioning, order,

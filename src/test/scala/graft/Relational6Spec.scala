@@ -1,0 +1,143 @@
+package graft
+
+import graft.operators.{Curation, Relational6, TextRank}
+import org.apache.spark.sql.functions._
+
+class Relational6Spec extends SparkSpec {
+  import spark.implicits._
+
+  test("change detection classifies adds/removes/changes with column labels") {
+    val rows = Relational6.changeDetection(sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val key = r.getLong(0); val status = r.getString(1); val cols = r.getString(2)
+      status match {
+        case "added"   => assert(key % 17 == 0 && key % 13 != 0 && cols == "")
+        case "removed" => assert(key % 13 == 0 && key % 17 != 0 && cols == "")
+        case "changed" =>
+          assert(key % 7 == 0 || key % 11 == 0)
+          assert(cols.nonEmpty)
+          if (key % 7 == 0) assert(cols.contains("balance"))
+          if (key % 11 == 0) assert(cols.contains("segment"))
+        case other => fail(s"unexpected status $other")
+      }
+    }
+    // every class is exercised by the planted mutations
+    Seq("added", "removed", "changed").foreach { s =>
+      assert(rows.exists(_.getString(1) == s), s"no $s rows")
+    }
+    // changed rows with a balance bump carry old/new decimals 100 apart
+    rows.filter(r => r.getString(1) == "changed" && r.getLong(0) % 7 == 0)
+      .foreach(r => assert(math.abs(r.getDouble(4) - r.getDouble(3) - 100.0) < 1e-9))
+  }
+
+  test("sliding distinct equals a per-day brute-force distinct count") {
+    val out = Relational6.slidingDistinct(sf).collect()
+      .map(r => r.getDate(0).toString -> r.getLong(1)).toMap
+    val ud = sf.events
+      .select(col("user_id"), to_date(col("ts")).as("d")).distinct()
+      .collect().map(r => (r.getLong(0), r.getDate(1).toLocalDate))
+    val days = ud.map(_._2).distinct
+    assert(out.size == days.size)
+    days.foreach { d =>
+      val expect = ud.filter { case (_, ed) =>
+        !ed.isAfter(d) && !ed.isBefore(d.minusDays(6))
+      }.map(_._1).distinct.size
+      assert(out(d.toString) == expect, s"day $d")
+    }
+  }
+
+  test("sliding distinct plan has no range self-join (linear expansion)") {
+    val plan = Relational6.slidingDistinct(sf).queryExecution.executedPlan.toString
+    assert(!plan.contains("NestedLoop") && !plan.contains("CartesianProduct"), plan)
+  }
+
+  test("mad is robust: zero for constant groups, matches brute force") {
+    val rows = Relational6.mad(sf).collect()
+    assert(rows.length == 5) // one per priority
+    val vals = sf.orders
+      .select(col("o_orderpriority"),
+        (col("o_totalprice").cast("decimal(12,2)") * 100).cast("long"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).sorted).toMap
+    def median(xs: Seq[Long]): Double = {
+      val n = xs.length
+      if (n % 2 == 1) xs(n / 2).toDouble
+      else xs(n / 2 - 1) + (xs(n / 2) - xs(n / 2 - 1)) * 0.5
+    }
+    rows.foreach { r =>
+      val vs = vals(r.getString(0))
+      val med = median(vs)
+      assert(r.getLong(1) == vs.length)
+      assert(r.getDouble(2) == med / 100.0)
+      val devs = vs.map(v => math.abs(v - med)).sorted
+      val madBrute =
+        if (devs.length % 2 == 1) devs(devs.length / 2)
+        else devs(devs.length / 2 - 1) + (devs(devs.length / 2) - devs(devs.length / 2 - 1)) * 0.5
+      assert(r.getDouble(3) == madBrute / 100.0)
+    }
+  }
+
+  test("event regex counts non-overlapping v+c+p runs") {
+    val rows = Relational6.eventRegex(sf).collect()
+    assert(rows.nonEmpty)
+    // every reported user's rebuilt sequence really contains the pattern
+    val seqs = sf.events
+      .groupBy("user_id")
+      .agg(array_join(transform(
+        sort_array(collect_list(struct(col("ts"), col("event_id"),
+          substring(col("event_type"), 1, 1).as("c")))),
+        e => e.getField("c")), "").as("seq"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    rows.foreach { r =>
+      val m = "v+c+p".r.findAllMatchIn(seqs(r.getLong(0))).size
+      assert(r.getLong(2) == m && m > 0)
+    }
+  }
+
+  test("bloom pre-filtered join equals the plain join") {
+    val viaBloom = Relational6.bloomSemiFilter(sf)
+    val urgent = sf.orders.where(col("o_orderpriority") === "1-URGENT")
+      .select(col("o_orderkey"), col("o_orderdate"))
+    val plain = sf.lineitem
+      .join(urgent, col("l_orderkey") === col("o_orderkey"))
+      .groupBy(date_trunc("month", col("o_orderdate")).cast("date").as("month"))
+      .agg(count(lit(1)).as("n_lines"),
+        sum(graft.functions.Exact.discPrice(col("l_extendedprice"), col("l_discount")))
+          .cast("double").as("revenue"))
+    assert(viaBloom.except(plain).isEmpty && plain.except(viaBloom).isEmpty)
+  }
+
+  test("vocab ranks by frequency with full coverage bookkeeping") {
+    val rows = TextRank.vocab(sf).collect()
+    assert(rows.nonEmpty && rows.length <= 200)
+    // ranks are 1..n and counts non-increasing
+    rows.zipWithIndex.foreach { case (r, i) => assert(r.getInt(0) == i + 1) }
+    val cnts = rows.map(_.getLong(2))
+    assert(cnts.zip(cnts.tail).forall { case (a, b) => a >= b })
+    // shares are cnt/total of the WHOLE corpus (not just top-k)
+    val total = sf.documents
+      .select(explode(split(col("text"), " ")).as("t"))
+      .where(length(col("t")) > 0).count()
+    rows.foreach(r => assert(r.getDouble(3) == r.getLong(2).toDouble / total))
+  }
+
+  test("domain mix keeps every doc of under-target domains and thins the rest") {
+    val kept = Curation.domainMix(sf).collect()
+    assert(kept.nonEmpty)
+    val perSource = sf.documents.groupBy("source").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val total = perSource.values.sum
+    val weights = Curation.MixWeights.toMap
+    val keptBySource = kept.groupBy(_.getString(1)).view.mapValues(_.length).toMap
+    perSource.foreach { case (s, n) =>
+      val frac = math.min(1.0, 0.5 * total * weights(s) / n)
+      val k = keptBySource.getOrElse(s, 0)
+      if (frac >= 1.0) assert(k == n, s"$s should keep everything")
+      else assert(math.abs(k.toDouble / n - frac) < 0.15, s"$s kept $k of $n, want ~$frac")
+    }
+    // deterministic rerun
+    val again = Curation.domainMix(sf).collect()
+    assert(kept.map(_.toString).sameElements(again.map(_.toString)))
+  }
+}
