@@ -143,7 +143,7 @@ object Curation {
   /** Target domain weights over the 20 sources (sum to 1): half the
     * budget on src0–4, 30% on src5–9, the tail split over src10–19.
     */
-  private[operators] val MixWeights: Seq[(String, Double)] =
+  private[graft] val MixWeights: Seq[(String, Double)] =
     (0 to 4).map(i => s"src$i" -> 0.10) ++
       (5 to 9).map(i => s"src$i" -> 0.06) ++
       (10 to 19).map(i => s"src$i" -> 0.02)

@@ -137,22 +137,31 @@ object Similarity {
     * cosine rerank. Every arithmetic step pairs bit-identically with the
     * Spark side (list_dot_product ≡ DotProduct, decimal sums exact).
     */
+  /** DuckDB CTE builders for the k-means replay — shared by the IVF and
+    * [[kmeansClusters]] oracles. `assignSql` keeps the ordering distance
+    * `d = c·c − 2v·c` so consumers can surface full squared distances.
+    */
+  private def assignSql(from: String, cents: String): String =
+    s"""SELECT vec_id, v, cell, d FROM (
+       | SELECT $from.vec_id, $from.v, $cents.cell,
+       |  list_dot_product($cents.c, $cents.c)
+       |    - 2 * list_dot_product($from.v, $cents.c) AS d,
+       |  ROW_NUMBER() OVER (PARTITION BY $from.vec_id
+       |   ORDER BY list_dot_product($cents.c, $cents.c)
+       |     - 2 * list_dot_product($from.v, $cents.c), $cents.cell) AS rk
+       | FROM $from CROSS JOIN $cents) WHERE rk = 1""".stripMargin
+  private def meansSql(from: String): String =
+    s"""SELECT cell, list(m ORDER BY pos) AS c FROM (
+       | SELECT cell, pos,
+       |  CAST(CAST(CAST(SUM(CAST(x AS DECIMAL(38,30))) AS DOUBLE) / COUNT(*)
+       |    AS DECIMAL(24,12)) AS DOUBLE) AS m
+       | FROM (SELECT cell, unnest(range(len(v))) AS pos, unnest(v) AS x FROM $from)
+       | GROUP BY cell, pos)
+       |GROUP BY cell""".stripMargin
+
   val ivfTopKSql: String = {
-    def assign(from: String, cents: String): String =
-      s"""SELECT vec_id, v, cell FROM (
-         | SELECT $from.vec_id, $from.v, $cents.cell,
-         |  ROW_NUMBER() OVER (PARTITION BY $from.vec_id
-         |   ORDER BY list_dot_product($cents.c, $cents.c)
-         |     - 2 * list_dot_product($from.v, $cents.c), $cents.cell) AS rk
-         | FROM $from CROSS JOIN $cents) WHERE rk = 1""".stripMargin
-    def means(from: String): String =
-      s"""SELECT cell, list(m ORDER BY pos) AS c FROM (
-         | SELECT cell, pos,
-         |  CAST(CAST(CAST(SUM(CAST(x AS DECIMAL(38,30))) AS DOUBLE) / COUNT(*)
-         |    AS DECIMAL(24,12)) AS DOUBLE) AS m
-         | FROM (SELECT cell, unnest(range(len(v))) AS pos, unnest(v) AS x FROM $from)
-         | GROUP BY cell, pos)
-         |GROUP BY cell""".stripMargin
+    def assign(from: String, cents: String): String = assignSql(from, cents)
+    def means(from: String): String = meansSql(from)
     s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
        |c0 AS (SELECT CAST(vec_id AS INT) AS cell, v AS c FROM e WHERE vec_id < $NumCells),
        |a1 AS (${assign("e", "c0")}),
@@ -182,21 +191,35 @@ object Similarity {
     * The collect() here pulls only the k×dim centroid model (16×64
     * doubles) to the driver — bounded state, independent of corpus size.
     */
-  def ivfTopK(t: Tables): DataFrame = {
-    val vecs = vectors(t).cache()
-    // Nearest cell by squared distance expanded as ‖v−c‖² = v·v − 2v·c + c·c:
-    // v·v is constant per row so the argmin only needs c·c − 2v·c, with c·c
-    // precomputed driver-side and v·c the codegen'd DotProduct — no
-    // interpreted HOF lambdas anywhere in the per-row hot path.
-    def assign(cents: Seq[(Int, Seq[Double])]): DataFrame = {
-      val scored = cents.map { case (id, c) =>
-        val cc = c.map(x => x * x).sum
-        struct(
-          (lit(cc) - lit(2.0) * graft.functions.DotProduct(col("v"), typedLit(c))).as("d"),
-          lit(id).as("cell"))
-      }
-      vecs.withColumn("cell", array_min(array(scored: _*)).getField("cell"))
+  // Nearest cell by squared distance expanded as ‖v−c‖² = v·v − 2v·c + c·c:
+  // v·v is constant per row so the argmin only needs d = c·c − 2v·c, with
+  // c·c precomputed driver-side and v·c the codegen'd DotProduct — no
+  // interpreted HOF lambdas anywhere in the per-row hot path. Keeps both
+  // the chosen cell and its d (for full-distance consumers).
+  private def assignCells(vecs: DataFrame,
+                          cents: Seq[(Int, Seq[Double])]): DataFrame = {
+    val scored = cents.map { case (id, c) =>
+      val cc = c.map(x => x * x).sum
+      struct(
+        (lit(cc) - lit(2.0) * graft.functions.DotProduct(col("v"), typedLit(c))).as("d"),
+        lit(id).as("cell"))
     }
+    vecs
+      .withColumn("_best", array_min(array(scored: _*)))
+      .withColumn("cell", col("_best.cell"))
+      .withColumn("d", col("_best.d"))
+      .drop("_best")
+  }
+
+  /** Lloyd k-means over the cached vector frame: deterministic init (the
+    * first [[NumCells]] vec_ids), [[Iters]] assignment/mean rounds.
+    * Returns (final centroids, init centroids). Centroid means use the
+    * portable scale-30 decimal recipe — order-independent AND
+    * engine-portable by construction, so the oracle recomputes the exact
+    * same centroid doubles and knife-edge argmins cannot diverge.
+    */
+  private def trainKmeans(vecs: DataFrame)
+      : (Seq[(Int, Seq[Double])], Seq[(Int, Seq[Double])]) = {
     val init: Seq[(Int, Seq[Double])] = vecs
       .where(col("vec_id") < NumCells)
       .orderBy("vec_id")
@@ -205,15 +228,9 @@ object Similarity {
       .toSeq
     var cents = init
     for (_ <- 0 until Iters) {
-      val assigned = assign(cents)
-      cents = assigned
+      cents = assignCells(vecs, cents)
         .select(col("cell"), posexplode(col("v")).as(Seq("pos", "x")))
         .groupBy("cell", "pos")
-        // scale-30 decimal sum + final 12-decimal rounding: order-
-        // independent AND engine-portable BY CONSTRUCTION (the same
-        // recipe as Embeddings.centroids) — the oracle recomputes the
-        // exact same centroid doubles, so knife-edge argmin assignments
-        // cannot diverge between engines
         .agg(graft.functions.Exact.portableMean(col("x")).as("m"))
         .groupBy("cell")
         .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("pm"))
@@ -223,6 +240,14 @@ object Similarity {
         .toSeq
         .sortBy(_._1)
     }
+    (cents, init)
+  }
+
+  def ivfTopK(t: Tables): DataFrame = {
+    val vecs = vectors(t).cache()
+    val (cents, init) = trainKmeans(vecs)
+    def assign(cs: Seq[(Int, Seq[Double])]): DataFrame =
+      assignCells(vecs, cs).drop("d")
     // the query vector usually rode along in the init collect (vec 0 is
     // among the first NumCells ids); only an id-gapped corpus pays an
     // extra bounded fetch. No separate cache of the assignment — the
@@ -249,4 +274,44 @@ object Similarity {
       .orderBy(col("cosine").desc, col("vec_id"))
       .limit(10)
   }
+
+  /** Corpus k-means clustering as a first-class operator — the "cluster
+    * the embedding space" step of curation (topic balancing, diversity
+    * sampling, per-cluster quotas). Same deterministic Lloyd training as
+    * IVF; output is every vector's final cell, its exact squared distance
+    * to the centroid (d + v·v with the shared fold orders), and the
+    * cluster size (one tiny per-cell aggregation broadcast back). The
+    * centroid model is bounded driver state (k×dim doubles); assignment
+    * is one narrow codegen'd pass over the corpus.
+    */
+  def kmeansClusters(t: Tables): DataFrame = {
+    val vecs = vectors(t).cache()
+    val (cents, _) = trainKmeans(vecs)
+    val assigned = assignCells(vecs, cents)
+      .select(col("vec_id"), col("cell"),
+        (col("d") + graft.functions.DotProduct(col("v"), col("v"))).as("dist2"))
+    val sizes = assigned.groupBy("cell").agg(count(lit(1)).as("cluster_size"))
+    assigned.join(broadcast(sizes), Seq("cell"))
+      .select("vec_id", "cell", "dist2", "cluster_size")
+      .orderBy("vec_id")
+  }
+
+  /** Oracle: the full 2-round Lloyd replay (same CTEs as the IVF oracle)
+    * with the final assignment's d surfaced and v·v added back — every
+    * arithmetic step pairs bit-identically with the Spark side.
+    */
+  val kmeansClustersSql: String =
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |c0 AS (SELECT CAST(vec_id AS INT) AS cell, v AS c FROM e WHERE vec_id < $NumCells),
+       |a1 AS (${assignSql("e", "c0")}),
+       |c1 AS (${meansSql("a1")}),
+       |a2 AS (${assignSql("e", "c1")}),
+       |c2 AS (${meansSql("a2")}),
+       |a3 AS (${assignSql("e", "c2")}),
+       |sizes AS (SELECT cell, COUNT(*) AS cluster_size FROM a3 GROUP BY cell)
+       |SELECT a3.vec_id, a3.cell,
+       | a3.d + list_dot_product(a3.v, a3.v) AS dist2,
+       | sizes.cluster_size
+       |FROM a3 JOIN sizes USING (cell)
+       |ORDER BY a3.vec_id""".stripMargin
 }

@@ -89,6 +89,51 @@ object TextRank {
        |WHERE rank <= $VocabSize
        |ORDER BY rank""".stripMargin
 
+  /** Corpus-LM familiarity scoring — the "perplexity-ish" quality signal
+    * of a curation pipeline, computed from the corpus's own bigram
+    * statistics instead of an external model: each bigram occurrence
+    * (w1,w2) contributes `count(w1,w2)·10⁶ div count(w1)` (a scaled
+    * integer P(w2|w1)) and a document scores the integer mean over its
+    * bigrams. In-distribution text scores high; shuffled/rare text scores
+    * low. All-integer math keeps it order-independent and bit-portable —
+    * a true log-perplexity would hit libm divergence across engines.
+    * Shape at scale: two count aggregations + two co-partitioned
+    * equi-joins on the gram keys — linear, no pair space.
+    */
+  def lmScore(t: Tables): DataFrame = {
+    val docs = t.documents.select(col("doc_id"), split(col("text"), " ").as("ws"))
+    val uni = docs.select(explode(col("ws")).as("w1"))
+      .groupBy("w1").agg(count(lit(1)).as("uc"))
+    val bg = docs.select(col("doc_id"), explode(
+        when(size(col("ws")) >= 2,
+          expr("transform(sequence(0, size(ws) - 2), i -> struct(ws[i] AS w1, ws[i+1] AS w2))"))
+          .otherwise(expr("array()"))).as("b"))
+      .select(col("doc_id"), col("b.w1").as("w1"), col("b.w2").as("w2"))
+    val bc = bg.groupBy("w1", "w2").agg(count(lit(1)).as("bc"))
+    bg.join(bc, Seq("w1", "w2"))
+      .join(uni, Seq("w1"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"),
+        sum(expr("(bc * 1000000L) div uc")).as("fam_sum"))
+      .select(col("doc_id"), col("n_bigrams"),
+        expr("fam_sum div n_bigrams").cast("long").as("lm_score"))
+      .orderBy("doc_id")
+  }
+
+  val lmScoreSql: String =
+    """WITH d AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+      |bg AS (
+      | SELECT doc_id, ws[i] AS w1, ws[i + 1] AS w2
+      | FROM (SELECT doc_id, ws, unnest(range(1, len(ws))) AS i FROM d)),
+      |bc AS (SELECT w1, w2, COUNT(*) AS bc FROM bg GROUP BY w1, w2),
+      |uc AS (SELECT w1, COUNT(*) AS uc
+      |       FROM (SELECT unnest(ws) AS w1 FROM d) GROUP BY w1)
+      |SELECT bg.doc_id, COUNT(*) AS n_bigrams,
+      | CAST(SUM((bc.bc * 1000000) // uc.uc) // COUNT(*) AS BIGINT) AS lm_score
+      |FROM bg JOIN bc USING (w1, w2) JOIN uc USING (w1)
+      |GROUP BY bg.doc_id
+      |ORDER BY doc_id""".stripMargin
+
   /** Deterministic train/val/test split by content hash — the standard
     * leakage-safe split for training corpora: the assignment depends only
     * on the document identity (md5 prefix), not on partitioning, order,

@@ -199,4 +199,19 @@ class DedupSpec extends SparkSpec {
     val scores = rows.map(_.getDouble(1))
     assert(scores.zip(scores.tail).forall { case (x, y) => x >= y })
   }
+
+  test("kmeans clusters every vector with consistent sizes and nearest-cell distances") {
+    val rows = Similarity.kmeansClusters(sf).collect()
+    assert(rows.length == sf.embeddings.count())
+    // cluster_size bookkeeping is self-consistent
+    val byCell = rows.groupBy(_.getInt(1))
+    rows.foreach(r => assert(r.getLong(3) == byCell(r.getInt(1)).length))
+    // squared distances are non-negative (up to fp slack) and the
+    // assignment is deterministic across runs
+    rows.foreach(r => assert(r.getDouble(2) > -1e-9))
+    val again = Similarity.kmeansClusters(sf).collect()
+    assert(rows.map(_.toString).sameElements(again.map(_.toString)))
+    // more than one cluster is actually populated
+    assert(byCell.size > 1)
+  }
 }

@@ -122,6 +122,21 @@ class Relational6Spec extends SparkSpec {
     rows.foreach(r => assert(r.getDouble(3) == r.getLong(2).toDouble / total))
   }
 
+  test("lm score is a bounded integer mean of scaled bigram probabilities") {
+    val rows = TextRank.lmScore(sf).collect()
+    // every doc with >= 2 tokens scores; bigram contribution bc/uc <= 1
+    val eligible = sf.documents
+      .where(size(split(col("text"), " ")) >= 2).count()
+    assert(rows.length == eligible)
+    rows.foreach { r =>
+      assert(r.getLong(1) >= 1)
+      assert(r.getLong(2) >= 0 && r.getLong(2) <= 1000000L)
+    }
+    // a shuffled-vocabulary corpus can't all score at the ceiling:
+    // scores must actually discriminate
+    assert(rows.map(_.getLong(2)).distinct.length > 1)
+  }
+
   test("domain mix keeps every doc of under-target domains and thins the rest") {
     val kept = Curation.domainMix(sf).collect()
     assert(kept.nonEmpty)
