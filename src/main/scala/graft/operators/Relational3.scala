@@ -214,21 +214,92 @@ object Relational3 {
       |WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC, c_custkey)
       |ORDER BY c_mktsegment, rnk""".stripMargin
 
-  /** Sketch aggregates for the 100 TB path: HyperLogLog distinct counts
-    * and quantile sketches — constant memory per group where the exact
-    * versions need the full key set. Rows-only (sketch internals are
-    * implementation-defined), sanity-bounded in specs.
+  /** Sketch aggregates for the 100 TB path: a KMV (k-minimum-values)
+    * distinct sketch and a deterministic bottom-k-by-hash quantile sample
+    * — constant memory per group where the exact versions need the full
+    * key set ([[graft.functions.KmvQuantile]], a typed Aggregator:
+    * ≤ k + s entries per partial). Unlike HLL / approx_percentile, every
+    * step is portable integer math over the 15-hex-md5 hash, so the
+    * DuckDB oracle replays the sketch verbatim and the result is
+    * hash-exact — approximate in statistics, deterministic in value.
+    * Exact countDistinct rides alongside as the accuracy yardstick.
     */
-  def sketchAggs(t: Tables): DataFrame =
+  def sketchAggs(t: Tables): DataFrame = {
+    val h = (c: org.apache.spark.sql.Column) =>
+      conv(substring(md5(c.cast("string")), 1, 15), 16, 10).cast("long")
+    val sketch = udaf(
+      new graft.functions.KmvQuantile(SketchK, SketchS),
+      org.apache.spark.sql.Encoders.product[graft.functions.SketchIn])
     t.orders
       .groupBy("o_orderpriority")
       .agg(
-        approx_count_distinct(col("o_custkey"), 0.02).as("approx_customers"),
+        count(lit(1)).as("n"),
         countDistinct(col("o_custkey")).as("exact_customers"),
-        to_json(expr("approx_percentile(o_totalprice, array(0.5, 0.9), 1000)"))
-          .as("price_quantiles"),
-        count(lit(1)).as("n"))
+        sketch(
+          h(col("o_custkey")),
+          h(col("o_orderkey")),
+          (dec(col("o_totalprice")) * 100).cast("long")).as("sk"))
+      .select(col("o_orderpriority"), col("n"), col("exact_customers"),
+        col("sk.kmv_customers").as("kmv_customers"),
+        col("sk.p50_price").as("p50_price"),
+        col("sk.p90_price").as("p90_price"))
       .orderBy("o_orderpriority")
+  }
+
+  private val SketchK = 256
+  private val SketchS = 256
+
+  /** Oracle: replay the KMV estimate and the sampled interpolation with
+    * window functions — rank the distinct key hashes, keep the k
+    * smallest, HUGEINT-divide; rank rows by (rowHash, cents), keep the s
+    * smallest, interpolate p50/p90 in tenths-of-cents integers.
+    */
+  val sketchAggsSql: String =
+    s"""WITH x AS (
+      | SELECT o_orderpriority,
+      |  CAST('0x' || substr(md5(CAST(o_custkey AS VARCHAR)), 1, 15) AS BIGINT) AS ch,
+      |  CAST('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 15) AS BIGINT) AS oh,
+      |  CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT) AS cents
+      | FROM orders),
+      |kr AS (
+      | SELECT o_orderpriority, ch,
+      |  ROW_NUMBER() OVER (PARTITION BY o_orderpriority ORDER BY ch) AS rn
+      | FROM (SELECT DISTINCT o_orderpriority, ch FROM x)),
+      |kmv AS (
+      | SELECT o_orderpriority, COUNT(*) AS kn, MAX(ch) AS hk
+      | FROM kr WHERE rn <= $SketchK GROUP BY 1),
+      |sr AS (
+      | SELECT o_orderpriority, cents,
+      |  ROW_NUMBER() OVER (PARTITION BY o_orderpriority ORDER BY oh, cents) AS rn
+      | FROM x),
+      |ss AS (
+      | SELECT o_orderpriority, cents,
+      |  ROW_NUMBER() OVER (PARTITION BY o_orderpriority ORDER BY cents) - 1 AS i,
+      |  COUNT(*) OVER (PARTITION BY o_orderpriority) AS sn
+      | FROM sr WHERE rn <= $SketchS),
+      |q AS (
+      | SELECT o_orderpriority,
+      |  SUM(CASE WHEN i = ((sn-1)*5)//10 THEN cents*(10-((sn-1)*5)%10)
+      |           WHEN i = ((sn-1)*5)//10 + 1 THEN cents*(((sn-1)*5)%10)
+      |           ELSE 0 END) AS p50c10,
+      |  SUM(CASE WHEN i = ((sn-1)*9)//10 THEN cents*(10-((sn-1)*9)%10)
+      |           WHEN i = ((sn-1)*9)//10 + 1 THEN cents*(((sn-1)*9)%10)
+      |           ELSE 0 END) AS p90c10
+      | FROM ss GROUP BY 1),
+      |ex AS (
+      | SELECT o_orderpriority, COUNT(*) AS n,
+      |  COUNT(DISTINCT o_custkey) AS exact_customers
+      | FROM orders GROUP BY 1)
+      |SELECT e.o_orderpriority, e.n, e.exact_customers,
+      | CASE WHEN k.kn < $SketchK THEN k.kn
+      |      ELSE CAST((${SketchK - 1}::HUGEINT * 1152921504606846976::HUGEINT) // k.hk AS BIGINT)
+      | END AS kmv_customers,
+      | CAST(q.p50c10 AS DOUBLE) / 1000.0 AS p50_price,
+      | CAST(q.p90c10 AS DOUBLE) / 1000.0 AS p90_price
+      |FROM ex e
+      |JOIN kmv k USING (o_orderpriority)
+      |JOIN q USING (o_orderpriority)
+      |ORDER BY o_orderpriority""".stripMargin
 
   val rangeFrameSql: String =
     """SELECT o_custkey, o_orderkey, o_orderdate,

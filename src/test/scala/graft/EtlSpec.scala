@@ -84,12 +84,17 @@ class EtlSpec extends SparkSpec {
   }
 
   test("sketch aggregates stay within the configured error of exact counts") {
-    val rows = graft.operators.Relational3.sketchAggs(sf).collect()
+    val df = graft.operators.Relational3.sketchAggs(sf)
+    val rows = df.collect()
+    assert(rows.nonEmpty)
     rows.foreach { r =>
-      val approx = r.getLong(1).toDouble
-      val exact  = r.getLong(2).toDouble
-      assert(math.abs(approx - exact) / exact < 0.1, s"approx $approx vs exact $exact")
-      assert(r.getString(3).stripPrefix("[").stripSuffix("]").split(",").length == 2)
+      val exact = r.getAs[Long]("exact_customers").toDouble
+      val kmv   = r.getAs[Long]("kmv_customers").toDouble
+      // KMV with k=256 has ~1/sqrt(k-2) ≈ 6.3% stderr; allow 3 sigma
+      assert(math.abs(kmv - exact) / exact < 0.2, s"kmv $kmv vs exact $exact")
+      val p50 = r.getAs[Double]("p50_price")
+      val p90 = r.getAs[Double]("p90_price")
+      assert(p50 > 0 && p90 >= p50, s"p50 $p50 p90 $p90")
     }
   }
 
