@@ -168,14 +168,23 @@ object Relational4 {
   /** Q17-style small-quantity revenue: lineitems below 20% of their
     * part's average quantity — a correlated aggregate, decorrelated into
     * a broadcast join against the per-part averages.
+    *
+    * Scale note: only Brand#1 parts (~4% of `part`) can survive the
+    * final join, and the average is PER PART — computed from that part's
+    * own rows only — so lineitem is broadcast-semi-joined to the
+    * qualifying part keys BEFORE the per-part aggregation. The groupBy
+    * then shuffles ~1/25 of the fact table instead of all of it, and the
+    * same pruned scan feeds both the aggregate and the probe side.
     */
   def smallQtyRevenue(t: Tables): DataFrame = {
-    val partAvg = t.lineitem
+    val brandParts = t.part.where(col("p_brand") === "Brand#1")
+    val pruned = t.lineitem
+      .join(broadcast(brandParts.select("p_partkey")),
+        col("l_partkey") === col("p_partkey"), "left_semi")
+    val partAvg = pruned
       .groupBy(col("l_partkey").as("pk"))
       .agg((sum(dec(col("l_quantity"))).cast("double") / count(lit(1))).as("avg_qty"))
-    t.lineitem
-      .join(broadcast(t.part.where(col("p_brand") === "Brand#1")),
-        col("l_partkey") === col("p_partkey"))
+    pruned
       .join(partAvg, col("l_partkey") === col("pk"))
       .where(col("l_quantity") < lit(0.2) * col("avg_qty"))
       .agg((sum(dec(col("l_extendedprice"))).cast("double") / 7.0).as("avg_yearly"),

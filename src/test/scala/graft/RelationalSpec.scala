@@ -65,4 +65,15 @@ class RelationalSpec extends SparkSpec {
     assert(grand.length == 1)
     assert(grand.head.getLong(3) == sf.lineitem.count())
   }
+
+  test("q17 prunes lineitem to qualifying part keys before the per-part aggregate") {
+    val plan = graft.operators.Relational4.smallQtyRevenue(sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("LeftSemi"), s"no semi-join pruning in plan:\n$plan")
+    // the semi join must sit BELOW the per-part average (appear after it in
+    // the top-down plan print) — i.e. the aggregate consumes pruned input
+    val aggIdx = plan.indexOf("avg_qty")
+    assert(aggIdx >= 0 && plan.indexOf("LeftSemi", aggIdx) >= 0,
+      s"per-part aggregate is not fed by the semi-joined scan:\n$plan")
+  }
 }
