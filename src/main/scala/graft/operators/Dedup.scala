@@ -398,17 +398,13 @@ object Dedup {
   private[graft] def propagateLabels(
       nodes: DataFrame, pairs: DataFrame, maxRounds: Int = 20,
       driverEdgeLimit: Long = 1000000L): DataFrame = {
-    // both edge directions in ONE pass over the (possibly expensive) pair
-    // source — a union of two selects would compute `pairs` twice while
-    // materializing the cache
-    val edges = pairs
-      .select(explode(array(
-        struct(col("a_id").as("x"), col("b_id").as("y")),
-        struct(col("b_id").as("x"), col("a_id").as("y")))).as("e"))
-      .select(col("e.x").as("x"), col("e.y").as("y"))
-      .cache()
-    val edgeCount = edges.count() // also materializes the cache
-    if (edgeCount <= driverEdgeLimit) {
+    // cache the UNDOUBLED pair list (the pair source is the expensive
+    // part); ONE limit(N+1).collect() both decides the path and delivers
+    // the edges for the driver path — the count()-then-collect() pair it
+    // replaces materialized the cache twice and serialized two job waves
+    val ep = pairs.select(col("a_id").as("x"), col("b_id").as("y")).cache()
+    val head = ep.limit(driverEdgeLimit.toInt + 1).collect()
+    if (head.length <= driverEdgeLimit) {
       val spark = nodes.sparkSession
       import spark.implicits._
       // union-find with path compression; roots keep the minimum id
@@ -420,16 +416,22 @@ object Dedup {
         while (parent.getOrElse(c, c) != c) { val n = parent(c); parent(c) = r; c = n }
         r
       }
-      edges.select("x", "y").as[(Long, Long)].collect().foreach { case (x, y) =>
-        val (rx, ry) = (find(x), find(y))
+      head.foreach { r =>
+        val (rx, ry) = (find(r.getLong(0)), find(r.getLong(1)))
         if (rx != ry) { if (rx < ry) parent(ry) = rx else parent(rx) = ry }
       }
       val labelDf = parent.keys.toSeq.map(k => (k, find(k))).toDF("id", "graph_lbl")
-      edges.unpersist(false)
+      ep.unpersist(false)
       return nodes.select(col("id"))
         .join(broadcast(labelDf), Seq("id"), "left")
         .select(col("id"), coalesce(col("graph_lbl"), col("id")).as("lbl"))
     }
+    // distributed path: double the cached pairs into both edge directions
+    val edges = ep
+      .select(explode(array(
+        struct(col("x"), col("y")),
+        struct(col("y").as("x"), col("x").as("y")))).as("e"))
+      .select(col("e.x").as("x"), col("e.y").as("y"))
     // propagate over the dup GRAPH only (nodes that appear in some edge)
     // — at scale the near-dup graph is orders of magnitude smaller than
     // the corpus, so rounds never touch the isolated majority
@@ -454,7 +456,7 @@ object Dedup {
       labels = step.select(col("id"), col("new_lbl").as("lbl"))
       round += 1
     }
-    edges.unpersist(false)
+    ep.unpersist(false)
     // isolated nodes label themselves; one broadcast-able join back
     nodes.select(col("id"))
       .join(labels.withColumnRenamed("lbl", "graph_lbl"), Seq("id"), "left")
