@@ -82,6 +82,7 @@ class KmvQuantile(k: Int, s: Int) extends Aggregator[SketchIn, SketchBuf, Sketch
     */
   private def quantile(sorted: Vector[Long], p10: Int): Double = {
     val n = sorted.length
+    if (n == 0) return Double.NaN // total over an empty relation
     val idx10 = (n - 1).toLong * p10
     val lo = (idx10 / 10).toInt
     val f = (idx10 % 10).toInt

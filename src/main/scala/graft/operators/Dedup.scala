@@ -398,13 +398,20 @@ object Dedup {
   private[graft] def propagateLabels(
       nodes: DataFrame, pairs: DataFrame, maxRounds: Int = 20,
       driverEdgeLimit: Long = 1000000L): DataFrame = {
+    // 0 is a valid limit (forces the distributed path); the upper bound
+    // keeps `limit(lim + 1)` inside Int without silent overflow
+    require(driverEdgeLimit >= 0 && driverEdgeLimit <= Int.MaxValue - 1,
+      s"driverEdgeLimit must fit an Int limit: $driverEdgeLimit")
     // cache the UNDOUBLED pair list (the pair source is the expensive
-    // part); ONE limit(N+1).collect() both decides the path and delivers
-    // the edges for the driver path — the count()-then-collect() pair it
-    // replaces materialized the cache twice and serialized two job waves
+    // part). A limit(N+1).count() probe decides the path WITHOUT shipping
+    // rows — an oversize graph never sends N edges to the driver just to
+    // discard them — and the small-path collect() then reads the already
+    // materialized cache. The limit threshold is on undoubled pairs, so
+    // the driver path engages up to driverEdgeLimit near-dup PAIRS.
+    val lim = driverEdgeLimit.toInt
     val ep = pairs.select(col("a_id").as("x"), col("b_id").as("y")).cache()
-    val head = ep.limit(driverEdgeLimit.toInt + 1).collect()
-    if (head.length <= driverEdgeLimit) {
+    if (ep.limit(lim + 1).count() <= lim) {
+      val head = ep.collect()
       val spark = nodes.sparkSession
       import spark.implicits._
       // union-find with path compression; roots keep the minimum id

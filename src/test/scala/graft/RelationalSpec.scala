@@ -67,13 +67,24 @@ class RelationalSpec extends SparkSpec {
   }
 
   test("q17 prunes lineitem to qualifying part keys before the per-part aggregate") {
+    import org.apache.spark.sql.catalyst.plans.LeftSemi
+    import org.apache.spark.sql.execution.aggregate.BaseAggregateExec
+    import org.apache.spark.sql.execution.joins.BroadcastHashJoinExec
+    // walk the pre-AQE physical tree: the aggregate NODE that produces
+    // avg_qty must have a LeftSemi broadcast join in its OWN subtree —
+    // a probe-side-only semi join would not satisfy this
     val plan = graft.operators.Relational4.smallQtyRevenue(sf)
-      .queryExecution.executedPlan.toString
-    assert(plan.contains("LeftSemi"), s"no semi-join pruning in plan:\n$plan")
-    // the semi join must sit BELOW the per-part average (appear after it in
-    // the top-down plan print) — i.e. the aggregate consumes pruned input
-    val aggIdx = plan.indexOf("avg_qty")
-    assert(aggIdx >= 0 && plan.indexOf("LeftSemi", aggIdx) >= 0,
-      s"per-part aggregate is not fed by the semi-joined scan:\n$plan")
+      .queryExecution.sparkPlan
+    val avgAggs = plan.collect {
+      case a: BaseAggregateExec if a.resultExpressions.exists(_.name == "avg_qty") => a
+    }
+    assert(avgAggs.nonEmpty, s"no aggregate producing avg_qty in plan:\n$plan")
+    avgAggs.foreach { a =>
+      val semi = a.collectFirst {
+        case j: BroadcastHashJoinExec if j.joinType == LeftSemi => j
+      }
+      assert(semi.nonEmpty,
+        s"per-part aggregate is not fed by a LeftSemi-pruned scan:\n$a")
+    }
   }
 }
