@@ -216,22 +216,35 @@ object Relational6 {
   /** Bloom-filter join pre-filtering — the runtime-filter pattern for
     * big-fact ⋈ selective-dim joins at scale: build a bloom filter over
     * the qualifying orders' keys (distributed aggregation, merged to
-    * bounded driver state: n·~10 bits), cut the fact table with the
+    * bounded driver state: one binary value), cut the fact table with the
     * might-contain test BEFORE its shuffle, then run the exact join.
-    * False positives (~1%) survive the pre-filter but are removed by the
-    * join itself, so the result is EXACTLY the plain join — which is what
-    * the oracle runs. The win at 100 TB: the fact shuffle carries ~the
+    * False positives survive the pre-filter but are removed by the join
+    * itself, so the result is EXACTLY the plain join — which is what the
+    * oracle runs. The win at 100 TB: the fact shuffle carries ~the
     * selectivity of the dim filter instead of the full table.
+    *
+    * Uses Catalyst's own `bloom_filter_agg` / `might_contain` pair
+    * (registered by [[graft.plans.GraftExtensions]]) — the same
+    * machinery Spark's runtime row-level filtering injects. The
+    * predicate is codegen'd; there is no Scala-UDF serialization
+    * boundary in the fact-scan hot path, and the filter is built in ONE
+    * aggregation job with a static capacity bound instead of a separate
+    * sizing `count()` pass (callers with cardinality stats should pass
+    * their own estimate; oversizing only costs bits, never correctness).
     */
   def bloomSemiFilter(t: Tables): DataFrame = {
     val urgent = t.orders.where(col("o_orderpriority") === "1-URGENT")
       .select(col("o_orderkey"), col("o_orderdate"))
-    val nKeys = math.max(urgent.count(), 1L)
-    val bf = urgent.stat.bloomFilter("o_orderkey", nKeys, 0.01)
-    val bcBf = t.lineitem.sparkSession.sparkContext.broadcast(bf)
-    val mightContain = udf((k: Long) => bcBf.value.mightContainLong(k))
-    t.lineitem
-      .where(mightContain(col("l_orderkey")))
+    // static upper bound on qualifying keys: 1M items / 8M bits (1 MB)
+    val bf = urgent.agg(
+      call_function("bloom_filter_agg", col("o_orderkey"),
+        lit(1000000L), lit(8000000L)).as("bf"))
+      .head().getAs[Array[Byte]]("bf")
+    // empty build side yields a null filter — nothing can match then
+    val pre =
+      if (bf == null) t.lineitem.where(lit(false))
+      else t.lineitem.where(call_function("might_contain", lit(bf), col("l_orderkey")))
+    pre
       .join(urgent, col("l_orderkey") === col("o_orderkey"))
       .groupBy(date_trunc("month", col("o_orderdate")).cast("date").as("month"))
       .agg(count(lit(1)).as("n_lines"),

@@ -268,11 +268,16 @@ object Similarity {
       .sortBy(p => (p._2, p._1))
       .take(NumProbes)
       .map(_._1)
-    assign(cents)
+    val out = assign(cents)
       .where(col("cell").isin(probeCells: _*) && col("vec_id") =!= 0)
       .select(col("vec_id"), cosine(col("v"), typedLit(qv)).as("cosine"), col("cell"))
       .orderBy(col("cosine").desc, col("vec_id"))
       .limit(10)
+    // the cache only serves the training iterations above; release it so
+    // library callers don't accumulate leaked storage (the final probe
+    // query re-reads the narrow source once)
+    vecs.unpersist(false)
+    out
   }
 
   /** Corpus k-means clustering as a first-class operator — the "cluster
@@ -291,9 +296,12 @@ object Similarity {
       .select(col("vec_id"), col("cell"),
         (col("d") + graft.functions.DotProduct(col("v"), col("v"))).as("dist2"))
     val sizes = assigned.groupBy("cell").agg(count(lit(1)).as("cluster_size"))
-    assigned.join(broadcast(sizes), Seq("cell"))
+    val out = assigned.join(broadcast(sizes), Seq("cell"))
       .select("vec_id", "cell", "dist2", "cluster_size")
       .orderBy("vec_id")
+    // training cache released — see ivfTopK
+    vecs.unpersist(false)
+    out
   }
 
   /** Oracle: the full 2-round Lloyd replay (same CTEs as the IVF oracle)

@@ -109,12 +109,19 @@ object TextRank {
           expr("transform(sequence(0, size(ws) - 2), i -> struct(ws[i] AS w1, ws[i+1] AS w2))"))
           .otherwise(expr("array()"))).as("b"))
       .select(col("doc_id"), col("b.w1").as("w1"), col("b.w2").as("w2"))
-    val bc = bg.groupBy("w1", "w2").agg(count(lit(1)).as("bc"))
-    bg.join(bc, Seq("w1", "w2"))
+    // pre-aggregate per-doc occurrences to (doc_id, w1, w2, dc) BEFORE
+    // joining the corpus count tables: a hot bigram ("of the") would
+    // otherwise put every one of its occurrences in one join partition.
+    // The join input shrinks by the per-doc repetition factor and skew is
+    // bounded by the number of DOCS containing the bigram, not tokens;
+    // each distinct bigram contributes its count-weighted score instead.
+    val bgc = bg.groupBy("doc_id", "w1", "w2").agg(count(lit(1)).as("dc"))
+    val bc = bgc.groupBy("w1", "w2").agg(sum(col("dc")).as("bc"))
+    bgc.join(bc, Seq("w1", "w2"))
       .join(uni, Seq("w1"))
       .groupBy("doc_id")
-      .agg(count(lit(1)).as("n_bigrams"),
-        sum(expr("(bc * 1000000L) div uc")).as("fam_sum"))
+      .agg(sum(col("dc")).as("n_bigrams"),
+        sum(expr("dc * ((bc * 1000000L) div uc)")).as("fam_sum"))
       .select(col("doc_id"), col("n_bigrams"),
         expr("fam_sum div n_bigrams").cast("long").as("lm_score"))
       .orderBy("doc_id")

@@ -4,9 +4,11 @@ import graft.functions.{DotProduct, RollingHash}
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{
-  ArrayAggregate, Expression, ExpressionInfo, LambdaFunction,
-  Literal, NamedLambdaVariable, ZipWith, Add => CAdd, Multiply => CMultiply
+  ArrayAggregate, BloomFilterMightContain, Expression, ExpressionInfo,
+  LambdaFunction, Literal, NamedLambdaVariable, ZipWith, Add => CAdd,
+  Multiply => CMultiply
 }
+import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
 import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.types.{ArrayType, DoubleType}
@@ -97,6 +99,25 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("rolling_hash"),
       new ExpressionInfo(classOf[RollingHash].getName, "rolling_hash"),
       (args: Seq[Expression]) => RollingHash(args.head)))
+    // Catalyst's internal bloom-filter pair (what Spark's own runtime
+    // row-level filtering injects), surfaced as SQL-callable functions:
+    // bloom_filter_agg(key[, est_items[, num_bits]]) builds the filter as
+    // one binary value; might_contain(filter, key) is a codegen'd
+    // predicate — no Scala-UDF serialization boundary in fact-table scans.
+    ext.injectFunction((
+      new FunctionIdentifier("bloom_filter_agg"),
+      new ExpressionInfo(classOf[BloomFilterAggregate].getName, "bloom_filter_agg"),
+      (args: Seq[Expression]) => args match {
+        case Seq(c)       => new BloomFilterAggregate(c)
+        case Seq(c, n)    => new BloomFilterAggregate(c, n)
+        case Seq(c, n, b) => new BloomFilterAggregate(c, n, b, 0, 0)
+        case _ => throw new IllegalArgumentException(
+          s"bloom_filter_agg expects 1-3 arguments, got ${args.length}")
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("might_contain"),
+      new ExpressionInfo(classOf[BloomFilterMightContain].getName, "might_contain"),
+      (args: Seq[Expression]) => BloomFilterMightContain(args(0), args(1))))
     ext.injectOptimizerRule(_ => DotProductRewrite)
     ext.injectPlannerStrategy(_ => TopKPerKeyStrategy)
   }

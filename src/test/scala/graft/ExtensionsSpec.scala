@@ -32,6 +32,23 @@ class ExtensionsSpec extends AnyFunSuite {
       .foldLeft(BigInt(0))((h, b) => (h * 257 + (b & 0xFF)) % ((BigInt(1) << 61) - 1)))
   }
 
+  test("bloom_filter_agg / might_contain are callable from SQL and agree exactly") {
+    val bf = spark.sql(
+      """SELECT bloom_filter_agg(CAST(k AS BIGINT), 100L, 8000L) AS bf
+        |FROM VALUES (1L), (2L), (500L) AS t(k)""".stripMargin)
+      .collect().head.getAs[Array[Byte]]("bf")
+    assert(bf != null && bf.nonEmpty)
+    spark.sql("SELECT CAST(id AS BIGINT) AS k FROM range(0, 1000)")
+      .createOrReplaceTempView("bloom_probe")
+    // no false negatives ever; with 8000 bits for 3 keys, no false
+    // positives in a 1000-key probe either (fpp ~ 1e-10)
+    val hits = spark.sql(
+      "SELECT k FROM bloom_probe WHERE might_contain(" +
+        s"X'${bf.map("%02X".format(_)).mkString}', k) ORDER BY k")
+      .collect().map(_.getLong(0)).toSeq
+    assert(hits == Seq(1L, 2L, 500L), hits)
+  }
+
   test("optimizer rewrites the HOF dot-product pattern to the native expression") {
     // parquet-backed input so constant folding can't collapse the plan
     spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")

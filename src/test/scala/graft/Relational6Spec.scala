@@ -108,6 +108,27 @@ class Relational6Spec extends SparkSpec {
     assert(viaBloom.except(plain).isEmpty && plain.except(viaBloom).isEmpty)
   }
 
+  test("bloom pre-filter is codegen-native: no Scala UDF in the fact scan") {
+    val plan = Relational6.bloomSemiFilter(sf).queryExecution.executedPlan.toString
+    assert(plan.contains("might_contain"), s"native bloom predicate missing:\n$plan")
+    assert(!plan.contains("ScalaUDF") && !plan.contains("BatchEvalPython"),
+      s"interpreted UDF in the hot path:\n$plan")
+  }
+
+  test("lm score weights repeated bigrams by their per-doc count") {
+    // repetition-heavy corpus, computed by hand: doc 1 = "a a a a" has
+    // bigram (a,a) x3; doc 2 = "a b" has (a,b) x1. Unigram counts over
+    // the corpus: a=5, b=1. Scores: doc1 = (3*10^6) div 5 = 600000 (each
+    // of the 3 occurrences contributes equally — the pre-aggregated join
+    // must weight by dc); doc2 = (1*10^6) div 5 = 200000.
+    val dir = java.nio.file.Files.createTempDirectory("graft-lm").toString
+    Seq((1L, "a a a a"), (2L, "a b")).toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val rows = TextRank.lmScore(Tables(spark, dir)).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(rows.toSeq == Seq((1L, 3L, 600000L), (2L, 1L, 200000L)), rows.toSeq)
+  }
+
   test("vocab ranks by frequency with full coverage bookkeeping") {
     val rows = TextRank.vocab(sf).collect()
     assert(rows.nonEmpty && rows.length <= 200)
