@@ -47,9 +47,16 @@ object Dedup {
     * is equi-joins + aggregations; the n² pair space is never shuffled.
     */
   /** (doc_id, pg): each doc's prefix grams under the df-ranked global
-    * order (ascending document frequency, ties by gram text), prefix
+    * order (ascending document frequency, ties by hashed gram), prefix
     * length `|G| − ⌈t·|G|⌉ + 1` — the shared sound-blocking front end of
-    * [[ngramJaccard]] and [[containment]]. `ex` columns: (doc_id, gram).
+    * [[ngramJaccard]] and [[containment]]. `ex` columns: (doc_id, gram)
+    * where `gram` is the 64-bit xxhash of the gram text ([[hashedExplode]]):
+    * the df-count, rank collect, and prefix equi-joins all shuffle 8-byte
+    * longs instead of ~30-byte strings. Soundness is unaffected — a hash
+    * collision only MERGES two set elements, which can never lower the
+    * pair's Jaccard/containment below the true-gram value, so every
+    * qualifying pair still shares a prefix key; the verify step scores
+    * candidates exactly afterwards.
     */
   private def dfRankedPrefix(ex: DataFrame, threshold: Double): DataFrame = {
     val gramDf = ex.groupBy("gram").agg(count(lit(1)).as("df"))
@@ -70,7 +77,7 @@ object Dedup {
     // (Verify/long-lived sessions release via catalog.clearCache between
     // queries — the cache lives exactly as long as its plan is useful.)
     val g = Shingles.gramsOf(t.documents).persist()
-    val ex = g.select(col("doc_id"), explode(col("grams")).as("gram"))
+    val ex = hashedExplode(g)
     val pref = dfRankedPrefix(ex, JaccardThreshold)
     // sound length filter: J ≥ t ⟹ min(|A|,|B|) ≥ t·max(|A|,|B|) —
     // prunes candidate pairs before the distinct + verify shuffles
@@ -99,9 +106,16 @@ object Dedup {
     * force. Verification divides the codegen'd merge-intersection count
     * by |A|.
     */
+  /** (doc_id, gram) posting rows with the gram text hashed to a 64-bit
+    * long — the narrow representation every blocking join runs on.
+    */
+  private def hashedExplode(g: DataFrame): DataFrame =
+    g.select(col("doc_id"), explode(col("grams")).as("gs"))
+      .select(col("doc_id"), xxhash64(col("gs")).as("gram"))
+
   def containment(t: Tables): DataFrame = {
     val g = Shingles.gramsOf(t.documents).persist()
-    val ex = g.select(col("doc_id"), explode(col("grams")).as("gram"))
+    val ex = hashedExplode(g)
     // sound length filter: C(A→B) ≥ t ⟹ |A∩B| ≥ t·|A| and |A∩B| ≤ |B|,
     // so |B| ≥ t·|A| — prune before the distinct + verify shuffles
     val bsz = g.select(col("doc_id").as("b_id"), size(col("grams")).as("b_sz"))
