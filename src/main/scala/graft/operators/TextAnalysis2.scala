@@ -1,0 +1,292 @@
+package graft.operators
+
+import graft.Tables
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Corpus-curation text operators, batch 2: exact substring-span dedup,
+  * rule-based quality gating, lexical-diversity stats, BM25 relevance,
+  * and an inverted-index build. Mirrors the curation steps a web-scale
+  * training-data pipeline runs after near-dup removal (cf. the
+  * reference's quality gates in src/etl/etl.py — this engine widens them
+  * to the standard public-corpus recipes).
+  *
+  * Scale shapes: everything is either a row-local projection or an
+  * explode → single-shuffle aggregation on 8-byte hashed keys; no
+  * all-pairs joins, no unbounded driver state.
+  */
+object TextAnalysis2 {
+
+  private def toks: Column = split(col("text"), " ")
+
+  private val SpanLen = 10
+
+  /** Exact duplicated-substring detection (the fingerprint flavor of
+    * suffix-array substring dedup): a doc's 10-token spans are hashed,
+    * and a span is DUPLICATED if the same 10-gram occurs in more than
+    * one document. Output per doc: span count, duplicated-span count,
+    * duplicated fraction — the signal used to strip boilerplate-heavy /
+    * copied documents (or clip the duplicated ranges).
+    *
+    * Spans cross the shuffle as xxhash64 longs, never strings; the
+    * per-gram doc count is one two-phase aggregation. A hash collision
+    * could only mark one extra span duplicated (never loses one); at
+    * 64 bits over a corpus-scale gram space that is ~0 and the DuckDB
+    * oracle (string grams) confirms zero at test scale.
+    */
+  def substringDedup(t: Tables): DataFrame = {
+    val spans = t.documents.select(
+      col("doc_id"),
+      expr(s"""CASE WHEN size(split(text, ' ')) >= $SpanLen
+              |THEN transform(sequence(1, size(split(text, ' ')) - ${SpanLen - 1}),
+              |  i -> xxhash64(concat_ws(' ', slice(split(text, ' '), i, $SpanLen))))
+              |ELSE CAST(array() AS ARRAY<BIGINT>) END""".stripMargin).as("spans"))
+    val ex = spans.select(col("doc_id"), explode(col("spans")).as("g"))
+    val gramDocs = ex.groupBy("g").agg(countDistinct(col("doc_id")).as("nd"))
+    val perDoc = ex.join(gramDocs, Seq("g"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_spans"),
+        sum(when(col("nd") > 1, 1L).otherwise(0L)).as("n_dup_spans"))
+    t.documents.select(col("doc_id"))
+      .join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_spans"), lit(0L)).as("n_spans"),
+        coalesce(col("n_dup_spans"), lit(0L)).as("n_dup_spans"),
+        when(coalesce(col("n_spans"), lit(0L)) === 0, lit(0.0))
+          .otherwise(col("n_dup_spans").cast("double") / col("n_spans"))
+          .as("dup_frac"))
+      .orderBy("doc_id")
+  }
+
+  val substringDedupSql: String =
+    s"""WITH s AS (
+       | SELECT doc_id,
+       |  CASE WHEN len(string_split(text, ' ')) >= $SpanLen
+       |  THEN list_transform(range(1, len(string_split(text, ' ')) - ${SpanLen - 2}),
+       |    i -> array_to_string(string_split(text, ' ')[i:i+${SpanLen - 1}], ' '))
+       |  ELSE [] END AS spans
+       | FROM documents),
+       |e AS (SELECT doc_id, unnest(spans) AS g FROM s),
+       |gd AS (SELECT g, COUNT(DISTINCT doc_id) AS nd FROM e GROUP BY g),
+       |p AS (
+       | SELECT e.doc_id, CAST(COUNT(*) AS BIGINT) AS n_spans,
+       |  CAST(SUM(CASE WHEN nd > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_spans
+       | FROM e JOIN gd USING (g) GROUP BY e.doc_id)
+       |SELECT d.doc_id,
+       | COALESCE(n_spans, 0) AS n_spans,
+       | COALESCE(n_dup_spans, 0) AS n_dup_spans,
+       | CASE WHEN COALESCE(n_spans, 0) = 0 THEN 0.0
+       |      ELSE CAST(n_dup_spans AS DOUBLE) / n_spans END AS dup_frac
+       |FROM documents d LEFT JOIN p USING (doc_id)
+       |ORDER BY doc_id""".stripMargin
+
+  private val GopherStopwords = Seq("the", "a", "of", "and", "to", "in", "is")
+
+  /** Gopher-style rule gate: the published heuristic battery (word-count
+    * window, mean-word-length window, minimum stopword evidence, lexical
+    * diversity, single-token dominance), each surfaced as its measured
+    * ratio plus a pass flag, and an overall keep decision. Thresholds
+    * are tuned to this corpus's distributions so every flag actually
+    * splits the data. Pure row-local projection — the 100 TB cost is one
+    * scan.
+    *
+    * The per-distinct-token count vector is computed in-row
+    * (`transform(array_distinct(w), x -> count of x)`) — O(distinct ×
+    * tokens) on ≤100-token docs beats an explode + per-(doc, token)
+    * shuffle by a full stage.
+    */
+  def gopherQuality(t: Tables): DataFrame = {
+    val sw = GopherStopwords.map(s => s"'$s'").mkString(", ")
+    t.documents
+      .withColumn("n_words", size(toks))
+      .withColumn("mean_word_len",
+        (length(col("text")) - (size(toks) - 1)).cast("double") / size(toks))
+      .withColumn("n_stop",
+        expr(s"size(filter(split(text, ' '), w -> w IN ($sw)))"))
+      .withColumn("distinct_frac",
+        size(array_distinct(toks)).cast("double") / size(toks))
+      .withColumn("top_word_frac",
+        expr("""CAST(array_max(transform(array_distinct(split(text, ' ')),
+               | w -> size(filter(split(text, ' '), x -> x = w)))) AS DOUBLE)""".stripMargin)
+          / size(toks))
+      .select(col("doc_id"), col("n_words"), col("mean_word_len"),
+        col("n_stop"), col("distinct_frac"), col("top_word_frac"),
+        (col("n_words") >= 30 && col("n_words") <= 100000).as("words_ok"),
+        (col("mean_word_len") >= 3.0 && col("mean_word_len") <= 10.0).as("word_len_ok"),
+        (col("n_stop") >= 2).as("stop_ok"),
+        (col("distinct_frac") >= 0.45).as("diversity_ok"),
+        (col("top_word_frac") <= 0.15).as("dominance_ok"))
+      .withColumn("keep",
+        col("words_ok") && col("word_len_ok") && col("stop_ok") &&
+          col("diversity_ok") && col("dominance_ok"))
+      .orderBy("doc_id")
+  }
+
+  val gopherQualitySql: String = {
+    val sw = GopherStopwords.map(s => s"'$s'").mkString(", ")
+    s"""WITH b AS (
+       | SELECT doc_id,
+       |  len(string_split(text, ' ')) AS n_words,
+       |  CAST(length(text) - (len(string_split(text, ' ')) - 1) AS DOUBLE)
+       |    / len(string_split(text, ' ')) AS mean_word_len,
+       |  len(list_filter(string_split(text, ' '), w -> w IN ($sw))) AS n_stop,
+       |  CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+       |    / len(string_split(text, ' ')) AS distinct_frac,
+       |  CAST(list_max(list_transform(list_distinct(string_split(text, ' ')),
+       |    w -> len(list_filter(string_split(text, ' '), x -> x = w)))) AS DOUBLE)
+       |    / len(string_split(text, ' ')) AS top_word_frac
+       | FROM documents)
+       |SELECT doc_id, CAST(n_words AS INT) AS n_words, mean_word_len,
+       | CAST(n_stop AS INT) AS n_stop, distinct_frac, top_word_frac,
+       | n_words >= 30 AND n_words <= 100000 AS words_ok,
+       | mean_word_len >= 3.0 AND mean_word_len <= 10.0 AS word_len_ok,
+       | n_stop >= 2 AS stop_ok,
+       | distinct_frac >= 0.45 AS diversity_ok,
+       | top_word_frac <= 0.15 AS dominance_ok,
+       | n_words >= 30 AND n_words <= 100000
+       |  AND mean_word_len >= 3.0 AND mean_word_len <= 10.0
+       |  AND n_stop >= 2 AND distinct_frac >= 0.45
+       |  AND top_word_frac <= 0.15 AS keep
+       |FROM b
+       |ORDER BY doc_id""".stripMargin
+  }
+
+  /** Lexical diversity: Simpson repetition index (Σc²/n² — the
+    * probability two random token draws agree), type-token ratio, and
+    * hapax fraction (tokens occurring exactly once). All numerators are
+    * exact integer sums folded in-row, so the single final division is
+    * the only floating-point step — bit-identical across engines with no
+    * ordering caveats. Row-local; scales as one scan.
+    */
+  def diversity(t: Tables): DataFrame =
+    t.documents
+      .withColumn("cnts",
+        expr("""transform(array_distinct(split(text, ' ')),
+               | w -> size(filter(split(text, ' '), x -> x = w)))""".stripMargin))
+      .withColumn("n", size(toks))
+      .select(col("doc_id"), col("n").as("n_tokens"),
+        (expr("aggregate(cnts, 0L, (acc, c) -> acc + CAST(c AS BIGINT) * c)").cast("double")
+          / (col("n").cast("long") * col("n"))).as("simpson"),
+        (size(col("cnts")).cast("double") / col("n")).as("type_token_ratio"),
+        (expr("size(filter(cnts, c -> c = 1))").cast("double") / col("n")).as("hapax_frac"))
+      .orderBy("doc_id")
+
+  val diversitySql: String =
+    """WITH b AS (
+      | SELECT doc_id,
+      |  list_transform(list_distinct(string_split(text, ' ')),
+      |    w -> len(list_filter(string_split(text, ' '), x -> x = w))) AS cnts,
+      |  len(string_split(text, ' ')) AS n
+      | FROM documents)
+      |SELECT doc_id, CAST(n AS INT) AS n_tokens,
+      | CAST(list_aggregate(list_transform(cnts, c -> CAST(c AS BIGINT) * c), 'sum') AS DOUBLE)
+      |   / (CAST(n AS BIGINT) * n) AS simpson,
+      | CAST(len(cnts) AS DOUBLE) / n AS type_token_ratio,
+      | CAST(len(list_filter(cnts, c -> c = 1)) AS DOUBLE) / n AS hapax_frac
+      |FROM b
+      |ORDER BY doc_id""".stripMargin
+
+  private val Bm25Terms = Seq("spark", "vector", "customer")
+  private val Bm25K1 = 1.2
+  private val Bm25B = 0.75
+
+  /** BM25 relevance of every document against a fixed query term set —
+    * the retrieval scorer behind quality-classifier bootstrapping and
+    * targeted corpus slicing. Corpus statistics (N, avgdl, per-term df)
+    * are one tiny aggregate broadcast back over the scan; the idf is the
+    * ln-free odds form (N − df + ½)/(df + ½), keeping every arithmetic
+    * step a rational expression both engines evaluate bit-identically
+    * (libm `ln` ulp differences would otherwise leak into every score).
+    * Term contributions are summed in fixed query order.
+    */
+  def bm25(t: Tables): DataFrame = {
+    def tf(term: String): Column =
+      expr(s"size(filter(split(text, ' '), x -> x = '$term'))")
+    val statCols =
+      (sum(size(toks)).cast("double") / count(lit(1))).as("avgdl") +:
+        Bm25Terms.map(term =>
+          sum(when(tf(term) > 0, 1L).otherwise(0L)).as(s"df_$term"))
+    val stats = t.documents.agg(count(lit(1)).as("n_docs"), statCols: _*)
+    val scored = t.documents
+      .withColumn("dl", size(toks))
+      .crossJoin(broadcast(stats))
+    val contribs = Bm25Terms.map { term =>
+      val idf = (col("n_docs") - col(s"df_$term") + lit(0.5)) /
+        (col(s"df_$term") + lit(0.5))
+      val tfc = tf(term).cast("double")
+      idf * (tfc * lit(Bm25K1 + 1.0)) /
+        (tfc + lit(Bm25K1) * (lit(1.0 - Bm25B) + lit(Bm25B) * (col("dl") / col("avgdl"))))
+    }
+    val outCols = col("doc_id") +: contribs.reduceLeft(_ + _).as("bm25") +:
+      Bm25Terms.map(term => tf(term).cast("int").as(s"tf_$term"))
+    scored.select(outCols: _*).orderBy("doc_id")
+  }
+
+  val bm25Sql: String = {
+    def tf(term: String) = s"len(list_filter(string_split(text, ' '), x -> x = '$term'))"
+    // parenthesization mirrors the Spark Column tree exactly —
+    // ((idf * num) / denom) — so every IEEE step matches bitwise
+    val contribs = Bm25Terms.map { term =>
+      s"""((((s.n_docs - s.df_$term + 0.5) / (s.df_$term + 0.5))
+         |  * (CAST(${tf(term)} AS DOUBLE) * ${Bm25K1 + 1.0}))
+         | / (CAST(${tf(term)} AS DOUBLE)
+         |    + ${Bm25K1} * ((1.0 - ${Bm25B}) + ${Bm25B} * (CAST(len(string_split(text, ' ')) AS DOUBLE) / s.avgdl))))"""
+        .stripMargin
+    }.mkString("(", " + ", ")")
+    val tfCols = Bm25Terms
+      .map(term => s"CAST(${tf(term)} AS INT) AS tf_$term").mkString(", ")
+    val dfCols = Bm25Terms
+      .map(term => s"CAST(SUM(CASE WHEN ${tf(term)} > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df_$term")
+      .mkString(", ")
+    s"""WITH s AS (
+       | SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+       |  CAST(SUM(len(string_split(text, ' '))) AS DOUBLE) / COUNT(*) AS avgdl,
+       |  $dfCols
+       | FROM documents)
+       |SELECT doc_id, $contribs AS bm25, $tfCols
+       |FROM documents, s
+       |ORDER BY doc_id""".stripMargin
+  }
+
+  private val PostingsCap = 10
+
+  /** Inverted-index build: per term, document frequency, collection
+    * frequency, and the first [[PostingsCap]] doc ids of the postings
+    * list (as a compare-friendly CSV string). The capped postings come
+    * from the [[graft.plans.TopKPerKey]] heap plan — per-term state is
+    * bounded at k whatever the term's true df, which is what makes the
+    * build safe for stopword-grade terms at corpus scale.
+    */
+  def invertedIndex(t: Tables): DataFrame = {
+    val ex = t.documents.select(col("doc_id"), explode(toks).as("term"))
+    val agg = ex.groupBy("term").agg(
+      countDistinct(col("doc_id")).as("df"),
+      count(lit(1)).as("cf"))
+    val postings = graft.plans.TopKPerKey(
+        ex.select("term", "doc_id").distinct(),
+        Seq("term"), Seq(("doc_id", true)), PostingsCap)
+      .groupBy("term")
+      .agg(array_join(
+        expr("transform(sort_array(collect_list(doc_id)), x -> CAST(x AS STRING))"),
+        ",").as("postings"))
+    agg.join(postings, Seq("term")).orderBy("term")
+  }
+
+  val invertedIndexSql: String =
+    s"""WITH e AS (
+       | SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+       |a AS (
+       | SELECT term, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df,
+       |  CAST(COUNT(*) AS BIGINT) AS cf
+       | FROM e GROUP BY term),
+       |td AS (SELECT DISTINCT term, doc_id FROM e),
+       |topk AS (
+       | SELECT term, doc_id FROM td
+       | QUALIFY row_number() OVER (PARTITION BY term ORDER BY doc_id) <= $PostingsCap),
+       |ps AS (
+       | SELECT term, string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id) AS postings
+       | FROM topk GROUP BY term)
+       |SELECT a.term, df, cf, postings
+       |FROM a JOIN ps USING (term)
+       |ORDER BY term""".stripMargin
+}

@@ -1,0 +1,99 @@
+package graft
+
+import graft.operators.TextAnalysis2
+
+class TextAnalysis2Spec extends SparkSpec {
+
+  private def tokensOf(text: String): Array[String] = text.split(" ")
+
+  test("substring dedup marks planted near-dup spans and nothing on unique docs") {
+    val rows = TextAnalysis2.substringDedup(sf).collect()
+    assert(rows.length == sf.documents.count())
+    rows.foreach { r =>
+      val spans = r.getLong(1); val dup = r.getLong(2); val frac = r.getDouble(3)
+      assert(dup >= 0 && dup <= spans)
+      assert(frac >= 0.0 && frac <= 1.0)
+      if (spans > 0) assert(math.abs(frac - dup.toDouble / spans) == 0.0)
+    }
+    // the corpus plants near-duplicates, so duplicated spans must exist,
+    // and docs with fully unique content must exist too
+    assert(rows.exists(_.getLong(2) > 0))
+    assert(rows.exists(r => r.getLong(1) > 0 && r.getLong(2) == 0))
+  }
+
+  test("substring dedup span counts equal max(0, n_tokens - 9)") {
+    val expected = sf.documents.collect()
+      .map(r => r.getLong(0) -> math.max(0, tokensOf(r.getString(1)).length - 9).toLong)
+      .toMap
+    TextAnalysis2.substringDedup(sf).collect().foreach { r =>
+      assert(r.getLong(1) == expected(r.getLong(0)))
+    }
+  }
+
+  test("gopher quality flags match their measured ratios and split the corpus") {
+    val rows = TextAnalysis2.gopherQuality(sf).collect()
+    rows.foreach { r =>
+      val n = r.getInt(1); val mwl = r.getDouble(2); val stop = r.getInt(3)
+      val df = r.getDouble(4); val top = r.getDouble(5)
+      assert(r.getBoolean(6) == (n >= 30 && n <= 100000))
+      assert(r.getBoolean(7) == (mwl >= 3.0 && mwl <= 10.0))
+      assert(r.getBoolean(8) == (stop >= 2))
+      assert(r.getBoolean(9) == (df >= 0.45))
+      assert(r.getBoolean(10) == (top <= 0.15))
+      assert(r.getBoolean(11) ==
+        (r.getBoolean(6) && r.getBoolean(7) && r.getBoolean(8) &&
+          r.getBoolean(9) && r.getBoolean(10)))
+    }
+    // every rule must actually separate documents at this corpus's
+    // distributions (a constant flag tests nothing)
+    Seq(6, 8, 9, 10).foreach { i =>
+      assert(rows.exists(_.getBoolean(i)) && rows.exists(!_.getBoolean(i)), s"flag $i constant")
+    }
+    assert(rows.exists(_.getBoolean(11)) && rows.exists(!_.getBoolean(11)))
+  }
+
+  test("diversity stats agree with a by-hand recount") {
+    val byId = TextAnalysis2.diversity(sf).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    sf.documents.collect().take(20).foreach { d =>
+      val toks = tokensOf(d.getString(1))
+      val n = toks.length
+      val counts = toks.groupBy(identity).view.mapValues(_.length).values.toSeq
+      val r = byId(d.getLong(0))
+      assert(r.getInt(1) == n)
+      assert(r.getDouble(2) == counts.map(c => c.toLong * c).sum.toDouble / (n.toLong * n))
+      assert(r.getDouble(3) == counts.length.toDouble / n)
+      assert(r.getDouble(4) == counts.count(_ == 1).toDouble / n)
+    }
+  }
+
+  test("bm25 is zero iff no query term appears, and rises with tf at fixed dl") {
+    val rows = TextAnalysis2.bm25(sf).collect()
+    rows.foreach { r =>
+      val noTerms = (2 to 4).forall(r.getInt(_) == 0)
+      assert((r.getDouble(1) == 0.0) == noTerms)
+      assert(r.getDouble(1) >= 0.0)
+    }
+    assert(rows.exists(_.getDouble(1) > 0.0))
+  }
+
+  test("inverted index caps postings at 10 and keeps df/cf consistent") {
+    val rows = TextAnalysis2.invertedIndex(sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val df = r.getLong(1); val cf = r.getLong(2)
+      val postings = r.getString(3).split(",").map(_.toLong)
+      assert(cf >= df && df >= 1)
+      assert(postings.length == math.min(df, 10L))
+      assert(postings.sameElements(postings.sorted), "postings not ascending")
+    }
+    // terms are emitted in sorted order
+    val terms = rows.map(_.getString(0))
+    assert(terms.sameElements(terms.sorted))
+  }
+
+  test("inverted index postings use the TopKPerKey heap plan") {
+    val plan = TextAnalysis2.invertedIndex(sf).queryExecution.executedPlan.toString
+    assert(plan.contains("TopKPerKey"), plan)
+  }
+}
