@@ -181,4 +181,56 @@ object Relational5 {
       | CAST(COUNT(*) AS BIGINT) AS n_streaks,
       | CAST(SUM(len) AS BIGINT) AS active_days
       |FROM s GROUP BY user_id ORDER BY user_id""".stripMargin
+
+  /** Q21 shape: suppliers who kept finished multi-supplier orders
+    * waiting — late lines (the q12 60-day proxy) on 'F' orders where
+    * EVERY other supplier on the order delivered on time. The classic
+    * exists/not-exists pair is re-expressed as ONE per-order aggregate
+    * (distinct suppliers, distinct LATE suppliers) joined back to the
+    * late lines: `late_supps = 1` ⟺ "no OTHER supplier was late" (the
+    * line's own supplier is late by selection), `n_supps ≥ 2` ⟺ "another
+    * supplier exists". Two shuffles on the order key — AQE-coalesced —
+    * instead of two correlated fact-table subqueries; dims broadcast.
+    * The oracle keeps the textbook EXISTS/NOT EXISTS form, so the
+    * rewrite itself is what's being verified.
+    */
+  def waitingSuppliers(t: Tables): DataFrame = {
+    val ordF = t.orders.where(col("o_orderstatus") === "F")
+      .select("o_orderkey", "o_orderdate")
+    val li = t.lineitem.select("l_orderkey", "l_suppkey", "l_shipdate")
+      .join(ordF, col("l_orderkey") === col("o_orderkey"))
+      .withColumn("late",
+        col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 60 DAYS"))
+    val perOrder = li.groupBy("l_orderkey").agg(
+      countDistinct(col("l_suppkey")).as("n_supps"),
+      countDistinct(when(col("late"), col("l_suppkey"))).as("late_supps"))
+    li.where(col("late"))
+      .join(perOrder, Seq("l_orderkey"))
+      .where(col("n_supps") >= 2 && col("late_supps") === 1)
+      .join(broadcast(t.supplier), col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(t.nation), col("s_nationkey") === col("n_nationkey"))
+      .groupBy("s_name", "n_name")
+      .agg(count(lit(1)).as("numwait"))
+      .orderBy(col("numwait").desc, col("s_name"))
+  }
+
+  val waitingSuppliersSql: String =
+    """SELECT s_name, n_name, CAST(COUNT(*) AS BIGINT) AS numwait
+      |FROM supplier, lineitem l1, orders, nation
+      |WHERE s_suppkey = l1.l_suppkey
+      | AND o_orderkey = l1.l_orderkey
+      | AND o_orderstatus = 'F'
+      | AND l1.l_shipdate > o_orderdate + INTERVAL 60 DAY
+      | AND EXISTS (
+      |   SELECT 1 FROM lineitem l2
+      |   WHERE l2.l_orderkey = l1.l_orderkey
+      |     AND l2.l_suppkey <> l1.l_suppkey)
+      | AND NOT EXISTS (
+      |   SELECT 1 FROM lineitem l3 JOIN orders o3 ON o3.o_orderkey = l3.l_orderkey
+      |   WHERE l3.l_orderkey = l1.l_orderkey
+      |     AND l3.l_suppkey <> l1.l_suppkey
+      |     AND l3.l_shipdate > o3.o_orderdate + INTERVAL 60 DAY)
+      | AND s_nationkey = n_nationkey
+      |GROUP BY s_name, n_name
+      |ORDER BY numwait DESC, s_name""".stripMargin
 }

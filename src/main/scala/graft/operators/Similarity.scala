@@ -322,4 +322,99 @@ object Similarity {
        | sizes.cluster_size
        |FROM a3 JOIN sizes USING (cell)
        |ORDER BY a3.vec_id""".stripMargin
+
+  private val KnnK      = 3
+  private val KnnBlocks = 16
+
+  /** Symmetric kNN join: the 3 nearest neighbours of EVERY vector — the
+    * kNN-graph build behind diversity sampling, semantic clustering, and
+    * graph-based curation. Exact all-pairs scoring via the same triangle
+    * block replication as [[Dedup.embeddingCosine]] (each unordered pair
+    * scored ONCE — uniform O(n²/G) tasks, no broadcast, no nested loop),
+    * then mirrored and reduced to per-vector top-k by the bounded-state
+    * [[graft.plans.TopKPerKey]] heap plan. At corpus scale the same
+    * shape runs per-LSH-bucket or per-IVF-cell to break n²; this is the
+    * exact-baseline tier of that stack.
+    */
+  def knnJoin(t: Tables): DataFrame = {
+    val e = vectors(t).withColumn("blk", (col("vec_id") % KnnBlocks).cast("int"))
+    val a = e.select(col("vec_id").as("a_id"), col("v").as("va"),
+      col("blk").as("a_blk"),
+      explode(sequence(col("blk"), lit(KnnBlocks - 1))).as("j"))
+    val b = e.select(col("vec_id").as("b_id"), col("v").as("vb"), col("blk").as("j"))
+    val pairs = a.join(b, Seq("j"))
+      .where(col("a_blk") =!= col("j") || col("a_id") < col("b_id"))
+      .withColumn("cosine", cosine(col("va"), col("vb")))
+      .select("a_id", "b_id", "cosine")
+    // cosine is symmetric BITWISE (the index-order dot fold and the
+    // commutative norm product are identical either way), so one score
+    // serves both directions of the mirror
+    val mirrored = pairs
+      .select(col("a_id").as("vec_id"), col("b_id").as("nb_id"), col("cosine"))
+      .unionAll(pairs
+        .select(col("b_id").as("vec_id"), col("a_id").as("nb_id"), col("cosine")))
+    val top = graft.plans.TopKPerKey(mirrored, Seq("vec_id"),
+      Seq(("cosine", false), ("nb_id", true)), KnnK)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("vec_id").orderBy(col("cosine").desc, col("nb_id"))
+    top.withColumn("nn_rank", row_number().over(w))
+      .orderBy("vec_id", "nn_rank")
+  }
+
+  val knnJoinSql: String =
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |p AS (
+       | SELECT a.vec_id AS vec_id, b.vec_id AS nb_id,
+       |  list_dot_product(a.v, b.v) /
+       |    (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) AS cosine
+       | FROM e a JOIN e b ON a.vec_id <> b.vec_id)
+       |SELECT vec_id, nb_id, cosine,
+       | CAST(row_number() OVER (PARTITION BY vec_id
+       |   ORDER BY cosine DESC, nb_id) AS INT) AS nn_rank
+       |FROM p
+       |QUALIFY nn_rank <= $KnnK
+       |ORDER BY vec_id, nn_rank""".stripMargin
+
+  private val OutliersPerCell = 5
+
+  /** Embedding-space outliers: the [[OutliersPerCell]] vectors farthest
+    * from their k-means centroid in each cell — the "drop far-from-
+    * cluster noise" curation step. Selection is purely rank-based (no
+    * floating aggregate over row order): distances are the same
+    * deterministic d + v·v folds as [[kmeansClusters]], and the per-cell
+    * cut is a window rank, so results replay exactly. One narrow
+    * assignment pass over the corpus; centroids are bounded driver state.
+    */
+  def clusterOutliers(t: Tables): DataFrame = {
+    val vecs = vectors(t).cache()
+    val (cents, _) = trainKmeans(vecs)
+    val assigned = assignCells(vecs, cents)
+      .select(col("vec_id"), col("cell"),
+        (col("d") + graft.functions.DotProduct(col("v"), col("v"))).as("dist2"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("cell").orderBy(col("dist2").desc, col("vec_id"))
+    val out = assigned.withColumn("out_rank", row_number().over(w))
+      .where(col("out_rank") <= OutliersPerCell)
+      .select("cell", "vec_id", "dist2", "out_rank")
+      .orderBy("cell", "out_rank")
+    // training cache released — see ivfTopK
+    vecs.unpersist(false)
+    out
+  }
+
+  /** Oracle: the shared Lloyd replay CTEs with a per-cell rank cut. */
+  val clusterOutliersSql: String =
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |c0 AS (SELECT CAST(vec_id AS INT) AS cell, v AS c FROM e WHERE vec_id < $NumCells),
+       |a1 AS (${assignSql("e", "c0")}),
+       |c1 AS (${meansSql("a1")}),
+       |a2 AS (${assignSql("e", "c1")}),
+       |c2 AS (${meansSql("a2")}),
+       |a3 AS (${assignSql("e", "c2")})
+       |SELECT cell, vec_id, d + list_dot_product(v, v) AS dist2,
+       | CAST(row_number() OVER (PARTITION BY cell
+       |   ORDER BY d + list_dot_product(v, v) DESC, vec_id) AS INT) AS out_rank
+       |FROM a3
+       |QUALIFY out_rank <= $OutliersPerCell
+       |ORDER BY cell, out_rank""".stripMargin
 }
