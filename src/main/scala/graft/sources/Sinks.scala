@@ -88,6 +88,58 @@ object Sinks {
       .option("maxRecordsPerFile", maxRecordsPerFile.toString)
       .parquet(path)
 
+  private val ZBits = 16
+
+  /** Z-value of two numeric columns: each is min-max scaled to a
+    * [[ZBits]]-bit integer (bounds from one tiny aggregate, broadcast),
+    * then the bits are interleaved — a space-filling-curve key whose
+    * RANGES are 2-D-local. Codegen'd bit arithmetic, no UDF.
+    */
+  private def zValue(x: org.apache.spark.sql.Column, y: org.apache.spark.sql.Column,
+      xMin: org.apache.spark.sql.Column, xMax: org.apache.spark.sql.Column,
+      yMin: org.apache.spark.sql.Column, yMax: org.apache.spark.sql.Column)
+      : org.apache.spark.sql.Column = {
+    val maxV = (1 << ZBits) - 1
+    def scaled(c: org.apache.spark.sql.Column, lo: org.apache.spark.sql.Column,
+        hi: org.apache.spark.sql.Column) =
+      when(hi === lo, lit(0L)).otherwise(
+        ((c.cast("double") - lo) / (hi - lo) * maxV).cast("long"))
+    val sx = scaled(x, xMin, xMax)
+    val sy = scaled(y, yMin, yMax)
+    (0 until ZBits).map { i =>
+      shiftleft(shiftright(sx, i).bitwiseAND(1L), 2 * i + 1)
+        .bitwiseOR(shiftleft(shiftright(sy, i).bitwiseAND(1L), 2 * i))
+    }.reduceLeft(_ bitwiseOR _)
+  }
+
+  /** Z-order clustered write: rows are range-partitioned and sorted on
+    * the interleaved-bit space-filling key of TWO filter columns, so
+    * parquet footer min/max stats are tight on BOTH — a scan filtered on
+    * either column (or a 2-D box) skips most files, where a plain sort
+    * only serves its leading column. The Spark-native analog of
+    * Delta/ClickHouse Z-ordering; at 100 TB this is the difference
+    * between pruning on one predicate and pruning on every dashboard
+    * filter. One extra range shuffle at write time, zero read-path cost.
+    */
+  def writeZOrdered(df: DataFrame, xCol: String, yCol: String, path: String,
+      maxRecordsPerFile: Int): Unit = {
+    val bounds = df.agg(
+      min(col(xCol)).as("xmin"), max(col(xCol)).as("xmax"),
+      min(col(yCol)).as("ymin"), max(col(yCol)).as("ymax"))
+    val withZ = df.crossJoin(broadcast(bounds))
+      .withColumn("_z", zValue(col(xCol), col(yCol),
+        col("xmin"), col("xmax"), col("ymin"), col("ymax")))
+      .drop("xmin", "xmax", "ymin", "ymax")
+    withZ
+      .repartitionByRange(col("_z"))
+      .sortWithinPartitions("_z")
+      .drop("_z")
+      .write
+      .mode("overwrite")
+      .option("maxRecordsPerFile", maxRecordsPerFile.toString)
+      .parquet(path)
+  }
+
   /** Incremental aggregate maintenance — the materialized-view pattern:
     * keep (key → count, sums) state on disk and fold each new batch in
     * by SUMMING PARTIALS, never re-scanning history. Because count/sum

@@ -343,4 +343,39 @@ class SourcesSpec extends SparkSpec {
     assert(!plan.contains("l_extendedprice"))
     assert(plan.contains("PushedFilters:"))
   }
+
+  test("z-ordered sink clusters BOTH dimensions (per-file spans beat a 1-D sort)") {
+    val src = sf.lineitem.select("l_orderkey", "l_partkey", "l_suppkey")
+    // per-file average span of a column, via the file each row landed in
+    def meanSpan(path: String, column: String): Double = {
+      val spans = spark.read.parquet(path)
+        .groupBy(input_file_name().as("f"))
+        .agg((max(col(column)) - min(col(column))).as("span"))
+        .agg(avg("span")).collect()(0).getDouble(0)
+      spans
+    }
+    val zdir = Files.createTempDirectory("graft-zorder").toString
+    val pdir = Files.createTempDirectory("graft-plain").toString
+    Sinks.writeZOrdered(src, "l_partkey", "l_suppkey", zdir, 500)
+    // the 1-D baseline: globally sorted by partkey alone, same file size
+    src.repartitionByRange(col("l_partkey"))
+      .sortWithinPartitions("l_partkey")
+      .write.mode("overwrite").option("maxRecordsPerFile", "500").parquet(pdir)
+    // data survives intact
+    assert(spark.read.parquet(zdir).count() == src.count())
+    // the plain sort leaves the SECOND column unclustered: its per-file
+    // span stays near the full domain; z-ordering must cut it sharply
+    val zSpan = meanSpan(zdir, "l_suppkey")
+    val pSpan = meanSpan(pdir, "l_suppkey")
+    assert(zSpan < pSpan * 0.6, s"zorder suppkey span $zSpan !< 0.6 * plain $pSpan")
+    // and the first column must remain clustered too — the documented
+    // z-order trade: each dimension's span grows ~sqrt-factor vs a
+    // dedicated 1-D sort, far from the unsorted full domain
+    val zSpanX = meanSpan(zdir, "l_partkey")
+    val pSpanX = meanSpan(pdir, "l_partkey")
+    val domainX = src.agg(max("l_partkey") - min("l_partkey"))
+      .collect()(0).getLong(0).toDouble
+    assert(zSpanX < pSpanX * 6 + 1, s"zorder partkey span $zSpanX vs plain $pSpanX")
+    assert(zSpanX < domainX * 0.5, s"zorder partkey span $zSpanX vs domain $domainX")
+  }
 }
