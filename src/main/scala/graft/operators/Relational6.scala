@@ -262,4 +262,37 @@ object Relational6 {
       |WHERE o_orderpriority = '1-URGENT'
       |GROUP BY month
       |ORDER BY month""".stripMargin
+
+  /** 2-D skyline (Pareto frontier): parts minimal in BOTH retail price
+    * and size — no other part is ≤ on both dimensions and < on one. The
+    * n² dominance test collapses to sort-order algebra: group to one row
+    * per price (min size), take the running minimum over STRICTLY
+    * cheaper prices, and a part survives iff it has its price group's
+    * minimal size and beats that running minimum. The only global
+    * ordering runs over DISTINCT prices (bounded by price cardinality,
+    * not row count); rows themselves just equi-join back on price. The
+    * oracle runs the literal NOT EXISTS dominance scan, so the rewrite
+    * is what's verified.
+    */
+  def skyline(t: Tables): DataFrame = {
+    val perPrice = t.part.groupBy("p_retailprice")
+      .agg(min(col("p_size")).as("grp_min"))
+    val w = Window.orderBy("p_retailprice")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val withPrev = perPrice.withColumn("prev_min", min(col("grp_min")).over(w))
+    t.part.join(withPrev, Seq("p_retailprice"))
+      .where(col("p_size") === col("grp_min") &&
+        (col("prev_min").isNull || col("prev_min") > col("p_size")))
+      .select("p_partkey", "p_retailprice", "p_size")
+      .orderBy("p_partkey")
+  }
+
+  val skylineSql: String =
+    """SELECT p_partkey, p_retailprice, p_size
+      |FROM part q
+      |WHERE NOT EXISTS (
+      | SELECT 1 FROM part p
+      | WHERE p.p_retailprice <= q.p_retailprice AND p.p_size <= q.p_size
+      |   AND (p.p_retailprice < q.p_retailprice OR p.p_size < q.p_size))
+      |ORDER BY p_partkey""".stripMargin
 }

@@ -79,4 +79,40 @@ object Sampling {
        |WHERE rk <= $k
        |ORDER BY user_id, event_id""".stripMargin
   }
+
+  /** Class-balanced downsampling: every label class cut to the size of
+    * the SMALLEST class, members chosen by the portable row-key hash —
+    * the "balance the label distribution before training" step, exactly
+    * reproducible across reruns and engines. One per-label window pass
+    * (same shuffle shape as [[perKeyCap]]); the global minimum is a
+    * two-row broadcast, so no driver state and no second scan of the
+    * data.
+    */
+  def balancedClasses(t: Tables): DataFrame = {
+    val minN = t.embeddings.groupBy("label")
+      .agg(count(lit(1)).as("n"))
+      .agg(min(col("n")).as("min_n"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("label").orderBy(unitHash(col("vec_id")), col("vec_id"))
+    t.embeddings.select(col("vec_id"), col("label"))
+      .withColumn("rk", row_number().over(w))
+      .crossJoin(broadcast(minN))
+      .where(col("rk") <= col("min_n"))
+      .select("label", "rk", "vec_id")
+      .orderBy("label", "rk")
+  }
+
+  val balancedClassesSql: String = {
+    val u = unitHashSqlFmt.format("vec_id")
+    s"""WITH m AS (
+       | SELECT MIN(n) AS min_n FROM (
+       |  SELECT label, COUNT(*) AS n FROM embeddings GROUP BY label)),
+       |r AS (
+       | SELECT label, vec_id,
+       |  CAST(ROW_NUMBER() OVER (PARTITION BY label ORDER BY $u, vec_id) AS INT) AS rk
+       | FROM embeddings)
+       |SELECT label, rk, vec_id FROM r, m
+       |WHERE rk <= min_n
+       |ORDER BY label, rk""".stripMargin
+  }
 }

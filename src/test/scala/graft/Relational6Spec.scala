@@ -176,4 +176,23 @@ class Relational6Spec extends SparkSpec {
     val again = Curation.domainMix(sf).collect()
     assert(kept.map(_.toString).sameElements(again.map(_.toString)))
   }
+
+  test("skyline contains exactly the non-dominated parts (brute-force recount)") {
+    val parts = sf.part.select("p_partkey", "p_retailprice", "p_size").collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getInt(2)))
+    val expect = parts.filter { case (_, pr, sz) =>
+      !parts.exists { case (_, pr2, sz2) =>
+        pr2 <= pr && sz2 <= sz && (pr2 < pr || sz2 < sz)
+      }
+    }.map(_._1).sorted
+    val got = graft.operators.Relational6.skyline(sf).collect().map(_.getLong(0))
+    assert(got.sameElements(expect))
+    // frontier is monotone: sorted by price, sizes strictly decrease
+    val rows = graft.operators.Relational6.skyline(sf).collect()
+      .map(r => (r.getDouble(1), r.getInt(2))).sortBy(_._1)
+    assert(rows.sliding(2).forall {
+      case Array((p1, s1), (p2, s2)) => p1 < p2 && s1 > s2
+      case _ => true
+    })
+  }
 }

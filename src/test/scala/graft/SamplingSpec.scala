@@ -44,4 +44,20 @@ class SamplingSpec extends SparkSpec {
     val again = Sampling.perKeyCap(sf, k).collect()
     assert(rows.map(_.toString).sameElements(again.map(_.toString)))
   }
+
+  test("balanced classes cuts every label to the smallest class size, deterministically") {
+    val rows = graft.operators.Sampling.balancedClasses(sf).collect()
+    val perLabel = rows.groupBy(_.getInt(0)).view.mapValues(_.length).toMap
+    val trueCounts = sf.embeddings.groupBy("label").count()
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val minN = trueCounts.values.min.toInt
+    assert(perLabel.keySet == trueCounts.keySet)
+    assert(perLabel.values.forall(_ == minN))
+    // ranks are 1..minN per label
+    rows.groupBy(_.getInt(0)).foreach { case (_, g) =>
+      assert(g.map(_.getInt(1)).sorted.sameElements(1 to minN))
+    }
+    val again = graft.operators.Sampling.balancedClasses(sf).collect()
+    assert(rows.map(_.toString).sameElements(again.map(_.toString)))
+  }
 }
