@@ -70,7 +70,14 @@ object Dedup {
       .select(col("doc_id"), col("sz"), col("pg.gram").as("pg"))
   }
 
-  def ngramJaccard(t: Tables): DataFrame = {
+  def ngramJaccard(t: Tables): DataFrame =
+    ngramJaccardPairs(t).orderBy("a_id", "b_id")
+
+  /** Unsorted verified near-dup pairs — the internal pair source.
+    * Consumers that don't need the presentation order ([[clusters]],
+    * [[keepBest]]) read this directly and skip the global sort exchange.
+    */
+  private def ngramJaccardPairs(t: Tables): DataFrame = {
     // persisted: the gram projection feeds the frequency ranking and both
     // sides of the verify join; without it WordNGrams runs once per
     // branch. MEMORY_AND_DISK, so at scale it spills instead of OOM.
@@ -191,7 +198,6 @@ object Dedup {
       .where(col("jaccard") >= JaccardThreshold)
       .select("a_id", "b_id", "jaccard")
       .persist()
-      .orderBy("a_id", "b_id")
 
   /** Oracle: unblocked brute force — the prefix filter is sound, so the
     * blocked result must equal the full pair scan.
@@ -255,7 +261,7 @@ object Dedup {
       .select("a_id", "b_id")
       .distinct()
     // exact verification join (precision 1.0; LSH only buys candidate cuts)
-    verifyJaccard(candidates, hashedGramsOf(g))
+    verifyJaccard(candidates, hashedGramsOf(g)).orderBy("a_id", "b_id")
   }
 
   /** Incremental dedup — the shape a production pipeline runs DAILY:
@@ -285,7 +291,7 @@ object Dedup {
       .select(least(col("a_id"), col("b_id")).as("a_id"),
         greatest(col("a_id"), col("b_id")).as("b_id"))
       .distinct()
-    verifyJaccard(candidates, hashedGramsOf(g))
+    verifyJaccard(candidates, hashedGramsOf(g)).orderBy("a_id", "b_id")
   }
 
   /** Oracle: brute force over exactly the pairs that involve a batch
@@ -493,7 +499,7 @@ object Dedup {
   def clusters(t: Tables): DataFrame =
     propagateLabels(
       t.documents.select(col("doc_id").as("id")),
-      ngramJaccard(t).select("a_id", "b_id"))
+      ngramJaccardPairs(t).select("a_id", "b_id"))
       .select(col("id").as("doc_id"), col("lbl").as("cluster_id"),
         (col("id") === col("lbl")).as("is_keeper"))
       .orderBy("doc_id")
