@@ -95,9 +95,16 @@ object TextAnalysis2 {
     * tokens) on ≤100-token docs beats an explode + per-(doc, token)
     * shuffle by a full stage.
     */
-  def gopherQuality(t: Tables): DataFrame = {
+  def gopherQuality(t: Tables): DataFrame =
+    gopherColumns(t.documents).orderBy("doc_id")
+
+  /** The rule projection behind [[gopherQuality]], reusable on ANY frame
+    * with (doc_id, text) — including an unbounded stream (row-local, no
+    * sort, no state): see [[graft.streaming.Streams.qualityGateStream]].
+    */
+  def gopherColumns(documents: DataFrame): DataFrame = {
     val sw = GopherStopwords.map(s => s"'$s'").mkString(", ")
-    t.documents
+    documents
       .withColumn("n_words", size(toks))
       .withColumn("mean_word_len",
         (length(col("text")) - (size(toks) - 1)).cast("double") / size(toks))
@@ -119,7 +126,6 @@ object TextAnalysis2 {
       .withColumn("keep",
         col("words_ok") && col("word_len_ok") && col("stop_ok") &&
           col("diversity_ok") && col("dominance_ok"))
-      .orderBy("doc_id")
   }
 
   val gopherQualitySql: String = {

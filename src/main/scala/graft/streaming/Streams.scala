@@ -110,6 +110,16 @@ object Streams {
         }
       }
 
+  /** Streaming quality gate: the EXACT batch rule projection
+    * ([[graft.operators.TextAnalysis2.gopherColumns]]) applied to an
+    * unbounded document stream — row-local, so no watermark and no state
+    * store; live ingestion and a batch backfill apply byte-identical
+    * curation decisions because they share the code. Returns the scored
+    * stream (keep flag + per-rule columns) for the caller to route.
+    */
+  def qualityGateStream(docs: DataFrame): DataFrame =
+    graft.operators.TextAnalysis2.gopherColumns(docs)
+
   /** Stream-stream interval join: purchases enriched with a view by the
     * same user in the preceding hour. Both sides are watermarked and the
     * time-interval condition bounds join state on both sides — the only

@@ -190,4 +190,26 @@ class StreamingSpec extends SparkSpec {
     assert(first.n_events == 2 && first.total_value == 3.0)
     assert(first.session_start == ts(0) && first.session_end == ts(5))
   }
+
+  test("streaming quality gate scores a doc stream with the batch rules") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, String)]
+    val good = "the a of and in " + (1 to 45).map(i => s"token$i").mkString(" ")
+    val bad = ("spam " * 40).trim
+    input.addData((1L, good), (2L, bad))
+    val q = Streams.qualityGateStream(input.toDF().toDF("doc_id", "text"))
+      .writeStream.format("memory").queryName("gated")
+      .outputMode("append").start()
+    q.processAllAvailable()
+    q.stop()
+    val keep = spark.table("gated").collect()
+      .map(r => r.getLong(0) -> r.getAs[Boolean]("keep")).toMap
+    assert(keep(1L) && !keep(2L))
+    // decisions match the batch operator bit-for-bit on the same docs
+    import spark.implicits._
+    val batch = graft.operators.TextAnalysis2.gopherColumns(
+      Seq((1L, good), (2L, bad)).toDF("doc_id", "text")).collect()
+      .map(r => r.getLong(0) -> r.getAs[Boolean]("keep")).toMap
+    assert(batch == keep)
+  }
 }
