@@ -166,4 +166,29 @@ object Sources {
   def readSince(spark: SparkSession, path: String, tsCol: String,
       watermark: java.sql.Timestamp): DataFrame =
     spark.read.parquet(path).where(col(tsCol) > lit(watermark))
+
+  /** Synthetic sales-event stream — the Spark twin of the reference's
+    * continuous producer (data_chargers/kafka_loader.py:57 build_event +
+    * its INTERVAL/MAGNITUDE rate knobs): the built-in `rate` source
+    * paces emission, and each tick is mapped DETERMINISTICALLY (hash
+    * arithmetic on the tick value, no RNG) to the exact event shape
+    * [[parseSalesEvents]] produces — so load tests of the streaming
+    * pipelines run without a Kafka broker and replay identically.
+    */
+  def rateEvents(spark: SparkSession, rowsPerSecond: Int,
+      nCustomers: Int = 100, nProducts: Int = 50): DataFrame =
+    spark.readStream
+      .format("rate")
+      .option("rowsPerSecond", rowsPerSecond.toString)
+      .load()
+      .select(
+        md5(col("value").cast("string")).as("event_id"),
+        col("timestamp").as("ts"),
+        pmod(xxhash64(col("value"), lit("c")), lit(nCustomers)).as("customer_id"),
+        pmod(xxhash64(col("value"), lit("p")), lit(nProducts)).as("product_id"),
+        (pmod(xxhash64(col("value"), lit("q")), lit(4)) + 1).cast("int").as("qty"),
+        // price_with_noise analog: base 10-60 by product, +/-10% by tick
+        round((lit(10.0) + pmod(xxhash64(col("value"), lit("p")), lit(nProducts)) +
+          pmod(xxhash64(col("value"), lit("n")), lit(21)).cast("double") / 100.0 - 0.1) *
+          lit(1.0), 2).as("unit_price"))
 }

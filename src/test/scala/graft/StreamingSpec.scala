@@ -5,6 +5,7 @@ import java.sql.Timestamp
 import graft.streaming.Streams
 import graft.streaming.Streams.{Event, Session}
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions.{col, count, lit, sum, window}
 
 class StreamingSpec extends SparkSpec {
   import spark.implicits._
@@ -211,5 +212,33 @@ class StreamingSpec extends SparkSpec {
       Seq((1L, good), (2L, bad)).toDF("doc_id", "text")).collect()
       .map(r => r.getLong(0) -> r.getAs[Boolean]("keep")).toMap
     assert(batch == keep)
+  }
+
+  test("rate-source event generator emits the kafka event shape and flows into the window agg") {
+    val src = graft.sources.Sources.rateEvents(spark, rowsPerSecond = 500)
+    assert(src.isStreaming)
+    assert(src.columns.toSeq ==
+      Seq("event_id", "ts", "customer_id", "product_id", "qty", "unit_price"))
+    val q = src
+      .withWatermark("ts", "10 seconds")
+      .groupBy(window(col("ts"), "5 seconds"), col("product_id"))
+      .agg(count(lit(1)).as("n"), sum(col("qty") * col("unit_price")).as("revenue"))
+      .writeStream.format("memory").queryName("rated")
+      .outputMode("update").start()
+    try {
+      // wait for at least one non-empty micro-batch
+      val deadline = System.currentTimeMillis() + 30000
+      var rows = 0L
+      while (rows == 0 && System.currentTimeMillis() < deadline) {
+        q.processAllAvailable()
+        rows = spark.table("rated").count()
+      }
+      assert(rows > 0, "no rate-source events arrived within 30s")
+      val r = spark.table("rated").collect()
+      assert(r.forall(x => x.getAs[Long]("n") > 0))
+      assert(r.forall { x =>
+        val p = x.getAs[Long]("product_id"); p >= 0 && p < 50
+      })
+    } finally q.stop()
   }
 }
