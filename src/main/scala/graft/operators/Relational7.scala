@@ -1,0 +1,132 @@
+package graft.operators
+
+import graft.Tables
+import graft.functions.Exact.{dec, discPrice}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Classic merchandising analytics: ABC / Pareto classification,
+  * market-basket pair mining, and period-over-period growth — the
+  * recurring dashboard queries of an analytics engine, shaped for scale
+  * (windows over AGGREGATED keys, pair explosion bounded per order).
+  */
+object Relational7 {
+
+  /** ABC (Pareto) classification: parts ranked by exact decimal revenue,
+    * cumulative revenue share, class A ≤ 60% / B ≤ 85% / C above. The
+    * global cumulative window runs over one row PER PART (already
+    * aggregated), not over lineitem — bounded by part cardinality; the
+    * heavy work is the one revenue aggregation. The share division is
+    * the only floating step and is performed identically in the oracle.
+    */
+  def abcAnalysis(t: Tables): DataFrame = {
+    val rev = t.lineitem
+      .groupBy("l_partkey")
+      .agg(sum(discPrice(col("l_extendedprice"), col("l_discount"))).as("rev"))
+    val w = Window.orderBy(col("rev").desc, col("l_partkey"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val total = rev.agg(sum(col("rev")).as("total_rev"))
+    rev
+      .withColumn("cum_rev", sum(col("rev")).over(w))
+      .crossJoin(broadcast(total))
+      // divide in DOUBLE: decimal division would round to the result
+      // scale before the cast and drift from the oracle's full-precision
+      // double quotient
+      .withColumn("cum_share",
+        col("cum_rev").cast("double") / col("total_rev").cast("double"))
+      .withColumn("abc_class",
+        when(col("cum_share") <= 0.60, "A")
+          .when(col("cum_share") <= 0.85, "B")
+          .otherwise("C"))
+      .select(col("l_partkey"), col("rev").cast("double").as("revenue"),
+        col("cum_share"), col("abc_class"))
+      .orderBy(col("revenue").desc, col("l_partkey"))
+  }
+
+  val abcAnalysisSql: String =
+    """WITH rev AS (
+      | SELECT l_partkey,
+      |  SUM(CAST(l_extendedprice AS DECIMAL(12,2)) *
+      |      CAST(1 - CAST(l_discount AS DECIMAL(4,2)) AS DECIMAL(8,4))) AS rev
+      | FROM lineitem GROUP BY l_partkey),
+      |c AS (
+      | SELECT l_partkey, rev,
+      |  SUM(rev) OVER (ORDER BY rev DESC, l_partkey
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_rev,
+      |  SUM(rev) OVER () AS total_rev
+      | FROM rev)
+      |SELECT l_partkey, CAST(rev AS DOUBLE) AS revenue,
+      | CAST(cum_rev / total_rev AS DOUBLE) AS cum_share,
+      | CASE WHEN CAST(cum_rev / total_rev AS DOUBLE) <= 0.60 THEN 'A'
+      |      WHEN CAST(cum_rev / total_rev AS DOUBLE) <= 0.85 THEN 'B'
+      |      ELSE 'C' END AS abc_class
+      |FROM c
+      |ORDER BY revenue DESC, l_partkey""".stripMargin
+
+  private val MinSupport = 3
+
+  /** Market-basket pair mining: part pairs co-purchased in the same
+    * order, with support ≥ [[MinSupport]]. Distinct (order, part) first,
+    * then the pair join runs ON THE ORDER KEY — co-partitioned, and the
+    * per-order explosion is bounded by basket size squared (baskets are
+    * small; the quadratic term never touches corpus scale). The classic
+    * first step of association-rule mining.
+    */
+  def basketPairs(t: Tables): DataFrame = {
+    val items = t.lineitem.select("l_orderkey", "l_partkey").distinct()
+    val a = items.select(col("l_orderkey"), col("l_partkey").as("a_part"))
+    val b = items.select(col("l_orderkey"), col("l_partkey").as("b_part"))
+    a.join(b, Seq("l_orderkey"))
+      .where(col("a_part") < col("b_part"))
+      .groupBy("a_part", "b_part")
+      .agg(count(lit(1)).as("support"))
+      .where(col("support") >= MinSupport)
+      .orderBy(col("support").desc, col("a_part"), col("b_part"))
+  }
+
+  val basketPairsSql: String =
+    s"""WITH items AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem)
+       |SELECT a.l_partkey AS a_part, b.l_partkey AS b_part,
+       | CAST(COUNT(*) AS BIGINT) AS support
+       |FROM items a JOIN items b
+       |  ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+       |GROUP BY a.l_partkey, b.l_partkey
+       |HAVING COUNT(*) >= $MinSupport
+       |ORDER BY support DESC, a_part, b_part""".stripMargin
+
+  /** Month-over-prior-year growth: exact decimal monthly revenue, then
+    * LAG(12) over the month sequence and a single double division. The
+    * window runs over one row per month — constant-bounded; everything
+    * heavy is the one aggregation.
+    */
+  def yoyGrowth(t: Tables): DataFrame = {
+    val monthly = t.lineitem
+      .groupBy(date_trunc("month", col("l_shipdate")).cast("date").as("month"))
+      .agg(sum(discPrice(col("l_extendedprice"), col("l_discount"))).as("rev"))
+    val w = Window.orderBy("month")
+    monthly
+      .withColumn("prev_rev", lag(col("rev"), 12).over(w))
+      .select(col("month"),
+        col("rev").cast("double").as("revenue"),
+        col("prev_rev").cast("double").as("prior_year_revenue"),
+        ((col("rev").cast("double") - col("prev_rev").cast("double")) /
+          col("prev_rev").cast("double")).as("yoy_growth"))
+      .orderBy("month")
+  }
+
+  val yoyGrowthSql: String =
+    """WITH m AS (
+      | SELECT CAST(date_trunc('month', l_shipdate) AS DATE) AS month,
+      |  SUM(CAST(l_extendedprice AS DECIMAL(12,2)) *
+      |      CAST(1 - CAST(l_discount AS DECIMAL(4,2)) AS DECIMAL(8,4))) AS rev
+      | FROM lineitem GROUP BY 1),
+      |l AS (
+      | SELECT month, rev, LAG(rev, 12) OVER (ORDER BY month) AS prev_rev FROM m)
+      |SELECT month, CAST(rev AS DOUBLE) AS revenue,
+      | CAST(prev_rev AS DOUBLE) AS prior_year_revenue,
+      | (CAST(rev AS DOUBLE) - CAST(prev_rev AS DOUBLE)) / CAST(prev_rev AS DOUBLE)
+      |   AS yoy_growth
+      |FROM l
+      |ORDER BY month""".stripMargin
+}

@@ -1,0 +1,56 @@
+package graft
+
+import graft.operators.Relational7
+
+class Relational7Spec extends SparkSpec {
+
+  test("abc classes partition parts by cumulative revenue share") {
+    val rows = Relational7.abcAnalysis(sf).collect()
+    assert(rows.nonEmpty)
+    // shares are monotone along the revenue-descending order and end at 1
+    val shares = rows.map(_.getDouble(2))
+    assert(shares.sliding(2).forall { case Array(a, b) => a <= b + 1e-12; case _ => true })
+    assert(math.abs(shares.last - 1.0) < 1e-9)
+    // class boundaries respect the thresholds
+    rows.foreach { r =>
+      val cls = r.getString(3); val share = r.getDouble(2)
+      if (share <= 0.60) assert(cls == "A")
+      else if (share <= 0.85) assert(cls == "B")
+      else assert(cls == "C")
+    }
+    assert(rows.map(_.getString(3)).distinct.sorted.sameElements(Array("A", "B", "C")))
+  }
+
+  test("basket pairs count co-occurrence symmetrically and respect min support") {
+    val rows = Relational7.basketPairs(sf).collect()
+    rows.foreach { r =>
+      assert(r.getLong(0) < r.getLong(1), "pairs must be canonical (a < b)")
+      assert(r.getLong(2) >= 3)
+    }
+    // recount one pair by hand
+    if (rows.nonEmpty) {
+      val (a, b, s) = (rows.head.getLong(0), rows.head.getLong(1), rows.head.getLong(2))
+      val orders = sf.lineitem.select("l_orderkey", "l_partkey").distinct().collect()
+        .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).toSet)
+      val manual = orders.values.count(ps => ps.contains(a) && ps.contains(b))
+      assert(manual.toLong == s)
+    }
+  }
+
+  test("yoy growth compares each month to 12 months earlier") {
+    val rows = Relational7.yoyGrowth(sf).collect()
+    val byMonth = rows.map(r => r.getDate(0).toString -> r).toMap
+    rows.foreach { r =>
+      val month = r.getDate(0).toLocalDate
+      val prior = month.minusYears(1).toString
+      if (byMonth.contains(prior)) {
+        assert(!r.isNullAt(2), s"month $month should see prior year $prior")
+        val prev = byMonth(prior).getDouble(1)
+        assert(r.getDouble(2) == prev)
+        assert(r.getDouble(3) == (r.getDouble(1) - prev) / prev)
+      }
+    }
+    // the first 12 months have no prior year
+    assert(rows.take(12).forall(_.isNullAt(2)))
+  }
+}
