@@ -195,4 +195,41 @@ object Curation {
        |WHERE $u < f.keep_frac
        |ORDER BY d.doc_id""".stripMargin
   }
+
+  /** End-to-end curation decision — the composed daily pipeline in one
+    * operator: a document ships iff it passes the Gopher rule gate
+    * ([[TextAnalysis2.gopherColumns]]) AND it is its near-dup cluster's
+    * best representative ([[Dedup.keepBest]]). One row per doc with
+    * each stage's verdict, so the pipeline's yield is auditable per
+    * stage. Both stages are the already-green operators run unchanged;
+    * the oracle composes their CTEs the same way — the COMPOSITION is
+    * what this query verifies.
+    */
+  def curateCorpus(t: Tables): DataFrame = {
+    val quality = TextAnalysis2.gopherColumns(t.documents)
+      .select(col("doc_id"), col("n_words"), col("keep").as("keep_quality"))
+    val kb = Dedup.keepBest(t)
+      .select(col("doc_id"), col("cluster_id"), col("keep_best").as("keep_dedup"))
+    quality.join(kb, Seq("doc_id"))
+      .withColumn("kept", col("keep_quality") && col("keep_dedup"))
+      .select("doc_id", "cluster_id", "n_words", "keep_quality", "keep_dedup", "kept")
+      .orderBy("doc_id")
+  }
+
+  val curateCorpusSql: String =
+    s"""${graft.operators.Dedup.clustersCte},
+       |kb AS (
+       | SELECT l3.id AS doc_id, l3.lbl AS cluster_id,
+       |  ROW_NUMBER() OVER (PARTITION BY l3.lbl
+       |    ORDER BY d.n_chars DESC, l3.id) = 1 AS keep_dedup
+       | FROM l3 JOIN documents d ON l3.id = d.doc_id),
+       |q AS (
+       | SELECT doc_id,
+       |  CAST(len(string_split(text, ' ')) AS INT) AS n_words,
+       |  ${TextAnalysis2.gopherKeepRawSql} AS keep_quality
+       | FROM documents)
+       |SELECT q.doc_id, kb.cluster_id, q.n_words, q.keep_quality, kb.keep_dedup,
+       | q.keep_quality AND kb.keep_dedup AS kept
+       |FROM q JOIN kb USING (doc_id)
+       |ORDER BY q.doc_id""".stripMargin
 }

@@ -532,7 +532,7 @@ object Dedup {
     * valid because the data's clusters converge within three rounds, and
     * a converged fixpoint equals any later round.
     */
-  private lazy val clustersCte: String =
+  private[operators] lazy val clustersCte: String =
     s"""WITH g AS (
        | SELECT doc_id, ${Shingles.grams3Sql("text")} AS grams
        | FROM documents),

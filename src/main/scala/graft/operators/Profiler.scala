@@ -65,4 +65,41 @@ object Profiler {
       |  COUNT(DISTINCT c_mktsegment),
       |  MIN(c_mktsegment), MAX(c_mktsegment) FROM customer)
       |ORDER BY col_name""".stripMargin
+
+  private val SkewTopN = 10
+
+  /** Key-skew report — the diagnostic a shuffle-heavy pipeline runs
+    * BEFORE picking a partitioning: the [[SkewTopN]] heaviest join/agg
+    * keys with their row share and ratio to the mean key size. Exact
+    * integer counts; the two divisions are the only float steps. The
+    * per-key aggregation is the same single shuffle the real job would
+    * do — the report costs one pass, and keys whose ratio is large are
+    * the ones that need salting or AQE skew handling.
+    */
+  def skewReport(t: Tables): DataFrame = {
+    val counts = t.lineitem.groupBy("l_partkey").agg(count(lit(1)).as("n"))
+    val stats = counts.agg(
+      sum(col("n")).as("total_rows"),
+      count(lit(1)).as("n_keys"))
+    counts.crossJoin(broadcast(stats))
+      .select(col("l_partkey"), col("n"),
+        (col("n").cast("double") / col("total_rows")).as("row_share"),
+        (col("n").cast("double") /
+          (col("total_rows").cast("double") / col("n_keys"))).as("ratio_vs_mean"))
+      .orderBy(col("n").desc, col("l_partkey"))
+      .limit(SkewTopN)
+  }
+
+  val skewReportSql: String =
+    s"""WITH c AS (
+       | SELECT l_partkey, CAST(COUNT(*) AS BIGINT) AS n
+       | FROM lineitem GROUP BY l_partkey),
+       |s AS (SELECT CAST(SUM(n) AS BIGINT) AS total_rows,
+       |  CAST(COUNT(*) AS BIGINT) AS n_keys FROM c)
+       |SELECT l_partkey, n,
+       | CAST(n AS DOUBLE) / total_rows AS row_share,
+       | CAST(n AS DOUBLE) / (CAST(total_rows AS DOUBLE) / n_keys) AS ratio_vs_mean
+       |FROM c, s
+       |ORDER BY n DESC, l_partkey
+       |LIMIT $SkewTopN""".stripMargin
 }

@@ -128,6 +128,24 @@ object TextAnalysis2 {
           col("diversity_ok") && col("dominance_ok"))
   }
 
+  /** The overall keep decision as one boolean SQL expression over a raw
+    * `text` column — reused by composed-pipeline oracles
+    * ([[Curation.curateCorpusSql]]); must stay in lockstep with the
+    * rule thresholds above.
+    */
+  private[operators] val gopherKeepRawSql: String = {
+    val sw = GopherStopwords.map(s => s"'$s'").mkString(", ")
+    val n = "len(string_split(text, ' '))"
+    s"""($n >= 30 AND $n <= 100000
+       |  AND CAST(length(text) - ($n - 1) AS DOUBLE) / $n >= 3.0
+       |  AND CAST(length(text) - ($n - 1) AS DOUBLE) / $n <= 10.0
+       |  AND len(list_filter(string_split(text, ' '), w -> w IN ($sw))) >= 2
+       |  AND CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE) / $n >= 0.45
+       |  AND CAST(list_max(list_transform(list_distinct(string_split(text, ' ')),
+       |    w -> len(list_filter(string_split(text, ' '), x -> x = w)))) AS DOUBLE)
+       |    / $n <= 0.15)""".stripMargin
+  }
+
   val gopherQualitySql: String = {
     val sw = GopherStopwords.map(s => s"'$s'").mkString(", ")
     s"""WITH b AS (

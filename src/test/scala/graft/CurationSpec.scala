@@ -232,4 +232,37 @@ class CurationSpec extends SparkSpec {
     val q12 = Relational5.latePriorityLines(sf).queryExecution.executedPlan.toString
     assert(!q12.contains("CartesianProduct") && !q12.contains("NestedLoop"), q12)
   }
+
+  test("curate pipeline composes the gate and keep-best verdicts auditable per stage") {
+    val rows = Curation.curateCorpus(sf).collect()
+    assert(rows.length == sf.documents.count())
+    rows.foreach { r =>
+      assert(r.getBoolean(5) == (r.getBoolean(3) && r.getBoolean(4)))
+    }
+    // both stages must actually reject something, and the composition
+    // must keep something
+    assert(rows.exists(!_.getBoolean(3)) && rows.exists(!_.getBoolean(4)))
+    assert(rows.exists(_.getBoolean(5)))
+    // stage verdicts match the standalone operators
+    val gate = graft.operators.TextAnalysis2.gopherQuality(sf).collect()
+      .map(r => r.getLong(0) -> r.getBoolean(11)).toMap
+    val kb = graft.operators.Dedup.keepBest(sf).collect()
+      .map(r => r.getLong(0) -> r.getBoolean(3)).toMap
+    rows.foreach { r =>
+      assert(r.getBoolean(3) == gate(r.getLong(0)))
+      assert(r.getBoolean(4) == kb(r.getLong(0)))
+    }
+  }
+
+  test("skew report surfaces the heaviest keys with consistent shares") {
+    val rows = graft.operators.Profiler.skewReport(sf).collect()
+    assert(rows.length == 10)
+    val ns = rows.map(_.getLong(1))
+    assert(ns.sliding(2).forall { case Array(a, b) => a >= b; case _ => true })
+    val total = sf.lineitem.count().toDouble
+    rows.foreach { r =>
+      assert(math.abs(r.getDouble(2) - r.getLong(1) / total) < 1e-12)
+      assert(r.getDouble(3) > 0)
+    }
+  }
 }
