@@ -96,4 +96,32 @@ class TextAnalysis2Spec extends SparkSpec {
     val plan = TextAnalysis2.invertedIndex(sf).queryExecution.executedPlan.toString
     assert(plan.contains("TopKPerKey"), plan)
   }
+
+  test("substring dedup shuffles hashed longs, no UDF, no cartesian") {
+    val plan = TextAnalysis2.substringDedup(sf).queryExecution.executedPlan.toString
+    assert(!plan.contains("ScalaUDF"), plan)
+    assert(!plan.contains("Cartesian") && !plan.contains("NestedLoop"), plan)
+    // the span hash column crossing the gram aggregation is a bigint
+    assert(plan.contains("xxhash64"), plan)
+  }
+
+  test("bm25 broadcasts the one-row corpus stats, never shuffles the scan") {
+    val plan = TextAnalysis2.bm25(sf).queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastExchange"),
+      plan)
+    assert(!plan.contains("SortMergeJoin"), plan)
+  }
+
+  test("gopher gate and diversity are single-scan projections (no shuffle before sort)") {
+    Seq(
+      TextAnalysis2.gopherColumns(sf.documents),
+      TextAnalysis2.diversity(sf)).foreach { df =>
+      val plan = df.queryExecution.executedPlan.toString
+      assert(!plan.contains("ScalaUDF"), plan)
+    }
+    // gopherColumns itself introduces NO exchange at all
+    val gate = TextAnalysis2.gopherColumns(sf.documents)
+      .queryExecution.executedPlan.toString
+    assert(!gate.contains("Exchange"), gate)
+  }
 }
