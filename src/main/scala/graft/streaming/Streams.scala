@@ -198,4 +198,50 @@ object Streams {
       .groupByKey(_.user_id)
       .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.EventTimeTimeout())(fn)
   }
+
+  // top-level for the same state-encoder codegen reason as SessionState
+  final case class ThrottleState(hourStart: Long, n: Long)
+
+  /** Per-key rate limiting: at most `maxPerHour` events pass per user
+    * per event-time hour; the rest drop — the ingestion-hygiene valve
+    * against runaway producers and scraper storms. State per key is TWO
+    * longs (current hour bucket + count), expired by event-time timeout
+    * once the watermark passes the hour — bounded regardless of stream
+    * length or key cardinality. Events within a micro-batch are
+    * processed in (ts, value) order so replays admit the same events.
+    */
+  def throttleStream(events: Dataset[Event], maxPerHour: Long): Dataset[Event] = {
+    import events.sparkSession.implicits._
+    val HourMs = 3600L * 1000L
+
+    def fn(userId: Long, it: Iterator[Event],
+        state: GroupState[ThrottleState]): Iterator[Event] = {
+      if (state.hasTimedOut) { state.remove(); Iterator.empty }
+      else {
+        var cur = state.getOption
+        val out = List.newBuilder[Event]
+        it.toSeq.sortBy(e => (e.ts.getTime, e.value)).foreach { e =>
+          val hour = e.ts.getTime / HourMs * HourMs
+          cur match {
+            case Some(s) if s.hourStart == hour =>
+              if (s.n < maxPerHour) { out += e; cur = Some(s.copy(n = s.n + 1)) }
+            case _ =>
+              // new (or first) hour bucket for this key
+              out += e
+              cur = Some(ThrottleState(hour, 1))
+          }
+        }
+        cur.foreach { s =>
+          state.update(s)
+          state.setTimeoutTimestamp(s.hourStart + 2 * HourMs)
+        }
+        out.result().iterator
+      }
+    }
+
+    events
+      .withWatermark("ts", "2 hours")
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.EventTimeTimeout())(fn)
+  }
 }

@@ -214,6 +214,33 @@ class StreamingSpec extends SparkSpec {
     assert(batch == keep)
   }
 
+  test("throttle stream caps each user at maxPerHour and resets on a new hour") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Event]
+    val q = Streams.throttleStream(input.toDS(), maxPerHour = 3)
+      .writeStream.format("memory").queryName("throttled")
+      .outputMode("append").start()
+    // five events for user 1 in hour 10:xx -> only 3 pass; user 2 unaffected
+    input.addData(
+      Event(1, ts(1), "click", 1.0), Event(1, ts(2), "click", 2.0),
+      Event(1, ts(3), "click", 3.0), Event(1, ts(4), "click", 4.0),
+      Event(1, ts(5), "click", 5.0),
+      Event(2, ts(6), "view", 1.0))
+    q.processAllAvailable()
+    // a new hour bucket re-admits user 1
+    input.addData(Event(1, Timestamp.valueOf("2025-01-01 11:30:00"), "click", 9.0))
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.table("throttled").collect()
+    val u1Hour10 = rows.filter(r => r.getLong(0) == 1 && r.getTimestamp(1).before(
+      Timestamp.valueOf("2025-01-01 11:00:00")))
+    assert(u1Hour10.length == 3)
+    // deterministic: the FIRST three by ts pass
+    assert(u1Hour10.map(_.getDouble(3)).sorted.sameElements(Array(1.0, 2.0, 3.0)))
+    assert(rows.count(r => r.getLong(0) == 2) == 1)
+    assert(rows.exists(r => r.getLong(0) == 1 && r.getDouble(3) == 9.0))
+  }
+
   test("rate-source event generator emits the kafka event shape and flows into the window agg") {
     val src = graft.sources.Sources.rateEvents(spark, rowsPerSecond = 500)
     assert(src.isStreaming)
