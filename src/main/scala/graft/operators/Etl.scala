@@ -168,6 +168,20 @@ object Etl {
       |FROM customer
       |ORDER BY customer_id""".stripMargin
 
+  /** [[normalize]] instrumented with `observe()` metrics: row count,
+    * null-name count, and negative-balance count ride the SAME scan as
+    * the data (no second pass) and surface through Spark's
+    * QueryExecutionListener — the load-gate counters a production ETL
+    * exports per batch. The returned frame is the normalized output
+    * unchanged; metrics are a side channel, so correctness contracts
+    * stay intact.
+    */
+  def normalizeObserved(t: Tables): DataFrame =
+    normalize(t).observe("etl_normalize_metrics",
+      count(lit(1)).as("n_rows"),
+      sum(when(col("name") === "", 1L).otherwise(0L)).as("n_blank_names"),
+      sum(when(col("acctbal") < 0, 1L).otherwise(0L)).as("n_negative_balances"))
+
   /** The schema-conformance half of `_normalize_df` (loaders.py:115):
     * alias mapping (`customer_name`→`name`, loaders.py:121), UUID-typed
     * `event_id` coerced to its canonical string form (loaders.py:141 —

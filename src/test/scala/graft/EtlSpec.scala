@@ -102,4 +102,31 @@ class EtlSpec extends SparkSpec {
     val df = Etl.factInventory(sf)
     assert(df.count() == df.select("date", "product_id", "warehouse_id").distinct().count())
   }
+
+  test("observed normalize exports load-gate metrics on the same scan") {
+    @volatile var metrics: Option[org.apache.spark.sql.Row] = None
+    val listener = new org.apache.spark.sql.util.QueryExecutionListener {
+      override def onSuccess(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution, durationNs: Long): Unit = {
+        qe.observedMetrics.get("etl_normalize_metrics").foreach(r => metrics = Some(r))
+      }
+      override def onFailure(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution, exception: Exception): Unit = ()
+    }
+    spark.listenerManager.register(listener)
+    try {
+      val out = Etl.normalizeObserved(sf)
+      val n = out.count()
+      // data unchanged vs the uninstrumented operator
+      assert(n == Etl.normalize(sf).count())
+      // the listener fires asynchronously after the action
+      val deadline = System.currentTimeMillis() + 10000
+      while (metrics.isEmpty && System.currentTimeMillis() < deadline) Thread.sleep(50)
+      assert(metrics.nonEmpty, "observe metrics never arrived")
+      val m = metrics.get
+      assert(m.getAs[Long]("n_rows") == n)
+      val negatives = Etl.normalize(sf).where(col("acctbal") < 0).count()
+      assert(m.getAs[Long]("n_negative_balances") == negatives)
+    } finally spark.listenerManager.unregister(listener)
+  }
 }
