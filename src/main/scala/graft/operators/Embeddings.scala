@@ -215,4 +215,44 @@ object Embeddings {
       | FROM (SELECT label, embedding::DOUBLE[] AS v FROM embeddings))
       |GROUP BY label, pos
       |ORDER BY label, pos""".stripMargin
+
+  /** int8 scalar quantization — the simple 8x-compression tier next to
+    * [[pqEncode]]'s 64x: per-DIMENSION min/max bounds (one tiny
+    * aggregation, broadcast back) and a 256-level uniform code per
+    * element, with midpoint dequantization and the per-element error
+    * surfaced. `floor` (not round) keeps the code deterministic across
+    * engines; a constant dimension (hi == lo) codes to 0 and
+    * reconstructs exactly. One narrow pass over the corpus at scale.
+    */
+  def int8Quantize(t: Tables): DataFrame = {
+    val ex = t.embeddings.select(col("vec_id"),
+      posexplode(col("embedding").cast("array<double>")).as(Seq("pos", "x")))
+    val bounds = ex.groupBy("pos").agg(min(col("x")).as("lo"), max(col("x")).as("hi"))
+    ex.join(broadcast(bounds), Seq("pos"))
+      .withColumn("code",
+        when(col("hi") === col("lo"), lit(0L)).otherwise(
+          least(lit(255L), floor((col("x") - col("lo")) / (col("hi") - col("lo")) * 256)))
+        .cast("int"))
+      .withColumn("xhat",
+        col("lo") + (col("code") + lit(0.5)) / lit(256.0) * (col("hi") - col("lo")))
+      .select(col("vec_id"), col("pos"), col("x"), col("code"), col("xhat"),
+        (col("x") - col("xhat")).as("err"))
+      .orderBy("vec_id", "pos")
+  }
+
+  val int8QuantizeSql: String =
+    """WITH ex AS (
+      | SELECT vec_id, unnest(range(len(v))) AS pos, unnest(v) AS x
+      | FROM (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)),
+      |b AS (SELECT pos, MIN(x) AS lo, MAX(x) AS hi FROM ex GROUP BY pos),
+      |c AS (
+      | SELECT vec_id, ex.pos, x, lo, hi,
+      |  CAST(CASE WHEN hi = lo THEN 0
+      |       ELSE LEAST(255, floor((x - lo) / (hi - lo) * 256)) END AS INT) AS code
+      | FROM ex JOIN b ON ex.pos = b.pos)
+      |SELECT vec_id, CAST(pos AS INT) AS pos, x, code,
+      | lo + (code + 0.5) / 256.0 * (hi - lo) AS xhat,
+      | x - (lo + (code + 0.5) / 256.0 * (hi - lo)) AS err
+      |FROM c
+      |ORDER BY vec_id, pos""".stripMargin
 }

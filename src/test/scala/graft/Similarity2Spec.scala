@@ -76,4 +76,23 @@ class Similarity2Spec extends SparkSpec {
     assert(plan.contains("BroadcastHashJoin"), plan)
     assert(!plan.contains("CartesianProduct") && !plan.contains("NestedLoop"), plan)
   }
+
+  test("int8 quantization bounds the error by half a quantization step per dimension") {
+    val rows = graft.operators.Embeddings.int8Quantize(sf).collect()
+    assert(rows.nonEmpty)
+    // per-dimension bounds recomputed by hand
+    val byPos = rows.groupBy(_.getInt(1))
+    byPos.foreach { case (_, dim) =>
+      val xs = dim.map(_.getDouble(2))
+      val (lo, hi) = (xs.min, xs.max)
+      val step = (hi - lo) / 256.0
+      dim.foreach { r =>
+        val code = r.getInt(3)
+        assert(code >= 0 && code <= 255)
+        // midpoint dequantization error is at most half a step (+ float slack)
+        assert(math.abs(r.getDouble(5)) <= step / 2 + 1e-9,
+          s"err ${r.getDouble(5)} vs step $step")
+      }
+    }
+  }
 }
