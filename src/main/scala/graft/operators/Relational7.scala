@@ -129,4 +129,57 @@ object Relational7 {
       |   AS yoy_growth
       |FROM l
       |ORDER BY month""".stripMargin
+
+  private val CorrCols = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+
+  /** Pearson correlation matrix over the fact table's numeric columns —
+    * computed from DECIMAL-EXACT power sums (Σx, Σx², Σxy at scale 4),
+    * so the distributed aggregation is partition-order independent, then
+    * the closed-form correlation is evaluated in double from those exact
+    * sums with the identical expression tree in both engines. One
+    * aggregation pass produces every pair (no per-pair rescans); the
+    * usual streaming-corr implementations accumulate doubles in row
+    * order and are NOT reproducible across cluster layouts — this is.
+    */
+  def corrMatrix(t: Tables): DataFrame = {
+    val d = (c: String) => col(c).cast(org.apache.spark.sql.types.DecimalType(12, 2))
+    val sums =
+      count(lit(1)).cast("double").as("n") +:
+        (CorrCols.map(c => sum(d(c)).cast("double").as(s"s_$c")) ++
+          CorrCols.map(c => sum(d(c) * d(c)).cast("double").as(s"ss_$c")) ++
+          CorrCols.combinations(2).toSeq.map { case Seq(a, b) =>
+            sum(d(a) * d(b)).cast("double").as(s"sp_${a}_$b")
+          })
+    val agg = t.lineitem.agg(sums.head, sums.tail: _*)
+    val pairs = CorrCols.combinations(2).toSeq.map { case Seq(a, b) =>
+      val corr = (col("n") * col(s"sp_${a}_$b") - col(s"s_$a") * col(s"s_$b")) /
+        (sqrt(col("n") * col(s"ss_$a") - col(s"s_$a") * col(s"s_$a")) *
+          sqrt(col("n") * col(s"ss_$b") - col(s"s_$b") * col(s"s_$b")))
+      struct(lit(a).as("col_a"), lit(b).as("col_b"), corr.as("pearson_r"))
+    }
+    agg.select(explode(array(pairs: _*)).as("p"))
+      .select(col("p.col_a"), col("p.col_b"), col("p.pearson_r"))
+      .orderBy("col_a", "col_b")
+  }
+
+  val corrMatrixSql: String = {
+    val d = (c: String) => s"CAST($c AS DECIMAL(12,2))"
+    val sumCols =
+      (s"CAST(COUNT(*) AS DOUBLE) AS n" +:
+        (CorrCols.map(c => s"CAST(SUM(${d(c)}) AS DOUBLE) AS s_$c") ++
+          CorrCols.map(c => s"CAST(SUM(${d(c)} * ${d(c)}) AS DOUBLE) AS ss_$c") ++
+          CorrCols.combinations(2).toSeq.map { case Seq(a, b) =>
+            s"CAST(SUM(${d(a)} * ${d(b)}) AS DOUBLE) AS sp_${a}_$b"
+          })).mkString(", ")
+    val rows = CorrCols.combinations(2).toSeq.map { case Seq(a, b) =>
+      s"""SELECT '$a' AS col_a, '$b' AS col_b,
+         | (n * sp_${a}_$b - s_$a * s_$b) /
+         |  (sqrt(n * ss_$a - s_$a * s_$a) * sqrt(n * ss_$b - s_$b * s_$b))
+         |  AS pearson_r
+         |FROM sums""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"""WITH sums AS (SELECT $sumCols FROM lineitem)
+       |$rows
+       |ORDER BY col_a, col_b""".stripMargin
+  }
 }

@@ -53,4 +53,25 @@ class Relational7Spec extends SparkSpec {
     // the first 12 months have no prior year
     assert(rows.take(12).forall(_.isNullAt(2)))
   }
+
+  test("correlation matrix matches a driver-side exact recount") {
+    val rows = Relational7.corrMatrix(sf).collect()
+    assert(rows.length == 6)
+    rows.foreach(r => assert(math.abs(r.getDouble(2)) <= 1.0 + 1e-12))
+    // recount one pair exactly with BigDecimal sums
+    val data = sf.lineitem.select("l_quantity", "l_extendedprice").collect()
+      .map(r => (BigDecimal(r.getDouble(0)).setScale(2, BigDecimal.RoundingMode.HALF_UP),
+        BigDecimal(r.getDouble(1)).setScale(2, BigDecimal.RoundingMode.HALF_UP)))
+    val n = data.length.toDouble
+    val sx = data.map(_._1).sum.toDouble; val sy = data.map(_._2).sum.toDouble
+    val sxx = data.map(p => p._1 * p._1).sum.toDouble
+    val syy = data.map(p => p._2 * p._2).sum.toDouble
+    val sxy = data.map(p => p._1 * p._2).sum.toDouble
+    val expect = (n * sxy - sx * sy) /
+      (math.sqrt(n * sxx - sx * sx) * math.sqrt(n * syy - sy * sy))
+    val got = rows.find(r => r.getString(0) == "l_extendedprice" && r.getString(1) == "l_quantity")
+      .orElse(rows.find(r => r.getString(0) == "l_quantity" && r.getString(1) == "l_extendedprice"))
+      .get.getDouble(2)
+    assert(math.abs(got - expect) < 1e-9, s"got $got want $expect")
+  }
 }
