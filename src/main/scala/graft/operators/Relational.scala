@@ -347,15 +347,27 @@ object Relational {
     * bit-reproducible (no single-pass float accumulation).
     */
   def stats(t: Tables): DataFrame = {
-    val q  = dec(col("l_quantity"))
-    val p  = dec(col("l_extendedprice"))
+    // CENTS-INTEGER power sums, held exactly in scale-0 decimals, and
+    // converted to double via a hi/lo split at 10⁹ — a scale-4
+    // decimal→double cast is double-rounded in DuckDB (caught at
+    // sf0.001), and beyond ~1.8e19 DuckDB's int128→double TRUNCATES; the
+    // split parts each convert exactly, so both engines perform the same
+    // two IEEE ops and agree bitwise for sums up to ~9e24.
+    val d38 = org.apache.spark.sql.types.DecimalType(38, 0)
+    val qc = (dec(col("l_quantity")) * 100).cast("long")
+    val pc = (dec(col("l_extendedprice")) * 100).cast("long")
+    def toD(s: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+      val lo = pmod(s, lit(1000000000L))
+      val hi = (s - lo) / lit(1000000000L)
+      hi.cast("double") * lit(1.0e9) + lo.cast("double")
+    }
     val base = t.lineitem.groupBy("l_returnflag").agg(
       count(lit(1)).cast("double").as("n"),
-      sum(q).cast("double").as("sum_q"),
-      sum(q * q).cast("double").as("sum_q2"),
-      sum(p).cast("double").as("sum_p"),
-      sum(p * p).cast("double").as("sum_p2"),
-      sum(q * p).cast("double").as("sum_qp"))
+      (toD(sum(qc.cast(d38))) / 100.0).as("sum_q"),
+      (toD(sum((qc * qc).cast(d38))) / 10000.0).as("sum_q2"),
+      (toD(sum(pc.cast(d38))) / 100.0).as("sum_p"),
+      (toD(sum((pc * pc).cast(d38))) / 10000.0).as("sum_p2"),
+      (toD(sum((qc * pc).cast(d38))) / 10000.0).as("sum_qp"))
     base.select(
         col("l_returnflag"),
         col("n").cast("long").as("n"),
@@ -376,12 +388,22 @@ object Relational {
       |FROM (
       | SELECT l_returnflag,
       |  CAST(COUNT(*) AS DOUBLE) AS n,
-      |  CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_q,
-      |  CAST(SUM(CAST(l_quantity AS DECIMAL(12,2)) * CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_q2,
-      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_p,
-      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_p2,
-      |  CAST(SUM(CAST(l_quantity AS DECIMAL(12,2)) * CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_qp
-      | FROM lineitem GROUP BY l_returnflag)
+      |  (CAST((SUM(qc) - (SUM(qc) % 1000000000)) // 1000000000 AS DOUBLE) * 1.0e9
+      |    + CAST(SUM(qc) % 1000000000 AS DOUBLE)) / 100.0 AS sum_q,
+      |  (CAST((SUM(qc * qc) - (SUM(qc * qc) % 1000000000)) // 1000000000 AS DOUBLE) * 1.0e9
+      |    + CAST(SUM(qc * qc) % 1000000000 AS DOUBLE)) / 10000.0 AS sum_q2,
+      |  (CAST((SUM(pc) - (SUM(pc) % 1000000000)) // 1000000000 AS DOUBLE) * 1.0e9
+      |    + CAST(SUM(pc) % 1000000000 AS DOUBLE)) / 100.0 AS sum_p,
+      |  (CAST((SUM(pc * pc) - (SUM(pc * pc) % 1000000000)) // 1000000000 AS DOUBLE) * 1.0e9
+      |    + CAST(SUM(pc * pc) % 1000000000 AS DOUBLE)) / 10000.0 AS sum_p2,
+      |  (CAST((SUM(qc * pc) - (SUM(qc * pc) % 1000000000)) // 1000000000 AS DOUBLE) * 1.0e9
+      |    + CAST(SUM(qc * pc) % 1000000000 AS DOUBLE)) / 10000.0 AS sum_qp
+      | FROM (
+      |  SELECT l_returnflag,
+      |   CAST(CAST(l_quantity AS DECIMAL(12,2)) * 100 AS BIGINT) AS qc,
+      |   CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * 100 AS BIGINT) AS pc
+      |  FROM lineitem)
+      | GROUP BY l_returnflag)
       |ORDER BY l_returnflag""".stripMargin
 
   /** As-of join: for each purchase, the most recent prior view's value for

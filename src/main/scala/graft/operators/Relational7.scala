@@ -2,7 +2,7 @@ package graft.operators
 
 import graft.Tables
 import graft.functions.Exact.{dec, discPrice}
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -142,13 +142,27 @@ object Relational7 {
     * order and are NOT reproducible across cluster layouts — this is.
     */
   def corrMatrix(t: Tables): DataFrame = {
-    val d = (c: String) => col(c).cast(org.apache.spark.sql.types.DecimalType(12, 2))
+    // cents-integer power sums in scale-0 decimals: a scale-4
+    // decimal→double cast is double-rounded in DuckDB, and beyond ~1.8e19
+    // even DuckDB's int128→double TRUNCATES instead of rounding — so the
+    // exact sum is split at 10⁹ into hi/lo parts (each converts to double
+    // exactly in any engine) and recombined with the same two IEEE ops on
+    // both sides. Deterministic for sums up to ~9e24 (hi < 2⁵³).
+    val d38 = org.apache.spark.sql.types.DecimalType(38, 0)
+    val d = (c: String) =>
+      (col(c).cast(org.apache.spark.sql.types.DecimalType(12, 2)) * 100).cast("long")
+    def toD(s: Column): Column = {
+      val lo = pmod(s, lit(1000000000L))
+      val hi = (s - lo) / lit(1000000000L)
+      hi.cast("double") * lit(1.0e9) + lo.cast("double")
+    }
     val sums =
       count(lit(1)).cast("double").as("n") +:
-        (CorrCols.map(c => sum(d(c)).cast("double").as(s"s_$c")) ++
-          CorrCols.map(c => sum(d(c) * d(c)).cast("double").as(s"ss_$c")) ++
+        (CorrCols.map(c => (toD(sum(d(c).cast(d38))) / 100.0).as(s"s_$c")) ++
+          CorrCols.map(c =>
+            (toD(sum((d(c) * d(c)).cast(d38))) / 10000.0).as(s"ss_$c")) ++
           CorrCols.combinations(2).toSeq.map { case Seq(a, b) =>
-            sum(d(a) * d(b)).cast("double").as(s"sp_${a}_$b")
+            (toD(sum((d(a) * d(b)).cast(d38))) / 10000.0).as(s"sp_${a}_$b")
           })
     val agg = t.lineitem.agg(sums.head, sums.tail: _*)
     val pairs = CorrCols.combinations(2).toSeq.map { case Seq(a, b) =>
@@ -163,13 +177,19 @@ object Relational7 {
   }
 
   val corrMatrixSql: String = {
-    val d = (c: String) => s"CAST($c AS DECIMAL(12,2))"
+    val cents = CorrCols
+      .map(c => s"CAST(CAST($c AS DECIMAL(12,2)) * 100 AS BIGINT) AS ${c}_c")
+      .mkString(", ")
+    // hi/lo split at 10^9 mirrors the Spark-side toD bitwise
+    def toD(e: String) =
+      s"(CAST(($e - ($e % 1000000000)) // 1000000000 AS DOUBLE) * 1.0e9" +
+        s" + CAST($e % 1000000000 AS DOUBLE))"
     val sumCols =
       (s"CAST(COUNT(*) AS DOUBLE) AS n" +:
-        (CorrCols.map(c => s"CAST(SUM(${d(c)}) AS DOUBLE) AS s_$c") ++
-          CorrCols.map(c => s"CAST(SUM(${d(c)} * ${d(c)}) AS DOUBLE) AS ss_$c") ++
+        (CorrCols.map(c => s"${toD(s"SUM(${c}_c)")} / 100.0 AS s_$c") ++
+          CorrCols.map(c => s"${toD(s"SUM(${c}_c * ${c}_c)")} / 10000.0 AS ss_$c") ++
           CorrCols.combinations(2).toSeq.map { case Seq(a, b) =>
-            s"CAST(SUM(${d(a)} * ${d(b)}) AS DOUBLE) AS sp_${a}_$b"
+            s"${toD(s"SUM(${a}_c * ${b}_c)")} / 10000.0 AS sp_${a}_$b"
           })).mkString(", ")
     val rows = CorrCols.combinations(2).toSeq.map { case Seq(a, b) =>
       s"""SELECT '$a' AS col_a, '$b' AS col_b,
@@ -178,7 +198,8 @@ object Relational7 {
          |  AS pearson_r
          |FROM sums""".stripMargin
     }.mkString("\nUNION ALL\n")
-    s"""WITH sums AS (SELECT $sumCols FROM lineitem)
+    s"""WITH sums AS (
+       | SELECT $sumCols FROM (SELECT $cents FROM lineitem))
        |$rows
        |ORDER BY col_a, col_b""".stripMargin
   }
