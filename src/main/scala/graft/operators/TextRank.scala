@@ -168,4 +168,44 @@ object TextRank {
       | FROM documents)
       |GROUP BY split, lang
       |ORDER BY split, lang""".stripMargin
+
+  private val OovVocabSize = 20
+
+  /** Out-of-vocabulary rate per document against the corpus's own
+    * top-[[OovVocabSize]] token vocabulary — the tokenizer-prep metric
+    * that decides vocab size and flags domain-shifted documents. The
+    * vocabulary is a [[OovVocabSize]]-row broadcast; the per-doc pass is
+    * one exploded left join + aggregation, linear at corpus scale.
+    */
+  def oovRate(t: Tables): DataFrame = {
+    val ex = t.documents
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
+      .where(length(col("token")) > 0)
+    val voc = ex.groupBy("token").agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("token")).limit(OovVocabSize)
+      .select(col("token"), lit(1).as("in_vocab"))
+    ex.join(broadcast(voc), Seq("token"), "left")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(when(col("in_vocab").isNull, 1L).otherwise(0L)).as("n_oov"))
+      .select(col("doc_id"), col("n_tokens"), col("n_oov"),
+        (col("n_oov").cast("double") / col("n_tokens")).as("oov_rate"))
+      .orderBy("doc_id")
+  }
+
+  val oovRateSql: String =
+    s"""WITH ex AS (
+       | SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents),
+       |exf AS (SELECT doc_id, token FROM ex WHERE length(token) > 0),
+       |voc AS (
+       | SELECT token FROM (
+       |  SELECT token, ROW_NUMBER() OVER (ORDER BY COUNT(*) DESC, token) AS rk
+       |  FROM exf GROUP BY token)
+       | WHERE rk <= $OovVocabSize)
+       |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+       | CAST(SUM(CASE WHEN voc.token IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_oov,
+       | CAST(SUM(CASE WHEN voc.token IS NULL THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*) AS oov_rate
+       |FROM exf LEFT JOIN voc ON exf.token = voc.token
+       |GROUP BY doc_id
+       |ORDER BY doc_id""".stripMargin
 }

@@ -168,4 +168,38 @@ object TimeSeries {
       |GROUP BY user_id
       |HAVING SUM(dur) > 0
       |ORDER BY user_id""".stripMargin
+
+  /** 2-D histogram (heatmap feed): quantity-decile x discount-band cell
+    * counts with exact-decimal revenue per cell. Bucket keys are exact
+    * integer arithmetic on the decimal domain values, so cells are
+    * engine-portable; one aggregation pass, bounded output (cells, not
+    * rows), the standard dashboard heatmap shape.
+    */
+  def histogram2d(t: Tables): DataFrame = {
+    // bucket on integer CENTS with floor division (Spark's decimal→long
+    // cast truncates where DuckDB's rounds — cents avoid the cast): the
+    // double ratios below are exact or safely floor-truncating for the
+    // bounded cent values, identical in both engines
+    val qc = (dec(col("l_quantity")) * 100).cast("long")
+    val dc = (dec(col("l_discount")) * 100).cast("long")
+    t.lineitem
+      .withColumn("q_bucket", least(lit(4L), (qc / lit(1000)).cast("long")).cast("int"))
+      .withColumn("d_bucket", (dc / lit(2)).cast("long").cast("int"))
+      .groupBy("q_bucket", "d_bucket")
+      .agg(count(lit(1)).as("n"),
+        sum(discPrice(col("l_extendedprice"), col("l_discount")))
+          .cast("double").as("revenue"))
+      .orderBy("q_bucket", "d_bucket")
+  }
+
+  val histogram2dSql: String =
+    """SELECT
+      | CAST(LEAST(4, CAST(CAST(l_quantity AS DECIMAL(12,2)) * 100 AS BIGINT) // 1000) AS INT) AS q_bucket,
+      | CAST(CAST(CAST(l_discount AS DECIMAL(12,2)) * 100 AS BIGINT) // 2 AS INT) AS d_bucket,
+      | COUNT(*) AS n,
+      | CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) *
+      |   CAST(1 - CAST(l_discount AS DECIMAL(4,2)) AS DECIMAL(8,4))) AS DOUBLE) AS revenue
+      |FROM lineitem
+      |GROUP BY 1, 2
+      |ORDER BY q_bucket, d_bucket""".stripMargin
 }

@@ -74,4 +74,15 @@ class Relational7Spec extends SparkSpec {
       .get.getDouble(2)
     assert(math.abs(got - expect) < 1e-9, s"got $got want $expect")
   }
+
+  test("2-D histogram cells partition all of lineitem and cap the quantity decile") {
+    val rows = graft.operators.TimeSeries.histogram2d(sf).collect()
+    assert(rows.map(_.getLong(2)).sum == sf.lineitem.count())
+    rows.foreach { r =>
+      assert(r.getInt(0) >= 0 && r.getInt(0) <= 4)
+      assert(r.getInt(1) >= 0 && r.getInt(1) <= 5)
+    }
+    // cell keys unique
+    assert(rows.map(r => (r.getInt(0), r.getInt(1))).distinct.length == rows.length)
+  }
 }

@@ -124,4 +124,21 @@ class TextAnalysis2Spec extends SparkSpec {
       .queryExecution.executedPlan.toString
     assert(!gate.contains("Exchange"), gate)
   }
+
+  test("oov rate counts exactly the tokens outside the corpus top-20 vocab") {
+    val rows = graft.operators.TextRank.oovRate(sf).collect()
+    assert(rows.length == sf.documents.count())
+    // recount with a driver-side vocabulary
+    val toks = sf.documents.collect().flatMap(r =>
+      r.getString(1).split(" ").filter(_.nonEmpty).map(tok => (r.getLong(0), tok)))
+    val vocab = toks.groupBy(_._2).view.mapValues(_.length).toSeq
+      .sortBy { case (tok, c) => (-c, tok) }.take(20).map(_._1).toSet
+    val byDoc = toks.groupBy(_._1)
+    rows.foreach { r =>
+      val ts = byDoc(r.getLong(0)).map(_._2)
+      assert(r.getLong(1) == ts.length)
+      assert(r.getLong(2) == ts.count(!vocab.contains(_)))
+      assert(r.getDouble(3) == ts.count(!vocab.contains(_)).toDouble / ts.length)
+    }
+  }
 }
