@@ -203,4 +203,49 @@ object Relational7 {
        |$rows
        |ORDER BY col_a, col_b""".stripMargin
   }
+
+  /** Ratio-to-parent report: each nation's revenue share WITHIN its
+    * region (partitioned window over the aggregated nation rows) plus
+    * the region's share of the grand total — the classic drill-down
+    * percentage column. Windows run over one row per nation / region;
+    * the heavy work is the one revenue aggregation. Shares divide
+    * exact decimals in double, mirrored in the oracle.
+    */
+  def ratioToParent(t: Tables): DataFrame = {
+    val rev = t.lineitem
+      .join(broadcast(t.supplier), col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(t.nation), col("s_nationkey") === col("n_nationkey"))
+      .join(broadcast(t.region), col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("r_name"), col("n_name"))
+      .agg(sum(discPrice(col("l_extendedprice"), col("l_discount"))).as("rev"))
+    val wRegion = Window.partitionBy("r_name")
+    val wAll = Window.partitionBy()
+    rev
+      .withColumn("region_rev", sum(col("rev")).over(wRegion))
+      .withColumn("total_rev", sum(col("rev")).over(wAll))
+      .select(col("r_name"), col("n_name"),
+        col("rev").cast("double").as("revenue"),
+        (col("rev").cast("double") / col("region_rev").cast("double"))
+          .as("share_of_region"),
+        (col("region_rev").cast("double") / col("total_rev").cast("double"))
+          .as("region_share_of_total"))
+      .orderBy("r_name", "n_name")
+  }
+
+  val ratioToParentSql: String =
+    """WITH rev AS (
+      | SELECT r_name, n_name,
+      |  SUM(CAST(l_extendedprice AS DECIMAL(12,2)) *
+      |      CAST(1 - CAST(l_discount AS DECIMAL(4,2)) AS DECIMAL(8,4))) AS rev
+      | FROM lineitem, supplier, nation, region
+      | WHERE l_suppkey = s_suppkey AND s_nationkey = n_nationkey
+      |   AND n_regionkey = r_regionkey
+      | GROUP BY r_name, n_name)
+      |SELECT r_name, n_name, CAST(rev AS DOUBLE) AS revenue,
+      | CAST(rev AS DOUBLE) / CAST(SUM(rev) OVER (PARTITION BY r_name) AS DOUBLE)
+      |   AS share_of_region,
+      | CAST(SUM(rev) OVER (PARTITION BY r_name) AS DOUBLE)
+      |   / CAST(SUM(rev) OVER () AS DOUBLE) AS region_share_of_total
+      |FROM rev
+      |ORDER BY r_name, n_name""".stripMargin
 }

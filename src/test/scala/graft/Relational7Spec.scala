@@ -85,4 +85,17 @@ class Relational7Spec extends SparkSpec {
     // cell keys unique
     assert(rows.map(r => (r.getInt(0), r.getInt(1))).distinct.length == rows.length)
   }
+
+  test("ratio-to-parent shares sum to 1 within each region and overall") {
+    val rows = graft.operators.Relational7.ratioToParent(sf).collect()
+    assert(rows.nonEmpty)
+    rows.groupBy(_.getString(0)).foreach { case (_, region) =>
+      val s = region.map(_.getDouble(3)).sum
+      assert(math.abs(s - 1.0) < 1e-9, s"region shares sum $s")
+      // all nations in a region report the same region share
+      assert(region.map(_.getDouble(4)).distinct.length == 1)
+    }
+    val regionShares = rows.groupBy(_.getString(0)).map(_._2.head.getDouble(4)).sum
+    assert(math.abs(regionShares - 1.0) < 1e-9)
+  }
 }
