@@ -17,6 +17,15 @@ class EntrySpec extends SparkSpec {
     assert(ok.subsetOf(qk), s"orphan oracle keys: ${ok diff qk}")
   }
 
+  test("every query is oracled — the full-coverage invariant holds") {
+    // the whole inventory is hash-checked against DuckDB; a new query
+    // registered without an oracle silently downgrades to a rows-only
+    // check at the driver, so drift fails HERE first
+    val qk = SparkEntry.queries.keySet
+    val ok = SparkEntry.oracleSql.keySet
+    assert(qk == ok, s"un-oracled queries: ${qk diff ok}")
+  }
+
   test("flagship entry returns rows at sf0.001") {
     assert(SparkEntry.entry(spark).count() > 0)
   }
