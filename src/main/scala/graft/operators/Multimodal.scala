@@ -249,4 +249,37 @@ object Multimodal {
        | CAST(ceil(height * least(1.0, 128 / greatest(width, height))) AS INT) AS out_h
        |FROM ($decodedDimsSubquery)
        |ORDER BY doc_id""".stripMargin
+
+  /** Scene-cut detection over the sampled frame stream: per video, the
+    * number of transitions where consecutive sampled frame hashes differ
+    * and the first cut offset — the shot-boundary signal a video
+    * curation pipeline keys clips on. One per-doc window over the
+    * already-bounded frame sample; with a real decoder the hash becomes
+    * a perceptual frame fingerprint and the plumbing is unchanged.
+    */
+  def sceneCuts(t: Tables, everyK: Int = 10): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy("frame_idx")
+    val isCut = col("prev").isNotNull && col("prev") =!= col("frame_hash")
+    sampleFrames(t, everyK)
+      .withColumn("prev", lag(col("frame_hash"), 1).over(w))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_frames"),
+        sum(when(isCut, 1L).otherwise(0L)).as("n_cuts"),
+        min(when(isCut, col("frame_idx"))).as("first_cut_idx"))
+      .orderBy("doc_id")
+  }
+
+  val sceneCutsSql: String =
+    s"""WITH f AS ($sampleFramesSql),
+       |l AS (
+       | SELECT doc_id, frame_idx, frame_hash,
+       |  LAG(frame_hash) OVER (PARTITION BY doc_id ORDER BY frame_idx) AS prev
+       | FROM f)
+       |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_frames,
+       | CAST(SUM(CASE WHEN prev IS NOT NULL AND prev <> frame_hash THEN 1 ELSE 0 END) AS BIGINT) AS n_cuts,
+       | CAST(MIN(CASE WHEN prev IS NOT NULL AND prev <> frame_hash THEN frame_idx END) AS INT) AS first_cut_idx
+       |FROM l
+       |GROUP BY doc_id
+       |ORDER BY doc_id""".stripMargin
 }

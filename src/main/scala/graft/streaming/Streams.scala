@@ -58,6 +58,19 @@ object Streams {
       joinCol: String): DataFrame =
     events.join(broadcast(dims), Seq(joinCol), "left")
 
+  /** Sliding event-time window agg (1 h window, 15 min slide) — the
+    * overlapping-window twin of [[tumblingCounts]]; each event lands in
+    * four open windows, watermark still bounds state.
+    */
+  def slidingCounts(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "2 hours")
+      .groupBy(window(col("ts"), "1 hour", "15 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("total_value"))
+      .select(
+        col("window.start").as("win_start"),
+        col("event_type"), col("n"), col("total_value"))
+
   /** Streaming exact dedup: drop events whose key was already seen within
     * the watermark horizon — the streaming twin of `Dedup.exact`. State
     * is bounded by the watermark (old keys age out), which is what makes

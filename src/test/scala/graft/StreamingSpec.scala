@@ -268,4 +268,38 @@ class StreamingSpec extends SparkSpec {
       })
     } finally q.stop()
   }
+
+  test("sliding windows land each event in four overlapping hour windows") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Event]
+    input.addData(Event(1, ts(30), "click", 2.0))
+    val q = Streams.slidingCounts(input.toDF())
+      .writeStream.format("memory").queryName("slid")
+      .outputMode("update").start()
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.table("slid").collect()
+    assert(rows.length == 4, s"expected 4 overlapping windows, got ${rows.length}")
+    assert(rows.forall(r => r.getLong(2) == 1 && r.getDouble(3) == 2.0))
+    val starts = rows.map(_.getTimestamp(0).toString).sorted
+    assert(starts.head.contains("09:45") && starts.last.contains("10:30"))
+  }
+
+  test("scene cuts: planted frame change detected at the right offset") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-scene").toString
+    import spark.implicits._
+    // 64 chars = 4 frames of 16; sampled every 1 -> frames 0..3. The
+    // last 16 chars differ -> exactly one cut at frame_idx 3
+    val same = "abcdefghijklmnop"
+    val text = same * 3 + "XXXXXXXXXXXXXXXX"
+    Seq((1L, text, "en", "s", text.length.toLong),
+        (2L, same * 4, "en", "s", (same * 4).length.toLong))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$dir/documents.parquet")
+    val rows = graft.operators.Multimodal.sceneCuts(Tables(spark, dir), 1).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2),
+        if (r.isNullAt(3)) -1 else r.getInt(3)))).toMap
+    assert(rows(1L) == ((4L, 1L, 3)))
+    assert(rows(2L) == ((4L, 0L, -1)))
+  }
 }
