@@ -24,11 +24,33 @@ object Relational7 {
     val rev = t.lineitem
       .groupBy("l_partkey")
       .agg(sum(discPrice(col("l_extendedprice"), col("l_discount"))).as("rev"))
-    val w = Window.orderBy(col("rev").desc, col("l_partkey"))
+    // DISTRIBUTED cumulative sum (two-level prefix, no single-partition
+    // window): range-partition on the report order, prefix within each
+    // range, add the broadcast running offset of the preceding ranges.
+    // Because the decimal sums are EXACT (associative), the output is
+    // identical whatever boundaries the range sampler picks — so the
+    // rewrite stays oracle-exact while the part dimension can be
+    // arbitrarily large (the only global window left runs over the
+    // 32-row bucket totals).
+    val ranged = rev
+      .repartitionByRange(32, col("rev").desc, col("l_partkey"))
+      .withColumn("bucket", spark_partition_id())
+    val wLocal = Window.partitionBy("bucket")
+      .orderBy(col("rev").desc, col("l_partkey"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wBuckets = Window.orderBy("bucket")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = ranged.groupBy("bucket")
+      .agg(sum(col("rev")).as("bucket_total"))
+      .withColumn("bucket_offset", sum(col("bucket_total")).over(wBuckets))
+      .select("bucket", "bucket_offset")
     val total = rev.agg(sum(col("rev")).as("total_rev"))
-    rev
-      .withColumn("cum_rev", sum(col("rev")).over(w))
+    ranged
+      .withColumn("local_cum", sum(col("rev")).over(wLocal))
+      .join(broadcast(offsets), Seq("bucket"))
+      .withColumn("cum_rev",
+        when(col("bucket_offset").isNull, col("local_cum"))
+          .otherwise(col("bucket_offset") + col("local_cum")))
       .crossJoin(broadcast(total))
       // divide in DOUBLE: decimal division would round to the result
       // scale before the cast and drift from the oracle's full-precision

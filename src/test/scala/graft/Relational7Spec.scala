@@ -98,4 +98,12 @@ class Relational7Spec extends SparkSpec {
     val regionShares = rows.groupBy(_.getString(0)).map(_._2.head.getDouble(4)).sum
     assert(math.abs(regionShares - 1.0) < 1e-9)
   }
+
+  test("abc cumulative sum is distributed: range exchange, no global window partition") {
+    val plan = Relational7.abcAnalysis(sf).queryExecution.executedPlan.toString
+    assert(plan.contains("rangepartitioning") || plan.contains("RangePartitioning")
+      || plan.contains("REPARTITION_BY_NUM"), plan)
+    // the per-row window is keyed by the range bucket, not a constant
+    assert(plan.contains("SPARK_PARTITION_ID") || plan.contains("spark_partition_id"), plan)
+  }
 }
