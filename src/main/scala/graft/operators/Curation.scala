@@ -220,8 +220,7 @@ object Curation {
     s"""${graft.operators.Dedup.clustersCte},
        |kb AS (
        | SELECT l3.id AS doc_id, l3.lbl AS cluster_id,
-       |  ROW_NUMBER() OVER (PARTITION BY l3.lbl
-       |    ORDER BY d.n_chars DESC, l3.id) = 1 AS keep_dedup
+       |  ${graft.operators.Dedup.keepBestRankSql} AS keep_dedup
        | FROM l3 JOIN documents d ON l3.id = d.doc_id),
        |q AS (
        | SELECT doc_id,

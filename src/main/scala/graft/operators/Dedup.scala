@@ -520,11 +520,17 @@ object Dedup {
       .orderBy("doc_id")
   }
 
+  /** The keep-best ranking predicate over the propagated labels (l3) +
+    * documents (d) join — shared with [[Curation.curateCorpusSql]] so
+    * the tie-break lives in exactly one place.
+    */
+  private[operators] val keepBestRankSql: String =
+    "ROW_NUMBER() OVER (PARTITION BY l3.lbl ORDER BY d.n_chars DESC, l3.id) = 1"
+
   val keepBestSql: String =
     s"""$clustersCte
        |SELECT l3.id AS doc_id, l3.lbl AS cluster_id, d.n_chars,
-       | ROW_NUMBER() OVER (PARTITION BY l3.lbl
-       |   ORDER BY d.n_chars DESC, l3.id) = 1 AS keep_best
+       | $keepBestRankSql AS keep_best
        |FROM l3 JOIN documents d ON l3.id = d.doc_id
        |ORDER BY doc_id""".stripMargin
 

@@ -225,8 +225,12 @@ object Embeddings {
     * reconstructs exactly. One narrow pass over the corpus at scale.
     */
   def int8Quantize(t: Tables): DataFrame = {
+    // persisted: the exploded projection feeds both the bounds aggregate
+    // and the code join — without it the scan + explode run twice.
+    // (Cache lifecycle belongs to the session owner, as elsewhere.)
     val ex = t.embeddings.select(col("vec_id"),
       posexplode(col("embedding").cast("array<double>")).as(Seq("pos", "x")))
+      .persist()
     val bounds = ex.groupBy("pos").agg(min(col("x")).as("lo"), max(col("x")).as("hi"))
     ex.join(broadcast(bounds), Seq("pos"))
       .withColumn("code",

@@ -32,9 +32,16 @@ object Relational7 {
     // rewrite stays oracle-exact while the part dimension can be
     // arbitrarily large (the only global window left runs over the
     // 32-row bucket totals).
+    // persisted: BOTH the window branch and the offsets branch read this
+    // frame; the cache pins one materialization of the range exchange so
+    // the sampled boundaries (and so bucket ids) are identical on both
+    // sides by construction, not by exchange-reuse luck. (Exact decimal
+    // addition already makes cum_rev independent of WHERE the boundaries
+    // fall — the pin removes the cross-branch consistency assumption.)
     val ranged = rev
       .repartitionByRange(32, col("rev").desc, col("l_partkey"))
       .withColumn("bucket", spark_partition_id())
+      .persist()
     val wLocal = Window.partitionBy("bucket")
       .orderBy(col("rev").desc, col("l_partkey"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
@@ -117,18 +124,19 @@ object Relational7 {
        |HAVING COUNT(*) >= $MinSupport
        |ORDER BY support DESC, a_part, b_part""".stripMargin
 
-  /** Month-over-prior-year growth: exact decimal monthly revenue, then
-    * LAG(12) over the month sequence and a single double division. The
-    * window runs over one row per month — constant-bounded; everything
-    * heavy is the one aggregation.
+  /** Month-over-prior-year growth: exact decimal monthly revenue,
+    * self-joined on the CALENDAR month twelve months back (not LAG(12),
+    * which silently compares to the wrong month when the sequence has a
+    * gap), and a single double division. Both sides are one row per
+    * month — constant-bounded; everything heavy is the one aggregation.
     */
   def yoyGrowth(t: Tables): DataFrame = {
     val monthly = t.lineitem
       .groupBy(date_trunc("month", col("l_shipdate")).cast("date").as("month"))
       .agg(sum(discPrice(col("l_extendedprice"), col("l_discount"))).as("rev"))
-    val w = Window.orderBy("month")
-    monthly
-      .withColumn("prev_rev", lag(col("rev"), 12).over(w))
+    val prior = monthly.select(
+      add_months(col("month"), 12).as("month"), col("rev").as("prev_rev"))
+    monthly.join(prior, Seq("month"), "left")
       .select(col("month"),
         col("rev").cast("double").as("revenue"),
         col("prev_rev").cast("double").as("prior_year_revenue"),
@@ -142,15 +150,13 @@ object Relational7 {
       | SELECT CAST(date_trunc('month', l_shipdate) AS DATE) AS month,
       |  SUM(CAST(l_extendedprice AS DECIMAL(12,2)) *
       |      CAST(1 - CAST(l_discount AS DECIMAL(4,2)) AS DECIMAL(8,4))) AS rev
-      | FROM lineitem GROUP BY 1),
-      |l AS (
-      | SELECT month, rev, LAG(rev, 12) OVER (ORDER BY month) AS prev_rev FROM m)
-      |SELECT month, CAST(rev AS DOUBLE) AS revenue,
-      | CAST(prev_rev AS DOUBLE) AS prior_year_revenue,
-      | (CAST(rev AS DOUBLE) - CAST(prev_rev AS DOUBLE)) / CAST(prev_rev AS DOUBLE)
+      | FROM lineitem GROUP BY 1)
+      |SELECT m.month, CAST(m.rev AS DOUBLE) AS revenue,
+      | CAST(p.rev AS DOUBLE) AS prior_year_revenue,
+      | (CAST(m.rev AS DOUBLE) - CAST(p.rev AS DOUBLE)) / CAST(p.rev AS DOUBLE)
       |   AS yoy_growth
-      |FROM l
-      |ORDER BY month""".stripMargin
+      |FROM m LEFT JOIN m p ON m.month = p.month + INTERVAL 12 MONTH
+      |ORDER BY m.month""".stripMargin
 
   private val CorrCols = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
 

@@ -82,6 +82,16 @@ object TextAnalysis2 {
 
   private val GopherStopwords = Seq("the", "a", "of", "and", "to", "in", "is")
 
+  // single source of truth for the rule thresholds — interpolated into
+  // the Scala projection AND both SQL forms so they cannot drift
+  private val MinWords = 30
+  private val MaxWords = 100000
+  private val MinMeanLen = 3.0
+  private val MaxMeanLen = 10.0
+  private val MinStops = 2
+  private val MinDistinctFrac = 0.45
+  private val MaxTopFrac = 0.15
+
   /** Gopher-style rule gate: the published heuristic battery (word-count
     * window, mean-word-length window, minimum stopword evidence, lexical
     * diversity, single-token dominance), each surfaced as its measured
@@ -118,11 +128,12 @@ object TextAnalysis2 {
           / size(toks))
       .select(col("doc_id"), col("n_words"), col("mean_word_len"),
         col("n_stop"), col("distinct_frac"), col("top_word_frac"),
-        (col("n_words") >= 30 && col("n_words") <= 100000).as("words_ok"),
-        (col("mean_word_len") >= 3.0 && col("mean_word_len") <= 10.0).as("word_len_ok"),
-        (col("n_stop") >= 2).as("stop_ok"),
-        (col("distinct_frac") >= 0.45).as("diversity_ok"),
-        (col("top_word_frac") <= 0.15).as("dominance_ok"))
+        (col("n_words") >= MinWords && col("n_words") <= MaxWords).as("words_ok"),
+        (col("mean_word_len") >= MinMeanLen && col("mean_word_len") <= MaxMeanLen)
+          .as("word_len_ok"),
+        (col("n_stop") >= MinStops).as("stop_ok"),
+        (col("distinct_frac") >= MinDistinctFrac).as("diversity_ok"),
+        (col("top_word_frac") <= MaxTopFrac).as("dominance_ok"))
       .withColumn("keep",
         col("words_ok") && col("word_len_ok") && col("stop_ok") &&
           col("diversity_ok") && col("dominance_ok"))
@@ -136,14 +147,14 @@ object TextAnalysis2 {
   private[operators] val gopherKeepRawSql: String = {
     val sw = GopherStopwords.map(s => s"'$s'").mkString(", ")
     val n = "len(string_split(text, ' '))"
-    s"""($n >= 30 AND $n <= 100000
-       |  AND CAST(length(text) - ($n - 1) AS DOUBLE) / $n >= 3.0
-       |  AND CAST(length(text) - ($n - 1) AS DOUBLE) / $n <= 10.0
-       |  AND len(list_filter(string_split(text, ' '), w -> w IN ($sw))) >= 2
-       |  AND CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE) / $n >= 0.45
+    s"""($n >= $MinWords AND $n <= $MaxWords
+       |  AND CAST(length(text) - ($n - 1) AS DOUBLE) / $n >= $MinMeanLen
+       |  AND CAST(length(text) - ($n - 1) AS DOUBLE) / $n <= $MaxMeanLen
+       |  AND len(list_filter(string_split(text, ' '), w -> w IN ($sw))) >= $MinStops
+       |  AND CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE) / $n >= $MinDistinctFrac
        |  AND CAST(list_max(list_transform(list_distinct(string_split(text, ' ')),
        |    w -> len(list_filter(string_split(text, ' '), x -> x = w)))) AS DOUBLE)
-       |    / $n <= 0.15)""".stripMargin
+       |    / $n <= $MaxTopFrac)""".stripMargin
   }
 
   val gopherQualitySql: String = {
@@ -162,15 +173,15 @@ object TextAnalysis2 {
        | FROM documents)
        |SELECT doc_id, CAST(n_words AS INT) AS n_words, mean_word_len,
        | CAST(n_stop AS INT) AS n_stop, distinct_frac, top_word_frac,
-       | n_words >= 30 AND n_words <= 100000 AS words_ok,
-       | mean_word_len >= 3.0 AND mean_word_len <= 10.0 AS word_len_ok,
-       | n_stop >= 2 AS stop_ok,
-       | distinct_frac >= 0.45 AS diversity_ok,
-       | top_word_frac <= 0.15 AS dominance_ok,
-       | n_words >= 30 AND n_words <= 100000
-       |  AND mean_word_len >= 3.0 AND mean_word_len <= 10.0
-       |  AND n_stop >= 2 AND distinct_frac >= 0.45
-       |  AND top_word_frac <= 0.15 AS keep
+       | n_words >= $MinWords AND n_words <= $MaxWords AS words_ok,
+       | mean_word_len >= $MinMeanLen AND mean_word_len <= $MaxMeanLen AS word_len_ok,
+       | n_stop >= $MinStops AS stop_ok,
+       | distinct_frac >= $MinDistinctFrac AS diversity_ok,
+       | top_word_frac <= $MaxTopFrac AS dominance_ok,
+       | n_words >= $MinWords AND n_words <= $MaxWords
+       |  AND mean_word_len >= $MinMeanLen AND mean_word_len <= $MaxMeanLen
+       |  AND n_stop >= $MinStops AND distinct_frac >= $MinDistinctFrac
+       |  AND top_word_frac <= $MaxTopFrac AS keep
        |FROM b
        |ORDER BY doc_id""".stripMargin
   }

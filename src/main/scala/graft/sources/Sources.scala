@@ -187,8 +187,12 @@ object Sources {
         pmod(xxhash64(col("value"), lit("c")), lit(nCustomers)).as("customer_id"),
         pmod(xxhash64(col("value"), lit("p")), lit(nProducts)).as("product_id"),
         (pmod(xxhash64(col("value"), lit("q")), lit(4)) + 1).cast("int").as("qty"),
-        // price_with_noise analog: base 10-60 by product, +/-10% by tick
-        round((lit(10.0) + pmod(xxhash64(col("value"), lit("p")), lit(nProducts)) +
-          pmod(xxhash64(col("value"), lit("n")), lit(21)).cast("double") / 100.0 - 0.1) *
-          lit(1.0), 2).as("unit_price"))
+        // price_with_noise analog (kafka_loader.py:49): per-product base
+        // 10..10+nProducts, MULTIPLIED by a deterministic factor in
+        // [0.90, 1.10] derived from the tick
+        round(
+          (lit(10.0) + pmod(xxhash64(col("value"), lit("p")), lit(nProducts))) *
+            (lit(0.90) +
+              pmod(xxhash64(col("value"), lit("n")), lit(21)).cast("double") / 100.0),
+          2).as("unit_price"))
 }

@@ -213,15 +213,19 @@ object Streams {
   }
 
   // top-level for the same state-encoder codegen reason as SessionState
-  final case class ThrottleState(hourStart: Long, n: Long)
+  final case class ThrottleState(hours: Map[Long, Long])
 
   /** Per-key rate limiting: at most `maxPerHour` events pass per user
     * per event-time hour; the rest drop — the ingestion-hygiene valve
-    * against runaway producers and scraper storms. State per key is TWO
-    * longs (current hour bucket + count), expired by event-time timeout
-    * once the watermark passes the hour — bounded regardless of stream
-    * length or key cardinality. Events within a micro-batch are
-    * processed in (ts, value) order so replays admit the same events.
+    * against runaway producers and scraper storms. State per key is a
+    * per-HOUR counter map so a LATE event counts against its own hour's
+    * budget instead of resetting the current hour's (a single
+    * latest-hour counter would let alternating-hour arrivals blow the
+    * cap); the map stays bounded because hours more than the watermark
+    * horizon behind the newest are pruned each call, and the whole
+    * entry expires by event-time timeout. Events within a micro-batch
+    * are processed in the full (ts, value, event_type) field order so
+    * replays admit the same events.
     */
   def throttleStream(events: Dataset[Event], maxPerHour: Long): Dataset[Event] = {
     import events.sparkSession.implicits._
@@ -231,22 +235,20 @@ object Streams {
         state: GroupState[ThrottleState]): Iterator[Event] = {
       if (state.hasTimedOut) { state.remove(); Iterator.empty }
       else {
-        var cur = state.getOption
+        var hours = state.getOption.map(_.hours).getOrElse(Map.empty[Long, Long])
         val out = List.newBuilder[Event]
-        it.toSeq.sortBy(e => (e.ts.getTime, e.value)).foreach { e =>
+        it.toSeq.sortBy(e => (e.ts.getTime, e.value, e.event_type)).foreach { e =>
           val hour = e.ts.getTime / HourMs * HourMs
-          cur match {
-            case Some(s) if s.hourStart == hour =>
-              if (s.n < maxPerHour) { out += e; cur = Some(s.copy(n = s.n + 1)) }
-            case _ =>
-              // new (or first) hour bucket for this key
-              out += e
-              cur = Some(ThrottleState(hour, 1))
-          }
+          val n = hours.getOrElse(hour, 0L)
+          if (n < maxPerHour) { out += e; hours = hours.updated(hour, n + 1) }
         }
-        cur.foreach { s =>
-          state.update(s)
-          state.setTimeoutTimestamp(s.hourStart + 2 * HourMs)
+        if (hours.nonEmpty) {
+          // prune buckets the watermark has passed beyond recall: only
+          // hours within 2 h of the newest can still receive events
+          val newest = hours.keys.max
+          hours = hours.filter { case (h, _) => h >= newest - 2 * HourMs }
+          state.update(ThrottleState(hours))
+          state.setTimeoutTimestamp(newest + 2 * HourMs)
         }
         out.result().iterator
       }

@@ -187,11 +187,14 @@ class Relational6Spec extends SparkSpec {
     }.map(_._1).sorted
     val got = graft.operators.Relational6.skyline(sf).collect().map(_.getLong(0))
     assert(got.sameElements(expect))
-    // frontier is monotone: sorted by price, sizes strictly decrease
+    // frontier is monotone: sorted by price, sizes strictly decrease —
+    // except exact (price, size) duplicates, which are all kept (neither
+    // dominates the other)
     val rows = graft.operators.Relational6.skyline(sf).collect()
       .map(r => (r.getDouble(1), r.getInt(2))).sortBy(_._1)
     assert(rows.sliding(2).forall {
-      case Array((p1, s1), (p2, s2)) => p1 < p2 && s1 > s2
+      case Array((p1, s1), (p2, s2)) =>
+        (p1 < p2 && s1 > s2) || (p1 == p2 && s1 == s2)
       case _ => true
     })
   }

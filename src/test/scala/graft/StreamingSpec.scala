@@ -302,4 +302,31 @@ class StreamingSpec extends SparkSpec {
     assert(rows(1L) == ((4L, 1L, 3)))
     assert(rows(2L) == ((4L, 0L, -1)))
   }
+
+  test("throttle: a late prior-hour event neither resets nor bypasses the caps") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Event]
+    val q = Streams.throttleStream(input.toDS(), maxPerHour = 3)
+      .writeStream.format("memory").queryName("throttled_late")
+      .outputMode("append").start()
+    // fill hour 10:00's budget
+    input.addData(
+      Event(1, ts(1), "click", 1.0), Event(1, ts(2), "click", 2.0),
+      Event(1, ts(3), "click", 3.0))
+    q.processAllAvailable()
+    // a LATE event from hour 09:xx arrives: admitted against ITS hour...
+    input.addData(Event(1, Timestamp.valueOf("2025-01-01 09:50:00"), "click", 8.0))
+    q.processAllAvailable()
+    // ...and hour 10:00 must still be full: these must all drop
+    input.addData(
+      Event(1, ts(20), "click", 4.0), Event(1, ts(21), "click", 5.0))
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.table("throttled_late").collect()
+    val hour10 = rows.filter(r => r.getLong(0) == 1 &&
+      !r.getTimestamp(1).before(Timestamp.valueOf("2025-01-01 10:00:00")))
+    assert(hour10.length == 3, s"hour 10 cap violated: ${hour10.length}")
+    assert(hour10.map(_.getDouble(3)).sorted.sameElements(Array(1.0, 2.0, 3.0)))
+    assert(rows.exists(_.getDouble(3) == 8.0), "late event should pass against its own hour")
+  }
 }
