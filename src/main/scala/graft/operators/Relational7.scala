@@ -170,12 +170,27 @@ object Relational7 {
     * order and are NOT reproducible across cluster layouts — this is.
     */
   def corrMatrix(t: Tables): DataFrame = {
-    // cents-integer power sums in scale-0 decimals: a scale-4
-    // decimal→double cast is double-rounded in DuckDB, and beyond ~1.8e19
-    // even DuckDB's int128→double TRUNCATES instead of rounding — so the
-    // exact sum is split at 10⁹ into hi/lo parts (each converts to double
-    // exactly in any engine) and recombined with the same two IEEE ops on
-    // both sides. Deterministic for sums up to ~9e24 (hi < 2⁵³).
+    // cents-integer power sums: a scale-4 decimal→double cast is
+    // double-rounded in DuckDB, and beyond ~1.8e19 even DuckDB's
+    // int128→double TRUNCATES instead of rounding — so the exact sum is
+    // split at 10⁹ into hi/lo parts (each converts to double exactly in
+    // any engine) and recombined with the same two IEEE ops on both
+    // sides. Deterministic for sums up to ~9e24 (hi < 2⁵³).
+    //
+    // The SPLIT HAPPENS BEFORE AGGREGATION: precision-38 decimal sums
+    // fall off Spark's unscaled-long fast aggregation path (one
+    // BigDecimal allocation per row per term — ~14 per row here), so
+    // each power term p (a nonnegative long ≤ ~1.1e14 cents²) is split
+    // per row into hi = p >> 30 and lo = p & (2³⁰−1) — two codegen'd
+    // long ops — and the aggregation sums LONGS. Partial-sum bounds:
+    // lo-sums < 2³⁰·rows, hi-sums < 2¹⁷·rows — both inside 2⁶³ up to
+    // ~8.5e9 rows per final aggregate; past that, widen the two long
+    // sums (not the per-row terms) to decimal in a two-level aggregate.
+    // The exact integer S = S_hi·2³⁰ + S_lo is reconstructed on the
+    // single merged row in decimal and converted with the unchanged 10⁹
+    // hi/lo recipe — bitwise identical to the decimal-38 sums this
+    // replaces, so the oracle (which sums int128 directly) still
+    // hash-matches.
     val d38 = org.apache.spark.sql.types.DecimalType(38, 0)
     val d = (c: String) =>
       (col(c).cast(org.apache.spark.sql.types.DecimalType(12, 2)) * 100).cast("long")
@@ -184,15 +199,25 @@ object Relational7 {
       val hi = (s - lo) / lit(1000000000L)
       hi.cast("double") * lit(1.0e9) + lo.cast("double")
     }
+    val SplitBase = 1L << 30
+    val terms: Seq[(String, Column, Double)] =
+      CorrCols.map(c => (s"s_$c", d(c), 100.0)) ++
+        CorrCols.map(c => (s"ss_$c", d(c) * d(c), 10000.0)) ++
+        CorrCols.combinations(2).toSeq.map { case Seq(a, b) =>
+          (s"sp_${a}_$b", d(a) * d(b), 10000.0)
+        }
     val sums =
       count(lit(1)).cast("double").as("n") +:
-        (CorrCols.map(c => (toD(sum(d(c).cast(d38))) / 100.0).as(s"s_$c")) ++
-          CorrCols.map(c =>
-            (toD(sum((d(c) * d(c)).cast(d38))) / 10000.0).as(s"ss_$c")) ++
-          CorrCols.combinations(2).toSeq.map { case Seq(a, b) =>
-            (toD(sum((d(a) * d(b)).cast(d38))) / 10000.0).as(s"sp_${a}_$b")
-          })
-    val agg = t.lineitem.agg(sums.head, sums.tail: _*)
+        terms.flatMap { case (nm, p, _) =>
+          Seq(sum(shiftright(p, 30)).as(s"${nm}_hi"),
+            sum(p.bitwiseAND(SplitBase - 1)).as(s"${nm}_lo"))
+        }
+    val recombined =
+      col("n") +: terms.map { case (nm, _, scaleDiv) =>
+        val exact = col(s"${nm}_hi").cast(d38) * SplitBase + col(s"${nm}_lo").cast(d38)
+        (toD(exact) / scaleDiv).as(nm)
+      }
+    val agg = t.lineitem.agg(sums.head, sums.tail: _*).select(recombined: _*)
     val pairs = CorrCols.combinations(2).toSeq.map { case Seq(a, b) =>
       val corr = (col("n") * col(s"sp_${a}_$b") - col(s"s_$a") * col(s"s_$b")) /
         (sqrt(col("n") * col(s"ss_$a") - col(s"s_$a") * col(s"s_$a")) *

@@ -75,6 +75,21 @@ class Relational7Spec extends SparkSpec {
     assert(math.abs(got - expect) < 1e-9, s"got $got want $expect")
   }
 
+  test("correlation power sums aggregate longs — no decimal-38 Sum in the plan") {
+    import org.apache.spark.sql.catalyst.plans.logical.Aggregate
+    import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Sum}
+    import org.apache.spark.sql.types.LongType
+    val qe = Relational7.corrMatrix(sf).queryExecution
+    val sums = qe.optimizedPlan.collect { case a: Aggregate => a }
+      .flatMap(_.aggregateExpressions)
+      .flatMap(_.collect { case ae: AggregateExpression => ae.aggregateFunction })
+      .collect { case s: Sum => s }
+    assert(sums.nonEmpty)
+    // every power sum runs on the unscaled-long fast path; the decimal
+    // reconstruction happens once, on the single merged row, after the agg
+    sums.foreach(s => assert(s.dataType == LongType, s"non-long sum: $s"))
+  }
+
   test("2-D histogram cells partition all of lineitem and cap the quantity decile") {
     val rows = graft.operators.TimeSeries.histogram2d(sf).collect()
     assert(rows.map(_.getLong(2)).sum == sf.lineitem.count())
