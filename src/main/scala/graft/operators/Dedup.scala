@@ -404,9 +404,10 @@ object Dedup {
     *
     * The near-dup edge list is orders of magnitude smaller than the
     * corpus (it only contains actual duplicate pairs), so when it fits
-    * comfortably on the driver (≤ driverEdgeLimit edges, counted during
-    * cache materialization) the component labels come from a local
-    * union-find — exact same result, none of the per-round job overhead.
+    * comfortably on the driver (≤ driverEdgeLimit edges, decided by one
+    * fused limit(N+1).collect() that also delivers the edges) the
+    * component labels come from a local union-find — exact same result,
+    * none of the per-round job overhead.
     * Larger graphs run the distributed loop: one equi-join + aggregation
     * per round over the edge-touched subgraph with a scalar convergence
     * probe, converging for dup chains of ANY diameter (a fixed round
@@ -423,15 +424,19 @@ object Dedup {
     require(driverEdgeLimit >= 0 && driverEdgeLimit <= Int.MaxValue - 1,
       s"driverEdgeLimit must fit an Int limit: $driverEdgeLimit")
     // cache the UNDOUBLED pair list (the pair source is the expensive
-    // part). A limit(N+1).count() probe decides the path WITHOUT shipping
-    // rows — an oversize graph never sends N edges to the driver just to
-    // discard them — and the small-path collect() then reads the already
-    // materialized cache. The limit threshold is on undoubled pairs, so
-    // the driver path engages up to driverEdgeLimit near-dup PAIRS.
+    // part; the distributed path re-reads it every round). ONE
+    // limit(N+1).collect() both decides the path and delivers the edges:
+    // the small-graph path pays a single job instead of a probe-count
+    // job plus a collect job, and an oversize graph ships at most
+    // lim+1 two-long rows (~32 MB at the 1 M default) before falling
+    // through to the distributed loop — bounded, never corpus-sized.
+    // The limit threshold is on undoubled pairs, so the driver path
+    // engages up to driverEdgeLimit near-dup PAIRS.
     val lim = driverEdgeLimit.toInt
     val ep = pairs.select(col("a_id").as("x"), col("b_id").as("y")).cache()
-    if (ep.limit(lim + 1).count() <= lim) {
-      val head = ep.collect()
+    val head = ep.limit(lim + 1).collect()
+    if (head.length <= lim) {
+      ep.unpersist(false)
       val spark = nodes.sparkSession
       import spark.implicits._
       // union-find with path compression; roots keep the minimum id
@@ -448,7 +453,6 @@ object Dedup {
         if (rx != ry) { if (rx < ry) parent(ry) = rx else parent(rx) = ry }
       }
       val labelDf = parent.keys.toSeq.map(k => (k, find(k))).toDF("id", "graph_lbl")
-      ep.unpersist(false)
       return nodes.select(col("id"))
         .join(broadcast(labelDf), Seq("id"), "left")
         .select(col("id"), coalesce(col("graph_lbl"), col("id")).as("lbl"))
