@@ -33,20 +33,32 @@ object TextAnalysis2 {
     * could only mark one extra span duplicated (never loses one); at
     * 64 bits over a corpus-scale gram space that is ~0 and the DuckDB
     * oracle (string grams) confirms zero at test scale.
+    *
+    * Skew bound: occurrences are pre-aggregated to (doc_id, g, cnt)
+    * BEFORE the gram-frequency join, so a corpus-hot boilerplate gram's
+    * join partition holds one row per DISTINCT containing doc, not one
+    * per occurrence — and the per-gram doc count becomes a plain
+    * count(*) over that deduplicated frame instead of a countDistinct.
+    * The token split is hoisted to its own projection (CollapseProject
+    * keeps non-cheap expressions single-evaluated) so the split runs
+    * once per doc, not once per reference.
     */
   def substringDedup(t: Tables): DataFrame = {
-    val spans = t.documents.select(
-      col("doc_id"),
-      expr(s"""CASE WHEN size(split(text, ' ')) >= $SpanLen
-              |THEN transform(sequence(1, size(split(text, ' ')) - ${SpanLen - 1}),
-              |  i -> xxhash64(concat_ws(' ', slice(split(text, ' '), i, $SpanLen))))
-              |ELSE CAST(array() AS ARRAY<BIGINT>) END""".stripMargin).as("spans"))
+    val spans = t.documents
+      .select(col("doc_id"), toks.as("w"))
+      .select(
+        col("doc_id"),
+        expr(s"""CASE WHEN size(w) >= $SpanLen
+                |THEN transform(sequence(1, size(w) - ${SpanLen - 1}),
+                |  i -> xxhash64(concat_ws(' ', slice(w, i, $SpanLen))))
+                |ELSE CAST(array() AS ARRAY<BIGINT>) END""".stripMargin).as("spans"))
     val ex = spans.select(col("doc_id"), explode(col("spans")).as("g"))
-    val gramDocs = ex.groupBy("g").agg(countDistinct(col("doc_id")).as("nd"))
+      .groupBy("doc_id", "g").agg(count(lit(1)).as("cnt"))
+    val gramDocs = ex.groupBy("g").agg(count(lit(1)).as("nd"))
     val perDoc = ex.join(gramDocs, Seq("g"))
       .groupBy("doc_id")
-      .agg(count(lit(1)).as("n_spans"),
-        sum(when(col("nd") > 1, 1L).otherwise(0L)).as("n_dup_spans"))
+      .agg(sum(col("cnt")).as("n_spans"),
+        sum(when(col("nd") > 1, col("cnt")).otherwise(0L)).as("n_dup_spans"))
     t.documents.select(col("doc_id"))
       .join(perDoc, Seq("doc_id"), "left")
       .select(col("doc_id"),

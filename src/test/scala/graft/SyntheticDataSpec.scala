@@ -35,6 +35,34 @@ class SyntheticDataSpec extends SparkSpec {
     assert(rows(3L) == ((3L, 0L, 0.0)))
   }
 
+  test("substring dedup pre-aggregates spans per (doc, gram) before the frequency join") {
+    val (t, dir) = tempTables()
+    val cycle = (0 until 10).map(i => s"w$i")
+    // 200 tokens -> 191 spans but only 10 DISTINCT grams (the cycle's
+    // rotations): the skew shape a boilerplate-heavy corpus produces
+    val heavy = Seq.fill(20)(cycle).flatten.mkString(" ")
+    val once = cycle.mkString(" ")
+    Seq((1L, heavy, "en", "s", heavy.length.toLong),
+      (2L, once, "en", "s", once.length.toLong))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$dir/documents.parquet")
+    val df = graft.operators.TextAnalysis2.substringDedup(t)
+    val rows = df.collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    // doc2's single span is rotation 0, shared with doc1's 20 rotation-0
+    // spans; doc1's other 171 spans are rotations only doc1 contains
+    assert(rows(1L) == ((191L, 20L)))
+    assert(rows(2L) == ((1L, 1L)))
+    // the frequency join consumes one row per (doc, gram): an Aggregate
+    // grouped on (doc_id, g) sits below the join, bounding a hot gram's
+    // join partition by distinct containing docs, not occurrences
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Join}
+    val lp = df.queryExecution.optimizedPlan
+    val joins = lp.collect { case j: Join => j }
+    assert(joins.exists(_.children.exists(_.collectFirst {
+      case a: Aggregate if a.groupingExpressions.size == 2 => a
+    }.isDefined)), lp.toString)
+  }
+
   test("skyline: constructed frontier is exactly the non-dominated points") {
     val (t, dir) = tempTables()
     // (price, size): frontier = (1,9), (3,4), (8,1); dominated: rest
