@@ -57,7 +57,7 @@ object Similarity {
   private val Dim       = 64
 
   /** Deterministic ±1 hyperplanes (fixed LCG seed — no runtime RNG). */
-  private[operators] val planes: Seq[Seq[Double]] = {
+  private[graft] val planes: Seq[Seq[Double]] = {
     var s = 0x9e3779b97f4a7c15L
     def next(): Long = { s = s * 6364136223846793005L + 1442695040888963407L; s }
     Seq.fill(NumPlanes)(Seq.fill(Dim)(if ((next() >>> 40 & 1) == 1) 1.0 else -1.0))
@@ -67,7 +67,7 @@ object Similarity {
     * [[lshTopK]] and [[Dedup.embeddingCosine]]. Codegen'd dot products;
     * one narrow projection, no shuffle.
     */
-  private[operators] def signBucket(v: Column): Column =
+  private[graft] def signBucket(v: Column): Column =
     (0 until NumPlanes).map { i =>
       when(graft.functions.DotProduct(v, typedLit(planes(i))) > 0, lit(1 << i))
         .otherwise(lit(0))
@@ -332,19 +332,27 @@ object Similarity {
     * block replication as [[Dedup.embeddingCosine]] (each unordered pair
     * scored ONCE — uniform O(n²/G) tasks, no broadcast, no nested loop),
     * then mirrored and reduced to per-vector top-k by the bounded-state
-    * [[graft.plans.TopKPerKey]] heap plan. At corpus scale the same
-    * shape runs per-LSH-bucket or per-IVF-cell to break n²; this is the
-    * exact-baseline tier of that stack.
+    * [[graft.plans.TopKPerKey]] heap plan. This is the exact-baseline
+    * tier; [[knnJoinLsh]] is the registered sub-quadratic tier that runs
+    * the same score-and-heap shape per LSH bucket to break n².
     */
   def knnJoin(t: Tables): DataFrame = {
+    // norms precomputed ONCE PER VECTOR before replication: the per-pair
+    // score is then one dot product and two multiplies. sqrt(v·v) is the
+    // same fold + sqrt the per-pair form evaluated, and (na*nb) the same
+    // multiply as sqrt(..)*sqrt(..), so the cosine doubles are bitwise
+    // unchanged and the oracle still hash-matches.
     val e = vectors(t).withColumn("blk", (col("vec_id") % KnnBlocks).cast("int"))
+      .withColumn("nrm", sqrt(graft.functions.DotProduct(col("v"), col("v"))))
     val a = e.select(col("vec_id").as("a_id"), col("v").as("va"),
-      col("blk").as("a_blk"),
+      col("nrm").as("na"), col("blk").as("a_blk"),
       explode(sequence(col("blk"), lit(KnnBlocks - 1))).as("j"))
-    val b = e.select(col("vec_id").as("b_id"), col("v").as("vb"), col("blk").as("j"))
+    val b = e.select(col("vec_id").as("b_id"), col("v").as("vb"),
+      col("nrm").as("nb"), col("blk").as("j"))
     val pairs = a.join(b, Seq("j"))
       .where(col("a_blk") =!= col("j") || col("a_id") < col("b_id"))
-      .withColumn("cosine", cosine(col("va"), col("vb")))
+      .withColumn("cosine",
+        graft.functions.DotProduct(col("va"), col("vb")) / (col("na") * col("nb")))
       .select("a_id", "b_id", "cosine")
     // cosine is symmetric BITWISE (the index-order dot fold and the
     // commutative norm product are identical either way), so one score
@@ -374,6 +382,70 @@ object Similarity {
        |FROM p
        |QUALIFY nn_rank <= $KnnK
        |ORDER BY vec_id, nn_rank""".stripMargin
+
+  /** Bucketed (LSH) kNN join — the SCALE tier of [[knnJoin]]. Every
+    * vector probes its own sign bucket plus all 1-bit-flip neighbours
+    * (the same multiprobe as [[lshTopK]]) and scores ONLY those
+    * candidates, so the quadratic term is per-bucket — Σ|bucket|² ·
+    * (planes+1), never corpus-global n² — and raising [[NumPlanes]]
+    * keeps bucket populations bounded as the corpus grows. Candidates
+    * are scored DIRECTED (a vector's probe ring covers every bucket
+    * within hamming 1, and hamming is symmetric, so no mirror pass is
+    * needed and no pair matches twice — the probe values are distinct
+    * and a neighbour has one bucket), then reduced per vector by the
+    * bounded-state [[graft.plans.TopKPerKey]] heap and ranked exactly
+    * like the exact tier. Approximate by construction (recall depends
+    * on the planes); the ORACLE replays the identical buckets, probe
+    * rings, and scoring, so the contract is exact.
+    */
+  def knnJoinLsh(t: Tables): DataFrame = {
+    // per-vector norms precomputed before the probe-ring explosion —
+    // same bitwise-parity argument as [[knnJoin]]
+    val bucketed = vectors(t).withColumn("bucket", signBucket(col("v")))
+      .withColumn("nrm", sqrt(graft.functions.DotProduct(col("v"), col("v"))))
+    val probes = bucketed.select(
+      col("vec_id"), col("v").as("qv"), col("nrm").as("qn"),
+      explode(array(col("bucket") +:
+        (0 until NumPlanes).map(i => col("bucket").bitwiseXOR(1 << i)): _*)).as("probe"))
+    val cand = probes
+      .join(bucketed.select(col("vec_id").as("nb_id"), col("v").as("nv"),
+        col("nrm").as("nn"), col("bucket")),
+        col("probe") === col("bucket"))
+      .where(col("vec_id") =!= col("nb_id"))
+      .select(col("vec_id"), col("nb_id"),
+        (graft.functions.DotProduct(col("qv"), col("nv")) / (col("qn") * col("nn")))
+          .as("cosine"))
+    val top = graft.plans.TopKPerKey(cand, Seq("vec_id"),
+      Seq(("cosine", false), ("nb_id", true)), KnnK)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("vec_id").orderBy(col("cosine").desc, col("nb_id"))
+    top.withColumn("nn_rank", row_number().over(w))
+      .orderBy("vec_id", "nn_rank")
+  }
+
+  /** Oracle: full replay — same plane literals (via [[bucketSqlExpr]]),
+    * same probe ring, same directed scoring and rank cut.
+    */
+  val knnJoinLshSql: String = {
+    val probeList =
+      ("bucket" +: (0 until NumPlanes).map(i => s"xor(bucket, ${1 << i})")).mkString(", ")
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |b AS (SELECT vec_id, v, $bucketSqlExpr AS bucket FROM e),
+       |probes AS (
+       | SELECT vec_id, v AS qv, unnest([$probeList]) AS probe FROM b),
+       |cand AS (
+       | SELECT p.vec_id, b.vec_id AS nb_id,
+       |  list_dot_product(p.qv, b.v) /
+       |    (sqrt(list_dot_product(p.qv, p.qv)) * sqrt(list_dot_product(b.v, b.v))) AS cosine
+       | FROM probes p JOIN b ON p.probe = b.bucket
+       | WHERE p.vec_id <> b.vec_id)
+       |SELECT vec_id, nb_id, cosine,
+       | CAST(row_number() OVER (PARTITION BY vec_id
+       |   ORDER BY cosine DESC, nb_id) AS INT) AS nn_rank
+       |FROM cand
+       |QUALIFY nn_rank <= $KnnK
+       |ORDER BY vec_id, nn_rank""".stripMargin
+  }
 
   private val OutliersPerCell = 5
 

@@ -44,6 +44,46 @@ class Similarity2Spec extends SparkSpec {
     assert(got.sameElements(expect))
   }
 
+  test("lsh knn join: neighbours come only from the hamming-1 probe ring, scored exactly") {
+    import org.apache.spark.sql.functions.col
+    val rows = Similarity.knnJoinLsh(sf).collect()
+    assert(rows.nonEmpty)
+    // buckets recomputed through the same signBucket projection
+    val buckets = sf.embeddings
+      .select(col("vec_id"),
+        Similarity.signBucket(col("embedding").cast("array<double>")).as("b"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val vecs = sf.embeddings
+      .select(col("vec_id"), col("embedding").cast("array<double>"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    rows.foreach { r =>
+      val (a, b) = (r.getLong(0), r.getLong(1))
+      assert(a != b)
+      assert(Integer.bitCount(buckets(a) ^ buckets(b)) <= 1,
+        s"pair ($a,$b) outside the probe ring")
+      // the directed score is the exact cosine, not an approximation
+      val (va, vb) = (vecs(a), vecs(b))
+      val cos = va.zip(vb).map { case (x, y) => x * y }.sum /
+        (math.sqrt(va.map(x => x * x).sum) * math.sqrt(vb.map(x => x * x).sum))
+      assert(math.abs(r.getDouble(2) - cos) < 1e-12)
+    }
+    // per-vector ranks are contiguous from 1 and capped at k
+    rows.groupBy(_.getLong(0)).foreach { case (_, nbs) =>
+      assert(nbs.length <= 3)
+      assert(nbs.map(_.getInt(3)).sorted.sameElements(1 to nbs.length))
+    }
+  }
+
+  test("lsh knn join plan: equi-join on buckets plus heap reduction, no all-pairs replication") {
+    val plan = Similarity.knnJoinLsh(sf).queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") && !plan.contains("NestedLoop"), plan)
+    assert(plan.contains("TopKPerKey"), plan)
+    // the exact tier's triangle replication (explode over a block
+    // sequence) must NOT appear in the bucketed path — candidates come
+    // from one bucket equi-join
+    assert(!plan.toLowerCase.contains("sequence("), plan)
+  }
+
   test("cluster outliers emits at most 5 per cell, farthest first") {
     val rows = Similarity.clusterOutliers(sf).collect()
     assert(rows.nonEmpty)
