@@ -9,10 +9,15 @@ import org.apache.spark.sql.types.DecimalType
 /** Fifth tranche: the last classic TPC-H shapes expressible on this
   * schema — top-by-scalar-max (Q15), scalar-subquery-gated anti-join
   * aggregation (Q22), multi-join derived-measure profit (Q9 shape), late
-  * shipment conditional counts (Q12 shape) — plus the gaps-and-islands
-  * streak pattern. (Q2/Q11/Q16/Q20 need a partsupp table this dataset
-  * does not have; Q12's shipmode/commitdate and Q22's phone column are
-  * adapted to the columns that exist, with the query SHAPE preserved.)
+  * shipment conditional counts (Q12 shape), supplier-part distinct
+  * counts with NOT IN exclusion (Q16 shape, lineitem's distinct
+  * (part, supplier) pairs standing in for partsupp), and the
+  * qty-threshold semi-join chain (Q20 shape, "dominant supplier of a
+  * part's yearly volume" standing in for the availqty threshold) — plus
+  * the gaps-and-islands streak pattern. (Q2/Q11 still need partsupp
+  * columns with no analog here; Q12's shipmode/commitdate and Q22's
+  * phone column are adapted to the columns that exist, with the query
+  * SHAPE preserved.)
   */
 object Relational5 {
 
@@ -213,6 +218,88 @@ object Relational5 {
       .agg(count(lit(1)).as("numwait"))
       .orderBy(col("numwait").desc, col("s_name"))
   }
+
+  /** Q16 shape: how many qualified suppliers can supply each surviving
+    * (brand, type, size) bucket. lineitem's distinct (part, supplier)
+    * pairs stand in for partsupp; the "complaints" NOT IN exclusion is
+    * adapted to suppliers in arrears (negative balance) — same
+    * decorrelated anti-join shape. At scale: the part filter broadcasts
+    * into the fact scan, the exclusion list broadcasts as an anti join
+    * (suppliers are dimension-sized), and the per-bucket distinct count
+    * is ONE aggregation — the oracle's distinct-pair CTE is subsumed by
+    * countDistinct, so no separate pair-dedup shuffle is paid.
+    */
+  def partSupplierCounts(t: Tables): DataFrame = {
+    val sizes = Seq(1, 4, 7, 10, 13, 16, 19, 22)
+    val parts = t.part.where(col("p_brand") =!= "Brand#3" &&
+      !col("p_type").startsWith("PROMO") && col("p_size").isin(sizes: _*))
+      .select("p_partkey", "p_brand", "p_type", "p_size")
+    val badSupp = t.supplier.where(col("s_acctbal") < 0).select("s_suppkey")
+    t.lineitem.select("l_partkey", "l_suppkey")
+      .join(broadcast(parts), col("l_partkey") === col("p_partkey"))
+      .join(broadcast(badSupp), col("l_suppkey") === col("s_suppkey"), "left_anti")
+      .groupBy("p_brand", "p_type", "p_size")
+      .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"))
+      .orderBy(col("supplier_cnt").desc, col("p_brand"), col("p_type"), col("p_size"))
+  }
+
+  val partSupplierCountsSql: String =
+    """WITH ps AS (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem)
+      |SELECT p_brand, p_type, p_size,
+      | CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+      |FROM ps JOIN part ON p_partkey = l_partkey
+      |WHERE p_brand <> 'Brand#3' AND p_type NOT LIKE 'PROMO%'
+      |  AND p_size IN (1,4,7,10,13,16,19,22)
+      |  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+      |GROUP BY p_brand, p_type, p_size
+      |ORDER BY supplier_cnt DESC, p_brand, p_type, p_size""".stripMargin
+
+  /** Q20 shape: suppliers (from a nation group) who DOMINATED some
+    * filtered part's 1996 volume — shipped more than half that part's
+    * total for the year. The availqty > ½·Σqty correlated subquery
+    * becomes a decorrelated aggregate-join chain: per-(part, supplier)
+    * exact decimal qty, per-part total reusing that aggregate, a double
+    * threshold compare (both engines divide the same exact decimals),
+    * then a semi join into the supplier dimension. At scale: the part
+    * filter prunes the fact scan via broadcast, both aggregations
+    * shuffle on the part key, and the final semi join broadcasts the
+    * small qualified-supplier set.
+    */
+  def dominantSuppliers(t: Tables): DataFrame = {
+    val nations = (1 to 5).map(i => s"NATION_$i")
+    val qty = t.lineitem
+      .where(year(col("l_shipdate")) === 1996)
+      .join(broadcast(t.part.where(col("p_name").startsWith("small"))
+        .select("p_partkey")), col("l_partkey") === col("p_partkey"))
+      .groupBy("l_partkey", "l_suppkey")
+      .agg(sum(dec(col("l_quantity"))).as("qty"))
+    val tot = qty.groupBy("l_partkey").agg(sum(col("qty")).as("tot"))
+    val sel = qty.join(tot, Seq("l_partkey"))
+      .where(col("qty").cast("double") > lit(0.5) * col("tot").cast("double"))
+      .select("l_suppkey").distinct()
+    t.supplier
+      .join(broadcast(t.nation.where(col("n_name").isin(nations: _*))),
+        col("s_nationkey") === col("n_nationkey"))
+      .join(broadcast(sel), col("s_suppkey") === col("l_suppkey"), "left_semi")
+      .select("s_suppkey", "s_name", "n_name")
+      .orderBy("s_name", "s_suppkey")
+  }
+
+  val dominantSuppliersSql: String =
+    """WITH q AS (
+      | SELECT l_partkey, l_suppkey, SUM(CAST(l_quantity AS DECIMAL(12,2))) AS qty
+      | FROM lineitem JOIN part ON p_partkey = l_partkey
+      | WHERE year(l_shipdate) = 1996 AND p_name LIKE 'small%'
+      | GROUP BY 1, 2),
+      |t AS (SELECT l_partkey, SUM(qty) AS tot FROM q GROUP BY 1),
+      |sel AS (
+      | SELECT DISTINCT l_suppkey FROM q JOIN t USING (l_partkey)
+      | WHERE CAST(qty AS DOUBLE) > 0.5 * CAST(tot AS DOUBLE))
+      |SELECT s_suppkey, s_name, n_name
+      |FROM supplier JOIN nation ON s_nationkey = n_nationkey
+      |WHERE n_name IN ('NATION_1','NATION_2','NATION_3','NATION_4','NATION_5')
+      |  AND s_suppkey IN (SELECT l_suppkey FROM sel)
+      |ORDER BY s_name, s_suppkey""".stripMargin
 
   val waitingSuppliersSql: String =
     """SELECT s_name, n_name, CAST(COUNT(*) AS BIGINT) AS numwait

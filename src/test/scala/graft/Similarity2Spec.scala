@@ -117,6 +117,60 @@ class Similarity2Spec extends SparkSpec {
     assert(!plan.contains("CartesianProduct") && !plan.contains("NestedLoop"), plan)
   }
 
+  test("q16: bucket counts exclude in-arrears suppliers; one bucket recounted by hand") {
+    import org.apache.spark.sql.functions.col
+    val rows = Relational5.partSupplierCounts(sf).collect()
+    assert(rows.nonEmpty)
+    val bad = sf.supplier.where(col("s_acctbal") < 0)
+      .collect().map(_.getLong(0)).toSet
+    val parts = sf.part.collect()
+      .map(r => r.getLong(0) -> ((r.getString(2), r.getString(3), r.getInt(4)))).toMap
+    val sizes = Set(1, 4, 7, 10, 13, 16, 19, 22)
+    val pairs = sf.lineitem.select("l_partkey", "l_suppkey").distinct().collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val expect = pairs
+      .filter { case (p, s) => !bad.contains(s) && parts.get(p).exists {
+        case (brand, tpe, size) =>
+          brand != "Brand#3" && !tpe.startsWith("PROMO") && sizes.contains(size)
+      } }
+      .groupBy { case (p, _) => parts(p) }
+      .view.mapValues(_.map(_._2).distinct.length.toLong).toMap
+    val got = rows.map(r =>
+      ((r.getString(0), r.getString(1), r.getInt(2)), r.getLong(3))).toMap
+    assert(got == expect)
+  }
+
+  test("q20: exactly the suppliers dominating a small-part's 1996 volume, nation-gated") {
+    import org.apache.spark.sql.functions.{col, year}
+    val rows = Relational5.dominantSuppliers(sf).collect()
+    val smallParts = sf.part.where(col("p_name").startsWith("small"))
+      .collect().map(_.getLong(0)).toSet
+    val qty = sf.lineitem.where(year(col("l_shipdate")) === 1996)
+      .select("l_partkey", "l_suppkey", "l_quantity").collect()
+      .filter(r => smallParts.contains(r.getLong(0)))
+      .groupBy(r => (r.getLong(0), r.getLong(1)))
+      .view.mapValues(_.map(r => BigDecimal(r.getDouble(2))).sum).toMap
+    val totals = qty.groupBy(_._1._1).view.mapValues(_.values.sum).toMap
+    val dominant = qty.collect {
+      case ((p, s), q) if q.toDouble > 0.5 * totals(p).toDouble => s
+    }.toSet
+    val nations = (1 to 5).map(i => s"NATION_$i").toSet
+    val nationKeys = sf.nation.collect()
+      .filter(r => nations.contains(r.getString(1))).map(_.getInt(0)).toSet
+    val expect = sf.supplier.collect()
+      .filter(r => nationKeys.contains(r.getInt(2)) && dominant.contains(r.getLong(0)))
+      .map(_.getLong(0)).sorted
+    assert(rows.map(_.getLong(0)).sorted.sameElements(expect))
+  }
+
+  test("q16/q20 plans are decorrelated: broadcast joins, no nested-loop, no cartesian") {
+    Seq(Relational5.partSupplierCounts(sf), Relational5.dominantSuppliers(sf)).foreach { df =>
+      val plan = df.queryExecution.executedPlan.toString
+      assert(plan.contains("BroadcastHashJoin"), plan)
+      assert(!plan.contains("CartesianProduct") && !plan.contains("NestedLoop"), plan)
+    }
+  }
+
   test("int8 quantization bounds the error by half a quantization step per dimension") {
     val rows = graft.operators.Embeddings.int8Quantize(sf).collect()
     assert(rows.nonEmpty)
