@@ -53,31 +53,62 @@ object Multimodal {
 
   private val BatchSize = 64
 
-  /** STUB decode to image metadata — deterministic dims derived from the
-    * payload. Batch semantics mirror a pandas-UDF `mapInPandas` stage:
-    * records are processed in bounded batches (BatchSize) with one codec
-    * "call" per batch; batch_id is surfaced so the spec can assert the
-    * batch shape. A real decoder replaces `decodeOne` only.
+  /** Pluggable codec for the batched-decode seam: one record + its batch
+    * id in, typed image metadata out.
     */
-  def decodeImages(t: Tables): DataFrame = {
-    val spark = t.spark
+  type ImageDecoder = (MediaRecord, Long) => DecodedImage
+
+  /** STUB decoder (the oracle path): deterministic dims derived from the
+    * payload length, replayable in SQL.
+    */
+  private[graft] val stubImageDecoder: ImageDecoder = (r, batchId) => {
+    val n = r.payload.length
+    DecodedImage(r.doc_id, 64 + n % 512, 64 + (n * 7) % 512, 3, batchId)
+  }
+
+  /** REAL codec on the same seam: `javax.imageio` (JDK built-in, no
+    * external libs) decodes PNG/JPEG/BMP/GIF payload bytes to their
+    * actual raster dims and component count. The registered queries stay
+    * on the stub — this dataset's payloads are document text, and the
+    * DuckDB oracle replays the stub arithmetic — but the spec drives
+    * THIS decoder through the identical seam over real PNG bytes,
+    * proving the plumbing decodes real media, not just fakes.
+    */
+  private[graft] val imageIoDecoder: ImageDecoder = (r, batchId) => {
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(r.payload))
+    require(img != null, s"payload of doc ${r.doc_id} is not a decodable image")
+    DecodedImage(r.doc_id, img.getWidth, img.getHeight,
+      img.getColorModel.getNumComponents, batchId)
+  }
+
+  /** The batched-decode seam itself, codec-agnostic. Batch semantics
+    * mirror a pandas-UDF `mapInPandas` stage: records are processed in
+    * bounded batches (BatchSize) with one codec "call" per batch;
+    * batch_id is surfaced so the spec can assert the batch shape.
+    * `media` must carry (doc_id, payload binary).
+    */
+  private[graft] def decodeImagesFrom(media: DataFrame, codec: ImageDecoder): DataFrame = {
+    val spark = media.sparkSession
     import spark.implicits._
-    def decodeOne(r: MediaRecord, batchId: Long): DecodedImage = {
-      val n = r.payload.length
-      DecodedImage(r.doc_id, 64 + n % 512, 64 + (n * 7) % 512, 3, batchId)
-    }
-    t.documents
-      .select(col("doc_id"), col("text").cast("binary").as("payload"))
+    media
       .as[MediaRecord]
       .mapPartitions { it =>
         it.grouped(BatchSize).zipWithIndex.flatMap { case (batch, i) =>
           // one per-batch codec invocation happens here in a real impl
-          batch.map(decodeOne(_, i.toLong))
+          batch.map(codec(_, i.toLong))
         }
       }
       .toDF()
       .orderBy("doc_id")
   }
+
+  /** Stubbed decode to image metadata over the documents' text-as-binary
+    * payloads (the registered, oracled query).
+    */
+  def decodeImages(t: Tables): DataFrame =
+    decodeImagesFrom(
+      t.documents.select(col("doc_id"), col("text").cast("binary").as("payload")),
+      stubImageDecoder)
 
   /** STUB resize: new dims + a deterministic resampled checksum. The
     * plumbing point: resize composes on the decoded schema without

@@ -31,6 +31,34 @@ class MultimodalSpec extends SparkSpec {
     assert(maxBatch <= rows.length / 64 + 1)
   }
 
+  test("the decode seam carries real bytes: javax.imageio decodes generated PNGs") {
+    import java.awt.image.BufferedImage
+    import javax.imageio.ImageIO
+    import spark.implicits._
+    def png(w: Int, h: Int, tpe: Int): Array[Byte] = {
+      val img = new BufferedImage(w, h, tpe)
+      (0 until w).foreach(x =>
+        (0 until h).foreach(y => img.setRGB(x, y, (x * 31 + y) << 8)))
+      val bos = new java.io.ByteArrayOutputStream()
+      ImageIO.write(img, "png", bos)
+      bos.toByteArray
+    }
+    val media = Seq(
+      (1L, png(5, 7, BufferedImage.TYPE_INT_RGB)),
+      (2L, png(3, 3, BufferedImage.TYPE_4BYTE_ABGR)),
+      (3L, png(128, 2, BufferedImage.TYPE_INT_RGB)))
+      .toDF("doc_id", "payload")
+    // the SAME seam the registered stub query runs through, but with the
+    // real JDK codec: actual raster dims and channel counts come back
+    val got = Multimodal.decodeImagesFrom(media, Multimodal.imageIoDecoder)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getInt(1), r.getInt(2), r.getInt(3))))
+      .toMap
+    assert(got(1L) == ((5, 7, 3)))
+    assert(got(2L) == ((3, 3, 4)))   // alpha channel survives the round-trip
+    assert(got(3L) == ((128, 2, 3)))
+  }
+
   test("resize composes on the decoded schema and bounds the long side") {
     val resized = Multimodal.resize(Multimodal.decodeImages(sf), maxSide = 128)
     resized.collect().foreach { r =>
