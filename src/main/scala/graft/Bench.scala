@@ -1,13 +1,14 @@
 package graft
 import org.apache.spark.sql.SparkSession
 
-/** Benchmark main. Prints a human-readable per-query detail line first,
-  * then ONE compact machine-readable JSON line as the FINAL stdout line.
+/** Benchmark main. Prints the full per-query detail line first (also
+  * written to BENCH_DETAIL.json — the lossless record), then ONE compact
+  * machine-readable JSON line as the FINAL stdout line.
   *
   * The harness that collects this output keeps only the last ~2KB of
-  * stdout, so the final JSON line is kept under ~1500 chars: it carries
-  * the total, per-query count, and the slowest queries (3-decimal
-  * precision); the full per-query map is on the BENCH_DETAIL line above.
+  * stdout, so the final JSON line is capped at ~1840 chars total: it
+  * carries the total, per-query count, and the slowest queries
+  * (3-decimal precision); the complete map lives in the detail file.
   */
 object Bench {
   // Locale.ROOT: a comma-decimal default locale would break the JSON
@@ -66,10 +67,23 @@ object Bench {
     val total = if (results.nonEmpty) results.values.sum else 0.0
     val all = results.toSeq.sortBy(-_._2)
     val detail = all.map { case (k, v) => s"\"$k\":${fmt(v)}" }.mkString("{", ",", "}")
-    println(s"""BENCH_DETAIL {"metric":"total","value":${fmt(total)},"unit":"sec","queries":$detail,"sf":"$sfDir"}""")
+    val detailJson =
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${all.size},"reps":$reps,"queries":$detail,"sf":"$sfDir"}"""
+    println(s"BENCH_DETAIL $detailJson")
+    // The FULL per-query map also goes to a file: the collecting harness
+    // keeps only the last ~2KB of stdout, which cannot carry 140+ query
+    // entries — the file is the lossless record for round-over-round
+    // per-query comparison (the fast tail included).
+    try {
+      val path = sys.env.getOrElse("SPARK_GRAFT_BENCH_DETAIL", "BENCH_DETAIL.json")
+      java.nio.file.Files.write(java.nio.file.Paths.get(path),
+        (detailJson + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    } catch { case _: Throwable => () } // stdout detail already printed
     // Final line: slowest queries only, hard-capped so the line survives
-    // tail truncation with room for the runner's trailing output.
-    val budget = 1200
+    // tail truncation with room for the runner's trailing output (the
+    // collector keeps 2000 chars; ~140 chars of envelope + this budget
+    // leaves headroom for a trailing newline and runner noise).
+    val budget = 1700
     val sb = new StringBuilder
     var kept = 0
     var full = false
