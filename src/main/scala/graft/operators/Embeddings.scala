@@ -225,12 +225,15 @@ object Embeddings {
     * reconstructs exactly. One narrow pass over the corpus at scale.
     */
   def int8Quantize(t: Tables): DataFrame = {
-    // persisted: the exploded projection feeds both the bounds aggregate
-    // and the code join — without it the scan + explode run twice.
-    // (Cache lifecycle belongs to the session owner, as elsewhere.)
+    // NOT persisted: the exploded projection (dims× the corpus row count)
+    // feeds both the bounds aggregate and the code join, so the scan +
+    // explode run twice — but both passes are narrow and codegen'd, while
+    // caching the exploded frame would pin dims× the corpus in storage
+    // for the lifetime of a lazily-returned frame (a leak in a long-lived
+    // session, and unpayable at 100 TB). Two cheap scans beat one giant
+    // cache.
     val ex = t.embeddings.select(col("vec_id"),
       posexplode(col("embedding").cast("array<double>")).as(Seq("pos", "x")))
-      .persist()
     val bounds = ex.groupBy("pos").agg(min(col("x")).as("lo"), max(col("x")).as("hi"))
     ex.join(broadcast(bounds), Seq("pos"))
       .withColumn("code",

@@ -169,9 +169,10 @@ object TimeSeries {
       |HAVING SUM(dur) > 0
       |ORDER BY user_id""".stripMargin
 
-  /** 2-D histogram (heatmap feed): quantity-decile x discount-band cell
-    * counts with exact-decimal revenue per cell. Bucket keys are exact
-    * integer arithmetic on the decimal domain values, so cells are
+  /** 2-D histogram (heatmap feed): fixed-width quantity band (five
+    * 10-unit buckets, capped) x discount-band cell counts with
+    * exact-decimal revenue per cell. Bucket keys are exact integer
+    * arithmetic on the decimal domain values, so cells are
     * engine-portable; one aggregation pass, bounded output (cells, not
     * rows), the standard dashboard heatmap shape.
     */

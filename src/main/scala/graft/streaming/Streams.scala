@@ -230,6 +230,10 @@ object Streams {
   def throttleStream(events: Dataset[Event], maxPerHour: Long): Dataset[Event] = {
     import events.sparkSession.implicits._
     val HourMs = 3600L * 1000L
+    // the cap's soundness proof needs the prune/timeout horizon to EQUAL
+    // the declared watermark — both derive from this one constant
+    val WatermarkHours = 2
+    val WatermarkMs = WatermarkHours * HourMs
 
     def fn(userId: Long, it: Iterator[Event],
         state: GroupState[ThrottleState]): Iterator[Event] = {
@@ -244,18 +248,19 @@ object Streams {
         }
         if (hours.nonEmpty) {
           // prune buckets the watermark has passed beyond recall: only
-          // hours within 2 h of the newest can still receive events
+          // hours within the watermark horizon of the newest can still
+          // receive events
           val newest = hours.keys.max
-          hours = hours.filter { case (h, _) => h >= newest - 2 * HourMs }
+          hours = hours.filter { case (h, _) => h >= newest - WatermarkMs }
           state.update(ThrottleState(hours))
-          state.setTimeoutTimestamp(newest + 2 * HourMs)
+          state.setTimeoutTimestamp(newest + WatermarkMs)
         }
         out.result().iterator
       }
     }
 
     events
-      .withWatermark("ts", "2 hours")
+      .withWatermark("ts", s"$WatermarkHours hours")
       .groupByKey(_.user_id)
       .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.EventTimeTimeout())(fn)
   }

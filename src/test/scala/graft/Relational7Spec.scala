@@ -90,7 +90,7 @@ class Relational7Spec extends SparkSpec {
     sums.foreach(s => assert(s.dataType == LongType, s"non-long sum: $s"))
   }
 
-  test("2-D histogram cells partition all of lineitem and cap the quantity decile") {
+  test("2-D histogram cells partition all of lineitem and cap the quantity band") {
     val rows = graft.operators.TimeSeries.histogram2d(sf).collect()
     assert(rows.map(_.getLong(2)).sum == sf.lineitem.count())
     rows.foreach { r =>

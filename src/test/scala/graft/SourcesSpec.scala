@@ -345,6 +345,16 @@ class SourcesSpec extends SparkSpec {
   }
 
   test("z-ordered sink clusters BOTH dimensions (per-file spans beat a 1-D sort)") {
+    // the span thresholds below are empirical; pin the range-partition
+    // count so the file layout (and so the measured spans) cannot drift
+    // with host core counts or AQE coalescing
+    val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    try zOrderSpanCheck()
+    finally spark.conf.set("spark.sql.shuffle.partitions", prevParts)
+  }
+
+  private def zOrderSpanCheck(): Unit = {
     val src = sf.lineitem.select("l_orderkey", "l_partkey", "l_suppkey")
     // per-file average span of a column, via the file each row landed in
     def meanSpan(path: String, column: String): Double = {
