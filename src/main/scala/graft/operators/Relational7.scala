@@ -96,19 +96,25 @@ object Relational7 {
   private val MinSupport = 3
 
   /** Market-basket pair mining: part pairs co-purchased in the same
-    * order, with support ≥ [[MinSupport]]. Distinct (order, part) first,
-    * then the pair join runs ON THE ORDER KEY — co-partitioned, and the
-    * per-order explosion is bounded by basket size squared (baskets are
-    * small; the quadratic term never touches corpus scale). The classic
-    * first step of association-rule mining.
+    * order, with support ≥ [[MinSupport]]. Baskets are gathered once
+    * per order (collect_set has map-side partial aggregation) and the
+    * canonical a<b pairs expand IN-ROW over the sorted basket array —
+    * no self-join, no second pass over the fact table; the per-order
+    * explosion is bounded by basket size squared (baskets are small,
+    * so the quadratic term never touches corpus scale). Two shuffles
+    * total: the basket gather and the pair-support aggregation. The
+    * oracle keeps the textbook distinct + self-join form, so the
+    * rewrite itself is what's verified.
     */
   def basketPairs(t: Tables): DataFrame = {
-    val items = t.lineitem.select("l_orderkey", "l_partkey").distinct()
-    val a = items.select(col("l_orderkey"), col("l_partkey").as("a_part"))
-    val b = items.select(col("l_orderkey"), col("l_partkey").as("b_part"))
-    a.join(b, Seq("l_orderkey"))
-      .where(col("a_part") < col("b_part"))
-      .groupBy("a_part", "b_part")
+    val baskets = t.lineitem.groupBy("l_orderkey")
+      .agg(array_sort(collect_set(col("l_partkey"))).as("parts"))
+    baskets
+      .select(explode(expr(
+        """flatten(transform(parts, (a, i) ->
+          |  transform(slice(parts, i + 2, size(parts)),
+          |    b -> named_struct('a', a, 'b', b))))""".stripMargin)).as("p"))
+      .groupBy(col("p.a").as("a_part"), col("p.b").as("b_part"))
       .agg(count(lit(1)).as("support"))
       .where(col("support") >= MinSupport)
       .orderBy(col("support").desc, col("a_part"), col("b_part"))
