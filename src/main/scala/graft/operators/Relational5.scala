@@ -13,11 +13,14 @@ import org.apache.spark.sql.types.DecimalType
   * counts with NOT IN exclusion (Q16 shape, lineitem's distinct
   * (part, supplier) pairs standing in for partsupp), and the
   * qty-threshold semi-join chain (Q20 shape, "dominant supplier of a
-  * part's yearly volume" standing in for the availqty threshold) — plus
-  * the gaps-and-islands streak pattern. (Q2/Q11 still need partsupp
-  * columns with no analog here; Q12's shipmode/commitdate and Q22's
-  * phone column are adapted to the columns that exist, with the query
-  * SHAPE preserved.)
+  * part's yearly volume" standing in for the availqty threshold),
+  * min-cost supplier per part (Q2 shape, the observed minimum line
+  * price standing in for ps_supplycost), and value-concentration
+  * HAVING-over-scalar-share (Q11 shape) — completing adaptations of
+  * ALL 22 TPC-H query shapes on this schema. (Q12's shipmode/
+  * commitdate and Q22's phone column are adapted to the columns that
+  * exist, with the query SHAPE preserved.) Plus the gaps-and-islands
+  * streak pattern.
   */
 object Relational5 {
 
@@ -253,6 +256,103 @@ object Relational5 {
       |  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
       |GROUP BY p_brand, p_type, p_size
       |ORDER BY supplier_cnt DESC, p_brand, p_type, p_size""".stripMargin
+
+  /** Q2 shape: the supplier(s) offering each filtered part at the
+    * minimum observed cost among one region's suppliers — the classic
+    * argmin-per-group with a correlated min subquery, decorrelated into
+    * an aggregate joined back by EXACT DECIMAL EQUALITY (ties all
+    * surface, as in Q2 itself). The observed minimum line price stands
+    * in for ps_supplycost. At scale: dims broadcast into the fact scan
+    * (the part band prunes before aggregation — per-part minima are
+    * unaffected by dropping other parts), offers aggregate once on
+    * (part, supplier), and the per-part min joins back co-partitioned
+    * on the part key.
+    */
+  def minCostSupplier(t: Tables): DataFrame = {
+    val regionSupp = t.supplier
+      .join(broadcast(t.nation), col("s_nationkey") === col("n_nationkey"))
+      .join(broadcast(t.region.where(col("r_name") === "ASIA")),
+        col("n_regionkey") === col("r_regionkey"))
+      .select("s_suppkey", "s_name", "n_name")
+    val bandParts = t.part
+      .where(col("p_size").between(10, 20) && col("p_type") === "STANDARD")
+      .select("p_partkey")
+    val offers = t.lineitem.select("l_partkey", "l_suppkey", "l_extendedprice")
+      .join(broadcast(bandParts), col("l_partkey") === col("p_partkey"))
+      .join(broadcast(regionSupp.select("s_suppkey")),
+        col("l_suppkey") === col("s_suppkey"), "left_semi")
+      .groupBy("l_partkey", "l_suppkey")
+      .agg(min(dec(col("l_extendedprice"))).as("cost"))
+    val mins = offers.groupBy("l_partkey")
+      .agg(min(col("cost")).as("min_cost"))
+      .withColumnRenamed("l_partkey", "m_partkey")
+    offers
+      .join(mins, col("l_partkey") === col("m_partkey") &&
+        col("cost") === col("min_cost"))
+      .join(broadcast(regionSupp), col("l_suppkey") === col("s_suppkey"))
+      .select(col("l_partkey").as("p_partkey"), col("s_name"), col("n_name"),
+        col("cost").cast("double").as("cost"))
+      .orderBy("cost", "p_partkey", "s_name")
+  }
+
+  val minCostSupplierSql: String =
+    """WITH offers AS (
+      | SELECT l_partkey, l_suppkey, MIN(CAST(l_extendedprice AS DECIMAL(12,2))) AS cost
+      | FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+      |   JOIN nation ON s_nationkey = n_nationkey
+      |   JOIN region ON n_regionkey = r_regionkey
+      | WHERE r_name = 'ASIA'
+      | GROUP BY 1, 2),
+      |mins AS (SELECT l_partkey, MIN(cost) AS min_cost FROM offers GROUP BY 1)
+      |SELECT p_partkey, s_name, n_name, CAST(o.cost AS DOUBLE) AS cost
+      |FROM offers o JOIN mins m ON o.l_partkey = m.l_partkey AND o.cost = m.min_cost
+      |  JOIN part ON p_partkey = o.l_partkey
+      |  JOIN supplier ON s_suppkey = o.l_suppkey
+      |  JOIN nation ON s_nationkey = n_nationkey
+      |WHERE p_size BETWEEN 10 AND 20 AND p_type = 'STANDARD'
+      |ORDER BY cost, p_partkey, s_name""".stripMargin
+
+  /** Q11 shape: value concentration — parts whose revenue (through one
+    * nation group's suppliers) exceeds a multiple of the average part's,
+    * i.e. TPC-H's HAVING-over-scalar-share with the fraction made
+    * SCALE-INVARIANT (Q11's fixed 0.0001 fraction empties or floods the
+    * report as the corpus grows; k× the mean does not). Decorrelated:
+    * the threshold is a broadcast 1-row aggregate over the same frame
+    * (exact decimal sum ÷ count, the q22 recipe). At scale: one fact
+    * aggregation on the part key + a 1-row broadcast gate.
+    */
+  def importantParts(t: Tables): DataFrame = {
+    val nations = Seq(0, 5, 10, 15, 20).map(i => s"NATION_$i")
+    val supp = t.supplier
+      .join(broadcast(t.nation.where(col("n_name").isin(nations: _*))),
+        col("s_nationkey") === col("n_nationkey"))
+      .select("s_suppkey")
+    val value = t.lineitem
+      .join(broadcast(supp), col("l_suppkey") === col("s_suppkey"), "left_semi")
+      .groupBy("l_partkey")
+      .agg(revenueDec.as("value"))
+    val thr = value.agg(
+      (sum(col("value")).cast("double") / count(lit(1))).as("avg_val"))
+    value.crossJoin(broadcast(thr))
+      .where(col("value").cast("double") > lit(2.0) * col("avg_val"))
+      .select(col("l_partkey"), col("value").cast("double").as("value"))
+      .orderBy(col("value").desc, col("l_partkey"))
+  }
+
+  val importantPartsSql: String =
+    """WITH val AS (
+      | SELECT l_partkey,
+      |  SUM(CAST(l_extendedprice AS DECIMAL(12,2)) *
+      |      CAST(1 - CAST(l_discount AS DECIMAL(4,2)) AS DECIMAL(8,4))) AS value
+      | FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+      |   JOIN nation ON s_nationkey = n_nationkey
+      | WHERE n_name IN ('NATION_0','NATION_5','NATION_10','NATION_15','NATION_20')
+      | GROUP BY 1)
+      |SELECT l_partkey, CAST(value AS DOUBLE) AS value
+      |FROM val
+      |WHERE CAST(value AS DOUBLE) >
+      |  2.0 * (SELECT CAST(SUM(value) AS DOUBLE) / COUNT(*) FROM val)
+      |ORDER BY value DESC, l_partkey""".stripMargin
 
   /** Q20 shape: suppliers (from a nation group) who DOMINATED some
     * filtered part's 1996 volume — shipped more than half that part's

