@@ -209,16 +209,23 @@ object Relational5 {
       .join(ordF, col("l_orderkey") === col("o_orderkey"))
       .withColumn("late",
         col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 60 DAYS"))
-    val perOrder = li.groupBy("l_orderkey").agg(
-      countDistinct(col("l_suppkey")).as("n_supps"),
-      countDistinct(when(col("late"), col("l_suppkey"))).as("late_supps"))
-    li.where(col("late"))
+    // pre-aggregate to one row per (order, supplier): the two distinct
+    // counts become plain counts over this frame (no Expand duplication
+    // of the fact rows), the second aggregation and the join-back reuse
+    // the same order-key partitioning, and the late-line count rides
+    // along as a sum instead of re-joining the raw lines
+    val perSupp = li.groupBy("l_orderkey", "l_suppkey")
+      .agg(sum(when(col("late"), 1L).otherwise(0L)).as("n_late"))
+    val perOrder = perSupp.groupBy("l_orderkey").agg(
+      count(lit(1)).as("n_supps"),
+      sum(when(col("n_late") > 0, 1L).otherwise(0L)).as("late_supps"))
+    perSupp.where(col("n_late") > 0)
       .join(perOrder, Seq("l_orderkey"))
       .where(col("n_supps") >= 2 && col("late_supps") === 1)
       .join(broadcast(t.supplier), col("l_suppkey") === col("s_suppkey"))
       .join(broadcast(t.nation), col("s_nationkey") === col("n_nationkey"))
       .groupBy("s_name", "n_name")
-      .agg(count(lit(1)).as("numwait"))
+      .agg(sum(col("n_late")).as("numwait"))
       .orderBy(col("numwait").desc, col("s_name"))
   }
 
