@@ -133,6 +133,31 @@ object Streams {
   def qualityGateStream(docs: DataFrame): DataFrame =
     graft.operators.TextAnalysis2.gopherColumns(docs)
 
+  /** Streaming NEAR-dup gate: drop a document whose simhash signature
+    * was already seen inside the watermark horizon, keeping the first
+    * arrival. The signature is the EXACT batch expression
+    * ([[graft.functions.SimHashSig]] over the shared word-3-gram
+    * shingling), so live ingestion and the batch dedup agree on what
+    * "the same document" means; state is one long per distinct
+    * signature inside the watermark — bounded, and orders of magnitude
+    * smaller than a content-key dedup because near-identical variants
+    * collapse to one signature. This is the signature-exact
+    * (hamming-0) tier; the full hamming≤3 pair mining remains a batch
+    * job over the survivors. Docs need (doc_id, text, ts).
+    */
+  def nearDupGateStream(docs: DataFrame): DataFrame =
+    docs
+      .withColumn("grams", array_distinct(graft.functions.WordNGrams(col("text"), 3)))
+      // sub-3-token docs have no grams; fall back to exact-text hashing
+      // so they dedup against identical text instead of all collapsing
+      // onto the empty-gram signature
+      .withColumn("simhash",
+        when(size(col("grams")) > 0, graft.functions.SimHashSig(col("grams")))
+          .otherwise(xxhash64(col("text"))))
+      .drop("grams")
+      .withWatermark("ts", "2 hours")
+      .dropDuplicatesWithinWatermark(Seq("simhash"))
+
   /** Stream-stream interval join: purchases enriched with a view by the
     * same user in the preceding hour. Both sides are watermarked and the
     * time-interval condition bounds join state on both sides — the only

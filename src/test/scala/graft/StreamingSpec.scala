@@ -5,7 +5,7 @@ import java.sql.Timestamp
 import graft.streaming.Streams
 import graft.streaming.Streams.{Event, Session}
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
-import org.apache.spark.sql.functions.{col, count, lit, sum, window}
+import org.apache.spark.sql.functions.{array_distinct, col, count, lit, sum, window}
 
 class StreamingSpec extends SparkSpec {
   import spark.implicits._
@@ -212,6 +212,36 @@ class StreamingSpec extends SparkSpec {
       Seq((1L, good), (2L, bad)).toDF("doc_id", "text")).collect()
       .map(r => r.getLong(0) -> r.getAs[Boolean]("keep")).toMap
     assert(batch == keep)
+  }
+
+  test("near-dup gate drops same-signature docs in-stream, keeping the first arrival") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    // two docs sharing all 3-grams (identical text) collapse to one
+    // signature; a distinct doc survives; a tiny (<3 tokens) doc pair
+    // dedups by exact text
+    val base = (1 to 30).map(i => s"w$i").mkString(" ")
+    val other = (1 to 30).map(i => s"u$i").mkString(" ")
+    val input = MemoryStream[(Long, String, Timestamp)]
+    input.addData(
+      (1L, base, ts(0)), (2L, base, ts(1)),
+      (3L, other, ts(2)),
+      (4L, "hi there", ts(3)), (5L, "hi there", ts(4)))
+    val q = Streams.nearDupGateStream(input.toDF().toDF("doc_id", "text", "ts"))
+      .writeStream.format("memory").queryName("neardup")
+      .outputMode("append").start()
+    q.processAllAvailable()
+    q.stop()
+    val kept = spark.table("neardup").collect().map(_.getLong(0)).sorted
+    assert(kept.sameElements(Array(1L, 3L, 4L)), kept.mkString(","))
+    // the stream's signature equals the batch SimHashSig on the same text
+    val batchSig = Seq((1L, base)).toDF("doc_id", "text")
+      .select(graft.functions.SimHashSig(
+        array_distinct(graft.functions.WordNGrams(col("text"), 3))))
+      .collect()(0).getLong(0)
+    val streamSig = spark.table("neardup").collect()
+      .find(_.getLong(0) == 1L).get.getAs[Long]("simhash")
+    assert(streamSig == batchSig)
   }
 
   test("throttle stream caps each user at maxPerHour and resets on a new hour") {
