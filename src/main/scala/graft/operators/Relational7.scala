@@ -47,11 +47,15 @@ object Relational7 {
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val wBuckets = Window.orderBy("bucket")
       .rowsBetween(Window.unboundedPreceding, -1)
-    val offsets = ranged.groupBy("bucket")
+    val bucketTotals = ranged.groupBy("bucket")
       .agg(sum(col("rev")).as("bucket_total"))
+    val offsets = bucketTotals
       .withColumn("bucket_offset", sum(col("bucket_total")).over(wBuckets))
       .select("bucket", "bucket_offset")
-    val total = rev.agg(sum(col("rev")).as("total_rev"))
+    // grand total = Σ bucket totals (exact decimal addition is
+    // associative), read from the 32-row frame over the cached range
+    // exchange instead of re-aggregating the fact table a second time
+    val total = bucketTotals.agg(sum(col("bucket_total")).as("total_rev"))
     ranged
       .withColumn("local_cum", sum(col("rev")).over(wLocal))
       .join(broadcast(offsets), Seq("bucket"))
