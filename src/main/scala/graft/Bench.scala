@@ -78,7 +78,12 @@ object Bench {
       val path = sys.env.getOrElse("SPARK_GRAFT_BENCH_DETAIL", "BENCH_DETAIL.json")
       java.nio.file.Files.write(java.nio.file.Paths.get(path),
         (detailJson + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    } catch { case _: Throwable => () } // stdout detail already printed
+    } catch {
+      // stdout detail already printed; warn so a stale/missing file is
+      // never mistaken for a fresh record (don't mask OOM/interrupt)
+      case scala.util.control.NonFatal(e) =>
+        System.err.println(s"BENCH_DETAIL write failed: $e")
+    }
     // Final line: slowest queries only, hard-capped so the line survives
     // tail truncation with room for the runner's trailing output (the
     // collector keeps 2000 chars; ~140 chars of envelope + this budget

@@ -10,13 +10,17 @@ import org.apache.spark.sql.functions._
   */
 object Shingles {
 
-  /** doc_id + distinct word-3-gram projection of the documents table,
-    * via the native [[WordNGrams]] expression (one JVM call per row
-    * instead of an interpreted lambda per gram).
+  /** Distinct word-3-gram set of a text column, via the native
+    * [[WordNGrams]] expression (one JVM call per row instead of an
+    * interpreted lambda per gram) — THE shingling definition; batch
+    * dedup and the streaming near-dup gate must agree on it, so both
+    * call this.
     */
+  def grams3(text: Column): Column = array_distinct(WordNGrams(text, 3))
+
+  /** doc_id + distinct word-3-gram projection of the documents table. */
   def gramsOf(documents: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
-    documents
-      .select(col("doc_id"), array_distinct(WordNGrams(col("text"), 3)).as("grams"))
+    documents.select(col("doc_id"), grams3(col("text")).as("grams"))
 
   /** DuckDB equivalent of [[grams3]] for oracle SQL. */
   def grams3Sql(c: String): String =

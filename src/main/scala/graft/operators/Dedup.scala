@@ -427,11 +427,14 @@ object Dedup {
     // part; the distributed path re-reads it every round). ONE
     // limit(N+1).collect() both decides the path and delivers the edges:
     // the small-graph path pays a single job instead of a probe-count
-    // job plus a collect job, and an oversize graph ships at most
-    // lim+1 two-long rows (~32 MB at the 1 M default) before falling
-    // through to the distributed loop — bounded, never corpus-sized.
-    // The limit threshold is on undoubled pairs, so the driver path
-    // engages up to driverEdgeLimit near-dup PAIRS.
+    // job plus a collect job. Trade-off accepted: an OVERSIZE graph now
+    // ships lim+1 two-long Rows once before falling through to the
+    // distributed loop — with boxing/Row overhead that is on the order
+    // of 100 MB transient driver heap at the 1 M default (the old
+    // count-only probe shipped nothing), bounded and one-time, never
+    // corpus-sized; size driverEdgeLimit to the driver heap if you
+    // raise it. The limit threshold is on undoubled pairs, so the
+    // driver path engages up to driverEdgeLimit near-dup PAIRS.
     val lim = driverEdgeLimit.toInt
     val ep = pairs.select(col("a_id").as("x"), col("b_id").as("y")).cache()
     val head = ep.limit(lim + 1).collect()

@@ -326,6 +326,20 @@ object Similarity {
   private val KnnK      = 3
   private val KnnBlocks = 16
 
+  /** Shared ranking tail of BOTH kNN-join tiers: bounded-state
+    * TopKPerKey heap reduction + rank + presentation sort. One
+    * definition so the tiers cannot drift on k or tie-breaks.
+    * `cand` columns: (vec_id, nb_id, cosine).
+    */
+  private def rankTopK(cand: DataFrame): DataFrame = {
+    val top = graft.plans.TopKPerKey(cand, Seq("vec_id"),
+      Seq(("cosine", false), ("nb_id", true)), KnnK)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("vec_id").orderBy(col("cosine").desc, col("nb_id"))
+    top.withColumn("nn_rank", row_number().over(w))
+      .orderBy("vec_id", "nn_rank")
+  }
+
   /** Symmetric kNN join: the 3 nearest neighbours of EVERY vector — the
     * kNN-graph build behind diversity sampling, semantic clustering, and
     * graph-based curation. Exact all-pairs scoring via the same triangle
@@ -361,12 +375,7 @@ object Similarity {
       .select(col("a_id").as("vec_id"), col("b_id").as("nb_id"), col("cosine"))
       .unionAll(pairs
         .select(col("b_id").as("vec_id"), col("a_id").as("nb_id"), col("cosine")))
-    val top = graft.plans.TopKPerKey(mirrored, Seq("vec_id"),
-      Seq(("cosine", false), ("nb_id", true)), KnnK)
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy("vec_id").orderBy(col("cosine").desc, col("nb_id"))
-    top.withColumn("nn_rank", row_number().over(w))
-      .orderBy("vec_id", "nn_rank")
+    rankTopK(mirrored)
   }
 
   val knnJoinSql: String =
@@ -415,12 +424,7 @@ object Similarity {
       .select(col("vec_id"), col("nb_id"),
         (graft.functions.DotProduct(col("qv"), col("nv")) / (col("qn") * col("nn")))
           .as("cosine"))
-    val top = graft.plans.TopKPerKey(cand, Seq("vec_id"),
-      Seq(("cosine", false), ("nb_id", true)), KnnK)
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy("vec_id").orderBy(col("cosine").desc, col("nb_id"))
-    top.withColumn("nn_rank", row_number().over(w))
-      .orderBy("vec_id", "nn_rank")
+    rankTopK(cand)
   }
 
   /** Oracle: full replay — same plane literals (via [[bucketSqlExpr]]),

@@ -147,7 +147,7 @@ object Streams {
     */
   def nearDupGateStream(docs: DataFrame): DataFrame =
     docs
-      .withColumn("grams", array_distinct(graft.functions.WordNGrams(col("text"), 3)))
+      .withColumn("grams", graft.functions.Shingles.grams3(col("text")))
       // sub-3-token docs have no grams; fall back to exact-text hashing
       // so they dedup against identical text instead of all collapsing
       // onto the empty-gram signature
