@@ -336,4 +336,69 @@ object TextAnalysis2 {
        |SELECT a.term, df, cf, postings
        |FROM a JOIN ps USING (term)
        |ORDER BY term""".stripMargin
+
+  /** Source-overlap matrix: exact 3-gram-set Jaccard between every pair
+    * of subcorpora ("sources") — the domain-overlap / cross-contamination
+    * report a corpus curator reads before fixing mixture weights. Per
+    * source the distinct gram set is built once (grams cross the shuffle
+    * as xxhash64 longs — a collision merges two set elements corpus-wide
+    * with probability ~|grams|²/2⁶⁴ ≈ 0, and the DuckDB string-gram
+    * oracle confirms zero at test scale); intersections come from one
+    * self-join on the gram key whose per-key fan-out is bounded by the
+    * SOURCE count (tiny), never the corpus; union sizes derive as
+    * |A|+|B|−|A∩B|. Output is sources² rows — bounded however large the
+    * corpus — including zero-overlap pairs via a cross of the per-source
+    * size aggregates.
+    */
+  def sourceOverlap(t: Tables): DataFrame = {
+    // one aggregation gathers each gram's sorted source set (collect_set
+    // dedups map-side — no separate distinct pass), then source pairs
+    // expand IN-ROW per gram (≤ sources² per row, tiny) — the same
+    // no-self-join trick as basket pairs; sizes fall out of the same
+    // frame by exploding the sets
+    val byGram = t.documents
+      .select(col("source"), explode(graft.functions.Shingles.grams3(col("text"))).as("gs"))
+      .select(col("source"), xxhash64(col("gs")).as("g"))
+      .groupBy("g")
+      .agg(array_sort(collect_set(col("source"))).as("srcs"))
+    val sizes = byGram.select(explode(col("srcs")).as("source"))
+      .groupBy("source").agg(count(lit(1)).as("sz"))
+    val inter = byGram
+      .select(explode(expr(
+        """flatten(transform(srcs, (a, i) ->
+          |  transform(slice(srcs, i + 2, size(srcs)),
+          |    b -> named_struct('a', a, 'b', b))))""".stripMargin)).as("p"))
+      .groupBy(col("p.a").as("a_src"), col("p.b").as("b_src"))
+      .agg(count(lit(1)).as("n_common"))
+    val a = sizes.select(col("source").as("a_src"), col("sz").as("a_sz"))
+    val b = sizes.select(col("source").as("b_src"), col("sz").as("b_sz"))
+    a.crossJoin(b) // cross of two per-source AGGREGATES — sources², not corpus
+      .where(col("a_src") < col("b_src"))
+      .join(inter, Seq("a_src", "b_src"), "left")
+      .withColumn("n_common", coalesce(col("n_common"), lit(0L)))
+      .select(col("a_src"), col("b_src"), col("a_sz"), col("b_sz"), col("n_common"),
+        (col("n_common").cast("double") /
+          (col("a_sz") + col("b_sz") - col("n_common")).cast("double")).as("jaccard"))
+      .orderBy(col("jaccard").desc, col("a_src"), col("b_src"))
+  }
+
+  val sourceOverlapSql: String =
+    s"""WITH e AS (
+       | SELECT source, unnest(grams) AS g
+       | FROM (SELECT source, ${graft.functions.Shingles.grams3Sql("text")} AS grams
+       |       FROM documents)),
+       |sg AS (SELECT DISTINCT source, g FROM e),
+       |sizes AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS sz FROM sg GROUP BY 1),
+       |inter AS (
+       | SELECT a.source AS a_src, b.source AS b_src, CAST(COUNT(*) AS BIGINT) AS n_common
+       | FROM sg a JOIN sg b ON a.g = b.g AND a.source < b.source
+       | GROUP BY 1, 2)
+       |SELECT a.source AS a_src, b.source AS b_src,
+       | a.sz AS a_sz, b.sz AS b_sz,
+       | COALESCE(n_common, CAST(0 AS BIGINT)) AS n_common,
+       | CAST(COALESCE(n_common, 0) AS DOUBLE)
+       |   / (a.sz + b.sz - COALESCE(n_common, 0)) AS jaccard
+       |FROM sizes a JOIN sizes b ON a.source < b.source
+       |LEFT JOIN inter ON inter.a_src = a.source AND inter.b_src = b.source
+       |ORDER BY jaccard DESC, a_src, b_src""".stripMargin
 }

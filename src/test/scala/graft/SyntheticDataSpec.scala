@@ -63,6 +63,29 @@ class SyntheticDataSpec extends SparkSpec {
     }.isDefined)), lp.toString)
   }
 
+  test("source overlap: constructed gram sets give exact pairwise jaccard incl. zero pairs") {
+    val (t, dir) = tempTables()
+    // srcA: grams {a b c, b c d}  srcB: {b c d, c d e}  srcC: disjoint
+    val d1 = "a b c d"      // grams: "a b c", "b c d"
+    val d2 = "b c d e"      // grams: "b c d", "c d e"
+    val d3 = "x y z w"      // grams: "x y z", "y z w"
+    Seq(
+      (1L, d1, "en", "srcA", d1.length.toLong),
+      (2L, d2, "en", "srcB", d2.length.toLong),
+      (3L, d3, "en", "srcC", d3.length.toLong))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$dir/documents.parquet")
+    val rows = graft.operators.TextAnalysis2.sourceOverlap(t).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4), r.getDouble(5)))).toMap
+    // A={abc,bcd} B={bcd,cde}: common {bcd}=1, union 3 -> 1/3
+    assert(rows(("srcA", "srcB")) == ((2L, 2L, 1L, 1.0 / 3.0)))
+    // disjoint pairs present with jaccard 0
+    assert(rows(("srcA", "srcC")) == ((2L, 2L, 0L, 0.0)))
+    assert(rows(("srcB", "srcC")) == ((2L, 2L, 0L, 0.0)))
+    assert(rows.size == 3)
+  }
+
   test("skyline: constructed frontier is exactly the non-dominated points") {
     val (t, dir) = tempTables()
     // (price, size): frontier = (1,9), (3,4), (8,1); dominated: rest
