@@ -204,7 +204,7 @@ object Streams {
         Session(userId, new Timestamp(s.start), new Timestamp(s.last), s.n, s.total)
 
       if (state.hasTimedOut) {
-        val out = state.getOption.map(emit).toIterator
+        val out = state.getOption.map(emit).iterator
         state.remove()
         out
       } else {
