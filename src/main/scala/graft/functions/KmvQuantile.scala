@@ -45,16 +45,7 @@ class KmvQuantile(k: Int, s: Int) extends Aggregator[SketchIn, SketchBuf, Sketch
   override def zero: SketchBuf = SketchBuf(Vector.empty, Vector.empty)
 
   private def insertKmv(kmv: Vector[Long], h: Long): Vector[Long] =
-    if (kmv.length == k && h >= kmv.last) kmv
-    else {
-      val i = kmv.search(h)(Ordering.Long)
-      i match {
-        case scala.collection.Searching.Found(_) => kmv // already present
-        case scala.collection.Searching.InsertionPoint(p) =>
-          val grown = kmv.patch(p, Vector(h), 0)
-          if (grown.length > k) grown.dropRight(1) else grown
-      }
-    }
+    KmvOps.insert(k)(kmv, h)
 
   private val pairOrd: Ordering[(Long, Long)] = Ordering.Tuple2(Ordering.Long, Ordering.Long)
 
@@ -103,4 +94,68 @@ class KmvQuantile(k: Int, s: Int) extends Aggregator[SketchIn, SketchBuf, Sketch
   override def bufferEncoder: Encoder[SketchBuf] = Encoders.kryo[SketchBuf]
 
   override def outputEncoder: Encoder[SketchOut] = Encoders.product[SketchOut]
+}
+
+/** Shared bottom-k insertion for all KMV-family sketches: keep the k
+  * smallest DISTINCT hashes, sorted ascending — order-independent under
+  * any reduce/merge interleaving.
+  */
+private[functions] object KmvOps {
+  def insert(k: Int)(kmv: Vector[Long], h: Long): Vector[Long] =
+    if (kmv.length == k && h >= kmv.last) kmv
+    else {
+      kmv.search(h)(Ordering.Long) match {
+        case scala.collection.Searching.Found(_) => kmv // already present
+        case scala.collection.Searching.InsertionPoint(p) =>
+          val grown = kmv.patch(p, Vector(h), 0)
+          if (grown.length > k) grown.dropRight(1) else grown
+      }
+    }
+
+  /** Estimate from a finished bottom-k state: exact when the state holds
+    * fewer than k hashes, else `⌊(k−1)·2⁶⁰ / h_k⌋` (BigInt — the product
+    * overflows a long for k > 8).
+    */
+  def estimate(k: Int)(kmv: Vector[Long]): Long =
+    if (kmv.length < k) kmv.length.toLong
+    else (BigInt(k - 1) * (BigInt(1) << 60) / BigInt(kmv.last)).toLong
+}
+
+/** One distinct-key hash for the partial-sketch build. */
+case class KmvIn(h: Long)
+
+/** KMV partial sketch: bottom-k distinct 60-bit hashes, surfaced as a
+  * sorted array — the MERGEABLE intermediate a two-level rollup ships
+  * between aggregation levels (nation sketch → region sketch → …).
+  */
+class KmvSketch(k: Int) extends Aggregator[KmvIn, Vector[Long], Seq[Long]] {
+  override def zero: Vector[Long] = Vector.empty
+  override def reduce(b: Vector[Long], in: KmvIn): Vector[Long] =
+    KmvOps.insert(k)(b, in.h)
+  override def merge(a: Vector[Long], b: Vector[Long]): Vector[Long] =
+    b.foldLeft(a)(KmvOps.insert(k))
+  override def finish(b: Vector[Long]): Seq[Long] = b
+  override def bufferEncoder: Encoder[Vector[Long]] = Encoders.kryo[Vector[Long]]
+  override def outputEncoder: Encoder[Seq[Long]] =
+    org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Long]]()
+}
+
+/** One partial sketch (a [[KmvSketch]] output) for the merge level. */
+case class KmvMergeIn(hs: Seq[Long])
+
+/** Sketch-of-sketches: folds partial bottom-k arrays into the bottom-k of
+  * their UNION and finishes to the distinct estimate. The mergeability
+  * law — merge(sketch(A), sketch(B)) = sketch(A ∪ B) — is what makes the
+  * rollup sound at any tree depth; the oracle verifies it by computing
+  * the top-level sketch directly from raw rows.
+  */
+class KmvMerge(k: Int) extends Aggregator[KmvMergeIn, Vector[Long], Long] {
+  override def zero: Vector[Long] = Vector.empty
+  override def reduce(b: Vector[Long], in: KmvMergeIn): Vector[Long] =
+    in.hs.foldLeft(b)(KmvOps.insert(k))
+  override def merge(a: Vector[Long], b: Vector[Long]): Vector[Long] =
+    b.foldLeft(a)(KmvOps.insert(k))
+  override def finish(b: Vector[Long]): Long = KmvOps.estimate(k)(b)
+  override def bufferEncoder: Encoder[Vector[Long]] = Encoders.kryo[Vector[Long]]
+  override def outputEncoder: Encoder[Long] = Encoders.scalaLong
 }

@@ -227,4 +227,81 @@ object Analytics {
       |FROM orders o JOIN s USING (o_orderpriority)
       |WHERE abs((o_totalprice - sx / n) / sqrt((sx2 - sx * sx / n) / (n - 1))) > 2.5
       |ORDER BY o_orderpriority, o_orderkey""".stripMargin
+
+  /** Marketing touch channels; every other event type is non-attributing.
+    * Shared with the streaming twin ([[graft.streaming.Streams.attributionStream]])
+    * so live and batch attribution agree on what counts as a touch.
+    */
+  private[graft] val TouchTypes = Seq("view", "click", "signup")
+
+  /** First-/last-touch revenue attribution: each purchase is credited to
+    * the user's earliest preceding touch event (first-touch) and latest
+    * preceding touch event (last-touch) — 'direct' when no touch precedes
+    * it. Both lookups are ONE pass: a single user-partitioned ordered
+    * window where `first/last(touch, ignoreNulls)` over the
+    * unbounded-preceding frame resolves both attributions per row, then
+    * two small channel aggregations full-outer-merged. No self-join, no
+    * per-purchase scan-back.
+    *
+    * 100 TB: the window partitions by user (entity key, never global);
+    * revenue sums are exact decimals; ties at identical timestamps break
+    * on the unique event_id, so the attribution is deterministic and
+    * engine-portable.
+    */
+  def attribution(t: Tables): DataFrame = {
+    val ev = t.events.select(col("user_id"), col("ts"), col("event_id"),
+      col("event_type"), col("value"),
+      when(col("event_type").isin(TouchTypes: _*), col("event_type")).as("touch"))
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val pur = ev
+      .withColumn("first_touch",
+        coalesce(first(col("touch"), ignoreNulls = true).over(w), lit("direct")))
+      .withColumn("last_touch",
+        coalesce(last(col("touch"), ignoreNulls = true).over(w), lit("direct")))
+      .where(col("event_type") === "purchase")
+    // one (model, channel) row pair per purchase → ONE conditional
+    // aggregation covers both attribution models without re-scanning or
+    // re-windowing the events table (a per-model groupBy + full-outer
+    // join would duplicate the scan AND the window sort)
+    pur
+      .select(col("value"), explode(array(
+        struct(lit("first").as("model"), col("first_touch").as("channel")),
+        struct(lit("last").as("model"), col("last_touch").as("channel")))).as("mc"))
+      .groupBy(col("mc.channel").as("channel"))
+      .agg(
+        count(when(col("mc.model") === "first", 1)).as("first_purchases"),
+        coalesce(sum(when(col("mc.model") === "first", dec(col("value"))))
+          .cast("double"), lit(0.0)).as("first_revenue"),
+        count(when(col("mc.model") === "last", 1)).as("last_purchases"),
+        coalesce(sum(when(col("mc.model") === "last", dec(col("value"))))
+          .cast("double"), lit(0.0)).as("last_revenue"))
+      .orderBy("channel")
+  }
+
+  val attributionSql: String =
+    """WITH ev AS (
+      |  SELECT user_id, ts, event_id, event_type, value,
+      |    CASE WHEN event_type IN ('view','click','signup') THEN event_type END AS touch
+      |  FROM events),
+      |wv AS (
+      |  SELECT *,
+      |    COALESCE(FIRST_VALUE(touch IGNORE NULLS) OVER w, 'direct') AS first_touch,
+      |    COALESCE(LAST_VALUE(touch IGNORE NULLS) OVER w, 'direct') AS last_touch
+      |  FROM ev
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+      |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+      |pur AS (SELECT * FROM wv WHERE event_type = 'purchase'),
+      |f AS (SELECT first_touch AS channel, CAST(COUNT(*) AS BIGINT) AS first_purchases,
+      |      CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS first_revenue
+      |      FROM pur GROUP BY 1),
+      |l AS (SELECT last_touch AS channel, CAST(COUNT(*) AS BIGINT) AS last_purchases,
+      |      CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS last_revenue
+      |      FROM pur GROUP BY 1)
+      |SELECT COALESCE(f.channel, l.channel) AS channel,
+      |  COALESCE(first_purchases, 0) AS first_purchases,
+      |  COALESCE(first_revenue, 0.0) AS first_revenue,
+      |  COALESCE(last_purchases, 0) AS last_purchases,
+      |  COALESCE(last_revenue, 0.0) AS last_revenue
+      |FROM f FULL JOIN l ON f.channel = l.channel ORDER BY channel""".stripMargin
 }

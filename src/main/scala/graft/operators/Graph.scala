@@ -1,0 +1,147 @@
+package graft.operators
+
+import graft.Tables
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Iterative graph algorithms over DataFrames — the Pregel-shaped
+  * message-passing loop expressed as join + aggregate per superstep,
+  * which is exactly how a 1000-executor cluster wants it: each
+  * superstep is one join (messages out along edges) plus one
+  * aggregation (combine at the receiver), over (node, rank) pairs —
+  * never the source fact table.
+  *
+  * With a FIXED superstep count the whole dataflow stays lazy (one
+  * fused job, no driver actions); the edge relation is persisted so
+  * every superstep reads the mined graph, not the mining pipeline.
+  * A convergence-driven variant (unknown iteration count) would
+  * materialize per superstep instead, exactly like the label-
+  * propagation fixpoint in [[Dedup.clusters]] — that keeps lineage
+  * linear when the loop bound is data-dependent.
+  *
+  * All rank arithmetic is INTEGER femto-units (10⁻¹⁵ of total mass)
+  * with truncating division — deterministic under any partitioning and
+  * replayable verbatim by an external SQL engine, so an approximate-
+  * looking iterative algorithm still gets a hash-exact oracle (the same
+  * sound-algorithm-with-exact-replay contract the sketch and LSH
+  * operators use).
+  *
+  * Reference scope: the reference's ETL surface has no graph step;
+  * this is part of the training-data-pipeline extension surface
+  * (influence-ranked corpus curation uses exactly this loop shape).
+  */
+object Graph {
+
+  /** Supersteps. Fixed (not convergence-tested) so the oracle can unroll. */
+  private val Iters = 5
+
+  /** Edges need this many distinct co-purchase orders — the repeat-
+    * co-purchase network (single-co-occurrence edges are noise at every
+    * SF and would dominate the edge count ~300:1 at sf0.1).
+    */
+  private val EdgeSupport = 2
+
+  /** Total rank mass in femto-units: 10¹⁵ (< 2⁵³, so the final
+    * femto→double division is exact in both engines).
+    */
+  private val Mass = 1000000000000000L
+
+  /** PageRank (damping 0.85) over the repeat-co-purchase part network:
+    * parts are nodes, an undirected edge links two parts bought
+    * together in ≥ [[EdgeSupport]] distinct orders (the same mining
+    * pipeline as [[Relational7.basketPairs]], shared via
+    * `basketPairsRaw` — in-row basket expansion, no fact self-join).
+    * Rank updates are `tele + (85·Σ contrib) div 100` in pure long
+    * math, where `contrib = r div deg` and
+    * `tele = (15·(Mass div N)) div 100`. `div` (not `/`) everywhere:
+    * Spark's Divide on longs is DOUBLE division, and 85·Σcontrib can
+    * exceed 2⁵³ — a double round-trip would corrupt low bits; `div`
+    * stays in exact long math, matching DuckDB's `//`.
+    *
+    * The node count reaches the plan as a broadcast 1-row aggregate
+    * (never a driver collect), and each node's rank row carries its
+    * static degree so the per-superstep contribution is a narrow
+    * projection — the only joins are messages-along-edges and the
+    * degree re-attach at the receiver. The mined edge set is persisted
+    * (it is the support-filtered signal graph, orders of magnitude
+    * smaller than the pair space) so the five supersteps read the
+    * graph, not the mining pipeline; the harness/caller owns cache
+    * lifetime, as with the shared shingle projections in [[Dedup]].
+    */
+  def pageRank(t: Tables): DataFrame = {
+    val edges = Relational7.basketPairsRaw(t, EdgeSupport)
+      .select(explode(array(
+        struct(col("a_part").as("u"), col("b_part").as("v")),
+        struct(col("b_part").as("u"), col("a_part").as("v")))).as("e"))
+      .select(col("e.u").as("u"), col("e.v").as("v"))
+      .persist()
+    val deg = edges.groupBy("u").agg(count(lit(1)).as("d"))
+    val nRow = deg.agg(count(lit(1)).as("n"))
+    // each edge carries its RECEIVER's degree, attached once before the
+    // loop — so a superstep is exactly one join + one aggregation, with
+    // no post-combine degree re-attach (5 joins saved across the loop)
+    val edgesD = edges
+      .join(deg.select(col("u").as("dv"), col("d").as("vd")), col("v") === col("dv"))
+      .select(col("u"), col("v"), col("vd"))
+      .persist()
+
+    // the per-node share (Mass div N) seeds rank AND derives the teleport
+    // term; it rides along as a column (`sh`) so no superstep needs the
+    // node count again — one broadcast of the 1-row aggregate total,
+    // instead of one per superstep
+    var ranks = deg.crossJoin(broadcast(nRow))
+      .select(col("u").as("node"), col("d"),
+        expr(s"${Mass}L div n").as("sh"), expr(s"${Mass}L div n").as("r"))
+    for (i <- 1 to Iters) {
+      // per-superstep column names keep the repeated self-referencing
+      // joins unambiguous (same convention as Dedup.clusters)
+      val contrib = ranks.select(col("node").as(s"cu$i"), col("sh"),
+        expr("r div d").as(s"c$i"))
+      ranks = edgesD.join(contrib, col("u") === col(s"cu$i"))
+        .groupBy(col("v"))
+        // vd/sh are group-constant (receiver degree, global share);
+        // first() re-attaches them deterministically
+        .agg(sum(col(s"c$i")).as(s"s$i"), first(col("vd")).as("d"),
+          first(col("sh")).as("sh"))
+        .select(col("v").as("node"), col("d"), col("sh"),
+          expr(s"(15L * sh) div 100L + (85L * s$i) div 100L").as("r"))
+    }
+    ranks
+      .select(col("node").as("p_partkey"), col("r").as("rank_femto"),
+        (col("r").cast("double") / lit(1e15)).as("rank"))
+      .orderBy(col("rank_femto").desc, col("p_partkey"))
+  }
+
+  /** Oracle: the same five supersteps unrolled as CTEs in portable
+    * integer math (`//` is DuckDB's truncating integer division).
+    */
+  val pageRankSql: String = {
+    val mass = Mass.toString
+    def iter(i: Int, prev: String): String =
+      s"""it$i AS (
+         |  SELECT e.v AS node,
+         |    CAST((15 * ($mass // nn.n)) // 100
+         |      + (85 * SUM(r.r // deg.d)) // 100 AS BIGINT) AS r
+         |  FROM edges e JOIN $prev r ON r.node = e.u
+         |  JOIN deg ON deg.u = e.u, nn
+         |  GROUP BY e.v, nn.n)""".stripMargin
+    val iters = (1 to Iters).map(i => iter(i, if (i == 1) "r0" else s"it${i - 1}"))
+      .mkString(",\n")
+    s"""WITH items AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+       |cp AS (
+       |  SELECT a.l_partkey AS a, b.l_partkey AS b
+       |  FROM items a JOIN items b
+       |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+       |  GROUP BY 1, 2 HAVING COUNT(*) >= $EdgeSupport),
+       |edges AS (SELECT a AS u, b AS v FROM cp
+       |          UNION ALL SELECT b AS u, a AS v FROM cp),
+       |deg AS (SELECT u, CAST(COUNT(*) AS BIGINT) AS d FROM edges GROUP BY u),
+       |nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM deg),
+       |r0 AS (SELECT deg.u AS node, CAST($mass // nn.n AS BIGINT) AS r
+       |       FROM deg, nn),
+       |$iters
+       |SELECT node AS p_partkey, r AS rank_femto,
+       |  CAST(r AS DOUBLE) / 1e15 AS rank
+       |FROM it$Iters ORDER BY rank_femto DESC, p_partkey""".stripMargin
+  }
+}

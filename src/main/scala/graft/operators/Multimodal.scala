@@ -313,4 +313,54 @@ object Multimodal {
        |FROM l
        |GROUP BY doc_id
        |ORDER BY doc_id""".stripMargin
+
+  /** Perceptual-hash (average-hash) image near-dup: 16 "pixels" sampled
+    * at evenly spaced payload offsets stand in for the 4×4 downsampled
+    * grayscale raster a real aHash computes after decode — each is
+    * thresholded against the sample mean into one bit of a 16-bit
+    * fingerprint, and docs sharing a fingerprint form a near-dup group
+    * (canonical member = min doc_id). This is the image-pipeline
+    * counterpart of text exact-dedup: resize-/recompress-stable
+    * fingerprint, exact-hash grouping, one shuffle. With a real codec
+    * the sampled bytes become decoded pixels at the same seam; the
+    * thresholding, packing, and grouping are codec-agnostic.
+    *
+    * All integer math (ascii bytes, truncating mean, bit packing) —
+    * engine-portable, so the oracle replays the fingerprint verbatim.
+    */
+  def dedupAhash(t: Tables): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("ahash")
+    t.documents
+      .select(col("doc_id"), expr(
+        """transform(sequence(0, 15),
+          |  i -> ascii(substr(text, cast(1 + (i * (length(text) - 1)) div 15 as int), 1)))"""
+          .stripMargin).as("bytes"))
+      .withColumn("bmean", expr("aggregate(bytes, 0, (a, x) -> a + x) div 16"))
+      .withColumn("ahash", expr(
+        """aggregate(zip_with(bytes, sequence(0, 15),
+          |  (b, i) -> if(b >= bmean, shiftleft(1L, i), 0L)), 0L, (a, x) -> a + x)"""
+          .stripMargin))
+      .select(col("doc_id"), col("ahash"),
+        count(lit(1)).over(w).as("group_size"),
+        min(col("doc_id")).over(w).as("canonical_id"),
+        (count(lit(1)).over(w) > 1).as("is_dup"))
+      .orderBy("doc_id")
+  }
+
+  val dedupAhashSql: String =
+    """WITH b AS (
+      |  SELECT doc_id,
+      |    list_transform(range(0, 16),
+      |      i -> ascii(substr(text, CAST(1 + (i*(len(text)-1))//15 AS INT), 1))) AS bytes
+      |  FROM documents),
+      |h AS (
+      |  SELECT doc_id,
+      |    CAST(list_sum(list_transform(range(0, 16),
+      |      i -> CASE WHEN bytes[i+1] >= list_sum(bytes)//16 THEN 1<<i ELSE 0 END)) AS BIGINT) AS ahash
+      |  FROM b)
+      |SELECT doc_id, ahash,
+      |  CAST(COUNT(*) OVER (PARTITION BY ahash) AS BIGINT) AS group_size,
+      |  MIN(doc_id) OVER (PARTITION BY ahash) AS canonical_id,
+      |  COUNT(*) OVER (PARTITION BY ahash) > 1 AS is_dup
+      |FROM h ORDER BY doc_id""".stripMargin
 }

@@ -308,4 +308,70 @@ object Relational3 {
       |   RANGE BETWEEN 604800 PRECEDING AND CURRENT ROW) AS DOUBLE) AS trailing_7d
       |FROM orders
       |ORDER BY o_custkey, o_orderdate, o_orderkey""".stripMargin
+
+  /** Two-level MERGEABLE sketch rollup — the property that makes sketches
+    * usable at 100 TB: per-nation KMV partials
+    * ([[graft.functions.KmvSketch]], a bottom-k array) are built in one
+    * aggregation, then MERGED per region ([[graft.functions.KmvMerge]])
+    * without revisiting the raw rows — the re-aggregation pattern of any
+    * rollup/cube/materialized-view pipeline, where level-2 reads k-sized
+    * sketch states instead of the fact table. The oracle computes the
+    * region sketch DIRECTLY from raw rows, so a hash-exact match proves
+    * the mergeability law `merge(sketch(A), sketch(B)) = sketch(A ∪ B)`
+    * end-to-end. Exact distinct rides along as the accuracy yardstick.
+    */
+  def sketchMerge(t: Tables): DataFrame = {
+    val h = (c: org.apache.spark.sql.Column) =>
+      conv(substring(md5(c.cast("string")), 1, 15), 16, 10).cast("long")
+    val x = t.orders
+      .join(t.customer, col("o_custkey") === col("c_custkey"))
+      .join(broadcast(t.nation), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(t.region), col("n_regionkey") === col("r_regionkey"))
+      .select(col("r_name"), col("n_name"), col("o_custkey"),
+        h(col("o_custkey")).as("ch"))
+    val partial = udaf(
+      new graft.functions.KmvSketch(SketchK),
+      org.apache.spark.sql.Encoders.product[graft.functions.KmvIn])
+    val merged = udaf(
+      new graft.functions.KmvMerge(SketchK),
+      org.apache.spark.sql.Encoders.product[graft.functions.KmvMergeIn])
+    val lvl1 = x.groupBy("r_name", "n_name").agg(partial(col("ch")).as("kmv"))
+    val lvl2 = lvl1.groupBy("r_name")
+      .agg(count(lit(1)).as("n_nations"), merged(col("kmv")).as("kmv_customers"))
+    val exact = x.groupBy("r_name")
+      .agg(countDistinct(col("o_custkey")).as("exact_customers"))
+    lvl2.join(exact, Seq("r_name"))
+      .select("r_name", "n_nations", "kmv_customers", "exact_customers")
+      .orderBy("r_name")
+  }
+
+  /** Oracle: the region-level sketch built directly from raw rows — equal
+    * to the Spark side's merge of nation partials iff merging is lossless.
+    */
+  val sketchMergeSql: String =
+    s"""WITH x AS (
+       | SELECT r_name, n_name, o_custkey,
+       |  CAST('0x' || substr(md5(CAST(o_custkey AS VARCHAR)), 1, 15) AS BIGINT) AS ch
+       | FROM orders
+       | JOIN customer ON o_custkey = c_custkey
+       | JOIN nation ON c_nationkey = n_nationkey
+       | JOIN region ON n_regionkey = r_regionkey),
+       |kr AS (
+       | SELECT r_name, ch,
+       |  ROW_NUMBER() OVER (PARTITION BY r_name ORDER BY ch) AS rn
+       | FROM (SELECT DISTINCT r_name, ch FROM x)),
+       |kmv AS (
+       | SELECT r_name, COUNT(*) AS kn, MAX(ch) AS hk
+       | FROM kr WHERE rn <= $SketchK GROUP BY 1),
+       |ex AS (
+       | SELECT r_name, CAST(COUNT(DISTINCT n_name) AS BIGINT) AS n_nations,
+       |  COUNT(DISTINCT o_custkey) AS exact_customers
+       | FROM x GROUP BY 1)
+       |SELECT e.r_name, e.n_nations,
+       | CASE WHEN k.kn < $SketchK THEN k.kn
+       |      ELSE CAST((${SketchK - 1}::HUGEINT * 1152921504606846976::HUGEINT) // k.hk AS BIGINT)
+       | END AS kmv_customers,
+       | e.exact_customers
+       |FROM ex e JOIN kmv k USING (r_name)
+       |ORDER BY r_name""".stripMargin
 }

@@ -110,7 +110,15 @@ object Relational7 {
     * oracle keeps the textbook distinct + self-join form, so the
     * rewrite itself is what's verified.
     */
-  def basketPairs(t: Tables): DataFrame = {
+  def basketPairs(t: Tables): DataFrame =
+    basketPairsRaw(t, MinSupport)
+      .orderBy(col("support").desc, col("a_part"), col("b_part"))
+
+  /** The unordered pair-mining pipeline, support threshold parameterized —
+    * shared with [[Graph.pageRank]], which ranks over the repeat-
+    * co-purchase network and sorts by rank instead.
+    */
+  private[operators] def basketPairsRaw(t: Tables, minSupport: Int): DataFrame = {
     val baskets = t.lineitem.groupBy("l_orderkey")
       .agg(array_sort(collect_set(col("l_partkey"))).as("parts"))
     baskets
@@ -120,8 +128,7 @@ object Relational7 {
           |    b -> named_struct('a', a, 'b', b))))""".stripMargin)).as("p"))
       .groupBy(col("p.a").as("a_part"), col("p.b").as("b_part"))
       .agg(count(lit(1)).as("support"))
-      .where(col("support") >= MinSupport)
-      .orderBy(col("support").desc, col("a_part"), col("b_part"))
+      .where(col("support") >= minSupport)
   }
 
   val basketPairsSql: String =

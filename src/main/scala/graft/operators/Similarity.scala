@@ -493,4 +493,39 @@ object Similarity {
        |FROM a3
        |QUALIFY out_rank <= $OutliersPerCell
        |ORDER BY cell, out_rank""".stripMargin
+
+  private val RangeTau    = 0.30
+  private val RangeQueries = 20
+
+  /** Range (radius) search — the similarity-search sibling of top-k:
+    * for each of a small query set, EVERY other vector with cosine ≥ τ,
+    * not a fixed count. The query set broadcasts, so the corpus is
+    * scanned once with a narrow codegen'd projection per (row, query) —
+    * no shuffle at all for a bounded query set, which is the actual
+    * production shape (dozens of probes against a 100 TB corpus). An
+    * unbounded query set graduates to the same sign-LSH bucket join the
+    * kNN-join scale tier uses; the threshold filter is then per-bucket.
+    * Cosines share the sequential fold with the SQL oracle, so the ≥ τ
+    * cut is bit-identical across engines.
+    */
+  def rangeSearch(t: Tables): DataFrame = {
+    val qs = vectors(t).where(col("vec_id") < RangeQueries)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"))
+    vectors(t)
+      .join(broadcast(qs), col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id"), cosine(col("v"), col("qv")).as("cosine"))
+      .where(col("cosine") >= RangeTau)
+      .orderBy(col("q_id"), col("cosine").desc, col("vec_id"))
+  }
+
+  val rangeSearchSql: String =
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |q AS (SELECT vec_id AS q_id, v AS qv FROM e WHERE vec_id < $RangeQueries)
+       |SELECT q.q_id, e.vec_id,
+       | list_dot_product(e.v, q.qv) /
+       |   (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(q.qv, q.qv))) AS cosine
+       |FROM e JOIN q ON e.vec_id <> q.q_id
+       |WHERE list_dot_product(e.v, q.qv) /
+       |   (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(q.qv, q.qv))) >= $RangeTau
+       |ORDER BY q_id, cosine DESC, vec_id""".stripMargin
 }

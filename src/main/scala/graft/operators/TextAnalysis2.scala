@@ -2,6 +2,7 @@ package graft.operators
 
 import graft.Tables
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Corpus-curation text operators, batch 2: exact substring-span dedup,
@@ -381,6 +382,75 @@ object TextAnalysis2 {
           (col("a_sz") + col("b_sz") - col("n_common")).cast("double")).as("jaccard"))
       .orderBy(col("jaccard").desc, col("a_src"), col("b_src"))
   }
+
+  private val ChunkLen = 10
+
+  /** Duplicated-chunk REMOVAL with document reconstruction — the rewrite
+    * sibling of [[substringDedup]] (which only scores): documents split
+    * into fixed [[ChunkLen]]-token chunks, every repeat of a chunk after
+    * its global first occurrence (ordered by doc_id, then position) is
+    * dropped, and each document is re-assembled from its surviving
+    * chunks in order. This is the "remove duplicated lines/paragraphs
+    * across the corpus" pass of the public web-corpus recipes, with
+    * fixed-width chunks standing in for line boundaries (the synthetic
+    * corpus has no newlines).
+    *
+    * Scale shape: chunking is in-row (one `transform` over the token
+    * array, no explode before the per-chunk projection); the global
+    * first-occurrence decision is ONE window over chunk text (an
+    * unordered partition — `min(struct)` needs no sort); reassembly is
+    * one per-doc aggregation. Chunk count is in-row arithmetic, so the
+    * source is scanned once. At corpus scale the window key would hash
+    * the chunk to a long first (same trick as [[substringDedup]]); here
+    * the string key keeps the oracle verbatim.
+    */
+  def chunkDedup(t: Tables): DataFrame = {
+    val chunks = t.documents
+      .select(col("doc_id"),
+        posexplode(expr(
+          s"""transform(sequence(0, (size(split(text, ' ')) - 1) div $ChunkLen),
+             |  i -> concat_ws(' ', slice(split(text, ' '), i * $ChunkLen + 1, $ChunkLen)))"""
+            .stripMargin)).as(Seq("idx", "chunk")))
+    val w = Window.partitionBy("chunk")
+    val kept = chunks
+      .withColumn("first", min(struct(col("doc_id"), col("idx"))).over(w))
+      .where(col("first.doc_id") === col("doc_id") &&
+             col("first.idx") === col("idx"))
+    val rebuilt = kept.groupBy("doc_id")
+      .agg(
+        concat_ws(" ", expr(
+          "transform(array_sort(collect_list(struct(idx, chunk))), x -> x.chunk)"))
+          .as("clean_text"),
+        count(lit(1)).as("n_kept"))
+    t.documents
+      .select(col("doc_id"),
+        expr(s"(size(split(text, ' ')) + ${ChunkLen - 1}) div $ChunkLen")
+          .cast("long").as("n_chunks"))
+      .join(rebuilt, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("clean_text"), lit("")).as("clean_text"),
+        col("n_chunks"),
+        (col("n_chunks") - coalesce(col("n_kept"), lit(0L))).as("n_removed"))
+      .orderBy("doc_id")
+  }
+
+  val chunkDedupSql: String =
+    s"""WITH tok AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+       |ch AS (
+       |  SELECT doc_id, CAST(i AS BIGINT) AS idx,
+       |         array_to_string(ts[(i*$ChunkLen+1):((i+1)*$ChunkLen)], ' ') AS chunk
+       |  FROM tok, UNNEST(range(0, (len(ts)+${ChunkLen - 1})//$ChunkLen)) AS t(i)),
+       |kp AS (SELECT doc_id, idx, chunk,
+       |       ROW_NUMBER() OVER (PARTITION BY chunk ORDER BY doc_id, idx) AS rn
+       |       FROM ch),
+       |ag AS (SELECT doc_id, string_agg(chunk, ' ' ORDER BY idx) AS clean_text,
+       |       CAST(COUNT(*) AS BIGINT) AS n_kept
+       |       FROM kp WHERE rn = 1 GROUP BY doc_id),
+       |tot AS (SELECT doc_id, CAST((len(ts)+${ChunkLen - 1})//$ChunkLen AS BIGINT) AS n_chunks
+       |        FROM tok)
+       |SELECT t.doc_id, COALESCE(a.clean_text, '') AS clean_text, t.n_chunks,
+       |  t.n_chunks - COALESCE(a.n_kept, 0) AS n_removed
+       |FROM tot t LEFT JOIN ag a USING (doc_id) ORDER BY t.doc_id""".stripMargin
 
   val sourceOverlapSql: String =
     s"""WITH e AS (

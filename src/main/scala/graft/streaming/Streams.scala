@@ -289,4 +289,82 @@ object Streams {
       .groupByKey(_.user_id)
       .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.EventTimeTimeout())(fn)
   }
+
+  /** Event with a unique id — attribution tie-breaks on it. */
+  final case class AttrEvent(
+      user_id: Long, ts: Timestamp, event_id: Long, event_type: String, value: Double)
+
+  /** Per-user attribution state: first/last touch channel seen so far.
+    * Two strings + one long per user — bounded, and expired by the
+    * attribution window. Top-level for the state-encoder codegen.
+    */
+  final case class AttrState(first: String, last: String, lastTs: Long)
+
+  /** A purchase credited to its first-/last-touch channels. */
+  final case class AttributedPurchase(
+      user_id: Long, event_id: Long, ts: Timestamp,
+      first_touch: String, last_touch: String, value: Double)
+
+  /** Streaming first-/last-touch attribution — the live twin of
+    * [[graft.operators.Analytics.attribution]], sharing its
+    * [[graft.operators.Analytics.TouchTypes]] channel set so live and
+    * backfill credit purchases identically. Each purchase is emitted AT
+    * ARRIVAL with the channels from the per-user state (two strings of
+    * state per user; a downstream aggregation turns the feed into the
+    * batch operator's channel rollup).
+    *
+    * Ordering: events are processed in (ts, event_id) order within each
+    * micro-batch; across batches the state guards monotonically —
+    * first_touch is first-write-wins and last_touch only advances when
+    * the arriving touch's event time is ≥ the recorded one, so a LATE
+    * touch can never overwrite a newer channel. A late PURCHASE is
+    * credited against the state at processing time (the standard
+    * at-most-watermark-late approximation; exact replay is the batch
+    * job's contract). State expires [[AttributionWindowDays]] after a
+    * user's newest event — the industry-standard finite attribution
+    * window, which is also what bounds state on an unbounded feed.
+    */
+  def attributionStream(events: Dataset[AttrEvent]): Dataset[AttributedPurchase] = {
+    import events.sparkSession.implicits._
+    val touches = graft.operators.Analytics.TouchTypes.toSet
+    val windowMs = AttributionWindowDays * 24L * 3600L * 1000L
+
+    def fn(userId: Long, it: Iterator[AttrEvent],
+        state: GroupState[AttrState]): Iterator[AttributedPurchase] = {
+      if (state.hasTimedOut) { state.remove(); Iterator.empty }
+      else {
+        var s = state.getOption.getOrElse(AttrState(null, null, Long.MinValue))
+        var newest = Long.MinValue
+        val out = List.newBuilder[AttributedPurchase]
+        it.toSeq.sortBy(e => (e.ts.getTime, e.event_id)).foreach { e =>
+          val t = e.ts.getTime
+          newest = math.max(newest, t)
+          if (touches(e.event_type)) {
+            if (s.first == null) s = s.copy(first = e.event_type)
+            if (t >= s.lastTs) s = s.copy(last = e.event_type, lastTs = t)
+          } else if (e.event_type == "purchase") {
+            out += AttributedPurchase(userId, e.event_id, e.ts,
+              if (s.first == null) "direct" else s.first,
+              if (s.last == null) "direct" else s.last,
+              e.value)
+          }
+        }
+        if (newest != Long.MinValue) {
+          state.update(s)
+          state.setTimeoutTimestamp(newest + windowMs)
+        }
+        out.result().iterator
+      }
+    }
+
+    events
+      .withWatermark("ts", "2 hours")
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.EventTimeTimeout())(fn)
+  }
+
+  /** Finite attribution window: state for an idle user expires this many
+    * days after their newest event.
+    */
+  val AttributionWindowDays = 30
 }

@@ -1,0 +1,53 @@
+package graft
+
+import graft.operators.Analytics
+
+class AnalyticsSpec extends SparkSpec {
+
+  test("attribution matches an in-memory first/last-touch replay") {
+    val evs = sf.events
+      .select("user_id", "ts", "event_id", "event_type", "value").collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1), r.getLong(2),
+        r.getString(3), r.getDouble(4)))
+    val touchTypes = Set("view", "click", "signup")
+    case class Hit(first: String, last: String, cents: BigDecimal)
+    val hits = evs.groupBy(_._1).values.flatMap { userEvs =>
+      var first: String = null
+      var last: String = null
+      userEvs.sortBy(e => (e._2.getTime, e._3)).flatMap { e =>
+        if (touchTypes(e._4)) { if (first == null) first = e._4; last = e._4 }
+        if (e._4 == "purchase")
+          Some(Hit(if (first == null) "direct" else first,
+            if (last == null) "direct" else last,
+            BigDecimal(e._5).setScale(2, BigDecimal.RoundingMode.HALF_UP)))
+        else None
+      }
+    }.toSeq
+    val expFirst = hits.groupBy(_.first).view
+      .mapValues(h => (h.size.toLong, h.map(_.cents).sum)).toMap
+    val expLast = hits.groupBy(_.last).view
+      .mapValues(h => (h.size.toLong, h.map(_.cents).sum)).toMap
+    val got = Analytics.attribution(sf).collect()
+    assert(got.map(_.getString(0)).toSet == (expFirst.keySet ++ expLast.keySet))
+    got.foreach { r =>
+      val ch = r.getString(0)
+      val (fn, fr) = expFirst.getOrElse(ch, (0L, BigDecimal(0)))
+      val (ln, lr) = expLast.getOrElse(ch, (0L, BigDecimal(0)))
+      assert(r.getLong(1) == fn && r.getDouble(2) == fr.toDouble,
+        s"first-touch mismatch for $ch")
+      assert(r.getLong(3) == ln && r.getDouble(4) == lr.toDouble,
+        s"last-touch mismatch for $ch")
+    }
+    // the window must actually distinguish the two models at this SF
+    assert(got.exists(r => r.getLong(1) != r.getLong(3)))
+  }
+
+  test("attribution scans and windows the events table exactly once") {
+    val plan = Analytics.attribution(sf).queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"))
+    // both attribution models ride one scan + one user-partitioned window
+    // (the naive per-model groupBy + full-outer join doubles both)
+    assert("Scan parquet".r.findAllIn(plan).size == 1)
+    assert("Window".r.findAllIn(plan).size == 1)
+  }
+}

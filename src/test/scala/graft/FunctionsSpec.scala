@@ -62,4 +62,32 @@ class FunctionsSpec extends SparkSpec {
     }
     assert(ex.getMessage.contains("dot_product") || ex.getMessage.contains("DATATYPE"))
   }
+
+  test("KMV merge law: region rollup of nation sketches equals the direct region sketch") {
+    import graft.operators.Relational3
+    val t = sf
+    val h = conv(substring(md5(col("o_custkey").cast("string")), 1, 15), 16, 10)
+      .cast("long")
+    val x = t.orders
+      .join(t.customer, col("o_custkey") === col("c_custkey"))
+      .join(t.nation, col("c_nationkey") === col("n_nationkey"))
+      .join(t.region, col("n_regionkey") === col("r_regionkey"))
+      .select(col("r_name"), h.as("ch"))
+    val merged = udaf(
+      new graft.functions.KmvMerge(256),
+      org.apache.spark.sql.Encoders.product[graft.functions.KmvMergeIn])
+    // single-level sketch built straight from raw hashes (1-element arrays)
+    val direct = x.groupBy("r_name").agg(merged(array(col("ch"))).as("direct_est"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val rolled = Relational3.sketchMerge(t).collect()
+    assert(rolled.nonEmpty)
+    rolled.foreach { r =>
+      assert(r.getLong(2) == direct(r.getString(0)),
+        s"merge law broken for region ${r.getString(0)}")
+      // sf0.001 regions hold fewer than k=256 distinct customers: the
+      // sketch must be EXACT here (the estimation regime is exercised by
+      // the sf0.01 driver oracle, where regions exceed k)
+      assert(r.getLong(2) == r.getLong(3))
+    }
+  }
 }

@@ -1,0 +1,57 @@
+package graft
+
+import graft.operators.Graph
+
+class GraphSpec extends SparkSpec {
+
+  private val Mass = 1000000000000000L
+
+  /** In-memory replay of the exact integer PageRank the operator runs. */
+  private def replay(): Map[Long, Long] = {
+    val items = sf.lineitem.select("l_orderkey", "l_partkey").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).distinct
+    val baskets = items.groupBy(_._1).view.mapValues(_.map(_._2).toSet)
+    val pairSupport = baskets.values.toSeq
+      .flatMap(ps => for (a <- ps; b <- ps if a < b) yield (a, b))
+      .groupBy(identity).view.mapValues(_.size)
+    val canonical = pairSupport.filter(_._2 >= 2).keys.toSet
+    val edges = canonical ++ canonical.map { case (a, b) => (b, a) }
+    val deg = edges.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+    val share = Mass / deg.size
+    val tele = 15L * share / 100L
+    var rank = deg.keys.map(_ -> share).toMap
+    for (_ <- 1 to 5) {
+      val contrib = rank.map { case (u, r) => u -> r / deg(u) }
+      val inbox = scala.collection.mutable.Map[Long, Long]().withDefaultValue(0L)
+      edges.foreach { case (u, v) => inbox(v) += contrib(u) }
+      rank = inbox.map { case (v, s) => v -> (tele + 85L * s / 100L) }.toMap
+    }
+    rank
+  }
+
+  test("pagerank matches the exact integer replay node-for-node") {
+    val got = Graph.pageRank(sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == replay())
+  }
+
+  test("pagerank conserves mass up to truncation and orders by rank") {
+    val rows = Graph.pageRank(sf).collect()
+    val total = rows.map(_.getLong(1)).sum
+    // each contrib/tele division truncates < 1 femto; with 5 supersteps
+    // the loss is microscopic against the 10^15 mass
+    assert(total <= Mass && total > (Mass * 95) / 100)
+    val ranks = rows.map(r => (r.getLong(1), r.getLong(0)))
+    assert(ranks.sameElements(ranks.sortBy { case (r, p) => (-r, p) }))
+    rows.foreach { r =>
+      assert(r.getDouble(2) == r.getLong(1).toDouble / 1e15)
+      assert(r.getLong(1) > 0)
+    }
+  }
+
+  test("pagerank is deterministic across runs") {
+    val a = Graph.pageRank(sf).collect().map(r => (r.getLong(0), r.getLong(1)))
+    val b = Graph.pageRank(sf).collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(a.sameElements(b))
+  }
+}

@@ -76,4 +76,29 @@ class MultimodalSpec extends SparkSpec {
     val again = Multimodal.sampleFrames(sf, everyK = 5).collect()
     assert(rows.map(_.toString).sameElements(again.map(_.toString)))
   }
+
+  test("ahash dedup replays the 16-byte fingerprint and groups consistently") {
+    val docs = sf.documents.select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1))
+    def ahash(text: String): Long = {
+      val n = text.length
+      val bytes = (0 to 15).map(i => text.charAt((i * (n - 1)) / 15).toInt)
+      val mean = bytes.sum / 16
+      bytes.zipWithIndex.map { case (b, i) => if (b >= mean) 1L << i else 0L }.sum
+    }
+    val expHash = docs.map { case (id, t) => id -> ahash(t) }.toMap
+    val groups = expHash.values.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val byHashMin = expHash.toSeq.groupBy(_._2).view.mapValues(_.map(_._1).min).toMap
+    val rows = Multimodal.dedupAhash(sf).collect()
+    assert(rows.length == docs.length)
+    rows.foreach { r =>
+      val (id, h) = (r.getLong(0), r.getLong(1))
+      assert(h == expHash(id))
+      assert(r.getLong(2) == groups(h))
+      assert(r.getLong(3) == byHashMin(h))
+      assert(r.getBoolean(4) == (groups(h) > 1))
+    }
+    // the 16-bit space must actually collide at this corpus size
+    assert(rows.exists(_.getBoolean(4)) && rows.exists(!_.getBoolean(4)))
+  }
 }

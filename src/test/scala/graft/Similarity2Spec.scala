@@ -229,4 +229,31 @@ class Similarity2Spec extends SparkSpec {
       }
     }
   }
+
+  test("range search returns exactly the pairs at or above tau, via broadcast") {
+    val out = Similarity.rangeSearch(sf).collect()
+    // subset: every returned pair clears the threshold
+    out.foreach { r => assert(r.getDouble(2) >= 0.30 && r.getLong(0) != r.getLong(1)) }
+    // completeness: brute-force replay over the collected vectors
+    val vecs = sf.embeddings.collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray).toMap
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) { dot += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+      dot / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val expected = for {
+      (q, qv) <- vecs.toSeq if q < 20
+      (v, vv) <- vecs.toSeq if v != q
+      c = cos(vv, qv) if c >= 0.30
+    } yield (q, v)
+    assert(out.map(r => (r.getLong(0), r.getLong(1))).toSet == expected.toSet)
+    // ordering contract: per query, cosine desc then vec_id
+    val sorted = out.map(r => (r.getLong(0), -r.getDouble(2), r.getLong(1)))
+    assert(sorted.sameElements(sorted.sorted))
+    // the query side broadcasts: no shuffle join on the corpus scan
+    val plan = Similarity.rangeSearch(sf).queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastHashJoin"))
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("CartesianProduct"))
+  }
 }

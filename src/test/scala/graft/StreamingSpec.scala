@@ -359,4 +359,49 @@ class StreamingSpec extends SparkSpec {
     assert(hour10.map(_.getDouble(3)).sorted.sameElements(Array(1.0, 2.0, 3.0)))
     assert(rows.exists(_.getDouble(3) == 8.0), "late event should pass against its own hour")
   }
+
+  test("attribution stream credits purchases like the batch model on an in-order feed") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.streaming.Streams.{AttrEvent, AttributedPurchase}
+    val input = MemoryStream[AttrEvent]
+    val q = Streams.attributionStream(input.toDS())
+      .writeStream.format("memory").queryName("attributed")
+      .outputMode("append").start()
+    input.addData(
+      AttrEvent(1, ts(0), 100, "view", 0.0),
+      AttrEvent(1, ts(1), 101, "purchase", 10.0),
+      AttrEvent(1, ts(2), 102, "click", 0.0),
+      AttrEvent(1, ts(3), 103, "purchase", 20.0),
+      AttrEvent(2, ts(4), 200, "purchase", 5.0))
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.table("attributed").as[AttributedPurchase].collect()
+      .map(p => p.event_id -> ((p.first_touch, p.last_touch, p.value))).toMap
+    assert(rows(101L) == (("view", "view", 10.0)))
+    assert(rows(103L) == (("view", "click", 20.0)))
+    assert(rows(200L) == (("direct", "direct", 5.0)))
+    assert(rows.size == 3)
+  }
+
+  test("attribution stream: a late touch never overwrites a newer last_touch") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.streaming.Streams.{AttrEvent, AttributedPurchase}
+    val input = MemoryStream[AttrEvent]
+    val q = Streams.attributionStream(input.toDS())
+      .writeStream.format("memory").queryName("attributed_late")
+      .outputMode("append").start()
+    input.addData(AttrEvent(3, ts(30), 300, "click", 0.0))
+    q.processAllAvailable()
+    // view arrives LATE (event time before the click already in state)
+    input.addData(AttrEvent(3, ts(5), 301, "view", 0.0))
+    q.processAllAvailable()
+    input.addData(AttrEvent(3, ts(40), 302, "purchase", 7.0))
+    q.processAllAvailable()
+    q.stop()
+    val p = spark.table("attributed_late").as[AttributedPurchase].collect()
+      .find(_.event_id == 302L).get
+    // guard: last_touch keeps the newer click; first_touch is
+    // first-write-wins (the documented at-most-watermark-late model)
+    assert(p.last_touch == "click" && p.first_touch == "click")
+  }
 }

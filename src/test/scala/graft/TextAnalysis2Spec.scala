@@ -141,4 +141,23 @@ class TextAnalysis2Spec extends SparkSpec {
       assert(r.getDouble(3) == ts.count(!vocab.contains(_)).toDouble / ts.length)
     }
   }
+
+  test("chunk dedup removes exactly the post-first chunk occurrences and rebuilds docs") {
+    val docs = sf.documents.select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).sortBy(_._1)
+    val seen = scala.collection.mutable.Set[String]()
+    val expected = docs.map { case (id, text) =>
+      val chunks = text.split(" ").grouped(10).map(_.mkString(" ")).toVector
+      val kept = chunks.filter(seen.add)
+      (id, kept.mkString(" "), chunks.length.toLong,
+        (chunks.length - kept.length).toLong)
+    }
+    val got = TextAnalysis2.chunkDedup(sf).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    assert(got.toSeq == expected.toSeq)
+    // the pass must actually fire at this SF (repeated chunks exist)
+    assert(expected.map(_._4).sum > 0)
+    // and must not fire on everything
+    assert(expected.exists(_._4 == 0L))
+  }
 }
