@@ -228,6 +228,80 @@ object Analytics {
       |WHERE abs((o_totalprice - sx / n) / sqrt((sx2 - sx * sx / n) / (n - 1))) > 2.5
       |ORDER BY o_orderpriority, o_orderkey""".stripMargin
 
+  /** Funnel chain window: a view→click→purchase chain must complete
+    * within this span of the view (ClickHouse `windowFunnel` semantics).
+    */
+  private val FunnelWindowUs = 6L * 3600L * 1000000L
+
+  /** Windowed funnel depth per user (the ClickHouse `windowFunnel`
+    * analytic, the flagship query shape of the reference's downstream
+    * consumer): deepest view→click→purchase chain whose stages all land
+    * within [[FunnelWindowUs]] of the chain's view. NO self-join — the
+    * textbook EXISTS chain (which the oracle keeps) is rewritten as two
+    * chained ignoreNulls `last()` windows over each user's event
+    * timeline: `lv` = latest view strictly before the row, `lp` = the
+    * `lv` of the latest click strictly before the row. The greedy
+    * argument (later clicks can only carry later-or-equal views) makes
+    * the latest-chain check equivalent to the existential one, so one
+    * window pass + one aggregation replaces the v×c×p triple join —
+    * per-user partitions, linear work, 100 TB-clean.
+    *
+    * Strictly-before is a RANGE frame ending at -1 µs; event times are
+    * unique per user (spec-asserted in the data profile) and µs-exact
+    * in both engines, so stage ordering is unambiguous.
+    */
+  def windowFunnel(t: Tables): DataFrame = {
+    val wPrev = Window.partitionBy("user_id").orderBy(col("tus"))
+      .rangeBetween(Window.unboundedPreceding, -1)
+    val scored = t.events
+      .select(col("user_id"), col("event_type"), expr("unix_micros(ts)").as("tus"))
+      .withColumn("lv",
+        last(when(col("event_type") === "view", col("tus")), ignoreNulls = true)
+          .over(wPrev))
+      .withColumn("lp",
+        last(when(col("event_type") === "click", col("lv")), ignoreNulls = true)
+          .over(wPrev))
+    scored.groupBy("user_id")
+      .agg(
+        max(when(col("event_type") === "view", 1).otherwise(0)).as("l1"),
+        max(when(col("event_type") === "click" &&
+          col("lv") >= col("tus") - FunnelWindowUs, 1).otherwise(0)).as("l2"),
+        max(when(col("event_type") === "purchase" &&
+          col("lp") >= col("tus") - FunnelWindowUs, 1).otherwise(0)).as("l3"))
+      .select(col("user_id"),
+        when(col("l3") === 1, 3).when(col("l2") === 1, 2)
+          .when(col("l1") === 1, 1).otherwise(0).cast("int").as("funnel_level"))
+      .orderBy("user_id")
+  }
+
+  /** Oracle: the literal EXISTS-chain formulation — what the window
+    * rewrite is verified against.
+    */
+  val windowFunnelSql: String =
+    """WITH e AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_type FROM events),
+      |l1 AS (SELECT DISTINCT user_id FROM e WHERE event_type = 'view'),
+      |l2 AS (
+      |  SELECT DISTINCT v.user_id
+      |  FROM e v JOIN e c ON c.user_id = v.user_id
+      |  WHERE v.event_type = 'view' AND c.event_type = 'click'
+      |    AND c.ts > v.ts AND c.ts <= v.ts + INTERVAL 6 HOUR),
+      |l3 AS (
+      |  SELECT DISTINCT v.user_id
+      |  FROM e v
+      |  JOIN e c ON c.user_id = v.user_id
+      |  JOIN e p ON p.user_id = v.user_id
+      |  WHERE v.event_type = 'view' AND c.event_type = 'click'
+      |    AND p.event_type = 'purchase'
+      |    AND c.ts > v.ts AND p.ts > c.ts AND p.ts <= v.ts + INTERVAL 6 HOUR),
+      |u AS (SELECT DISTINCT user_id FROM e)
+      |SELECT u.user_id,
+      |  CAST(CASE WHEN l3.user_id IS NOT NULL THEN 3
+      |       WHEN l2.user_id IS NOT NULL THEN 2
+      |       WHEN l1.user_id IS NOT NULL THEN 1 ELSE 0 END AS INT) AS funnel_level
+      |FROM u LEFT JOIN l1 USING (user_id) LEFT JOIN l2 USING (user_id)
+      |LEFT JOIN l3 USING (user_id)
+      |ORDER BY u.user_id""".stripMargin
+
   /** Marketing touch channels; every other event type is non-attributing.
     * Shared with the streaming twin ([[graft.streaming.Streams.attributionStream]])
     * so live and batch attribution agree on what counts as a touch.

@@ -262,4 +262,72 @@ object Embeddings {
       | x - (lo + (code + 0.5) / 256.0 * (hi - lo)) AS err
       |FROM c
       |ORDER BY vec_id, pos""".stripMargin
+
+  private val MatDims    = 16
+  private val MatQueries = 20
+  private val MatK       = 10
+
+  /** Matryoshka truncation audit: how much ANN quality survives keeping
+    * only the first [[MatDims]] of 64 dimensions (the
+    * matryoshka-representation trick — prefix dims as a cheap coarse
+    * index, 4× less memory and flops). For each of [[MatQueries]]
+    * probe vectors, rank the corpus by full-dim AND by truncated cosine,
+    * then report recall@k (k ≤ [[MatK]]) of the truncated ranking
+    * averaged over the probes — the go/no-go number for routing a 100 TB
+    * corpus scan through the truncated tier first.
+    *
+    * One broadcast of the probe set, one narrow scoring pass computing
+    * BOTH cosines, two per-probe rank windows over the scored rows, and
+    * a k-explode over the top-k intersection (MatQueries·MatK rows).
+    * Truncated cosine re-normalizes implicitly (dot/norms over the
+    * prefix), matching the oracle's slice fold bit-for-bit.
+    */
+  def matryoshkaRecall(t: Tables): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val vecs = t.embeddings
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      .withColumn("vt", slice(col("v"), 1, MatDims))
+    val qs = vecs.where(col("vec_id") < MatQueries)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"), col("vt").as("qt"))
+    val scored = vecs.join(broadcast(qs), col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id"),
+        Similarity.cosine(col("v"), col("qv")).as("cf"),
+        Similarity.cosine(col("vt"), col("qt")).as("ct"))
+    val wf = Window.partitionBy("q_id").orderBy(col("cf").desc, col("vec_id"))
+    val wt = Window.partitionBy("q_id").orderBy(col("ct").desc, col("vec_id"))
+    val ranked = scored
+      .withColumn("fr", row_number().over(wf))
+      .withColumn("tr", row_number().over(wt))
+      .where(col("fr") <= MatK && col("tr") <= MatK)
+    ranked
+      .select(col("fr"), col("tr"), explode(sequence(lit(1), lit(MatK))).as("k"))
+      .groupBy("k")
+      .agg((sum(when(greatest(col("fr"), col("tr")) <= col("k"), 1).otherwise(0))
+        .cast("double") / (lit(MatQueries) * col("k"))).as("recall"))
+      .orderBy("k")
+  }
+
+  /** Oracle: the same double ranking replayed with slice folds. */
+  val matryoshkaRecallSql: String =
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v,
+       |            (embedding::DOUBLE[])[1:$MatDims] AS vt FROM embeddings),
+       |q AS (SELECT vec_id AS q_id, v AS qv, vt AS qt FROM e WHERE vec_id < $MatQueries),
+       |sc AS (
+       |  SELECT q.q_id, e.vec_id,
+       |    list_dot_product(e.v, q.qv) /
+       |      (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(q.qv, q.qv))) AS cf,
+       |    list_dot_product(e.vt, q.qt) /
+       |      (sqrt(list_dot_product(e.vt, e.vt)) * sqrt(list_dot_product(q.qt, q.qt))) AS ct
+       |  FROM e JOIN q ON e.vec_id <> q.q_id),
+       |rk AS (
+       |  SELECT q_id, vec_id,
+       |    ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cf DESC, vec_id) AS fr,
+       |    ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY ct DESC, vec_id) AS tr
+       |  FROM sc),
+       |hits AS (SELECT fr, tr FROM rk WHERE fr <= $MatK AND tr <= $MatK)
+       |SELECT CAST(ks.k AS INT) AS k,
+       |  CAST(SUM(CASE WHEN GREATEST(fr, tr) <= ks.k THEN 1 ELSE 0 END) AS DOUBLE)
+       |    / ($MatQueries * ks.k) AS recall
+       |FROM (SELECT UNNEST(range(1, ${MatK + 1})) AS k) ks LEFT JOIN hits ON TRUE
+       |GROUP BY ks.k ORDER BY k""".stripMargin
 }

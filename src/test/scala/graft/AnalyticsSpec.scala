@@ -50,4 +50,31 @@ class AnalyticsSpec extends SparkSpec {
     assert("Scan parquet".r.findAllIn(plan).size == 1)
     assert("Window".r.findAllIn(plan).size == 1)
   }
+
+  test("window funnel levels match the EXISTS-chain replay") {
+    val W = 6L * 3600L * 1000000L
+    val evs = sf.events.select("user_id", "ts", "event_type").collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1).getTime * 1000 +
+        (r.getTimestamp(1).getNanos / 1000) % 1000, r.getString(2)))
+    val byUser = evs.groupBy(_._1)
+    val expected = byUser.map { case (u, es) =>
+      val views = es.filter(_._3 == "view").map(_._2)
+      val clicks = es.filter(_._3 == "click").map(_._2)
+      val purchases = es.filter(_._3 == "purchase").map(_._2)
+      val l2 = views.exists(v => clicks.exists(c => c > v && c <= v + W))
+      val l3 = views.exists(v => clicks.exists(c => c > v &&
+        purchases.exists(p => p > c && p <= v + W)))
+      u -> (if (l3) 3 else if (l2) 2 else if (views.nonEmpty) 1 else 0)
+    }
+    val got = Analytics.windowFunnel(sf).collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(got == expected)
+    assert(got.values.toSet.size > 1, "degenerate level distribution")
+  }
+
+  test("window funnel is one window pass: no self-join on events") {
+    val plan = Analytics.windowFunnel(sf).queryExecution.executedPlan.toString
+    assert(!plan.contains("Join"))
+    assert("Scan parquet".r.findAllIn(plan).size == 1)
+  }
 }

@@ -256,4 +256,30 @@ class Similarity2Spec extends SparkSpec {
     assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastHashJoin"))
     assert(!plan.contains("SortMergeJoin") && !plan.contains("CartesianProduct"))
   }
+
+  test("matryoshka recall matches a full/truncated double-ranking replay") {
+    import graft.operators.Embeddings
+    val vecs = sf.embeddings.collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray).toMap
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) { dot += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+      dot / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val hits = for {
+      (q, qv) <- vecs.toSeq if q < 20
+      others = vecs.toSeq.filter(_._1 != q)
+      full = others.map { case (v, vv) => (v, cos(vv, qv)) }
+        .sortBy { case (v, c) => (-c, v) }.map(_._1).take(10).zipWithIndex.toMap
+      trunc = others.map { case (v, vv) => (v, cos(vv.take(16), qv.take(16))) }
+        .sortBy { case (v, c) => (-c, v) }.map(_._1).take(10).zipWithIndex.toMap
+      v <- full.keys if trunc.contains(v)
+    } yield (full(v) + 1, trunc(v) + 1)
+    val got = Embeddings.matryoshkaRecall(sf).collect()
+      .map(r => r.getInt(0) -> r.getDouble(1)).toMap
+    (1 to 10).foreach { k =>
+      val expect = hits.count { case (fr, tr) => fr <= k && tr <= k }.toDouble / (20 * k)
+      assert(got(k) == expect, s"recall@$k")
+    }
+  }
 }
