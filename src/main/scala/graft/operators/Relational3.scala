@@ -345,6 +345,90 @@ object Relational3 {
       .orderBy("r_name")
   }
 
+  /** KMV sketch SET ALGEBRA — audience-overlap analytics from sketches
+    * alone: the urgent-priority and high-priority customer segments are
+    * sketched independently ([[graft.functions.KmvSketch]]), their UNION
+    * estimate comes from merging the two bottom-k states
+    * ([[graft.functions.KmvMerge]]), and the INTERSECTION estimate is
+    * inclusion–exclusion (`|A| + |B| − |A∪B|`, floored at 0) — the
+    * standard sketch-side answer to "how many customers do these two
+    * segments share" without ever joining the raw key sets. Exact
+    * counts ride along as the accuracy yardstick; one scan, three
+    * bounded-state aggregations, a broadcast 1-row assembly.
+    */
+  def sketchSetOps(t: Tables): DataFrame = {
+    val h = (c: org.apache.spark.sql.Column) =>
+      conv(substring(md5(c.cast("string")), 1, 15), 16, 10).cast("long")
+    val seg = t.orders
+      .where(col("o_orderpriority").isin("1-URGENT", "2-HIGH"))
+      .select(
+        when(col("o_orderpriority") === "1-URGENT", "a").otherwise("b").as("seg"),
+        col("o_custkey"), h(col("o_custkey")).as("ch"))
+    val partial = udaf(
+      new graft.functions.KmvSketch(SketchK),
+      org.apache.spark.sql.Encoders.product[graft.functions.KmvIn])
+    val merged = udaf(
+      new graft.functions.KmvMerge(SketchK),
+      org.apache.spark.sql.Encoders.product[graft.functions.KmvMergeIn])
+    val sk = seg.groupBy("seg").agg(partial(col("ch")).as("kmv"))
+    // per-segment estimate as a SCALAR over the finished sketch array —
+    // (k−1)·2⁶⁰ needs 21 digits, so the constant is a decimal(38,0) and
+    // `div` keeps the truncating integral division both engines use
+    val estExpr = when(size(col("kmv")) < SketchK, size(col("kmv")).cast("long"))
+      .otherwise(expr(
+        s"CAST('${BigInt(SketchK - 1) << 60}' AS DECIMAL(38,0)) div element_at(kmv, $SketchK)"))
+    val ests = sk
+      .select(col("seg"), estExpr.as("est"), col("kmv"))
+      .agg(
+        max(when(col("seg") === "a", col("est"))).as("est_a"),
+        max(when(col("seg") === "b", col("est"))).as("est_b"),
+        merged(col("kmv")).as("est_union"))
+    val exact = seg.agg(
+      countDistinct(when(col("seg") === "a", col("o_custkey"))).as("exact_a"),
+      countDistinct(when(col("seg") === "b", col("o_custkey"))).as("exact_b"),
+      countDistinct(col("o_custkey")).as("exact_union"))
+    ests.crossJoin(broadcast(exact))
+      .select(
+        col("est_a"), col("est_b"), col("est_union"),
+        greatest(lit(0L), col("est_a") + col("est_b") - col("est_union"))
+          .as("est_intersection"),
+        col("exact_a"), col("exact_b"), col("exact_union"),
+        (col("exact_a") + col("exact_b") - col("exact_union"))
+          .as("exact_intersection"))
+  }
+
+  /** Oracle: per-segment and union bottom-k replays + exact distincts. */
+  val sketchSetOpsSql: String = {
+    def bottomK(filter: String, name: String): String =
+      s"""$name AS (
+         | SELECT COUNT(*) AS kn, MAX(ch) AS hk FROM (
+         |  SELECT ch, ROW_NUMBER() OVER (ORDER BY ch) AS rn
+         |  FROM (SELECT DISTINCT ch FROM x WHERE $filter) t) r
+         | WHERE rn <= $SketchK)""".stripMargin
+    def est(src: String): String =
+      s"""CASE WHEN $src.kn < $SketchK THEN $src.kn
+         | ELSE CAST((${SketchK - 1}::HUGEINT * 1152921504606846976::HUGEINT) // $src.hk AS BIGINT)
+         |END""".stripMargin
+    s"""WITH x AS (
+       | SELECT CASE WHEN o_orderpriority = '1-URGENT' THEN 'a' ELSE 'b' END AS seg,
+       |  o_custkey,
+       |  CAST('0x' || substr(md5(CAST(o_custkey AS VARCHAR)), 1, 15) AS BIGINT) AS ch
+       | FROM orders WHERE o_orderpriority IN ('1-URGENT', '2-HIGH')),
+       |${bottomK("seg = 'a'", "ka")},
+       |${bottomK("seg = 'b'", "kb")},
+       |${bottomK("TRUE", "ku")},
+       |ex AS (
+       | SELECT COUNT(DISTINCT CASE WHEN seg = 'a' THEN o_custkey END) AS exact_a,
+       |  COUNT(DISTINCT CASE WHEN seg = 'b' THEN o_custkey END) AS exact_b,
+       |  COUNT(DISTINCT o_custkey) AS exact_union
+       | FROM x)
+       |SELECT ${est("ka")} AS est_a, ${est("kb")} AS est_b, ${est("ku")} AS est_union,
+       | GREATEST(0, ${est("ka")} + ${est("kb")} - ${est("ku")}) AS est_intersection,
+       | ex.exact_a, ex.exact_b, ex.exact_union,
+       | ex.exact_a + ex.exact_b - ex.exact_union AS exact_intersection
+       |FROM ka, kb, ku, ex""".stripMargin
+  }
+
   /** Oracle: the region-level sketch built directly from raw rows — equal
     * to the Spark side's merge of nation partials iff merging is lossless.
     */

@@ -452,6 +452,49 @@ object TextAnalysis2 {
        |  t.n_chunks - COALESCE(a.n_kept, 0) AS n_removed
        |FROM tot t LEFT JOIN ag a USING (doc_id) ORDER BY t.doc_id""".stripMargin
 
+  private val HashDims = 32
+
+  /** Feature hashing (the "hashing trick" vectorizer): each token maps to
+    * `portable_hash(token) mod 32` and the document becomes a sparse
+    * 32-dim term-frequency vector — the tokenizer-free featurization for
+    * clustering / classification over corpora whose vocabulary would not
+    * fit a dictionary (no vocab build, no broadcast, unbounded-vocab
+    * safe — exactly why the trick exists at web scale). Output is the
+    * sparse exploded form (doc_id, dim, tf, weight = tf / n_tokens);
+    * zero dims are absent. One explode + one aggregation; the 15-hex-md5
+    * hash replays verbatim in the oracle.
+    */
+  def hashedFeatures(t: Tables): DataFrame = {
+    val tot = t.documents.select(col("doc_id"), size(toks).as("n_tokens"))
+    t.documents
+      .select(col("doc_id"), explode(toks).as("tok"))
+      .select(col("doc_id"),
+        pmod(conv(substring(md5(col("tok")), 1, 15), 16, 10).cast("long"),
+          lit(HashDims.toLong)).as("dim"))
+      .groupBy("doc_id", "dim")
+      .agg(count(lit(1)).as("tf"))
+      .join(tot, Seq("doc_id"))
+      .select(col("doc_id"), col("dim").cast("int").as("dim"), col("tf"),
+        (col("tf").cast("double") / col("n_tokens")).as("weight"))
+      .orderBy("doc_id", "dim")
+  }
+
+  val hashedFeaturesSql: String =
+    s"""WITH tok AS (
+       |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+       |d AS (
+       |  SELECT doc_id,
+       |    CAST('0x' || substr(md5(tok), 1, 15) AS BIGINT) % $HashDims AS dim
+       |  FROM tok),
+       |tf AS (SELECT doc_id, dim, CAST(COUNT(*) AS BIGINT) AS tf
+       |       FROM d GROUP BY 1, 2),
+       |tot AS (SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n
+       |        FROM documents)
+       |SELECT tf.doc_id, CAST(dim AS INT) AS dim, tf,
+       |  CAST(tf AS DOUBLE) / tot.n AS weight
+       |FROM tf JOIN tot USING (doc_id)
+       |ORDER BY doc_id, dim""".stripMargin
+
   val sourceOverlapSql: String =
     s"""WITH e AS (
        | SELECT source, unnest(grams) AS g

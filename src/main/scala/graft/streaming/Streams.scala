@@ -367,4 +367,36 @@ object Streams {
     * days after their newest event.
     */
   val AttributionWindowDays = 30
+
+  /** Per-event-type value stats trained by a BATCH job over history —
+    * the broadcastable model the streaming anomaly gate scores against.
+    * Exact decimal sums make the model reproducible on any layout
+    * (same recipe as the batch `q_anomaly_zscore`).
+    */
+  def valueStats(events: DataFrame): DataFrame = {
+    val d = events("value").cast(org.apache.spark.sql.types.DataTypes
+      .createDecimalType(12, 2))
+    events.groupBy("event_type").agg(
+      count(lit(1)).as("n"),
+      sum(d).cast("double").as("sx"),
+      sum(d * d).cast("double").as("sx2"))
+  }
+
+  /** Streaming anomaly gate — the train-batch / score-stream pattern: a
+    * [[valueStats]] model (computed offline over history) broadcasts
+    * into the live stream per micro-batch, each event gets its z-score
+    * against its type's historical distribution, and |z| > 2.5 flags it.
+    * Row-local after the broadcast join: no watermark, no state store —
+    * the model is the only "memory", swapped by re-deploying with fresh
+    * stats. The scoring expression is shared with the batch
+    * `q_anomaly_zscore` shape, so a backfill and the live gate flag the
+    * same rows.
+    */
+  def anomalyGateStream(events: DataFrame, stats: DataFrame): DataFrame =
+    events.join(broadcast(stats), Seq("event_type"))
+      .withColumn("z",
+        (col("value") - col("sx") / col("n")) /
+          sqrt((col("sx2") - col("sx") * col("sx") / col("n")) / (col("n") - 1)))
+      .withColumn("is_anomaly", abs(col("z")) > 2.5)
+      .drop("n", "sx", "sx2")
 }

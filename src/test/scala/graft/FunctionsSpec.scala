@@ -90,4 +90,19 @@ class FunctionsSpec extends SparkSpec {
       assert(r.getLong(2) == r.getLong(3))
     }
   }
+
+  test("KMV set algebra: sub-k regime is exact; inclusion-exclusion is consistent") {
+    import graft.operators.Relational3
+    val r = Relational3.sketchSetOps(sf).collect()(0)
+    val (estA, estB, estU, estI) =
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+    val (exA, exB, exU, exI) =
+      (r.getLong(4), r.getLong(5), r.getLong(6), r.getLong(7))
+    // sf0.001 segments hold fewer than k=256 distinct customers — the
+    // sketch algebra must be EXACT here (estimation regime covered by
+    // the sf0.01 driver oracle)
+    assert(estA == exA && estB == exB && estU == exU && estI == exI)
+    assert(estI == math.max(0L, estA + estB - estU))
+    assert(exU <= exA + exB && exU >= math.max(exA, exB))
+  }
 }

@@ -404,4 +404,36 @@ class StreamingSpec extends SparkSpec {
     // first-write-wins (the documented at-most-watermark-late model)
     assert(p.last_touch == "click" && p.first_touch == "click")
   }
+
+  test("anomaly gate stream scores a live feed against the batch-trained stats") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Event]
+    // batch-train the model on historical events, then score a stream
+    val hist = Seq(
+      Event(1, ts(0), "click", 10.0), Event(2, ts(1), "click", 11.0),
+      Event(3, ts(2), "click", 9.0), Event(4, ts(3), "click", 10.5),
+      Event(5, ts(4), "click", 9.5), Event(6, ts(5), "click", 10.2),
+      Event(7, ts(6), "view", 1.0), Event(8, ts(7), "view", 1.2),
+      Event(9, ts(8), "view", 0.8), Event(10, ts(9), "view", 1.1))
+      .toDF()
+    val stats = Streams.valueStats(hist)
+    val q = Streams.anomalyGateStream(input.toDF(), stats)
+      .writeStream.format("memory").queryName("anomalies")
+      .outputMode("append").start()
+    input.addData(
+      Event(20, ts(10), "click", 10.1),  // in-distribution
+      Event(21, ts(11), "click", 99.0),  // obvious outlier
+      Event(22, ts(12), "view", 1.05))   // in-distribution
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.table("anomalies").collect()
+      .map(r => r.getAs[Long]("user_id") ->
+        ((r.getAs[Double]("z"), r.getAs[Boolean]("is_anomaly")))).toMap
+    assert(!rows(20L)._2 && !rows(22L)._2 && rows(21L)._2)
+    // the z-score matches the batch formula on the same model
+    val s = stats.where(col("event_type") === "click").collect()(0)
+    val (n, sx, sx2) = (s.getLong(1), s.getDouble(2), s.getDouble(3))
+    val expectZ = (99.0 - sx / n) / math.sqrt((sx2 - sx * sx / n) / (n - 1))
+    assert(rows(21L)._1 == expectZ)
+  }
 }

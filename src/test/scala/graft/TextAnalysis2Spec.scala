@@ -160,4 +160,27 @@ class TextAnalysis2Spec extends SparkSpec {
     // and must not fire on everything
     assert(expected.exists(_._4 == 0L))
   }
+
+  test("hashed features: portable-hash dims, tf sums to token count, weights exact") {
+    val rows = TextAnalysis2.hashedFeatures(sf).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+    def dim(tok: String): Int = {
+      val md5 = java.security.MessageDigest.getInstance("MD5")
+        .digest(tok.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      (BigInt(md5.substring(0, 15), 16) % 32).toInt
+    }
+    val docs = sf.documents.select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1).split(" ")).toMap
+    val expected = docs.flatMap { case (id, ts) =>
+      ts.groupBy(dim).map { case (d, g) =>
+        (id, d, g.length.toLong, g.length.toDouble / ts.length)
+      }
+    }.toSet
+    assert(rows.toSet == expected)
+    // per-doc tf mass equals the token count
+    rows.groupBy(_._1).foreach { case (id, rs) =>
+      assert(rs.map(_._3).sum == docs(id).length)
+    }
+    assert(rows.forall(r => r._2 >= 0 && r._2 < 32))
+  }
 }
