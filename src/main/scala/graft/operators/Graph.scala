@@ -112,6 +112,66 @@ object Graph {
       .orderBy(col("rank_femto").desc, col("p_partkey"))
   }
 
+  /** Per-node triangle count + local clustering coefficient over the
+    * same repeat-co-purchase network as [[pageRank]] — the cohesion
+    * analytics (how clique-like is each part's neighbourhood). The
+    * canonical a<b edge orientation makes each triangle x<y<z meet in
+    * EXACTLY one wedge join: e(x,y) ⋈ e(y,z) builds ordered wedges, one
+    * closing equi-join against e(x,z) confirms them — the standard
+    * distributed triangle enumeration, join work Σdeg² on the
+    * support-thresholded SIGNAL graph, never the raw pair space. Nodes
+    * explode per triangle corner and one aggregation yields per-node
+    * counts; the coefficient is `2·t / (d·(d−1))` with an exact-integer
+    * numerator (one correctly-rounded double division, engine-portable).
+    */
+  def triangles(t: Tables): DataFrame = {
+    val cp = Relational7.basketPairsRaw(t, EdgeSupport)
+      .select(col("a_part").as("a"), col("b_part").as("b"))
+      .persist()
+    val tri = cp.select(col("a").as("x"), col("b").as("y"))
+      .join(cp.select(col("a").as("y2"), col("b").as("z")), col("y") === col("y2"))
+      .join(cp.select(col("a").as("x2"), col("b").as("z2")),
+        col("x") === col("x2") && col("z") === col("z2"))
+      .select(col("x"), col("y"), col("z"))
+    val triPerNode = tri
+      .select(explode(array(col("x"), col("y"), col("z"))).as("node"))
+      .groupBy("node").agg(count(lit(1)).as("t"))
+    val deg = cp
+      .select(explode(array(col("a"), col("b"))).as("node"))
+      .groupBy("node").agg(count(lit(1)).as("d"))
+    deg.join(triPerNode, Seq("node"), "left")
+      .select(col("node").as("p_partkey"), col("d").as("degree"),
+        coalesce(col("t"), lit(0L)).as("triangles"),
+        when(col("d") >= 2,
+          (lit(2) * coalesce(col("t"), lit(0L))).cast("double") /
+            (col("d") * (col("d") - 1)))
+          .otherwise(lit(0.0)).as("clustering_coeff"))
+      .orderBy("p_partkey")
+  }
+
+  val trianglesSql: String =
+    s"""WITH items AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+       |cp AS (
+       |  SELECT a.l_partkey AS a, b.l_partkey AS b
+       |  FROM items a JOIN items b
+       |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+       |  GROUP BY 1, 2 HAVING COUNT(*) >= $EdgeSupport),
+       |tri AS (
+       |  SELECT e1.a AS x, e1.b AS y, e2.b AS z
+       |  FROM cp e1 JOIN cp e2 ON e2.a = e1.b
+       |  JOIN cp e3 ON e3.a = e1.a AND e3.b = e2.b),
+       |tn AS (SELECT node, CAST(COUNT(*) AS BIGINT) AS t FROM (
+       |  SELECT x AS node FROM tri UNION ALL SELECT y FROM tri
+       |  UNION ALL SELECT z FROM tri) GROUP BY 1),
+       |deg AS (SELECT node, CAST(COUNT(*) AS BIGINT) AS d FROM (
+       |  SELECT a AS node FROM cp UNION ALL SELECT b FROM cp) GROUP BY 1)
+       |SELECT deg.node AS p_partkey, deg.d AS degree,
+       |  COALESCE(tn.t, 0) AS triangles,
+       |  CASE WHEN deg.d >= 2
+       |       THEN CAST(2 * COALESCE(tn.t, 0) AS DOUBLE) / (deg.d * (deg.d - 1))
+       |       ELSE 0.0 END AS clustering_coeff
+       |FROM deg LEFT JOIN tn USING (node) ORDER BY p_partkey""".stripMargin
+
   /** Oracle: the same five supersteps unrolled as CTEs in portable
     * integer math (`//` is DuckDB's truncating integer division).
     */

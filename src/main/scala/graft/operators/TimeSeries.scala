@@ -203,4 +203,89 @@ object TimeSeries {
       |FROM lineitem
       |GROUP BY 1, 2
       |ORDER BY q_bucket, d_bucket""".stripMargin
+
+  private val HourUs = 3600000000L
+
+  /** Regular-grid resampling with linear interpolation — the
+    * irregular-to-regular transform every downstream forecaster /
+    * joiner wants: each user's event timeline is sampled at exact hour
+    * marks between their first and last event, the value at each mark
+    * interpolated between the surrounding events. NO per-grid-point
+    * search: grid rows UNION into the event stream and two
+    * ignoreNulls window passes over one (user, time) sort resolve every
+    * mark's surrounding events — the same merge-then-window trick as
+    * the as-of join, linear in events + marks, per-user partitions.
+    * The interpolation expression is shared verbatim with the oracle
+    * (one subtract, one divide, one multiply–add — identical rounding).
+    */
+  def resampleLinear(t: Tables): DataFrame = {
+    val e = t.events.select(col("user_id"), expr("unix_micros(ts)").as("tus"),
+      col("value"))
+    val g = e.groupBy("user_id")
+      .agg(min("tus").as("lo"), max("tus").as("hi"))
+      .select(col("user_id"),
+        expr(s"((lo + ${HourUs - 1}) div $HourUs) * $HourUs").as("gstart"),
+        expr(s"(hi div $HourUs) * $HourUs").as("gstop"))
+      .where(col("gstart") <= col("gstop")) // sub-hour spans have no marks
+      .select(col("user_id"),
+        explode(expr(s"sequence(gstart, gstop, $HourUs)")).as("gus"))
+    val merged = e
+      .select(col("user_id"), col("tus"), lit(null).cast("long").as("gus"),
+        col("value"), lit(0).as("is_grid"))
+      .unionByName(g.select(col("user_id"), col("gus").as("tus"), col("gus"),
+        lit(null).cast("double").as("value"), lit(1).as("is_grid")))
+    val wP = Window.partitionBy("user_id").orderBy(col("tus"), col("is_grid"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wF = Window.partitionBy("user_id").orderBy(col("tus"), col("is_grid"))
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val evT = when(col("is_grid") === 0, col("tus"))
+    val evV = when(col("is_grid") === 0, col("value"))
+    merged
+      .withColumn("pt", last(evT, ignoreNulls = true).over(wP))
+      .withColumn("pv", last(evV, ignoreNulls = true).over(wP))
+      .withColumn("nt", first(evT, ignoreNulls = true).over(wF))
+      .withColumn("nv", first(evV, ignoreNulls = true).over(wF))
+      .where(col("is_grid") === 1 && col("pt").isNotNull && col("nt").isNotNull)
+      .select(col("user_id"), expr("timestamp_micros(gus)").as("grid_ts"),
+        when(col("pt") === col("nt"), col("pv"))
+          .otherwise(col("pv") + (col("nv") - col("pv")) *
+            ((col("gus") - col("pt")).cast("double") / (col("nt") - col("pt"))))
+          .as("value_interp"))
+      .orderBy("user_id", "grid_ts")
+  }
+
+  val resampleLinearSql: String =
+    """WITH e AS (SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS tus, value FROM events),
+      |b AS (SELECT user_id, MIN(tus) AS lo, MAX(tus) AS hi FROM e GROUP BY 1),
+      |g AS (
+      |  SELECT user_id, UNNEST(range(
+      |    ((lo + 3599999999) // 3600000000) * 3600000000,
+      |    ((hi // 3600000000) * 3600000000) + 1,
+      |    3600000000)) AS gus
+      |  FROM b),
+      |u AS (
+      |  SELECT user_id, tus, CAST(NULL AS BIGINT) AS gus, value, 0 AS is_grid FROM e
+      |  UNION ALL
+      |  SELECT user_id, gus AS tus, gus, CAST(NULL AS DOUBLE) AS value, 1 AS is_grid FROM g),
+      |w AS (
+      |  SELECT *,
+      |    LAST_VALUE(CASE WHEN is_grid = 0 THEN tus END IGNORE NULLS)
+      |      OVER (PARTITION BY user_id ORDER BY tus, is_grid
+      |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pt,
+      |    LAST_VALUE(CASE WHEN is_grid = 0 THEN value END IGNORE NULLS)
+      |      OVER (PARTITION BY user_id ORDER BY tus, is_grid
+      |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pv,
+      |    FIRST_VALUE(CASE WHEN is_grid = 0 THEN tus END IGNORE NULLS)
+      |      OVER (PARTITION BY user_id ORDER BY tus, is_grid
+      |            ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nt,
+      |    FIRST_VALUE(CASE WHEN is_grid = 0 THEN value END IGNORE NULLS)
+      |      OVER (PARTITION BY user_id ORDER BY tus, is_grid
+      |            ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nv
+      |  FROM u)
+      |SELECT user_id, make_timestamp(gus) AS grid_ts,
+      |  CASE WHEN pt = nt THEN pv
+      |       ELSE pv + (nv - pv) * (CAST(gus - pt AS DOUBLE) / (nt - pt)) END AS value_interp
+      |FROM w
+      |WHERE is_grid = 1 AND pt IS NOT NULL AND nt IS NOT NULL
+      |ORDER BY user_id, grid_ts""".stripMargin
 }

@@ -77,4 +77,35 @@ class AnalyticsSpec extends SparkSpec {
     assert(!plan.contains("Join"))
     assert("Scan parquet".r.findAllIn(plan).size == 1)
   }
+
+  test("linear resample interpolates hour marks between surrounding events") {
+    import graft.operators.TimeSeries
+    val HourUs = 3600000000L
+    val evs = sf.events.select("user_id", "ts", "value").collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1).getTime * 1000 +
+        (r.getTimestamp(1).getNanos / 1000) % 1000, r.getDouble(2)))
+    val expected = evs.groupBy(_._1).flatMap { case (u, es) =>
+      val sorted = es.sortBy(_._2)
+      val (lo, hi) = (sorted.head._2, sorted.last._2)
+      val start = ((lo + HourUs - 1) / HourUs) * HourUs
+      val stop = (hi / HourUs) * HourUs
+      (start to stop by HourUs).flatMap { g =>
+        val prev = sorted.filter(_._2 <= g).lastOption
+        val next = sorted.find(_._2 > g).orElse(
+          sorted.find(_._2 == g)) // exact hit: prev == next event
+        (prev, sorted.find(_._2 >= g)) match {
+          case (Some((_, pt, pv)), Some((_, nt, nv))) =>
+            val v = if (pt == nt) pv
+              else pv + (nv - pv) * ((g - pt).toDouble / (nt - pt))
+            Some((u, g, v))
+          case _ => None
+        }
+      }
+    }.toSet
+    val got = TimeSeries.resampleLinear(sf).collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1).getTime * 1000, r.getDouble(2)))
+      .toSet
+    assert(got == expected)
+    assert(got.nonEmpty)
+  }
 }

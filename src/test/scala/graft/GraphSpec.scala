@@ -54,4 +54,30 @@ class GraphSpec extends SparkSpec {
     val b = Graph.pageRank(sf).collect().map(r => (r.getLong(0), r.getLong(1)))
     assert(a.sameElements(b))
   }
+
+  test("triangle counts and clustering coefficients match an in-memory replay") {
+    val items = sf.lineitem.select("l_orderkey", "l_partkey").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).distinct
+    val baskets = items.groupBy(_._1).view.mapValues(_.map(_._2).toSet)
+    val canonical = baskets.values.toSeq
+      .flatMap(ps => for (a <- ps; b <- ps if a < b) yield (a, b))
+      .groupBy(identity).view.mapValues(_.size).filter(_._2 >= 2).keys.toSet
+    val adj = (canonical ++ canonical.map { case (a, b) => (b, a) })
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val triPerNode = scala.collection.mutable.Map[Long, Long]().withDefaultValue(0L)
+    for ((a, b) <- canonical; c <- adj(a) if c > b && adj(b).contains(c)) {
+      triPerNode(a) += 1; triPerNode(b) += 1; triPerNode(c) += 1
+    }
+    val rows = Graph.triangles(sf).collect()
+    assert(rows.map(_.getLong(0)).toSet == adj.keySet)
+    rows.foreach { r =>
+      val (n, d, t, cc) = (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))
+      assert(d == adj(n).size.toLong)
+      assert(t == triPerNode(n), s"node $n")
+      val expCc = if (d >= 2) (2.0 * t) / (d * (d - 1)) else 0.0
+      assert(cc == expCc)
+    }
+    assert(rows.map(_.getLong(2)).sum % 3 == 0) // each triangle counted thrice
+    assert(rows.exists(_.getLong(2) > 0))
+  }
 }
