@@ -284,8 +284,7 @@ object Embeddings {
     */
   def matryoshkaRecall(t: Tables): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val vecs = t.embeddings
-      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    val vecs = Similarity.vectors(t)
       .withColumn("vt", slice(col("v"), 1, MatDims))
     val qs = vecs.where(col("vec_id") < MatQueries)
       .select(col("vec_id").as("q_id"), col("v").as("qv"), col("vt").as("qt"))

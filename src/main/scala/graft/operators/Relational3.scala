@@ -225,8 +225,7 @@ object Relational3 {
     * Exact countDistinct rides alongside as the accuracy yardstick.
     */
   def sketchAggs(t: Tables): DataFrame = {
-    val h = (c: org.apache.spark.sql.Column) =>
-      conv(substring(md5(c.cast("string")), 1, 15), 16, 10).cast("long")
+    val h = graft.functions.PortableHash.hash60 _
     val sketch = udaf(
       new graft.functions.KmvQuantile(SketchK, SketchS),
       org.apache.spark.sql.Encoders.product[graft.functions.SketchIn])
@@ -321,8 +320,7 @@ object Relational3 {
     * end-to-end. Exact distinct rides along as the accuracy yardstick.
     */
   def sketchMerge(t: Tables): DataFrame = {
-    val h = (c: org.apache.spark.sql.Column) =>
-      conv(substring(md5(c.cast("string")), 1, 15), 16, 10).cast("long")
+    val h = graft.functions.PortableHash.hash60 _
     val x = t.orders
       .join(t.customer, col("o_custkey") === col("c_custkey"))
       .join(broadcast(t.nation), col("c_nationkey") === col("n_nationkey"))
@@ -357,8 +355,7 @@ object Relational3 {
     * bounded-state aggregations, a broadcast 1-row assembly.
     */
   def sketchSetOps(t: Tables): DataFrame = {
-    val h = (c: org.apache.spark.sql.Column) =>
-      conv(substring(md5(c.cast("string")), 1, 15), 16, 10).cast("long")
+    val h = graft.functions.PortableHash.hash60 _
     val seg = t.orders
       .where(col("o_orderpriority").isin("1-URGENT", "2-HIGH"))
       .select(

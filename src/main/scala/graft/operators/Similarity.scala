@@ -27,7 +27,7 @@ object Similarity {
     graft.functions.DotProduct(a, b) /
       (sqrt(graft.functions.DotProduct(a, a)) * sqrt(graft.functions.DotProduct(b, b)))
 
-  private def vectors(t: Tables): DataFrame =
+  private[operators] def vectors(t: Tables): DataFrame =
     t.embeddings.select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
 
   private def queryVector(t: Tables): DataFrame =

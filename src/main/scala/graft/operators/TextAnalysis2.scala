@@ -399,8 +399,9 @@ object TextAnalysis2 {
     * array, no explode before the per-chunk projection); the global
     * first-occurrence decision is ONE window over chunk text (an
     * unordered partition — `min(struct)` needs no sort); reassembly is
-    * one per-doc aggregation. Chunk count is in-row arithmetic, so the
-    * source is scanned once. At corpus scale the window key would hash
+    * one per-doc aggregation that also yields the chunk/removal counts
+    * (keep is a flag, not a filter), so the source is scanned once and
+    * nothing joins back. At corpus scale the window key would hash
     * the chunk to a long first (same trick as [[substringDedup]]); here
     * the string key keeps the oracle verbatim.
     */
@@ -411,26 +412,23 @@ object TextAnalysis2 {
           s"""transform(sequence(0, (size(split(text, ' ')) - 1) div $ChunkLen),
              |  i -> concat_ws(' ', slice(split(text, ' '), i * $ChunkLen + 1, $ChunkLen)))"""
             .stripMargin)).as(Seq("idx", "chunk")))
+    // keep is a FLAG, not a filter: carrying dropped chunks through the
+    // per-doc rollup lets ONE aggregation produce clean_text, n_chunks
+    // and n_removed together — one corpus scan, no second documents
+    // projection, no join back (and no doc is lost to the filter, since
+    // every doc contributes all of its chunk rows)
     val w = Window.partitionBy("chunk")
-    val kept = chunks
+    chunks
       .withColumn("first", min(struct(col("doc_id"), col("idx"))).over(w))
-      .where(col("first.doc_id") === col("doc_id") &&
-             col("first.idx") === col("idx"))
-    val rebuilt = kept.groupBy("doc_id")
+      .withColumn("keep", col("first.doc_id") === col("doc_id") &&
+        col("first.idx") === col("idx"))
+      .groupBy("doc_id")
       .agg(
         concat_ws(" ", expr(
-          "transform(array_sort(collect_list(struct(idx, chunk))), x -> x.chunk)"))
-          .as("clean_text"),
-        count(lit(1)).as("n_kept"))
-    t.documents
-      .select(col("doc_id"),
-        expr(s"(size(split(text, ' ')) + ${ChunkLen - 1}) div $ChunkLen")
-          .cast("long").as("n_chunks"))
-      .join(rebuilt, Seq("doc_id"), "left")
-      .select(col("doc_id"),
-        coalesce(col("clean_text"), lit("")).as("clean_text"),
-        col("n_chunks"),
-        (col("n_chunks") - coalesce(col("n_kept"), lit(0L))).as("n_removed"))
+          """transform(filter(array_sort(collect_list(struct(idx, chunk, keep))),
+            |  x -> x.keep), x -> x.chunk)""".stripMargin)).as("clean_text"),
+        count(lit(1)).as("n_chunks"),
+        sum(when(col("keep"), 0L).otherwise(1L)).as("n_removed"))
       .orderBy("doc_id")
   }
 
@@ -469,7 +467,7 @@ object TextAnalysis2 {
     t.documents
       .select(col("doc_id"), explode(toks).as("tok"))
       .select(col("doc_id"),
-        pmod(conv(substring(md5(col("tok")), 1, 15), 16, 10).cast("long"),
+        pmod(graft.functions.PortableHash.hash60(col("tok")),
           lit(HashDims.toLong)).as("dim"))
       .groupBy("doc_id", "dim")
       .agg(count(lit(1)).as("tf"))

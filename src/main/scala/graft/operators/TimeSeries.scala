@@ -218,8 +218,14 @@ object TimeSeries {
     * The interpolation expression is shared verbatim with the oracle
     * (one subtract, one divide, one multiply–add — identical rounding).
     */
-  def resampleLinear(t: Tables): DataFrame = {
-    val e = t.events.select(col("user_id"), expr("unix_micros(ts)").as("tus"),
+  def resampleLinear(t: Tables): DataFrame = resampleEvents(t.events)
+
+  /** The pipeline over any (user_id, ts, value) frame — the spec drives
+    * a synthetic timeline through it to pin the exact-hour-hit boundary
+    * (which the µs-random corpus never produces).
+    */
+  private[graft] def resampleEvents(events: DataFrame): DataFrame = {
+    val e = events.select(col("user_id"), expr("unix_micros(ts)").as("tus"),
       col("value"))
     val g = e.groupBy("user_id")
       .agg(min("tus").as("lo"), max("tus").as("hi"))
@@ -234,10 +240,17 @@ object TimeSeries {
         col("value"), lit(0).as("is_grid"))
       .unionByName(g.select(col("user_id"), col("gus").as("tus"), col("gus"),
         lit(null).cast("double").as("value"), lit(1).as("is_grid")))
-    val wP = Window.partitionBy("user_id").orderBy(col("tus"), col("is_grid"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val wF = Window.partitionBy("user_id").orderBy(col("tus"), col("is_grid"))
-      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    // RANGE frames (not ROWS): a grid mark that coincides EXACTLY with an
+    // event must see that event in BOTH directions (pt = nt = its time →
+    // the exact-hit branch emits the event's value); a ROWS frame with a
+    // tie-break order would drop the equal-timestamp event from one side
+    // and silently omit the mark. Event times are unique per user, so the
+    // only in-frame peers are event-vs-grid — ignoreNulls over the null
+    // grid values keeps the result deterministic.
+    val wP = Window.partitionBy("user_id").orderBy(col("tus"))
+      .rangeBetween(Window.unboundedPreceding, Window.currentRow)
+    val wF = Window.partitionBy("user_id").orderBy(col("tus"))
+      .rangeBetween(Window.currentRow, Window.unboundedFollowing)
     val evT = when(col("is_grid") === 0, col("tus"))
     val evV = when(col("is_grid") === 0, col("value"))
     merged
@@ -270,17 +283,17 @@ object TimeSeries {
       |w AS (
       |  SELECT *,
       |    LAST_VALUE(CASE WHEN is_grid = 0 THEN tus END IGNORE NULLS)
-      |      OVER (PARTITION BY user_id ORDER BY tus, is_grid
-      |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pt,
+      |      OVER (PARTITION BY user_id ORDER BY tus
+      |            RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pt,
       |    LAST_VALUE(CASE WHEN is_grid = 0 THEN value END IGNORE NULLS)
-      |      OVER (PARTITION BY user_id ORDER BY tus, is_grid
-      |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pv,
+      |      OVER (PARTITION BY user_id ORDER BY tus
+      |            RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pv,
       |    FIRST_VALUE(CASE WHEN is_grid = 0 THEN tus END IGNORE NULLS)
-      |      OVER (PARTITION BY user_id ORDER BY tus, is_grid
-      |            ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nt,
+      |      OVER (PARTITION BY user_id ORDER BY tus
+      |            RANGE BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nt,
       |    FIRST_VALUE(CASE WHEN is_grid = 0 THEN value END IGNORE NULLS)
-      |      OVER (PARTITION BY user_id ORDER BY tus, is_grid
-      |            ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nv
+      |      OVER (PARTITION BY user_id ORDER BY tus
+      |            RANGE BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nv
       |  FROM u)
       |SELECT user_id, make_timestamp(gus) AS grid_ts,
       |  CASE WHEN pt = nt THEN pv

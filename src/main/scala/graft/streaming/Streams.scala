@@ -392,11 +392,22 @@ object Streams {
     * `q_anomaly_zscore` shape, so a backfill and the live gate flag the
     * same rows.
     */
-  def anomalyGateStream(events: DataFrame, stats: DataFrame): DataFrame =
-    events.join(broadcast(stats), Seq("event_type"))
+  def anomalyGateStream(events: DataFrame, stats: DataFrame): DataFrame = {
+    // LEFT join: an event type the model has never seen must surface as
+    // an anomaly, not vanish from the gated feed (an inner join would
+    // silently drop exactly the most suspicious input). Degenerate
+    // models are guarded too: n < 2 or zero variance admits no z-score —
+    // such events flag unless they repeat the historical value exactly.
+    val mean = col("sx") / col("n")
+    val variance = (col("sx2") - col("sx") * col("sx") / col("n")) / (col("n") - 1)
+    events.join(broadcast(stats), Seq("event_type"), "left")
       .withColumn("z",
-        (col("value") - col("sx") / col("n")) /
-          sqrt((col("sx2") - col("sx") * col("sx") / col("n")) / (col("n") - 1)))
-      .withColumn("is_anomaly", abs(col("z")) > 2.5)
+        when(col("n") > 1 && variance > 0,
+          (col("value") - mean) / sqrt(variance)))
+      .withColumn("is_anomaly",
+        when(col("n").isNull, lit(true))                  // unseen type
+          .when(col("z").isNotNull, abs(col("z")) > 2.5)  // healthy model
+          .otherwise(col("value") =!= mean))              // degenerate model
       .drop("n", "sx", "sx2")
+  }
 }

@@ -108,4 +108,23 @@ class AnalyticsSpec extends SparkSpec {
     assert(got == expected)
     assert(got.nonEmpty)
   }
+
+  test("linear resample emits a mark that coincides exactly with an event") {
+    import graft.operators.TimeSeries
+    import java.sql.Timestamp
+    val spark2 = spark
+    import spark2.implicits._
+    val events = Seq(
+      (1L, Timestamp.valueOf("2025-01-01 10:30:00"), 10.0),
+      (1L, Timestamp.valueOf("2025-01-01 11:00:00"), 20.0), // ON the mark
+      (1L, Timestamp.valueOf("2025-01-01 12:30:00"), 50.0))
+      .toDF("user_id", "ts", "value")
+    val got = TimeSeries.resampleEvents(events).collect()
+      .map(r => r.getTimestamp(1).toString -> r.getDouble(2)).toMap
+    // 11:00 is an exact hit: the mark must exist and carry the event value
+    assert(got("2025-01-01 11:00:00.0") == 20.0)
+    // 12:00 interpolates between 11:00 (20.0) and 12:30 (50.0)
+    assert(got("2025-01-01 12:00:00.0") == 20.0 + 30.0 * (3600.0 / 5400.0))
+    assert(got.size == 2)
+  }
 }

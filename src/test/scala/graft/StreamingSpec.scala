@@ -360,6 +360,30 @@ class StreamingSpec extends SparkSpec {
     assert(rows.exists(_.getDouble(3) == 8.0), "late event should pass against its own hour")
   }
 
+  test("anomaly gate: single-sample and zero-variance types flag only on deviation") {
+    implicit val sqlCtx = spark.sqlContext
+    val hist = Seq(
+      Event(1, ts(0), "signup", 3.0),                      // n = 1
+      Event(2, ts(1), "view", 2.0), Event(3, ts(2), "view", 2.0),
+      Event(4, ts(3), "view", 2.0))                        // n = 3, variance 0
+      .toDF()
+    val stats = Streams.valueStats(hist)
+    val input = MemoryStream[Event]
+    val q = Streams.anomalyGateStream(input.toDF(), stats)
+      .writeStream.format("memory").queryName("anomalies_degen")
+      .outputMode("append").start()
+    input.addData(
+      Event(40, ts(10), "signup", 3.0),   // exact repeat of the one sample
+      Event(41, ts(11), "signup", 9.0),   // deviates, no distribution to absolve it
+      Event(42, ts(12), "view", 2.0),     // at the zero-variance mean
+      Event(43, ts(13), "view", 2.5))     // off the zero-variance mean
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.table("anomalies_degen").collect()
+      .map(r => r.getAs[Long]("user_id") -> r.getAs[Boolean]("is_anomaly")).toMap
+    assert(!rows(40L) && rows(41L) && !rows(42L) && rows(43L))
+  }
+
   test("attribution stream credits purchases like the batch model on an in-order feed") {
     implicit val sqlCtx = spark.sqlContext
     import graft.streaming.Streams.{AttrEvent, AttributedPurchase}
@@ -430,6 +454,21 @@ class StreamingSpec extends SparkSpec {
       .map(r => r.getAs[Long]("user_id") ->
         ((r.getAs[Double]("z"), r.getAs[Boolean]("is_anomaly")))).toMap
     assert(!rows(20L)._2 && !rows(22L)._2 && rows(21L)._2)
+    // unseen event type must SURFACE as an anomaly, not vanish (left join)
+    val input2 = MemoryStream[Event]
+    val q2 = Streams.anomalyGateStream(input2.toDF(), stats)
+      .writeStream.format("memory").queryName("anomalies2")
+      .outputMode("append").start()
+    input2.addData(
+      Event(30, ts(13), "refund", 5.0),    // type absent from the model
+      Event(31, ts(14), "error", 7.0),     // also absent
+      Event(32, ts(15), "click", 10.0))
+    q2.processAllAvailable()
+    q2.stop()
+    val rows2 = spark.table("anomalies2").collect()
+      .map(r => r.getAs[Long]("user_id") -> r.getAs[Boolean]("is_anomaly")).toMap
+    assert(rows2.size == 3, "unseen types must pass through the gate")
+    assert(rows2(30L) && rows2(31L) && !rows2(32L))
     // the z-score matches the batch formula on the same model
     val s = stats.where(col("event_type") === "click").collect()(0)
     val (n, sx, sx2) = (s.getLong(1), s.getDouble(2), s.getDouble(3))
