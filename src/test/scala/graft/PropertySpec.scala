@@ -87,4 +87,31 @@ class PropertySpec extends AnyFunSuite {
       assert(g == expected)
     }
   }
+
+  test("KMV merge law holds for arbitrary splits and interleavings") {
+    import graft.functions.{KmvIn, KmvMergeIn, KmvMerge, KmvSketch}
+    val k = 8
+    val sk = new KmvSketch(k)
+    val mg = new KmvMerge(k)
+    val rnd = new scala.util.Random(0xC0FFEE)
+    (1 to 200).foreach { _ =>
+      val n = rnd.nextInt(60)
+      val hashes = Seq.fill(n)(rnd.nextLong().abs % 1000 + 1)
+      val cut = if (n == 0) 0 else rnd.nextInt(n + 1)
+      val (l, r) = hashes.splitAt(cut)
+      def sketch(hs: Seq[Long]): Vector[Long] =
+        hs.foldLeft(sk.zero)((b, h) => sk.reduce(b, KmvIn(h)))
+      // merge(sketch(A), sketch(B)) == sketch(A ++ B), any interleaving
+      val merged = sk.merge(sketch(l), sketch(r))
+      assert(merged == sketch(hashes))
+      assert(merged == sk.merge(sketch(r), sketch(l)))
+      // the merge level folds partial ARRAYS to the same state
+      val viaArrays = mg.reduce(mg.reduce(mg.zero, KmvMergeIn(sketch(l))),
+        KmvMergeIn(sketch(r)))
+      assert(viaArrays == merged)
+      // sub-k regime is exact
+      if (hashes.distinct.length < k)
+        assert(mg.finish(merged) == hashes.distinct.length.toLong)
+    }
+  }
 }
