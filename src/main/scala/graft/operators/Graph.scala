@@ -172,6 +172,66 @@ object Graph {
        |       ELSE 0.0 END AS clustering_coeff
        |FROM deg LEFT JOIN tn USING (node) ORDER BY p_partkey""".stripMargin
 
+  private val RecK = 3
+
+  /** Item-item collaborative filtering over the co-purchase signal: for
+    * every part, the top-[[RecK]] other parts by order-set Jaccard
+    * (`support / (nₐ + n_b − support)` — repeat-co-purchase support over
+    * the union of containing orders). The "customers who bought this
+    * also bought" query, built from the shared mining pipeline plus one
+    * broadcastable per-part order count, with the per-part top-k cut by
+    * the [[graft.plans.TopKPerKey]] heap plan — k rows of state per
+    * part, never a per-part sort, the same custom whole-operator node
+    * the inverted-index postings cap uses. Jaccard is one
+    * exact-integer-fed double division, engine-portable.
+    */
+  def recommend(t: Tables): DataFrame = {
+    val n = t.lineitem.select("l_orderkey", "l_partkey").distinct()
+      .groupBy("l_partkey").agg(count(lit(1)).as("np"))
+    val sym = Relational7.basketPairsRaw(t, EdgeSupport)
+      .select(explode(array(
+        struct(col("a_part").as("part"), col("b_part").as("rec"), col("support")),
+        struct(col("b_part").as("part"), col("a_part").as("rec"), col("support"))))
+        .as("e"))
+      .select(col("e.part").as("part"), col("e.rec").as("rec"),
+        col("e.support").as("support"))
+    val j = sym
+      .join(broadcast(n.select(col("l_partkey").as("part"), col("np").as("na"))),
+        Seq("part"))
+      .join(broadcast(n.select(col("l_partkey").as("rec"), col("np").as("nb"))),
+        Seq("rec"))
+      .select(col("part"), col("rec"),
+        (col("support").cast("double") / (col("na") + col("nb") - col("support")))
+          .as("jaccard"))
+    graft.plans.TopKPerKey(j, Seq("part"),
+        Seq(("jaccard", false), ("rec", true)), RecK)
+      .select(col("part").as("p_partkey"), col("rec").as("rec_partkey"),
+        col("jaccard"))
+      .orderBy(col("p_partkey"), col("jaccard").desc, col("rec_partkey"))
+  }
+
+  val recommendSql: String =
+    s"""WITH items AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+       |n AS (SELECT l_partkey AS p, CAST(COUNT(*) AS BIGINT) AS np
+       |      FROM items GROUP BY 1),
+       |cp AS (
+       |  SELECT a.l_partkey AS a, b.l_partkey AS b, CAST(COUNT(*) AS BIGINT) AS support
+       |  FROM items a JOIN items b
+       |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+       |  GROUP BY 1, 2 HAVING COUNT(*) >= $EdgeSupport),
+       |sym AS (SELECT a AS part, b AS rec, support FROM cp
+       |        UNION ALL SELECT b AS part, a AS rec, support FROM cp),
+       |j AS (SELECT part, rec,
+       |        CAST(support AS DOUBLE) / (na.np + nb.np - support) AS jaccard
+       |      FROM sym JOIN n na ON na.p = part JOIN n nb ON nb.p = rec),
+       |r AS (SELECT part, rec, jaccard,
+       |        ROW_NUMBER() OVER (PARTITION BY part
+       |          ORDER BY jaccard DESC, rec) AS rk
+       |      FROM j)
+       |SELECT part AS p_partkey, rec AS rec_partkey, jaccard
+       |FROM r WHERE rk <= $RecK
+       |ORDER BY p_partkey, jaccard DESC, rec_partkey""".stripMargin
+
   /** Oracle: the same five supersteps unrolled as CTEs in portable
     * integer math (`//` is DuckDB's truncating integer division).
     */

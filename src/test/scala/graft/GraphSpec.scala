@@ -80,4 +80,29 @@ class GraphSpec extends SparkSpec {
     assert(rows.map(_.getLong(2)).sum % 3 == 0) // each triangle counted thrice
     assert(rows.exists(_.getLong(2) > 0))
   }
+
+  test("recommendations are the jaccard top-3 per part, cut by the heap plan") {
+    val items = sf.lineitem.select("l_orderkey", "l_partkey").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).distinct
+    val np = items.groupBy(_._2).view.mapValues(_.length.toLong).toMap
+    val support = items.groupBy(_._1).values.toSeq
+      .flatMap(es => { val ps = es.map(_._2).toSet
+        for (a <- ps; b <- ps if a < b) yield (a, b) })
+      .groupBy(identity).view.mapValues(_.size.toLong).filter(_._2 >= 2)
+    val sym = support.toSeq.flatMap { case ((a, b), s) => Seq((a, b, s), (b, a, s)) }
+    val expected = sym
+      .map { case (p, r, sup) => (p, r, sup.toDouble / (np(p) + np(r) - sup)) }
+      .groupBy(_._1).view
+      .mapValues(_.sortBy { case (_, r, j) => (-j, r) }.take(3).map(x => (x._2, x._3)))
+      .toMap
+    val got = Graph.recommend(sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .groupBy(_._1).view.mapValues(_.map(x => (x._2, x._3)).toSeq).toMap
+    assert(got.keySet == expected.keySet)
+    got.foreach { case (p, recs) => assert(recs == expected(p), s"part $p") }
+    // the per-part cut runs on the custom heap plan, not a window sort
+    val plan = Graph.recommend(sf).queryExecution.executedPlan.toString
+    assert(plan.contains("TopKPerKey"))
+    assert(!plan.contains("Window"))
+  }
 }
