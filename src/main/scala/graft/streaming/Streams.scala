@@ -379,7 +379,12 @@ object Streams {
     events.groupBy("event_type").agg(
       count(lit(1)).as("n"),
       sum(d).cast("double").as("sx"),
-      sum(d * d).cast("double").as("sx2"))
+      sum(d * d).cast("double").as("sx2"),
+      // raw-double extremes: the degenerate-model range check compares
+      // live values against these EXACT historical doubles (no decimal
+      // round-trip, no FP-equality-against-a-mean trap)
+      min(events("value")).as("vmin"),
+      max(events("value")).as("vmax"))
   }
 
   /** Streaming anomaly gate — the train-batch / score-stream pattern: a
@@ -396,18 +401,24 @@ object Streams {
     // LEFT join: an event type the model has never seen must surface as
     // an anomaly, not vanish from the gated feed (an inner join would
     // silently drop exactly the most suspicious input). Degenerate
-    // models are guarded too: n < 2 or zero variance admits no z-score —
-    // such events flag unless they repeat the historical value exactly.
+    // models are guarded too: n < 2 or ~zero variance admits no z-score —
+    // such events flag only when they leave the historical [vmin, vmax]
+    // range (a raw-double comparison; an equality check against the mean
+    // would misfire on non-dyadic constants like 0.1, where the
+    // decimal-sum mean lands one ulp off the stored values, and a
+    // rounding-noise variance of ~1e-18 would otherwise make every
+    // in-range event score an astronomical z)
     val mean = col("sx") / col("n")
     val variance = (col("sx2") - col("sx") * col("sx") / col("n")) / (col("n") - 1)
     events.join(broadcast(stats), Seq("event_type"), "left")
       .withColumn("z",
-        when(col("n") > 1 && variance > 0,
+        when(col("n") > 1 && variance > lit(1e-12),
           (col("value") - mean) / sqrt(variance)))
       .withColumn("is_anomaly",
         when(col("n").isNull, lit(true))                  // unseen type
           .when(col("z").isNotNull, abs(col("z")) > 2.5)  // healthy model
-          .otherwise(col("value") =!= mean))              // degenerate model
-      .drop("n", "sx", "sx2")
+          .otherwise(                                      // degenerate model
+            col("value") < col("vmin") || col("value") > col("vmax")))
+      .drop("n", "sx", "sx2", "vmin", "vmax")
   }
 }
