@@ -2,9 +2,10 @@ package graft.operators
 
 import graft.Tables
 import graft.functions.Exact._
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
 
 /** Product-analytics workloads: smoothing, cohorts, funnels — the query
   * shapes the reference's ClickHouse consumer exists to answer.
@@ -378,4 +379,137 @@ object Analytics {
       |  COALESCE(last_purchases, 0) AS last_purchases,
       |  COALESCE(last_revenue, 0.0) AS last_revenue
       |FROM f FULL JOIN l ON f.channel = l.channel ORDER BY channel""".stripMargin
+
+  private val PathLen = 3
+  private val PathMinSessions = 5
+
+  /** Top session entry paths: the first [[PathLen]] event types of each
+    * 30-minute-gap session (same gap rule as `Relational.sessionize`),
+    * joined with '>', counted across sessions, reported where ≥
+    * [[PathMinSessions]] sessions share the path. Everything is windowed
+    * BY USER (entity-partitioned — no global window), the per-session
+    * path is assembled from an in-row sorted struct array (collect_list
+    * order after a groupBy is not defined; the (rn, type) sort makes it
+    * deterministic), and the final path census is a small aggregation.
+    */
+  def sessionPaths(t: Tables): DataFrame = {
+    val wOrd = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    val wRun = wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    t.events
+      .withColumn("prev_s", lag(col("ts").cast("double"), 1).over(wOrd))
+      .withColumn("is_new",
+        when(col("prev_s").isNull ||
+          col("ts").cast("double") - col("prev_s") > 1800.0, 1).otherwise(0))
+      .withColumn("session_id", sum(col("is_new")).over(wRun))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("user_id", "session_id").orderBy("ts", "event_id")))
+      .where(col("rn") <= PathLen)
+      .groupBy("user_id", "session_id")
+      .agg(array_join(
+        expr("transform(array_sort(collect_list(struct(rn, event_type))), x -> x.event_type)"),
+        ">").as("path"))
+      .groupBy("path")
+      .agg(count(lit(1)).as("sessions"))
+      .where(col("sessions") >= PathMinSessions)
+      .orderBy(col("sessions").desc, col("path"))
+  }
+
+  val sessionPathsSql: String =
+    s"""WITH ord AS (
+       | SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts, event_type,
+       |  LAG(epoch(CAST(ts AS TIMESTAMP)), 1) OVER (
+       |    PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id) AS prev_s
+       | FROM events),
+       |marked AS (
+       | SELECT user_id, event_id, ts, event_type,
+       |  CASE WHEN prev_s IS NULL OR epoch(ts) - prev_s > 1800.0
+       |       THEN 1 ELSE 0 END AS is_new
+       | FROM ord),
+       |sess AS (
+       | SELECT user_id, event_id, ts, event_type,
+       |  SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+       | FROM marked),
+       |ranked AS (
+       | SELECT user_id, session_id, event_type,
+       |  ROW_NUMBER() OVER (PARTITION BY user_id, session_id
+       |    ORDER BY ts, event_id) AS rn
+       | FROM sess),
+       |paths AS (
+       | SELECT user_id, session_id,
+       |  string_agg(event_type, '>' ORDER BY rn) AS path
+       | FROM ranked WHERE rn <= $PathLen GROUP BY 1, 2)
+       |SELECT path, CAST(COUNT(*) AS BIGINT) AS sessions
+       |FROM paths GROUP BY 1 HAVING COUNT(*) >= $PathMinSessions
+       |ORDER BY sessions DESC, path""".stripMargin
+
+  /** Weights are fixed-point powers of two: 2^(DecayShift − age_days),
+    * zero past [[DecayMaxAge]] days — so every product and sum below is
+    * EXACT integer arithmetic until the single final division. */
+  private val DecayShift = 40
+  private val DecayMaxAge = 40
+  private val DecayDenom = (1L << DecayShift).toDouble
+
+  /** Half-life-decayed engagement counters per (user, event_type) — the
+    * feature-store staple (a "decayed count" ages out stale activity
+    * without a hard cutoff). Half-life = 1 day, as-of the newest event
+    * date. Instead of summing `value · 2^-age` in floats (order-
+    * dependent, irreproducible across partitionings), each row
+    * contributes an INTEGER `2^(40−age)` weight (and `cents · 2^(40−age)`
+    * for the value counter, decimal-38 so ~10²¹ fits); the exact integer
+    * sums convert to double via the hi/lo-split recipe and divide by 2^40
+    * — one rounding per output. Events older than [[DecayMaxAge]] days
+    * contribute exactly 0 (their true weight is below the result's ulp).
+    * Map-side partial aggregation handles corpus scale; the as-of date is
+    * one broadcast row.
+    */
+  def decayedCounters(t: Tables): DataFrame = {
+    val d38 = DecimalType(38, 0)
+    def toD(s: Column): Column = {
+      val lo = pmod(s, lit(1000000000L))
+      val hi = (s - lo) / lit(1000000000L)
+      hi.cast("double") * lit(1.0e9) + lo.cast("double")
+    }
+    val maxD = t.events.agg(max(to_date(col("ts"))).as("max_d"))
+    t.events
+      .crossJoin(broadcast(maxD))
+      .withColumn("age", datediff(col("max_d"), to_date(col("ts"))))
+      .withColumn("wscale",
+        when(col("age") <= DecayMaxAge,
+          expr(s"shiftleft(CAST(1 AS BIGINT), $DecayShift - age)"))
+          .otherwise(lit(0L)))
+      .withColumn("cents", (dec(col("value")) * 100).cast("long"))
+      .groupBy("user_id", "event_type")
+      .agg(
+        sum(col("wscale").cast(d38)).as("wsum"),
+        sum(col("cents").cast(d38) * col("wscale")).as("vsum"))
+      .select(col("user_id"), col("event_type"),
+        (toD(col("wsum")) / DecayDenom).as("decayed_count"),
+        (toD(col("vsum")) / DecayDenom / 100.0).as("decayed_value"))
+      .orderBy("user_id", "event_type")
+  }
+
+  val decayedCountersSql: String = {
+    def toD(e: String) =
+      s"(CAST(($e - ($e % 1000000000)) // 1000000000 AS DOUBLE) * 1.0e9" +
+        s" + CAST($e % 1000000000 AS DOUBLE))"
+    s"""WITH mx AS (SELECT MAX(CAST(ts AS DATE)) AS max_d FROM events),
+       |w AS (
+       | SELECT user_id, event_type,
+       |  date_diff('day', CAST(ts AS DATE), mx.max_d) AS age,
+       |  CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT) AS cents
+       | FROM events, mx),
+       |s AS (
+       | SELECT user_id, event_type,
+       |  SUM(CASE WHEN age <= $DecayMaxAge
+       |      THEN CAST(1 AS BIGINT) << ($DecayShift - age) ELSE 0 END) AS wsum,
+       |  SUM(CASE WHEN age <= $DecayMaxAge
+       |      THEN CAST(cents AS HUGEINT) * (CAST(1 AS BIGINT) << ($DecayShift - age))
+       |      ELSE 0 END) AS vsum
+       | FROM w GROUP BY 1, 2)
+       |SELECT user_id, event_type,
+       | ${toD("wsum")} / $DecayDenom AS decayed_count,
+       | ${toD("vsum")} / $DecayDenom / 100.0 AS decayed_value
+       |FROM s ORDER BY user_id, event_type""".stripMargin
+  }
 }

@@ -2,6 +2,7 @@ package graft.operators
 
 import graft.Tables
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Column profiling — the data-quality sweep an ETL node runs before
@@ -102,4 +103,60 @@ object Profiler {
        |FROM c, s
        |ORDER BY n DESC, l_partkey
        |LIMIT $SkewTopN""".stripMargin
+
+  /** log10(1 + 1/d) for d = 1..9, computed ONCE and embedded verbatim
+    * in both the Spark literals and the oracle SQL (Double.toString is
+    * shortest-roundtrip, so the oracle parses back the identical bits —
+    * no cross-engine log10 call whose last ulp could differ).
+    */
+  private val BenfordExpected: Seq[(Int, Double)] =
+    (1 to 9).map(d => d -> math.log10(1 + 1.0 / d))
+
+  /** Benford first-digit audit of order totals — the classic fraud /
+    * synthetic-data smell test a data-quality sweep runs on monetary
+    * columns. One aggregation over the fact table produces the 9 digit
+    * counts; shares divide exact longs in double and deviation from the
+    * Benford expectation uses the shared literal table. (The synthetic
+    * uniform prices fail Benford loudly — which is the point: the audit
+    * DETECTS non-organic distributions.)
+    */
+  def benfordAudit(t: Tables): DataFrame = {
+    val digit = substring(
+      floor(col("o_totalprice")).cast("long").cast("string"), 1, 1).cast("int")
+    val expected = BenfordExpected.foldLeft(lit(null).cast("double")) {
+      case (acc, (d, e)) => when(col("digit") === d, lit(e)).otherwise(acc)
+    }
+    val wAll = Window.partitionBy()
+    t.orders
+      .groupBy(digit.as("digit"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("total", sum(col("n")).over(wAll))
+      .withColumn("share", col("n").cast("double") / col("total"))
+      .withColumn("benford_expected", expected)
+      .select(col("digit"), col("n"), col("share"), col("benford_expected"),
+        (col("share") - col("benford_expected")).as("deviation"))
+      .orderBy("digit")
+  }
+
+  val benfordAuditSql: String = {
+    // CAST('…' AS DOUBLE), not a bare numeric literal: DuckDB types bare
+    // decimal-point literals as DECIMAL and the int128→double conversion
+    // double-rounds (one ulp off for 17-digit constants); the string cast
+    // is a correctly-rounded strtod, identical to the JVM's parse.
+    val exp = BenfordExpected
+      .map { case (d, e) => s"($d, CAST('$e' AS DOUBLE))" }.mkString(", ")
+    s"""WITH counts AS (
+       | SELECT CAST(substr(CAST(CAST(floor(o_totalprice) AS BIGINT) AS VARCHAR),
+       |   1, 1) AS INTEGER) AS digit, CAST(COUNT(*) AS BIGINT) AS n
+       | FROM orders GROUP BY 1),
+       |shares AS (
+       | SELECT digit, n,
+       |  CAST(n AS DOUBLE) / CAST(SUM(n) OVER () AS BIGINT) AS share
+       | FROM counts),
+       |exp AS (SELECT * FROM (VALUES $exp) e(digit, benford_expected))
+       |SELECT s.digit, s.n, s.share, e.benford_expected,
+       | s.share - e.benford_expected AS deviation
+       |FROM shares s JOIN exp e ON e.digit = s.digit
+       |ORDER BY s.digit""".stripMargin
+  }
 }

@@ -118,18 +118,28 @@ object Relational7 {
     * shared with [[Graph.pageRank]], which ranks over the repeat-
     * co-purchase network and sorts by rank instead.
     */
-  private[operators] def basketPairsRaw(t: Tables, minSupport: Int): DataFrame = {
-    val baskets = t.lineitem.groupBy("l_orderkey")
+  private[operators] def basketPairsRaw(t: Tables, minSupport: Int): DataFrame =
+    pairsFromBaskets(baskets(t), minSupport)
+
+  /** One row per order with its sorted distinct part set — the shared
+    * front-end of every co-purchase analytic. Consumers that need several
+    * views of it (pairs + frequencies + order count, as [[basketLift]])
+    * should derive ALL of them from this same frame: the groupBy subtrees
+    * are then identical and Spark's ReuseExchange runs the basket shuffle
+    * once.
+    */
+  private[operators] def baskets(t: Tables): DataFrame =
+    t.lineitem.groupBy("l_orderkey")
       .agg(array_sort(collect_set(col("l_partkey"))).as("parts"))
-    baskets
-      .select(explode(expr(
+
+  private[operators] def pairsFromBaskets(b: DataFrame, minSupport: Int): DataFrame =
+    b.select(explode(expr(
         """flatten(transform(parts, (a, i) ->
           |  transform(slice(parts, i + 2, size(parts)),
           |    b -> named_struct('a', a, 'b', b))))""".stripMargin)).as("p"))
       .groupBy(col("p.a").as("a_part"), col("p.b").as("b_part"))
       .agg(count(lit(1)).as("support"))
       .where(col("support") >= minSupport)
-  }
 
   val basketPairsSql: String =
     s"""WITH items AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem)
@@ -140,6 +150,58 @@ object Relational7 {
        |GROUP BY a.l_partkey, b.l_partkey
        |HAVING COUNT(*) >= $MinSupport
        |ORDER BY support DESC, a_part, b_part""".stripMargin
+
+  /** Association-rule metrics over the co-purchase pairs: confidence
+    * P(b|a) and lift P(ab)/(P(a)P(b)) for every pair with support ≥
+    * [[MinSupport]]. The pair mining is the shared in-row expansion
+    * ([[basketPairsRaw]] — no self-join); the per-part order frequencies
+    * are a dimension-sized aggregate broadcast to the pair rows, so the
+    * only shuffles are the basket gather and the two small aggregations.
+    * All counts are exact longs; the two divisions (and the one
+    * support·N product) run in double with the identical expression tree
+    * in the oracle, so the output hash-matches bitwise.
+    */
+  def basketLift(t: Tables): DataFrame = {
+    // every branch hangs off the IDENTICAL baskets subtree: part
+    // frequencies explode the part sets (a set element count equals the
+    // distinct-items count) and the order census counts basket rows, so
+    // ReuseExchange materializes the basket shuffle once for all three
+    val b = baskets(t)
+    val nOrders = b.agg(count(lit(1)).as("n_orders"))
+    val freq = b.select(explode(col("parts")).as("l_partkey"))
+      .groupBy("l_partkey").agg(count(lit(1)).as("freq"))
+    pairsFromBaskets(b, MinSupport)
+      .join(broadcast(freq.select(col("l_partkey").as("a_part"),
+        col("freq").as("fa"))), Seq("a_part"))
+      .join(broadcast(freq.select(col("l_partkey").as("b_part"),
+        col("freq").as("fb"))), Seq("b_part"))
+      .crossJoin(broadcast(nOrders))
+      .select(col("a_part"), col("b_part"), col("support"),
+        (col("support").cast("double") / col("fa")).as("confidence_a_to_b"),
+        ((col("support") * col("n_orders")).cast("double") /
+          (col("fa") * col("fb")).cast("double")).as("lift"))
+      .orderBy(col("lift").desc, col("a_part"), col("b_part"))
+  }
+
+  val basketLiftSql: String =
+    s"""WITH items AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+       |n AS (SELECT CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS n_orders
+       |      FROM lineitem),
+       |freq AS (SELECT l_partkey, CAST(COUNT(*) AS BIGINT) AS freq
+       |         FROM items GROUP BY 1),
+       |pairs AS (
+       | SELECT a.l_partkey AS a_part, b.l_partkey AS b_part,
+       |  CAST(COUNT(*) AS BIGINT) AS support
+       | FROM items a JOIN items b
+       |   ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+       | GROUP BY 1, 2 HAVING COUNT(*) >= $MinSupport)
+       |SELECT p.a_part, p.b_part, p.support,
+       | CAST(p.support AS DOUBLE) / fa.freq AS confidence_a_to_b,
+       | CAST(p.support * n.n_orders AS DOUBLE)
+       |   / CAST(fa.freq * fb.freq AS DOUBLE) AS lift
+       |FROM pairs p, n, freq fa, freq fb
+       |WHERE fa.l_partkey = p.a_part AND fb.l_partkey = p.b_part
+       |ORDER BY lift DESC, a_part, b_part""".stripMargin
 
   /** Month-over-prior-year growth: exact decimal monthly revenue,
     * self-joined on the CALENDAR month twelve months back (not LAG(12),

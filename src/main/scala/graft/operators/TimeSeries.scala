@@ -301,4 +301,110 @@ object TimeSeries {
       |FROM w
       |WHERE is_grid = 1 AND pt IS NOT NULL AND nt IS NOT NULL
       |ORDER BY user_id, grid_ts""".stripMargin
+
+  private val EwmaWindow = 20
+
+  /** Per-user EWMA (α = ½) of event values over the trailing
+    * [[EwmaWindow]] events, reported at each user's latest event — the
+    * standard smoothed-activity feature. The fold `acc ← (acc + x) / 2`
+    * runs over an ORDERED bounded array (collect_list over a ROWS frame
+    * preserves frame order), so although the inputs are raw doubles, the
+    * rounding sequence is deterministic and the oracle's identical
+    * left-fold (DuckDB `list_reduce` seeds with the first element, as
+    * does the `slice`+`aggregate` here) reproduces it bit-for-bit.
+    * Truncating to 20 terms discards weights ≤ 2⁻²⁰ — below the ulp of
+    * the result for same-magnitude series. Entity-partitioned windows,
+    * bounded per-row state: corpus-scale safe.
+    */
+  def ewmaSmooth(t: Tables): DataFrame = {
+    val wTrail = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      .rowsBetween(-(EwmaWindow - 1), Window.currentRow)
+    val wLatest = Window.partitionBy("user_id")
+      .orderBy(col("ts").desc, col("event_id").desc)
+    t.events
+      .withColumn("vals", collect_list(col("value")).over(wTrail))
+      .withColumn("rk", row_number().over(wLatest))
+      .where(col("rk") === 1)
+      .select(col("user_id"), col("ts"), col("value"),
+        expr(s"aggregate(slice(vals, 2, ${EwmaWindow - 1}), vals[0]," +
+          " (acc, x) -> (acc + x) / 2)").as("ewma"))
+      .orderBy("user_id")
+  }
+
+  val ewmaSmoothSql: String =
+    s"""WITH ordered AS (
+       | SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id, value,
+       |  list(value) OVER (PARTITION BY user_id
+       |    ORDER BY CAST(ts AS TIMESTAMP), event_id
+       |    ROWS BETWEEN ${EwmaWindow - 1} PRECEDING AND CURRENT ROW) AS vals,
+       |  ROW_NUMBER() OVER (PARTITION BY user_id
+       |    ORDER BY CAST(ts AS TIMESTAMP) DESC, event_id DESC) AS rk
+       | FROM events)
+       |SELECT user_id, ts, value,
+       | list_reduce(vals, (a, x) -> (a + x) / 2) AS ewma
+       |FROM ordered WHERE rk = 1
+       |ORDER BY user_id""".stripMargin
+
+  private val TrendMinMonths = 3
+
+  /** Per-brand linear revenue trend: OLS slope (and intercept) of
+    * monthly revenue against the month index, from one aggregation pass
+    * — the classic "is this line going up" dashboard query, done
+    * reproducibly. Monthly revenue is the exact decimal sum floored to
+    * integer CENTS, the month index is a calendar difference, and all
+    * five OLS power sums (n, Σx, Σy, Σx², Σxy) are exact integer
+    * aggregates — the closed-form slope evaluates in double from those
+    * exact sums with the identical expression tree in the oracle.
+    * The windows run over one row per brand-month (bounded); the heavy
+    * work is the single fact-table aggregation. 100 TB-safe: broadcast
+    * dim join, map-side partial aggs, no global window.
+    */
+  def linearTrend(t: Tables): DataFrame = {
+    val monthly = t.lineitem
+      .join(broadcast(t.part), col("l_partkey") === col("p_partkey"))
+      .groupBy(col("p_brand").as("brand"),
+        date_trunc("month", col("l_shipdate")).cast("date").as("month"))
+      .agg(sum(discPrice(col("l_extendedprice"), col("l_discount"))).as("rev"))
+      .withColumn("y", floor(col("rev") * 100).cast("long"))
+      .withColumn("x", months_between(col("month"),
+        min(col("month")).over(Window.partitionBy("brand"))).cast("long"))
+    val s = monthly.groupBy("brand").agg(
+      count(lit(1)).as("n"), sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+      sum(col("x") * col("x")).as("sxx"), sum(col("x") * col("y")).as("sxy"))
+    val num = (col("n") * col("sxy") - col("sx") * col("sy")).cast("double")
+    val den = (col("n") * col("sxx") - col("sx") * col("sx")).cast("double")
+    s.where(col("n") >= TrendMinMonths)
+      .select(col("brand"), col("n"),
+        (num / den / 100.0).as("slope_per_month"),
+        ((col("sy").cast("double") - num / den * col("sx").cast("double")) /
+          col("n").cast("double") / 100.0).as("intercept"))
+      .orderBy(col("slope_per_month").desc, col("brand"))
+  }
+
+  val linearTrendSql: String =
+    s"""WITH monthly AS (
+       | SELECT p.p_brand AS brand,
+       |  CAST(date_trunc('month', l.l_shipdate) AS DATE) AS month,
+       |  SUM(CAST(l.l_extendedprice AS DECIMAL(12,2)) *
+       |      CAST(1 - CAST(l.l_discount AS DECIMAL(4,2)) AS DECIMAL(8,4))) AS rev
+       | FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+       | GROUP BY 1, 2),
+       |xy AS (
+       | SELECT brand, CAST(floor(rev * 100) AS BIGINT) AS y,
+       |  date_diff('month', MIN(month) OVER (PARTITION BY brand), month) AS x
+       | FROM monthly),
+       |s AS (
+       | SELECT brand, CAST(COUNT(*) AS BIGINT) AS n,
+       |  CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+       |  CAST(SUM(x*x) AS BIGINT) AS sxx, CAST(SUM(x*y) AS BIGINT) AS sxy
+       | FROM xy GROUP BY 1)
+       |SELECT brand, n,
+       | CAST(n * sxy - sx * sy AS DOUBLE) / CAST(n * sxx - sx * sx AS DOUBLE)
+       |   / 100.0 AS slope_per_month,
+       | (CAST(sy AS DOUBLE)
+       |   - CAST(n * sxy - sx * sy AS DOUBLE) / CAST(n * sxx - sx * sx AS DOUBLE)
+       |     * CAST(sx AS DOUBLE))
+       |   / CAST(n AS DOUBLE) / 100.0 AS intercept
+       |FROM s WHERE n >= $TrendMinMonths
+       |ORDER BY slope_per_month DESC, brand""".stripMargin
 }

@@ -127,4 +127,134 @@ class AnalyticsSpec extends SparkSpec {
     assert(got("2025-01-01 12:00:00.0") == 20.0 + 30.0 * (3600.0 / 5400.0))
     assert(got.size == 2)
   }
+
+  private def micros(ts: java.sql.Timestamp): Long =
+    ts.getTime * 1000 + (ts.getNanos / 1000) % 1000
+
+  test("ewma equals the trailing-20 left fold at each user's latest event") {
+    import graft.operators.TimeSeries
+    val evs = sf.events.select("user_id", "ts", "event_id", "value").collect()
+      .map(r => (r.getLong(0), micros(r.getTimestamp(1)), r.getLong(2),
+        r.getDouble(3)))
+    val expected = evs.groupBy(_._1).view.mapValues { es =>
+      val vals = es.sortBy(e => (e._2, e._3)).map(_._4).takeRight(20)
+      vals.reduceLeft((a, x) => (a + x) / 2)
+    }.toMap
+    val got = TimeSeries.ewmaSmooth(sf).collect()
+      .map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    assert(got.keySet == expected.keySet)
+    got.foreach { case (u, e) =>
+      assert(e == expected(u), s"ewma mismatch for user $u")
+    }
+  }
+
+  test("linear trend slope matches the exact OLS recount per brand") {
+    import graft.operators.TimeSeries
+    val parts = sf.part.select("p_partkey", "p_brand").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val monthly = sf.lineitem
+      .select("l_partkey", "l_shipdate", "l_extendedprice", "l_discount")
+      .collect()
+      .groupBy { r =>
+        val d = (r.get(1) match {
+          case t: java.sql.Timestamp => t.toLocalDateTime
+          case t: java.time.LocalDateTime => t
+        }).toLocalDate.withDayOfMonth(1)
+        (parts(r.getLong(0)), d)
+      }
+      .view.mapValues { rs =>
+        rs.map { r =>
+          BigDecimal(r.getDouble(2)).setScale(2, BigDecimal.RoundingMode.HALF_UP) *
+            (BigDecimal(1) -
+              BigDecimal(r.getDouble(3)).setScale(2, BigDecimal.RoundingMode.HALF_UP))
+        }.sum
+      }.toMap
+    val expected = monthly.keys.groupBy(_._1).map { case (brand, ks) =>
+      val minM = ks.map(_._2).min((a: java.time.LocalDate, b: java.time.LocalDate) => a.compareTo(b))
+      val xy = ks.map { k =>
+        val x = java.time.temporal.ChronoUnit.MONTHS.between(minM, k._2)
+        val y = (monthly(k) * 100).setScale(0, BigDecimal.RoundingMode.FLOOR).toLong
+        (x, y)
+      }.toSeq
+      val n = xy.size.toLong
+      val (sx, sy) = (xy.map(_._1).sum, xy.map(_._2).sum)
+      val (sxx, sxy) = (xy.map(p => p._1 * p._1).sum, xy.map(p => p._1 * p._2).sum)
+      val slope = (n * sxy - sx * sy).toDouble / (n * sxx - sx * sx).toDouble / 100.0
+      brand -> (n, slope)
+    }
+    val got = TimeSeries.linearTrend(sf).collect()
+    assert(got.map(_.getString(0)).toSet == expected.filter(_._2._1 >= 3).keySet)
+    got.foreach { r =>
+      val (n, slope) = expected(r.getString(0))
+      assert(r.getLong(1) == n)
+      assert(r.getDouble(2) == slope, s"slope mismatch for ${r.getString(0)}")
+    }
+    // the report is sorted by slope descending
+    val slopes = got.map(_.getDouble(2)).toSeq
+    assert(slopes == slopes.sorted.reverse)
+  }
+
+  test("session paths census matches the 30-minute-gap replay") {
+    val evs = sf.events.select("user_id", "ts", "event_id", "event_type")
+      .collect()
+      .map(r => (r.getLong(0), micros(r.getTimestamp(1)), r.getLong(2),
+        r.getString(3)))
+    val paths = evs.groupBy(_._1).values.flatMap { es =>
+      val sorted = es.sortBy(e => (e._2, e._3))
+      val sessions = scala.collection.mutable.ArrayBuffer(
+        scala.collection.mutable.ArrayBuffer[String]())
+      var prev = Double.NaN
+      sorted.foreach { e =>
+        val s = e._2 / 1.0e6  // ts.cast("double") = epoch seconds as double
+        if (!prev.isNaN && s - prev > 1800.0)
+          sessions += scala.collection.mutable.ArrayBuffer[String]()
+        sessions.last += e._4
+        prev = s
+      }
+      sessions.map(_.take(3).mkString(">"))
+    }
+    val expected = paths.groupBy(identity).view.mapValues(_.size.toLong)
+      .filter(_._2 >= 5).toMap
+    val got = Analytics.sessionPaths(sf).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got == expected)
+  }
+
+  test("decayed counters match the exact fixed-point replay") {
+    import org.apache.spark.sql.functions.{col, to_date}
+    val evs = sf.events
+      .select(col("user_id"), col("event_type"), to_date(col("ts")).as("d"),
+        col("value"))
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDate(2).toLocalDate,
+        r.getDouble(3)))
+    val maxD = evs.map(_._3).max((a: java.time.LocalDate, b: java.time.LocalDate) => a.compareTo(b))
+    def toD(s: BigInt): Double = {
+      val lo = s % 1000000000L
+      val hi = (s - lo) / 1000000000L
+      hi.toDouble * 1.0e9 + lo.toDouble
+    }
+    val expected = evs.groupBy(e => (e._1, e._2)).map { case (k, es) =>
+      var wsum = BigInt(0); var vsum = BigInt(0)
+      es.foreach { e =>
+        val age = java.time.temporal.ChronoUnit.DAYS.between(e._3, maxD)
+        if (age <= 40) {
+          val w = BigInt(1) << (40 - age).toInt
+          val cents = (BigDecimal(e._4).setScale(2, BigDecimal.RoundingMode.HALF_UP)
+            * 100).toLongExact
+          wsum += w; vsum += w * cents
+        }
+      }
+      k -> ((toD(wsum) / (1L << 40).toDouble, toD(vsum) / (1L << 40).toDouble / 100.0))
+    }
+    val got = Analytics.decayedCounters(sf).collect()
+      .map(r => (r.getLong(0), r.getString(1)) -> ((r.getDouble(2), r.getDouble(3))))
+      .toMap
+    assert(got.keySet == expected.keySet)
+    got.foreach { case (k, (c, v)) =>
+      assert(c == expected(k)._1 && v == expected(k)._2, s"decay mismatch at $k")
+    }
+    // decay actually discriminates: an old event weighs less than a new one
+    assert(expected.values.exists(_._1 != 0.0))
+  }
 }

@@ -265,4 +265,24 @@ class CurationSpec extends SparkSpec {
       assert(r.getDouble(3) > 0)
     }
   }
+
+  test("benford audit digit counts and deviations match the replay") {
+    val digits = sf.orders.select("o_totalprice").collect()
+      .map(r => math.floor(r.getDouble(0)).toLong.toString.charAt(0) - '0')
+    val counts = digits.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val total = digits.length.toLong
+    val rows = graft.operators.Profiler.benfordAudit(sf).collect()
+    assert(rows.map(_.getInt(0)).toSet == counts.keySet)
+    rows.foreach { r =>
+      val d = r.getInt(0)
+      val share = counts(d).toDouble / total.toDouble
+      val expected = math.log10(1 + 1.0 / d)
+      assert(r.getLong(1) == counts(d))
+      assert(r.getDouble(2) == share)
+      assert(r.getDouble(3) == expected)
+      assert(r.getDouble(4) == share - expected)
+    }
+    // counts cover every order exactly once
+    assert(rows.map(_.getLong(1)).sum == total)
+  }
 }

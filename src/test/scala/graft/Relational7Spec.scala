@@ -37,6 +37,37 @@ class Relational7Spec extends SparkSpec {
     }
   }
 
+  test("basket lift matches the exact count replay and broadcasts the frequencies") {
+    val orders = sf.lineitem.select("l_orderkey", "l_partkey").distinct().collect()
+      .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).toSet).toMap
+    val n = orders.size.toLong
+    val freq = orders.values.toSeq.flatten.groupBy(identity).view
+      .mapValues(_.size.toLong).toMap
+    val got = Relational7.basketLift(sf).collect()
+    val byPair = got.map(r => (r.getLong(0), r.getLong(1)) ->
+      ((r.getLong(2), r.getDouble(3), r.getDouble(4)))).toMap
+    byPair.foreach { case ((a, b), (s, conf, lift)) =>
+      val manual = orders.values.count(ps => ps.contains(a) && ps.contains(b)).toLong
+      assert(manual == s && s >= 3)
+      assert(conf == s.toDouble / freq(a).toDouble)
+      assert(lift == (s * n).toDouble / (freq(a) * freq(b)).toDouble)
+    }
+    // every qualifying pair is present
+    val expectedPairs = orders.values.toSeq
+      .flatMap(ps => ps.toSeq.sorted.combinations(2).map(c => (c(0), c(1))))
+      .groupBy(identity).view.mapValues(_.size).filter(_._2 >= 3).keySet
+    assert(byPair.keySet == expectedPairs)
+    // the frequency sides join via broadcast, not a shuffled join
+    val df = Relational7.basketLift(sf)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"))
+    assert(!plan.contains("SortMergeJoin"), "freq joins must broadcast")
+    // the part-frequency branch must ride the SAME basket shuffle as the
+    // pair mining (identical subtree -> ReuseExchange), not re-gather it
+    assert(plan.contains("ReusedExchange"), "basket exchange must be reused")
+  }
+
   test("yoy growth compares each month to 12 months earlier") {
     val rows = Relational7.yoyGrowth(sf).collect()
     val byMonth = rows.map(r => r.getDate(0).toString -> r).toMap
