@@ -65,6 +65,63 @@ object Embeddings {
   private val PqDims = 8
   private val PqK    = 16
 
+  /** (vector × subspace) rows: s, sv = the s-th [[PqDims]]-dim slice. */
+  private[operators] def subExplode(vecs: DataFrame): DataFrame =
+    vecs.select(col("vec_id"),
+      explode(array((0 until PqSubs).map(s =>
+        struct(lit(s).as("s"), slice(col("v"), s * PqDims + 1, PqDims).as("sv"))): _*)).as("e"))
+      .select(col("vec_id"), col("e.s").as("s"), col("e.sv").as("sv"))
+
+  /** best = argmin_k ‖sv − c(s,k)‖²; sv·sv dropped from the argmin (row
+    * constant), centroid terms come from array literals indexed by s.
+    */
+  private[operators] def withBest(
+      cs: Map[(Int, Int), Seq[Double]])(df: DataFrame): DataFrame = {
+    import graft.functions.DotProduct
+    val scored = (0 until PqK).map { k =>
+      val cArr  = typedLit((0 until PqSubs).map(s => cs((s, k))))
+      val ccArr = typedLit((0 until PqSubs).map(s => cs((s, k)).map(x => x * x).sum))
+      struct(
+        (element_at(ccArr, col("s") + 1) -
+          lit(2.0) * DotProduct(col("sv"), element_at(cArr, col("s") + 1))).as("d"),
+        lit(k).as("cell"))
+    }
+    df.withColumn("best", array_min(array(scored: _*)))
+  }
+
+  /** Deterministic PQ codebook training (seed from the [[PqK]] lowest-id
+    * vectors + one DECIMAL-exact Lloyd refinement) — bounded driver-side
+    * model state shared by [[pqEncode]] and [[pqAdcTopK]]. `vecs` should
+    * be persisted by the caller (training runs two jobs over it).
+    */
+  private[operators] def trainPq(vecs: DataFrame): Map[(Int, Int), Seq[Double]] = {
+    def sub(v: Seq[Double], s: Int): Seq[Double] = v.slice(s * PqDims, (s + 1) * PqDims)
+    // seed = the PqK lowest-id vectors, whatever their ids are; a corpus
+    // with fewer than PqK vectors wraps around (duplicate seed centroids
+    // merge in the Lloyd step)
+    val seed = vecs.orderBy("vec_id").limit(PqK)
+      .collect().map(_.getSeq[Double](1).toIndexedSeq)
+    require(seed.nonEmpty, "PQ training needs a non-empty embeddings table")
+    val cents: Map[(Int, Int), Seq[Double]] =
+      (for { s <- 0 until PqSubs; k <- 0 until PqK }
+        yield ((s, k), sub(seed(k % seed.length), s))).toMap
+    // one Lloyd refinement: mean subvector per (subspace, cell)
+    val refined = withBest(cents)(subExplode(vecs))
+      .select(col("s"), col("best.cell").as("cell"), posexplode(col("sv")).as(Seq("pos", "x")))
+      .groupBy("s", "cell", "pos")
+      // portable mean → codebook doubles identical in ANY engine, so the
+      // oracle's argmin replay cannot diverge on knife-edge assignments
+      .agg(graft.functions.Exact.portableMean(col("x")).as("m"))
+      .groupBy("s", "cell")
+      .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("pm"))
+      .select(col("s"), col("cell"), expr("transform(pm, q -> q.m)").as("c"))
+      .collect()
+      .map(r => ((r.getInt(0), r.getInt(1)), r.getSeq[Double](2)))
+      .toMap
+    // unassigned (s, cell) slots keep their seed centroid
+    cents.map { case (key, old) => key -> refined.getOrElse(key, old) }
+  }
+
   /** Product-quantization encoding — the memory-compression path for
     * embedding retrieval at 100 TB: each 64-dim float vector becomes 8
     * four-bit codes (one per 8-dim subspace; 512 bits → 32 bits, 64×),
@@ -84,49 +141,8 @@ object Embeddings {
     val vecs = t.embeddings
       .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
       .persist()
-    def sub(v: Seq[Double], s: Int): Seq[Double] = v.slice(s * PqDims, (s + 1) * PqDims)
-    // seed = the PqK lowest-id vectors, whatever their ids are; a corpus
-    // with fewer than PqK vectors wraps around (duplicate seed centroids
-    // merge in the Lloyd step)
-    val seed = vecs.orderBy("vec_id").limit(PqK)
-      .collect().map(_.getSeq[Double](1).toIndexedSeq)
-    require(seed.nonEmpty, "pqEncode needs a non-empty embeddings table")
-    var cents: Map[(Int, Int), Seq[Double]] =
-      (for { s <- 0 until PqSubs; k <- 0 until PqK }
-        yield ((s, k), sub(seed(k % seed.length), s))).toMap
-    // (vector × subspace) rows: s, sv = the s-th 8-dim slice
-    val exploded = vecs.select(col("vec_id"),
-      explode(array((0 until PqSubs).map(s =>
-        struct(lit(s).as("s"), slice(col("v"), s * PqDims + 1, PqDims).as("sv"))): _*)).as("e"))
-      .select(col("vec_id"), col("e.s").as("s"), col("e.sv").as("sv"))
-    // best = argmin_k ‖sv − c(s,k)‖²; sv·sv dropped from the argmin (row
-    // constant), centroid terms come from array literals indexed by s
-    def withBest(cs: Map[(Int, Int), Seq[Double]])(df: DataFrame) = {
-      val scored = (0 until PqK).map { k =>
-        val cArr  = typedLit((0 until PqSubs).map(s => cs((s, k))))
-        val ccArr = typedLit((0 until PqSubs).map(s => cs((s, k)).map(x => x * x).sum))
-        struct(
-          (element_at(ccArr, col("s") + 1) -
-            lit(2.0) * DotProduct(col("sv"), element_at(cArr, col("s") + 1))).as("d"),
-          lit(k).as("cell"))
-      }
-      df.withColumn("best", array_min(array(scored: _*)))
-    }
-    // one Lloyd refinement: mean subvector per (subspace, cell)
-    val refined = withBest(cents)(exploded)
-      .select(col("s"), col("best.cell").as("cell"), posexplode(col("sv")).as(Seq("pos", "x")))
-      .groupBy("s", "cell", "pos")
-      // portable mean → codebook doubles identical in ANY engine, so the
-      // oracle's argmin replay cannot diverge on knife-edge assignments
-      .agg(graft.functions.Exact.portableMean(col("x")).as("m"))
-      .groupBy("s", "cell")
-      .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("pm"))
-      .select(col("s"), col("cell"), expr("transform(pm, q -> q.m)").as("c"))
-      .collect()
-      .map(r => ((r.getInt(0), r.getInt(1)), r.getSeq[Double](2)))
-      .toMap
-    cents = cents.map { case (key, old) => key -> refined.getOrElse(key, old) }
-    val out = withBest(cents)(exploded)
+    val cents = trainPq(vecs)
+    val out = withBest(cents)(subExplode(vecs))
       .withColumn("dt", col("best.d") + DotProduct(col("sv"), col("sv")))
       .groupBy("vec_id")
       .agg(
@@ -150,9 +166,13 @@ object Embeddings {
     * final encode + decimal-exact MSE. Pairs bit-identically with the
     * Spark side for the same reasons as `Similarity.ivfTopKSql`.
     */
-  val pqEncodeSql: String = {
+  /** Shared oracle CTE chain for the PQ pipeline (seed → refine → final
+    * codebook `cf` → final assignment `a2`), reused by [[pqEncodeSql]]
+    * and [[pqAdcTopKSql]].
+    */
+  private val pqCtes: String = {
     val subs = PqSubs; val dims = PqDims; val k = PqK
-    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    s"""e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
        |sr AS (
        | SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS INT) AS rn, v
        | FROM e ORDER BY vec_id LIMIT $k),
@@ -194,16 +214,87 @@ object Embeddings {
        |   ROW_NUMBER() OVER (PARTITION BY e2.vec_id, e2.s
        |    ORDER BY list_dot_product(cf.c, cf.c)
        |      - 2 * list_dot_product(e2.sv, cf.c), cf.cell) AS rk
-       |  FROM e2 JOIN cf ON e2.s = cf.s) WHERE rk = 1)
+       |  FROM e2 JOIN cf ON e2.s = cf.s) WHERE rk = 1)""".stripMargin
+  }
+
+  val pqEncodeSql: String =
+    s"""WITH $pqCtes
        |SELECT vec_id,
        | string_agg(CAST(cell AS VARCHAR), ',' ORDER BY s) AS codes,
        | CAST(CAST(
        |   CAST(SUM(CAST(d + list_dot_product(sv, sv) AS DECIMAL(38,30))) AS DOUBLE)
-       |     / ${subs * dims} AS DECIMAL(24,12)) AS DOUBLE) AS mse
+       |     / ${PqSubs * PqDims} AS DECIMAL(24,12)) AS DOUBLE) AS mse
        |FROM a2
        |GROUP BY vec_id
        |ORDER BY vec_id""".stripMargin
+
+  private val AdcTopK = 10
+
+  /** PQ asymmetric-distance search (ADC) — the retrieval path the PQ
+    * compression exists FOR: corpus vectors are represented only by
+    * their codes, and the query scores each vector as the sum of
+    * per-subspace distances from the query's own subvector to the
+    * vector's ASSIGNED CENTROID (query side stays full-precision —
+    * "asymmetric"). Per corpus row the work is [[PqSubs]] centroid
+    * lookups from the broadcast codebook literal — no full-dimension
+    * dot product against the corpus, which is the 64× scan saving at
+    * 100 TB. The per-subspace terms sum through DECIMAL(38,30) with a
+    * final 12-decimal rounding (order-independent, engine-portable),
+    * then exact top-[[AdcTopK]] by (distance, vec_id).
+    *
+    * Cites reference behavior: extractors.py:103 builds the embedding
+    * retrieval candidates; this is the compressed-index variant.
+    */
+  def pqAdcTopK(t: Tables): DataFrame = {
+    import graft.functions.DotProduct
+    val vecs = t.embeddings
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      .persist()
+    val cents = trainPq(vecs)
+    val cArr = typedLit((0 until PqSubs).map(s =>
+      (0 until PqK).map(k => cents((s, k)))))
+    val ccArr = typedLit((0 until PqSubs).map(s =>
+      (0 until PqK).map(k => cents((s, k)).map(x => x * x).sum)))
+    val qsubs = subExplode(vecs.where(col("vec_id") === 0))
+      .select(col("s"), col("sv").as("qsv"))
+    val csel  = element_at(element_at(cArr, col("s") + 1), col("cell") + 1)
+    val ccsel = element_at(element_at(ccArr, col("s") + 1), col("cell") + 1)
+    val out = withBest(cents)(subExplode(vecs))
+      .select(col("vec_id"), col("s"), col("best.cell").as("cell"))
+      .where(col("vec_id") =!= 0)
+      .join(broadcast(qsubs), Seq("s"))
+      .withColumn("d",
+        ccsel - lit(2.0) * DotProduct(col("qsv"), csel) +
+          DotProduct(col("qsv"), col("qsv")))
+      .groupBy("vec_id")
+      .agg(sum(col("d").cast(DecimalType(38, 30))).cast("double")
+        .cast(DecimalType(24, 12)).cast("double").as("adc_dist"))
+      .orderBy(col("adc_dist"), col("vec_id"))
+      .limit(AdcTopK)
+    vecs.unpersist(false)
+    out
   }
+
+  /** Oracle: the shared PQ CTE replay plus the ADC scoring — query
+    * subvectors from `e2`, centroid per (s, assigned cell) from `cf`,
+    * identical distance expression and decimal-portable sum.
+    */
+  val pqAdcTopKSql: String =
+    s"""WITH $pqCtes,
+       |qs AS (SELECT s, sv AS qsv FROM e2 WHERE vec_id = 0)
+       |SELECT a2.vec_id,
+       | CAST(CAST(CAST(SUM(CAST(
+       |   list_dot_product(cf.c, cf.c) - 2 * list_dot_product(qs.qsv, cf.c)
+       |     + list_dot_product(qs.qsv, qs.qsv)
+       |   AS DECIMAL(38,30))) AS DOUBLE) AS DECIMAL(24,12)) AS DOUBLE)
+       |   AS adc_dist
+       |FROM a2
+       |JOIN cf ON a2.s = cf.s AND a2.cell = cf.cell
+       |JOIN qs ON qs.s = a2.s
+       |WHERE a2.vec_id <> 0
+       |GROUP BY a2.vec_id
+       |ORDER BY adc_dist, vec_id
+       |LIMIT $AdcTopK""".stripMargin
 
   val centroidsSql: String =
     """SELECT label, CAST(pos AS INT) AS pos,

@@ -158,6 +158,36 @@ class DedupSpec extends SparkSpec {
     assert(rows.map(_.toString).sameElements(again.map(_.toString)))
   }
 
+  test("pq ADC search ranks by informative compressed distances") {
+    val got = graft.operators.Embeddings.pqAdcTopK(sf).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1))
+    assert(got.length == 10)
+    assert(!got.map(_._1).contains(0L), "the query must not match itself")
+    val dists = got.map(_._2).toSeq
+    assert(dists == dists.sorted, "ADC distances must be ascending")
+    assert(dists.forall(_ >= -1e-9))
+    // the compressed index is INFORMATIVE: the exact distances of its
+    // top-10 beat the corpus mean by a wide margin (codes carry signal;
+    // a random pick would sit at the mean)
+    val vecs = sf.embeddings
+      .selectExpr("vec_id", "cast(embedding as array<double>) v").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    val q = vecs(0L)
+    def l2(a: Seq[Double], b: Seq[Double]): Double =
+      a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum
+    val exact = vecs.collect { case (id, v) if id != 0L => id -> l2(q, v) }
+    val corpusMean = exact.map(_._2).sum / exact.size
+    val pickedMean = got.map(p => exact.toMap.apply(p._1)).sum / got.length
+    // (sf0.001's 150 near-random vectors leave little neighbor structure;
+    // strictly-below-mean is the honest deterministic bound here)
+    assert(pickedMean < corpusMean,
+      s"ADC top-10 exact-dist mean $pickedMean vs corpus mean $corpusMean")
+    // deterministic across runs (driver-trained codebook is seeded)
+    val again = graft.operators.Embeddings.pqAdcTopK(sf).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1))
+    assert(got.sameElements(again))
+  }
+
   test("label propagation reaches the fixpoint on a diameter-4 chain (both paths)") {
     // chain 10-11-12-13-14: a fixed 3-round propagation would leave the
     // tail labelled wrong; both execution paths must collapse all to 10
