@@ -368,6 +368,70 @@ object Streams {
     */
   val AttributionWindowDays = 30
 
+  /** A change-data-capture record: LSN-ordered insert/update/delete. */
+  final case class CdcOp(key: Long, ts: Timestamp, lsn: Long, op: String,
+      value: Double)
+
+  /** Per-key materialized row version. Top-level for the state encoder. */
+  final case class CdcState(tsMs: Long, lsn: Long, op: String, value: Double)
+
+  /** The current materialized row for a key after applying a change. */
+  final case class CdcRow(key: Long, ts: Timestamp, lsn: Long, value: Double,
+      is_deleted: Boolean)
+
+  /** CDC changelog materialization — apply an insert/update/delete
+    * stream to a keyed materialized view, the streaming half of a
+    * database-replication ingest. Each trigger emits the key's CURRENT
+    * version (update output mode); deletes materialize as tombstone rows
+    * (`is_deleted`) so downstream sinks can propagate the removal rather
+    * than silently losing it.
+    *
+    * Ordering is by (event time, LSN) — the changelog's total order —
+    * and the state guard is monotone: a LATE change older than the
+    * recorded version is discarded (exactly how a replication consumer
+    * applies a backlog), so replays and out-of-order delivery within the
+    * watermark cannot regress the view. State per key is one small case
+    * class; tombstones expire [[CdcTombstoneDays]] after their event
+    * time (the delete has propagated; an even-later resurrect within the
+    * window still wins by LSN), which is what bounds state on an
+    * unbounded key space.
+    */
+  def cdcMaterialize(ops: Dataset[CdcOp]): Dataset[CdcRow] = {
+    import ops.sparkSession.implicits._
+    val tombstoneMs = CdcTombstoneDays * 24L * 3600L * 1000L
+
+    def fn(key: Long, it: Iterator[CdcOp],
+        state: GroupState[CdcState]): Iterator[CdcRow] = {
+      if (state.hasTimedOut) { state.remove(); Iterator.empty }
+      else {
+        var cur = state.getOption.orNull
+        it.toSeq.sortBy(e => (e.ts.getTime, e.lsn)).foreach { e =>
+          val newer = cur == null || e.ts.getTime > cur.tsMs ||
+            (e.ts.getTime == cur.tsMs && e.lsn >= cur.lsn)
+          if (newer) cur = CdcState(e.ts.getTime, e.lsn, e.op, e.value)
+        }
+        if (cur == null) Iterator.empty
+        else {
+          state.update(cur)
+          // deletes keep a bounded-lifetime tombstone so a late stale
+          // update cannot resurrect the row; live rows keep state for
+          // the same horizon past their last change
+          state.setTimeoutTimestamp(cur.tsMs + tombstoneMs)
+          Iterator.single(CdcRow(key, new Timestamp(cur.tsMs), cur.lsn,
+            if (cur.op == "D") 0.0 else cur.value, cur.op == "D"))
+        }
+      }
+    }
+
+    ops
+      .withWatermark("ts", "2 hours")
+      .groupByKey(_.key)
+      .flatMapGroupsWithState(OutputMode.Update(), GroupStateTimeout.EventTimeTimeout())(fn)
+  }
+
+  /** Tombstone/state retention horizon for [[cdcMaterialize]]. */
+  val CdcTombstoneDays = 7
+
   /** Per-event-type value stats trained by a BATCH job over history —
     * the broadcastable model the streaming anomaly gate scores against.
     * Exact decimal sums make the model reproducible on any layout

@@ -429,6 +429,56 @@ class StreamingSpec extends SparkSpec {
     assert(p.last_touch == "click" && p.first_touch == "click")
   }
 
+  test("cdc materialization applies LSN-ordered upserts, deletes, and late changes") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.streaming.Streams.{CdcOp, CdcRow}
+    val input = MemoryStream[CdcOp]
+    val q = Streams.cdcMaterialize(input.toDS())
+      .writeStream.format("memory").queryName("cdc_view")
+      .outputMode("update").start()
+    // batch 1: inserts + an update
+    input.addData(
+      CdcOp(1, ts(0), 1, "I", 10.0), CdcOp(1, ts(1), 2, "U", 20.0),
+      CdcOp(2, ts(0), 3, "I", 5.0),
+      CdcOp(3, ts(5), 9, "U", 50.0))   // key 3's update arrives FIRST
+    q.processAllAvailable()
+    // batch 2: key 2 deleted; key 3's original insert arrives LATE (older
+    // ts) and must NOT regress the materialized value
+    input.addData(
+      CdcOp(2, ts(2), 4, "D", 0.0),
+      CdcOp(3, ts(2), 5, "I", 30.0))
+    q.processAllAvailable()
+    // batch 3: key 2 resurrected by a NEWER insert after its tombstone
+    input.addData(CdcOp(2, ts(6), 10, "I", 7.0))
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.table("cdc_view").as[CdcRow].collect()
+    val current = rows.groupBy(_.key).view
+      .mapValues(_.maxBy(r => (r.ts.getTime, r.lsn))).toMap
+    assert(current(1L).value == 20.0 && !current(1L).is_deleted)
+    assert(current(2L).value == 7.0 && !current(2L).is_deleted,
+      "newer insert must resurrect the deleted key")
+    assert(current(3L).value == 50.0 && current(3L).lsn == 9,
+      "late stale change must not regress the view")
+    // the delete DID surface as a tombstone before the resurrect
+    assert(rows.exists(r => r.key == 2L && r.is_deleted),
+      "deletes must materialize as tombstone rows, not vanish")
+    // every key's final state equals the batch replay (argmax by ts, lsn)
+    val all = Seq(
+      (1L, 0L, 1L, "I", 10.0), (1L, 1L, 2L, "U", 20.0),
+      (2L, 0L, 3L, "I", 5.0), (2L, 2L, 4L, "D", 0.0),
+      (2L, 6L, 10L, "I", 7.0),
+      (3L, 5L, 9L, "U", 50.0), (3L, 2L, 5L, "I", 30.0))
+    val replay = all.groupBy(_._1).view.mapValues { ops =>
+      val w = ops.maxBy(o => (ts(o._2.toInt).getTime, o._3))
+      (if (w._4 == "D") 0.0 else w._5, w._4 == "D")
+    }.toMap
+    replay.foreach { case (k, (v, del)) =>
+      assert(current(k).value == v && current(k).is_deleted == del,
+        s"stream/batch divergence for key $k")
+    }
+  }
+
   test("anomaly gate stream scores a live feed against the batch-trained stats") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[Event]
