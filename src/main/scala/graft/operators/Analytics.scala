@@ -443,6 +443,146 @@ object Analytics {
        |FROM paths GROUP BY 1 HAVING COUNT(*) >= $PathMinSessions
        |ORDER BY sessions DESC, path""".stripMargin
 
+  /** Two-cohort A/B comparison (Welch's t) on purchase values, cohorts
+    * assigned by user-id parity — the experiment-readout query. All
+    * power sums are EXACT (cents longs widened to decimal-38), so the
+    * closed-form means/variances/t evaluate in double from exact sums
+    * with the identical expression tree in the oracle — reproducible on
+    * any partitioning, one conditional aggregation pass, 1-row output.
+    */
+  def abTest(t: Tables): DataFrame = {
+    val d38 = DecimalType(38, 0)
+    def toD(s: Column): Column = {
+      val lo = pmod(s, lit(1000000000L))
+      val hi = (s - lo) / lit(1000000000L)
+      hi.cast("double") * lit(1.0e9) + lo.cast("double")
+    }
+    val s = t.events
+      .where(col("event_type") === "purchase")
+      .select((col("user_id") % 2).as("grp"),
+        (dec(col("value")) * 100).cast("long").as("cents"))
+      .agg(
+        sum(when(col("grp") === 0, 1L).otherwise(0L)).as("n_a"),
+        sum(when(col("grp") === 1, 1L).otherwise(0L)).as("n_b"),
+        sum(when(col("grp") === 0, col("cents")).otherwise(0L).cast(d38)).as("sa"),
+        sum(when(col("grp") === 1, col("cents")).otherwise(0L).cast(d38)).as("sb"),
+        sum(when(col("grp") === 0, col("cents") * col("cents"))
+          .otherwise(0L).cast(d38)).as("qa"),
+        sum(when(col("grp") === 1, col("cents") * col("cents"))
+          .otherwise(0L).cast(d38)).as("qb"))
+      .select(col("n_a"), col("n_b"),
+        (toD(col("sa")) / 100.0).as("da"), (toD(col("sb")) / 100.0).as("db"),
+        (toD(col("qa")) / 10000.0).as("qqa"), (toD(col("qb")) / 10000.0).as("qqb"))
+    val meanA = col("da") / col("n_a")
+    val meanB = col("db") / col("n_b")
+    val va = (col("qqa") - col("da") * col("da") / col("n_a")) /
+      (col("n_a") - 1) / col("n_a")
+    val vb = (col("qqb") - col("db") * col("db") / col("n_b")) /
+      (col("n_b") - 1) / col("n_b")
+    s.select(col("n_a"), col("n_b"),
+      meanA.as("mean_a"), meanB.as("mean_b"),
+      (meanA - meanB).as("diff"),
+      ((meanA - meanB) / sqrt(va + vb)).as("t_stat"))
+  }
+
+  val abTestSql: String = {
+    def toD(e: String) =
+      s"(CAST(($e - ($e % 1000000000)) // 1000000000 AS DOUBLE) * 1.0e9" +
+        s" + CAST($e % 1000000000 AS DOUBLE))"
+    s"""WITH p AS (
+       | SELECT user_id % 2 AS grp,
+       |  CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT) AS cents
+       | FROM events WHERE event_type = 'purchase'),
+       |s AS (
+       | SELECT
+       |  CAST(SUM(CASE WHEN grp = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+       |  CAST(SUM(CASE WHEN grp = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+       |  SUM(CASE WHEN grp = 0 THEN cents ELSE 0 END) AS sa,
+       |  SUM(CASE WHEN grp = 1 THEN cents ELSE 0 END) AS sb,
+       |  SUM(CASE WHEN grp = 0 THEN cents * cents ELSE 0 END) AS qa,
+       |  SUM(CASE WHEN grp = 1 THEN cents * cents ELSE 0 END) AS qb
+       | FROM p),
+       |d AS (
+       | SELECT n_a, n_b,
+       |  ${toD("sa")} / 100.0 AS da, ${toD("sb")} / 100.0 AS db,
+       |  ${toD("qa")} / 10000.0 AS qqa, ${toD("qb")} / 10000.0 AS qqb
+       | FROM s)
+       |SELECT n_a, n_b,
+       | da / n_a AS mean_a, db / n_b AS mean_b,
+       | da / n_a - db / n_b AS diff,
+       | (da / n_a - db / n_b) /
+       |  sqrt((qqa - da * da / n_a) / (n_a - 1) / n_a
+       |     + (qqb - db * db / n_b) / (n_b - 1) / n_b) AS t_stat
+       |FROM d""".stripMargin
+  }
+
+  /** Monthly new-vs-returning customer split — the growth-accounting
+    * dashboard staple. One distinct (customer, month) pass, each
+    * customer's first month via an entity-partitioned window (no join
+    * back), then a conditional count per month. Exact integers; the
+    * share is the single double division.
+    */
+  def newVsReturning(t: Tables): DataFrame = {
+    val m = t.orders
+      .select(col("o_custkey"),
+        date_trunc("month", col("o_orderdate")).cast("date").as("month"))
+      .distinct()
+      .withColumn("first_m",
+        min(col("month")).over(Window.partitionBy("o_custkey")))
+    m.groupBy("month")
+      .agg(
+        sum(when(col("month") === col("first_m"), 1L).otherwise(0L))
+          .as("new_customers"),
+        sum(when(col("month") > col("first_m"), 1L).otherwise(0L))
+          .as("returning_customers"),
+        (sum(when(col("month") === col("first_m"), 1L).otherwise(0L))
+          .cast("double") / count(lit(1))).as("new_share"))
+      .orderBy("month")
+  }
+
+  val newVsReturningSql: String =
+    """WITH m AS (
+      | SELECT o_custkey, CAST(date_trunc('month', o_orderdate) AS DATE) AS month
+      | FROM orders GROUP BY 1, 2),
+      |w AS (
+      | SELECT month, MIN(month) OVER (PARTITION BY o_custkey) AS first_m
+      | FROM m)
+      |SELECT month,
+      | CAST(SUM(CASE WHEN month = first_m THEN 1 ELSE 0 END) AS BIGINT)
+      |   AS new_customers,
+      | CAST(SUM(CASE WHEN month > first_m THEN 1 ELSE 0 END) AS BIGINT)
+      |   AS returning_customers,
+      | CAST(SUM(CASE WHEN month = first_m THEN 1 ELSE 0 END) AS DOUBLE)
+      |   / COUNT(*) AS new_share
+      |FROM w GROUP BY month ORDER BY month""".stripMargin
+
+  /** Day-of-week seasonality profile of order volume and revenue (dow 0
+    * = Sunday, matching DuckDB's convention) — exact counts and decimal
+    * revenue, shares divided in double over the 7-row aggregate.
+    */
+  def seasonality(t: Tables): DataFrame = {
+    val wAll = Window.partitionBy()
+    t.orders
+      .groupBy((dayofweek(col("o_orderdate")) - 1).as("dow"))
+      .agg(count(lit(1)).as("n_orders"),
+        sum(dec(col("o_totalprice"))).as("rev"))
+      .select(col("dow"), col("n_orders"),
+        col("rev").cast("double").as("revenue"),
+        (col("rev").cast("double") /
+          sum(col("rev")).over(wAll).cast("double")).as("revenue_share"))
+      .orderBy("dow")
+  }
+
+  val seasonalitySql: String =
+    """WITH r AS (
+      | SELECT dayofweek(o_orderdate) AS dow,
+      |  CAST(COUNT(*) AS BIGINT) AS n_orders,
+      |  SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS rev
+      | FROM orders GROUP BY 1)
+      |SELECT dow, n_orders, CAST(rev AS DOUBLE) AS revenue,
+      | CAST(rev AS DOUBLE) / CAST(SUM(rev) OVER () AS DOUBLE) AS revenue_share
+      |FROM r ORDER BY dow""".stripMargin
+
   /** Weights are fixed-point powers of two: 2^(DecayShift − age_days),
     * zero past [[DecayMaxAge]] days — so every product and sum below is
     * EXACT integer arithmetic until the single final division. */

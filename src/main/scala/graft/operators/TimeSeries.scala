@@ -345,6 +345,41 @@ object TimeSeries {
        |FROM ordered WHERE rk = 1
        |ORDER BY user_id""".stripMargin
 
+  /** Rolling median of event values over the trailing [[EwmaWindow]]
+    * events per user — the robust companion to [[ewmaSmooth]] (medians
+    * shrug off the outliers EWMA chases). The trailing window
+    * materializes as a bounded sorted array per row; the median picks
+    * elements positionally (one addition + halving on even sizes), so
+    * the doubles are bit-identical in the oracle's replay. Entity-
+    * partitioned window, bounded per-row state — corpus-scale safe.
+    */
+  def rollingMedian(t: Tables): DataFrame = {
+    val wTrail = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      .rowsBetween(-(EwmaWindow - 1), Window.currentRow)
+    t.events
+      .withColumn("vals", array_sort(collect_list(col("value")).over(wTrail)))
+      .select(col("event_id"), col("user_id"), col("ts"), col("value"),
+        expr("""CASE WHEN size(vals) % 2 = 1
+                |THEN element_at(vals, CAST((size(vals) + 1) div 2 AS INT))
+                |ELSE (element_at(vals, CAST(size(vals) div 2 AS INT))
+                |    + element_at(vals, CAST(size(vals) div 2 + 1 AS INT))) / 2
+                |END""".stripMargin).as("rolling_median"))
+      .orderBy("user_id", "ts", "event_id")
+  }
+
+  val rollingMedianSql: String =
+    s"""WITH w AS (
+       | SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts, value,
+       |  list_sort(list(value) OVER (PARTITION BY user_id
+       |    ORDER BY CAST(ts AS TIMESTAMP), event_id
+       |    ROWS BETWEEN ${EwmaWindow - 1} PRECEDING AND CURRENT ROW)) AS vals
+       | FROM events)
+       |SELECT event_id, user_id, ts, value,
+       | CASE WHEN len(vals) % 2 = 1 THEN vals[(len(vals)+1)//2]
+       |      ELSE (vals[len(vals)//2] + vals[len(vals)//2+1]) / 2
+       | END AS rolling_median
+       |FROM w ORDER BY user_id, ts, event_id""".stripMargin
+
   private val TrendMinMonths = 3
 
   /** Per-brand linear revenue trend: OLS slope (and intercept) of

@@ -220,6 +220,92 @@ class AnalyticsSpec extends SparkSpec {
     assert(got == expected)
   }
 
+  test("rolling median equals the trailing-20 sorted-pick replay") {
+    import graft.operators.TimeSeries
+    val evs = sf.events.select("user_id", "ts", "event_id", "value").collect()
+      .map(r => (r.getLong(0), micros(r.getTimestamp(1)), r.getLong(2),
+        r.getDouble(3)))
+    val expected = evs.groupBy(_._1).values.flatMap { es =>
+      val sorted = es.sortBy(e => (e._2, e._3))
+      sorted.indices.map { i =>
+        val win = sorted.slice(math.max(0, i - 19), i + 1).map(_._4).sorted
+        val n = win.length
+        val m = if (n % 2 == 1) win((n + 1) / 2 - 1)
+                else (win(n / 2 - 1) + win(n / 2)) / 2
+        sorted(i)._3 -> m
+      }
+    }.toMap
+    val got = TimeSeries.rollingMedian(sf).collect()
+      .map(r => r.getLong(0) -> r.getDouble(4)).toMap
+    assert(got.keySet == expected.keySet)
+    got.foreach { case (id, m) =>
+      assert(m == expected(id), s"median mismatch at event $id")
+    }
+  }
+
+  test("ab test reproduces the exact Welch t from integer power sums") {
+    val cents = sf.events.where("event_type = 'purchase'")
+      .select("user_id", "value").collect()
+      .map(r => (r.getLong(0) % 2,
+        (BigDecimal(r.getDouble(1)).setScale(2, BigDecimal.RoundingMode.HALF_UP)
+          * 100).toLongExact))
+    def toD(s: BigInt): Double = {
+      val lo = s % 1000000000L; val hi = (s - lo) / 1000000000L
+      hi.toDouble * 1.0e9 + lo.toDouble
+    }
+    def sums(g: Long) = {
+      val xs = cents.filter(_._1 == g).map(_._2)
+      (xs.length.toLong,
+        toD(xs.foldLeft(BigInt(0))(_ + _)) / 100.0,
+        toD(xs.foldLeft(BigInt(0))((a, x) => a + BigInt(x) * x)) / 10000.0)
+    }
+    val (na, da, qqa) = sums(0); val (nb, db, qqb) = sums(1)
+    val (ma, mb) = (da / na, db / nb)
+    val t = (ma - mb) / math.sqrt(
+      (qqa - da * da / na) / (na - 1) / na + (qqb - db * db / nb) / (nb - 1) / nb)
+    val r = graft.operators.Analytics.abTest(sf).collect()(0)
+    assert(r.getLong(0) == na && r.getLong(1) == nb)
+    assert(r.getDouble(2) == ma && r.getDouble(3) == mb)
+    assert(r.getDouble(4) == ma - mb)
+    assert(r.getDouble(5) == t, "t-stat must match the exact-sum replay")
+  }
+
+  test("new vs returning partitions each month's active customers") {
+    val rows = graft.operators.Analytics.newVsReturning(sf).collect()
+    val m = sf.orders.selectExpr("o_custkey",
+        "cast(date_trunc('month', o_orderdate) as date) AS month")
+      .distinct().collect()
+      .map(r => (r.getLong(0), r.getDate(1).toLocalDate))
+    val firstM = m.groupBy(_._1).view
+      .mapValues(_.map(_._2).min((a: java.time.LocalDate, b: java.time.LocalDate) =>
+        a.compareTo(b))).toMap
+    val byMonth = m.groupBy(_._2)
+    assert(rows.map(_.getDate(0).toLocalDate).toSet == byMonth.keySet)
+    rows.foreach { r =>
+      val month = r.getDate(0).toLocalDate
+      val active = byMonth(month).map(_._1)
+      val nNew = active.count(c => firstM(c) == month).toLong
+      assert(r.getLong(1) == nNew)
+      assert(r.getLong(2) == active.length - nNew)
+      assert(r.getDouble(3) == nNew.toDouble / active.length)
+    }
+    // the first month is all-new; later months have returners at this SF
+    assert(rows.head.getLong(2) == 0)
+    assert(rows.exists(_.getLong(2) > 0))
+  }
+
+  test("seasonality shares sum to one across the seven weekdays") {
+    val rows = graft.operators.Analytics.seasonality(sf).collect()
+    assert(rows.map(_.getInt(0)).toSeq == (0 to 6))
+    assert(rows.map(_.getLong(1)).sum == sf.orders.count())
+    val shareSum = rows.map(_.getDouble(3)).sum
+    assert(math.abs(shareSum - 1.0) < 1e-12)
+    val revTotal = rows.map(_.getDouble(2)).sum
+    rows.foreach { r =>
+      assert(math.abs(r.getDouble(3) - r.getDouble(2) / revTotal) < 1e-12)
+    }
+  }
+
   test("decayed counters match the exact fixed-point replay") {
     import org.apache.spark.sql.functions.{col, to_date}
     val evs = sf.events
