@@ -235,6 +235,43 @@ object Graph {
   /** Oracle: the same five supersteps unrolled as CTEs in portable
     * integer math (`//` is DuckDB's truncating integer division).
     */
+  /** Degree distribution of the repeat-co-purchase network — the first
+    * chart of any graph health report (and the skew diagnostic that
+    * decides whether the wedge joins above need salting). Node degrees
+    * come from one explode over the canonical pairs; the histogram is a
+    * second tiny aggregation; the share divides exact longs over the
+    * histogram window. All heavy work is the shared pair mining.
+    */
+  def degreeDistribution(t: Tables): DataFrame = {
+    val wAll = org.apache.spark.sql.expressions.Window.partitionBy()
+    Relational7.basketPairsRaw(t, EdgeSupport)
+      .select(explode(array(col("a_part"), col("b_part"))).as("node"))
+      .groupBy("node").agg(count(lit(1)).as("degree"))
+      .groupBy("degree").agg(count(lit(1)).as("n_nodes"))
+      .select(col("degree"), col("n_nodes"),
+        (col("n_nodes").cast("double") /
+          sum(col("n_nodes")).over(wAll)).as("node_share"))
+      .orderBy("degree")
+  }
+
+  val degreeDistributionSql: String =
+    s"""WITH items AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+       |cp AS (
+       |  SELECT a.l_partkey AS a, b.l_partkey AS b
+       |  FROM items a JOIN items b
+       |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+       |  GROUP BY 1, 2 HAVING COUNT(*) >= $EdgeSupport),
+       |deg AS (
+       |  SELECT node, CAST(COUNT(*) AS BIGINT) AS degree FROM (
+       |    SELECT a AS node FROM cp UNION ALL SELECT b AS node FROM cp)
+       |  GROUP BY node),
+       |h AS (SELECT degree, CAST(COUNT(*) AS BIGINT) AS n_nodes
+       |      FROM deg GROUP BY degree)
+       |SELECT degree, n_nodes,
+       | CAST(n_nodes AS DOUBLE) / CAST(SUM(n_nodes) OVER () AS BIGINT)
+       |   AS node_share
+       |FROM h ORDER BY degree""".stripMargin
+
   val pageRankSql: String = {
     val mass = Mass.toString
     def iter(i: Int, prev: String): String =

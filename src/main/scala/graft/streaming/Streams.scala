@@ -432,6 +432,49 @@ object Streams {
   /** Tombstone/state retention horizon for [[cdcMaterialize]]. */
   val CdcTombstoneDays = 7
 
+  /** Streaming trending counts: hourly (window, event_type) totals in
+    * update mode, each trigger rewriting its OWN `batch_id=` partition —
+    * the same replay-idempotent foreachBatch contract as
+    * [[quarantineStream]] (a crashed-and-replayed batch REWRITES its
+    * partition; no duplicates). Update-mode counts are cumulative per
+    * key, so the newest batch_id holding a key IS its current total —
+    * [[trendingTopK]] reads latest-wins and ranks. Old batch partitions
+    * hold only superseded rows for keys that kept changing; the batch
+    * `Sinks.compact` pass is the standing answer to their accumulation.
+    */
+  def trendingCountsStream(events: DataFrame, statePath: String)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    events
+      .withWatermark("ts", "2 hours")
+      .groupBy(window(col("ts"), "1 hour").getField("start").as("hour_start"),
+        col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .writeStream
+      .outputMode("update")
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (!batch.isEmpty)
+          batch.write.mode("overwrite").parquet(s"$statePath/batch_id=$batchId")
+      }
+
+  /** Current top-k event types per hour window over the streaming state
+    * dir: latest batch_id wins per key (the update-mode totals are
+    * cumulative), then the custom [[graft.plans.TopKPerKey]] heap plan
+    * ranks within each window — the live "trending now" query, sharing
+    * the batch engine's top-k operator instead of a full sort.
+    */
+  def trendingTopK(spark: org.apache.spark.sql.SparkSession, statePath: String,
+      k: Int): DataFrame = {
+    val st = spark.read.option("basePath", statePath).parquet(statePath)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("hour_start", "event_type").orderBy(col("batch_id").desc)
+    val current = st
+      .withColumn("_rn", org.apache.spark.sql.functions.row_number().over(w))
+      .where(col("_rn") === 1).drop("_rn", "batch_id")
+    graft.plans.TopKPerKey(current, Seq("hour_start"),
+        Seq(("n", false), ("event_type", true)), k)
+      .orderBy(col("hour_start"), col("n").desc, col("event_type"))
+  }
+
   /** Per-event-type value stats trained by a BATCH job over history —
     * the broadcastable model the streaming anomaly gate scores against.
     * Exact decimal sums make the model reproducible on any layout

@@ -429,6 +429,45 @@ class StreamingSpec extends SparkSpec {
     assert(p.last_touch == "click" && p.first_touch == "click")
   }
 
+  test("trending top-k over streaming counts equals the batch replay") {
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("trending").toString
+    val input = MemoryStream[Event]
+    val q = Streams.trendingCountsStream(input.toDF(), s"$dir/state")
+      .option("checkpointLocation", s"$dir/ckpt").start()
+    input.addData(
+      Event(1, ts(0), "click", 1.0), Event(2, ts(1), "click", 1.0),
+      Event(3, ts(2), "view", 1.0), Event(4, ts(3), "view", 1.0),
+      Event(5, ts(4), "view", 1.0), Event(6, ts(5), "purchase", 1.0),
+      Event(7, ts(65), "click", 1.0), Event(8, ts(66), "error", 1.0))
+    q.processAllAvailable()
+    // a second trigger UPDATES hour 10's counts (cumulative totals) and
+    // adds to hour 11 — latest-wins read must see the new totals
+    input.addData(
+      Event(9, ts(6), "click", 1.0), Event(10, ts(7), "click", 1.0),
+      Event(11, ts(67), "error", 1.0))
+    q.processAllAvailable()
+    q.stop()
+    val got = Streams.trendingTopK(spark, s"$dir/state", 2).collect()
+      .map(r => (r.getTimestamp(0).toString, r.getString(1), r.getLong(2)))
+    // batch replay: count per (hour, type), top-2 by (n desc, type asc)
+    val all = Seq(
+      (ts(0), "click"), (ts(1), "click"), (ts(2), "view"), (ts(3), "view"),
+      (ts(4), "view"), (ts(5), "purchase"), (ts(65), "click"),
+      (ts(66), "error"), (ts(6), "click"), (ts(7), "click"),
+      (ts(67), "error"))
+    val hourMs = 3600L * 1000L
+    val counts = all.groupBy { case (t, ty) =>
+      (new Timestamp(t.getTime / hourMs * hourMs), ty)
+    }.view.mapValues(_.size.toLong).toSeq
+      .map { case ((h, ty), n) => (h.toString, ty, n) }
+    val expected = counts.groupBy(_._1).toSeq.flatMap { case (_, rs) =>
+      rs.sortBy(r => (-r._3, r._2)).take(2)
+    }.sortBy(r => (r._1, -r._3, r._2))
+    assert(got.toSeq == expected,
+      s"got ${got.toSeq} expected $expected")
+  }
+
   test("cdc materialization applies LSN-ordered upserts, deletes, and late changes") {
     implicit val sqlCtx = spark.sqlContext
     import graft.streaming.Streams.{CdcOp, CdcRow}
