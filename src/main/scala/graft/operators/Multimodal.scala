@@ -102,6 +102,78 @@ object Multimodal {
       .orderBy("doc_id")
   }
 
+  /** Decoded-audio metadata: what a feature-extract stage keeps from an
+    * audio payload (header fields + one energy feature).
+    */
+  final case class AudioMeta(
+      doc_id: Long, sample_rate: Int, channels: Int, bits_per_sample: Int,
+      n_samples: Int, duration_ms: Double, rms: Double, batch_id: Long)
+
+  type AudioDecoder = (MediaRecord, Long) => AudioMeta
+
+  /** REAL audio codec on the seam: a pure-JVM RIFF/WAVE parser (no
+    * external libs — PCM is just bytes) that walks the chunk list,
+    * reads the fmt header, and computes RMS energy over the 16-bit PCM
+    * samples. Like [[imageIoDecoder]], this is the spec-proven REAL
+    * path of the multimodal seam — the registered queries keep the
+    * deterministic stubs this dataset's text payloads need.
+    */
+  private[graft] val wavDecoder: AudioDecoder = (r, batchId) => {
+    val b = java.nio.ByteBuffer.wrap(r.payload)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    def tag4(): String = {
+      val a = new Array[Byte](4); b.get(a); new String(a, "US-ASCII")
+    }
+    require(r.payload.length >= 44 && tag4() == "RIFF",
+      s"doc ${r.doc_id}: not a RIFF payload")
+    b.getInt // riff size
+    require(tag4() == "WAVE", s"doc ${r.doc_id}: not a WAVE payload")
+    var (channels, sampleRate, bits) = (0, 0, 0)
+    var (dataOff, dataLen) = (-1, 0)
+    while (dataOff < 0 && b.remaining >= 8) {
+      val id = tag4(); val size = b.getInt; val next = b.position() + size
+      if (id == "fmt ") {
+        b.getShort // audio format (1 = PCM)
+        channels = b.getShort.toInt
+        sampleRate = b.getInt
+        b.getInt; b.getShort // byte rate, block align
+        bits = b.getShort.toInt
+        b.position(next)
+      } else if (id == "data") { dataOff = b.position(); dataLen = size }
+      else b.position(next)
+    }
+    require(dataOff > 0 && bits == 16,
+      s"doc ${r.doc_id}: no 16-bit PCM data chunk")
+    val frames = dataLen / 2
+    var acc = 0.0
+    var i = 0
+    while (i < frames) {
+      val s = b.getShort(dataOff + 2 * i).toDouble / 32768.0
+      acc += s * s
+      i += 1
+    }
+    val nSamples = frames / channels
+    AudioMeta(r.doc_id, sampleRate, channels, bits, nSamples,
+      nSamples * 1000.0 / sampleRate, math.sqrt(acc / frames), batchId)
+  }
+
+  /** The audio twin of [[decodeImagesFrom]]: identical batched
+    * mapPartitions seam, audio codec + schema.
+    */
+  private[graft] def decodeAudioFrom(media: DataFrame, codec: AudioDecoder): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media
+      .as[MediaRecord]
+      .mapPartitions { it =>
+        it.grouped(BatchSize).zipWithIndex.flatMap { case (batch, i) =>
+          batch.map(codec(_, i.toLong))
+        }
+      }
+      .toDF()
+      .orderBy("doc_id")
+  }
+
   /** Stubbed decode to image metadata over the documents' text-as-binary
     * payloads (the registered, oracled query).
     */

@@ -59,6 +59,57 @@ class MultimodalSpec extends SparkSpec {
     assert(got(3L) == ((128, 2, 3)))
   }
 
+  test("the audio seam parses real WAV bytes: header fields and PCM energy") {
+    import spark.implicits._
+    // hand-assembled RIFF/WAVE: 16-bit PCM with an extra junk chunk
+    // before `data` so the parser proves it WALKS chunks, not offsets
+    def wav(rate: Int, channels: Int, samples: Array[Short]): Array[Byte] = {
+      val dataLen = samples.length * 2
+      val junk = "JUNKbytes!"
+      val riffLen = 4 + (8 + 16) + (8 + junk.length - 4) + (8 + dataLen)
+      val bb = java.nio.ByteBuffer.allocate(8 + riffLen + 8)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      bb.put("RIFF".getBytes("US-ASCII")).putInt(riffLen)
+        .put("WAVE".getBytes("US-ASCII"))
+      bb.put("fmt ".getBytes("US-ASCII")).putInt(16)
+        .putShort(1).putShort(channels.toShort).putInt(rate)
+        .putInt(rate * channels * 2).putShort((channels * 2).toShort)
+        .putShort(16)
+      bb.put(junk.substring(0, 4).getBytes("US-ASCII"))
+        .putInt(junk.length - 4).put(junk.substring(4).getBytes("US-ASCII"))
+      bb.put("data".getBytes("US-ASCII")).putInt(dataLen)
+      samples.foreach(bb.putShort)
+      java.util.Arrays.copyOf(bb.array(), bb.position())
+    }
+    // 440 Hz sine, amplitude 0.5, 0.25 s mono @ 8 kHz → RMS ≈ 0.5/√2
+    val mono = Array.tabulate(2000)(i =>
+      (0.5 * math.sin(2 * math.Pi * 440 * i / 8000.0) * 32767).toShort)
+    // stereo silence + full-scale square on one channel
+    val stereo = Array.tabulate(800)(i =>
+      if (i % 2 == 0) (if ((i / 2) % 2 == 0) 16384 else -16384).toShort
+      else 0.toShort)
+    val media = Seq(
+      (1L, wav(8000, 1, mono)),
+      (2L, wav(44100, 2, stereo)))
+      .toDF("doc_id", "payload")
+    val got = Multimodal.decodeAudioFrom(media, Multimodal.wavDecoder)
+      .collect()
+      .map(r => r.getLong(0) ->
+        ((r.getInt(1), r.getInt(2), r.getInt(3), r.getInt(4),
+          r.getDouble(5), r.getDouble(6))))
+      .toMap
+    val (rate1, ch1, bits1, n1, dur1, rms1) = got(1L)
+    assert(rate1 == 8000 && ch1 == 1 && bits1 == 16 && n1 == 2000)
+    assert(math.abs(dur1 - 250.0) < 1e-9)
+    assert(math.abs(rms1 - 0.5 / math.sqrt(2)) < 0.01,
+      s"sine RMS $rms1 should be ~${0.5 / math.sqrt(2)}")
+    val (rate2, ch2, _, n2, _, rms2) = got(2L)
+    assert(rate2 == 44100 && ch2 == 2 && n2 == 400)
+    // half the interleaved samples are ±0.5 full scale, half silent:
+    // RMS over all channel samples = 0.5/√2 as well
+    assert(math.abs(rms2 - 16384.0 / 32768.0 / math.sqrt(2)) < 1e-6)
+  }
+
   test("resize composes on the decoded schema and bounds the long side") {
     val resized = Multimodal.resize(Multimodal.decodeImages(sf), maxSide = 128)
     resized.collect().foreach { r =>
