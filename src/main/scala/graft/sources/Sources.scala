@@ -64,6 +64,18 @@ object Sources {
   def orc(spark: SparkSession, path: String): DataFrame =
     spark.read.orc(path)
 
+  /** Schema-evolved parquet scan: one table written over time by
+    * pipeline versions with different (compatible) schemas, read back
+    * as their UNION schema — columns absent in older files surface as
+    * nulls instead of failing the read or silently dropping the new
+    * fields. `mergeSchema` pays a footer read per file at planning
+    * time, which is why it is an explicit opt-in here rather than a
+    * global default; at 100 TB the footers are still metadata-only
+    * (no data scan) and prune as usual afterwards.
+    */
+  def parquetEvolved(spark: SparkSession, path: String): DataFrame =
+    spark.read.option("mergeSchema", "true").parquet(path)
+
   /** JDBC full-table read — read_pg_table (extractors.py:34), but
     * partitioned: Spark issues `numPartitions` range-predicated queries in
     * parallel instead of one giant cursor.

@@ -123,6 +123,27 @@ class SourcesSpec extends SparkSpec {
     assert(back.schema("value").dataType.typeName == "double")
   }
 
+  test("schema-evolved parquet reads the union schema with nulls for old files") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-evolve").toString + "/t"
+    // v1 writer: (id, v) — the original pipeline
+    Seq((1L, 10.0), (2L, 20.0)).toDF("id", "v")
+      .write.mode("overwrite").parquet(dir)
+    // v2 writer: (id, v, source) — a later version adds a column
+    Seq((3L, 30.0, "web")).toDF("id", "v", "source")
+      .write.mode("append").parquet(dir)
+    val back = Sources.parquetEvolved(spark, dir)
+    assert(back.columns.sorted.toSeq == Seq("id", "source", "v"))
+    val rows = back.collect().map(r =>
+      r.getLong(r.fieldIndex("id")) ->
+        Option(r.get(r.fieldIndex("source")))).toMap
+    assert(rows(1L).isEmpty && rows(2L).isEmpty, "old files surface nulls")
+    assert(rows(3L).contains("web"))
+    // the plain reader may pick EITHER footer's schema per listing order —
+    // the evolved reader is what makes the union contract explicit
+    assert(back.count() == 3)
+  }
+
   test("bucketed tables join without an exchange (co-located join)") {
     val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     try {
