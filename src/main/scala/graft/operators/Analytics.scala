@@ -443,6 +443,45 @@ object Analytics {
        |FROM paths GROUP BY 1 HAVING COUNT(*) >= $PathMinSessions
        |ORDER BY sessions DESC, path""".stripMargin
 
+  /** Funnel latency: each user's first view and first purchase at or
+    * after it, with the conversion latency in seconds — the
+    * time-to-convert feed (histogram/percentile it downstream). One
+    * entity-partitioned window resolves the first view; one aggregation
+    * picks the converting purchase; the latency is an exact integer
+    * microsecond difference divided once.
+    */
+  def funnelTime(t: Tables): DataFrame = {
+    val w = Window.partitionBy("user_id")
+    t.events
+      .withColumn("first_view",
+        min(when(col("event_type") === "view", col("ts"))).over(w))
+      .where(col("event_type") === "purchase" &&
+        col("first_view").isNotNull && col("ts") >= col("first_view"))
+      .groupBy("user_id", "first_view")
+      .agg(min(col("ts")).as("first_purchase"))
+      .select(col("user_id"), col("first_view"), col("first_purchase"),
+        ((unix_micros(col("first_purchase")) - unix_micros(col("first_view")))
+          .cast("double") / 1000000.0).as("latency_sec"))
+      .orderBy("user_id")
+  }
+
+  val funnelTimeSql: String =
+    """WITH w AS (
+      | SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_type,
+      |  MIN(CASE WHEN event_type = 'view' THEN CAST(ts AS TIMESTAMP) END)
+      |    OVER (PARTITION BY user_id) AS first_view
+      | FROM events),
+      |conv AS (
+      | SELECT user_id, first_view, MIN(ts) AS first_purchase
+      | FROM w
+      | WHERE event_type = 'purchase' AND first_view IS NOT NULL
+      |   AND ts >= first_view
+      | GROUP BY user_id, first_view)
+      |SELECT user_id, first_view, first_purchase,
+      | CAST(epoch_us(first_purchase) - epoch_us(first_view) AS DOUBLE)
+      |   / 1000000.0 AS latency_sec
+      |FROM conv ORDER BY user_id""".stripMargin
+
   /** Two-cohort A/B comparison (Welch's t) on purchase values, cohorts
     * assigned by user-id parity — the experiment-readout query. All
     * power sums are EXACT (cents longs widened to decimal-38), so the

@@ -203,6 +203,60 @@ object Relational7 {
        |WHERE fa.l_partkey = p.a_part AND fb.l_partkey = p.b_part
        |ORDER BY lift DESC, a_part, b_part""".stripMargin
 
+  /** Order→ship latency SLA report: nearest-rank p50/p90 and max of
+    * shipping delay days per order priority. The exact rank selection
+    * runs as a per-(priority, day) COUNT aggregation plus a cumulative
+    * window over the bounded day domain (≤ a few thousand rows per
+    * priority) — never a row_number over the raw fact rows, which with
+    * five priorities would serialize millions of rows through five
+    * tasks. The oracle keeps the textbook row_number form, so the
+    * rewrite itself is what's verified (value-at-rank k ≡ smallest day
+    * whose cumulative count reaches k).
+    */
+  def shipLatency(t: Tables): DataFrame = {
+    val lat = t.lineitem
+      .join(t.orders, col("l_orderkey") === col("o_orderkey"))
+      .select(col("o_orderpriority").as("priority"),
+        datediff(col("l_shipdate").cast("date"),
+          col("o_orderdate").cast("date")).as("days"))
+    val counts = lat.groupBy("priority", "days").agg(count(lit(1)).as("c"))
+    val wCum = Window.partitionBy("priority").orderBy("days")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.partitionBy("priority")
+    counts
+      .withColumn("cum", sum(col("c")).over(wCum))
+      .withColumn("n", sum(col("c")).over(wAll))
+      .groupBy("priority")
+      .agg(
+        max(col("n")).as("n_lines"),
+        min(when(col("cum") >= ceil(lit(0.5) * col("n")), col("days")))
+          .as("p50_days"),
+        min(when(col("cum") >= ceil(lit(0.9) * col("n")), col("days")))
+          .as("p90_days"),
+        max(col("days")).as("max_days"))
+      .orderBy("priority")
+  }
+
+  val shipLatencySql: String =
+    """WITH lat AS (
+      | SELECT o.o_orderpriority AS priority,
+      |  date_diff('day', CAST(o.o_orderdate AS DATE), CAST(l.l_shipdate AS DATE))
+      |    AS days
+      | FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey),
+      |r AS (
+      | SELECT priority, days,
+      |  ROW_NUMBER() OVER (PARTITION BY priority ORDER BY days) AS rn,
+      |  COUNT(*) OVER (PARTITION BY priority) AS n
+      | FROM lat)
+      |SELECT priority,
+      | CAST(MAX(n) AS BIGINT) AS n_lines,
+      | CAST(MAX(CASE WHEN rn = CAST(ceil(0.5 * n) AS BIGINT) THEN days END)
+      |   AS INTEGER) AS p50_days,
+      | CAST(MAX(CASE WHEN rn = CAST(ceil(0.9 * n) AS BIGINT) THEN days END)
+      |   AS INTEGER) AS p90_days,
+      | CAST(MAX(days) AS INTEGER) AS max_days
+      |FROM r GROUP BY priority ORDER BY priority""".stripMargin
+
   /** Month-over-prior-year growth: exact decimal monthly revenue,
     * self-joined on the CALENDAR month twelve months back (not LAG(12),
     * which silently compares to the wrong month when the sequence has a

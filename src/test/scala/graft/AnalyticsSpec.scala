@@ -194,6 +194,19 @@ class AnalyticsSpec extends SparkSpec {
     assert(slopes == slopes.sorted.reverse)
   }
 
+  test("linear trend broadcasts the part dim; session paths windows stay entity-partitioned") {
+    import graft.operators.TimeSeries
+    val trendPlan = TimeSeries.linearTrend(sf).queryExecution.executedPlan.toString
+    assert(trendPlan.contains("BroadcastHashJoin"), "part dim must broadcast")
+    assert(!trendPlan.contains("SortMergeJoin"))
+    val pathsPlan = Analytics.sessionPaths(sf).queryExecution.executedPlan.toString
+    // every window must carry a partition spec — an unpartitioned window
+    // would serialize the corpus through one task at scale
+    assert(!pathsPlan.contains("windowspecdefinition(ts"),
+      "session-path windows must be partitioned by user")
+    assert("windowspecdefinition\\(user_id".r.findAllIn(pathsPlan).nonEmpty)
+  }
+
   test("session paths census matches the 30-minute-gap replay") {
     val evs = sf.events.select("user_id", "ts", "event_id", "event_type")
       .collect()
@@ -304,6 +317,56 @@ class AnalyticsSpec extends SparkSpec {
     rows.foreach { r =>
       assert(math.abs(r.getDouble(3) - r.getDouble(2) / revTotal) < 1e-12)
     }
+  }
+
+  test("funnel time matches the first-view-to-first-purchase replay") {
+    val evs = sf.events.select("user_id", "ts", "event_type").collect()
+      .map(r => (r.getLong(0), micros(r.getTimestamp(1)), r.getString(2)))
+    val expected = evs.groupBy(_._1).flatMap { case (u, es) =>
+      val views = es.filter(_._3 == "view").map(_._2)
+      if (views.isEmpty) None
+      else {
+        val fv = views.min
+        val ps = es.filter(e => e._3 == "purchase" && e._2 >= fv).map(_._2)
+        if (ps.isEmpty) None
+        else Some(u -> ((fv, ps.min, (ps.min - fv).toDouble / 1000000.0)))
+      }
+    }
+    val got = graft.operators.Analytics.funnelTime(sf).collect()
+      .map(r => r.getLong(0) ->
+        ((micros(r.getTimestamp(1)), micros(r.getTimestamp(2)),
+          r.getDouble(3)))).toMap
+    assert(got.keySet == expected.keySet)
+    expected.foreach { case (u, (fv, fp, lat)) =>
+      assert(got(u) == ((fv, fp, lat)), s"funnel time mismatch for user $u")
+    }
+    // a purchase BEFORE the first view must not count as a conversion
+    assert(evs.exists { case (u, t, ty) =>
+      ty == "purchase" && expected.get(u).exists(t < _._1)
+    }, "fixture sanity: some user purchases before their first view")
+  }
+
+  test("ship latency picks nearest-rank percentiles without ranking raw rows") {
+    import graft.operators.Relational7
+    import org.apache.spark.sql.functions.{col => c}
+    val lat = sf.lineitem.join(sf.orders, c("l_orderkey") === c("o_orderkey"))
+      .selectExpr("o_orderpriority",
+        "datediff(cast(l_shipdate as date), cast(o_orderdate as date)) AS days")
+      .collect().map(r => (r.getString(0), r.getInt(1)))
+    val expected = lat.groupBy(_._1).map { case (p, rs) =>
+      val days = rs.map(_._2).sorted
+      val n = days.length
+      def rank(q: Double) = days(math.ceil(q * n).toInt - 1)
+      p -> ((n.toLong, rank(0.5), rank(0.9), days.last))
+    }
+    val got = Relational7.shipLatency(sf).collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getInt(2), r.getInt(3), r.getInt(4)))).toMap
+    assert(got == expected)
+    // the exact rank selection must run over the aggregated day domain,
+    // not rank the raw fact rows through a 5-partition window
+    val plan = Relational7.shipLatency(sf).queryExecution.executedPlan.toString
+    assert(!plan.contains("row_number"), "no per-row ranking window")
   }
 
   test("decayed counters match the exact fixed-point replay") {
