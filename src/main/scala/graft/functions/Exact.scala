@@ -60,4 +60,26 @@ object Exact {
   def portableMean(c: Column): Column =
     (sum(c.cast(DecimalType(38, 30))).cast("double") / count(lit(1)))
       .cast(DecimalType(24, 12)).cast("double")
+
+  /** Exact nonnegative integer DECIMAL(38,0) → double via a 10⁹ hi/lo
+    * split: both parts convert to double exactly, and the recombination
+    * is the same two IEEE ops in every engine — unlike a direct
+    * decimal→double cast, which DuckDB double-rounds and, for int128
+    * magnitudes beyond ~1.8e19, TRUNCATES. Deterministic for sums up to
+    * ~9e24 (hi < 2⁵³). The precision-critical recipe shared by the
+    * corr-matrix, q_stats, A/B-test, and decay-counter power sums;
+    * [[decToDoubleSql]] is its bitwise DuckDB twin.
+    */
+  def decToDouble(s: Column): Column = {
+    val lo = pmod(s, lit(1000000000L))
+    val hi = (s - lo) / lit(1000000000L)
+    hi.cast("double") * lit(1.0e9) + lo.cast("double")
+  }
+
+  /** DuckDB SQL fragment replaying [[decToDouble]] bit-for-bit over an
+    * integer (BIGINT/HUGEINT/DECIMAL(38,0)) expression `e`.
+    */
+  def decToDoubleSql(e: String): String =
+    s"(CAST(($e - ($e % 1000000000)) // 1000000000 AS DOUBLE) * 1.0e9" +
+      s" + CAST($e % 1000000000 AS DOUBLE))"
 }

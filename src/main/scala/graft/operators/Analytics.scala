@@ -393,14 +393,7 @@ object Analytics {
     * deterministic), and the final path census is a small aggregation.
     */
   def sessionPaths(t: Tables): DataFrame = {
-    val wOrd = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    val wRun = wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    t.events
-      .withColumn("prev_s", lag(col("ts").cast("double"), 1).over(wOrd))
-      .withColumn("is_new",
-        when(col("prev_s").isNull ||
-          col("ts").cast("double") - col("prev_s") > 1800.0, 1).otherwise(0))
-      .withColumn("session_id", sum(col("is_new")).over(wRun))
+    Relational.sessionized(t)
       .withColumn("rn", row_number().over(
         Window.partitionBy("user_id", "session_id").orderBy("ts", "event_id")))
       .where(col("rn") <= PathLen)
@@ -491,11 +484,7 @@ object Analytics {
     */
   def abTest(t: Tables): DataFrame = {
     val d38 = DecimalType(38, 0)
-    def toD(s: Column): Column = {
-      val lo = pmod(s, lit(1000000000L))
-      val hi = (s - lo) / lit(1000000000L)
-      hi.cast("double") * lit(1.0e9) + lo.cast("double")
-    }
+    val toD = decToDouble _
     val s = t.events
       .where(col("event_type") === "purchase")
       .select((col("user_id") % 2).as("grp"),
@@ -505,10 +494,12 @@ object Analytics {
         sum(when(col("grp") === 1, 1L).otherwise(0L)).as("n_b"),
         sum(when(col("grp") === 0, col("cents")).otherwise(0L).cast(d38)).as("sa"),
         sum(when(col("grp") === 1, col("cents")).otherwise(0L).cast(d38)).as("sb"),
-        sum(when(col("grp") === 0, col("cents") * col("cents"))
-          .otherwise(0L).cast(d38)).as("qa"),
-        sum(when(col("grp") === 1, col("cents") * col("cents"))
-          .otherwise(0L).cast(d38)).as("qb"))
+        // decimal-38 BEFORE the square: cents·cents in long would wrap
+        // silently past ~$30M values (decayedCounters' vsum convention)
+        sum(when(col("grp") === 0, col("cents").cast(d38) * col("cents"))
+          .otherwise(lit(0L).cast(d38))).as("qa"),
+        sum(when(col("grp") === 1, col("cents").cast(d38) * col("cents"))
+          .otherwise(lit(0L).cast(d38))).as("qb"))
       .select(col("n_a"), col("n_b"),
         (toD(col("sa")) / 100.0).as("da"), (toD(col("sb")) / 100.0).as("db"),
         (toD(col("qa")) / 10000.0).as("qqa"), (toD(col("qb")) / 10000.0).as("qqb"))
@@ -525,9 +516,7 @@ object Analytics {
   }
 
   val abTestSql: String = {
-    def toD(e: String) =
-      s"(CAST(($e - ($e % 1000000000)) // 1000000000 AS DOUBLE) * 1.0e9" +
-        s" + CAST($e % 1000000000 AS DOUBLE))"
+    val toD = decToDoubleSql _
     s"""WITH p AS (
        | SELECT user_id % 2 AS grp,
        |  CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT) AS cents
@@ -538,8 +527,8 @@ object Analytics {
        |  CAST(SUM(CASE WHEN grp = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
        |  SUM(CASE WHEN grp = 0 THEN cents ELSE 0 END) AS sa,
        |  SUM(CASE WHEN grp = 1 THEN cents ELSE 0 END) AS sb,
-       |  SUM(CASE WHEN grp = 0 THEN cents * cents ELSE 0 END) AS qa,
-       |  SUM(CASE WHEN grp = 1 THEN cents * cents ELSE 0 END) AS qb
+       |  SUM(CASE WHEN grp = 0 THEN CAST(cents AS HUGEINT) * cents ELSE 0 END) AS qa,
+       |  SUM(CASE WHEN grp = 1 THEN CAST(cents AS HUGEINT) * cents ELSE 0 END) AS qb
        | FROM p),
        |d AS (
        | SELECT n_a, n_b,
@@ -644,11 +633,7 @@ object Analytics {
     */
   def decayedCounters(t: Tables): DataFrame = {
     val d38 = DecimalType(38, 0)
-    def toD(s: Column): Column = {
-      val lo = pmod(s, lit(1000000000L))
-      val hi = (s - lo) / lit(1000000000L)
-      hi.cast("double") * lit(1.0e9) + lo.cast("double")
-    }
+    val toD = decToDouble _
     val maxD = t.events.agg(max(to_date(col("ts"))).as("max_d"))
     t.events
       .crossJoin(broadcast(maxD))
@@ -669,9 +654,7 @@ object Analytics {
   }
 
   val decayedCountersSql: String = {
-    def toD(e: String) =
-      s"(CAST(($e - ($e % 1000000000)) // 1000000000 AS DOUBLE) * 1.0e9" +
-        s" + CAST($e % 1000000000 AS DOUBLE))"
+    val toD = decToDoubleSql _
     s"""WITH mx AS (SELECT MAX(CAST(ts AS DATE)) AS max_d FROM events),
        |w AS (
        | SELECT user_id, event_type,

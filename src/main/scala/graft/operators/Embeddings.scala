@@ -255,8 +255,12 @@ object Embeddings {
       (0 until PqK).map(k => cents((s, k)))))
     val ccArr = typedLit((0 until PqSubs).map(s =>
       (0 until PqK).map(k => cents((s, k)).map(x => x * x).sum)))
-    val qsubs = subExplode(vecs.where(col("vec_id") === 0))
-      .select(col("s"), col("sv").as("qsv"))
+    val query = vecs.where(col("vec_id") === 0)
+    // an absent query would make the broadcast join silently return an
+    // empty "top-10" — fail loudly instead (one tiny probe of the
+    // persisted frame, same cost class as the training collects)
+    require(!query.isEmpty, "pqAdcTopK expects the query vector at vec_id = 0")
+    val qsubs = subExplode(query).select(col("s"), col("sv").as("qsv"))
     val csel  = element_at(element_at(cArr, col("s") + 1), col("cell") + 1)
     val ccsel = element_at(element_at(ccArr, col("s") + 1), col("cell") + 1)
     val out = withBest(cents)(subExplode(vecs))

@@ -131,7 +131,10 @@ object Multimodal {
     var (channels, sampleRate, bits) = (0, 0, 0)
     var (dataOff, dataLen) = (-1, 0)
     while (dataOff < 0 && b.remaining >= 8) {
-      val id = tag4(); val size = b.getInt; val next = b.position() + size
+      val id = tag4(); val size = b.getInt
+      // RIFF chunks are WORD-aligned: an odd-sized chunk is followed by
+      // a pad byte that is NOT counted in its size field
+      val next = b.position() + size + (size & 1)
       if (id == "fmt ") {
         b.getShort // audio format (1 = PCM)
         channels = b.getShort.toInt

@@ -130,6 +130,11 @@ object Profiler {
     t.orders
       .groupBy(digit.as("digit"))
       .agg(count(lit(1)).as("n"))
+      // Benford's law is defined over first SIGNIFICANT digits 1..9;
+      // totals in (0,1) (digit 0) or negatives fall outside the law's
+      // domain and would also diverge from the oracle's inner join /
+      // integer cast — exclude them explicitly in BOTH engines
+      .where(col("digit").between(1, 9))
       .withColumn("total", sum(col("n")).over(wAll))
       .withColumn("share", col("n").cast("double") / col("total"))
       .withColumn("benford_expected", expected)
@@ -146,9 +151,10 @@ object Profiler {
     val exp = BenfordExpected
       .map { case (d, e) => s"($d, CAST('$e' AS DOUBLE))" }.mkString(", ")
     s"""WITH counts AS (
-       | SELECT CAST(substr(CAST(CAST(floor(o_totalprice) AS BIGINT) AS VARCHAR),
+       | SELECT TRY_CAST(substr(CAST(CAST(floor(o_totalprice) AS BIGINT) AS VARCHAR),
        |   1, 1) AS INTEGER) AS digit, CAST(COUNT(*) AS BIGINT) AS n
-       | FROM orders GROUP BY 1),
+       | FROM orders GROUP BY 1
+       | HAVING digit BETWEEN 1 AND 9),
        |shares AS (
        | SELECT digit, n,
        |  CAST(n AS DOUBLE) / CAST(SUM(n) OVER () AS BIGINT) AS share

@@ -356,11 +356,7 @@ object Relational {
     val d38 = org.apache.spark.sql.types.DecimalType(38, 0)
     val qc = (dec(col("l_quantity")) * 100).cast("long")
     val pc = (dec(col("l_extendedprice")) * 100).cast("long")
-    def toD(s: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
-      val lo = pmod(s, lit(1000000000L))
-      val hi = (s - lo) / lit(1000000000L)
-      hi.cast("double") * lit(1.0e9) + lo.cast("double")
-    }
+    val toD = graft.functions.Exact.decToDouble _
     val base = t.lineitem.groupBy("l_returnflag").agg(
       count(lit(1)).cast("double").as("n"),
       (toD(sum(qc.cast(d38))) / 100.0).as("sum_q"),
@@ -379,8 +375,9 @@ object Relational {
       .orderBy("l_returnflag")
   }
 
-  val statsSql: String =
-    """SELECT l_returnflag, CAST(n AS BIGINT) AS n,
+  val statsSql: String = {
+    val toD = graft.functions.Exact.decToDoubleSql _
+    s"""SELECT l_returnflag, CAST(n AS BIGINT) AS n,
       | sum_q / n AS mean_qty,
       | sqrt((sum_q2 - sum_q * sum_q / n) / (n - 1)) AS std_qty,
       | (n * sum_qp - sum_q * sum_p) /
@@ -388,16 +385,11 @@ object Relational {
       |FROM (
       | SELECT l_returnflag,
       |  CAST(COUNT(*) AS DOUBLE) AS n,
-      |  (CAST((SUM(qc) - (SUM(qc) % 1000000000)) // 1000000000 AS DOUBLE) * 1.0e9
-      |    + CAST(SUM(qc) % 1000000000 AS DOUBLE)) / 100.0 AS sum_q,
-      |  (CAST((SUM(qc * qc) - (SUM(qc * qc) % 1000000000)) // 1000000000 AS DOUBLE) * 1.0e9
-      |    + CAST(SUM(qc * qc) % 1000000000 AS DOUBLE)) / 10000.0 AS sum_q2,
-      |  (CAST((SUM(pc) - (SUM(pc) % 1000000000)) // 1000000000 AS DOUBLE) * 1.0e9
-      |    + CAST(SUM(pc) % 1000000000 AS DOUBLE)) / 100.0 AS sum_p,
-      |  (CAST((SUM(pc * pc) - (SUM(pc * pc) % 1000000000)) // 1000000000 AS DOUBLE) * 1.0e9
-      |    + CAST(SUM(pc * pc) % 1000000000 AS DOUBLE)) / 10000.0 AS sum_p2,
-      |  (CAST((SUM(qc * pc) - (SUM(qc * pc) % 1000000000)) // 1000000000 AS DOUBLE) * 1.0e9
-      |    + CAST(SUM(qc * pc) % 1000000000 AS DOUBLE)) / 10000.0 AS sum_qp
+      |  ${toD("SUM(qc)")} / 100.0 AS sum_q,
+      |  ${toD("SUM(qc * qc)")} / 10000.0 AS sum_q2,
+      |  ${toD("SUM(pc)")} / 100.0 AS sum_p,
+      |  ${toD("SUM(pc * pc)")} / 10000.0 AS sum_p2,
+      |  ${toD("SUM(qc * pc)")} / 10000.0 AS sum_qp
       | FROM (
       |  SELECT l_returnflag,
       |   CAST(CAST(l_quantity AS DECIMAL(12,2)) * 100 AS BIGINT) AS qc,
@@ -405,6 +397,7 @@ object Relational {
       |  FROM lineitem)
       | GROUP BY l_returnflag)
       |ORDER BY l_returnflag""".stripMargin
+  }
 
   /** As-of join: for each purchase, the most recent prior view's value for
     * the same user. One-pass union+window formulation — at scale this
@@ -433,8 +426,13 @@ object Relational {
       |WHERE event_type = 'purchase'
       |ORDER BY user_id, ts, event_id""".stripMargin
 
-  /** Gap-based sessionization (30-minute inactivity gap) per user. */
-  def sessionize(t: Tables): DataFrame = {
+  /** Events with their 30-minute-gap session id attached — the ONE
+    * definition of the gap rule (1800 s on the epoch-seconds double,
+    * (ts, event_id) ordering), shared by [[sessionize]] and
+    * [[Analytics.sessionPaths]] so the two reports can never
+    * disagree on what a session is.
+    */
+  private[operators] def sessionized(t: Tables): DataFrame = {
     val wOrd = Window.partitionBy("user_id").orderBy("ts", "event_id")
     val wRun = wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     t.events
@@ -443,6 +441,12 @@ object Relational {
         when(col("prev_s").isNull || col("ts").cast("double") - col("prev_s") > 1800.0, 1)
           .otherwise(0))
       .withColumn("session_id", sum(col("is_new")).over(wRun))
+      .drop("prev_s", "is_new")
+  }
+
+  /** Gap-based sessionization (30-minute inactivity gap) per user. */
+  def sessionize(t: Tables): DataFrame = {
+    sessionized(t)
       .groupBy("user_id", "session_id")
       .agg(
         count(lit(1)).as("n_events"),

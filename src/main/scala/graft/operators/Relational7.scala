@@ -327,11 +327,7 @@ object Relational7 {
     val d38 = org.apache.spark.sql.types.DecimalType(38, 0)
     val d = (c: String) =>
       (col(c).cast(org.apache.spark.sql.types.DecimalType(12, 2)) * 100).cast("long")
-    def toD(s: Column): Column = {
-      val lo = pmod(s, lit(1000000000L))
-      val hi = (s - lo) / lit(1000000000L)
-      hi.cast("double") * lit(1.0e9) + lo.cast("double")
-    }
+    val toD = graft.functions.Exact.decToDouble _
     val SplitBase = 1L << 30
     val terms: Seq[(String, Column, Double)] =
       CorrCols.map(c => (s"s_$c", d(c), 100.0)) ++
@@ -367,9 +363,7 @@ object Relational7 {
       .map(c => s"CAST(CAST($c AS DECIMAL(12,2)) * 100 AS BIGINT) AS ${c}_c")
       .mkString(", ")
     // hi/lo split at 10^9 mirrors the Spark-side toD bitwise
-    def toD(e: String) =
-      s"(CAST(($e - ($e % 1000000000)) // 1000000000 AS DOUBLE) * 1.0e9" +
-        s" + CAST($e % 1000000000 AS DOUBLE))"
+    val toD = graft.functions.Exact.decToDoubleSql _
     val sumCols =
       (s"CAST(COUNT(*) AS DOUBLE) AS n" +:
         (CorrCols.map(c => s"${toD(s"SUM(${c}_c)")} / 100.0 AS s_$c") ++

@@ -513,13 +513,16 @@ object Streams {
     // range (a raw-double comparison; an equality check against the mean
     // would misfire on non-dyadic constants like 0.1, where the
     // decimal-sum mean lands one ulp off the stored values, and a
-    // rounding-noise variance of ~1e-18 would otherwise make every
-    // in-range event score an astronomical z)
+    // rounding-noise variance would otherwise make every in-range event
+    // score an astronomical z). The noise floor is RELATIVE to the mean
+    // square (sx2/n): an absolute epsilon would misroute small-magnitude
+    // models to the range check and still admit cancellation noise on
+    // large-magnitude ones.
     val mean = col("sx") / col("n")
     val variance = (col("sx2") - col("sx") * col("sx") / col("n")) / (col("n") - 1)
     events.join(broadcast(stats), Seq("event_type"), "left")
       .withColumn("z",
-        when(col("n") > 1 && variance > lit(1e-12),
+        when(col("n") > 1 && variance > lit(1e-9) * (col("sx2") / col("n")),
           (col("value") - mean) / sqrt(variance)))
       .withColumn("is_anomaly",
         when(col("n").isNull, lit(true))                  // unseen type

@@ -61,12 +61,15 @@ class MultimodalSpec extends SparkSpec {
 
   test("the audio seam parses real WAV bytes: header fields and PCM energy") {
     import spark.implicits._
-    // hand-assembled RIFF/WAVE: 16-bit PCM with an extra junk chunk
-    // before `data` so the parser proves it WALKS chunks, not offsets
+    // hand-assembled RIFF/WAVE: 16-bit PCM with an ODD-sized junk chunk
+    // before `data` so the parser proves it WALKS chunks (not offsets)
+    // AND honours RIFF word alignment (odd chunks carry a pad byte not
+    // counted in their size field)
     def wav(rate: Int, channels: Int, samples: Array[Short]): Array[Byte] = {
       val dataLen = samples.length * 2
-      val junk = "JUNKbytes!"
-      val riffLen = 4 + (8 + 16) + (8 + junk.length - 4) + (8 + dataLen)
+      val junkBody = "bytes!!"        // 7 bytes — odd on purpose
+      val pad = junkBody.length & 1
+      val riffLen = 4 + (8 + 16) + (8 + junkBody.length + pad) + (8 + dataLen)
       val bb = java.nio.ByteBuffer.allocate(8 + riffLen + 8)
         .order(java.nio.ByteOrder.LITTLE_ENDIAN)
       bb.put("RIFF".getBytes("US-ASCII")).putInt(riffLen)
@@ -75,8 +78,9 @@ class MultimodalSpec extends SparkSpec {
         .putShort(1).putShort(channels.toShort).putInt(rate)
         .putInt(rate * channels * 2).putShort((channels * 2).toShort)
         .putShort(16)
-      bb.put(junk.substring(0, 4).getBytes("US-ASCII"))
-        .putInt(junk.length - 4).put(junk.substring(4).getBytes("US-ASCII"))
+      bb.put("JUNK".getBytes("US-ASCII"))
+        .putInt(junkBody.length).put(junkBody.getBytes("US-ASCII"))
+      if (pad == 1) bb.put(0.toByte)  // the alignment pad byte
       bb.put("data".getBytes("US-ASCII")).putInt(dataLen)
       samples.foreach(bb.putShort)
       java.util.Arrays.copyOf(bb.array(), bb.position())
