@@ -167,55 +167,67 @@ object Embeddings {
     * Spark side for the same reasons as `Similarity.ivfTopKSql`.
     */
   /** Shared oracle CTE chain for the PQ pipeline (seed → refine → final
-    * codebook `cf` → final assignment `a2`), reused by [[pqEncodeSql]]
-    * and [[pqAdcTopKSql]].
+    * codebook `cf` → final assignment `a2`), reused by [[pqEncodeSql]],
+    * [[pqAdcTopKSql]], and (prefixed, so its c0/a1/c1/a2 names don't
+    * collide with the k-means replay chain) `Similarity.ivfPqTopKSql`.
+    * `e` is shared deliberately — both chains define it identically.
     */
-  private val pqCtes: String = {
+  /** The shared `e` base CTE — defined once so composed oracles (PQ +
+    * k-means chains in one WITH) can prepend it exactly once.
+    */
+  private[operators] val eCte: String =
+    "e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)"
+
+  private[operators] def pqCtesPrefixed(p: String): String = {
     val subs = PqSubs; val dims = PqDims; val k = PqK
-    s"""e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-       |sr AS (
+    val (c0, a1, c1, a2) = (s"${p}c0", s"${p}a1", s"${p}c1", s"${p}a2")
+    val (sr, ks, seed, ss, e2, cf) =
+      (s"${p}sr", s"${p}ks", s"${p}seed", s"${p}ss", s"${p}e2", s"${p}cf")
+    s"""$sr AS (
        | SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS INT) AS rn, v
        | FROM e ORDER BY vec_id LIMIT $k),
-       |ks AS (SELECT CAST(unnest(range($k)) AS INT) AS cell),
+       |$ks AS (SELECT CAST(unnest(range($k)) AS INT) AS cell),
        |-- seed wrap-around parity: a corpus with fewer than $k vectors
        |-- reuses seeds cyclically, exactly like the Spark side
-       |seed AS (
-       | SELECT ks.cell, sr.v
-       | FROM ks JOIN sr ON sr.rn = ks.cell % (SELECT COUNT(*) FROM sr)),
-       |ss AS (SELECT CAST(unnest(range($subs)) AS INT) AS s),
-       |c0 AS (
-       | SELECT ss.s, seed.cell, seed.v[(ss.s*$dims+1):(ss.s*$dims+$dims)] AS c
-       | FROM seed CROSS JOIN ss),
-       |e2 AS (
-       | SELECT e.vec_id, ss.s, e.v[(ss.s*$dims+1):(ss.s*$dims+$dims)] AS sv
-       | FROM e CROSS JOIN ss),
-       |a1 AS (
+       |$seed AS (
+       | SELECT $ks.cell, $sr.v
+       | FROM $ks JOIN $sr ON $sr.rn = $ks.cell % (SELECT COUNT(*) FROM $sr)),
+       |$ss AS (SELECT CAST(unnest(range($subs)) AS INT) AS s),
+       |$c0 AS (
+       | SELECT $ss.s, $seed.cell, $seed.v[($ss.s*$dims+1):($ss.s*$dims+$dims)] AS c
+       | FROM $seed CROSS JOIN $ss),
+       |$e2 AS (
+       | SELECT e.vec_id, $ss.s, e.v[($ss.s*$dims+1):($ss.s*$dims+$dims)] AS sv
+       | FROM e CROSS JOIN $ss),
+       |$a1 AS (
        | SELECT vec_id, s, sv, cell FROM (
-       |  SELECT e2.vec_id, e2.s, e2.sv, c0.cell,
-       |   ROW_NUMBER() OVER (PARTITION BY e2.vec_id, e2.s
-       |    ORDER BY list_dot_product(c0.c, c0.c)
-       |      - 2 * list_dot_product(e2.sv, c0.c), c0.cell) AS rk
-       |  FROM e2 JOIN c0 ON e2.s = c0.s) WHERE rk = 1),
-       |c1 AS (
+       |  SELECT $e2.vec_id, $e2.s, $e2.sv, $c0.cell,
+       |   ROW_NUMBER() OVER (PARTITION BY $e2.vec_id, $e2.s
+       |    ORDER BY list_dot_product($c0.c, $c0.c)
+       |      - 2 * list_dot_product($e2.sv, $c0.c), $c0.cell) AS rk
+       |  FROM $e2 JOIN $c0 ON $e2.s = $c0.s) WHERE rk = 1),
+       |$c1 AS (
        | SELECT s, cell, list(m ORDER BY pos) AS c FROM (
        |  SELECT s, cell, pos,
        |   CAST(CAST(CAST(SUM(CAST(x AS DECIMAL(38,30))) AS DOUBLE) / COUNT(*)
        |     AS DECIMAL(24,12)) AS DOUBLE) AS m
-       |  FROM (SELECT s, cell, unnest(range(len(sv))) AS pos, unnest(sv) AS x FROM a1)
+       |  FROM (SELECT s, cell, unnest(range(len(sv))) AS pos, unnest(sv) AS x FROM $a1)
        |  GROUP BY s, cell, pos)
        | GROUP BY s, cell),
-       |cf AS (
-       | SELECT c0.s, c0.cell, COALESCE(c1.c, c0.c) AS c
-       | FROM c0 LEFT JOIN c1 ON c0.s = c1.s AND c0.cell = c1.cell),
-       |a2 AS (
+       |$cf AS (
+       | SELECT $c0.s, $c0.cell, COALESCE($c1.c, $c0.c) AS c
+       | FROM $c0 LEFT JOIN $c1 ON $c0.s = $c1.s AND $c0.cell = $c1.cell),
+       |$a2 AS (
        | SELECT vec_id, s, sv, cell, d FROM (
-       |  SELECT e2.vec_id, e2.s, e2.sv, cf.cell,
-       |   list_dot_product(cf.c, cf.c) - 2 * list_dot_product(e2.sv, cf.c) AS d,
-       |   ROW_NUMBER() OVER (PARTITION BY e2.vec_id, e2.s
-       |    ORDER BY list_dot_product(cf.c, cf.c)
-       |      - 2 * list_dot_product(e2.sv, cf.c), cf.cell) AS rk
-       |  FROM e2 JOIN cf ON e2.s = cf.s) WHERE rk = 1)""".stripMargin
+       |  SELECT $e2.vec_id, $e2.s, $e2.sv, $cf.cell,
+       |   list_dot_product($cf.c, $cf.c) - 2 * list_dot_product($e2.sv, $cf.c) AS d,
+       |   ROW_NUMBER() OVER (PARTITION BY $e2.vec_id, $e2.s
+       |    ORDER BY list_dot_product($cf.c, $cf.c)
+       |      - 2 * list_dot_product($e2.sv, $cf.c), $cf.cell) AS rk
+       |  FROM $e2 JOIN $cf ON $e2.s = $cf.s) WHERE rk = 1)""".stripMargin
   }
+
+  private val pqCtes: String = s"$eCte,\n" + pqCtesPrefixed("")
 
   val pqEncodeSql: String =
     s"""WITH $pqCtes

@@ -280,6 +280,104 @@ object Similarity {
     out
   }
 
+  /** IVF-PQ combined index search — the standard large-scale ANN
+    * architecture (a FAISS `IVFx,PQy` shape): the k-means coarse
+    * quantizer prunes the corpus to the [[NumProbes]] cells nearest the
+    * query, and the survivors are scored by PQ asymmetric distance from
+    * their 4-bit codes alone ([[Embeddings.pqAdcTopK]]'s scoring on
+    * [[ivfTopK]]'s candidate set). At 100 TB this composes the two
+    * independent savings: the probe touches ~probes/cells of the corpus,
+    * and the scoring pass reads 32-bit codes instead of 512-bit vectors.
+    * Codes here quantize the RAW vectors (IVF-Flat-PQ); residual PQ —
+    * encoding v − centroid(cell) — would sharpen the codes with one
+    * extra broadcast-subtract before training, on the same plumbing.
+    *
+    * Both models are bounded driver state trained deterministically, so
+    * the oracle replays the ENTIRE composition: the k-means chain, the
+    * probe choice, the PQ chain (CTE-prefixed to coexist), and the
+    * decimal-portable ADC sum.
+    */
+  def ivfPqTopK(t: Tables): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val vecs = vectors(t).cache()
+    val (cents, init) = trainKmeans(vecs)
+    val pq = Embeddings.trainPq(vecs)
+    val qv = init.find(_._1 == 0).map(_._2).getOrElse(
+      vecs.where(col("vec_id") === 0).select(col("v"))
+        .collect()(0).getSeq[Double](0))
+    val probeCells = cents
+      .map { case (id, c) =>
+        val cc = c.map(x => x * x).sum
+        val qc = c.zip(qv).map { case (a, b) => a * b }.sum
+        (id, cc - 2.0 * qc)
+      }
+      .sortBy(p => (p._2, p._1))
+      .take(NumProbes)
+      .map(_._1)
+    val survivors = assignCells(vecs, cents)
+      .where(col("cell").isin(probeCells: _*) && col("vec_id") =!= 0)
+      .select(col("vec_id"), col("v"))
+    val nSubs = pq.keys.map(_._1).max + 1
+    val nCodes = pq.keys.map(_._2).max + 1
+    val cArr = typedLit((0 until nSubs).map(s =>
+      (0 until nCodes).map(k => pq((s, k)))))
+    val ccArr = typedLit((0 until nSubs).map(s =>
+      (0 until nCodes).map(k => pq((s, k)).map(x => x * x).sum)))
+    val qsubs = Embeddings.subExplode(vecs.where(col("vec_id") === 0))
+      .select(col("s"), col("sv").as("qsv"))
+    val csel  = element_at(element_at(cArr, col("s") + 1), col("cell") + 1)
+    val ccsel = element_at(element_at(ccArr, col("s") + 1), col("cell") + 1)
+    val out = Embeddings.withBest(pq)(Embeddings.subExplode(survivors))
+      .select(col("vec_id"), col("s"), col("best.cell").as("cell"))
+      .join(broadcast(qsubs), Seq("s"))
+      .withColumn("d",
+        ccsel - lit(2.0) * graft.functions.DotProduct(col("qsv"), csel) +
+          graft.functions.DotProduct(col("qsv"), col("qsv")))
+      .groupBy("vec_id")
+      .agg(sum(col("d").cast(DecimalType(38, 30))).cast("double")
+        .cast(DecimalType(24, 12)).cast("double").as("adc_dist"))
+      .orderBy(col("adc_dist"), col("vec_id"))
+      .limit(10)
+    vecs.unpersist(false)
+    out
+  }
+
+  /** Oracle: k-means replay + probe choice + the "pq"-prefixed PQ chain
+    * + the survivor filter + the decimal-portable ADC aggregation, all
+    * in one WITH.
+    */
+  val ivfPqTopKSql: String =
+    s"""WITH ${Embeddings.eCte},
+       |c0 AS (SELECT CAST(vec_id AS INT) AS cell, v AS c FROM e WHERE vec_id < $NumCells),
+       |a1 AS (${assignSql("e", "c0")}),
+       |c1 AS (${meansSql("a1")}),
+       |a2 AS (${assignSql("e", "c1")}),
+       |c2 AS (${meansSql("a2")}),
+       |q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
+       |probe AS (
+       | SELECT cell FROM c2, q
+       | ORDER BY list_dot_product(c, c) - 2 * list_dot_product(qv, c), cell
+       | LIMIT $NumProbes),
+       |a3 AS (${assignSql("e", "c2")}),
+       |surv AS (
+       | SELECT a3.vec_id FROM a3 JOIN probe USING (cell)
+       | WHERE a3.vec_id <> 0),
+       |${Embeddings.pqCtesPrefixed("pq")},
+       |qs AS (SELECT s, sv AS qsv FROM pqe2 WHERE vec_id = 0)
+       |SELECT pqa2.vec_id,
+       | CAST(CAST(CAST(SUM(CAST(
+       |   list_dot_product(pqcf.c, pqcf.c) - 2 * list_dot_product(qs.qsv, pqcf.c)
+       |     + list_dot_product(qs.qsv, qs.qsv)
+       |   AS DECIMAL(38,30))) AS DOUBLE) AS DECIMAL(24,12)) AS DOUBLE)
+       |   AS adc_dist
+       |FROM pqa2
+       |JOIN surv ON pqa2.vec_id = surv.vec_id
+       |JOIN pqcf ON pqa2.s = pqcf.s AND pqa2.cell = pqcf.cell
+       |JOIN qs ON qs.s = pqa2.s
+       |GROUP BY pqa2.vec_id
+       |ORDER BY adc_dist, pqa2.vec_id
+       |LIMIT 10""".stripMargin
+
   /** Corpus k-means clustering as a first-class operator — the "cluster
     * the embedding space" step of curation (topic balancing, diversity
     * sampling, per-cluster quotas). Same deterministic Lloyd training as

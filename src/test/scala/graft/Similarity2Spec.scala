@@ -282,4 +282,34 @@ class Similarity2Spec extends SparkSpec {
       assert(got(k) == expect, s"recall@$k")
     }
   }
+
+  test("ivf-pq composes the coarse prune with ADC scoring consistently") {
+    import graft.operators.{Embeddings, Similarity}
+    val got = Similarity.ivfPqTopK(sf).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1))
+    assert(got.length == 10)
+    assert(!got.map(_._1).contains(0L))
+    val dists = got.map(_._2).toSeq
+    assert(dists == dists.sorted)
+    // both IVF outputs draw from the SAME ≤4-cell probe set: their
+    // result vectors' k-means cells must union to at most NumProbes
+    val cells = Similarity.kmeansClusters(sf).collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val ivfCells = Similarity.ivfTopK(sf).collect().map(r => cells(r.getLong(0)))
+    val pqCells = got.map(p => cells(p._1))
+    assert((ivfCells ++ pqCells).toSet.size <= 4,
+      "results must come from the shared probe-cell set")
+    // the ADC score is index-independent: vectors appearing in BOTH the
+    // global ADC top-10 and the IVF-PQ top-10 carry identical distances
+    val globalAdc = Embeddings.pqAdcTopK(sf).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val common = got.filter(p => globalAdc.contains(p._1))
+    common.foreach { case (id, d) =>
+      assert(d == globalAdc(id), s"ADC score differs for vec $id")
+    }
+    // determinism across runs (two driver-trained models, both seeded)
+    val again = Similarity.ivfPqTopK(sf).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1))
+    assert(got.sameElements(again))
+  }
 }
