@@ -61,6 +61,52 @@ object Embeddings {
         count(lit(1)).as("n_vecs"))
       .orderBy("label", "pos")
 
+  /** Per-dimension embedding health profile: mean/std/min/max of every
+    * coordinate — the drift/collapse check before indexing a corpus (a
+    * dead dimension has std ≈ 0; a scale-drifted batch shifts min/max).
+    * Sums run through scale-30 decimals with the final 12-decimal
+    * rounding (the [[centroids]] recipe; x² is the per-element double
+    * product — one identical rounding per engine — because a
+    * decimal-30 square would need scale 60); std evaluates in double
+    * from the two portable sums with the oracle's exact expression
+    * tree. One exploded pass, (dim)-keyed partial aggregation.
+    */
+  def dimStats(t: Tables): DataFrame =
+    t.embeddings
+      .select(posexplode(col("embedding").cast("array<double>"))
+        .as(Seq("pos", "x")))
+      .groupBy("pos")
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("x").cast(DecimalType(38, 30))).cast("double")
+          .cast(DecimalType(24, 12)).cast("double").as("sx"),
+        sum((col("x") * col("x")).cast(DecimalType(38, 30))).cast("double")
+          .cast(DecimalType(24, 12)).cast("double").as("sxx"),
+        min(col("x")).as("min_x"), max(col("x")).as("max_x"))
+      .select(col("pos"), col("n"),
+        (col("sx") / col("n")).as("mean_x"),
+        sqrt((col("sxx") - col("sx") * col("sx") / col("n")) /
+          (col("n") - 1)).as("std_x"),
+        col("min_x"), col("max_x"))
+      .orderBy("pos")
+
+  val dimStatsSql: String =
+    """WITH x AS (
+      | SELECT CAST(pos AS INT) AS pos, x FROM (
+      |  SELECT unnest(range(len(v))) AS pos, unnest(v) AS x
+      |  FROM (SELECT embedding::DOUBLE[] AS v FROM embeddings))),
+      |s AS (
+      | SELECT pos, CAST(COUNT(*) AS BIGINT) AS n,
+      |  CAST(CAST(CAST(SUM(CAST(x AS DECIMAL(38,30))) AS DOUBLE)
+      |    AS DECIMAL(24,12)) AS DOUBLE) AS sx,
+      |  CAST(CAST(CAST(SUM(CAST(x * x AS DECIMAL(38,30))) AS DOUBLE)
+      |    AS DECIMAL(24,12)) AS DOUBLE) AS sxx,
+      |  MIN(x) AS min_x, MAX(x) AS max_x
+      | FROM x GROUP BY pos)
+      |SELECT pos, n, sx / n AS mean_x,
+      | sqrt((sxx - sx * sx / n) / (n - 1)) AS std_x, min_x, max_x
+      |FROM s ORDER BY pos""".stripMargin
+
   private val PqSubs = 8 // 8 subspaces × 8 dims = 64
   private val PqDims = 8
   private val PqK    = 16

@@ -158,6 +158,24 @@ class DedupSpec extends SparkSpec {
     assert(rows.map(_.toString).sameElements(again.map(_.toString)))
   }
 
+  test("dim stats profile matches per-dimension extremes and plausible moments") {
+    val vecs = sf.embeddings
+      .selectExpr("cast(embedding as array<double>) v").collect()
+      .map(_.getSeq[Double](0))
+    val rows = graft.operators.Embeddings.dimStats(sf).collect()
+    assert(rows.length == vecs.head.length)
+    rows.foreach { r =>
+      val (pos, n) = (r.getInt(0), r.getLong(1))
+      val xs = vecs.map(_(pos))
+      assert(n == vecs.length.toLong)
+      assert(r.getDouble(4) == xs.min && r.getDouble(5) == xs.max)
+      val mean = xs.sum / xs.length
+      assert(math.abs(r.getDouble(2) - mean) < 1e-9, s"mean at dim $pos")
+      assert(r.getDouble(3) > 0, "no dead dimension in this corpus")
+      assert(r.getDouble(2) >= r.getDouble(4) && r.getDouble(2) <= r.getDouble(5))
+    }
+  }
+
   test("pq ADC search ranks by informative compressed distances") {
     val got = graft.operators.Embeddings.pqAdcTopK(sf).collect()
       .map(r => r.getLong(0) -> r.getDouble(1))
