@@ -53,6 +53,57 @@ class PropertySpec extends AnyFunSuite {
     assert(reconstructed == vals.map(BigInt(_)).sum)
   }
 
+  test("decToDouble is exact below 2^53 and engine-stable on huge sums") {
+    import org.apache.spark.sql.types.DecimalType
+    // exact region: any integer below 2^53 must round-trip bit-perfectly
+    val small = Seq.fill(300)(math.abs(rng.nextLong()) % (1L << 53)) ++
+      Seq(0L, 1L, 999999999L, 1000000000L, 1000000001L, (1L << 53) - 1)
+    val got = small.toDF("s")
+      .select(col("s"), graft.functions.Exact.decToDouble(
+        col("s").cast(DecimalType(38, 0))).as("d"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1))
+    got.foreach { case (s, d) =>
+      assert(d == s.toDouble, s"decToDouble($s) = $d")
+    }
+    // huge region (beyond 2^63, where a naive long path is impossible):
+    // the recipe must equal the driver-side BigInt replay of the SAME
+    // two IEEE ops — this is the contract the DuckDB oracles rely on
+    val parts = Seq.fill(200)((math.abs(rng.nextLong()) % (1L << 40),
+      math.abs(rng.nextLong()) % 1000000000L))
+    val hugeDf = parts.toDF("hi", "lo")
+      .select((col("hi").cast(DecimalType(38, 0)) * 1000000000L +
+        col("lo")).as("s"))
+      .agg(sum(col("s")).as("total"))
+      .select(graft.functions.Exact.decToDouble(col("total")).as("d"))
+    val expected = {
+      val total = parts.map { case (h, l) => BigInt(h) * 1000000000L + l }.sum
+      val lo = total % 1000000000L
+      val hi = (total - lo) / 1000000000L
+      hi.toDouble * 1.0e9 + lo.toDouble
+    }
+    assert(hugeDf.collect()(0).getDouble(0) == expected)
+  }
+
+  test("trailing-window EWMA fold equals the recursive definition") {
+    // the aggregate-HOF fold q_ewma ships must equal the textbook
+    // recurrence ewma_t = (ewma_{t-1} + x_t) / 2 applied over the same
+    // trailing window, for any window length 1..20
+    val xs = Seq.fill(60)(rng.nextDouble() * 100)
+    ((1 to 3) ++ (4 to xs.length by 4)).foreach { t =>
+      val win = xs.slice(math.max(0, t - 20), t)
+      // coalesce(1): collect_list order is partition order, and the
+      // reference recurrence needs the input order
+      val sparkFold = win.toDF("v").coalesce(1)
+        .agg(collect_list(col("v")).as("vals"))
+        .selectExpr("aggregate(slice(vals, 2, 19), vals[0]," +
+          " (acc, x) -> (acc + x) / 2) AS e")
+        .collect()(0).getDouble(0)
+      var acc = win.head
+      win.tail.foreach(x => acc = (acc + x) / 2)
+      assert(sparkFold == acc, s"at t=$t")
+    }
+  }
+
   test("RollingHash matches the JVM reference on random strings") {
     def ref(s: String): Long =
       s.getBytes("UTF-8")
