@@ -432,6 +432,25 @@ object Streams {
   /** Tombstone/state retention horizon for [[cdcMaterialize]]. */
   val CdcTombstoneDays = 7
 
+  /** Native session-window streaming aggregation — Spark's built-in
+    * `session_window` (gap-merged, watermark-closed) applied to the
+    * live feed with the IDENTICAL projection as the batch
+    * `Relational3.sessionWindow`, so a live dashboard and a backfill
+    * produce the same session rows. Append mode: a session emits once
+    * the watermark proves no event can extend it. This is the
+    * built-in-operator sibling of the hand-rolled
+    * `flatMapGroupsWithState` [[sessionize]] — same semantics, state
+    * managed by the engine.
+    */
+  def sessionWindowStream(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "2 hours")
+      .groupBy(session_window(col("ts"), "30 minutes").as("w"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast("decimal(12,2)")).cast("double").as("total_value"))
+      .select(col("user_id"), col("w.start").as("session_start"),
+        col("w.end").as("session_end"), col("n_events"), col("total_value"))
+
   /** Streaming trending counts: hourly (window, event_type) totals in
     * update mode, each trigger rewriting its OWN `batch_id=` partition —
     * the same replay-idempotent foreachBatch contract as

@@ -429,6 +429,43 @@ class StreamingSpec extends SparkSpec {
     assert(p.last_touch == "click" && p.first_touch == "click")
   }
 
+  test("native session windows: stream emits the batch session rows once closed") {
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.functions.{col, session_window}
+    val input = MemoryStream[Event]
+    val q = Streams.sessionWindowStream(input.toDF())
+      .writeStream.format("memory").queryName("sessions_native")
+      .outputMode("append").start()
+    // two sessions for user 1 (gap > 30 min splits), one for user 2
+    val evs = Seq(
+      Event(1, ts(0), "click", 10.0), Event(1, ts(10), "view", 5.0),
+      Event(1, ts(100), "click", 2.5),   // 90 min later → new session
+      Event(2, ts(5), "view", 7.0))
+    input.addData(evs: _*)
+    q.processAllAvailable()
+    // advance the watermark far past every session's close
+    input.addData(Event(9, Timestamp.valueOf("2025-01-02 10:00:00"), "click", 0.0))
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("sessions_native").collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1).toString, r.getLong(3),
+        r.getDouble(4))).toSet
+    // the batch twin over the same rows (shared projection shape)
+    import spark.implicits._
+    val batch = evs.toDF()
+      .groupBy(session_window(col("ts"), "30 minutes").as("w"), col("user_id"))
+      .agg(org.apache.spark.sql.functions.count(
+          org.apache.spark.sql.functions.lit(1)).as("n_events"),
+        org.apache.spark.sql.functions.sum(col("value").cast("decimal(12,2)"))
+          .cast("double").as("total_value"))
+      .select(col("user_id"), col("w.start"), col("n_events"), col("total_value"))
+      .collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1).toString, r.getLong(2),
+        r.getDouble(3))).toSet
+    assert(got == batch, s"stream $got vs batch $batch")
+    assert(got.size == 3, "expected exactly three closed sessions")
+  }
+
   test("trending top-k over streaming counts equals the batch replay") {
     implicit val sqlCtx = spark.sqlContext
     val dir = java.nio.file.Files.createTempDirectory("trending").toString
