@@ -597,8 +597,14 @@ object Dedup {
     val b = names.select(col("name").as("b_name"), length(col("name")).as("lb"))
     a.join(b, Seq("lb"))
       .where(col("a_name") < col("b_name"))
-      .withColumn("dist", levenshtein(col("a_name"), col("b_name")))
-      .where(col("dist") <= EditDistMax)
+      // THRESHOLD form: banded DP with early exit — O(k·min(m,n)) per
+      // pair instead of the full O(m·n) table, and -1 (filtered below)
+      // the moment the band proves dist > k. On the long-string corpora
+      // this operator exists for, the band is the difference between a
+      // usable and an unusable per-pair constant.
+      .withColumn("dist",
+        levenshtein(col("a_name"), col("b_name"), EditDistMax))
+      .where(col("dist") >= 0)
       .select("a_name", "b_name", "dist")
       .orderBy("a_name", "b_name")
   }
