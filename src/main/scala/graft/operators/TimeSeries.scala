@@ -380,6 +380,72 @@ object TimeSeries {
        | END AS rolling_median
        |FROM w ORDER BY user_id, ts, event_id""".stripMargin
 
+  /** 7-day trailing Pearson correlation between daily quantity and
+    * daily revenue — the rolling co-movement diagnostic (is volume
+    * still driving revenue this week?). The fact table collapses to
+    * one row per DAY first (exact cents sums), so the only global
+    * window runs over the bounded day domain — ~thousands of rows at
+    * any corpus size, the skyline/ABC precedent. Window power sums
+    * widen to decimal-38 BEFORE the products (day-level cents products
+    * overflow longs at ~100× scale); the correlation evaluates in
+    * double from [[graft.functions.Exact.decToDouble]]-converted exact
+    * sums with the oracle's expression tree. Full windows only (n=7).
+    */
+  def rollingCorr(t: Tables): DataFrame = {
+    val d38 = DecimalType(38, 0)
+    val daily = t.lineitem
+      .groupBy(col("l_shipdate").cast("date").as("d"))
+      .agg(
+        sum((dec(col("l_quantity")) * 100).cast("long")).as("qc"),
+        sum((dec(col("l_extendedprice")) * 100).cast("long")).as("pc"))
+    val win = Window.orderBy("d").rowsBetween(-6, Window.currentRow)
+    val toD = graft.functions.Exact.decToDouble _
+    daily
+      .withColumn("n", count(lit(1)).over(win))
+      .withColumn("dsq", toD(sum(col("qc").cast(d38)).over(win)))
+      .withColumn("dsp", toD(sum(col("pc").cast(d38)).over(win)))
+      .withColumn("dsqq", toD(sum(col("qc").cast(d38) * col("qc")).over(win)))
+      .withColumn("dspp", toD(sum(col("pc").cast(d38) * col("pc")).over(win)))
+      .withColumn("dsqp", toD(sum(col("qc").cast(d38) * col("pc")).over(win)))
+      .where(col("n") === 7)
+      .select(col("d"),
+        ((col("n") * col("dsqp") - col("dsq") * col("dsp")) /
+          (sqrt(col("n") * col("dsqq") - col("dsq") * col("dsq")) *
+            sqrt(col("n") * col("dspp") - col("dsp") * col("dsp"))))
+          .as("rolling_corr"))
+      .orderBy("d")
+  }
+
+  val rollingCorrSql: String = {
+    val toD = graft.functions.Exact.decToDoubleSql _
+    s"""WITH daily AS (
+       | SELECT CAST(l_shipdate AS DATE) AS d,
+       |  CAST(SUM(CAST(CAST(l_quantity AS DECIMAL(12,2)) * 100 AS BIGINT))
+       |    AS BIGINT) AS qc,
+       |  CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * 100 AS BIGINT))
+       |    AS BIGINT) AS pc
+       | FROM lineitem GROUP BY 1),
+       |w AS (
+       | SELECT d,
+       |  CAST(COUNT(*) OVER win AS BIGINT) AS n,
+       |  SUM(CAST(qc AS HUGEINT)) OVER win AS sq,
+       |  SUM(CAST(pc AS HUGEINT)) OVER win AS sp,
+       |  SUM(CAST(qc AS HUGEINT) * qc) OVER win AS sqq,
+       |  SUM(CAST(pc AS HUGEINT) * pc) OVER win AS spp,
+       |  SUM(CAST(qc AS HUGEINT) * pc) OVER win AS sqp
+       | FROM daily
+       | WINDOW win AS (ORDER BY d ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)),
+       |f AS (
+       | SELECT d, n, ${toD("sq")} AS dsq, ${toD("sp")} AS dsp,
+       |  ${toD("sqq")} AS dsqq, ${toD("spp")} AS dspp, ${toD("sqp")} AS dsqp
+       | FROM w WHERE n = 7)
+       |SELECT d,
+       | (n * dsqp - dsq * dsp) /
+       |  (sqrt(n * dsqq - dsq * dsq) * sqrt(n * dspp - dsp * dsp))
+       |   AS rolling_corr
+       |FROM f ORDER BY d""".stripMargin
+  }
+
   private val TrendMinMonths = 3
 
   /** Per-brand linear revenue trend: OLS slope (and intercept) of

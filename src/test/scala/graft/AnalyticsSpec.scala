@@ -319,6 +319,42 @@ class AnalyticsSpec extends SparkSpec {
     }
   }
 
+  test("rolling correlation equals the exact trailing-7-day recount") {
+    import graft.operators.TimeSeries
+    val daily = sf.lineitem
+      .selectExpr("cast(l_shipdate as date) d",
+        "cast(cast(l_quantity as decimal(12,2)) * 100 as long) qc",
+        "cast(cast(l_extendedprice as decimal(12,2)) * 100 as long) pc")
+      .groupBy("d").agg(
+        org.apache.spark.sql.functions.sum("qc").as("qc"),
+        org.apache.spark.sql.functions.sum("pc").as("pc"))
+      .collect()
+      .map(r => (r.getDate(0).toLocalDate, r.getLong(1), r.getLong(2)))
+      .sortBy(_._1.toEpochDay)
+    def toD(s: BigInt): Double = {
+      val lo = s % 1000000000L; val hi = (s - lo) / 1000000000L
+      hi.toDouble * 1.0e9 + lo.toDouble
+    }
+    val expected = daily.indices.drop(6).map { i =>
+      val w = daily.slice(i - 6, i + 1)
+      val n = 7L
+      val (sq, sp) = (w.map(e => BigInt(e._2)).sum, w.map(e => BigInt(e._3)).sum)
+      val sqq = w.map(e => BigInt(e._2) * e._2).sum
+      val spp = w.map(e => BigInt(e._3) * e._3).sum
+      val sqp = w.map(e => BigInt(e._2) * e._3).sum
+      val (dsq, dsp, dsqq, dspp, dsqp) = (toD(sq), toD(sp), toD(sqq), toD(spp), toD(sqp))
+      daily(i)._1 -> ((n * dsqp - dsq * dsp) /
+        (math.sqrt(n * dsqq - dsq * dsq) * math.sqrt(n * dspp - dsp * dsp)))
+    }.toMap
+    val got = TimeSeries.rollingCorr(sf).collect()
+      .map(r => r.getDate(0).toLocalDate -> r.getDouble(1)).toMap
+    assert(got.keySet == expected.keySet)
+    got.foreach { case (d, c) =>
+      assert(c == expected(d), s"rolling corr mismatch at $d")
+      assert(c >= -1.0 - 1e-12 && c <= 1.0 + 1e-12)
+    }
+  }
+
   test("funnel time matches the first-view-to-first-purchase replay") {
     val evs = sf.events.select("user_id", "ts", "event_type").collect()
       .map(r => (r.getLong(0), micros(r.getTimestamp(1)), r.getString(2)))
