@@ -303,27 +303,36 @@ object Embeddings {
     * Cites reference behavior: extractors.py:103 builds the embedding
     * retrieval candidates; this is the compressed-index variant.
     */
-  def pqAdcTopK(t: Tables): DataFrame = {
-    import graft.functions.DotProduct
-    val vecs = t.embeddings
-      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
-      .persist()
-    val cents = trainPq(vecs)
-    val cArr = typedLit((0 until PqSubs).map(s =>
-      (0 until PqK).map(k => cents((s, k)))))
-    val ccArr = typedLit((0 until PqSubs).map(s =>
-      (0 until PqK).map(k => cents((s, k)).map(x => x * x).sum)))
+  /** The query's subvectors, guarded: an absent vec_id-0 row would
+    * make the downstream broadcast join silently return an empty
+    * "top-k" — fail loudly instead (one tiny probe, same cost class as
+    * the training collects). Shared by both ADC consumers.
+    */
+  private[operators] def querySubvectors(vecs: DataFrame): DataFrame = {
     val query = vecs.where(col("vec_id") === 0)
-    // an absent query would make the broadcast join silently return an
-    // empty "top-10" — fail loudly instead (one tiny probe of the
-    // persisted frame, same cost class as the training collects)
-    require(!query.isEmpty, "pqAdcTopK expects the query vector at vec_id = 0")
-    val qsubs = subExplode(query).select(col("s"), col("sv").as("qsv"))
+    require(!query.isEmpty, "ADC search expects the query vector at vec_id = 0")
+    subExplode(query).select(col("s"), col("sv").as("qsv"))
+  }
+
+  /** Shared ADC scoring tail — (vec_id, s, sv) rows coded against the
+    * PQ model, scored per subspace against the broadcast query
+    * subvectors, summed decimal-portably to one `adc_dist` per vector.
+    * ONE definition for [[pqAdcTopK]] and `Similarity.ivfPqTopK`, so
+    * the distance recipe cannot drift between the flat and IVF tiers.
+    */
+  private[operators] def adcScores(subRows: DataFrame, qsubs: DataFrame,
+      pq: Map[(Int, Int), Seq[Double]]): DataFrame = {
+    import graft.functions.DotProduct
+    val nSubs  = pq.keys.map(_._1).max + 1
+    val nCodes = pq.keys.map(_._2).max + 1
+    val cArr = typedLit((0 until nSubs).map(s =>
+      (0 until nCodes).map(k => pq((s, k)))))
+    val ccArr = typedLit((0 until nSubs).map(s =>
+      (0 until nCodes).map(k => pq((s, k)).map(x => x * x).sum)))
     val csel  = element_at(element_at(cArr, col("s") + 1), col("cell") + 1)
     val ccsel = element_at(element_at(ccArr, col("s") + 1), col("cell") + 1)
-    val out = withBest(cents)(subExplode(vecs))
+    withBest(pq)(subRows)
       .select(col("vec_id"), col("s"), col("best.cell").as("cell"))
-      .where(col("vec_id") =!= 0)
       .join(broadcast(qsubs), Seq("s"))
       .withColumn("d",
         ccsel - lit(2.0) * DotProduct(col("qsv"), csel) +
@@ -331,6 +340,16 @@ object Embeddings {
       .groupBy("vec_id")
       .agg(sum(col("d").cast(DecimalType(38, 30))).cast("double")
         .cast(DecimalType(24, 12)).cast("double").as("adc_dist"))
+  }
+
+  def pqAdcTopK(t: Tables): DataFrame = {
+    val vecs = t.embeddings
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      .persist()
+    val cents = trainPq(vecs)
+    val qsubs = querySubvectors(vecs)
+    val out = adcScores(
+        subExplode(vecs.where(col("vec_id") =!= 0)), qsubs, cents)
       .orderBy(col("adc_dist"), col("vec_id"))
       .limit(AdcTopK)
     vecs.unpersist(false)

@@ -129,18 +129,27 @@ object Relational3 {
       |GROUP BY p_id, p_user, p_ts, p_value
       |ORDER BY p_id""".stripMargin
 
+  /** The session_window aggregation itself, input-agnostic — the ONE
+    * definition shared by the batch operator below and the streaming
+    * twin (`Streams.sessionWindowStream`), so a live dashboard and a
+    * backfill produce identical session rows BY CONSTRUCTION, not by
+    * parallel maintenance.
+    */
+  private[graft] def sessionWindowAgg(events: DataFrame): DataFrame =
+    events
+      .groupBy(session_window(col("ts"), "30 minutes").as("w"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(dec(col("value"))).cast("double").as("total_value"))
+      .select(col("user_id"), col("w.start").as("session_start"),
+        col("w.end").as("session_end"), col("n_events"), col("total_value"))
+
   /** Built-in session windows (`session_window`, usable identically in
     * batch and Structured Streaming): 30-minute-gap sessions per user.
     * The window end is last-event + gap by definition; the oracle derives
     * the same bounds from the lag/cumsum sessionization.
     */
   def sessionWindow(t: Tables): DataFrame =
-    t.events
-      .groupBy(session_window(col("ts"), "30 minutes").as("w"), col("user_id"))
-      .agg(count(lit(1)).as("n_events"),
-        sum(dec(col("value"))).cast("double").as("total_value"))
-      .select(col("user_id"), col("w.start").as("session_start"),
-        col("w.end").as("session_end"), col("n_events"), col("total_value"))
+    sessionWindowAgg(t.events)
       .orderBy("user_id", "session_start")
 
   val sessionWindowSql: String =

@@ -298,7 +298,6 @@ object Similarity {
     * decimal-portable ADC sum.
     */
   def ivfPqTopK(t: Tables): DataFrame = {
-    import org.apache.spark.sql.types.DecimalType
     val vecs = vectors(t).cache()
     val (cents, init) = trainKmeans(vecs)
     val pq = Embeddings.trainPq(vecs)
@@ -317,25 +316,9 @@ object Similarity {
     val survivors = assignCells(vecs, cents)
       .where(col("cell").isin(probeCells: _*) && col("vec_id") =!= 0)
       .select(col("vec_id"), col("v"))
-    val nSubs = pq.keys.map(_._1).max + 1
-    val nCodes = pq.keys.map(_._2).max + 1
-    val cArr = typedLit((0 until nSubs).map(s =>
-      (0 until nCodes).map(k => pq((s, k)))))
-    val ccArr = typedLit((0 until nSubs).map(s =>
-      (0 until nCodes).map(k => pq((s, k)).map(x => x * x).sum)))
-    val qsubs = Embeddings.subExplode(vecs.where(col("vec_id") === 0))
-      .select(col("s"), col("sv").as("qsv"))
-    val csel  = element_at(element_at(cArr, col("s") + 1), col("cell") + 1)
-    val ccsel = element_at(element_at(ccArr, col("s") + 1), col("cell") + 1)
-    val out = Embeddings.withBest(pq)(Embeddings.subExplode(survivors))
-      .select(col("vec_id"), col("s"), col("best.cell").as("cell"))
-      .join(broadcast(qsubs), Seq("s"))
-      .withColumn("d",
-        ccsel - lit(2.0) * graft.functions.DotProduct(col("qsv"), csel) +
-          graft.functions.DotProduct(col("qsv"), col("qsv")))
-      .groupBy("vec_id")
-      .agg(sum(col("d").cast(DecimalType(38, 30))).cast("double")
-        .cast(DecimalType(24, 12)).cast("double").as("adc_dist"))
+    // scoring = the SHARED ADC tail on the pruned candidate set
+    val out = Embeddings.adcScores(Embeddings.subExplode(survivors),
+        Embeddings.querySubvectors(vecs), pq)
       .orderBy(col("adc_dist"), col("vec_id"))
       .limit(10)
     vecs.unpersist(false)

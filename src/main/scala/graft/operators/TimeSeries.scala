@@ -380,16 +380,19 @@ object TimeSeries {
        | END AS rolling_median
        |FROM w ORDER BY user_id, ts, event_id""".stripMargin
 
-  /** 7-day trailing Pearson correlation between daily quantity and
-    * daily revenue — the rolling co-movement diagnostic (is volume
-    * still driving revenue this week?). The fact table collapses to
-    * one row per DAY first (exact cents sums), so the only global
-    * window runs over the bounded day domain — ~thousands of rows at
-    * any corpus size, the skyline/ABC precedent. Window power sums
-    * widen to decimal-38 BEFORE the products (day-level cents products
-    * overflow longs at ~100× scale); the correlation evaluates in
-    * double from [[graft.functions.Exact.decToDouble]]-converted exact
-    * sums with the oracle's expression tree. Full windows only (n=7).
+  /** 7-calendar-day trailing Pearson correlation between daily
+    * quantity and daily revenue — the rolling co-movement diagnostic
+    * (is volume still driving revenue this week?). The fact table
+    * collapses to one row per DAY first (exact cents sums), so the
+    * only global window runs over the bounded day domain — ~thousands
+    * of rows at any corpus size, the skyline/ABC precedent. The frame
+    * is a RANGE over the integer day index (a ROWS frame would
+    * silently widen across calendar gaps), and only complete windows
+    * (all 7 days present) report. Window power sums widen to
+    * decimal-38 BEFORE the products (day-level cents products overflow
+    * longs at ~100× scale); the correlation evaluates in double from
+    * [[graft.functions.Exact.decToDouble]]-converted exact sums with
+    * the oracle's expression tree.
     */
   def rollingCorr(t: Tables): DataFrame = {
     val d38 = DecimalType(38, 0)
@@ -398,7 +401,8 @@ object TimeSeries {
       .agg(
         sum((dec(col("l_quantity")) * 100).cast("long")).as("qc"),
         sum((dec(col("l_extendedprice")) * 100).cast("long")).as("pc"))
-    val win = Window.orderBy("d").rowsBetween(-6, Window.currentRow)
+      .withColumn("epoch_day", datediff(col("d"), to_date(lit("1970-01-01"))))
+    val win = Window.orderBy("epoch_day").rangeBetween(-6, Window.currentRow)
     val toD = graft.functions.Exact.decToDouble _
     daily
       .withColumn("n", count(lit(1)).over(win))
@@ -433,8 +437,10 @@ object TimeSeries {
        |  SUM(CAST(qc AS HUGEINT) * qc) OVER win AS sqq,
        |  SUM(CAST(pc AS HUGEINT) * pc) OVER win AS spp,
        |  SUM(CAST(qc AS HUGEINT) * pc) OVER win AS sqp
-       | FROM daily
-       | WINDOW win AS (ORDER BY d ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)),
+       | FROM (SELECT *, date_diff('day', DATE '1970-01-01', d) AS epoch_day
+       |       FROM daily)
+       | WINDOW win AS (ORDER BY epoch_day
+       |   RANGE BETWEEN 6 PRECEDING AND CURRENT ROW)),
        |f AS (
        | SELECT d, n, ${toD("sq")} AS dsq, ${toD("sp")} AS dsp,
        |  ${toD("sqq")} AS dsqq, ${toD("spp")} AS dspp, ${toD("sqp")} AS dsqp

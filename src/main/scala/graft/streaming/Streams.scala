@@ -433,23 +433,21 @@ object Streams {
   val CdcTombstoneDays = 7
 
   /** Native session-window streaming aggregation — Spark's built-in
-    * `session_window` (gap-merged, watermark-closed) applied to the
-    * live feed with the IDENTICAL projection as the batch
-    * `Relational3.sessionWindow`, so a live dashboard and a backfill
-    * produce the same session rows. Append mode: a session emits once
-    * the watermark proves no event can extend it. This is the
-    * built-in-operator sibling of the hand-rolled
-    * `flatMapGroupsWithState` [[sessionize]] — same semantics, state
-    * managed by the engine.
+    * `session_window` (gap-merged, watermark-closed, engine-managed
+    * state) applied to the live feed through the SHARED
+    * `Relational3.sessionWindowAgg` projection, so this and the batch
+    * `q_session_window` are the same code, not parallel copies.
+    * Append mode: a session emits once the watermark proves no event
+    * can extend it. Gap-boundary semantics are the built-in's
+    * (end-EXCLUSIVE: an event exactly `gap` after the previous one
+    * starts a NEW session) — matching its batch twin, but differing
+    * from the hand-rolled [[sessionize]] pair, whose `<= gap` guard
+    * merges the boundary event; each twin pair is internally
+    * consistent.
     */
   def sessionWindowStream(events: DataFrame): DataFrame =
-    events
-      .withWatermark("ts", "2 hours")
-      .groupBy(session_window(col("ts"), "30 minutes").as("w"), col("user_id"))
-      .agg(count(lit(1)).as("n_events"),
-        sum(col("value").cast("decimal(12,2)")).cast("double").as("total_value"))
-      .select(col("user_id"), col("w.start").as("session_start"),
-        col("w.end").as("session_end"), col("n_events"), col("total_value"))
+    graft.operators.Relational3.sessionWindowAgg(
+      events.withWatermark("ts", "2 hours"))
 
   /** Streaming trending counts: hourly (window, event_type) totals in
     * update mode, each trigger rewriting its OWN `batch_id=` partition —
@@ -536,12 +534,16 @@ object Streams {
     // score an astronomical z). The noise floor is RELATIVE to the mean
     // square (sx2/n): an absolute epsilon would misroute small-magnitude
     // models to the range check and still admit cancellation noise on
-    // large-magnitude ones.
+    // large-magnitude ones. Factor 1e-13: the sums themselves are
+    // decimal-exact, so the only noise is the double evaluation of the
+    // cancellation (relative ~1e-16 of sx2) — 1e-13 sits three orders
+    // above that while still z-scoring models with CV down to ~3e-7
+    // (tight-tolerance sensor feeds keep their z path).
     val mean = col("sx") / col("n")
     val variance = (col("sx2") - col("sx") * col("sx") / col("n")) / (col("n") - 1)
     events.join(broadcast(stats), Seq("event_type"), "left")
       .withColumn("z",
-        when(col("n") > 1 && variance > lit(1e-9) * (col("sx2") / col("n")),
+        when(col("n") > 1 && variance > lit(1e-13) * (col("sx2") / col("n")),
           (col("value") - mean) / sqrt(variance)))
       .withColumn("is_anomaly",
         when(col("n").isNull, lit(true))                  // unseen type

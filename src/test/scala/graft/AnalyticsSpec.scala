@@ -335,8 +335,12 @@ class AnalyticsSpec extends SparkSpec {
       val lo = s % 1000000000L; val hi = (s - lo) / 1000000000L
       hi.toDouble * 1.0e9 + lo.toDouble
     }
-    val expected = daily.indices.drop(6).map { i =>
-      val w = daily.slice(i - 6, i + 1)
+    val expected = daily.indices.flatMap { i =>
+      // trailing 7 CALENDAR days; only complete windows report
+      val cur = daily(i)._1.toEpochDay
+      val w = daily.filter(e =>
+        e._1.toEpochDay > cur - 7 && e._1.toEpochDay <= cur)
+      if (w.length != 7) None else Some {
       val n = 7L
       val (sq, sp) = (w.map(e => BigInt(e._2)).sum, w.map(e => BigInt(e._3)).sum)
       val sqq = w.map(e => BigInt(e._2) * e._2).sum
@@ -345,7 +349,7 @@ class AnalyticsSpec extends SparkSpec {
       val (dsq, dsp, dsqq, dspp, dsqp) = (toD(sq), toD(sp), toD(sqq), toD(spp), toD(sqp))
       daily(i)._1 -> ((n * dsqp - dsq * dsp) /
         (math.sqrt(n * dsqq - dsq * dsq) * math.sqrt(n * dspp - dsp * dsp)))
-    }.toMap
+    }}.toMap
     val got = TimeSeries.rollingCorr(sf).collect()
       .map(r => r.getDate(0).toLocalDate -> r.getDouble(1)).toMap
     assert(got.keySet == expected.keySet)
