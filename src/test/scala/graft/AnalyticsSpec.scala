@@ -359,6 +359,23 @@ class AnalyticsSpec extends SparkSpec {
     }
   }
 
+  test("rolling corr and decay counters keep their scale-safe plan shapes") {
+    import graft.operators.{Analytics, TimeSeries}
+    val corrPlan = TimeSeries.rollingCorr(sf).queryExecution.executedPlan.toString
+    // one fact scan; the global window runs AFTER the day aggregation
+    // (over the bounded day domain), never over raw fact rows
+    assert("Scan parquet".r.findAllIn(corrPlan).size == 1)
+    assert(corrPlan.indexOf("Window") < corrPlan.indexOf("Scan parquet"),
+      "window must sit above the day aggregate in the plan tree")
+    assert(corrPlan.contains("HashAggregate"))
+    val decayPlan = Analytics.decayedCounters(sf).queryExecution.executedPlan.toString
+    // the as-of date joins as a broadcast single row — never a shuffle join
+    assert(decayPlan.contains("BroadcastNestedLoopJoin") ||
+      decayPlan.contains("BroadcastExchange"))
+    assert(!decayPlan.contains("SortMergeJoin"))
+    assert(!decayPlan.contains("CartesianProduct"))
+  }
+
   test("funnel time matches the first-view-to-first-purchase replay") {
     val evs = sf.events.select("user_id", "ts", "event_type").collect()
       .map(r => (r.getLong(0), micros(r.getTimestamp(1)), r.getString(2)))
