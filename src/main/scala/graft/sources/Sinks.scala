@@ -27,6 +27,35 @@ object Sinks {
       .partitionBy("ym")
       .parquet(path)
 
+  /** TTL expiry for month-partitioned tables — the ClickHouse
+    * `TTL … DELETE` parity piece of the MergeTree sink surface
+    * (loaders.py:45 creates the tables this would age out). Drops every
+    * `ym=` partition strictly BEFORE the cutoff month as a
+    * metadata-only directory delete: no data rewrite, no scan — at
+    * 100 TB expiring a month costs the same as expiring a megabyte.
+    * Idempotent (a re-run finds nothing to drop); returns the dropped
+    * partition values so callers can log the retention action.
+    */
+  def expirePartitions(spark: org.apache.spark.sql.SparkSession,
+      path: String, cutoffYm: String): Seq[String] = {
+    import org.apache.hadoop.fs.Path
+    val p = new Path(path)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(p)) Seq.empty
+    else {
+      val dropped = fs.listStatus(p).toSeq
+        .filter(_.isDirectory)
+        .map(_.getPath)
+        .filter(_.getName.startsWith("ym="))
+        .filter(_.getName.stripPrefix("ym=") < cutoffYm)
+        .sortBy(_.getName)
+      dropped.foreach { dir =>
+        require(fs.delete(dir, true), s"could not expire partition $dir")
+      }
+      dropped.map(_.getName.stripPrefix("ym="))
+    }
+  }
+
   /** Bucketed table write: pre-shuffles once on the bucket key so that
     * later joins/aggregations on that key are Exchange-free (the Spark
     * analog of co-located MergeTree tables). Requires `saveAsTable`

@@ -123,6 +123,35 @@ class SourcesSpec extends SparkSpec {
     assert(back.schema("value").dataType.typeName == "double")
   }
 
+  test("ttl expiry drops exactly the pre-cutoff month partitions, idempotently") {
+    import graft.sources.Sinks
+    val dir = Files.createTempDirectory("graft-ttl").toString + "/fact"
+    Sinks.writeMonthPartitioned(
+      sf.orders.limit(500), "o_orderdate", dir, Seq("o_orderkey"))
+    // partition inference reads ym= back as INT; normalize to the
+    // string form the directory names carry
+    val before = spark.read.parquet(dir).withColumn("ym", col("ym").cast("string"))
+    val months = before.select("ym").distinct().collect()
+      .map(_.getString(0)).sorted
+    assert(months.length > 3, s"fixture needs several months, got $months")
+    val cutoff = months(2)
+    val dropped = Sinks.expirePartitions(spark, dir, cutoff)
+    assert(dropped == months.filter(_ < cutoff).toSeq, "drop exactly pre-cutoff")
+    val after = spark.read.parquet(dir).withColumn("ym", col("ym").cast("string"))
+    assert(after.select("ym").distinct().collect().map(_.getString(0)).sorted
+      .toSeq == months.filter(_ >= cutoff).toSeq)
+    // kept rows are untouched (no rewrite): same count per surviving month
+    val keptCounts = before.where(col("ym") >= cutoff)
+      .groupBy("ym").count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    after.groupBy("ym").count().collect().foreach { r =>
+      assert(r.getLong(1) == keptCounts(r.getString(0)))
+    }
+    // idempotent: nothing left to expire
+    assert(Sinks.expirePartitions(spark, dir, cutoff).isEmpty)
+    // missing table: no-op, not an error
+    assert(Sinks.expirePartitions(spark, dir + "_absent", cutoff).isEmpty)
+  }
+
   test("schema-evolved parquet reads the union schema with nulls for old files") {
     import spark.implicits._
     val dir = Files.createTempDirectory("graft-evolve").toString + "/t"
