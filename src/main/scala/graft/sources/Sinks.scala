@@ -56,6 +56,46 @@ object Sinks {
     }
   }
 
+  /** Partition/file layout report for a partitioned parquet table — the
+    * `system.parts` analog: per-partition file count and byte sizes,
+    * from filesystem METADATA only (no data scan). This is the input to
+    * the two maintenance actions ([[compact]] when files are small and
+    * many, [[expirePartitions]] when partitions age out); surfacing it
+    * as a DataFrame lets ops dashboards query their own table health.
+    */
+  def partsReport(spark: org.apache.spark.sql.SparkSession,
+      path: String): DataFrame = {
+    import org.apache.hadoop.fs.Path
+    import spark.implicits._
+    val p = new Path(path)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    val rows =
+      if (!fs.exists(p)) Seq.empty[(String, Long, Long, Long, Long)]
+      else {
+        val it = fs.listFiles(p, true)
+        val buf = scala.collection.mutable.ArrayBuffer[(String, Long)]()
+        while (it.hasNext) {
+          val st = it.next()
+          if (st.getPath.getName.endsWith(".parquet")) {
+            val rel = st.getPath.toUri.getPath
+              .stripPrefix(p.toUri.getPath).stripPrefix("/")
+            val part = rel.split('/').dropRight(1).mkString("/") match {
+              case "" => "<unpartitioned>"
+              case s  => s
+            }
+            buf += ((part, st.getLen))
+          }
+        }
+        buf.toSeq.groupBy(_._1).toSeq.map { case (part, fsz) =>
+          val sizes = fsz.map(_._2)
+          (part, sizes.length.toLong, sizes.sum, sizes.min, sizes.max)
+        }
+      }
+    rows.toDF("partition", "n_files", "total_bytes", "min_file_bytes",
+        "max_file_bytes")
+      .orderBy("partition")
+  }
+
   /** Bucketed table write: pre-shuffles once on the bucket key so that
     * later joins/aggregations on that key are Exchange-free (the Spark
     * analog of co-located MergeTree tables). Requires `saveAsTable`

@@ -152,6 +152,32 @@ class SourcesSpec extends SparkSpec {
     assert(Sinks.expirePartitions(spark, dir + "_absent", cutoff).isEmpty)
   }
 
+  test("parts report mirrors the filesystem and tracks compaction") {
+    import graft.sources.Sinks
+    val dir = Files.createTempDirectory("graft-parts").toString + "/fact"
+    // many small files per partition: repartition(6) inside each month
+    sf.orders.limit(600)
+      .withColumn("ym", date_format(col("o_orderdate"), "yyyyMM"))
+      .repartition(6)
+      .write.mode("overwrite").partitionBy("ym").parquet(dir)
+    val report = Sinks.partsReport(spark, dir).collect()
+    assert(report.nonEmpty)
+    report.foreach { r =>
+      assert(r.getString(0).startsWith("ym="))
+      assert(r.getLong(1) >= 1 && r.getLong(2) > 0)
+      assert(r.getLong(3) <= r.getLong(4))
+    }
+    val filesBefore = report.map(_.getLong(1)).sum
+    // compaction must REDUCE the reported file count, not change bytes' data
+    Sinks.compact(spark, dir, targetFileBytes = 64L * 1024 * 1024,
+      partitionCols = Seq("ym"))
+    val after = Sinks.partsReport(spark, dir).collect()
+    assert(after.map(_.getLong(1)).sum < filesBefore,
+      "compaction should collapse the small files")
+    // absent table: empty report, not an error
+    assert(Sinks.partsReport(spark, dir + "_absent").collect().isEmpty)
+  }
+
   test("schema-evolved parquet reads the union schema with nulls for old files") {
     import spark.implicits._
     val dir = Files.createTempDirectory("graft-evolve").toString + "/t"
