@@ -361,6 +361,55 @@ object Similarity {
        |ORDER BY adc_dist, pqa2.vec_id
        |LIMIT 10""".stripMargin
 
+  private val DiverseQuota = 10
+
+  /** Diversity sampling via cluster quotas — the curation step that
+    * keeps a corpus from collapsing onto its dominant mode: every
+    * k-means cell of the embedding space contributes its
+    * [[DiverseQuota]] best documents (longest text, deterministic
+    * tie-break), so rare topics survive selection that a global
+    * quality cut would starve. Assignment is the shared deterministic
+    * Lloyd model (bounded driver state); the per-cell cut is the
+    * TopKPerKey HEAP plan (k rows of state per cell, no per-cell
+    * sort); the documents join is 1:1 by id. The oracle replays the
+    * full k-means chain and takes the same per-cell top-k by
+    * row_number.
+    */
+  def diverseSample(t: Tables): DataFrame = {
+    val vecs = vectors(t).cache()
+    val (cents, _) = trainKmeans(vecs)
+    val scored = assignCells(vecs, cents)
+      .select(col("vec_id"), col("cell"))
+      .join(t.documents.select(col("doc_id"), col("n_chars")),
+        col("vec_id") === col("doc_id"))
+    val top = graft.plans.TopKPerKey(
+      scored.select("cell", "doc_id", "n_chars"),
+      Seq("cell"), Seq(("n_chars", false), ("doc_id", true)), DiverseQuota)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("cell").orderBy(col("n_chars").desc, col("doc_id"))
+    val out = top
+      .withColumn("cell_rank", row_number().over(w))
+      .orderBy("cell", "cell_rank")
+    vecs.unpersist(false)
+    out
+  }
+
+  val diverseSampleSql: String =
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |c0 AS (SELECT CAST(vec_id AS INT) AS cell, v AS c FROM e WHERE vec_id < $NumCells),
+       |a1 AS (${assignSql("e", "c0")}),
+       |c1 AS (${meansSql("a1")}),
+       |a2 AS (${assignSql("e", "c1")}),
+       |c2 AS (${meansSql("a2")}),
+       |a3 AS (${assignSql("e", "c2")})
+       |SELECT cell, doc_id, n_chars, cell_rank FROM (
+       | SELECT a3.cell, d.doc_id, d.n_chars,
+       |  ROW_NUMBER() OVER (PARTITION BY a3.cell
+       |    ORDER BY d.n_chars DESC, d.doc_id) AS cell_rank
+       | FROM a3 JOIN documents d ON a3.vec_id = d.doc_id)
+       |WHERE cell_rank <= $DiverseQuota
+       |ORDER BY cell, cell_rank""".stripMargin
+
   /** Corpus k-means clustering as a first-class operator — the "cluster
     * the embedding space" step of curation (topic balancing, diversity
     * sampling, per-cluster quotas). Same deterministic Lloyd training as

@@ -283,6 +283,32 @@ class Similarity2Spec extends SparkSpec {
     }
   }
 
+  test("diverse sample fills each cluster's quota with its longest documents") {
+    import graft.operators.Similarity
+    val cells = Similarity.kmeansClusters(sf).collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val chars = sf.documents.select("doc_id", "n_chars").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val got = Similarity.diverseSample(sf).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getInt(3)))
+    // quota, rank contiguity, and ordering within each cell
+    got.groupBy(_._1).foreach { case (cell, rows) =>
+      assert(rows.length <= 10)
+      assert(rows.map(_._4).sorted.toSeq == (1 to rows.length))
+      val sorted = rows.sortBy(_._4)
+      assert(sorted.map(_._3).toSeq ==
+        sorted.map(_._3).sortBy(-(_: Long)).toSeq, s"cell $cell order")
+    }
+    // replay: each cell's quota = its docs ranked by (n_chars desc, id)
+    val expected = cells.toSeq.groupBy(_._2).flatMap { case (cell, ds) =>
+      ds.map(_._1).sortBy(id => (-chars(id), id)).take(10)
+        .zipWithIndex.map { case (id, i) => (cell, id, chars(id), i + 1) }
+    }.toSet
+    assert(got.toSet == expected)
+    // diversity bites: every non-empty cell contributes
+    assert(got.map(_._1).toSet == cells.values.toSet)
+  }
+
   test("ivf-pq composes the coarse prune with ADC scoring consistently") {
     import graft.operators.{Embeddings, Similarity}
     val got = Similarity.ivfPqTopK(sf).collect()
