@@ -9,11 +9,36 @@ import org.apache.spark.sql.SparkSession
   * stdout, so the final JSON line is capped at ~1840 chars total: it
   * carries the total, per-query count, and the slowest queries
   * (3-decimal precision); the complete map lives in the detail file.
+  *
+  * A query that throws is recorded as an explicit `errs` entry and
+  * EXCLUDED from `value`/`n_queries` — a broken query must never flatter
+  * the bench by "finishing" in fail-fast exception time (round 8 shipped
+  * 36 analysis exceptions inside a "184-query" total).
+  *
+  * Contention sentinel: a fixed per-core-sized calibration job is timed
+  * before the suite; if even its best-of-3 runs ≥2× the recorded
+  * clean-box time, the host is sharing CPU and the output carries
+  * `"contended": true` — round-over-round comparisons should then prefer
+  * `value_min` (sum of per-query minima) over the median-based `value`.
   */
 object Bench {
   // Locale.ROOT: a comma-decimal default locale would break the JSON
   private def fmt(v: Double): String =
     String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
+
+  /** Fixed CPU-bound codegen job, sized per core so the expected wall
+    * time is ~invariant to SPARK_GRAFT_CPUS when cores are actually
+    * free: `cpus` partitions × 12.5M-row modulo-sum each.
+    */
+  private def calibrationSec(spark: SparkSession, cpus: Int): Double = {
+    val t0 = System.nanoTime()
+    spark.range(0L, cpus.toLong * 12500000L, 1L, cpus)
+      .selectExpr("sum(id % 7)").collect()
+    (System.nanoTime() - t0) / 1e9
+  }
+  // measured on an uncontended dev box (0.18 s best-of-3 at local[32],
+  // per-core-sized so local[4] agrees within noise); ≥2x means shared CPU
+  private val CalibCleanSec = 0.2
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -43,14 +68,27 @@ object Bench {
         t.lineitem, t.events, t.documents, t.embeddings)
         .foreach(df => df.count())
     } catch { case _: Throwable => () }
+    // contention sentinel: timed AFTER warmup (so codegen/JIT costs don't
+    // pollute it), best-of-3 so a one-off scheduler hiccup doesn't flag
+    val calib = (1 to 3).map(_ => calibrationSec(spark, cpus.toInt)).min
+    val contended = calib >= CalibCleanSec * 2
+    if (contended)
+      System.err.println(
+        f"[bench] WARNING: calibration ${calib}%.2f s vs clean ${CalibCleanSec}%.2f s — host appears CPU-contended; prefer value_min")
     // optional args: benchmark only the named queries (local profiling aid)
     val picked =
       if (args.isEmpty) SparkEntry.queries
       else SparkEntry.queries.filter { case (k, _) => args.contains(k) }
-    val results = picked.map { case (name, fn) =>
+    val errs = scala.collection.mutable.LinkedHashMap.empty[String, String]
+    val results = picked.flatMap { case (name, fn) =>
+      var err: Option[String] = None
       val times = (1 to reps).map { _ =>
         val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+        try { if (err.isEmpty) fn(spark, sfDir).count() }
+        catch { case e: Throwable =>
+          err = Some(Option(e.getMessage).getOrElse(e.getClass.getName)
+            .replaceAll("\\s+", " ").take(160))
+        }
         val dt = (System.nanoTime() - t0) / 1e9
         // session hygiene between runs (same as Verify): operators
         // persist intermediates sized for their own lifetime; across 100+
@@ -62,13 +100,25 @@ object Bench {
         spark.catalog.clearCache()
         dt
       }.sorted
-      name -> times(times.length / 2)
+      err match {
+        case Some(msg) => errs(name) = msg; None
+        case None      => Some(name -> (times(times.length / 2), times.head))
+      }
     }
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    val all = results.toSeq.sortBy(-_._2)
-    val detail = all.map { case (k, v) => s"\"$k\":${fmt(v)}" }.mkString("{", ",", "}")
+    val total = results.values.map(_._1).sum
+    val totalMin = results.values.map(_._2).sum
+    val all = results.toSeq.sortBy(-_._2._1)
+    // JSON string escape for error messages (quotes/backslashes/control)
+    def jq(s: String): String = "\"" + s.flatMap {
+      case '"' => "\\\""; case '\\' => "\\\\"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    } + "\""
+    val detail = all.map { case (k, (med, _)) => s"\"$k\":${fmt(med)}" }.mkString("{", ",", "}")
+    val detailMin = all.map { case (k, (_, mn)) => s"\"$k\":${fmt(mn)}" }.mkString("{", ",", "}")
+    val errJson = errs.map { case (k, v) => s"${jq(k)}:${jq(v)}" }.mkString("{", ",", "}")
     val detailJson =
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${all.size},"reps":$reps,"queries":$detail,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${all.size},"n_err":${errs.size},"errs":$errJson,"contended":$contended,"calib_sec":${fmt(calib)},"value_min":${fmt(totalMin)},"reps":$reps,"queries":$detail,"queries_min":$detailMin,"sf":"$sfDir"}"""
     println(s"BENCH_DETAIL $detailJson")
     // The FULL per-query map also goes to a file: the collecting harness
     // keeps only the last ~2KB of stdout, which cannot carry 140+ query
@@ -86,22 +136,25 @@ object Bench {
     }
     // Final line: slowest queries only, hard-capped so the line survives
     // tail truncation with room for the runner's trailing output (the
-    // collector keeps 2000 chars; ~140 chars of envelope + this budget
+    // collector keeps 2000 chars; ~230 chars of envelope + this budget
     // leaves headroom for a trailing newline and runner noise).
-    val budget = 1700
+    val budget = 1550
     val sb = new StringBuilder
     var kept = 0
     var full = false
     // stop at the first entry that doesn't fit so the kept set is a true
     // slowest-N prefix (matching the queries_slowest label)
-    all.foreach { case (k, v) =>
+    all.foreach { case (k, (med, _)) =>
       if (!full) {
-        val entry = (if (kept > 0) "," else "") + s"\"$k\":${fmt(v)}"
+        val entry = (if (kept > 0) "," else "") + s"\"$k\":${fmt(med)}"
         if (sb.length + entry.length <= budget) { sb.append(entry); kept += 1 }
         else full = true
       }
     }
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${all.size},"queries_slowest":$kept,"queries":{${sb.result()}},"sf":"$sfDir"}""")
+    // errored query NAMES (not messages) on the final line, capped; full
+    // messages live in the detail file
+    val errNames = errs.keys.take(8).map(k => s"\"$k\"").mkString("[", ",", "]")
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${all.size},"n_err":${errs.size},"err_names":$errNames,"contended":$contended,"calib_sec":${fmt(calib)},"value_min":${fmt(totalMin)},"queries_slowest":$kept,"queries":{${sb.result()}},"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -15,25 +15,36 @@ final case class Tables(spark: SparkSession, dir: String) {
   private def t(name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
 
-  /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark's vectorized
-    * reader rejects. Read it as raw nanos (legacy conf) and truncate to
-    * microseconds — the same ns→µs truncation DuckDB applies, so oracle
-    * comparisons agree.
+  /** `events.ts` arrives in whichever physical encoding the upstream
+    * export chose — historically parquet TIMESTAMP(NANOS) (which Spark's
+    * vectorized reader rejects without the legacy nanos-as-long conf),
+    * currently a plain µs TIMESTAMP (TIMESTAMP_NTZ to Spark). Mirror the
+    * reference's source tolerance (loaders.py:115 `_normalize_df`
+    * coercion ladder, etl.py:26 `pd.to_datetime(..., utc=True)`): inspect
+    * the type that actually arrived and normalize to a session-TZ
+    * TimestampType µs column. DuckDB truncates ns→µs the same way, so
+    * oracle comparisons agree on either encoding.
     *
-    * DELIBERATELY SESSION-WIDE: the conf is consulted again at scan
-    * execution time, so a set-and-restore around this (lazy) read would
-    * fail at runtime. The visible effect is that any later nanos-timestamp
-    * parquet read in the session also arrives as raw longs instead of
-    * erroring — acceptable for this engine's sessions, which own their
-    * builder (see Bench/Verify/specs); callers embedding graft in a
-    * session that must keep strict nanos rejection should read events
-    * through a separate session.
+    * The nanosAsLong conf is DELIBERATELY SESSION-WIDE: it is consulted
+    * again at scan execution time, so a set-and-restore around this
+    * (lazy) read would fail at runtime. The visible effect is that any
+    * later nanos-timestamp parquet read in the session also arrives as
+    * raw longs instead of erroring — acceptable for this engine's
+    * sessions, which own their builder (see Bench/Verify/specs).
     */
   private def eventsRaw: DataFrame = {
+    import org.apache.spark.sql.functions.{col, expr}
+    import org.apache.spark.sql.types.{LongType, TimestampType}
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    t("events").withColumn(
-      "ts",
-      org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
+    val raw = t("events")
+    raw.schema("ts").dataType match {
+      // TIMESTAMP(NANOS) read as raw longs: truncate ns → µs
+      case LongType      => raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      case TimestampType => raw
+      // TIMESTAMP_NTZ (and any other timestamp flavor): with the UTC
+      // session timezone this cast is a wall-clock identity
+      case _             => raw.withColumn("ts", col("ts").cast(TimestampType))
+    }
   }
 
   def region: DataFrame     = t("region")

@@ -18,11 +18,18 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    // failed queries must leave a durable trace, not just a stderr line:
+    // a missing output dir reads as "query absent" to the driver's sheet,
+    // which silently shrinks the denominator (round 8 shipped 148 green
+    // rows with 36 broken queries invisible). Collect name → error here
+    // and dump _failures.json next to oracle_sql.json.
+    val failures = scala.collection.mutable.LinkedHashMap.empty[String, String]
     picked.foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        failures(name) = Option(e.getMessage).getOrElse(e.getClass.getName)
       }
       // operators may persist() intermediates that live as long as their
       // plan; once the output is written they are dead weight — release
@@ -44,6 +51,14 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    // always written (empty object on a clean run) so consumers can
+    // distinguish "no failures" from "harness predates failure reporting"
+    val failJson = failures
+      .map { case (k, v) => s"${q(k)}: ${q(v.take(500))}" }.mkString("{", ",", "}")
+    Files.writeString(Paths.get(s"$outDir/_failures.json"), failJson)
+    if (failures.nonEmpty) {
+      System.err.println(s"[verify] ${failures.size} quer${if (failures.size == 1) "y" else "ies"} FAILED: ${failures.keys.mkString(", ")}")
+    }
     spark.stop()
   }
 }

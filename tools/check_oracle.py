@@ -35,8 +35,19 @@ def main(sf_dir: str, out_dir: str) -> int:
         con.execute(
             f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
+    try:
+        failures = json.load(open(f"{out_dir}/_failures.json"))
+    except FileNotFoundError:
+        failures = {}
     n_ok = n_bad = 0
     for name, sql in sorted(oracle.items()):
+        if name in failures:
+            # Verify recorded an execution failure — report it as an
+            # explicit err row instead of a confusing missing-parquet IO
+            # error (or, worse, silence)
+            print(f"err  {name}: {failures[name][:200]}")
+            n_bad += 1
+            continue
         try:
             got = canon(con.execute(
                 f"SELECT * FROM parquet_scan('{out_dir}/{name}/*.parquet')"
