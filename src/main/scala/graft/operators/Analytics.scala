@@ -509,10 +509,16 @@ object Analytics {
       (col("n_a") - 1) / col("n_a")
     val vb = (col("qqb") - col("db") * col("db") / col("n_b")) /
       (col("n_b") - 1) / col("n_b")
+    // degenerate cohorts (empty → mean divides by 0; singleton → the
+    // n-1 variance divides by 0; zero-variance → t divides by sqrt(0))
+    // must yield NULL, not a platform-dependent NaN/Inf — mirrored
+    // exactly by the oracle's CASE guards
     s.select(col("n_a"), col("n_b"),
-      meanA.as("mean_a"), meanB.as("mean_b"),
-      (meanA - meanB).as("diff"),
-      ((meanA - meanB) / sqrt(va + vb)).as("t_stat"))
+      when(col("n_a") > 0, meanA).as("mean_a"),
+      when(col("n_b") > 0, meanB).as("mean_b"),
+      when(col("n_a") > 0 && col("n_b") > 0, meanA - meanB).as("diff"),
+      when(col("n_a") > 1 && col("n_b") > 1 && (va + vb) > 0,
+        (meanA - meanB) / sqrt(va + vb)).as("t_stat"))
   }
 
   val abTestSql: String = {
@@ -536,11 +542,15 @@ object Analytics {
        |  ${toD("qa")} / 10000.0 AS qqa, ${toD("qb")} / 10000.0 AS qqb
        | FROM s)
        |SELECT n_a, n_b,
-       | da / n_a AS mean_a, db / n_b AS mean_b,
-       | da / n_a - db / n_b AS diff,
-       | (da / n_a - db / n_b) /
-       |  sqrt((qqa - da * da / n_a) / (n_a - 1) / n_a
-       |     + (qqb - db * db / n_b) / (n_b - 1) / n_b) AS t_stat
+       | CASE WHEN n_a > 0 THEN da / n_a END AS mean_a,
+       | CASE WHEN n_b > 0 THEN db / n_b END AS mean_b,
+       | CASE WHEN n_a > 0 AND n_b > 0 THEN da / n_a - db / n_b END AS diff,
+       | CASE WHEN n_a > 1 AND n_b > 1
+       |       AND (qqa - da * da / n_a) / (n_a - 1) / n_a
+       |         + (qqb - db * db / n_b) / (n_b - 1) / n_b > 0
+       |  THEN (da / n_a - db / n_b) /
+       |   sqrt((qqa - da * da / n_a) / (n_a - 1) / n_a
+       |      + (qqb - db * db / n_b) / (n_b - 1) / n_b) END AS t_stat
        |FROM d""".stripMargin
   }
 

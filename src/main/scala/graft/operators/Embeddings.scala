@@ -470,11 +470,19 @@ object Embeddings {
       .withColumn("fr", row_number().over(wf))
       .withColumn("tr", row_number().over(wt))
       .where(col("fr") <= MatK && col("tr") <= MatK)
-    ranked
-      .select(col("fr"), col("tr"), explode(sequence(lit(1), lit(MatK))).as("k"))
+    val hits = ranked
+      .select(explode(sequence(lit(1), lit(MatK))).as("k"),
+        greatest(col("fr"), col("tr")).as("worst"))
       .groupBy("k")
-      .agg((sum(when(greatest(col("fr"), col("tr")) <= col("k"), 1).otherwise(0))
-        .cast("double") / (lit(MatQueries) * col("k"))).as("recall"))
+      .agg(sum(when(col("worst") <= col("k"), 1).otherwise(0)).as("h"))
+    // dense k frame LEFT-joined (broadcast: MatK rows) so a degenerate
+    // corpus with zero agreeing top-K rows still yields MatK recall-0
+    // rows — matching the oracle's `range(1,K+1) LEFT JOIN hits` shape
+    t.spark.range(1, MatK + 1).select(col("id").cast("int").as("k"))
+      .join(broadcast(hits), Seq("k"), "left")
+      .select(col("k"),
+        (coalesce(col("h"), lit(0L)).cast("double") /
+          (lit(MatQueries) * col("k"))).as("recall"))
       .orderBy("k")
   }
 

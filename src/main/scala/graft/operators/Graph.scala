@@ -232,9 +232,6 @@ object Graph {
        |FROM r WHERE rk <= $RecK
        |ORDER BY p_partkey, jaccard DESC, rec_partkey""".stripMargin
 
-  /** Oracle: the same five supersteps unrolled as CTEs in portable
-    * integer math (`//` is DuckDB's truncating integer division).
-    */
   /** Degree distribution of the repeat-co-purchase network — the first
     * chart of any graph health report (and the skew diagnostic that
     * decides whether the wedge joins above need salting). Node degrees
@@ -272,6 +269,9 @@ object Graph {
        |   AS node_share
        |FROM h ORDER BY degree""".stripMargin
 
+  /** Oracle: the same five supersteps unrolled as CTEs in portable
+    * integer math (`//` is DuckDB's truncating integer division).
+    */
   val pageRankSql: String = {
     val mass = Mass.toString
     def iter(i: Int, prev: String): String =
@@ -301,4 +301,55 @@ object Graph {
        |  CAST(r AS DOUBLE) / 1e15 AS rank
        |FROM it$Iters ORDER BY rank_femto DESC, p_partkey""".stripMargin
   }
+
+  /** Connected components of the co-purchase network — the generic graph
+    * operator behind [[Dedup.clusters]]' label machinery, promoted to
+    * the Graph family: every part labeled with the minimum part key
+    * reachable through support-≥[[EdgeSupport]] co-purchase edges
+    * (isolated parts label themselves), plus the component size.
+    *
+    * Execution reuses [[Dedup.propagateLabels]]' hybrid fixpoint: the
+    * mined edge list is orders of magnitude smaller than the pair space,
+    * so small graphs resolve in one driver union-find pass and large
+    * ones run the converging min-label join loop — either way the heavy
+    * work is the shared basket mining, and the component size attaches
+    * with one window over the labels (no second join).
+    */
+  def components(t: Tables): DataFrame = {
+    val pairs = Relational7.basketPairsRaw(t, EdgeSupport)
+      .select(col("a_part").as("a_id"), col("b_part").as("b_id"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("lbl")
+    Dedup.propagateLabels(t.part.select(col("p_partkey").as("id")), pairs)
+      .select(col("id").as("p_partkey"), col("lbl").as("component"),
+        count(lit(1)).over(w).as("comp_size"))
+      .orderBy("p_partkey")
+  }
+
+  /** Oracle: exact reachability via a recursive CTE — the minimum label
+    * floods along edges (pruned to strictly-smaller labels, which is
+    * complete because the component minimum is smaller than every node
+    * it must reach), then every part takes the min reachable label.
+    */
+  val componentsSql: String =
+    s"""WITH RECURSIVE
+       |items AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+       |cp AS (
+       |  SELECT a.l_partkey AS a, b.l_partkey AS b
+       |  FROM items a JOIN items b
+       |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+       |  GROUP BY 1, 2 HAVING COUNT(*) >= $EdgeSupport),
+       |edges AS (SELECT a AS u, b AS v FROM cp
+       |          UNION ALL SELECT b AS u, a AS v FROM cp),
+       |reach(node, lbl) AS (
+       |  SELECT u, u FROM (SELECT DISTINCT u FROM edges)
+       |  UNION
+       |  SELECT e.v, r.lbl FROM reach r JOIN edges e ON e.u = r.node
+       |  WHERE r.lbl < e.v),
+       |comp AS (SELECT node, MIN(lbl) AS component FROM reach GROUP BY node),
+       |lab AS (
+       |  SELECT p.p_partkey, COALESCE(c.component, p.p_partkey) AS component
+       |  FROM part p LEFT JOIN comp c ON c.node = p.p_partkey)
+       |SELECT p_partkey, component,
+       |  CAST(COUNT(*) OVER (PARTITION BY component) AS BIGINT) AS comp_size
+       |FROM lab ORDER BY p_partkey""".stripMargin
 }

@@ -148,16 +148,21 @@ object Multimodal {
     require(dataOff > 0 && bits == 16,
       s"doc ${r.doc_id}: no 16-bit PCM data chunk")
     val frames = dataLen / 2
-    var acc = 0.0
+    // energy accumulates EXACTLY in integer space (s² ≤ 2³⁰ — a long
+    // holds ~2³³ samples' worth), so the RMS double is one division and
+    // one sqrt over exact operands: order-free and replayable bit-exact
+    // by any engine that can sum integers (the oracle requirement)
+    var acc = 0L
     var i = 0
     while (i < frames) {
-      val s = b.getShort(dataOff + 2 * i).toDouble / 32768.0
+      val s = b.getShort(dataOff + 2 * i).toLong
       acc += s * s
       i += 1
     }
     val nSamples = frames / channels
     AudioMeta(r.doc_id, sampleRate, channels, bits, nSamples,
-      nSamples * 1000.0 / sampleRate, math.sqrt(acc / frames), batchId)
+      nSamples * 1000.0 / sampleRate,
+      math.sqrt(acc.toDouble / frames) / 32768.0, batchId)
   }
 
   /** The audio twin of [[decodeImagesFrom]]: identical batched
@@ -421,6 +426,79 @@ object Multimodal {
         (count(lit(1)).over(w) > 1).as("is_dup"))
       .orderBy("doc_id")
   }
+
+  /** Deterministic RIFF/WAVE synthesis for [[decodeWav]]: a real,
+    * well-formed WAV container (odd-sized JUNK chunk before `fmt ` to
+    * exercise the parser's word-alignment padding, then 16-bit mono PCM)
+    * whose header fields and samples are integer functions of the doc id
+    * — so the oracle can replay the decode output without parsing bytes,
+    * while the REGISTERED query still runs the real chunk-walking parser
+    * over real container bytes.
+    */
+  private[graft] def synthWav(docId: Long): Array[Byte] = {
+    val rate = 8000 + (docId % 4).toInt * 4000
+    val n = 64 + (docId % 64).toInt
+    val dataLen = n * 2
+    // RIFF size: WAVE tag + (JUNK hdr + 3 data + 1 pad) + fmt + data
+    val riffLen = 4 + (8 + 3 + 1) + (8 + 16) + (8 + dataLen)
+    val buf = java.nio.ByteBuffer.allocate(8 + riffLen)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    buf.put("RIFF".getBytes("US-ASCII")); buf.putInt(riffLen)
+    buf.put("WAVE".getBytes("US-ASCII"))
+    buf.put("JUNK".getBytes("US-ASCII")); buf.putInt(3)
+    buf.put(Array[Byte](1, 2, 3)); buf.put(0.toByte) // odd size + pad
+    buf.put("fmt ".getBytes("US-ASCII")); buf.putInt(16)
+    buf.putShort(1); buf.putShort(1) // PCM, mono
+    buf.putInt(rate); buf.putInt(rate * 2); buf.putShort(2)
+    buf.putShort(16)
+    buf.put("data".getBytes("US-ASCII")); buf.putInt(dataLen)
+    var i = 0
+    while (i < n) {
+      buf.putShort((((docId * 7919 + i.toLong * 104729) % 65536) - 32768).toShort)
+      i += 1
+    }
+    buf.array()
+  }
+
+  /** The REAL-codec registered query: synthesize a deterministic WAV
+    * container per document and run the actual [[wavDecoder]] chunk walk
+    * + integer-exact RMS over it through the batched seam — unlike the
+    * stub tiers, the parser here is the same code a production audio
+    * pipeline would point at object-store bytes.
+    */
+  def decodeWav(t: Tables): DataFrame = {
+    val spark = t.spark
+    import spark.implicits._
+    val media = t.documents.select(col("doc_id")).as[Long]
+      .map(id => MediaRecord(id, synthWav(id)))
+      .toDF()
+    decodeAudioFrom(media, wavDecoder)
+  }
+
+  /** Oracle for [[decodeWav]]: replays the synthesis formulas — header
+    * fields from the doc id, energy as the EXACT integer sample-square
+    * sum (order-free), RMS/duration as the identical double expressions.
+    */
+  val decodeWavSql: String =
+    """WITH p AS (
+      |  SELECT doc_id,
+      |    8000 + (doc_id % 4) * 4000 AS rate,
+      |    64 + doc_id % 64 AS n
+      |  FROM documents),
+      |s AS (
+      |  SELECT doc_id, SUM(v * v) AS acc FROM (
+      |    SELECT doc_id, ((doc_id * 7919 + j * 104729) % 65536) - 32768 AS v
+      |    FROM (SELECT doc_id, n, unnest(range(0, n)) AS j FROM p))
+      |  GROUP BY doc_id)
+      |SELECT p.doc_id,
+      |  CAST(rate AS INT) AS sample_rate,
+      |  1 AS channels,
+      |  16 AS bits_per_sample,
+      |  CAST(n AS INT) AS n_samples,
+      |  CAST(n AS DOUBLE) * 1000 / rate AS duration_ms,
+      |  sqrt(CAST(acc AS DOUBLE) / n) / 32768 AS rms
+      |FROM p JOIN s ON p.doc_id = s.doc_id
+      |ORDER BY p.doc_id""".stripMargin
 
   val dedupAhashSql: String =
     """WITH b AS (

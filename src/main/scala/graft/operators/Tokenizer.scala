@@ -1,0 +1,126 @@
+package graft.operators
+
+import graft.Tables
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Tokenizer TRAINING: deterministic byte-pair-encoding merge learning
+  * over the documents corpus — the step that turns a raw corpus into the
+  * merge table `text_bpe_tokens` / `text_pack_sequences` would consume.
+  *
+  * Scale shape: the ONLY corpus-sized pass is the word-frequency
+  * aggregation (map-side combinable groupBy). Every merge round after
+  * that runs on the aggregated VOCABULARY table (≪ corpus — bounded by
+  * distinct word forms, not tokens), the same reduction classic BPE
+  * trainers rely on. Per round: one small shuffle (pair counts) and one
+  * narrow projection (merge application); the only driver state is the
+  * single best pair per round (2 short strings — the bounded-model
+  * convention of the k-means centroids in [[Similarity]]).
+  *
+  * Merge semantics are defined EXACTLY as "leftmost non-overlapping
+  * `replace` on the space-separated symbol string" (so `a a a a` under
+  * merge (a,a) becomes `aa a a` after one round, not `aa aa` — the
+  * scan resumes after each replacement). Both engines implement string
+  * replace with that same standard scan, which is what makes the oracle
+  * replay bit-exact; canonical BPE's repeat-run handling differs only on
+  * degenerate all-same-letter runs.
+  */
+object Tokenizer {
+
+  private[graft] val BpeMerges = 20
+
+  /** Word-frequency vocabulary, each word exploded to a space-separated
+    * character-symbol string: `hello` → `h e l l o`.
+    */
+  private def vocab(t: Tables): DataFrame =
+    t.documents
+      .select(explode(expr("regexp_extract_all(lower(text), '[a-z]+', 0)")).as("word"))
+      .groupBy("word").agg(count(lit(1)).as("freq"))
+      .select(trim(regexp_replace(col("word"), "(.)", "$1 ")).as("w"), col("freq"))
+
+  /** Adjacent-symbol pair counts over the current vocabulary state. */
+  private def pairCounts(words: DataFrame): DataFrame =
+    words
+      .withColumn("s", split(col("w"), " "))
+      .where(size(col("s")) >= 2)
+      .select(explode(expr(
+        """transform(sequence(1, size(s) - 1),
+          |  j -> concat(element_at(s, j), ' ', element_at(s, j + 1)))"""
+          .stripMargin)).as("pair"), col("freq"))
+      .groupBy("pair").agg(sum(col("freq")).as("cnt"))
+
+  /** Learn [[BpeMerges]] merges: per round, the most frequent adjacent
+    * symbol pair (ties broken lexicographically on the pair string) is
+    * merged throughout the vocabulary. Output: one row per learned merge
+    * (rank, left symbol, right symbol, merged symbol, pair frequency at
+    * merge time).
+    */
+  def bpeTrain(t: Tables): DataFrame = {
+    val spark = t.spark
+    import spark.implicits._
+    // one corpus pass, then cache: every round re-reads the (small)
+    // vocabulary, never the corpus
+    var words = vocab(t).cache()
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, String, Long)]
+    var exhausted = false
+    for (rank <- 1 to BpeMerges if !exhausted) {
+      val best = pairCounts(words).orderBy(col("cnt").desc, col("pair")).head(1)
+      if (best.isEmpty) exhausted = true // corpus too small for more merges
+      else {
+        val pair = best(0).getString(0)
+        val cnt = best(0).getLong(1)
+        val Array(l, r) = pair.split(" ", 2)
+        merges += ((rank, l, r, l + r, cnt))
+        // leftmost non-overlapping merge application — a narrow
+        // projection stacked on the cached vocab (no shuffle); symbols
+        // are [a-z]+ so literal embedding in the expression is safe
+        words = words.withColumn("w",
+          expr(s"trim(replace(concat(' ', w, ' '), ' $l $r ', ' $l$r '))"))
+      }
+    }
+    merges.toSeq
+      .toDF("merge_rank", "lhs", "rhs", "merged", "pair_count")
+      .orderBy("merge_rank")
+  }
+
+  /** Oracle: the same merge rounds unrolled as CTEs (the
+    * [[Graph.pageRankSql]] pattern) — per round, pair counts from the
+    * current vocab state, argmax with the identical (cnt DESC, pair)
+    * tie-break, and the identical sentinel-space `replace` application.
+    */
+  val bpeTrainSql: String = {
+    // MATERIALIZED is load-bearing: every w$i is referenced twice (the
+    // next round's pair count and the next state), so an inlining
+    // planner would expand the chain exponentially — 2^rounds scans of
+    // the documents table
+    def round(i: Int, prev: String): String =
+      s"""p$i AS MATERIALIZED (
+         |  SELECT s[j] || ' ' || s[j+1] AS pair, SUM(freq) AS cnt FROM (
+         |    SELECT s, freq, unnest(range(1, len(s))) AS j
+         |    FROM (SELECT string_split(w, ' ') AS s, freq FROM $prev))
+         |  GROUP BY 1),
+         |b$i AS MATERIALIZED (
+         |  SELECT pair, cnt, string_split(pair, ' ')[1] AS l,
+         |         string_split(pair, ' ')[2] AS r
+         |  FROM p$i ORDER BY cnt DESC, pair LIMIT 1),
+         |w$i AS MATERIALIZED (
+         |  SELECT trim(replace(' ' || w || ' ',
+         |    (SELECT ' '||l||' '||r||' ' FROM b$i),
+         |    (SELECT ' '||l||r||' ' FROM b$i))) AS w, freq
+         |  FROM $prev)""".stripMargin
+    val rounds = (1 to BpeMerges).map(i => round(i, s"w${i - 1}")).mkString(",\n")
+    val out = (1 to BpeMerges).map(i =>
+      s"SELECT $i AS merge_rank, l AS lhs, r AS rhs, l||r AS merged, CAST(cnt AS BIGINT) AS pair_count FROM b$i")
+      .mkString("\nUNION ALL\n")
+    s"""WITH w0 AS MATERIALIZED (
+       |  SELECT trim(regexp_replace(word, '(.)', '\\1 ', 'g')) AS w,
+       |         CAST(COUNT(*) AS BIGINT) AS freq
+       |  FROM (SELECT unnest(regexp_extract_all(lower(text), '[a-z]+')) AS word
+       |        FROM documents)
+       |  GROUP BY 1),
+       |$rounds
+       |SELECT merge_rank, lhs, rhs, merged, pair_count FROM (
+       |$out)
+       |ORDER BY merge_rank""".stripMargin
+  }
+}

@@ -39,6 +39,13 @@ object Sinks {
   def expirePartitions(spark: org.apache.spark.sql.SparkSession,
       path: String, cutoffYm: String): Seq[String] = {
     import org.apache.hadoop.fs.Path
+    // destructive operation behind a lexicographic compare: a malformed
+    // cutoff ("2024-06", "202406x", "") would silently drop the wrong
+    // set (e.g. "" sorts before every partition → drops nothing; a
+    // dashed form sorts after "202406" → drops everything). Refuse
+    // anything that isn't the partition scheme's exact yyyyMM shape.
+    require(cutoffYm.matches("""\d{6}"""),
+      s"cutoffYm must be yyyyMM (matching the ym= partition values), got '$cutoffYm'")
     val p = new Path(path)
     val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
     if (!fs.exists(p)) Seq.empty

@@ -105,4 +105,54 @@ class GraphSpec extends SparkSpec {
     assert(plan.contains("TopKPerKey"))
     assert(!plan.contains("Window"))
   }
+
+  test("components labels a known multi-component graph with min ids and sizes") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-comp").toString
+    // support-2 edges: {1,2} (orders 10,11), {3,4} (orders 12,13),
+    // {4,5} (orders 13,14 — chains 3-4-5 into one component);
+    // (2,3) co-occur only once (order 15) → NO edge; part 6 isolated
+    Seq(
+      (10L, 1L), (10L, 2L), (11L, 1L), (11L, 2L),
+      (12L, 3L), (12L, 4L), (13L, 3L), (13L, 4L),
+      (13L, 5L), (14L, 4L), (14L, 5L),
+      (15L, 2L), (15L, 3L))
+      .toDF("l_orderkey", "l_partkey")
+      .write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+    (1L to 6L).toDF("p_partkey")
+      .write.mode("overwrite").parquet(s"$dir/part.parquet")
+    val got = Graph.components(Tables(spark, dir)).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got == Seq(
+      (1L, 1L, 2L), (2L, 1L, 2L),
+      (3L, 3L, 3L), (4L, 3L, 3L), (5L, 3L, 3L),
+      (6L, 6L, 1L)))
+  }
+
+  test("components on the sf graph matches a union-find replay over the mined pairs") {
+    val items = sf.lineitem.select("l_orderkey", "l_partkey").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).distinct
+    val pairs = items.groupBy(_._1).values.toSeq
+      .flatMap(es => { val ps = es.map(_._2).toSet
+        for (a <- ps; b <- ps if a < b) yield (a, b) })
+      .groupBy(identity).view.mapValues(_.size).filter(_._2 >= 2).keys.toSeq
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(a: Long): Long = {
+      var r = a; while (parent.getOrElse(r, r) != r) r = parent(r); r
+    }
+    pairs.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) { if (ra < rb) parent(rb) = ra else parent(ra) = rb }
+    }
+    val allParts = sf.part.select("p_partkey").collect().map(_.getLong(0))
+    val expLbl = allParts.map(p => p -> find(p)).toMap
+    val expSize = expLbl.values.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val got = Graph.components(sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(got.length == allParts.length)
+    got.foreach { case (p, c, s) =>
+      assert(c == expLbl(p), s"part $p label")
+      assert(s == expSize(expLbl(p)), s"part $p size")
+    }
+  }
 }

@@ -156,4 +156,37 @@ class MultimodalSpec extends SparkSpec {
     // the 16-bit space must actually collide at this corpus size
     assert(rows.exists(_.getBoolean(4)) && rows.exists(!_.getBoolean(4)))
   }
+
+  test("decode_wav runs the real parser over synthesized containers and matches the integer replay") {
+    val got = Multimodal.decodeWav(sf).collect()
+      .map(r => r.getLong(0) ->
+        (r.getInt(1), r.getInt(2), r.getInt(3), r.getInt(4), r.getDouble(5), r.getDouble(6)))
+      .toMap
+    val nDocs = sf.documents.count()
+    assert(got.size == nDocs.toInt && nDocs > 0)
+    got.foreach { case (id, (rate, ch, bits, n, dur, rms)) =>
+      val expRate = 8000 + (id % 4).toInt * 4000
+      val expN = 64 + (id % 64).toInt
+      assert(rate == expRate, s"doc $id rate")
+      assert(ch == 1 && bits == 16)
+      assert(n == expN, s"doc $id n_samples")
+      assert(dur == expN * 1000.0 / expRate, s"doc $id duration")
+      // exact integer energy replay — must be BIT-equal (that exactness
+      // is what makes the DuckDB oracle able to replay the decode)
+      var acc = 0L
+      var i = 0
+      while (i < expN) {
+        val v = ((id * 7919 + i.toLong * 104729) % 65536) - 32768
+        acc += v * v; i += 1
+      }
+      assert(rms == math.sqrt(acc.toDouble / expN) / 32768.0, s"doc $id rms")
+    }
+    // the synthesized container must exercise the full chunk walk: a
+    // malformed byte stream (JUNK chunk dropped pad handling etc.) would
+    // have thrown inside wavDecoder — also prove the blob really is
+    // RIFF/WAVE by decoding one directly
+    val one = Multimodal.wavDecoder(
+      Multimodal.MediaRecord(7L, Multimodal.synthWav(7L)), 0L)
+    assert(one.sample_rate == 8000 + (7 % 4) * 4000 && one.n_samples == 64 + 7 % 64)
+  }
 }
