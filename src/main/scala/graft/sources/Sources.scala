@@ -64,6 +64,87 @@ object Sources {
   def orc(spark: SparkSession, path: String): DataFrame =
     spark.read.orc(path)
 
+  /** Avro container read — the Kafka-ecosystem interchange format the
+    * reference's topic drain would meet in practice. This distribution
+    * carries the avro core/mapred jars but NOT the `spark-avro`
+    * DataSource module, so the read rides Hadoop's `AvroKeyInputFormat`
+    * (splittable — each container block is an input split, so a 100 TB
+    * topic dump scans in parallel like any file source) and converts
+    * records to Rows at the partition seam, by FIELD NAME so files
+    * written by different (compatible) writer schemas land in one
+    * frame. Primitive + nullable-union fields (the Kafka event shape);
+    * no projection pushdown — this is the format-parity seam, not the
+    * hot analytics path (that stays parquet/ORC).
+    */
+  def readAvro(spark: SparkSession, path: String): DataFrame = {
+    import org.apache.avro.Schema
+    import org.apache.avro.file.DataFileStream
+    import org.apache.avro.generic.{GenericDatumReader, GenericRecord}
+    import org.apache.avro.mapred.AvroKey
+    import org.apache.avro.mapreduce.AvroKeyInputFormat
+    import org.apache.hadoop.fs.Path
+    import org.apache.hadoop.io.NullWritable
+    import org.apache.spark.sql.Row
+    import scala.jdk.CollectionConverters._
+    // driver-side metadata read: writer schema from the first container
+    val p = new Path(path)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    val firstFile =
+      if (fs.getFileStatus(p).isDirectory)
+        fs.listStatus(p).filter(_.isFile).map(_.getPath)
+          .filter(_.getName.endsWith(".avro")).minBy(_.getName)
+      else p
+    val stream = new DataFileStream(
+      fs.open(firstFile), new GenericDatumReader[GenericRecord]())
+    val avroSchema = try stream.getSchema finally stream.close()
+
+    def sql(s: Schema): (org.apache.spark.sql.types.DataType, Boolean) = {
+      import org.apache.spark.sql.types._
+      s.getType match {
+        case Schema.Type.UNION =>
+          val nonNull = s.getTypes.asScala.filter(_.getType != Schema.Type.NULL)
+          require(nonNull.size == 1,
+            s"unsupported avro union ${s}: only [null, T] unions map to SQL")
+          (sql(nonNull.head)._1, true)
+        case Schema.Type.LONG    => (LongType, false)
+        case Schema.Type.INT     => (IntegerType, false)
+        case Schema.Type.DOUBLE  => (DoubleType, false)
+        case Schema.Type.FLOAT   => (FloatType, false)
+        case Schema.Type.BOOLEAN => (BooleanType, false)
+        case Schema.Type.STRING  => (StringType, false)
+        case Schema.Type.BYTES   => (BinaryType, false)
+        case other => throw new IllegalArgumentException(
+          s"unsupported avro type $other (field-level records/arrays/maps not mapped)")
+      }
+    }
+    val struct = org.apache.spark.sql.types.StructType(
+      avroSchema.getFields.asScala.toSeq.map { f =>
+        val (dt, nullable) = sql(f.schema())
+        org.apache.spark.sql.types.StructField(f.name(), dt, nullable)
+      })
+    val names = struct.fields.map(_.name)
+    val rdd = spark.sparkContext
+      .newAPIHadoopFile(
+        path,
+        classOf[AvroKeyInputFormat[GenericRecord]],
+        classOf[AvroKey[GenericRecord]],
+        classOf[NullWritable])
+      // GenericRecord is not serializable — conversion happens in the
+      // same map stage as the read, nothing avro-typed crosses a shuffle
+      .map { case (k, _) =>
+        val rec = k.datum()
+        Row.fromSeq(names.toIndexedSeq.map { n =>
+          rec.get(n) match {
+            case u: org.apache.avro.util.Utf8 => u.toString
+            case bb: java.nio.ByteBuffer =>
+              val a = new Array[Byte](bb.remaining()); bb.duplicate().get(a); a
+            case v => v
+          }
+        })
+      }
+    spark.createDataFrame(rdd, struct)
+  }
+
   /** Schema-evolved parquet scan: one table written over time by
     * pipeline versions with different (compatible) schemas, read back
     * as their UNION schema — columns absent in older files surface as

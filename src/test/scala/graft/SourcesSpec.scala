@@ -464,4 +464,47 @@ class SourcesSpec extends SparkSpec {
     assert(zSpanX < pSpanX * 6 + 1, s"zorder partkey span $zSpanX vs plain $pSpanX")
     assert(zSpanX < domainX * 0.5, s"zorder partkey span $zSpanX vs domain $domainX")
   }
+
+  test("avro source reads real containers: schema mapping, nullable unions, by-name fields") {
+    import org.apache.avro.{Schema, SchemaBuilder}
+    import org.apache.avro.file.DataFileWriter
+    import org.apache.avro.generic.{GenericData, GenericDatumWriter, GenericRecord}
+    val dir = java.nio.file.Files.createTempDirectory("graft-avro").toFile
+    val schemaA: Schema = SchemaBuilder.record("Event").fields()
+      .requiredLong("event_id").requiredString("event_type")
+      .requiredDouble("value").optionalString("note")
+      .endRecord()
+    // same fields, DIFFERENT declaration order — the reader must match
+    // by name, not by position
+    val schemaB: Schema = SchemaBuilder.record("Event").fields()
+      .requiredString("event_type").optionalString("note")
+      .requiredLong("event_id").requiredDouble("value")
+      .endRecord()
+    def write(name: String, schema: Schema, rows: Seq[(Long, String, Double, Option[String])]): Unit = {
+      val w = new DataFileWriter(new GenericDatumWriter[GenericRecord](schema))
+      w.create(schema, new java.io.File(dir, name))
+      rows.foreach { case (id, tpe, v, note) =>
+        val r = new GenericData.Record(schema)
+        r.put("event_id", id); r.put("event_type", tpe); r.put("value", v)
+        note.foreach(r.put("note", _))
+        w.append(r)
+      }
+      w.close()
+    }
+    write("a.avro", schemaA, Seq((1L, "view", 1.5, None), (2L, "purchase", 9.0, Some("gift"))))
+    write("b.avro", schemaB, Seq((3L, "view", 2.5, Some("x"))))
+    val got = graft.sources.Sources.readAvro(spark, dir.toString)
+    val f = got.schema.fields.map(x => x.name -> (x.dataType.typeName, x.nullable)).toMap
+    assert(f("event_id") == ("long", false) && f("value") == ("double", false))
+    assert(f("note") == ("string", true))
+    val rows = got.collect()
+      .map(r => (r.getLong(r.fieldIndex("event_id")), r.getString(r.fieldIndex("event_type")),
+        r.getDouble(r.fieldIndex("value")), Option(r.getString(r.fieldIndex("note")))))
+      .sortBy(_._1)
+    assert(rows.toSeq == Seq(
+      (1L, "view", 1.5, None), (2L, "purchase", 9.0, Some("gift")),
+      (3L, "view", 2.5, Some("x"))))
+    // and it composes with SQL like any frame
+    assert(got.where(col("event_type") === "view").count() == 2)
+  }
 }
