@@ -427,6 +427,102 @@ object Multimodal {
       .orderBy("doc_id")
   }
 
+  /** Decoded-raster stats: dims + channel count + the exact integer sum
+    * of all RGB components — the feature a real image QA stage keys on
+    * (a lossless codec makes it replayable from the synthesis formula).
+    */
+  final case class ImageStats(
+      doc_id: Long, width: Int, height: Int, channels: Int, rgb_sum: Long)
+
+  /** Deterministic PNG synthesis for [[decodePng]]: a real PNG (encoded
+    * by javax.imageio) whose dims and per-pixel RGB values are modular
+    * functions of (doc id, x, y). PNG is LOSSLESS, so whatever byte
+    * stream the encoder emits, the DECODED raster equals the source
+    * formula — the oracle replays pixels without touching bytes while
+    * the registered query runs the real codec in BOTH directions.
+    */
+  private[graft] def synthPng(docId: Long): Array[Byte] = {
+    val w = 8 + (docId % 9).toInt
+    val h = 8 + ((docId * 3) % 9).toInt
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val r = ((docId + 7 * x + 13 * y) % 256).toInt
+        val g = ((2 * docId + 11 * x + 3 * y) % 256).toInt
+        val b = ((3 * docId + 5 * x + 17 * y) % 256).toInt
+        img.setRGB(x, y, (r << 16) | (g << 8) | b)
+        x += 1
+      }
+      y += 1
+    }
+    val out = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", out)
+    out.toByteArray
+  }
+
+  /** REAL-codec image twin of [[decodeWav]]: synthesize a PNG per
+    * document, decode it back through javax.imageio at the batched
+    * seam, and emit dims + the exact RGB component sum read from the
+    * DECODED raster. Encode and decode both run the real codec; only
+    * the pixel source is synthetic.
+    */
+  def decodePng(t: Tables): DataFrame = {
+    val spark = t.spark
+    import spark.implicits._
+    t.documents.select(col("doc_id")).as[Long]
+      .mapPartitions { it =>
+        it.grouped(BatchSize).flatMap { batch =>
+          batch.map { id =>
+            val img = javax.imageio.ImageIO.read(
+              new java.io.ByteArrayInputStream(synthPng(id)))
+            require(img != null, s"doc $id: synthesized PNG failed to decode")
+            var sum = 0L
+            var y = 0
+            while (y < img.getHeight) {
+              var x = 0
+              while (x < img.getWidth) {
+                val rgb = img.getRGB(x, y)
+                sum += ((rgb >> 16) & 0xFF) + ((rgb >> 8) & 0xFF) + (rgb & 0xFF)
+                x += 1
+              }
+              y += 1
+            }
+            ImageStats(id, img.getWidth, img.getHeight,
+              img.getColorModel.getNumComponents, sum)
+          }
+        }
+      }
+      .toDF()
+      .orderBy("doc_id")
+  }
+
+  /** Oracle for [[decodePng]]: dims and the pixel-formula RGB sum —
+    * exact integer arithmetic end to end (losslessness is what lets the
+    * oracle skip the codec).
+    */
+  val decodePngSql: String =
+    """WITH p AS (
+      |  SELECT doc_id, 8 + doc_id % 9 AS w, 8 + (doc_id * 3) % 9 AS h
+      |  FROM documents),
+      |xs AS (SELECT doc_id, w, h, unnest(range(0, w)) AS x FROM p),
+      |xy AS (SELECT doc_id, x, unnest(range(0, h)) AS y FROM xs),
+      |s AS (
+      |  SELECT doc_id,
+      |    SUM((doc_id + 7*x + 13*y) % 256
+      |      + (2*doc_id + 11*x + 3*y) % 256
+      |      + (3*doc_id + 5*x + 17*y) % 256) AS rgb_sum
+      |  FROM xy GROUP BY doc_id)
+      |SELECT p.doc_id,
+      |  CAST(w AS INT) AS width,
+      |  CAST(h AS INT) AS height,
+      |  3 AS channels,
+      |  CAST(rgb_sum AS BIGINT) AS rgb_sum
+      |FROM p JOIN s ON p.doc_id = s.doc_id
+      |ORDER BY p.doc_id""".stripMargin
+
   /** Deterministic RIFF/WAVE synthesis for [[decodeWav]]: a real,
     * well-formed WAV container (odd-sized JUNK chunk before `fmt ` to
     * exercise the parser's word-alignment padding, then 16-bit mono PCM)

@@ -189,4 +189,23 @@ class MultimodalSpec extends SparkSpec {
       Multimodal.MediaRecord(7L, Multimodal.synthWav(7L)), 0L)
     assert(one.sample_rate == 8000 + (7 % 4) * 4000 && one.n_samples == 64 + 7 % 64)
   }
+
+  test("decode_png round-trips the real codec: decoded raster equals the pixel formula") {
+    val got = Multimodal.decodePng(sf).collect()
+      .map(r => r.getLong(0) -> (r.getInt(1), r.getInt(2), r.getInt(3), r.getLong(4)))
+      .toMap
+    assert(got.size == sf.documents.count().toInt)
+    got.foreach { case (id, (w, h, ch, sum)) =>
+      val (ew, eh) = (8 + (id % 9).toInt, 8 + ((id * 3) % 9).toInt)
+      assert(w == ew && h == eh && ch == 3, s"doc $id dims")
+      var exp = 0L
+      for (y <- 0 until eh; x <- 0 until ew)
+        exp += (id + 7 * x + 13 * y) % 256 +
+          (2 * id + 11 * x + 3 * y) % 256 + (3 * id + 5 * x + 17 * y) % 256
+      assert(sum == exp, s"doc $id rgb_sum: lossless decode must replay exactly")
+    }
+    // the payload really is PNG: magic bytes + decodable standalone
+    val png = Multimodal.synthPng(3L)
+    assert(png.take(8).toSeq == Seq(0x89, 0x50, 0x4E, 0x47, 0x0D, 0x0A, 0x1A, 0x0A).map(_.toByte))
+  }
 }
