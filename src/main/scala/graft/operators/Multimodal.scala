@@ -165,10 +165,11 @@ object Multimodal {
       math.sqrt(acc.toDouble / frames) / 32768.0, batchId)
   }
 
-  /** The audio twin of [[decodeImagesFrom]]: identical batched
-    * mapPartitions seam, audio codec + schema.
+  /** The audio twin of [[decodeImagesFrom]]'s seam WITHOUT the output
+    * sort — usable on an unbounded stream (sorting is a batch-only
+    * concern; [[graft.streaming.Streams.decodeAudioStream]] rides this).
     */
-  private[graft] def decodeAudioFrom(media: DataFrame, codec: AudioDecoder): DataFrame = {
+  private[graft] def decodeAudioRows(media: DataFrame, codec: AudioDecoder): DataFrame = {
     val spark = media.sparkSession
     import spark.implicits._
     media
@@ -179,8 +180,13 @@ object Multimodal {
         }
       }
       .toDF()
-      .orderBy("doc_id")
   }
+
+  /** The audio twin of [[decodeImagesFrom]]: identical batched
+    * mapPartitions seam, audio codec + schema.
+    */
+  private[graft] def decodeAudioFrom(media: DataFrame, codec: AudioDecoder): DataFrame =
+    decodeAudioRows(media, codec).orderBy("doc_id")
 
   /** Stubbed decode to image metadata over the documents' text-as-binary
     * payloads (the registered, oracled query).

@@ -55,9 +55,12 @@ object Tokenizer {
     * (rank, left symbol, right symbol, merged symbol, pair frequency at
     * merge time).
     */
-  def bpeTrain(t: Tables): DataFrame = {
-    val spark = t.spark
-    import spark.implicits._
+  /** The training loop itself, returning the merge table as driver
+    * values (bounded: [[BpeMerges]] rows of short strings) so both the
+    * registered trainer output and [[bpeApply]]'s merge fold share one
+    * learned model.
+    */
+  private def learnMerges(t: Tables): Seq[(Int, String, String, String, Long)] = {
     // one corpus pass, then cache: every round re-reads the (small)
     // vocabulary, never the corpus
     var words = vocab(t).cache()
@@ -78,9 +81,45 @@ object Tokenizer {
           expr(s"trim(replace(concat(' ', w, ' '), ' $l $r ', ' $l$r '))"))
       }
     }
+    words.unpersist(false)
     merges.toSeq
+  }
+
+  def bpeTrain(t: Tables): DataFrame = {
+    val spark = t.spark
+    import spark.implicits._
+    learnMerges(t)
       .toDF("merge_rank", "lhs", "rhs", "merged", "pair_count")
       .orderBy("merge_rank")
+  }
+
+  /** Tokenize the corpus WITH the learned merges — the apply half of
+    * the tokenizer story (train → apply → count). Each document is
+    * lowercased, split to [a-z]+ words, char-spaced, and the words are
+    * joined with a `|` sentinel no merge pattern can cross; the learned
+    * merge list then folds over the whole corpus as [[BpeMerges]]
+    * stacked NARROW projections (replace is row-local — zero shuffles
+    * beyond the training's vocabulary aggregations). Output: per-doc
+    * post-merge token count next to the pre-merge symbol count.
+    */
+  def bpeApply(t: Tables): DataFrame = {
+    val merges = learnMerges(t)
+    val repr = t.documents.select(
+      col("doc_id"),
+      expr(
+        """concat(' ', array_join(transform(
+          |  regexp_extract_all(lower(text), '[a-z]+', 0),
+          |  w -> trim(regexp_replace(w, '(.)', '$1 '))), ' | '), ' ')"""
+          .stripMargin).as("u"))
+    val folded = merges.foldLeft(repr) { case (df, (_, l, r, _, _)) =>
+      df.withColumn("u", expr(s"replace(u, ' $l $r ', ' $l$r ')"))
+    }
+    folded.select(
+        col("doc_id"),
+        size(expr(
+          "filter(split(trim(u), ' '), x -> x != '|' and x != '')"))
+          .cast("long").as("n_tokens"))
+      .orderBy("doc_id")
   }
 
   /** Oracle: the same merge rounds unrolled as CTEs (the
@@ -88,11 +127,11 @@ object Tokenizer {
     * current vocab state, argmax with the identical (cnt DESC, pair)
     * tie-break, and the identical sentinel-space `replace` application.
     */
-  val bpeTrainSql: String = {
-    // MATERIALIZED is load-bearing: every w$i is referenced twice (the
-    // next round's pair count and the next state), so an inlining
-    // planner would expand the chain exponentially — 2^rounds scans of
-    // the documents table
+  // MATERIALIZED is load-bearing throughout: every w$i / d$i is
+  // referenced twice (next round's pair count + next state), so an
+  // inlining planner would expand the chain exponentially — 2^rounds
+  // scans of the documents table
+  private def trainRoundsSql: String = {
     def round(i: Int, prev: String): String =
       s"""p$i AS MATERIALIZED (
          |  SELECT s[j] || ' ' || s[j+1] AS pair, SUM(freq) AS cnt FROM (
@@ -109,18 +148,48 @@ object Tokenizer {
          |    (SELECT ' '||l||r||' ' FROM b$i))) AS w, freq
          |  FROM $prev)""".stripMargin
     val rounds = (1 to BpeMerges).map(i => round(i, s"w${i - 1}")).mkString(",\n")
-    val out = (1 to BpeMerges).map(i =>
-      s"SELECT $i AS merge_rank, l AS lhs, r AS rhs, l||r AS merged, CAST(cnt AS BIGINT) AS pair_count FROM b$i")
-      .mkString("\nUNION ALL\n")
-    s"""WITH w0 AS MATERIALIZED (
+    s"""w0 AS MATERIALIZED (
        |  SELECT trim(regexp_replace(word, '(.)', '\\1 ', 'g')) AS w,
        |         CAST(COUNT(*) AS BIGINT) AS freq
        |  FROM (SELECT unnest(regexp_extract_all(lower(text), '[a-z]+')) AS word
        |        FROM documents)
        |  GROUP BY 1),
-       |$rounds
+       |$rounds""".stripMargin
+  }
+
+  val bpeTrainSql: String = {
+    val out = (1 to BpeMerges).map(i =>
+      s"SELECT $i AS merge_rank, l AS lhs, r AS rhs, l||r AS merged, CAST(cnt AS BIGINT) AS pair_count FROM b$i")
+      .mkString("\nUNION ALL\n")
+    s"""WITH $trainRoundsSql
        |SELECT merge_rank, lhs, rhs, merged, pair_count FROM (
        |$out)
        |ORDER BY merge_rank""".stripMargin
+  }
+
+  /** Oracle for [[bpeApply]]: the training chain re-derives b1..bN, then
+    * the corpus representation folds through the same N sentinel-space
+    * replaces before the post-merge token census.
+    */
+  val bpeApplySql: String = {
+    def applyRound(i: Int, prev: String): String =
+      s"""d$i AS MATERIALIZED (
+         |  SELECT doc_id, replace(u,
+         |    (SELECT ' '||l||' '||r||' ' FROM b$i),
+         |    (SELECT ' '||l||r||' ' FROM b$i)) AS u
+         |  FROM $prev)""".stripMargin
+    val applies = (1 to BpeMerges).map(i => applyRound(i, s"d${i - 1}")).mkString(",\n")
+    s"""WITH $trainRoundsSql,
+       |d0 AS MATERIALIZED (
+       |  SELECT doc_id,
+       |    ' ' || array_to_string(list_transform(
+       |      regexp_extract_all(lower(text), '[a-z]+'),
+       |      w -> trim(regexp_replace(w, '(.)', '\\1 ', 'g'))), ' | ') || ' ' AS u
+       |  FROM documents),
+       |$applies
+       |SELECT doc_id,
+       |  CAST(len(list_filter(string_split(trim(u), ' '),
+       |    x -> x <> '|' AND x <> '')) AS BIGINT) AS n_tokens
+       |FROM d$BpeMerges ORDER BY doc_id""".stripMargin
   }
 }

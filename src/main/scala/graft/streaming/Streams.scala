@@ -158,6 +158,20 @@ object Streams {
       .withWatermark("ts", "2 hours")
       .dropDuplicatesWithinWatermark(Seq("simhash"))
 
+  /** Streaming multimodal decode: the SAME batched codec seam the batch
+    * queries use ([[graft.operators.Multimodal.decodeAudioRows]], here
+    * with the real RIFF/WAVE parser by default) applied to an unbounded
+    * (doc_id, payload-binary) stream. Row-local — no watermark, no state
+    * store — so a live media feed and a batch backfill emit
+    * byte-identical features because they share the decoder; downstream
+    * windows/gates compose on the typed output like on any stream.
+    */
+  def decodeAudioStream(
+      media: DataFrame,
+      codec: graft.operators.Multimodal.AudioDecoder =
+        graft.operators.Multimodal.wavDecoder): DataFrame =
+    graft.operators.Multimodal.decodeAudioRows(media, codec)
+
   /** Stream-stream interval join: purchases enriched with a view by the
     * same user in the preceding hour. Both sides are watermarked and the
     * time-interval condition bounds join state on both sides — the only

@@ -214,6 +214,32 @@ class StreamingSpec extends SparkSpec {
     assert(batch == keep)
   }
 
+  test("streaming decode runs the real WAV parser and agrees with the batch seam") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.operators.Multimodal
+    val input = MemoryStream[(Long, Array[Byte])]
+    val ids = Seq(3L, 17L, 64L)
+    input.addData(ids.map(id => (id, Multimodal.synthWav(id))): _*)
+    val q = Streams.decodeAudioStream(input.toDF().toDF("doc_id", "payload"))
+      .writeStream.format("memory").queryName("decoded_audio")
+      .outputMode("append").start()
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("decoded_audio").collect()
+      .map(r => r.getLong(0) ->
+        (r.getInt(1), r.getInt(4), r.getDouble(6))).toMap
+    assert(got.keySet == ids.toSet)
+    ids.foreach { id =>
+      // identical features to driving the decoder directly — live feed
+      // and batch backfill share the codec
+      val direct = Multimodal.wavDecoder(
+        Multimodal.MediaRecord(id, Multimodal.synthWav(id)), 0L)
+      val (rate, n, rms) = got(id)
+      assert(rate == direct.sample_rate && n == direct.n_samples
+        && rms == direct.rms, s"doc $id")
+    }
+  }
+
   test("near-dup gate drops same-signature docs in-stream, keeping the first arrival") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._

@@ -39,6 +39,33 @@ class TokenizerSpec extends SparkSpec {
     assert(got(1) == ((2, "a", "a", "aa", 1L)), s"got ${got(1)}")
   }
 
+  test("bpe_apply tokenizes with the learned merges (hand-computed counts)") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-bpe3").toString
+    // merges learned (per the first test): (h,e) (t,he) (a,t) (c,at) —
+    // "the" collapses to 1 token, "cat" to 1; an unseen word "hat"
+    // becomes h+at = 2 tokens (uses merge 3 but not 1: 'h a t' has no
+    // 'h e'); "chat" = c+h+at = 3 (the c-at merge needs 'c a' adjacent)
+    Seq((0L, "the the cat"), (1L, "the"))
+      .toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val applied = Tokenizer.bpeApply(Tables(spark, dir)).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(applied == Map(0L -> 3L, 1L -> 1L), s"got $applied")
+
+    val dir2 = java.nio.file.Files.createTempDirectory("graft-bpe4").toString
+    Seq((0L, "the the cat"), (1L, "the hat chat"))
+      .toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$dir2/documents.parquet")
+    val applied2 = Tokenizer.bpeApply(Tables(spark, dir2)).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // same merge sequence learns (hat/chat add 'a t','h a','c h','t c'
+    // singleton pairs that lose every tie to the dominant the/cat pairs
+    // until rank 3+); doc 1 = the(1) + h·at(2) + c·h·at(3)
+    assert(applied2(0L) == 3L, s"got $applied2")
+    assert(applied2(1L) <= 6L && applied2(1L) >= 3L, s"got $applied2")
+  }
+
   test("bpe_train on the sf corpus: full merge budget, contiguous ranks, well-formed merges") {
     val got = train("/root/testdata/sf0.001")
     assert(got.length == Tokenizer.BpeMerges)

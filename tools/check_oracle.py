@@ -6,7 +6,11 @@ then this script re-runs each oracle SQL in DuckDB over the same sf dir and
 compares: row count, column set, and exact values (columns sorted by name,
 rows sorted by all columns).
 
-Usage: python3 tools/check_oracle.py <sfDir> <verifyOut>
+Usage: python3 tools/check_oracle.py <sfDir> <verifyOut> [query ...]
+
+Optional query names restrict the check (local iteration aid — e.g. the
+sf0.1 sweep, where some oracles are O(n2) in DuckDB and a full pass is
+impractical; the driver's gate runs at sf0.01).
 """
 import json
 import sys
@@ -29,7 +33,7 @@ def canon(df: pd.DataFrame) -> pd.DataFrame:
     return df.reset_index(drop=True)
 
 
-def main(sf_dir: str, out_dir: str) -> int:
+def main(sf_dir: str, out_dir: str, only=()) -> int:
     con = duckdb.connect()
     for t in TABLES:
         con.execute(
@@ -39,6 +43,8 @@ def main(sf_dir: str, out_dir: str) -> int:
         failures = json.load(open(f"{out_dir}/_failures.json"))
     except FileNotFoundError:
         failures = {}
+    if only:
+        oracle = {k: v for k, v in oracle.items() if k in only}
     n_ok = n_bad = 0
     for name, sql in sorted(oracle.items()):
         if name in failures:
@@ -86,4 +92,4 @@ def main(sf_dir: str, out_dir: str) -> int:
 
 
 if __name__ == "__main__":
-    sys.exit(main(sys.argv[1], sys.argv[2]))
+    sys.exit(main(sys.argv[1], sys.argv[2], tuple(sys.argv[3:])))
