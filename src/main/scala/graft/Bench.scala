@@ -40,6 +40,46 @@ object Bench {
   // per-core-sized so local[4] agrees within noise); ≥2x means shared CPU
   private val CalibCleanSec = 0.2
 
+  /** The measurement loop, separated from `main` so a spec can drive it
+    * with a deliberately-broken query and pin the contract: an erroring
+    * query lands in the error map — NEVER in the timed results, so it
+    * can never flatter `value`/`n_queries` with fail-fast exception
+    * time. Returns (name → (median, min) for successes, name → message
+    * for failures).
+    */
+  private[graft] def measure(
+      spark: SparkSession, sfDir: String,
+      queries: Map[String, (SparkSession, String) => org.apache.spark.sql.DataFrame],
+      reps: Int): (Map[String, (Double, Double)], Map[String, String]) = {
+    val errs = scala.collection.mutable.LinkedHashMap.empty[String, String]
+    val results = queries.flatMap { case (name, fn) =>
+      var err: Option[String] = None
+      val times = (1 to reps).map { _ =>
+        val t0 = System.nanoTime()
+        try { if (err.isEmpty) fn(spark, sfDir).count() }
+        catch { case e: Throwable =>
+          err = Some(Option(e.getMessage).getOrElse(e.getClass.getName)
+            .replaceAll("\\s+", " ").take(160))
+        }
+        val dt = (System.nanoTime() - t0) / 1e9
+        // session hygiene between runs (same as Verify): operators
+        // persist intermediates sized for their own lifetime; across 100+
+        // queries in one JVM those caches accumulate and degrade later
+        // queries. Clearing keeps every measurement cold and independent
+        // (repeat runs re-read parquet and re-shuffle; only JVM/codegen
+        // warmth carries over, which is exactly the steady-state a long
+        // -lived cluster would see).
+        spark.catalog.clearCache()
+        dt
+      }.sorted
+      err match {
+        case Some(msg) => errs(name) = msg; None
+        case None      => Some(name -> (times(times.length / 2), times.head))
+      }
+    }
+    (results, errs.toMap)
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -79,32 +119,7 @@ object Bench {
     val picked =
       if (args.isEmpty) SparkEntry.queries
       else SparkEntry.queries.filter { case (k, _) => args.contains(k) }
-    val errs = scala.collection.mutable.LinkedHashMap.empty[String, String]
-    val results = picked.flatMap { case (name, fn) =>
-      var err: Option[String] = None
-      val times = (1 to reps).map { _ =>
-        val t0 = System.nanoTime()
-        try { if (err.isEmpty) fn(spark, sfDir).count() }
-        catch { case e: Throwable =>
-          err = Some(Option(e.getMessage).getOrElse(e.getClass.getName)
-            .replaceAll("\\s+", " ").take(160))
-        }
-        val dt = (System.nanoTime() - t0) / 1e9
-        // session hygiene between runs (same as Verify): operators
-        // persist intermediates sized for their own lifetime; across 100+
-        // queries in one JVM those caches accumulate and degrade later
-        // queries. Clearing keeps every measurement cold and independent
-        // (repeat runs re-read parquet and re-shuffle; only JVM/codegen
-        // warmth carries over, which is exactly the steady-state a long
-        // -lived cluster would see).
-        spark.catalog.clearCache()
-        dt
-      }.sorted
-      err match {
-        case Some(msg) => errs(name) = msg; None
-        case None      => Some(name -> (times(times.length / 2), times.head))
-      }
-    }
+    val (results, errs) = measure(spark, sfDir, picked, reps)
     val total = results.values.map(_._1).sum
     val totalMin = results.values.map(_._2).sum
     val all = results.toSeq.sortBy(-_._2._1)

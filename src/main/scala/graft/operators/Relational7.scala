@@ -428,4 +428,49 @@ object Relational7 {
       |   / CAST(SUM(rev) OVER () AS DOUBLE) AS region_share_of_total
       |FROM rev
       |ORDER BY r_name, n_name""".stripMargin
+
+  /** Unpivot / melt — the inverse of `q_pivot`: the wide per-priority
+    * metric frame (order count, exact-cents revenue, average) melted
+    * back to long (priority, metric, value) with the NATIVE unpivot
+    * operator — an in-row Expand over the five aggregated rows, zero
+    * shuffles beyond the one tiny aggregation. The metric-columns-to-
+    * rows shape is what chart feeds and metric stores ingest.
+    */
+  def unpivotMetrics(t: Tables): DataFrame = {
+    val toD = graft.functions.Exact.decToDouble _
+    val wide = t.orders
+      .select(col("o_orderpriority"),
+        (graft.functions.Exact.dec(col("o_totalprice")) * 100)
+          .cast("long").as("cents"))
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n"),
+        sum(col("cents").cast(org.apache.spark.sql.types.DecimalType(38, 0)))
+          .as("sc"))
+      .select(col("o_orderpriority"),
+        col("n").cast("double").as("n_orders"),
+        (toD(col("sc")) / 100.0).as("revenue"))
+      .withColumn("avg_revenue", col("revenue") / col("n_orders"))
+    wide.unpivot(
+        Array(col("o_orderpriority")),
+        Array(col("n_orders"), col("revenue"), col("avg_revenue")),
+        "metric", "value")
+      .orderBy("o_orderpriority", "metric")
+  }
+
+  /** Oracle: the wide aggregate + the same three-way metric stack. */
+  val unpivotMetricsSql: String = {
+    val toD = graft.functions.Exact.decToDoubleSql _
+    val cents = "SUM(CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT))"
+    s"""WITH a AS (
+       | SELECT o_orderpriority,
+       |  CAST(COUNT(*) AS DOUBLE) AS n_orders,
+       |  ${toD(cents)} / 100.0 AS revenue
+       | FROM orders GROUP BY 1),
+       |b AS (SELECT o_orderpriority, n_orders, revenue,
+       |       revenue / n_orders AS avg_revenue FROM a)
+       |SELECT o_orderpriority, 'avg_revenue' AS metric, avg_revenue AS value FROM b
+       |UNION ALL SELECT o_orderpriority, 'n_orders', n_orders FROM b
+       |UNION ALL SELECT o_orderpriority, 'revenue', revenue FROM b
+       |ORDER BY o_orderpriority, metric""".stripMargin
+  }
 }

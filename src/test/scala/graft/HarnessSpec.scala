@@ -1,0 +1,53 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Pins the failure-reporting contract of the driver harnesses: a broken
+  * query must surface as an explicit error in Verify's `_failures.json`
+  * and Bench's error map — never as silence (round 8: 36 broken queries
+  * were invisible in the correctness sheet) and never as a fake timing.
+  */
+class HarnessSpec extends SparkSpec {
+
+  private val good: (SparkSession, String) => DataFrame =
+    (s, _) => { import s.implicits._; Seq((1L, "a"), (2L, "b")).toDF("id", "v") }
+  private val broken: (SparkSession, String) => DataFrame =
+    (s, dir) => Tables(s, dir).documents.selectExpr("no_such_column + 1")
+
+  test("Verify records a broken query in _failures.json and still dumps the rest") {
+    val out = java.nio.file.Files.createTempDirectory("graft-harness").toString
+    val failures = Verify.run(spark, "/root/testdata/sf0.001", out,
+      Map("ok_query" -> good, "broken_query" -> broken),
+      Map("ok_query" -> "SELECT 1"))
+    assert(failures.keySet == Set("broken_query"))
+    assert(failures("broken_query").nonEmpty)
+    // the good query's parquet landed; the broken one left no output dir
+    assert(new java.io.File(s"$out/ok_query").exists())
+    assert(!new java.io.File(s"$out/broken_query").exists())
+    // the durable artifact carries the same contract
+    val failJson = new String(
+      java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(s"$out/_failures.json")), "UTF-8")
+    assert(failJson.contains("\"broken_query\""))
+    assert(!failJson.contains("ok_query"))
+  }
+
+  test("Verify writes an EMPTY _failures.json on a clean run (absence is provable)") {
+    val out = java.nio.file.Files.createTempDirectory("graft-harness2").toString
+    val failures = Verify.run(spark, "/root/testdata/sf0.001", out,
+      Map("ok_query" -> good), Map.empty)
+    assert(failures.isEmpty)
+    val failJson = new String(
+      java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(s"$out/_failures.json")), "UTF-8")
+    assert(failJson.trim == "{}")
+  }
+
+  test("Bench routes a broken query to the error map, excluded from timings") {
+    val (results, errs) = Bench.measure(spark, "/root/testdata/sf0.001",
+      Map("ok_query" -> good, "broken_query" -> broken), reps = 2)
+    assert(results.keySet == Set("ok_query"))
+    assert(errs.keySet == Set("broken_query"))
+    assert(errs("broken_query").nonEmpty)
+    val (med, min) = results("ok_query")
+    assert(med > 0 && min > 0 && min <= med)
+  }
+}

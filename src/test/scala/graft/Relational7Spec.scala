@@ -152,4 +152,24 @@ class Relational7Spec extends SparkSpec {
     // the per-row window is keyed by the range bucket, not a constant
     assert(plan.contains("SPARK_PARTITION_ID") || plan.contains("spark_partition_id"), plan)
   }
+
+  test("unpivot melts the wide metric frame: 3 rows per priority, values = direct agg") {
+    val rows = Relational7.unpivotMetrics(sf).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getDouble(2)).toMap
+    val direct = sf.orders.collect()
+      .map(r => (r.getAs[String]("o_orderpriority"),
+        BigDecimal(r.getAs[Double]("o_totalprice")).setScale(2, BigDecimal.RoundingMode.HALF_UP)))
+      .groupBy(_._1)
+    assert(rows.size == direct.size * 3, s"${rows.size} rows for ${direct.size} priorities")
+    direct.foreach { case (p, vs) =>
+      val n = vs.size.toDouble
+      val rev = vs.map(_._2).sum.toDouble
+      assert(rows((p, "n_orders")) == n, s"$p n")
+      assert(math.abs(rows((p, "revenue")) - rev) < 1e-6, s"$p revenue")
+      assert(math.abs(rows((p, "avg_revenue")) - rev / n) < 1e-6, s"$p avg")
+    }
+    // the melt is an in-row Expand — no shuffle beyond the aggregation
+    val plan = Relational7.unpivotMetrics(sf).queryExecution.executedPlan.toString
+    assert(plan.contains("Expand"), plan)
+  }
 }
