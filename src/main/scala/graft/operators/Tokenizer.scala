@@ -62,8 +62,14 @@ object Tokenizer {
     */
   private def learnMerges(t: Tables): Seq[(Int, String, String, String, Long)] = {
     // one corpus pass, then cache: every round re-reads the (small)
-    // vocabulary, never the corpus
-    var words = vocab(t).cache()
+    // vocabulary, never the corpus. The vocabulary is orders of
+    // magnitude smaller than the corpus (distinct word forms), so
+    // coalesce the cache to a handful of partitions: the 2×rounds
+    // follow-up jobs schedule 8 tasks instead of a full
+    // shuffle-partition fan of near-empty ones (the rounds' cost is
+    // dominated by per-round job latency, so this trims overhead
+    // rather than transforms it — measured neutral-to-slightly-better)
+    var words = vocab(t).coalesce(8).cache()
     val merges = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, String, Long)]
     var exhausted = false
     for (rank <- 1 to BpeMerges if !exhausted) {

@@ -394,4 +394,64 @@ object Sinks {
       .option("batchsize", cfg.batchSize.toString)
       .option("truncate", cfg.truncate.toString)
   }
+
+  /** Avro container write — the sink twin of [[Sources.readAvro]] (this
+    * distribution has the avro core jars but not the spark-avro
+    * DataSource). Every partition streams its rows into one container
+    * via `DataFileWriter` (parallel like any file sink; empty
+    * partitions emit no file). The avro schema derives from the frame's
+    * primitive fields — nullable columns become `[null, T]` unions, the
+    * shape [[Sources.readAvro]] maps back, so write→read round-trips.
+    * Non-primitive columns (struct/array/map/decimal/timestamp) are
+    * rejected up front: this is the Kafka-interchange seam, not a
+    * general columnar store (that stays parquet/ORC).
+    */
+  def writeAvro(df: DataFrame, path: String): Unit = {
+    import org.apache.spark.sql.types._
+    def avroType(dt: DataType): String = dt match {
+      case LongType    => "long"
+      case IntegerType => "int"
+      case DoubleType  => "double"
+      case FloatType   => "float"
+      case BooleanType => "boolean"
+      case StringType  => "string"
+      case BinaryType  => "bytes"
+      case other => throw new IllegalArgumentException(
+        s"writeAvro maps primitive columns only; got $other — " +
+          "project/serialize complex columns first")
+    }
+    val fieldsJson = df.schema.fields.map { f =>
+      val t = "\"" + avroType(f.dataType) + "\""
+      val tpe = if (f.nullable) s"""["null", $t]""" else t
+      s"""{"name": "${f.name}", "type": $tpe${if (f.nullable) ""","default": null""" else ""}}"""
+    }.mkString("[", ",", "]")
+    val schemaJson =
+      s"""{"type": "record", "name": "GraftRecord", "fields": $fieldsJson}"""
+    val names = df.schema.fields.map(_.name)
+    df.rdd.foreachPartition { it =>
+      if (it.hasNext) {
+        val schema = new org.apache.avro.Schema.Parser().parse(schemaJson)
+        val pid = org.apache.spark.TaskContext.getPartitionId()
+        val p = new org.apache.hadoop.fs.Path(path, f"part-$pid%05d.avro")
+        val fs = p.getFileSystem(new org.apache.hadoop.conf.Configuration())
+        val out = fs.create(p, true)
+        val w = new org.apache.avro.file.DataFileWriter(
+          new org.apache.avro.generic.GenericDatumWriter[
+            org.apache.avro.generic.GenericRecord](schema))
+        w.create(schema, out)
+        try it.foreach { row =>
+          val rec = new org.apache.avro.generic.GenericData.Record(schema)
+          var i = 0
+          while (i < names.length) {
+            rec.put(names(i), row.get(i) match {
+              case b: Array[Byte] => java.nio.ByteBuffer.wrap(b)
+              case v => v
+            })
+            i += 1
+          }
+          w.append(rec)
+        } finally w.close() // closes the stream; flushes the container
+      }
+    }
+  }
 }

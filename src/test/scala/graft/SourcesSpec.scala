@@ -507,4 +507,31 @@ class SourcesSpec extends SparkSpec {
     // and it composes with SQL like any frame
     assert(got.where(col("event_type") === "view").count() == 2)
   }
+
+  test("avro sink round-trips through the avro source (write -> read parity)") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-avro-w").toString
+    val src = sf.events.select(
+        col("event_id"), col("event_type"), col("value"),
+        // a genuinely-nullable column exercises the [null, T] union path
+        when(col("event_id") % 3 === 0, col("event_type")).as("note"))
+      .limit(300)
+    graft.sources.Sinks.writeAvro(src.repartition(3), dir)
+    val files = new java.io.File(dir).listFiles().filter(_.getName.endsWith(".avro"))
+    assert(files.length == 3, s"one container per non-empty partition: ${files.length}")
+    val back = graft.sources.Sources.readAvro(spark, dir)
+    // nullability round-trips field-for-field (parquet-sourced columns
+    // are all nullable in Spark; the write→read cycle must preserve that)
+    src.schema.fields.foreach { f =>
+      assert(back.schema(f.name).nullable == f.nullable, f.name)
+    }
+    def canon(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2), Option(r.getString(3))))
+      .sortBy(_._1).toSeq
+    assert(canon(back) == canon(src))
+    // rejects non-primitive columns up front instead of corrupting output
+    intercept[IllegalArgumentException] {
+      graft.sources.Sinks.writeAvro(src.select(struct(col("event_id")).as("s")), dir)
+    }
+  }
 }
