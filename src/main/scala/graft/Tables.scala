@@ -36,13 +36,20 @@ final case class Tables(spark: SparkSession, dir: String) {
     import org.apache.spark.sql.functions.{col, expr}
     import org.apache.spark.sql.types.{LongType, TimestampType}
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // read unadjusted (NTZ) parquet timestamps as session-TZ TimestampType
+    // AT THE SCAN instead of casting after: with the UTC session the
+    // values are identical, but a post-scan cast would block predicate
+    // pushdown — this way ts range filters reach the parquet row-group
+    // stats (TablesSpec pins PushedFilters). Session-wide like
+    // nanosAsLong, same rationale.
+    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
     val raw = t("events")
     raw.schema("ts").dataType match {
       // TIMESTAMP(NANOS) read as raw longs: truncate ns → µs
       case LongType      => raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
       case TimestampType => raw
-      // TIMESTAMP_NTZ (and any other timestamp flavor): with the UTC
-      // session timezone this cast is a wall-clock identity
+      // any remaining flavor (e.g. NTZ surfacing despite the conf):
+      // with the UTC session timezone this cast is a wall-clock identity
       case _             => raw.withColumn("ts", col("ts").cast(TimestampType))
     }
   }

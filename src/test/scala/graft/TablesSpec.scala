@@ -46,4 +46,16 @@ class TablesSpec extends SparkSpec {
     }
     assert(refRows.nonEmpty)
   }
+
+  test("ts range filters push down to the events parquet scan") {
+    // the NTZ-as-session-timestamp scan conf means ts arrives as a plain
+    // scan column — a post-scan cast would strand every time-range
+    // filter above the reader, re-reading all row groups at 100 TB
+    val q = sf.events.where(col("ts") >=
+      org.apache.spark.sql.functions.lit("2024-06-01 00:00:00").cast(TimestampType))
+    val plan = q.queryExecution.executedPlan.toString
+    val pushed = plan.linesIterator.find(_.contains("PushedFilters"))
+    assert(pushed.exists(l => l.contains("ts") && !l.contains("PushedFilters: []")),
+      s"ts filter must reach the scan: ${pushed.getOrElse(plan.take(600))}")
+  }
 }
