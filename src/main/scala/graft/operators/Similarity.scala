@@ -658,4 +658,100 @@ object Similarity {
        |WHERE list_dot_product(e.v, q.qv) /
        |   (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(q.qv, q.qv))) >= $RangeTau
        |ORDER BY q_id, cosine DESC, vec_id""".stripMargin
+
+  private val MmrCandidates = 16
+  private val MmrK = 5
+
+  /** Maximal-marginal-relevance re-ranking: the retrieval stage between
+    * ANN candidate generation and what a RAG/training pipeline actually
+    * consumes — greedily pick [[MmrK]] of the top-[[MmrCandidates]]
+    * neighbours maximizing `0.7·relevance − 0.3·max-sim-to-already-
+    * picked` (score ties → lower vec id; the first pick is pure scaled
+    * relevance). The DISTRIBUTED work is the candidate scan — exactly
+    * [[bruteForceTopK]]'s shape, swappable for any ANN tier; the greedy
+    * loop runs on the driver over the collected candidate set (bounded:
+    * 16 vectors — the same bounded-model convention as the k-means
+    * centroids), with the dot-product fold sequence identical to the
+    * scan's codegen so driver scores replay bit-exact in the oracle.
+    *
+    * The 0.3 complement is a LITERAL in both engines, never `1 − 0.7`
+    * (which is 0.30000000000000004 in doubles).
+    */
+  def mmrRerank(t: Tables): DataFrame = {
+    val spark = t.spark
+    import spark.implicits._
+    val cand = vectors(t)
+      .where(col("vec_id") =!= 0)
+      .crossJoin(broadcast(queryVector(t)))
+      .select(col("vec_id"), col("v"), cosine(col("v"), col("qv")).as("rel"))
+      .orderBy(col("rel").desc, col("vec_id"))
+      .limit(MmrCandidates)
+      .collect()
+      .map(r => (r.getLong(0), r.getAs[Seq[Double]](1).toArray, r.getDouble(2)))
+    def dot(a: Array[Double], b: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { s += a(i) * b(i); i += 1 }
+      s
+    }
+    def cos(a: Array[Double], b: Array[Double]): Double =
+      dot(a, b) / (math.sqrt(dot(a, a)) * math.sqrt(dot(b, b)))
+    val selected = scala.collection.mutable.ArrayBuffer.empty[(Int, Long, Double, Double)]
+    val picked = scala.collection.mutable.ArrayBuffer.empty[(Long, Array[Double])]
+    val remaining = scala.collection.mutable.ArrayBuffer(cand: _*)
+    for (rank <- 1 to MmrK if remaining.nonEmpty) {
+      val scored = remaining.map { case (id, v, rel) =>
+        val maxSim =
+          if (picked.isEmpty) 0.0
+          else picked.iterator.map(p => cos(v, p._2)).max
+        (id, v, rel, 0.7 * rel - 0.3 * maxSim)
+      }
+      val best = scored.minBy { case (id, _, _, score) => (-score, id) }
+      selected += ((rank, best._1, best._3, best._4))
+      picked += ((best._1, best._2))
+      remaining.remove(remaining.indexWhere(_._1 == best._1))
+    }
+    selected.toSeq
+      .toDF("mmr_rank", "vec_id", "relevance", "mmr_score")
+      .orderBy("mmr_rank")
+  }
+
+  /** Oracle: candidate scan + the greedy rounds unrolled — pick i takes
+    * the score argmax over candidates not yet picked, with GREATEST
+    * over the sims to every prior pick.
+    */
+  val mmrRerankSql: String = {
+    def sim(a: String, b: String): String =
+      s"list_dot_product($a, $b) / (sqrt(list_dot_product($a, $a)) * sqrt(list_dot_product($b, $b)))"
+    def pick(i: Int): String = {
+      val prev = (1 until i).map(j => s"s$j")
+      val score =
+        if (prev.isEmpty) "CAST(0.7 AS DOUBLE) * c.rel"
+        else {
+          val sims = prev.map(p => sim("c.v", s"(SELECT v FROM $p)")).mkString(",\n      ")
+          s"CAST(0.7 AS DOUBLE) * c.rel - CAST(0.3 AS DOUBLE) * GREATEST(\n      $sims)"
+        }
+      val notIn =
+        if (prev.isEmpty) ""
+        else s"WHERE c.vec_id NOT IN (${prev.map(p => s"SELECT vec_id FROM $p").mkString(" UNION ALL ")})"
+      s"""s$i AS MATERIALIZED (
+         |  SELECT c.vec_id, c.v, c.rel, $score AS score
+         |  FROM cand c $notIn
+         |  ORDER BY score DESC, c.vec_id LIMIT 1)""".stripMargin
+    }
+    val picks = (1 to MmrK).map(pick).mkString(",\n")
+    val out = (1 to MmrK).map(i =>
+      s"SELECT $i AS mmr_rank, vec_id, rel AS relevance, score AS mmr_score FROM s$i")
+      .mkString("\nUNION ALL\n")
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
+       |cand AS MATERIALIZED (
+       |  SELECT e.vec_id, e.v,
+       |    ${sim("e.v", "q.qv")} AS rel
+       |  FROM e CROSS JOIN q WHERE e.vec_id <> 0
+       |  ORDER BY rel DESC, vec_id LIMIT $MmrCandidates),
+       |$picks
+       |SELECT mmr_rank, vec_id, relevance, mmr_score FROM (
+       |$out)
+       |ORDER BY mmr_rank""".stripMargin
+  }
 }

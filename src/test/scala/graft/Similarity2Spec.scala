@@ -338,4 +338,38 @@ class Similarity2Spec extends SparkSpec {
       .map(r => r.getLong(0) -> r.getDouble(1))
     assert(got.sameElements(again))
   }
+
+  test("mmr rerank trades relevance for diversity on a crafted corpus") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-mmr").toString
+    // query q = x-axis; vec 1 ≈ vec 2 (near-identical, both most
+    // relevant); vec 3 equally x-aligned but on the OPPOSITE side of
+    // the y-axis, so sim(3,1) ≈ 0 while rel3 ≈ rel1. Pure relevance
+    // ranks (1, 2, 3); MMR must demote the near-dup 2 below 3.
+    def v(xs: Double*): Seq[Float] = xs.map(_.toFloat)
+    Seq(
+      (0L, v(1.0, 0.0, 0.0)),
+      (1L, v(0.72, 0.69, 0.0)),
+      (2L, v(0.71, 0.70, 0.0)),
+      (3L, v(0.70, -0.71, 0.0)))
+      .toDF("vec_id", "embedding")
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val got = Similarity.mmrRerank(Tables(spark, dir)).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
+    assert(got.map(_._2).toSeq == Seq(1L, 3L, 2L),
+      s"expected near-dup demotion, got ${got.toSeq}")
+    // relevance column is the plain cosine ordering; scores strictly fall
+    assert(got.head._3 > got(2)._3)
+    assert(got.map(_._4).toSeq == got.map(_._4).sortBy(-(_: Double)).toSeq)
+  }
+
+  test("mmr rerank on the sf corpus: ranks contiguous, first pick = top cosine") {
+    val got = Similarity.mmrRerank(sf).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getDouble(2)))
+    assert(got.map(_._1).toSeq == (1 to 5))
+    val top = Similarity.bruteForceTopK(sf).collect()(0)
+    assert(got.head._2 == top.getLong(0) && got.head._3 == top.getDouble(1))
+    // 5 distinct picks
+    assert(got.map(_._2).distinct.length == 5)
+  }
 }
