@@ -478,13 +478,20 @@ object Dedup {
       // per-round column names keep repeated self-joins unambiguous
       val e  = edges.select(col("x").as(s"x$round"), col("y").as(s"y$round"))
       val nb = labels.select(col("id").as(s"nid$round"), col("lbl").as(s"nlbl$round"))
+      // localCheckpoint, not cache: each step references `labels` twice
+      // (the propagate join and the neighbour side), so an uncut
+      // lineage doubles per round — 2^rounds plan nodes on a
+      // long-diameter dup chain OOMs driver ANALYSIS even though the
+      // cached data is tiny (bit bfsHops at round ~25 before the same
+      // fix). Checkpointing pins the round and resets the plan to a
+      // leaf.
       val step = labels
         .join(e, col("id") === col(s"x$round"), "left")
         .join(nb, col(s"y$round") === col(s"nid$round"), "left")
         .groupBy(col("id"), col("lbl"))
         .agg(least(col("lbl"), coalesce(min(col(s"nlbl$round")), col("lbl"))).as("new_lbl"))
-        .cache()
-      changed = step.where(col("new_lbl") =!= col("lbl")).count() // materializes step
+        .localCheckpoint(true)
+      changed = step.where(col("new_lbl") =!= col("lbl")).count()
       if (prevStep != null) prevStep.unpersist(false)
       prevStep = step
       labels = step.select(col("id"), col("new_lbl").as("lbl"))

@@ -325,6 +325,83 @@ object Graph {
       .orderBy("p_partkey")
   }
 
+  private val BfsMaxRounds = 30
+
+  /** Single-source BFS hop distances over the co-purchase network —
+    * the Pregel staple the Graph family lacked (components answers
+    * "which island", this answers "how far"). Source = the minimum
+    * part key appearing in the edge set (deterministic); per superstep
+    * one join relaxes `hops+1` along edges and one min-aggregation
+    * folds it into the frontier, run to FIXPOINT with a scalar
+    * convergence probe (a fixed round count would silently truncate a
+    * long-diameter graph; [[BfsMaxRounds]] only backstops). Unreachable
+    * parts are absent by construction — at 100 TB the result stays
+    * proportional to the reachable component, never the part table.
+    */
+  def bfsHops(t: Tables): DataFrame = {
+    val edges = Relational7.basketPairsRaw(t, EdgeSupport)
+      .select(explode(array(
+        struct(col("a_part").as("u"), col("b_part").as("v")),
+        struct(col("b_part").as("u"), col("a_part").as("v")))).as("e"))
+      .select(col("e.u").as("u"), col("e.v").as("v"))
+      .persist()
+    // one driver scalar (the source id), same bounded convention as the
+    // convergence probes
+    val src = edges.agg(min(col("u"))).head().getLong(0)
+    val spark = t.spark
+    import spark.implicits._
+    var dist = Seq((src, 0L)).toDF("node", "hops")
+    var changed = 1L
+    var round = 0
+    while (changed > 0 && round < BfsMaxRounds) {
+      val relaxed = edges
+        .join(dist.select(col("node").as(s"n$round"), col("hops").as(s"h$round")),
+          col("u") === col(s"n$round"))
+        .select(col("v").as("node"), (col(s"h$round") + 1L).as("hops"))
+      // localCheckpoint is LOAD-BEARING: each step references `dist`
+      // twice (the union and the relax join), so an uncut lineage
+      // doubles per round — 2^rounds plan nodes by the time a
+      // long-diameter graph converges (OOMs the driver around round
+      // ~25). Checkpointing pins the round's result and resets the
+      // plan to a leaf.
+      val step = dist.union(relaxed)
+        .groupBy("node").agg(min(col("hops")).as("hops"))
+        .localCheckpoint(true)
+      // one convergence probe: a node is "changed" if new or improved
+      changed = step
+        .join(dist.select(col("node"), col("hops").as("old")), Seq("node"), "left")
+        .where(col("old").isNull || col("hops") < col("old"))
+        .count()
+      dist = step
+      round += 1
+    }
+    edges.unpersist(false)
+    dist.select(col("node").as("p_partkey"), col("hops"))
+      .orderBy("p_partkey")
+  }
+
+  /** Oracle: bounded-depth walk enumeration in a recursive CTE; MIN(d)
+    * per node is the true hop distance for any graph whose diameter
+    * fits the [[BfsMaxRounds]] bound the operator shares.
+    */
+  val bfsHopsSql: String =
+    s"""WITH RECURSIVE
+       |items AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+       |cp AS (
+       |  SELECT a.l_partkey AS a, b.l_partkey AS b
+       |  FROM items a JOIN items b
+       |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+       |  GROUP BY 1, 2 HAVING COUNT(*) >= $EdgeSupport),
+       |edges AS (SELECT a AS u, b AS v FROM cp
+       |          UNION ALL SELECT b AS u, a AS v FROM cp),
+       |walk(node, d) AS (
+       |  SELECT MIN(u), CAST(0 AS BIGINT) FROM edges
+       |  UNION
+       |  SELECT e.v, w.d + 1 FROM walk w JOIN edges e ON e.u = w.node
+       |  WHERE w.d < $BfsMaxRounds)
+       |SELECT node AS p_partkey, MIN(d) AS hops
+       |FROM walk GROUP BY node ORDER BY p_partkey""".stripMargin
+
   /** Oracle: exact reachability via a recursive CTE — the minimum label
     * floods along edges (pruned to strictly-smaller labels, which is
     * complete because the component minimum is smaller than every node

@@ -129,6 +129,41 @@ class GraphSpec extends SparkSpec {
       (6L, 6L, 1L)))
   }
 
+  test("bfs hops: known chain graph gets exact distances; off-component parts absent") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-bfs").toString
+    // support-2 chain 1-2-3-4 (src=1 → hops 0,1,2,3); isolated pair 8-9
+    // is a separate component — absent from the result (unreachable)
+    def order(o: Long, parts: Long*) = parts.map(p => (o, p))
+    (order(10, 1, 2) ++ order(11, 1, 2) ++ order(12, 2, 3) ++ order(13, 2, 3) ++
+      order(14, 3, 4) ++ order(15, 3, 4) ++ order(16, 8, 9) ++ order(17, 8, 9))
+      .toDF("l_orderkey", "l_partkey")
+      .write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+    val got = Graph.bfsHops(Tables(spark, dir)).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 0L, 2L -> 1L, 3L -> 2L, 4L -> 3L), s"got $got")
+  }
+
+  test("bfs hops on the sf graph matches an in-memory BFS replay") {
+    val items = sf.lineitem.select("l_orderkey", "l_partkey").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).distinct
+    val pairs = items.groupBy(_._1).values.toSeq
+      .flatMap(es => { val ps = es.map(_._2).toSet
+        for (a <- ps; b <- ps if a < b) yield (a, b) })
+      .groupBy(identity).view.mapValues(_.size).filter(_._2 >= 2).keys.toSeq
+    val adj = (pairs ++ pairs.map(p => (p._2, p._1)))
+      .groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    val src = adj.keys.min
+    val distExp = scala.collection.mutable.Map(src -> 0L)
+    var frontier = Seq(src)
+    while (frontier.nonEmpty) {
+      frontier = frontier.flatMap(n => adj(n).filterNot(distExp.contains)
+        .map { m => distExp(m) = distExp(n) + 1; m }).distinct
+    }
+    val got = Graph.bfsHops(sf).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == distExp.toMap)
+  }
+
   test("components on the sf graph matches a union-find replay over the mined pairs") {
     val items = sf.lineitem.select("l_orderkey", "l_partkey").collect()
       .map(r => (r.getLong(0), r.getLong(1))).distinct
