@@ -346,10 +346,19 @@ object Graph {
       .select(col("e.u").as("u"), col("e.v").as("v"))
       .persist()
     // one driver scalar (the source id), same bounded convention as the
-    // convergence probes
-    val src = edges.agg(min(col("u"))).head().getLong(0)
+    // convergence probes. An EMPTY mined edge set (no pair reaches
+    // EdgeSupport) has no source: return the empty hop frame instead of
+    // dereferencing the null aggregate (r9 ADVICE) — the oracle's walk
+    // filters its NULL seed the same way.
+    val srcRow = edges.agg(min(col("u"))).head()
     val spark = t.spark
     import spark.implicits._
+    if (srcRow.isNullAt(0)) {
+      edges.unpersist(false)
+      return Seq.empty[(Long, Long)].toDF("node", "hops")
+        .select(col("node").as("p_partkey"), col("hops"))
+    }
+    val src = srcRow.getLong(0)
     var dist = Seq((src, 0L)).toDF("node", "hops")
     var changed = 1L
     var round = 0
@@ -395,7 +404,7 @@ object Graph {
        |edges AS (SELECT a AS u, b AS v FROM cp
        |          UNION ALL SELECT b AS u, a AS v FROM cp),
        |walk(node, d) AS (
-       |  SELECT MIN(u), CAST(0 AS BIGINT) FROM edges
+       |  SELECT MIN(u), CAST(0 AS BIGINT) FROM edges HAVING MIN(u) IS NOT NULL
        |  UNION
        |  SELECT e.v, w.d + 1 FROM walk w JOIN edges e ON e.u = w.node
        |  WHERE w.d < $BfsMaxRounds)

@@ -69,7 +69,12 @@ object Tokenizer {
     // shuffle-partition fan of near-empty ones (the rounds' cost is
     // dominated by per-round job latency, so this trims overhead
     // rather than transforms it — measured neutral-to-slightly-better)
-    var words = vocab(t).coalesce(8).cache()
+    // hold the cached BASE in its own val: `words` is reassigned to the
+    // withColumn-stacked derivative each round, so unpersisting `words`
+    // at the end would target a plan that was never cached and leak the
+    // vocabulary cache for the session (r9 ADVICE)
+    val base = vocab(t).coalesce(8).cache()
+    var words: DataFrame = base
     val merges = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, String, Long)]
     var exhausted = false
     for (rank <- 1 to BpeMerges if !exhausted) {
@@ -87,7 +92,7 @@ object Tokenizer {
           expr(s"trim(replace(concat(' ', w, ' '), ' $l $r ', ' $l$r '))"))
       }
     }
-    words.unpersist(false)
+    base.unpersist(false)
     merges.toSeq
   }
 
@@ -150,8 +155,8 @@ object Tokenizer {
          |  FROM p$i ORDER BY cnt DESC, pair LIMIT 1),
          |w$i AS MATERIALIZED (
          |  SELECT trim(replace(' ' || w || ' ',
-         |    (SELECT ' '||l||' '||r||' ' FROM b$i),
-         |    (SELECT ' '||l||r||' ' FROM b$i))) AS w, freq
+         |    COALESCE((SELECT ' '||l||' '||r||' ' FROM b$i), chr(1)),
+         |    COALESCE((SELECT ' '||l||r||' ' FROM b$i), chr(1)))) AS w, freq
          |  FROM $prev)""".stripMargin
     val rounds = (1 to BpeMerges).map(i => round(i, s"w${i - 1}")).mkString(",\n")
     s"""w0 AS MATERIALIZED (
@@ -181,8 +186,8 @@ object Tokenizer {
     def applyRound(i: Int, prev: String): String =
       s"""d$i AS MATERIALIZED (
          |  SELECT doc_id, replace(u,
-         |    (SELECT ' '||l||' '||r||' ' FROM b$i),
-         |    (SELECT ' '||l||r||' ' FROM b$i)) AS u
+         |    COALESCE((SELECT ' '||l||' '||r||' ' FROM b$i), chr(1)),
+         |    COALESCE((SELECT ' '||l||r||' ' FROM b$i), chr(1))) AS u
          |  FROM $prev)""".stripMargin
     val applies = (1 to BpeMerges).map(i => applyRound(i, s"d${i - 1}")).mkString(",\n")
     s"""WITH $trainRoundsSql,

@@ -428,13 +428,27 @@ object Sinks {
     val schemaJson =
       s"""{"type": "record", "name": "GraftRecord", "fields": $fieldsJson}"""
     val names = df.schema.fields.map(_.name)
+    // the SESSION's Hadoop configuration (credentials, fs.* settings)
+    // must reach the executors — a fresh `new Configuration()` silently
+    // drops it for any non-default filesystem (r9 ADVICE). Broadcast a
+    // serializable copy once per write.
+    val hconf = df.sparkSession.sparkContext.broadcast(
+      new org.apache.spark.util.SerializableConfiguration(
+        df.sparkSession.sessionState.newHadoopConf()))
     df.rdd.foreachPartition { it =>
       if (it.hasNext) {
         val schema = new org.apache.avro.Schema.Parser().parse(schemaJson)
-        val pid = org.apache.spark.TaskContext.getPartitionId()
-        val p = new org.apache.hadoop.fs.Path(path, f"part-$pid%05d.avro")
-        val fs = p.getFileSystem(new org.apache.hadoop.conf.Configuration())
-        val out = fs.create(p, true)
+        val tc = org.apache.spark.TaskContext.get()
+        val pid = tc.partitionId()
+        val dest = new org.apache.hadoop.fs.Path(path, f"part-$pid%05d.avro")
+        // task-attempt-unique temp + rename-on-commit: a speculative or
+        // retried attempt writes its own temp file instead of racing the
+        // first attempt's fs.create on the final name; whichever attempt
+        // commits last renames a COMPLETE container into place
+        val tmp = new org.apache.hadoop.fs.Path(
+          path, f".part-$pid%05d-${tc.taskAttemptId()}%d.avro.tmp")
+        val fs = dest.getFileSystem(hconf.value.value)
+        val out = fs.create(tmp, true)
         val w = new org.apache.avro.file.DataFileWriter(
           new org.apache.avro.generic.GenericDatumWriter[
             org.apache.avro.generic.GenericRecord](schema))
@@ -451,6 +465,11 @@ object Sinks {
           }
           w.append(rec)
         } finally w.close() // closes the stream; flushes the container
+        // commit: HDFS-style rename won't overwrite, so clear the target
+        // of a previously-committed attempt first
+        if (fs.exists(dest)) fs.delete(dest, false)
+        if (!fs.rename(tmp, dest))
+          throw new java.io.IOException(s"writeAvro: commit rename failed for $dest")
       }
     }
   }
