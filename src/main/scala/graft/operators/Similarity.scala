@@ -297,7 +297,13 @@ object Similarity {
     * probe choice, the PQ chain (CTE-prefixed to coexist), and the
     * decimal-portable ADC sum.
     */
-  def ivfPqTopK(t: Tables): DataFrame = {
+  /** The shared IVF-PQ scoring pipeline: both models trained, the
+    * query's probe cells chosen, survivors ADC-scored from codes alone —
+    * returned UNRANKED as (vec_id, adc_dist) so [[ivfPqTopK]] and the
+    * hybrid-retrieval fusion arm ([[Hybrid.hybridRrf]]) share one
+    * definition of the vector ranking's inputs.
+    */
+  private[operators] def ivfPqAdc(t: Tables): DataFrame = {
     val vecs = vectors(t).cache()
     val (cents, init) = trainKmeans(vecs)
     val pq = Embeddings.trainPq(vecs)
@@ -318,19 +324,25 @@ object Similarity {
       .select(col("vec_id"), col("v"))
     // scoring = the SHARED ADC tail on the pruned candidate set
     val out = Embeddings.adcScores(Embeddings.subExplode(survivors),
-        Embeddings.querySubvectors(vecs), pq)
-      .orderBy(col("adc_dist"), col("vec_id"))
-      .limit(10)
+      Embeddings.querySubvectors(vecs), pq)
     vecs.unpersist(false)
     out
   }
+
+  def ivfPqTopK(t: Tables): DataFrame =
+    ivfPqAdc(t).orderBy(col("adc_dist"), col("vec_id")).limit(10)
 
   /** Oracle: k-means replay + probe choice + the "pq"-prefixed PQ chain
     * + the survivor filter + the decimal-portable ADC aggregation, all
     * in one WITH.
     */
-  val ivfPqTopKSql: String =
-    s"""WITH ${Embeddings.eCte},
+  /** The CTE chain of [[ivfPqAdc]]: k-means replay, probe choice,
+    * "pq"-prefixed PQ chain, survivor filter, and the decimal-portable
+    * ADC aggregation, ending in `adc(vec_id, adc_dist)` — shared by
+    * [[ivfPqTopKSql]] and [[Hybrid.hybridRrfSql]].
+    */
+  private[operators] val ivfPqAdcCte: String =
+    s"""${Embeddings.eCte},
        |c0 AS (SELECT CAST(vec_id AS INT) AS cell, v AS c FROM e WHERE vec_id < $NumCells),
        |a1 AS (${assignSql("e", "c0")}),
        |c1 AS (${meansSql("a1")}),
@@ -346,19 +358,24 @@ object Similarity {
        | SELECT a3.vec_id FROM a3 JOIN probe USING (cell)
        | WHERE a3.vec_id <> 0),
        |${Embeddings.pqCtesPrefixed("pq")},
-       |qs AS (SELECT s, sv AS qsv FROM pqe2 WHERE vec_id = 0)
-       |SELECT pqa2.vec_id,
-       | CAST(CAST(CAST(SUM(CAST(
-       |   list_dot_product(pqcf.c, pqcf.c) - 2 * list_dot_product(qs.qsv, pqcf.c)
-       |     + list_dot_product(qs.qsv, qs.qsv)
-       |   AS DECIMAL(38,30))) AS DOUBLE) AS DECIMAL(24,12)) AS DOUBLE)
-       |   AS adc_dist
-       |FROM pqa2
-       |JOIN surv ON pqa2.vec_id = surv.vec_id
-       |JOIN pqcf ON pqa2.s = pqcf.s AND pqa2.cell = pqcf.cell
-       |JOIN qs ON qs.s = pqa2.s
-       |GROUP BY pqa2.vec_id
-       |ORDER BY adc_dist, pqa2.vec_id
+       |qs AS (SELECT s, sv AS qsv FROM pqe2 WHERE vec_id = 0),
+       |adc AS (
+       | SELECT pqa2.vec_id,
+       |  CAST(CAST(CAST(SUM(CAST(
+       |    list_dot_product(pqcf.c, pqcf.c) - 2 * list_dot_product(qs.qsv, pqcf.c)
+       |      + list_dot_product(qs.qsv, qs.qsv)
+       |    AS DECIMAL(38,30))) AS DOUBLE) AS DECIMAL(24,12)) AS DOUBLE)
+       |    AS adc_dist
+       | FROM pqa2
+       | JOIN surv ON pqa2.vec_id = surv.vec_id
+       | JOIN pqcf ON pqa2.s = pqcf.s AND pqa2.cell = pqcf.cell
+       | JOIN qs ON qs.s = pqa2.s
+       | GROUP BY pqa2.vec_id)""".stripMargin
+
+  val ivfPqTopKSql: String =
+    s"""WITH $ivfPqAdcCte
+       |SELECT vec_id, adc_dist FROM adc
+       |ORDER BY adc_dist, vec_id
        |LIMIT 10""".stripMargin
 
   private val DiverseQuota = 10

@@ -247,7 +247,11 @@ object TextAnalysis2 {
     * (libm `ln` ulp differences would otherwise leak into every score).
     * Term contributions are summed in fixed query order.
     */
-  def bm25(t: Tables): DataFrame = {
+  /** The scored frame behind [[bm25]] — (doc_id, bm25, tf_*) unordered —
+    * shared with the hybrid-retrieval lexical arm ([[Hybrid.hybridRrf]])
+    * so both consumers rank the IDENTICAL score expression tree.
+    */
+  private[operators] def bm25Scored(t: Tables): DataFrame = {
     def tf(term: String): Column =
       expr(s"size(filter(split(text, ' '), x -> x = '$term'))")
     val statCols =
@@ -267,31 +271,50 @@ object TextAnalysis2 {
     }
     val outCols = col("doc_id") +: contribs.reduceLeft(_ + _).as("bm25") +:
       Bm25Terms.map(term => tf(term).cast("int").as(s"tf_$term"))
-    scored.select(outCols: _*).orderBy("doc_id")
+    scored.select(outCols: _*)
   }
 
-  val bm25Sql: String = {
-    def tf(term: String) = s"len(list_filter(string_split(text, ' '), x -> x = '$term'))"
-    // parenthesization mirrors the Spark Column tree exactly —
-    // ((idf * num) / denom) — so every IEEE step matches bitwise
-    val contribs = Bm25Terms.map { term =>
+  def bm25(t: Tables): DataFrame = bm25Scored(t).orderBy("doc_id")
+
+  private def bm25TfSql(term: String) =
+    s"len(list_filter(string_split(text, ' '), x -> x = '$term'))"
+
+  // parenthesization mirrors the Spark Column tree exactly —
+  // ((idf * num) / denom) — so every IEEE step matches bitwise
+  private def bm25ContribsSql: String =
+    Bm25Terms.map { term =>
       s"""((((s.n_docs - s.df_$term + 0.5) / (s.df_$term + 0.5))
-         |  * (CAST(${tf(term)} AS DOUBLE) * ${Bm25K1 + 1.0}))
-         | / (CAST(${tf(term)} AS DOUBLE)
+         |  * (CAST(${bm25TfSql(term)} AS DOUBLE) * ${Bm25K1 + 1.0}))
+         | / (CAST(${bm25TfSql(term)} AS DOUBLE)
          |    + ${Bm25K1} * ((1.0 - ${Bm25B}) + ${Bm25B} * (CAST(len(string_split(text, ' ')) AS DOUBLE) / s.avgdl))))"""
         .stripMargin
     }.mkString("(", " + ", ")")
-    val tfCols = Bm25Terms
-      .map(term => s"CAST(${tf(term)} AS INT) AS tf_$term").mkString(", ")
+
+  /** The corpus-stats CTE (named `s`) of the BM25 oracle — shared with
+    * [[Hybrid.hybridRrfSql]]'s lexical arm.
+    */
+  private[operators] def bm25StatsCte: String = {
     val dfCols = Bm25Terms
-      .map(term => s"CAST(SUM(CASE WHEN ${tf(term)} > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df_$term")
+      .map(term => s"CAST(SUM(CASE WHEN ${bm25TfSql(term)} > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df_$term")
       .mkString(", ")
-    s"""WITH s AS (
+    s"""s AS (
        | SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
        |  CAST(SUM(len(string_split(text, ' '))) AS DOUBLE) / COUNT(*) AS avgdl,
        |  $dfCols
-       | FROM documents)
-       |SELECT doc_id, $contribs AS bm25, $tfCols
+       | FROM documents)""".stripMargin
+  }
+
+  /** `SELECT doc_id, <score> AS bm25 FROM documents, s` — the scored
+    * relation both the BM25 oracle and the hybrid oracle rank.
+    */
+  private[operators] def bm25ScoredSql: String =
+    s"SELECT doc_id, $bm25ContribsSql AS bm25 FROM documents, s"
+
+  val bm25Sql: String = {
+    val tfCols = Bm25Terms
+      .map(term => s"CAST(${bm25TfSql(term)} AS INT) AS tf_$term").mkString(", ")
+    s"""WITH $bm25StatsCte
+       |SELECT doc_id, $bm25ContribsSql AS bm25, $tfCols
        |FROM documents, s
        |ORDER BY doc_id""".stripMargin
   }
