@@ -72,11 +72,16 @@ object Sources {
     * topic dump scans in parallel like any file source) and converts
     * records to Rows at the partition seam, by FIELD NAME so files
     * written by different (compatible) writer schemas land in one
-    * frame. Primitive + nullable-union fields (the Kafka event shape);
-    * no projection pushdown — this is the format-parity seam, not the
-    * hot analytics path (that stays parquet/ORC).
+    * frame. Maps primitives, [null, T] unions, and NESTED record/array
+    * fields (record → struct, array → ArrayType, recursively — the
+    * envelope+payload shape a real Kafka dump carries). `columns`
+    * projects at the partition seam: only the requested top-level
+    * fields are converted and shipped (the rest of each record is never
+    * materialized into Rows) — the reader-side analog of column
+    * pruning, since the row-major container itself can't skip bytes.
     */
-  def readAvro(spark: SparkSession, path: String): DataFrame = {
+  def readAvro(spark: SparkSession, path: String,
+      columns: Seq[String] = Nil): DataFrame = {
     import org.apache.avro.Schema
     import org.apache.avro.file.DataFileStream
     import org.apache.avro.generic.{GenericDatumReader, GenericRecord}
@@ -106,6 +111,14 @@ object Sources {
           require(nonNull.size == 1,
             s"unsupported avro union ${s}: only [null, T] unions map to SQL")
           (sql(nonNull.head)._1, true)
+        case Schema.Type.RECORD =>
+          (StructType(s.getFields.asScala.toSeq.map { f =>
+            val (dt, nullable) = sql(f.schema())
+            StructField(f.name(), dt, nullable)
+          }), false)
+        case Schema.Type.ARRAY =>
+          val (et, elemNullable) = sql(s.getElementType)
+          (ArrayType(et, containsNull = elemNullable), false)
         case Schema.Type.LONG    => (LongType, false)
         case Schema.Type.INT     => (IntegerType, false)
         case Schema.Type.DOUBLE  => (DoubleType, false)
@@ -114,15 +127,23 @@ object Sources {
         case Schema.Type.STRING  => (StringType, false)
         case Schema.Type.BYTES   => (BinaryType, false)
         case other => throw new IllegalArgumentException(
-          s"unsupported avro type $other (field-level records/arrays/maps not mapped)")
+          s"unsupported avro type $other (maps/fixed/enums not mapped)")
       }
     }
+    val allFields = avroSchema.getFields.asScala.toSeq
+    val pickedFields =
+      if (columns.isEmpty) allFields
+      else {
+        val missing = columns.filterNot(c => allFields.exists(_.name == c))
+        require(missing.isEmpty,
+          s"readAvro: requested columns not in writer schema: ${missing.mkString(", ")}")
+        columns.map(c => allFields.find(_.name == c).get)
+      }
     val struct = org.apache.spark.sql.types.StructType(
-      avroSchema.getFields.asScala.toSeq.map { f =>
+      pickedFields.map { f =>
         val (dt, nullable) = sql(f.schema())
         org.apache.spark.sql.types.StructField(f.name(), dt, nullable)
       })
-    val names = struct.fields.map(_.name)
     val rdd = spark.sparkContext
       .newAPIHadoopFile(
         path,
@@ -130,19 +151,36 @@ object Sources {
         classOf[AvroKey[GenericRecord]],
         classOf[NullWritable])
       // GenericRecord is not serializable — conversion happens in the
-      // same map stage as the read, nothing avro-typed crosses a shuffle
-      .map { case (k, _) =>
-        val rec = k.datum()
-        Row.fromSeq(names.toIndexedSeq.map { n =>
-          rec.get(n) match {
-            case u: org.apache.avro.util.Utf8 => u.toString
-            case bb: java.nio.ByteBuffer =>
-              val a = new Array[Byte](bb.remaining()); bb.duplicate().get(a); a
-            case v => v
-          }
-        })
-      }
+      // same map stage as the read, nothing avro-typed crosses a shuffle;
+      // only the PROJECTED fields are ever converted to Row values
+      .map { case (k, _) => Sources.avroToRow(k.datum(), struct) }
     spark.createDataFrame(rdd, struct)
+  }
+
+  /** Recursive avro→Row conversion against the mapped SQL type: nested
+    * records become Rows (by field NAME, so compatible writer versions
+    * coexist), avro arrays become Seqs, Utf8/ByteBuffer unwrap.
+    */
+  private def avroToRow(rec: org.apache.avro.generic.GenericRecord,
+      st: org.apache.spark.sql.types.StructType): org.apache.spark.sql.Row = {
+    import org.apache.spark.sql.types._
+    import scala.jdk.CollectionConverters._
+    def convert(v: Any, dt: DataType): Any = v match {
+      case null => null
+      case u: org.apache.avro.util.Utf8 => u.toString
+      case bb: java.nio.ByteBuffer =>
+        val a = new Array[Byte](bb.remaining()); bb.duplicate().get(a); a
+      case r: org.apache.avro.generic.GenericRecord =>
+        val nested = dt.asInstanceOf[StructType]
+        org.apache.spark.sql.Row.fromSeq(
+          nested.fields.toIndexedSeq.map(f => convert(r.get(f.name), f.dataType)))
+      case c: java.util.Collection[_] =>
+        val et = dt.asInstanceOf[ArrayType].elementType
+        c.asScala.toSeq.map(convert(_, et))
+      case other => other
+    }
+    org.apache.spark.sql.Row.fromSeq(
+      st.fields.toIndexedSeq.map(f => convert(rec.get(f.name), f.dataType)))
   }
 
   /** Schema-evolved parquet scan: one table written over time by

@@ -508,6 +508,57 @@ class SourcesSpec extends SparkSpec {
     assert(got.where(col("event_type") === "view").count() == 2)
   }
 
+  test("avro source maps nested records and arrays; projection converts only requested fields") {
+    import org.apache.avro.{Schema, SchemaBuilder}
+    import org.apache.avro.file.DataFileWriter
+    import org.apache.avro.generic.{GenericData, GenericDatumWriter, GenericRecord}
+    val dir = java.nio.file.Files.createTempDirectory("graft-avro-n").toFile
+    // the envelope+payload shape a real Kafka dump carries: a nested
+    // record, an array of longs, and a nullable nested payload
+    val meta: Schema = SchemaBuilder.record("Meta").fields()
+      .requiredString("source").requiredInt("version").endRecord()
+    val schema: Schema = SchemaBuilder.record("Envelope").fields()
+      .requiredLong("id")
+      .name("meta").`type`(meta).noDefault()
+      .name("tags").`type`().array().items().longType().noDefault()
+      .name("payload").`type`().optional().`type`(meta)
+      .endRecord()
+    val w = new DataFileWriter(new GenericDatumWriter[GenericRecord](schema))
+    w.create(schema, new java.io.File(dir, "n.avro"))
+    def metaRec(src: String, v: Int): GenericRecord = {
+      val m = new GenericData.Record(meta)
+      m.put("source", src); m.put("version", v); m
+    }
+    val r1 = new GenericData.Record(schema)
+    r1.put("id", 1L); r1.put("meta", metaRec("kafka", 2))
+    r1.put("tags", java.util.Arrays.asList(10L, 20L))
+    r1.put("payload", metaRec("pg", 7))
+    val r2 = new GenericData.Record(schema)
+    r2.put("id", 2L); r2.put("meta", metaRec("minio", 1))
+    r2.put("tags", java.util.Collections.emptyList[java.lang.Long]())
+    w.append(r1); w.append(r2); w.close()
+
+    val got = graft.sources.Sources.readAvro(spark, dir.toString)
+    val f = got.schema.fields.map(x => x.name -> x.dataType.typeName).toMap
+    assert(f("meta") == "struct" && f("tags") == "array" && f("payload") == "struct")
+    val rows = got.orderBy("id").collect()
+    assert(rows(0).getStruct(rows(0).fieldIndex("meta")).getString(0) == "kafka")
+    assert(rows(0).getSeq[Long](rows(0).fieldIndex("tags")) == Seq(10L, 20L))
+    assert(rows(0).getStruct(rows(0).fieldIndex("payload")).getInt(1) == 7)
+    assert(rows(1).isNullAt(rows(1).fieldIndex("payload")))
+    assert(rows(1).getSeq[Long](rows(1).fieldIndex("tags")).isEmpty)
+    // nested fields compose with SQL
+    assert(got.where(col("meta.version") === 2).count() == 1)
+    // projection at the seam: only the requested top-level fields exist
+    val proj = graft.sources.Sources.readAvro(spark, dir.toString, Seq("id", "tags"))
+    assert(proj.schema.fieldNames.toSeq == Seq("id", "tags"))
+    assert(proj.orderBy("id").collect().map(_.getLong(0)).toSeq == Seq(1L, 2L))
+    // unknown columns fail loudly, not silently as nulls
+    intercept[IllegalArgumentException] {
+      graft.sources.Sources.readAvro(spark, dir.toString, Seq("nope"))
+    }
+  }
+
   test("avro sink round-trips through the avro source (write -> read parity)") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft-avro-w").toString
