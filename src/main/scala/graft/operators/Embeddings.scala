@@ -2,7 +2,7 @@ package graft.operators
 
 import graft.Tables
 import graft.functions.DotProduct
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 
@@ -340,6 +340,51 @@ object Embeddings {
       .groupBy("vec_id")
       .agg(sum(col("d").cast(DecimalType(38, 30))).cast("double")
         .cast(DecimalType(24, 12)).cast("double").as("adc_dist"))
+  }
+
+  /** ROW-LOCAL ADC score of a full vector column against a FIXED query —
+    * the streaming twin of [[adcScores]]: a live gate cannot shuffle
+    * (vec, subspace) rows through a groupBy, so each arriving vector is
+    * coded per subspace (the [[withBest]] argmin over the broadcast
+    * codebook, on an in-row slice) and the per-subspace ADC terms —
+    * precomputed against the fixed query with the IDENTICAL left-fold
+    * IEEE sequence [[adcScores]] evaluates at runtime — sum through the
+    * same DECIMAL(38,30)→double→DECIMAL(24,12)→double chain. One narrow
+    * projection per event, no state; bit-equal to the batch scorer
+    * (StreamingSpec pins it against [[pqAdcTopK]]).
+    */
+  private[graft] def adcScoreColumn(
+      v: Column, qv: Seq[Double], pq: Map[(Int, Int), Seq[Double]]): Column = {
+    import graft.functions.DotProduct
+    // term(s, k) = c·c − 2·q_s·c + q_s·q_s, all driver doubles with the
+    // same fold order DotProduct uses (acc starts 0.0, adds pairwise
+    // products left to right)
+    def dot(a: Seq[Double], b: Seq[Double]): Double = {
+      var acc = 0.0; var i = 0
+      while (i < a.length) { acc += a(i) * b(i); i += 1 }
+      acc
+    }
+    val termArr = typedLit((0 until PqSubs).map { s =>
+      val qs = qv.slice(s * PqDims, (s + 1) * PqDims)
+      (0 until PqK).map { k =>
+        val c = pq((s, k))
+        c.map(x => x * x).sum - 2.0 * dot(qs, c) + dot(qs, qs)
+      }
+    })
+    val terms = (0 until PqSubs).map { s =>
+      val sv = slice(v, s * PqDims + 1, PqDims)
+      // the same assignment argmin as withBest, on the in-row slice
+      val scored = (0 until PqK).map { k =>
+        val cLit  = typedLit(pq((s, k)))
+        val ccLit = lit(pq((s, k)).map(x => x * x).sum)
+        struct((ccLit - lit(2.0) * DotProduct(sv, cLit)).as("d"),
+          lit(k).as("cell"))
+      }
+      val cell = array_min(array(scored: _*)).getField("cell")
+      element_at(element_at(termArr, s + 1), cell + 1).cast(DecimalType(38, 30))
+    }
+    terms.reduceLeft[Column](_ + _)
+      .cast("double").cast(DecimalType(24, 12)).cast("double")
   }
 
   def pqAdcTopK(t: Tables): DataFrame = {

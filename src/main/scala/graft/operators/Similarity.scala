@@ -243,6 +243,40 @@ object Similarity {
     (cents, init)
   }
 
+  /** The bounded driver model a STREAMING ANN gate broadcasts: the
+    * k-means coarse quantizer, the PQ codebook, and the tracked query
+    * vector — trained once offline over the corpus, the anomaly-gate
+    * train-batch/score-stream convention applied to vectors.
+    */
+  final case class AnnGateModel(
+      query: Seq[Double],
+      cents: Seq[(Int, Seq[Double])],
+      pq: Map[(Int, Int), Seq[Double]])
+
+  private[graft] def annGateModel(t: Tables): AnnGateModel = {
+    val vecs = vectors(t).cache()
+    val (cents, init) = trainKmeans(vecs)
+    val pq = Embeddings.trainPq(vecs)
+    val qv = init.find(_._1 == 0).map(_._2).getOrElse(
+      vecs.where(col("vec_id") === 0).select(col("v"))
+        .collect()(0).getSeq[Double](0))
+    vecs.unpersist(false)
+    AnnGateModel(qv, cents, pq)
+  }
+
+  /** Row-local coarse-cell assignment against literal centroids — the
+    * streaming projection of [[assignCells]] (identical argmin structs).
+    */
+  private[graft] def cellColumn(v: Column, cents: Seq[(Int, Seq[Double])]): Column = {
+    val scored = cents.map { case (id, c) =>
+      val cc = c.map(x => x * x).sum
+      struct(
+        (lit(cc) - lit(2.0) * graft.functions.DotProduct(v, typedLit(c))).as("d"),
+        lit(id).as("cell"))
+    }
+    array_min(array(scored: _*)).getField("cell")
+  }
+
   def ivfTopK(t: Tables): DataFrame = {
     val vecs = vectors(t).cache()
     val (cents, init) = trainKmeans(vecs)

@@ -535,6 +535,30 @@ object Streams {
     * `q_anomaly_zscore` shape, so a backfill and the live gate flag the
     * same rows.
     */
+  /** Streaming ANN gate — the train-batch / score-stream pattern for
+    * VECTORS: an [[graft.operators.Similarity.AnnGateModel]] (IVF
+    * centroids + PQ codebook + tracked query, trained offline) rides the
+    * closure into the live stream, and each arriving embedding is
+    * row-locally coarse-assigned and PQ-coded against the broadcast
+    * codebook, its ADC distance to the query computed by the EXACT batch
+    * recipe ([[graft.operators.Embeddings.adcScoreColumn]] — StreamingSpec
+    * pins stream ≡ batch scores). `adc_dist < threshold` flags the
+    * arrival as a near-dup of the tracked query/corpus region. No
+    * watermark, no state store: one narrow projection per event — the
+    * model is the only memory, swapped by redeploying with fresh
+    * training (the anomalyGateStream convention).
+    */
+  def annGateStream(vectors: DataFrame,
+      model: graft.operators.Similarity.AnnGateModel,
+      threshold: Double): DataFrame = {
+    val v = col("embedding").cast("array<double>")
+    vectors
+      .withColumn("cell", graft.operators.Similarity.cellColumn(v, model.cents))
+      .withColumn("adc_dist",
+        graft.operators.Embeddings.adcScoreColumn(v, model.query, model.pq))
+      .withColumn("is_near", col("adc_dist") < threshold)
+  }
+
   def anomalyGateStream(events: DataFrame, stats: DataFrame): DataFrame = {
     // LEFT join: an event type the model has never seen must surface as
     // an anomaly, not vanish from the gated feed (an inner join would

@@ -627,4 +627,38 @@ class StreamingSpec extends SparkSpec {
     val expectZ = (99.0 - sx / n) / math.sqrt((sx2 - sx * sx / n) / (n - 1))
     assert(rows(21L)._1 == expectZ)
   }
+
+  test("ANN gate: streamed vectors score bit-equal to the batch ADC scorer") {
+    implicit val sqlCtx = spark.sqlContext
+    // train the IVF-PQ gate model offline on the sf corpus
+    val model = graft.operators.Similarity.annGateModel(sf)
+    // stream the corpus's own vectors through the live gate
+    val corpus = sf.embeddings
+      .select(col("vec_id"), col("embedding").cast("array<double>"))
+      .collect()
+      .map(r => VecEvent(r.getLong(0), r.getSeq[Double](1)))
+    val input = MemoryStream[VecEvent]
+    val q = Streams.annGateStream(
+        input.toDF().withColumnRenamed("v", "embedding"), model, 0.5)
+      .writeStream.format("memory").queryName("ann_gate")
+      .outputMode("append").start()
+    input.addData(corpus.toIndexedSeq: _*)
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("ann_gate").collect()
+      .map(r => r.getAs[Long]("vec_id") ->
+        ((r.getAs[Double]("adc_dist"), r.getAs[Boolean]("is_near")))).toMap
+    assert(streamed.size == corpus.length)
+    // the batch ADC scorer's top-10 distances must appear bit-equal
+    val batch = graft.operators.Embeddings.pqAdcTopK(sf).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1))
+    assert(batch.nonEmpty)
+    batch.foreach { case (id, d) =>
+      assert(streamed(id)._1 == d, s"vec $id: stream ${streamed(id)._1} != batch $d")
+      assert(streamed(id)._2 == (d < 0.5))
+    }
+  }
 }
+
+/** Embedding arrival for the streaming ANN gate spec. */
+final case class VecEvent(vec_id: Long, v: Seq[Double])
