@@ -231,4 +231,81 @@ object Curation {
        | q.keep_quality AND kb.keep_dedup AS kept
        |FROM q JOIN kb USING (doc_id)
        |ORDER BY q.doc_id""".stripMargin
+
+  /** [[temperatureSample]] keeps `TempBudgetNum/TempBudgetDen` of the
+    * corpus, reallocated across sources by the T=2 temperature rule.
+    */
+  private[graft] val TempBudgetNum = 1L
+  private[graft] val TempBudgetDen = 2L
+  /** Hash-space denominator for the integer keep threshold (1e6 ≪ 2^60,
+    * so the `< thr/Scale` comparison never sits on a hash boundary).
+    */
+  private[graft] val TempScale = 1000000L
+
+  /** Temperature-scaled source mixing (T = 2) — the multilingual /
+    * multi-domain rebalancing rule of large-scale LM data work (e.g.
+    * mC4's exponent-smoothed language sampling): a source's share of the
+    * output budget is proportional to `count^(1/T)` = √count instead of
+    * its raw count, flattening head domains and boosting the tail
+    * WITHOUT a hand-written per-domain weight table (contrast
+    * [[domainMix]], where the mix is an explicit prior).
+    *
+    * Portability/scale: weights are INTEGER floor-square-roots
+    * (`floor(sqrt(bigint))` is exact in IEEE double far past any
+    * realistic domain count, and both engines agree bit-for-bit), and
+    * the per-source keep threshold `floor(B·w_s·Scale / (W·c_s))` is
+    * evaluated as the identical left-associated IEEE double op sequence
+    * in both engines — double, NOT int64, deliberately: at 100 TB the
+    * int64 product B·w·Scale overflows around 10^13-row corpora, while
+    * double carries the magnitude and IEEE determinism makes the floor
+    * bit-identical. The keep decision compares the portable 60-bit
+    * doc_id hash against the threshold row-locally — per-source counts
+    * are one tiny aggregate broadcast back over the scan, then a
+    * shuffle-free filter. Rerun-exact at any scale; no RNG, no `pow`,
+    * no `ln`.
+    */
+  def temperatureSample(t: Tables): DataFrame = {
+    val perSource = t.documents.groupBy("source")
+      .agg(count(lit(1)).cast("long").as("ns"))
+      .withColumn("w", floor(sqrt(col("ns").cast("double"))).cast("long"))
+    val totals = perSource.agg(
+      sum(col("ns")).cast("long").as("total"),
+      sum(col("w")).cast("long").as("wsum"))
+    // thr in millionths of the hash space; capped at Scale so
+    // under-budget sources keep everything
+    val budget = floor(col("total").cast("double") *
+      lit(TempBudgetNum.toDouble / TempBudgetDen))
+    val thr = perSource.crossJoin(broadcast(totals))
+      .select(col("source"), col("ns"), col("w"),
+        least(lit(TempScale.toDouble),
+          floor(budget * col("w").cast("double") * lit(TempScale.toDouble) /
+            (col("wsum").cast("double") * col("ns").cast("double")))).as("thr"))
+    t.documents
+      .join(broadcast(thr), Seq("source"))
+      .where(Sampling.unitHash(col("doc_id")) * TempScale < col("thr"))
+      .select(col("doc_id"), col("source"), col("thr"))
+      .orderBy("doc_id")
+  }
+
+  val temperatureSampleSql: String = {
+    val u = Sampling.unitHashSqlFmt.format("d.doc_id")
+    val ratio = TempBudgetNum.toDouble / TempBudgetDen
+    s"""WITH n AS (
+       | SELECT source, CAST(COUNT(*) AS BIGINT) AS ns,
+       |  CAST(FLOOR(SQRT(CAST(COUNT(*) AS DOUBLE))) AS BIGINT) AS w
+       | FROM documents GROUP BY source),
+       |tot AS (
+       | SELECT CAST(SUM(ns) AS BIGINT) AS total, CAST(SUM(w) AS BIGINT) AS wsum
+       | FROM n),
+       |f AS (
+       | SELECT source, LEAST(CAST($TempScale AS DOUBLE),
+       |   FLOOR(FLOOR(CAST(total AS DOUBLE) * $ratio)
+       |     * CAST(w AS DOUBLE) * CAST($TempScale AS DOUBLE)
+       |     / (CAST(wsum AS DOUBLE) * CAST(ns AS DOUBLE)))) AS thr
+       | FROM n, tot)
+       |SELECT d.doc_id, d.source, f.thr
+       |FROM documents d JOIN f USING (source)
+       |WHERE $u * $TempScale < f.thr
+       |ORDER BY d.doc_id""".stripMargin
+  }
 }

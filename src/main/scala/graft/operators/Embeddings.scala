@@ -554,4 +554,120 @@ object Embeddings {
        |    / ($MatQueries * ks.k) AS recall
        |FROM (SELECT UNNEST(range(1, ${MatK + 1})) AS k) ks LEFT JOIN hits ON TRUE
        |GROUP BY ks.k ORDER BY k""".stripMargin
+
+  /** Leading dims analyzed by [[pcaPower]] (the matryoshka-prefix
+    * convention — keeps the oracle's D² expansion bounded).
+    */
+  private[graft] val PcaDims = 16
+  private[graft] val PcaIters = 3
+  private[graft] val PcaScale = 1000000.0
+
+  /** Dominant principal direction of the leading [[PcaDims]] embedding
+    * dims by power iteration — the whitening/drift-axis primitive of
+    * embedding-space curation (dedup by projection, batch-effect
+    * detection, dimension pruning).
+    *
+    * The pipeline is engineered so every engine-crossing number is
+    * exact or identically rounded: (1) the covariance matrix comes from
+    * ONE in-row D² moment expansion (flatten/transform over the vector —
+    * no self-join) aggregated through scale-30 decimal sums, centered as
+    * E[xy] − E[x]E[y] (no mean-subtraction pass), rounded by the
+    * [[centroids]] decimal(24,12) recipe, then floored to integer
+    * MICROS; (2) power iterations run on that 16×16 INTEGER matrix with
+    * exact int64 dot products, renormalizing each round to maxabs = 10⁶
+    * via a deterministic double floor-divide (the femto-unit PageRank
+    * convention, so no iterate ever overflows and no `sqrt` norm
+    * enters); (3) a zero matrix keeps the raw zero vector (COALESCE
+    * twin in the oracle). The 16×16 matrix is bounded driver model
+    * state (the k-means-centroid convention) — iterations are
+    * driver-local on the model, never data passes. At scale: one scan,
+    * one 256-group and one 16-group partial aggregation; nothing else
+    * touches the corpus.
+    */
+  def pcaPower(t: Tables): DataFrame = {
+    val spark = t.spark
+    import spark.implicits._
+    val withV = t.embeddings
+      .select(col("embedding").cast("array<double>").as("v"))
+    val mom = withV.select(explode(expr(
+        s"""flatten(transform(sequence(0, ${PcaDims - 1}), i ->
+           |  transform(sequence(0, ${PcaDims - 1}), j ->
+           |    named_struct('i', i, 'j', j,
+           |      'p', element_at(v, i + 1) * element_at(v, j + 1)))))"""
+          .stripMargin)).as("e"))
+      .groupBy(col("e.i").as("i"), col("e.j").as("j"))
+      .agg(sum(col("e.p").cast(DecimalType(38, 30))).as("sd"),
+        count(lit(1)).as("n"))
+    val means = withV
+      .select(posexplode(col("v")).as(Seq("pos", "x")))
+      .where(col("pos") < PcaDims)
+      .groupBy("pos")
+      .agg((sum(col("x").cast(DecimalType(38, 30))).cast("double") /
+        count(lit(1))).as("m"))
+    val cint = mom
+      .join(broadcast(means.select(col("pos").as("i"), col("m").as("mi"))), Seq("i"))
+      .join(broadcast(means.select(col("pos").as("j"), col("m").as("mj"))), Seq("j"))
+      .select(col("i"), col("j"),
+        floor((col("sd").cast("double") / col("n") - col("mi") * col("mj"))
+          .cast(DecimalType(24, 12)).cast("double") * lit(PcaScale)).as("c"))
+    val c = Array.ofDim[Long](PcaDims, PcaDims)
+    cint.collect().foreach(r => c(r.getInt(0))(r.getInt(1)) = r.getLong(2))
+    var v = Array.tabulate(PcaDims)(i => if (i == 0) 1000000L else 0L)
+    for (_ <- 1 to PcaIters) {
+      val w = Array.tabulate(PcaDims) { i =>
+        var s = 0L; var j = 0
+        while (j < PcaDims) { s += c(i)(j) * v(j); j += 1 }
+        s
+      }
+      val mx = w.map(math.abs).max
+      v = if (mx == 0L) w
+      else w.map(x => math.floor(x.toDouble * PcaScale / mx.toDouble).toLong)
+    }
+    v.zipWithIndex
+      .map { case (vi, i) => (i, vi, vi.toDouble / PcaScale) }
+      .toSeq.toDF("pos", "v_micros", "loading")
+      .orderBy("pos")
+  }
+
+  /** Oracle: moments/means/covariance through the identical decimal →
+    * double → micros chain, then the [[PcaIters]] iterations unrolled as
+    * exact-integer matrix-vector CTEs with the same floor renormalize.
+    */
+  val pcaPowerSql: String = {
+    val d = PcaDims
+    val iters = (1 to PcaIters).map { r =>
+      s"""w$r AS (
+         | SELECT c.i, SUM(c.c * v${r - 1}.v) AS w
+         | FROM c JOIN v${r - 1} ON v${r - 1}.i = c.j GROUP BY c.i),
+         |x$r AS (SELECT MAX(ABS(w)) AS mx FROM w$r),
+         |v$r AS (
+         | SELECT w$r.i,
+         |  COALESCE(CAST(FLOOR(CAST(w AS DOUBLE) * 1000000.0
+         |    / CAST(NULLIF(mx, 0) AS DOUBLE)) AS BIGINT), w) AS v
+         | FROM w$r, x$r)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH e AS (SELECT embedding::DOUBLE[] AS v FROM embeddings),
+       |xs AS (SELECT v, unnest(range(0, $d)) AS i FROM e),
+       |xy AS (SELECT v, i, unnest(range(0, $d)) AS j FROM xs),
+       |mom AS (
+       | SELECT i, j, SUM(CAST(v[i + 1] * v[j + 1] AS DECIMAL(38, 30))) AS sd,
+       |  COUNT(*) AS n
+       | FROM xy GROUP BY i, j),
+       |mean AS (
+       | SELECT i AS pos,
+       |  CAST(SUM(CAST(v[i + 1] AS DECIMAL(38, 30))) AS DOUBLE) / COUNT(*) AS m
+       | FROM xs GROUP BY i),
+       |c AS (
+       | SELECT mom.i, mom.j,
+       |  CAST(FLOOR(CAST(CAST(CAST(sd AS DOUBLE) / n - m1.m * m2.m
+       |    AS DECIMAL(24, 12)) AS DOUBLE) * 1000000.0) AS BIGINT) AS c
+       | FROM mom JOIN mean m1 ON m1.pos = mom.i JOIN mean m2 ON m2.pos = mom.j),
+       |v0 AS (
+       | SELECT i, CASE WHEN i = 0 THEN 1000000 ELSE 0 END AS v
+       | FROM (SELECT unnest(range(0, $d)) AS i)),
+       |$iters
+       |SELECT CAST(i AS INT) AS pos, CAST(v AS BIGINT) AS v_micros,
+       | CAST(v AS DOUBLE) / 1000000.0 AS loading
+       |FROM v$PcaIters ORDER BY pos""".stripMargin
+  }
 }

@@ -438,4 +438,90 @@ object Graph {
        |SELECT p_partkey, component,
        |  CAST(COUNT(*) OVER (PARTITION BY component) AS BIGINT) AS comp_size
        |FROM lab ORDER BY p_partkey""".stripMargin
+
+  /** Synchronous rounds for [[labelPropagation]] — a FIXED count, not a
+    * fixpoint: LPA can oscillate under synchronous updates (bipartite
+    * 2-cycles), so "run R rounds" IS the algorithm's contract and the
+    * oracle replays exactly R rounds. Communities stabilize in a few
+    * rounds on co-purchase-like graphs; raise for larger diameters.
+    */
+  private[graft] val LpaRounds = 3
+
+  /** Label-propagation community detection over the co-purchase network
+    * — the lightweight community sibling of [[components]]: instead of
+    * flooding the MINIMUM label (which welds every connected node into
+    * one island), each part adopts its neighbors' PLURALITY label each
+    * round (ties → smallest label), so densely-wired clusters coalesce
+    * while bridge edges don't merge their endpoints' communities.
+    *
+    * Per round: one edge-labels join + one (node, candidate) count
+    * aggregation + one per-node argmax — all key-partitioned shuffles
+    * of the EDGE relation, never quadratic, the Pregel shape shared
+    * with [[pageRank]]. The argmax is a single max(struct(count,
+    * -label)) aggregation (no window over the votes), and isolated
+    * parts keep their own id through a left join. Deterministic:
+    * synchronous updates, exact counts, total tie order.
+    */
+  def labelPropagation(t: Tables): DataFrame = {
+    val edges = Relational7.basketPairsRaw(t, EdgeSupport)
+      .select(explode(array(
+        struct(col("a_part").as("u"), col("b_part").as("v")),
+        struct(col("b_part").as("u"), col("a_part").as("v")))).as("e"))
+      .select(col("e.u").as("u"), col("e.v").as("v"))
+      .persist()
+    val nodes = t.part.select(col("p_partkey").as("id"))
+    var labels = nodes.select(col("id"), col("id").as("lbl"))
+    for (r <- 1 to LpaRounds) {
+      val votes = edges
+        .join(labels.select(col("id").as(s"v$r"), col("lbl").as(s"cl$r")),
+          col("v") === col(s"v$r"))
+        .groupBy(col("u"), col(s"cl$r").as("cand"))
+        .agg(count(lit(1)).as("c"))
+      val winner = votes.groupBy("u")
+        .agg(max(struct(col("c"), (-col("cand")).as("neg"))).as("m"))
+        .select(col("u").as("id"), (-col("m.neg")).as("lbl"))
+      // localCheckpoint pins each round (the fixpoint-loop convention);
+      // eager, so the edge cache is hot for the next round's join
+      labels = nodes.join(winner, Seq("id"), "left")
+        .select(col("id"), coalesce(col("lbl"), col("id")).as("lbl"))
+        .localCheckpoint(true)
+    }
+    edges.unpersist(false)
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("lbl")
+    labels.select(col("id").as("p_partkey"), col("lbl").as("community"),
+        count(lit(1)).over(w).as("comm_size"))
+      .orderBy("p_partkey")
+  }
+
+  /** Oracle: the [[LpaRounds]] synchronous rounds unrolled as CTE pairs
+    * (votes → plurality winner with the same (count desc, label) order).
+    */
+  val labelPropagationSql: String = {
+    val rounds = (1 to LpaRounds).map { r =>
+      s"""v$r AS (
+         | SELECT e.u AS id, l.lbl AS cand, COUNT(*) AS c
+         | FROM edges e JOIN l${r - 1} l ON l.id = e.v
+         | GROUP BY 1, 2),
+         |w$r AS (
+         | SELECT id, cand AS lbl FROM v$r
+         | QUALIFY row_number() OVER (PARTITION BY id ORDER BY c DESC, cand) = 1),
+         |l$r AS (
+         | SELECT n.id, COALESCE(w.lbl, n.id) AS lbl
+         | FROM nodes n LEFT JOIN w$r w USING (id))""".stripMargin
+    }.mkString(",\n")
+    s"""WITH items AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+       |cp AS (
+       |  SELECT a.l_partkey AS a, b.l_partkey AS b
+       |  FROM items a JOIN items b
+       |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+       |  GROUP BY 1, 2 HAVING COUNT(*) >= $EdgeSupport),
+       |edges AS (SELECT a AS u, b AS v FROM cp
+       |          UNION ALL SELECT b AS u, a AS v FROM cp),
+       |nodes AS (SELECT p_partkey AS id FROM part),
+       |l0 AS (SELECT id, id AS lbl FROM nodes),
+       |$rounds
+       |SELECT id AS p_partkey, lbl AS community,
+       | CAST(COUNT(*) OVER (PARTITION BY lbl) AS BIGINT) AS comm_size
+       |FROM l$LpaRounds ORDER BY p_partkey""".stripMargin
+  }
 }

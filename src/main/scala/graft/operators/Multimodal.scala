@@ -118,7 +118,18 @@ object Multimodal {
     * path of the multimodal seam — the registered queries keep the
     * deterministic stubs this dataset's text payloads need.
     */
-  private[graft] val wavDecoder: AudioDecoder = (r, batchId) => {
+  /** Parsed 16-bit PCM container: header fields plus a random-access
+    * view over the sample words. Shared by [[wavDecoder]] and
+    * [[audioVad]] so both consume the IDENTICAL chunk walk.
+    */
+  private[graft] final case class WavPcm(
+      sampleRate: Int, channels: Int, bits: Int, dataOff: Int, frames: Int,
+      buf: java.nio.ByteBuffer) {
+    def sample(i: Int): Long = buf.getShort(dataOff + 2 * i).toLong
+  }
+
+  /** The RIFF/WAVE chunk walk behind the real-codec audio tiers. */
+  private[graft] def wavPcm(r: MediaRecord): WavPcm = {
     val b = java.nio.ByteBuffer.wrap(r.payload)
       .order(java.nio.ByteOrder.LITTLE_ENDIAN)
     def tag4(): String = {
@@ -147,22 +158,25 @@ object Multimodal {
     }
     require(dataOff > 0 && bits == 16,
       s"doc ${r.doc_id}: no 16-bit PCM data chunk")
-    val frames = dataLen / 2
+    WavPcm(sampleRate, channels, bits, dataOff, dataLen / 2, b)
+  }
+
+  private[graft] val wavDecoder: AudioDecoder = (r, batchId) => {
+    val w = wavPcm(r)
     // energy accumulates EXACTLY in integer space (s² ≤ 2³⁰ — a long
     // holds ~2³³ samples' worth), so the RMS double is one division and
     // one sqrt over exact operands: order-free and replayable bit-exact
     // by any engine that can sum integers (the oracle requirement)
     var acc = 0L
     var i = 0
-    while (i < frames) {
-      val s = b.getShort(dataOff + 2 * i).toLong
-      acc += s * s
+    while (i < w.frames) {
+      acc += w.sample(i) * w.sample(i)
       i += 1
     }
-    val nSamples = frames / channels
-    AudioMeta(r.doc_id, sampleRate, channels, bits, nSamples,
-      nSamples * 1000.0 / sampleRate,
-      math.sqrt(acc.toDouble / frames) / 32768.0, batchId)
+    val nSamples = w.frames / w.channels
+    AudioMeta(r.doc_id, w.sampleRate, w.channels, w.bits, nSamples,
+      nSamples * 1000.0 / w.sampleRate,
+      math.sqrt(acc.toDouble / w.frames) / 32768.0, batchId)
   }
 
   /** The audio twin of [[decodeImagesFrom]]'s seam WITHOUT the output
@@ -721,6 +735,95 @@ object Multimodal {
       |  sqrt(CAST(acc AS DOUBLE) / n) / 32768 AS rms
       |FROM p JOIN s ON p.doc_id = s.doc_id
       |ORDER BY p.doc_id""".stripMargin
+
+  /** Samples per VAD analysis frame ([[audioVad]]). */
+  private[graft] val VadFrame = 16
+  /** Per-sample mean-square activity threshold: a frame is "voiced" iff
+    * Σv² ≥ [[VadMeanSq]]·frame_len. 16-bit samples uniform over the full
+    * range average ≈ 3.58e8 per sample, so this sits right at the
+    * energy midline and splits realistic frames both ways.
+    */
+  private[graft] val VadMeanSq = 360000000L
+
+  final case class VadStats(
+      doc_id: Long, n_frames: Int, n_active: Int, n_segments: Int,
+      voiced_frac: Double)
+
+  /** Energy-based voice-activity detection over the REAL-codec audio
+    * path — the segment-the-speech stage an audio training pipeline runs
+    * between decode and transcription: the actual RIFF walk
+    * ([[wavPcm]], shared with [[decodeWav]]) yields the PCM samples,
+    * fixed [[VadFrame]]-sample frames score integer energy, a frame is
+    * voiced iff its energy clears [[VadMeanSq]] per sample, and adjacent
+    * voiced frames merge into segments (counted at their left edges —
+    * the row-local gaps-and-islands fold). Everything except the one
+    * final fraction is exact integer arithmetic, so the oracle replays
+    * the synthesis formula through the identical frame/threshold/segment
+    * chain. Per-doc work is row-local at the batched seam: no shuffle,
+    * no state, linear in samples.
+    */
+  def audioVad(t: Tables): DataFrame = {
+    val spark = t.spark
+    import spark.implicits._
+    t.documents.select(col("doc_id")).as[Long]
+      .mapPartitions { it =>
+        it.grouped(BatchSize).flatMap { batch =>
+          batch.map { id =>
+            val w = wavPcm(MediaRecord(id, synthWav(id)))
+            val nFrames = (w.frames + VadFrame - 1) / VadFrame
+            var f = 0; var nActive = 0; var nSegments = 0
+            var prevActive = false
+            while (f < nFrames) {
+              val lo = f * VadFrame
+              val hi = math.min(lo + VadFrame, w.frames)
+              var e = 0L
+              var i = lo
+              while (i < hi) { e += w.sample(i) * w.sample(i); i += 1 }
+              val active = e >= VadMeanSq * (hi - lo)
+              if (active) {
+                nActive += 1
+                if (!prevActive) nSegments += 1
+              }
+              prevActive = active
+              f += 1
+            }
+            VadStats(id, nFrames, nActive, nSegments,
+              nActive.toDouble / nFrames)
+          }
+        }
+      }
+      .toDF()
+      .orderBy("doc_id")
+  }
+
+  /** Oracle for [[audioVad]]: the synthesis formula feeds the identical
+    * integer frame-energy / threshold / left-edge segment count chain;
+    * the lag window replays the operator's prevActive fold.
+    */
+  val audioVadSql: String =
+    s"""WITH p AS (
+       |  SELECT doc_id, 64 + doc_id % 64 AS n FROM documents),
+       |sm AS (
+       |  SELECT doc_id, j // $VadFrame AS f,
+       |    ((doc_id * 7919 + j * 104729) % 65536) - 32768 AS v
+       |  FROM (SELECT doc_id, unnest(range(0, n)) AS j FROM p)),
+       |fr AS (
+       |  SELECT doc_id, f, SUM(v * v) AS e, COUNT(*) AS fl
+       |  FROM sm GROUP BY doc_id, f),
+       |fa AS (
+       |  SELECT doc_id, f, e >= $VadMeanSq * fl AS act,
+       |    COALESCE(LAG(e >= $VadMeanSq * fl)
+       |      OVER (PARTITION BY doc_id ORDER BY f), FALSE) AS prev_act
+       |  FROM fr)
+       |SELECT doc_id,
+       |  CAST(COUNT(*) AS INT) AS n_frames,
+       |  CAST(SUM(CASE WHEN act THEN 1 ELSE 0 END) AS INT) AS n_active,
+       |  CAST(SUM(CASE WHEN act AND NOT prev_act THEN 1 ELSE 0 END) AS INT)
+       |    AS n_segments,
+       |  CAST(SUM(CASE WHEN act THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*)
+       |    AS voiced_frac
+       |FROM fa GROUP BY doc_id
+       |ORDER BY doc_id""".stripMargin
 
   val dedupAhashSql: String =
     """WITH b AS (

@@ -1,0 +1,183 @@
+package graft.operators
+
+import graft.Tables
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Corpus statistics beyond per-document scoring: collocation mining
+  * (and siblings that need corpus-level co-occurrence marginals).
+  */
+object TextAnalysis3 {
+
+  /** Minimum adjacent-pair count for a collocation candidate. */
+  private[graft] val MinPair = 5
+  /** PPM scale for the integer association score. */
+  private[graft] val PmiScale = 1000000.0
+  private val TopK = 50
+
+  /** Collocation mining: the top-[[TopK]] adjacent word pairs by
+    * observed-over-expected association — the PMI-family statistic
+    * ("new york"-style multiword detection) that seeds tokenizer vocabs
+    * and phrase-aware dedup. Score = n_pair·N_bigrams/(n_w1·n_w2)
+    * in parts-per-million: PMI without the final `ln`, which is
+    * rank-equivalent (ln is monotone) and keeps the score engine-exact
+    * — no libm ulp divergence. The two floors are evaluated as the
+    * identical left-associated IEEE double sequence in both engines
+    * (double, not int64: the n_pair·Scale·N product overflows int64 at
+    * ~10^13 bigram corpora).
+    *
+    * Scale shape: bigrams expand IN-ROW (zip_with over the token array,
+    * no self-join), one hash aggregation keyed on the pair, min-count
+    * pruned BEFORE the marginal attach; unigram marginals are a
+    * vocabulary-sized aggregate attached with broadcast joins (a
+    * min-count-pruned natural-language vocabulary is millions of rows,
+    * comfortably broadcastable; drop the hint and AQE shuffles it if a
+    * corpus proves otherwise). The final global sort is a
+    * TakeOrdered top-[[TopK]], never a full sort.
+    */
+  def collocations(t: Tables): DataFrame = {
+    val tk = t.documents.select(split(col("text"), " ").as("tk"))
+    val uni = tk.select(explode(col("tk")).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("cnt"))
+    val tot = tk.agg(
+      sum(greatest(size(col("tk")) - 1, lit(0))).cast("long").as("n_big"))
+    val bi = tk.select(explode(expr(
+        """zip_with(slice(tk, 1, size(tk) - 1), slice(tk, 2, size(tk) - 1),
+          |  (x, y) -> named_struct('w1', x, 'w2', y))""".stripMargin)).as("bg"))
+      .groupBy(col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+      .agg(count(lit(1)).as("n_pair"))
+      .where(col("n_pair") >= MinPair)
+    bi
+      .join(broadcast(uni.select(col("w").as("w1"), col("cnt").as("n_w1"))), Seq("w1"))
+      .join(broadcast(uni.select(col("w").as("w2"), col("cnt").as("n_w2"))), Seq("w2"))
+      .crossJoin(broadcast(tot))
+      .select(col("w1"), col("w2"), col("n_pair"), col("n_w1"), col("n_w2"),
+        floor(floor(col("n_pair").cast("double") * lit(PmiScale) /
+            col("n_w1").cast("double")) *
+          col("n_big").cast("double") / col("n_w2").cast("double"))
+          .cast("long").as("pmi_ppm"))
+      .orderBy(col("pmi_ppm").desc, col("w1"), col("w2"))
+      .limit(TopK)
+  }
+
+  val collocationsSql: String =
+    s"""WITH tk AS (SELECT string_split(text, ' ') AS tk FROM documents),
+       |uni AS (
+       | SELECT w, CAST(COUNT(*) AS BIGINT) AS cnt
+       | FROM (SELECT unnest(tk) AS w FROM tk) GROUP BY w),
+       |tot AS (
+       | SELECT CAST(SUM(GREATEST(len(tk) - 1, 0)) AS BIGINT) AS n_big FROM tk),
+       |bg AS (
+       | SELECT unnest(list_transform(range(1, len(tk)),
+       |   i -> struct_pack(w1 := tk[i], w2 := tk[i + 1]))) AS bg
+       | FROM tk),
+       |bi AS (
+       | SELECT bg.w1 AS w1, bg.w2 AS w2, CAST(COUNT(*) AS BIGINT) AS n_pair
+       | FROM bg GROUP BY 1, 2 HAVING COUNT(*) >= $MinPair)
+       |SELECT bi.w1, bi.w2, bi.n_pair, u1.cnt AS n_w1, u2.cnt AS n_w2,
+       | CAST(FLOOR(FLOOR(CAST(bi.n_pair AS DOUBLE) * $PmiScale
+       |     / CAST(u1.cnt AS DOUBLE))
+       |   * CAST(tot.n_big AS DOUBLE) / CAST(u2.cnt AS DOUBLE)) AS BIGINT)
+       |  AS pmi_ppm
+       |FROM bi
+       |JOIN uni u1 ON u1.w = bi.w1
+       |JOIN uni u2 ON u2.w = bi.w2
+       |CROSS JOIN tot
+       |ORDER BY pmi_ppm DESC, w1, w2
+       |LIMIT $TopK""".stripMargin
+
+  /** WordPiece-style tokenization of the corpus — the THIRD tokenizer
+    * family next to [[Tokenizer]] (BPE) and [[Unigram]] (unigram-LM):
+    * greedy longest-match-first segmentation (MaxMatch, WordPiece's
+    * inference rule) against a vocabulary seeded EXACTLY like the
+    * unigram trainer's (top-[[Unigram.SeedSize]] substring candidates
+    * by weighted count plus all single characters, so segmentation
+    * never fails on [a-z]+ words).
+    *
+    * Scale shape (the [[Tokenizer]] convention): the corpus-sized
+    * passes are the word-frequency aggregation and the final per-doc
+    * count join; segmentation itself runs ONCE PER DISTINCT WORD on
+    * the vocabulary table as a row-local HOF fold (each step consumes
+    * the longest vocab piece matching at the cursor — ≤
+    * [[Unigram.MaxWordLen]] iterations, no shuffle, no per-position
+    * join), with the ≤226-piece vocab inlined as one array literal
+    * (bounded driver model state). Every comparison is exact string
+    * equality — no floats anywhere — so the oracle replays the greedy
+    * walk as suffix-eating CTE steps and matches bit-for-bit.
+    */
+  def wordpiece(t: Tables): DataFrame = {
+    val wf = Unigram.words(t).coalesce(8).cache()
+    val sc0 = Unigram.seedCounts(wf)
+    val top = sc0.orderBy(col("cnt").desc, col("piece")).limit(Unigram.SeedSize)
+      .collect().map(_.getString(0))
+    val singles = sc0.where(length(col("piece")) === 1)
+      .collect().map(_.getString(0))
+    val vocab = (top ++ singles).distinct
+    // pieces are [a-z]+ so literal embedding is safe (the Tokenizer
+    // convention); referenced once via a column so the array literal
+    // doesn't replicate into every CASE branch
+    val vlit = vocab.map(p => s"'$p'").mkString("array(", ", ", ")")
+    val matchCase = (Unigram.MaxPieceLen to 2 by -1).map(l =>
+      s"WHEN array_contains(vv, substr(w, acc.pos, $l)) THEN $l")
+      .mkString(" ")
+    val seg = wf
+      .withColumn("vv", expr(vlit))
+      .withColumn("cnt", expr(
+        s"""aggregate(
+           |  sequence(1, length(w)),
+           |  named_struct('pos', 1, 'cnt', CAST(0 AS BIGINT)),
+           |  (acc, i) -> IF(acc.pos > length(w), acc,
+           |    named_struct(
+           |      'pos', acc.pos + CASE $matchCase ELSE 1 END,
+           |      'cnt', acc.cnt + CAST(1 AS BIGINT))),
+           |  acc -> acc.cnt)""".stripMargin))
+      .select(col("w"), col("cnt"))
+    val out = t.documents
+      .select(col("doc_id"),
+        explode(expr("regexp_extract_all(lower(text), '[a-z]+', 0)")).as("word"))
+      .where(length(col("word")) <= Unigram.MaxWordLen)
+      // NO broadcast hint: the segmented relation is the full distinct-
+      // word table (corpus-dependent, ~1e8 at web scale) — AQE
+      // broadcasts when it measures small, shuffles on the word key
+      // otherwise; either way the join is word-keyed, never quadratic
+      .join(seg.select(col("w").as("word"), col("cnt")), Seq("word"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_words"), sum(col("cnt")).as("n_wp_tokens"))
+      .orderBy("doc_id")
+    wf.unpersist(false)
+    out
+  }
+
+  /** Oracle: the shared seed CTEs build the identical vocabulary, then
+    * [[Unigram.MaxWordLen]] suffix-eating steps replay the greedy walk
+    * (same fixed-length CASE, so end-of-word prefix collapses behave
+    * identically), re-joined to the corpus words per document.
+    */
+  val wordpieceSql: String = {
+    val cases = (Unigram.MaxPieceLen to 2 by -1).map(l =>
+      s"WHEN substr(rem, 1, $l) IN (SELECT piece FROM m1) THEN $l")
+      .mkString(" ")
+    val steps = (1 to Unigram.MaxWordLen).map { i =>
+      s"""s$i AS MATERIALIZED (
+         | SELECT w, substr(rem, 1 + l) AS rem,
+         |  cnt + CASE WHEN l > 0 THEN 1 ELSE 0 END AS cnt
+         | FROM (
+         |  SELECT w, rem, cnt,
+         |   CASE WHEN rem = '' THEN 0 $cases ELSE 1 END AS l
+         |  FROM s${i - 1}))""".stripMargin
+    }.mkString(",\n")
+    s"""WITH ${Unigram.seedCtesSql},
+       |s0 AS (SELECT w, w AS rem, CAST(0 AS BIGINT) AS cnt FROM wf),
+       |$steps,
+       |dw AS (
+       | SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z]+')) AS word
+       | FROM documents)
+       |SELECT doc_id,
+       | CAST(COUNT(*) AS BIGINT) AS n_words,
+       | CAST(SUM(s.cnt) AS BIGINT) AS n_wp_tokens
+       |FROM dw JOIN s${Unigram.MaxWordLen} s ON s.w = dw.word
+       |WHERE len(dw.word) <= ${Unigram.MaxWordLen}
+       |GROUP BY doc_id
+       |ORDER BY doc_id""".stripMargin
+  }
+}

@@ -38,10 +38,35 @@ object Unigram {
   private[graft] val KeepSize    = 150
   private[graft] val Rounds      = 2
 
+  /** The seed-vocabulary CTE chain (word table → substring candidates →
+    * top-[[SeedSize]]-plus-singles model `m1`) shared by the unigram and
+    * WordPiece oracles — both tokenizers seed from the identical
+    * candidate vocabulary.
+    */
+  private[operators] val seedCtesSql: String = {
+    val P = MaxPieceLen - 1
+    s"""wf AS MATERIALIZED (
+       |  SELECT w, CAST(COUNT(*) AS BIGINT) AS freq FROM (
+       |    SELECT unnest(regexp_extract_all(lower(text), '[a-z]+')) AS w
+       |    FROM documents)
+       |  WHERE len(w) <= $MaxWordLen GROUP BY w),
+       |g1 AS (SELECT w, freq, unnest(range(1, len(w) + 1)) AS s FROM wf),
+       |g2 AS MATERIALIZED (
+       |  SELECT w, freq, s, unnest(range(s, least(s + $P, len(w)) + 1)) AS e FROM g1),
+       |cand AS MATERIALIZED (
+       |  SELECT substr(w, s, e - s + 1) AS piece, CAST(SUM(freq) AS BIGINT) AS cnt
+       |  FROM g2 GROUP BY 1),
+       |m1 AS MATERIALIZED (
+       |  SELECT piece, cnt FROM
+       |    (SELECT piece, cnt FROM cand ORDER BY cnt DESC, piece LIMIT $SeedSize)
+       |  UNION
+       |  SELECT piece, cnt FROM cand WHERE len(piece) = 1)""".stripMargin
+  }
+
   /** Aggregated training words: lowercase [a-z]+ runs ≤ [[MaxWordLen]]
     * chars, with corpus frequency — the one corpus-sized pass.
     */
-  private def words(t: Tables): DataFrame =
+  private[operators] def words(t: Tables): DataFrame =
     t.documents
       .select(explode(expr("regexp_extract_all(lower(text), '[a-z]+', 0)")).as("w"))
       .where(length(col("w")) <= MaxWordLen)
@@ -51,7 +76,7 @@ object Unigram {
     * of every substring up to [[MaxPieceLen]] chars, weighted by word
     * frequency.
     */
-  private def seedCounts(wf: DataFrame): DataFrame =
+  private[operators] def seedCounts(wf: DataFrame): DataFrame =
     wf.select(col("freq"), explode(expr(
         s"""flatten(transform(sequence(1, length(w)),
            |  s -> transform(sequence(s, least(s + ${MaxPieceLen - 1}, length(w))),
@@ -163,7 +188,6 @@ object Unigram {
     * rank prune. All MATERIALIZED (every state feeds the next).
     */
   val unigramTrainSql: String = {
-    val P = MaxPieceLen - 1
     // one DP round: matches mt$r from model prob CTE p$r, chain
     // st${r}_0..st${r}_MaxWordLen, segmentation seg$r, re-counts mc$r
     def round(r: Int, modelCte: String): String = {
@@ -205,22 +229,7 @@ object Unigram {
          |  FROM $modelCte m LEFT JOIN mc$r mc ON mc.piece = m.piece),
          |m${r + 1} AS MATERIALIZED (
          |  SELECT piece, cnt FROM r$r WHERE rk <= $KeepSize OR len(piece) = 1)""".stripMargin
-    s"""WITH wf AS MATERIALIZED (
-       |  SELECT w, CAST(COUNT(*) AS BIGINT) AS freq FROM (
-       |    SELECT unnest(regexp_extract_all(lower(text), '[a-z]+')) AS w
-       |    FROM documents)
-       |  WHERE len(w) <= $MaxWordLen GROUP BY w),
-       |g1 AS (SELECT w, freq, unnest(range(1, len(w) + 1)) AS s FROM wf),
-       |g2 AS MATERIALIZED (
-       |  SELECT w, freq, s, unnest(range(s, least(s + $P, len(w)) + 1)) AS e FROM g1),
-       |cand AS MATERIALIZED (
-       |  SELECT substr(w, s, e - s + 1) AS piece, CAST(SUM(freq) AS BIGINT) AS cnt
-       |  FROM g2 GROUP BY 1),
-       |m1 AS MATERIALIZED (
-       |  SELECT piece, cnt FROM
-       |    (SELECT piece, cnt FROM cand ORDER BY cnt DESC, piece LIMIT $SeedSize)
-       |  UNION
-       |  SELECT piece, cnt FROM cand WHERE len(piece) = 1),
+    s"""WITH $seedCtesSql,
        |${round(1, "m1")},
        |${pruneCte(1, "m1")},
        |${round(2, "m2")},

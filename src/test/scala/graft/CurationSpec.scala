@@ -54,6 +54,41 @@ class CurationSpec extends SparkSpec {
     assert(!plan.contains("Exchange hashpartitioning"), plan)
   }
 
+  test("temperature sample flattens skew: small sources keep a larger fraction") {
+    // skewed synthetic corpus: src_big 160 docs, src_small 10
+    val dir = java.nio.file.Files.createTempDirectory("graft-tsample").toString
+    ((0L until 160L).map(i => (i, "a b c", "en", "src_big", 5L)) ++
+      (160L until 170L).map(i => (i, "a b c", "en", "src_small", 5L)))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val rows = Curation.temperatureSample(Tables(spark, dir)).collect()
+    val thrBig = rows.find(_.getString(1) == "src_big").map(_.getDouble(2))
+    val thrSmall = rows.find(_.getString(1) == "src_small").map(_.getDouble(2))
+    // thresholds replay the T=2 rule: B=85, w=(12,3), W=15 — the small
+    // source's uncapped share exceeds its size, so it caps at keep-all
+    assert(thrBig.contains(math.floor(85.0 * 12 * 1000000 / (15.0 * 160))))
+    assert(thrSmall.contains(math.min(1000000.0,
+      math.floor(85.0 * 3 * 1000000 / (15.0 * 10)))))
+    // √-flattening: the small source keeps a LARGER fraction of itself
+    assert(thrSmall.get > thrBig.get)
+  }
+
+  test("temperature sample is deterministic and within the overall budget shape") {
+    val rows = Curation.temperatureSample(sf).collect()
+    val total = sf.documents.count()
+    assert(rows.nonEmpty && rows.length < total)
+    // expected yield ~ budget (half the corpus); hash thinning is
+    // binomial around it — accept a wide band, exactness is the oracle's job
+    assert(rows.length > total / 4 && rows.length < total * 3 / 4)
+    val again = Curation.temperatureSample(sf).collect()
+    assert(rows.map(_.toString).sameElements(again.map(_.toString)))
+  }
+
+  test("temperature sample keep decision is broadcast-joined, no doc-side exchange") {
+    val plan = Curation.temperatureSample(sf).queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan)
+  }
+
   test("q15 top supplier: every returned supplier has the max revenue") {
     val rows = Relational5.topSupplier(sf).collect()
     assert(rows.nonEmpty)

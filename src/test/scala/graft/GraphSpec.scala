@@ -190,4 +190,64 @@ class GraphSpec extends SparkSpec {
       assert(s == expSize(expLbl(p)), s"part $p size")
     }
   }
+
+  test("label propagation splits two triangles joined by a bridge (components would not)") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-lpa").toString
+    // support-2 edges: triangle {1,2,3}, triangle {4,5,6}, bridge 3-4;
+    // part 7 isolated. One connected component — but LPA's plurality
+    // rule keeps the two dense triangles as separate communities.
+    val edges = Seq((1L, 2L), (1L, 3L), (2L, 3L), (4L, 5L), (4L, 6L),
+      (5L, 6L), (3L, 4L))
+    edges.zipWithIndex.flatMap { case ((a, b), i) =>
+      Seq((100L + 2 * i, a), (100L + 2 * i, b),
+        (101L + 2 * i, a), (101L + 2 * i, b))
+    }.toDF("l_orderkey", "l_partkey")
+      .write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+    (1L to 7L).toDF("p_partkey")
+      .write.mode("overwrite").parquet(s"$dir/part.parquet")
+    val got = Graph.labelPropagation(Tables(spark, dir)).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    // hand-run 3 synchronous rounds (plurality, ties -> min):
+    // r1: 1->2 2->1 3->1 4->3 5->4 6->4
+    // r2: 1->1 2->1 3->1 4->4 5->3 6->3
+    // r3: 1->1 2->1 3->1 4->3 5->3 6->3
+    assert(got == Seq(
+      (1L, 1L, 3L), (2L, 1L, 3L), (3L, 1L, 3L),
+      (4L, 3L, 3L), (5L, 3L, 3L), (6L, 3L, 3L),
+      (7L, 7L, 1L)), s"got ${got.toList}")
+    // sanity: components welds the bridge into ONE 6-node island
+    val comp = Graph.components(Tables(spark, dir)).collect()
+      .map(r => r.getLong(1)).distinct.sorted
+    assert(comp.toSeq == Seq(1L, 7L))
+  }
+
+  test("label propagation on the sf graph matches a 3-round in-memory replay") {
+    val items = sf.lineitem.select("l_orderkey", "l_partkey").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).distinct
+    val baskets = items.groupBy(_._1).view.mapValues(_.map(_._2).toSet)
+    val pairSupport = baskets.values.toSeq
+      .flatMap(ps => for (a <- ps; b <- ps if a < b) yield (a, b))
+      .groupBy(identity).view.mapValues(_.size)
+    val und = pairSupport.filter(_._2 >= 2).keys.toSet
+    val edges = und ++ und.map { case (a, b) => (b, a) }
+    val allParts = sf.part.select("p_partkey").collect().map(_.getLong(0))
+    var lbl = allParts.map(p => p -> p).toMap
+    for (_ <- 1 to 3) {
+      val votes = edges.toSeq.groupBy(_._1).view.mapValues(
+        _.map(e => lbl(e._2)).groupBy(identity).view.mapValues(_.size))
+      val next = votes.map { case (u, cs) =>
+        u -> cs.toSeq.minBy { case (cand, c) => (-c, cand) }._1
+      }.toMap
+      lbl = allParts.map(p => p -> next.getOrElse(p, p)).toMap
+    }
+    val sizes = lbl.values.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val got = Graph.labelPropagation(sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(got.length == allParts.length)
+    got.foreach { case (p, c, s) =>
+      assert(c == lbl(p), s"part $p community")
+      assert(s == sizes(lbl(p)), s"part $p community size")
+    }
+  }
 }

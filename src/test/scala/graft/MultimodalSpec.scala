@@ -190,6 +190,33 @@ class MultimodalSpec extends SparkSpec {
     assert(one.sample_rate == 8000 + (7 % 4) * 4000 && one.n_samples == 64 + 7 % 64)
   }
 
+  test("audio vad matches an integer frame-energy replay through the real parser") {
+    val got = Multimodal.audioVad(sf).collect()
+      .map(r => r.getLong(0) ->
+        (r.getInt(1), r.getInt(2), r.getInt(3), r.getDouble(4)))
+      .toMap
+    assert(got.size == sf.documents.count().toInt && got.nonEmpty)
+    got.foreach { case (id, (nFrames, nActive, nSegments, frac)) =>
+      val n = 64 + (id % 64).toInt
+      val samples = (0 until n).map(i =>
+        ((id * 7919 + i.toLong * 104729) % 65536) - 32768)
+      val frames = samples.grouped(Multimodal.VadFrame).toSeq
+      val act = frames.map(f =>
+        f.map(v => v * v).sum >= Multimodal.VadMeanSq * f.length)
+      val expSegs = act.zip(false +: act).count { case (a, p) => a && !p }
+      assert(nFrames == frames.length, s"doc $id n_frames")
+      assert(nActive == act.count(identity), s"doc $id n_active")
+      assert(nSegments == expSegs, s"doc $id n_segments")
+      assert(frac == act.count(identity).toDouble / frames.length, s"doc $id frac")
+    }
+    // the threshold must actually separate: both voiced and unvoiced
+    // frames exist somewhere in the corpus
+    assert(got.values.exists(_._2 > 0) &&
+      got.values.exists(v => v._2 < v._1))
+    // and some doc has >1 segment (the gaps-islands fold is exercised)
+    assert(got.values.exists(_._3 > 1))
+  }
+
   test("decode_png round-trips the real codec: decoded raster equals the pixel formula") {
     val got = Multimodal.decodePng(sf).collect()
       .map(r => r.getLong(0) -> (r.getInt(1), r.getInt(2), r.getInt(3), r.getLong(4)))

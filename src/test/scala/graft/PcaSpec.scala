@@ -1,0 +1,44 @@
+package graft
+
+import graft.operators.Embeddings
+
+class PcaSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("pca power recovers a planted dominant direction") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-pca").toString
+    // rank-1 data: x_k = t_k * d with zero-mean t -> covariance = Var(t) d d^T,
+    // whose only nonzero eigenvector is d. Direction d lives in the
+    // analyzed 16-dim prefix; trailing dims are zero.
+    val d16 = Array(0.9, -0.6, 0.3, 0.1, 0.0, 0.2, -0.4, 0.05,
+      0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0)
+    val ts = Seq(-3.0, -1.0, 0.5, 1.5, 2.0) // mean 0
+    ts.zipWithIndex.map { case (t, k) =>
+      (k.toLong, (d16.map(x => (x * t).toFloat) ++ Array.fill(48)(0.0f)).toSeq, 0)
+    }.toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val rows = Embeddings.pcaPower(Tables(spark, dir)).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getDouble(2)))
+    assert(rows.length == 16)
+    val v = rows.sortBy(_._1).map(_._3)
+    // renormalized iterate: the largest-|.| coordinate sits exactly on
+    // +/-1e6 micros
+    assert(rows.map(r => math.abs(r._2)).max == 1000000L)
+    // alignment with the planted direction (up to sign): |cos| > 0.999
+    val dot = v.zip(d16).map { case (a, b) => a * b }.sum
+    val nv = math.sqrt(v.map(x => x * x).sum)
+    val nd = math.sqrt(d16.map(x => x * x).sum)
+    assert(math.abs(dot) / (nv * nd) > 0.999,
+      s"direction not recovered: ${v.toSeq}")
+  }
+
+  test("pca power on the sf corpus: 16 rows, unit-micros max, deterministic") {
+    val rows = Embeddings.pcaPower(sf).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getDouble(2)))
+    assert(rows.map(_._1).toSeq == (0 until 16))
+    assert(rows.map(r => math.abs(r._2)).max == 1000000L)
+    val again = Embeddings.pcaPower(sf).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getDouble(2)))
+    assert(rows.toSeq == again.toSeq)
+  }
+}

@@ -1,0 +1,99 @@
+package graft
+
+import graft.operators.TextAnalysis3
+
+class TextAnalysis3Spec extends SparkSpec {
+  import spark.implicits._
+
+  test("collocations surfaces a planted phrase above independent pairs") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-colloc").toString
+    // "alpha beta" always adjacent (a collocation); filler words mix freely
+    val glue = (1 to 8).map(i => s"alpha beta x$i y$i")
+    val noise = (1 to 8).map(i => s"x$i common y$i common z$i")
+    (glue ++ noise).zipWithIndex
+      .map { case (txt, i) => (i.toLong, txt, "en", "s", txt.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val rows = TextAnalysis3.collocations(Tables(spark, dir)).collect()
+    assert(rows.nonEmpty)
+    val top = rows.head
+    assert((top.getString(0), top.getString(1)) == ("alpha", "beta"),
+      s"expected the planted phrase on top, got $top")
+    // every emitted pair clears the min-count gate
+    assert(rows.forall(_.getLong(2) >= TextAnalysis3.MinPair))
+  }
+
+  test("collocations on the sf corpus matches an in-memory PMI replay") {
+    // same tokenization as the operator: split on ' ' KEEPING empties
+    val tokss = sf.documents.select("text").collect()
+      .map(_.getString(0).split(" ", -1).toSeq)
+    val uni = tokss.flatten.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val nBig = tokss.map(ts => math.max(ts.size - 1, 0).toLong).sum
+    val pairCnt = tokss.flatMap(ts => ts.zip(ts.drop(1)))
+      .groupBy(identity).view.mapValues(_.size.toLong)
+      .filter(_._2 >= TextAnalysis3.MinPair)
+    val exp = pairCnt.toSeq.map { case ((a, b), np) =>
+      val score = math.floor(math.floor(np.toDouble * TextAnalysis3.PmiScale /
+        uni(a).toDouble) * nBig.toDouble / uni(b).toDouble).toLong
+      (a, b, np, uni(a), uni(b), score)
+    }.sortBy { case (a, b, _, _, _, s) => (-s, a, b) }.take(50)
+    val got = TextAnalysis3.collocations(sf).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5))).toSeq
+    assert(got == exp, s"first diff: ${got.zip(exp).find(p => p._1 != p._2)}")
+  }
+
+  test("collocations plan: broadcast marginals, top-k cut, no cartesian") {
+    val plan = TextAnalysis3.collocations(sf).queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(plan.contains("TakeOrderedAndProject"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+
+  test("wordpiece: whole-vocab corpus keeps 1 piece per short word, splits >6-char words") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-wp").toString
+    // tiny corpus: every substring is a vocab candidate, so short words
+    // are single pieces and the 8-char word splits exactly at the
+    // 6-char piece cap: abcdef + gh
+    Seq((0L, "xy xy z q", "en", "s", 9L), (1L, "abcdefgh", "en", "s", 8L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = TextAnalysis3.wordpiece(Tables(spark, dir)).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got == Seq((0L, 4L, 4L), (1L, 1L, 2L)), s"got $got")
+  }
+
+  test("wordpiece on the sf corpus matches an in-memory seed+greedy replay") {
+    val docs = sf.documents.select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    def wordsOf(text: String): Seq[String] =
+      "[a-z]+".r.findAllIn(text.toLowerCase).toSeq.filter(_.length <= 16)
+    val wf = docs.flatMap(d => wordsOf(d._2))
+      .groupBy(identity).view.mapValues(_.size.toLong).toMap
+    // substring candidates counted per occurrence position, freq-weighted
+    val cnts = wf.toSeq.flatMap { case (w, f) =>
+      for (s <- 0 until w.length; e <- s until math.min(s + 6, w.length))
+        yield (w.substring(s, e + 1), f)
+    }.groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
+    val top = cnts.toSeq.sortBy { case (p, c) => (-c, p) }.take(200).map(_._1)
+    val vocab = (top ++ cnts.keys.filter(_.length == 1)).toSet
+    def nPieces(w: String): Long = {
+      var pos = 0; var n = 0L
+      while (pos < w.length) {
+        val l = (6 to 2 by -1).find(k =>
+          vocab.contains(w.substring(pos, math.min(pos + k, w.length))))
+          .getOrElse(1)
+        pos += l; n += 1
+      }
+      n
+    }
+    val exp = docs.flatMap { case (id, text) =>
+      val ws = wordsOf(text)
+      if (ws.isEmpty) None
+      else Some((id, ws.size.toLong, ws.map(nPieces).sum))
+    }.sortBy(_._1).toSeq
+    val got = TextAnalysis3.wordpiece(sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got == exp, s"first diff: ${got.zip(exp).find(p => p._1 != p._2)}")
+  }
+}
