@@ -12,8 +12,58 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * operators.
   */
 final case class Tables(spark: SparkSession, dir: String) {
-  private def t(name: String): DataFrame =
-    spark.read.parquet(s"$dir/$name.parquet")
+
+  /** Adaptive small-input spread.
+    *
+    * A compact parquet export often arrives as ONE row group — and a row
+    * group is the atomic scan-split unit, so however many byte-range
+    * tasks Spark plans, every row lands in the task holding the row
+    * group's midpoint: the whole scan STAGE (decode + filters +
+    * projections + in-row expansions — shingling, bigrams, codec work)
+    * serializes onto one core while the other N−1 idle until the first
+    * shuffle. Measured at sf0.1/local[32]: a documents shingle count
+    * drops 3.1 s → 0.96 s with a spread scan.
+    *
+    * Rule: the EXPANSION-HEAVY tables ([[SpreadTables]]: text and
+    * vector payloads, where one row fans out to hundreds of shingles /
+    * bigrams / subvector products before the first shuffle) get one
+    * round-robin repartition to the session's core count when their
+    * input sits in [[SpreadMin]]..[[SpreadCap]]. Numeric fact tables
+    * (lineitem, events, orders…) are deliberately NOT spread: their
+    * first operation is usually an aggregation whose map-side partial
+    * combine collapses the data BEFORE any shuffle — a pre-emptive
+    * repartition would ship every raw row instead (measured: the
+    * text/vector suite drops seconds per query with the spread, while
+    * relational window/agg queries LOSE ~0.5–1 s each to it). The cap
+    * is the 100 TB guard — genuinely large inputs split naturally into
+    * many row groups/files and must NOT pay a full-data shuffle, so the
+    * spread self-disables; the floor skips crumbs where near-empty
+    * tasks cost more than they parallelize. Catalyst pushes predicates
+    * and column pruning through Repartition, so PushedFilters still
+    * reach the parquet scan (TablesSpec pins this), and every operator
+    * orders its output, so round-robin placement never reaches results.
+    */
+  private val SpreadMin = 128L * 1024
+  private val SpreadCap = 1L * 1024 * 1024 * 1024
+  private val SpreadTables = Set("documents", "embeddings")
+
+  private lazy val sizes = scala.collection.mutable.Map.empty[String, Long]
+
+  private def inputBytes(name: String): Long =
+    sizes.getOrElseUpdate(name, {
+      val p = new org.apache.hadoop.fs.Path(s"$dir/$name.parquet")
+      try p.getFileSystem(spark.sessionState.newHadoopConf())
+        .getContentSummary(p).getLength
+      catch { case _: java.io.IOException => 0L }
+    })
+
+  private def t(name: String): DataFrame = {
+    val df = spark.read.parquet(s"$dir/$name.parquet")
+    lazy val sz = inputBytes(name)
+    if (SpreadTables(name) && sz >= SpreadMin && sz <= SpreadCap)
+      df.repartition(spark.sparkContext.defaultParallelism)
+    else df
+  }
 
   /** `events.ts` arrives in whichever physical encoding the upstream
     * export chose — historically parquet TIMESTAMP(NANOS) (which Spark's

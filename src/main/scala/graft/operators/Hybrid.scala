@@ -90,4 +90,56 @@ object Hybrid {
        |FROM lex FULL OUTER JOIN vec ON lex.doc_id = vec.doc_id
        |ORDER BY rrf DESC, doc_id
        |LIMIT $TopN""".stripMargin
+
+  private[operators] val TwoStageShortlist = 40
+
+  /** Two-stage retrieval — retrieve-then-rerank, the other production
+    * ANN composition next to [[hybridRrf]]: the compressed IVF-PQ index
+    * proposes a [[TwoStageShortlist]]-deep candidate list (cheap ADC
+    * scores over 4-bit codes), then ONLY those candidates are re-scored
+    * against their full-precision vectors and the top [[TopN]] by exact
+    * distance ship. This is how FAISS/vector-DB deployments recover
+    * quantization loss without ever scanning full vectors corpus-wide.
+    *
+    * Scale shape: stage 1 ends in a distributed top-[[TwoStageShortlist]]
+    * cut (TakeOrderedAndProject over the ADC scores); stage 2 joins that
+    * bounded list back to the vector table BROADCAST (40 rows however
+    * large the corpus), so full-precision reads are candidate-count, not
+    * corpus-count. Exact distances use the shared codegen
+    * [[graft.functions.DotProduct]] fold — identical op order to the
+    * oracle's list_dot_product.
+    */
+  def twoStageTopK(t: Tables): DataFrame = {
+    val short = Similarity.ivfPqAdc(t)
+      .orderBy(col("adc_dist"), col("vec_id"))
+      .limit(TwoStageShortlist)
+    val vecs = t.embeddings
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    val qv = vecs.where(col("vec_id") === 0).select(col("v").as("qv"))
+    import graft.functions.DotProduct
+    vecs.join(broadcast(short), Seq("vec_id"))
+      .crossJoin(broadcast(qv))
+      .select(col("vec_id"), col("adc_dist"),
+        (DotProduct(col("v"), col("v")) -
+          lit(2.0) * DotProduct(col("qv"), col("v")) +
+          DotProduct(col("qv"), col("qv"))).as("exact_dist"))
+      .orderBy(col("exact_dist"), col("vec_id"))
+      .limit(TopN)
+  }
+
+  /** Oracle: the shared IVF-PQ CTE chain proposes, the full-precision
+    * relation `e` re-scores with the identical dot-product expression.
+    */
+  val twoStageTopKSql: String =
+    s"""WITH ${Similarity.ivfPqAdcCte},
+       |short AS (
+       | SELECT vec_id, adc_dist FROM adc
+       | ORDER BY adc_dist, vec_id LIMIT $TwoStageShortlist),
+       |qq AS (SELECT v AS qv FROM e WHERE vec_id = 0)
+       |SELECT s.vec_id, s.adc_dist,
+       | list_dot_product(v, v) - 2 * list_dot_product(qv, v)
+       |   + list_dot_product(qv, qv) AS exact_dist
+       |FROM short s JOIN e USING (vec_id) CROSS JOIN qq
+       |ORDER BY exact_dist, vec_id
+       |LIMIT $TopN""".stripMargin
 }

@@ -17,6 +17,14 @@ import org.apache.spark.sql.functions._
   */
 object Multimodal {
 
+  // ImageIO defaults to a DISK-backed stream cache: every read/write of
+  // a tiny in-memory PNG creates and deletes a temp file, and with the
+  // codec seam spread across 32 cores those threads contend on the same
+  // temp directory — measured 2.5x WORSE than single-threaded decode.
+  // Payloads here are byte arrays; cache in memory. JVM-wide, set once
+  // on executor classload (local mode: same JVM as driver).
+  javax.imageio.ImageIO.setUseCache(false)
+
   /** STUB — stands in for a real image/audio decode. Deterministic
     * features derived from the payload bytes: [n_bytes, two md5 hash
     * buckets, first-byte]. The hash buckets use the portable 15-hex-char
@@ -483,6 +491,27 @@ object Multimodal {
     out.toByteArray
   }
 
+  /** Doc-id feed for the REAL-codec tiers, spread across every core.
+    *
+    * Codec work is CPU-bound per row, but a compact parquet input
+    * (one row group ≪ maxPartitionBytes) arrives as ONE scan partition
+    * — serializing the whole decode on a single core however many the
+    * executor has (measured: mm_resize_real 4.7 s → sub-second at
+    * sf0.1/local[32]). A round-robin repartition to the cluster's
+    * parallelism fixes the skew for the price of shuffling 8-byte ids;
+    * real-payload pipelines pay bytes instead, which is still the
+    * right trade for decode-bound stages (shuffle MB/s ≫ codec MB/s).
+    * Per-row work is pure and the output re-sorts, so the nondeterministic
+    * round-robin placement never reaches results.
+    */
+  private def codecIds(t: Tables): org.apache.spark.sql.Dataset[Long] = {
+    val spark = t.spark
+    import spark.implicits._
+    t.documents.select(col("doc_id"))
+      .repartition(spark.sparkContext.defaultParallelism)
+      .as[Long]
+  }
+
   /** REAL-codec image twin of [[decodeWav]]: synthesize a PNG per
     * document, decode it back through javax.imageio at the batched
     * seam, and emit dims + the exact RGB component sum read from the
@@ -492,7 +521,7 @@ object Multimodal {
   def decodePng(t: Tables): DataFrame = {
     val spark = t.spark
     import spark.implicits._
-    t.documents.select(col("doc_id")).as[Long]
+    codecIds(t)
       .mapPartitions { it =>
         it.grouped(BatchSize).flatMap { batch =>
           batch.map { id =>
@@ -609,7 +638,7 @@ object Multimodal {
   def resizeReal(t: Tables, maxSide: Int = 4): DataFrame = {
     val spark = t.spark
     import spark.implicits._
-    t.documents.select(col("doc_id")).as[Long]
+    codecIds(t)
       .mapPartitions { it =>
         it.grouped(BatchSize).flatMap { batch =>
           batch.map { id =>
@@ -705,7 +734,7 @@ object Multimodal {
   def decodeWav(t: Tables): DataFrame = {
     val spark = t.spark
     import spark.implicits._
-    val media = t.documents.select(col("doc_id")).as[Long]
+    val media = codecIds(t)
       .map(id => MediaRecord(id, synthWav(id)))
       .toDF()
     decodeAudioFrom(media, wavDecoder)
@@ -765,7 +794,7 @@ object Multimodal {
   def audioVad(t: Tables): DataFrame = {
     val spark = t.spark
     import spark.implicits._
-    t.documents.select(col("doc_id")).as[Long]
+    codecIds(t)
       .mapPartitions { it =>
         it.grouped(BatchSize).flatMap { batch =>
           batch.map { id =>

@@ -473,4 +473,58 @@ object Sinks {
       }
     }
   }
+
+  /** Zone-map manifest write — the Iceberg/Delta data-skipping pattern
+    * without a table format: the data lands as bounded parquet files,
+    * then ONE aggregation over the written files records per-file
+    * min/max for the chosen stat columns into `_manifest/` inside the
+    * table dir (underscore-prefixed, so plain parquet readers of the
+    * table never see it). Writing the data SORTED on the stat column
+    * (caller's choice, e.g. via [[writeZOrdered]] or an orderBy) is
+    * what makes the zones tight — the manifest only records what the
+    * layout achieved.
+    *
+    * At 100 TB the manifest is file-count-sized metadata (KBs per
+    * thousand files), and maintaining it costs one extra metadata-level
+    * aggregation per write — the standing price of letting every later
+    * range scan skip almost all of the table ([[readPruned]]).
+    */
+  def writeWithManifest(df: DataFrame, statsCols: Seq[String], path: String,
+      maxRecordsPerFile: Int): Unit = {
+    val spark = df.sparkSession
+    df.write.mode("overwrite")
+      .option("maxRecordsPerFile", maxRecordsPerFile.toString)
+      .parquet(path)
+    val aggs = statsCols.flatMap(c =>
+      Seq(min(col(c)).as(s"min_$c"), max(col(c)).as(s"max_$c")))
+    spark.read.parquet(path)
+      .groupBy(input_file_name().as("file"))
+      .agg(aggs.head, aggs.tail: _*)
+      .coalesce(1)
+      .write.mode("overwrite").json(s"$path/_manifest")
+  }
+
+  /** Manifest-pruned range scan: consult the zone map, hand Spark ONLY
+    * the files whose [min,max] intersects [lo,hi], then apply the exact
+    * predicate (zones admit false positives, never false negatives).
+    * The manifest read + file-list selection is planning-time metadata
+    * work (file-count-sized, the standard table-format trade); the data
+    * read touches just the surviving files — on a sorted layout that is
+    * O(selectivity), not O(table). Parquet footer min/max would skip
+    * row groups too, but only AFTER listing and opening every file;
+    * the manifest prunes before any data file is opened.
+    */
+  def readPruned(spark: org.apache.spark.sql.SparkSession, path: String,
+      statCol: String, lo: org.apache.spark.sql.Column,
+      hi: org.apache.spark.sql.Column): DataFrame = {
+    val mf = spark.read.json(s"$path/_manifest")
+    val keep = mf
+      .where(col(s"max_$statCol") >= lo && col(s"min_$statCol") <= hi)
+      .select("file").collect().map(_.getString(0))
+    val full = spark.read.parquet(path)
+    val pruned =
+      if (keep.isEmpty) full.limit(0)
+      else spark.read.schema(full.schema).parquet(keep.toIndexedSeq: _*)
+    pruned.where(col(statCol) >= lo && col(statCol) <= hi)
+  }
 }

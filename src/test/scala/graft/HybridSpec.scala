@@ -70,4 +70,29 @@ class HybridSpec extends graft.SparkSpec {
     val row2 = Hybrid.hybridRrf(t).where(col("doc_id") === 2).collect()(0)
     assert(row2.getInt(1) == 1)
   }
+
+  test("two-stage rerank: exact top-10 of the ADC top-40, exact distances bit-equal") {
+    val sf = graft.Tables(spark, "/root/testdata/sf0.001")
+    // in-memory replay: shortlist = ADC top-40, rerank by exact L2 form
+    val adc = Similarity.ivfPqAdc(sf).collect()
+      .map(r => (r.getLong(0), r.getDouble(1)))
+      .sortBy { case (id, d) => (d, id) }.take(Hybrid.TwoStageShortlist)
+    val vecs = sf.embeddings.collect()
+      .map(r => r.getLong(0) ->
+        r.getSeq[Float](1).map(_.toDouble).toArray).toMap
+    val qv = vecs(0L)
+    def dot(a: Array[Double], b: Array[Double]): Double =
+      a.zip(b).foldLeft(0.0) { case (s, (x, y)) => s + x * y }
+    val expected = adc.map { case (id, d) =>
+      val v = vecs(id)
+      (id, d, dot(v, v) - 2.0 * dot(qv, v) + dot(qv, qv))
+    }.sortBy { case (id, _, e) => (e, id) }.take(10)
+    val got = Hybrid.twoStageTopK(sf).collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2)))
+    assert(got.toSeq == expected.toSeq,
+      s"first diff: ${got.zip(expected).find(p => p._1 != p._2)}")
+    // every reranked hit came from the shortlist
+    val shortIds = adc.map(_._1).toSet
+    assert(got.forall(g => shortIds.contains(g._1)))
+  }
 }

@@ -585,4 +585,33 @@ class SourcesSpec extends SparkSpec {
       graft.sources.Sinks.writeAvro(src.select(struct(col("event_id")).as("s")), dir)
     }
   }
+
+  test("manifest write + pruned read: zone skipping with exact results") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-manifest").toString + "/t"
+    // sorted layout -> tight per-file zones on event_id
+    val src = sf.events.select("event_id", "event_type", "value")
+      .orderBy("event_id")
+    graft.sources.Sinks.writeWithManifest(
+      src, Seq("event_id"), dir, maxRecordsPerFile = 100)
+    val full = spark.read.parquet(dir)
+    val nFiles = full.inputFiles.length
+    assert(nFiles > 5, s"expected many files, got $nFiles")
+    // plain readers of the table never see the manifest dir
+    assert(full.count() == src.count())
+    // a narrow range: results EXACTLY equal the full-scan filter...
+    val lo = lit(120L); val hi = lit(180L)
+    val pruned = graft.sources.Sinks.readPruned(spark, dir, "event_id", lo, hi)
+    def canon(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2))).sortBy(_._1).toSeq
+    assert(canon(pruned) ==
+      canon(full.where(col("event_id") >= 120 && col("event_id") <= 180)))
+    // ...while touching a strict subset of the files
+    assert(pruned.inputFiles.length < nFiles,
+      s"pruned ${pruned.inputFiles.length} of $nFiles")
+    assert(pruned.inputFiles.length >= 1)
+    // an empty range prunes everything and still returns cleanly
+    val none = graft.sources.Sinks.readPruned(
+      spark, dir, "event_id", lit(-500L), lit(-100L))
+    assert(none.count() == 0)
+  }
 }
