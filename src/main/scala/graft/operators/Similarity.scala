@@ -805,4 +805,77 @@ object Similarity {
        |$out)
        |ORDER BY mmr_rank""".stripMargin
   }
+
+  private[operators] val KCenters = 8
+
+  /** Greedy k-center coreset over the embedding corpus (farthest-point
+    * traversal, the 2-approximation of Gonzalez 1985) — coreset
+    * selection for data-efficient training: each round adds the point
+    * FARTHEST from the already-chosen set, so the [[KCenters]] picks
+    * cover the corpus's extremes instead of oversampling its dominant
+    * mode (contrast [[diverseSample]], which quotas k-means cells).
+    *
+    * Per round: ONE corpus pass — a broadcast join against the ≤
+    * [[KCenters]] chosen vectors, a min-fold per point (MIN of doubles,
+    * order-free), and a distributed argmax cut (TakeOrdered 1, ties →
+    * smallest vec_id). Driver state is the chosen-id list (bounded
+    * model, the k-means convention); k passes IS the algorithm, each
+    * shuffle-free. Distances are the shared squared-L2 dot form on the
+    * codegen [[graft.functions.DotProduct]] fold, bit-identical to the
+    * oracle's list_dot_product chain.
+    */
+  def kcenterSample(t: Tables): DataFrame = {
+    import graft.functions.DotProduct
+    val spark = t.spark
+    import spark.implicits._
+    val vecs = vectors(t).cache()
+    var chosen = Vector((1, 0L, 0.0)) // (rank, vec_id, dist at selection)
+    for (rank <- 2 to KCenters) {
+      val ids = chosen.map(_._2)
+      val ch = vecs.where(col("vec_id").isin(ids: _*))
+        .select(col("vec_id").as("c_id"), col("v").as("cv"))
+      val next = vecs
+        .where(!col("vec_id").isin(ids: _*))
+        .crossJoin(broadcast(ch))
+        .select(col("vec_id"),
+          (DotProduct(col("v"), col("v")) -
+            lit(2.0) * DotProduct(col("cv"), col("v")) +
+            DotProduct(col("cv"), col("cv"))).as("d"))
+        .groupBy("vec_id").agg(min(col("d")).as("md"))
+        .orderBy(col("md").desc, col("vec_id"))
+        .limit(1).collect()(0)
+      chosen = chosen :+ ((rank, next.getLong(0), next.getDouble(1)))
+    }
+    vecs.unpersist(false)
+    chosen.toDF("rank", "vec_id", "dist_to_set").orderBy("rank")
+  }
+
+  /** Oracle: the greedy rounds unrolled — each round joins the corpus
+    * to the chosen set, min-folds, and picks the (max, min-id) point
+    * with the identical distance expression.
+    */
+  val kcenterSampleSql: String = {
+    val rounds = (2 to KCenters).map { r =>
+      s"""md$r AS (
+         | SELECT e.vec_id, MIN(
+         |   list_dot_product(e.v, e.v) - 2 * list_dot_product(c.cv, e.v)
+         |     + list_dot_product(c.cv, c.cv)) AS md
+         | FROM e, (SELECT v AS cv FROM e
+         |          WHERE vec_id IN (SELECT vec_id FROM ch${r - 1})) c
+         | WHERE e.vec_id NOT IN (SELECT vec_id FROM ch${r - 1})
+         | GROUP BY e.vec_id),
+         |pk$r AS (
+         | SELECT CAST($r AS INT) AS rank, vec_id, md AS dist_to_set
+         | FROM md$r ORDER BY md DESC, vec_id LIMIT 1),
+         |ch$r AS (SELECT rank, vec_id, dist_to_set FROM ch${r - 1}
+         |         UNION ALL SELECT rank, vec_id, dist_to_set FROM pk$r)"""
+        .stripMargin
+    }.mkString(",\n")
+    s"""WITH ${Embeddings.eCte},
+       |ch1 AS (SELECT CAST(1 AS INT) AS rank, CAST(0 AS BIGINT) AS vec_id,
+       |        CAST(0.0 AS DOUBLE) AS dist_to_set),
+       |$rounds
+       |SELECT rank, vec_id, dist_to_set FROM ch$KCenters
+       |ORDER BY rank""".stripMargin
+  }
 }

@@ -363,6 +363,30 @@ class Similarity2Spec extends SparkSpec {
     assert(got.map(_._4).toSeq == got.map(_._4).sortBy(-(_: Double)).toSeq)
   }
 
+  test("kcenter sample matches a greedy farthest-point replay") {
+    val vecs = sf.embeddings.collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray)
+      .toMap
+    def dot(a: Array[Double], b: Array[Double]): Double =
+      a.zip(b).foldLeft(0.0) { case (s, (x, y)) => s + x * y }
+    def d(a: Array[Double], b: Array[Double]): Double =
+      dot(a, a) - 2.0 * dot(b, a) + dot(b, b)
+    var chosen = Vector((1, 0L, 0.0))
+    for (rank <- 2 to 8) {
+      val ids = chosen.map(_._2).toSet
+      val (nid, nd) = vecs.keys.filterNot(ids).toSeq.map { id =>
+        id -> ids.map(c => d(vecs(id), vecs(c))).min
+      }.minBy { case (id, md) => (-md, id) }
+      chosen = chosen :+ ((rank, nid, nd))
+    }
+    val got = graft.operators.Similarity.kcenterSample(sf).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getDouble(2))).toVector
+    assert(got == chosen, s"first diff: ${got.zip(chosen).find(p => p._1 != p._2)}")
+    // farthest-point property: selection distances never increase
+    val ds = got.drop(1).map(_._3)
+    assert(ds == ds.sortBy(-(_: Double)))
+  }
+
   test("mmr rerank on the sf corpus: ranks contiguous, first pick = top cosine") {
     val got = Similarity.mmrRerank(sf).collect()
       .map(r => (r.getInt(0), r.getLong(1), r.getDouble(2)))
