@@ -584,9 +584,11 @@ object Embeddings {
     * one 256-group and one 16-group partial aggregation; nothing else
     * touches the corpus.
     */
-  def pcaPower(t: Tables): DataFrame = {
-    val spark = t.spark
-    import spark.implicits._
+  /** The trained model behind [[pcaPower]] (and [[abtt]]): per-dim
+    * means (the portable decimal-rounded doubles) and the final iterate
+    * in integer micros. Bounded driver state.
+    */
+  private[operators] def pcaModel(t: Tables): (Array[Double], Array[Long]) = {
     val withV = t.embeddings
       .select(col("embedding").cast("array<double>").as("v"))
     val mom = withV.select(explode(expr(
@@ -602,14 +604,20 @@ object Embeddings {
       .select(posexplode(col("v")).as(Seq("pos", "x")))
       .where(col("pos") < PcaDims)
       .groupBy("pos")
+      // the centroids recipe INCLUDING the final 12-decimal rounding:
+      // the decimal sum is exact, but decimal→double conversion can
+      // differ by an ulp between engines, and [[abtt]] consumes these
+      // means RAW (no covariance floor to absorb the ulp)
       .agg((sum(col("x").cast(DecimalType(38, 30))).cast("double") /
-        count(lit(1))).as("m"))
+        count(lit(1))).cast(DecimalType(24, 12)).cast("double").as("m"))
     val cint = mom
       .join(broadcast(means.select(col("pos").as("i"), col("m").as("mi"))), Seq("i"))
       .join(broadcast(means.select(col("pos").as("j"), col("m").as("mj"))), Seq("j"))
       .select(col("i"), col("j"),
         floor((col("sd").cast("double") / col("n") - col("mi") * col("mj"))
           .cast(DecimalType(24, 12)).cast("double") * lit(PcaScale)).as("c"))
+    val mu = new Array[Double](PcaDims)
+    means.collect().foreach(r => mu(r.getInt(0)) = r.getDouble(1))
     val c = Array.ofDim[Long](PcaDims, PcaDims)
     cint.collect().foreach(r => c(r.getInt(0))(r.getInt(1)) = r.getLong(2))
     var v = Array.tabulate(PcaDims)(i => if (i == 0) 1000000L else 0L)
@@ -623,6 +631,13 @@ object Embeddings {
       v = if (mx == 0L) w
       else w.map(x => math.floor(x.toDouble * PcaScale / mx.toDouble).toLong)
     }
+    (mu, v)
+  }
+
+  def pcaPower(t: Tables): DataFrame = {
+    val spark = t.spark
+    import spark.implicits._
+    val (_, v) = pcaModel(t)
     v.zipWithIndex
       .map { case (vi, i) => (i, vi, vi.toDouble / PcaScale) }
       .toSeq.toDF("pos", "v_micros", "loading")
@@ -634,6 +649,19 @@ object Embeddings {
     * exact-integer matrix-vector CTEs with the same floor renormalize.
     */
   val pcaPowerSql: String = {
+    s"""WITH $pcaCtesSql
+       |SELECT CAST(i AS INT) AS pos, CAST(v AS BIGINT) AS v_micros,
+       | CAST(v AS DOUBLE) / 1000000.0 AS loading
+       |FROM v$PcaIters ORDER BY pos""".stripMargin
+  }
+
+  /** The covariance-to-final-iterate CTE chain of [[pcaPowerSql]],
+    * shared with [[abttSql]]: ends in `v$PcaIters(i, v)` (the direction
+    * in integer micros), `mean(pos, m)`, and `e(vec_id, v)`. A `def`,
+    * not a val: [[pcaPowerSql]] initializes before this point in the
+    * object body.
+    */
+  private[operators] def pcaCtesSql: String = {
     val d = PcaDims
     val iters = (1 to PcaIters).map { r =>
       s"""w$r AS (
@@ -646,7 +674,7 @@ object Embeddings {
          |    / CAST(NULLIF(mx, 0) AS DOUBLE)) AS BIGINT), w) AS v
          | FROM w$r, x$r)""".stripMargin
     }.mkString(",\n")
-    s"""WITH e AS (SELECT embedding::DOUBLE[] AS v FROM embeddings),
+    s"""e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
        |xs AS (SELECT v, unnest(range(0, $d)) AS i FROM e),
        |xy AS (SELECT v, i, unnest(range(0, $d)) AS j FROM xs),
        |mom AS (
@@ -655,7 +683,8 @@ object Embeddings {
        | FROM xy GROUP BY i, j),
        |mean AS (
        | SELECT i AS pos,
-       |  CAST(SUM(CAST(v[i + 1] AS DECIMAL(38, 30))) AS DOUBLE) / COUNT(*) AS m
+       |  CAST(CAST(CAST(SUM(CAST(v[i + 1] AS DECIMAL(38, 30))) AS DOUBLE)
+       |    / COUNT(*) AS DECIMAL(24, 12)) AS DOUBLE) AS m
        | FROM xs GROUP BY i),
        |c AS (
        | SELECT mom.i, mom.j,
@@ -665,9 +694,69 @@ object Embeddings {
        |v0 AS (
        | SELECT i, CASE WHEN i = 0 THEN 1000000 ELSE 0 END AS v
        | FROM (SELECT unnest(range(0, $d)) AS i)),
-       |$iters
-       |SELECT CAST(i AS INT) AS pos, CAST(v AS BIGINT) AS v_micros,
-       | CAST(v AS DOUBLE) / 1000000.0 AS loading
-       |FROM v$PcaIters ORDER BY pos""".stripMargin
+       |$iters""".stripMargin
   }
+
+  /** All-but-the-top embedding post-processing (Mu & Viswanath 2018) on
+    * the [[PcaDims]] prefix: subtract the corpus mean, then remove the
+    * projection onto the dominant principal direction — the standard
+    * isotropy fix that recovers similarity quality from anisotropic
+    * embedding spaces. Per vector: the centered prefix `vc = v − μ`,
+    * its coefficient `coef = vc·û` on the unit direction, and the
+    * residual energy `‖vc‖² − coef²` (computed by THAT formula in both
+    * engines — materializing v′ would change the op sequence).
+    *
+    * The model (μ, û) is [[pcaModel]]'s bounded driver state applied as
+    * exact literal arrays (no string round-trip; `lit(Double)` carries
+    * the binary value), so the corpus pass is one narrow row-local
+    * projection — no joins, no shuffle beyond the model training's own
+    * bounded aggregations. Division by a zero norm is guarded to 0 in
+    * both engines (degenerate all-equal corpus).
+    */
+  def abtt(t: Tables): DataFrame = {
+    import graft.functions.DotProduct
+    val (mu, vm) = pcaModel(t)
+    // replicate the oracle's exact op sequence: u = micros/1e6,
+    // nu = sqrt(fold u·u), û_i = u_i / nu (0 when nu = 0)
+    val u = vm.map(_.toDouble / PcaScale)
+    val nu = math.sqrt(u.foldLeft(0.0)((s, x) => s + x * x))
+    val uh = u.map(x => if (nu == 0.0) 0.0 else x / nu)
+    val muCol = array(mu.map(lit(_)): _*)
+    val uhCol = array(uh.map(lit(_)): _*)
+    t.embeddings
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      .withColumn("mu", muCol)
+      .withColumn("uh", uhCol)
+      .withColumn("vc", expr(
+        s"transform(sequence(0, ${PcaDims - 1}), i -> element_at(v, i + 1) - element_at(mu, i + 1))"))
+      .select(col("vec_id"),
+        DotProduct(col("vc"), col("uh")).as("coef"),
+        (DotProduct(col("vc"), col("vc")) -
+          DotProduct(col("vc"), col("uh")) * DotProduct(col("vc"), col("uh")))
+          .as("resid_norm2"))
+      .orderBy("vec_id")
+  }
+
+  /** Oracle: the shared PCA CTE chain rebuilds (μ, û) from scratch,
+    * then the identical per-vector projection formulas.
+    */
+  val abttSql: String =
+    s"""WITH $pcaCtesSql,
+       |muv AS (SELECT list(m ORDER BY pos) AS mu FROM mean),
+       |uv AS (SELECT list(CAST(v AS DOUBLE) / 1000000.0 ORDER BY i) AS u
+       |       FROM v$PcaIters),
+       |un AS (SELECT u, sqrt(list_dot_product(u, u)) AS nu FROM uv),
+       |uhv AS (SELECT list_transform(u,
+       |          x -> CASE WHEN nu = 0 THEN 0.0 ELSE x / nu END) AS uh
+       |        FROM un),
+       |vc AS (
+       | SELECT vec_id,
+       |  list_transform(range(1, ${PcaDims + 1}), i -> v[i] - mu[i]) AS vc, uh
+       | FROM e, muv, uhv)
+       |SELECT vec_id,
+       | list_dot_product(vc, uh) AS coef,
+       | list_dot_product(vc, vc)
+       |   - list_dot_product(vc, uh) * list_dot_product(vc, uh) AS resid_norm2
+       |FROM vc
+       |ORDER BY vec_id""".stripMargin
 }

@@ -32,6 +32,38 @@ class PcaSpec extends SparkSpec {
       s"direction not recovered: ${v.toSeq}")
   }
 
+  test("abtt removes the planted dominant direction almost entirely") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-abtt").toString
+    // rank-1 corpus: after removing the recovered top direction, the
+    // residual energy must be a tiny fraction of the centered energy
+    val d16 = Array(0.9, -0.6, 0.3, 0.1, 0.0, 0.2, -0.4, 0.05,
+      0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0)
+    val ts = Seq(-3.0, -1.0, 0.5, 1.5, 2.0)
+    ts.zipWithIndex.map { case (t, k) =>
+      (k.toLong, (d16.map(x => (x * t).toFloat) ++ Array.fill(48)(0.0f)).toSeq, 0)
+    }.toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val rows = Embeddings.abtt(Tables(spark, dir)).collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2)))
+    assert(rows.length == ts.length)
+    rows.foreach { case (id, coef, resid) =>
+      val centered2 = coef * coef + resid
+      // residual ≤ 1% of the centered energy (direction is in micros,
+      // so removal is near-total, not exact)
+      assert(resid <= 0.01 * centered2 + 1e-12, s"vec $id resid $resid of $centered2")
+    }
+    // coefficients keep the spread of the planted scalars (t - mean(t))
+    val coefs = rows.sortBy(_._1).map(_._2)
+    assert(coefs.max > 1.0 && coefs.min < -1.0)
+  }
+
+  test("abtt on the sf corpus is deterministic with full corpus coverage") {
+    val rows = Embeddings.abtt(sf).collect().map(_.toString)
+    assert(rows.length == sf.embeddings.count())
+    val again = Embeddings.abtt(sf).collect().map(_.toString)
+    assert(rows.sameElements(again))
+  }
+
   test("pca power on the sf corpus: 16 rows, unit-micros max, deterministic") {
     val rows = Embeddings.pcaPower(sf).collect()
       .map(r => (r.getInt(0), r.getLong(1), r.getDouble(2)))
