@@ -308,4 +308,109 @@ object Curation {
        |WHERE $u * $TempScale < f.thr
        |ORDER BY d.doc_id""".stripMargin
   }
+
+  private val PretrainCapacity = 2048 // tokens per packed training sequence
+  private val PretrainBucket   = 64   // docs per cumsum bucket (prefix-sum level)
+
+  /** The END-TO-END pretraining data pipeline in one auditable relation
+    * — the composition a corpus actually ships through before training:
+    * Gopher quality gate → near-dup keep-best → benchmark
+    * decontamination (5-gram overlap AND the benchmark docs themselves
+    * excluded) → WordPiece tokenization → greedy sequence packing of
+    * the SURVIVING docs into [[PretrainCapacity]]-token bins. One row
+    * per document with every stage's verdict plus its packed bin (NULL
+    * when dropped), so each stage's yield is auditable from the single
+    * output.
+    *
+    * Every stage is an already-green operator run unchanged
+    * ([[TextAnalysis2.gopherColumns]], [[Dedup.keepBest]],
+    * [[decontaminate]], [[TextAnalysis3.wordpiece]]); the packing is
+    * the two-level distributed prefix sum of
+    * [[TextAnalysis.packSequences]] applied to the kept set. The
+    * COMPOSITION — flag alignment, bench-doc exclusion, tokens-joined
+    * packing — is what this query verifies; the oracle composes the
+    * same stages' CTEs.
+    */
+  def pretrainPipeline(t: Tables): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val qg = TextAnalysis2.gopherColumns(t.documents)
+      .select(col("doc_id"), col("keep").as("keep_quality"))
+    val kb = Dedup.keepBest(t)
+      .select(col("doc_id"), col("keep_best").as("keep_dedup"))
+    val flagged = decontaminate(t)
+      .select(col("doc_id"), lit(true).as("dc_flag"))
+    val wp = TextAnalysis3.wordpiece(t).select(col("doc_id"), col("n_wp_tokens"))
+    val base = t.documents.select(col("doc_id"))
+      .join(qg, Seq("doc_id"))
+      .join(kb, Seq("doc_id"))
+      .join(flagged, Seq("doc_id"), "left")
+      .join(wp, Seq("doc_id"), "left")
+      .withColumn("keep_clean",
+        pmod(col("doc_id"), lit(97)) =!= 0 && col("dc_flag").isNull)
+      .withColumn("n_wp_tokens", coalesce(col("n_wp_tokens"), lit(0L)))
+      .withColumn("kept",
+        col("keep_quality") && col("keep_dedup") && col("keep_clean"))
+    val keptDocs = base.where(col("kept"))
+      .select(col("doc_id"), col("n_wp_tokens"),
+        expr(s"doc_id div $PretrainBucket").as("bucket"))
+    val wIn = Window.partitionBy("bucket").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val local = keptDocs
+      .withColumn("local_cum", sum(col("n_wp_tokens")).over(wIn))
+    val wB = Window.orderBy("bucket")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = keptDocs.groupBy("bucket")
+      .agg(sum(col("n_wp_tokens")).as("bt"))
+      .withColumn("bo", coalesce(sum(col("bt")).over(wB), lit(0L)))
+      .select("bucket", "bo")
+    val bins = local.join(broadcast(offsets), Seq("bucket"))
+      .select(col("doc_id"),
+        expr(s"(bo + local_cum - n_wp_tokens) div $PretrainCapacity").as("bin"))
+    base.join(bins, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("keep_quality"), col("keep_dedup"),
+        col("keep_clean"), col("kept"), col("n_wp_tokens"), col("bin"))
+      .orderBy("doc_id")
+  }
+
+  /** Oracle: the stages' own CTE fragments composed in one WITH
+    * (decontamination renamed dc* — its g/e names collide with the
+    * cluster chain's), the pack replayed as the flat cumulative sum the
+    * two-level form provably equals.
+    */
+  val pretrainPipelineSql: String =
+    s"""${graft.operators.Dedup.clustersCte},
+       |kb AS (
+       | SELECT l3.id AS doc_id,
+       |  ${graft.operators.Dedup.keepBestRankSql} AS keep_dedup
+       | FROM l3 JOIN documents d ON l3.id = d.doc_id),
+       |qg AS (
+       | SELECT doc_id, ${TextAnalysis2.gopherKeepRawSql} AS keep_quality
+       | FROM documents),
+       |dcg AS (SELECT doc_id, ${grams5Sql("text")} AS grams FROM documents),
+       |dce AS (SELECT doc_id, unnest(grams) AS gram FROM dcg),
+       |dcb AS (SELECT gram FROM dce WHERE doc_id % 97 = 0),
+       |dcf AS (
+       | SELECT DISTINCT e2.doc_id FROM dce e2 JOIN dcb USING (gram)
+       | WHERE e2.doc_id % 97 <> 0),
+       |${TextAnalysis3.wordpieceCtesSql},
+       |pb AS (
+       | SELECT d0.doc_id, qg.keep_quality, kb.keep_dedup,
+       |  (d0.doc_id % 97 <> 0
+       |    AND d0.doc_id NOT IN (SELECT doc_id FROM dcf)) AS keep_clean,
+       |  COALESCE(wtok.n_wp_tokens, 0) AS n_wp_tokens
+       | FROM documents d0
+       | JOIN qg USING (doc_id)
+       | JOIN kb USING (doc_id)
+       | LEFT JOIN wtok USING (doc_id)),
+       |pk AS (
+       | SELECT doc_id,
+       |  COALESCE(SUM(n_wp_tokens) OVER (ORDER BY doc_id
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS so
+       | FROM pb WHERE keep_quality AND keep_dedup AND keep_clean)
+       |SELECT pb.doc_id, pb.keep_quality, pb.keep_dedup, pb.keep_clean,
+       | pb.keep_quality AND pb.keep_dedup AND pb.keep_clean AS kept,
+       | pb.n_wp_tokens,
+       | CAST(pk.so // $PretrainCapacity AS BIGINT) AS bin
+       |FROM pb LEFT JOIN pk ON pb.doc_id = pk.doc_id
+       |ORDER BY pb.doc_id""".stripMargin
 }

@@ -148,12 +148,11 @@ object TextAnalysis3 {
     out
   }
 
-  /** Oracle: the shared seed CTEs build the identical vocabulary, then
-    * [[Unigram.MaxWordLen]] suffix-eating steps replay the greedy walk
-    * (same fixed-length CASE, so end-of-word prefix collapses behave
-    * identically), re-joined to the corpus words per document.
+  /** The full WordPiece CTE chain (shared seed vocab → greedy steps →
+    * per-doc counts), ending in `wtok(doc_id, n_words, n_wp_tokens)` —
+    * shared by [[wordpieceSql]] and [[Curation.pretrainPipelineSql]].
     */
-  val wordpieceSql: String = {
+  private[operators] def wordpieceCtesSql: String = {
     val cases = (Unigram.MaxPieceLen to 2 by -1).map(l =>
       s"WHEN substr(rem, 1, $l) IN (SELECT piece FROM m1) THEN $l")
       .mkString(" ")
@@ -166,18 +165,29 @@ object TextAnalysis3 {
          |   CASE WHEN rem = '' THEN 0 $cases ELSE 1 END AS l
          |  FROM s${i - 1}))""".stripMargin
     }.mkString(",\n")
-    s"""WITH ${Unigram.seedCtesSql},
+    s"""${Unigram.seedCtesSql},
        |s0 AS (SELECT w, w AS rem, CAST(0 AS BIGINT) AS cnt FROM wf),
        |$steps,
        |dw AS (
        | SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z]+')) AS word
-       | FROM documents)
-       |SELECT doc_id,
-       | CAST(COUNT(*) AS BIGINT) AS n_words,
-       | CAST(SUM(s.cnt) AS BIGINT) AS n_wp_tokens
-       |FROM dw JOIN s${Unigram.MaxWordLen} s ON s.w = dw.word
-       |WHERE len(dw.word) <= ${Unigram.MaxWordLen}
-       |GROUP BY doc_id
-       |ORDER BY doc_id""".stripMargin
+       | FROM documents),
+       |wtok AS (
+       | SELECT doc_id,
+       |  CAST(COUNT(*) AS BIGINT) AS n_words,
+       |  CAST(SUM(s.cnt) AS BIGINT) AS n_wp_tokens
+       | FROM dw JOIN s${Unigram.MaxWordLen} s ON s.w = dw.word
+       | WHERE len(dw.word) <= ${Unigram.MaxWordLen}
+       | GROUP BY doc_id)""".stripMargin
   }
+
+  /** Oracle: the shared seed CTEs build the identical vocabulary, then
+    * [[Unigram.MaxWordLen]] suffix-eating steps replay the greedy walk
+    * (same fixed-length CASE, so end-of-word prefix collapses behave
+    * identically), re-joined to the corpus words per document.
+    */
+  val wordpieceSql: String =
+    s"""WITH $wordpieceCtesSql
+       |SELECT doc_id, n_words, n_wp_tokens
+       |FROM wtok
+       |ORDER BY doc_id""".stripMargin
 }

@@ -89,6 +89,34 @@ class CurationSpec extends SparkSpec {
     assert(plan.contains("BroadcastHashJoin"), plan)
   }
 
+  test("pretrain pipeline: stage flags match the standalone operators, packing replays") {
+    val rows = Curation.pretrainPipeline(sf).collect()
+      .map(r => (r.getLong(0), r.getBoolean(1), r.getBoolean(2), r.getBoolean(3),
+        r.getBoolean(4), r.getLong(5), if (r.isNullAt(6)) None else Some(r.getLong(6))))
+    assert(rows.length == sf.documents.count())
+    // kept is the conjunction; bin present exactly for kept docs
+    rows.foreach { case (id, q, d, c, kept, _, bin) =>
+      assert(kept == (q && d && c), s"doc $id")
+      assert(bin.isDefined == kept, s"doc $id bin presence")
+    }
+    // flags agree with the standalone stages
+    val gq = graft.operators.TextAnalysis2.gopherColumns(sf.documents)
+      .select("doc_id", "keep").collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    val dc = Curation.decontaminate(sf).collect().map(_.getLong(0)).toSet
+    rows.foreach { case (id, q, _, c, _, _, _) =>
+      assert(q == gq(id), s"doc $id quality flag")
+      assert(c == (id % 97 != 0 && !dc.contains(id)), s"doc $id clean flag")
+    }
+    // packing replay: greedy bins from the output's own kept token counts
+    var cum = 0L
+    rows.filter(_._5).sortBy(_._1).foreach { case (id, _, _, _, _, n, bin) =>
+      assert(bin.contains(cum / 2048), s"doc $id bin")
+      cum += n
+    }
+    // the gate actually drops something and keeps something
+    assert(rows.exists(_._5) && rows.exists(!_._5))
+  }
+
   test("q15 top supplier: every returned supplier has the max revenue") {
     val rows = Relational5.topSupplier(sf).collect()
     assert(rows.nonEmpty)
