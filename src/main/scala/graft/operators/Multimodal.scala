@@ -870,4 +870,85 @@ object Multimodal {
       |  MIN(doc_id) OVER (PARTITION BY ahash) AS canonical_id,
       |  COUNT(*) OVER (PARTITION BY ahash) > 1 AS is_dup
       |FROM h ORDER BY doc_id""".stripMargin
+
+  final case class ImageChannelStats(
+      doc_id: Long, width: Int, height: Int,
+      r_sum: Long, g_sum: Long, b_sum: Long, lum_min: Int, lum_max: Int)
+
+  /** Per-channel raster statistics through the REAL codec — the
+    * feature-extraction tier a vision-data pipeline runs right after
+    * decode (channel means for normalization, luminance extremes for
+    * black-frame / blown-exposure filtering): real PNG decode at the
+    * spread batched seam, then exact integer channel sums and
+    * per-pixel luminance (r+g+b) min/max over the DECODED raster. PNG
+    * losslessness lets the oracle replay the identical integers from
+    * the pixel formula. Row-local per doc; no shuffle.
+    */
+  def imageStats(t: Tables): DataFrame = {
+    val spark = t.spark
+    import spark.implicits._
+    codecIds(t)
+      .mapPartitions { it =>
+        it.grouped(BatchSize).flatMap { batch =>
+          batch.map { id =>
+            val img = javax.imageio.ImageIO.read(
+              new java.io.ByteArrayInputStream(synthPng(id)))
+            require(img != null, s"doc $id: synthesized PNG failed to decode")
+            var (rs, gs, bs) = (0L, 0L, 0L)
+            var lmin = Int.MaxValue
+            var lmax = Int.MinValue
+            var y = 0
+            while (y < img.getHeight) {
+              var x = 0
+              while (x < img.getWidth) {
+                val rgb = img.getRGB(x, y)
+                val r = (rgb >> 16) & 0xFF
+                val g = (rgb >> 8) & 0xFF
+                val b = rgb & 0xFF
+                rs += r; gs += g; bs += b
+                val lum = r + g + b
+                if (lum < lmin) lmin = lum
+                if (lum > lmax) lmax = lum
+                x += 1
+              }
+              y += 1
+            }
+            ImageChannelStats(id, img.getWidth, img.getHeight,
+              rs, gs, bs, lmin, lmax)
+          }
+        }
+      }
+      .toDF()
+      .orderBy("doc_id")
+  }
+
+  /** Oracle for [[imageStats]]: the synthesis formula replays channel
+    * sums and luminance extremes with exact integer arithmetic.
+    */
+  val imageStatsSql: String =
+    """WITH p AS (
+      |  SELECT doc_id, 8 + doc_id % 9 AS w, 8 + (doc_id * 3) % 9 AS h
+      |  FROM documents),
+      |xs AS (SELECT doc_id, w, h, unnest(range(0, w)) AS x FROM p),
+      |xy AS (SELECT doc_id, x, unnest(range(0, h)) AS y FROM xs),
+      |px AS (
+      |  SELECT doc_id,
+      |    (doc_id + 7*x + 13*y) % 256 AS r,
+      |    (2*doc_id + 11*x + 3*y) % 256 AS g,
+      |    (3*doc_id + 5*x + 17*y) % 256 AS b
+      |  FROM xy),
+      |s AS (
+      |  SELECT doc_id,
+      |    CAST(SUM(r) AS BIGINT) AS r_sum,
+      |    CAST(SUM(g) AS BIGINT) AS g_sum,
+      |    CAST(SUM(b) AS BIGINT) AS b_sum,
+      |    CAST(MIN(r + g + b) AS INT) AS lum_min,
+      |    CAST(MAX(r + g + b) AS INT) AS lum_max
+      |  FROM px GROUP BY doc_id)
+      |SELECT p.doc_id,
+      |  CAST(w AS INT) AS width,
+      |  CAST(h AS INT) AS height,
+      |  r_sum, g_sum, b_sum, lum_min, lum_max
+      |FROM p JOIN s ON p.doc_id = s.doc_id
+      |ORDER BY p.doc_id""".stripMargin
 }

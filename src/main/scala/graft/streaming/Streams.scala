@@ -590,4 +590,53 @@ object Streams {
             col("value") < col("vmin") || col("value") > col("vmax")))
       .drop("n", "sx", "sx2", "vmin", "vmax")
   }
+
+  /** Streaming doc for the packer: id + its token count (tokenization
+    * happens upstream, e.g. the wordpiece counts).
+    */
+  final case class PackDoc(source: String, doc_id: Long, n_tokens: Long)
+
+  /** A doc's packed placement emitted by [[packStream]]. */
+  final case class PackedDoc(
+      source: String, doc_id: Long, n_tokens: Long,
+      start_offset: Long, bin: Long)
+
+  // top-level for the state-encoder codegen reason as SessionState
+  final case class PackState(cum: Long)
+
+  /** Streaming greedy sequence packing — the stateful twin of the batch
+    * packer ([[graft.operators.TextAnalysis.packSequences]]): documents
+    * stream in, and each SOURCE's packer assigns every doc its start
+    * offset in that source's token tape and the `offset div capacity`
+    * training-sequence bin, carrying the cumulative token count in
+    * per-source state across micro-batches.
+    *
+    * Sharding by source is the scale design: one global packer would
+    * serialize on a single state key, while per-source tapes parallelize
+    * across the state store AND match how pretraining mixes are
+    * assembled (each domain packed separately, then interleaved by the
+    * mixture weights). Within a micro-batch docs pack in doc_id order —
+    * the deterministic-replay contract; across batches, arrival order
+    * is the stream's order, exactly like a production packer appending
+    * to tapes. State per source is ONE long; no timeout — a tape never
+    * forgets its length.
+    */
+  def packStream(docs: Dataset[PackDoc], capacity: Long = 2048L): Dataset[PackedDoc] = {
+    import docs.sparkSession.implicits._
+    def fn(source: String, it: Iterator[PackDoc],
+        state: GroupState[PackState]): Iterator[PackedDoc] = {
+      var cum = state.getOption.map(_.cum).getOrElse(0L)
+      val out = it.toSeq.sortBy(_.doc_id).map { d =>
+        val so = cum
+        cum += d.n_tokens
+        PackedDoc(source, d.doc_id, d.n_tokens, so, so / capacity)
+      }
+      state.update(PackState(cum))
+      out.iterator
+    }
+    docs
+      .groupByKey(_.source)
+      .flatMapGroupsWithState(
+        OutputMode.Append(), GroupStateTimeout.NoTimeout())(fn)
+  }
 }

@@ -217,6 +217,27 @@ class MultimodalSpec extends SparkSpec {
     assert(got.values.exists(_._3 > 1))
   }
 
+  test("image stats replay the pixel formula channel-for-channel") {
+    val got = Multimodal.imageStats(sf).collect()
+      .map(r => r.getLong(0) -> (r.getInt(1), r.getInt(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getInt(6), r.getInt(7)))
+      .toMap
+    assert(got.size == sf.documents.count().toInt && got.nonEmpty)
+    got.foreach { case (id, (w, h, rs, gs, bs, lmin, lmax)) =>
+      assert(w == 8 + (id % 9).toInt && h == 8 + ((id * 3) % 9).toInt)
+      var (ers, egs, ebs) = (0L, 0L, 0L)
+      var (elmin, elmax) = (Int.MaxValue, Int.MinValue)
+      for (y <- 0 until h; x <- 0 until w) {
+        val r = ((id + 7 * x + 13 * y) % 256).toInt
+        val g = ((2 * id + 11 * x + 3 * y) % 256).toInt
+        val b = ((3 * id + 5 * x + 17 * y) % 256).toInt
+        ers += r; egs += g; ebs += b
+        elmin = math.min(elmin, r + g + b); elmax = math.max(elmax, r + g + b)
+      }
+      assert((rs, gs, bs, lmin, lmax) == ((ers, egs, ebs, elmin, elmax)), s"doc $id")
+    }
+  }
+
   test("decode_png round-trips the real codec: decoded raster equals the pixel formula") {
     val got = Multimodal.decodePng(sf).collect()
       .map(r => r.getLong(0) -> (r.getInt(1), r.getInt(2), r.getInt(3), r.getLong(4)))

@@ -658,6 +658,33 @@ class StreamingSpec extends SparkSpec {
       assert(streamed(id)._2 == (d < 0.5))
     }
   }
+
+  test("streaming packer carries per-source token tapes across micro-batches") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.streaming.Streams.{PackDoc, PackedDoc}
+    val input = MemoryStream[PackDoc]
+    val q = Streams.packStream(input.toDS(), capacity = 100L)
+      .writeStream.format("memory").queryName("packed")
+      .outputMode("append").start()
+    // batch 1: two sources; within-batch order is doc_id order
+    input.addData(
+      PackDoc("web", 2L, 60L), PackDoc("web", 1L, 70L),
+      PackDoc("code", 5L, 250L))
+    q.processAllAvailable()
+    // batch 2: tapes continue where batch 1 left them
+    input.addData(PackDoc("web", 3L, 40L), PackDoc("code", 6L, 10L))
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("packed").as[PackedDoc].collect()
+      .map(p => (p.source, p.doc_id) -> ((p.start_offset, p.bin))).toMap
+    // web tape: doc1 @0 (bin 0), doc2 @70 (bin 0), then doc3 @130 (bin 1)
+    assert(got(("web", 1L)) == ((0L, 0L)))
+    assert(got(("web", 2L)) == ((70L, 0L)))
+    assert(got(("web", 3L)) == ((130L, 1L)))
+    // code tape independent: doc5 @0 (bin 0), doc6 @250 (bin 2)
+    assert(got(("code", 5L)) == ((0L, 0L)))
+    assert(got(("code", 6L)) == ((250L, 2L)))
+  }
 }
 
 /** Embedding arrival for the streaming ANN gate spec. */
