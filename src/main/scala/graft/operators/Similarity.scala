@@ -806,6 +806,42 @@ object Similarity {
        |ORDER BY mmr_rank""".stripMargin
   }
 
+  /** Binary-quantization ANN — the most compressed tier of the index
+    * ladder (float → int8 → PQ → 1 BIT per dimension): each coordinate
+    * keeps only its sign, and candidates rank by Hamming distance to
+    * the query's sign pattern. 64 dims ≡ 8 bytes per vector — a 32×
+    * shrink over float32 — which is why production vector stores ship
+    * binary quantization as the first-pass filter. Hamming evaluates
+    * as an exact integer zip-fold (no bit packing, no floats), entirely
+    * codegen-friendly; the scan is one narrow pass ending in a
+    * distributed top-k cut. Refinement over the shortlist is
+    * [[Hybrid.twoStageTopK]]'s pattern, composable downstream.
+    */
+  def binaryTopK(t: Tables): DataFrame = {
+    val q = queryVector(t)
+    vectors(t)
+      .where(col("vec_id") =!= 0)
+      .crossJoin(broadcast(q))
+      .select(col("vec_id"),
+        expr("""aggregate(zip_with(v, qv, (x, y) ->
+               |  IF((x > CAST(0.0 AS DOUBLE)) != (y > CAST(0.0 AS DOUBLE)), 1, 0)),
+               |  0, (a, b) -> a + b)""".stripMargin).as("hamming"))
+      .orderBy(col("hamming"), col("vec_id"))
+      .limit(10)
+  }
+
+  val binaryTopKSql: String =
+    """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+      |q AS (SELECT v AS qv FROM e WHERE vec_id = 0)
+      |SELECT e.vec_id,
+      | CAST(list_sum(list_transform(range(1, len(e.v) + 1),
+      |   i -> CASE WHEN (e.v[i] > 0.0) <> (qv[i] > 0.0) THEN 1 ELSE 0 END))
+      |  AS INT) AS hamming
+      |FROM e, q
+      |WHERE e.vec_id <> 0
+      |ORDER BY hamming, vec_id
+      |LIMIT 10""".stripMargin
+
   private[operators] val KCenters = 8
 
   /** Greedy k-center coreset over the embedding corpus (farthest-point

@@ -363,6 +363,21 @@ class Similarity2Spec extends SparkSpec {
     assert(got.map(_._4).toSeq == got.map(_._4).sortBy(-(_: Double)).toSeq)
   }
 
+  test("binary topk ranks by exact sign-pattern hamming distance") {
+    val vecs = sf.embeddings.collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble))
+      .toMap
+    val qv = vecs(0L)
+    val exp = vecs.toSeq.filter(_._1 != 0L).map { case (id, v) =>
+      (id, v.zip(qv).count { case (x, y) => (x > 0.0) != (y > 0.0) })
+    }.sortBy { case (id, h) => (h, id) }.take(10)
+    val got = graft.operators.Similarity.binaryTopK(sf).collect()
+      .map(r => (r.getLong(0), r.getInt(1))).toSeq
+    assert(got == exp, s"got $got")
+    // the hamming tier must separate: not all distances equal
+    assert(got.map(_._2).distinct.length > 1 || got.head._2 == 0)
+  }
+
   test("kcenter sample matches a greedy farthest-point replay") {
     val vecs = sf.embeddings.collect()
       .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray)
