@@ -439,6 +439,88 @@ object Graph {
        |  CAST(COUNT(*) OVER (PARTITION BY component) AS BIGINT) AS comp_size
        |FROM lab ORDER BY p_partkey""".stripMargin
 
+  private val KcoreK = 2
+  private val KcoreMaxRounds = 12
+
+  /** k-core of the co-purchase network (k = [[KcoreK]]): repeatedly
+    * peel nodes with fewer than k surviving neighbours until fixpoint —
+    * the densest-backbone extraction that drops hairs and chains while
+    * keeping the interlocked clusters (the graph-curation sibling of a
+    * frequency floor). Output: surviving parts with their within-core
+    * degree.
+    *
+    * Peeling is monotone (the remaining set only shrinks), so the
+    * fixpoint is unique and an oracle that unrolls MORE rounds than
+    * convergence needs is exact — extra rounds are no-ops. The operator
+    * therefore runs to a probed fixpoint with [[KcoreMaxRounds]] as a
+    * fail-loud backstop (the propagateLabels convention), and the
+    * oracle unrolls exactly [[KcoreMaxRounds]] rounds. Per round: two
+    * semi-joins (edge endpoints against survivors) + one degree count —
+    * edge-relation shuffles, never quadratic; localCheckpoint pins each
+    * round's membership.
+    */
+  def kcore(t: Tables): DataFrame = {
+    val edges = Relational7.basketPairsRaw(t, EdgeSupport)
+      .select(explode(array(
+        struct(col("a_part").as("u"), col("b_part").as("v")),
+        struct(col("b_part").as("u"), col("a_part").as("v")))).as("e"))
+      .select(col("e.u").as("u"), col("e.v").as("v"))
+      .persist()
+    def degrees(members: DataFrame): DataFrame =
+      edges
+        .join(members.select(col("id").as("mu")), col("u") === col("mu"), "left_semi")
+        .join(members.select(col("id").as("mv")), col("v") === col("mv"), "left_semi")
+        .groupBy("u").agg(count(lit(1)).as("deg"))
+    var members = edges.select(col("u").as("id")).distinct().localCheckpoint(true)
+    var changed = 1L
+    var round = 0
+    while (changed > 0 && round < KcoreMaxRounds) {
+      val next = degrees(members)
+        .where(col("deg") >= KcoreK)
+        .select(col("u").as("id"))
+        .localCheckpoint(true)
+      changed = members.count() - next.count()
+      members = next
+      round += 1
+    }
+    require(changed == 0,
+      s"kcore did not converge in $KcoreMaxRounds rounds; raise the backstop")
+    val out = degrees(members)
+      .select(col("u").as("p_partkey"), col("deg").as("core_degree"))
+      .orderBy("p_partkey")
+    edges.unpersist(false)
+    out
+  }
+
+  /** Oracle: [[KcoreMaxRounds]] unrolled peel rounds (no-ops after
+    * convergence, so the fixed count is exact).
+    */
+  val kcoreSql: String = {
+    val rounds = (1 to KcoreMaxRounds).map { r =>
+      s"""c$r AS MATERIALIZED (
+         | SELECT e.u FROM edges e
+         | WHERE e.u IN (SELECT u FROM c${r - 1})
+         |   AND e.v IN (SELECT u FROM c${r - 1})
+         | GROUP BY e.u HAVING COUNT(*) >= $KcoreK)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH items AS MATERIALIZED (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+       |cp AS MATERIALIZED (
+       |  SELECT a.l_partkey AS a, b.l_partkey AS b
+       |  FROM items a JOIN items b
+       |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+       |  GROUP BY 1, 2 HAVING COUNT(*) >= $EdgeSupport),
+       |edges AS MATERIALIZED (SELECT a AS u, b AS v FROM cp
+       |          UNION ALL SELECT b AS u, a AS v FROM cp),
+       |c0 AS MATERIALIZED (SELECT DISTINCT u FROM edges),
+       |$rounds
+       |SELECT e.u AS p_partkey, CAST(COUNT(*) AS BIGINT) AS core_degree
+       |FROM edges e
+       |WHERE e.u IN (SELECT u FROM c$KcoreMaxRounds)
+       |  AND e.v IN (SELECT u FROM c$KcoreMaxRounds)
+       |GROUP BY e.u
+       |ORDER BY p_partkey""".stripMargin
+  }
+
   /** Synchronous rounds for [[labelPropagation]] — a FIXED count, not a
     * fixpoint: LPA can oscillate under synchronous updates (bipartite
     * 2-cycles), so "run R rounds" IS the algorithm's contract and the

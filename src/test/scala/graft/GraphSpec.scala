@@ -222,6 +222,49 @@ class GraphSpec extends SparkSpec {
     assert(comp.toSeq == Seq(1L, 7L))
   }
 
+  test("kcore peels chains and keeps the interlocked cluster") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-kcore").toString
+    // triangle {1,2,3} (every node degree 2) + a pendant chain 3-4-5:
+    // peeling at k=2 drops 5 (deg 1), then 4 — triangle survives intact
+    val edges = Seq((1L, 2L), (1L, 3L), (2L, 3L), (3L, 4L), (4L, 5L))
+    edges.zipWithIndex.flatMap { case ((a, b), i) =>
+      Seq((100L + 2 * i, a), (100L + 2 * i, b),
+        (101L + 2 * i, a), (101L + 2 * i, b))
+    }.toDF("l_orderkey", "l_partkey")
+      .write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+    val got = Graph.kcore(Tables(spark, dir)).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(got == Seq((1L, 2L), (2L, 2L), (3L, 2L)), s"got $got")
+  }
+
+  test("kcore on the sf graph matches an in-memory peeling replay") {
+    val items = sf.lineitem.select("l_orderkey", "l_partkey").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).distinct
+    val baskets = items.groupBy(_._1).view.mapValues(_.map(_._2).toSet)
+    val pairSupport = baskets.values.toSeq
+      .flatMap(ps => for (a <- ps; b <- ps if a < b) yield (a, b))
+      .groupBy(identity).view.mapValues(_.size)
+    val und = pairSupport.filter(_._2 >= 2).keys.toSet
+    val edges = und ++ und.map { case (a, b) => (b, a) }
+    var members = edges.map(_._1)
+    var done = false
+    while (!done) {
+      val deg = edges.toSeq
+        .filter(e => members(e._1) && members(e._2))
+        .groupBy(_._1).view.mapValues(_.size.toLong).toMap
+      val next = members.filter(m => deg.getOrElse(m, 0L) >= 2L)
+      done = next == members
+      members = next
+    }
+    val finalDeg = edges.toSeq
+      .filter(e => members(e._1) && members(e._2))
+      .groupBy(_._1).view.mapValues(_.size.toLong).toMap
+    val got = Graph.kcore(sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == finalDeg, s"sizes: got ${got.size} exp ${finalDeg.size}")
+  }
+
   test("label propagation on the sf graph matches a 3-round in-memory replay") {
     val items = sf.lineitem.select("l_orderkey", "l_partkey").collect()
       .map(r => (r.getLong(0), r.getLong(1))).distinct
