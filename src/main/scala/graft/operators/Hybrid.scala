@@ -1,7 +1,7 @@
 package graft.operators
 
 import graft.Tables
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -125,6 +125,130 @@ object Hybrid {
           DotProduct(col("qv"), col("qv"))).as("exact_dist"))
       .orderBy(col("exact_dist"), col("vec_id"))
       .limit(TopN)
+  }
+
+  private val RecallKs = Seq(1, 5, 10)
+
+  /** Recall@k evaluation of the ANN ladder — the index-quality harness
+    * a vector platform runs before shipping an index config: each
+    * approximate tier's top-10 is scored against the EXACT top-10 under
+    * that tier's own metric (LSH and binary approximate the angular
+    * ranking → exact-cosine baseline; IVF-PQ's ADC approximates
+    * squared-L2 → exact-L2 baseline), at k = 1/5/10. Every input is an
+    * already-green deterministic operator, so "approximate" recall is
+    * still hash-exact and regression-diffable round over round.
+    *
+    * All rankings are bounded 10-row frames; the joins and the k
+    * expansion are driver-free constant-size work on top of the tiers'
+    * own scans.
+    */
+  def recallReport(t: Tables): DataFrame = {
+    def ranked(df: DataFrame, order: Seq[Column]): DataFrame =
+      df.select(col("vec_id"),
+        row_number().over(Window.orderBy(order: _*)).as("rank"))
+    val exactCos = ranked(
+      Similarity.bruteForceTopK(t), Seq(col("cosine").desc, col("vec_id")))
+    val vecs = t.embeddings
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    val qv = vecs.where(col("vec_id") === 0).select(col("v").as("qv"))
+    import graft.functions.DotProduct
+    val exactL2 = ranked(
+      vecs.where(col("vec_id") =!= 0)
+        .crossJoin(broadcast(qv))
+        .select(col("vec_id"),
+          (DotProduct(col("v"), col("v")) -
+            lit(2.0) * DotProduct(col("qv"), col("v")) +
+            DotProduct(col("qv"), col("qv"))).as("l2"))
+        .orderBy(col("l2"), col("vec_id")).limit(10),
+      Seq(col("l2"), col("vec_id")))
+    val tiers = Seq(
+      ("lsh", ranked(Similarity.lshTopK(t),
+        Seq(col("cosine").desc, col("vec_id"))), exactCos),
+      ("ivf_pq", ranked(Similarity.ivfPqTopK(t),
+        Seq(col("adc_dist"), col("vec_id"))), exactL2),
+      ("binary", ranked(Similarity.binaryTopK(t),
+        Seq(col("hamming"), col("vec_id"))), exactCos))
+    val spark = t.spark
+    import spark.implicits._
+    val ks = RecallKs.toDF("k")
+    tiers.map { case (name, approx, exact) =>
+      val j = approx.select(col("vec_id"), col("rank").as("ar"))
+        .join(exact.select(col("vec_id"), col("rank").as("er")), Seq("vec_id"))
+      ks.join(j, lit(true), "left")
+        .groupBy("k")
+        .agg((sum(when(col("ar") <= col("k") && col("er") <= col("k"), 1)
+          .otherwise(0)).cast("double") / col("k")).as("recall"))
+        .select(lit(name).as("tier"), col("k"), col("recall"))
+    }.reduce(_ union _)
+      .orderBy("tier", "k")
+  }
+
+  /** Oracle: the tiers' own CTE replays (shared IVF-PQ chain, plane
+    * literals via bucketSqlExpr, the hamming fold) each ranked and
+    * intersected with its exact baseline at the same ks.
+    */
+  val recallReportSql: String = {
+    val probeList = ("qb" +: (0 until Similarity.NumPlanes)
+      .map(i => s"xor(qb, ${1 << i})")).mkString(", ")
+    def recallCte(name: String, approx: String, exact: String): String =
+      s"""SELECT '$name' AS tier, ks.k,
+         | CAST(SUM(CASE WHEN j.ar <= ks.k AND j.er <= ks.k THEN 1 ELSE 0 END)
+         |   AS DOUBLE) / ks.k AS recall
+         |FROM ks LEFT JOIN (
+         |  SELECT a.vec_id, a.rank AS ar, x.rank AS er
+         |  FROM $approx a JOIN $exact x USING (vec_id)) j ON TRUE
+         |GROUP BY ks.k""".stripMargin
+    s"""WITH ${Similarity.ivfPqAdcCte},
+       |ks AS (SELECT unnest([1, 5, 10]) AS k),
+       |cosr AS (
+       | SELECT e.vec_id,
+       |  list_dot_product(e.v, q.qv) /
+       |    (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(q.qv, q.qv)))
+       |   AS cosine
+       | FROM e, q WHERE e.vec_id <> 0),
+       |excos AS (
+       | SELECT vec_id, CAST(row_number() OVER (ORDER BY cosine DESC, vec_id) AS INT) AS rank
+       | FROM cosr QUALIFY rank <= 10),
+       |l2r AS (
+       | SELECT e.vec_id,
+       |  list_dot_product(e.v, e.v) - 2 * list_dot_product(q.qv, e.v)
+       |    + list_dot_product(q.qv, q.qv) AS l2
+       | FROM e, q WHERE e.vec_id <> 0),
+       |exl2 AS (
+       | SELECT vec_id, CAST(row_number() OVER (ORDER BY l2, vec_id) AS INT) AS rank
+       | FROM l2r QUALIFY rank <= 10),
+       |lshb AS (SELECT vec_id, v, ${Similarity.bucketSqlExpr} AS bucket FROM e),
+       |lq AS (SELECT v AS qv, bucket AS qb FROM lshb WHERE vec_id = 0),
+       |lprobes AS (SELECT qv, unnest([$probeList]) AS probe FROM lq),
+       |lshr AS (
+       | SELECT b.vec_id,
+       |  list_dot_product(b.v, p.qv) /
+       |    (sqrt(list_dot_product(b.v, b.v)) * sqrt(list_dot_product(p.qv, p.qv)))
+       |   AS cosine
+       | FROM lshb b JOIN lprobes p ON b.bucket = p.probe
+       | WHERE b.vec_id <> 0),
+       |lsh10 AS (
+       | SELECT vec_id, CAST(row_number() OVER (ORDER BY cosine DESC, vec_id) AS INT) AS rank
+       | FROM lshr QUALIFY rank <= 10),
+       |pq10 AS (
+       | SELECT vec_id, CAST(row_number() OVER (ORDER BY adc_dist, vec_id) AS INT) AS rank
+       | FROM adc QUALIFY rank <= 10),
+       |binr AS (
+       | SELECT e.vec_id,
+       |  CAST(list_sum(list_transform(range(1, len(e.v) + 1),
+       |    i -> CASE WHEN (e.v[i] > 0.0) <> (q.qv[i] > 0.0) THEN 1 ELSE 0 END))
+       |   AS INT) AS hamming
+       | FROM e, q WHERE e.vec_id <> 0),
+       |bin10 AS (
+       | SELECT vec_id, CAST(row_number() OVER (ORDER BY hamming, vec_id) AS INT) AS rank
+       | FROM binr QUALIFY rank <= 10)
+       |SELECT tier, CAST(k AS INT) AS k, recall FROM (
+       |${recallCte("lsh", "lsh10", "excos")}
+       |UNION ALL
+       |${recallCte("ivf_pq", "pq10", "exl2")}
+       |UNION ALL
+       |${recallCte("binary", "bin10", "excos")})
+       |ORDER BY tier, k""".stripMargin
   }
 
   /** Oracle: the shared IVF-PQ CTE chain proposes, the full-precision

@@ -95,4 +95,26 @@ class HybridSpec extends graft.SparkSpec {
     val shortIds = adc.map(_._1).toSet
     assert(got.forall(g => shortIds.contains(g._1)))
   }
+
+  test("recall report: recalls replay from the tiers' own outputs, bounded and complete") {
+    val sf = graft.Tables(spark, "/root/testdata/sf0.001")
+    val got = Hybrid.recallReport(sf).collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getDouble(2)))
+    // complete grid: 3 tiers x 3 ks
+    assert(got.map(t => (t._1, t._2)).toSet ==
+      (for (t <- Seq("lsh", "ivf_pq", "binary"); k <- Seq(1, 5, 10)) yield (t, k)).toSet)
+    got.foreach { case (tier, k, r) =>
+      assert(r >= 0.0 && r <= 1.0, s"$tier@$k: $r")
+      // recall is a multiple of 1/k (an intersection count over k)
+      assert(math.abs(r * k - math.round(r * k)) < 1e-9, s"$tier@$k: $r")
+    }
+    // replay one tier end-to-end: binary vs exact cosine
+    val exact = Similarity.bruteForceTopK(sf).collect().map(_.getLong(0))
+    val bin = Similarity.binaryTopK(sf).collect().map(_.getLong(0))
+    Seq(1, 5, 10).foreach { k =>
+      val expected = bin.take(k).toSet.intersect(exact.take(k).toSet).size.toDouble / k
+      val reported = got.find(t => t._1 == "binary" && t._2 == k).get._3
+      assert(reported == expected, s"binary@$k: $reported vs $expected")
+    }
+  }
 }
