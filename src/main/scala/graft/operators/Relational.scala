@@ -426,6 +426,81 @@ object Relational {
       |WHERE event_type = 'purchase'
       |ORDER BY user_id, ts, event_id""".stripMargin
 
+  /** Tolerance for [[asofNearest]], seconds. */
+  private val NearestTolSec = 3600.0
+
+  /** Nearest-direction as-of join (the pandas `merge_asof
+    * direction='nearest'` twin of [[asofJoin]]): each purchase takes the
+    * CLOSEST view value within ±[[NearestTolSec]] — backward or forward
+    * — with ties to the backward candidate. Two window passes per user
+    * (carry the last view backward, the first view forward; the
+    * candidate's timestamp and value ride as null-together columns so
+    * IGNORE NULLS stays consistent), then a row-local pick — no
+    * self-join, no range explosion, the same key-partitioned shuffle as
+    * every per-user window op. Output surfaces the chosen direction and
+    * gap so tolerance tuning is auditable.
+    */
+  def asofNearest(t: Tables): DataFrame = {
+    val ord = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    val wB = ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wF = ord.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val base = t.events
+      .where(col("event_type").isin("view", "purchase"))
+      .withColumn("view_s",
+        when(col("event_type") === "view", col("ts").cast("double")))
+      .withColumn("view_v",
+        when(col("event_type") === "view", col("value")))
+      .withColumn("bs", last(col("view_s"), ignoreNulls = true).over(wB))
+      .withColumn("bv", last(col("view_v"), ignoreNulls = true).over(wB))
+      .withColumn("fs", first(col("view_s"), ignoreNulls = true).over(wF))
+      .withColumn("fv", first(col("view_v"), ignoreNulls = true).over(wF))
+      .where(col("event_type") === "purchase")
+      .withColumn("bd", col("ts").cast("double") - col("bs"))
+      .withColumn("fd", col("fs") - col("ts").cast("double"))
+      .withColumn("bok", col("bs").isNotNull && col("bd") <= NearestTolSec)
+      .withColumn("fok", col("fs").isNotNull && col("fd") <= NearestTolSec)
+    base.select(col("event_id"), col("user_id"), col("ts"), col("value"),
+        when(col("bok") && (!col("fok") || col("bd") <= col("fd")), col("bv"))
+          .when(col("fok"), col("fv")).as("nearest_view_value"),
+        when(col("bok") && (!col("fok") || col("bd") <= col("fd")), lit("backward"))
+          .when(col("fok"), lit("forward")).as("direction"),
+        when(col("bok") && (!col("fok") || col("bd") <= col("fd")), col("bd"))
+          .when(col("fok"), col("fd")).as("gap_sec"))
+      .orderBy("user_id", "ts", "event_id")
+  }
+
+  val asofNearestSql: String =
+    s"""SELECT event_id, user_id, ts, value,
+       | CASE WHEN bok AND (NOT fok OR bd <= fd) THEN bv
+       |      WHEN fok THEN fv END AS nearest_view_value,
+       | CASE WHEN bok AND (NOT fok OR bd <= fd) THEN 'backward'
+       |      WHEN fok THEN 'forward' END AS direction,
+       | CASE WHEN bok AND (NOT fok OR bd <= fd) THEN bd
+       |      WHEN fok THEN fd END AS gap_sec
+       |FROM (
+       | SELECT event_id, user_id, ts, event_type, value, bs, bv, fs, fv,
+       |  epoch(ts) - bs AS bd, fs - epoch(ts) AS fd,
+       |  bs IS NOT NULL AND epoch(ts) - bs <= $NearestTolSec AS bok,
+       |  fs IS NOT NULL AND fs - epoch(ts) <= $NearestTolSec AS fok
+       | FROM (
+       |  SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts, event_type, value,
+       |   LAST_VALUE(CASE WHEN event_type = 'view' THEN epoch(CAST(ts AS TIMESTAMP)) END IGNORE NULLS)
+       |     OVER (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id
+       |       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS bs,
+       |   LAST_VALUE(CASE WHEN event_type = 'view' THEN value END IGNORE NULLS)
+       |     OVER (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id
+       |       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS bv,
+       |   FIRST_VALUE(CASE WHEN event_type = 'view' THEN epoch(CAST(ts AS TIMESTAMP)) END IGNORE NULLS)
+       |     OVER (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id
+       |       ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS fs,
+       |   FIRST_VALUE(CASE WHEN event_type = 'view' THEN value END IGNORE NULLS)
+       |     OVER (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id
+       |       ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS fv
+       |  FROM events
+       |  WHERE event_type IN ('view', 'purchase'))
+       | WHERE event_type = 'purchase')
+       |ORDER BY user_id, ts, event_id""".stripMargin
+
   /** Events with their 30-minute-gap session id attached — the ONE
     * definition of the gap rule (1800 s on the epoch-seconds double,
     * (ts, event_id) ordering), shared by [[sessionize]] and

@@ -59,6 +59,41 @@ class RelationalSpec extends SparkSpec {
     assert(df.count() > 0)
   }
 
+  test("asof nearest picks the closer side, ties backward, tolerance drops far views") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-asofn").toString
+    def t(m: Int) = java.sql.Timestamp.valueOf(f"2025-01-01 10:$m%02d:00")
+    // user 1: view@10:00(v=1), purchase@10:10, view@10:15(v=2) -> forward closer (5m < 10m)
+    // user 2: view@10:00(v=3), purchase@10:05, view@10:10(v=4) -> exact tie -> backward
+    // user 3: view@10:00(v=5), purchase@11:30 -> backward beyond 1h -> no match
+    // user 4: purchase@10:00, view@10:20(v=6) -> forward only
+    Seq(
+      (1L, t(0), "view", 1.0, "{}"), (2L, t(10), "purchase", 9.0, "{}"),
+      (3L, t(15), "view", 2.0, "{}"),
+      (4L, t(0), "view", 3.0, "{}"), (5L, t(5), "purchase", 9.0, "{}"),
+      (6L, t(10), "view", 4.0, "{}"),
+      (7L, t(0), "view", 5.0, "{}"),
+      (8L, java.sql.Timestamp.valueOf("2025-01-01 11:30:00"), "purchase", 9.0, "{}"),
+      (9L, t(0), "purchase", 9.0, "{}"), (10L, t(20), "view", 6.0, "{}"))
+      .zipWithIndex.map { case ((eid, ts, et, v, p), i) =>
+        (eid, ts, (i / 3 + 1).toLong, et, v, p)
+      }
+      .toDF("event_id", "ts", "ignore_uid", "event_type", "value", "props")
+      .withColumn("user_id",
+        org.apache.spark.sql.functions.expr(
+          "CASE WHEN event_id <= 3 THEN 1 WHEN event_id <= 6 THEN 2 " +
+            "WHEN event_id <= 8 THEN 3 ELSE 4 END"))
+      .select("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val got = Relational.asofNearest(Tables(spark, dir)).collect()
+      .map(r => r.getLong(0) -> (Option(r.get(4)).map(_.toString.toDouble),
+        Option(r.getString(5)))).toMap
+    assert(got(2L) == ((Some(2.0), Some("forward"))), s"got ${got(2L)}")
+    assert(got(5L) == ((Some(3.0), Some("backward"))), s"got ${got(5L)}")
+    assert(got(8L) == ((None, None)), s"got ${got(8L)}")
+    assert(got(9L) == ((Some(6.0), Some("forward"))), s"got ${got(9L)}")
+  }
+
   test("rollup contains the grand total row") {
     val rows = Relational.rollupTotals(sf).collect()
     val grand = rows.filter(r => r.isNullAt(0) && r.isNullAt(1))
