@@ -1,0 +1,151 @@
+package graft.operators
+
+import graft.Tables
+import graft.functions.Exact.{decToDouble, decToDoubleSql, discPrice}
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Market-structure and time-series diagnostics: supplier concentration
+  * (Herfindahl-Hirschman) and revenue autocorrelation — the "how
+  * concentrated is this market" and "does yesterday predict today"
+  * questions of a reporting engine (the reference's pandas rollups stop at
+  * sums; these are their second-moment companions).
+  *
+  * Both collapse the fact table FIRST (one map-side-combining aggregation)
+  * and do all second-moment math on the bounded aggregate domain
+  * (suppliers-per-nation, distinct ship days) — the rollingCorr/linearTrend
+  * precedent, so the shapes hold at 100 TB.
+  */
+object Relational8 {
+
+  private val d38 = DecimalType(38, 0)
+
+  /** Supplier revenue in exact integer MICRO-dollars (discPrice carries
+    * scale 6, so ×10⁶ is integral — cents would truncate sub-cent digits).
+    * Narrowed to DECIMAL(19,0) so the square's result type stays inside
+    * DECIMAL(38,0): 10¹⁸ micros ≈ 10¹² dollars per supplier of headroom.
+    */
+  private def microUnits(rev: Column): Column =
+    (rev * lit(1000000)).cast(DecimalType(19, 0))
+
+  /** Herfindahl-Hirschman concentration of supplier revenue within each
+    * nation: HHI = Σᵢ sᵢ² where sᵢ is supplier i's share of the nation's
+    * lineitem revenue — computed as Σrevᵢ² / (Σrevᵢ)², so every aggregate
+    * is an exact integer power sum and the single floating step (one
+    * division over [[decToDouble]]-converted sums) replays bit-for-bit in
+    * the oracle. Plan: one fact aggregation by suppkey (map-side
+    * combine), broadcast dim joins, then a second tiny aggregation over
+    * one row per supplier. No global window, no driver state: 100 TB-safe.
+    */
+  def hhi(t: Tables): DataFrame = {
+    val perSupp = t.lineitem
+      .groupBy("l_suppkey")
+      .agg(sum(discPrice(col("l_extendedprice"), col("l_discount"))).as("rev"))
+      .withColumn("units", microUnits(col("rev")))
+    perSupp
+      .join(broadcast(t.supplier.select("s_suppkey", "s_nationkey")),
+        col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(t.nation.select("n_nationkey", "n_name")),
+        col("s_nationkey") === col("n_nationkey"))
+      .groupBy("n_name")
+      .agg(
+        count(lit(1)).as("n_suppliers"),
+        sum(col("units").cast(d38)).as("s"),
+        sum(col("units") * col("units")).as("q"))
+      .select(col("n_name"), col("n_suppliers"),
+        (decToDouble(col("q")) /
+          (decToDouble(col("s")) * decToDouble(col("s")))).as("hhi"))
+      .orderBy("n_name")
+  }
+
+  val hhiSql: String = {
+    s"""WITH per_supp AS (
+       | SELECT l_suppkey,
+       |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) *
+       |    CAST(1 - CAST(l_discount AS DECIMAL(4,2)) AS DECIMAL(8,4)))
+       |    * 1000000 AS HUGEINT) AS units
+       | FROM lineitem GROUP BY 1),
+       |per_nation AS (
+       | SELECT n_name, CAST(COUNT(*) AS BIGINT) AS n_suppliers,
+       |  SUM(units) AS s, SUM(units * units) AS q
+       | FROM per_supp
+       | JOIN supplier ON l_suppkey = s_suppkey
+       | JOIN nation ON s_nationkey = n_nationkey
+       | GROUP BY 1)
+       |SELECT n_name, n_suppliers,
+       | ${decToDoubleSql("q")} / (${decToDoubleSql("s")} * ${decToDoubleSql("s")}) AS hhi
+       |FROM per_nation ORDER BY n_name""".stripMargin
+  }
+
+  private val AcfMaxLag = 7
+
+  /** Autocorrelation function of the daily revenue series at lags 1..7:
+    * Pearson correlation between day d and day d+k revenue over all
+    * calendar-adjacent pairs (gap days simply produce no pair — a
+    * dense-rank lag would silently correlate across holes). The fact
+    * table collapses to one row per DAY first (exact cents... micros
+    * sums), so the lag self-join and the per-lag power sums run over the
+    * bounded day domain — thousands of rows at any corpus size, with the
+    * small side broadcast. All six power sums are exact DECIMAL(38,0)
+    * aggregates (day-level micro products overflow longs at ~100×
+    * scale); the correlation evaluates in double from
+    * [[decToDouble]]-converted sums with the oracle's expression tree.
+    */
+  def autocorr(t: Tables): DataFrame = {
+    val daily = t.lineitem
+      .groupBy(col("l_shipdate").cast("date").as("d"))
+      .agg(sum(discPrice(col("l_extendedprice"), col("l_discount"))).as("rev"))
+      .select(
+        datediff(col("d"), to_date(lit("1970-01-01"))).as("epoch_day"),
+        microUnits(col("rev")).as("v"))
+    val x = daily.select(col("epoch_day"), col("v").as("x"))
+      .withColumn("lag", explode(array((1 to AcfMaxLag).map(k => lit(k.toLong)): _*)))
+    val y = daily.select(col("epoch_day").as("y_day"), col("v").as("y"))
+    x.join(broadcast(y), col("y_day") === col("epoch_day") + col("lag"))
+      .groupBy("lag")
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("x").cast(d38)).as("sx"),
+        sum(col("y").cast(d38)).as("sy"),
+        sum(col("x") * col("x")).as("sxx"),
+        sum(col("y") * col("y")).as("syy"),
+        sum(col("x") * col("y")).as("sxy"))
+      .select(col("lag"), col("n"),
+        ((col("n") * decToDouble(col("sxy")) -
+            decToDouble(col("sx")) * decToDouble(col("sy"))) /
+          (sqrt(col("n") * decToDouble(col("sxx")) -
+              decToDouble(col("sx")) * decToDouble(col("sx"))) *
+            sqrt(col("n") * decToDouble(col("syy")) -
+              decToDouble(col("sy")) * decToDouble(col("sy"))))).as("acf"))
+      .orderBy("lag")
+  }
+
+  val autocorrSql: String = {
+    s"""WITH daily AS (
+       | SELECT date_diff('day', DATE '1970-01-01', CAST(l_shipdate AS DATE))
+       |   AS epoch_day,
+       |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) *
+       |    CAST(1 - CAST(l_discount AS DECIMAL(4,2)) AS DECIMAL(8,4)))
+       |    * 1000000 AS HUGEINT) AS v
+       | FROM lineitem GROUP BY 1),
+       |pairs AS (
+       | SELECT l.lag, a.v AS x, b.v AS y
+       | FROM daily a
+       | CROSS JOIN (SELECT UNNEST(range(1, ${AcfMaxLag + 1})) AS lag) l
+       | JOIN daily b ON b.epoch_day = a.epoch_day + l.lag),
+       |sums AS (
+       | SELECT lag, CAST(COUNT(*) AS BIGINT) AS n,
+       |  SUM(x) AS sx, SUM(y) AS sy,
+       |  SUM(x * x) AS sxx, SUM(y * y) AS syy, SUM(x * y) AS sxy
+       | FROM pairs GROUP BY 1)
+       |SELECT lag, n,
+       | (n * ${decToDoubleSql("sxy")} -
+       |    ${decToDoubleSql("sx")} * ${decToDoubleSql("sy")}) /
+       |  (sqrt(n * ${decToDoubleSql("sxx")} -
+       |     ${decToDoubleSql("sx")} * ${decToDoubleSql("sx")}) *
+       |   sqrt(n * ${decToDoubleSql("syy")} -
+       |     ${decToDoubleSql("sy")} * ${decToDoubleSql("sy")})) AS acf
+       |FROM sums ORDER BY lag""".stripMargin
+  }
+}

@@ -115,4 +115,31 @@ object Sampling {
        |WHERE rk <= min_n
        |ORDER BY label, rk""".stripMargin
   }
+
+  private val ReservoirK = 100
+
+  /** Global uniform k-sample (deterministic reservoir): the k documents
+    * with the SMALLEST portable key hash — the classic bottom-k /
+    * min-wise sample, equivalent in distribution to reservoir sampling
+    * but coordination-free and exactly reproducible across reruns,
+    * partitionings, and engines. Spark executes the orderBy+limit as
+    * TakeOrdered: each partition keeps its local k smallest hashes and
+    * only those k-row heaps travel — no global sort, no full shuffle,
+    * driver state bounded at k rows. Growing the corpus 100× changes
+    * WHICH rows win but not the plan shape.
+    */
+  def reservoir(t: Tables): DataFrame =
+    t.documents
+      .orderBy(unitHash(col("doc_id")), col("doc_id"))
+      .limit(ReservoirK)
+      .select("doc_id", "lang", "source")
+      .orderBy("doc_id")
+
+  val reservoirSql: String = {
+    val u = unitHashSqlFmt.format("doc_id")
+    s"""SELECT doc_id, lang, source FROM (
+       | SELECT doc_id, lang, source FROM documents
+       | ORDER BY $u, doc_id LIMIT $ReservoirK)
+       |ORDER BY doc_id""".stripMargin
+  }
 }

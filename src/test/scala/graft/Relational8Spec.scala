@@ -1,0 +1,58 @@
+package graft
+
+import graft.operators.Relational8
+
+class Relational8Spec extends SparkSpec {
+
+  test("hhi matches a driver-side share-squared replay per nation") {
+    val rows = Relational8.hhi(sf).collect()
+    assert(rows.nonEmpty)
+    // replay: exact per-supplier revenue micros -> shares -> sum of squares
+    val li = sf.lineitem
+    val sup = sf.supplier
+    val nat = sf.nation
+    val perSupp = li
+      .join(sup, li("l_suppkey") === sup("s_suppkey"))
+      .join(nat, sup("s_nationkey") === nat("n_nationkey"))
+      .select("n_name", "s_suppkey", "l_extendedprice", "l_discount")
+      .collect()
+      .groupBy(r => (r.getString(0), r.getLong(1)))
+      .view.mapValues { rs =>
+        rs.map { r =>
+          (BigDecimal(r.getDouble(2)).setScale(2, BigDecimal.RoundingMode.HALF_UP) *
+            (BigDecimal(1) - BigDecimal(r.getDouble(3))
+              .setScale(2, BigDecimal.RoundingMode.HALF_UP))).setScale(6)
+        }.sum
+      }.toMap
+    val byNation = perSupp.groupBy(_._1._1).view.mapValues(_.values.toSeq).toMap
+    rows.foreach { r =>
+      val (nation, n, hhi) = (r.getString(0), r.getLong(1), r.getDouble(2))
+      val revs = byNation(nation)
+      assert(n == revs.size)
+      val tot = revs.sum
+      val expect = revs.map(v => (v / tot).toDouble).map(s => s * s).sum
+      assert(math.abs(hhi - expect) < 1e-9, s"$nation: $hhi vs $expect")
+      // HHI lives in (1/n, 1]
+      assert(hhi > 1.0 / n - 1e-12 && hhi <= 1.0 + 1e-12)
+    }
+  }
+
+  test("autocorr reports lags 1..7 with |acf| <= 1 and exact pair counts") {
+    val rows = Relational8.autocorr(sf).collect()
+    assert(rows.map(_.getLong(0)).toSeq == (1L to 7L))
+    rows.foreach { r =>
+      assert(math.abs(r.getDouble(2)) <= 1.0 + 1e-12)
+    }
+    // pair count replay: days present at both d and d+k
+    val days = sf.lineitem.select(col("l_shipdate").cast("date"))
+      .distinct().collect()
+      .map(_.getDate(0).toLocalDate.toEpochDay).toSet
+    rows.foreach { r =>
+      val k = r.getLong(0)
+      val expectN = days.count(d => days.contains(d + k)).toLong
+      assert(r.getLong(1) == expectN, s"lag $k")
+    }
+  }
+
+  private def col(n: String) = org.apache.spark.sql.functions.col(n)
+}

@@ -60,4 +60,21 @@ class SamplingSpec extends SparkSpec {
     val again = graft.operators.Sampling.balancedClasses(sf).collect()
     assert(rows.map(_.toString).sameElements(again.map(_.toString)))
   }
+
+  test("reservoir keeps exactly the k documents with the smallest key hash") {
+    val rows = Sampling.reservoir(sf).collect()
+    assert(rows.length == 100)
+    // replay the bottom-k by hash on the driver
+    import org.apache.spark.sql.functions.col
+    val hashed = sf.documents.select(col("doc_id"))
+      .withColumn("h", org.apache.spark.sql.functions.conv(
+        org.apache.spark.sql.functions.substring(
+          org.apache.spark.sql.functions.md5(col("doc_id").cast("string")), 1, 15),
+        16, 10).cast("long"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val expect = hashed.sortBy { case (id, h) => (h, id) }.take(100).map(_._1).sorted
+    assert(rows.map(_.getLong(0)).sameElements(expect))
+    val again = Sampling.reservoir(sf).collect()
+    assert(rows.map(_.toString).sameElements(again.map(_.toString)))
+  }
 }
