@@ -514,4 +514,67 @@ object TimeSeries {
        |   / CAST(n AS DOUBLE) / 100.0 AS intercept
        |FROM s WHERE n >= $TrendMinMonths
        |ORDER BY slope_per_month DESC, brand""".stripMargin
+
+  /** Holt double exponential smoothing (α = β = ½) of event values over
+    * the trailing [[EwmaWindow]] events, reported at each user's latest
+    * event — [[ewmaSmooth]]'s trend-aware sibling: the level fold also
+    * carries a trend term, so the one-step forecast (`level + trend`)
+    * tracks drifting series EWMA lags behind. The two-state recurrence
+    *   lₜ = (yₜ + lₜ₋₁ + bₜ₋₁)/2,  bₜ = ((lₜ − lₜ₋₁) + bₜ₋₁)/2
+    * runs as a row-local struct-accumulator fold over the ORDERED bounded
+    * array (l₁ = y₁, b₁ = 0) — halving is exact in IEEE doubles and both
+    * engines evaluate the identical left-associated expression tree, so
+    * the oracle's recursive-CTE unroll reproduces it bit-for-bit.
+    * Entity-partitioned window, bounded per-row state: corpus-scale safe.
+    */
+  def holt(t: Tables): DataFrame = {
+    val wTrail = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      .rowsBetween(-(EwmaWindow - 1), Window.currentRow)
+    val wLatest = Window.partitionBy("user_id")
+      .orderBy(col("ts").desc, col("event_id").desc)
+    t.events
+      .withColumn("vals", collect_list(col("value")).over(wTrail))
+      .withColumn("rk", row_number().over(wLatest))
+      .where(col("rk") === 1)
+      .withColumn("st", expr(
+        s"""aggregate(slice(vals, 2, ${EwmaWindow - 1}),
+           |  named_struct('l', vals[0], 'b', CAST(0.0 AS DOUBLE)),
+           |  (acc, x) -> named_struct(
+           |    'l', (x + acc.l + acc.b) / 2,
+           |    'b', (((x + acc.l + acc.b) / 2) - acc.l + acc.b) / 2))""".stripMargin))
+      .select(col("user_id"), col("ts"), col("value"),
+        col("st.l").as("level"), col("st.b").as("trend"),
+        (col("st.l") + col("st.b")).as("forecast"))
+      .orderBy("user_id")
+  }
+
+  /** Oracle NOTE: a struct-accumulator `list_reduce` would be the
+    * natural replay, but DuckDB 1.0 mis-evaluates multi-field struct
+    * accumulators (the second field sees a stale accumulator from the
+    * second iteration on — verified against a hand fold), so the
+    * recurrence unrolls as a recursive CTE over scalar (l, b) columns
+    * instead: identical IEEE expression tree per step, ≤ 20 steps.
+    */
+  val holtSql: String =
+    s"""WITH RECURSIVE ordered AS (
+       | SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id, value,
+       |  list(value) OVER (PARTITION BY user_id
+       |    ORDER BY CAST(ts AS TIMESTAMP), event_id
+       |    ROWS BETWEEN ${EwmaWindow - 1} PRECEDING AND CURRENT ROW) AS vals,
+       |  ROW_NUMBER() OVER (PARTITION BY user_id
+       |    ORDER BY CAST(ts AS TIMESTAMP) DESC, event_id DESC) AS rk
+       | FROM events),
+       |base AS (SELECT user_id, ts, value, vals FROM ordered WHERE rk = 1),
+       |f AS (
+       | SELECT user_id, ts, value, vals, 1 AS i,
+       |  vals[1] AS l, CAST(0.0 AS DOUBLE) AS b
+       | FROM base
+       | UNION ALL
+       | SELECT user_id, ts, value, vals, i + 1,
+       |  (vals[i + 1] + l + b) / 2,
+       |  (((vals[i + 1] + l + b) / 2) - l + b) / 2
+       | FROM f WHERE i < len(vals))
+       |SELECT user_id, ts, value, l AS level, b AS trend, l + b AS forecast
+       |FROM f WHERE i = len(vals)
+       |ORDER BY user_id""".stripMargin
 }

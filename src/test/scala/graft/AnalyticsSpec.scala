@@ -148,6 +148,29 @@ class AnalyticsSpec extends SparkSpec {
     }
   }
 
+  test("holt level/trend match the exact two-state fold replay per user") {
+    import graft.operators.TimeSeries
+    val evs = sf.events.select("user_id", "ts", "event_id", "value").collect()
+      .map(r => (r.getLong(0), micros(r.getTimestamp(1)), r.getLong(2),
+        r.getDouble(3)))
+    val expected = evs.groupBy(_._1).view.mapValues { es =>
+      val vals = es.sortBy(e => (e._2, e._3)).map(_._4).takeRight(20)
+      vals.tail.foldLeft((vals.head, 0.0)) { case ((l, b), x) =>
+        val l2 = (x + l + b) / 2
+        (l2, ((l2 - l) + b) / 2)
+      }
+    }.toMap
+    val got = TimeSeries.holt(sf).collect()
+      .map(r => r.getLong(0) -> ((r.getDouble(3), r.getDouble(4), r.getDouble(5))))
+      .toMap
+    assert(got.keySet == expected.keySet)
+    got.foreach { case (u, (l, b, f)) =>
+      val (el, eb) = expected(u)
+      assert(l == el && b == eb, s"holt mismatch for user $u")
+      assert(f == l + b)
+    }
+  }
+
   test("linear trend slope matches the exact OLS recount per brand") {
     import graft.operators.TimeSeries
     val parts = sf.part.select("p_partkey", "p_brand").collect()
