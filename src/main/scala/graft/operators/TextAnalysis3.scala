@@ -190,4 +190,103 @@ object TextAnalysis3 {
        |SELECT doc_id, n_words, n_wp_tokens
        |FROM wtok
        |ORDER BY doc_id""".stripMargin
+
+  /** Likelihood-weight scale for the classifier (ppm). */
+  private val NbScale = 1000000L
+
+  /** Train-and-apply bag-of-words source classifier — the quality-
+    * classifier pattern of LLM data curation (fastText-style: score
+    * docs by how much their vocabulary looks like each source), with
+    * the corpus as its own training set and a confusion-matrix report.
+    * Per-class token likelihoods are Laplace-smoothed scaled integers
+    *   w(t,s) = (c(t,s)+1)·10⁶ div (tot(s)+V)
+    * (the [[Unigram]] smoothing in exact integer form — no `ln`, so no
+    * libm divergence: linear-space likelihood weights are summed
+    * tf-weighted per document and the argmax is taken with a
+    * deterministic (score desc, class-id asc) tie-break).
+    *
+    * Scale shape: one corpus pass for (token, source) counts, one for
+    * per-doc tf; the model is the token×class weight GRID (vocabulary ×
+    * #classes rows — a token-keyed equi-join attach, broadcast only by
+    * AQE's measurement); scores aggregate per (doc, class) with
+    * map-side combine, the argmax is a bounded-width max(struct), and
+    * the confusion matrix is a #classes² output. No driver state, no
+    * pair space: 100 TB-safe.
+    */
+  def nbClassify(t: Tables): DataFrame = {
+    val docs = t.documents.select(col("doc_id"), col("source"),
+      explode(split(col("text"), " ")).as("token"))
+      .where(length(col("token")) > 0)
+    // bounded class dim with deterministic ids (lexicographic)
+    val classes = t.documents.select(col("source")).distinct()
+      .withColumn("sid", row_number().over(
+        org.apache.spark.sql.expressions.Window.orderBy("source")))
+    val counts = docs.groupBy(col("token"), col("source").as("c_source"))
+      .agg(count(lit(1)).as("c"))
+    val tots = counts.groupBy("c_source").agg(sum(col("c")).as("tot"))
+    val vocabN = counts.select("token").distinct()
+      .agg(count(lit(1)).as("v"))
+    val grid = counts.select("token").distinct()
+      .crossJoin(broadcast(classes.select(col("source").as("c_source"), col("sid"))))
+      .join(counts, Seq("token", "c_source"), "left")
+      .join(broadcast(tots), Seq("c_source"))
+      .crossJoin(broadcast(vocabN))
+      .select(col("token"), col("c_source"), col("sid"),
+        expr(s"((coalesce(c, 0L) + 1L) * ${NbScale}L) div (tot + v)").as("w"))
+    val tf = docs.groupBy(col("doc_id"), col("source"), col("token"))
+      .agg(count(lit(1)).as("tf"))
+    val scored = tf.join(grid, Seq("token"))
+      .groupBy(col("doc_id"), col("source"), col("c_source"), col("sid"))
+      .agg(sum(col("tf") * col("w")).as("score"))
+    val predicted = scored
+      .groupBy(col("doc_id"), col("source"))
+      .agg(max(struct(col("score"), (-col("sid")).as("nsid"))).as("m"))
+      .select(col("doc_id"), col("source"), (-col("m.nsid")).as("psid"))
+    predicted
+      .join(broadcast(classes.select(col("sid").as("psid"),
+        col("source").as("predicted"))), Seq("psid"))
+      .groupBy(col("source"), col("predicted"))
+      .agg(count(lit(1)).as("n_docs"))
+      .orderBy("source", "predicted")
+  }
+
+  val nbClassifySql: String =
+    s"""WITH toks AS (
+       | SELECT doc_id, source, unnest(string_split(text, ' ')) AS token
+       | FROM documents),
+       |tk AS (SELECT * FROM toks WHERE length(token) > 0),
+       |classes AS (
+       | SELECT source, CAST(ROW_NUMBER() OVER (ORDER BY source) AS INT) AS sid
+       | FROM (SELECT DISTINCT source FROM documents)),
+       |counts AS (
+       | SELECT token, source AS c_source, CAST(COUNT(*) AS BIGINT) AS c
+       | FROM tk GROUP BY 1, 2),
+       |tots AS (
+       | SELECT c_source, CAST(SUM(c) AS BIGINT) AS tot FROM counts GROUP BY 1),
+       |vocab AS (SELECT DISTINCT token FROM counts),
+       |vn AS (SELECT CAST(COUNT(*) AS BIGINT) AS v FROM vocab),
+       |grid AS (
+       | SELECT vocab.token, cl.source AS c_source, cl.sid,
+       |  ((COALESCE(c.c, 0) + 1) * $NbScale) // (t.tot + vn.v) AS w
+       | FROM vocab
+       | CROSS JOIN classes cl
+       | LEFT JOIN counts c ON c.token = vocab.token AND c.c_source = cl.source
+       | JOIN tots t ON t.c_source = cl.source
+       | CROSS JOIN vn),
+       |tf AS (
+       | SELECT doc_id, source, token, CAST(COUNT(*) AS BIGINT) AS tf
+       | FROM tk GROUP BY 1, 2, 3),
+       |scored AS (
+       | SELECT tf.doc_id, tf.source, g.c_source, g.sid,
+       |  CAST(SUM(tf.tf * g.w) AS BIGINT) AS score
+       | FROM tf JOIN grid g ON g.token = tf.token
+       | GROUP BY 1, 2, 3, 4),
+       |pred AS (
+       | SELECT doc_id, source, c_source AS predicted,
+       |  ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY score DESC, sid) AS rk
+       | FROM scored)
+       |SELECT source, predicted, CAST(COUNT(*) AS BIGINT) AS n_docs
+       |FROM pred WHERE rk = 1
+       |GROUP BY 1, 2
+       |ORDER BY source, predicted""".stripMargin
 }

@@ -96,4 +96,49 @@ class TextAnalysis3Spec extends SparkSpec {
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
     assert(got == exp, s"first diff: ${got.zip(exp).find(p => p._1 != p._2)}")
   }
+
+  test("nb classifier confusion matrix matches the exact integer-weight replay") {
+    val docs = sf.documents.select("doc_id", "source", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    def toks(t: String): Seq[String] = t.split(" ").filter(_.nonEmpty).toSeq
+    val classes = docs.map(_._2).distinct.sorted.zipWithIndex
+      .map { case (s, i) => s -> (i + 1) }.toMap
+    val counts = docs.flatMap { case (_, s, t) => toks(t).map(tok => (tok, s)) }
+      .groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val tots = counts.groupBy(_._1._2).view.mapValues(_.values.sum).toMap
+    val vocab = counts.keys.map(_._1).toSet
+    val v = vocab.size.toLong
+    def w(tok: String, s: String): Long =
+      (counts.getOrElse((tok, s), 0L) + 1L) * 1000000L / (tots(s) + v)
+    val confusion = docs
+      .filter { case (_, _, t) => toks(t).nonEmpty }
+      .map { case (_, actual, t) =>
+        val tf = toks(t).groupBy(identity).view.mapValues(_.size.toLong)
+        val best = classes.toSeq.map { case (s, sid) =>
+          (tf.map { case (tok, f) => f * w(tok, s) }.sum, sid, s)
+        }.maxBy { case (score, sid, _) => (score, -sid) }
+        (actual, best._3)
+      }
+      .groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val got = graft.operators.TextAnalysis3.nbClassify(sf).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(got == confusion)
+  }
+
+  test("nb classifier is diagonal on a planted separable corpus") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("nbsep").toString
+    // disjoint vocabularies per source -> classification must be perfect
+    val docs = (0 until 30).map { i =>
+      val src = s"src${i % 3}"
+      val words = Seq.fill(12)(s"tok_${i % 3}_${i % 4}")
+      (i.toLong, words.mkString(" "), "en", src, 60L)
+    }.toDF("doc_id", "text", "lang", "source", "n_chars")
+    docs.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val rows = graft.operators.TextAnalysis3.nbClassify(Tables(spark, dir))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    assert(rows.forall { case (a, p, _) => a == p },
+      s"off-diagonal predictions: ${rows.filter(r => r._1 != r._2).toSeq}")
+    assert(rows.map(_._3).sum == 30L)
+  }
 }
