@@ -951,4 +951,130 @@ object Multimodal {
       |  r_sum, g_sum, b_sum, lum_min, lum_max
       |FROM p JOIN s ON p.doc_id = s.doc_id
       |ORDER BY p.doc_id""".stripMargin
+
+  final case class DhashRow(doc_id: Long, width: Int, height: Int, dhash: Long)
+
+  /** Difference hash (dHash) of a DECODED raster: integer area-average
+    * the luma plane onto a 9×8 grid, set a bit per horizontally-adjacent
+    * cell pair where the right cell is strictly brighter. Every target
+    * cell shares the same denominator (w·h·ow·oh overlap normalization),
+    * so the comparisons run on the RAW weighted sums — no division, no
+    * rounding, engine-exact. Luma is the integer 299r+587g+114b
+    * (BT.601 ×1000 — monotone, so unnormalized is fine for ordering).
+    * 63 of the canonical 64 bits are kept (bit 63 would overflow a
+    * signed BIGINT in the oracle's `1 << k` reconstruction; a 1-bit
+    * narrower fingerprint costs nothing at these collision rates).
+    */
+  private[graft] def grayDhash(img: java.awt.image.BufferedImage): Long = {
+    val w = img.getWidth; val h = img.getHeight
+    val ow = 9; val oh = 8
+    val num = Array.ofDim[Long](oh, ow)
+    var j = 0
+    while (j < oh) {
+      var i = 0
+      while (i < ow) {
+        var s = 0L
+        var y = 0
+        while (y < h) {
+          val oy = math.min((y + 1).toLong * oh, (j + 1).toLong * h) -
+            math.max(y.toLong * oh, j.toLong * h)
+          if (oy > 0) {
+            var x = 0
+            while (x < w) {
+              val ox = math.min((x + 1).toLong * ow, (i + 1).toLong * w) -
+                math.max(x.toLong * ow, i.toLong * w)
+              if (ox > 0) {
+                val rgb = img.getRGB(x, y)
+                val lum = 299L * ((rgb >> 16) & 0xFF) +
+                  587L * ((rgb >> 8) & 0xFF) + 114L * (rgb & 0xFF)
+                s += lum * ox * oy
+              }
+              x += 1
+            }
+          }
+          y += 1
+        }
+        num(j)(i) = s
+        i += 1
+      }
+      j += 1
+    }
+    var hash = 0L
+    var k = 0
+    j = 0
+    while (j < oh) {
+      var i = 0
+      while (i < 8) {
+        if (k < 63 && num(j)(i + 1) > num(j)(i)) hash |= (1L << k)
+        k += 1
+        i += 1
+      }
+      j += 1
+    }
+    hash
+  }
+
+  /** REAL-codec perceptual difference-hash tier — [[dedupAhash]]'s
+    * byte-level average-hash upgraded to the actual dHash pipeline a
+    * production image-dedup stage runs: javax.imageio decode at the
+    * spread batched seam → luma plane → exact integer 9×8 area resample
+    * → 63-bit gradient fingerprint ([[grayDhash]]). Row-local per doc,
+    * no shuffle; PNG losslessness lets the oracle rebuild the identical
+    * bits from the pixel formula.
+    */
+  def dhashReal(t: Tables): DataFrame = {
+    val spark = t.spark
+    import spark.implicits._
+    codecIds(t)
+      .mapPartitions { it =>
+        it.grouped(BatchSize).flatMap { batch =>
+          batch.map { id =>
+            val img = javax.imageio.ImageIO.read(
+              new java.io.ByteArrayInputStream(synthPng(id)))
+            require(img != null, s"doc $id: synthesized PNG failed to decode")
+            DhashRow(id, img.getWidth, img.getHeight, grayDhash(img))
+          }
+        }
+      }
+      .toDF()
+      .orderBy("doc_id")
+  }
+
+  /** Oracle for [[dhashReal]]: pixel-formula luma feeds the identical
+    * overlap-weighted cell sums (bounded ≤16²×9×8 grid per doc), strict
+    * right>left comparisons reconstruct the bits via BIGINT shifts.
+    */
+  val dhashRealSql: String =
+    """WITH p AS (
+      |  SELECT doc_id, 8 + doc_id % 9 AS w, 8 + (doc_id * 3) % 9 AS h
+      |  FROM documents),
+      |xs AS (SELECT doc_id, w, h, unnest(range(0, w)) AS x FROM p),
+      |xy AS (SELECT doc_id, w, h, x, unnest(range(0, h)) AS y FROM xs),
+      |ti AS (SELECT doc_id, w, h, x, y, unnest(range(0, 9)) AS i FROM xy),
+      |tij AS (SELECT doc_id, w, h, x, y, i, unnest(range(0, 8)) AS j FROM ti),
+      |ov AS (
+      |  SELECT doc_id, i, j,
+      |    greatest(0, least((x+1)*9, (i+1)*w) - greatest(x*9, i*w)) AS ox,
+      |    greatest(0, least((y+1)*8, (j+1)*h) - greatest(y*8, j*h)) AS oy,
+      |    299*((doc_id + 7*x + 13*y) % 256)
+      |      + 587*((2*doc_id + 11*x + 3*y) % 256)
+      |      + 114*((3*doc_id + 5*x + 17*y) % 256) AS lum
+      |  FROM tij),
+      |cells AS (
+      |  SELECT doc_id, i, j, CAST(SUM(lum * ox * oy) AS BIGINT) AS s
+      |  FROM ov WHERE ox > 0 AND oy > 0 GROUP BY doc_id, i, j),
+      |bits AS (
+      |  SELECT c1.doc_id, c1.j * 8 + c1.i AS k
+      |  FROM cells c1
+      |  JOIN cells c2 ON c2.doc_id = c1.doc_id AND c2.j = c1.j
+      |    AND c2.i = c1.i + 1
+      |  WHERE c1.i < 8 AND c1.j * 8 + c1.i < 63 AND c2.s > c1.s),
+      |hs AS (
+      |  SELECT doc_id,
+      |    CAST(SUM(CAST(1 AS BIGINT) << CAST(k AS INT)) AS BIGINT) AS dhash
+      |  FROM bits GROUP BY doc_id)
+      |SELECT p.doc_id, CAST(w AS INT) AS width, CAST(h AS INT) AS height,
+      |  COALESCE(hs.dhash, 0) AS dhash
+      |FROM p LEFT JOIN hs ON p.doc_id = hs.doc_id
+      |ORDER BY p.doc_id""".stripMargin
 }

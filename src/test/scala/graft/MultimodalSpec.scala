@@ -256,4 +256,39 @@ class MultimodalSpec extends SparkSpec {
     val png = Multimodal.synthPng(3L)
     assert(png.take(8).toSeq == Seq(0x89, 0x50, 0x4E, 0x47, 0x0D, 0x0A, 0x1A, 0x0A).map(_.toByte))
   }
+
+  test("dhash bits replay from the pixel formula without the codec") {
+    val got = Multimodal.dhashReal(sf).collect()
+      .map(r => r.getLong(0) -> ((r.getInt(1), r.getInt(2), r.getLong(3)))).toMap
+    assert(got.size == sf.documents.count().toInt)
+    got.foreach { case (id, (w, h, hash)) =>
+      assert(w == 8 + (id % 9).toInt && h == 8 + ((id * 3) % 9).toInt)
+      // formula-only replay of the 9x8 luma area resample + gradient bits
+      val num = Array.ofDim[Long](8, 9)
+      for (j <- 0 until 8; i <- 0 until 9) {
+        var s = 0L
+        for (y <- 0 until h; x <- 0 until w) {
+          val oy = math.min((y + 1).toLong * 8, (j + 1).toLong * h) -
+            math.max(y.toLong * 8, j.toLong * h)
+          val ox = math.min((x + 1).toLong * 9, (i + 1).toLong * w) -
+            math.max(x.toLong * 9, i.toLong * w)
+          if (ox > 0 && oy > 0) {
+            val lum = 299L * ((id + 7 * x + 13 * y) % 256) +
+              587L * ((2 * id + 11 * x + 3 * y) % 256) +
+              114L * ((3 * id + 5 * x + 17 * y) % 256)
+            s += lum * ox * oy
+          }
+        }
+        num(j)(i) = s
+      }
+      var exp = 0L
+      for (j <- 0 until 8; i <- 0 until 8) {
+        val k = j * 8 + i
+        if (k < 63 && num(j)(i + 1) > num(j)(i)) exp |= (1L << k)
+      }
+      assert(hash == exp, s"doc $id dhash")
+    }
+    // not degenerate: hashes differ across docs
+    assert(got.values.map(_._3).toSet.size > 1)
+  }
 }
