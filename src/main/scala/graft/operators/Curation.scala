@@ -12,7 +12,7 @@ import org.apache.spark.sql.functions._
   */
 object Curation {
 
-  private val ContamN = 5
+  private[graft] val ContamN = 5
 
   /** Benchmark decontamination: flag training documents sharing any
     * word-5-gram with a held-out benchmark set (here the deterministic

@@ -559,6 +559,37 @@ object Streams {
       .withColumn("is_near", col("adc_dist") < threshold)
   }
 
+  /** Streaming decontamination gate — the train-batch / score-stream
+    * pattern for BENCHMARK LEAKAGE: the held-out benchmark corpus
+    * (static) collapses to ONE row holding its distinct hashed word-
+    * 5-gram set (the [[graft.operators.Curation.decontaminate]] gram
+    * recipe, so live gating and the batch sweep agree on what "overlap"
+    * means), broadcast into the stream; each arriving document hashes
+    * its own distinct grams IN-ROW and counts intersections against the
+    * broadcast set. `n_bench_grams == 0` keeps the doc. Stateless: no
+    * watermark, no state store — the bench-gram set is model-sized
+    * memory (benchmark suites are thousands of docs; the set is the
+    * broadcast-codebook analog of [[annGateStream]]), swapped by
+    * redeploying with a fresh benchmark snapshot.
+    */
+  def decontamGateStream(docs: DataFrame, bench: DataFrame): DataFrame = {
+    import graft.operators.Curation.ContamN
+    val benchArr = bench
+      .select(explode(array_distinct(
+        graft.functions.WordNGrams(col("text"), ContamN))).as("gram"))
+      .select(xxhash64(col("gram")).as("h")).distinct()
+      .agg(collect_list(col("h")).as("bench_hashes"))
+    docs
+      .withColumn("grams",
+        array_distinct(graft.functions.WordNGrams(col("text"), ContamN)))
+      .withColumn("gh", expr("transform(grams, g -> xxhash64(g))"))
+      .crossJoin(broadcast(benchArr))
+      .withColumn("n_bench_grams",
+        size(array_intersect(col("gh"), col("bench_hashes"))))
+      .withColumn("keep", col("n_bench_grams") === 0)
+      .drop("grams", "gh", "bench_hashes")
+  }
+
   def anomalyGateStream(events: DataFrame, stats: DataFrame): DataFrame = {
     // LEFT join: an event type the model has never seen must surface as
     // an anomaly, not vanish from the gated feed (an inner join would

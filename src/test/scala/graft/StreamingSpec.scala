@@ -685,6 +685,36 @@ class StreamingSpec extends SparkSpec {
     assert(got(("code", 5L)) == ((0L, 0L)))
     assert(got(("code", 6L)) == ((250L, 2L)))
   }
+
+  test("decontamination gate flags stream docs sharing 5-grams with the bench set") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val benchText = "alpha beta gamma delta epsilon zeta eta theta"
+    val bench = Seq((100L, benchText)).toDF("doc_id", "text")
+    val leaky = "prefix words then alpha beta gamma delta epsilon more tail"
+    val clean = "completely unrelated content about spark shuffles and joins here"
+    val short = "too few words" // < 5 tokens: no grams, must keep
+    val input = MemoryStream[(Long, String)]
+    input.addData((1L, leaky), (2L, clean), (3L, short))
+    val q = Streams.decontamGateStream(input.toDF().toDF("doc_id", "text"), bench)
+      .writeStream.format("memory").queryName("decontam")
+      .outputMode("append").start()
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.table("decontam").collect()
+      .map(r => r.getLong(0) -> ((r.getAs[Int]("n_bench_grams"), r.getAs[Boolean]("keep"))))
+      .toMap
+    assert(rows.keySet == Set(1L, 2L, 3L))
+    assert(rows(1L)._1 > 0 && !rows(1L)._2, s"leaky doc must be flagged: $rows")
+    assert(rows(2L) == ((0, true)))
+    assert(rows(3L) == ((0, true)))
+    // the stream's overlap count equals the shared 5-gram recipe by hand
+    val w = leaky.split(" ")
+    val leakyGrams = (0 to w.length - 5).map(i => w.slice(i, i + 5).mkString(" ")).toSet
+    val bw = benchText.split(" ")
+    val benchGrams = (0 to bw.length - 5).map(i => bw.slice(i, i + 5).mkString(" ")).toSet
+    assert(rows(1L)._1 == leakyGrams.count(benchGrams))
+  }
 }
 
 /** Embedding arrival for the streaming ANN gate spec. */
