@@ -606,4 +606,87 @@ object Graph {
        | CAST(COUNT(*) OVER (PARTITION BY lbl) AS BIGINT) AS comm_size
        |FROM l$LpaRounds ORDER BY p_partkey""".stripMargin
   }
+
+  /** Seed count and hop radius for [[closeness]]. Bounded-radius
+    * harmonic centrality from the top-degree hubs IS the contract (not
+    * an approximation of all-pairs): state stays seeds × reachable-set,
+    * never n². Harmonic contributions are integer milli-units
+    * (1000 div hops — truncating, engine-portable).
+    */
+  private val ClosenessSeeds = 8
+  private val ClosenessRadius = 6
+
+  /** Harmonic closeness centrality of the [[ClosenessSeeds]] highest-
+    * degree hubs within [[ClosenessRadius]] hops: multi-source BFS
+    * (frontier rows keyed (seed, node)), then per seed
+    * Σ 1000 div hops over reached nodes — "which hubs can touch the
+    * most of the network, and how tightly". All-pairs closeness is
+    * quadratic state; seeding from the hub set keeps the frontier at
+    * S×|reachable| while answering the question the metric is actually
+    * used for (ranking the network's centers). A FIXED round count (the
+    * radius bound is part of the metric's definition) keeps the whole
+    * loop lazy — one fused job, the [[pageRank]] convention — and the
+    * oracle replays a depth-bounded walk. Per round: one join along
+    * edges + one min-fold, both keyed (seed, node).
+    */
+  def closeness(t: Tables): DataFrame = {
+    val edges = Relational7.basketPairsRaw(t, EdgeSupport)
+      .select(explode(array(
+        struct(col("a_part").as("u"), col("b_part").as("v")),
+        struct(col("b_part").as("u"), col("a_part").as("v")))).as("e"))
+      .select(col("e.u").as("u"), col("e.v").as("v"))
+      .persist()
+    val seeds = edges.groupBy("u").agg(count(lit(1)).as("deg"))
+      .orderBy(col("deg").desc, col("u"))
+      .limit(ClosenessSeeds)
+      .select(col("u").as("seed"))
+    var dist = seeds.select(col("seed"), col("seed").as("node"), lit(0L).as("hops"))
+    for (r <- 1 to ClosenessRadius) {
+      val relaxed = dist
+        .join(edges.select(col("u").as(s"eu$r"), col("v").as(s"ev$r")),
+          col("node") === col(s"eu$r"))
+        .select(col("seed"), col(s"ev$r").as("node"), (col("hops") + 1L).as("hops"))
+      dist = dist.union(relaxed)
+        .groupBy("seed", "node").agg(min(col("hops")).as("hops"))
+    }
+    val out = dist
+      .where(col("hops") > 0)
+      .groupBy("seed")
+      .agg(count(lit(1)).as("n_reached"),
+        sum(expr("1000L div hops")).as("harmonic_milli"))
+      .select(col("seed").as("p_partkey"), col("n_reached"), col("harmonic_milli"))
+      .orderBy(col("harmonic_milli").desc, col("p_partkey"))
+    out
+  }
+
+  /** Oracle: identical seed derivation (degree desc, id limit), then a
+    * depth-bounded recursive walk per seed; MIN(d) per (seed, node) is
+    * the hop distance, 1000 // d the harmonic term.
+    */
+  val closenessSql: String =
+    s"""WITH RECURSIVE
+       |items AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+       |cp AS (
+       |  SELECT a.l_partkey AS a, b.l_partkey AS b
+       |  FROM items a JOIN items b
+       |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+       |  GROUP BY 1, 2 HAVING COUNT(*) >= $EdgeSupport),
+       |edges AS (SELECT a AS u, b AS v FROM cp
+       |          UNION ALL SELECT b AS u, a AS v FROM cp),
+       |deg AS (SELECT u, CAST(COUNT(*) AS BIGINT) AS deg FROM edges GROUP BY u),
+       |seeds AS (SELECT u AS seed FROM deg
+       |          ORDER BY deg DESC, u LIMIT $ClosenessSeeds),
+       |walk(seed, node, d) AS (
+       |  SELECT seed, seed, CAST(0 AS BIGINT) FROM seeds
+       |  UNION
+       |  SELECT w.seed, e.v, w.d + 1 FROM walk w JOIN edges e ON e.u = w.node
+       |  WHERE w.d < $ClosenessRadius),
+       |dist AS (
+       |  SELECT seed, node, MIN(d) AS hops FROM walk GROUP BY seed, node)
+       |SELECT seed AS p_partkey,
+       |  CAST(COUNT(*) AS BIGINT) AS n_reached,
+       |  CAST(SUM(1000 // hops) AS BIGINT) AS harmonic_milli
+       |FROM dist WHERE hops > 0
+       |GROUP BY seed
+       |ORDER BY harmonic_milli DESC, p_partkey""".stripMargin
 }

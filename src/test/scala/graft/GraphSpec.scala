@@ -293,4 +293,41 @@ class GraphSpec extends SparkSpec {
       assert(s == sizes(lbl(p)), s"part $p community size")
     }
   }
+
+  test("closeness matches a multi-source BFS replay from the mined edges") {
+    val items = sf.lineitem.select("l_orderkey", "l_partkey").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).distinct
+    val baskets = items.groupBy(_._1).view.mapValues(_.map(_._2).toSet)
+    val und = baskets.values.toSeq
+      .flatMap(ps => for (a <- ps; b <- ps if a < b) yield (a, b))
+      .groupBy(identity).view.mapValues(_.size)
+      .filter(_._2 >= 2).keys.toSet
+    val adj = (und ++ und.map { case (a, b) => (b, a) }).toSeq
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val seeds = adj.toSeq.map { case (u, ns) => (u, ns.size) }
+      .sortBy { case (u, d) => (-d, u) }.take(8).map(_._1)
+    def bfsHops(src: Long): Map[Long, Long] = {
+      var dist = Map(src -> 0L)
+      var frontier = Set(src)
+      var d = 0L
+      while (d < 6 && frontier.nonEmpty) {
+        d += 1
+        val next = frontier.flatMap(adj.getOrElse(_, Set.empty))
+          .filterNot(dist.contains)
+        dist ++= next.map(_ -> d)
+        frontier = next
+      }
+      dist
+    }
+    val expect = seeds.map { s =>
+      val hops = bfsHops(s).filter(_._2 > 0)
+      s -> ((hops.size.toLong, hops.values.map(1000L / _).sum))
+    }.toMap
+    val got = Graph.closeness(sf).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(got == expect)
+    // output ranked by harmonic centrality
+    val ranked = Graph.closeness(sf).collect().map(_.getLong(2))
+    assert(ranked.sameElements(ranked.sortBy(-_)))
+  }
 }
