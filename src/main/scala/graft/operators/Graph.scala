@@ -472,14 +472,21 @@ object Graph {
         .join(members.select(col("id").as("mv")), col("v") === col("mv"), "left_semi")
         .groupBy("u").agg(count(lit(1)).as("deg"))
     var members = edges.select(col("u").as("id")).distinct().localCheckpoint(true)
+    // ONE action per round: the previous round's size carries over, so
+    // the convergence probe costs a single count() of the checkpointed
+    // membership (counting an already-materialized localCheckpoint is a
+    // metadata-cheap scan, but there is no reason to pay it twice)
     var changed = 1L
     var round = 0
+    var prevSize = members.count()
     while (changed > 0 && round < KcoreMaxRounds) {
       val next = degrees(members)
         .where(col("deg") >= KcoreK)
         .select(col("u").as("id"))
         .localCheckpoint(true)
-      changed = members.count() - next.count()
+      val nextSize = next.count()
+      changed = prevSize - nextSize
+      prevSize = nextSize
       members = next
       round += 1
     }
