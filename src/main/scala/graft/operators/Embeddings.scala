@@ -759,4 +759,54 @@ object Embeddings {
        |   - list_dot_product(vc, uh) * list_dot_product(vc, uh) AS resid_norm2
        |FROM vc
        |ORDER BY vec_id""".stripMargin
+
+  /** Target dimensionality for [[randomProjection]]. */
+  private val RpDims = 16
+
+  /** Johnson-Lindenstrauss sign random projection to [[RpDims]] dims —
+    * the cheap-and-cheerful dimensionality reduction that preserves
+    * pairwise distances within (1±ε) whp (Achlioptas ±1 projections):
+    * p_j = Σᵢ sign(i,j)·vᵢ with a DETERMINISTIC sign grid
+    * (parity of i·31 + j·17 — a fixed pseudo-random matrix is exactly
+    * what production JL uses, just usually seeded), so reruns and other
+    * engines reproduce the projection bit-for-bit. Each p_j is a
+    * row-local LEFT FOLD over the signed coordinates (seeded with the
+    * first element, the ewma convention) — a deterministic IEEE
+    * rounding sequence the oracle replays via list_reduce. Row-local
+    * per vector, no shuffle, no driver state; output in exploded
+    * (vec_id, rp_dim, rp_val) long form (array outputs can't be
+    * canonicalized by the compare harness).
+    */
+  def randomProjection(t: Tables): DataFrame = {
+    // NB: Spark `v[i]` is 0-based where DuckDB's `v[i+1]` is 1-based —
+    // the same coordinate either way
+    val signed = (j: String) =>
+      s"""transform(sequence(0, size(v) - 1),
+         |  i -> IF(((i * 31 + $j * 17) % 2) = 0, v[i], -v[i]))""".stripMargin
+    t.embeddings
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      .select(col("vec_id"),
+        posexplode(expr(
+          s"""transform(sequence(0, ${RpDims - 1}), j ->
+             |  aggregate(slice(${signed("j")}, 2, size(v) - 1),
+             |    element_at(${signed("j")}, 1),
+             |    (a, x) -> a + x))""".stripMargin)).as(Seq("rp_dim", "rp_val")))
+      .select(col("vec_id"), col("rp_dim").cast("long").as("rp_dim"),
+        col("rp_val"))
+      .orderBy("vec_id", "rp_dim")
+  }
+
+  val randomProjectionSql: String =
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |d AS (SELECT unnest(range(0, $RpDims)) AS j),
+       |p AS (
+       | SELECT vec_id, j,
+       |  list_reduce(
+       |    list_transform(range(0, len(v)),
+       |      i -> CASE WHEN ((i * 31 + j * 17) % 2) = 0
+       |           THEN v[i + 1] ELSE -v[i + 1] END),
+       |    (a, x) -> a + x) AS rp_val
+       | FROM e CROSS JOIN d)
+       |SELECT vec_id, CAST(j AS BIGINT) AS rp_dim, rp_val
+       |FROM p ORDER BY vec_id, rp_dim""".stripMargin
 }

@@ -73,4 +73,33 @@ class PcaSpec extends SparkSpec {
       .map(r => (r.getInt(0), r.getLong(1), r.getDouble(2)))
     assert(rows.toSeq == again.toSeq)
   }
+
+  test("random projection matches the exact signed left-fold replay") {
+    val vecs = sf.embeddings.select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray)
+      .toMap
+    val got = Embeddings.randomProjection(sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(got.size == vecs.size * 16)
+    got.foreach { case ((id, j), p) =>
+      val v = vecs(id)
+      val signed = v.indices.map(i =>
+        if ((i * 31 + j * 17) % 2 == 0) v(i) else -v(i))
+      val exp = signed.tail.foldLeft(signed.head)(_ + _)
+      assert(p == exp, s"vec $id dim $j")
+    }
+    // JL sanity: projected squared distances approximate D/K-scaled
+    // originals on average (not per-pair) — a loose 2x band on the mean
+    val ids = vecs.keys.toSeq.sorted.take(20)
+    val pairs = for (a <- ids; b <- ids if a < b) yield (a, b)
+    def d2(x: Array[Double], y: Array[Double]) =
+      x.indices.map(i => (x(i) - y(i)) * (x(i) - y(i))).sum
+    val ratioMean = pairs.map { case (a, b) =>
+      val orig = d2(vecs(a), vecs(b))
+      val pa = (0L until 16L).map(j => got((a, j))).toArray
+      val pb = (0L until 16L).map(j => got((b, j))).toArray
+      (d2(pa, pb) / 16.0) / orig
+    }.sum / pairs.length
+    assert(ratioMean > 0.5 && ratioMean < 2.0, s"JL ratio $ratioMean")
+  }
 }
