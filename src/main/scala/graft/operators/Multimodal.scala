@@ -854,6 +854,87 @@ object Multimodal {
        |FROM fa GROUP BY doc_id
        |ORDER BY doc_id""".stripMargin
 
+  /** Samples per fingerprint frame ([[audioFingerprint]]) — smaller
+    * than [[VadFrame]] so the ≤127-sample synthetic clips still yield a
+    * ~63-bit signature (ceil(127/2)=64 frames → 63 deltas).
+    */
+  private[graft] val FpFrame = 2
+
+  final case class AudioFp(doc_id: Long, n_frames: Int, fingerprint: Long)
+
+  /** Energy-delta audio fingerprint through the REAL RIFF/WAVE path —
+    * the Shazam/Chromaprint family's core move (hash the SHAPE of the
+    * energy envelope, not its level, so gain changes don't move the
+    * signature): the shared [[wavPcm]] chunk walk yields PCM, fixed
+    * [[FpFrame]]-sample frames score exact integer energy, and bit k
+    * of the fingerprint is set iff frame k+1's energy strictly exceeds
+    * frame k's — the audio twin of [[dhashReal]]'s gradient bits (63
+    * kept for the same signed-BIGINT oracle reason). Integer end to
+    * end; row-local at the batched seam, no shuffle.
+    */
+  def audioFingerprint(t: Tables): DataFrame = {
+    val spark = t.spark
+    import spark.implicits._
+    codecIds(t)
+      .mapPartitions { it =>
+        it.grouped(BatchSize).flatMap { batch =>
+          batch.map { id =>
+            val w = wavPcm(MediaRecord(id, synthWav(id)))
+            val nFrames = (w.frames + FpFrame - 1) / FpFrame
+            val e = new Array[Long](nFrames)
+            var f = 0
+            while (f < nFrames) {
+              val lo = f * FpFrame
+              val hi = math.min(lo + FpFrame, w.frames)
+              var acc = 0L
+              var i = lo
+              while (i < hi) { acc += w.sample(i) * w.sample(i); i += 1 }
+              e(f) = acc
+              f += 1
+            }
+            var fp = 0L
+            var k = 0
+            while (k < nFrames - 1 && k < 63) {
+              if (e(k + 1) > e(k)) fp |= (1L << k)
+              k += 1
+            }
+            AudioFp(id, nFrames, fp)
+          }
+        }
+      }
+      .toDF()
+      .orderBy("doc_id")
+  }
+
+  /** Oracle for [[audioFingerprint]]: sample-formula frame energies +
+    * a LAG comparison reconstruct the bits via BIGINT shifts.
+    */
+  val audioFingerprintSql: String =
+    s"""WITH p AS (
+       |  SELECT doc_id, 64 + doc_id % 64 AS n FROM documents),
+       |sm AS (
+       |  SELECT doc_id, j // $FpFrame AS f,
+       |    ((doc_id * 7919 + j * 104729) % 65536) - 32768 AS v
+       |  FROM (SELECT doc_id, unnest(range(0, n)) AS j FROM p)),
+       |fr AS (
+       |  SELECT doc_id, f, SUM(v * v) AS e
+       |  FROM sm GROUP BY doc_id, f),
+       |dl AS (
+       |  SELECT doc_id, f, e,
+       |    LEAD(e) OVER (PARTITION BY doc_id ORDER BY f) AS nxt
+       |  FROM fr),
+       |fp AS (
+       |  SELECT doc_id,
+       |    CAST(SUM(CASE WHEN nxt > e AND f < 63
+       |      THEN CAST(1 AS BIGINT) << CAST(f AS INT) ELSE 0 END) AS BIGINT)
+       |      AS fingerprint
+       |  FROM dl WHERE nxt IS NOT NULL GROUP BY doc_id)
+       |SELECT p.doc_id,
+       |  CAST((n + ${FpFrame - 1}) // $FpFrame AS INT) AS n_frames,
+       |  COALESCE(fp.fingerprint, 0) AS fingerprint
+       |FROM p LEFT JOIN fp ON p.doc_id = fp.doc_id
+       |ORDER BY p.doc_id""".stripMargin
+
   val dedupAhashSql: String =
     """WITH b AS (
       |  SELECT doc_id,

@@ -291,4 +291,25 @@ class MultimodalSpec extends SparkSpec {
     // not degenerate: hashes differ across docs
     assert(got.values.map(_._3).toSet.size > 1)
   }
+
+  test("audio fingerprint bits replay from the sample formula without the parser") {
+    val got = Multimodal.audioFingerprint(sf).collect()
+      .map(r => r.getLong(0) -> ((r.getInt(1), r.getLong(2)))).toMap
+    assert(got.size == sf.documents.count().toInt)
+    got.foreach { case (id, (nFrames, fp)) =>
+      val n = 64 + (id % 64).toInt
+      assert(nFrames == (n + 1) / 2)
+      val e = (0 until nFrames).map { f =>
+        (f * 2 until math.min(f * 2 + 2, n)).map { j =>
+          val v = ((id * 7919 + j.toLong * 104729) % 65536) - 32768
+          v * v
+        }.sum
+      }
+      var exp = 0L
+      for (k <- 0 until math.min(nFrames - 1, 63))
+        if (e(k + 1) > e(k)) exp |= (1L << k)
+      assert(fp == exp, s"doc $id fingerprint")
+    }
+    assert(got.values.map(_._2).toSet.size > 1)
+  }
 }
