@@ -914,4 +914,53 @@ object Similarity {
        |SELECT rank, vec_id, dist_to_set FROM ch$KCenters
        |ORDER BY rank""".stripMargin
   }
+
+  private val FilteredK = 5
+
+  /** Metadata-FILTERED vector search — the production problem plain ANN
+    * benchmarks skip ("nearest docs WITH label = x"): top-[[FilteredK]]
+    * cosine neighbours of the query within EVERY label class at once,
+    * via pre-filtering (the per-class ranking runs only over that
+    * class's vectors). Pre- vs post-filter is the scale decision this
+    * operator encodes: a global top-k cut first and filtered after
+    * STARVES selective classes (a rare label may have zero survivors in
+    * any affordable global k), while per-class heaps guarantee k
+    * results each. Shape: one narrow scan + broadcast query vector,
+    * then the [[graft.plans.TopKPerKey]] custom physical operator —
+    * per-partition (label, heap) state, never a global sort; ranks
+    * attach with a window over the ≤ labels×k surviving rows.
+    */
+  def filteredTopK(t: Tables): DataFrame = {
+    val labeled = t.embeddings
+      .select(col("vec_id"), col("label"), col("embedding").cast("array<double>").as("v"))
+    val scored = labeled
+      .where(col("vec_id") =!= 0)
+      .crossJoin(broadcast(queryVector(t)))
+      .select(col("label"), col("vec_id"), cosine(col("v"), col("qv")).as("cosine"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("label")
+      .orderBy(col("cosine").desc, col("vec_id"))
+    graft.plans.TopKPerKey(scored, Seq("label"),
+        Seq(("cosine", false), ("vec_id", true)), FilteredK)
+      .withColumn("rank", row_number().over(w))
+      .select(col("label"), col("rank"), col("vec_id"), col("cosine"))
+      .orderBy("label", "rank")
+  }
+
+  val filteredTopKSql: String =
+    s"""WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+       |q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
+       |scored AS (
+       | SELECT e.label, e.vec_id,
+       |  list_dot_product(e.v, q.qv) /
+       |    (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(q.qv, q.qv)))
+       |    AS cosine
+       | FROM e CROSS JOIN q WHERE e.vec_id <> 0),
+       |rk AS (
+       | SELECT label, vec_id, cosine,
+       |  CAST(ROW_NUMBER() OVER (PARTITION BY label
+       |    ORDER BY cosine DESC, vec_id) AS INT) AS rank
+       | FROM scored)
+       |SELECT label, rank, vec_id, cosine
+       |FROM rk WHERE rank <= $FilteredK
+       |ORDER BY label, rank""".stripMargin
 }

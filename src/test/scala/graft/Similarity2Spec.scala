@@ -411,4 +411,34 @@ class Similarity2Spec extends SparkSpec {
     // 5 distinct picks
     assert(got.map(_._2).distinct.length == 5)
   }
+
+  test("filtered topk returns each label's own 5 best, matching a per-class replay") {
+    val got = Similarity.filteredTopK(sf).collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+    val labels = sf.embeddings.select("label").distinct().collect()
+      .map(_.getInt(0)).sorted
+    assert(got.map(_._1).distinct.sorted.sameElements(labels))
+    // every class contributes exactly 5 ranked rows with descending cosine
+    got.groupBy(_._1).foreach { case (l, rows) =>
+      assert(rows.map(_._2).sorted.sameElements(1 to 5), s"label $l ranks")
+      val cs = rows.sortBy(_._2).map(_._4)
+      assert(cs.zip(cs.tail).forall { case (a, b) => a >= b }, s"label $l order")
+    }
+    // per-class winners equal a brute-force driver replay
+    val vecs = sf.embeddings.select("vec_id", "label", "embedding").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getSeq[Float](2).map(_.toDouble).toArray))
+    val q = vecs.find(_._1 == 0L).get._3
+    def cos(a: Array[Double], b: Array[Double]) = {
+      def dot(x: Array[Double], y: Array[Double]) =
+        x.indices.foldLeft(0.0)((s, i) => s + x(i) * y(i))
+      dot(a, b) / (math.sqrt(dot(a, a)) * math.sqrt(dot(b, b)))
+    }
+    val gotTop = got.filter(_._2 == 1).map(t => t._1 -> t._3).toMap
+    labels.foreach { l =>
+      val best = vecs.filter(v => v._2 == l && v._1 != 0L)
+        .map(v => (cos(v._3, q), v._1))
+        .maxBy { case (c, id) => (c, -id) }
+      assert(gotTop(l) == best._2, s"label $l winner")
+    }
+  }
 }
