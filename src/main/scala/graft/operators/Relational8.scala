@@ -121,6 +121,76 @@ object Relational8 {
       .orderBy("lag")
   }
 
+  /** CUSUM upward-shift detection over the daily revenue series — the
+    * "did the level change, and when" monitor (Page's cumulative sum):
+    * Sₜ = max(0, Sₜ₋₁ + (vₜ − μ)) with μ = the series' own integer mean
+    * (total div n), all in exact integer micro-dollars — zero floats
+    * anywhere, so the fold is trivially engine-portable. The fact table
+    * collapses to the bounded day domain first; the sequential
+    * recurrence then runs as ONE in-row fold over the sorted day array
+    * (a struct accumulator carrying (S, maxS, argmax day), row-local
+    * and deterministic), with the oracle replaying the identical
+    * recurrence as a recursive CTE on scalar columns (the
+    * [[graft.operators.TimeSeries.holt]] convention — DuckDB struct
+    * folds are avoided on purpose). Output: the detection summary
+    * (days observed, integer mean, peak CUSUM and its day).
+    */
+  def cusum(t: Tables): DataFrame = {
+    val daily = t.lineitem
+      .groupBy(col("l_shipdate").cast("date").as("d"))
+      .agg(sum(discPrice(col("l_extendedprice"), col("l_discount"))).as("rev"))
+      .select(
+        datediff(col("d"), to_date(lit("1970-01-01"))).as("epoch_day"),
+        microUnits(col("rev")).cast("long").as("v"))
+    daily
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("v")).as("tot"),
+        array_sort(collect_list(struct(col("epoch_day"), col("v")))).as("ser"))
+      .withColumn("mu", expr("tot div n"))
+      .withColumn("st", expr(
+        """aggregate(ser,
+          |  named_struct('s', CAST(0 AS BIGINT), 'mx', CAST(0 AS BIGINT),
+          |    'arg', CAST(-1 AS BIGINT)),
+          |  (acc, x) -> named_struct(
+          |    's', greatest(CAST(0 AS BIGINT), acc.s + (x.v - mu)),
+          |    'mx', greatest(acc.mx,
+          |      greatest(CAST(0 AS BIGINT), acc.s + (x.v - mu))),
+          |    'arg', IF(greatest(CAST(0 AS BIGINT), acc.s + (x.v - mu)) > acc.mx,
+          |      CAST(x.epoch_day AS BIGINT), acc.arg)))""".stripMargin))
+      .select(col("n"), col("mu").as("mu_micros"),
+        col("st.mx").as("max_cusum"), col("st.arg").as("peak_day"))
+  }
+
+  val cusumSql: String =
+    s"""WITH RECURSIVE daily AS (
+       | SELECT date_diff('day', DATE '1970-01-01', CAST(l_shipdate AS DATE))
+       |   AS epoch_day,
+       |  CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) *
+       |    CAST(1 - CAST(l_discount AS DECIMAL(4,2)) AS DECIMAL(8,4)))
+       |    * 1000000 AS HUGEINT) AS BIGINT) AS v
+       | FROM lineitem GROUP BY 1),
+       |m AS (
+       | SELECT CAST(COUNT(*) AS BIGINT) AS n,
+       |  CAST(SUM(v) AS BIGINT) // COUNT(*) AS mu FROM daily),
+       |o AS (
+       | SELECT epoch_day, v,
+       |  CAST(ROW_NUMBER() OVER (ORDER BY epoch_day) AS BIGINT) AS i
+       | FROM daily),
+       |f AS (
+       | SELECT CAST(0 AS BIGINT) AS i, CAST(0 AS BIGINT) AS s,
+       |  CAST(0 AS BIGINT) AS mx, CAST(-1 AS BIGINT) AS arg
+       | UNION ALL
+       | SELECT o.i,
+       |  greatest(0, f.s + (o.v - m.mu)),
+       |  greatest(f.mx, greatest(0, f.s + (o.v - m.mu))),
+       |  CASE WHEN greatest(0, f.s + (o.v - m.mu)) > f.mx
+       |       THEN o.epoch_day ELSE f.arg END
+       | FROM f JOIN o ON o.i = f.i + 1 CROSS JOIN m)
+       |SELECT m.n, m.mu AS mu_micros, f.mx AS max_cusum, f.arg AS peak_day
+       |FROM f CROSS JOIN m
+       |WHERE f.i = (SELECT MAX(i) FROM o)""".stripMargin
+
   val autocorrSql: String = {
     s"""WITH daily AS (
        | SELECT date_diff('day', DATE '1970-01-01', CAST(l_shipdate AS DATE))

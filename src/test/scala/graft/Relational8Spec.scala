@@ -54,5 +54,38 @@ class Relational8Spec extends SparkSpec {
     }
   }
 
+  test("cusum matches an exact integer recurrence replay over the day series") {
+    val row = Relational8.cusum(sf).collect().head
+    val (n, mu, mx, arg) =
+      (row.getLong(0), row.getLong(1), row.getLong(2), row.getLong(3))
+    // replay: exact decimal daily revenue -> micros -> integer CUSUM
+    val daily = sf.lineitem
+      .select("l_shipdate", "l_extendedprice", "l_discount").collect()
+      .groupBy { r =>
+        (r.get(0) match {
+          case t: java.sql.Timestamp => t.toLocalDateTime
+          case t: java.time.LocalDateTime => t
+        }).toLocalDate.toEpochDay
+      }
+      .view.mapValues { rs =>
+        rs.map { r =>
+          (BigDecimal(r.getDouble(1)).setScale(2, BigDecimal.RoundingMode.HALF_UP) *
+            (BigDecimal(1) - BigDecimal(r.getDouble(2))
+              .setScale(2, BigDecimal.RoundingMode.HALF_UP)))
+        }.sum
+      }.toMap
+      .map { case (d, rev) => d -> (rev * 1000000).toLongExact }
+    val series = daily.toSeq.sortBy(_._1)
+    assert(n == series.size.toLong)
+    val emu = series.map(_._2).sum / series.size
+    assert(mu == emu)
+    var s = 0L; var emx = 0L; var earg = -1L
+    series.foreach { case (d, v) =>
+      s = math.max(0L, s + (v - emu))
+      if (s > emx) { emx = s; earg = d }
+    }
+    assert(mx == emx && arg == earg)
+  }
+
   private def col(n: String) = org.apache.spark.sql.functions.col(n)
 }
