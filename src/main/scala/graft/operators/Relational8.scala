@@ -191,6 +191,75 @@ object Relational8 {
        |FROM f CROSS JOIN m
        |WHERE f.i = (SELECT MAX(i) FROM o)""".stripMargin
 
+  /** Wald–Wolfowitz runs test for randomness of the daily revenue
+    * series: days classify above/below the series' own integer mean
+    * (ties count as "below" — exact integer comparison, no float
+    * threshold), runs count via one LAG pass over the bounded day
+    * domain, and the z-statistic evaluates in double from the exact
+    * integer counts with the identical expression tree in both engines
+    * (the rollingCorr recipe). Too FEW runs ⇒ trending/clustered; too
+    * MANY ⇒ oscillating. One fact aggregation + one bounded-domain
+    * window; n₁·n₂ products stay far under 2⁵³ for any calendar span.
+    */
+  def runsTest(t: Tables): DataFrame = {
+    val daily = t.lineitem
+      .groupBy(col("l_shipdate").cast("date").as("d"))
+      .agg(sum(discPrice(col("l_extendedprice"), col("l_discount"))).as("rev"))
+      .select(
+        datediff(col("d"), to_date(lit("1970-01-01"))).as("epoch_day"),
+        microUnits(col("rev")).cast("long").as("v"))
+    val mu = daily.agg(expr("sum(v) div count(1)").as("mu"))
+    val w = org.apache.spark.sql.expressions.Window.orderBy("epoch_day")
+    daily.crossJoin(broadcast(mu))
+      .withColumn("up", (col("v") > col("mu")).cast("int"))
+      .withColumn("chg",
+        when(lag(col("up"), 1).over(w).isNull ||
+          lag(col("up"), 1).over(w) =!= col("up"), 1).otherwise(0))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("up")).cast("long").as("n_plus"),
+        sum(lit(1) - col("up")).cast("long").as("n_minus"),
+        sum(col("chg")).cast("long").as("n_runs"))
+      .withColumn("p", col("n_plus") * col("n_minus"))
+      .select(col("n"), col("n_plus"), col("n_minus"), col("n_runs"),
+        expr("1 + (2*p)/n").as("e_runs"),
+        expr("(CAST(n_runs AS DOUBLE) - (1 + (2*p)/n)) / " +
+          "sqrt(CAST((2*p) * (2*p - n) AS DOUBLE) / CAST(n*n AS DOUBLE)" +
+          " / CAST(n - 1 AS DOUBLE))").as("z"))
+  }
+
+  val runsTestSql: String =
+    s"""WITH daily AS (
+       | SELECT date_diff('day', DATE '1970-01-01', CAST(l_shipdate AS DATE))
+       |   AS epoch_day,
+       |  CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) *
+       |    CAST(1 - CAST(l_discount AS DECIMAL(4,2)) AS DECIMAL(8,4)))
+       |    * 1000000 AS HUGEINT) AS BIGINT) AS v
+       | FROM lineitem GROUP BY 1),
+       |m AS (SELECT CAST(SUM(v) AS BIGINT) // COUNT(*) AS mu FROM daily),
+       |s AS (
+       | SELECT epoch_day, CASE WHEN v > m.mu THEN 1 ELSE 0 END AS up
+       | FROM daily CROSS JOIN m),
+       |c AS (
+       | SELECT up,
+       |  CASE WHEN LAG(up) OVER (ORDER BY epoch_day) IS NULL
+       |        OR LAG(up) OVER (ORDER BY epoch_day) <> up
+       |       THEN 1 ELSE 0 END AS chg
+       | FROM s),
+       |agg AS (
+       | SELECT CAST(COUNT(*) AS BIGINT) AS n,
+       |  CAST(SUM(up) AS BIGINT) AS n_plus,
+       |  CAST(SUM(1 - up) AS BIGINT) AS n_minus,
+       |  CAST(SUM(chg) AS BIGINT) AS n_runs
+       | FROM c),
+       |wp AS (SELECT agg.*, n_plus * n_minus AS p FROM agg)
+       |SELECT n, n_plus, n_minus, n_runs,
+       | 1 + (2*p)/n AS e_runs,
+       | (CAST(n_runs AS DOUBLE) - (1 + (2*p)/n)) /
+       |   sqrt(CAST((2*p) * (2*p - n) AS DOUBLE) / CAST(n*n AS DOUBLE)
+       |    / CAST(n - 1 AS DOUBLE)) AS z
+       |FROM wp""".stripMargin
+
   val autocorrSql: String = {
     s"""WITH daily AS (
        | SELECT date_diff('day', DATE '1970-01-01', CAST(l_shipdate AS DATE))

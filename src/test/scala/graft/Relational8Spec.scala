@@ -87,5 +87,41 @@ class Relational8Spec extends SparkSpec {
     assert(mx == emx && arg == earg)
   }
 
+  test("runs test counts sign runs exactly and z matches the closed form") {
+    val row = Relational8.runsTest(sf).collect().head
+    val (n, np, nm, r) =
+      (row.getLong(0), row.getLong(1), row.getLong(2), row.getLong(3))
+    assert(n == np + nm)
+    assert(r >= 1 && r <= n)
+    val p = np * nm
+    val eExp = 1 + (2.0 * p) / n
+    assert(row.getDouble(4) == eExp)
+    val vr = ((2 * p) * (2 * p - n)).toDouble / (n * n).toDouble / (n - 1).toDouble
+    assert(row.getDouble(5) == (r.toDouble - eExp) / math.sqrt(vr))
+    // recount runs from the exact daily series
+    val daily = sf.lineitem
+      .select("l_shipdate", "l_extendedprice", "l_discount").collect()
+      .groupBy { rr =>
+        (rr.get(0) match {
+          case t: java.sql.Timestamp => t.toLocalDateTime
+          case t: java.time.LocalDateTime => t
+        }).toLocalDate.toEpochDay
+      }
+      .view.mapValues { rs =>
+        rs.map { rr =>
+          (BigDecimal(rr.getDouble(1)).setScale(2, BigDecimal.RoundingMode.HALF_UP) *
+            (BigDecimal(1) - BigDecimal(rr.getDouble(2))
+              .setScale(2, BigDecimal.RoundingMode.HALF_UP)))
+        }.sum
+      }.toMap
+      .map { case (d, rev) => d -> (rev * 1000000).toLongExact }
+    val series = daily.toSeq.sortBy(_._1).map(_._2)
+    val mu = series.sum / series.size
+    val ups = series.map(_ > mu)
+    assert(np == ups.count(identity).toLong && nm == ups.count(!_).toLong)
+    val runs = 1 + ups.zip(ups.tail).count { case (a, b) => a != b }
+    assert(r == runs.toLong)
+  }
+
   private def col(n: String) = org.apache.spark.sql.functions.col(n)
 }
