@@ -78,6 +78,67 @@ object Relational8 {
        |FROM per_nation ORDER BY n_name""".stripMargin
   }
 
+  /** Gini coefficient of supplier revenue within each nation — the
+    * inequality companion to [[hhi]] (HHI says "how concentrated",
+    * Gini says "how unequal across the whole distribution"): with
+    * revenues sorted ascending and 1-based ranks,
+    * G = (2·Σᵢ i·xᵢ)/(n·Σxᵢ) − (n+1)/n. Ranks come from a window
+    * PARTITIONED BY NATION (suppliers-per-nation is the windowed
+    * domain — grows like the dim table, not the fact table), both sums
+    * are exact DECIMAL(38,0) integer aggregates (rank·micros products
+    * overflow longs at ~100× scale), and the two divisions evaluate in
+    * double from [[decToDouble]]-exact sums with the oracle's
+    * expression tree. Tie-break on supplier key makes ranks — and so
+    * the statistic — fully deterministic.
+    */
+  def gini(t: Tables): DataFrame = {
+    val perSupp = t.lineitem
+      .groupBy("l_suppkey")
+      .agg(sum(discPrice(col("l_extendedprice"), col("l_discount"))).as("rev"))
+      .withColumn("units", microUnits(col("rev")))
+      .join(broadcast(t.supplier.select("s_suppkey", "s_nationkey")),
+        col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(t.nation.select("n_nationkey", "n_name")),
+        col("s_nationkey") === col("n_nationkey"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("n_name")
+      .orderBy(col("units"), col("l_suppkey"))
+    perSupp
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .groupBy("n_name")
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("units").cast(d38)).as("sx"),
+        sum(col("rk").cast(d38) * col("units")).as("srx"))
+      .select(col("n_name"), col("n"),
+        ((lit(2.0) * decToDouble(col("srx")) /
+            (col("n") * decToDouble(col("sx")))) -
+          (col("n") + lit(1.0)) / col("n")).as("gini"))
+      .orderBy("n_name")
+  }
+
+  val giniSql: String =
+    s"""WITH per_supp AS (
+       | SELECT l_suppkey,
+       |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) *
+       |    CAST(1 - CAST(l_discount AS DECIMAL(4,2)) AS DECIMAL(8,4)))
+       |    * 1000000 AS HUGEINT) AS units
+       | FROM lineitem GROUP BY 1),
+       |ranked AS (
+       | SELECT n_name, units,
+       |  CAST(ROW_NUMBER() OVER (PARTITION BY n_name
+       |    ORDER BY units, l_suppkey) AS BIGINT) AS rk
+       | FROM per_supp
+       | JOIN supplier ON l_suppkey = s_suppkey
+       | JOIN nation ON s_nationkey = n_nationkey),
+       |agg AS (
+       | SELECT n_name, CAST(COUNT(*) AS BIGINT) AS n,
+       |  SUM(units) AS sx, SUM(rk * units) AS srx
+       | FROM ranked GROUP BY 1)
+       |SELECT n_name, n,
+       | (2.0 * ${decToDoubleSql("srx")} / (n * ${decToDoubleSql("sx")}))
+       |   - (n + 1.0) / n AS gini
+       |FROM agg ORDER BY n_name""".stripMargin
+
   private val AcfMaxLag = 7
 
   /** Autocorrelation function of the daily revenue series at lags 1..7:

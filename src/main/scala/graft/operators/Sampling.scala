@@ -142,4 +142,38 @@ object Sampling {
        | ORDER BY $u, doc_id LIMIT $ReservoirK)
        |ORDER BY doc_id""".stripMargin
   }
+
+  private val PriorityK = 100
+
+  /** Fixed-size WEIGHTED sample (priority/bottom-k sampling, the
+    * Duffield–Lund–Thorup family): each document draws an integer
+    * priority `hash60(doc_id) div weight` and the k SMALLEST priorities
+    * win — a heavier document divides its hash by a larger weight, so
+    * it wins proportionally more often, while the sample size stays
+    * EXACTLY k (contrast [[graft.operators.Curation.weightedSample]]'s
+    * Bernoulli keeps, whose size is only k in expectation). Weight here
+    * is the capped document length (the "longer docs carry more
+    * training signal" prior). All-integer priorities — no u^(1/w)
+    * exponentials, no libm — so the draw replays exactly; execution is
+    * the same TakeOrdered bottom-k as [[reservoir]]: per-partition
+    * k-row heaps, no global sort, k-row driver state.
+    */
+  def prioritySample(t: Tables): DataFrame =
+    t.documents
+      .withColumn("w", least(greatest(col("n_chars"), lit(1L)), lit(2000L)))
+      .withColumn("h", graft.functions.PortableHash.hash60(col("doc_id")))
+      .withColumn("priority", expr("h div w"))
+      .orderBy(col("priority"), col("doc_id"))
+      .limit(PriorityK)
+      .select(col("doc_id"), col("source"), col("n_chars"), col("priority"))
+      .orderBy("doc_id")
+
+  val prioritySampleSql: String =
+    s"""SELECT doc_id, source, n_chars, priority FROM (
+       | SELECT doc_id, source, n_chars,
+       |  CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT)
+       |    // LEAST(GREATEST(n_chars, 1), 2000) AS priority
+       | FROM documents
+       | ORDER BY priority, doc_id LIMIT $PriorityK)
+       |ORDER BY doc_id""".stripMargin
 }

@@ -123,5 +123,37 @@ class Relational8Spec extends SparkSpec {
     assert(r == runs.toLong)
   }
 
+  test("gini matches the sorted-rank closed form per nation and lands in [0,1)") {
+    val rows = Relational8.gini(sf).collect()
+    assert(rows.nonEmpty)
+    val li = sf.lineitem
+    val sup = sf.supplier
+    val nat = sf.nation
+    val perSupp = li
+      .join(sup, li("l_suppkey") === sup("s_suppkey"))
+      .join(nat, sup("s_nationkey") === nat("n_nationkey"))
+      .select("n_name", "s_suppkey", "l_extendedprice", "l_discount")
+      .collect()
+      .groupBy(r => (r.getString(0), r.getLong(1)))
+      .view.mapValues { rs =>
+        rs.map { r =>
+          (BigDecimal(r.getDouble(2)).setScale(2, BigDecimal.RoundingMode.HALF_UP) *
+            (BigDecimal(1) - BigDecimal(r.getDouble(3))
+              .setScale(2, BigDecimal.RoundingMode.HALF_UP)) * 1000000)
+        }.sum.toLongExact
+      }.toMap
+    rows.foreach { r =>
+      val (nation, n, g) = (r.getString(0), r.getLong(1), r.getDouble(2))
+      val xs = perSupp.collect { case ((nm, sk), u) if nm == nation => (u, sk) }
+        .toSeq.sortBy { case (u, sk) => (u, sk) }.map(_._1)
+      assert(n == xs.size)
+      val sx = xs.map(BigInt(_)).sum
+      val srx = xs.zipWithIndex.map { case (x, i) => BigInt(i + 1) * x }.sum
+      val expect = 2.0 * srx.toDouble / (n * sx.toDouble) - (n + 1.0) / n
+      assert(math.abs(g - expect) < 1e-9, s"$nation: $g vs $expect")
+      assert(g >= 0.0 - 1e-12 && g < 1.0)
+    }
+  }
+
   private def col(n: String) = org.apache.spark.sql.functions.col(n)
 }

@@ -77,4 +77,28 @@ class SamplingSpec extends SparkSpec {
     val again = Sampling.reservoir(sf).collect()
     assert(rows.map(_.toString).sameElements(again.map(_.toString)))
   }
+
+  test("priority sample keeps the k smallest hash-div-weight priorities") {
+    import org.apache.spark.sql.functions.col
+    val rows = Sampling.prioritySample(sf).collect()
+    assert(rows.length == 100)
+    val docs = sf.documents.select(col("doc_id"),
+        org.apache.spark.sql.functions.conv(
+          org.apache.spark.sql.functions.substring(
+            org.apache.spark.sql.functions.md5(col("doc_id").cast("string")), 1, 15),
+          16, 10).cast("long").as("h"),
+        col("n_chars"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val pri = docs.map { case (id, h, nc) =>
+      (id, h / math.min(math.max(nc, 1L), 2000L))
+    }
+    val expect = pri.sortBy { case (id, p) => (p, id) }.take(100)
+      .map { case (id, p) => id -> p }.toMap
+    assert(rows.map(r => r.getLong(0) -> r.getLong(3)).toMap == expect)
+    // weighting bites: winners are longer than the corpus average
+    val avgAll = docs.map(_._3).sum.toDouble / docs.length
+    val winners = docs.filter(d => expect.contains(d._1))
+    val avgWin = winners.map(_._3).sum.toDouble / winners.length
+    assert(avgWin > avgAll, s"weighted winners avg $avgWin vs corpus $avgAll")
+  }
 }
