@@ -139,6 +139,75 @@ object Relational8 {
        |   - (n + 1.0) / n AS gini
        |FROM agg ORDER BY n_name""".stripMargin
 
+  /** Pearson chi-square independence test of event type × weekday —
+    * "does behaviour depend on the day" (the drift/seasonality screen
+    * run before trusting a uniform model). Observed counts and both
+    * marginals are exact integers from ONE fact aggregation (the cell
+    * grid is types×7 — bounded); expected counts eᵢⱼ = rᵢ·cⱼ/n and the
+    * per-cell terms (o−e)²/e evaluate in double — and because double
+    * ADDITION ORDER matters, the statistic folds over the
+    * (type, dow)-sorted cell array IN-ROW (seeded with the first term,
+    * the ewma convention) instead of a partition-order-dependent SUM.
+    * Weekday is `days-since-1970-01-01 mod 7` (0 = Thursday) — the one
+    * weekday formula both engines compute identically, engine DOW
+    * conventions disagree (Spark 1=Sun..7, DuckDB 0=Sun..6).
+    */
+  def chiSquare(t: Tables): DataFrame = {
+    val cells = t.events
+      .select(col("event_type").as("typ"),
+        pmod(datediff(col("ts").cast("date"), to_date(lit("1970-01-01"))),
+          lit(7)).cast("long").as("dow"))
+      .groupBy("typ", "dow").agg(count(lit(1)).as("o"))
+    val rt = cells.groupBy("typ").agg(sum(col("o")).as("rt"))
+    val ct = cells.groupBy("dow").agg(sum(col("o")).as("ct"))
+    val n1 = cells.agg(sum(col("o")).as("n"))
+    cells
+      .join(broadcast(rt), Seq("typ"))
+      .join(broadcast(ct), Seq("dow"))
+      .crossJoin(broadcast(n1))
+      .withColumn("term", expr(
+        """(CAST(o AS DOUBLE) - CAST(rt * ct AS DOUBLE) / n)
+          | * (CAST(o AS DOUBLE) - CAST(rt * ct AS DOUBLE) / n)
+          | / (CAST(rt * ct AS DOUBLE) / n)""".stripMargin))
+      .agg(
+        first(col("n")).as("n"),
+        count(lit(1)).as("n_cells"),
+        countDistinct(col("typ")).as("n_types"),
+        countDistinct(col("dow")).as("n_dows"),
+        sort_array(collect_list(struct(col("typ"), col("dow"), col("term"))))
+          .as("arr"))
+      .select(col("n"), col("n_cells"),
+        ((col("n_types") - 1) * (col("n_dows") - 1)).as("dof"),
+        expr("aggregate(slice(arr, 2, size(arr) - 1), arr[0].term," +
+          " (a, x) -> a + x.term)").as("chi2"))
+  }
+
+  val chiSquareSql: String =
+    """WITH ev AS (
+      | SELECT event_type AS typ,
+      |  CAST(date_diff('day', DATE '1970-01-01',
+      |    CAST(CAST(ts AS TIMESTAMP) AS DATE)) % 7 AS BIGINT) AS dow
+      | FROM events),
+      |cells AS (
+      | SELECT typ, dow, CAST(COUNT(*) AS BIGINT) AS o
+      | FROM ev GROUP BY 1, 2),
+      |rt AS (SELECT typ, CAST(SUM(o) AS BIGINT) AS rt FROM cells GROUP BY 1),
+      |ct AS (SELECT dow, CAST(SUM(o) AS BIGINT) AS ct FROM cells GROUP BY 1),
+      |nn AS (SELECT CAST(SUM(o) AS BIGINT) AS n FROM cells),
+      |terms AS (
+      | SELECT cells.typ, cells.dow,
+      |  (CAST(o AS DOUBLE) - CAST(rt.rt * ct.ct AS DOUBLE) / nn.n)
+      |   * (CAST(o AS DOUBLE) - CAST(rt.rt * ct.ct AS DOUBLE) / nn.n)
+      |   / (CAST(rt.rt * ct.ct AS DOUBLE) / nn.n) AS term
+      | FROM cells JOIN rt USING (typ) JOIN ct USING (dow) CROSS JOIN nn)
+      |SELECT
+      | (SELECT n FROM nn) AS n,
+      | CAST(COUNT(*) AS BIGINT) AS n_cells,
+      | CAST((COUNT(DISTINCT typ) - 1) * (COUNT(DISTINCT dow) - 1) AS BIGINT)
+      |   AS dof,
+      | list_reduce(list(term ORDER BY typ, dow), (a, x) -> a + x) AS chi2
+      |FROM terms""".stripMargin
+
   private val AcfMaxLag = 7
 
   /** Autocorrelation function of the daily revenue series at lags 1..7:

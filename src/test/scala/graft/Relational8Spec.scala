@@ -155,5 +155,25 @@ class Relational8Spec extends SparkSpec {
     }
   }
 
+  test("chi square matches an exact contingency replay") {
+    val row = Relational8.chiSquare(sf).collect().head
+    val (n, nCells, dof, chi2) =
+      (row.getLong(0), row.getLong(1), row.getLong(2), row.getDouble(3))
+    val evs = sf.events.select("event_type", "ts").collect()
+      .map(r => (r.getString(0),
+        r.getTimestamp(1).toLocalDateTime.toLocalDate.toEpochDay % 7))
+    val cells = evs.groupBy(identity).view.mapValues(_.length.toLong).toMap
+    assert(n == evs.length.toLong && nCells == cells.size.toLong)
+    val rt = cells.groupBy(_._1._1).view.mapValues(_.values.sum).toMap
+    val ct = cells.groupBy(_._1._2).view.mapValues(_.values.sum).toMap
+    assert(dof == (rt.size - 1).toLong * (ct.size - 1))
+    val terms = cells.toSeq.sortBy(_._1).map { case ((typ, dow), o) =>
+      val e = (rt(typ) * ct(dow)).toDouble / n
+      (o.toDouble - e) * (o.toDouble - e) / e
+    }
+    val expect = terms.tail.foldLeft(terms.head)(_ + _)
+    assert(chi2 == expect, s"$chi2 vs $expect")
+  }
+
   private def col(n: String) = org.apache.spark.sql.functions.col(n)
 }
