@@ -559,6 +559,71 @@ object Streams {
       .withColumn("is_near", col("adc_dist") < threshold)
   }
 
+  /** Chi-square threshold for [[driftGateStream]] (generous for small
+    * event-type cardinalities; production would pick by dof).
+    */
+  private val DriftChi2Max = 20.0
+
+  /** Per-micro-batch drift report against a trained baseline — shared
+    * with [[driftGateStream]] and unit-testable without a stream: the
+    * batch's event_type distribution scores a goodness-of-fit
+    * chi-square against the baseline's shares (eᵢ = shareᵢ·n), terms
+    * folded over the type-sorted cell list (double addition order — the
+    * [[graft.operators.Relational8.chiSquare]] convention, here on the
+    * driver over ≤|types| cells). Types the baseline never saw can't be
+    * scored (e = 0) and flag drift directly, the
+    * [[anomalyGateStream]] unseen-type rule.
+    */
+  private[graft] def driftReport(
+      batch: DataFrame, baseline: Map[String, Double]): (Long, Long, Double, Boolean) = {
+    val obs = batch.groupBy("event_type").agg(count(lit(1)).as("o"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val n = obs.values.sum
+    val nUnseen = obs.keys.count(k => !baseline.contains(k)).toLong
+    // every BASELINE type contributes — a type that vanished from the
+    // batch (o = 0) is exactly the drift signal (o−e)²/e must charge
+    val terms = baseline.toSeq.sortBy(_._1)
+      .map { case (typ, share) =>
+        val o = obs.getOrElse(typ, 0L)
+        val e = share * n
+        (o.toDouble - e) * (o.toDouble - e) / e
+      }
+    val chi2 =
+      if (terms.isEmpty) 0.0 else terms.tail.foldLeft(terms.head)(_ + _)
+    (n, nUnseen, chi2, nUnseen > 0 || chi2 > DriftChi2Max)
+  }
+
+  /** Streaming distribution-drift gate — the train-batch / score-stream
+    * pattern for CATEGORY MIX: a baseline share table (event-type
+    * proportions from offline history) rides the closure, and every
+    * micro-batch appends one drift-report row (batch id, rows, unseen
+    * types, chi², drifted flag) to a parquet monitor table via
+    * foreachBatch — the "did the input mix shift under my model"
+    * alarm. Baseline is model-sized memory; per-batch state is the
+    * ≤|types| observed-count map. Batch-id-partitioned overwrite makes
+    * replays idempotent (the [[quarantineStream]] exactly-once
+    * convention).
+    */
+  def driftGateStream(events: DataFrame, baseline: Map[String, Double],
+      outPath: String)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    events.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (!batch.isEmpty) {
+          val spark = batch.sparkSession
+          import spark.implicits._
+          val (n, nUnseen, chi2, drifted) = driftReport(batch, baseline)
+          // batch_id lives in the partition directory (a data column of
+          // the same name would collide with partition discovery)
+          Seq((n, nUnseen, chi2, drifted))
+            .toDF("n_events", "n_unseen_types", "chi2", "drifted")
+            .coalesce(1)
+            .write.mode("overwrite").parquet(s"$outPath/batch_id=$batchId")
+          ()
+        }
+      }
+
   /** Streaming decontamination gate — the train-batch / score-stream
     * pattern for BENCHMARK LEAKAGE: the held-out benchmark corpus
     * (static) collapses to ONE row holding its distinct hashed word-

@@ -715,6 +715,39 @@ class StreamingSpec extends SparkSpec {
     val benchGrams = (0 to bw.length - 5).map(i => bw.slice(i, i + 5).mkString(" ")).toSet
     assert(rows(1L)._1 == leakyGrams.count(benchGrams))
   }
+
+  test("drift gate flags a shifted category mix and passes a matching one") {
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("drift").toString
+    val baseline = Map("click" -> 0.5, "view" -> 0.5)
+    val input = MemoryStream[Event]
+    // batch 0: matches the baseline mix exactly
+    input.addData((1 to 10).map(i =>
+      Event(i.toLong, ts(i), if (i % 2 == 0) "click" else "view", 1.0)): _*)
+    val q = Streams.driftGateStream(input.toDF(), baseline, dir)
+      .option("checkpointLocation", s"$dir-ckpt").start()
+    q.processAllAvailable()
+    // batch 1: all clicks (shifted), plus an unseen type
+    input.addData((11 to 20).map(i => Event(i.toLong, ts(i), "click", 1.0)) :+
+      Event(21L, ts(21), "purchase", 1.0): _*)
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.read.parquet(dir).collect()
+      .map(r => r.getAs[Int]("batch_id") ->
+        ((r.getAs[Long]("n_events"), r.getAs[Long]("n_unseen_types"),
+          r.getAs[Double]("chi2"), r.getAs[Boolean]("drifted"))))
+      .toMap
+    assert(rows.size == 2)
+    val (n0, u0, chi0, d0) = rows(0)
+    assert(n0 == 10L && u0 == 0L && chi0 == 0.0 && !d0)
+    val (n1, u1, chi1, d1) = rows(1)
+    assert(n1 == 11L && u1 == 1L && d1)
+    // chi2 replay over the type-sorted baseline: click (o=10) then
+    // view (o=0), each against e = 0.5 * 11
+    val e = 0.5 * 11
+    val expChi = (10.0 - e) * (10.0 - e) / e + (0.0 - e) * (0.0 - e) / e
+    assert(chi1 == expChi, s"chi2 $chi1 vs $expChi")
+  }
 }
 
 /** Embedding arrival for the streaming ANN gate spec. */
