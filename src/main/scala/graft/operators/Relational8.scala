@@ -3,6 +3,7 @@ package graft.operators
 import graft.Tables
 import graft.functions.Exact.{decToDouble, decToDoubleSql, discPrice}
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 
@@ -207,6 +208,84 @@ object Relational8 {
       |   AS dof,
       | list_reduce(list(term ORDER BY typ, dow), (a, x) -> a + x) AS chi2
       |FROM terms""".stripMargin
+
+  /** Two-sample Kolmogorov–Smirnov distance between the per-part
+    * revenue distributions of PROMO vs non-PROMO parts — "did the promo
+    * catalogue monetize differently", the distribution-level comparison
+    * a mean test misses. The KS supremum is computed EXACTLY in
+    * integers: with cumulative counts c₁,c₂ at each distinct revenue
+    * value, D = max|c₁/n₁ − c₂/n₂| = max|c₁·n₂ − c₂·n₁| / (n₁·n₂), so
+    * the argmax runs on exact longs and the single division happens
+    * once at the end. CDFs step at DISTINCT values (per-value group
+    * counts first — evaluating mid-tie would manufacture spurious
+    * gaps). The cumulative window runs over one row per distinct
+    * part-revenue value (dim-bounded, the skyline/ABC precedent); the
+    * heavy pass is the one fact aggregation.
+    */
+  def ksTest(t: Tables): DataFrame = {
+    val perPart = t.lineitem
+      .groupBy("l_partkey")
+      .agg(sum(discPrice(col("l_extendedprice"), col("l_discount"))).as("rev"))
+      .withColumn("units", microUnits(col("rev")).cast("long"))
+      .join(broadcast(t.part.select(col("p_partkey"), col("p_type"))),
+        col("l_partkey") === col("p_partkey"))
+      .withColumn("promo", (col("p_type") === "PROMO").cast("long"))
+    val byValue = perPart.groupBy("units")
+      .agg(sum(col("promo")).as("a"), sum(lit(1L) - col("promo")).as("b"))
+    val tot = perPart.agg(
+      sum(col("promo")).as("n1"), sum(lit(1L) - col("promo")).as("n2"))
+    val w = org.apache.spark.sql.expressions.Window.orderBy("units")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    byValue
+      .withColumn("c1", sum(col("a")).over(w))
+      .withColumn("c2", sum(col("b")).over(w))
+      .crossJoin(broadcast(tot))
+      .withColumn("diff", abs(col("c1") * col("n2") - col("c2") * col("n1")))
+      .groupBy()
+      .agg(
+        first(col("n1")).as("n1"), first(col("n2")).as("n2"),
+        max(struct(col("diff"), (-col("units")).as("nu"))).as("m"))
+      .select(col("n1"), col("n2"),
+        col("m.diff").as("d_num"), (-col("m.nu")).as("at_units"),
+        (col("m.diff").cast("double") /
+          (col("n1") * col("n2")).cast("double")).as("ks"))
+  }
+
+  val ksTestSql: String =
+    s"""WITH per_part AS (
+       | SELECT l_partkey,
+       |  CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) *
+       |    CAST(1 - CAST(l_discount AS DECIMAL(4,2)) AS DECIMAL(8,4)))
+       |    * 1000000 AS HUGEINT) AS BIGINT) AS units
+       | FROM lineitem GROUP BY 1),
+       |g AS (
+       | SELECT units,
+       |  CASE WHEN p_type = 'PROMO' THEN 1 ELSE 0 END AS promo
+       | FROM per_part JOIN part ON l_partkey = p_partkey),
+       |by_value AS (
+       | SELECT units, CAST(SUM(promo) AS BIGINT) AS a,
+       |  CAST(SUM(1 - promo) AS BIGINT) AS b
+       | FROM g GROUP BY 1),
+       |tot AS (
+       | SELECT CAST(SUM(promo) AS BIGINT) AS n1,
+       |  CAST(SUM(1 - promo) AS BIGINT) AS n2 FROM g),
+       |cum AS (
+       | SELECT units,
+       |  SUM(a) OVER (ORDER BY units
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS c1,
+       |  SUM(b) OVER (ORDER BY units
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS c2
+       | FROM by_value),
+       |d AS (
+       | SELECT units, abs(c1 * tot.n2 - c2 * tot.n1) AS diff
+       | FROM cum CROSS JOIN tot)
+       |SELECT tot.n1, tot.n2,
+       | CAST((SELECT diff FROM d ORDER BY diff DESC, units LIMIT 1)
+       |   AS BIGINT) AS d_num,
+       | (SELECT units FROM d ORDER BY diff DESC, units LIMIT 1) AS at_units,
+       | CAST((SELECT diff FROM d ORDER BY diff DESC, units LIMIT 1) AS DOUBLE)
+       |   / CAST(tot.n1 * tot.n2 AS DOUBLE) AS ks
+       |FROM tot""".stripMargin
 
   private val AcfMaxLag = 7
 

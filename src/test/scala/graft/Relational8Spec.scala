@@ -175,5 +175,41 @@ class Relational8Spec extends SparkSpec {
     assert(chi2 == expect, s"$chi2 vs $expect")
   }
 
+  test("ks test matches an exact integer CDF-gap replay") {
+    val row = Relational8.ksTest(sf).collect().head
+    val (n1, n2, dNum, atUnits, ks) =
+      (row.getLong(0), row.getLong(1), row.getLong(2), row.getLong(3),
+        row.getDouble(4))
+    val types = sf.part.select("p_partkey", "p_type").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val perPart = sf.lineitem
+      .select("l_partkey", "l_extendedprice", "l_discount").collect()
+      .groupBy(_.getLong(0))
+      .view.mapValues { rs =>
+        rs.map { r =>
+          (BigDecimal(r.getDouble(1)).setScale(2, BigDecimal.RoundingMode.HALF_UP) *
+            (BigDecimal(1) - BigDecimal(r.getDouble(2))
+              .setScale(2, BigDecimal.RoundingMode.HALF_UP)) * 1000000)
+        }.sum.toLongExact
+      }.toMap
+    val groups = perPart.toSeq.map { case (pk, u) =>
+      (u, types(pk) == "PROMO")
+    }
+    val (en1, en2) = (groups.count(_._2).toLong, groups.count(!_._2).toLong)
+    assert(n1 == en1 && n2 == en2)
+    val byValue = groups.groupBy(_._1).toSeq.sortBy(_._1)
+      .map { case (u, g) => (u, g.count(_._2).toLong, g.count(!_._2).toLong) }
+    var (c1, c2) = (0L, 0L)
+    var best = (-1L, Long.MaxValue) // (diff, units) with smallest-units tie
+    byValue.foreach { case (u, a, b) =>
+      c1 += a; c2 += b
+      val diff = math.abs(c1 * en2 - c2 * en1)
+      if (diff > best._1) best = (diff, u)
+    }
+    assert(dNum == best._1 && atUnits == best._2)
+    assert(ks == dNum.toDouble / (en1 * en2).toDouble)
+    assert(ks >= 0.0 && ks <= 1.0)
+  }
+
   private def col(n: String) = org.apache.spark.sql.functions.col(n)
 }
