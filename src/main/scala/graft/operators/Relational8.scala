@@ -287,6 +287,79 @@ object Relational8 {
        |   / CAST(tot.n1 * tot.n2 AS DOUBLE) AS ks
        |FROM tot""".stripMargin
 
+  /** Mann–Whitney U (rank-sum) test on the same PROMO / non-PROMO
+    * split as [[ksTest]] — "does one group stochastically dominate",
+    * robust where the t-test's mean assumption isn't. Tie-averaged
+    * ranks are kept EXACT by working in DOUBLED ranks: a tie group of
+    * size c after s predecessors gives every member 2·rank = 2s+c+1
+    * (an integer), so Σ2R₁ = Σ aᵥ·(2sᵥ+cᵥ+1) accumulates in exact
+    * longs and U₂ = 2U = Σ2R₁ − n₁(n₁+1) stays integral; the normal
+    * z-score divides once in double (no tie-variance correction — the
+    * classic large-sample form, stated in the column name). Same
+    * dim-bounded distinct-value window as the KS scan; one fact
+    * aggregation does the heavy lifting.
+    */
+  def mannWhitney(t: Tables): DataFrame = {
+    val perPart = t.lineitem
+      .groupBy("l_partkey")
+      .agg(sum(discPrice(col("l_extendedprice"), col("l_discount"))).as("rev"))
+      .withColumn("units", microUnits(col("rev")).cast("long"))
+      .join(broadcast(t.part.select(col("p_partkey"), col("p_type"))),
+        col("l_partkey") === col("p_partkey"))
+      .withColumn("promo", (col("p_type") === "PROMO").cast("long"))
+    val byValue = perPart.groupBy("units")
+      .agg(sum(col("promo")).as("a"), count(lit(1)).as("c"))
+    val w = org.apache.spark.sql.expressions.Window.orderBy("units")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val tot = perPart.agg(
+      sum(col("promo")).as("n1"), sum(lit(1L) - col("promo")).as("n2"))
+    byValue
+      .withColumn("s", coalesce(sum(col("c")).over(w), lit(0L)))
+      .withColumn("r2", col("a") * (lit(2L) * col("s") + col("c") + lit(1L)))
+      .groupBy()
+      .agg(sum(col("r2")).as("sum2r1"))
+      .crossJoin(broadcast(tot))
+      .select(col("n1"), col("n2"),
+        (col("sum2r1") - col("n1") * (col("n1") + lit(1L))).as("u2"),
+        expr("""(CAST(sum2r1 - n1 * (n1 + 1) AS DOUBLE) / 2
+          | - CAST(n1 * n2 AS DOUBLE) / 2)
+          | / sqrt(CAST(n1 * n2 AS DOUBLE) * CAST(n1 + n2 + 1 AS DOUBLE) / 12)"""
+          .stripMargin).as("z_no_tie_corr"))
+  }
+
+  val mannWhitneySql: String =
+    s"""WITH per_part AS (
+       | SELECT l_partkey,
+       |  CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) *
+       |    CAST(1 - CAST(l_discount AS DECIMAL(4,2)) AS DECIMAL(8,4)))
+       |    * 1000000 AS HUGEINT) AS BIGINT) AS units
+       | FROM lineitem GROUP BY 1),
+       |g AS (
+       | SELECT units,
+       |  CASE WHEN p_type = 'PROMO' THEN 1 ELSE 0 END AS promo
+       | FROM per_part JOIN part ON l_partkey = p_partkey),
+       |by_value AS (
+       | SELECT units, CAST(SUM(promo) AS BIGINT) AS a,
+       |  CAST(COUNT(*) AS BIGINT) AS c
+       | FROM g GROUP BY 1),
+       |tot AS (
+       | SELECT CAST(SUM(promo) AS BIGINT) AS n1,
+       |  CAST(SUM(1 - promo) AS BIGINT) AS n2 FROM g),
+       |cum AS (
+       | SELECT units, a, c,
+       |  CAST(COALESCE(SUM(c) OVER (ORDER BY units
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS s
+       | FROM by_value),
+       |acc AS (
+       | SELECT CAST(SUM(a * (2 * s + c + 1)) AS BIGINT) AS sum2r1 FROM cum)
+       |SELECT tot.n1, tot.n2,
+       | sum2r1 - tot.n1 * (tot.n1 + 1) AS u2,
+       | (CAST(sum2r1 - tot.n1 * (tot.n1 + 1) AS DOUBLE) / 2
+       |  - CAST(tot.n1 * tot.n2 AS DOUBLE) / 2)
+       |  / sqrt(CAST(tot.n1 * tot.n2 AS DOUBLE)
+       |     * CAST(tot.n1 + tot.n2 + 1 AS DOUBLE) / 12) AS z_no_tie_corr
+       |FROM acc CROSS JOIN tot""".stripMargin
+
   private val AcfMaxLag = 7
 
   /** Autocorrelation function of the daily revenue series at lags 1..7:

@@ -211,5 +211,46 @@ class Relational8Spec extends SparkSpec {
     assert(ks >= 0.0 && ks <= 1.0)
   }
 
+  test("mann-whitney u2 equals the doubled tie-averaged rank-sum replay") {
+    val row = Relational8.mannWhitney(sf).collect().head
+    val (n1, n2, u2, z) =
+      (row.getLong(0), row.getLong(1), row.getLong(2), row.getDouble(3))
+    val types = sf.part.select("p_partkey", "p_type").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val perPart = sf.lineitem
+      .select("l_partkey", "l_extendedprice", "l_discount").collect()
+      .groupBy(_.getLong(0))
+      .view.mapValues { rs =>
+        rs.map { r =>
+          (BigDecimal(r.getDouble(1)).setScale(2, BigDecimal.RoundingMode.HALF_UP) *
+            (BigDecimal(1) - BigDecimal(r.getDouble(2))
+              .setScale(2, BigDecimal.RoundingMode.HALF_UP)) * 1000000)
+        }.sum.toLongExact
+      }.toMap
+    val vals = perPart.toSeq.map { case (pk, u) => (u, types(pk) == "PROMO") }
+      .sortBy(_._1)
+    assert(n1 == vals.count(_._2).toLong && n2 == vals.count(!_._2).toLong)
+    // doubled tie-averaged rank sum for the promo group
+    var s = 0L
+    var sum2r1 = 0L
+    vals.groupBy(_._1).toSeq.sortBy(_._1).foreach { case (_, g) =>
+      val c = g.size.toLong
+      val a = g.count(_._2).toLong
+      sum2r1 += a * (2 * s + c + 1)
+      s += c
+    }
+    val expU2 = sum2r1 - n1 * (n1 + 1)
+    assert(u2 == expU2)
+    val expZ = ((sum2r1 - n1 * (n1 + 1)).toDouble / 2 - (n1 * n2).toDouble / 2) /
+      math.sqrt((n1 * n2).toDouble * (n1 + n2 + 1).toDouble / 12)
+    assert(z == expZ)
+    // cross-check against a direct pair count: U = #(promo > other) + ties/2
+    val promo = vals.filter(_._2).map(_._1)
+    val other = vals.filter(!_._2).map(_._1)
+    val wins2 = promo.map(p =>
+      2L * other.count(_ < p) + other.count(_ == p)).sum
+    assert(u2 == wins2)
+  }
+
   private def col(n: String) = org.apache.spark.sql.functions.col(n)
 }
