@@ -1124,9 +1124,11 @@ object Multimodal {
   /** Oracle for [[dhashReal]]: pixel-formula luma feeds the identical
     * overlap-weighted cell sums (bounded ≤16²×9×8 grid per doc), strict
     * right>left comparisons reconstruct the bits via BIGINT shifts.
+    * The CTE chain (ending in `hs(doc_id, dhash)`) is shared with
+    * [[dedupDhashSql]].
     */
-  val dhashRealSql: String =
-    """WITH p AS (
+  private[graft] val dhashCtesSql: String =
+    """p AS (
       |  SELECT doc_id, 8 + doc_id % 9 AS w, 8 + (doc_id * 3) % 9 AS h
       |  FROM documents),
       |xs AS (SELECT doc_id, w, h, unnest(range(0, w)) AS x FROM p),
@@ -1151,11 +1153,63 @@ object Multimodal {
       |    AND c2.i = c1.i + 1
       |  WHERE c1.i < 8 AND c1.j * 8 + c1.i < 63 AND c2.s > c1.s),
       |hs AS (
-      |  SELECT doc_id,
-      |    CAST(SUM(CAST(1 AS BIGINT) << CAST(k AS INT)) AS BIGINT) AS dhash
-      |  FROM bits GROUP BY doc_id)
-      |SELECT p.doc_id, CAST(w AS INT) AS width, CAST(h AS INT) AS height,
-      |  COALESCE(hs.dhash, 0) AS dhash
-      |FROM p LEFT JOIN hs ON p.doc_id = hs.doc_id
-      |ORDER BY p.doc_id""".stripMargin
+      |  SELECT p.doc_id, COALESCE(hb.dhash, 0) AS dhash
+      |  FROM p LEFT JOIN (
+      |    SELECT doc_id,
+      |      CAST(SUM(CAST(1 AS BIGINT) << CAST(k AS INT)) AS BIGINT) AS dhash
+      |    FROM bits GROUP BY doc_id) hb ON p.doc_id = hb.doc_id)""".stripMargin
+
+  val dhashRealSql: String =
+    s"""WITH $dhashCtesSql
+       |SELECT p.doc_id, CAST(w AS INT) AS width, CAST(h AS INT) AS height,
+       |  hs.dhash
+       |FROM p JOIN hs ON p.doc_id = hs.doc_id
+       |ORDER BY p.doc_id""".stripMargin
+
+  private val DhashHammingMax = 3
+
+  /** Image near-dup PAIR MINING over the real-codec [[dhashReal]]
+    * fingerprints — the banded-blocking step that makes perceptual
+    * dedup scale: the 63-bit dHash splits into four 16-bit bands, and
+    * by pigeonhole any pair within hamming ≤ [[DhashHammingMax]]
+    * agrees EXACTLY on at least one band — so candidates come from
+    * equality joins on (band, value), never the n² pair space (the
+    * [[graft.operators.Dedup.simhash]] blocking recipe applied to
+    * images), then one `bit_count(xor)` verify per candidate. Join
+    * work is Σ|band-bucket|², the LSH-family bound. The fingerprint
+    * frame is persisted so the codec runs once, not once per side.
+    */
+  def dedupDhash(t: Tables): DataFrame = {
+    val hashed = dhashReal(t).select(col("doc_id"), col("dhash")).persist()
+    val banded = hashed.select(col("doc_id"), col("dhash"),
+      posexplode(expr(
+        "transform(sequence(0, 3), b -> shiftright(dhash, b * 16) & 65535)"))
+        .as(Seq("band", "bv")))
+    val a = banded.select(col("doc_id").as("a_id"), col("dhash").as("a_fp"),
+      col("band"), col("bv"))
+    val b = banded.select(col("doc_id").as("b_id"), col("dhash").as("b_fp"),
+      col("band"), col("bv"))
+    val out = a.join(b, Seq("band", "bv"))
+      .where(col("a_id") < col("b_id"))
+      .select(col("a_id"), col("b_id"), col("a_fp"), col("b_fp"))
+      .distinct() // a pair may agree on several bands
+      .withColumn("hamming", expr("bit_count(a_fp ^ b_fp)").cast("long"))
+      .where(col("hamming") <= DhashHammingMax)
+      .select(col("a_id"), col("b_id"), col("hamming"))
+      .orderBy("a_id", "b_id")
+    out
+  }
+
+  /** Oracle: shared fingerprint CTEs + an explicit pair join with the
+    * same hamming cut — exact because the candidate blocking is
+    * COMPLETE at this radius (pigeonhole), so blocked and unblocked
+    * enumeration agree.
+    */
+  val dedupDhashSql: String =
+    s"""WITH $dhashCtesSql
+       |SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+       |  CAST(bit_count(xor(a.dhash, b.dhash)) AS BIGINT) AS hamming
+       |FROM hs a JOIN hs b ON a.doc_id < b.doc_id
+       |WHERE bit_count(xor(a.dhash, b.dhash)) <= $DhashHammingMax
+       |ORDER BY a_id, b_id""".stripMargin
 }

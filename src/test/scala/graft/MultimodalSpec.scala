@@ -312,4 +312,20 @@ class MultimodalSpec extends SparkSpec {
     }
     assert(got.values.map(_._2).toSet.size > 1)
   }
+
+  test("dhash pair mining equals brute-force hamming enumeration") {
+    val fps = Multimodal.dhashReal(sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(3)).toMap
+    val ids = fps.keys.toSeq.sorted
+    val expect = (for {
+      i <- ids.indices.iterator
+      j <- (i + 1) until ids.length
+      h = java.lang.Long.bitCount(fps(ids(i)) ^ fps(ids(j)))
+      if h <= 3
+    } yield (ids(i), ids(j), h.toLong)).toSet
+    val got = Multimodal.dedupDhash(sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == expect, s"got ${got.size} pairs, expected ${expect.size}")
+    assert(got.nonEmpty) // the synthetic corpus does contain near-dups
+  }
 }
