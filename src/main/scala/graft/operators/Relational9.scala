@@ -1,0 +1,186 @@
+package graft.operators
+
+import graft.Tables
+import graft.functions.Exact.discPrice
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Distribution-shape diagnostics: ordinal-pattern complexity,
+  * weighted medians, and equi-depth histograms — the "what does this
+  * distribution actually look like" toolkit next to [[Relational8]]'s
+  * hypothesis tests. Shared discipline: collapse the fact table first,
+  * run exact integer logic over the bounded aggregate domain, divide
+  * (if at all) once at the end.
+  */
+object Relational9 {
+
+  /** Ordinal-pattern (permutation-pattern) histogram of the daily
+    * revenue series at order 3: every consecutive day triple maps to
+    * one of 6 rank patterns (e.g. `012` = rising, `210` = falling),
+    * counted exactly — the permutation-entropy FAMILY's front end
+    * (band-limited complexity: a trending series concentrates on
+    * `012`/`210`, noise spreads uniformly) WITHOUT the final entropy
+    * (ln is libm-divergent; the histogram carries strictly more
+    * information anyway). Ties break toward the earlier day (strict
+    * `<` comparisons — deterministic, stated here because permutation
+    * entropy literature varies). Two LAG columns over the bounded day
+    * domain; pattern ids are pure integer comparisons.
+    */
+  def ordinalPatterns(t: Tables): DataFrame = {
+    val daily = t.lineitem
+      .groupBy(col("l_shipdate").cast("date").as("d"))
+      .agg(sum(discPrice(col("l_extendedprice"), col("l_discount"))).as("rev"))
+      .select(
+        datediff(col("d"), to_date(lit("1970-01-01"))).as("epoch_day"),
+        (col("rev") * 1000000).cast("long").as("v"))
+    val w = Window.orderBy("epoch_day")
+    daily
+      .withColumn("v1", lag(col("v"), 2).over(w))
+      .withColumn("v2", lag(col("v"), 1).over(w))
+      .where(col("v1").isNotNull)
+      // rank of each element among the triple (v1, v2, v3=v), strict <
+      .withColumn("r1",
+        (col("v2") < col("v1")).cast("int") + (col("v") < col("v1")).cast("int"))
+      .withColumn("r2",
+        (col("v1") <= col("v2")).cast("int") + (col("v") < col("v2")).cast("int"))
+      .withColumn("r3",
+        (col("v1") <= col("v")).cast("int") + (col("v2") <= col("v")).cast("int"))
+      .withColumn("pattern",
+        concat(col("r1").cast("string"), col("r2").cast("string"),
+          col("r3").cast("string")))
+      .groupBy("pattern")
+      .agg(count(lit(1)).as("n_triples"))
+      .orderBy("pattern")
+  }
+
+  val ordinalPatternsSql: String =
+    """WITH daily AS (
+      | SELECT date_diff('day', DATE '1970-01-01', CAST(l_shipdate AS DATE))
+      |   AS epoch_day,
+      |  CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) *
+      |    CAST(1 - CAST(l_discount AS DECIMAL(4,2)) AS DECIMAL(8,4)))
+      |    * 1000000 AS HUGEINT) AS BIGINT) AS v
+      | FROM lineitem GROUP BY 1),
+      |lagged AS (
+      | SELECT epoch_day, v,
+      |  LAG(v, 2) OVER (ORDER BY epoch_day) AS v1,
+      |  LAG(v, 1) OVER (ORDER BY epoch_day) AS v2
+      | FROM daily),
+      |pat AS (
+      | SELECT
+      |  CAST(CASE WHEN v2 < v1 THEN 1 ELSE 0 END
+      |     + CASE WHEN v < v1 THEN 1 ELSE 0 END AS VARCHAR)
+      |  || CAST(CASE WHEN v1 <= v2 THEN 1 ELSE 0 END
+      |     + CASE WHEN v < v2 THEN 1 ELSE 0 END AS VARCHAR)
+      |  || CAST(CASE WHEN v1 <= v THEN 1 ELSE 0 END
+      |     + CASE WHEN v2 <= v THEN 1 ELSE 0 END AS VARCHAR) AS pattern
+      | FROM lagged WHERE v1 IS NOT NULL)
+      |SELECT pattern, CAST(COUNT(*) AS BIGINT) AS n_triples
+      |FROM pat GROUP BY 1 ORDER BY 1""".stripMargin
+
+  /** Revenue-WEIGHTED median part size — "the size where half the
+    * MONEY sits", the merchandising question the unweighted median
+    * (half the SKUs) answers wrongly when big sizes monetize
+    * differently. Exact integer rule: the weighted median is the
+    * smallest size whose cumulative revenue micros reach half the
+    * total, decided by `2·cum ≥ total` on exact longs (no /2 rounding
+    * ambiguity). Sizes are a bounded domain (the part dimension's
+    * attribute), so the cumulative window is tiny; the fact
+    * aggregation does the work. Reported per brand (bounded output).
+    */
+  def weightedMedian(t: Tables): DataFrame = {
+    val bySize = t.lineitem
+      .join(broadcast(t.part.select("p_partkey", "p_brand", "p_size")),
+        col("l_partkey") === col("p_partkey"))
+      .groupBy(col("p_brand"), col("p_size"))
+      .agg((sum(discPrice(col("l_extendedprice"), col("l_discount")))
+        * 1000000).cast("long").as("wu"))
+    val w = Window.partitionBy("p_brand").orderBy("p_size")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val tot = Window.partitionBy("p_brand")
+    bySize
+      .withColumn("cum", sum(col("wu")).over(w))
+      .withColumn("total", sum(col("wu")).over(tot))
+      .where(col("cum") * 2 >= col("total"))
+      .groupBy(col("p_brand"))
+      .agg(min(col("p_size")).as("weighted_median_size"),
+        max(col("total")).as("total_micros"))
+      .orderBy("p_brand")
+  }
+
+  val weightedMedianSql: String =
+    """WITH by_size AS (
+      | SELECT p_brand, p_size,
+      |  CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) *
+      |    CAST(1 - CAST(l_discount AS DECIMAL(4,2)) AS DECIMAL(8,4)))
+      |    * 1000000 AS HUGEINT) AS BIGINT) AS wu
+      | FROM lineitem JOIN part ON l_partkey = p_partkey
+      | GROUP BY 1, 2),
+      |cum AS (
+      | SELECT p_brand, p_size, wu,
+      |  CAST(SUM(wu) OVER (PARTITION BY p_brand ORDER BY p_size
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum,
+      |  CAST(SUM(wu) OVER (PARTITION BY p_brand) AS BIGINT) AS total
+      | FROM by_size)
+      |SELECT p_brand,
+      | CAST(MIN(p_size) AS INT) AS weighted_median_size,
+      | CAST(MAX(total) AS BIGINT) AS total_micros
+      |FROM cum WHERE cum * 2 >= total
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
+  private val EqDepthBuckets = 10
+
+  /** Equi-DEPTH histogram of per-part revenue (deciles by part count):
+    * each bucket holds ~the same number of parts, exposing the shape
+    * equi-width buckets flatten (one whale makes 9 empty width
+    * buckets). NTILE over the one-row-per-part aggregate (dim-bounded
+    * window, the ABC precedent); per bucket: exact part count, integer
+    * micro bounds, and exact decimal revenue share surfaced as one
+    * double division. NTILE's remainder rule (first buckets get the
+    * extra rows) is identical in both engines; (units, partkey)
+    * ordering makes bucket assignment deterministic under ties.
+    */
+  def equidepthHist(t: Tables): DataFrame = {
+    val perPart = t.lineitem
+      .groupBy("l_partkey")
+      .agg((sum(discPrice(col("l_extendedprice"), col("l_discount")))
+        * 1000000).cast("long").as("units"))
+    val w = Window.orderBy(col("units"), col("l_partkey"))
+    perPart
+      .withColumn("bucket", ntile(EqDepthBuckets).over(w).cast("long"))
+      .groupBy("bucket")
+      .agg(
+        count(lit(1)).as("n_parts"),
+        min(col("units")).as("lo_micros"),
+        max(col("units")).as("hi_micros"),
+        sum(col("units")).as("bucket_micros"))
+      .withColumn("rev_share",
+        col("bucket_micros").cast("double") /
+          sum(col("bucket_micros")).over(Window.partitionBy()).cast("double"))
+      .orderBy("bucket")
+  }
+
+  val equidepthHistSql: String =
+    s"""WITH per_part AS (
+       | SELECT l_partkey,
+       |  CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) *
+       |    CAST(1 - CAST(l_discount AS DECIMAL(4,2)) AS DECIMAL(8,4)))
+       |    * 1000000 AS HUGEINT) AS BIGINT) AS units
+       | FROM lineitem GROUP BY 1),
+       |bk AS (
+       | SELECT units,
+       |  CAST(NTILE($EqDepthBuckets) OVER (ORDER BY units, l_partkey)
+       |    AS BIGINT) AS bucket
+       | FROM per_part),
+       |agg AS (
+       | SELECT bucket, CAST(COUNT(*) AS BIGINT) AS n_parts,
+       |  CAST(MIN(units) AS BIGINT) AS lo_micros,
+       |  CAST(MAX(units) AS BIGINT) AS hi_micros,
+       |  CAST(SUM(units) AS BIGINT) AS bucket_micros
+       | FROM bk GROUP BY 1)
+       |SELECT bucket, n_parts, lo_micros, hi_micros, bucket_micros,
+       | CAST(bucket_micros AS DOUBLE) /
+       |   CAST(SUM(bucket_micros) OVER () AS DOUBLE) AS rev_share
+       |FROM agg ORDER BY bucket""".stripMargin
+}

@@ -1,0 +1,85 @@
+package graft
+
+import graft.operators.Relational9
+
+class Relational9Spec extends SparkSpec {
+
+  /** Exact per-key revenue micros replayed on the driver. */
+  private def microsBy[K](rows: Seq[(K, Double, Double)]): Map[K, Long] =
+    rows.groupBy(_._1).view.mapValues { rs =>
+      rs.map { case (_, price, disc) =>
+        (BigDecimal(price).setScale(2, BigDecimal.RoundingMode.HALF_UP) *
+          (BigDecimal(1) - BigDecimal(disc)
+            .setScale(2, BigDecimal.RoundingMode.HALF_UP)) * 1000000)
+      }.sum.toLongExact
+    }.toMap
+
+  private def dailySeries: Seq[(Long, Long)] = {
+    val rows = sf.lineitem
+      .select("l_shipdate", "l_extendedprice", "l_discount").collect()
+      .map { r =>
+        val d = (r.get(0) match {
+          case t: java.sql.Timestamp => t.toLocalDateTime
+          case t: java.time.LocalDateTime => t
+        }).toLocalDate.toEpochDay
+        (d, r.getDouble(1), r.getDouble(2))
+      }.toSeq
+    microsBy(rows).toSeq.sortBy(_._1)
+  }
+
+  test("ordinal patterns: counts equal a driver triple scan, patterns valid") {
+    val series = dailySeries.map(_._2)
+    val expect = series.sliding(3).filter(_.size == 3).map { w =>
+      val Seq(v1, v2, v3) = w
+      val r1 = (if (v2 < v1) 1 else 0) + (if (v3 < v1) 1 else 0)
+      val r2 = (if (v1 <= v2) 1 else 0) + (if (v3 < v2) 1 else 0)
+      val r3 = (if (v1 <= v3) 1 else 0) + (if (v2 <= v3) 1 else 0)
+      s"$r1$r2$r3"
+    }.toSeq.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val got = Relational9.ordinalPatterns(sf).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got == expect)
+    // every pattern is a permutation of 012
+    got.keys.foreach(p => assert(p.sorted == "012", s"bad pattern $p"))
+    assert(got.values.sum == (series.size - 2).toLong)
+  }
+
+  test("weighted median: half the money sits at or below the reported size") {
+    val brands = sf.part.select("p_partkey", "p_brand", "p_size").collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getInt(2)))).toMap
+    val li = sf.lineitem
+      .select("l_partkey", "l_extendedprice", "l_discount").collect()
+      .map(r => (brands(r.getLong(0)), r.getDouble(1), r.getDouble(2))).toSeq
+    val byBrandSize = microsBy(li)
+    val got = Relational9.weightedMedian(sf).collect()
+      .map(r => r.getString(0) -> ((r.getInt(1), r.getLong(2)))).toMap
+    byBrandSize.keys.map(_._1).toSeq.distinct.foreach { b =>
+      val sizes = byBrandSize.collect { case ((`b`, s), u) => (s, u) }
+        .toSeq.sortBy(_._1)
+      val total = sizes.map(_._2).sum
+      val cum = sizes.scanLeft(0L)(_ + _._2).tail
+      val med = sizes.zip(cum).find { case (_, c) => 2 * c >= total }.get._1._1
+      val (gotMed, gotTotal) = got(b)
+      assert(gotMed == med, s"brand $b")
+      assert(gotTotal == total, s"brand $b total")
+    }
+  }
+
+  test("equi-depth histogram: balanced bucket counts, ordered bounds, shares sum to 1") {
+    val rows = Relational9.equidepthHist(sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getDouble(5)))
+    assert(rows.map(_._1).toSeq == (1L to 10L))
+    val counts = rows.map(_._2)
+    assert(counts.max - counts.min <= 1, s"unbalanced: ${counts.toSeq}")
+    // bucket value ranges are ordered and non-overlapping
+    rows.sliding(2).foreach {
+      case Array(a, b) => assert(a._4 <= b._3, s"overlap ${a._1}->${b._1}")
+      case _ =>
+    }
+    assert(math.abs(rows.map(_._6).sum - 1.0) < 1e-12)
+    // total part count matches the distinct part count in the fact table
+    val nParts = sf.lineitem.select("l_partkey").distinct().count()
+    assert(counts.sum == nParts)
+  }
+}
