@@ -527,4 +527,20 @@ object Sinks {
       else spark.read.schema(full.schema).parquet(keep.toIndexedSeq: _*)
     pruned.where(col(statCol) >= lo && col(statCol) <= hi)
   }
+
+  /** JSON-lines export — the interchange twin of
+    * [[graft.sources.Sources.jsonLines]] (downstream tools that speak
+    * neither parquet nor JDBC almost always speak JSONL). Plain
+    * `df.write.json` IS the distributed writer (one file per
+    * partition, each line one record); `maxRecordsPerFile` bounds file
+    * size for object-store friendliness, and gzip keeps the wire
+    * format splittable-enough for line-oriented consumers (per-file
+    * decompression parallelism — JSONL's usual contract).
+    */
+  def writeJsonLines(df: DataFrame, path: String,
+      maxRecordsPerFile: Int = 1000000, gzip: Boolean = false): Unit = {
+    val w = df.write.mode("overwrite")
+      .option("maxRecordsPerFile", maxRecordsPerFile.toString)
+    (if (gzip) w.option("compression", "gzip") else w).json(path)
+  }
 }

@@ -326,4 +326,35 @@ object Sources {
             (lit(0.90) +
               pmod(xxhash64(col("value"), lit("n")), lit(21)).cast("double") / 100.0),
           2).as("unit_price"))
+
+  /** One column of a fixed-width layout: name, 1-based start, length,
+    * and a cast target ("long" / "double" / "date" / "string").
+    */
+  final case class FixedWidthCol(name: String, start: Int, len: Int,
+      typ: String = "string")
+
+  /** Fixed-width text reader — the mainframe/legacy-export format every
+    * ETL tool grows eventually (COBOL copybook extracts, bank
+    * settlement files). Spark-first: `spark.read.text` gives the
+    * distributed splittable line scan for free, and each column is a
+    * narrow `substring` + `trim` + cast PROJECTION — whole-stage
+    * codegen'd, no per-row parser object, no UDF. Blank/short lines
+    * yield nulls (substring past end-of-line is empty), surfaced for a
+    * quarantine step rather than crashing the scan — the
+    * [[graft.operators.Etl.quarantine]] philosophy.
+    */
+  def fixedWidth(spark: SparkSession, path: String,
+      layout: Seq[FixedWidthCol]): DataFrame = {
+    val base = spark.read.text(path)
+    layout.foldLeft(base) { (df, c) =>
+      val raw = trim(substring(col("value"), c.start, c.len))
+      // ANSI mode: casting '' throws — short/blank fields become null
+      val v = c.typ match {
+        case "string" => raw
+        case "date"   => when(raw === "", lit(null)).otherwise(to_date(raw))
+        case t        => when(raw === "", lit(null)).otherwise(raw.cast(t))
+      }
+      df.withColumn(c.name, v)
+    }.drop("value")
+  }
 }
