@@ -129,6 +129,59 @@ object Relational9 {
       |FROM cum WHERE cum * 2 >= total
       |GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** Star-schema referential-integrity report: one row per FK edge of
+    * the schema (fact→dim and dim→dim), with referencing-row counts and
+    * ORPHAN counts (FK values missing from the referenced key set) —
+    * the structural DQ sweep run before trusting any join ([[Quality]]'s
+    * value rules check rows; this checks the EDGES). Each edge is one
+    * left-anti join on the key — co-partitioned equi-joins, dims
+    * broadcast by AQE; orphan NULLs count as orphans (a null FK can't
+    * join, which is exactly what the report must surface). Output is
+    * edge-count-bounded.
+    */
+  def refIntegrity(t: Tables): DataFrame = {
+    def edge(name: String, fact: DataFrame, fk: String,
+        dim: DataFrame, pk: String): DataFrame = {
+      val keys = dim.select(col(pk).as("__pk")).distinct()
+      fact.select(col(fk).as("__fk"))
+        .join(keys, col("__fk") === col("__pk"), "left")
+        .agg(count(lit(1)).as("n_rows"),
+          sum((col("__pk").isNull).cast("long")).as("n_orphans"))
+        .select(lit(name).as("fk_edge"), col("n_rows"), col("n_orphans"))
+    }
+    Seq(
+      edge("lineitem.l_partkey->part", t.lineitem, "l_partkey", t.part, "p_partkey"),
+      edge("lineitem.l_suppkey->supplier", t.lineitem, "l_suppkey", t.supplier, "s_suppkey"),
+      edge("lineitem.l_orderkey->orders", t.lineitem, "l_orderkey", t.orders, "o_orderkey"),
+      edge("orders.o_custkey->customer", t.orders, "o_custkey", t.customer, "c_custkey"),
+      edge("customer.c_nationkey->nation", t.customer, "c_nationkey", t.nation, "n_nationkey"),
+      edge("supplier.s_nationkey->nation", t.supplier, "s_nationkey", t.nation, "n_nationkey"),
+      edge("nation.n_regionkey->region", t.nation, "n_regionkey", t.region, "r_regionkey"))
+      .reduce(_ union _)
+      .orderBy("fk_edge")
+  }
+
+  val refIntegritySql: String = {
+    def edge(name: String, fact: String, fk: String,
+        dim: String, pk: String): String =
+      s"""SELECT '$name' AS fk_edge,
+         | CAST(COUNT(*) AS BIGINT) AS n_rows,
+         | CAST(SUM(CASE WHEN d.$pk IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         |   AS n_orphans
+         |FROM $fact f
+         |LEFT JOIN (SELECT DISTINCT $pk FROM $dim) d ON f.$fk = d.$pk"""
+        .stripMargin
+    Seq(
+      edge("lineitem.l_partkey->part", "lineitem", "l_partkey", "part", "p_partkey"),
+      edge("lineitem.l_suppkey->supplier", "lineitem", "l_suppkey", "supplier", "s_suppkey"),
+      edge("lineitem.l_orderkey->orders", "lineitem", "l_orderkey", "orders", "o_orderkey"),
+      edge("orders.o_custkey->customer", "orders", "o_custkey", "customer", "c_custkey"),
+      edge("customer.c_nationkey->nation", "customer", "c_nationkey", "nation", "n_nationkey"),
+      edge("supplier.s_nationkey->nation", "supplier", "s_nationkey", "nation", "n_nationkey"),
+      edge("nation.n_regionkey->region", "nation", "n_regionkey", "region", "r_regionkey"))
+      .mkString("", "\nUNION ALL\n", "\nORDER BY fk_edge")
+  }
+
   private val EqDepthBuckets = 10
 
   /** Equi-DEPTH histogram of per-part revenue (deciles by part count):

@@ -82,4 +82,33 @@ class Relational9Spec extends SparkSpec {
     val nParts = sf.lineitem.select("l_partkey").distinct().count()
     assert(counts.sum == nParts)
   }
+
+  test("ref integrity reports all 7 edges with zero orphans on clean data") {
+    val rows = Relational9.refIntegrity(sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(rows.length == 7)
+    // synthetic star schema is referentially clean
+    rows.foreach { case (e, n, o) =>
+      assert(n > 0, s"$e has no rows")
+      assert(o == 0L, s"$e has $o orphans")
+    }
+    val byEdge = rows.map(r => r._1 -> r._2).toMap
+    assert(byEdge("lineitem.l_partkey->part") == sf.lineitem.count())
+    assert(byEdge("orders.o_custkey->customer") == sf.orders.count())
+    assert(byEdge("nation.n_regionkey->region") == sf.nation.count())
+    // a planted orphan IS caught
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("ri").toString
+    sf.nation.write.parquet(s"$dir/nation.parquet")
+    sf.region.where(col("r_regionkey") =!= 0)
+      .write.parquet(s"$dir/region.parquet")
+    for (t <- Seq("customer", "supplier", "part", "orders", "lineitem"))
+      spark.read.parquet(s"/root/testdata/sf0.001/$t.parquet")
+        .write.parquet(s"$dir/$t.parquet")
+    val planted = Relational9.refIntegrity(Tables(spark, dir)).collect()
+      .map(r => r.getString(0) -> r.getLong(2)).toMap
+    assert(planted("nation.n_regionkey->region") > 0L)
+  }
+
+  private def col(n: String) = org.apache.spark.sql.functions.col(n)
 }
