@@ -182,6 +182,89 @@ object Relational9 {
       .mkString("", "\nUNION ALL\n", "\nORDER BY fk_edge")
   }
 
+  /** Peak session concurrency — the sweep-line classic ("how many
+    * users were on AT ONCE, and when"): sessions (the shared
+    * [[Relational.sessionized]] 30-min-gap recipe) become ±1 boundary
+    * events, the running sum over time is the live-session count, and
+    * the report is its maximum plus the first instant it is reached.
+    * CLOSED-interval semantics: at equal timestamps starts process
+    * before ends (`d` descending), so touching sessions count as
+    * concurrent and point sessions never dip negative. The prefix sum
+    * is DISTRIBUTED (the abcAnalysis two-level rewrite: range-partition
+    * the boundary stream, local window per bucket, broadcast the
+    * 32-row bucket offsets) — session boundaries grow with the corpus,
+    * so a single-partition global window would be the scale-killer
+    * here. Rows with identical (ts, d) are interchangeable under the
+    * frame, so the max and its min-ts are deterministic even though
+    * their individual prefix values aren't.
+    */
+  def concurrencyPeak(t: Tables): DataFrame = {
+    val sessions = Relational.sessionized(t)
+      .groupBy("user_id", "session_id")
+      .agg(min(col("ts")).as("s"), max(col("ts")).as("e"))
+    val deltas = sessions.select(explode(array(
+        struct(col("s").as("ts"), lit(1L).as("d")),
+        struct(col("e").as("ts"), lit(-1L).as("d")))).as("x"))
+      .select(col("x.ts").as("ts"), col("x.d").as("d"))
+    val ranged = deltas
+      .repartitionByRange(32, col("ts"), col("d").desc)
+      .withColumn("bucket", spark_partition_id())
+      .persist()
+    val wLocal = Window.partitionBy("bucket")
+      .orderBy(col("ts"), col("d").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wBuckets = Window.orderBy("bucket")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = ranged.groupBy("bucket").agg(sum(col("d")).as("bt"))
+      .withColumn("off", sum(col("bt")).over(wBuckets))
+      .select("bucket", "off")
+    val nSessions = sessions.agg(count(lit(1)).as("n_sessions"))
+    ranged
+      .withColumn("local_cum", sum(col("d")).over(wLocal))
+      .join(broadcast(offsets), Seq("bucket"))
+      .withColumn("conc", coalesce(col("off"), lit(0L)) + col("local_cum"))
+      .groupBy()
+      .agg(max(struct(col("conc"), (-col("ts").cast("double")).as("nts"))).as("m"))
+      .select(col("m.conc").as("peak_concurrency"),
+        (-col("m.nts")).cast("timestamp").as("peak_ts"))
+      .crossJoin(broadcast(nSessions))
+      .select(col("n_sessions"), col("peak_concurrency"), col("peak_ts"))
+  }
+
+  val concurrencyPeakSql: String =
+    """WITH s AS (
+      | SELECT user_id, ts, value,
+      |  CAST(SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+      |    AS session_id
+      | FROM (
+      |  SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts, value,
+      |   CASE WHEN prev_s IS NULL
+      |         OR epoch(CAST(ts AS TIMESTAMP)) - prev_s > 1800.0
+      |        THEN 1 ELSE 0 END AS is_new
+      |  FROM (
+      |   SELECT user_id, event_id, ts, value,
+      |    LAG(epoch(CAST(ts AS TIMESTAMP))) OVER (PARTITION BY user_id
+      |      ORDER BY CAST(ts AS TIMESTAMP), event_id) AS prev_s
+      |   FROM events))),
+      |sess AS (
+      | SELECT user_id, session_id, MIN(ts) AS s, MAX(ts) AS e
+      | FROM s GROUP BY 1, 2),
+      |deltas AS (
+      | SELECT s AS ts, CAST(1 AS BIGINT) AS d FROM sess
+      | UNION ALL
+      | SELECT e AS ts, CAST(-1 AS BIGINT) AS d FROM sess),
+      |run AS (
+      | SELECT ts, CAST(SUM(d) OVER (ORDER BY ts, d DESC
+      |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS conc
+      | FROM deltas)
+      |SELECT
+      | (SELECT CAST(COUNT(*) AS BIGINT) FROM sess) AS n_sessions,
+      | (SELECT conc FROM run ORDER BY conc DESC, ts LIMIT 1)
+      |   AS peak_concurrency,
+      | (SELECT ts FROM run ORDER BY conc DESC, ts LIMIT 1) AS peak_ts"""
+      .stripMargin
+
   private val EqDepthBuckets = 10
 
   /** Equi-DEPTH histogram of per-part revenue (deciles by part count):

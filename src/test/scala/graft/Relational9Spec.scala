@@ -110,5 +110,38 @@ class Relational9Spec extends SparkSpec {
     assert(planted("nation.n_regionkey->region") > 0L)
   }
 
+  test("concurrency peak matches a driver sweep-line over the same sessions") {
+    val row = Relational9.concurrencyPeak(sf).collect().head
+    val (nSess, peak, peakTs) =
+      (row.getLong(0), row.getLong(1), row.getTimestamp(2))
+    // rebuild sessions with the shared 30-min-gap rule
+    val evs = sf.events.select("user_id", "ts", "event_id").collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1).getTime, r.getLong(2)))
+    val sessions = evs.groupBy(_._1).values.flatMap { es =>
+      val sorted = es.sortBy(e => (e._2, e._3)).map(_._2)
+      val bounds = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+      var start = sorted.head
+      var prev = sorted.head
+      sorted.tail.foreach { t =>
+        if (t - prev > 1800000L) { bounds += ((start, prev)); start = t }
+        prev = t
+      }
+      bounds += ((start, prev))
+      bounds
+    }.toSeq
+    assert(nSess == sessions.size.toLong)
+    val deltas = sessions.flatMap { case (s, e) => Seq((s, 1), (e, -1)) }
+      .sortBy { case (ts, d) => (ts, -d) }
+    var conc = 0L
+    var best = (0L, Long.MaxValue)
+    deltas.foreach { case (ts, d) =>
+      conc += d
+      if (conc > best._1) best = (conc, ts)
+    }
+    assert(peak == best._1, s"peak $peak vs ${best._1}")
+    assert(peakTs.getTime == best._2,
+      s"peak ts ${peakTs.getTime} vs ${best._2}")
+  }
+
   private def col(n: String) = org.apache.spark.sql.functions.col(n)
 }
