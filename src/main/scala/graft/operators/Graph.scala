@@ -630,11 +630,15 @@ object Graph {
     * most of the network, and how tightly". All-pairs closeness is
     * quadratic state; seeding from the hub set keeps the frontier at
     * S×|reachable| while answering the question the metric is actually
-    * used for (ranking the network's centers). A FIXED round count (the
-    * radius bound is part of the metric's definition) keeps the whole
-    * loop lazy — one fused job, the [[pageRank]] convention — and the
-    * oracle replays a depth-bounded walk. Per round: one join along
-    * edges + one min-fold, both keyed (seed, node).
+    * used for (ranking the network's centers). The round count is FIXED
+    * (the radius bound is part of the metric's definition), but unlike
+    * [[pageRank]] — whose superstep references the rank frame ONCE and
+    * so stays a linear lazy plan — the BFS min-fold references `dist`
+    * twice (the union and the relax join), which doubles the plan per
+    * round and re-executes subtrees (measured: 21.7 s at sf0.1 for the
+    * lazy form). Each round therefore localCheckpoints, the
+    * [[bfsHops]] convention. Per round: one join along edges + one
+    * min-fold, both keyed (seed, node).
     */
   def closeness(t: Tables): DataFrame = {
     val edges = Relational7.basketPairsRaw(t, EdgeSupport)
@@ -648,6 +652,7 @@ object Graph {
       .limit(ClosenessSeeds)
       .select(col("u").as("seed"))
     var dist = seeds.select(col("seed"), col("seed").as("node"), lit(0L).as("hops"))
+      .localCheckpoint(true)
     for (r <- 1 to ClosenessRadius) {
       val relaxed = dist
         .join(edges.select(col("u").as(s"eu$r"), col("v").as(s"ev$r")),
@@ -655,6 +660,7 @@ object Graph {
         .select(col("seed"), col(s"ev$r").as("node"), (col("hops") + 1L).as("hops"))
       dist = dist.union(relaxed)
         .groupBy("seed", "node").agg(min(col("hops")).as("hops"))
+        .localCheckpoint(true)
     }
     val out = dist
       .where(col("hops") > 0)

@@ -265,6 +265,95 @@ object Relational9 {
       | (SELECT ts FROM run ORDER BY conc DESC, ts LIMIT 1) AS peak_ts"""
       .stripMargin
 
+  /** Calendar-spine densification report per brand: generate the FULL
+    * day spine between each brand's first and last shipment (in-row
+    * `sequence()` + explode — Spark's generate_series, no driver loop,
+    * no recursive join), left-join the observed daily revenue, and
+    * report coverage (active days, zero-revenue gap days, longest gap
+    * run via the gaps-islands index trick on the spine). The
+    * time-series hygiene step before any resample/forecast consumes a
+    * series that silently skips days. Spine size is brands × days
+    * (dim-bounded); the fact table collapses to brand-days first.
+    */
+  def dateSpine(t: Tables): DataFrame = {
+    val daily = t.lineitem
+      .join(broadcast(t.part.select("p_partkey", "p_brand")),
+        col("l_partkey") === col("p_partkey"))
+      .groupBy(col("p_brand"),
+        col("l_shipdate").cast("date").as("d"))
+      .agg(sum(discPrice(col("l_extendedprice"), col("l_discount"))).as("rev"))
+    val spine = daily.groupBy("p_brand")
+      .agg(min(col("d")).as("d0"), max(col("d")).as("d1"))
+      .select(col("p_brand"),
+        explode(expr("sequence(d0, d1, interval 1 day)")).as("d"))
+    val joined = spine.join(daily, Seq("p_brand", "d"), "left")
+      .withColumn("active", col("rev").isNotNull.cast("long"))
+    val w = Window.partitionBy("p_brand").orderBy("d")
+    val wRun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    joined
+      .withColumn("idx", row_number().over(w).cast("long"))
+      .withColumn("gap_cum", sum(lit(1L) - col("active")).over(wRun))
+      // gaps-islands: within a gap run idx and gap_cum advance together,
+      // so idx - gap_cum is constant across the run and jumps at each
+      // active day — a stable per-run id without lag chains
+      .withColumn("run_grp",
+        when(col("active") === 0, col("idx") - col("gap_cum")))
+      .withColumn("gap_len",
+        when(col("active") === 0, count(lit(1)).over(
+          Window.partitionBy(col("p_brand"), col("run_grp")))))
+      .groupBy("p_brand")
+      .agg(
+        count(lit(1)).as("n_days"),
+        sum(col("active")).as("n_active_days"),
+        sum(lit(1L) - col("active")).as("n_gap_days"),
+        coalesce(max(col("gap_len")), lit(0L)).as("longest_gap_run"))
+      .orderBy("p_brand")
+  }
+
+  val dateSpineSql: String =
+    """WITH daily AS (
+      | SELECT p_brand, CAST(l_shipdate AS DATE) AS d,
+      |  SUM(CAST(l_extendedprice AS DECIMAL(12,2)) *
+      |      CAST(1 - CAST(l_discount AS DECIMAL(4,2)) AS DECIMAL(8,4))) AS rev
+      | FROM lineitem JOIN part ON l_partkey = p_partkey
+      | GROUP BY 1, 2),
+      |bounds AS (
+      | SELECT p_brand, MIN(d) AS d0, MAX(d) AS d1 FROM daily GROUP BY 1),
+      |spine AS (
+      | SELECT p_brand,
+      |  CAST(unnest(generate_series(CAST(d0 AS TIMESTAMP),
+      |    CAST(d1 AS TIMESTAMP), INTERVAL 1 DAY)) AS DATE) AS d
+      | FROM bounds),
+      |j AS (
+      | SELECT s.p_brand, s.d,
+      |  CASE WHEN daily.rev IS NOT NULL THEN 1 ELSE 0 END AS active
+      | FROM spine s LEFT JOIN daily
+      |   ON daily.p_brand = s.p_brand AND daily.d = s.d),
+      |ix AS (
+      | SELECT p_brand, d, active,
+      |  CAST(ROW_NUMBER() OVER (PARTITION BY p_brand ORDER BY d)
+      |    AS BIGINT) AS idx,
+      |  CAST(SUM(1 - active) OVER (PARTITION BY p_brand ORDER BY d
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      |    AS BIGINT) AS gap_cum
+      | FROM j),
+      |runs AS (
+      | SELECT p_brand, active,
+      |  CASE WHEN active = 0 THEN idx - gap_cum END AS run_grp
+      | FROM ix),
+      |lens AS (
+      | SELECT p_brand, active,
+      |  CASE WHEN active = 0 THEN
+      |    CAST(COUNT(*) OVER (PARTITION BY p_brand, run_grp) AS BIGINT)
+      |  END AS gap_len
+      | FROM runs)
+      |SELECT p_brand,
+      | CAST(COUNT(*) AS BIGINT) AS n_days,
+      | CAST(SUM(active) AS BIGINT) AS n_active_days,
+      | CAST(SUM(1 - active) AS BIGINT) AS n_gap_days,
+      | COALESCE(MAX(gap_len), 0) AS longest_gap_run
+      |FROM lens GROUP BY 1 ORDER BY 1""".stripMargin
+
   private val EqDepthBuckets = 10
 
   /** Equi-DEPTH histogram of per-part revenue (deciles by part count):

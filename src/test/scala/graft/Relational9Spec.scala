@@ -143,5 +143,35 @@ class Relational9Spec extends SparkSpec {
       s"peak ts ${peakTs.getTime} vs ${best._2}")
   }
 
+  test("date spine gap accounting matches a driver calendar replay") {
+    val brands = sf.part.select("p_partkey", "p_brand").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val days = sf.lineitem.select("l_partkey", "l_shipdate").collect()
+      .map { r =>
+        val d = (r.get(1) match {
+          case t: java.sql.Timestamp => t.toLocalDateTime
+          case t: java.time.LocalDateTime => t
+        }).toLocalDate.toEpochDay
+        (brands(r.getLong(0)), d)
+      }.toSet
+    val got = Relational9.dateSpine(sf).collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    days.map(_._1).foreach { b =>
+      val active = days.collect { case (`b`, d) => d }
+      val (d0, d1) = (active.min, active.max)
+      val span = (d0 to d1).toSeq
+      val gaps = span.filterNot(active)
+      // longest consecutive gap run
+      var best = 0L; var cur = 0L; var prev = Long.MinValue
+      gaps.sorted.foreach { d =>
+        cur = if (d == prev + 1) cur + 1 else 1
+        best = math.max(best, cur); prev = d
+      }
+      assert(got(b) == ((span.size.toLong, active.size.toLong,
+        gaps.size.toLong, best)), s"brand $b: ${got(b)}")
+    }
+  }
+
   private def col(n: String) = org.apache.spark.sql.functions.col(n)
 }
