@@ -332,4 +332,54 @@ object TextAnalysis {
        |   regexp_replace(text, '$EmailRe', '[EMAIL]', 'g') AS no_email
        |  FROM documents))
        |ORDER BY doc_id""".stripMargin
+
+  /** Code keywords scored by [[codeDetect]] (language-agnostic core). */
+  private val CodeKeywords = Seq(
+    "def", "return", "import", "class", "if", "else", "for", "while",
+    "var", "val", "function", "int", "void", "null", "new")
+
+  /** Code-vs-prose heuristic — the [[langId]] sibling a corpus router
+    * needs before sending documents down prose-only curation (Gopher
+    * rules butcher source code): three row-local integer-ratio features
+    * — symbol density (braces/brackets/operators per char), programming-
+    * keyword hits per token, and digit density — combined by fixed
+    * weights, verdict at 0.15. Every ratio is a small-int division with
+    * the oracle's exact expression tree; one narrow projection, no
+    * shuffle, trivially corpus-scale.
+    */
+  def codeDetect(t: Tables): DataFrame = {
+    val kw = CodeKeywords.map(s => s"'$s'").mkString(", ")
+    t.documents.select(
+        col("doc_id"),
+        (length(regexp_replace(col("text"), "[^{}()\\[\\];=<>+*/&|._-]", ""))
+          .cast("double") / length(col("text"))).as("symbol_ratio"),
+        (expr(s"size(filter(split(text, ' '), w -> w IN ($kw)))").cast("double")
+          / size(split(col("text"), " "))).as("keyword_ratio"),
+        (length(regexp_replace(col("text"), "[^0-9]", "")).cast("double")
+          / length(col("text"))).as("digit_ratio"))
+      .withColumn("code_score",
+        lit(0.5) * col("symbol_ratio") + lit(0.4) * col("keyword_ratio")
+          + lit(0.1) * col("digit_ratio"))
+      .withColumn("is_code", col("code_score") > 0.15)
+      .orderBy("doc_id")
+  }
+
+  val codeDetectSql: String = {
+    val kw = CodeKeywords.map(s => s"'$s'").mkString(", ")
+    s"""SELECT doc_id, symbol_ratio, keyword_ratio, digit_ratio,
+       | 0.5 * symbol_ratio + 0.4 * keyword_ratio + 0.1 * digit_ratio
+       |   AS code_score,
+       | 0.5 * symbol_ratio + 0.4 * keyword_ratio + 0.1 * digit_ratio > 0.15
+       |   AS is_code
+       |FROM (
+       | SELECT doc_id,
+       |  CAST(length(regexp_replace(text, '[^{}()\\[\\];=<>+*/&|._-]', '', 'g'))
+       |    AS DOUBLE) / length(text) AS symbol_ratio,
+       |  CAST(len(list_filter(string_split(text, ' '), w -> w IN ($kw)))
+       |    AS DOUBLE) / len(string_split(text, ' ')) AS keyword_ratio,
+       |  CAST(length(regexp_replace(text, '[^0-9]', '', 'g')) AS DOUBLE)
+       |    / length(text) AS digit_ratio
+       | FROM documents)
+       |ORDER BY doc_id""".stripMargin
+  }
 }

@@ -71,6 +71,31 @@ class EntrySpec extends SparkSpec {
       s"placeholders vs counts: $scrubbed ${r.getInt(2)} ${r.getInt(3)} ${r.getInt(4)}")
   }
 
+  test("code detect separates planted source code from prose") {
+    import spark.implicits._
+    val dir2 = java.nio.file.Files.createTempDirectory("graft-code").toString
+    val code = "def f(x) { return x + 1; } import os; for (i = 0; i < 10; i++) { a[i] = b[i] * 2; }"
+    val prose = "the quiet morning light settled over the harbor as fishermen prepared their nets for the day"
+    val docs = Seq(
+      (0L, code, "en", "s", code.length.toLong),
+      (1L, prose, "en", "s", prose.length.toLong))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    docs.write.mode("overwrite").parquet(s"$dir2/documents.parquet")
+    val rows = graft.operators.TextAnalysis.codeDetect(Tables(spark, dir2))
+      .collect().map(r => r.getLong(0) ->
+        ((r.getDouble(4), r.getBoolean(5)))).toMap
+    assert(rows(0L)._2, s"code doc scored ${rows(0L)._1}")
+    assert(!rows(1L)._2, s"prose doc scored ${rows(1L)._1}")
+    // features replay exactly on the code doc
+    val symbolRatio = code.count("{}()[];=<>+*/&|._-".contains(_)).toDouble / code.length
+    val toks = code.split(" ")
+    val kws = Set("def", "return", "import", "class", "if", "else", "for",
+      "while", "var", "val", "function", "int", "void", "null", "new")
+    val kwRatio = toks.count(kws).toDouble / toks.length
+    val digitRatio = code.count(_.isDigit).toDouble / code.length
+    assert(rows(0L)._1 == 0.5 * symbolRatio + 0.4 * kwRatio + 0.1 * digitRatio)
+  }
+
   test("boilerplate heavy hitters: planted template gram found exactly") {
     import spark.implicits._
     val dir2 = java.nio.file.Files.createTempDirectory("graft-hh").toString
