@@ -327,6 +327,26 @@ object Sources {
               pmod(xxhash64(col("value"), lit("n")), lit(21)).cast("double") / 100.0),
           2).as("unit_price"))
 
+  /** PERMISSIVE CSV ingestion with corrupt-row capture — the
+    * dead-letter pattern at the PARSER seam (a malformed row in a
+    * 100 TB drop must neither kill the job (FAILFAST) nor silently
+    * null out (DROPMALFORMED)): rows that fail the declared schema
+    * land whole in `_corrupt_record` for quarantine routing, parsed
+    * columns stay null — the [[graft.operators.Etl.quarantine]]
+    * philosophy applied before types even exist. Callers route on
+    * `_corrupt_record IS NULL`. NB Spark refuses plans that reference
+    * ONLY the corrupt column; route with at least one data column in
+    * scope (the spec pins this contract).
+    */
+  def csvPermissive(spark: SparkSession, path: String,
+      schema: StructType): DataFrame =
+    spark.read
+      .option("header", "true")
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt_record")
+      .schema(schema.add("_corrupt_record", org.apache.spark.sql.types.StringType))
+      .csv(path)
+
   /** One column of a fixed-width layout: name, 1-based start, length,
     * and a cast target ("long" / "double" / "date" / "string").
     */

@@ -648,6 +648,32 @@ class SourcesSpec extends SparkSpec {
     assert(!plan.contains("BatchEvalPython") && !plan.contains("ScalaUDF"))
   }
 
+  test("permissive csv captures malformed rows whole and parses the rest") {
+    import org.apache.spark.sql.types._
+    val dir = java.nio.file.Files.createTempDirectory("csvq").toString
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(dir, "drop.csv"),
+      Seq(
+        "id,qty,price",
+        "1,5,9.99",
+        "2,not_a_number,1.50", // type failure -> corrupt
+        "3,7,19.99"
+      ).mkString("\n").getBytes("UTF-8"))
+    val schema = StructType(Seq(
+      StructField("id", LongType), StructField("qty", LongType),
+      StructField("price", DoubleType)))
+    val df = graft.sources.Sources.csvPermissive(spark, dir, schema).cache()
+    val good = df.where(col("_corrupt_record").isNull)
+      .select("id", "qty", "price").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).sortBy(_._1)
+    assert(good.toSeq == Seq((1L, 5L, 9.99), (3L, 7L, 19.99)))
+    val bad = df.where(col("_corrupt_record").isNotNull)
+      .select("id", "_corrupt_record").collect()
+    assert(bad.length == 1)
+    assert(bad.head.getString(1) == "2,not_a_number,1.50") // row kept whole
+    df.unpersist(false)
+  }
+
   test("jsonl sink round-trips through the jsonl source, chunked") {
     val dir = java.nio.file.Files.createTempDirectory("jsonl").toString
     val src = sf.events.select("event_id", "event_type", "value")
