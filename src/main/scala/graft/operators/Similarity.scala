@@ -915,6 +915,83 @@ object Similarity {
        |ORDER BY rank""".stripMargin
   }
 
+  /** Simplified-silhouette cluster quality over the shared k-means
+    * model — the "is this clustering any good" audit run before
+    * trusting per-cluster quotas ([[diverseSample]]) or IVF routing:
+    * per vector, a = squared distance to its OWN centroid, b = squared
+    * distance to the nearest OTHER centroid, s = (b−a)/max(a,b) ∈
+    * [−1,1] (the centroid-based simplification of full silhouette —
+    * O(n·k) instead of O(n²), the only affordable form at corpus
+    * scale; squared distances are rank-equivalent to Euclidean for a/b
+    * picks and keep the math sqrt-free until none is needed at all).
+    * All-cell distances are one in-row literal-array projection
+    * (bounded model state, the assignCells pattern); a/b come from the
+    * sorted (dist2, cell) array with the argmin's tie-break; per-cell
+    * means use the portable scale-30 decimal recipe so the oracle's
+    * replay is bit-exact.
+    */
+  def silhouette(t: Tables): DataFrame = {
+    val vecs = vectors(t).cache()
+    val (cents, _) = trainKmeans(vecs)
+    val vv = graft.functions.DotProduct(col("v"), col("v"))
+    val scored = cents.map { case (id, c) =>
+      val cc = c.map(x => x * x).sum
+      struct(
+        ((lit(cc) - lit(2.0) * graft.functions.DotProduct(col("v"), typedLit(c)))
+          + vv).as("dist2"),
+        lit(id).as("cell"))
+    }
+    val out = vecs
+      .withColumn("arr", array_sort(array(scored: _*)))
+      .withColumn("own", col("arr").getItem(0).getField("cell"))
+      .withColumn("a", col("arr").getItem(0).getField("dist2"))
+      .withColumn("b", col("arr").getItem(1).getField("dist2"))
+      .withColumn("sil",
+        when(greatest(col("a"), col("b")) > 0,
+          (col("b") - col("a")) / greatest(col("a"), col("b")))
+          .otherwise(lit(0.0)))
+      .groupBy(col("own").as("cell"))
+      .agg(
+        count(lit(1)).as("n_vecs"),
+        graft.functions.Exact.portableMean(col("sil")).as("mean_sil"),
+        min(col("sil")).as("min_sil"),
+        max(col("sil")).as("max_sil"))
+      .orderBy("cell")
+    vecs.unpersist(false)
+    out
+  }
+
+  val silhouetteSql: String =
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |c0 AS (SELECT CAST(vec_id AS INT) AS cell, v AS c FROM e WHERE vec_id < $NumCells),
+       |a1 AS (${assignSql("e", "c0")}),
+       |c1 AS (${meansSql("a1")}),
+       |a2 AS (${assignSql("e", "c1")}),
+       |c2 AS (${meansSql("a2")}),
+       |alldist AS (
+       | SELECT e.vec_id, c2.cell,
+       |  list_dot_product(c2.c, c2.c) - 2 * list_dot_product(e.v, c2.c)
+       |    + list_dot_product(e.v, e.v) AS dist2
+       | FROM e CROSS JOIN c2),
+       |rk AS (
+       | SELECT vec_id, cell, dist2,
+       |  ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist2, cell) AS rk
+       | FROM alldist),
+       |ab AS (
+       | SELECT r1.vec_id, r1.cell AS own, r1.dist2 AS a, r2.dist2 AS b
+       | FROM rk r1 JOIN rk r2 ON r1.vec_id = r2.vec_id
+       |  AND r1.rk = 1 AND r2.rk = 2),
+       |sil AS (
+       | SELECT own,
+       |  CASE WHEN greatest(a, b) > 0 THEN (b - a) / greatest(a, b)
+       |       ELSE 0.0 END AS sil
+       | FROM ab)
+       |SELECT own AS cell, CAST(COUNT(*) AS BIGINT) AS n_vecs,
+       | CAST(CAST(CAST(SUM(CAST(sil AS DECIMAL(38,30))) AS DOUBLE) / COUNT(*)
+       |   AS DECIMAL(24,12)) AS DOUBLE) AS mean_sil,
+       | MIN(sil) AS min_sil, MAX(sil) AS max_sil
+       |FROM sil GROUP BY 1 ORDER BY 1""".stripMargin
+
   private val FilteredK = 5
 
   /** Metadata-FILTERED vector search — the production problem plain ANN

@@ -441,4 +441,25 @@ class Similarity2Spec extends SparkSpec {
       assert(gotTop(l) == best._2, s"label $l winner")
     }
   }
+
+  test("silhouette: scores bounded, cells partition the corpus, means consistent") {
+    val rows = Similarity.silhouette(sf).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getDouble(2), r.getDouble(3),
+        r.getDouble(4)))
+    assert(rows.nonEmpty)
+    assert(rows.map(_._2).sum == sf.embeddings.count())
+    rows.foreach { case (cell, n, mean, lo, hi) =>
+      assert(n > 0)
+      assert(lo >= -1.0 - 1e-12 && hi <= 1.0 + 1e-12, s"cell $cell bounds")
+      assert(mean >= lo - 1e-9 && mean <= hi + 1e-9, s"cell $cell mean")
+    }
+    // cell ids match the kmeans clustering's cells with the same sizes
+    val km = Similarity.kmeansClusters(sf).collect()
+      .map(r => r.getInt(1) -> r.getLong(3))
+      .groupBy(_._1).view.mapValues(_.head._2).toMap
+    assert(rows.map(r => r._1 -> r._2).toMap == km)
+    val again = Similarity.silhouette(sf).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getDouble(2)))
+    assert(again.toSeq == rows.map(r => (r._1, r._2, r._3)).toSeq)
+  }
 }
