@@ -585,7 +585,11 @@ object Graph {
   /** Oracle: the [[LpaRounds]] synchronous rounds unrolled as CTE pairs
     * (votes → plurality winner with the same (count desc, label) order).
     */
-  val labelPropagationSql: String = {
+  /** The shared LPA CTE chain (mined edges → [[LpaRounds]] vote rounds,
+    * ending in `l{LpaRounds}(id, lbl)`) — used by [[labelPropagationSql]]
+    * and [[modularitySql]].
+    */
+  private def lpaCtesSql: String = {
     val rounds = (1 to LpaRounds).map { r =>
       s"""v$r AS (
          | SELECT e.u AS id, l.lbl AS cand, COUNT(*) AS c
@@ -598,7 +602,7 @@ object Graph {
          | SELECT n.id, COALESCE(w.lbl, n.id) AS lbl
          | FROM nodes n LEFT JOIN w$r w USING (id))""".stripMargin
     }.mkString(",\n")
-    s"""WITH items AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    s"""items AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
        |cp AS (
        |  SELECT a.l_partkey AS a, b.l_partkey AS b
        |  FROM items a JOIN items b
@@ -608,11 +612,95 @@ object Graph {
        |          UNION ALL SELECT b AS u, a AS v FROM cp),
        |nodes AS (SELECT p_partkey AS id FROM part),
        |l0 AS (SELECT id, id AS lbl FROM nodes),
-       |$rounds
+       |$rounds""".stripMargin
+  }
+
+  val labelPropagationSql: String =
+    s"""WITH $lpaCtesSql
        |SELECT id AS p_partkey, lbl AS community,
        | CAST(COUNT(*) OVER (PARTITION BY lbl) AS BIGINT) AS comm_size
        |FROM l$LpaRounds ORDER BY p_partkey""".stripMargin
+
+  /** Newman modularity of the [[labelPropagation]] communities,
+    * computed EXACTLY: with m₂ = directed edge count, eᶜ = directed
+    * edges inside community c, dᶜ = degree mass of c,
+    *   Q = Σᶜ (eᶜ/m₂ − (dᶜ/m₂)²) = Σᶜ (eᶜ·m₂ − dᶜ²) / m₂²
+    * — the numerators are exact integers (DECIMAL(38,0) headroom for
+    * dᶜ² at web-graph degree mass), their sum is order-independent,
+    * and ONE double division happens at the end: no per-community
+    * float summation to drift. The quality gate for accepting a
+    * community detection run (Q ≈ 0 ⇒ no better than random). Shape:
+    * the LPA labels attach to each directed edge end (two joins on the
+    * edge relation), then two bounded aggregations.
+    */
+  def modularity(t: Tables): DataFrame = {
+    val labels = labelPropagation(t)
+      .select(col("p_partkey").as("id"), col("community").as("lbl"))
+    val edges = Relational7.basketPairsRaw(t, EdgeSupport)
+      .select(explode(array(
+        struct(col("a_part").as("u"), col("b_part").as("v")),
+        struct(col("b_part").as("u"), col("a_part").as("v")))).as("e"))
+      .select(col("e.u").as("u"), col("e.v").as("v"))
+      .persist()
+    val lu = labels.select(col("id").as("u"), col("lbl").as("lu"))
+    val lv = labels.select(col("id").as("v"), col("lbl").as("lv"))
+    val labeled = edges.join(lu, Seq("u")).join(lv, Seq("v"))
+    val perComm = labeled
+      .groupBy(col("lu").as("community"))
+      .agg(
+        sum((col("lu") === col("lv")).cast("long")).as("e_in"),
+        count(lit(1)).as("deg_mass"))
+    val m2 = labeled.agg(count(lit(1)).as("m2"))
+    val d38 = org.apache.spark.sql.types.DecimalType(38, 0)
+    val out = perComm
+      .crossJoin(broadcast(m2))
+      .select((col("e_in").cast(d38) * col("m2") -
+        col("deg_mass").cast(d38) * col("deg_mass")).as("num"),
+        col("m2"))
+      .groupBy()
+      .agg(count(lit(1)).as("n_communities"), first(col("m2")).as("m2"),
+        sum(col("num")).as("num_sum"))
+      .select(col("n_communities"), expr("m2 div 2").as("m_edges"),
+        // the numerator sum can be negative; the hi/lo double split is
+        // nonnegative-only, so split |Σ| and reattach the sign (the
+        // oracle does exactly this)
+        ((when(col("num_sum") < 0, lit(-1.0)).otherwise(lit(1.0)) *
+          graft.functions.Exact.decToDouble(abs(col("num_sum")))) /
+          (col("m2").cast("double") * col("m2").cast("double")))
+          .as("modularity"))
+    out
   }
+
+  /** Oracle: shared LPA CTEs + the identical exact-integer numerator
+    * sum. NOTE the numerator can be negative, so the hi/lo
+    * [[graft.functions.Exact.decToDouble]] split (nonnegative-only)
+    * applies to the ABSOLUTE value with the sign reattached — both
+    * engines do exactly this.
+    */
+  val modularitySql: String =
+    s"""WITH $lpaCtesSql,
+       |labeled AS (
+       | SELECT e.u, e.v, a.lbl AS lu, b.lbl AS lv
+       | FROM edges e
+       | JOIN l$LpaRounds a ON a.id = e.u
+       | JOIN l$LpaRounds b ON b.id = e.v),
+       |per_comm AS (
+       | SELECT lu AS community,
+       |  CAST(SUM(CASE WHEN lu = lv THEN 1 ELSE 0 END) AS BIGINT) AS e_in,
+       |  CAST(COUNT(*) AS BIGINT) AS deg_mass
+       | FROM labeled GROUP BY 1),
+       |m AS (SELECT CAST(COUNT(*) AS BIGINT) AS m2 FROM labeled),
+       |acc AS (
+       | SELECT CAST(COUNT(*) AS BIGINT) AS n_communities,
+       |  MAX(m.m2) AS m2,
+       |  SUM(CAST(e_in AS HUGEINT) * m.m2
+       |    - CAST(deg_mass AS HUGEINT) * deg_mass) AS num_sum
+       | FROM per_comm CROSS JOIN m)
+       |SELECT n_communities, CAST(m2 // 2 AS BIGINT) AS m_edges,
+       | (CASE WHEN num_sum < 0 THEN -1.0 ELSE 1.0 END *
+        ${graft.functions.Exact.decToDoubleSql("abs(num_sum)")})
+       |  / (CAST(m2 AS DOUBLE) * CAST(m2 AS DOUBLE)) AS modularity
+       |FROM acc""".stripMargin
 
   /** Seed count and hop radius for [[closeness]]. Bounded-radius
     * harmonic centrality from the top-degree hubs IS the contract (not

@@ -330,4 +330,37 @@ class GraphSpec extends SparkSpec {
     val ranked = Graph.closeness(sf).collect().map(_.getLong(2))
     assert(ranked.sameElements(ranked.sortBy(-_)))
   }
+
+  test("modularity matches an exact integer replay over the LPA partition") {
+    val row = Graph.modularity(sf).collect().head
+    val (nComm, mEdges, q) = (row.getLong(0), row.getLong(1), row.getDouble(2))
+    // rebuild edges + LPA labels from the operator itself (labels are
+    // already spec'd against an in-memory replay above)
+    val labels = Graph.labelPropagation(sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val items = sf.lineitem.select("l_orderkey", "l_partkey").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).distinct
+    val und = items.groupBy(_._1).values
+      .flatMap { g =>
+        val ps = g.map(_._2).toSet
+        for (a <- ps; b <- ps if a < b) yield (a, b)
+      }
+      .toSeq.groupBy(x => x).view.mapValues(_.size).filter(_._2 >= 2).keys.toSet
+    val directed = (und ++ und.map { case (a, b) => (b, a) }).toSeq
+      .filter { case (u, v) => labels.contains(u) && labels.contains(v) }
+    val m2 = directed.size.toLong
+    assert(mEdges == m2 / 2)
+    val byComm = directed.groupBy(e => labels(e._1))
+    assert(nComm == byComm.size.toLong)
+    val numSum = byComm.values.map { es =>
+      val eIn = es.count(e => labels(e._1) == labels(e._2)).toLong
+      val dc = es.size.toLong
+      BigInt(eIn) * m2 - BigInt(dc) * dc
+    }.sum
+    val expQ = (if (numSum < 0) -1.0 else 1.0) *
+      (numSum.abs.toDouble) / (m2.toDouble * m2.toDouble)
+    assert(math.abs(q - expQ) < 1e-12, s"$q vs $expQ")
+    // a community partition of a clustered co-purchase graph beats random
+    assert(q > 0.0)
+  }
 }
