@@ -684,4 +684,91 @@ object Analytics {
        | ${toD("vsum")} / $DecayDenom / 100.0 AS decayed_value
        |FROM s ORDER BY user_id, event_type""".stripMargin
   }
+
+  /** A customer whose last order is within this many days of the
+    * observation end is CENSORED (still alive), not churned.
+    */
+  private val ChurnGapDays = 90
+
+  /** Kaplan–Meier survival curve of customer lifetimes — "what fraction
+    * of customers survive past N days", with right-censoring done
+    * properly (dropping still-active customers, the naive move, biases
+    * survival DOWN). Lifetime = last−first order date; a customer whose
+    * last order is within [[ChurnGapDays]] of the corpus's last date is
+    * censored at their observed lifetime (they leave the risk set
+    * without counting as a death — exactly KM's accounting). Risk sets
+    * and death counts are exact integers via one cumulative window over
+    * the DISTINCT-lifetime domain (calendar-bounded); the survival
+    * product Ŝ(t)=Π(1−dᵢ/nᵢ) is a LEFT FOLD over the sorted factor
+    * array (seeded with the first factor, the ewma convention), so the
+    * oracle's recursive-CTE product replays the identical IEEE
+    * sequence. Output: one row per EVENT time (censor-only times fold
+    * through as ×1). The heavy pass is one orders aggregation per
+    * customer; everything after runs on bounded domains.
+    */
+  def kaplanMeier(t: Tables): DataFrame = {
+    val perCust = t.orders
+      .groupBy("o_custkey")
+      .agg(min(col("o_orderdate").cast("date")).as("f"),
+        max(col("o_orderdate").cast("date")).as("l"))
+    val end = t.orders.agg(max(col("o_orderdate").cast("date")).as("e"))
+    val durations = perCust.crossJoin(broadcast(end))
+      .select(
+        datediff(col("l"), col("f")).cast("long").as("t"),
+        (datediff(col("e"), col("l")) >= ChurnGapDays).cast("long").as("ev"))
+    val byT = durations.groupBy("t")
+      .agg(sum(col("ev")).as("d"), count(lit(1)).as("all_t"))
+    val tot = durations.agg(count(lit(1)).as("total"))
+    val wPrev = Window.orderBy("t").rowsBetween(Window.unboundedPreceding, -1)
+    val risk = byT.crossJoin(broadcast(tot))
+      .withColumn("removed", coalesce(sum(col("all_t")).over(wPrev), lit(0L)))
+      .withColumn("n", col("total") - col("removed"))
+    risk
+      .groupBy()
+      .agg(array_sort(collect_list(struct(col("t"), col("n"), col("d")))).as("arr"))
+      .select(posexplode(col("arr")).as(Seq("pos", "x")), col("arr"))
+      .select(col("x.t").as("t_days"), col("x.n").as("n_risk"),
+        col("x.d").as("d_events"),
+        expr(
+          """aggregate(slice(arr, 2, pos),
+            |  CAST(arr[0].n - arr[0].d AS DOUBLE) / arr[0].n,
+            |  (a, y) -> a * (CAST(y.n - y.d AS DOUBLE) / y.n))""".stripMargin)
+          .as("survival"))
+      .where(col("d_events") > 0)
+      .orderBy("t_days")
+  }
+
+  val kaplanMeierSql: String =
+    s"""WITH RECURSIVE per_cust AS (
+       | SELECT o_custkey, MIN(CAST(o_orderdate AS DATE)) AS f,
+       |  MAX(CAST(o_orderdate AS DATE)) AS l
+       | FROM orders GROUP BY 1),
+       |e AS (SELECT MAX(CAST(o_orderdate AS DATE)) AS e FROM orders),
+       |durations AS (
+       | SELECT CAST(date_diff('day', f, l) AS BIGINT) AS t,
+       |  CASE WHEN date_diff('day', l, e.e) >= $ChurnGapDays
+       |       THEN 1 ELSE 0 END AS ev
+       | FROM per_cust CROSS JOIN e),
+       |by_t AS (
+       | SELECT t, CAST(SUM(ev) AS BIGINT) AS d,
+       |  CAST(COUNT(*) AS BIGINT) AS all_t
+       | FROM durations GROUP BY 1),
+       |tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS total FROM durations),
+       |risk AS (
+       | SELECT t, d, all_t,
+       |  tot.total - CAST(COALESCE(SUM(all_t) OVER (ORDER BY t
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+       |    AS n,
+       |  CAST(ROW_NUMBER() OVER (ORDER BY t) AS BIGINT) AS i
+       | FROM by_t CROSS JOIN tot),
+       |km AS (
+       | SELECT i, t, n, d, CAST(n - d AS DOUBLE) / n AS s
+       | FROM risk WHERE i = 1
+       | UNION ALL
+       | SELECT r.i, r.t, r.n, r.d,
+       |  km.s * (CAST(r.n - r.d AS DOUBLE) / r.n)
+       | FROM km JOIN risk r ON r.i = km.i + 1)
+       |SELECT t AS t_days, n AS n_risk, d AS d_events, s AS survival
+       |FROM km WHERE d > 0
+       |ORDER BY t_days""".stripMargin
 }

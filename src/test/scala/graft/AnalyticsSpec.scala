@@ -148,6 +148,44 @@ class AnalyticsSpec extends SparkSpec {
     }
   }
 
+  test("kaplan-meier survival matches the exact KM replay with censoring") {
+    import graft.operators.Analytics
+    val perCust = sf.orders.select("o_custkey", "o_orderdate").collect()
+      .map { r =>
+        val d = (r.get(1) match {
+          case t: java.sql.Timestamp => t.toLocalDateTime
+          case t: java.time.LocalDateTime => t
+        }).toLocalDate.toEpochDay
+        (r.getLong(0), d)
+      }
+      .groupBy(_._1).view.mapValues(ds => (ds.map(_._2).min, ds.map(_._2).max))
+      .toMap
+    val end = perCust.values.map(_._2).max
+    val durations = perCust.values.toSeq.map { case (f, l) =>
+      (l - f, end - l >= 90)
+    }
+    val total = durations.size.toLong
+    val byT = durations.groupBy(_._1).toSeq.sortBy(_._1)
+      .map { case (t, g) => (t, g.count(_._2).toLong, g.size.toLong) }
+    var removed = 0L
+    var s = 1.0
+    val expect = scala.collection.mutable.LinkedHashMap.empty[Long, (Long, Long, Double)]
+    byT.foreach { case (t, d, allT) =>
+      val n = total - removed
+      s = s * ((n - d).toDouble / n)
+      removed += allT
+      if (d > 0) expect += t -> ((n, d, s))
+    }
+    val got = Analytics.kaplanMeier(sf).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3))))
+    assert(got.map(_._1).toSeq == expect.keys.toSeq)
+    got.foreach { case (t, v) => assert(v == expect(t), s"t=$t") }
+    // survival is monotonically nonincreasing and in (0, 1]
+    val surv = got.map(_._2._3)
+    assert(surv.zip(surv.tail).forall { case (a, b) => b <= a + 1e-15 })
+    assert(surv.forall(x => x > 0.0 && x <= 1.0))
+  }
+
   test("holt level/trend match the exact two-state fold replay per user") {
     import graft.operators.TimeSeries
     val evs = sf.events.select("user_id", "ts", "event_id", "value").collect()
