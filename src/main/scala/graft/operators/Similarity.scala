@@ -992,6 +992,63 @@ object Similarity {
        | MIN(sil) AS min_sil, MAX(sil) AS max_sil
        |FROM sil GROUP BY 1 ORDER BY 1""".stripMargin
 
+  private val HardNegAnchors = 8
+  private val HardNegK = 3
+
+  /** Hard-negative mining for contrastive training — the step that
+    * makes embedding models actually learn (random negatives are too
+    * easy; the informative ones are near-misses): for each of the
+    * first [[HardNegAnchors]] anchor vectors, the [[HardNegK]] most
+    * similar vectors with a DIFFERENT label (similar content, wrong
+    * class — the definition of a hard negative). Anchors broadcast as
+    * a tiny frame; the corpus scans once, scores against every anchor
+    * (n·A work, A fixed), and the per-anchor cut runs through the
+    * TopKPerKey heap operator — no global sort, no pair space.
+    */
+  def hardNegatives(t: Tables): DataFrame = {
+    val labeled = t.embeddings
+      .select(col("vec_id"), col("label"),
+        col("embedding").cast("array<double>").as("v"))
+    val anchors = labeled.where(col("vec_id") < HardNegAnchors)
+      .select(col("vec_id").as("anchor_id"), col("label").as("a_label"),
+        col("v").as("av"))
+    val scored = labeled
+      .crossJoin(broadcast(anchors))
+      .where(col("vec_id") =!= col("anchor_id") &&
+        col("label") =!= col("a_label"))
+      .select(col("anchor_id"), col("vec_id"), col("label"),
+        cosine(col("v"), col("av")).as("cosine"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("anchor_id")
+      .orderBy(col("cosine").desc, col("vec_id"))
+    graft.plans.TopKPerKey(scored, Seq("anchor_id"),
+        Seq(("cosine", false), ("vec_id", true)), HardNegK)
+      .withColumn("rank", row_number().over(w))
+      .select(col("anchor_id"), col("rank"), col("vec_id"),
+        col("label"), col("cosine"))
+      .orderBy("anchor_id", "rank")
+  }
+
+  val hardNegativesSql: String =
+    s"""WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+       |anchors AS (
+       | SELECT vec_id AS anchor_id, label AS a_label, v AS av
+       | FROM e WHERE vec_id < $HardNegAnchors),
+       |scored AS (
+       | SELECT a.anchor_id, e.vec_id, e.label,
+       |  list_dot_product(e.v, a.av) /
+       |    (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(a.av, a.av)))
+       |    AS cosine
+       | FROM e CROSS JOIN anchors a
+       | WHERE e.vec_id <> a.anchor_id AND e.label <> a.a_label),
+       |rk AS (
+       | SELECT anchor_id, vec_id, label, cosine,
+       |  CAST(ROW_NUMBER() OVER (PARTITION BY anchor_id
+       |    ORDER BY cosine DESC, vec_id) AS INT) AS rank
+       | FROM scored)
+       |SELECT anchor_id, rank, vec_id, label, cosine
+       |FROM rk WHERE rank <= $HardNegK
+       |ORDER BY anchor_id, rank""".stripMargin
+
   private val FilteredK = 5
 
   /** Metadata-FILTERED vector search — the production problem plain ANN

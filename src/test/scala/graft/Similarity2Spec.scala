@@ -442,6 +442,35 @@ class Similarity2Spec extends SparkSpec {
     }
   }
 
+  test("hard negatives: per-anchor winners are the nearest different-label vectors") {
+    val rows = Similarity.hardNegatives(sf).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getInt(3),
+        r.getDouble(4)))
+    assert(rows.map(_._1).distinct.sorted.sameElements(0L until 8L))
+    rows.groupBy(_._1).foreach { case (a, g) =>
+      assert(g.map(_._2).sorted.sameElements(1 to 3), s"anchor $a")
+    }
+    val vecs = sf.embeddings.select("vec_id", "label", "embedding").collect()
+      .map(r => (r.getLong(0), r.getInt(1),
+        r.getSeq[Float](2).map(_.toDouble).toArray))
+    def cos(a: Array[Double], b: Array[Double]) = {
+      def dot(x: Array[Double], y: Array[Double]) =
+        x.indices.foldLeft(0.0)((s, i) => s + x(i) * y(i))
+      dot(a, b) / (math.sqrt(dot(a, a)) * math.sqrt(dot(b, b)))
+    }
+    val byAnchor = vecs.filter(_._1 < 8L)
+    byAnchor.foreach { case (aid, albl, av) =>
+      val expect = vecs
+        .filter(v => v._1 != aid && v._2 != albl)
+        .map(v => (cos(v._3, av), v._1))
+        .sortBy { case (c, id) => (-c, id) }.take(3).map(_._2).toSeq
+      val got = rows.filter(_._1 == aid).sortBy(_._2).map(_._3).toSeq
+      assert(got == expect, s"anchor $aid")
+      // every mined negative really has a different label
+      rows.filter(_._1 == aid).foreach(r => assert(r._4 != albl))
+    }
+  }
+
   test("silhouette: scores bounded, cells partition the corpus, means consistent") {
     val rows = Similarity.silhouette(sf).collect()
       .map(r => (r.getInt(0), r.getLong(1), r.getDouble(2), r.getDouble(3),
