@@ -327,6 +327,28 @@ object Sources {
               pmod(xxhash64(col("value"), lit("n")), lit(21)).cast("double") / 100.0),
           2).as("unit_price"))
 
+  /** Binary-file ingestion — the OBJECT-STORE seam of the multimodal
+    * pipeline: `binaryFile` reads each matching file as one
+    * (path, modificationTime, length, content) row, distributed across
+    * executors by Spark's file index (the same listing machinery the
+    * parquet reader uses, so a million-object image bucket parallelizes
+    * for free). The numeric id is extracted from the file NAME — the
+    * usual object-key convention — so the typed (doc_id, payload) frame
+    * plugs directly into the batched codec seam
+    * ([[graft.operators.Multimodal]]'s decoders), closing the loop from
+    * real files to real decode.
+    */
+  def binaryFiles(spark: SparkSession, path: String,
+      glob: String = "*"): DataFrame =
+    spark.read.format("binaryFile")
+      .option("pathGlobFilter", glob)
+      .load(path)
+      .select(
+        regexp_extract(substring_index(col("path"), "/", -1), "(\\d+)", 1)
+          .cast("long").as("doc_id"),
+        col("length"),
+        col("content").as("payload"))
+
   /** PERMISSIVE CSV ingestion with corrupt-row capture — the
     * dead-letter pattern at the PARSER seam (a malformed row in a
     * 100 TB drop must neither kill the job (FAILFAST) nor silently

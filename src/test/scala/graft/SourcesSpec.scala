@@ -674,6 +674,35 @@ class SourcesSpec extends SparkSpec {
     df.unpersist(false)
   }
 
+  test("binary files source feeds real PNG files into the codec seam") {
+    import graft.operators.Multimodal
+    val dir = java.nio.file.Files.createTempDirectory("binf").toString
+    val ids = Seq(3L, 17L, 64L, 100L)
+    ids.foreach { id =>
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(dir, s"doc_$id.png"), Multimodal.synthPng(id))
+    }
+    java.nio.file.Files.write( // non-matching file must be filtered out
+      java.nio.file.Paths.get(dir, "readme.txt"), "not an image".getBytes)
+    val media = graft.sources.Sources.binaryFiles(spark, dir, "*.png")
+    assert(media.count() == ids.length)
+    // lengths match the on-disk payloads; ids parsed from the key
+    val byId = media.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getAs[Array[Byte]](2))).toSeq
+    assert(byId.map(_._1).sorted == ids.sorted)
+    byId.foreach { case (id, len, bytes) =>
+      assert(len == Multimodal.synthPng(id).length.toLong)
+      assert(bytes.sameElements(Multimodal.synthPng(id)))
+    }
+    // the frame plugs into the REAL codec seam and decodes correctly
+    val decoded = Multimodal.decodeImagesFrom(
+        media.select("doc_id", "payload"), Multimodal.imageIoDecoder)
+      .collect().map(r => r.getLong(0) -> ((r.getInt(1), r.getInt(2)))).toMap
+    ids.foreach { id =>
+      assert(decoded(id) == ((8 + (id % 9).toInt, 8 + ((id * 3) % 9).toInt)))
+    }
+  }
+
   test("jsonl sink round-trips through the jsonl source, chunked") {
     val dir = java.nio.file.Files.createTempDirectory("jsonl").toString
     val src = sf.events.select("event_id", "event_type", "value")
