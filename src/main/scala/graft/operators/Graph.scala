@@ -702,6 +702,77 @@ object Graph {
        |  / (CAST(m2 AS DOUBLE) * CAST(m2 AS DOUBLE)) AS modularity
        |FROM acc""".stripMargin
 
+  /** Degree assortativity of the co-purchase network — Pearson
+    * correlation of endpoint degrees over the DIRECTED edge list
+    * ("do hubs link to hubs?", positive for social-style graphs,
+    * negative for hub-and-spoke): the six power sums (n, Σx, Σy, Σx²,
+    * Σy², Σxy over per-edge endpoint degrees) are exact DECIMAL(38,0)
+    * aggregates — degree products overflow longs on web-scale hubs —
+    * and the correlation evaluates in double from
+    * [[graft.functions.Exact.decToDouble]]-converted sums with the
+    * oracle's expression tree (the rollingCorr recipe on graph
+    * structure). Shape: degree aggregation + two degree-attach joins
+    * on the edge relation + one global six-sum fold. Symmetric edge
+    * list ⇒ Σx = Σy, but both are computed independently so the
+    * formula stays the general one.
+    */
+  def assortativity(t: Tables): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val d38 = DecimalType(38, 0)
+    val edges = Relational7.basketPairsRaw(t, EdgeSupport)
+      .select(explode(array(
+        struct(col("a_part").as("u"), col("b_part").as("v")),
+        struct(col("b_part").as("u"), col("a_part").as("v")))).as("e"))
+      .select(col("e.u").as("u"), col("e.v").as("v"))
+      .persist()
+    val deg = edges.groupBy("u").agg(count(lit(1)).as("d"))
+    val du = deg.select(col("u"), col("d").as("x"))
+    val dv = deg.select(col("u").as("v"), col("d").as("y"))
+    val toD = graft.functions.Exact.decToDouble _
+    edges.join(du, Seq("u")).join(dv, Seq("v"))
+      .groupBy()
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("x").cast(d38)).as("sx"),
+        sum(col("y").cast(d38)).as("sy"),
+        sum(col("x").cast(d38) * col("x")).as("sxx"),
+        sum(col("y").cast(d38) * col("y")).as("syy"),
+        sum(col("x").cast(d38) * col("y")).as("sxy"))
+      .select(col("n"),
+        ((col("n") * toD(col("sxy")) - toD(col("sx")) * toD(col("sy"))) /
+          (sqrt(col("n") * toD(col("sxx")) - toD(col("sx")) * toD(col("sx"))) *
+            sqrt(col("n") * toD(col("syy")) - toD(col("sy")) * toD(col("sy")))))
+          .as("assortativity"))
+  }
+
+  val assortativitySql: String = {
+    val toD = graft.functions.Exact.decToDoubleSql _
+    s"""WITH items AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+       |cp AS (
+       |  SELECT a.l_partkey AS a, b.l_partkey AS b
+       |  FROM items a JOIN items b
+       |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+       |  GROUP BY 1, 2 HAVING COUNT(*) >= $EdgeSupport),
+       |edges AS (SELECT a AS u, b AS v FROM cp
+       |          UNION ALL SELECT b AS u, a AS v FROM cp),
+       |deg AS (SELECT u, CAST(COUNT(*) AS BIGINT) AS d FROM edges GROUP BY u),
+       |xy AS (
+       | SELECT du.d AS x, dv.d AS y
+       | FROM edges e JOIN deg du ON du.u = e.u JOIN deg dv ON dv.u = e.v),
+       |s AS (
+       | SELECT CAST(COUNT(*) AS BIGINT) AS n,
+       |  SUM(CAST(x AS HUGEINT)) AS sx, SUM(CAST(y AS HUGEINT)) AS sy,
+       |  SUM(CAST(x AS HUGEINT) * x) AS sxx,
+       |  SUM(CAST(y AS HUGEINT) * y) AS syy,
+       |  SUM(CAST(x AS HUGEINT) * y) AS sxy
+       | FROM xy)
+       |SELECT n,
+       | (n * ${toD("sxy")} - ${toD("sx")} * ${toD("sy")}) /
+       |  (sqrt(n * ${toD("sxx")} - ${toD("sx")} * ${toD("sx")}) *
+       |   sqrt(n * ${toD("syy")} - ${toD("sy")} * ${toD("sy")})) AS assortativity
+       |FROM s""".stripMargin
+  }
+
   /** Seed count and hop radius for [[closeness]]. Bounded-radius
     * harmonic centrality from the top-degree hubs IS the contract (not
     * an approximation of all-pairs): state stays seeds × reachable-set,

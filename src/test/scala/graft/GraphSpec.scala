@@ -363,4 +363,32 @@ class GraphSpec extends SparkSpec {
     // a community partition of a clustered co-purchase graph beats random
     assert(q > 0.0)
   }
+
+  test("assortativity matches an exact degree-correlation replay") {
+    val row = Graph.assortativity(sf).collect().head
+    val (n, r) = (row.getLong(0), row.getDouble(1))
+    val items = sf.lineitem.select("l_orderkey", "l_partkey").collect()
+      .map(rr => (rr.getLong(0), rr.getLong(1))).distinct
+    val und = items.groupBy(_._1).values
+      .flatMap { g =>
+        val ps = g.map(_._2).toSet
+        for (a <- ps; b <- ps if a < b) yield (a, b)
+      }
+      .toSeq.groupBy(x => x).view.mapValues(_.size).filter(_._2 >= 2).keys.toSet
+    val directed = (und ++ und.map { case (a, b) => (b, a) }).toSeq
+    val deg = directed.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+    assert(n == directed.size.toLong)
+    val xy = directed.map { case (u, v) => (deg(u), deg(v)) }
+    def s(f: ((Long, Long)) => Long): BigInt = xy.map(p => BigInt(f(p))).sum
+    val (sx, sy) = (s(_._1), s(_._2))
+    val sxx = xy.map(p => BigInt(p._1) * p._1).sum
+    val syy = xy.map(p => BigInt(p._2) * p._2).sum
+    val sxy = xy.map(p => BigInt(p._1) * p._2).sum
+    val nD = n.toDouble
+    val expect = (nD * sxy.toDouble - sx.toDouble * sy.toDouble) /
+      (math.sqrt(nD * sxx.toDouble - sx.toDouble * sx.toDouble) *
+        math.sqrt(nD * syy.toDouble - sy.toDouble * sy.toDouble))
+    assert(math.abs(r - expect) < 1e-12, s"$r vs $expect")
+    assert(r >= -1.0 && r <= 1.0)
+  }
 }
