@@ -265,4 +265,55 @@ object Etl {
       |   CASE WHEN user_id IS NULL THEN 'null_user' END) AS reasons
       | FROM events)
       |ORDER BY event_id""".stripMargin
+
+  /** Generated date DIMENSION over the order calendar — the star
+    * schema's one missing dim (every BI layer joins facts to a date
+    * table rather than re-deriving calendar attributes per query):
+    * one in-row `sequence()` spine between the corpus's first and last
+    * order date, then pure calendar projections. Weekday/weekend come
+    * from `days-since-epoch mod 7` (0 = Thursday; 2/3 = Sat/Sun) — the
+    * one weekday formula both engines compute identically, their DOW
+    * builtins disagree ([[graft.operators.Relational8.chiSquare]]'s
+    * convention). Output is calendar-span-bounded; generation is one
+    * row exploded, no driver loop.
+    */
+  def dimDates(t: Tables): DataFrame = {
+    val bounds = t.orders.agg(
+      min(col("o_orderdate").cast("date")).as("d0"),
+      max(col("o_orderdate").cast("date")).as("d1"))
+    bounds
+      .select(explode(expr("sequence(d0, d1, interval 1 day)")).as("d"))
+      .select(
+        col("d"),
+        datediff(col("d"), to_date(lit("1970-01-01"))).cast("long")
+          .as("epoch_day"),
+        year(col("d")).as("year"),
+        quarter(col("d")).as("quarter"),
+        month(col("d")).as("month"),
+        dayofmonth(col("d")).as("day"),
+        (year(col("d")) * 100 + month(col("d"))).as("ym_key"),
+        pmod(datediff(col("d"), to_date(lit("1970-01-01"))), lit(7))
+          .cast("long").as("dow_mod7"))
+      .withColumn("is_weekend", col("dow_mod7").isin(2L, 3L))
+      .orderBy("d")
+  }
+
+  val dimDatesSql: String =
+    """WITH b AS (
+      | SELECT MIN(CAST(o_orderdate AS DATE)) AS d0,
+      |  MAX(CAST(o_orderdate AS DATE)) AS d1 FROM orders),
+      |spine AS (
+      | SELECT CAST(unnest(generate_series(CAST(d0 AS TIMESTAMP),
+      |   CAST(d1 AS TIMESTAMP), INTERVAL 1 DAY)) AS DATE) AS d
+      | FROM b)
+      |SELECT d,
+      | CAST(date_diff('day', DATE '1970-01-01', d) AS BIGINT) AS epoch_day,
+      | CAST(year(d) AS INT) AS year,
+      | CAST(quarter(d) AS INT) AS quarter,
+      | CAST(month(d) AS INT) AS month,
+      | CAST(day(d) AS INT) AS day,
+      | CAST(year(d) * 100 + month(d) AS INT) AS ym_key,
+      | CAST(date_diff('day', DATE '1970-01-01', d) % 7 AS BIGINT) AS dow_mod7,
+      | date_diff('day', DATE '1970-01-01', d) % 7 IN (2, 3) AS is_weekend
+      |FROM spine ORDER BY d""".stripMargin
 }

@@ -129,4 +129,30 @@ class EtlSpec extends SparkSpec {
       assert(m.getAs[Long]("n_negative_balances") == negatives)
     } finally spark.listenerManager.unregister(listener)
   }
+
+  test("date dimension covers the order calendar with portable attributes") {
+    val rows = Etl.dimDates(sf).collect()
+    val days = rows.map(_.getAs[java.sql.Date](0).toLocalDate)
+    // contiguous daily spine over [min, max] order date
+    assert(days.head.toEpochDay + days.length - 1 == days.last.toEpochDay)
+    days.sliding(2).foreach {
+      case Array(a, b) => assert(b.toEpochDay == a.toEpochDay + 1)
+      case _ =>
+    }
+    rows.foreach { r =>
+      val d = r.getAs[java.sql.Date](0).toLocalDate
+      assert(r.getLong(1) == d.toEpochDay)
+      assert(r.getInt(2) == d.getYear)
+      assert(r.getInt(3) == (d.getMonthValue + 2) / 3)
+      assert(r.getInt(4) == d.getMonthValue)
+      assert(r.getInt(5) == d.getDayOfMonth)
+      assert(r.getInt(6) == d.getYear * 100 + d.getMonthValue)
+      val dow = java.lang.Math.floorMod(d.toEpochDay, 7L)
+      assert(r.getLong(7) == dow)
+      // 1970-01-01 was Thursday: mod 2/3 are Saturday/Sunday
+      val isWeekend = d.getDayOfWeek == java.time.DayOfWeek.SATURDAY ||
+        d.getDayOfWeek == java.time.DayOfWeek.SUNDAY
+      assert(r.getBoolean(8) == isWeekend, s"$d weekend flag")
+    }
+  }
 }
