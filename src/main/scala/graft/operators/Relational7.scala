@@ -141,6 +141,44 @@ object Relational7 {
       .agg(count(lit(1)).as("support"))
       .where(col("support") >= minSupport)
 
+  private val TripleSupport = 2
+
+  /** Frequent 3-itemsets — the a-priori step above [[basketPairs]]
+    * ("what do people buy in THREES"): canonical a<b<c triples expand
+    * IN-ROW from each order's sorted part set (nested indexed
+    * transforms — O(basket³) per order, and basket SIZE is a property
+    * of shopping behaviour, not corpus size, so the expansion stays
+    * bounded at any scale), then one hash aggregation keyed on the
+    * triple with the support floor applied before anything downstream.
+    * No self-joins of the fact table, no pair×item blow-up.
+    */
+  def basketTriples(t: Tables): DataFrame =
+    baskets(t)
+      .select(explode(expr(
+        """flatten(flatten(transform(parts, (a, i) ->
+          |  transform(slice(parts, i + 2, size(parts)), (b, j) ->
+          |    transform(slice(parts, i + j + 3, size(parts)),
+          |      c -> named_struct('a', a, 'b', b, 'c', c))))))""".stripMargin))
+        .as("tr"))
+      .groupBy(col("tr.a").as("a_part"), col("tr.b").as("b_part"),
+        col("tr.c").as("c_part"))
+      .agg(count(lit(1)).as("support"))
+      .where(col("support") >= TripleSupport)
+      .orderBy("a_part", "b_part", "c_part")
+
+  val basketTriplesSql: String =
+    s"""WITH items AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem)
+       |SELECT a.l_partkey AS a_part, b.l_partkey AS b_part,
+       | c.l_partkey AS c_part, CAST(COUNT(*) AS BIGINT) AS support
+       |FROM items a
+       |JOIN items b ON a.l_orderkey = b.l_orderkey
+       |  AND a.l_partkey < b.l_partkey
+       |JOIN items c ON b.l_orderkey = c.l_orderkey
+       |  AND b.l_partkey < c.l_partkey
+       |GROUP BY 1, 2, 3
+       |HAVING COUNT(*) >= $TripleSupport
+       |ORDER BY a_part, b_part, c_part""".stripMargin
+
   val basketPairsSql: String =
     s"""WITH items AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem)
        |SELECT a.l_partkey AS a_part, b.l_partkey AS b_part,

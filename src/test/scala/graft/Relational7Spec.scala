@@ -37,6 +37,20 @@ class Relational7Spec extends SparkSpec {
     }
   }
 
+  test("basket triples match a driver-side itemset recount") {
+    val rows = graft.operators.Relational7.basketTriples(sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)) -> r.getLong(3))
+      .toMap
+    rows.keys.foreach { case (a, b, c) => assert(a < b && b < c) }
+    rows.values.foreach(s => assert(s >= 2))
+    val orders = sf.lineitem.select("l_orderkey", "l_partkey").distinct()
+      .collect().groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).toSet)
+    val expect = orders.values.toSeq
+      .flatMap(ps => ps.toSeq.sorted.combinations(3).map(t => (t(0), t(1), t(2))))
+      .groupBy(x => x).view.mapValues(_.size.toLong).filter(_._2 >= 2).toMap
+    assert(rows == expect, s"got ${rows.size} vs ${expect.size} triples")
+  }
+
   test("basket lift matches the exact count replay and broadcasts the frequencies") {
     val orders = sf.lineitem.select("l_orderkey", "l_partkey").distinct().collect()
       .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).toSet).toMap
