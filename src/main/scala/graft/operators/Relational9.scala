@@ -1,7 +1,7 @@
 package graft.operators
 
 import graft.Tables
-import graft.functions.Exact.discPrice
+import graft.functions.Exact.{dec, discPrice}
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -181,6 +181,62 @@ object Relational9 {
       edge("nation.n_regionkey->region", "nation", "n_regionkey", "region", "r_regionkey"))
       .mkString("", "\nUNION ALL\n", "\nORDER BY fk_edge")
   }
+
+  /** Open-order backlog aging — operations' "what's stuck, and for how
+    * long": non-finalized orders (status ≠ 'F') bucketed by age at the
+    * corpus's observation end into the standard 30/60/90/older bands,
+    * with exact counts and exact decimal order value per
+    * (status, band). Age derives from integer day arithmetic against
+    * the broadcast 1-row max-date aggregate; band edges are CASE
+    * ladders (no division, nothing to drift). One fact aggregation;
+    * output is status×band-bounded.
+    */
+  def orderAging(t: Tables): DataFrame = {
+    val end = t.orders.agg(max(col("o_orderdate").cast("date")).as("e"))
+    t.orders
+      .where(col("o_orderstatus") =!= "F")
+      .crossJoin(broadcast(end))
+      .withColumn("age_days",
+        datediff(col("e"), col("o_orderdate").cast("date")).cast("long"))
+      .withColumn("age_band",
+        when(col("age_days") <= 30, "00-30")
+          .when(col("age_days") <= 60, "31-60")
+          .when(col("age_days") <= 90, "61-90")
+          .otherwise("90+"))
+      .groupBy("o_orderstatus", "age_band")
+      .agg(
+        count(lit(1)).as("n_orders"),
+        sum(dec(col("o_totalprice"))).cast("double").as("backlog_value"),
+        min(col("age_days")).as("min_age"),
+        max(col("age_days")).as("max_age"))
+      .orderBy("o_orderstatus", "age_band")
+  }
+
+  val orderAgingSql: String =
+    """WITH e AS (SELECT MAX(CAST(o_orderdate AS DATE)) AS e FROM orders),
+      |aged AS (
+      | SELECT o_orderstatus,
+      |  CAST(date_diff('day', CAST(o_orderdate AS DATE), e.e) AS BIGINT)
+      |    AS age_days,
+      |  o_totalprice
+      | FROM orders CROSS JOIN e
+      | WHERE o_orderstatus <> 'F'),
+      |banded AS (
+      | SELECT o_orderstatus,
+      |  CASE WHEN age_days <= 30 THEN '00-30'
+      |       WHEN age_days <= 60 THEN '31-60'
+      |       WHEN age_days <= 90 THEN '61-90'
+      |       ELSE '90+' END AS age_band,
+      |  age_days, o_totalprice
+      | FROM aged)
+      |SELECT o_orderstatus, age_band,
+      | CAST(COUNT(*) AS BIGINT) AS n_orders,
+      | CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE)
+      |   AS backlog_value,
+      | CAST(MIN(age_days) AS BIGINT) AS min_age,
+      | CAST(MAX(age_days) AS BIGINT) AS max_age
+      |FROM banded GROUP BY 1, 2
+      |ORDER BY o_orderstatus, age_band""".stripMargin
 
   /** Peak session concurrency — the sweep-line classic ("how many
     * users were on AT ONCE, and when"): sessions (the shared

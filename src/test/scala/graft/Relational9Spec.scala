@@ -173,5 +173,35 @@ class Relational9Spec extends SparkSpec {
     }
   }
 
+  test("order aging buckets match a driver replay and cover all open orders") {
+    val rows = Relational9.orderAging(sf).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getDouble(3), r.getLong(4), r.getLong(5)))).toMap
+    val orders = sf.orders
+      .select("o_orderstatus", "o_orderdate", "o_totalprice").collect()
+      .map { r =>
+        val d = (r.get(1) match {
+          case t: java.sql.Timestamp => t.toLocalDateTime
+          case t: java.time.LocalDateTime => t
+        }).toLocalDate.toEpochDay
+        (r.getString(0), d, r.getDouble(2))
+      }
+    val end = orders.map(_._2).max
+    val open = orders.filter(_._1 != "F")
+    def band(age: Long) =
+      if (age <= 30) "00-30" else if (age <= 60) "31-60"
+      else if (age <= 90) "61-90" else "90+"
+    val expect = open.groupBy { case (s, d, _) => (s, band(end - d)) }
+      .map { case (k, g) =>
+        k -> ((g.length.toLong,
+          g.map(x => BigDecimal(x._3).setScale(2, BigDecimal.RoundingMode.HALF_UP))
+            .sum.toDouble,
+          g.map(x => end - x._2).min, g.map(x => end - x._2).max))
+      }
+    assert(rows == expect)
+    assert(rows.values.map(_._1).sum == open.length.toLong)
+    assert(!rows.keySet.exists(_._1 == "F"))
+  }
+
   private def col(n: String) = org.apache.spark.sql.functions.col(n)
 }
