@@ -31,7 +31,7 @@ object Dedup {
       |GROUP BY md5(text)
       |ORDER BY keep_id""".stripMargin
 
-  private val JaccardThreshold = 0.6
+  private[graft] val JaccardThreshold = 0.6
 
   /** Word-3-gram Jaccard near-dup pairs (threshold 0.6).
     *
@@ -184,20 +184,22 @@ object Dedup {
 
   /** Exact-Jaccard verification of candidate pairs (see
     * [[scoreCandidates]]; [[graft.functions.SortedLongJaccard]] merge).
-    * The verified pair set is persisted (it is tiny — actual near-dups)
-    * so downstream consumers with the same pair source ([[clusters]]
-    * after [[ngramJaccard]] in one session) reuse it instead of
-    * re-running candidate generation + verification. Cache lifecycle
-    * belongs to the session owner (Verify clears between queries; a
-    * long-lived service should `spark.catalog.clearCache()` on its own
-    * cadence) — the entries are bounded by true near-dup counts.
+    * Deliberately NOT persisted (r11): every measured consumer
+    * ([[ngramJaccard]]'s single sort, [[clusters]]' one probe collect,
+    * [[keepBest]] via clusters) reads the pair set exactly once, so a
+    * cacheManager persist bought zero reuse while forcing the whole
+    * candidate+verify pipeline to build as a CACHED plan, where AQE's
+    * runtime re-planning is restricted — profiled at +25-35% task CPU
+    * on identical inputs (ProfileJaccard, r11; same mechanism as the
+    * r10 dedup_clusters pre-fork cache fix). A long-lived service that
+    * really alternates pair consumers should persist at ITS seam, where
+    * the reuse actually exists.
     */
   private def verifyJaccard(candidates: DataFrame, hg: DataFrame): DataFrame =
     scoreCandidates(candidates, hg)(graft.functions.SortedLongJaccard(_, _))
       .withColumnRenamed("score", "jaccard")
       .where(col("jaccard") >= JaccardThreshold)
       .select("a_id", "b_id", "jaccard")
-      .persist()
 
   /** Oracle: unblocked brute force — the prefix filter is sound, so the
     * blocked result must equal the full pair scan.
@@ -234,15 +236,42 @@ object Dedup {
     * hash = xxhash64 of the band's [[BandRows]] signature slots.
     */
   private def bandsOf(g: DataFrame): DataFrame =
-    g.where(size(col("grams")) > 0)
-      .select(col("doc_id"), size(col("grams")).as("sz"),
-        graft.functions.MinHashSig(col("grams")).as("sig"))
+    bandExplode(g.select(col("doc_id"), size(col("grams")).as("sz"), col("grams")))
+      .select("doc_id", "sz", "band_idx", "band_hash")
+
+  /** Adds LSH (band_idx, band_hash) rows to any frame with a `grams`
+    * column (zero-gram rows are dropped — they have no signature): the
+    * single banding definition, shared by the batch dedup tiers and the
+    * streaming gate ([[graft.streaming.Streams.lshDedupGateStream]]) so
+    * a live feed and a batch backfill land in IDENTICAL buckets. All
+    * other input columns ride along; `grams` is kept for downstream
+    * payload derivation.
+    */
+  private[graft] def bandExplode(df: DataFrame): DataFrame =
+    df.where(size(col("grams")) > 0)
+      .withColumn("sig", graft.functions.MinHashSig(col("grams")))
       .select(
-        col("doc_id"), col("sz"),
+        col("*"),
         posexplode(array((0 until NumBands).map { b =>
           xxhash64((b * BandRows until (b + 1) * BandRows)
             .map(i => col("sig").getItem(i)): _*)
         }: _*)).as(Seq("band_idx", "band_hash")))
+      .drop("sig")
+
+  /** The STANDING corpus band index a streaming dedup gate probes: every
+    * non-batch document's LSH band keys plus its verify payload (size +
+    * sorted hashed grams). Built offline (one linear pass), loaded as a
+    * static frame — the stream-side twin of [[incrementalDedup]]'s
+    * corpus side with the same banding and the same verify columns.
+    */
+  private[graft] def corpusBandIndex(t: Tables): DataFrame = {
+    val g = Shingles.gramsOf(t.documents)
+      .where(pmod(col("doc_id"), lit(5)) =!= 0)
+      .withColumn("c_hg", graft.functions.HashedSortedGrams(col("grams")))
+    bandExplode(g)
+      .select(col("doc_id").as("c_id"), size(col("grams")).as("c_sz"),
+        col("c_hg"), col("band_idx"), col("band_hash"))
+  }
 
   def minhashLsh(t: Tables): DataFrame = {
     // persisted: feeds the signature build + the verify join
