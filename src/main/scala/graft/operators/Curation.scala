@@ -13,6 +13,11 @@ import org.apache.spark.sql.functions._
 object Curation {
 
   private[graft] val ContamN = 5
+  // declared BEFORE the eager *Sql vals that splice them into oracle
+  // strings — a later declaration would interpolate the pre-init 0
+  private[graft] val DomainCap     = 5
+  private[graft] val PplHoldoutMod = 7
+  private[graft] val PplGatePct    = 25L // drop the bottom quartile
 
   /** Benchmark decontamination: flag training documents sharing any
     * word-5-gram with a held-out benchmark set (here the deterministic
@@ -210,9 +215,16 @@ object Curation {
       .select(col("doc_id"), col("n_words"), col("keep").as("keep_quality"))
     val kb = Dedup.keepBest(t)
       .select(col("doc_id"), col("cluster_id"), col("keep_best").as("keep_dedup"))
+    // r11: the URL/domain front door joins the gate chain — blocklisted
+    // or over-cap domains drop here just like quality/dedup failures
+    val dom = domainFilter(t)
+      .select(col("doc_id"), col("keep").as("keep_domain"))
     quality.join(kb, Seq("doc_id"))
-      .withColumn("kept", col("keep_quality") && col("keep_dedup"))
-      .select("doc_id", "cluster_id", "n_words", "keep_quality", "keep_dedup", "kept")
+      .join(dom, Seq("doc_id"))
+      .withColumn("kept",
+        col("keep_quality") && col("keep_dedup") && col("keep_domain"))
+      .select("doc_id", "cluster_id", "n_words", "keep_quality", "keep_dedup",
+        "keep_domain", "kept")
       .orderBy("doc_id")
   }
 
@@ -226,10 +238,12 @@ object Curation {
        | SELECT doc_id,
        |  CAST(len(string_split(text, ' ')) AS INT) AS n_words,
        |  ${TextAnalysis2.gopherKeepRawSql} AS keep_quality
-       | FROM documents)
+       | FROM documents),
+       |$domainFilterCtes
        |SELECT q.doc_id, kb.cluster_id, q.n_words, q.keep_quality, kb.keep_dedup,
-       | q.keep_quality AND kb.keep_dedup AS kept
-       |FROM q JOIN kb USING (doc_id)
+       | dom.keep AS keep_domain,
+       | q.keep_quality AND kb.keep_dedup AND dom.keep AS kept
+       |FROM q JOIN kb USING (doc_id) JOIN dom ON dom.doc_id = q.doc_id
        |ORDER BY q.doc_id""".stripMargin
 
   /** [[temperatureSample]] keeps `TempBudgetNum/TempBudgetDen` of the
@@ -340,16 +354,25 @@ object Curation {
     val flagged = decontaminate(t)
       .select(col("doc_id"), lit(true).as("dc_flag"))
     val wp = TextAnalysis3.wordpiece(t).select(col("doc_id"), col("n_wp_tokens"))
+    // r11: the perplexity gate joins the chain — docs the reference LM
+    // finds out-of-distribution drop before tokenization/packing.
+    // Unscored docs (the LM holdout slice itself, and docs with no
+    // bigrams) pass by default: the gate only judges what it scored.
+    val ppl = perplexityGate(t)
+      .select(col("doc_id"), col("keep").as("ppl_keep"))
     val base = t.documents.select(col("doc_id"))
       .join(qg, Seq("doc_id"))
       .join(kb, Seq("doc_id"))
       .join(flagged, Seq("doc_id"), "left")
       .join(wp, Seq("doc_id"), "left")
+      .join(ppl, Seq("doc_id"), "left")
       .withColumn("keep_clean",
         pmod(col("doc_id"), lit(97)) =!= 0 && col("dc_flag").isNull)
+      .withColumn("keep_ppl", coalesce(col("ppl_keep"), lit(true)))
       .withColumn("n_wp_tokens", coalesce(col("n_wp_tokens"), lit(0L)))
       .withColumn("kept",
-        col("keep_quality") && col("keep_dedup") && col("keep_clean"))
+        col("keep_quality") && col("keep_dedup") && col("keep_clean") &&
+          col("keep_ppl"))
     val keptDocs = base.where(col("kept"))
       .select(col("doc_id"), col("n_wp_tokens"),
         expr(s"doc_id div $PretrainBucket").as("bucket"))
@@ -368,7 +391,8 @@ object Curation {
         expr(s"(bo + local_cum - n_wp_tokens) div $PretrainCapacity").as("bin"))
     base.join(bins, Seq("doc_id"), "left")
       .select(col("doc_id"), col("keep_quality"), col("keep_dedup"),
-        col("keep_clean"), col("kept"), col("n_wp_tokens"), col("bin"))
+        col("keep_clean"), col("keep_ppl"), col("kept"), col("n_wp_tokens"),
+        col("bin"))
       .orderBy("doc_id")
   }
 
@@ -393,24 +417,214 @@ object Curation {
        | SELECT DISTINCT e2.doc_id FROM dce e2 JOIN dcb USING (gram)
        | WHERE e2.doc_id % 97 <> 0),
        |${TextAnalysis3.wordpieceCtesSql},
+       |$perplexityGateCtes,
        |pb AS (
        | SELECT d0.doc_id, qg.keep_quality, kb.keep_dedup,
        |  (d0.doc_id % 97 <> 0
        |    AND d0.doc_id NOT IN (SELECT doc_id FROM dcf)) AS keep_clean,
+       |  COALESCE(pplg.keep, TRUE) AS keep_ppl,
        |  COALESCE(wtok.n_wp_tokens, 0) AS n_wp_tokens
        | FROM documents d0
        | JOIN qg USING (doc_id)
        | JOIN kb USING (doc_id)
-       | LEFT JOIN wtok USING (doc_id)),
+       | LEFT JOIN wtok USING (doc_id)
+       | LEFT JOIN pplg USING (doc_id)),
        |pk AS (
        | SELECT doc_id,
        |  COALESCE(SUM(n_wp_tokens) OVER (ORDER BY doc_id
        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS so
-       | FROM pb WHERE keep_quality AND keep_dedup AND keep_clean)
+       | FROM pb WHERE keep_quality AND keep_dedup AND keep_clean AND keep_ppl)
        |SELECT pb.doc_id, pb.keep_quality, pb.keep_dedup, pb.keep_clean,
-       | pb.keep_quality AND pb.keep_dedup AND pb.keep_clean AS kept,
+       | pb.keep_ppl,
+       | pb.keep_quality AND pb.keep_dedup AND pb.keep_clean AND pb.keep_ppl AS kept,
        | pb.n_wp_tokens,
        | CAST(pk.so // $PretrainCapacity AS BIGINT) AS bin
        |FROM pb LEFT JOIN pk ON pb.doc_id = pk.doc_id
        |ORDER BY pb.doc_id""".stripMargin
+
+  /** URL/domain-level curation — the Common-Crawl front door: extract
+    * the registrable domain from each document's crawl URL (here a
+    * deterministic synthetic URL with real parsing hazards — scheme
+    * http/https, optional `www.`, optional `:8080` port, path, optional
+    * query string — since the test corpus carries no URL column; the
+    * oracle rebuilds the identical string), then gate on a domain
+    * BLOCKLIST (the `.net` TLD plus one literal bad domain) and cap each
+    * surviving domain's contribution at [[DomainCap]] docs chosen by the
+    * portable hash order (the [[Sampling.perKeyCap]] convention) so no
+    * single domain dominates the corpus.
+    *
+    * Spark shape: URL build + regex domain extraction are row-local; the
+    * blocklist is a literal predicate (production: a broadcast join
+    * against the blocklist table); the cap is ONE window pass
+    * partitioned by (domain, blocked) — key-partitioned shuffle, linear
+    * at 100 TB, no global state.
+    */
+  def domainFilter(t: Tables): DataFrame = {
+    val url = concat(
+      when(pmod(col("doc_id"), lit(2)) === 0, lit("https://")).otherwise(lit("http://")),
+      when(pmod(col("doc_id"), lit(7)) === 0, lit("www.")).otherwise(lit("")),
+      col("source"),
+      when(pmod(col("doc_id"), lit(3)) === 0, lit(".com"))
+        .when(pmod(col("doc_id"), lit(3)) === 1, lit(".org")).otherwise(lit(".net")),
+      when(pmod(col("doc_id"), lit(5)) === 0, lit(":8080")).otherwise(lit("")),
+      lit("/p/"), col("doc_id").cast("string"),
+      when(pmod(col("doc_id"), lit(4)) === 0, lit("?utm_source=feed")).otherwise(lit("")))
+    // domain comes from PARSING the url (scheme/www/port/path stripped),
+    // not from the build ingredients — that's the operator under test
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("domain", "blocked")
+      .orderBy(Sampling.unitHash(col("doc_id")), col("doc_id"))
+    t.documents
+      .select(col("doc_id"), url.as("url"))
+      .withColumn("domain",
+        regexp_extract(col("url"), "^[a-z]+://(?:www\\.)?([^/:?]+)", 1))
+      .withColumn("blocked",
+        col("domain").endsWith(".net") || col("domain") === "src0.com")
+      .withColumn("rk", row_number().over(w))
+      .withColumn("keep", !col("blocked") && col("rk") <= DomainCap)
+      .select("doc_id", "url", "domain", "blocked", "keep")
+      .orderBy("doc_id")
+  }
+
+  /** The shared (doc_id, url, domain, blocked, keep) CTE chain ending in
+    * `dom` — used by [[domainFilterSql]] and the curate composition.
+    */
+  private[graft] lazy val domainFilterCtes: String = {
+    val u = Sampling.unitHashSqlFmt.format("doc_id")
+    s"""du AS (
+       | SELECT doc_id,
+       |  (CASE WHEN doc_id % 2 = 0 THEN 'https://' ELSE 'http://' END ||
+       |   CASE WHEN doc_id % 7 = 0 THEN 'www.' ELSE '' END ||
+       |   source ||
+       |   CASE WHEN doc_id % 3 = 0 THEN '.com'
+       |        WHEN doc_id % 3 = 1 THEN '.org' ELSE '.net' END ||
+       |   CASE WHEN doc_id % 5 = 0 THEN ':8080' ELSE '' END ||
+       |   '/p/' || CAST(doc_id AS VARCHAR) ||
+       |   CASE WHEN doc_id % 4 = 0 THEN '?utm_source=feed' ELSE '' END) AS url
+       | FROM documents),
+       |dd AS (
+       | SELECT doc_id, url,
+       |  regexp_extract(url, '^[a-z]+://(?:www\\.)?([^/:?]+)', 1) AS domain
+       | FROM du),
+       |db AS (
+       | SELECT doc_id, url, domain,
+       |  (domain LIKE '%.net' OR domain = 'src0.com') AS blocked,
+       |  ROW_NUMBER() OVER (PARTITION BY domain, blocked
+       |                     ORDER BY $u, doc_id) AS rk
+       | FROM dd),
+       |dom AS (
+       | SELECT doc_id, url, domain, blocked,
+       |  (NOT blocked AND rk <= $DomainCap) AS keep
+       | FROM db)""".stripMargin
+  }
+
+  val domainFilterSql: String =
+    s"""WITH $domainFilterCtes
+       |SELECT doc_id, url, domain, blocked, keep
+       |FROM dom ORDER BY doc_id""".stripMargin
+
+  /** Perplexity-style LM quality gate — the CCNet/KenLM move every
+    * public pretrain recipe ships: train a bigram LM on a HELD-OUT
+    * clean reference corpus (here the deterministic `doc_id %
+    * [[PplHoldoutMod]] = 0` slice — in production, curated wiki-grade
+    * text), score every other document's mean bigram familiarity in the
+    * scaled-integer ln-free form ([[TextRank.lmScore]] convention:
+    * each bigram contributes `count(w1,w2)·10⁶ div count(w1)` under the
+    * REFERENCE counts, unseen bigrams contribute 0), and gate at a
+    * percentile: the bottom [[PplGatePct]]% of scores — the
+    * out-of-distribution tail a perplexity filter drops — fail the
+    * gate.
+    *
+    * The percentile threshold is computed EXACTLY and portably without
+    * a global sort of the corpus: scores are integers in [0, 10⁶], so
+    * a (score → count) histogram (bounded domain, ≤10⁶+1 rows at ANY
+    * corpus size), one cumulative window over that bounded histogram,
+    * and `thr = max score with cum ≤ ⌊n·pct/100⌋` give the same cut in
+    * both engines; `keep = score > thr` (ties survive, deterministic).
+    * Shape at scale: two count aggregations over the holdout slice, two
+    * equi-joins on gram keys, one bounded-domain window, one broadcast
+    * threshold — linear, no pair space, no driver state.
+    */
+  def perplexityGate(t: Tables): DataFrame = {
+    val docs = t.documents.select(col("doc_id"), split(col("text"), " ").as("ws"))
+    val hold = docs.where(pmod(col("doc_id"), lit(PplHoldoutMod)) === 0)
+    val uni = hold.select(explode(col("ws")).as("w1"))
+      .groupBy("w1").agg(count(lit(1)).as("uc"))
+    def bigrams(d: DataFrame): DataFrame = d
+      .select(col("doc_id"), explode(
+        when(size(col("ws")) >= 2,
+          expr("transform(sequence(0, size(ws) - 2), i -> struct(ws[i] AS w1, ws[i+1] AS w2))"))
+          .otherwise(expr("array()"))).as("b"))
+      .select(col("doc_id"), col("b.w1").as("w1"), col("b.w2").as("w2"))
+    val bc = bigrams(hold).groupBy("w1", "w2").agg(count(lit(1)).as("bc"))
+    // per-doc (w1,w2,dc) pre-aggregation before the count joins — the
+    // lmScore skew guard: join load is bounded by docs-per-bigram
+    val bgc = bigrams(docs.where(pmod(col("doc_id"), lit(PplHoldoutMod)) =!= 0))
+      .groupBy("doc_id", "w1", "w2").agg(count(lit(1)).as("dc"))
+    val scored = bgc
+      .join(bc, Seq("w1", "w2"), "left")
+      .join(uni, Seq("w1"), "left")
+      .groupBy("doc_id")
+      .agg(sum(col("dc")).as("n_bigrams"),
+        sum(expr("dc * coalesce((bc * 1000000L) div uc, 0L)")).as("fam_sum"))
+      .select(col("doc_id"), col("n_bigrams"),
+        expr("fam_sum div n_bigrams").cast("long").as("ppl_score"))
+    val hist = scored.groupBy("ppl_score").agg(count(lit(1)).as("c"))
+    val wc = org.apache.spark.sql.expressions.Window
+      .orderBy("ppl_score")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    val thr = hist
+      .withColumn("cum", sum(col("c")).over(wc))
+      .crossJoin(broadcast(hist.agg(sum(col("c")).as("n"))))
+      .where(col("cum") <= expr(s"(n * $PplGatePct) div 100"))
+      .agg(coalesce(max(col("ppl_score")), lit(-1L)).as("thr"))
+    scored.crossJoin(broadcast(thr))
+      .withColumn("keep", col("ppl_score") > col("thr"))
+      .select("doc_id", "n_bigrams", "ppl_score", "keep")
+      .orderBy("doc_id")
+  }
+
+  /** The shared perplexity-gate CTE chain ending in `pplg(doc_id,
+    * n_bigrams, ppl_score, keep)` — used by [[perplexityGateSql]] and
+    * the pretrain composition. CTE names are ppl-prefixed to compose
+    * without collisions.
+    */
+  private[graft] lazy val perplexityGateCtes: String =
+    s"""ppld AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+       |pplbg AS (
+       | SELECT doc_id, ws[i] AS w1, ws[i + 1] AS w2
+       | FROM (SELECT doc_id, ws, unnest(range(1, len(ws))) AS i FROM ppld)),
+       |ppluc AS (
+       | SELECT w1, COUNT(*) AS uc
+       | FROM (SELECT unnest(ws) AS w1 FROM ppld WHERE doc_id % $PplHoldoutMod = 0)
+       | GROUP BY w1),
+       |pplbc AS (
+       | SELECT w1, w2, COUNT(*) AS bc FROM pplbg
+       | WHERE doc_id % $PplHoldoutMod = 0 GROUP BY w1, w2),
+       |ppls AS (
+       | SELECT g.doc_id, COUNT(*) AS n_bigrams,
+       |  CAST(SUM(COALESCE((c.bc * 1000000) // u.uc, 0)) // COUNT(*) AS BIGINT) AS ppl_score
+       | FROM pplbg g
+       | LEFT JOIN pplbc c USING (w1, w2)
+       | LEFT JOIN ppluc u USING (w1)
+       | WHERE g.doc_id % $PplHoldoutMod <> 0
+       | GROUP BY g.doc_id),
+       |pplh AS (
+       | SELECT ppl_score, COUNT(*) AS c FROM ppls GROUP BY ppl_score),
+       |pplt AS (
+       | SELECT COALESCE(MAX(ppl_score), -1) AS thr FROM (
+       |  SELECT ppl_score,
+       |   SUM(c) OVER (ORDER BY ppl_score
+       |     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+       |   (SELECT SUM(c) FROM pplh) AS n
+       |  FROM pplh)
+       | WHERE cum <= (n * $PplGatePct) // 100),
+       |pplg AS (
+       | SELECT s.doc_id, s.n_bigrams, s.ppl_score, s.ppl_score > t.thr AS keep
+       | FROM ppls s CROSS JOIN pplt t)""".stripMargin
+
+  val perplexityGateSql: String =
+    s"""WITH $perplexityGateCtes
+       |SELECT doc_id, n_bigrams, ppl_score, keep
+       |FROM pplg ORDER BY doc_id""".stripMargin
 }

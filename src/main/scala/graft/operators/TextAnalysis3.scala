@@ -289,4 +289,62 @@ object TextAnalysis3 {
        |FROM pred WHERE rk = 1
        |GROUP BY 1, 2
        |ORDER BY source, predicted""".stripMargin
+
+  private val ChunkWindow = 40
+  private val ChunkStride = 30
+
+  /** Sliding-window chunker with overlap — the RAG-ingest twin of
+    * text_pack_sequences: fixed [[ChunkWindow]]-token windows at
+    * [[ChunkStride]] (< window, so consecutive chunks share
+    * window − stride tokens of context), each chunk carrying full
+    * provenance (doc_id, chunk_idx, token start/end, text). Every doc
+    * emits a chunk at token 0; strides continue while tokens remain
+    * beyond the previous window, so the tail chunk may be short but no
+    * token is dropped and no empty chunk is emitted. A doc shorter than
+    * one window yields exactly one chunk.
+    *
+    * Spark shape: ROW-LOCAL explode — `sequence` over start offsets +
+    * `slice` per chunk, no shuffle at any scale; the only exchange is
+    * the presentation sort. At 100 TB this is a pure map stage that
+    * chains into whatever writes the chunk store.
+    */
+  def chunkOverlap(t: Tables): DataFrame = {
+    val n = size(col("ws"))
+    // starts: 0, stride, 2·stride … while start < n_tokens (start = 0
+    // always emits, covering the empty-text case via the ws >= 1 guard)
+    val starts = expr(
+      s"filter(sequence(0, greatest(size(ws) - 1, 0), $ChunkStride), s -> s = 0 OR s < size(ws))")
+    t.documents
+      .select(col("doc_id"), split(col("text"), " ").as("ws"))
+      .where(n >= 1)
+      .select(col("doc_id"), col("ws"), posexplode(starts).as(Seq("chunk_idx", "start_tok")))
+      .select(
+        col("doc_id"), col("chunk_idx"), col("start_tok"),
+        least(col("start_tok") + ChunkWindow, size(col("ws"))).as("end_tok"),
+        concat_ws(" ", slice(col("ws"), col("start_tok") + 1, lit(ChunkWindow))).as("chunk_text"))
+      .withColumn("n_tokens", col("end_tok") - col("start_tok"))
+      .orderBy("doc_id", "chunk_idx")
+  }
+
+  /** Oracle: the same start-offset generation + list_slice in DuckDB
+    * (range is exclusive at the top, so the `s = 0 OR s < len` filter
+    * matches Spark's inclusive-sequence + filter form). */
+  val chunkOverlapSql: String =
+    s"""WITH d AS (
+       | SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+       | WHERE len(string_split(text, ' ')) >= 1),
+       |st AS (
+       | SELECT doc_id, ws,
+       |  unnest(list_filter(range(0, greatest(len(ws), 1), $ChunkStride),
+       |                     s -> s = 0 OR s < len(ws))) AS start_tok,
+       |  generate_subscripts(list_filter(range(0, greatest(len(ws), 1), $ChunkStride),
+       |                     s -> s = 0 OR s < len(ws)), 1) - 1 AS chunk_idx
+       | FROM d)
+       |SELECT doc_id, CAST(chunk_idx AS INT) AS chunk_idx,
+       | CAST(start_tok AS INT) AS start_tok,
+       | CAST(least(start_tok + $ChunkWindow, len(ws)) AS INT) AS end_tok,
+       | array_to_string(list_slice(ws, start_tok + 1, start_tok + $ChunkWindow), ' ') AS chunk_text,
+       | CAST(least(start_tok + $ChunkWindow, len(ws)) - start_tok AS INT) AS n_tokens
+       |FROM st
+       |ORDER BY doc_id, chunk_idx""".stripMargin
 }

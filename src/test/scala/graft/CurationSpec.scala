@@ -92,29 +92,33 @@ class CurationSpec extends SparkSpec {
   test("pretrain pipeline: stage flags match the standalone operators, packing replays") {
     val rows = Curation.pretrainPipeline(sf).collect()
       .map(r => (r.getLong(0), r.getBoolean(1), r.getBoolean(2), r.getBoolean(3),
-        r.getBoolean(4), r.getLong(5), if (r.isNullAt(6)) None else Some(r.getLong(6))))
+        r.getBoolean(4), r.getBoolean(5), r.getLong(6),
+        if (r.isNullAt(7)) None else Some(r.getLong(7))))
     assert(rows.length == sf.documents.count())
     // kept is the conjunction; bin present exactly for kept docs
-    rows.foreach { case (id, q, d, c, kept, _, bin) =>
-      assert(kept == (q && d && c), s"doc $id")
+    rows.foreach { case (id, q, d, c, p, kept, _, bin) =>
+      assert(kept == (q && d && c && p), s"doc $id")
       assert(bin.isDefined == kept, s"doc $id bin presence")
     }
     // flags agree with the standalone stages
     val gq = graft.operators.TextAnalysis2.gopherColumns(sf.documents)
       .select("doc_id", "keep").collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
     val dc = Curation.decontaminate(sf).collect().map(_.getLong(0)).toSet
-    rows.foreach { case (id, q, _, c, _, _, _) =>
+    val pg = Curation.perplexityGate(sf).collect()
+      .map(r => r.getLong(0) -> r.getBoolean(3)).toMap
+    rows.foreach { case (id, q, _, c, p, _, _, _) =>
       assert(q == gq(id), s"doc $id quality flag")
       assert(c == (id % 97 != 0 && !dc.contains(id)), s"doc $id clean flag")
+      assert(p == pg.getOrElse(id, true), s"doc $id ppl flag")
     }
     // packing replay: greedy bins from the output's own kept token counts
     var cum = 0L
-    rows.filter(_._5).sortBy(_._1).foreach { case (id, _, _, _, _, n, bin) =>
+    rows.filter(_._6).sortBy(_._1).foreach { case (id, _, _, _, _, _, n, bin) =>
       assert(bin.contains(cum / 2048), s"doc $id bin")
       cum += n
     }
     // the gate actually drops something and keeps something
-    assert(rows.exists(_._5) && rows.exists(!_._5))
+    assert(rows.exists(_._6) && rows.exists(!_._6))
   }
 
   test("q15 top supplier: every returned supplier has the max revenue") {
@@ -300,20 +304,23 @@ class CurationSpec extends SparkSpec {
     val rows = Curation.curateCorpus(sf).collect()
     assert(rows.length == sf.documents.count())
     rows.foreach { r =>
-      assert(r.getBoolean(5) == (r.getBoolean(3) && r.getBoolean(4)))
+      assert(r.getBoolean(6) ==
+        (r.getBoolean(3) && r.getBoolean(4) && r.getBoolean(5)))
     }
-    // both stages must actually reject something, and the composition
-    // must keep something
+    // stages must actually reject something, and the composition keeps
     assert(rows.exists(!_.getBoolean(3)) && rows.exists(!_.getBoolean(4)))
-    assert(rows.exists(_.getBoolean(5)))
+    assert(rows.exists(_.getBoolean(6)))
     // stage verdicts match the standalone operators
     val gate = graft.operators.TextAnalysis2.gopherQuality(sf).collect()
       .map(r => r.getLong(0) -> r.getBoolean(11)).toMap
     val kb = graft.operators.Dedup.keepBest(sf).collect()
       .map(r => r.getLong(0) -> r.getBoolean(3)).toMap
+    val dom = Curation.domainFilter(sf).collect()
+      .map(r => r.getLong(0) -> r.getBoolean(4)).toMap
     rows.foreach { r =>
       assert(r.getBoolean(3) == gate(r.getLong(0)))
       assert(r.getBoolean(4) == kb(r.getLong(0)))
+      assert(r.getBoolean(5) == dom(r.getLong(0)))
     }
   }
 
@@ -347,5 +354,50 @@ class CurationSpec extends SparkSpec {
     }
     // counts cover every order exactly once
     assert(rows.map(_.getLong(1)).sum == total)
+  }
+
+  test("domain filter: parsed domain, blocklist, and per-domain cap") {
+    val rows = graft.operators.Curation.domainFilter(sf).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2),
+        r.getBoolean(3), r.getBoolean(4)))
+    assert(rows.length == sf.documents.count())
+    rows.foreach { case (id, url, domain, blocked, keep) =>
+      // domain = host minus scheme/www/port/path, lowercase source + tld
+      assert(!domain.contains("/") && !domain.contains(":") && !domain.startsWith("www."),
+        s"$url -> $domain")
+      assert(url.contains(domain))
+      val tld = Seq(".com", ".org", ".net")((((id % 3) + 3) % 3).toInt)
+      assert(domain.endsWith(tld), s"$url -> $domain")
+      assert(blocked == (domain.endsWith(".net") || domain == "src0.com"))
+      if (blocked) assert(!keep)
+    }
+    // the cap binds per domain: never more than DomainCap keeps
+    rows.filter(_._5).groupBy(_._3).foreach { case (d, g) =>
+      assert(g.length <= 5, s"domain $d kept ${g.length}")
+    }
+    // both gate outcomes occur
+    assert(rows.exists(_._4) && rows.exists(r => !r._4 && r._5))
+  }
+
+  test("perplexity gate: holdout excluded, cut bounded at the percentile") {
+    val t = sf
+    val rows = graft.operators.Curation.perplexityGate(t).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getBoolean(3)))
+    // the LM-training slice is never scored; bigram-less docs absent
+    assert(rows.forall(_._1 % 7 != 0))
+    rows.foreach { case (_, nb, score, _) =>
+      assert(nb >= 1 && score >= 0 && score <= 1000000L)
+    }
+    // at most floor(25% of scored docs) are dropped, and the dropped set
+    // is exactly the scores at or below the threshold implied by keeps
+    val dropped = rows.filter(!_._4)
+    assert(dropped.length <= rows.length * 25 / 100)
+    if (dropped.nonEmpty) {
+      val thr = dropped.map(_._3).max
+      assert(rows.filter(_._4).forall(_._3 > thr))
+    }
+    val again = graft.operators.Curation.perplexityGate(t).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getBoolean(3)))
+    assert(rows.sameElements(again))
   }
 }

@@ -141,4 +141,40 @@ class TextAnalysis3Spec extends SparkSpec {
       s"off-diagonal predictions: ${rows.filter(r => r._1 != r._2).toSeq}")
     assert(rows.map(_._3).sum == 30L)
   }
+
+  test("chunk overlap: windows, stride, tail, and provenance are exact") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-chunk").toString
+    // 100, 40, 35, 5, and 1-token docs pin every boundary case
+    Seq(100, 40, 35, 5, 1).zipWithIndex.map { case (n, i) =>
+      (i.toLong, (0 until n).map(j => s"w$j").mkString(" "), "en", "s", n.toLong)
+    }.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val rows = graft.operators.TextAnalysis3.chunkOverlap(Tables(spark, dir))
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getInt(3),
+        r.getString(4), r.getInt(5)))
+    def chunksOf(id: Long) = rows.filter(_._1 == id).sortBy(_._2)
+    // 100 tokens -> starts 0,30,60,90; tail chunk is the short one
+    assert(chunksOf(0).map(c => (c._3, c._4)).toSeq ==
+      Seq((0, 40), (30, 70), (60, 100), (90, 100)))
+    // 40 tokens -> full window at 0 plus the 10-token tail at 30
+    assert(chunksOf(1).map(c => (c._3, c._4)).toSeq == Seq((0, 40), (30, 40)))
+    // 35 tokens (< window, > stride) -> one full-doc chunk + 5-token tail
+    assert(chunksOf(2).map(c => (c._3, c._4)).toSeq == Seq((0, 35), (30, 35)))
+    // short docs -> exactly one chunk, never empty
+    assert(chunksOf(3).map(c => (c._3, c._4)).toSeq == Seq((0, 5)))
+    assert(chunksOf(4).map(c => (c._3, c._4)).toSeq == Seq((0, 1)))
+    rows.foreach { case (_, _, st, en, text, nt) =>
+      assert(en - st == nt && nt >= 1)
+      assert(text.split(" ").length == nt) // text matches the token span
+    }
+    // consecutive chunks overlap by window - stride tokens
+    val c0 = chunksOf(0)
+    assert(c0(0)._5.split(" ").drop(30).toSeq == c0(1)._5.split(" ").take(10).toSeq)
+    // chunking is row-local: no exchange before the presentation sort
+    val plan = graft.operators.TextAnalysis3.chunkOverlap(Tables(spark, dir))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange hashpartitioning"), plan)
+  }
 }
