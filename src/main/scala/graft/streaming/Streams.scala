@@ -735,4 +735,79 @@ object Streams {
       .flatMapGroupsWithState(
         OutputMode.Append(), GroupStateTimeout.NoTimeout())(fn)
   }
+
+  /** Streaming incremental MinHash-LSH dedup — the live twin of
+    * [[graft.operators.Dedup.incrementalDedup]]: arriving documents
+    * probe (a) the STANDING corpus band index (a static frame built
+    * offline by [[graft.operators.Dedup.corpusBandIndex]] — the
+    * stream-static join is stateless, the index ships like any dimension
+    * table) and (b) EACH OTHER through an LSH self-join keyed by
+    * (band_idx, band_hash) with a time-interval bound, so in-stream
+    * near-dup state lives in the join's band-keyed state store and is
+    * reclaimed by the watermark. Candidate collisions are verified with
+    * the SAME exact-Jaccard merge + length filter as every batch tier
+    * (banding via the shared [[graft.operators.Dedup.bandExplode]], so
+    * live and backfill land in identical buckets), then one windowed
+    * per-doc aggregation folds the band verdicts into the admission
+    * decision: `keep = no verified collision` against the corpus or any
+    * EARLIER (lower doc_id) in-stream arrival — transitive chains
+    * collapse onto their earliest member, the batch min-label
+    * convention.
+    *
+    * Output (append, on window close): (doc_id, n_corpus_dups,
+    * n_stream_dups, keep) where the counts are VERIFIED band collisions.
+    * Docs with no grams have no signature and pass the gate. Three
+    * chained stateful ops (interval join → windowed agg) — the
+    * supported multi-stateful-operator shape; every key is a band
+    * bucket or a window pane, never global state.
+    */
+  def lshDedupGateStream(docs: DataFrame, corpusIndex: DataFrame): DataFrame = {
+    val thr = graft.operators.Dedup.JaccardThreshold
+    // ONE watermark at the source; every branch below inherits it
+    // (re-applying after the self-join would redefine the watermark,
+    // which multi-stateful-operator mode rejects)
+    val wmDocs = docs.withWatermark("ts", "2 hours")
+    val banded = graft.operators.Dedup.bandExplode(
+        wmDocs.withColumn("grams", graft.functions.Shingles.grams3(col("text")))
+          .withColumn("hg", graft.functions.HashedSortedGrams(col("grams")))
+          .withColumn("sz", size(col("grams")))
+          .select("doc_id", "ts", "sz", "hg", "grams"))
+      .drop("grams")
+    def lenOk(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
+      least(a, b).cast("double") >= lit(thr) * greatest(a, b)
+    // (a) standing-corpus probes: stateless stream-static equi-join
+    val corpusHits = banded
+      .join(corpusIndex, Seq("band_idx", "band_hash"))
+      .where(lenOk(col("sz"), col("c_sz")) &&
+        graft.functions.SortedLongJaccard(col("hg"), col("c_hg")) >= thr)
+      .select(col("doc_id"), col("ts"), lit(1L).as("corpus_hit"), lit(0L).as("stream_hit"))
+    // (b) in-stream probes: band-keyed self-join, earlier-arrival side a
+    val wmA = banded
+      .select(col("doc_id").as("a_id"), col("ts").as("a_ts"), col("sz").as("a_sz"),
+        col("hg").as("a_hg"), col("band_idx").as("a_band_idx"),
+        col("band_hash").as("a_band_hash"))
+    val wmB = banded
+      .select(col("doc_id").as("b_id"), col("ts").as("b_ts"), col("sz").as("b_sz"),
+        col("hg").as("b_hg"), col("band_idx").as("b_band_idx"),
+        col("band_hash").as("b_band_hash"))
+    val streamHits = wmA.join(wmB,
+        col("a_id") < col("b_id") &&
+          col("a_band_idx") === col("b_band_idx") &&
+          col("a_band_hash") === col("b_band_hash") &&
+          col("a_ts") <= col("b_ts") &&
+          col("a_ts") >= col("b_ts") - expr("INTERVAL 2 HOURS"))
+      .where(lenOk(col("a_sz"), col("b_sz")) &&
+        graft.functions.SortedLongJaccard(col("a_hg"), col("b_hg")) >= thr)
+      .select(col("b_id").as("doc_id"), col("b_ts").as("ts"),
+        lit(0L).as("corpus_hit"), lit(1L).as("stream_hit"))
+    // base row per doc so collision-free (and gram-less) docs surface
+    val base = wmDocs.select(col("doc_id"), col("ts"),
+      lit(0L).as("corpus_hit"), lit(0L).as("stream_hit"))
+    base.unionByName(corpusHits).unionByName(streamHits)
+      .groupBy(window(col("ts"), "1 hour"), col("doc_id"))
+      .agg(sum(col("corpus_hit")).as("n_corpus_dups"),
+        sum(col("stream_hit")).as("n_stream_dups"))
+      .select(col("doc_id"), col("n_corpus_dups"), col("n_stream_dups"),
+        (col("n_corpus_dups") === 0 && col("n_stream_dups") === 0).as("keep"))
+  }
 }

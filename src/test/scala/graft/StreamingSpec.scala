@@ -748,7 +748,55 @@ class StreamingSpec extends SparkSpec {
     val expChi = (10.0 - e) * (10.0 - e) / e + (0.0 - e) * (0.0 - e) / e
     assert(chi1 == expChi, s"chi2 $chi1 vs $expChi")
   }
+
+  test("lsh dedup gate: stream keeps equal the batch incremental-dedup keeps") {
+    implicit val sqlCtx = spark.sqlContext
+    // the daily batch (doc_id % 5 = 0) arrives as a stream and probes the
+    // standing corpus index — the exact incrementalDedup split, so the
+    // batch operator's own pair output derives the expected verdicts
+    val t = sf
+    val index = graft.operators.Dedup.corpusBandIndex(t)
+    val batchDocs = t.documents.where(org.apache.spark.sql.functions.expr("doc_id % 5 = 0"))
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1))).sortBy(_._1)
+    val input = MemoryStream[DocEvent]
+    input.addData(batchDocs.map { case (id, tx) => DocEvent(id, ts(5), tx) }.toSeq: _*)
+    // sentinel far past the window: closes the 10:00 pane under append mode
+    input.addData(DocEvent(999999L, Timestamp.valueOf("2025-01-02 10:00:00"), ""))
+    val q = Streams.lshDedupGateStream(input.toDF(), index)
+      .writeStream.format("memory").queryName("lshgate")
+      .outputMode("append").start()
+    q.processAllAvailable()
+    input.addData(DocEvent(999998L, Timestamp.valueOf("2025-01-03 10:00:00"), ""))
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.table("lshgate").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getBoolean(3)))
+      .filter(_._1 < 999000L)
+    assert(rows.map(_._1).sorted.toSeq == batchDocs.map(_._1).toSeq,
+      "every batch doc gets exactly one verdict")
+    // expected from the BATCH operator's pairs: a batch doc is a dup iff
+    // it pairs with a corpus doc (either side) or with a LOWER-id batch
+    // doc (it is the later element of a canonical (min, max) pair)
+    val pairs = graft.operators.Dedup.incrementalDedup(t).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val expectDup = batchDocs.map(_._1).map { d =>
+      d -> pairs.exists { case (a, b) =>
+        (a == d && b % 5 != 0) || (b == d && a % 5 != 0) || (b == d && a % 5 == 0)
+      }
+    }.toMap
+    rows.foreach { case (d, nc, ns, keep) =>
+      assert(keep == !expectDup(d), s"doc $d: keep=$keep dups=($nc,$ns)")
+      assert(keep == (nc == 0 && ns == 0))
+    }
+    // the gate must actually separate at this SF
+    assert(rows.exists(_._4) && rows.exists(!_._4),
+      s"need both outcomes, got ${rows.toSeq}")
+  }
 }
 
 /** Embedding arrival for the streaming ANN gate spec. */
 final case class VecEvent(vec_id: Long, v: Seq[Double])
+
+/** Document arrival for the streaming LSH dedup gate spec. */
+final case class DocEvent(doc_id: Long, ts: Timestamp, text: String)
