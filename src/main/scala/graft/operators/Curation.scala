@@ -627,4 +627,41 @@ object Curation {
     s"""WITH $perplexityGateCtes
        |SELECT doc_id, n_bigrams, ppl_score, keep
        |FROM pplg ORDER BY doc_id""".stripMargin
+
+  /** Per-benchmark contamination report — the REVERSE direction of
+    * [[decontaminate]]: for each held-out benchmark document, how many
+    * training documents share a word-5-gram with it and how many of its
+    * grams leak. This is the eval-integrity view ("which benchmark items
+    * are compromised, and how badly") that decides whether an eval split
+    * stays usable; decontaminate answers the training-side question.
+    * Same hashed-gram broadcast equi-join shape — linear in total grams.
+    */
+  def contaminationReport(t: Tables): DataFrame = {
+    val g = t.documents
+      .select(col("doc_id"),
+        explode(array_distinct(WordNGrams(col("text"), ContamN))).as("gram"))
+      .select(col("doc_id"), xxhash64(col("gram")).as("h"))
+    val bench = g.where(pmod(col("doc_id"), lit(97)) === 0)
+      .select(col("doc_id").as("bench_id"), col("h"))
+    bench
+      .join(g.where(pmod(col("doc_id"), lit(97)) =!= 0)
+        .select(col("doc_id").as("train_id"), col("h")), Seq("h"))
+      .groupBy(col("bench_id"))
+      .agg(countDistinct(col("train_id")).as("n_contaminating_docs"),
+        countDistinct(col("h")).as("n_leaked_grams"))
+      .orderBy("bench_id")
+  }
+
+  val contaminationReportSql: String =
+    s"""WITH g AS (
+       | SELECT doc_id, ${grams5Sql("text")} AS grams FROM documents),
+       |e AS (SELECT doc_id, unnest(grams) AS gram FROM g),
+       |b AS (SELECT doc_id AS bench_id, gram FROM e WHERE doc_id % 97 = 0),
+       |tr AS (SELECT doc_id AS train_id, gram FROM e WHERE doc_id % 97 <> 0)
+       |SELECT bench_id,
+       | CAST(COUNT(DISTINCT train_id) AS BIGINT) AS n_contaminating_docs,
+       | CAST(COUNT(DISTINCT gram) AS BIGINT) AS n_leaked_grams
+       |FROM b JOIN tr USING (gram)
+       |GROUP BY bench_id
+       |ORDER BY bench_id""".stripMargin
 }

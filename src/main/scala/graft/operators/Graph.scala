@@ -891,4 +891,68 @@ object Graph {
        |FROM dist WHERE hops > 0
        |GROUP BY seed
        |ORDER BY harmonic_milli DESC, p_partkey""".stripMargin
+
+  private val NodeSimThreshold = 0.2
+
+  /** Structural node similarity on the co-purchase graph: Jaccard of
+    * NEIGHBOR SETS for every part pair that shares at least one
+    * neighbor — "parts bought alongside the same other parts", the
+    * structural-equivalence signal behind item-item collaborative
+    * filtering (contrast [[recommend]], which counts shared ORDERS).
+    *
+    * Spark shape: candidate pairs come from a WEDGE join (two edge
+    * copies meeting on the shared neighbor, a < b, distinct) — bounded
+    * by Σ deg², the standard wedge budget, never nodes²; each node's
+    * neighbor set gathers ONCE into a sorted array and the Jaccard is
+    * the codegen'd [[graft.functions.SortedLongJaccard]] merge over the
+    * two arrays (no per-pair explode). Sharing ≥ 1 neighbor is implied
+    * by J > 0, so the wedge blocking is complete for any positive
+    * threshold.
+    */
+  def nodeSimilarity(t: Tables): DataFrame = {
+    val edges = Relational7.basketPairsRaw(t, EdgeSupport)
+      .select(explode(array(
+        struct(col("a_part").as("u"), col("b_part").as("v")),
+        struct(col("b_part").as("u"), col("a_part").as("v")))).as("e"))
+      .select(col("e.u").as("u"), col("e.v").as("v"))
+      .persist()
+    val nbrs = edges.groupBy("u")
+      .agg(sort_array(collect_set(col("v"))).as("ns"))
+    val wedges = edges.select(col("v").as("w"), col("u").as("a"))
+      .join(edges.select(col("v").as("w"), col("u").as("b")), Seq("w"))
+      .where(col("a") < col("b"))
+      .select("a", "b")
+      .distinct()
+    wedges
+      .join(nbrs.select(col("u").as("a"), col("ns").as("a_ns")), Seq("a"))
+      .join(nbrs.select(col("u").as("b"), col("ns").as("b_ns")), Seq("b"))
+      .select(col("a").as("a_part"), col("b").as("b_part"),
+        graft.functions.SortedLongOverlap(col("a_ns"), col("b_ns"))
+          .cast("long").as("n_common"),
+        graft.functions.SortedLongJaccard(col("a_ns"), col("b_ns")).as("jaccard"))
+      .where(col("jaccard") >= NodeSimThreshold)
+      .orderBy("a_part", "b_part")
+  }
+
+  /** Oracle: neighbor lists + brute-force pair scan (the wedge blocking
+    * is complete for J > 0, so the blocked result equals the full scan).
+    */
+  val nodeSimilaritySql: String =
+    s"""WITH items AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+       |cp AS (
+       |  SELECT a.l_partkey AS a, b.l_partkey AS b
+       |  FROM items a JOIN items b
+       |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+       |  GROUP BY 1, 2 HAVING COUNT(*) >= $EdgeSupport),
+       |edges AS (SELECT a AS u, b AS v FROM cp
+       |          UNION ALL SELECT b AS u, a AS v FROM cp),
+       |nb AS (SELECT u, list_sort(list(DISTINCT v)) AS ns FROM edges GROUP BY u)
+       |SELECT a.u AS a_part, b.u AS b_part,
+       | CAST(len(list_intersect(a.ns, b.ns)) AS BIGINT) AS n_common,
+       | CAST(len(list_intersect(a.ns, b.ns)) AS DOUBLE)
+       |   / len(list_distinct(list_concat(a.ns, b.ns))) AS jaccard
+       |FROM nb a JOIN nb b ON a.u < b.u
+       |WHERE CAST(len(list_intersect(a.ns, b.ns)) AS DOUBLE)
+       |   / len(list_distinct(list_concat(a.ns, b.ns))) >= $NodeSimThreshold
+       |ORDER BY a_part, b_part""".stripMargin
 }

@@ -511,4 +511,76 @@ object Relational7 {
        |UNION ALL SELECT o_orderpriority, 'revenue', revenue FROM b
        |ORDER BY o_orderpriority, metric""".stripMargin
   }
+
+  /** ABC/XYZ matrix — the two-axis inventory segmentation every demand
+    * planner runs: ABC = revenue concentration class (reusing
+    * [[abcAnalysis]] unchanged), XYZ = demand VARIABILITY class from the
+    * squared coefficient of variation of each part's monthly quantity
+    * (X steady, Y variable, Z erratic). cv² is the exact integer
+    * `((n·Σq² − (Σq)²) · 10⁶) div (Σq)²` over per-month quantity sums
+    * (population variance over mean², no sqrt, no floats), so the class
+    * cut is bit-portable. Months without demand do not exist as rows —
+    * the standard occurrence-based form. Output: the 9-cell (and
+    * boundary-degenerate) matrix with part counts and revenue mass.
+    */
+  def abcXyz(t: Tables): DataFrame = {
+    val abc = abcAnalysis(t).select(col("l_partkey"), col("abc_class"), col("revenue"))
+    val monthly = t.lineitem
+      .groupBy(col("l_partkey"), date_format(col("l_shipdate"), "yyyy-MM").as("ym"))
+      .agg(sum(col("l_quantity").cast("long")).as("q"))
+    val cv2 = monthly.groupBy("l_partkey")
+      .agg(count(lit(1)).as("n"), sum(col("q")).as("s1"),
+        sum(col("q") * col("q")).as("s2"))
+      .select(col("l_partkey"),
+        expr("((n * s2 - s1 * s1) * 1000000L) div (s1 * s1)").as("cv2_ppm"))
+      .withColumn("xyz_class",
+        when(col("cv2_ppm") < 250000L, "X")
+          .when(col("cv2_ppm") < 1000000L, "Y")
+          .otherwise("Z"))
+    abc.join(cv2, Seq("l_partkey"))
+      .groupBy("abc_class", "xyz_class")
+      // the per-part revenue double is an exactly-representable SCALE-6
+      // decimal (< 2^53 micros); casting back to DECIMAL(24,6) before
+      // summing keeps the group total order-independent and engine-exact
+      .agg(count(lit(1)).as("n_parts"),
+        sum(col("revenue").cast(org.apache.spark.sql.types.DecimalType(24, 6)))
+          .cast("double").as("total_revenue"))
+      .orderBy("abc_class", "xyz_class")
+  }
+
+  val abcXyzSql: String =
+    """WITH rev AS (
+      | SELECT l_partkey,
+      |  SUM(CAST(l_extendedprice AS DECIMAL(12,2)) *
+      |      CAST(1 - CAST(l_discount AS DECIMAL(4,2)) AS DECIMAL(8,4))) AS rev
+      | FROM lineitem GROUP BY l_partkey),
+      |c AS (
+      | SELECT l_partkey, rev,
+      |  SUM(rev) OVER (ORDER BY rev DESC, l_partkey
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_rev,
+      |  SUM(rev) OVER () AS total_rev
+      | FROM rev),
+      |abc AS (
+      | SELECT l_partkey, CAST(rev AS DOUBLE) AS revenue,
+      |  CASE WHEN CAST(cum_rev / total_rev AS DOUBLE) <= 0.60 THEN 'A'
+      |       WHEN CAST(cum_rev / total_rev AS DOUBLE) <= 0.85 THEN 'B'
+      |       ELSE 'C' END AS abc_class
+      | FROM c),
+      |monthly AS (
+      | SELECT l_partkey, strftime(CAST(l_shipdate AS DATE), '%Y-%m') AS ym,
+      |  CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS q
+      | FROM lineitem GROUP BY 1, 2),
+      |cv AS (
+      | SELECT l_partkey,
+      |  CASE WHEN ((COUNT(*) * SUM(q * q) - SUM(q) * SUM(q)) * 1000000)
+      |        // (SUM(q) * SUM(q)) < 250000 THEN 'X'
+      |       WHEN ((COUNT(*) * SUM(q * q) - SUM(q) * SUM(q)) * 1000000)
+      |        // (SUM(q) * SUM(q)) < 1000000 THEN 'Y'
+      |       ELSE 'Z' END AS xyz_class
+      | FROM monthly GROUP BY l_partkey)
+      |SELECT abc_class, xyz_class, CAST(COUNT(*) AS BIGINT) AS n_parts,
+      | CAST(SUM(CAST(revenue AS DECIMAL(24,6))) AS DOUBLE) AS total_revenue
+      |FROM abc JOIN cv USING (l_partkey)
+      |GROUP BY 1, 2
+      |ORDER BY abc_class, xyz_class""".stripMargin
 }

@@ -464,4 +464,64 @@ object Relational9 {
        | CAST(bucket_micros AS DOUBLE) /
        |   CAST(SUM(bucket_micros) OVER () AS DOUBLE) AS rev_share
        |FROM agg ORDER BY bucket""".stripMargin
+
+  /** Per-source WINSORIZED mean of document length — the robust-mean
+    * report that tames heavy-tailed length distributions before any
+    * budget math: values below the p10 / above the p90 cut are clamped
+    * to the cut instead of dropped (contrast trimming), then averaged.
+    * The percentile cuts are EXACT and sort-free: document length is a
+    * bounded integer domain, so a (source, n_chars) → count histogram
+    * plus one cumulative window per source (bounded rows at ANY corpus
+    * size) yields `p10 = min v with 10·cum ≥ n`, `p90 = min v with
+    * 10·cum ≥ 9·n` — the `text_perplexity_gate` histogram-quantile
+    * recipe per group. The clamp + mean is one more linear pass; the
+    * mean divides two exact integers in double (engine-portable).
+    */
+  def winsorize(t: Tables): DataFrame = {
+    val hist = t.documents.groupBy(col("source"), col("n_chars").as("v"))
+      .agg(count(lit(1)).as("c"))
+    val wc = Window.partitionBy("source").orderBy("v")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val cuts = hist
+      .withColumn("cum", sum(col("c")).over(wc))
+      .withColumn("n", sum(col("c")).over(Window.partitionBy("source")))
+      .groupBy("source")
+      .agg(min(when(col("cum") * 10 >= col("n"), col("v"))).as("p10"),
+        min(when(col("cum") * 10 >= col("n") * 9, col("v"))).as("p90"),
+        first(col("n")).as("n_docs"))
+    t.documents
+      .join(broadcast(cuts), Seq("source"))
+      .groupBy(col("source"))
+      .agg(first(col("n_docs")).as("n_docs"),
+        first(col("p10")).as("p10"), first(col("p90")).as("p90"),
+        (sum(greatest(col("p10"), least(col("p90"), col("n_chars"))))
+          .cast("double") / count(lit(1))).as("winsorized_mean"),
+        (sum(col("n_chars")).cast("double") / count(lit(1))).as("raw_mean"))
+      .orderBy("source")
+  }
+
+  val winsorizeSql: String =
+    """WITH h AS (
+      | SELECT source, n_chars AS v, COUNT(*) AS c
+      | FROM documents GROUP BY 1, 2),
+      |cum AS (
+      | SELECT source, v,
+      |  SUM(c) OVER (PARTITION BY source ORDER BY v
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+      |  SUM(c) OVER (PARTITION BY source) AS n
+      | FROM h),
+      |cuts AS (
+      | SELECT source,
+      |  MIN(CASE WHEN cum * 10 >= n THEN v END) AS p10,
+      |  MIN(CASE WHEN cum * 10 >= n * 9 THEN v END) AS p90,
+      |  MAX(n) AS n_docs
+      | FROM cum GROUP BY source)
+      |SELECT d.source, CAST(MAX(cuts.n_docs) AS BIGINT) AS n_docs,
+      | CAST(MAX(cuts.p10) AS BIGINT) AS p10, CAST(MAX(cuts.p90) AS BIGINT) AS p90,
+      | CAST(SUM(GREATEST(cuts.p10, LEAST(cuts.p90, d.n_chars))) AS DOUBLE)
+      |   / COUNT(*) AS winsorized_mean,
+      | CAST(SUM(d.n_chars) AS DOUBLE) / COUNT(*) AS raw_mean
+      |FROM documents d JOIN cuts USING (source)
+      |GROUP BY d.source
+      |ORDER BY d.source""".stripMargin
 }

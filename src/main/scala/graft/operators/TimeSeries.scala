@@ -577,4 +577,163 @@ object TimeSeries {
        |SELECT user_id, ts, value, l AS level, b AS trend, l + b AS forecast
        |FROM f WHERE i = len(vals)
        |ORDER BY user_id""".stripMargin
+
+  /** Bias making truncating integer division equal FLOOR division for
+    * the slope quotient: numerator + Bias·Δd is always positive, so
+    * Spark's truncate-toward-zero `div` and DuckDB's floor `//` agree.
+    */
+  private val SlopeBias = 1L << 50
+
+  /** Theil–Sen robust trend of the daily revenue series — the
+    * median-of-pairwise-slopes estimator (breakdown point 29%, vs OLS's
+    * 0%): slope = lower median of floor((vⱼ−vᵢ)/(dⱼ−dᵢ)) over ALL day
+    * pairs, intercept = lower median of (vᵢ − slope·dᵢ). All integer
+    * micros — no float accumulation, bit-portable.
+    *
+    * Scale shape: the pair space is CALENDAR-bounded (days², not
+    * corpus²) and is generated by an explode + ONE equi-join — each day
+    * emits (day, day+g) probes for g = 1..span and the join keeps real
+    * days; no cartesian product, no driver loop. The median over the
+    * ~days²/2 slopes is the exact k-th smallest found DISTRIBUTED with
+    * the two-level rank (range partition → per-bucket row_number +
+    * broadcast bucket offsets — the `q_abc_analysis` pattern), never a
+    * driver-side top-k of millions of rows. The intercept median runs
+    * over one value per DAY (bounded), so its window is a bounded
+    * domain.
+    */
+  def theilSen(t: Tables): DataFrame = {
+    val daily = t.lineitem
+      .groupBy(col("l_shipdate").cast("date").as("d"))
+      .agg(sum(discPrice(col("l_extendedprice"), col("l_discount"))).as("rev"))
+      .select(
+        datediff(col("d"), to_date(lit("1970-01-01"))).cast("long").as("ed"),
+        (col("rev") * 1000000).cast("long").as("v"))
+      .persist() // read by the span probe, both join sides, and residuals
+    val span = daily.agg((max(col("ed")) - min(col("ed"))).as("span"))
+    val slopes = daily.crossJoin(broadcast(span))
+      .select(col("ed").as("d1"), col("v").as("v1"),
+        explode(expr("sequence(1, span)")).as("g"))
+      .withColumn("d2", col("d1") + col("g"))
+      .join(daily.select(col("ed").as("d2"), col("v").as("v2")), Seq("d2"))
+      .select(expr(s"((v2 - v1) + $SlopeBias * (d2 - d1)) div (d2 - d1)" +
+        s" - $SlopeBias").as("s"))
+    // exact lower median of the slope multiset, distributed: global rank
+    // = per-bucket row_number + broadcast offsets of preceding buckets
+    val ranged = slopes.repartitionByRange(32, col("s"))
+      .withColumn("bucket", spark_partition_id())
+      .persist()
+    val counts = ranged.groupBy("bucket").agg(count(lit(1)).as("bn"))
+    val wB = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = counts
+      .withColumn("off", coalesce(sum(col("bn")).over(wB), lit(0L)))
+      .select("bucket", "off")
+    val total = counts.agg(sum(col("bn")).as("np"))
+    val wL = Window.partitionBy("bucket").orderBy("s")
+    val slope = ranged
+      .withColumn("rk", row_number().over(wL))
+      .join(broadcast(offsets), Seq("bucket"))
+      .crossJoin(broadcast(total))
+      .where(col("off") + col("rk") === expr("(np + 1) div 2"))
+      .select(col("s").as("slope"), col("np"))
+    // intercept: lower median of per-DAY residuals (bounded domain)
+    val wD = Window.orderBy("r")
+    val out = daily.crossJoin(broadcast(slope))
+      .select(col("np"), col("slope"), (col("v") - col("slope") * col("ed")).as("r"))
+      .withColumn("rk", row_number().over(wD))
+      .withColumn("nd", count(lit(1)).over(Window.partitionBy(lit(1))))
+      .where(col("rk") === expr("(nd + 1) div 2"))
+      .select(col("nd").cast("long").as("n_days"), col("np").as("n_pairs"),
+        col("slope").as("ts_slope_micros"), col("r").as("ts_intercept_micros"))
+    out
+  }
+
+  /** Oracle: brute-force day-pair slopes + ORDER BY/OFFSET medians —
+    * same bias trick so `//` floor matches the rewrite's `div`.
+    */
+  val theilSenSql: String =
+    s"""WITH daily AS (
+       | SELECT CAST(datediff('day', DATE '1970-01-01',
+       |    CAST(l_shipdate AS DATE)) AS BIGINT) AS ed,
+       |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) *
+       |    CAST(1 - CAST(l_discount AS DECIMAL(4,2)) AS DECIMAL(8,4)))
+       |    * 1000000 AS BIGINT) AS v
+       | FROM lineitem GROUP BY 1),
+       |sl AS (
+       | SELECT ((b.v - a.v) + $SlopeBias * (b.ed - a.ed)) // (b.ed - a.ed)
+       |   - $SlopeBias AS s
+       | FROM daily a JOIN daily b ON a.ed < b.ed),
+       |np AS (SELECT CAST(COUNT(*) AS BIGINT) AS np FROM sl),
+       |med AS (
+       | SELECT s AS slope FROM sl, np
+       | ORDER BY s LIMIT 1 OFFSET (SELECT (np + 1) // 2 - 1 FROM np)),
+       |res AS (
+       | SELECT d.v - m.slope * d.ed AS r, m.slope
+       | FROM daily d CROSS JOIN med m),
+       |nd AS (SELECT CAST(COUNT(*) AS BIGINT) AS nd FROM daily),
+       |imed AS (
+       | SELECT r FROM res
+       | ORDER BY r LIMIT 1 OFFSET (SELECT (nd + 1) // 2 - 1 FROM nd))
+       |SELECT nd.nd AS n_days, np.np AS n_pairs,
+       | m.slope AS ts_slope_micros, imed.r AS ts_intercept_micros
+       |FROM nd, np, med m, imed""".stripMargin
+
+  private val BollWin = 7
+
+  /** Bollinger bands on the daily revenue series: trailing
+    * [[BollWin]]-day mean ± 2σ, with a breakout flag for days outside
+    * their own trailing band. Everything integer-exact in CENTS: the
+    * window sums (n, Σx, Σx²) fit longs at any realistic daily volume,
+    * the population variance is the integer `(nΣx²−(Σx)²) div n²`, and
+    * σ = floor(sqrt) — exact in IEEE double below 2⁵³, same in both
+    * engines. One trailing window over the CALENDAR-bounded daily
+    * series (the repo's bounded-domain window convention).
+    */
+  def bollinger(t: Tables): DataFrame = {
+    val daily = t.lineitem
+      .groupBy(col("l_shipdate").cast("date").as("d"))
+      .agg(sum(discPrice(col("l_extendedprice"), col("l_discount"))).as("rev"))
+      // rev is a scale-6 decimal: ×10⁶ is integer-EXACT (×100 would
+      // truncate in Spark but round in DuckDB); the cents reduction is
+      // then an explicit integer div both engines share
+      .select(col("d"), expr("CAST(rev * 1000000 AS LONG) div 10000").as("cents"))
+    val w = Window.orderBy("d").rowsBetween(-(BollWin - 1), 0)
+    daily
+      .withColumn("n", count(lit(1)).over(w))
+      .withColumn("s1", sum(col("cents")).over(w))
+      .withColumn("s2", sum(col("cents") * col("cents")).over(w))
+      .withColumn("mu", expr("s1 div n"))
+      .withColumn("sd", floor(sqrt(expr("(n * s2 - s1 * s1) div (n * n)")
+        .cast("double"))).cast("long"))
+      .select(col("d"), col("cents"), col("n"), col("mu"),
+        (col("mu") - col("sd") * 2).as("lower"),
+        (col("mu") + col("sd") * 2).as("upper"),
+        (col("cents") < col("mu") - col("sd") * 2 ||
+          col("cents") > col("mu") + col("sd") * 2).as("breakout"))
+      .orderBy("d")
+  }
+
+  val bollingerSql: String =
+    s"""WITH daily AS (
+       | SELECT CAST(l_shipdate AS DATE) AS d,
+       |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) *
+       |    CAST(1 - CAST(l_discount AS DECIMAL(4,2)) AS DECIMAL(8,4)))
+       |    * 1000000 AS BIGINT) // 10000 AS cents
+       | FROM lineitem GROUP BY 1),
+       |win AS (
+       | SELECT d, cents,
+       |  CAST(COUNT(*) OVER tw AS BIGINT) AS n,
+       |  CAST(SUM(cents) OVER tw AS BIGINT) AS s1,
+       |  CAST(SUM(cents * cents) OVER tw AS BIGINT) AS s2
+       | FROM daily
+       | WINDOW tw AS (ORDER BY d ROWS BETWEEN ${BollWin - 1} PRECEDING
+       |   AND CURRENT ROW)),
+       |bands AS (
+       | SELECT d, cents, n, s1 // n AS mu,
+       |  CAST(FLOOR(SQRT(CAST((n * s2 - s1 * s1) // (n * n) AS DOUBLE)))
+       |    AS BIGINT) AS sd
+       | FROM win)
+       |SELECT d, cents, n, mu,
+       | mu - 2 * sd AS lower, mu + 2 * sd AS upper,
+       | (cents < mu - 2 * sd OR cents > mu + 2 * sd) AS breakout
+       |FROM bands ORDER BY d""".stripMargin
 }

@@ -1,0 +1,127 @@
+package graft
+
+import graft.operators.{Curation, Graph, Relational7, Relational9, TimeSeries}
+
+/** Specs for the round-11 widening batch: robust trend, bands, ABC/XYZ,
+  * winsorized means, contamination report, structural node similarity.
+  */
+class Round11Spec extends SparkSpec {
+
+  test("theil-sen: slope/intercept are the exact lower medians of the replay") {
+    val r = TimeSeries.theilSen(sf).collect()
+    assert(r.length == 1)
+    val (nDays, nPairs, slope, intercept) =
+      (r(0).getLong(0), r(0).getLong(1), r(0).getLong(2), r(0).getLong(3))
+    // replay in memory from the same daily series
+    val daily = sf.lineitem
+      .groupBy(org.apache.spark.sql.functions.expr("CAST(l_shipdate AS DATE)").as("d"))
+      .agg(org.apache.spark.sql.functions.expr(
+        "CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(1 - CAST(l_discount AS DECIMAL(4,2)) AS DECIMAL(8,4))) * 1000000 AS LONG)").as("v"))
+      .selectExpr("CAST(datediff(d, DATE '1970-01-01') AS LONG) AS ed", "v")
+      .collect().map(x => (x.getLong(0), x.getLong(1))).sortBy(_._1)
+    assert(nDays == daily.length)
+    val slopes = (for {
+      i <- daily.indices; j <- (i + 1) until daily.length
+    } yield Math.floorDiv(daily(j)._2 - daily(i)._2, daily(j)._1 - daily(i)._1))
+      .sorted
+    assert(nPairs == slopes.length)
+    assert(slope == slopes(((slopes.length + 1) / 2 - 1).toInt))
+    val res = daily.map { case (d, v) => v - slope * d }.sorted
+    assert(intercept == res(((res.length + 1) / 2 - 1).toInt))
+  }
+
+  test("bollinger: bands replay the trailing integer stats, breakouts flagged") {
+    val rows = TimeSeries.bollinger(sf).collect()
+      .map(r => (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+        r.getLong(5), r.getBoolean(6)))
+    assert(rows.nonEmpty)
+    val cents = rows.map(_._1)
+    rows.zipWithIndex.foreach { case ((c, n, mu, lo, hi, brk), i) =>
+      val win = cents.slice(math.max(0, i - 6), i + 1)
+      assert(n == win.length)
+      val s1 = win.sum; val s2 = win.map(x => x * x).sum
+      assert(mu == s1 / n)
+      val sd = math.floor(math.sqrt(((n * s2 - s1 * s1) / (n * n)).toDouble)).toLong
+      assert(lo == mu - 2 * sd && hi == mu + 2 * sd)
+      assert(brk == (c < lo || c > hi))
+    }
+    // the band must actually fire somewhere at this SF
+    assert(rows.exists(_._6) && rows.exists(!_._6))
+  }
+
+  test("abc/xyz: classes cover the matrix and part counts reconcile") {
+    val rows = Relational7.abcXyz(sf).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+    assert(rows.map(_._3).sum ==
+      sf.lineitem.select("l_partkey").distinct().count())
+    assert(rows.forall { case (a, x, n, rev) =>
+      Set("A", "B", "C")(a) && Set("X", "Y", "Z")(x) && n > 0 && rev > 0.0
+    })
+    // both axes must discriminate at this SF
+    assert(rows.map(_._1).distinct.length >= 2)
+    assert(rows.map(_._2).distinct.length >= 2)
+  }
+
+  test("winsorize: cuts are the histogram percentiles, clamped mean in range") {
+    val rows = Relational9.winsorize(sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4), r.getDouble(5)))
+    assert(rows.nonEmpty)
+    val byId = sf.documents.select("source", "n_chars").collect()
+      .map(r => (r.getString(0), r.getLong(1))).groupBy(_._1)
+    rows.foreach { case (src, n, p10, p90, wmean, rmean) =>
+      val vs = byId(src).map(_._2).sorted
+      assert(n == vs.length)
+      assert(p10 == vs.find(v => vs.count(_ <= v) * 10 >= vs.length).get)
+      assert(p90 == vs.find(v => vs.count(_ <= v) * 10 >= 9 * vs.length).get)
+      assert(p10 <= p90)
+      val clamped = byId(src).map(x => math.max(p10, math.min(p90, x._2)))
+      assert(wmean == clamped.sum.toDouble / clamped.length)
+      assert(rmean == vs.sum.toDouble / vs.length)
+    }
+  }
+
+  test("contamination report is the exact transpose of decontaminate") {
+    val rep = Curation.contaminationReport(sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    // bench docs only, and every bench doc with a leak appears
+    assert(rep.forall(_._1 % 97 == 0))
+    // transpose check: total (bench, train) contaminated-pair edges agree
+    val fromTrain = Curation.decontaminate(sf).collect()
+      .map(_.getLong(1)).sum
+    assert(rep.map(_._2 > 0).forall(identity))
+    val fromBench = rep.map(_._1).distinct.length
+    assert(fromBench == rep.length) // one row per compromised bench doc
+    assert(fromTrain >= rep.length.toLong) // edges ≥ compromised bench docs
+  }
+
+  test("node similarity: jaccard replays from neighbor sets, wedge-complete") {
+    val rows = Graph.nodeSimilarity(sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (a, b, common, j) =>
+      assert(a < b && common >= 1 && j >= 0.2 && j <= 1.0)
+    }
+    // replay the support-2 co-purchase graph in memory (basketPairs'
+    // public form uses support 3, the graph tier uses 2)
+    val items = sf.lineitem.select("l_orderkey", "l_partkey").distinct()
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val byOrder = items.groupBy(_._1).values.map(_.map(_._2).sorted)
+    val support = scala.collection.mutable.Map[(Long, Long), Int]()
+    byOrder.foreach { ps =>
+      for (i <- ps.indices; j <- (i + 1) until ps.length)
+        support((ps(i), ps(j))) = support.getOrElse((ps(i), ps(j)), 0) + 1
+    }
+    // iterator first: collect on a Map of pairs would rebuild a Map
+    // and collapse same-first-element pairs
+    val edges = support.iterator.collect { case (p, c) if c >= 2 => p }.toArray
+    val nbrs: Map[Long, Set[Long]] = (edges ++ edges.map(_.swap)).groupBy(_._1)
+      .map { case (k, vs) => k -> vs.map(_._2).toSet }
+    rows.take(10).foreach { case (a, b, common, j) =>
+      val (na, nb) = (nbrs(a), nbrs(b))
+      assert(common == na.intersect(nb).size,
+        s"pair ($a,$b) common=$common replay=${na.intersect(nb).size} na=${na.size} nb=${nb.size}")
+      assert(j == na.intersect(nb).size.toDouble / na.union(nb).size)
+    }
+  }
+}
