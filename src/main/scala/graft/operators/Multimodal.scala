@@ -1212,4 +1212,116 @@ object Multimodal {
        |FROM hs a JOIN hs b ON a.doc_id < b.doc_id
        |WHERE bit_count(xor(a.dhash, b.dhash)) <= $DhashHammingMax
        |ORDER BY a_id, b_id""".stripMargin
+
+  private val PhashN = 32 // stub raster side
+  private val PhashK = 8  // retained low-frequency block
+
+  /** Fixed-point DCT-II basis, scaled 2¹⁴ and rounded — INTEGER
+    * literals, so the 2-D transform below is exact int64 arithmetic and
+    * the oracle replays it from the SAME table (emitted into the SQL
+    * from this array — single source of truth, no float drift).
+    */
+  private[graft] val phashCoef: Array[Array[Long]] =
+    Array.tabulate(PhashK, PhashN)((k, n) =>
+      Math.round(math.cos(math.Pi * (2 * n + 1) * k / (2.0 * PhashN)) * 16384.0))
+
+  final case class PhashRow(doc_id: Long, phash: Long)
+
+  /** Perceptual hash (pHash) over the deterministic 32×32 stub luma
+    * raster — the FREQUENCY-domain member of the image-fingerprint
+    * family (aHash = mean threshold, dHash = gradient, pHash = low-
+    * frequency DCT signs): 2-D DCT via two integer matrix passes with
+    * the fixed-point [[phashCoef]] basis, keep the top-left
+    * [[PhashK]]² block, threshold the 63 AC coefficients at their LOWER
+    * MEDIAN → 63-bit signature robust to brightness/scale changes that
+    * flip aHash/dHash bits. All int64 (peak magnitude ~7·10¹⁶ < 2⁶³),
+    * so the hash is bit-portable and the DuckDB oracle replays it
+    * term-for-term. Row-local per doc at the mapPartitions codec seam
+    * (the multimodal tier convention) — linear, no shuffle before the
+    * presentation sort.
+    */
+  def phash(t: Tables): DataFrame = {
+    val spark = t.spark
+    import spark.implicits._
+    val coef = phashCoef
+    codecIds(t)
+      .mapPartitions { it =>
+        it.map { id =>
+          // stub luma: the dHash tier's pixel formula on a 32×32 grid
+          def lum(x: Int, y: Int): Long =
+            299L * ((id + 7L * x + 13L * y) % 256) +
+              587L * ((2L * id + 11L * x + 3L * y) % 256) +
+              114L * ((3L * id + 5L * x + 17L * y) % 256)
+          // row pass: T(k)(y) = Σ_x lum(x,y)·C(k)(x)
+          val tky = Array.tabulate(PhashK, PhashN) { (k, y) =>
+            var s = 0L; var x = 0
+            while (x < PhashN) { s += lum(x, y) * coef(k)(x); x += 1 }
+            s
+          }
+          // column pass: D(l)(k) = Σ_y T(k)(y)·C(l)(y)
+          val ac = for {
+            l <- 0 until PhashK; k <- 0 until PhashK
+            if l != 0 || k != 0
+          } yield {
+            var s = 0L; var y = 0
+            while (y < PhashN) { s += tky(k)(y) * coef(l)(y); y += 1 }
+            (l * PhashK + k, s)
+          }
+          val sorted = ac.map(_._2).sorted
+          val med = sorted((sorted.length + 1) / 2 - 1) // lower median of 63
+          val hash = ac.foldLeft(0L) { case (h, (idx, v)) =>
+            if (v > med) h | (1L << (idx - 1)) else h
+          }
+          PhashRow(id, hash)
+        }
+      }
+      .toDF()
+      .orderBy("doc_id")
+  }
+
+  /** Oracle: the integer DCT replayed from a VALUES table of the SAME
+    * fixed-point coefficients, per-doc lower median via row_number over
+    * the 63 AC values, BIGINT shifts for the bit assembly.
+    */
+  val phashSql: String = {
+    val coefRows = (for {
+      k <- 0 until PhashK; n <- 0 until PhashN
+    } yield s"($k, $n, ${phashCoef(k)(n)})").mkString(", ")
+    s"""WITH coef(k, n, c) AS (VALUES $coefRows),
+       |g AS (
+       | SELECT doc_id, unnest(range(0, $PhashN)) AS y FROM documents),
+       |gx AS (SELECT doc_id, y, unnest(range(0, $PhashN)) AS x FROM g),
+       |lum AS (
+       | SELECT doc_id, x, y,
+       |  299 * ((doc_id + 7 * x + 13 * y) % 256)
+       |  + 587 * ((2 * doc_id + 11 * x + 3 * y) % 256)
+       |  + 114 * ((3 * doc_id + 5 * x + 17 * y) % 256) AS v
+       | FROM gx),
+       |rowt AS (
+       | SELECT doc_id, coef.k, lum.y, CAST(SUM(lum.v * coef.c) AS BIGINT) AS tv
+       | FROM lum JOIN coef ON coef.n = lum.x
+       | GROUP BY 1, 2, 3),
+       |colt AS (
+       | SELECT doc_id, c2.k AS l, rowt.k,
+       |  CAST(SUM(rowt.tv * c2.c) AS BIGINT) AS dv
+       | FROM rowt JOIN coef c2 ON c2.n = rowt.y
+       | GROUP BY 1, 2, 3),
+       |ac AS (
+       | SELECT doc_id, l * $PhashK + k AS idx, dv FROM colt
+       | WHERE NOT (l = 0 AND k = 0)),
+       |med AS (
+       | SELECT doc_id, dv AS m FROM (
+       |  SELECT doc_id, dv,
+       |   ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY dv) AS r
+       |  FROM ac)
+       | WHERE r = (63 + 1) // 2),
+       |hs AS (
+       | SELECT ac.doc_id,
+       |  CAST(SUM(CASE WHEN ac.dv > med.m
+       |    THEN CAST(1 AS BIGINT) << CAST(ac.idx - 1 AS INT)
+       |    ELSE 0 END) AS BIGINT) AS phash
+       | FROM ac JOIN med USING (doc_id)
+       | GROUP BY 1)
+       |SELECT doc_id, phash FROM hs ORDER BY doc_id""".stripMargin
+  }
 }

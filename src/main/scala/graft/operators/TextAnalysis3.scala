@@ -347,4 +347,41 @@ object TextAnalysis3 {
        | CAST(least(start_tok + $ChunkWindow, len(ws)) - start_tok AS INT) AS n_tokens
        |FROM st
        |ORDER BY doc_id, chunk_idx""".stripMargin
+
+  private val ShapePrefix = 12
+
+  /** Template/boilerplate SHAPE detection — the structure-not-content
+    * dedup signal: each document's first [[ShapePrefix]] words reduce to
+    * a word-length bucket string (s ≤ 3 chars, m ≤ 6, l beyond), and
+    * shapes shared by ≥ 2 documents are reported with their member
+    * count and an exemplar. Catches machine-generated/templated pages
+    * whose TOKENS differ but whose layout repeats — invisible to
+    * content n-gram dedup until the near-dup threshold, cheap here:
+    * one row-local projection + one aggregation, linear at any scale.
+    */
+  def templateShape(t: Tables): DataFrame =
+    t.documents
+      .select(col("doc_id"),
+        concat_ws("", expr(
+          s"""transform(slice(split(text, ' '), 1, $ShapePrefix),
+             |  w -> CASE WHEN length(w) <= 3 THEN 's'
+             |            WHEN length(w) <= 6 THEN 'm'
+             |            ELSE 'l' END)""".stripMargin)).as("shape"))
+      .groupBy("shape")
+      .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("exemplar_doc"))
+      .where(col("n_docs") >= 2)
+      .orderBy(col("n_docs").desc, col("shape"))
+
+  val templateShapeSql: String =
+    s"""WITH f AS (
+       | SELECT doc_id,
+       |  array_to_string(list_transform(string_split(text, ' ')[1:$ShapePrefix],
+       |    w -> CASE WHEN len(w) <= 3 THEN 's'
+       |              WHEN len(w) <= 6 THEN 'm' ELSE 'l' END), '') AS shape
+       | FROM documents)
+       |SELECT shape, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       | CAST(MIN(doc_id) AS BIGINT) AS exemplar_doc
+       |FROM f GROUP BY shape
+       |HAVING COUNT(*) >= 2
+       |ORDER BY n_docs DESC, shape""".stripMargin
 }

@@ -124,4 +124,52 @@ class Round11Spec extends SparkSpec {
       assert(j == na.intersect(nb).size.toDouble / na.union(nb).size)
     }
   }
+
+  test("phash: integer DCT replay, AC median splits the bits near half") {
+    val rows = graft.operators.Multimodal.phash(sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(rows.length == sf.documents.count())
+    // replay one doc's transform in plain Scala from the shared basis
+    val coef = graft.operators.Multimodal.phashCoef
+    val id = rows(3)._1
+    def lum(x: Int, y: Int): Long =
+      299L * ((id + 7L * x + 13L * y) % 256) +
+        587L * ((2L * id + 11L * x + 3L * y) % 256) +
+        114L * ((3L * id + 5L * x + 17L * y) % 256)
+    val tky = Array.tabulate(8, 32)((k, y) =>
+      (0 until 32).map(x => lum(x, y) * coef(k)(x)).sum)
+    val ac = for { l <- 0 until 8; k <- 0 until 8; if l != 0 || k != 0 }
+      yield (l * 8 + k, (0 until 32).map(y => tky(k)(y) * coef(l)(y)).sum)
+    val med = ac.map(_._2).sorted.apply((ac.length + 1) / 2 - 1)
+    val expect = ac.foldLeft(0L) { case (h, (i, v)) =>
+      if (v > med) h | (1L << (i - 1)) else h
+    }
+    assert(rows(3)._2 == expect)
+    // median threshold: 31 of 63 bits set when AC values are distinct
+    val setBits = java.lang.Long.bitCount(rows(3)._2)
+    assert(setBits >= 25 && setBits <= 31, s"bits=$setBits")
+    // hashes discriminate across docs (the stub luma is periodic in
+    // doc_id mod 256, so distinct hashes cap at 256 for 500 docs)
+    assert(rows.map(_._2).distinct.length > 150)
+  }
+
+  test("template shape: buckets, counts, and exemplar reconcile") {
+    val rows = graft.operators.TextAnalysis3.templateShape(sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (shape, n, _) =>
+      assert(n >= 2 && shape.nonEmpty && shape.forall("sml".contains(_)))
+    }
+    // replay from the raw docs
+    val shapes = sf.documents.select("doc_id", "text").collect()
+      .map { r =>
+        val ws = r.getString(1).split(" ").take(12)
+        (r.getLong(0), ws.map(w =>
+          if (w.length <= 3) 's' else if (w.length <= 6) 'm' else 'l').mkString)
+      }
+    val expect = shapes.groupBy(_._2).collect {
+      case (sh, g) if g.length >= 2 => (sh, g.length.toLong, g.map(_._1).min)
+    }.toSet
+    assert(rows.toSet == expect)
+  }
 }
