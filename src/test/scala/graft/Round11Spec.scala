@@ -172,4 +172,31 @@ class Round11Spec extends SparkSpec {
     }.toSet
     assert(rows.toSet == expect)
   }
+
+  test("holt-winters: zero-state fold replays, forecast uses the next slot") {
+    val r = TimeSeries.holtWinters(sf).collect()
+    assert(r.length == 1)
+    val (n, level, trend, fc) =
+      (r(0).getLong(0), r(0).getDouble(1), r(0).getDouble(2), r(0).getDouble(3))
+    // replay the 28-day trailing series fold in plain Scala
+    val daily = sf.lineitem
+      .groupBy(org.apache.spark.sql.functions.expr("CAST(l_shipdate AS DATE)").as("d"))
+      .agg(org.apache.spark.sql.functions.expr(
+        "CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(1 - CAST(l_discount AS DECIMAL(4,2)) AS DECIMAL(8,4))) AS DOUBLE)").as("x"))
+      .collect().map(row => (row.getDate(0).toLocalDate, row.getDouble(1)))
+      .sortBy(_._1.toEpochDay)
+    val mx = daily.map(_._1.toEpochDay).max
+    val vals = daily.filter(p => mx - p._1.toEpochDay < 28).map(_._2)
+    assert(n == vals.length)
+    var l = 0.0; var b = 0.0; val sArr = Array.fill(7)(0.0)
+    vals.zipWithIndex.foreach { case (x, i) =>
+      val j = i % 7
+      val l2 = (x - sArr(j) + l + b) / 2
+      val b2 = (l2 - l + b) / 2
+      sArr(j) = (x - l2 + sArr(j)) / 2
+      l = l2; b = b2
+    }
+    assert(level == l && trend == b)
+    assert(fc == l + b + sArr(vals.length % 7))
+  }
 }
