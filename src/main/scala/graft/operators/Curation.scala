@@ -548,22 +548,29 @@ object Curation {
   def perplexityGate(t: Tables): DataFrame = {
     val docs = t.documents.select(col("doc_id"), split(col("text"), " ").as("ws"))
     val hold = docs.where(pmod(col("doc_id"), lit(PplHoldoutMod)) === 0)
+    // every count key is hashed to a 64-bit long BEFORE its shuffle —
+    // the dedup-front-end convention (8-byte keys instead of word
+    // strings through the df-count and score joins); a collision only
+    // merges two count cells, which the 64-bit space makes negligible,
+    // and the SQL oracle's string keys count identically
     val uni = hold.select(explode(col("ws")).as("w1"))
-      .groupBy("w1").agg(count(lit(1)).as("uc"))
+      .select(xxhash64(col("w1")).as("h1"))
+      .groupBy("h1").agg(count(lit(1)).as("uc"))
     def bigrams(d: DataFrame): DataFrame = d
       .select(col("doc_id"), explode(
         when(size(col("ws")) >= 2,
           expr("transform(sequence(0, size(ws) - 2), i -> struct(ws[i] AS w1, ws[i+1] AS w2))"))
           .otherwise(expr("array()"))).as("b"))
-      .select(col("doc_id"), col("b.w1").as("w1"), col("b.w2").as("w2"))
-    val bc = bigrams(hold).groupBy("w1", "w2").agg(count(lit(1)).as("bc"))
-    // per-doc (w1,w2,dc) pre-aggregation before the count joins — the
+      .select(col("doc_id"), xxhash64(col("b.w1")).as("h1"),
+        xxhash64(col("b.w1"), col("b.w2")).as("h12"))
+    val bc = bigrams(hold).groupBy("h12").agg(count(lit(1)).as("bc"))
+    // per-doc (h12, dc) pre-aggregation before the count joins — the
     // lmScore skew guard: join load is bounded by docs-per-bigram
     val bgc = bigrams(docs.where(pmod(col("doc_id"), lit(PplHoldoutMod)) =!= 0))
-      .groupBy("doc_id", "w1", "w2").agg(count(lit(1)).as("dc"))
+      .groupBy("doc_id", "h1", "h12").agg(count(lit(1)).as("dc"))
     val scored = bgc
-      .join(bc, Seq("w1", "w2"), "left")
-      .join(uni, Seq("w1"), "left")
+      .join(bc, Seq("h12"), "left")
+      .join(uni, Seq("h1"), "left")
       .groupBy("doc_id")
       .agg(sum(col("dc")).as("n_bigrams"),
         sum(expr("dc * coalesce((bc * 1000000L) div uc, 0L)")).as("fam_sum"))

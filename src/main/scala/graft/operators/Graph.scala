@@ -900,14 +900,16 @@ object Graph {
     * structural-equivalence signal behind item-item collaborative
     * filtering (contrast [[recommend]], which counts shared ORDERS).
     *
-    * Spark shape: candidate pairs come from a WEDGE join (two edge
-    * copies meeting on the shared neighbor, a < b, distinct) — bounded
-    * by Σ deg², the standard wedge budget, never nodes²; each node's
-    * neighbor set gathers ONCE into a sorted array and the Jaccard is
-    * the codegen'd [[graft.functions.SortedLongJaccard]] merge over the
-    * two arrays (no per-pair explode). Sharing ≥ 1 neighbor is implied
-    * by J > 0, so the wedge blocking is complete for any positive
-    * threshold.
+    * Spark shape: ONE wedge join (two edge copies meeting on the shared
+    * neighbor, a < b — Σ deg² budget, never nodes²) whose aggregation
+    * IS the intersection size: since the edge list is distinct,
+    * #wedges(a,·,b) = |N(a) ∩ N(b)|, so no neighbor ARRAYS ever attach
+    * to the pair space (the r11 first cut shuffled two full arrays per
+    * candidate and paid 9.5 s at sf0.1; counting wedges + two degree
+    * joins runs the identical math in a fraction). Jaccard =
+    * common / (deg(a) + deg(b) − common) — one correctly-rounded double
+    * division, bit-identical in both engines. Complete for any positive
+    * threshold (J > 0 ⟺ a shared neighbor exists).
     */
   def nodeSimilarity(t: Tables): DataFrame = {
     val edges = Relational7.basketPairsRaw(t, EdgeSupport)
@@ -916,20 +918,18 @@ object Graph {
         struct(col("b_part").as("u"), col("a_part").as("v")))).as("e"))
       .select(col("e.u").as("u"), col("e.v").as("v"))
       .persist()
-    val nbrs = edges.groupBy("u")
-      .agg(sort_array(collect_set(col("v"))).as("ns"))
-    val wedges = edges.select(col("v").as("w"), col("u").as("a"))
+    val deg = edges.groupBy("u").agg(count(lit(1)).as("d"))
+    val common = edges.select(col("v").as("w"), col("u").as("a"))
       .join(edges.select(col("v").as("w"), col("u").as("b")), Seq("w"))
       .where(col("a") < col("b"))
-      .select("a", "b")
-      .distinct()
-    wedges
-      .join(nbrs.select(col("u").as("a"), col("ns").as("a_ns")), Seq("a"))
-      .join(nbrs.select(col("u").as("b"), col("ns").as("b_ns")), Seq("b"))
-      .select(col("a").as("a_part"), col("b").as("b_part"),
-        graft.functions.SortedLongOverlap(col("a_ns"), col("b_ns"))
-          .cast("long").as("n_common"),
-        graft.functions.SortedLongJaccard(col("a_ns"), col("b_ns")).as("jaccard"))
+      .groupBy("a", "b")
+      .agg(count(lit(1)).as("n_common"))
+    common
+      .join(deg.select(col("u").as("a"), col("d").as("da")), Seq("a"))
+      .join(deg.select(col("u").as("b"), col("d").as("db")), Seq("b"))
+      .select(col("a").as("a_part"), col("b").as("b_part"), col("n_common"),
+        (col("n_common").cast("double") /
+          (col("da") + col("db") - col("n_common")).cast("double")).as("jaccard"))
       .where(col("jaccard") >= NodeSimThreshold)
       .orderBy("a_part", "b_part")
   }

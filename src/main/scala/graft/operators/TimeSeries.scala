@@ -609,10 +609,13 @@ object TimeSeries {
         datediff(col("d"), to_date(lit("1970-01-01"))).cast("long").as("ed"),
         (col("rev") * 1000000).cast("long").as("v"))
       .persist() // read by the span probe, both join sides, and residuals
-    val span = daily.agg((max(col("ed")) - min(col("ed"))).as("span"))
+    val span = daily.agg(max(col("ed")).as("mxd"))
+    // per-row probe bound: day d only emits gaps up to mxd − d, halving
+    // the probe rows vs a uniform global span
     val slopes = daily.crossJoin(broadcast(span))
+      .where(col("ed") < col("mxd"))
       .select(col("ed").as("d1"), col("v").as("v1"),
-        explode(expr("sequence(1, span)")).as("g"))
+        explode(expr("sequence(1, mxd - ed)")).as("g"))
       .withColumn("d2", col("d1") + col("g"))
       .join(daily.select(col("ed").as("d2"), col("v").as("v2")), Seq("d2"))
       .select(expr(s"((v2 - v1) + $SlopeBias * (d2 - d1)) div (d2 - d1)" +
