@@ -771,4 +771,67 @@ object Analytics {
        |SELECT t AS t_days, n AS n_risk, d AS d_events, s AS survival
        |FROM km WHERE d > 0
        |ORDER BY t_days""".stripMargin
+
+  /** Cohort LTV curves — the revenue view of [[cohorts]]: customers
+    * cohorted by FIRST-ORDER month, each cohort's revenue accumulated
+    * by account age in months, normalized per cohort member — the
+    * "how much is a January-2024 customer worth after k months" table
+    * that payback-period decisions read. Exact decimal revenue sums;
+    * the cumulative window runs over (cohort × age) cells — a
+    * calendar-bounded domain at any order volume — and the per-member
+    * division is one correctly-rounded double op. Shape: one first-
+    * order aggregation (broadcastable), one fact aggregation keyed by
+    * (cohort, age), one bounded window.
+    */
+  def cohortLtv(t: Tables): DataFrame = {
+    val firstMonth = t.orders
+      .groupBy("o_custkey")
+      .agg(date_trunc("month", min(col("o_orderdate"))).as("cohort_month"))
+    val sizes = firstMonth.groupBy("cohort_month")
+      .agg(countDistinct(col("o_custkey")).as("n_customers"))
+    val aged = t.orders
+      .join(firstMonth, "o_custkey")
+      .groupBy(col("cohort_month"),
+        months_between(date_trunc("month", col("o_orderdate")),
+          col("cohort_month")).cast("long").as("age_months"))
+      .agg(sum(dec(col("o_totalprice"))).as("rev"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("cohort_month").orderBy("age_months")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    aged
+      .withColumn("cum_rev", sum(col("rev")).over(w))
+      .join(broadcast(sizes), Seq("cohort_month"))
+      .select(col("cohort_month"), col("age_months"), col("n_customers"),
+        col("rev").cast("double").as("revenue"),
+        col("cum_rev").cast("double").as("cum_revenue"),
+        (col("cum_rev").cast("double") / col("n_customers")).as("ltv_per_customer"))
+      .orderBy("cohort_month", "age_months")
+  }
+
+  val cohortLtvSql: String =
+    """WITH fm AS (
+      | SELECT o_custkey,
+      |  date_trunc('month', MIN(CAST(o_orderdate AS TIMESTAMP))) AS cohort_month
+      | FROM orders GROUP BY o_custkey),
+      |sz AS (
+      | SELECT cohort_month, CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS n_customers
+      | FROM fm GROUP BY cohort_month),
+      |aged AS (
+      | SELECT fm.cohort_month,
+      |  CAST(datediff('month', fm.cohort_month,
+      |    date_trunc('month', CAST(o.o_orderdate AS TIMESTAMP))) AS BIGINT) AS age_months,
+      |  SUM(CAST(o.o_totalprice AS DECIMAL(12,2))) AS rev
+      | FROM orders o JOIN fm ON o.o_custkey = fm.o_custkey
+      | GROUP BY 1, 2),
+      |c AS (
+      | SELECT cohort_month, age_months, rev,
+      |  SUM(rev) OVER (PARTITION BY cohort_month ORDER BY age_months
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_rev
+      | FROM aged)
+      |SELECT c.cohort_month, c.age_months, sz.n_customers,
+      | CAST(c.rev AS DOUBLE) AS revenue,
+      | CAST(c.cum_rev AS DOUBLE) AS cum_revenue,
+      | CAST(c.cum_rev AS DOUBLE) / sz.n_customers AS ltv_per_customer
+      |FROM c JOIN sz USING (cohort_month)
+      |ORDER BY cohort_month, age_months""".stripMargin
 }

@@ -1221,9 +1221,17 @@ object Multimodal {
     * the oracle replays it from the SAME table (emitted into the SQL
     * from this array — single source of truth, no float drift).
     */
-  private[graft] val phashCoef: Array[Array[Long]] =
+  private def dctBasis(scale: Long): Array[Array[Long]] =
     Array.tabulate(PhashK, PhashN)((k, n) =>
-      Math.round(math.cos(math.Pi * (2 * n + 1) * k / (2.0 * PhashN)) * 16384.0))
+      Math.round(math.cos(math.Pi * (2 * n + 1) * k / (2.0 * PhashN)) * scale))
+
+  private[graft] val phashCoef: Array[Array[Long]] = dctBasis(16384L)
+
+  /** 2¹⁰-scaled basis for the REAL-codec variant: its DCT input is the
+    * area-resampled cell sum (≤ 255000·w·h ≈ 6.5·10⁷), so the smaller
+    * fixed point keeps the two passes inside int64 (peak ≈ 7·10¹⁶).
+    */
+  private[graft] val phashRealCoef: Array[Array[Long]] = dctBasis(1024L)
 
   final case class PhashRow(doc_id: Long, phash: Long)
 
@@ -1323,5 +1331,142 @@ object Multimodal {
        | FROM ac JOIN med USING (doc_id)
        | GROUP BY 1)
        |SELECT doc_id, phash FROM hs ORDER BY doc_id""".stripMargin
+  }
+
+  final case class PhashRealRow(doc_id: Long, width: Int, height: Int, phash: Long)
+
+  /** REAL-codec pHash: the full production chain — synthesize a PNG,
+    * DECODE it through javax.imageio (the real codec, the [[dhashReal]]
+    * seam), integer overlap-weighted area-resample the decoded raster
+    * to the [[PhashN]]² grid (the [[resizeReal]] arithmetic, exact on
+    * the w·[[PhashN]]-unit common grid), then the fixed-point DCT +
+    * AC-median threshold of [[phash]] with the 2¹⁰ basis
+    * ([[phashRealCoef]]). PNG is lossless, so the decoded raster equals
+    * the synthesis formula and the oracle replays pixels → overlap
+    * cells → DCT terms → bits entirely in SQL — the hash of a REAL
+    * decode path, still bit-exact across engines.
+    */
+  def phashReal(t: Tables): DataFrame = {
+    val spark = t.spark
+    import spark.implicits._
+    val coef = phashRealCoef
+    codecIds(t)
+      .mapPartitions { it =>
+        it.grouped(BatchSize).flatMap { batch =>
+          batch.map { id =>
+            val img = javax.imageio.ImageIO.read(
+              new java.io.ByteArrayInputStream(synthPng(id)))
+            require(img != null, s"doc $id: synthesized PNG failed to decode")
+            val (w, h) = (img.getWidth, img.getHeight)
+            def lum(x: Int, y: Int): Long = {
+              val rgb = img.getRGB(x, y)
+              299L * ((rgb >> 16) & 0xff) + 587L * ((rgb >> 8) & 0xff) +
+                114L * (rgb & 0xff)
+            }
+            // exact area resample onto the w·32 / h·32 unit grids
+            val cells = Array.tabulate(PhashN, PhashN) { (i, j) =>
+              var s = 0L
+              var x = 0
+              while (x < w) {
+                val ox = math.min((x + 1) * PhashN, (i + 1) * w) -
+                  math.max(x * PhashN, i * w)
+                if (ox > 0) {
+                  var y = 0
+                  while (y < h) {
+                    val oy = math.min((y + 1) * PhashN, (j + 1) * h) -
+                      math.max(y * PhashN, j * h)
+                    if (oy > 0) s += lum(x, y) * ox * oy
+                    y += 1
+                  }
+                }
+                x += 1
+              }
+              s
+            }
+            val tky = Array.tabulate(PhashK, PhashN) { (k, j) =>
+              var s = 0L; var i = 0
+              while (i < PhashN) { s += cells(i)(j) * coef(k)(i); i += 1 }
+              s
+            }
+            val ac = for {
+              l <- 0 until PhashK; k <- 0 until PhashK
+              if l != 0 || k != 0
+            } yield {
+              var s = 0L; var j = 0
+              while (j < PhashN) { s += tky(k)(j) * coef(l)(j); j += 1 }
+              (l * PhashK + k, s)
+            }
+            val sorted = ac.map(_._2).sorted
+            val med = sorted((sorted.length + 1) / 2 - 1)
+            val hash = ac.foldLeft(0L) { case (hh, (idx, v)) =>
+              if (v > med) hh | (1L << (idx - 1)) else hh
+            }
+            PhashRealRow(id, w, h, hash)
+          }
+        }
+      }
+      .toDF()
+      .orderBy("doc_id")
+  }
+
+  /** Oracle: pixel-formula luma (PNG is lossless) → overlap-weighted
+    * resample cells → the 2¹⁰ basis DCT terms → AC lower median →
+    * BIGINT bit assembly. Structurally [[dhashCtesSql]]'s overlap
+    * chain + [[phashSql]]'s transform chain composed.
+    */
+  val phashRealSql: String = {
+    val coefRows = (for {
+      k <- 0 until PhashK; n <- 0 until PhashN
+    } yield s"($k, $n, ${phashRealCoef(k)(n)})").mkString(", ")
+    s"""WITH coefr(k, n, c) AS (VALUES $coefRows),
+       |p AS (
+       |  SELECT doc_id, 8 + doc_id % 9 AS w, 8 + (doc_id * 3) % 9 AS h
+       |  FROM documents),
+       |xs AS (SELECT doc_id, w, h, unnest(range(0, w)) AS x FROM p),
+       |xy AS (SELECT doc_id, w, h, x, unnest(range(0, h)) AS y FROM xs),
+       |px AS (
+       |  SELECT doc_id, w, h, x, y,
+       |    299 * ((doc_id + 7 * x + 13 * y) % 256)
+       |    + 587 * ((2 * doc_id + 11 * x + 3 * y) % 256)
+       |    + 114 * ((3 * doc_id + 5 * x + 17 * y) % 256) AS lum
+       |  FROM xy),
+       |ti AS (SELECT doc_id, w, h, x, y, lum, unnest(range(0, $PhashN)) AS i FROM px),
+       |tij AS (SELECT doc_id, w, h, x, y, lum, i, unnest(range(0, $PhashN)) AS j FROM ti),
+       |ov AS (
+       |  SELECT doc_id, i, j, lum,
+       |    greatest(0, least((x+1)*$PhashN, (i+1)*w) - greatest(x*$PhashN, i*w)) AS ox,
+       |    greatest(0, least((y+1)*$PhashN, (j+1)*h) - greatest(y*$PhashN, j*h)) AS oy
+       |  FROM tij),
+       |cells AS (
+       |  SELECT doc_id, i, j, CAST(SUM(lum * ox * oy) AS BIGINT) AS s
+       |  FROM ov WHERE ox > 0 AND oy > 0 GROUP BY doc_id, i, j),
+       |rowt AS (
+       | SELECT cells.doc_id, coefr.k, cells.j, CAST(SUM(cells.s * coefr.c) AS BIGINT) AS tv
+       | FROM cells JOIN coefr ON coefr.n = cells.i
+       | GROUP BY 1, 2, 3),
+       |colt AS (
+       | SELECT doc_id, c2.k AS l, rowt.k,
+       |  CAST(SUM(rowt.tv * c2.c) AS BIGINT) AS dv
+       | FROM rowt JOIN coefr c2 ON c2.n = rowt.j
+       | GROUP BY 1, 2, 3),
+       |ac AS (
+       | SELECT doc_id, l * $PhashK + k AS idx, dv FROM colt
+       | WHERE NOT (l = 0 AND k = 0)),
+       |med AS (
+       | SELECT doc_id, dv AS m FROM (
+       |  SELECT doc_id, dv,
+       |   ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY dv) AS r
+       |  FROM ac)
+       | WHERE r = (63 + 1) // 2),
+       |hs AS (
+       | SELECT ac.doc_id,
+       |  CAST(SUM(CASE WHEN ac.dv > med.m
+       |    THEN CAST(1 AS BIGINT) << CAST(ac.idx - 1 AS INT)
+       |    ELSE 0 END) AS BIGINT) AS phash
+       | FROM ac JOIN med USING (doc_id)
+       | GROUP BY 1)
+       |SELECT p.doc_id, CAST(p.w AS INT) AS width, CAST(p.h AS INT) AS height,
+       | hs.phash
+       |FROM p JOIN hs USING (doc_id) ORDER BY doc_id""".stripMargin
   }
 }

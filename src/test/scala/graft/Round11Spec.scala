@@ -199,4 +199,64 @@ class Round11Spec extends SparkSpec {
     assert(level == l && trend == b)
     assert(fc == l + b + sArr(vals.length % 7))
   }
+
+  test("cohort ltv: cumulative revenue reconciles and per-member division holds") {
+    val rows = graft.operators.Analytics.cohortLtv(sf).collect()
+      .map(r => (r.getTimestamp(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getDouble(4), r.getDouble(5)))
+    assert(rows.nonEmpty)
+    // cumulative = running sum of revenue within each cohort, and the
+    // per-customer curve is monotone nondecreasing
+    rows.groupBy(_._1).foreach { case (_, g) =>
+      val srt = g.sortBy(_._2)
+      var cum = BigDecimal(0)
+      srt.foreach { case (_, _, n, rev, cumRev, ltv) =>
+        cum += BigDecimal(rev.toString)
+        assert(math.abs(cum.toDouble - cumRev) < 1e-6)
+        assert(ltv == cumRev / n)
+      }
+      assert(srt.map(_._5).sliding(2).forall(w => w.length < 2 || w(0) <= w(1)))
+    }
+    // total revenue across all cells equals the orders total
+    val total = rows.map(r => BigDecimal(r._4.toString)).sum.toDouble
+    val expect = sf.orders.agg(org.apache.spark.sql.functions.expr(
+      "CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE)")).head().getDouble(0)
+    assert(math.abs(total - expect) < 1e-4)
+  }
+
+  test("phash real: decode-resample-DCT replays from the pixel formula") {
+    val rows = graft.operators.Multimodal.phashReal(sf).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getLong(3)))
+    assert(rows.length == sf.documents.count())
+    // dims come from the DECODED raster
+    rows.foreach { case (id, w, h, _) =>
+      assert(w == 8 + (id % 9).toInt && h == 8 + ((id * 3) % 9).toInt)
+    }
+    // replay one doc fully in scala from the synthesis formula
+    val (id, w, h, got) = rows(5)
+    def lum(x: Int, y: Int): Long =
+      299L * ((id + 7L * x + 13L * y) % 256) +
+        587L * ((2L * id + 11L * x + 3L * y) % 256) +
+        114L * ((3L * id + 5L * x + 17L * y) % 256)
+    val coef = graft.operators.Multimodal.phashRealCoef
+    val cells = Array.tabulate(32, 32) { (i, j) =>
+      (for {
+        x <- 0 until w
+        ox = math.min((x + 1) * 32, (i + 1) * w) - math.max(x * 32, i * w)
+        if ox > 0
+        y <- 0 until h
+        oy = math.min((y + 1) * 32, (j + 1) * h) - math.max(y * 32, j * h)
+        if oy > 0
+      } yield lum(x, y) * ox * oy).sum
+    }
+    val tky = Array.tabulate(8, 32)((k, j) =>
+      (0 until 32).map(i => cells(i)(j) * coef(k)(i)).sum)
+    val ac = for { l <- 0 until 8; k <- 0 until 8; if l != 0 || k != 0 }
+      yield (l * 8 + k, (0 until 32).map(j => tky(k)(j) * coef(l)(j)).sum)
+    val med = ac.map(_._2).sorted.apply((ac.length + 1) / 2 - 1)
+    val expect = ac.foldLeft(0L) { case (hh, (i, v)) =>
+      if (v > med) hh | (1L << (i - 1)) else hh
+    }
+    assert(got == expect)
+  }
 }
