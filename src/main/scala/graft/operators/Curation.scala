@@ -545,6 +545,31 @@ object Curation {
     * equi-joins on gram keys, one bounded-domain window, one broadcast
     * threshold — linear, no pair space, no driver state.
     */
+  /** The trained reference-LM artifacts + percentile threshold the
+    * STREAMING gate consumes ([[graft.streaming.Streams.perplexityGateStream]]):
+    * hashed unigram/bigram count frames (built offline on the holdout
+    * slice, shipped like any dimension table) and the batch gate's own
+    * threshold scalar. The threshold collect is ONE row.
+    */
+  private[graft] def pplModel(t: Tables): (DataFrame, DataFrame, Long) = {
+    val docs = t.documents.select(col("doc_id"), split(col("text"), " ").as("ws"))
+    val hold = docs.where(pmod(col("doc_id"), lit(PplHoldoutMod)) === 0)
+    val uni = hold.select(explode(col("ws")).as("w1"))
+      .select(xxhash64(col("w1")).as("h1"))
+      .groupBy("h1").agg(count(lit(1)).as("uc"))
+    val bc = hold
+      .select(explode(
+        when(size(col("ws")) >= 2,
+          expr("transform(sequence(0, size(ws) - 2), i -> struct(ws[i] AS w1, ws[i+1] AS w2))"))
+          .otherwise(expr("array()"))).as("b"))
+      .select(xxhash64(col("b.w1"), col("b.w2")).as("h12"))
+      .groupBy("h12").agg(count(lit(1)).as("bc"))
+    val thr = perplexityGate(t)
+      .where(!col("keep")).agg(coalesce(max(col("ppl_score")), lit(-1L)))
+      .head().getLong(0)
+    (uni, bc, thr)
+  }
+
   def perplexityGate(t: Tables): DataFrame = {
     val docs = t.documents.select(col("doc_id"), split(col("text"), " ").as("ws"))
     val hold = docs.where(pmod(col("doc_id"), lit(PplHoldoutMod)) === 0)

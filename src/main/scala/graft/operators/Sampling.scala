@@ -176,4 +176,67 @@ object Sampling {
        | FROM documents
        | ORDER BY priority, doc_id LIMIT $PriorityK)
        |ORDER BY doc_id""".stripMargin
+
+  private val NeymanBudget = 120L
+
+  /** Neyman-optimal stratified allocation — the variance-minimizing way
+    * to spend a fixed labeling/inspection budget across strata: stratum
+    * h gets `n_h = budget · N_h·σ_h / Σ N_h·σ_h` (large AND internally
+    * varied strata earn more samples than proportional allocation
+    * gives), then each stratum's quota fills by the portable hash order
+    * ([[perKeyCap]] convention). σ uses the integer floor-sqrt of the
+    * exact population variance of document length — `floor(sqrt
+    * (bigint))` is engine-exact below 2⁵³ — and the allocation floor
+    * divides exact integers, so quotas are bit-portable; capped at the
+    * stratum size. One stats aggregation (broadcast back) + one window
+    * pass: linear, no corpus sort.
+    */
+  def neymanSample(t: Tables): DataFrame = {
+    val stats = t.documents.groupBy("source")
+      .agg(count(lit(1)).as("nh"),
+        sum(col("n_chars")).as("s1"),
+        sum(col("n_chars") * col("n_chars")).as("s2"))
+      .select(col("source"), col("nh"),
+        floor(sqrt(expr("(nh * s2 - s1 * s1) div (nh * nh)").cast("double")))
+          .cast("long").as("sigma"))
+      .withColumn("w", col("nh") * col("sigma"))
+    val tot = stats.agg(sum(col("w")).as("wsum"))
+    val alloc = stats.crossJoin(broadcast(tot))
+      .select(col("source"), col("nh"),
+        least(col("nh"),
+          expr(s"($NeymanBudget * w) div wsum")).as("quota"))
+    val wOrd = org.apache.spark.sql.expressions.Window
+      .partitionBy("source").orderBy(unitHash(col("doc_id")), col("doc_id"))
+    t.documents
+      .join(broadcast(alloc), Seq("source"))
+      .withColumn("rk", row_number().over(wOrd))
+      .where(col("rk") <= col("quota"))
+      .select(col("source"), col("doc_id"), col("n_chars"), col("quota"))
+      .orderBy("source", "doc_id")
+  }
+
+  val neymanSampleSql: String = {
+    val u = unitHashSqlFmt.format("doc_id")
+    s"""WITH st AS (
+       | SELECT source, CAST(COUNT(*) AS BIGINT) AS nh,
+       |  CAST(SUM(n_chars) AS BIGINT) AS s1,
+       |  CAST(SUM(n_chars * n_chars) AS BIGINT) AS s2
+       | FROM documents GROUP BY source),
+       |sg AS (
+       | SELECT source, nh,
+       |  nh * CAST(FLOOR(SQRT(CAST((nh * s2 - s1 * s1) // (nh * nh) AS DOUBLE)))
+       |    AS BIGINT) AS w
+       | FROM st),
+       |tot AS (SELECT CAST(SUM(w) AS BIGINT) AS wsum FROM sg),
+       |alloc AS (
+       | SELECT source, LEAST(nh, ($NeymanBudget * w) // wsum) AS quota
+       | FROM sg, tot),
+       |r AS (
+       | SELECT d.source, d.doc_id, d.n_chars, a.quota,
+       |  ROW_NUMBER() OVER (PARTITION BY d.source ORDER BY $u, d.doc_id) AS rk
+       | FROM documents d JOIN alloc a USING (source))
+       |SELECT source, doc_id, n_chars, CAST(quota AS BIGINT) AS quota
+       |FROM r WHERE rk <= quota
+       |ORDER BY source, doc_id""".stripMargin
+  }
 }

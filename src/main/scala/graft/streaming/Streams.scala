@@ -810,4 +810,37 @@ object Streams {
       .select(col("doc_id"), col("n_corpus_dups"), col("n_stream_dups"),
         (col("n_corpus_dups") === 0 && col("n_stream_dups") === 0).as("keep"))
   }
+
+  /** Streaming perplexity gate — the LM-quality twin of the anomaly
+    * gate's train-batch/score-stream convention: the reference bigram
+    * LM (hashed unigram/bigram count frames trained OFFLINE on the
+    * holdout slice, [[graft.operators.Curation.pplModel]]) joins the
+    * live document stream statelessly per bigram OCCURRENCE, and one
+    * windowed per-doc aggregation produces the identical scaled-integer
+    * score the batch gate computes (the batch per-doc pre-aggregation
+    * is a skew optimization, not semantics: Σdc·fam / Σdc ≡ the
+    * occurrence mean). The threshold is the batch gate's own percentile
+    * cut, shipped as a scalar — so live admission decisions are
+    * bit-equal to what a batch re-run would decide. Docs without
+    * bigrams have no score and pass upstream (the batch convention).
+    */
+  def perplexityGateStream(
+      docs: DataFrame, uni: DataFrame, bc: DataFrame, thr: Long): DataFrame =
+    docs.withWatermark("ts", "2 hours")
+      .select(col("doc_id"), col("ts"), split(col("text"), " ").as("ws"))
+      .select(col("doc_id"), col("ts"), explode(
+        when(size(col("ws")) >= 2,
+          expr("transform(sequence(0, size(ws) - 2), i -> struct(ws[i] AS w1, ws[i+1] AS w2))"))
+          .otherwise(expr("array()"))).as("b"))
+      .select(col("doc_id"), col("ts"),
+        xxhash64(col("b.w1")).as("h1"),
+        xxhash64(col("b.w1"), col("b.w2")).as("h12"))
+      .join(bc, Seq("h12"), "left")
+      .join(uni, Seq("h1"), "left")
+      .groupBy(window(col("ts"), "1 hour"), col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"),
+        sum(expr("coalesce((bc * 1000000L) div uc, 0L)")).as("fam_sum"))
+      .select(col("doc_id"), col("n_bigrams"),
+        expr("fam_sum div n_bigrams").cast("long").as("ppl_score"))
+      .withColumn("keep", col("ppl_score") > thr)
 }

@@ -259,4 +259,29 @@ class Round11Spec extends SparkSpec {
     }
     assert(got == expect)
   }
+
+  test("neyman allocation: quotas replay from the integer stats and fill by hash") {
+    val rows = graft.operators.Sampling.neymanSample(sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(rows.nonEmpty)
+    val docs = sf.documents.select("source", "doc_id", "n_chars").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val stats = docs.groupBy(_._1).map { case (src, g) =>
+      val nh = g.length.toLong
+      val s1 = g.map(_._3).sum; val s2 = g.map(x => x._3 * x._3).sum
+      val sigma = math.floor(math.sqrt(((nh * s2 - s1 * s1) / (nh * nh)).toDouble)).toLong
+      src -> (nh, nh * sigma)
+    }
+    val wsum = stats.values.map(_._2).sum
+    val quotas = stats.map { case (src, (nh, w)) =>
+      src -> math.min(nh, 120L * w / wsum)
+    }
+    // per-stratum counts equal the replayed quota, and quota column agrees
+    rows.groupBy(_._1).foreach { case (src, g) =>
+      assert(g.length.toLong == quotas(src), s"$src: ${g.length} vs ${quotas(src)}")
+      assert(g.forall(_._4 == quotas(src)))
+    }
+    // allocation favors varied strata: at least two distinct quotas at this SF
+    assert(quotas.values.toSeq.distinct.length >= 2)
+  }
 }

@@ -793,6 +793,35 @@ class StreamingSpec extends SparkSpec {
     assert(rows.exists(_._4) && rows.exists(!_._4),
       s"need both outcomes, got ${rows.toSeq}")
   }
+
+  test("perplexity gate stream scores equal the batch gate on the same docs") {
+    implicit val sqlCtx = spark.sqlContext
+    val t = sf
+    val (uni, bc, thr) = graft.operators.Curation.pplModel(t)
+    val scoredDocs = t.documents
+      .where(org.apache.spark.sql.functions.expr("doc_id % 7 <> 0"))
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val input = MemoryStream[DocEvent]
+    input.addData(scoredDocs.map { case (id, tx) => DocEvent(id, ts(5), tx) }.toSeq: _*)
+    input.addData(DocEvent(999999L, Timestamp.valueOf("2025-01-02 10:00:00"), "a b"))
+    val q = Streams.perplexityGateStream(input.toDF(), uni, bc, thr)
+      .writeStream.format("memory").queryName("pplgate")
+      .outputMode("append").start()
+    q.processAllAvailable()
+    input.addData(DocEvent(999998L, Timestamp.valueOf("2025-01-03 10:00:00"), "a b"))
+    q.processAllAvailable()
+    q.stop()
+    val stream = spark.table("pplgate").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getBoolean(3)))
+      .filter(_._1 < 999000L).sortBy(_._1)
+    val batch = graft.operators.Curation.perplexityGate(t).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getBoolean(3)))
+      .sortBy(_._1)
+    assert(stream.length == batch.length)
+    stream.zip(batch).foreach { case (sv, bv) => assert(sv == bv, s"$sv vs $bv") }
+    assert(stream.exists(_._4) && stream.exists(!_._4))
+  }
 }
 
 /** Embedding arrival for the streaming ANN gate spec. */
