@@ -316,4 +316,27 @@ object Etl {
       | CAST(date_diff('day', DATE '1970-01-01', d) % 7 AS BIGINT) AS dow_mod7,
       | date_diff('day', DATE '1970-01-01', d) % 7 IN (2, 3) AS is_weekend
       |FROM spine ORDER BY d""".stripMargin
+
+  /** Surrogate-key assignment for the products dimension — the keyed
+    * warehouse-load step every dim build needs: a dense, deterministic
+    * 1-based surrogate id in (brand, type, business-key) order,
+    * assigned DISTRIBUTED via [[Ranks.withGlobalRank]] (range partition
+    * → local row_number → broadcast offsets) instead of the classic
+    * single-partition ROW_NUMBER that serializes the whole dimension
+    * through one task. The sort key is fully tie-broken, so reloads
+    * reproduce identical keys — the stability contract surrogate keys
+    * exist for.
+    */
+  def surrogateKeys(t: Tables): DataFrame = {
+    val (ranked, _) = Ranks.withGlobalRank(
+      t.part.select(col("p_partkey"), col("p_brand"), col("p_type")),
+      "sk", col("p_brand"), col("p_type"), col("p_partkey"))
+    ranked.select(col("sk"), col("p_partkey"), col("p_brand"), col("p_type"))
+      .orderBy("sk")
+  }
+
+  val surrogateKeysSql: String =
+    """SELECT ROW_NUMBER() OVER (ORDER BY p_brand, p_type, p_partkey) AS sk,
+      | p_partkey, p_brand, p_type
+      |FROM part ORDER BY sk""".stripMargin
 }

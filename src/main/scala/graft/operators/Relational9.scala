@@ -524,4 +524,63 @@ object Relational9 {
       |FROM documents d JOIN cuts USING (source)
       |GROUP BY d.source
       |ORDER BY d.source""".stripMargin
+
+  /** Laspeyres price index — "how much would the BASE month's basket
+    * cost at month t's prices": for parts traded in both months,
+    * index_t = Σ p_t(i)·q₀(i) / Σ p₀(i)·q₀(i). Unit prices are exact
+    * integer MICROS (`(Σext·10⁶) div Σqty` — portable truncating
+    * division), quantities exact longs, so each basket valuation is an
+    * exact DECIMAL(38,0) sum (a long would overflow at ~10⁴ parts ×
+    * 10¹⁵ value) converted once through the hi/lo
+    * [[graft.functions.Exact.decToDouble]] split; the index is ONE
+    * double division. Shape: one (part, month) aggregation, a base-
+    * month broadcast join, one bounded per-month aggregation.
+    */
+  def priceIndex(t: Tables): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val pm = t.lineitem
+      .groupBy(col("l_partkey"),
+        date_format(col("l_shipdate"), "yyyy-MM").as("ym"))
+      .agg(((sum(dec(col("l_extendedprice"))) * 1000000).cast("long"))
+        .as("ext_micros"),
+        sum(col("l_quantity").cast("long")).as("qty"))
+      .select(col("l_partkey"), col("ym"),
+        expr("ext_micros div qty").as("p_micros"), col("qty"))
+    val base = pm.agg(min(col("ym")).as("ym0"))
+    val basket = pm.crossJoin(broadcast(base))
+      .where(col("ym") === col("ym0"))
+      .select(col("l_partkey"), col("p_micros").as("p0"), col("qty").as("q0"))
+    val d38 = DecimalType(38, 0)
+    pm.join(basket, Seq("l_partkey"))
+      .groupBy("ym")
+      .agg(count(lit(1)).as("n_common_parts"),
+        sum(col("p_micros").cast(d38) * col("q0")).as("num"),
+        sum(col("p0").cast(d38) * col("q0")).as("den"))
+      .select(col("ym"), col("n_common_parts"),
+        (graft.functions.Exact.decToDouble(col("num")) /
+          graft.functions.Exact.decToDouble(col("den"))).as("laspeyres_index"))
+      .orderBy("ym")
+  }
+
+  val priceIndexSql: String =
+    s"""WITH pm AS (
+       | SELECT l_partkey, strftime(CAST(l_shipdate AS DATE), '%Y-%m') AS ym,
+       |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) * 1000000 AS BIGINT)
+       |    // CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS p_micros,
+       |  CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty
+       | FROM lineitem GROUP BY 1, 2),
+       |b AS (SELECT MIN(ym) AS ym0 FROM pm),
+       |basket AS (
+       | SELECT l_partkey, p_micros AS p0, qty AS q0
+       | FROM pm, b WHERE ym = ym0),
+       |idx AS (
+       | SELECT pm.ym, CAST(COUNT(*) AS BIGINT) AS n_common_parts,
+       |  SUM(CAST(pm.p_micros AS HUGEINT) * basket.q0) AS num,
+       |  SUM(CAST(basket.p0 AS HUGEINT) * basket.q0) AS den
+       | FROM pm JOIN basket USING (l_partkey)
+       | GROUP BY 1)
+       |SELECT ym, n_common_parts,
+       | ${graft.functions.Exact.decToDoubleSql("num")}
+       |   / ${graft.functions.Exact.decToDoubleSql("den")} AS laspeyres_index
+       |FROM idx ORDER BY ym""".stripMargin
 }

@@ -284,4 +284,49 @@ class Round11Spec extends SparkSpec {
     // allocation favors varied strata: at least two distinct quotas at this SF
     assert(quotas.values.toSeq.distinct.length >= 2)
   }
+
+  test("surrogate keys: dense, stable, single-sorted, no global window exchange") {
+    val rows = graft.operators.Etl.surrogateKeys(sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getString(3)))
+    assert(rows.length == sf.part.count())
+    // dense 1..N
+    assert(rows.map(_._1).toSeq == (1L to rows.length).toSeq)
+    // order follows the business sort key
+    val sortedNat = rows.sortBy(r => (r._3, r._4, r._2))
+    assert(rows.toSeq == sortedNat.toSeq)
+    // reload stability: a second run assigns identical keys
+    val again = graft.operators.Etl.surrogateKeys(sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(rows.map(r => (r._1, r._2)).sameElements(again))
+    // the rank runs as the two-level form, not one global window
+    val plan = graft.operators.Etl.surrogateKeys(sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("rangepartitioning"), plan)
+  }
+
+  test("price index: base month is 1.0 and valuations replay exactly") {
+    val rows = graft.operators.Relational9.priceIndex(sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+    assert(rows.nonEmpty)
+    // the base month prices itself at exactly 1.0
+    assert(rows.head._3 == 1.0, rows.head.toString)
+    // replay a later month's index from raw data
+    val pm = sf.lineitem.groupBy(
+        org.apache.spark.sql.functions.col("l_partkey"),
+        org.apache.spark.sql.functions.date_format(
+          org.apache.spark.sql.functions.col("l_shipdate"), "yyyy-MM").as("ym"))
+      .agg(org.apache.spark.sql.functions.expr(
+        "CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) * 1000000 AS LONG) div SUM(CAST(l_quantity AS LONG))").as("p"),
+        org.apache.spark.sql.functions.expr("SUM(CAST(l_quantity AS LONG))").as("q"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    val ym0 = pm.map(_._2).min
+    val basket = pm.filter(_._2 == ym0).map(r => r._1 -> (r._3, r._4)).toMap
+    val target = rows(rows.length / 2)._1
+    val common = pm.filter(_._2 == target).filter(r => basket.contains(r._1))
+    val num = common.map(r => BigInt(r._3) * basket(r._1)._2).sum
+    val den = common.map(r => BigInt(basket(r._1)._1) * basket(r._1)._2).sum
+    val got = rows.find(_._1 == target).get
+    assert(got._2 == common.length)
+    assert(math.abs(got._3 - num.toDouble / den.toDouble) < 1e-12)
+  }
 }
