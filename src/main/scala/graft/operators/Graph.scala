@@ -955,4 +955,71 @@ object Graph {
        |WHERE CAST(len(list_intersect(a.ns, b.ns)) AS DOUBLE)
        |   / len(list_distinct(list_concat(a.ns, b.ns))) >= $NodeSimThreshold
        |ORDER BY a_part, b_part""".stripMargin
+
+  private val LinkPredictTopK = 100
+
+  /** Link prediction by the RESOURCE-ALLOCATION index — the
+    * strongest-performing of the classic local similarity indices
+    * (Zhou/Lü/Zhang 2009): RA(a,b) = Σ_{w ∈ N(a)∩N(b)} 1/deg(w),
+    * scored here for NON-adjacent pairs (the prediction targets) in
+    * exact integer MICROS (`10⁶ div deg(w)` per shared neighbor — no
+    * ln, unlike Adamic-Adar, so the score is bit-portable). Spark
+    * shape: the wedge join already enumerates exactly the (a, w, b)
+    * paths, each contributing its center's integer weight — one
+    * aggregation, one anti-join against the edge list to keep only
+    * new-link candidates, TakeOrdered top-[[LinkPredictTopK]].
+    */
+  def linkPredict(t: Tables): DataFrame = {
+    val edges = Relational7.basketPairsRaw(t, EdgeSupport)
+      .select(explode(array(
+        struct(col("a_part").as("u"), col("b_part").as("v")),
+        struct(col("b_part").as("u"), col("a_part").as("v")))).as("e"))
+      .select(col("e.u").as("u"), col("e.v").as("v"))
+      .persist()
+    val deg = edges.groupBy("u").agg(count(lit(1)).as("d"))
+    val wedgeScores = edges.select(col("v").as("w"), col("u").as("a"))
+      .join(edges.select(col("v").as("w"), col("u").as("b")), Seq("w"))
+      .where(col("a") < col("b"))
+      .join(deg.select(col("u").as("w"), col("d").as("dw")), Seq("w"))
+      .groupBy("a", "b")
+      .agg(count(lit(1)).as("n_common"),
+        sum(expr("1000000L div dw")).as("ra_micros"))
+    val existing = edges.where(col("u") < col("v"))
+      .select(col("u").as("a"), col("v").as("b"))
+    wedgeScores.join(existing, Seq("a", "b"), "left_anti")
+      .select(col("a").as("a_part"), col("b").as("b_part"),
+        col("n_common"), col("ra_micros"))
+      .orderBy(col("ra_micros").desc, col("a_part"), col("b_part"))
+      .limit(LinkPredictTopK)
+  }
+
+  /** Oracle: neighbor-set brute force with the same integer weights and
+    * the NOT-EXISTS edge exclusion. */
+  val linkPredictSql: String =
+    s"""WITH items AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+       |cp AS (
+       |  SELECT a.l_partkey AS a, b.l_partkey AS b
+       |  FROM items a JOIN items b
+       |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+       |  GROUP BY 1, 2 HAVING COUNT(*) >= $EdgeSupport),
+       |edges AS (SELECT a AS u, b AS v FROM cp
+       |          UNION ALL SELECT b AS u, a AS v FROM cp),
+       |deg AS (SELECT u, CAST(COUNT(*) AS BIGINT) AS d FROM edges GROUP BY u),
+       |wedge AS (
+       | SELECT e1.u AS a, e2.u AS b, e1.v AS w
+       | FROM edges e1 JOIN edges e2
+       |   ON e1.v = e2.v AND e1.u < e2.u),
+       |sc AS (
+       | SELECT a, b, CAST(COUNT(*) AS BIGINT) AS n_common,
+       |  CAST(SUM(1000000 // deg.d) AS BIGINT) AS ra_micros
+       | FROM wedge JOIN deg ON deg.u = wedge.w
+       | GROUP BY a, b),
+       |nonadj AS (
+       | SELECT sc.* FROM sc
+       | WHERE NOT EXISTS (SELECT 1 FROM cp
+       |   WHERE cp.a = sc.a AND cp.b = sc.b))
+       |SELECT a AS a_part, b AS b_part, n_common, ra_micros
+       |FROM nonadj
+       |ORDER BY ra_micros DESC, a_part, b_part
+       |LIMIT $LinkPredictTopK""".stripMargin
 }

@@ -842,4 +842,59 @@ object TimeSeries {
       s""" END) AS forecast_next
        |FROM f WHERE i = len(vals)""".stripMargin
   }
+
+  /** XmR control chart (individuals + moving range, the Shewhart SPC
+    * chart for unit-frequency data) on the daily revenue series:
+    * center = mean of the individuals, natural process limits =
+    * x̄ ± 2.66·(mean moving range) — the 2.66 constant is d₂-derived
+    * and enters as the exact rational 266/100, so with CENTS
+    * individuals and integer moving ranges both limits are integer
+    * arithmetic (truncating division, identical both engines) and the
+    * out-of-control flags are exact. Unlike [[bollinger]] (trailing
+    * LOCAL band) the limits here are GLOBAL process limits. One lag
+    * window over the calendar-bounded series + one broadcast stats row.
+    */
+  def controlChart(t: Tables): DataFrame = {
+    val daily = t.lineitem
+      .groupBy(col("l_shipdate").cast("date").as("d"))
+      .agg(sum(discPrice(col("l_extendedprice"), col("l_discount"))).as("rev"))
+      .select(col("d"), expr("CAST(rev * 1000000 AS LONG) div 10000").as("cents"))
+    val w = Window.orderBy("d")
+    val withMr = daily
+      .withColumn("mr", abs(col("cents") - lag(col("cents"), 1).over(w)))
+    val stats = withMr.agg(
+      expr("sum(cents) div count(cents)").as("xbar"),
+      expr("sum(mr) div count(mr)").as("mrbar"))
+    withMr.crossJoin(broadcast(stats))
+      .select(col("d"), col("cents"), col("mr"),
+        col("xbar"),
+        (col("xbar") + expr("(266 * mrbar) div 100")).as("ucl"),
+        (col("xbar") - expr("(266 * mrbar) div 100")).as("lcl"),
+        (col("cents") > col("xbar") + expr("(266 * mrbar) div 100") ||
+          col("cents") < col("xbar") - expr("(266 * mrbar) div 100"))
+          .as("out_of_control"))
+      .orderBy("d")
+  }
+
+  val controlChartSql: String =
+    """WITH daily AS (
+      | SELECT CAST(l_shipdate AS DATE) AS d,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) *
+      |    CAST(1 - CAST(l_discount AS DECIMAL(4,2)) AS DECIMAL(8,4)))
+      |    * 1000000 AS BIGINT) // 10000 AS cents
+      | FROM lineitem GROUP BY 1),
+      |mr AS (
+      | SELECT d, cents,
+      |  abs(cents - lag(cents, 1) OVER (ORDER BY d)) AS mr
+      | FROM daily),
+      |st AS (
+      | SELECT CAST(SUM(cents) // COUNT(cents) AS BIGINT) AS xbar,
+      |  CAST(SUM(mr) // COUNT(mr) AS BIGINT) AS mrbar
+      | FROM mr)
+      |SELECT d, cents, mr, st.xbar,
+      | CAST(st.xbar + (266 * st.mrbar) // 100 AS BIGINT) AS ucl,
+      | CAST(st.xbar - (266 * st.mrbar) // 100 AS BIGINT) AS lcl,
+      | (cents > st.xbar + (266 * st.mrbar) // 100 OR
+      |  cents < st.xbar - (266 * st.mrbar) // 100) AS out_of_control
+      |FROM mr, st ORDER BY d""".stripMargin
 }

@@ -329,4 +329,48 @@ class Round11Spec extends SparkSpec {
     assert(got._2 == common.length)
     assert(math.abs(got._3 - num.toDouble / den.toDouble) < 1e-12)
   }
+
+  test("link predict: RA scores replay, candidates are strictly non-edges") {
+    val rows = graft.operators.Graph.linkPredict(sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(rows.nonEmpty && rows.length <= 100)
+    // replay the support-2 graph (the node-similarity spec recipe)
+    val items = sf.lineitem.select("l_orderkey", "l_partkey").distinct()
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val support = scala.collection.mutable.Map[(Long, Long), Int]()
+    items.groupBy(_._1).values.foreach { g =>
+      val ps = g.map(_._2).sorted
+      for (i <- ps.indices; j <- (i + 1) until ps.length)
+        support((ps(i), ps(j))) = support.getOrElse((ps(i), ps(j)), 0) + 1
+    }
+    val edges = support.iterator.collect { case (p, c) if c >= 2 => p }.toArray
+    val edgeSet = edges.toSet
+    val nbrs: Map[Long, Set[Long]] = (edges ++ edges.map(_.swap)).groupBy(_._1)
+      .map { case (k, vs) => k -> vs.map(_._2).toSet }
+    rows.foreach { case (a, b, common, ra) =>
+      assert(a < b && !edgeSet((a, b)), s"($a,$b) is an existing edge")
+      val shared = nbrs(a).intersect(nbrs(b))
+      assert(common == shared.size)
+      assert(ra == shared.toSeq.map(w => 1000000L / nbrs(w).size).sum)
+    }
+    // ranked descending by score
+    assert(rows.map(_._4).sliding(2).forall(w => w.length < 2 || w(0) >= w(1)))
+  }
+
+  test("control chart: global limits replay and flags are exact") {
+    val rows = graft.operators.TimeSeries.controlChart(sf).collect()
+      .map(r => (r.getLong(1), if (r.isNullAt(2)) None else Some(r.getLong(2)),
+        r.getLong(3), r.getLong(4), r.getLong(5), r.getBoolean(6)))
+    assert(rows.nonEmpty)
+    assert(rows.head._2.isEmpty) // first day has no moving range
+    val cents = rows.map(_._1)
+    val mrs = cents.sliding(2).map { w => math.abs(w(1) - w(0)) }.toSeq
+    val xbar = cents.sum / cents.length
+    val mrbar = mrs.sum / mrs.length
+    val (ucl, lcl) = (xbar + 266 * mrbar / 100, xbar - 266 * mrbar / 100)
+    rows.foreach { case (c, _, xb, u, l, flag) =>
+      assert(xb == xbar && u == ucl && l == lcl)
+      assert(flag == (c > ucl || c < lcl))
+    }
+  }
 }
