@@ -209,4 +209,87 @@ object Quality {
       | FROM customer GROUP BY 1) b
       | ON seg_or_null IS NOT DISTINCT FROM seg_key
       |ORDER BY c_custkey""".stripMargin
+
+  /** Round-number bias audit — the forensic-accounting sweep (cousin of
+    * [[Profiler.benfordAudit]]): manufactured amounts over-index on
+    * round values, so each order-priority segment's whole-dollar and
+    * dime-ending rates are compared against the global base rate. All
+    * integer: amounts in exact cents, rates in ppm (truncating
+    * division), ratio-to-global in ppm — bit-portable flags. One
+    * aggregation over exact cents + a broadcast global row.
+    */
+  def roundNumbers(t: Tables): DataFrame = {
+    val o = t.orders.select(col("o_orderpriority"),
+      (graft.functions.Exact.dec(col("o_totalprice")) * 100).cast("long").as("cents"))
+    val per = o.groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n"),
+        sum((pmod(col("cents"), lit(100)) === 0).cast("long")).as("n_whole"),
+        sum((pmod(col("cents"), lit(10)) === 0).cast("long")).as("n_dime"))
+    val glob = per.agg(sum(col("n")).as("gn"), sum(col("n_whole")).as("gw"))
+    per.crossJoin(broadcast(glob))
+      .select(col("o_orderpriority"), col("n"), col("n_whole"), col("n_dime"),
+        expr("(n_whole * 1000000L) div n").as("whole_ppm"),
+        expr("(n_dime * 1000000L) div n").as("dime_ppm"),
+        expr("((n_whole * 1000000L) div n) * 1000000L div ((gw * 1000000L) div gn)")
+          .as("ratio_to_global_ppm"))
+      .orderBy("o_orderpriority")
+  }
+
+  val roundNumbersSql: String =
+    """WITH o AS (
+      | SELECT o_orderpriority,
+      |  CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT) AS cents
+      | FROM orders),
+      |per AS (
+      | SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n,
+      |  CAST(SUM(CASE WHEN cents % 100 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_whole,
+      |  CAST(SUM(CASE WHEN cents % 10 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_dime
+      | FROM o GROUP BY 1),
+      |g AS (SELECT CAST(SUM(n) AS BIGINT) AS gn, CAST(SUM(n_whole) AS BIGINT) AS gw
+      |      FROM per)
+      |SELECT o_orderpriority, n, n_whole, n_dime,
+      | CAST((n_whole * 1000000) // n AS BIGINT) AS whole_ppm,
+      | CAST((n_dime * 1000000) // n AS BIGINT) AS dime_ppm,
+      | CAST(((n_whole * 1000000) // n) * 1000000 // ((g.gw * 1000000) // g.gn)
+      |   AS BIGINT) AS ratio_to_global_ppm
+      |FROM per, g
+      |ORDER BY o_orderpriority""".stripMargin
+
+  /** Encoding-sanity gate — the mojibake/control-character sweep a web
+    * corpus runs before any text op: per doc, counts of Unicode
+    * replacement chars (U+FFFD, the decoder's damage marker), C0/C1
+    * control chars (tab/newline excepted), and classic UTF-8-as-latin1
+    * mojibake digraphs (Ã©-family); keep = all three zero. Row-local
+    * regexp counts (RE2-safe classes), no shuffle.
+    */
+  def encodingSanity(t: Tables): DataFrame =
+    t.documents
+      .select(col("doc_id"),
+        length(regexp_replace(col("text"), "[^\uFFFD]", "")).as("n_replacement"),
+        length(regexp_replace(col("text"),
+          "[^\u0000-\u0008\u000B\u000C\u000E-\u001F\u007F]", ""))
+          .as("n_control"),
+        (length(col("text")) -
+          length(regexp_replace(col("text"), "Ã[©¨¤¶¼]", "")))
+          .divide(2).cast("long").as("n_mojibake"))
+      .withColumn("keep",
+        col("n_replacement") === 0 && col("n_control") === 0 &&
+          col("n_mojibake") === 0)
+      .orderBy("doc_id")
+
+  val encodingSanitySql: String =
+    """SELECT doc_id,
+      | CAST(len(text) - len(replace(text, chr(65533), '')) AS INT)
+      |   AS n_replacement,
+      | CAST(len(regexp_replace(text,
+      |   '[^\x00-\x08\x0B\x0C\x0E-\x1F\x7F]', '', 'g')) AS INT)
+      |   AS n_control,
+      | CAST((len(text) - len(regexp_replace(text, 'Ã[©¨¤¶¼]', '', 'g'))) // 2
+      |   AS BIGINT) AS n_mojibake,
+      | (len(text) - len(replace(text, chr(65533), '')) = 0
+      |  AND len(regexp_replace(text,
+      |    '[^\x00-\x08\x0B\x0C\x0E-\x1F\x7F]', '', 'g')) = 0
+      |  AND len(text) - len(regexp_replace(text, 'Ã[©¨¤¶¼]', '', 'g')) = 0)
+      |   AS keep
+      |FROM documents ORDER BY doc_id""".stripMargin
 }

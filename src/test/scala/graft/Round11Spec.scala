@@ -373,4 +373,48 @@ class Round11Spec extends SparkSpec {
       assert(flag == (c > ucl || c < lcl))
     }
   }
+
+  test("round numbers: ppm rates replay from exact cents") {
+    val rows = graft.operators.Quality.roundNumbers(sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6)))
+    assert(rows.nonEmpty)
+    val cents = sf.orders.select("o_orderpriority", "o_totalprice").collect()
+      .map(r => (r.getString(0),
+        (BigDecimal(r.getDouble(1)).setScale(2, BigDecimal.RoundingMode.HALF_UP)
+          * 100).toLongExact))
+    val byP = cents.groupBy(_._1)
+    val gw = cents.count(_._2 % 100 == 0).toLong
+    val gn = cents.length.toLong
+    rows.foreach { case (p, n, w, d, wppm, dppm, ratio) =>
+      val g = byP(p).map(_._2)
+      assert(n == g.length && w == g.count(_ % 100 == 0) && d == g.count(_ % 10 == 0))
+      assert(wppm == w * 1000000L / n && dppm == d * 1000000L / n)
+      assert(ratio == (w * 1000000L / n) * 1000000L / (gw * 1000000L / gn))
+    }
+    assert(rows.map(_._2).sum == gn)
+  }
+
+  test("encoding sanity: planted mojibake/control/replacement chars are caught") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-enc").toString
+    Seq(
+      (0L, "clean plain text here", "en", "s", 21L),
+      (1L, "bad \uFFFD replacement", "en", "s", 20L),
+      (2L, "ctrl\u0001chars\u007Fhere", "en", "s", 18L),
+      (3L, "mojibake caf\u00C3\u00A9 text", "en", "s", 20L),
+      (4L, "tabs\tand\nnewlines ok", "en", "s", 20L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val rows = graft.operators.Quality.encodingSanity(Tables(spark, dir))
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2),
+        r.getLong(3), r.getBoolean(4))).sortBy(_._1)
+    assert(rows(0)._5 && rows(4)._5, "clean and tab/newline docs pass")
+    assert(!rows(1)._5 && rows(1)._2 == 1, "replacement char caught")
+    assert(!rows(2)._5 && rows(2)._3 == 2, "control chars caught")
+    assert(!rows(3)._5 && rows(3)._4 == 1, "mojibake digraph caught")
+    // the real corpus is clean: every doc passes
+    val corpus = graft.operators.Quality.encodingSanity(sf).collect()
+    assert(corpus.forall(_.getBoolean(4)))
+  }
 }
