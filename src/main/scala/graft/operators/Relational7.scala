@@ -583,4 +583,57 @@ object Relational7 {
       |FROM abc JOIN cv USING (l_partkey)
       |GROUP BY 1, 2
       |ORDER BY abc_class, xyz_class""".stripMargin
+
+  private val NextTopK = 50
+
+  /** Sequential basket mining — "customers who bought A next bought B":
+    * DIRECTIONAL part pairs across each customer's CONSECUTIVE orders
+    * (contrast [[basketPairs]], which is unordered within one order).
+    * Per (customer, order) baskets gather once (map-side combined
+    * collect_set); the consecutive-order step is one lead() window per
+    * customer (bounded by orders-per-customer); pairs expand IN-ROW
+    * from the two bounded basket arrays; one count aggregation and a
+    * TakeOrdered top-[[NextTopK]] finish. The temporal direction makes
+    * this the next-purchase recommendation signal.
+    */
+  def nextPurchase(t: Tables): DataFrame = {
+    val baskets = t.lineitem
+      .join(t.orders.select(col("o_orderkey"), col("o_custkey"),
+        col("o_orderdate")), col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("o_custkey"), col("o_orderkey"), col("o_orderdate"))
+      .agg(sort_array(collect_set(col("l_partkey"))).as("parts"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("o_custkey").orderBy(col("o_orderdate"), col("o_orderkey"))
+    baskets
+      .withColumn("next_parts", lead(col("parts"), 1).over(w))
+      .where(col("next_parts").isNotNull)
+      .select(explode(col("parts")).as("a_part"), col("next_parts"))
+      .select(col("a_part"), explode(col("next_parts")).as("b_part"))
+      .groupBy("a_part", "b_part")
+      .agg(count(lit(1)).as("n_sequences"))
+      .orderBy(col("n_sequences").desc, col("a_part"), col("b_part"))
+      .limit(NextTopK)
+  }
+
+  val nextPurchaseSql: String =
+    s"""WITH b AS (
+       | SELECT o.o_custkey, o.o_orderkey, o.o_orderdate,
+       |  list_sort(list(DISTINCT l.l_partkey)) AS parts
+       | FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+       | GROUP BY 1, 2, 3),
+       |seq AS (
+       | SELECT parts,
+       |  lead(parts, 1) OVER (PARTITION BY o_custkey
+       |    ORDER BY o_orderdate, o_orderkey) AS next_parts
+       | FROM b),
+       |pairs AS (
+       | SELECT unnest(parts) AS a_part, next_parts
+       | FROM seq WHERE next_parts IS NOT NULL),
+       |flat AS (
+       | SELECT a_part, unnest(next_parts) AS b_part FROM pairs)
+       |SELECT a_part, b_part, CAST(COUNT(*) AS BIGINT) AS n_sequences
+       |FROM flat
+       |GROUP BY 1, 2
+       |ORDER BY n_sequences DESC, a_part, b_part
+       |LIMIT $NextTopK""".stripMargin
 }

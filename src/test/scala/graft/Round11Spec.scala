@@ -417,4 +417,32 @@ class Round11Spec extends SparkSpec {
     val corpus = graft.operators.Quality.encodingSanity(sf).collect()
     assert(corpus.forall(_.getBoolean(4)))
   }
+
+  test("next purchase: directional counts replay from consecutive baskets") {
+    val rows = graft.operators.Relational7.nextPurchase(sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(rows.nonEmpty && rows.length <= 50)
+    // replay in memory
+    val li = sf.lineitem.select("l_orderkey", "l_partkey").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val ord = sf.orders.selectExpr("o_orderkey", "o_custkey",
+        "CAST(o_orderdate AS DATE) AS d").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDate(2).toLocalDate))
+    val basket = li.groupBy(_._1).map { case (k, g) => k -> g.map(_._2).toSet }
+    val counts = scala.collection.mutable.Map[(Long, Long), Long]()
+    ord.filter(o => basket.contains(o._1)).groupBy(_._2).values.foreach { os =>
+      val sorted = os.sortBy(o => (o._3.toEpochDay, o._1))
+      sorted.sliding(2).foreach {
+        case Array(o1, o2) =>
+          for (a <- basket(o1._1); b <- basket(o2._1))
+            counts((a, b)) = counts.getOrElse((a, b), 0L) + 1
+        case _ =>
+      }
+    }
+    rows.foreach { case (a, b, n) => assert(counts((a, b)) == n, s"($a,$b)") }
+    // top-k really is the maximum counts under the tie order
+    val expect = counts.toSeq.sortBy { case ((a, b), n) => (-n, a, b) }.take(50)
+      .map { case ((a, b), n) => (a, b, n) }
+    assert(rows.toSeq == expect)
+  }
 }
