@@ -44,6 +44,9 @@ object Curation {
   }
 
   /** DuckDB word-5-gram list (distinct), mirroring [[WordNGrams]]. */
+  /** Visible twin for cross-object composition (ngramNovelty). */
+  private[operators] def grams5SqlShared(c: String): String = grams5Sql(c)
+
   private def grams5Sql(c: String): String = {
     val w = s"string_split($c, ' ')"
     val concat = (0 until ContamN).map(i => s"$w[i+$i]").mkString(" || ' ' || ")

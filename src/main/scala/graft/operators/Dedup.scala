@@ -772,4 +772,71 @@ object Dedup {
        |   (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) >= 0.4
        |ORDER BY a_id, b_id""".stripMargin
   }
+
+  /** URL canonicalization + exact URL dedup — the Common-Crawl
+    * front-door dedup that runs BEFORE any content fetch: scheme
+    * normalized away, `www.` stripped, default/explicit ports dropped,
+    * tracking params (`utm_*`) removed, trailing slash trimmed,
+    * lowercased — then exact grouping on the canonical form keeps the
+    * lowest doc_id. The raw URLs are the [[Curation.domainFilter]]
+    * deterministic synthesis (the corpus carries no URL column), which
+    * deliberately varies scheme/www/port/query across ids so the
+    * canonicalizer has real work. All row-local regexp rewrites + one
+    * hash aggregation.
+    */
+  def urlCanonical(t: Tables): DataFrame = {
+    val url = concat(
+      when(pmod(col("doc_id"), lit(2)) === 0, lit("https://")).otherwise(lit("http://")),
+      when(pmod(col("doc_id"), lit(7)) === 0, lit("www.")).otherwise(lit("")),
+      col("source"),
+      when(pmod(col("doc_id"), lit(3)) === 0, lit(".com"))
+        .when(pmod(col("doc_id"), lit(3)) === 1, lit(".org")).otherwise(lit(".net")),
+      when(pmod(col("doc_id"), lit(5)) === 0, lit(":8080")).otherwise(lit("")),
+      lit("/p/"), pmod(col("doc_id"), lit(40)).cast("string"),
+      when(pmod(col("doc_id"), lit(4)) === 0, lit("?utm_source=feed")).otherwise(lit("")))
+    val canon =
+      regexp_replace(
+        regexp_replace(
+          regexp_replace(
+            regexp_replace(lower(url), "^[a-z]+://(www\\.)?", ""),
+            ":[0-9]+", ""),
+          "\\?utm_[^?]*$", ""),
+        "/$", "")
+    t.documents
+      .select(col("doc_id"), url.as("url"), canon.as("canonical_url"))
+      .groupBy("canonical_url")
+      .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_variants"))
+      .orderBy("canonical_url")
+  }
+
+  /** Oracle: identical rewrite chain in DuckDB regexps (RE2 both). The
+    * path uses doc_id % 40 so distinct raw URLs genuinely COLLIDE after
+    * canonicalization (scheme/www/port/query variants of one page).
+    */
+  val urlCanonicalSql: String =
+    """WITH u AS (
+      | SELECT doc_id,
+      |  (CASE WHEN doc_id % 2 = 0 THEN 'https://' ELSE 'http://' END ||
+      |   CASE WHEN doc_id % 7 = 0 THEN 'www.' ELSE '' END ||
+      |   source ||
+      |   CASE WHEN doc_id % 3 = 0 THEN '.com'
+      |        WHEN doc_id % 3 = 1 THEN '.org' ELSE '.net' END ||
+      |   CASE WHEN doc_id % 5 = 0 THEN ':8080' ELSE '' END ||
+      |   '/p/' || CAST(doc_id % 40 AS VARCHAR) ||
+      |   CASE WHEN doc_id % 4 = 0 THEN '?utm_source=feed' ELSE '' END) AS url
+      | FROM documents),
+      |c AS (
+      | SELECT doc_id,
+      |  regexp_replace(
+      |   regexp_replace(
+      |    regexp_replace(
+      |     regexp_replace(lower(url), '^[a-z]+://(www\.)?', ''),
+      |     ':[0-9]+', ''),
+      |    '\?utm_[^?]*$', ''),
+      |   '/$', '') AS canonical_url
+      | FROM u)
+      |SELECT canonical_url, MIN(doc_id) AS keep_id,
+      | CAST(COUNT(*) AS BIGINT) AS n_variants
+      |FROM c GROUP BY canonical_url
+      |ORDER BY canonical_url""".stripMargin
 }

@@ -535,4 +535,44 @@ object TextAnalysis2 {
        |FROM sizes a JOIN sizes b ON a.source < b.source
        |LEFT JOIN inter ON inter.a_src = a.source AND inter.b_src = b.source
        |ORDER BY jaccard DESC, a_src, b_src""".stripMargin
+
+  /** Corpus novelty curve — "how much NEW content does each document
+    * add": per doc, the fraction of its distinct word-5-grams whose
+    * FIRST corpus occurrence (minimum doc_id owner) is this doc. A
+    * saturating corpus trends toward zero novelty; the curve decides
+    * when further crawling stops paying. One hashed-gram aggregation
+    * (min owner per gram) + one owner-keyed join back — linear, the
+    * decontaminate shuffle shape.
+    */
+  def ngramNovelty(t: Tables): DataFrame = {
+    val g = t.documents
+      .select(col("doc_id"),
+        explode(array_distinct(
+          graft.functions.WordNGrams(col("text"), Curation.ContamN))).as("gram"))
+      .select(col("doc_id"), xxhash64(col("gram")).as("h"))
+    val firstOwner = g.groupBy("h").agg(min(col("doc_id")).as("first_doc"))
+    g.join(firstOwner, Seq("h"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_grams"),
+        sum((col("first_doc") === col("doc_id")).cast("long")).as("n_novel"))
+      .select(col("doc_id"), col("n_grams"), col("n_novel"),
+        (col("n_novel").cast("double") / col("n_grams")).as("novelty"))
+      .orderBy("doc_id")
+  }
+
+  val ngramNoveltySql: String = {
+    val grams = Curation.grams5SqlShared("text")
+    s"""WITH g AS (
+       | SELECT doc_id, $grams AS grams FROM documents),
+       |e AS (SELECT doc_id, unnest(grams) AS gram FROM g),
+       |fo AS (SELECT gram, MIN(doc_id) AS first_doc FROM e GROUP BY gram)
+       |SELECT e.doc_id, CAST(COUNT(*) AS BIGINT) AS n_grams,
+       | CAST(SUM(CASE WHEN fo.first_doc = e.doc_id THEN 1 ELSE 0 END) AS BIGINT)
+       |   AS n_novel,
+       | CAST(SUM(CASE WHEN fo.first_doc = e.doc_id THEN 1 ELSE 0 END) AS DOUBLE)
+       |   / COUNT(*) AS novelty
+       |FROM e JOIN fo USING (gram)
+       |GROUP BY e.doc_id
+       |ORDER BY e.doc_id""".stripMargin
+  }
 }

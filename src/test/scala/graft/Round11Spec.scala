@@ -445,4 +445,50 @@ class Round11Spec extends SparkSpec {
       .map { case ((a, b), n) => (a, b, n) }
     assert(rows.toSeq == expect)
   }
+
+  test("url canonicalization: variants collapse, keeper is the min id") {
+    val rows = graft.operators.Dedup.urlCanonical(sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(rows.nonEmpty)
+    // canonical forms carry no scheme, www, port, utm, or trailing slash
+    rows.foreach { case (c, _, _) =>
+      assert(!c.contains("://") && !c.startsWith("www.") && !c.contains(":8")
+        && !c.contains("utm_") && !c.endsWith("/"), c)
+    }
+    // the synthesis varies scheme/www/port/query across ids sharing a
+    // path slot, so real collapses must occur
+    assert(rows.exists(_._3 >= 2))
+    assert(rows.map(_._3).sum == sf.documents.count())
+    // keeper is the minimum doc_id of its group (replay via the formula)
+    val docs = sf.documents.select("doc_id", "source").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    def canon(id: Long, src: String): String = {
+      val tld = (id % 3) match { case 0 => ".com"; case 1 => ".org"; case _ => ".net" }
+      s"$src$tld/p/${id % 40}"
+    }
+    val groups = docs.groupBy { case (id, src) => canon(id, src) }
+    rows.foreach { case (c, keep, n) =>
+      val g = groups(c)
+      assert(keep == g.map(_._1).min && n == g.length, c)
+    }
+  }
+
+  test("ngram novelty: first docs are fully novel, owners partition the grams") {
+    val rows = graft.operators.TextAnalysis2.ngramNovelty(sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (_, n, nov, frac) =>
+      assert(nov >= 0 && nov <= n && frac == nov.toDouble / n)
+    }
+    // the first doc by id that has grams is 100% novel
+    assert(rows.minBy(_._1)._4 == 1.0)
+    // total novel grams across docs = distinct grams in the corpus
+    val docs = sf.documents.select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val allGrams = docs.flatMap { case (_, tx) =>
+      val ws = tx.split(" ")
+      if (ws.length >= 5) ws.sliding(5).map(_.mkString(" ")).toSeq.distinct else Seq()
+    }
+    assert(rows.map(_._3).sum == allGrams.distinct.length)
+  }
 }
