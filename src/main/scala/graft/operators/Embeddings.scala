@@ -809,4 +809,51 @@ object Embeddings {
        | FROM e CROSS JOIN d)
        |SELECT vec_id, CAST(j AS BIGINT) AS rp_dim, rp_val
        |FROM p ORDER BY vec_id, rp_dim""".stripMargin
+
+  /** Embedding drift report — "did the new batch shift the embedding
+    * distribution": per dimension, mean shift between the standing
+    * corpus (vec_id % 5 ≠ 0) and the arriving batch (vec_id % 5 = 0,
+    * the incremental-dedup split convention), in the ORACLE-SAFE
+    * portable-mean form ([[graft.functions.Exact.portableMean]]), plus
+    * a drift flag where |Δ| exceeds the threshold. The monitoring twin
+    * of [[dimStats]]: one exploded aggregation per cohort, dimension-
+    * keyed equi-join of two d-row frames — bounded output at any
+    * corpus size.
+    */
+  def driftReport(t: Tables): DataFrame = {
+    val ex = t.embeddings
+      .select(col("vec_id"),
+        posexplode(col("embedding").cast("array<double>")).as(Seq("dim", "x")))
+    def cohort(pred: org.apache.spark.sql.Column) = ex.where(pred)
+      .groupBy("dim")
+      .agg(count(lit(1)).as("n"),
+        graft.functions.Exact.portableMean(col("x")).as("m"))
+    val corpus = cohort(pmod(col("vec_id"), lit(5)) =!= 0)
+      .select(col("dim"), col("n").as("n_corpus"), col("m").as("mean_corpus"))
+    val batch = cohort(pmod(col("vec_id"), lit(5)) === 0)
+      .select(col("dim"), col("n").as("n_batch"), col("m").as("mean_batch"))
+    corpus.join(batch, Seq("dim"))
+      .withColumn("shift", col("mean_batch") - col("mean_corpus"))
+      .withColumn("drifted", abs(col("shift")) > 0.05)
+      .orderBy("dim")
+  }
+
+  val driftReportSql: String = {
+    def m(filt: String) =
+      s"""SELECT dim - 1 AS dim, CAST(COUNT(*) AS BIGINT) AS n,
+         |  CAST(CAST(CAST(SUM(CAST(x AS DECIMAL(38,30))) AS DOUBLE) / COUNT(*)
+         |    AS DECIMAL(24,12)) AS DOUBLE) AS mn
+         | FROM (SELECT vec_id, unnest(embedding::DOUBLE[]) AS x,
+         |         generate_subscripts(embedding::DOUBLE[], 1) AS dim
+         |       FROM embeddings)
+         | WHERE $filt GROUP BY 1""".stripMargin
+    s"""WITH corpus AS (${m("vec_id % 5 <> 0")}),
+       |batch AS (${m("vec_id % 5 = 0")})
+       |SELECT corpus.dim, corpus.n AS n_corpus, corpus.mn AS mean_corpus,
+       | batch.n AS n_batch, batch.mn AS mean_batch,
+       | batch.mn - corpus.mn AS shift,
+       | abs(batch.mn - corpus.mn) > 0.05 AS drifted
+       |FROM corpus JOIN batch USING (dim)
+       |ORDER BY corpus.dim""".stripMargin
+  }
 }

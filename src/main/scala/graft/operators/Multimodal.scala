@@ -1291,11 +1291,17 @@ object Multimodal {
     * fixed-point coefficients, per-doc lower median via row_number over
     * the 63 AC values, BIGINT shifts for the bit assembly.
     */
-  val phashSql: String = {
+  val phashSql: String =
+    s"""WITH $phashCtesSql
+       |SELECT doc_id, phash FROM phs ORDER BY doc_id""".stripMargin
+
+  /** The shared stub-pHash CTE chain ending in `phs(doc_id, phash)` —
+    * used by [[phashSql]] and [[dedupPhashSql]]. */
+  private[graft] lazy val phashCtesSql: String = {
     val coefRows = (for {
       k <- 0 until PhashK; n <- 0 until PhashN
     } yield s"($k, $n, ${phashCoef(k)(n)})").mkString(", ")
-    s"""WITH coef(k, n, c) AS (VALUES $coefRows),
+    s"""coef(k, n, c) AS (VALUES $coefRows),
        |g AS (
        | SELECT doc_id, unnest(range(0, $PhashN)) AS y FROM documents),
        |gx AS (SELECT doc_id, y, unnest(range(0, $PhashN)) AS x FROM g),
@@ -1323,14 +1329,13 @@ object Multimodal {
        |   ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY dv) AS r
        |  FROM ac)
        | WHERE r = (63 + 1) // 2),
-       |hs AS (
+       |phs AS (
        | SELECT ac.doc_id,
        |  CAST(SUM(CASE WHEN ac.dv > med.m
        |    THEN CAST(1 AS BIGINT) << CAST(ac.idx - 1 AS INT)
        |    ELSE 0 END) AS BIGINT) AS phash
        | FROM ac JOIN med USING (doc_id)
-       | GROUP BY 1)
-       |SELECT doc_id, phash FROM hs ORDER BY doc_id""".stripMargin
+       | GROUP BY 1)""".stripMargin
   }
 
   final case class PhashRealRow(doc_id: Long, width: Int, height: Int, phash: Long)
@@ -1469,4 +1474,46 @@ object Multimodal {
        | hs.phash
        |FROM p JOIN hs USING (doc_id) ORDER BY doc_id""".stripMargin
   }
+
+  private val PhashSegBits = Array(16, 16, 16, 15) // 63 bits, 4 segments
+
+  /** pHash near-dup pair mining (hamming ≤ 3) — the frequency-domain
+    * member of the image near-dup family next to [[dedupDhash]]:
+    * pigeonhole blocking over 4 signature segments (any pair within
+    * hamming 3 shares ≥ 1 intact segment, so the (segment_idx, value)
+    * equi-join is COMPLETE and the output equals the brute-force scan
+    * the oracle runs), exact popcount verification after. Σ|bucket|²
+    * join work, never n².
+    */
+  def dedupPhash(t: Tables): DataFrame = {
+    val sig = phash(t)
+    val offs = PhashSegBits.scanLeft(0)(_ + _).init
+    val seg = sig.select(
+      col("doc_id"), col("phash"),
+      posexplode(array(PhashSegBits.zip(offs).map { case (bits, off) =>
+        shiftrightunsigned(col("phash"), off)
+          .bitwiseAND((1L << bits) - 1)
+      }: _*)).as(Seq("seg_idx", "seg_val")))
+    val a = seg.select(col("doc_id").as("a_id"), col("phash").as("a_sig"),
+      col("seg_idx"), col("seg_val"))
+    val b = seg.select(col("doc_id").as("b_id"), col("phash").as("b_sig"),
+      col("seg_idx"), col("seg_val"))
+    a.join(b, Seq("seg_idx", "seg_val"))
+      .where(col("a_id") < col("b_id"))
+      .select(col("a_id"), col("b_id"),
+        bit_count(col("a_sig").bitwiseXOR(col("b_sig"))).as("hamming"))
+      .distinct()
+      .where(col("hamming") <= 3)
+      .orderBy("a_id", "b_id")
+  }
+
+  /** Oracle: the shared pHash chain + brute-force hamming scan (the
+    * segment blocking is complete for hamming ≤ 3). */
+  val dedupPhashSql: String =
+    s"""WITH $phashCtesSql
+       |SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+       | CAST(bit_count(xor(a.phash, b.phash)) AS INT) AS hamming
+       |FROM phs a JOIN phs b ON a.doc_id < b.doc_id
+       |WHERE bit_count(xor(a.phash, b.phash)) <= 3
+       |ORDER BY a_id, b_id""".stripMargin
 }

@@ -491,4 +491,35 @@ class Round11Spec extends SparkSpec {
     }
     assert(rows.map(_._3).sum == allGrams.distinct.length)
   }
+
+  test("dedup phash pairs: pigeonhole-complete vs the brute-force scan") {
+    val sigs = graft.operators.Multimodal.phash(sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val expect = (for {
+      i <- sigs.indices; j <- (i + 1) until sigs.length
+      h = java.lang.Long.bitCount(sigs(i)._2 ^ sigs(j)._2)
+      if h <= 3
+    } yield (math.min(sigs(i)._1, sigs(j)._1),
+      math.max(sigs(i)._1, sigs(j)._1), h)).toSet
+    val got = graft.operators.Multimodal.dedupPhash(sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(got == expect, s"got ${got.size} expect ${expect.size}")
+    assert(got.nonEmpty) // the mod-256 stub periodicity guarantees dups
+  }
+
+  test("embed drift report: cohort means replay, dims partitioned") {
+    val rows = graft.operators.Embeddings.driftReport(sf).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getDouble(2), r.getLong(3),
+        r.getDouble(4), r.getDouble(5), r.getBoolean(6)))
+    assert(rows.nonEmpty)
+    val nVec = sf.embeddings.count()
+    rows.foreach { case (_, nc, mc, nb, mb, shift, drifted) =>
+      assert(nc + nb == nVec)
+      assert(shift == mb - mc)
+      assert(drifted == (math.abs(shift) > 0.05))
+      assert(mc > -1.0 && mc < 1.0 && mb > -1.0 && mb < 1.0)
+    }
+    // all dims reported exactly once
+    assert(rows.map(_._1).toSeq == rows.map(_._1).toSeq.distinct)
+  }
 }
