@@ -1022,4 +1022,62 @@ object Graph {
        |FROM nonadj
        |ORDER BY ra_micros DESC, a_part, b_part
        |LIMIT $LinkPredictTopK""".stripMargin
+
+  /** Per-community structure profile over the SHARED LPA labels — the
+    * third [[lpaShared]] consumer (with [[labelPropagation]] and
+    * [[modularity]]): community size, internal edge count, internal
+    * density in ppm (exact integer `2e·10⁶ div (n·(n−1))`), and
+    * boundary (cut) edges. One label-attach join per edge end + two
+    * bounded aggregations — the labels and edges are the memoized
+    * localCheckpoint-pinned frames, computed once per session.
+    */
+  def communityProfile(t: Tables): DataFrame = {
+    val (edges, labels) = lpaShared(t)
+    val lu = labels.select(col("id").as("u"), col("lbl").as("lu"))
+    val lv = labels.select(col("id").as("v"), col("lbl").as("lv"))
+    val labeled = edges.join(lu, Seq("u")).join(lv, Seq("v"))
+    val sizes = labels.groupBy(col("lbl").as("community"))
+      .agg(count(lit(1)).as("n_members"))
+    val edgeStats = labeled.groupBy(col("lu").as("community"))
+      .agg((sum((col("lu") === col("lv")).cast("long")) / 2).cast("long")
+        .as("internal_edges"),
+        sum((col("lu") =!= col("lv")).cast("long")).as("cut_edges"))
+    sizes.join(edgeStats, Seq("community"), "left")
+      .select(col("community"), col("n_members"),
+        coalesce(col("internal_edges"), lit(0L)).as("internal_edges"),
+        coalesce(col("cut_edges"), lit(0L)).as("cut_edges"),
+        when(col("n_members") >= 2,
+          expr("(coalesce(internal_edges, 0L) * 2000000L) div (n_members * (n_members - 1))"))
+          .otherwise(lit(0L)).as("density_ppm"))
+      .where(col("n_members") >= 2)
+      .orderBy(col("n_members").desc, col("community"))
+  }
+
+  /** Oracle: the shared LPA CTE chain + the same per-community folds. */
+  val communityProfileSql: String =
+    s"""WITH $lpaCtesSql,
+       |sizes AS (
+       | SELECT lbl AS community, CAST(COUNT(*) AS BIGINT) AS n_members
+       | FROM l$LpaRounds GROUP BY lbl),
+       |lab AS (
+       | SELECT a.lbl AS lu, b.lbl AS lv
+       | FROM edges e
+       | JOIN l$LpaRounds a ON a.id = e.u
+       | JOIN l$LpaRounds b ON b.id = e.v),
+       |es AS (
+       | SELECT lu AS community,
+       |  CAST(SUM(CASE WHEN lu = lv THEN 1 ELSE 0 END) // 2 AS BIGINT)
+       |    AS internal_edges,
+       |  CAST(SUM(CASE WHEN lu <> lv THEN 1 ELSE 0 END) AS BIGINT) AS cut_edges
+       | FROM lab GROUP BY lu)
+       |SELECT s.community, s.n_members,
+       | COALESCE(es.internal_edges, 0) AS internal_edges,
+       | COALESCE(es.cut_edges, 0) AS cut_edges,
+       | CASE WHEN s.n_members >= 2
+       |  THEN CAST((COALESCE(es.internal_edges, 0) * 2000000)
+       |    // (s.n_members * (s.n_members - 1)) AS BIGINT)
+       |  ELSE 0 END AS density_ppm
+       |FROM sizes s LEFT JOIN es USING (community)
+       |WHERE s.n_members >= 2
+       |ORDER BY s.n_members DESC, s.community""".stripMargin
 }

@@ -522,4 +522,24 @@ class Round11Spec extends SparkSpec {
     // all dims reported exactly once
     assert(rows.map(_._1).toSeq == rows.map(_._1).toSeq.distinct)
   }
+
+  test("community profile: sizes/edges reconcile with the shared LPA labels") {
+    val labels = graft.operators.Graph.labelPropagation(sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    val rows = graft.operators.Graph.communityProfile(sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(rows.nonEmpty)
+    val commSizes = labels.values.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    rows.foreach { case (c, n, ie, ce, dens) =>
+      assert(n == commSizes(c) && n >= 2)
+      assert(dens == ie * 2000000L / (n * (n - 1)))
+      assert(ie >= 0 && ce >= 0)
+    }
+    // every >= 2-member community appears exactly once
+    assert(rows.length == commSizes.count(_._2 >= 2))
+    // the profile reads the memoized labels: a repeat run is fast and equal
+    val again = graft.operators.Graph.communityProfile(sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(rows.sameElements(again))
+  }
 }
