@@ -839,4 +839,81 @@ object Dedup {
       | CAST(COUNT(*) AS BIGINT) AS n_variants
       |FROM c GROUP BY canonical_url
       |ORDER BY canonical_url""".stripMargin
+
+  /** Dedup-tier evaluation harness — the operating-characteristic
+    * report that decides which near-dup tier a pipeline ships (the
+    * [[graft.operators.Hybrid.recallReport]] convention applied to
+    * dedup): the SimHash hamming≤3 pair set scored against the exact
+    * word-3-gram Jaccard≥0.6 truth. Counts + precision/recall in exact
+    * ppm (truncating division, bit-portable). Both tiers run their
+    * normal blocked pipelines; the comparison is two pair-set
+    * left-semi/anti folds over canonical (a, b) keys — bounded by true
+    * near-dup counts, never n².
+    */
+  def tierEval(t: Tables): DataFrame = {
+    val truth = ngramJaccardPairs(t).select("a_id", "b_id")
+    val sim = simhash(t).select("a_id", "b_id")
+    val both = sim.join(truth, Seq("a_id", "b_id"), "left_semi")
+    val nTruth = truth.count()
+    val nSim = sim.count()
+    val nBoth = both.count()
+    val spark = t.spark
+    import spark.implicits._
+    Seq((nTruth, nSim, nBoth,
+      if (nSim > 0) nBoth * 1000000L / nSim else 0L,
+      if (nTruth > 0) nBoth * 1000000L / nTruth else 0L))
+      .toDF("n_truth_pairs", "n_simhash_pairs", "n_agree",
+        "precision_ppm", "recall_ppm")
+  }
+
+  /** Oracle: both tiers' published oracle chains composed (simhash CTEs
+    * prefixed sh*) + the same count folds.
+    */
+  lazy val tierEvalSql: String = {
+    val bitSums = (0 until SimBits)
+      .map(j => s"SUM(CASE WHEN (h >> $j) & 1 = 1 THEN 1 ELSE -1 END) AS b$j")
+      .mkString(",\n   ")
+    val sigBits = (0 until SimBits)
+      .map(j => s"(CASE WHEN b$j > 0 THEN (CAST(1 AS BIGINT) << $j) ELSE 0 END)")
+      .mkString(" | ")
+    s"""WITH g AS (
+       | SELECT doc_id, ${Shingles.grams3Sql("text")} AS grams
+       | FROM documents),
+       |truth AS (
+       | SELECT a.doc_id AS a_id, b.doc_id AS b_id
+       | FROM g a JOIN g b ON a.doc_id < b.doc_id
+       | WHERE CAST(len(list_distinct(list_intersect(a.grams, b.grams))) AS DOUBLE)
+       |    / len(list_distinct(list_concat(a.grams, b.grams))) >= 0.6),
+       |she AS (SELECT doc_id, unnest(grams) AS gram FROM g),
+       |shh AS (
+       | SELECT doc_id,
+       |  CAST('0x' || substr(md5(gram), 1, 15) AS BIGINT) AS h
+       | FROM she),
+       |shb AS (
+       | SELECT doc_id,
+       |   $bitSums
+       | FROM shh GROUP BY doc_id),
+       |shs AS (SELECT doc_id, $sigBits AS sig FROM shb),
+       |sim AS (
+       | SELECT a.doc_id AS a_id, b.doc_id AS b_id
+       | FROM shs a JOIN shs b ON a.doc_id < b.doc_id
+       | WHERE bit_count(xor(a.sig, b.sig)) <= 3),
+       |agree AS (
+       | SELECT * FROM sim WHERE EXISTS (
+       |  SELECT 1 FROM truth WHERE truth.a_id = sim.a_id AND truth.b_id = sim.b_id)),
+       |c AS (
+       | SELECT (SELECT COUNT(*) FROM truth) AS n_truth_pairs,
+       |  (SELECT COUNT(*) FROM sim) AS n_simhash_pairs,
+       |  (SELECT COUNT(*) FROM agree) AS n_agree)
+       |SELECT CAST(n_truth_pairs AS BIGINT) AS n_truth_pairs,
+       | CAST(n_simhash_pairs AS BIGINT) AS n_simhash_pairs,
+       | CAST(n_agree AS BIGINT) AS n_agree,
+       | CAST(CASE WHEN n_simhash_pairs > 0
+       |   THEN (n_agree * 1000000) // n_simhash_pairs ELSE 0 END AS BIGINT)
+       |   AS precision_ppm,
+       | CAST(CASE WHEN n_truth_pairs > 0
+       |   THEN (n_agree * 1000000) // n_truth_pairs ELSE 0 END AS BIGINT)
+       |   AS recall_ppm
+       |FROM c""".stripMargin
+  }
 }

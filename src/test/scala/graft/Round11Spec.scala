@@ -542,4 +542,19 @@ class Round11Spec extends SparkSpec {
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
     assert(rows.sameElements(again))
   }
+
+  test("dedup tier eval: counts and ppm metrics replay from the two tiers") {
+    val r = graft.operators.Dedup.tierEval(sf).collect()
+    assert(r.length == 1)
+    val (nt, ns, na, prec, rec) = (r(0).getLong(0), r(0).getLong(1),
+      r(0).getLong(2), r(0).getLong(3), r(0).getLong(4))
+    val truth = graft.operators.Dedup.ngramJaccard(sf).collect()
+      .map(x => (x.getLong(0), x.getLong(1))).toSet
+    val sim = graft.operators.Dedup.simhash(sf).collect()
+      .map(x => (x.getLong(0), x.getLong(1))).toSet
+    assert(nt == truth.size && ns == sim.size)
+    assert(na == sim.intersect(truth).size)
+    assert(prec == (if (ns > 0) na * 1000000L / ns else 0L))
+    assert(rec == (if (nt > 0) na * 1000000L / nt else 0L))
+  }
 }
