@@ -575,4 +575,54 @@ object TextAnalysis2 {
        |GROUP BY e.doc_id
        |ORDER BY e.doc_id""".stripMargin
   }
+
+  private val BurstMinDf = 20
+  private val BurstTopK = 40
+
+  /** Word burstiness — variance-to-mean ratio (index of dispersion) of
+    * per-document counts for corpus words above [[BurstMinDf]] document
+    * frequency: bursty words (VMR ≫ 1) concentrate in few docs (topic
+    * words); Poisson-like words (VMR ≈ 1) spread evenly (function
+    * words). The classic Church-Gale burstiness diagnostic that
+    * separates content from glue vocabulary before IDF-style weighting.
+    * ZERO counts matter: docs not containing the word contribute 0, so
+    * the moments run over per-doc counts with N = corpus doc count
+    * attached as a broadcast scalar — Σc and Σc² come from the posting
+    * rows alone. VMR in exact ppm: `((N·Σc² − (Σc)²) · 10⁶) div
+    * (Σc · N)` (population variance over mean, all integer). One
+    * (word, doc) aggregation + one word aggregation + TakeOrdered.
+    */
+  def burstiness(t: Tables): DataFrame = {
+    val nDocs = t.documents.agg(count(lit(1)).as("nd"))
+    val wd = t.documents
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+      .groupBy("w", "doc_id").agg(count(lit(1)).as("c"))
+    wd.groupBy("w")
+      .agg(count(lit(1)).as("df"), sum(col("c")).as("s1"),
+        sum(col("c") * col("c")).as("s2"))
+      .where(col("df") >= BurstMinDf)
+      .crossJoin(broadcast(nDocs))
+      .select(col("w"), col("df"), col("s1").as("n_occurrences"),
+        expr("((nd * s2 - s1 * s1) * 1000000L) div (s1 * nd)").as("vmr_ppm"))
+      .orderBy(col("vmr_ppm").desc, col("w"))
+      .limit(BurstTopK)
+  }
+
+  val burstinessSql: String =
+    s"""WITH nd AS (SELECT CAST(COUNT(*) AS BIGINT) AS nd FROM documents),
+       |wd AS (
+       | SELECT w, doc_id, CAST(COUNT(*) AS BIGINT) AS c
+       | FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w
+       |       FROM documents)
+       | GROUP BY 1, 2),
+       |ws AS (
+       | SELECT w, CAST(COUNT(*) AS BIGINT) AS df,
+       |  CAST(SUM(c) AS BIGINT) AS s1, CAST(SUM(c * c) AS BIGINT) AS s2
+       | FROM wd GROUP BY w HAVING COUNT(*) >= $BurstMinDf)
+       |SELECT w, df, s1 AS n_occurrences,
+       | CAST(((nd.nd * s2 - s1 * s1) * 1000000) // (s1 * nd.nd) AS BIGINT)
+       |   AS vmr_ppm
+       |FROM ws, nd
+       |ORDER BY vmr_ppm DESC, w
+       |LIMIT $BurstTopK""".stripMargin
 }

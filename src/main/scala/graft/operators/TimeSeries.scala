@@ -897,4 +897,64 @@ object TimeSeries {
       | (cents > st.xbar + (266 * st.mrbar) // 100 OR
       |  cents < st.xbar - (266 * st.mrbar) // 100) AS out_of_control
       |FROM mr, st ORDER BY d""".stripMargin
+
+  /** Price-sensitivity slope per brand — the elasticity-style signal
+    * without logarithms: for each brand, OLS slope of (monthly quantity)
+    * against (monthly mean unit price in cents, exact integer division),
+    * from exact integer power sums (n, Σx, Σy, Σxx, Σxy — the
+    * [[linearTrend]] recipe on the price/quantity plane). Negative
+    * slope = demand falls when price rises. Numerator/denominator stay
+    * DECIMAL(38,0)-exact ([[graft.functions.Exact.decToDouble]] hi/lo
+    * conversion), ONE double division at the end. One (brand, month)
+    * aggregation + one bounded brand aggregation.
+    */
+  def elasticity(t: Tables): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val d38 = DecimalType(38, 0)
+    val pm = t.lineitem
+      .join(broadcast(t.part.select(col("p_partkey"), col("p_brand"))),
+        col("l_partkey") === col("p_partkey"))
+      .groupBy(col("p_brand"), date_format(col("l_shipdate"), "yyyy-MM").as("ym"))
+      .agg((sum(dec(col("l_extendedprice"))) * 100).cast("long").as("ext_cents"),
+        sum(col("l_quantity").cast("long")).as("qty"))
+      .select(col("p_brand"),
+        expr("ext_cents div qty").as("price_cents"), col("qty"))
+    pm.groupBy("p_brand")
+      .agg(count(lit(1)).as("n"),
+        sum(col("price_cents").cast(d38)).as("sx"),
+        sum(col("qty").cast(d38)).as("sy"),
+        sum((col("price_cents") * col("price_cents")).cast(d38)).as("sxx"),
+        sum((col("price_cents") * col("qty")).cast(d38)).as("sxy"))
+      .select(col("p_brand"), col("n"),
+        (graft.functions.Exact.decToDouble(
+          abs(col("n") * col("sxy") - col("sx") * col("sy"))) *
+          when(col("n") * col("sxy") - col("sx") * col("sy") < 0, -1.0)
+            .otherwise(1.0) /
+          graft.functions.Exact.decToDouble(
+            col("n") * col("sxx") - col("sx") * col("sx")))
+          .as("qty_per_cent_slope"))
+      .orderBy("p_brand")
+  }
+
+  val elasticitySql: String =
+    s"""WITH pm AS (
+       | SELECT p.p_brand, strftime(CAST(l.l_shipdate AS DATE), '%Y-%m') AS ym,
+       |  CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(12,2))) * 100 AS BIGINT)
+       |    // CAST(SUM(CAST(l.l_quantity AS BIGINT)) AS BIGINT) AS price_cents,
+       |  CAST(SUM(CAST(l.l_quantity AS BIGINT)) AS BIGINT) AS qty
+       | FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+       | GROUP BY 1, 2),
+       |agg AS (
+       | SELECT p_brand, CAST(COUNT(*) AS BIGINT) AS n,
+       |  SUM(CAST(price_cents AS HUGEINT)) AS sx,
+       |  SUM(CAST(qty AS HUGEINT)) AS sy,
+       |  SUM(CAST(price_cents AS HUGEINT) * price_cents) AS sxx,
+       |  SUM(CAST(price_cents AS HUGEINT) * qty) AS sxy
+       | FROM pm GROUP BY p_brand)
+       |SELECT p_brand, n,
+       | (CASE WHEN n * sxy - sx * sy < 0 THEN -1.0 ELSE 1.0 END *
+       |  ${graft.functions.Exact.decToDoubleSql("abs(n * sxy - sx * sy)")})
+       |  / ${graft.functions.Exact.decToDoubleSql("(n * sxx - sx * sx)")}
+       |  AS qty_per_cent_slope
+       |FROM agg ORDER BY p_brand""".stripMargin
 }

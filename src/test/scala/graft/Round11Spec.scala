@@ -557,4 +557,48 @@ class Round11Spec extends SparkSpec {
     assert(prec == (if (ns > 0) na * 1000000L / ns else 0L))
     assert(rec == (if (nt > 0) na * 1000000L / nt else 0L))
   }
+
+  test("burstiness: VMR replays with zero counts included") {
+    val rows = graft.operators.TextAnalysis2.burstiness(sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(rows.nonEmpty && rows.length <= 40)
+    val docs = sf.documents.select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val nd = docs.length.toLong
+    rows.take(5).foreach { case (w, df, occ, vmr) =>
+      val counts = docs.map(_._2.split(" ").count(_ == w).toLong)
+      assert(df == counts.count(_ > 0))
+      val s1 = counts.sum; val s2 = counts.map(c => c * c).sum
+      assert(occ == s1)
+      assert(vmr == (nd * s2 - s1 * s1) * 1000000L / (s1 * nd))
+    }
+    // ordered descending by dispersion
+    assert(rows.map(_._4).sliding(2).forall(w => w.length < 2 || w(0) >= w(1)))
+  }
+
+  test("elasticity: slope replays from exact power sums") {
+    val rows = graft.operators.TimeSeries.elasticity(sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+    assert(rows.nonEmpty)
+    // replay one brand
+    val (brand, n, slope) = rows.head
+    val pm = sf.lineitem
+      .join(sf.part.select("p_partkey", "p_brand"),
+        org.apache.spark.sql.functions.col("l_partkey") ===
+          org.apache.spark.sql.functions.col("p_partkey"))
+      .where(org.apache.spark.sql.functions.col("p_brand") === brand)
+      .groupBy(org.apache.spark.sql.functions.date_format(
+        org.apache.spark.sql.functions.col("l_shipdate"), "yyyy-MM").as("ym"))
+      .agg(org.apache.spark.sql.functions.expr(
+        "CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) * 100 AS LONG) div SUM(CAST(l_quantity AS LONG))").as("p"),
+        org.apache.spark.sql.functions.expr("SUM(CAST(l_quantity AS LONG))").as("q"))
+      .collect().map(r => (r.getLong(1), r.getLong(2)))
+    assert(n == pm.length)
+    val sx = pm.map(x => BigInt(x._1)).sum; val sy = pm.map(x => BigInt(x._2)).sum
+    val sxx = pm.map(x => BigInt(x._1) * x._1).sum
+    val sxy = pm.map(x => BigInt(x._1) * x._2).sum
+    val expect = (BigInt(n) * sxy - sx * sy).toDouble /
+      (BigInt(n) * sxx - sx * sx).toDouble
+    assert(math.abs(slope - expect) < math.abs(expect) * 1e-9)
+  }
 }
