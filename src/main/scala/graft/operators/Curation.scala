@@ -699,4 +699,64 @@ object Curation {
        |FROM b JOIN tr USING (gram)
        |GROUP BY bench_id
        |ORDER BY bench_id""".stripMargin
+
+  /** The RAG-ingest pipeline in one auditable relation — the retrieval
+    * sibling of [[pretrainPipeline]]: domain gate ([[domainFilter]]'s
+    * blocklist + per-domain cap) ∧ near-dup keep-best
+    * ([[Dedup.keepBest]]) select the corpus, survivors chunk through
+    * the overlap chunker ([[TextAnalysis3.chunkOverlapDocs]] — 40-token
+    * windows, stride 30, full provenance), and every chunk ships with
+    * its md5 content fingerprint (the chunk-store dedup/id key). One
+    * row per surviving chunk; each stage is the already-green operator
+    * run unchanged — the COMPOSITION is what's verified, oracle
+    * composing the same CTE chains.
+    */
+  def ragPipeline(t: Tables): DataFrame = {
+    val dom = domainFilter(t)
+      .select(col("doc_id"), col("keep").as("keep_domain"))
+    val kb = Dedup.keepBest(t)
+      .select(col("doc_id"), col("keep_best").as("keep_dedup"))
+    val kept = t.documents.select(col("doc_id"), col("text"))
+      .join(dom, Seq("doc_id"))
+      .join(kb, Seq("doc_id"))
+      .where(col("keep_domain") && col("keep_dedup"))
+      .select("doc_id", "text")
+    TextAnalysis3.chunkOverlapDocs(kept)
+      .withColumn("chunk_md5", md5(col("chunk_text")))
+      .select("doc_id", "chunk_idx", "start_tok", "end_tok", "n_tokens",
+        "chunk_md5")
+      .orderBy("doc_id", "chunk_idx")
+  }
+
+  val ragPipelineSql: String =
+    s"""${graft.operators.Dedup.clustersCte},
+       |kb AS (
+       | SELECT l3.id AS doc_id,
+       |  ${graft.operators.Dedup.keepBestRankSql} AS keep_dedup
+       | FROM l3 JOIN documents d ON l3.id = d.doc_id),
+       |$domainFilterCtes,
+       |kept AS (
+       | SELECT d.doc_id, d.text
+       | FROM documents d
+       | JOIN dom ON dom.doc_id = d.doc_id
+       | JOIN kb ON kb.doc_id = d.doc_id
+       | WHERE dom.keep AND kb.keep_dedup),
+       |kd AS (
+       | SELECT doc_id, string_split(text, ' ') AS ws FROM kept
+       | WHERE len(string_split(text, ' ')) >= 1),
+       |st AS (
+       | SELECT doc_id, ws,
+       |  unnest(list_filter(range(0, greatest(len(ws), 1), 30),
+       |                     s -> s = 0 OR s < len(ws))) AS start_tok,
+       |  generate_subscripts(list_filter(range(0, greatest(len(ws), 1), 30),
+       |                     s -> s = 0 OR s < len(ws)), 1) - 1 AS chunk_idx
+       | FROM kd)
+       |SELECT doc_id, CAST(chunk_idx AS INT) AS chunk_idx,
+       | CAST(start_tok AS INT) AS start_tok,
+       | CAST(least(start_tok + 40, len(ws)) AS INT) AS end_tok,
+       | CAST(least(start_tok + 40, len(ws)) - start_tok AS INT) AS n_tokens,
+       | md5(array_to_string(list_slice(ws, start_tok + 1, start_tok + 40), ' '))
+       |   AS chunk_md5
+       |FROM st
+       |ORDER BY doc_id, chunk_idx""".stripMargin
 }

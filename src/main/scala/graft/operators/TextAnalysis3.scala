@@ -308,13 +308,18 @@ object TextAnalysis3 {
     * the presentation sort. At 100 TB this is a pure map stage that
     * chains into whatever writes the chunk store.
     */
-  def chunkOverlap(t: Tables): DataFrame = {
+  def chunkOverlap(t: Tables): DataFrame = chunkOverlapDocs(t.documents)
+
+  /** The chunker over any (doc_id, text) frame — shared by the
+    * standalone query and [[Curation.ragPipeline]]'s post-gate stage.
+    */
+  private[operators] def chunkOverlapDocs(docs: DataFrame): DataFrame = {
     val n = size(col("ws"))
     // starts: 0, stride, 2·stride … while start < n_tokens (start = 0
     // always emits, covering the empty-text case via the ws >= 1 guard)
     val starts = expr(
       s"filter(sequence(0, greatest(size(ws) - 1, 0), $ChunkStride), s -> s = 0 OR s < size(ws))")
-    t.documents
+    docs
       .select(col("doc_id"), split(col("text"), " ").as("ws"))
       .where(n >= 1)
       .select(col("doc_id"), col("ws"), posexplode(starts).as(Seq("chunk_idx", "start_tok")))

@@ -601,4 +601,32 @@ class Round11Spec extends SparkSpec {
       (BigInt(n) * sxx - sx * sx).toDouble
     assert(math.abs(slope - expect) < math.abs(expect) * 1e-9)
   }
+
+  test("rag pipeline: only gated docs chunk, provenance and fingerprints hold") {
+    val rows = graft.operators.Curation.ragPipeline(sf).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getInt(3),
+        r.getInt(4), r.getString(5)))
+    assert(rows.nonEmpty)
+    // the surviving doc set is exactly the gate conjunction
+    val dom = graft.operators.Curation.domainFilter(sf).collect()
+      .map(r => r.getLong(0) -> r.getBoolean(4)).toMap
+    val kb = graft.operators.Dedup.keepBest(sf).collect()
+      .map(r => r.getLong(0) -> r.getBoolean(3)).toMap
+    val expectDocs = dom.keySet.filter(d => dom(d) && kb(d))
+    assert(rows.map(_._1).toSet == expectDocs)
+    // chunk geometry matches the standalone chunker for a surviving doc
+    val standalone = graft.operators.TextAnalysis3.chunkOverlap(sf).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getInt(3)))
+      .filter(c => expectDocs(c._1)).toSet
+    assert(rows.map(r => (r._1, r._2, r._3, r._4)).toSet == standalone)
+    // the md5 really fingerprints the chunk text
+    val texts = sf.documents.select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    rows.take(5).foreach { case (d, _, st, en, _, m) =>
+      val chunk = texts(d).split(" ").slice(st, en).mkString(" ")
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest(chunk.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      assert(m == md)
+    }
+  }
 }
