@@ -851,8 +851,12 @@ object Dedup {
     * near-dup counts, never n².
     */
   def tierEval(t: Tables): DataFrame = {
-    val truth = ngramJaccardPairs(t).select("a_id", "b_id")
-    val sim = simhash(t).select("a_id", "b_id")
+    // localCheckpoint (not persist): each pair frame feeds BOTH a count
+    // and the agreement semi-join — pinning the tiny verified pair sets
+    // runs each tier's pipeline exactly once, with normal (uncached-
+    // plan) AQE during the build
+    val truth = ngramJaccardPairs(t).select("a_id", "b_id").localCheckpoint(true)
+    val sim = simhash(t).select("a_id", "b_id").localCheckpoint(true)
     val both = sim.join(truth, Seq("a_id", "b_id"), "left_semi")
     val nTruth = truth.count()
     val nSim = sim.count()
