@@ -569,4 +569,161 @@ object Relational8 {
        |     ${decToDoubleSql("sy")} * ${decToDoubleSql("sy")})) AS acf
        |FROM sums ORDER BY lag""".stripMargin
   }
+
+  /** Lorenz curve of supplier revenue within each nation — the
+    * distribution behind [[gini]]'s single number (an auditor wants the
+    * curve, not just its area): suppliers ranked ascending by revenue,
+    * cut into exact deciles, each decile reporting its own and the
+    * cumulative revenue share. Decile assignment is the engine-portable
+    * integer form `⌈10·rk/n⌉ = (10·rk + n − 1) div n` (NTILE semantics
+    * differ across engines when n mod 10 ≠ 0); shares divide
+    * exact-integer DECIMAL(38,0) micro sums in double with the oracle's
+    * expression tree. The rank window partitions BY NATION (the gini
+    * precedent — suppliers-per-nation grows like the dim table) and the
+    * cumulative window runs over ≤ 10 decile rows per nation: both
+    * bounded, 100 TB-safe.
+    */
+  def lorenz(t: Tables): DataFrame = {
+    val perSupp = t.lineitem
+      .groupBy("l_suppkey")
+      .agg(sum(discPrice(col("l_extendedprice"), col("l_discount"))).as("rev"))
+      .withColumn("units", microUnits(col("rev")))
+      .join(broadcast(t.supplier.select("s_suppkey", "s_nationkey")),
+        col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(t.nation.select("n_nationkey", "n_name")),
+        col("s_nationkey") === col("n_nationkey"))
+    val w = Window.partitionBy("n_name").orderBy(col("units"), col("l_suppkey"))
+    val withN = Window.partitionBy("n_name")
+    val cum = Window.partitionBy("n_name").orderBy("decile")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    perSupp
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .withColumn("n", count(lit(1)).over(withN))
+      .withColumn("decile", expr("(10L * rk + n - 1L) div n"))
+      .groupBy("n_name", "decile")
+      .agg(count(lit(1)).as("n_suppliers"),
+        sum(col("units").cast(d38)).as("dsum"))
+      .withColumn("csum", sum(col("dsum")).over(cum))
+      .withColumn("tsum", sum(col("dsum")).over(withN))
+      .select(col("n_name"), col("decile"), col("n_suppliers"),
+        (decToDouble(col("dsum")) / decToDouble(col("tsum")))
+          .as("decile_share"),
+        (decToDouble(col("csum")) / decToDouble(col("tsum")))
+          .as("cum_share"))
+      .orderBy("n_name", "decile")
+  }
+
+  val lorenzSql: String =
+    s"""WITH per_supp AS (
+       | SELECT l_suppkey,
+       |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) *
+       |    CAST(1 - CAST(l_discount AS DECIMAL(4,2)) AS DECIMAL(8,4)))
+       |    * 1000000 AS HUGEINT) AS units
+       | FROM lineitem GROUP BY 1),
+       |ranked AS (
+       | SELECT n_name, units,
+       |  CAST(ROW_NUMBER() OVER (PARTITION BY n_name
+       |    ORDER BY units, l_suppkey) AS BIGINT) AS rk,
+       |  CAST(COUNT(*) OVER (PARTITION BY n_name) AS BIGINT) AS n
+       | FROM per_supp
+       | JOIN supplier ON l_suppkey = s_suppkey
+       | JOIN nation ON s_nationkey = n_nationkey),
+       |dec AS (
+       | SELECT n_name, (10 * rk + n - 1) // n AS decile,
+       |  CAST(COUNT(*) AS BIGINT) AS n_suppliers, SUM(units) AS dsum
+       | FROM ranked GROUP BY 1, 2),
+       |cum AS (
+       | SELECT n_name, decile, n_suppliers, dsum,
+       |  SUM(dsum) OVER (PARTITION BY n_name ORDER BY decile
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS csum,
+       |  SUM(dsum) OVER (PARTITION BY n_name) AS tsum
+       | FROM dec)
+       |SELECT n_name, decile, n_suppliers,
+       | ${decToDoubleSql("dsum")} / ${decToDoubleSql("tsum")} AS decile_share,
+       | ${decToDoubleSql("csum")} / ${decToDoubleSql("tsum")} AS cum_share
+       |FROM cum ORDER BY n_name, decile""".stripMargin
+
+  /** Mann-Kendall trend test of monthly nation revenue — the
+    * non-parametric "is this series trending" screen (the hypothesis
+    * battery's time-series member: [[runsTest]] asks "is it random",
+    * this asks "is it monotone"). S = Σ_{i<j} sign(xⱼ − xᵢ) over the
+    * month-ordered series; the variance ships as the exact integer
+    * 18·Var(S) = n(n−1)(2n+5) − Σₜ t(t−1)(2t+5) with the tie
+    * correction from equal-revenue month groups — every output column
+    * is pure long arithmetic, no floating step at all.
+    *
+    * Scale shape: the fact table collapses to (nation × month) rows
+    * FIRST (one map-side-combining aggregation; the month domain is the
+    * calendar — bounded), so the i<j pair self-join runs over ≤ 84 rows
+    * per nation, never the fact table. The [[autocorrSql]] precedent.
+    */
+  def mkTrend(t: Tables): DataFrame = {
+    val monthly = t.lineitem
+      .groupBy(col("l_suppkey"), trunc(col("l_shipdate"), "month").as("mon"))
+      .agg(sum(discPrice(col("l_extendedprice"), col("l_discount"))).as("rev"))
+      .join(broadcast(t.supplier.select("s_suppkey", "s_nationkey")),
+        col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(t.nation.select("n_nationkey", "n_name")),
+        col("s_nationkey") === col("n_nationkey"))
+      .groupBy("n_name", "mon")
+      .agg(sum(microUnits(col("rev")).cast(d38)).as("units"))
+      .select(col("n_name"), col("mon"), col("units"))
+      .persist()
+    val s = monthly.as("a")
+      .join(monthly.as("b"),
+        col("a.n_name") === col("b.n_name") && col("a.mon") < col("b.mon"))
+      .groupBy(col("a.n_name").as("n_name"))
+      .agg(sum(when(col("b.units") > col("a.units"), 1L)
+          .when(col("b.units") < col("a.units"), -1L).otherwise(0L))
+        .cast("long").as("s_stat"))
+    val ties = monthly.groupBy("n_name", "units")
+      .agg(count(lit(1)).as("t"))
+      .groupBy("n_name")
+      .agg(count(lit(1)).cast("long").as("n_groups"),
+        sum(col("t")).cast("long").as("n_months"),
+        sum(col("t") * (col("t") - 1) * (lit(2) * col("t") + 5))
+          .cast("long").as("tie_term"))
+    ties.join(s, Seq("n_name"))
+      .select(col("n_name"), col("n_months"), col("s_stat"),
+        (col("n_months") * (col("n_months") - 1)
+          * (lit(2) * col("n_months") + 5) - col("tie_term"))
+          .as("var_s18"),
+        when(col("s_stat") > 0, lit("increasing"))
+          .when(col("s_stat") < 0, lit("decreasing"))
+          .otherwise(lit("none")).as("trend"))
+      .orderBy("n_name")
+  }
+
+  val mkTrendSql: String =
+    s"""WITH monthly AS (
+       | -- micros are integral (scale-6 price × 10⁶), so one aggregation
+       | -- level here equals the Spark side's supplier-first two-level sum
+       | SELECT n_name, date_trunc('month', CAST(l_shipdate AS DATE)) AS mon,
+       |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) *
+       |    CAST(1 - CAST(l_discount AS DECIMAL(4,2)) AS DECIMAL(8,4)))
+       |    * 1000000 AS HUGEINT) AS units
+       | FROM lineitem
+       | JOIN supplier ON l_suppkey = s_suppkey
+       | JOIN nation ON s_nationkey = n_nationkey
+       | GROUP BY 1, 2),
+       |s AS (
+       | SELECT a.n_name,
+       |  CAST(SUM(CASE WHEN b.units > a.units THEN 1
+       |           WHEN b.units < a.units THEN -1 ELSE 0 END) AS BIGINT)
+       |    AS s_stat
+       | FROM monthly a JOIN monthly b
+       |   ON a.n_name = b.n_name AND a.mon < b.mon
+       | GROUP BY 1),
+       |ties AS (
+       | SELECT n_name, CAST(SUM(t) AS BIGINT) AS n_months,
+       |  CAST(SUM(t * (t - 1) * (2 * t + 5)) AS BIGINT) AS tie_term
+       | FROM (SELECT n_name, units, CAST(COUNT(*) AS BIGINT) AS t
+       |       FROM monthly GROUP BY 1, 2)
+       | GROUP BY 1)
+       |SELECT ties.n_name, n_months, s_stat,
+       | n_months * (n_months - 1) * (2 * n_months + 5) - tie_term AS var_s18,
+       | CASE WHEN s_stat > 0 THEN 'increasing'
+       |      WHEN s_stat < 0 THEN 'decreasing' ELSE 'none' END AS trend
+       |FROM ties JOIN s ON s.n_name = ties.n_name
+       |ORDER BY ties.n_name""".stripMargin
 }

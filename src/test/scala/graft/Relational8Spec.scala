@@ -252,5 +252,72 @@ class Relational8Spec extends SparkSpec {
     assert(u2 == wins2)
   }
 
+  test("lorenz deciles partition each nation's suppliers and cum_share ends at 1") {
+    val rows = Relational8.lorenz(sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getDouble(4)))
+    assert(rows.nonEmpty)
+    val suppPerNation = sf.supplier
+      .join(sf.lineitem.select("l_suppkey").distinct(),
+        col("s_suppkey") === col("l_suppkey"))
+      .join(sf.nation, col("s_nationkey") === col("n_nationkey"))
+      .groupBy("n_name").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    rows.groupBy(_._1).foreach { case (nation, ds) =>
+      val sorted = ds.sortBy(_._2)
+      // deciles are 1..10 (each nonempty once any supplier lands in it),
+      // their populations partition the nation's revenue-bearing suppliers
+      assert(sorted.map(_._2).toSeq == sorted.map(_._2).toSeq.sorted)
+      assert(sorted.forall(d => d._2 >= 1 && d._2 <= 10))
+      assert(sorted.map(_._3).sum == suppPerNation(nation))
+      // decile shares sum to 1; cumulative share is monotone, ends at 1
+      assert(math.abs(sorted.map(_._4).sum - 1.0) < 1e-9)
+      val cums = sorted.map(_._5)
+      assert(cums.zip(cums.tail).forall { case (a, b) => b >= a - 1e-12 })
+      assert(math.abs(cums.last - 1.0) < 1e-9)
+      // Lorenz curve is convex-ish: cum share at decile d <= d/10 + eps
+      sorted.foreach { case (_, d, _, _, c) =>
+        assert(c <= d / 10.0 + 1e-9, s"$nation d$d cum $c above diagonal")
+      }
+    }
+  }
+
+  test("mk trend replays the exact pairwise S and tie-corrected variance") {
+    val rows = Relational8.mkTrend(sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getString(4))).toSeq
+    assert(rows.nonEmpty)
+    // exact monthly micros per nation, driver-side
+    val monthly = sf.lineitem
+      .join(sf.supplier, col("l_suppkey") === col("s_suppkey"))
+      .join(sf.nation, col("s_nationkey") === col("n_nationkey"))
+      .select(col("n_name"), col("l_shipdate").cast("date").as("d"),
+        col("l_extendedprice"), col("l_discount"))
+      .collect()
+      .groupBy(r => (r.getString(0), r.getDate(1).toLocalDate.withDayOfMonth(1)))
+      .view.mapValues { rs =>
+        rs.map { r =>
+          (BigDecimal(r.getDouble(2)).setScale(2, BigDecimal.RoundingMode.HALF_UP) *
+            (BigDecimal(1) - BigDecimal(r.getDouble(3))
+              .setScale(2, BigDecimal.RoundingMode.HALF_UP)) * 1000000)
+        }.sum.toBigIntExact.get
+      }.toMap
+    rows.foreach { case (nation, nMonths, s, var18, trend) =>
+      val series = monthly.collect { case ((nm, mo), u) if nm == nation => (mo, u) }
+        .toSeq.sortBy(_._1.toEpochDay)
+      assert(nMonths == series.size)
+      val vals = series.map(_._2)
+      val expS = (for {
+        i <- vals.indices; j <- (i + 1) until vals.size
+      } yield (vals(j) compare vals(i)).sign).sum.toLong
+      assert(s == expS, s"$nation S $s vs $expS")
+      val n = vals.size.toLong
+      val ties = vals.groupBy(identity).values.map(_.size.toLong)
+        .map(t => t * (t - 1) * (2 * t + 5)).sum
+      assert(var18 == n * (n - 1) * (2 * n + 5) - ties)
+      assert(trend == (if (s > 0) "increasing" else if (s < 0) "decreasing" else "none"))
+    }
+  }
+
   private def col(n: String) = org.apache.spark.sql.functions.col(n)
 }
