@@ -1080,4 +1080,104 @@ object Graph {
        |FROM sizes s LEFT JOIN es USING (community)
        |WHERE s.n_members >= 2
        |ORDER BY s.n_members DESC, s.community""".stripMargin
+
+  /** HITS supersteps. Fixed (not convergence-tested) so the oracle can
+    * unroll — the [[pageRank]] convention.
+    */
+  private val HitsIters = 3
+
+  /** HITS hubs-and-authorities over the BIPARTITE customer→part purchase
+    * graph — the directed companion to [[pageRank]]'s undirected
+    * co-purchase rank: a customer is a good hub when it buys
+    * authoritative parts, a part is authoritative when good hubs buy it
+    * (Kleinberg's mutual reinforcement; on a bipartite purchase graph
+    * this is exactly the "influential buyers / canonical products"
+    * curation signal).
+    *
+    * Arithmetic mirrors the pageRank exact-replay contract: scores live
+    * in integer femto-units, each half-step is one join + one
+    * aggregation along the edge relation, and the L1 normalization
+    * `(score · Mass) div Σscores` runs in DECIMAL(38,0) (score·Mass
+    * reaches 10³⁰ — far past long range) with truncating integral
+    * division, matching DuckDB HUGEINT `//` digit for digit. The
+    * normalizer total re-enters the plan as a broadcast 1-row aggregate
+    * (never a driver collect), so a full hub+authority round is exactly
+    * two shuffles along edges plus two bounded broadcasts — linear per
+    * superstep, 100 TB-safe.
+    *
+    * Output: one row per node with its `role` ('authority' for parts,
+    * 'hub' for customers), final femto score, and the exact double view.
+    */
+  def hits(t: Tables): DataFrame = {
+    val d38 = org.apache.spark.sql.types.DecimalType(38, 0)
+    val edges = t.orders.select(col("o_orderkey"), col("o_custkey"))
+      .join(t.lineitem.select(col("l_orderkey"), col("l_partkey")),
+        col("l_orderkey") === col("o_orderkey"))
+      .select(col("o_custkey").as("c"), col("l_partkey").as("p"))
+      .distinct()
+      .persist()
+    def normalized(raw: DataFrame, key: String, scoreCol: String): DataFrame = {
+      val tot = raw.agg(sum(col(scoreCol).cast(d38)).as("t"))
+      raw.crossJoin(broadcast(tot))
+        .select(col(key),
+          expr(s"(CAST($scoreCol AS DECIMAL(38,0)) * ${Mass}L) div t")
+            .as(scoreCol))
+    }
+    var hubs = normalized(
+      edges.select("c").distinct().withColumn("h", lit(1L)), "c", "h")
+    var auths: DataFrame = null
+    for (_ <- 1 to HitsIters) {
+      auths = normalized(
+        edges.join(hubs, Seq("c")).groupBy("p").agg(sum("h").as("a")),
+        "p", "a")
+      hubs = normalized(
+        edges.join(auths, Seq("p")).groupBy("c").agg(sum("a").as("h")),
+        "c", "h")
+    }
+    auths.select(lit("authority").as("role"), col("p").as("node_id"),
+        col("a").as("score_femto"))
+      .unionAll(hubs.select(lit("hub").as("role"), col("c").as("node_id"),
+        col("h").as("score_femto")))
+      .select(col("role"), col("node_id"), col("score_femto"),
+        (col("score_femto").cast("double") / lit(1e15)).as("score"))
+      .orderBy(col("role"), col("score_femto").desc, col("node_id"))
+  }
+
+  val hitsSql: String = {
+    val mass = Mass.toString
+    def round(i: Int, prevH: String): (String, String) = {
+      val a =
+        s"""a${i}r AS (
+           |  SELECT p, SUM(h) AS a FROM edges JOIN $prevH USING (c)
+           |  GROUP BY p),
+           |a$i AS (
+           |  SELECT p, CAST(a * $mass // (SELECT SUM(a) FROM a${i}r)
+           |    AS BIGINT) AS a FROM a${i}r)""".stripMargin
+      val h =
+        s"""h${i}r AS (
+           |  SELECT c, SUM(a) AS h FROM edges JOIN a$i USING (p)
+           |  GROUP BY c),
+           |h$i AS (
+           |  SELECT c, CAST(h * $mass // (SELECT SUM(h) FROM h${i}r)
+           |    AS BIGINT) AS h FROM h${i}r)""".stripMargin
+      (a, h)
+    }
+    val rounds = (1 to HitsIters).map(i => round(i, if (i == 1) "h0" else s"h${i - 1}"))
+    val body = rounds.flatMap { case (a, h) => Seq(a, h) }.mkString(",\n")
+    s"""WITH edges AS (
+       |  SELECT DISTINCT o_custkey AS c, l_partkey AS p
+       |  FROM orders JOIN lineitem ON l_orderkey = o_orderkey),
+       |h0r AS (SELECT c, CAST(1 AS BIGINT) AS h FROM (SELECT DISTINCT c FROM edges)),
+       |h0 AS (SELECT c, CAST(h * $mass // (SELECT SUM(h) FROM h0r)
+       |  AS BIGINT) AS h FROM h0r),
+       |$body
+       |SELECT role, node_id, score_femto,
+       |  CAST(score_femto AS DOUBLE) / 1e15 AS score
+       |FROM (
+       |  SELECT 'authority' AS role, p AS node_id, a AS score_femto
+       |  FROM a$HitsIters
+       |  UNION ALL
+       |  SELECT 'hub', c, h FROM h$HitsIters)
+       |ORDER BY role, score_femto DESC, node_id""".stripMargin
+  }
 }

@@ -391,4 +391,35 @@ class GraphSpec extends SparkSpec {
     assert(math.abs(r - expect) < 1e-12, s"$r vs $expect")
     assert(r >= -1.0 && r <= 1.0)
   }
+
+  test("hits replays the exact femto-unit bipartite iteration") {
+    val out = Graph.hits(sf).collect()
+      .map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+    // driver replay in BigInt with the same truncating normalization
+    val byOrder = sf.orders.select("o_orderkey", "o_custkey").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val edges = sf.lineitem.select("l_orderkey", "l_partkey").collect()
+      .flatMap(r => byOrder.get(r.getLong(0)).map(c => (c, r.getLong(1))))
+      .distinct
+    def norm(raw: Map[Long, BigInt]): Map[Long, BigInt] = {
+      val t = raw.values.sum
+      raw.view.mapValues(v => v * Mass / t).toMap
+    }
+    var h = norm(edges.map(_._1).distinct.map(_ -> BigInt(1)).toMap)
+    var a = Map.empty[Long, BigInt]
+    for (_ <- 1 to 3) {
+      a = norm(edges.groupBy(_._2).view
+        .mapValues(_.map(e => h(e._1)).sum).toMap)
+      h = norm(edges.groupBy(_._1).view
+        .mapValues(_.map(e => a(e._2)).sum).toMap)
+    }
+    assert(out.size == a.size + h.size)
+    a.foreach { case (p, s) =>
+      assert(out(("authority", p)) == s.toLong, s"auth $p") }
+    h.foreach { case (c, s) =>
+      assert(out(("hub", c)) == s.toLong, s"hub $c") }
+    // L1 mass survives modulo truncation: sum in (Mass - n, Mass]
+    val aSum = a.values.sum
+    assert(aSum <= Mass && aSum > Mass - a.size)
+  }
 }
