@@ -239,4 +239,59 @@ object Sampling {
        |FROM r WHERE rk <= quota
        |ORDER BY source, doc_id""".stripMargin
   }
+
+  /** Curriculum phases for [[curriculum]]. */
+  private val CurriculumPhases = 4L
+
+  /** Sequence-length curriculum schedule — the "train on short sequences
+    * first" ordering every large-model recipe with curriculum learning
+    * uses: documents cut into [[CurriculumPhases]] exact quantile phases
+    * by BPE-style token count (shortest quartile = phase 1), then given
+    * a global training position that walks the phases in order with a
+    * deterministic hash shuffle INSIDE each phase (in-phase order must
+    * not correlate with length, or each phase is itself a ramp).
+    *
+    * Both global orderings run through [[graft.operators.Ranks]]'
+    * two-level distributed prefix sum — two range shuffles and two
+    * bounded per-partition-count collects, never an unpartitioned
+    * window. Phase assignment is the engine-portable exact-quantile form
+    * `⌈P·rk/n⌉ = (P·rk + n − 1) div n` on the fully tie-broken
+    * (token count, doc_id) rank, so the cut is identical at any
+    * partitioning and in the oracle's ROW_NUMBER replay.
+    */
+  def curriculum(t: Tables): DataFrame = {
+    val toks = t.documents.select(
+      col("doc_id"),
+      size(expr("regexp_extract_all(text, ' ?[a-z]+| ?[0-9]+| ?[^a-z0-9 ]+', 0)"))
+        .cast("long").as("n_tokens"))
+    val (ranked, n) = Ranks.withGlobalRank(toks, "rk",
+      col("n_tokens"), col("doc_id"))
+    val phased = ranked.withColumn("phase",
+      expr(s"($CurriculumPhases * rk + ${n}L - 1L) div ${n}L")).drop("rk")
+    val (positioned, _) = Ranks.withGlobalRank(phased, "position",
+      col("phase"), unitHash(col("doc_id")), col("doc_id"))
+    positioned
+      .select(col("doc_id"), col("n_tokens"), col("phase"), col("position"))
+      .orderBy("position")
+  }
+
+  val curriculumSql: String = {
+    val u = unitHashSqlFmt.format("doc_id")
+    s"""WITH tk AS (
+       | SELECT doc_id,
+       |  CAST(len(regexp_extract_all(text, ' ?[a-z]+| ?[0-9]+| ?[^a-z0-9 ]+'))
+       |    AS BIGINT) AS n_tokens
+       | FROM documents),
+       |rk AS (
+       | SELECT doc_id, n_tokens,
+       |  CAST(ROW_NUMBER() OVER (ORDER BY n_tokens, doc_id) AS BIGINT) AS rk,
+       |  CAST(COUNT(*) OVER () AS BIGINT) AS n
+       | FROM tk),
+       |ph AS (
+       | SELECT doc_id, n_tokens, (4 * rk + n - 1) // n AS phase FROM rk)
+       |SELECT doc_id, n_tokens, phase,
+       | CAST(ROW_NUMBER() OVER (ORDER BY phase, $u, doc_id) AS BIGINT)
+       |   AS position
+       |FROM ph ORDER BY position""".stripMargin
+  }
 }

@@ -389,4 +389,64 @@ object TextAnalysis3 {
        |FROM f GROUP BY shape
        |HAVING COUNT(*) >= 2
        |ORDER BY n_docs DESC, shape""".stripMargin
+
+  /** Flesch-style readability scoring in exact integer MILLI-points —
+    * the classic words-per-sentence × syllables-per-word readability
+    * screen, run as a corpus-curation gate (very-hard prose and
+    * run-on-sentence boilerplate both flag). Counts are engine-portable
+    * regex-match counts (the [[TextAnalysis.bpeTokens]] convention):
+    * sentences are `[.!?]+` runs (clamped ≥ 1 for fragments), syllables
+    * are the standard `[aeiouy]+` vowel-group proxy. The score
+    * `206835 − (1015·W) div S − (84600·Syl) div W` stays in pure long
+    * arithmetic — truncating integral division on all-positive terms,
+    * identical in both engines — so an inherently heuristic formula
+    * still gets a hash-exact oracle. Row-local projection: no shuffle
+    * but the presentation sort.
+    */
+  def readability(t: Tables): DataFrame = {
+    val words = size(split(col("text"), " ")).cast("long")
+    val sents = greatest(lit(1L),
+      size(expr("regexp_extract_all(text, '[.!?]+', 0)")).cast("long"))
+    val sylls = size(expr("regexp_extract_all(text, '[aeiouy]+', 0)"))
+      .cast("long")
+    t.documents.select(
+        col("doc_id"),
+        words.as("n_words"),
+        sents.as("n_sentences"),
+        sylls.as("n_syllables"))
+      .withColumn("flesch_milli",
+        expr("206835L - (1015L * n_words) div n_sentences" +
+          " - (84600L * n_syllables) div n_words"))
+      .withColumn("band",
+        when(col("flesch_milli") >= 90000L, "very_easy")
+          .when(col("flesch_milli") >= 70000L, "easy")
+          .when(col("flesch_milli") >= 50000L, "medium")
+          .when(col("flesch_milli") >= 30000L, "hard")
+          .otherwise("very_hard"))
+      .orderBy("doc_id")
+  }
+
+  val readabilitySql: String =
+    """WITH c AS (
+      | SELECT doc_id,
+      |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,
+      |  GREATEST(CAST(1 AS BIGINT),
+      |    CAST(len(regexp_extract_all(text, '[.!?]+')) AS BIGINT))
+      |    AS n_sentences,
+      |  CAST(len(regexp_extract_all(text, '[aeiouy]+')) AS BIGINT)
+      |    AS n_syllables
+      | FROM documents)
+      |SELECT doc_id, n_words, n_sentences, n_syllables,
+      | 206835 - (1015 * n_words) // n_sentences
+      |   - (84600 * n_syllables) // n_words AS flesch_milli,
+      | CASE WHEN 206835 - (1015 * n_words) // n_sentences
+      |            - (84600 * n_syllables) // n_words >= 90000 THEN 'very_easy'
+      |      WHEN 206835 - (1015 * n_words) // n_sentences
+      |            - (84600 * n_syllables) // n_words >= 70000 THEN 'easy'
+      |      WHEN 206835 - (1015 * n_words) // n_sentences
+      |            - (84600 * n_syllables) // n_words >= 50000 THEN 'medium'
+      |      WHEN 206835 - (1015 * n_words) // n_sentences
+      |            - (84600 * n_syllables) // n_words >= 30000 THEN 'hard'
+      |      ELSE 'very_hard' END AS band
+      |FROM c ORDER BY doc_id""".stripMargin
 }

@@ -101,4 +101,32 @@ class SamplingSpec extends SparkSpec {
     val avgWin = winners.map(_._3).sum.toDouble / winners.length
     assert(avgWin > avgAll, s"weighted winners avg $avgWin vs corpus $avgAll")
   }
+
+  test("curriculum phases are exact token-count quartiles walked in order") {
+    val rows = Sampling.curriculum(sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val n = rows.length
+    assert(n == sf.documents.count())
+    // position is a permutation of 1..n
+    assert(rows.map(_._4).sorted.toSeq == (1L to n).toSeq)
+    // phases 1..4 partition the corpus into ceil-quantile groups
+    val byPhase = rows.groupBy(_._3)
+    assert(byPhase.keySet == Set(1L, 2L, 3L, 4L))
+    val sizes = (1L to 4L).map(p => byPhase(p).length)
+    assert(sizes.sum == n && (sizes.max - sizes.min) <= 1)
+    // phase cut respects the (n_tokens, doc_id) order
+    for (p <- 1L to 3L) {
+      val hi = byPhase(p).map(r => (r._2, r._1)).max
+      val lo = byPhase(p + 1).map(r => (r._2, r._1)).min
+      assert(Ordering[(Long, Long)].lt(hi, lo), s"phase $p cut: $hi !< $lo")
+    }
+    // positions walk phases in order
+    for (p <- 1L to 3L) {
+      assert(byPhase(p).map(_._4).max < byPhase(p + 1).map(_._4).min)
+    }
+    // in-phase order is the doc_id hash, not a length ramp: token counts
+    // inside a phase must not be globally sorted by position
+    val inPhase = byPhase(1L).sortBy(_._4).map(_._2).toSeq
+    assert(inPhase != inPhase.sorted || inPhase.distinct.size <= 1)
+  }
 }

@@ -177,4 +177,25 @@ class TextAnalysis3Spec extends SparkSpec {
       .queryExecution.executedPlan.toString
     assert(!plan.contains("Exchange hashpartitioning"), plan)
   }
+
+  test("readability replays the integer Flesch formula from raw text") {
+    val texts = sf.documents.select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val rows = TextAnalysis3.readability(sf).collect()
+    assert(rows.length == texts.size)
+    rows.take(50).foreach { r =>
+      val (id, w, sn, sy, fm, band) = (r.getLong(0), r.getLong(1),
+        r.getLong(2), r.getLong(3), r.getLong(4), r.getString(5))
+      val txt = texts(id)
+      assert(w == txt.split(" ", -1).length)
+      assert(sn == math.max(1, "[.!?]+".r.findAllIn(txt).length))
+      assert(sy == "[aeiouy]+".r.findAllIn(txt).length)
+      assert(fm == 206835L - (1015L * w) / sn - (84600L * sy) / w)
+      val expBand =
+        if (fm >= 90000) "very_easy" else if (fm >= 70000) "easy"
+        else if (fm >= 50000) "medium" else if (fm >= 30000) "hard"
+        else "very_hard"
+      assert(band == expBand)
+    }
+  }
 }
