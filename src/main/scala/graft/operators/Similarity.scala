@@ -588,7 +588,14 @@ object Similarity {
     * on the planes); the ORACLE replays the identical buckets, probe
     * rings, and scoring, so the contract is exact.
     */
-  def knnJoinLsh(t: Tables): DataFrame = {
+  def knnJoinLsh(t: Tables): DataFrame = rankTopK(lshCandidates(t))
+
+  /** The multiprobe candidate stage of [[knnJoinLsh]], shared with the
+    * operators that consume the approximate kNN graph downstream
+    * ([[hubness]], [[nnDescent]]): directed (vec_id, nb_id, cosine)
+    * rows, Σ|bucket|²·(planes+1) work.
+    */
+  private def lshCandidates(t: Tables): DataFrame = {
     // per-vector norms precomputed before the probe-ring explosion —
     // same bitwise-parity argument as [[knnJoin]]
     val bucketed = vectors(t).withColumn("bucket", signBucket(col("v")))
@@ -597,7 +604,7 @@ object Similarity {
       col("vec_id"), col("v").as("qv"), col("nrm").as("qn"),
       explode(array(col("bucket") +:
         (0 until NumPlanes).map(i => col("bucket").bitwiseXOR(1 << i)): _*)).as("probe"))
-    val cand = probes
+    probes
       .join(bucketed.select(col("vec_id").as("nb_id"), col("v").as("nv"),
         col("nrm").as("nn"), col("bucket")),
         col("probe") === col("bucket"))
@@ -605,16 +612,25 @@ object Similarity {
       .select(col("vec_id"), col("nb_id"),
         (graft.functions.DotProduct(col("qv"), col("nv")) / (col("qn") * col("nn")))
           .as("cosine"))
-    rankTopK(cand)
   }
 
-  /** Oracle: full replay — same plane literals (via [[bucketSqlExpr]]),
-    * same probe ring, same directed scoring and rank cut.
+  /** Top-[[KnnK]] cut WITHOUT the presentation sort — for internal
+    * consumers of the kNN graph where a final ORDER BY would be a dead
+    * range exchange.
     */
-  val knnJoinLshSql: String = {
+  private def topKUnsorted(cand: DataFrame): DataFrame =
+    graft.plans.TopKPerKey(cand, Seq("vec_id"),
+      Seq(("cosine", false), ("nb_id", true)), KnnK)
+
+  /** Shared oracle CTE prefix for the LSH candidate stage — same plane
+    * literals (via [[bucketSqlExpr]]), same probe ring, same directed
+    * scoring as [[lshCandidates]]. `lazy` (init-order safety: splices
+    * object constants).
+    */
+  private lazy val knnLshCoreSql: String = {
     val probeList =
       ("bucket" +: (0 until NumPlanes).map(i => s"xor(bucket, ${1 << i})")).mkString(", ")
-    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    s"""e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
        |b AS (SELECT vec_id, v, $bucketSqlExpr AS bucket FROM e),
        |probes AS (
        | SELECT vec_id, v AS qv, unnest([$probeList]) AS probe FROM b),
@@ -623,14 +639,127 @@ object Similarity {
        |  list_dot_product(p.qv, b.v) /
        |    (sqrt(list_dot_product(p.qv, p.qv)) * sqrt(list_dot_product(b.v, b.v))) AS cosine
        | FROM probes p JOIN b ON p.probe = b.bucket
-       | WHERE p.vec_id <> b.vec_id)
+       | WHERE p.vec_id <> b.vec_id)""".stripMargin
+  }
+
+  /** Oracle: full replay — the shared [[knnLshCoreSql]] candidate
+    * stage, then the same rank cut as the operator.
+    */
+  lazy val knnJoinLshSql: String =
+    s"""WITH $knnLshCoreSql
        |SELECT vec_id, nb_id, cosine,
        | CAST(row_number() OVER (PARTITION BY vec_id
        |   ORDER BY cosine DESC, nb_id) AS INT) AS nn_rank
        |FROM cand
        |QUALIFY nn_rank <= $KnnK
        |ORDER BY vec_id, nn_rank""".stripMargin
+
+  /** k-occurrence hubness audit of the embedding space — the
+    * ANN-quality diagnostic from the hubness literature (Radovanović et
+    * al.: in high dimensions a few points become "hubs" that appear in
+    * a disproportionate share of other points' kNN lists while
+    * "antihubs" appear in none, and retrieval quality degrades): for
+    * every vector, N_k = how many OTHER vectors list it in their
+    * top-[[KnnK]] (over the [[knnJoinLsh]] approximate graph — the
+    * tier a 100 TB index build would actually run), plus the role
+    * classification (hub ≥ 2k, antihub = 0).
+    *
+    * Plan: the shared Σ|bucket|² candidate stage, the bounded-state
+    * TopKPerKey cut, ONE count aggregation keyed by the NEIGHBOUR id,
+    * and a left join back to the corpus for the zero-occurrence rows.
+    * No new quadratic term beyond the bucketed candidate stage.
+    */
+  def hubness(t: Tables): DataFrame = {
+    val occ = topKUnsorted(lshCandidates(t))
+      .groupBy(col("nb_id").as("vec_id"))
+      .agg(count(lit(1)).as("k_occurrence"))
+    vectors(t).select("vec_id")
+      .join(occ, Seq("vec_id"), "left")
+      .select(col("vec_id"),
+        coalesce(col("k_occurrence"), lit(0L)).as("k_occurrence"))
+      .withColumn("node_role",
+        when(col("k_occurrence") >= 2L * KnnK, "hub")
+          .when(col("k_occurrence") === 0L, "antihub")
+          .otherwise("normal"))
+      .orderBy(col("k_occurrence").desc, col("vec_id"))
   }
+
+  lazy val hubnessSql: String =
+    s"""WITH $knnLshCoreSql,
+       |knn AS (
+       | SELECT vec_id, nb_id FROM (
+       |  SELECT vec_id, nb_id, row_number() OVER (PARTITION BY vec_id
+       |    ORDER BY cosine DESC, nb_id) AS rk FROM cand)
+       | WHERE rk <= $KnnK),
+       |occ AS (SELECT nb_id AS vec_id, CAST(COUNT(*) AS BIGINT)
+       |  AS k_occurrence FROM knn GROUP BY 1)
+       |SELECT e.vec_id, COALESCE(occ.k_occurrence, 0) AS k_occurrence,
+       | CASE WHEN COALESCE(occ.k_occurrence, 0) >= ${2 * KnnK} THEN 'hub'
+       |      WHEN COALESCE(occ.k_occurrence, 0) = 0 THEN 'antihub'
+       |      ELSE 'normal' END AS node_role
+       |FROM e LEFT JOIN occ ON occ.vec_id = e.vec_id
+       |ORDER BY k_occurrence DESC, e.vec_id""".stripMargin
+
+  /** One NN-descent refinement round over the [[knnJoinLsh]] seed graph
+    * — the standard way a large-scale kNN-graph build recovers the
+    * recall an LSH seeding loses (Dong et al.'s NN-Descent: a
+    * neighbour of my neighbour is probably my neighbour): candidates =
+    * seed edges ∪ neighbour-of-neighbour expansions (≤ k + k² per
+    * vector — bounded by construction, never corpus-quadratic),
+    * rescored with the exact cosine and re-cut to top-[[KnnK]].
+    *
+    * The seed's top-k lists are read three times (both sides of the
+    * expansion join + the union), so the frame is persisted; rescoring
+    * reuses the identical dot-product fold, so surviving seed edges
+    * keep bitwise-equal cosines and the oracle replays the whole round.
+    */
+  def nnDescent(t: Tables): DataFrame = {
+    val seed = topKUnsorted(lshCandidates(t))
+      .select("vec_id", "nb_id").persist()
+    val nn2 = seed.as("s1")
+      .join(seed.as("s2"), col("s1.nb_id") === col("s2.vec_id"))
+      .select(col("s1.vec_id").as("vec_id"), col("s2.nb_id").as("nb_id"))
+      .where(col("vec_id") =!= col("nb_id"))
+    val cands = seed.unionAll(nn2).distinct()
+    val vecs = vectors(t)
+      .withColumn("nrm", sqrt(graft.functions.DotProduct(col("v"), col("v"))))
+    val scored = cands
+      .join(vecs.select(col("vec_id"), col("v").as("qv"), col("nrm").as("qn")),
+        Seq("vec_id"))
+      .join(vecs.select(col("vec_id").as("nb_id"), col("v").as("nv"),
+        col("nrm").as("nn")), Seq("nb_id"))
+      .select(col("vec_id"), col("nb_id"),
+        (graft.functions.DotProduct(col("qv"), col("nv")) / (col("qn") * col("nn")))
+          .as("cosine"))
+    rankTopK(scored)
+  }
+
+  lazy val nnDescentSql: String =
+    s"""WITH $knnLshCoreSql,
+       |knn AS (
+       | SELECT vec_id, nb_id FROM (
+       |  SELECT vec_id, nb_id, row_number() OVER (PARTITION BY vec_id
+       |    ORDER BY cosine DESC, nb_id) AS rk FROM cand)
+       | WHERE rk <= $KnnK),
+       |cands AS (
+       | SELECT DISTINCT vec_id, nb_id FROM (
+       |  SELECT vec_id, nb_id FROM knn
+       |  UNION ALL
+       |  SELECT s1.vec_id, s2.nb_id FROM knn s1
+       |  JOIN knn s2 ON s1.nb_id = s2.vec_id
+       |  WHERE s1.vec_id <> s2.nb_id)),
+       |scored AS (
+       | SELECT c.vec_id, c.nb_id,
+       |  list_dot_product(a.v, b.v) /
+       |    (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) AS cosine
+       | FROM cands c JOIN e a ON a.vec_id = c.vec_id
+       | JOIN e b ON b.vec_id = c.nb_id)
+       |SELECT vec_id, nb_id, cosine,
+       | CAST(row_number() OVER (PARTITION BY vec_id
+       |   ORDER BY cosine DESC, nb_id) AS INT) AS nn_rank
+       |FROM scored
+       |QUALIFY nn_rank <= $KnnK
+       |ORDER BY vec_id, nn_rank""".stripMargin
 
   private val OutliersPerCell = 5
 

@@ -491,4 +491,48 @@ class Similarity2Spec extends SparkSpec {
       .map(r => (r.getInt(0), r.getLong(1), r.getDouble(2)))
     assert(again.toSeq == rows.map(r => (r._1, r._2, r._3)).toSeq)
   }
+  test("hubness occurrences sum to the knn edge count and roles match thresholds") {
+    val hub = Similarity.hubness(sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    val knn = Similarity.knnJoinLsh(sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(hub.length == sf.embeddings.count())
+    assert(hub.map(_._2).sum == knn.length)
+    // recount N_k from the ranked graph
+    val occ = knn.groupBy(_._2).view.mapValues(_.length.toLong).toMap
+    hub.foreach { case (id, nk, role) =>
+      assert(nk == occ.getOrElse(id, 0L), s"vec $id")
+      val exp = if (nk >= 6) "hub" else if (nk == 0) "antihub" else "normal"
+      assert(role == exp)
+    }
+  }
+
+  test("nn-descent never degrades the seed graph and lifts recall vs exact knn") {
+    def lists(rows: Array[org.apache.spark.sql.Row]) =
+      rows.map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+        .groupBy(_._1).view
+        .mapValues(_.sortBy(x => (-x._3, x._2)).map(x => (x._2, x._3)).toSeq)
+        .toMap
+    val seed = lists(Similarity.knnJoinLsh(sf).collect())
+    val refined = lists(Similarity.nnDescent(sf).collect())
+    val exact = lists(Similarity.knnJoin(sf).collect())
+    // candidate superset => per-rank cosine dominates the seed
+    refined.foreach { case (id, nbs) =>
+      val sd = seed.getOrElse(id, Seq.empty)
+      nbs.zip(sd).foreach { case ((_, cR), (_, cS)) =>
+        assert(cR >= cS - 1e-12, s"vec $id refined $cR < seed $cS") }
+    }
+    def recall(approx: Map[Long, Seq[(Long, Double)]]) = {
+      val hits = exact.toSeq.map { case (id, ex) =>
+        val ap = approx.getOrElse(id, Seq.empty).map(_._1).toSet
+        ex.count(e => ap.contains(e._1)).toDouble / ex.size
+      }
+      hits.sum / hits.size
+    }
+    val (rSeed, rRef) = (recall(seed), recall(refined))
+    assert(rRef >= rSeed - 1e-12, s"recall fell: $rSeed -> $rRef")
+    // sign-LSH over this synthetic corpus seeds weakly; the round must
+    // still deliver a usable graph (floor), and never lose ground (above)
+    assert(rRef > 0.15, s"refined recall $rRef suspiciously low (seed $rSeed)")
+  }
 }
