@@ -339,4 +339,79 @@ object Etl {
     """SELECT ROW_NUMBER() OVER (ORDER BY p_brand, p_type, p_partkey) AS sk,
       | p_partkey, p_brand, p_type
       |FROM part ORDER BY sk""".stripMargin
+
+  /** Snapshot ship-date windows for [[snapshotDiff]] (overlapping, so
+    * all four change classes occur: orders fully before [[SnapLo]] are
+    * "removed", fully at/after [[SnapHi]] "added", fully inside the
+    * overlap "unchanged", straddling a boundary "changed").
+    */
+  private val SnapLo = "1997-01-01"
+  private val SnapHi = "1999-01-01"
+
+  /** Snapshot-to-snapshot diff of a derived fact rollup — the data-diff
+    * audit every warehouse migration / backfill runs before swapping a
+    * table version (row added / removed / changed / unchanged, with old
+    * and new values side by side). Snapshots are the per-order lineitem
+    * profile (line count + revenue) over two overlapping ship-date
+    * windows; totals are exact integer micro-dollars, so "changed"
+    * means a REAL difference, never float drift.
+    *
+    * Plan: each snapshot is one map-side-combining fact aggregation;
+    * the comparison is a single full outer join on the conformed key —
+    * one key shuffle, no window, no driver state. At 100 TB this is the
+    * cheapest correct shape (and the join key is the rollup key, so AQE
+    * can pick its partitioning freely).
+    */
+  def snapshotDiff(t: Tables): DataFrame = {
+    def snap(pred: org.apache.spark.sql.Column): DataFrame =
+      t.lineitem.where(pred)
+        .groupBy("l_orderkey")
+        .agg(count(lit(1)).as("n_lines"),
+          sum((discPrice(col("l_extendedprice"), col("l_discount"))
+            * lit(1000000)).cast(DecimalType(19, 0)))
+            .cast(DecimalType(38, 0)).as("rev_micros"))
+    val a = snap(col("l_shipdate") < lit(SnapHi).cast("date"))
+      .select(col("l_orderkey"), col("n_lines").as("a_lines"),
+        col("rev_micros").as("a_rev"))
+    val b = snap(col("l_shipdate") >= lit(SnapLo).cast("date"))
+      .select(col("l_orderkey"), col("n_lines").as("b_lines"),
+        col("rev_micros").as("b_rev"))
+    a.join(b, Seq("l_orderkey"), "full_outer")
+      .select(col("l_orderkey").as("order_key"),
+        when(col("a_lines").isNull, "added")
+          .when(col("b_lines").isNull, "removed")
+          .when(col("a_lines") === col("b_lines")
+            && col("a_rev") === col("b_rev"), "unchanged")
+          .otherwise("changed").as("change_type"),
+        coalesce(col("a_lines"), lit(0L)).as("a_lines"),
+        coalesce(col("b_lines"), lit(0L)).as("b_lines"),
+        coalesce(col("a_rev"), lit(0L).cast(DecimalType(38, 0))).as("a_rev"),
+        coalesce(col("b_rev"), lit(0L).cast(DecimalType(38, 0))).as("b_rev"))
+      .orderBy("order_key")
+  }
+
+  val snapshotDiffSql: String =
+    s"""WITH a AS (
+       | SELECT l_orderkey, CAST(COUNT(*) AS BIGINT) AS a_lines,
+       |  CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(12,2)) *
+       |    CAST(1 - CAST(l_discount AS DECIMAL(4,2)) AS DECIMAL(8,4))
+       |    * 1000000 AS DECIMAL(19,0))) AS HUGEINT) AS a_rev
+       | FROM lineitem WHERE CAST(l_shipdate AS DATE) < DATE '$SnapHi'
+       | GROUP BY 1),
+       |b AS (
+       | SELECT l_orderkey, CAST(COUNT(*) AS BIGINT) AS b_lines,
+       |  CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(12,2)) *
+       |    CAST(1 - CAST(l_discount AS DECIMAL(4,2)) AS DECIMAL(8,4))
+       |    * 1000000 AS DECIMAL(19,0))) AS HUGEINT) AS b_rev
+       | FROM lineitem WHERE CAST(l_shipdate AS DATE) >= DATE '$SnapLo'
+       | GROUP BY 1)
+       |SELECT COALESCE(a.l_orderkey, b.l_orderkey) AS order_key,
+       | CASE WHEN a.l_orderkey IS NULL THEN 'added'
+       |      WHEN b.l_orderkey IS NULL THEN 'removed'
+       |      WHEN a_lines = b_lines AND a_rev = b_rev THEN 'unchanged'
+       |      ELSE 'changed' END AS change_type,
+       | COALESCE(a_lines, 0) AS a_lines, COALESCE(b_lines, 0) AS b_lines,
+       | COALESCE(a_rev, 0) AS a_rev, COALESCE(b_rev, 0) AS b_rev
+       |FROM a FULL OUTER JOIN b ON a.l_orderkey = b.l_orderkey
+       |ORDER BY order_key""".stripMargin
 }

@@ -761,6 +761,95 @@ object Similarity {
        |QUALIFY nn_rank <= $KnnK
        |ORDER BY vec_id, nn_rank""".stripMargin
 
+  /** Train fraction for [[knnClassify]]'s hash split. */
+  private val ClassifyTrainFrac = 0.8
+
+  /** kNN label transfer over the LSH-bucketed graph — the
+    * weak-supervision / label-propagation workhorse of dataset curation
+    * (label a new shard from an already-labeled corpus, or audit labels
+    * by self-prediction): vectors split train/test by the portable
+    * vec_id hash ([[Sampling.unitHash]] — rerun-exact, no RNG), each
+    * TEST vector probes its sign bucket ring and scores only TRAIN
+    * candidates (the directed Σ|bucket|² shape of [[knnJoinLsh]]), the
+    * top-[[KnnK]] cut runs through the bounded-state TopKPerKey heap,
+    * and the vote is a (vector, label) count with a deterministic
+    * (count desc, label asc) tie-break over ≤ k rows per vector.
+    * Test vectors whose probe ring holds no train candidate drop out —
+    * the honest contract for a bucketed index (the oracle replays the
+    * same drop).
+    */
+  def knnClassify(t: Tables): DataFrame = {
+    val base = t.embeddings
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"),
+        col("label").cast("long").as("label"))
+      .withColumn("bucket", signBucket(col("v")))
+      .withColumn("nrm", sqrt(graft.functions.DotProduct(col("v"), col("v"))))
+      .withColumn("is_train",
+        Sampling.unitHash(col("vec_id")) < ClassifyTrainFrac)
+    val probes = base.where(!col("is_train")).select(
+      col("vec_id"), col("label"), col("v").as("qv"), col("nrm").as("qn"),
+      explode(array(col("bucket") +:
+        (0 until NumPlanes).map(i => col("bucket").bitwiseXOR(1 << i)): _*)).as("probe"))
+    val cand = probes
+      .join(base.where(col("is_train")).select(col("v").as("nv"),
+        col("nrm").as("nn"), col("bucket"), col("label").as("nb_label")),
+        col("probe") === col("bucket"))
+      .select(col("vec_id"), col("label"), col("nb_label"),
+        (graft.functions.DotProduct(col("qv"), col("nv")) / (col("qn") * col("nn")))
+          .as("cosine"))
+    val top = graft.plans.TopKPerKey(cand, Seq("vec_id"),
+      Seq(("cosine", false), ("nb_label", true)), KnnK)
+    val votes = top.groupBy("vec_id", "label", "nb_label")
+      .agg(count(lit(1)).as("n_votes"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("vec_id")
+      .orderBy(col("n_votes").desc, col("nb_label"))
+    votes.withColumn("rk", row_number().over(w))
+      .where(col("rk") === 1)
+      .select(col("vec_id"), col("label"), col("nb_label").as("predicted"),
+        col("n_votes"),
+        (col("nb_label") === col("label")).as("correct"))
+      .orderBy("vec_id")
+  }
+
+  /** Oracle: full replay — hash split, probe ring, directed scoring,
+    * rank cut, majority vote with the identical tie-break. `lazy`
+    * (init-order safety: splices [[bucketSqlExpr]]).
+    */
+  lazy val knnClassifySql: String = {
+    val u = Sampling.unitHashSqlFmt.format("vec_id")
+    val probeList =
+      ("bucket" +: (0 until NumPlanes).map(i => s"xor(bucket, ${1 << i})")).mkString(", ")
+    s"""WITH e AS (
+       | SELECT vec_id, embedding::DOUBLE[] AS v, CAST(label AS BIGINT) AS label,
+       |  $u < $ClassifyTrainFrac AS is_train
+       | FROM embeddings),
+       |b AS (SELECT vec_id, v, label, is_train, $bucketSqlExpr AS bucket FROM e),
+       |probes AS (
+       | SELECT vec_id, label, v AS qv, unnest([$probeList]) AS probe
+       | FROM b WHERE NOT is_train),
+       |cand AS (
+       | SELECT p.vec_id, p.label, t.label AS nb_label,
+       |  list_dot_product(p.qv, t.v) /
+       |    (sqrt(list_dot_product(p.qv, p.qv)) * sqrt(list_dot_product(t.v, t.v))) AS cosine
+       | FROM probes p JOIN b t ON p.probe = t.bucket AND t.is_train),
+       |top AS (
+       | SELECT vec_id, label, nb_label FROM (
+       |  SELECT vec_id, label, nb_label, row_number() OVER (
+       |    PARTITION BY vec_id ORDER BY cosine DESC, nb_label) AS rk
+       |  FROM cand)
+       | WHERE rk <= $KnnK),
+       |votes AS (
+       | SELECT vec_id, label, nb_label, CAST(COUNT(*) AS BIGINT) AS n_votes
+       | FROM top GROUP BY 1, 2, 3)
+       |SELECT vec_id, label, nb_label AS predicted, n_votes,
+       | nb_label = label AS correct
+       |FROM (
+       | SELECT *, row_number() OVER (PARTITION BY vec_id
+       |   ORDER BY n_votes DESC, nb_label) AS rk FROM votes)
+       |WHERE rk = 1
+       |ORDER BY vec_id""".stripMargin
+  }
+
   private val OutliersPerCell = 5
 
   /** Embedding-space outliers: the [[OutliersPerCell]] vectors farthest

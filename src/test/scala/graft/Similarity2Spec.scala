@@ -535,4 +535,44 @@ class Similarity2Spec extends SparkSpec {
     // still deliver a usable graph (floor), and never lose ground (above)
     assert(rRef > 0.15, s"refined recall $rRef suspiciously low (seed $rSeed)")
   }
+  test("knn classify votes and split are mechanically sound") {
+    val rows = Similarity.knnClassify(sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getBoolean(4)))
+    assert(rows.nonEmpty)
+    // every classified vector is test-side (hash >= 0.8), no duplicates
+    assert(rows.map(_._1).distinct.length == rows.length)
+    def unitHash(id: Long): Double = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest(id.toString.getBytes("UTF-8"))
+      val hex = md.map("%02x".format(_)).mkString.take(15)
+      java.lang.Long.parseLong(hex, 16).toDouble / 1152921504606846976.0
+    }
+    rows.foreach { case (id, label, pred, votes, correct) =>
+      assert(unitHash(id) >= 0.8, s"vec $id is train-side")
+      assert(votes >= 1 && votes <= 3)
+      assert(correct == (pred == label))
+      assert(pred >= 0 && pred <= 9)
+    }
+  }
+
+  test("snapshot diff covers all change classes with consistent values") {
+    val rows = graft.operators.Etl.snapshotDiff(sf).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3),
+        BigDecimal(r.getDecimal(4)), BigDecimal(r.getDecimal(5))))
+    val byType = rows.groupBy(_._2)
+    assert(Set("added", "removed", "changed", "unchanged").subsetOf(byType.keySet))
+    rows.foreach { case (k, ct, ao, bo, at, bt) =>
+      ct match {
+        case "added"     => assert(ao == 0 && at == 0 && bo > 0)
+        case "removed"   => assert(bo == 0 && bt == 0 && ao > 0)
+        case "unchanged" => assert(ao == bo && at == bt && ao > 0)
+        case "changed"   => assert(ao > 0 && bo > 0 && (ao != bo || at != bt))
+      }
+    }
+    // the two windows jointly cover every ship date, so the diff keys
+    // are exactly the orders with any lineitem
+    val c = sf.lineitem.select("l_orderkey").distinct().count()
+    assert(rows.length == c)
+  }
 }
