@@ -1516,4 +1516,104 @@ object Multimodal {
        |FROM phs a JOIN phs b ON a.doc_id < b.doc_id
        |WHERE bit_count(xor(a.phash, b.phash)) <= 3
        |ORDER BY a_id, b_id""".stripMargin
+
+  final case class LaplacianStats(
+      doc_id: Long, width: Int, height: Int,
+      n_interior: Long, lap_sum: Long, lap_sq_sum: Long)
+
+  /** Blur threshold for [[blurDetect]] (variance-of-Laplacian floor). */
+  private val BlurVarMin = 30000.0
+
+  /** Blur/sharpness screen through the REAL codec — the
+    * variance-of-Laplacian focus measure (Pech-Pacheco et al.; OpenCV's
+    * stock blur detector) every vision-data pipeline runs to drop
+    * out-of-focus frames: decode the PNG, apply the 4-neighbour
+    * Laplacian `4·lum − lum(x±1,y) − lum(x,y±1)` on luminance over
+    * INTERIOR pixels, and keep the exact integer moment sums
+    * (n, ΣL, ΣL²). The variance itself — `(n·ΣL² − ΣL²̂)/n²` — and the
+    * blur flag evaluate as Spark SQL expressions over those integers
+    * with DECIMAL(38,0) products (a 10⁶-pixel frame's n·ΣL² passes
+    * 2⁶³), so both engines divide bit-identical doubles. PNG
+    * losslessness lets the oracle replay the Laplacian from the pixel
+    * formula. Row-local per doc; no shuffle.
+    */
+  def blurDetect(t: Tables): DataFrame = {
+    val spark = t.spark
+    import spark.implicits._
+    val d38 = org.apache.spark.sql.types.DecimalType(38, 0)
+    codecIds(t)
+      .mapPartitions { it =>
+        it.grouped(BatchSize).flatMap { batch =>
+          batch.map { id =>
+            val img = javax.imageio.ImageIO.read(
+              new java.io.ByteArrayInputStream(synthPng(id)))
+            require(img != null, s"doc $id: synthesized PNG failed to decode")
+            val (w, h) = (img.getWidth, img.getHeight)
+            def lum(x: Int, y: Int): Int = {
+              val rgb = img.getRGB(x, y)
+              ((rgb >> 16) & 0xFF) + ((rgb >> 8) & 0xFF) + (rgb & 0xFF)
+            }
+            var (n, ls, lss) = (0L, 0L, 0L)
+            var y = 1
+            while (y < h - 1) {
+              var x = 1
+              while (x < w - 1) {
+                val l = 4L * lum(x, y) - lum(x - 1, y) - lum(x + 1, y) -
+                  lum(x, y - 1) - lum(x, y + 1)
+                n += 1; ls += l; lss += l * l
+                x += 1
+              }
+              y += 1
+            }
+            LaplacianStats(id, w, h, n, ls, lss)
+          }
+        }
+      }
+      .toDF()
+      .withColumn("sharpness",
+        ((col("n_interior").cast(d38) * col("lap_sq_sum")
+          - col("lap_sum").cast(d38) * col("lap_sum")).cast("double")
+          / (col("n_interior").cast("double") * col("n_interior"))))
+      .withColumn("is_blurry", col("sharpness") < BlurVarMin)
+      .orderBy("doc_id")
+  }
+
+  /** Oracle for [[blurDetect]]: rebuild the pixel formula, join the four
+    * neighbours on the bounded per-doc grid, replay the integer moments
+    * and the identical variance expression.
+    */
+  val blurDetectSql: String =
+    s"""WITH p AS (
+       |  SELECT doc_id, 8 + doc_id % 9 AS w, 8 + (doc_id * 3) % 9 AS h
+       |  FROM documents),
+       |xs AS (SELECT doc_id, w, h, unnest(range(0, w)) AS x FROM p),
+       |xy AS (SELECT doc_id, w, h, x, unnest(range(0, h)) AS y FROM xs),
+       |px AS (
+       |  SELECT doc_id, w, h, x, y,
+       |    (doc_id + 7*x + 13*y) % 256 + (2*doc_id + 11*x + 3*y) % 256
+       |      + (3*doc_id + 5*x + 17*y) % 256 AS lum
+       |  FROM xy),
+       |lap AS (
+       |  SELECT c.doc_id, c.w, c.h,
+       |    4 * c.lum - l.lum - r.lum - u.lum - d.lum AS lv
+       |  FROM px c
+       |  JOIN px l ON l.doc_id = c.doc_id AND l.x = c.x - 1 AND l.y = c.y
+       |  JOIN px r ON r.doc_id = c.doc_id AND r.x = c.x + 1 AND r.y = c.y
+       |  JOIN px u ON u.doc_id = c.doc_id AND u.x = c.x AND u.y = c.y - 1
+       |  JOIN px d ON d.doc_id = c.doc_id AND d.x = c.x AND d.y = c.y + 1
+       |  WHERE c.x BETWEEN 1 AND c.w - 2 AND c.y BETWEEN 1 AND c.h - 2),
+       |m AS (
+       |  SELECT doc_id, CAST(MIN(w) AS INT) AS width, CAST(MIN(h) AS INT) AS height,
+       |    CAST(COUNT(*) AS BIGINT) AS n_interior,
+       |    CAST(SUM(lv) AS BIGINT) AS lap_sum,
+       |    CAST(SUM(lv * lv) AS BIGINT) AS lap_sq_sum
+       |  FROM lap GROUP BY doc_id)
+       |SELECT doc_id, width, height, n_interior, lap_sum, lap_sq_sum,
+       |  CAST(CAST(n_interior AS HUGEINT) * lap_sq_sum
+       |    - CAST(lap_sum AS HUGEINT) * lap_sum AS DOUBLE)
+       |    / (CAST(n_interior AS DOUBLE) * n_interior) AS sharpness,
+       |  CAST(CAST(n_interior AS HUGEINT) * lap_sq_sum
+       |    - CAST(lap_sum AS HUGEINT) * lap_sum AS DOUBLE)
+       |    / (CAST(n_interior AS DOUBLE) * n_interior) < $BlurVarMin AS is_blurry
+       |FROM m ORDER BY doc_id""".stripMargin
 }

@@ -328,4 +328,30 @@ class MultimodalSpec extends SparkSpec {
     assert(got == expect, s"got ${got.size} pairs, expected ${expect.size}")
     assert(got.nonEmpty) // the synthetic corpus does contain near-dups
   }
+  test("blur detect replays variance-of-Laplacian from the pixel formula") {
+    val rows = graft.operators.Multimodal.blurDetect(sf).collect()
+    assert(rows.length == sf.documents.count())
+    var blurry = 0
+    rows.take(40).foreach { r =>
+      val (id, w, h) = (r.getLong(0), r.getInt(1), r.getInt(2))
+      assert(w == 8 + (id % 9) && h == 8 + (id * 3) % 9)
+      def lum(x: Int, y: Int): Long =
+        (id + 7 * x + 13 * y) % 256 + (2 * id + 11 * x + 3 * y) % 256 +
+          (3 * id + 5 * x + 17 * y) % 256
+      val ls = for (y <- 1 until h - 1; x <- 1 until w - 1)
+        yield 4 * lum(x, y) - lum(x - 1, y) - lum(x + 1, y) -
+          lum(x, y - 1) - lum(x, y + 1)
+      assert(r.getLong(3) == ls.size)
+      assert(r.getLong(4) == ls.sum)
+      assert(r.getLong(5) == ls.map(l => l * l).sum)
+      val n = ls.size.toDouble
+      val v = (ls.size * ls.map(l => l * l).sum - ls.sum * ls.sum).toDouble / (n * n)
+      assert(math.abs(r.getDouble(6) - v) < 1e-6)
+      assert(r.getBoolean(7) == (r.getDouble(6) < 30000.0))
+      if (r.getBoolean(7)) blurry += 1
+    }
+    // the threshold actually separates the corpus
+    assert(rows.count(_.getBoolean(7)) > 0)
+    assert(rows.count(!_.getBoolean(7)) > 0)
+  }
 }
