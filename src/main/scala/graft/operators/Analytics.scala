@@ -834,4 +834,99 @@ object Analytics {
       | CAST(c.cum_rev AS DOUBLE) / sz.n_customers AS ltv_per_customer
       |FROM c JOIN sz USING (cohort_month)
       |ORDER BY cohort_month, age_months""".stripMargin
+
+  /** Cohort retention matrix — the classic retention triangle behind
+    * [[cohorts]]' raw counts (every growth dashboard's first chart):
+    * users bucketed by first-activity DAY, and for each cohort ×
+    * day-offset cell, the share of the cohort still active. Cohort
+    * size is the offset-0 active count (every user is active on their
+    * first day by construction), attached with one self-join on the
+    * calendar-bounded cohort×offset grid; the rate divides exact
+    * integers in double with the oracle's expression tree. The only
+    * corpus-scale work is two fact aggregations — the matrix math
+    * happens on the bounded grid.
+    */
+  def retentionMatrix(t: Tables): DataFrame = {
+    val firstDay = t.events
+      .groupBy("user_id")
+      .agg(min(to_date(col("ts"))).as("cohort_day"))
+    val cells = t.events
+      .join(firstDay, "user_id")
+      .groupBy(col("cohort_day"),
+        datediff(to_date(col("ts")), col("cohort_day")).cast("long")
+          .as("day_offset"))
+      .agg(countDistinct(col("user_id")).as("active_users"))
+    val sizes = cells.where(col("day_offset") === 0L)
+      .select(col("cohort_day"), col("active_users").as("cohort_size"))
+    cells.join(sizes, Seq("cohort_day"))
+      .select(col("cohort_day"), col("day_offset"), col("cohort_size"),
+        col("active_users"),
+        (col("active_users").cast("double") / col("cohort_size"))
+          .as("retention"))
+      .orderBy("cohort_day", "day_offset")
+  }
+
+  val retentionMatrixSql: String =
+    """WITH f AS (
+      | SELECT user_id, MIN(CAST(CAST(ts AS TIMESTAMP) AS DATE))
+      |   AS cohort_day
+      | FROM events GROUP BY user_id),
+      |cells AS (
+      | SELECT cohort_day,
+      |  CAST(date_diff('day', cohort_day,
+      |    CAST(CAST(e.ts AS TIMESTAMP) AS DATE)) AS BIGINT) AS day_offset,
+      |  CAST(COUNT(DISTINCT e.user_id) AS BIGINT) AS active_users
+      | FROM events e JOIN f ON e.user_id = f.user_id
+      | GROUP BY 1, 2),
+      |sz AS (
+      | SELECT cohort_day, active_users AS cohort_size FROM cells
+      | WHERE day_offset = 0)
+      |SELECT c.cohort_day, c.day_offset, sz.cohort_size, c.active_users,
+      | CAST(c.active_users AS DOUBLE) / sz.cohort_size AS retention
+      |FROM cells c JOIN sz USING (cohort_day)
+      |ORDER BY c.cohort_day, c.day_offset""".stripMargin
+
+  /** DAU/WAU stickiness — the engagement ratio every product report
+    * carries (what share of a week's users show up on an average day):
+    * per week, the mean daily-active count over the days the week
+    * actually has events, divided by weekly-active users. Both counts
+    * are exact integers from two fact aggregations (day and week grids
+    * are calendar-bounded); the divisions evaluate in double with the
+    * oracle's tree.
+    */
+  def stickiness(t: Tables): DataFrame = {
+    val daily = t.events
+      .groupBy(date_trunc("week", col("ts")).as("week"),
+        to_date(col("ts")).as("d"))
+      .agg(countDistinct(col("user_id")).as("dau"))
+    val weekly = t.events
+      .groupBy(date_trunc("week", col("ts")).as("week"))
+      .agg(countDistinct(col("user_id")).as("wau"))
+    daily.groupBy("week")
+      .agg(count(lit(1)).as("n_days"), sum(col("dau")).as("dau_sum"))
+      .join(weekly, Seq("week"))
+      .select(col("week"), col("n_days"), col("dau_sum"), col("wau"),
+        ((col("dau_sum").cast("double") / col("n_days")) / col("wau"))
+          .as("stickiness"))
+      .orderBy("week")
+  }
+
+  val stickinessSql: String =
+    """WITH daily AS (
+      | SELECT date_trunc('week', CAST(ts AS TIMESTAMP)) AS week,
+      |  CAST(CAST(ts AS TIMESTAMP) AS DATE) AS d,
+      |  CAST(COUNT(DISTINCT user_id) AS BIGINT) AS dau
+      | FROM events GROUP BY 1, 2),
+      |weekly AS (
+      | SELECT date_trunc('week', CAST(ts AS TIMESTAMP)) AS week,
+      |  CAST(COUNT(DISTINCT user_id) AS BIGINT) AS wau
+      | FROM events GROUP BY 1),
+      |agg AS (
+      | SELECT week, CAST(COUNT(*) AS BIGINT) AS n_days,
+      |  CAST(SUM(dau) AS BIGINT) AS dau_sum
+      | FROM daily GROUP BY 1)
+      |SELECT a.week, a.n_days, a.dau_sum, w.wau,
+      | (CAST(a.dau_sum AS DOUBLE) / a.n_days) / w.wau AS stickiness
+      |FROM agg a JOIN weekly w USING (week)
+      |ORDER BY a.week""".stripMargin
 }

@@ -524,4 +524,37 @@ class AnalyticsSpec extends SparkSpec {
     // decay actually discriminates: an old event weighs less than a new one
     assert(expected.values.exists(_._1 != 0.0))
   }
+  test("retention matrix starts at 1.0 and replays the cohort grid") {
+    val rows = graft.operators.Analytics.retentionMatrix(sf).collect()
+      .map(r => (r.getDate(0).toLocalDate, r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getDouble(4)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (_, off, size, active, ret) =>
+      assert(off >= 0 && active >= 1 && active <= size)
+      assert(math.abs(ret - active.toDouble / size) < 1e-12)
+      if (off == 0) assert(ret == 1.0)
+    }
+    // cohort sizes replay from a driver-side first-day recount
+    val evs = sf.events.select(
+      org.apache.spark.sql.functions.col("user_id"),
+      org.apache.spark.sql.functions.to_date(
+        org.apache.spark.sql.functions.col("ts")).as("d"))
+      .collect().map(r => (r.getLong(0), r.getDate(1).toLocalDate))
+    val first = evs.groupBy(_._1).view.mapValues(_.map(_._2).min).toMap
+    val sizes = first.values.groupBy(identity).view.mapValues(_.size.toLong)
+    rows.groupBy(_._1).foreach { case (day, cells) =>
+      assert(cells.head._3 == sizes(day), s"cohort $day size")
+    }
+  }
+
+  test("stickiness lands in (0,1] and replays DAU/WAU") {
+    val rows = graft.operators.Analytics.stickiness(sf).collect()
+      .map(r => (r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (nDays, dauSum, wau, st) =>
+      assert(nDays >= 1 && nDays <= 7)
+      assert(st > 0.0 && st <= 1.0 + 1e-12)
+      assert(math.abs(st - (dauSum.toDouble / nDays) / wau) < 1e-12)
+    }
+  }
 }
