@@ -1,0 +1,114 @@
+package graft.operators
+
+import graft.Tables
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Audience analytics and transaction auditing — round-11 widening of
+  * the OLAP core (reference scope: the reference's pandas rollups stop
+  * at sums; these are the set-overlap and fuzzy-duplicate questions a
+  * reporting engine answers next).
+  *
+  * Both collapse the fact table FIRST and do pair math on bounded
+  * domains (event-type pairs; per-customer-bucket payment groups), the
+  * Relational8 precedent for 100 TB safety.
+  */
+object Relational10 {
+
+  /** Pairwise audience overlap between event types — the "how much do
+    * these segments share users" question behind campaign planning:
+    * for every unordered type pair, the exact intersection, union, and
+    * Jaccard of their user audiences. The fact table collapses to
+    * DISTINCT (type, user) memberships once; the pair join runs on the
+    * membership relation keyed by user (each user contributes its
+    * type-pair combinations — bounded by types², never users²), and
+    * audience sizes re-attach from a types-sized aggregate. One double
+    * division over exact integers.
+    */
+  def audienceOverlap(t: Tables): DataFrame = {
+    val m = t.events.select(col("event_type").as("typ"), col("user_id"))
+      .distinct()
+    val sizes = m.groupBy("typ").agg(count(lit(1)).as("n"))
+    val inter = m.as("a")
+      .join(m.as("b"),
+        col("a.user_id") === col("b.user_id") && col("a.typ") < col("b.typ"))
+      .groupBy(col("a.typ").as("type_a"), col("b.typ").as("type_b"))
+      .agg(count(lit(1)).as("n_both"))
+    inter
+      .join(sizes.select(col("typ").as("type_a"), col("n").as("n_a")), "type_a")
+      .join(sizes.select(col("typ").as("type_b"), col("n").as("n_b")), "type_b")
+      .select(col("type_a"), col("type_b"), col("n_a"), col("n_b"),
+        col("n_both"),
+        (col("n_both").cast("double")
+          / (col("n_a") + col("n_b") - col("n_both"))).as("jaccard"))
+      .orderBy("type_a", "type_b")
+  }
+
+  val audienceOverlapSql: String =
+    """WITH m AS (SELECT DISTINCT event_type AS typ, user_id FROM events),
+      |sizes AS (SELECT typ, CAST(COUNT(*) AS BIGINT) AS n FROM m GROUP BY 1),
+      |inter AS (
+      | SELECT a.typ AS type_a, b.typ AS type_b,
+      |  CAST(COUNT(*) AS BIGINT) AS n_both
+      | FROM m a JOIN m b ON a.user_id = b.user_id AND a.typ < b.typ
+      | GROUP BY 1, 2)
+      |SELECT type_a, type_b, sa.n AS n_a, sb.n AS n_b, n_both,
+      | CAST(n_both AS DOUBLE) / (sa.n + sb.n - n_both) AS jaccard
+      |FROM inter
+      |JOIN sizes sa ON sa.typ = type_a
+      |JOIN sizes sb ON sb.typ = type_b
+      |ORDER BY type_a, type_b""".stripMargin
+
+  /** Window for [[dupPayments]] (days) and the amount bucket (whole
+    * dollars per bucket).
+    */
+  private val DupWindowDays = 90
+  private val DupBucketDollars = 20000L
+
+  /** Duplicate-payment suspects — the classic AP audit (same payer,
+    * near-same amount, close in time usually means a double entry):
+    * order pairs from the same customer whose totals land in the same
+    * [[DupBucketDollars]]-dollar bucket within [[DupWindowDays]] days.
+    * The self-join is keyed on (customer, amount bucket) — the
+    * candidate space is Σ|group|² over same-customer-same-bucket
+    * groups, never orders², the blocking discipline every dedup
+    * operator here uses — and the date-window predicate prunes inside
+    * the group. Bucket edges are exact integer division of cents
+    * (portable truncation on positive amounts).
+    */
+  def dupPayments(t: Tables): DataFrame = {
+    val o = t.orders.select(col("o_orderkey"), col("o_custkey"),
+      col("o_orderdate").cast("date").as("d"),
+      (col("o_totalprice").cast(org.apache.spark.sql.types.DecimalType(12, 2))
+        * 100).cast("long").as("cents"))
+      .withColumn("bucket", expr(s"cents div ${DupBucketDollars * 100}L"))
+    o.as("a")
+      .join(o.as("b"),
+        col("a.o_custkey") === col("b.o_custkey")
+          && col("a.bucket") === col("b.bucket")
+          && col("a.o_orderkey") < col("b.o_orderkey"))
+      .where(abs(datediff(col("b.d"), col("a.d"))) <= DupWindowDays)
+      .select(col("a.o_custkey").as("c_custkey"),
+        col("a.o_orderkey").as("order_a"), col("b.o_orderkey").as("order_b"),
+        col("a.cents").as("cents_a"), col("b.cents").as("cents_b"),
+        abs(datediff(col("b.d"), col("a.d"))).cast("long").as("days_apart"))
+      .orderBy("c_custkey", "order_a", "order_b")
+  }
+
+  val dupPaymentsSql: String =
+    s"""WITH o AS (
+       | SELECT o_orderkey, o_custkey, CAST(o_orderdate AS DATE) AS d,
+       |  CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT) AS cents,
+       |  CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT)
+       |    // ${DupBucketDollars * 100} AS bucket
+       | FROM orders)
+       |SELECT a.o_custkey AS c_custkey,
+       | a.o_orderkey AS order_a, b.o_orderkey AS order_b,
+       | a.cents AS cents_a, b.cents AS cents_b,
+       | CAST(ABS(date_diff('day', a.d, b.d)) AS BIGINT) AS days_apart
+       |FROM o a JOIN o b
+       |  ON a.o_custkey = b.o_custkey AND a.bucket = b.bucket
+       | AND a.o_orderkey < b.o_orderkey
+       |WHERE ABS(date_diff('day', a.d, b.d)) <= $DupWindowDays
+       |ORDER BY c_custkey, order_a, order_b""".stripMargin
+}
