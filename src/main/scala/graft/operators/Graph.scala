@@ -1081,6 +1081,80 @@ object Graph {
        |WHERE s.n_members >= 2
        |ORDER BY s.n_members DESC, s.community""".stripMargin
 
+  /** Walk length (steps) for [[randomWalks]]. Fixed so the oracle can
+    * unroll — the [[pageRank]] convention.
+    */
+  private val WalkSteps = 3
+
+  /** Deterministic random-walk corpus over the co-purchase network —
+    * the DeepWalk/node2vec DATA-PREP step (emit one walk sequence per
+    * node; the sequences then train embeddings like sentences train
+    * word vectors). "Random" is the portable hash order every sampler
+    * here uses: at each step the walk at node u moves to the neighbour
+    * v minimizing `unitHash(walk_id ⊕ step ⊕ v)` — rerun-exact, engine-
+    * replayable, no RNG state — so an inherently stochastic algorithm
+    * still gets a hash-exact oracle (the pageRank contract).
+    *
+    * Per step the plan is one join along the edge relation plus a
+    * walk-partitioned window over each walk's candidate set (bounded by
+    * the node's degree — the same bound the triangle wedge join
+    * carries). Walks backtrack freely (standard for DeepWalk corpora).
+    */
+  def randomWalks(t: Tables): DataFrame = {
+    val edges = Relational7.basketPairsRaw(t, EdgeSupport)
+      .select(explode(array(
+        struct(col("a_part").as("u"), col("b_part").as("v")),
+        struct(col("b_part").as("u"), col("a_part").as("v")))).as("e"))
+      .select(col("e.u").as("u"), col("e.v").as("v"))
+      .persist()
+    var walks = edges.select(col("u")).distinct()
+      .select(col("u").as("walk_id"), col("u").as("cur"),
+        col("u").cast("string").as("path"))
+    for (step <- 1 to WalkSteps) {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("walk_id").orderBy(col("h"), col("v"))
+      walks = walks.join(edges, col("cur") === col("u"))
+        .withColumn("h", Sampling.unitHash(
+          concat_ws("_", col("walk_id"), lit(step), col("v"))))
+        .withColumn("rk", row_number().over(w))
+        .where(col("rk") === 1)
+        .select(col("walk_id"), col("v").as("cur"),
+          concat(col("path"), lit("->"), col("v")).as("path"))
+    }
+    walks.select(col("walk_id"), col("path"), col("cur").as("end_node"))
+      .orderBy("walk_id")
+  }
+
+  lazy val randomWalksSql: String = {
+    def step(i: Int, prev: String): String = {
+      val h = Sampling.unitHashSqlFmt.format(
+        s"(w.walk_id || '_' || $i || '_' || e.v)")
+      s"""s$i AS (
+         |  SELECT walk_id, v AS cur, path || '->' || v AS path FROM (
+         |    SELECT w.walk_id, e.v, w.path,
+         |      row_number() OVER (PARTITION BY w.walk_id
+         |        ORDER BY $h, e.v) AS rk
+         |    FROM $prev w JOIN edges e ON e.u = w.cur)
+         |  WHERE rk = 1)""".stripMargin
+    }
+    val steps = (1 to WalkSteps)
+      .map(i => step(i, if (i == 1) "w0" else s"s${i - 1}"))
+      .mkString(",\n")
+    s"""WITH items AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+       |cp AS (
+       |  SELECT a.l_partkey AS a, b.l_partkey AS b
+       |  FROM items a JOIN items b
+       |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+       |  GROUP BY 1, 2 HAVING COUNT(*) >= $EdgeSupport),
+       |edges AS (SELECT a AS u, b AS v FROM cp
+       |          UNION ALL SELECT b AS u, a AS v FROM cp),
+       |w0 AS (SELECT DISTINCT u AS walk_id, u AS cur, CAST(u AS VARCHAR) AS path
+       |       FROM edges),
+       |$steps
+       |SELECT walk_id, path, cur AS end_node
+       |FROM s$WalkSteps ORDER BY walk_id""".stripMargin
+  }
+
   /** HITS supersteps. Fixed (not convergence-tested) so the oracle can
     * unroll — the [[pageRank]] convention.
     */

@@ -422,4 +422,36 @@ class GraphSpec extends SparkSpec {
     val aSum = a.values.sum
     assert(aSum <= Mass && aSum > Mass - a.size)
   }
+  test("random walks replay the hash-argmin hops along real edges") {
+    val out = Graph.randomWalks(sf).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    assert(out.nonEmpty)
+    // rebuild the support-2 co-purchase edge set
+    val items = sf.lineitem.select("l_orderkey", "l_partkey").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).distinct
+    val pairs = items.groupBy(_._1).values
+      .flatMap(g => { val ps = g.map(_._2).toSet
+        for (a <- ps; b <- ps if a < b) yield (a, b) })
+      .groupBy(identity).filter(_._2.size >= 2).keys.toSet
+    val nbrs = (pairs ++ pairs.map { case (a, b) => (b, a) })
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSeq.sorted).toMap
+    def unitHash(key: String): Double = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest(key.getBytes("UTF-8"))
+      val hex = md.map("%02x".format(_)).mkString.take(15)
+      java.lang.Long.parseLong(hex, 16).toDouble / 1152921504606846976.0
+    }
+    assert(out.length == nbrs.size) // one walk per node with edges
+    out.foreach { case (id, path, end) =>
+      val hops = path.split("->").map(_.toLong)
+      assert(hops.length == 4 && hops.head == id && hops.last == end)
+      var cur = id
+      for (step <- 1 to 3) {
+        val next = nbrs(cur)
+          .minBy(v => (unitHash(s"${id}_${step}_$v"), v))
+        assert(hops(step) == next, s"walk $id step $step")
+        cur = next
+      }
+    }
+  }
 }
