@@ -850,6 +850,74 @@ object Similarity {
        |ORDER BY vec_id""".stripMargin
   }
 
+  /** Terms per cluster reported by [[topicClusters]]. */
+  private val TopicTerms = 5
+
+  /** Topic clustering report — the "what IS in my corpus" deliverable a
+    * curation run ends with: documents clustered in embedding space
+    * (the same deterministic Lloyd k-means as [[kmeansClusters]], so
+    * clusters are replayable), then each cluster labeled by its top
+    * [[TopicTerms]] terms (alphabetic, ≥ 4 chars, exact term
+    * frequency over the cluster's documents). The embedding side gives
+    * semantic grouping; the text side names it.
+    *
+    * Plan: bounded centroid model broadcast back (never corpus-sized
+    * driver state), one narrow assignment pass, a row-local word
+    * explode, ONE (cell, term) aggregation with map-side combine, and
+    * the bounded-state TopKPerKey cut. The word-frequency domain is
+    * vocabulary-sized per cluster, never corpus².
+    */
+  def topicClusters(t: Tables): DataFrame = {
+    val vecs = vectors(t).cache()
+    val (cents, _) = trainKmeans(vecs)
+    val assigned = assignCells(vecs, cents).select(col("vec_id"), col("cell"))
+    val words = t.documents
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+      .where(length(col("term")) >= 4 && col("term").rlike("^[a-z]+$"))
+    val tf = assigned.join(words, col("doc_id") === col("vec_id"))
+      .groupBy("cell", "term").agg(count(lit(1)).as("tf"))
+    val top = graft.plans.TopKPerKey(tf, Seq("cell"),
+      Seq(("tf", false), ("term", true)), TopicTerms)
+    val sizes = assigned.groupBy("cell").agg(count(lit(1)).as("cluster_size"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("cell").orderBy(col("tf").desc, col("term"))
+    val out = top.withColumn("term_rank", row_number().over(w))
+      .join(broadcast(sizes), Seq("cell"))
+      .select("cell", "cluster_size", "term_rank", "term", "tf")
+      .orderBy("cell", "term_rank")
+    // training cache released — see ivfTopK
+    vecs.unpersist(false)
+    out
+  }
+
+  /** Oracle: the Lloyd replay CTEs plus a word explode and the same
+    * per-cluster rank cut.
+    */
+  lazy val topicClustersSql: String =
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |c0 AS (SELECT CAST(vec_id AS INT) AS cell, v AS c FROM e WHERE vec_id < $NumCells),
+       |a1 AS (${assignSql("e", "c0")}),
+       |c1 AS (${meansSql("a1")}),
+       |a2 AS (${assignSql("e", "c1")}),
+       |c2 AS (${meansSql("a2")}),
+       |a3 AS (${assignSql("e", "c2")}),
+       |words AS (
+       | SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+       |wf AS (
+       | SELECT a3.cell, w.term, CAST(COUNT(*) AS BIGINT) AS tf
+       | FROM a3 JOIN words w ON w.doc_id = a3.vec_id
+       | WHERE length(w.term) >= 4 AND regexp_matches(w.term, '^[a-z]+$$')
+       | GROUP BY 1, 2),
+       |sizes AS (
+       | SELECT cell, CAST(COUNT(*) AS BIGINT) AS cluster_size
+       | FROM a3 GROUP BY 1)
+       |SELECT cell, cluster_size, term_rank, term, tf FROM (
+       | SELECT cell, term, tf, CAST(row_number() OVER (PARTITION BY cell
+       |   ORDER BY tf DESC, term) AS INT) AS term_rank FROM wf)
+       |JOIN sizes USING (cell)
+       |WHERE term_rank <= $TopicTerms
+       |ORDER BY cell, term_rank""".stripMargin
+
   private val OutliersPerCell = 5
 
   /** Embedding-space outliers: the [[OutliersPerCell]] vectors farthest

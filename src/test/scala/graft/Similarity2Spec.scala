@@ -575,4 +575,27 @@ class Similarity2Spec extends SparkSpec {
     val c = sf.lineitem.select("l_orderkey").distinct().count()
     assert(rows.length == c)
   }
+  test("topic clusters report k cells with ranked alpha terms") {
+    val rows = graft.operators.Similarity.topicClusters(sf).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getInt(2), r.getString(3),
+        r.getLong(4)))
+    assert(rows.nonEmpty)
+    // cluster sizes partition the corpus
+    val sizes = rows.groupBy(_._1).view.mapValues(_.head._2).toMap
+    assert(sizes.values.sum == sf.embeddings.count())
+    rows.groupBy(_._1).foreach { case (cell, ts) =>
+      val sorted = ts.sortBy(_._3)
+      assert(sorted.map(_._3).toSeq == (1 to sorted.length))
+      assert(sorted.length <= 5)
+      // ranks follow (tf desc, term asc)
+      assert(sorted.sliding(2).forall {
+        case Array(a, b) => a._5 > b._5 || (a._5 == b._5 && a._4 < b._4)
+        case _           => true
+      }, s"cell $cell rank order")
+      sorted.foreach { case (_, _, _, term, tf) =>
+        assert(term.length >= 4 && term.forall(c => c >= 'a' && c <= 'z'))
+        assert(tf >= 1)
+      }
+    }
+  }
 }
