@@ -543,4 +543,25 @@ object Sinks {
       .option("maxRecordsPerFile", maxRecordsPerFile.toString)
     (if (gzip) w.option("compression", "gzip") else w).json(path)
   }
+
+  /** CSV export with explicit quoting/header/compression control — the
+    * hand-off format for spreadsheet and legacy-BI consumers (the
+    * reference's pandas `to_csv` shape). Quote mode is "minimal"
+    * (quote only when the delimiter/quote/newline appears, escape by
+    * doubling — RFC 4180), header on, and a file-count cap via
+    * maxRecordsPerFile so downstream pollers see bounded file sizes.
+    * Timestamps render ISO-8601 so a re-read round-trips.
+    */
+  def writeCsv(df: DataFrame, path: String,
+      delimiter: String = ",", gzip: Boolean = false,
+      maxRecordsPerFile: Int = 1000000): Unit = {
+    val w = df.write.mode("overwrite")
+      .option("header", "true")
+      .option("delimiter", delimiter)
+      .option("quote", "\"")
+      .option("escape", "\"")
+      .option("timestampFormat", "yyyy-MM-dd'T'HH:mm:ss.SSSXXX")
+      .option("maxRecordsPerFile", maxRecordsPerFile.toString)
+    (if (gzip) w.option("compression", "gzip") else w).csv(path)
+  }
 }

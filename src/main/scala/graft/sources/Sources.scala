@@ -54,6 +54,18 @@ object Sources {
       schema: Option[StructType] = None): DataFrame =
     schema.fold(spark.read)(spark.read.schema).json(path)
 
+  /** Pretty-printed / array-wrapped JSON documents (one JSON value
+    * spanning many lines — the API-dump shape, vs [[jsonLines]]' one
+    * record per line). `multiLine` makes each FILE one spark task's
+    * parse unit, so this is for modest document dumps, not TB-scale
+    * corpora — at scale convert to JSONL once on ingest (the spec
+    * pins both the array and single-object shapes).
+    */
+  def jsonMultiline(spark: SparkSession, path: String,
+      schema: Option[StructType] = None): DataFrame =
+    schema.fold(spark.read)(spark.read.schema)
+      .option("multiLine", "true").json(path)
+
   /** Columnar scan with pushdown (assertions in SourcesSpec check
     * PushedFilters/ReadSchema reach the parquet reader).
     */

@@ -753,4 +753,54 @@ class SourcesSpec extends SparkSpec {
       url = url, table = "dim_items", user = "u", password = "p")).load()
       .count() == 110L)
   }
+  test("multiline json reads array-wrapped and single-object documents") {
+    val dir = Files.createTempDirectory("graft-mljson").toString
+    Files.write(Paths.get(dir, "dump1.json"),
+      """[
+        |  {"id": 1, "name": "alpha", "tags": ["x", "y"]},
+        |  {"id": 2, "name": "beta",
+        |   "tags": []}
+        |]""".stripMargin.getBytes("UTF-8"))
+    Files.write(Paths.get(dir, "dump2.json"),
+      """{
+        |  "id": 3,
+        |  "name": "gamma",
+        |  "tags": ["z"]
+        |}""".stripMargin.getBytes("UTF-8"))
+    val df = Sources.jsonMultiline(spark, dir)
+    val got = df.select("id", "name").collect()
+      .map(r => (r.getLong(0), r.getString(1))).sortBy(_._1)
+    assert(got.toSeq == Seq((1L, "alpha"), (2L, "beta"), (3L, "gamma")))
+    // the array file contributed multiple records from ONE json value
+    assert(df.count() == 3)
+    // jsonLines on the same files would mis-parse (one value spans lines)
+    val lineWise = Sources.jsonLines(spark, dir)
+    assert(lineWise.columns.contains("_corrupt_record") || lineWise.count() != 3)
+  }
+
+  test("csv export round-trips quoting, delimiters-in-values, and timestamps") {
+    val dir = Files.createTempDirectory("graft-csvout").toString + "/out"
+    import java.sql.Timestamp
+    val df = Seq(
+      (1L, "plain", Timestamp.valueOf("2024-01-02 03:04:05.678")),
+      (2L, "comma, inside", Timestamp.valueOf("2024-06-07 08:09:10.111")),
+      (3L, "quote \" and\nnewline", Timestamp.valueOf("2024-12-31 23:59:59.999")))
+      .toDF("id", "note", "ts")
+    Sinks.writeCsv(df, dir)
+    val back = spark.read
+      .option("header", "true").option("quote", "\"").option("escape", "\"")
+      .option("multiLine", "true")
+      .option("timestampFormat", "yyyy-MM-dd'T'HH:mm:ss.SSSXXX")
+      .schema(df.schema).csv(dir)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getTimestamp(2)))
+      .sortBy(_._1)
+    val orig = df.collect().map(r => (r.getLong(0), r.getString(1), r.getTimestamp(2)))
+      .sortBy(_._1)
+    assert(back.toSeq == orig.toSeq)
+    // header present in the raw bytes
+    val aFile = new java.io.File(dir).listFiles()
+      .filter(_.getName.endsWith(".csv")).head
+    val firstLine = scala.io.Source.fromFile(aFile).getLines().next()
+    assert(firstLine == "id,note,ts")
+  }
 }
