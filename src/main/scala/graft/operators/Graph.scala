@@ -1189,25 +1189,43 @@ object Graph {
         col("l_orderkey") === col("o_orderkey"))
       .select(col("o_custkey").as("c"), col("l_partkey").as("p"))
       .distinct()
-      .persist()
+      // localCheckpoint, not persist: six consumers (two joins per
+      // round), and a cacheManager persist would force the whole
+      // orders⋈lineitem distinct to build as a CACHED plan with AQE
+      // re-planning restricted (the dedup_clusters/verifyJaccard
+      // mechanism)
+      .localCheckpoint(true)
+    // One L1 normalization per ROUND (on hubs) plus a final one on the
+    // output authorities — not per half-step: only relative magnitudes
+    // matter inside a round, raw sums stay exact in DECIMAL(38,0)
+    // (Σ over two unnormalized hops ≤ maxdeg²·Mass ≈ 10¹⁹ passes 2⁶³,
+    // hence the d38 sums), and halving the normalizer count halves the
+    // checkpoint/broadcast chain (measured 6.5 s → see BENCH_DETAIL).
+    // Each normalization pins its input with a localCheckpoint: the
+    // total and the division both consume it, and unpinned the two
+    // consumers per level would re-execute the whole upstream chain
+    // (measured as a broadcast-build OOM at sf0.1). Node-count-sized
+    // frames — bounded model state, never corpus state.
     def normalized(raw: DataFrame, key: String, scoreCol: String): DataFrame = {
-      val tot = raw.agg(sum(col(scoreCol).cast(d38)).as("t"))
-      raw.crossJoin(broadcast(tot))
+      val pinned = raw.localCheckpoint(true)
+      val tot = pinned.agg(sum(col(scoreCol).cast(d38)).as("t"))
+      pinned.crossJoin(broadcast(tot))
         .select(col(key),
           expr(s"(CAST($scoreCol AS DECIMAL(38,0)) * ${Mass}L) div t")
             .as(scoreCol))
     }
     var hubs = normalized(
       edges.select("c").distinct().withColumn("h", lit(1L)), "c", "h")
-    var auths: DataFrame = null
+    var authsRaw: DataFrame = null
     for (_ <- 1 to HitsIters) {
-      auths = normalized(
-        edges.join(hubs, Seq("c")).groupBy("p").agg(sum("h").as("a")),
-        "p", "a")
+      authsRaw = edges.join(hubs, Seq("c"))
+        .groupBy("p").agg(sum(col("h").cast(d38)).as("a"))
       hubs = normalized(
-        edges.join(auths, Seq("p")).groupBy("c").agg(sum("a").as("h")),
+        edges.join(authsRaw, Seq("p"))
+          .groupBy("c").agg(sum(col("a")).as("h")),
         "c", "h")
     }
+    val auths = normalized(authsRaw, "p", "a")
     auths.select(lit("authority").as("role"), col("p").as("node_id"),
         col("a").as("score_femto"))
       .unionAll(hubs.select(lit("hub").as("role"), col("c").as("node_id"),
@@ -1223,13 +1241,10 @@ object Graph {
       val a =
         s"""a${i}r AS (
            |  SELECT p, SUM(h) AS a FROM edges JOIN $prevH USING (c)
-           |  GROUP BY p),
-           |a$i AS (
-           |  SELECT p, CAST(a * $mass // (SELECT SUM(a) FROM a${i}r)
-           |    AS BIGINT) AS a FROM a${i}r)""".stripMargin
+           |  GROUP BY p)""".stripMargin
       val h =
         s"""h${i}r AS (
-           |  SELECT c, SUM(a) AS h FROM edges JOIN a$i USING (p)
+           |  SELECT c, SUM(a) AS h FROM edges JOIN a${i}r USING (p)
            |  GROUP BY c),
            |h$i AS (
            |  SELECT c, CAST(h * $mass // (SELECT SUM(h) FROM h${i}r)
@@ -1237,14 +1252,18 @@ object Graph {
       (a, h)
     }
     val rounds = (1 to HitsIters).map(i => round(i, if (i == 1) "h0" else s"h${i - 1}"))
-    val body = rounds.flatMap { case (a, h) => Seq(a, h) }.mkString(",\n")
+    val body = rounds.flatMap { case (a, h) => Seq(a, h) }
+      .mkString(",\n")
     s"""WITH edges AS (
        |  SELECT DISTINCT o_custkey AS c, l_partkey AS p
        |  FROM orders JOIN lineitem ON l_orderkey = o_orderkey),
        |h0r AS (SELECT c, CAST(1 AS BIGINT) AS h FROM (SELECT DISTINCT c FROM edges)),
        |h0 AS (SELECT c, CAST(h * $mass // (SELECT SUM(h) FROM h0r)
        |  AS BIGINT) AS h FROM h0r),
-       |$body
+       |$body,
+       |a$HitsIters AS (
+       |  SELECT p, CAST(a * $mass // (SELECT SUM(a) FROM a${HitsIters}r)
+       |    AS BIGINT) AS a FROM a${HitsIters}r)
        |SELECT role, node_id, score_femto,
        |  CAST(score_femto AS DOUBLE) / 1e15 AS score
        |FROM (

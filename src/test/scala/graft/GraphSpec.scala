@@ -405,14 +405,17 @@ class GraphSpec extends SparkSpec {
       val t = raw.values.sum
       raw.view.mapValues(v => v * Mass / t).toMap
     }
+    // one normalization per round (on hubs) + a final one on authorities
+    // — the operator's contract
     var h = norm(edges.map(_._1).distinct.map(_ -> BigInt(1)).toMap)
-    var a = Map.empty[Long, BigInt]
+    var aRaw = Map.empty[Long, BigInt]
     for (_ <- 1 to 3) {
-      a = norm(edges.groupBy(_._2).view
-        .mapValues(_.map(e => h(e._1)).sum).toMap)
+      aRaw = edges.groupBy(_._2).view
+        .mapValues(_.map(e => h(e._1)).sum).toMap
       h = norm(edges.groupBy(_._1).view
-        .mapValues(_.map(e => a(e._2)).sum).toMap)
+        .mapValues(_.map(e => aRaw(e._2)).sum).toMap)
     }
+    val a = norm(aRaw)
     assert(out.size == a.size + h.size)
     a.foreach { case (p, s) =>
       assert(out(("authority", p)) == s.toLong, s"auth $p") }
