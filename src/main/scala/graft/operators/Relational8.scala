@@ -668,7 +668,11 @@ object Relational8 {
       .groupBy("n_name", "mon")
       .agg(sum(microUnits(col("rev")).cast(d38)).as("units"))
       .select(col("n_name"), col("mon"), col("units"))
-      .persist()
+      // localCheckpoint, not persist: three consumers (both pair sides
+      // + the tie scan) and the nation×month grid is tiny, while a
+      // cacheManager persist would build the whole fact aggregation as
+      // a CACHED plan with AQE restricted (the verifyJaccard mechanism)
+      .localCheckpoint(true)
     val s = monthly.as("a")
       .join(monthly.as("b"),
         col("a.n_name") === col("b.n_name") && col("a.mon") < col("b.mon"))
