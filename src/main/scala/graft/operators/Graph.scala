@@ -1106,7 +1106,11 @@ object Graph {
         struct(col("a_part").as("u"), col("b_part").as("v")),
         struct(col("b_part").as("u"), col("a_part").as("v")))).as("e"))
       .select(col("e.u").as("u"), col("e.v").as("v"))
-      .persist()
+      // localCheckpoint, not persist: four consumers (walk seed + one
+      // join per step) and the mined signal graph is small, while a
+      // cacheManager persist would build the whole basket-mining
+      // pipeline as a CACHED plan with AQE restricted
+      .localCheckpoint(true)
     var walks = edges.select(col("u")).distinct()
       .select(col("u").as("walk_id"), col("u").as("cur"),
         col("u").cast("string").as("path"))
