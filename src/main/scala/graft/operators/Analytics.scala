@@ -929,4 +929,54 @@ object Analytics {
       | (CAST(a.dau_sum AS DOUBLE) / a.n_days) / w.wau AS stickiness
       |FROM agg a JOIN weekly w USING (week)
       |ORDER BY a.week""".stripMargin
+
+  /** Weekly churn — the complement of [[retentionMatrix]]'s diagonal
+    * (retention asks "who came back", churn asks "who left"): per week,
+    * the share of that week's active users with NO activity in the
+    * following week. Memberships collapse to DISTINCT (user, week)
+    * once; presence-next-week is a left self-join shifted by 7 days
+    * (null = churned); the final week is excluded (its "next week" is
+    * beyond the data, so churn there is unobservable — the honest
+    * cutoff), with the max week entering as a broadcast 1-row
+    * aggregate, never driver state.
+    */
+  def churn(t: Tables): DataFrame = {
+    val m = t.events
+      .select(date_trunc("week", col("ts")).as("week"), col("user_id"))
+      .distinct()
+    val nxt = m.select(col("week").as("wb"), col("user_id"))
+    val maxW = m.agg(max(col("week")).as("maxw"))
+    m.as("a")
+      .join(nxt.as("b"),
+        col("a.user_id") === col("b.user_id")
+          && col("b.wb") === col("a.week") + expr("INTERVAL 7 DAYS"), "left")
+      .crossJoin(broadcast(maxW))
+      .where(col("a.week") < col("maxw"))
+      .groupBy(col("a.week").as("week"))
+      .agg(count(lit(1)).as("n_active"),
+        sum(when(col("b.wb").isNull, 1L).otherwise(0L)).cast("long")
+          .as("n_churned"))
+      .select(col("week"), col("n_active"), col("n_churned"),
+        (col("n_churned").cast("double") / col("n_active")).as("churn_rate"))
+      .orderBy("week")
+  }
+
+  val churnSql: String =
+    """WITH m AS (
+      | SELECT DISTINCT date_trunc('week', CAST(ts AS TIMESTAMP)) AS week,
+      |  user_id
+      | FROM events),
+      |j AS (
+      | SELECT a.week, a.user_id, b.week AS wb
+      | FROM m a LEFT JOIN m b
+      |  ON a.user_id = b.user_id AND b.week = a.week + INTERVAL 7 DAY
+      | WHERE a.week < (SELECT MAX(week) FROM m)),
+      |g AS (
+      | SELECT week, CAST(COUNT(*) AS BIGINT) AS n_active,
+      |  CAST(SUM(CASE WHEN wb IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_churned
+      | FROM j GROUP BY 1)
+      |SELECT week, n_active, n_churned,
+      | CAST(n_churned AS DOUBLE) / n_active AS churn_rate
+      |FROM g ORDER BY week""".stripMargin
 }

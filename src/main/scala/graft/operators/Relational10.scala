@@ -111,4 +111,79 @@ object Relational10 {
        | AND a.o_orderkey < b.o_orderkey
        |WHERE ABS(date_diff('day', a.d, b.d)) <= $DupWindowDays
        |ORDER BY c_custkey, order_a, order_b""".stripMargin
+
+  /** Policy boundary for [[didPromoImpact]] (ship-date cutoff between
+    * the pre and post periods).
+    */
+  private val DidCutoff = "1998-01-01"
+
+  /** Difference-in-differences estimate of the PROMO assortment's
+    * revenue impact — the workhorse quasi-experimental design when
+    * there's no randomized control (compare the treated group's
+    * before/after change against the control group's, so shared trends
+    * cancel): treatment = PROMO-type parts, control = all others,
+    * periods split at [[DidCutoff]] on ship date. Per nation:
+    * DiD = (T_post − T_pre) − (C_post − C_pre), every term an exact
+    * integer micro-dollar sum from ONE fact aggregation over the
+    * bounded (nation × group × period) grid — conditional aggregation,
+    * no self-joins, no windows. (A per-unit design would normalize by
+    * line counts; this is the aggregate-revenue form.)
+    */
+  def didPromoImpact(t: Tables): DataFrame = {
+    val d19 = org.apache.spark.sql.types.DecimalType(19, 0)
+    val d38 = org.apache.spark.sql.types.DecimalType(38, 0)
+    val micros = (graft.functions.Exact.discPrice(
+      col("l_extendedprice"), col("l_discount")) * lit(1000000)).cast(d19)
+    t.lineitem
+      .join(broadcast(t.part.select(col("p_partkey"),
+        col("p_type").startsWith("PROMO").as("treated"))),
+        col("l_partkey") === col("p_partkey"))
+      .join(broadcast(t.supplier.select("s_suppkey", "s_nationkey")),
+        col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(t.nation.select("n_nationkey", "n_name")),
+        col("s_nationkey") === col("n_nationkey"))
+      .withColumn("post", col("l_shipdate") >= lit(DidCutoff).cast("date"))
+      .groupBy("n_name")
+      .agg(
+        sum(when(col("treated") && col("post"), micros)
+          .otherwise(lit(0).cast(d19)).cast(d38)).as("t_post"),
+        sum(when(col("treated") && !col("post"), micros)
+          .otherwise(lit(0).cast(d19)).cast(d38)).as("t_pre"),
+        sum(when(!col("treated") && col("post"), micros)
+          .otherwise(lit(0).cast(d19)).cast(d38)).as("c_post"),
+        sum(when(!col("treated") && !col("post"), micros)
+          .otherwise(lit(0).cast(d19)).cast(d38)).as("c_pre"))
+      .select(col("n_name"), col("t_pre"), col("t_post"), col("c_pre"),
+        col("c_post"),
+        (col("t_post") - col("t_pre") - (col("c_post") - col("c_pre")))
+          .as("did_micros"))
+      .orderBy("n_name")
+  }
+
+  val didPromoImpactSql: String =
+    s"""WITH f AS (
+       | SELECT n_name,
+       |  p_type LIKE 'PROMO%' AS treated,
+       |  CAST(l_shipdate AS DATE) >= DATE '$DidCutoff' AS post,
+       |  CAST(CAST(l_extendedprice AS DECIMAL(12,2)) *
+       |    CAST(1 - CAST(l_discount AS DECIMAL(4,2)) AS DECIMAL(8,4))
+       |    * 1000000 AS DECIMAL(19,0)) AS micros
+       | FROM lineitem
+       | JOIN part ON l_partkey = p_partkey
+       | JOIN supplier ON l_suppkey = s_suppkey
+       | JOIN nation ON s_nationkey = n_nationkey),
+       |g AS (
+       | SELECT n_name,
+       |  CAST(SUM(CASE WHEN treated AND post THEN micros ELSE 0 END)
+       |    AS HUGEINT) AS t_post,
+       |  CAST(SUM(CASE WHEN treated AND NOT post THEN micros ELSE 0 END)
+       |    AS HUGEINT) AS t_pre,
+       |  CAST(SUM(CASE WHEN NOT treated AND post THEN micros ELSE 0 END)
+       |    AS HUGEINT) AS c_post,
+       |  CAST(SUM(CASE WHEN NOT treated AND NOT post THEN micros ELSE 0 END)
+       |    AS HUGEINT) AS c_pre
+       | FROM f GROUP BY 1)
+       |SELECT n_name, t_pre, t_post, c_pre, c_post,
+       | t_post - t_pre - (c_post - c_pre) AS did_micros
+       |FROM g ORDER BY n_name""".stripMargin
 }

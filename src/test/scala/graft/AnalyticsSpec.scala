@@ -557,4 +557,26 @@ class AnalyticsSpec extends SparkSpec {
       assert(math.abs(st - (dauSum.toDouble / nDays) / wau) < 1e-12)
     }
   }
+  test("churn replays week-over-week membership loss") {
+    val rows = graft.operators.Analytics.churn(sf).collect()
+      .map(r => (r.getTimestamp(0).toInstant, r.getLong(1), r.getLong(2),
+        r.getDouble(3)))
+    assert(rows.nonEmpty)
+    val m = sf.events.select(
+        org.apache.spark.sql.functions.date_trunc("week",
+          org.apache.spark.sql.functions.col("ts")).as("w"),
+        org.apache.spark.sql.functions.col("user_id"))
+      .distinct().collect()
+      .map(r => (r.getTimestamp(0).toInstant, r.getLong(1)))
+    val byWeek = m.groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val weeks = byWeek.keys.toSeq.sortBy(_.toEpochMilli)
+    assert(rows.length == weeks.length - 1)
+    rows.foreach { case (w, nActive, nChurned, rate) =>
+      val idx = weeks.indexOf(w)
+      val (cur, nxt) = (byWeek(weeks(idx)), byWeek(weeks(idx + 1)))
+      assert(nActive == cur.size)
+      assert(nChurned == (cur -- nxt).size, s"week $w")
+      assert(math.abs(rate - nChurned.toDouble / nActive) < 1e-12)
+    }
+  }
 }

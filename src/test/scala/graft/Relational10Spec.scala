@@ -46,4 +46,42 @@ class Relational10Spec extends SparkSpec {
       assert(centsA / 2000000L == centsB / 2000000L)
     }
   }
+  test("did replays the four-cell conditional sums per nation") {
+    val rows = Relational10.didPromoImpact(sf).collect()
+    assert(rows.nonEmpty)
+    val li = sf.lineitem
+    val promo = sf.part.collect()
+      .map(r => r.getAs[Long]("p_partkey") ->
+        r.getAs[String]("p_type").startsWith("PROMO")).toMap
+    val sup = sf.supplier.collect()
+      .map(r => r.getAs[Long]("s_suppkey") -> r.getAs[Long]("s_nationkey")).toMap
+    val nat = sf.nation.collect()
+      .map(r => r.getAs[Long]("n_nationkey") -> r.getAs[String]("n_name")).toMap
+    val cells = scala.collection.mutable.Map[(String, Boolean, Boolean), BigInt]()
+      .withDefaultValue(BigInt(0))
+    li.select("l_partkey", "l_suppkey", "l_shipdate", "l_extendedprice",
+        "l_discount").collect().foreach { r =>
+      val nation = nat(sup(r.getLong(1)))
+      val treated = promo(r.getLong(0))
+      val shipDay = r.get(2) match {
+        case ldt: java.time.LocalDateTime => ldt.toLocalDate
+        case ts: java.sql.Timestamp      => ts.toLocalDateTime.toLocalDate
+        case d: java.sql.Date            => d.toLocalDate
+      }
+      val post = !shipDay.isBefore(java.time.LocalDate.parse("1998-01-01"))
+      val micros = (BigDecimal(r.getDouble(3)).setScale(2, BigDecimal.RoundingMode.HALF_UP) *
+        (BigDecimal(1) - BigDecimal(r.getDouble(4))
+          .setScale(2, BigDecimal.RoundingMode.HALF_UP)) * 1000000).toBigIntExact.get
+      cells((nation, treated, post)) += micros
+    }
+    rows.foreach { r =>
+      val n = r.getString(0)
+      def bd(i: Int) = BigInt(r.getDecimal(i).toBigInteger)
+      assert(bd(1) == cells((n, true, false)), s"$n t_pre")
+      assert(bd(2) == cells((n, true, true)), s"$n t_post")
+      assert(bd(3) == cells((n, false, false)), s"$n c_pre")
+      assert(bd(4) == cells((n, false, true)), s"$n c_post")
+      assert(bd(5) == bd(2) - bd(1) - (bd(4) - bd(3)))
+    }
+  }
 }
