@@ -165,4 +165,68 @@ object Profiler {
        |FROM shares s JOIN exp e ON e.digit = s.digit
        |ORDER BY s.digit""".stripMargin
   }
+
+  /** Per-source corpus health report — the one table a dataset owner
+    * reads before green-lighting a training run (the composed
+    * dashboard over signals the per-doc operators already compute):
+    * document count, redundant exact-duplicate docs (group size − 1
+    * summed over md5(text) groups), non-English share (via
+    * [[TextAnalysis.langId]]'s predicted language — operator
+    * composition, not re-derivation), and token volume. Every rate
+    * divides exact integers in double with the oracle's tree — no
+    * partition-order-dependent double sums anywhere.
+    *
+    * Plan: one hash-group pass for dup groups (corpus-keyed but
+    * map-side combining), the langId projection (row-local), one
+    * source-keyed aggregation. All joins on doc_id/hash keys.
+    */
+  def corpusReport(t: Tables): DataFrame = {
+    val docs = t.documents.select(col("doc_id"), col("source"),
+      size(split(col("text"), " ")).cast("long").as("toks"),
+      md5(col("text")).as("h"))
+    val dupG = docs.groupBy("h").agg(count(lit(1)).as("cnt"))
+    val lang = TextAnalysis.langId(t).select(col("doc_id"),
+      col("predicted_lang"))
+    docs.join(dupG, "h").join(lang, "doc_id")
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("cnt") > 1, 1L).otherwise(0L)).cast("long")
+          .as("n_in_dup_groups"),
+        sum(when(col("predicted_lang") =!= "en", 1L).otherwise(0L))
+          .cast("long").as("n_non_en"),
+        sum(col("toks")).cast("long").as("total_tokens"))
+      .select(col("source"), col("n_docs"), col("n_in_dup_groups"),
+        col("n_non_en"), col("total_tokens"),
+        (col("n_in_dup_groups").cast("double") / col("n_docs"))
+          .as("dup_rate"),
+        (col("n_non_en").cast("double") / col("n_docs")).as("non_en_rate"),
+        (col("total_tokens").cast("double") / col("n_docs"))
+          .as("mean_tokens"))
+      .orderBy("source")
+  }
+
+  lazy val corpusReportSql: String =
+    s"""WITH lang AS (${TextAnalysis.langIdSql}),
+       |docs AS (
+       | SELECT doc_id, source,
+       |  CAST(len(string_split(text, ' ')) AS BIGINT) AS toks,
+       |  md5(text) AS h
+       | FROM documents),
+       |dupg AS (SELECT h, CAST(COUNT(*) AS BIGINT) AS cnt FROM docs GROUP BY 1),
+       |g AS (
+       | SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       |  CAST(SUM(CASE WHEN cnt > 1 THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_in_dup_groups,
+       |  CAST(SUM(CASE WHEN predicted_lang <> 'en' THEN 1 ELSE 0 END)
+       |    AS BIGINT) AS n_non_en,
+       |  CAST(SUM(toks) AS BIGINT) AS total_tokens
+       | FROM docs
+       | JOIN dupg USING (h)
+       | JOIN lang USING (doc_id)
+       | GROUP BY 1)
+       |SELECT source, n_docs, n_in_dup_groups, n_non_en, total_tokens,
+       | CAST(n_in_dup_groups AS DOUBLE) / n_docs AS dup_rate,
+       | CAST(n_non_en AS DOUBLE) / n_docs AS non_en_rate,
+       | CAST(total_tokens AS DOUBLE) / n_docs AS mean_tokens
+       |FROM g ORDER BY source""".stripMargin
 }

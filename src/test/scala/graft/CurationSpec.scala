@@ -400,4 +400,22 @@ class CurationSpec extends SparkSpec {
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getBoolean(3)))
     assert(rows.sameElements(again))
   }
+  test("corpus report replays per-source counts from the raw docs") {
+    val rows = graft.operators.Profiler.corpusReport(sf).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getDouble(5), r.getDouble(6), r.getDouble(7))).toMap
+    val docs = sf.documents.select("doc_id", "source", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    assert(rows.keySet == docs.map(_._2).toSet)
+    val dupTexts = docs.groupBy(_._3).filter(_._2.length > 1).keySet
+    docs.groupBy(_._2).foreach { case (src, ds) =>
+      val (n, nDup, _, toks, dr, _, mt) = rows(src)
+      assert(n == ds.length)
+      assert(nDup == ds.count(d => dupTexts.contains(d._3)), s"src $src dups")
+      val totalToks = ds.map(_._3.split(" ", -1).length.toLong).sum
+      assert(toks == totalToks)
+      assert(math.abs(dr - nDup.toDouble / n) < 1e-12)
+      assert(math.abs(mt - totalToks.toDouble / n) < 1e-12)
+    }
+  }
 }
