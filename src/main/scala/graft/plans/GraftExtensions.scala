@@ -1,6 +1,6 @@
 package graft.plans
 
-import graft.functions.{DotProduct, RollingHash}
+import graft.functions.{DotProduct, HashedSortedGrams, JaccardSim, MinHashSig, RollingHash, SimHashSig, SortedLongJaccard}
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{
@@ -118,6 +118,29 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("might_contain"),
       new ExpressionInfo(classOf[BloomFilterMightContain].getName, "might_contain"),
       (args: Seq[Expression]) => BloomFilterMightContain(args(0), args(1))))
+    // The dedup-tier signature and similarity expressions, SQL-callable
+    // so the temp-view SQL interface spans the whole custom tier (all
+    // codegen'd or eval-tight; no Scala-UDF boundary).
+    ext.injectFunction((
+      new FunctionIdentifier("minhash_sig"),
+      new ExpressionInfo(classOf[MinHashSig].getName, "minhash_sig"),
+      (args: Seq[Expression]) => MinHashSig(args.head)))
+    ext.injectFunction((
+      new FunctionIdentifier("simhash_sig"),
+      new ExpressionInfo(classOf[SimHashSig].getName, "simhash_sig"),
+      (args: Seq[Expression]) => SimHashSig(args.head)))
+    ext.injectFunction((
+      new FunctionIdentifier("hashed_sorted_grams"),
+      new ExpressionInfo(classOf[HashedSortedGrams].getName, "hashed_sorted_grams"),
+      (args: Seq[Expression]) => HashedSortedGrams(args.head)))
+    ext.injectFunction((
+      new FunctionIdentifier("jaccard_sim"),
+      new ExpressionInfo(classOf[JaccardSim].getName, "jaccard_sim"),
+      (args: Seq[Expression]) => JaccardSim(args(0), args(1))))
+    ext.injectFunction((
+      new FunctionIdentifier("sorted_jaccard"),
+      new ExpressionInfo(classOf[SortedLongJaccard].getName, "sorted_jaccard"),
+      (args: Seq[Expression]) => SortedLongJaccard(args(0), args(1))))
     ext.injectOptimizerRule(_ => DotProductRewrite)
     ext.injectPlannerStrategy(_ => TopKPerKeyStrategy)
   }

@@ -108,4 +108,31 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(rows(1).isNullAt(1))              // null element poisons the fold
     assert(rows(2).getDouble(1) == 11.0)
   }
+  test("signature and similarity expressions are callable from SQL") {
+    import org.apache.spark.sql.functions.{expr => sqlExpr}
+    val viaSql = spark.sql(
+      "SELECT minhash_sig(array('ab', 'bc')) AS mh, " +
+        "simhash_sig(array('ab', 'bc')) AS sh, " +
+        "hashed_sorted_grams(array('ab', 'bc')) AS hg, " +
+        "jaccard_sim(array('a', 'b'), array('b', 'c')) AS js, " +
+        "sorted_jaccard(array(1L, 2L), array(2L, 3L)) AS lj").collect().head
+    // parity with the Column-expression API on identical inputs
+    val viaApi = spark.range(1).select(
+      graft.functions.MinHashSig(sqlExpr("array('ab', 'bc')")).as("mh"),
+      graft.functions.SimHashSig(sqlExpr("array('ab', 'bc')")).as("sh"),
+      graft.functions.HashedSortedGrams(sqlExpr("array('ab', 'bc')")).as("hg"),
+      graft.functions.JaccardSim(
+        sqlExpr("array('a', 'b')"), sqlExpr("array('b', 'c')")).as("js"),
+      graft.functions.SortedLongJaccard(
+        sqlExpr("array(1L, 2L)"), sqlExpr("array(2L, 3L)")).as("lj"))
+      .collect().head
+    assert(viaSql.getSeq[Long](0) == viaApi.getSeq[Long](0))
+    assert(viaSql.getLong(1) == viaApi.getLong(1))
+    assert(viaSql.getSeq[Long](2) == viaApi.getSeq[Long](2))
+    assert(viaSql.getDouble(3) == viaApi.getDouble(3))
+    assert(viaSql.getDouble(4) == viaApi.getDouble(4))
+    // the jaccard values are the known set answers
+    assert(viaSql.getDouble(3) == 1.0 / 3.0)
+    assert(viaSql.getDouble(4) == 1.0 / 3.0)
+  }
 }
