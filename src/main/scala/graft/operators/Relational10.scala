@@ -186,4 +186,52 @@ object Relational10 {
        |SELECT n_name, t_pre, t_post, c_pre, c_post,
        | t_post - t_pre - (c_post - c_pre) AS did_micros
        |FROM g ORDER BY n_name""".stripMargin
+
+  /** Movers reported by [[topMovers]]. */
+  private val MoversK = 20
+
+  /** Top month-over-month revenue movers — the "what changed the most"
+    * screen at the top of every sales review: per (part, month) exact
+    * micro revenue, the previous month's value via a part-partitioned
+    * lag (window domain = the part's active months — calendar-bounded),
+    * and the [[MoversK]] largest absolute swings corpus-wide. The
+    * global cut is an ORDER BY + LIMIT — Spark plans TakeOrdered (a
+    * per-partition heap + driver merge of K rows), never a full global
+    * sort, so the "top movers of 100 TB" is one narrow pass. Fully
+    * tie-broken ordering keeps the cut deterministic.
+    */
+  def topMovers(t: Tables): DataFrame = {
+    val d19 = org.apache.spark.sql.types.DecimalType(19, 0)
+    val monthly = t.lineitem
+      .groupBy(col("l_partkey"), trunc(col("l_shipdate"), "month").as("mon"))
+      .agg(sum((graft.functions.Exact.discPrice(
+        col("l_extendedprice"), col("l_discount")) * lit(1000000)).cast(d19))
+        .cast(org.apache.spark.sql.types.DecimalType(38, 0)).as("cur"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("l_partkey").orderBy("mon")
+    monthly
+      .withColumn("prev", lag(col("cur"), 1).over(w))
+      .where(col("prev").isNotNull)
+      .withColumn("change", col("cur") - col("prev"))
+      .select(col("l_partkey").as("p_partkey"), col("mon"), col("prev"),
+        col("cur"), col("change"))
+      .orderBy(abs(col("change")).desc, col("p_partkey"), col("mon"))
+      .limit(MoversK)
+  }
+
+  val topMoversSql: String =
+    s"""WITH monthly AS (
+       | SELECT l_partkey, date_trunc('month', CAST(l_shipdate AS DATE)) AS mon,
+       |  CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(12,2)) *
+       |    CAST(1 - CAST(l_discount AS DECIMAL(4,2)) AS DECIMAL(8,4))
+       |    * 1000000 AS DECIMAL(19,0))) AS HUGEINT) AS cur
+       | FROM lineitem GROUP BY 1, 2),
+       |lagged AS (
+       | SELECT l_partkey AS p_partkey, mon,
+       |  LAG(cur) OVER (PARTITION BY l_partkey ORDER BY mon) AS prev, cur
+       | FROM monthly)
+       |SELECT p_partkey, mon, prev, cur, cur - prev AS change
+       |FROM lagged WHERE prev IS NOT NULL
+       |ORDER BY ABS(cur - prev) DESC, p_partkey, mon
+       |LIMIT $MoversK""".stripMargin
 }

@@ -84,4 +84,19 @@ class Relational10Spec extends SparkSpec {
       assert(bd(5) == bd(2) - bd(1) - (bd(4) - bd(3)))
     }
   }
+  test("top movers uses a TakeOrdered cut and real consecutive-month lags") {
+    val df = Relational10.topMovers(sf)
+    val rows = df.collect()
+      .map(r => (r.getLong(0), r.getDate(1).toLocalDate,
+        BigInt(r.getDecimal(2).toBigInteger), BigInt(r.getDecimal(3).toBigInteger),
+        BigInt(r.getDecimal(4).toBigInteger)))
+    assert(rows.length == 20)
+    rows.foreach { case (_, _, prev, cur, ch) => assert(ch == cur - prev) }
+    // ordering is abs-change desc with deterministic tie-breaks
+    val key = rows.map { case (p, m, _, _, ch) => (-ch.abs, p, m.toEpochDay) }
+    assert(key.sameElements(key.sorted))
+    // the global cut plans as TakeOrdered, not a full sort + limit
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), plan.take(400))
+  }
 }
