@@ -1517,6 +1517,75 @@ object Multimodal {
        |WHERE bit_count(xor(a.phash, b.phash)) <= 3
        |ORDER BY a_id, b_id""".stripMargin
 
+  final case class ClipStats(
+      doc_id: Long, n_samples: Int, n_clipped: Long, peak: Long)
+
+  /** Rail margin for [[clippingDetect]] (counts as clipped within this
+    * many codes of ±full-scale) and the flag threshold.
+    */
+  private val ClipMargin = 1024L
+  private val ClipRateMax = 0.05
+
+  /** Audio clipping screen through the REAL codec — the "was this
+    * recorded too hot" QA gate an audio-data pipeline runs right after
+    * decode (clipped samples mean irrecoverable distortion; drop or
+    * attenuate before feature extraction): parse the RIFF/WAVE chunk
+    * walk, count 16-bit samples within [[ClipMargin]] codes of either
+    * rail, track the absolute peak, and flag files whose clipped share
+    * exceeds [[ClipRateMax]]. Counts and peak are exact integers; the
+    * rate and flag evaluate as portable expressions over them.
+    * Row-local per doc; no shuffle.
+    */
+  def clippingDetect(t: Tables): DataFrame = {
+    val spark = t.spark
+    import spark.implicits._
+    codecIds(t)
+      .map(id => MediaRecord(id, synthWav(id)))
+      .mapPartitions { it =>
+        it.map { r =>
+          val w = wavPcm(r)
+          var (clipped, peak) = (0L, 0L)
+          var i = 0
+          while (i < w.frames) {
+            val v = w.sample(i)
+            val mag = math.abs(v)
+            if (mag > peak) peak = mag
+            if (v >= 32767L - ClipMargin || v <= -32768L + ClipMargin)
+              clipped += 1
+            i += 1
+          }
+          ClipStats(r.doc_id, w.frames, clipped, peak)
+        }
+      }
+      .toDF()
+      .withColumn("clip_rate",
+        col("n_clipped").cast("double") / col("n_samples"))
+      .withColumn("is_clipped", col("clip_rate") >= ClipRateMax)
+      .orderBy("doc_id")
+  }
+
+  /** Oracle for [[clippingDetect]]: replays the synthesis sample
+    * formula and the identical rail test.
+    */
+  val clippingDetectSql: String =
+    s"""WITH p AS (
+       |  SELECT doc_id, 64 + doc_id % 64 AS n FROM documents),
+       |sm AS (
+       |  SELECT doc_id,
+       |    ((doc_id * 7919 + j * 104729) % 65536) - 32768 AS v
+       |  FROM (SELECT doc_id, n, unnest(range(0, n)) AS j FROM p)),
+       |agg AS (
+       |  SELECT doc_id,
+       |    CAST(SUM(CASE WHEN v >= ${32767 - ClipMargin} OR v <= ${-32768 + ClipMargin}
+       |      THEN 1 ELSE 0 END) AS BIGINT) AS n_clipped,
+       |    CAST(MAX(ABS(v)) AS BIGINT) AS peak
+       |  FROM sm GROUP BY doc_id)
+       |SELECT p.doc_id, CAST(n AS INT) AS n_samples, n_clipped, peak,
+       |  CAST(n_clipped AS DOUBLE) / n AS clip_rate,
+       |  CAST(n_clipped AS DOUBLE) / n >= $ClipRateMax AS is_clipped
+       |FROM p JOIN agg USING (doc_id)
+       |ORDER BY p.doc_id""".stripMargin
+
   final case class LaplacianStats(
       doc_id: Long, width: Int, height: Int,
       n_interior: Long, lap_sum: Long, lap_sq_sum: Long)

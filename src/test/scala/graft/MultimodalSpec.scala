@@ -354,4 +354,20 @@ class MultimodalSpec extends SparkSpec {
     assert(rows.count(_.getBoolean(7)) > 0)
     assert(rows.count(!_.getBoolean(7)) > 0)
   }
+  test("clipping detect replays the rail count from the sample formula") {
+    val rows = graft.operators.Multimodal.clippingDetect(sf).collect()
+    assert(rows.length == sf.documents.count())
+    var flagged = 0
+    rows.take(60).foreach { r =>
+      val (id, n) = (r.getLong(0), r.getInt(1))
+      assert(n == 64 + id % 64)
+      val vs = (0 until n).map(j => ((id * 7919 + j * 104729L) % 65536) - 32768)
+      assert(r.getLong(2) == vs.count(v => v >= 32767 - 1024 || v <= -32768 + 1024))
+      assert(r.getLong(3) == vs.map(math.abs).max)
+      assert(math.abs(r.getDouble(4) - r.getLong(2).toDouble / n) < 1e-12)
+      assert(r.getBoolean(5) == (r.getDouble(4) >= 0.05))
+      if (r.getBoolean(5)) flagged += 1
+    }
+    assert(rows.exists(_.getBoolean(5)) && rows.exists(!_.getBoolean(5)))
+  }
 }
