@@ -1081,6 +1081,59 @@ object Graph {
        |WHERE s.n_members >= 2
        |ORDER BY s.n_members DESC, s.community""".stripMargin
 
+  /** Two-hop reachability profile — the neighbourhood-growth statistic
+    * behind friend-of-friend recommendation reach and influence-seed
+    * selection: per node, the exact count of DISTINCT nodes reachable
+    * in ≤ 1 hop and in ≤ 2 hops over the co-purchase network (self
+    * excluded), plus the expansion ratio. One wedge join (the
+    * [[triangles]] Σdeg² bound on the support-thresholded signal
+    * graph), one distinct, one count — no iteration, no driver state.
+    */
+  def twoHopReach(t: Tables): DataFrame = {
+    val edges = Relational7.basketPairsRaw(t, EdgeSupport)
+      .select(explode(array(
+        struct(col("a_part").as("u"), col("b_part").as("v")),
+        struct(col("b_part").as("u"), col("a_part").as("v")))).as("e"))
+      .select(col("e.u").as("u"), col("e.v").as("v"))
+      .localCheckpoint(true)
+    val oneHop = edges.groupBy("u").agg(count(lit(1)).as("n1"))
+    val twoHop = edges.as("a")
+      .join(edges.select(col("u").as("m"), col("v").as("w")).as("b"),
+        col("a.v") === col("b.m"))
+      .select(col("a.u").as("u"), col("w"))
+      .where(col("u") =!= col("w"))
+      .unionAll(edges.select(col("u"), col("v").as("w")))
+      .distinct()
+      .groupBy("u").agg(count(lit(1)).as("n2"))
+    oneHop.join(twoHop, Seq("u"))
+      .select(col("u").as("p_partkey"), col("n1").as("reach_1"),
+        col("n2").as("reach_2"),
+        (col("n2").cast("double") / col("n1")).as("expansion"))
+      .orderBy("p_partkey")
+  }
+
+  val twoHopReachSql: String =
+    s"""WITH items AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+       |cp AS (
+       |  SELECT a.l_partkey AS a, b.l_partkey AS b
+       |  FROM items a JOIN items b
+       |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+       |  GROUP BY 1, 2 HAVING COUNT(*) >= $EdgeSupport),
+       |edges AS (SELECT a AS u, b AS v FROM cp
+       |          UNION ALL SELECT b AS u, a AS v FROM cp),
+       |one AS (SELECT u, CAST(COUNT(*) AS BIGINT) AS n1 FROM edges GROUP BY u),
+       |two AS (
+       |  SELECT u, CAST(COUNT(*) AS BIGINT) AS n2 FROM (
+       |    SELECT DISTINCT u, w FROM (
+       |      SELECT a.u, b.v AS w FROM edges a JOIN edges b ON a.v = b.u
+       |      WHERE a.u <> b.v
+       |      UNION ALL SELECT u, v FROM edges))
+       |  GROUP BY u)
+       |SELECT one.u AS p_partkey, n1 AS reach_1, n2 AS reach_2,
+       |  CAST(n2 AS DOUBLE) / n1 AS expansion
+       |FROM one JOIN two ON one.u = two.u
+       |ORDER BY p_partkey""".stripMargin
+
   /** Walk length (steps) for [[randomWalks]]. Fixed so the oracle can
     * unroll — the [[pageRank]] convention.
     */

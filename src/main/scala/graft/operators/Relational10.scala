@@ -2,6 +2,7 @@ package graft.operators
 
 import graft.Tables
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Audience analytics and transaction auditing — round-11 widening of
@@ -234,4 +235,70 @@ object Relational10 {
        |FROM lagged WHERE prev IS NOT NULL
        |ORDER BY ABS(cur - prev) DESC, p_partkey, mon
        |LIMIT $MoversK""".stripMargin
+
+  /** Largest power-of-two gap bucket for [[gapHistogram]] (2²⁰ s ≈ 12
+    * days — everything above collapses into the top bucket).
+    */
+  private val GapMaxPow = 20
+
+  /** Inter-event gap distribution — the empirical basis for choosing a
+    * session timeout (the knee of this histogram IS the timeout; the
+    * repo's sessionize operators take it as a parameter, this op says
+    * what it should be): per user, the seconds between consecutive
+    * events (one user-partitioned lag — per-user event counts bound the
+    * window), bucketed into power-of-two bands by an exact integer
+    * comparison ladder (no floating log, so bucket edges are
+    * engine-portable), then counts, shares, and the cumulative share
+    * over the ≤ [[GapMaxPow]]+2 bucket rows.
+    */
+  def gapHistogram(t: Tables): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy("ts", "event_id")
+    val gaps = t.events
+      .withColumn("prev", lag(col("ts"), 1).over(w))
+      .where(col("prev").isNotNull)
+      .select((unix_timestamp(col("ts")) - unix_timestamp(col("prev")))
+        .as("gap_s"))
+    val bucket = (1 to GapMaxPow).foldLeft(
+      when(col("gap_s") === 0L, 0)) { (acc, p) =>
+      acc.when(col("gap_s") < (1L << p), p)
+    }.otherwise(GapMaxPow + 1)
+    val tot = Window.partitionBy()
+    val cum = Window.orderBy("bucket_pow")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    gaps.select(bucket.as("bucket_pow"))
+      .groupBy("bucket_pow").agg(count(lit(1)).as("n_gaps"))
+      .withColumn("share",
+        col("n_gaps").cast("double") / sum(col("n_gaps")).over(tot))
+      .withColumn("cum_share",
+        sum(col("n_gaps")).over(cum).cast("double")
+          / sum(col("n_gaps")).over(tot))
+      .orderBy("bucket_pow")
+  }
+
+  val gapHistogramSql: String = {
+    val ladder = (1 to GapMaxPow)
+      .map(p => s"WHEN gap_s < ${1L << p} THEN $p")
+      .mkString("\n      ")
+    s"""WITH gaps AS (
+       | SELECT date_diff('second', prev, ts2) AS gap_s FROM (
+       |  SELECT CAST(ts AS TIMESTAMP) AS ts2,
+       |   LAG(CAST(ts AS TIMESTAMP)) OVER (PARTITION BY user_id
+       |     ORDER BY CAST(ts AS TIMESTAMP), event_id) AS prev
+       |  FROM events)
+       | WHERE prev IS NOT NULL),
+       |b AS (
+       | SELECT CASE WHEN gap_s = 0 THEN 0
+       |      $ladder
+       |      ELSE ${GapMaxPow + 1} END AS bucket_pow
+       | FROM gaps),
+       |g AS (SELECT bucket_pow, CAST(COUNT(*) AS BIGINT) AS n_gaps
+       |      FROM b GROUP BY 1)
+       |SELECT bucket_pow, n_gaps,
+       | CAST(n_gaps AS DOUBLE) / SUM(n_gaps) OVER () AS share,
+       | CAST(SUM(n_gaps) OVER (ORDER BY bucket_pow
+       |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+       |  / SUM(n_gaps) OVER () AS cum_share
+       |FROM g ORDER BY bucket_pow""".stripMargin
+  }
 }

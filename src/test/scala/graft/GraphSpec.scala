@@ -457,4 +457,26 @@ class GraphSpec extends SparkSpec {
       }
     }
   }
+  test("two hop reach replays BFS-2 neighbourhood sizes") {
+    val rows = Graph.twoHopReach(sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(rows.nonEmpty)
+    val items = sf.lineitem.select("l_orderkey", "l_partkey").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).distinct
+    val pairs = items.groupBy(_._1).values
+      .flatMap(g => { val ps = g.map(_._2).toSet
+        for (a <- ps; b <- ps if a < b) yield (a, b) })
+      .groupBy(identity).filter(_._2.size >= 2).keys.toSet
+    val adj = (pairs ++ pairs.map { case (a, b) => (b, a) })
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    assert(rows.map(_._1).toSet == adj.keySet)
+    rows.foreach { case (u, n1, n2, exp) =>
+      val one = adj(u)
+      val two = (one ++ one.flatMap(adj(_))) - u
+      assert(n1 == one.size, s"node $u 1-hop")
+      assert(n2 == two.size, s"node $u 2-hop")
+      assert(n2 >= n1)
+      assert(math.abs(exp - n2.toDouble / n1) < 1e-12)
+    }
+  }
 }

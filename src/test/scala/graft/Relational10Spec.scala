@@ -99,4 +99,20 @@ class Relational10Spec extends SparkSpec {
     val plan = df.queryExecution.executedPlan.toString
     assert(plan.contains("TakeOrderedAndProject"), plan.take(400))
   }
+  test("gap histogram buckets partition all per-user gaps with exact shares") {
+    val rows = Relational10.gapHistogram(sf).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
+    assert(rows.nonEmpty)
+    val totalGaps = rows.map(_._2).sum
+    // per-user gap count = events - users (one lag dropped per user)
+    val nEvents = sf.events.count()
+    val nUsers = sf.events.select("user_id").distinct().count()
+    assert(totalGaps == nEvents - nUsers)
+    // buckets ordered, shares sum to 1, cumulative ends at 1
+    assert(rows.map(_._1).toSeq == rows.map(_._1).toSeq.sorted)
+    assert(math.abs(rows.map(_._3).sum - 1.0) < 1e-9)
+    assert(math.abs(rows.last._4 - 1.0) < 1e-9)
+    rows.foreach { case (_, n, share, _) =>
+      assert(math.abs(share - n.toDouble / totalGaps) < 1e-12) }
+  }
 }
