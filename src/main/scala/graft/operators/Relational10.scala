@@ -301,4 +301,72 @@ object Relational10 {
        |  / SUM(n_gaps) OVER () AS cum_share
        |FROM g ORDER BY bucket_pow""".stripMargin
   }
+
+  /** Fulfillment cycle-time percentiles — the ops KPI table (how long
+    * from order to each line's shipment, and how spread out an order's
+    * shipments are, by priority band): stage latencies are exact
+    * integer day diffs — `order_to_ship` per line, `ship_spread` per
+    * order (last line ship − first line ship) — and the p50/p90 cut is
+    * computed from the per-(priority, stage, days) COUNT DISTRIBUTION:
+    * the day domain is calendar-bounded (~a few hundred values), so
+    * the exact type-1 percentile (smallest v with cum ≥ ⌈q·n⌉, integer
+    * ceil arithmetic) comes from a cumulative window over bounded
+    * rows, never a fact-scale sort or percentile window. One fact
+    * aggregation per stage + bounded-grid math: 100 TB-safe AND exact.
+    */
+  def cycleTime(t: Tables): DataFrame = {
+    val joined = t.lineitem
+      .join(t.orders.select("o_orderkey", "o_orderpriority", "o_orderdate"),
+        col("l_orderkey") === col("o_orderkey"))
+    val s1 = joined.select(col("o_orderpriority").as("priority"),
+      lit("order_to_ship").as("stage"),
+      datediff(col("l_shipdate"), col("o_orderdate")).cast("long").as("days"))
+    val s2 = joined
+      .groupBy(col("o_orderkey"), col("o_orderpriority").as("priority"))
+      .agg(datediff(max(col("l_shipdate")), min(col("l_shipdate")))
+        .cast("long").as("days"))
+      .select(col("priority"), lit("ship_spread").as("stage"), col("days"))
+    val dist = s1.unionAll(s2).groupBy("priority", "stage", "days")
+      .agg(count(lit(1)).as("cnt"))
+    val wCum = Window.partitionBy("priority", "stage").orderBy("days")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.partitionBy("priority", "stage")
+    val cum = dist
+      .withColumn("cum", sum(col("cnt")).over(wCum))
+      .withColumn("n", sum(col("cnt")).over(wAll))
+    cum.groupBy("priority", "stage")
+      .agg(max(col("n")).as("n_rows"),
+        min(when(col("cum") >= expr("(n + 1L) div 2L"), col("days")))
+          .as("p50_days"),
+        min(when(col("cum") >= expr("(9L * n + 9L) div 10L"), col("days")))
+          .as("p90_days"))
+      .orderBy("priority", "stage")
+  }
+
+  val cycleTimeSql: String =
+    """WITH j AS (
+      | SELECT o_orderkey, o_orderpriority AS priority,
+      |  CAST(o_orderdate AS DATE) AS od, CAST(l_shipdate AS DATE) AS sd
+      | FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+      |staged AS (
+      | SELECT priority, 'order_to_ship' AS stage,
+      |  CAST(date_diff('day', od, sd) AS BIGINT) AS days FROM j
+      | UNION ALL
+      | SELECT priority, 'ship_spread',
+      |  CAST(date_diff('day', MIN(sd), MAX(sd)) AS BIGINT)
+      | FROM j GROUP BY o_orderkey, priority),
+      |dist AS (
+      | SELECT priority, stage, days, CAST(COUNT(*) AS BIGINT) AS cnt
+      | FROM staged GROUP BY 1, 2, 3),
+      |cum AS (
+      | SELECT priority, stage, days, cnt,
+      |  SUM(cnt) OVER (PARTITION BY priority, stage ORDER BY days
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+      |  SUM(cnt) OVER (PARTITION BY priority, stage) AS n
+      | FROM dist)
+      |SELECT priority, stage, CAST(MAX(n) AS BIGINT) AS n_rows,
+      | MIN(CASE WHEN cum >= (n + 1) // 2 THEN days END) AS p50_days,
+      | MIN(CASE WHEN cum >= (9 * n + 9) // 10 THEN days END) AS p90_days
+      |FROM cum GROUP BY 1, 2
+      |ORDER BY priority, stage""".stripMargin
 }

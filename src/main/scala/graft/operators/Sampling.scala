@@ -294,4 +294,76 @@ object Sampling {
        |   AS position
        |FROM ph ORDER BY position""".stripMargin
   }
+
+  /** Negatives kept per user and the oversampling factor that absorbs
+    * collisions with actual purchases ([[negativeSample]]).
+    */
+  private val NegK = 5
+  private val NegOversample = 3
+
+  /** Deterministic negative sampling — the training-pair generator
+    * every two-tower / matrix-factorization recommender needs (positive
+    * pairs come from purchases; negatives must be items the user did
+    * NOT buy, sampled uniformly): per purchasing customer, candidate
+    * part ids are drawn directly by hash arithmetic
+    * (`⌊unitHash(user⊕i)·nParts⌋` for i = 1..k·oversample — k
+    * candidates per user BY CONSTRUCTION, never a user×parts cross
+    * join), validated against the part dim, anti-joined against the
+    * user's actual purchases, deduped keeping the smallest draw index,
+    * and cut to [[NegK]] per user in draw order. RNG-free, rerun-exact,
+    * oracle-replayable; the part-count enters as a broadcast 1-row
+    * aggregate.
+    */
+  def negativeSample(t: Tables): DataFrame = {
+    val users = t.orders.select(col("o_custkey").as("user_id")).distinct()
+    val np = t.part.agg((max(col("p_partkey")) + 1L).as("n_parts"))
+    val cand = users.crossJoin(broadcast(np))
+      .select(col("user_id"), col("n_parts"),
+        explode(sequence(lit(1), lit(NegK * NegOversample))).as("draw"))
+      .withColumn("cand_part",
+        floor(unitHash(concat_ws("_", col("user_id"), col("draw")))
+          * col("n_parts")).cast("long"))
+    val purchased = t.orders
+      .join(t.lineitem, col("l_orderkey") === col("o_orderkey"))
+      .select(col("o_custkey").as("user_id"), col("l_partkey").as("cand_part"))
+      .distinct()
+    val valid = cand
+      .join(t.part.select(col("p_partkey").as("cand_part")), Seq("cand_part"))
+      .join(purchased, Seq("user_id", "cand_part"), "left_anti")
+      .groupBy("user_id", "cand_part").agg(min(col("draw")).as("draw"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy("draw", "cand_part")
+    valid.withColumn("rk", row_number().over(w))
+      .where(col("rk") <= NegK)
+      .select(col("user_id"), col("cand_part").as("neg_part"), col("draw"))
+      .orderBy("user_id", "draw", "neg_part")
+  }
+
+  val negativeSampleSql: String = {
+    val u = unitHashSqlFmt.format("(user_id || '_' || draw)")
+    s"""WITH users AS (SELECT DISTINCT o_custkey AS user_id FROM orders),
+       |np AS (SELECT MAX(p_partkey) + 1 AS n_parts FROM part),
+       |cand AS (
+       | SELECT user_id, draw,
+       |  CAST(FLOOR($u * n_parts) AS BIGINT) AS cand_part
+       | FROM users
+       | CROSS JOIN (SELECT UNNEST(range(1, ${NegK * NegOversample + 1}))
+       |   AS draw) d, np),
+       |purchased AS (
+       | SELECT DISTINCT o_custkey AS user_id, l_partkey AS cand_part
+       | FROM orders JOIN lineitem ON l_orderkey = o_orderkey),
+       |valid AS (
+       | SELECT user_id, cand_part, CAST(MIN(draw) AS INT) AS draw
+       | FROM cand
+       | JOIN part ON cand_part = p_partkey
+       | ANTI JOIN purchased USING (user_id, cand_part)
+       | GROUP BY 1, 2)
+       |SELECT user_id, cand_part AS neg_part, draw FROM (
+       | SELECT user_id, cand_part, draw,
+       |  ROW_NUMBER() OVER (PARTITION BY user_id
+       |    ORDER BY draw, cand_part) AS rk
+       | FROM valid)
+       |WHERE rk <= $NegK
+       |ORDER BY user_id, draw, neg_part""".stripMargin
+  }
 }

@@ -115,4 +115,34 @@ class Relational10Spec extends SparkSpec {
     rows.foreach { case (_, n, share, _) =>
       assert(math.abs(share - n.toDouble / totalGaps) < 1e-12) }
   }
+  test("cycle time percentiles replay the exact type-1 cut per cell") {
+    val rows = Relational10.cycleTime(sf).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    assert(rows.nonEmpty)
+    import org.apache.spark.sql.functions.col
+    val j = sf.lineitem
+      .join(sf.orders, col("l_orderkey") === col("o_orderkey"))
+      .select("o_orderkey", "o_orderpriority", "o_orderdate", "l_shipdate")
+      .collect().map { r =>
+        def day(i: Int) = r.get(i) match {
+          case ldt: java.time.LocalDateTime => ldt.toLocalDate
+          case ts: java.sql.Timestamp      => ts.toLocalDateTime.toLocalDate
+          case d: java.sql.Date            => d.toLocalDate
+        }
+        (r.getLong(0), r.getString(1), day(2), day(3))
+      }
+    val s1 = j.map { case (_, p, od, sd) =>
+      (p, "order_to_ship", sd.toEpochDay - od.toEpochDay) }
+    val s2 = j.groupBy(x => (x._1, x._2)).map { case ((_, p), ls) =>
+      val days = ls.map(_._4.toEpochDay)
+      (p, "ship_spread", days.max - days.min) }
+    (s1 ++ s2).groupBy(x => (x._1, x._2)).foreach { case (key, vsRaw) =>
+      val vs = vsRaw.map(_._3).toSeq.sorted
+      val (n, p50, p90) = rows(key)
+      assert(n == vs.size)
+      assert(p50 == vs((vs.size + 1) / 2 - 1), s"$key p50")
+      assert(p90 == vs((9 * vs.size + 9) / 10 - 1), s"$key p90")
+    }
+  }
 }

@@ -129,4 +129,43 @@ class SamplingSpec extends SparkSpec {
     val inPhase = byPhase(1L).sortBy(_._4).map(_._2).toSeq
     assert(inPhase != inPhase.sorted || inPhase.distinct.size <= 1)
   }
+  test("negative samples never collide with purchases and follow draw order") {
+    val rows = Sampling.negativeSample(sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    assert(rows.nonEmpty)
+    val byOrder = sf.orders.select("o_orderkey", "o_custkey").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val purchased = sf.lineitem.select("l_orderkey", "l_partkey").collect()
+      .flatMap(r => byOrder.get(r.getLong(0)).map(c => (c, r.getLong(1))))
+      .toSet
+    val partKeys = sf.part.select("p_partkey").collect().map(_.getLong(0)).toSet
+    rows.foreach { case (u, p, d) =>
+      assert(!purchased.contains((u, p)), s"user $u neg $p was purchased")
+      assert(partKeys.contains(p))
+      assert(d >= 1 && d <= 15)
+    }
+    // at most 5 per user, deduped
+    rows.groupBy(_._1).foreach { case (u, ns) =>
+      assert(ns.length <= 5, s"user $u got ${ns.length}")
+      assert(ns.map(_._2).distinct.length == ns.length)
+    }
+    // replay one user's full draw sequence
+    val u0 = rows.map(_._1).min
+    val nParts = sf.part.agg(org.apache.spark.sql.functions.max("p_partkey"))
+      .collect().head.getLong(0) + 1
+    def unitHash(key: String): Double = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest(key.getBytes("UTF-8"))
+      java.lang.Long.parseLong(
+        md.map("%02x".format(_)).mkString.take(15), 16).toDouble /
+        1152921504606846976.0
+    }
+    val expected = (1 to 15)
+      .map(i => (math.floor(unitHash(s"${u0}_$i") * nParts).toLong, i))
+      .filter { case (p, _) => partKeys.contains(p) && !purchased.contains((u0, p)) }
+      .groupBy(_._1).view.mapValues(_.map(_._2).min).toSeq
+      .sortBy { case (p, d) => (d, p) }.take(5)
+      .map { case (p, d) => (u0, p, d) }
+    assert(rows.filter(_._1 == u0).sortBy(x => (x._3, x._2)).toSeq == expected)
+  }
 }
