@@ -856,4 +856,86 @@ object Embeddings {
        |FROM corpus JOIN batch USING (dim)
        |ORDER BY corpus.dim""".stripMargin
   }
+
+  /** Pairs reported by [[dimCorr]]. */
+  private val DimCorrK = 20
+
+  /** Redundant-dimension audit — the embedding-capacity health check
+    * behind [[dimStats]]' per-axis view: the [[DimCorrK]] most
+    * correlated dimension PAIRS across the corpus (highly correlated
+    * axes mean the model wastes capacity — the signal PCA/matryoshka
+    * truncation would exploit). Values are floor-quantized to integer
+    * micros FIRST (floor, not cast: Spark truncates double→long while
+    * DuckDB rounds, floor is the one portable edge), so every moment
+    * (Σq, Σq², Σqᵢqⱼ) is an exact order-free DECIMAL(38,0) sum and the
+    * Pearson correlation evaluates in double from exact integers with
+    * the oracle's expression tree.
+    *
+    * Plan: one posexplode pass, a vec-keyed self-join that fans each
+    * vector into its d(d−1)/2 in-row pairs (output volume n·d²/2 but
+    * it feeds an aggregation with map-side combine down to d²/2
+    * cells — no corpus-sized shuffle survives), and a TakeOrdered
+    * top-[[DimCorrK]] cut.
+    */
+  def dimCorr(t: Tables): DataFrame = {
+    val d38 = DecimalType(38, 0)
+    val q = t.embeddings
+      .select(col("vec_id"),
+        posexplode(col("embedding").cast("array<double>")).as(Seq("i", "x")))
+      .select(col("vec_id"), col("i"),
+        floor(col("x") * lit(1000000.0)).cast("long").as("qx"))
+    val cells = q.as("a")
+      .join(q.as("b"),
+        col("a.vec_id") === col("b.vec_id") && col("a.i") < col("b.i"))
+      .groupBy(col("a.i").as("dim_a"), col("b.i").as("dim_b"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("a.qx").cast(d38)).as("sa"),
+        sum(col("b.qx").cast(d38)).as("sb"),
+        sum((col("a.qx") * col("a.qx")).cast(d38)).as("saa"),
+        sum((col("b.qx") * col("b.qx")).cast(d38)).as("sbb"),
+        sum((col("a.qx") * col("b.qx")).cast(d38)).as("sab"))
+    import graft.functions.Exact.decToDouble
+    cells.select(col("dim_a"), col("dim_b"), col("n"),
+        ((col("n") * decToDouble(col("sab")) -
+          decToDouble(col("sa")) * decToDouble(col("sb"))) /
+          (sqrt(col("n") * decToDouble(col("saa")) -
+            decToDouble(col("sa")) * decToDouble(col("sa"))) *
+            sqrt(col("n") * decToDouble(col("sbb")) -
+              decToDouble(col("sb")) * decToDouble(col("sb")))))
+          .as("corr"))
+      .orderBy(abs(col("corr")).desc, col("dim_a"), col("dim_b"))
+      .limit(DimCorrK)
+  }
+
+  lazy val dimCorrSql: String = {
+    import graft.functions.Exact.decToDoubleSql
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |q AS (
+       | SELECT vec_id, CAST(unnest(range(len(v))) AS INT) AS i,
+       |  CAST(FLOOR(unnest(v) * 1000000) AS BIGINT) AS qx
+       | FROM e),
+       |cells AS (
+       | SELECT a.i AS dim_a, b.i AS dim_b, CAST(COUNT(*) AS BIGINT) AS n,
+       |  SUM(a.qx) AS sa, SUM(b.qx) AS sb,
+       |  SUM(a.qx * a.qx) AS saa, SUM(b.qx * b.qx) AS sbb,
+       |  SUM(a.qx * b.qx) AS sab
+       | FROM q a JOIN q b ON a.vec_id = b.vec_id AND a.i < b.i
+       | GROUP BY 1, 2)
+       |SELECT dim_a, dim_b, n,
+       | (n * ${decToDoubleSql("sab")} -
+       |    ${decToDoubleSql("sa")} * ${decToDoubleSql("sb")}) /
+       |  (sqrt(n * ${decToDoubleSql("saa")} -
+       |     ${decToDoubleSql("sa")} * ${decToDoubleSql("sa")}) *
+       |   sqrt(n * ${decToDoubleSql("sbb")} -
+       |     ${decToDoubleSql("sb")} * ${decToDoubleSql("sb")})) AS corr
+       |FROM cells
+       |ORDER BY ABS((n * ${decToDoubleSql("sab")} -
+       |    ${decToDoubleSql("sa")} * ${decToDoubleSql("sb")}) /
+       |  (sqrt(n * ${decToDoubleSql("saa")} -
+       |     ${decToDoubleSql("sa")} * ${decToDoubleSql("sa")}) *
+       |   sqrt(n * ${decToDoubleSql("sbb")} -
+       |     ${decToDoubleSql("sb")} * ${decToDoubleSql("sb")}))) DESC,
+       | dim_a, dim_b
+       |LIMIT $DimCorrK""".stripMargin
+  }
 }

@@ -102,4 +102,33 @@ class PcaSpec extends SparkSpec {
     }.sum / pairs.length
     assert(ratioMean > 0.5 && ratioMean < 2.0, s"JL ratio $ratioMean")
   }
+  test("dim corr reports the top pairs with an exact driver replay") {
+    val rows = graft.operators.Embeddings.dimCorr(sf).collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+    assert(rows.length == 20)
+    rows.foreach { case (a, b, n, c) =>
+      assert(a < b); assert(c >= -1.0 - 1e-9 && c <= 1.0 + 1e-9)
+      assert(n == sf.embeddings.count())
+    }
+    // replay the quantized Pearson for the winning pair
+    val (da, db, n0, c0) = rows.head
+    val vs = sf.embeddings.select("embedding").collect()
+      .map(_.getSeq[Float](0).map(_.toDouble))
+    val qa = vs.map(v => math.floor(v(da) * 1e6).toLong)
+    val qb = vs.map(v => math.floor(v(db) * 1e6).toLong)
+    val n = qa.length.toDouble
+    def bi(xs: Array[Long]) = xs.map(BigInt(_)).sum
+    val (sa, sb) = (bi(qa), bi(qb))
+    val saa = qa.map(x => BigInt(x) * x).sum
+    val sbb = qb.map(x => BigInt(x) * x).sum
+    val sab = qa.zip(qb).map { case (x, y) => BigInt(x) * y }.sum
+    val expect = (n * sab.toDouble - sa.toDouble * sb.toDouble) /
+      (math.sqrt(n * saa.toDouble - sa.toDouble * sa.toDouble) *
+        math.sqrt(n * sbb.toDouble - sb.toDouble * sb.toDouble))
+    assert(n0 == qa.length)
+    assert(math.abs(c0 - expect) < 1e-9, s"pair ($da,$db): $c0 vs $expect")
+    // ordering is |corr| descending
+    val absC = rows.map(_._4.abs)
+    assert(absC.zip(absC.tail).forall { case (x, y) => x >= y - 1e-12 })
+  }
 }
