@@ -1586,6 +1586,85 @@ object Multimodal {
        |FROM p JOIN agg USING (doc_id)
        |ORDER BY p.doc_id""".stripMargin
 
+  final case class DominantColor(
+      doc_id: Long, bucket: Int, bucket_count: Long, n_pixels: Long)
+
+  /** Dominant-color extraction through the REAL codec — the palette
+    * feature a vision pipeline derives for thumbnail search and
+    * near-duplicate blocking: pixels quantized to the 9-bit RGB cube
+    * (3 bits per channel — `(r div 32)·64 + (g div 32)·8 + b div 32`),
+    * the modal bucket per image with a deterministic smallest-bucket
+    * tie-break, and its pixel share. Counts are exact integers; the
+    * share divides them in double with the oracle's tree. Row-local
+    * per doc; no shuffle.
+    */
+  def dominantColor(t: Tables): DataFrame = {
+    val spark = t.spark
+    import spark.implicits._
+    codecIds(t)
+      .mapPartitions { it =>
+        it.map { id =>
+          val img = javax.imageio.ImageIO.read(
+            new java.io.ByteArrayInputStream(synthPng(id)))
+          require(img != null, s"doc $id: synthesized PNG failed to decode")
+          val counts = new Array[Long](512)
+          var y = 0
+          while (y < img.getHeight) {
+            var x = 0
+            while (x < img.getWidth) {
+              val rgb = img.getRGB(x, y)
+              val b = (((rgb >> 16) & 0xFF) / 32) * 64 +
+                (((rgb >> 8) & 0xFF) / 32) * 8 + ((rgb & 0xFF) / 32)
+              counts(b) += 1
+              x += 1
+            }
+            y += 1
+          }
+          var (best, bestN) = (0, 0L)
+          var i = 0
+          while (i < 512) {
+            if (counts(i) > bestN) { best = i; bestN = counts(i) }
+            i += 1
+          }
+          DominantColor(id, best, bestN,
+            img.getWidth.toLong * img.getHeight)
+        }
+      }
+      .toDF()
+      .withColumn("share",
+        col("bucket_count").cast("double") / col("n_pixels"))
+      .orderBy("doc_id")
+  }
+
+  /** Oracle for [[dominantColor]]: replay the pixel formula, group by
+    * quantized bucket, argmax with the same (count desc, bucket asc)
+    * tie-break.
+    */
+  val dominantColorSql: String =
+    """WITH p AS (
+      |  SELECT doc_id, 8 + doc_id % 9 AS w, 8 + (doc_id * 3) % 9 AS h
+      |  FROM documents),
+      |xs AS (SELECT doc_id, w, h, unnest(range(0, w)) AS x FROM p),
+      |xy AS (SELECT doc_id, w, h, x, unnest(range(0, h)) AS y FROM xs),
+      |px AS (
+      |  SELECT doc_id, w, h,
+      |    (((doc_id + 7*x + 13*y) % 256) // 32) * 64
+      |      + (((2*doc_id + 11*x + 3*y) % 256) // 32) * 8
+      |      + ((3*doc_id + 5*x + 17*y) % 256) // 32 AS b
+      |  FROM xy),
+      |cnt AS (
+      |  SELECT doc_id, CAST(b AS INT) AS bucket,
+      |    CAST(COUNT(*) AS BIGINT) AS bucket_count,
+      |    CAST(MIN(w) * MIN(h) AS BIGINT) AS n_pixels
+      |  FROM px GROUP BY doc_id, b)
+      |SELECT doc_id, bucket, bucket_count, n_pixels,
+      |  CAST(bucket_count AS DOUBLE) / n_pixels AS share
+      |FROM (
+      |  SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+      |    ORDER BY bucket_count DESC, bucket) AS rk FROM cnt)
+      |WHERE rk = 1
+      |ORDER BY doc_id""".stripMargin
+
   final case class LaplacianStats(
       doc_id: Long, width: Int, height: Int,
       n_interior: Long, lap_sum: Long, lap_sq_sum: Long)

@@ -369,4 +369,60 @@ object Relational10 {
       | MIN(CASE WHEN cum >= (9 * n + 9) // 10 THEN days END) AS p90_days
       |FROM cum GROUP BY 1, 2
       |ORDER BY priority, stage""".stripMargin
+
+  /** Supplier scorecard — the composed vendor-performance table a
+    * procurement review reads (the supplier-side twin of
+    * [[Profiler.corpusReport]]): per supplier, line volume, exact
+    * integer micro revenue, return share (R-flag lines), and mean
+    * order-to-ship latency — every rate/mean a double over exact
+    * integer sums with the oracle's tree. One fact aggregation after a
+    * broadcast orders-date attach, broadcast dim joins for the nation
+    * label; no windows, no driver state.
+    */
+  def supplierScorecard(t: Tables): DataFrame = {
+    val d19 = org.apache.spark.sql.types.DecimalType(19, 0)
+    val d38 = org.apache.spark.sql.types.DecimalType(38, 0)
+    t.lineitem
+      .join(t.orders.select("o_orderkey", "o_orderdate"),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy("l_suppkey")
+      .agg(count(lit(1)).as("n_lines"),
+        sum((graft.functions.Exact.discPrice(
+          col("l_extendedprice"), col("l_discount")) * lit(1000000))
+          .cast(d19)).cast(d38).as("revenue_micros"),
+        sum(when(col("l_returnflag") === "R", 1L).otherwise(0L)).cast("long")
+          .as("n_returned"),
+        sum(datediff(col("l_shipdate"), col("o_orderdate")).cast("long"))
+          .cast("long").as("ship_days_sum"))
+      .join(broadcast(t.supplier.select("s_suppkey", "s_nationkey")),
+        col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(t.nation.select("n_nationkey", "n_name")),
+        col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"), col("n_name"), col("n_lines"),
+        col("revenue_micros"),
+        (col("n_returned").cast("double") / col("n_lines")).as("return_rate"),
+        (col("ship_days_sum").cast("double") / col("n_lines"))
+          .as("mean_ship_days"))
+      .orderBy("s_suppkey")
+  }
+
+  val supplierScorecardSql: String =
+    """WITH g AS (
+      | SELECT l_suppkey, CAST(COUNT(*) AS BIGINT) AS n_lines,
+      |  CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(12,2)) *
+      |    CAST(1 - CAST(l_discount AS DECIMAL(4,2)) AS DECIMAL(8,4))
+      |    * 1000000 AS DECIMAL(19,0))) AS HUGEINT) AS revenue_micros,
+      |  CAST(SUM(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_returned,
+      |  CAST(SUM(date_diff('day', CAST(o_orderdate AS DATE),
+      |    CAST(l_shipdate AS DATE))) AS BIGINT) AS ship_days_sum
+      | FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      | GROUP BY 1)
+      |SELECT s_suppkey, n_name, n_lines, revenue_micros,
+      | CAST(n_returned AS DOUBLE) / n_lines AS return_rate,
+      | CAST(ship_days_sum AS DOUBLE) / n_lines AS mean_ship_days
+      |FROM g
+      |JOIN supplier ON l_suppkey = s_suppkey
+      |JOIN nation ON s_nationkey = n_nationkey
+      |ORDER BY s_suppkey""".stripMargin
 }

@@ -370,4 +370,24 @@ class MultimodalSpec extends SparkSpec {
     }
     assert(rows.exists(_.getBoolean(5)) && rows.exists(!_.getBoolean(5)))
   }
+  test("dominant color replays the modal 9-bit bucket per raster") {
+    val rows = graft.operators.Multimodal.dominantColor(sf).collect()
+    assert(rows.length == sf.documents.count())
+    rows.take(40).foreach { r =>
+      val (id, bucket, cnt, n) = (r.getLong(0), r.getInt(1), r.getLong(2),
+        r.getLong(3))
+      val (w, h) = ((8 + id % 9).toInt, (8 + id * 3 % 9).toInt)
+      assert(n == w.toLong * h)
+      val counts = scala.collection.mutable.Map[Int, Long]().withDefaultValue(0L)
+      for (y <- 0 until h; x <- 0 until w) {
+        val rr = ((id + 7 * x + 13 * y) % 256).toInt / 32
+        val gg = ((2 * id + 11 * x + 3 * y) % 256).toInt / 32
+        val bb = ((3 * id + 5 * x + 17 * y) % 256).toInt / 32
+        counts(rr * 64 + gg * 8 + bb) += 1
+      }
+      val best = counts.toSeq.minBy { case (b, c) => (-c, b) }
+      assert(bucket == best._1 && cnt == best._2, s"doc $id")
+      assert(math.abs(r.getDouble(4) - cnt.toDouble / n) < 1e-12)
+    }
+  }
 }

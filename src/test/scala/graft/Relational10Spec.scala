@@ -145,4 +145,38 @@ class Relational10Spec extends SparkSpec {
       assert(p90 == vs((9 * vs.size + 9) / 10 - 1), s"$key p90")
     }
   }
+  test("supplier scorecard replays volume, returns, and latency sums") {
+    import org.apache.spark.sql.functions.col
+    val rows = Relational10.supplierScorecard(sf).collect()
+      .map(r => r.getLong(0) -> (r.getString(1), r.getLong(2),
+        BigInt(r.getDecimal(3).toBigInteger), r.getDouble(4), r.getDouble(5)))
+      .toMap
+    assert(rows.nonEmpty)
+    val byOrder = sf.orders.select("o_orderkey", "o_orderdate").collect()
+      .map { r =>
+        val d = r.get(1) match {
+          case ldt: java.time.LocalDateTime => ldt.toLocalDate
+          case ts: java.sql.Timestamp      => ts.toLocalDateTime.toLocalDate
+          case d: java.sql.Date            => d.toLocalDate
+        }
+        r.getLong(0) -> d
+      }.toMap
+    val lines = sf.lineitem
+      .select("l_orderkey", "l_suppkey", "l_returnflag", "l_shipdate")
+      .collect().map { r =>
+        val sd = r.get(3) match {
+          case ldt: java.time.LocalDateTime => ldt.toLocalDate
+          case ts: java.sql.Timestamp      => ts.toLocalDateTime.toLocalDate
+          case d: java.sql.Date            => d.toLocalDate
+        }
+        (r.getLong(1), r.getString(2),
+          sd.toEpochDay - byOrder(r.getLong(0)).toEpochDay)
+      }
+    lines.groupBy(_._1).foreach { case (supp, ls) =>
+      val (_, n, _, rr, msd) = rows(supp)
+      assert(n == ls.length)
+      assert(math.abs(rr - ls.count(_._2 == "R").toDouble / n) < 1e-12)
+      assert(math.abs(msd - ls.map(_._3).sum.toDouble / n) < 1e-12)
+    }
+  }
 }
