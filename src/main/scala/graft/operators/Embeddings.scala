@@ -140,6 +140,26 @@ object Embeddings {
     * model state shared by [[pqEncode]] and [[pqAdcTopK]]. `vecs` should
     * be persisted by the caller (training runs two jobs over it).
     */
+  /** Session-scoped PQ codebook memo keyed by (session, data dir) — the
+    * same artifact-lifetime convention as the k-means memo in
+    * [[Similarity]]: deterministic training, bounded driver model,
+    * reused by every ADC consumer instead of retrained per query.
+    */
+  private val pqMemo =
+    new java.util.WeakHashMap[org.apache.spark.sql.SparkSession,
+      scala.collection.mutable.Map[String, Map[(Int, Int), Seq[Double]]]]()
+
+  private[operators] def trainPqShared(t: graft.Tables, vecs: DataFrame)
+      : Map[(Int, Int), Seq[Double]] =
+    pqMemo.synchronized {
+      val perDir = Option(pqMemo.get(t.spark)).getOrElse {
+        val m = scala.collection.mutable.Map
+          .empty[String, Map[(Int, Int), Seq[Double]]]
+        pqMemo.put(t.spark, m); m
+      }
+      perDir.getOrElseUpdate(t.dir, trainPq(vecs))
+    }
+
   private[operators] def trainPq(vecs: DataFrame): Map[(Int, Int), Seq[Double]] = {
     def sub(v: Seq[Double], s: Int): Seq[Double] = v.slice(s * PqDims, (s + 1) * PqDims)
     // seed = the PqK lowest-id vectors, whatever their ids are; a corpus
@@ -187,7 +207,7 @@ object Embeddings {
     val vecs = t.embeddings
       .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
       .persist()
-    val cents = trainPq(vecs)
+    val cents = trainPqShared(t, vecs)
     val out = withBest(cents)(subExplode(vecs))
       .withColumn("dt", col("best.d") + DotProduct(col("sv"), col("sv")))
       .groupBy("vec_id")
@@ -391,7 +411,7 @@ object Embeddings {
     val vecs = t.embeddings
       .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
       .persist()
-    val cents = trainPq(vecs)
+    val cents = trainPqShared(t, vecs)
     val qsubs = querySubvectors(vecs)
     val out = adcScores(
         subExplode(vecs.where(col("vec_id") =!= 0)), qsubs, cents)

@@ -218,6 +218,32 @@ object Similarity {
     * engine-portable by construction, so the oracle recomputes the exact
     * same centroid doubles and knife-edge argmins cannot diverge.
     */
+  /** Session-scoped k-means model memo keyed by (session, data dir) —
+    * the [[Graph.lpaShared]] artifact-lifetime convention applied to the
+    * ANN coarse quantizer: a production pipeline trains the index model
+    * once and every consumer (IVF, IVF-PQ, diversity/k-center/silhouette
+    * audits, the kNN-graph tiers, the streaming gate) reuses it.
+    * Training is deterministic per dir, so memoization changes no
+    * result, only removes repeated Lloyd runs; the value is bounded
+    * driver model state (k×dim doubles), WeakHashMap-scoped to the
+    * session.
+    */
+  private val kmeansMemo =
+    new java.util.WeakHashMap[org.apache.spark.sql.SparkSession,
+      scala.collection.mutable.Map[String,
+        (Seq[(Int, Seq[Double])], Seq[(Int, Seq[Double])])]]()
+
+  private def trainKmeansShared(t: graft.Tables, vecs: DataFrame)
+      : (Seq[(Int, Seq[Double])], Seq[(Int, Seq[Double])]) =
+    kmeansMemo.synchronized {
+      val perDir = Option(kmeansMemo.get(t.spark)).getOrElse {
+        val m = scala.collection.mutable.Map
+          .empty[String, (Seq[(Int, Seq[Double])], Seq[(Int, Seq[Double])])]
+        kmeansMemo.put(t.spark, m); m
+      }
+      perDir.getOrElseUpdate(t.dir, trainKmeans(vecs))
+    }
+
   private def trainKmeans(vecs: DataFrame)
       : (Seq[(Int, Seq[Double])], Seq[(Int, Seq[Double])]) = {
     val init: Seq[(Int, Seq[Double])] = vecs
@@ -255,8 +281,8 @@ object Similarity {
 
   private[graft] def annGateModel(t: Tables): AnnGateModel = {
     val vecs = vectors(t).cache()
-    val (cents, init) = trainKmeans(vecs)
-    val pq = Embeddings.trainPq(vecs)
+    val (cents, init) = trainKmeansShared(t, vecs)
+    val pq = Embeddings.trainPqShared(t, vecs)
     val qv = init.find(_._1 == 0).map(_._2).getOrElse(
       vecs.where(col("vec_id") === 0).select(col("v"))
         .collect()(0).getSeq[Double](0))
@@ -279,7 +305,7 @@ object Similarity {
 
   def ivfTopK(t: Tables): DataFrame = {
     val vecs = vectors(t).cache()
-    val (cents, init) = trainKmeans(vecs)
+    val (cents, init) = trainKmeansShared(t, vecs)
     def assign(cs: Seq[(Int, Seq[Double])]): DataFrame =
       assignCells(vecs, cs).drop("d")
     // the query vector usually rode along in the init collect (vec 0 is
@@ -339,8 +365,8 @@ object Similarity {
     */
   private[operators] def ivfPqAdc(t: Tables): DataFrame = {
     val vecs = vectors(t).cache()
-    val (cents, init) = trainKmeans(vecs)
-    val pq = Embeddings.trainPq(vecs)
+    val (cents, init) = trainKmeansShared(t, vecs)
+    val pq = Embeddings.trainPqShared(t, vecs)
     val qv = init.find(_._1 == 0).map(_._2).getOrElse(
       vecs.where(col("vec_id") === 0).select(col("v"))
         .collect()(0).getSeq[Double](0))
@@ -428,7 +454,7 @@ object Similarity {
     */
   def diverseSample(t: Tables): DataFrame = {
     val vecs = vectors(t).cache()
-    val (cents, _) = trainKmeans(vecs)
+    val (cents, _) = trainKmeansShared(t, vecs)
     val scored = assignCells(vecs, cents)
       .select(col("vec_id"), col("cell"))
       .join(t.documents.select(col("doc_id"), col("n_chars")),
@@ -472,7 +498,7 @@ object Similarity {
     */
   def kmeansClusters(t: Tables): DataFrame = {
     val vecs = vectors(t).cache()
-    val (cents, _) = trainKmeans(vecs)
+    val (cents, _) = trainKmeansShared(t, vecs)
     val assigned = assignCells(vecs, cents)
       .select(col("vec_id"), col("cell"),
         (col("d") + graft.functions.DotProduct(col("v"), col("v"))).as("dist2"))
@@ -869,7 +895,7 @@ object Similarity {
     */
   def topicClusters(t: Tables): DataFrame = {
     val vecs = vectors(t).cache()
-    val (cents, _) = trainKmeans(vecs)
+    val (cents, _) = trainKmeansShared(t, vecs)
     val assigned = assignCells(vecs, cents).select(col("vec_id"), col("cell"))
     val words = t.documents
       .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
@@ -930,7 +956,7 @@ object Similarity {
     */
   def clusterOutliers(t: Tables): DataFrame = {
     val vecs = vectors(t).cache()
-    val (cents, _) = trainKmeans(vecs)
+    val (cents, _) = trainKmeansShared(t, vecs)
     val assigned = assignCells(vecs, cents)
       .select(col("vec_id"), col("cell"),
         (col("d") + graft.functions.DotProduct(col("v"), col("v"))).as("dist2"))
@@ -1218,7 +1244,7 @@ object Similarity {
     */
   def silhouette(t: Tables): DataFrame = {
     val vecs = vectors(t).cache()
-    val (cents, _) = trainKmeans(vecs)
+    val (cents, _) = trainKmeansShared(t, vecs)
     val vv = graft.functions.DotProduct(col("v"), col("v"))
     val scored = cents.map { case (id, c) =>
       val cc = c.map(x => x * x).sum
