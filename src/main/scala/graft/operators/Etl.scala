@@ -414,4 +414,89 @@ object Etl {
        | COALESCE(a_rev, 0) AS a_rev, COALESCE(b_rev, 0) AS b_rev
        |FROM a FULL OUTER JOIN b ON a.l_orderkey = b.l_orderkey
        |ORDER BY order_key""".stripMargin
+
+  /** Fraction of the supplier dim present in the "early" snapshot for
+    * [[lateDims]] (hash-decided — deterministic, engine-portable).
+    */
+  private val EarlyDimFrac = 0.7
+
+  /** Late-arriving dimension handling — the classic warehouse pattern
+    * (facts land before their dimension row does; the load must NOT
+    * drop or stall them): facts joining the EARLY dim snapshot keep
+    * their row with a placeholder member ('UNKNOWN', status
+    * 'placeholder'); when the full dim arrives, a repair pass re-joins
+    * exactly the placeholder keys and flips them to 'repaired'. The
+    * early snapshot is a deterministic hash split of the supplier dim
+    * (so the oracle replays which rows were late); output is the
+    * per-(status, nation) rollup of line counts and exact micro
+    * revenue, proving placeholders held the fact rows and repairs
+    * reattached the real members.
+    *
+    * Plan: one fact aggregation by suppkey, two broadcast dim joins
+    * (early then full — dim-sized, never fact-sized), no windows.
+    */
+  def lateDims(t: Tables): DataFrame = {
+    val d19 = DecimalType(19, 0)
+    val d38 = DecimalType(38, 0)
+    val dim = t.supplier.select("s_suppkey", "s_nationkey")
+      .join(broadcast(t.nation.select("n_nationkey", "n_name")),
+        col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"), col("n_name"))
+    val early = dim.where(
+      graft.operators.Sampling.unitHash(col("s_suppkey")) < EarlyDimFrac)
+    val perSupp = t.lineitem
+      .groupBy("l_suppkey")
+      .agg(count(lit(1)).as("n_lines"),
+        sum((discPrice(col("l_extendedprice"), col("l_discount"))
+          * lit(1000000)).cast(d19)).cast(d38).as("rev_micros"))
+    val phase1 = perSupp
+      .join(broadcast(early), col("l_suppkey") === col("s_suppkey"), "left")
+      .select(col("l_suppkey"), col("n_lines"), col("rev_micros"),
+        when(col("n_name").isNull, "placeholder").otherwise("on_time")
+          .as("status"),
+        coalesce(col("n_name"), lit("UNKNOWN")).as("member"))
+    val repaired = phase1.where(col("status") === "placeholder")
+      .drop("status", "member")
+      .join(broadcast(dim), col("l_suppkey") === col("s_suppkey"))
+      .select(col("l_suppkey"), col("n_lines"), col("rev_micros"),
+        lit("repaired").as("status"), col("n_name").as("member"))
+    phase1.where(col("status") === "on_time").unionAll(repaired)
+      .groupBy("status", "member")
+      .agg(count(lit(1)).as("n_suppliers"),
+        sum(col("n_lines")).cast("long").as("n_lines"),
+        sum(col("rev_micros")).cast(d38).as("rev_micros"))
+      .orderBy("status", "member")
+  }
+
+  val lateDimsSql: String = {
+    val u = graft.operators.Sampling.unitHashSqlFmt.format("s_suppkey")
+    s"""WITH dim AS (
+       | SELECT s_suppkey, n_name FROM supplier
+       | JOIN nation ON s_nationkey = n_nationkey),
+       |per_supp AS (
+       | SELECT l_suppkey, CAST(COUNT(*) AS BIGINT) AS n_lines,
+       |  CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(12,2)) *
+       |    CAST(1 - CAST(l_discount AS DECIMAL(4,2)) AS DECIMAL(8,4))
+       |    * 1000000 AS DECIMAL(19,0))) AS HUGEINT) AS rev_micros
+       | FROM lineitem GROUP BY 1),
+       |early AS (SELECT * FROM dim WHERE $u < $EarlyDimFrac),
+       |phase1 AS (
+       | SELECT l_suppkey, n_lines, rev_micros,
+       |  CASE WHEN e.n_name IS NULL THEN 'placeholder' ELSE 'on_time' END
+       |    AS status,
+       |  COALESCE(e.n_name, 'UNKNOWN') AS member
+       | FROM per_supp LEFT JOIN early e ON l_suppkey = e.s_suppkey),
+       |repaired AS (
+       | SELECT p.l_suppkey, p.n_lines, p.rev_micros,
+       |  'repaired' AS status, d.n_name AS member
+       | FROM phase1 p JOIN dim d ON p.l_suppkey = d.s_suppkey
+       | WHERE p.status = 'placeholder')
+       |SELECT status, member, CAST(COUNT(*) AS BIGINT) AS n_suppliers,
+       | CAST(SUM(n_lines) AS BIGINT) AS n_lines,
+       | CAST(SUM(rev_micros) AS HUGEINT) AS rev_micros
+       |FROM (SELECT * FROM phase1 WHERE status = 'on_time'
+       |      UNION ALL SELECT * FROM repaired)
+       |GROUP BY 1, 2
+       |ORDER BY status, member""".stripMargin
+  }
 }

@@ -155,4 +155,30 @@ class EtlSpec extends SparkSpec {
       assert(r.getBoolean(8) == isWeekend, s"$d weekend flag")
     }
   }
+  test("late dims hold placeholder facts and repair them against the full dim") {
+    val rows = graft.operators.Etl.lateDims(sf).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    assert(rows.map(_._1).toSet == Set("on_time", "repaired"))
+    // no fact row is lost: supplier counts across statuses cover every
+    // supplier with lineitems, and repaired members are real nations
+    val factSupp = sf.lineitem.select("l_suppkey").distinct().count()
+    assert(rows.map(_._3).sum == factSupp)
+    assert(rows.forall(_._2 != "UNKNOWN"))
+    val lineTotal = sf.lineitem.count()
+    assert(rows.map(_._4).sum == lineTotal)
+    // the early-snapshot split decides status: replay it
+    def unitHash(id: Long): Double = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest(id.toString.getBytes("UTF-8"))
+      java.lang.Long.parseLong(
+        md.map("%02x".format(_)).mkString.take(15), 16).toDouble /
+        1152921504606846976.0
+    }
+    val suppliers = sf.supplier.select("s_suppkey").collect().map(_.getLong(0))
+    val late = suppliers.filter(s => unitHash(s) >= 0.7).toSet
+    val factSupps = sf.lineitem.select("l_suppkey").distinct().collect()
+      .map(_.getLong(0))
+    val expRepaired = factSupps.count(late.contains)
+    assert(rows.filter(_._1 == "repaired").map(_._3).sum == expRepaired)
+  }
 }
