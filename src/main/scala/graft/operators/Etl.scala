@@ -385,8 +385,10 @@ object Etl {
           .otherwise("changed").as("change_type"),
         coalesce(col("a_lines"), lit(0L)).as("a_lines"),
         coalesce(col("b_lines"), lit(0L)).as("b_lines"),
-        coalesce(col("a_rev"), lit(0L).cast(DecimalType(38, 0))).as("a_rev"),
-        coalesce(col("b_rev"), lit(0L).cast(DecimalType(38, 0))).as("b_rev"))
+        coalesce(col("a_rev"), lit(0L).cast(DecimalType(38, 0)))
+          .cast("long").as("a_rev"),
+        coalesce(col("b_rev"), lit(0L).cast(DecimalType(38, 0)))
+          .cast("long").as("b_rev"))
       .orderBy("order_key")
   }
 
@@ -395,14 +397,14 @@ object Etl {
        | SELECT l_orderkey, CAST(COUNT(*) AS BIGINT) AS a_lines,
        |  CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(12,2)) *
        |    CAST(1 - CAST(l_discount AS DECIMAL(4,2)) AS DECIMAL(8,4))
-       |    * 1000000 AS DECIMAL(19,0))) AS HUGEINT) AS a_rev
+       |    * 1000000 AS DECIMAL(19,0))) AS BIGINT) AS a_rev
        | FROM lineitem WHERE CAST(l_shipdate AS DATE) < DATE '$SnapHi'
        | GROUP BY 1),
        |b AS (
        | SELECT l_orderkey, CAST(COUNT(*) AS BIGINT) AS b_lines,
        |  CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(12,2)) *
        |    CAST(1 - CAST(l_discount AS DECIMAL(4,2)) AS DECIMAL(8,4))
-       |    * 1000000 AS DECIMAL(19,0))) AS HUGEINT) AS b_rev
+       |    * 1000000 AS DECIMAL(19,0))) AS BIGINT) AS b_rev
        | FROM lineitem WHERE CAST(l_shipdate AS DATE) >= DATE '$SnapLo'
        | GROUP BY 1)
        |SELECT COALESCE(a.l_orderkey, b.l_orderkey) AS order_key,
@@ -464,7 +466,7 @@ object Etl {
       .groupBy("status", "member")
       .agg(count(lit(1)).as("n_suppliers"),
         sum(col("n_lines")).cast("long").as("n_lines"),
-        sum(col("rev_micros")).cast(d38).as("rev_micros"))
+        sum(col("rev_micros")).cast(d38).cast("long").as("rev_micros"))
       .orderBy("status", "member")
   }
 
@@ -493,7 +495,7 @@ object Etl {
        | WHERE p.status = 'placeholder')
        |SELECT status, member, CAST(COUNT(*) AS BIGINT) AS n_suppliers,
        | CAST(SUM(n_lines) AS BIGINT) AS n_lines,
-       | CAST(SUM(rev_micros) AS HUGEINT) AS rev_micros
+       | CAST(SUM(rev_micros) AS BIGINT) AS rev_micros
        |FROM (SELECT * FROM phase1 WHERE status = 'on_time'
        |      UNION ALL SELECT * FROM repaired)
        |GROUP BY 1, 2

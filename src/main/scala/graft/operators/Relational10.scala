@@ -154,10 +154,12 @@ object Relational10 {
           .otherwise(lit(0).cast(d19)).cast(d38)).as("c_post"),
         sum(when(!col("treated") && !col("post"), micros)
           .otherwise(lit(0).cast(d19)).cast(d38)).as("c_pre"))
-      .select(col("n_name"), col("t_pre"), col("t_post"), col("c_pre"),
-        col("c_post"),
+      .select(col("n_name"), col("t_pre").cast("long").as("t_pre"),
+        col("t_post").cast("long").as("t_post"),
+        col("c_pre").cast("long").as("c_pre"),
+        col("c_post").cast("long").as("c_post"),
         (col("t_post") - col("t_pre") - (col("c_post") - col("c_pre")))
-          .as("did_micros"))
+          .cast("long").as("did_micros"))
       .orderBy("n_name")
   }
 
@@ -176,13 +178,13 @@ object Relational10 {
        |g AS (
        | SELECT n_name,
        |  CAST(SUM(CASE WHEN treated AND post THEN micros ELSE 0 END)
-       |    AS HUGEINT) AS t_post,
+       |    AS BIGINT) AS t_post,
        |  CAST(SUM(CASE WHEN treated AND NOT post THEN micros ELSE 0 END)
-       |    AS HUGEINT) AS t_pre,
+       |    AS BIGINT) AS t_pre,
        |  CAST(SUM(CASE WHEN NOT treated AND post THEN micros ELSE 0 END)
-       |    AS HUGEINT) AS c_post,
+       |    AS BIGINT) AS c_post,
        |  CAST(SUM(CASE WHEN NOT treated AND NOT post THEN micros ELSE 0 END)
-       |    AS HUGEINT) AS c_pre
+       |    AS BIGINT) AS c_pre
        | FROM f GROUP BY 1)
        |SELECT n_name, t_pre, t_post, c_pre, c_post,
        | t_post - t_pre - (c_post - c_pre) AS did_micros
@@ -207,7 +209,7 @@ object Relational10 {
       .groupBy(col("l_partkey"), trunc(col("l_shipdate"), "month").as("mon"))
       .agg(sum((graft.functions.Exact.discPrice(
         col("l_extendedprice"), col("l_discount")) * lit(1000000)).cast(d19))
-        .cast(org.apache.spark.sql.types.DecimalType(38, 0)).as("cur"))
+        .cast("long").as("cur"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("l_partkey").orderBy("mon")
     monthly
@@ -225,7 +227,7 @@ object Relational10 {
        | SELECT l_partkey, date_trunc('month', CAST(l_shipdate AS DATE)) AS mon,
        |  CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(12,2)) *
        |    CAST(1 - CAST(l_discount AS DECIMAL(4,2)) AS DECIMAL(8,4))
-       |    * 1000000 AS DECIMAL(19,0))) AS HUGEINT) AS cur
+       |    * 1000000 AS DECIMAL(19,0))) AS BIGINT) AS cur
        | FROM lineitem GROUP BY 1, 2),
        |lagged AS (
        | SELECT l_partkey AS p_partkey, mon,
@@ -389,7 +391,7 @@ object Relational10 {
       .agg(count(lit(1)).as("n_lines"),
         sum((graft.functions.Exact.discPrice(
           col("l_extendedprice"), col("l_discount")) * lit(1000000))
-          .cast(d19)).cast(d38).as("revenue_micros"),
+          .cast(d19)).cast(d38).cast("long").as("revenue_micros"),
         sum(when(col("l_returnflag") === "R", 1L).otherwise(0L)).cast("long")
           .as("n_returned"),
         sum(datediff(col("l_shipdate"), col("o_orderdate")).cast("long"))
@@ -411,7 +413,7 @@ object Relational10 {
       | SELECT l_suppkey, CAST(COUNT(*) AS BIGINT) AS n_lines,
       |  CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(12,2)) *
       |    CAST(1 - CAST(l_discount AS DECIMAL(4,2)) AS DECIMAL(8,4))
-      |    * 1000000 AS DECIMAL(19,0))) AS HUGEINT) AS revenue_micros,
+      |    * 1000000 AS DECIMAL(19,0))) AS BIGINT) AS revenue_micros,
       |  CAST(SUM(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS BIGINT)
       |    AS n_returned,
       |  CAST(SUM(date_diff('day', CAST(o_orderdate AS DATE),

@@ -11,6 +11,31 @@ class EntrySpec extends SparkSpec {
     }
   }
 
+  test("no registered query exposes DecimalType at its output seam") {
+    // house convention (round-12, after the five r11 hash-fails): internal
+    // math may use exact decimals, but every OUTPUT column must be
+    // long/double/string/date/... — the driver's hasher canonicalizes
+    // decimal columns differently from int64, so a value-correct decimal
+    // output still fails the gate. graph_hits (BIGINT femto scores) is
+    // the pattern; this guard makes the convention mechanical.
+    import org.apache.spark.sql.types._
+    def decimals(dt: DataType, path: String): Seq[String] = dt match {
+      case _: DecimalType => Seq(path)
+      case s: StructType =>
+        s.fields.toSeq.flatMap(f => decimals(f.dataType, s"$path.${f.name}"))
+      case a: ArrayType => decimals(a.elementType, s"$path[]")
+      case m: MapType =>
+        decimals(m.keyType, s"$path<key>") ++ decimals(m.valueType, s"$path<val>")
+      case _ => Nil
+    }
+    val offenders = SparkEntry.queries.toSeq.flatMap { case (name, fn) =>
+      fn(spark, dir).schema.fields.flatMap(f =>
+        decimals(f.dataType, s"$name.${f.name}"))
+    }
+    assert(offenders.isEmpty,
+      s"DecimalType at an output seam (cast to long/double): $offenders")
+  }
+
   test("every oracle key has a matching query key") {
     val qk = SparkEntry.queries.keySet
     val ok = SparkEntry.oracleSql.keySet
