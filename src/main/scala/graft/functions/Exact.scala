@@ -82,4 +82,21 @@ object Exact {
   def decToDoubleSql(e: String): String =
     s"(CAST(($e - ($e % 1000000000)) // 1000000000 AS DOUBLE) * 1.0e9" +
       s" + CAST($e % 1000000000 AS DOUBLE))"
+
+  /** Signed twin of [[decToDouble]]: split the sign out FIRST, convert
+    * the magnitude through the exact hi/lo recipe, multiply back. The
+    * base helper is nonnegative-only — Spark's `pmod` yields a
+    * nonnegative remainder while DuckDB's `%` truncates toward zero, so
+    * feeding a negative sum through the unsigned pair diverges by 1 ulp
+    * once |s| exceeds 2⁵³ (the elasticity precedent, generalized).
+    */
+  def decToDoubleSigned(s: Column): Column =
+    decToDouble(abs(s)) * when(s < 0, lit(-1.0)).otherwise(lit(1.0))
+
+  /** Bitwise DuckDB twin of [[decToDoubleSigned]]. `e` must be a pure
+    * column reference or cheap expression — it is spliced several times.
+    */
+  def decToDoubleSignedSql(e: String): String =
+    s"(${decToDoubleSql(s"ABS($e)")} *" +
+      s" (CASE WHEN $e < 0 THEN -1.0 ELSE 1.0 END))"
 }

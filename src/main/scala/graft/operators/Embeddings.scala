@@ -145,20 +145,11 @@ object Embeddings {
     * [[Similarity]]: deterministic training, bounded driver model,
     * reused by every ADC consumer instead of retrained per query.
     */
-  private val pqMemo =
-    new java.util.WeakHashMap[org.apache.spark.sql.SparkSession,
-      scala.collection.mutable.Map[String, Map[(Int, Int), Seq[Double]]]]()
+  private val pqMemo = new graft.SessionMemo[Map[(Int, Int), Seq[Double]]]
 
   private[operators] def trainPqShared(t: graft.Tables, vecs: DataFrame)
       : Map[(Int, Int), Seq[Double]] =
-    pqMemo.synchronized {
-      val perDir = Option(pqMemo.get(t.spark)).getOrElse {
-        val m = scala.collection.mutable.Map
-          .empty[String, Map[(Int, Int), Seq[Double]]]
-        pqMemo.put(t.spark, m); m
-      }
-      perDir.getOrElseUpdate(t.dir, trainPq(vecs))
-    }
+    pqMemo.getOrCompute(t.spark, t.dir)(trainPq(vecs))
 
   private[operators] def trainPq(vecs: DataFrame): Map[(Int, Int), Seq[Double]] = {
     def sub(v: Seq[Double], s: Int): Seq[Double] = v.slice(s * PqDims, (s + 1) * PqDims)
@@ -914,21 +905,24 @@ object Embeddings {
         sum((col("a.qx") * col("a.qx")).cast(d38)).as("saa"),
         sum((col("b.qx") * col("b.qx")).cast(d38)).as("sbb"),
         sum((col("a.qx") * col("b.qx")).cast(d38)).as("sab"))
-    import graft.functions.Exact.decToDouble
+    // sa/sb/sab carry sign (embedding axes straddle zero) — the SIGNED
+    // conversion keeps the hi/lo split exact on both engines; saa/sbb
+    // are sums of squares, nonnegative by construction
+    import graft.functions.Exact.{decToDouble, decToDoubleSigned}
     cells.select(col("dim_a"), col("dim_b"), col("n"),
-        ((col("n") * decToDouble(col("sab")) -
-          decToDouble(col("sa")) * decToDouble(col("sb"))) /
+        ((col("n") * decToDoubleSigned(col("sab")) -
+          decToDoubleSigned(col("sa")) * decToDoubleSigned(col("sb"))) /
           (sqrt(col("n") * decToDouble(col("saa")) -
-            decToDouble(col("sa")) * decToDouble(col("sa"))) *
+            decToDoubleSigned(col("sa")) * decToDoubleSigned(col("sa"))) *
             sqrt(col("n") * decToDouble(col("sbb")) -
-              decToDouble(col("sb")) * decToDouble(col("sb")))))
+              decToDoubleSigned(col("sb")) * decToDoubleSigned(col("sb")))))
           .as("corr"))
       .orderBy(abs(col("corr")).desc, col("dim_a"), col("dim_b"))
       .limit(DimCorrK)
   }
 
   lazy val dimCorrSql: String = {
-    import graft.functions.Exact.decToDoubleSql
+    import graft.functions.Exact.{decToDoubleSql, decToDoubleSignedSql}
     s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
        |q AS (
        | SELECT vec_id, CAST(unnest(range(len(v))) AS INT) AS i,
@@ -942,19 +936,19 @@ object Embeddings {
        | FROM q a JOIN q b ON a.vec_id = b.vec_id AND a.i < b.i
        | GROUP BY 1, 2)
        |SELECT dim_a, dim_b, n,
-       | (n * ${decToDoubleSql("sab")} -
-       |    ${decToDoubleSql("sa")} * ${decToDoubleSql("sb")}) /
+       | (n * ${decToDoubleSignedSql("sab")} -
+       |    ${decToDoubleSignedSql("sa")} * ${decToDoubleSignedSql("sb")}) /
        |  (sqrt(n * ${decToDoubleSql("saa")} -
-       |     ${decToDoubleSql("sa")} * ${decToDoubleSql("sa")}) *
+       |     ${decToDoubleSignedSql("sa")} * ${decToDoubleSignedSql("sa")}) *
        |   sqrt(n * ${decToDoubleSql("sbb")} -
-       |     ${decToDoubleSql("sb")} * ${decToDoubleSql("sb")})) AS corr
+       |     ${decToDoubleSignedSql("sb")} * ${decToDoubleSignedSql("sb")})) AS corr
        |FROM cells
-       |ORDER BY ABS((n * ${decToDoubleSql("sab")} -
-       |    ${decToDoubleSql("sa")} * ${decToDoubleSql("sb")}) /
+       |ORDER BY ABS((n * ${decToDoubleSignedSql("sab")} -
+       |    ${decToDoubleSignedSql("sa")} * ${decToDoubleSignedSql("sb")}) /
        |  (sqrt(n * ${decToDoubleSql("saa")} -
-       |     ${decToDoubleSql("sa")} * ${decToDoubleSql("sa")}) *
+       |     ${decToDoubleSignedSql("sa")} * ${decToDoubleSignedSql("sa")}) *
        |   sqrt(n * ${decToDoubleSql("sbb")} -
-       |     ${decToDoubleSql("sb")} * ${decToDoubleSql("sb")}))) DESC,
+       |     ${decToDoubleSignedSql("sb")} * ${decToDoubleSignedSql("sb")}))) DESC,
        | dim_a, dim_b
        |LIMIT $DimCorrK""".stripMargin
   }

@@ -574,18 +574,10 @@ object Graph {
     * labels are one row per part. WeakHashMap on the session so a
     * stopped session's entries are collectable.
     */
-  private val lpaMemo =
-    new java.util.WeakHashMap[org.apache.spark.sql.SparkSession,
-      scala.collection.mutable.Map[String, (DataFrame, DataFrame)]]()
+  private val lpaMemo = new graft.SessionMemo[(DataFrame, DataFrame)]
 
   private[graft] def lpaShared(t: Tables): (DataFrame, DataFrame) =
-    lpaMemo.synchronized {
-      val perDir = Option(lpaMemo.get(t.spark)).getOrElse {
-        val m = scala.collection.mutable.Map.empty[String, (DataFrame, DataFrame)]
-        lpaMemo.put(t.spark, m); m
-      }
-      perDir.getOrElseUpdate(t.dir, computeLpaShared(t))
-    }
+    lpaMemo.getOrCompute(t.spark, t.dir)(computeLpaShared(t))
 
   private def computeLpaShared(t: Tables): (DataFrame, DataFrame) = {
     // localCheckpoint, not persist: the edge frame outlives this call
@@ -917,7 +909,11 @@ object Graph {
         struct(col("a_part").as("u"), col("b_part").as("v")),
         struct(col("b_part").as("u"), col("a_part").as("v")))).as("e"))
       .select(col("e.u").as("u"), col("e.v").as("v"))
-      .persist()
+      // localCheckpoint, not persist: three consumers (deg + both wedge
+      // sides) reuse the mined edges without forcing the upstream
+      // pipeline into a CACHED plan (AQE-restricted, the r10/r11
+      // ProfileJaccard finding), and no cache entry outlives the query
+      .localCheckpoint(true)
     val deg = edges.groupBy("u").agg(count(lit(1)).as("d"))
     val common = edges.select(col("v").as("w"), col("u").as("a"))
       .join(edges.select(col("v").as("w"), col("u").as("b")), Seq("w"))
@@ -975,7 +971,8 @@ object Graph {
         struct(col("a_part").as("u"), col("b_part").as("v")),
         struct(col("b_part").as("u"), col("a_part").as("v")))).as("e"))
       .select(col("e.u").as("u"), col("e.v").as("v"))
-      .persist()
+      // localCheckpoint for the same reason as nodeSimilarity above
+      .localCheckpoint(true)
     val deg = edges.groupBy("u").agg(count(lit(1)).as("d"))
     val wedgeScores = edges.select(col("v").as("w"), col("u").as("a"))
       .join(edges.select(col("v").as("w"), col("u").as("b")), Seq("w"))

@@ -229,20 +229,11 @@ object Similarity {
     * session.
     */
   private val kmeansMemo =
-    new java.util.WeakHashMap[org.apache.spark.sql.SparkSession,
-      scala.collection.mutable.Map[String,
-        (Seq[(Int, Seq[Double])], Seq[(Int, Seq[Double])])]]()
+    new graft.SessionMemo[(Seq[(Int, Seq[Double])], Seq[(Int, Seq[Double])])]
 
   private def trainKmeansShared(t: graft.Tables, vecs: DataFrame)
       : (Seq[(Int, Seq[Double])], Seq[(Int, Seq[Double])]) =
-    kmeansMemo.synchronized {
-      val perDir = Option(kmeansMemo.get(t.spark)).getOrElse {
-        val m = scala.collection.mutable.Map
-          .empty[String, (Seq[(Int, Seq[Double])], Seq[(Int, Seq[Double])])]
-        kmeansMemo.put(t.spark, m); m
-      }
-      perDir.getOrElseUpdate(t.dir, trainKmeans(vecs))
-    }
+    kmeansMemo.getOrCompute(t.spark, t.dir)(trainKmeans(vecs))
 
   private def trainKmeans(vecs: DataFrame)
       : (Seq[(Int, Seq[Double])], Seq[(Int, Seq[Double])]) = {
@@ -735,13 +726,15 @@ object Similarity {
     * rescored with the exact cosine and re-cut to top-[[KnnK]].
     *
     * The seed's top-k lists are read three times (both sides of the
-    * expansion join + the union), so the frame is persisted; rescoring
+    * expansion join + the union), so the frame is localCheckpoint-pinned
+    * (not persisted: a cacheManager persist would build the seed as a
+    * CACHED plan with AQE restricted and leak the entry); rescoring
     * reuses the identical dot-product fold, so surviving seed edges
     * keep bitwise-equal cosines and the oracle replays the whole round.
     */
   def nnDescent(t: Tables): DataFrame = {
     val seed = topKUnsorted(lshCandidates(t))
-      .select("vec_id", "nb_id").persist()
+      .select("vec_id", "nb_id").localCheckpoint(true)
     val nn2 = seed.as("s1")
       .join(seed.as("s2"), col("s1.nb_id") === col("s2.vec_id"))
       .select(col("s1.vec_id").as("vec_id"), col("s2.nb_id").as("nb_id"))

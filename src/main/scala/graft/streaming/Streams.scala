@@ -790,11 +790,16 @@ object Streams {
       .select(col("doc_id").as("b_id"), col("ts").as("b_ts"), col("sz").as("b_sz"),
         col("hg").as("b_hg"), col("band_idx").as("b_band_idx"),
         col("band_hash").as("b_band_hash"))
+    // two-sided time bound: the duplicate verdict belongs to the HIGHER
+    // doc_id (batch min-label convention) regardless of which member
+    // arrives first — requiring a_ts <= b_ts here would let a near-dup
+    // pair slip through whenever the lower-id doc arrives later within
+    // the window (found in round-12 advice; spec pins the inverted case)
     val streamHits = wmA.join(wmB,
         col("a_id") < col("b_id") &&
           col("a_band_idx") === col("b_band_idx") &&
           col("a_band_hash") === col("b_band_hash") &&
-          col("a_ts") <= col("b_ts") &&
+          col("a_ts") <= col("b_ts") + expr("INTERVAL 2 HOURS") &&
           col("a_ts") >= col("b_ts") - expr("INTERVAL 2 HOURS"))
       .where(lenOk(col("a_sz"), col("b_sz")) &&
         graft.functions.SortedLongJaccard(col("a_hg"), col("b_hg")) >= thr)

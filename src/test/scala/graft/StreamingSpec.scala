@@ -794,6 +794,43 @@ class StreamingSpec extends SparkSpec {
       s"need both outcomes, got ${rows.toSeq}")
   }
 
+  test("lsh dedup gate: out-of-order arrival still collides (lower id arrives later)") {
+    implicit val sqlCtx = spark.sqlContext
+    // the duplicate verdict belongs to the HIGHER doc_id regardless of
+    // which member arrives first — a one-sided a_ts <= b_ts join bound
+    // would silently admit both docs whenever the lower-id member shows
+    // up later within the window (round-12 advice finding)
+    val t = sf
+    val index = graft.operators.Dedup.corpusBandIndex(t).where(lit(false))
+    val dupText = "the quick brown fox jumps over the lazy dog near the old stone bridge at dawn"
+    val soloText = "completely unrelated content about maritime navigation charts and tidal tables"
+    val input = MemoryStream[DocEvent]
+    // higher id 7 arrives FIRST (earlier event time AND earlier batch)
+    input.addData(DocEvent(7L, ts(5), dupText), DocEvent(9L, ts(6), soloText))
+    val q = Streams.lshDedupGateStream(input.toDF(), index)
+      .writeStream.format("memory").queryName("lshgate_ooo")
+      .outputMode("append").start()
+    q.processAllAvailable()
+    // lower id 3 arrives LATER, still inside the 1h window and 2h bound
+    input.addData(DocEvent(3L, ts(45), dupText))
+    q.processAllAvailable()
+    input.addData(DocEvent(999999L, Timestamp.valueOf("2025-01-02 10:00:00"), ""))
+    q.processAllAvailable()
+    input.addData(DocEvent(999998L, Timestamp.valueOf("2025-01-03 10:00:00"), ""))
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.table("lshgate_ooo").collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getBoolean(3))))
+      .filter(_._1 < 999000L).toMap
+    assert(rows.keySet == Set(3L, 7L, 9L), s"verdicts: $rows")
+    // doc 3 (lowest id of the pair) is the keeper; doc 7 is the dup even
+    // though it arrived first
+    assert(rows(3L) == ((0L, 0L, true)), s"doc 3: ${rows(3L)}")
+    val (nc7, ns7, keep7) = rows(7L)
+    assert(nc7 == 0L && ns7 >= 1L && !keep7, s"doc 7: ${rows(7L)}")
+    assert(rows(9L) == ((0L, 0L, true)), s"doc 9: ${rows(9L)}")
+  }
+
   test("perplexity gate stream scores equal the batch gate on the same docs") {
     implicit val sqlCtx = spark.sqlContext
     val t = sf
