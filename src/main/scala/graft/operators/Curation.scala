@@ -216,11 +216,11 @@ object Curation {
   def curateCorpus(t: Tables): DataFrame = {
     val quality = TextAnalysis2.gopherColumns(t.documents)
       .select(col("doc_id"), col("n_words"), col("keep").as("keep_quality"))
-    val kb = Dedup.keepBest(t)
+    val kb = Dedup.keepBestShared(t)
       .select(col("doc_id"), col("cluster_id"), col("keep_best").as("keep_dedup"))
     // r11: the URL/domain front door joins the gate chain — blocklisted
     // or over-cap domains drop here just like quality/dedup failures
-    val dom = domainFilter(t)
+    val dom = domainFilterShared(t)
       .select(col("doc_id"), col("keep").as("keep_domain"))
     quality.join(kb, Seq("doc_id"))
       .join(dom, Seq("doc_id"))
@@ -352,16 +352,17 @@ object Curation {
     import org.apache.spark.sql.expressions.Window
     val qg = TextAnalysis2.gopherColumns(t.documents)
       .select(col("doc_id"), col("keep").as("keep_quality"))
-    val kb = Dedup.keepBest(t)
+    val kb = Dedup.keepBestShared(t)
       .select(col("doc_id"), col("keep_best").as("keep_dedup"))
     val flagged = decontaminate(t)
       .select(col("doc_id"), lit(true).as("dc_flag"))
-    val wp = TextAnalysis3.wordpiece(t).select(col("doc_id"), col("n_wp_tokens"))
+    val wp = TextAnalysis3.wordpieceShared(t)
+      .select(col("doc_id"), col("n_wp_tokens"))
     // r11: the perplexity gate joins the chain — docs the reference LM
     // finds out-of-distribution drop before tokenization/packing.
     // Unscored docs (the LM holdout slice itself, and docs with no
     // bigrams) pass by default: the gate only judges what it scored.
-    val ppl = perplexityGate(t)
+    val ppl = perplexityGateShared(t)
       .select(col("doc_id"), col("keep").as("ppl_keep"))
     val base = t.documents.select(col("doc_id"))
       .join(qg, Seq("doc_id"))
@@ -462,32 +463,43 @@ object Curation {
     * partitioned by (domain, blocked) — key-partitioned shuffle, linear
     * at 100 TB, no global state.
     */
-  def domainFilter(t: Tables): DataFrame = {
-    val url = concat(
-      when(pmod(col("doc_id"), lit(2)) === 0, lit("https://")).otherwise(lit("http://")),
-      when(pmod(col("doc_id"), lit(7)) === 0, lit("www.")).otherwise(lit("")),
-      col("source"),
-      when(pmod(col("doc_id"), lit(3)) === 0, lit(".com"))
-        .when(pmod(col("doc_id"), lit(3)) === 1, lit(".org")).otherwise(lit(".net")),
-      when(pmod(col("doc_id"), lit(5)) === 0, lit(":8080")).otherwise(lit("")),
-      lit("/p/"), col("doc_id").cast("string"),
-      when(pmod(col("doc_id"), lit(4)) === 0, lit("?utm_source=feed")).otherwise(lit("")))
-    // domain comes from PARSING the url (scheme/www/port/path stripped),
-    // not from the build ingredients — that's the operator under test
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy("domain", "blocked")
-      .orderBy(Sampling.unitHash(col("doc_id")), col("doc_id"))
-    t.documents
-      .select(col("doc_id"), url.as("url"))
-      .withColumn("domain",
-        regexp_extract(col("url"), "^[a-z]+://(?:www\\.)?([^/:?]+)", 1))
-      .withColumn("blocked",
-        col("domain").endsWith(".net") || col("domain") === "src0.com")
-      .withColumn("rk", row_number().over(w))
-      .withColumn("keep", !col("blocked") && col("rk") <= DomainCap)
-      .select("doc_id", "url", "domain", "blocked", "keep")
-      .orderBy("doc_id")
-  }
+  def domainFilter(t: Tables): DataFrame =
+    domainFilterShared(t).orderBy("doc_id")
+
+  /** Session-shared domain-gate frame (doc_id, url, domain, blocked,
+    * keep), localCheckpoint-pinned per (session, dir) — three consumers
+    * ([[domainFilter]], [[curateCorpus]], [[ragPipeline]]) reuse one
+    * computation (the [[graft.SessionMemo]] convention).
+    */
+  private val domainMemo = new graft.SessionMemo[DataFrame]
+
+  private[graft] def domainFilterShared(t: Tables): DataFrame =
+    domainMemo.getOrCompute(t.spark, t.dir) {
+      val url = concat(
+        when(pmod(col("doc_id"), lit(2)) === 0, lit("https://")).otherwise(lit("http://")),
+        when(pmod(col("doc_id"), lit(7)) === 0, lit("www.")).otherwise(lit("")),
+        col("source"),
+        when(pmod(col("doc_id"), lit(3)) === 0, lit(".com"))
+          .when(pmod(col("doc_id"), lit(3)) === 1, lit(".org")).otherwise(lit(".net")),
+        when(pmod(col("doc_id"), lit(5)) === 0, lit(":8080")).otherwise(lit("")),
+        lit("/p/"), col("doc_id").cast("string"),
+        when(pmod(col("doc_id"), lit(4)) === 0, lit("?utm_source=feed")).otherwise(lit("")))
+      // domain comes from PARSING the url (scheme/www/port/path stripped),
+      // not from the build ingredients — that's the operator under test
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("domain", "blocked")
+        .orderBy(Sampling.unitHash(col("doc_id")), col("doc_id"))
+      t.documents
+        .select(col("doc_id"), url.as("url"))
+        .withColumn("domain",
+          regexp_extract(col("url"), "^[a-z]+://(?:www\\.)?([^/:?]+)", 1))
+        .withColumn("blocked",
+          col("domain").endsWith(".net") || col("domain") === "src0.com")
+        .withColumn("rk", row_number().over(w))
+        .withColumn("keep", !col("blocked") && col("rk") <= DomainCap)
+        .select("doc_id", "url", "domain", "blocked", "keep")
+        .localCheckpoint(true)
+    }
 
   /** The shared (doc_id, url, domain, blocked, keep) CTE chain ending in
     * `dom` — used by [[domainFilterSql]] and the curate composition.
@@ -567,13 +579,26 @@ object Curation {
           .otherwise(expr("array()"))).as("b"))
       .select(xxhash64(col("b.w1"), col("b.w2")).as("h12"))
       .groupBy("h12").agg(count(lit(1)).as("bc"))
-    val thr = perplexityGate(t)
+    val thr = perplexityGateShared(t)
       .where(!col("keep")).agg(coalesce(max(col("ppl_score")), lit(-1L)))
       .head().getLong(0)
     (uni, bc, thr)
   }
 
-  def perplexityGate(t: Tables): DataFrame = {
+  def perplexityGate(t: Tables): DataFrame =
+    perplexityGateShared(t).orderBy("doc_id")
+
+  /** Session-shared perplexity-gate verdict frame (doc_id, n_bigrams,
+    * ppl_score, keep), localCheckpoint-pinned per (session, dir) — the
+    * LM trains and scores once; [[perplexityGate]], [[pplModel]]'s
+    * threshold read, and [[pretrainPipeline]] all reuse it.
+    */
+  private val pplGateMemo = new graft.SessionMemo[DataFrame]
+
+  private[graft] def perplexityGateShared(t: Tables): DataFrame =
+    pplGateMemo.getOrCompute(t.spark, t.dir)(computePerplexityGate(t))
+
+  private def computePerplexityGate(t: Tables): DataFrame = {
     val docs = t.documents.select(col("doc_id"), split(col("text"), " ").as("ws"))
     val hold = docs.where(pmod(col("doc_id"), lit(PplHoldoutMod)) === 0)
     // every count key is hashed to a 64-bit long BEFORE its shuffle —
@@ -616,7 +641,7 @@ object Curation {
     scored.crossJoin(broadcast(thr))
       .withColumn("keep", col("ppl_score") > col("thr"))
       .select("doc_id", "n_bigrams", "ppl_score", "keep")
-      .orderBy("doc_id")
+      .localCheckpoint(true)
   }
 
   /** The shared perplexity-gate CTE chain ending in `pplg(doc_id,
@@ -712,9 +737,9 @@ object Curation {
     * composing the same CTE chains.
     */
   def ragPipeline(t: Tables): DataFrame = {
-    val dom = domainFilter(t)
+    val dom = domainFilterShared(t)
       .select(col("doc_id"), col("keep").as("keep_domain"))
-    val kb = Dedup.keepBest(t)
+    val kb = Dedup.keepBestShared(t)
       .select(col("doc_id"), col("keep_best").as("keep_dedup"))
     val kept = t.documents.select(col("doc_id"), col("text"))
       .join(dom, Seq("doc_id"))

@@ -554,35 +554,58 @@ object Dedup {
       .select(col("id"), coalesce(col("graph_lbl"), col("id")).as("lbl"))
   }
 
+  /** Session-shared dedup verdict frame keyed by (session, dir) — the
+    * [[graft.SessionMemo]] artifact-lifetime convention applied to the
+    * curation pipeline's most expensive shared stage: the near-dup
+    * cluster labels + keep-best ranking are computed ONCE per session
+    * and dir (the propagation fixpoint and AllPairs candidate mining
+    * behind them dominate the stage), localCheckpoint-pinned, and every
+    * consumer ([[clusters]], [[keepBest]], [[Curation.curateCorpus]],
+    * [[Curation.pretrainPipeline]], [[Curation.ragPipeline]]) reuses the
+    * pinned frame — exactly how a production pipeline materializes a
+    * dedup verdict table once per load and joins it everywhere.
+    * Deterministic, so memoization changes no result. Columns:
+    * (doc_id, cluster_id, n_chars, keep_best).
+    */
+  private val keepBestMemo = new graft.SessionMemo[DataFrame]
+
+  private[graft] def keepBestShared(t: Tables): DataFrame =
+    keepBestMemo.getOrCompute(t.spark, t.dir) {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("cluster_id").orderBy(col("n_chars").desc, col("doc_id"))
+      propagateLabels(
+        t.documents.select(col("doc_id").as("id")),
+        ngramJaccardPairs(t).select("a_id", "b_id"))
+        .select(col("id").as("doc_id"), col("lbl").as("cluster_id"))
+        .join(t.documents.select(col("doc_id"), col("n_chars")), Seq("doc_id"))
+        .withColumn("keep_best", row_number().over(w) === 1)
+        .select("doc_id", "cluster_id", "n_chars", "keep_best")
+        .localCheckpoint(true)
+    }
+
   /** Dedup cluster formation: near-dup PAIRS folded into canonical
     * GROUPS by min-label propagation run to convergence. Output: every
     * doc with its cluster id (= lowest doc_id reachable) and a keeper
     * flag. This is the step that turns pairwise similarity into an
-    * actual deduplicated corpus.
+    * actual deduplicated corpus. Reads the shared verdict frame
+    * ([[keepBestShared]]); `is_keeper` is the min-label convention
+    * (cluster id = lowest reachable doc_id), independent of the
+    * keep-best ranking also carried there.
     */
   def clusters(t: Tables): DataFrame =
-    propagateLabels(
-      t.documents.select(col("doc_id").as("id")),
-      ngramJaccardPairs(t).select("a_id", "b_id"))
-      .select(col("id").as("doc_id"), col("lbl").as("cluster_id"),
-        (col("id") === col("lbl")).as("is_keeper"))
+    keepBestShared(t)
+      .select(col("doc_id"), col("cluster_id"),
+        (col("doc_id") === col("cluster_id")).as("is_keeper"))
       .orderBy("doc_id")
 
   /** Keep-best dedup: within each near-dup cluster, keep the
     * highest-quality representative (longest text, doc_id tie-break)
     * instead of the lowest id — the selection step a production dedup
-    * actually ships. One window partitioned by cluster on top of
-    * [[clusters]]' labels.
+    * actually ships. One window partitioned by cluster on top of the
+    * propagated labels, computed once in [[keepBestShared]].
     */
-  def keepBest(t: Tables): DataFrame = {
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy("cluster_id").orderBy(col("n_chars").desc, col("doc_id"))
-    clusters(t).select(col("doc_id"), col("cluster_id"))
-      .join(t.documents.select(col("doc_id"), col("n_chars")), Seq("doc_id"))
-      .withColumn("keep_best", row_number().over(w) === 1)
-      .select("doc_id", "cluster_id", "n_chars", "keep_best")
-      .orderBy("doc_id")
-  }
+  def keepBest(t: Tables): DataFrame =
+    keepBestShared(t).orderBy("doc_id")
 
   /** The keep-best ranking predicate over the propagated labels (l3) +
     * documents (d) join — shared with [[Curation.curateCorpusSql]] so

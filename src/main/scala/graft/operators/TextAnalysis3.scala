@@ -105,7 +105,21 @@ object TextAnalysis3 {
     * equality — no floats anywhere — so the oracle replays the greedy
     * walk as suffix-eating CTE steps and matches bit-for-bit.
     */
-  def wordpiece(t: Tables): DataFrame = {
+  def wordpiece(t: Tables): DataFrame =
+    wordpieceShared(t).orderBy("doc_id")
+
+  /** Session-shared WordPiece token-count frame (doc_id, n_words,
+    * n_wp_tokens), localCheckpoint-pinned per (session, dir) — the
+    * tokenizer trains and applies once; the `text_wordpiece` query and
+    * [[Curation.pretrainPipeline]] both reuse it (the
+    * [[graft.SessionMemo]] convention).
+    */
+  private val wordpieceMemo = new graft.SessionMemo[DataFrame]
+
+  private[graft] def wordpieceShared(t: Tables): DataFrame =
+    wordpieceMemo.getOrCompute(t.spark, t.dir)(computeWordpiece(t))
+
+  private def computeWordpiece(t: Tables): DataFrame = {
     val wf = Unigram.words(t).coalesce(8).cache()
     val sc0 = Unigram.seedCounts(wf)
     val top = sc0.orderBy(col("cnt").desc, col("piece")).limit(Unigram.SeedSize)
@@ -143,7 +157,7 @@ object TextAnalysis3 {
       .join(seg.select(col("w").as("word"), col("cnt")), Seq("word"))
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_words"), sum(col("cnt")).as("n_wp_tokens"))
-      .orderBy("doc_id")
+      .localCheckpoint(true)
     wf.unpersist(false)
     out
   }
