@@ -422,6 +422,165 @@ object Multimodal {
        |GROUP BY doc_id
        |ORDER BY doc_id""".stripMargin
 
+  /** One decoded frame of a synthesized animated GIF: the exact integer
+    * luma sum of its pixels (r+g+b over the raster).
+    */
+  final case class GifFrame(doc_id: Long, frame_idx: Int, luma_sum: Long)
+
+  /** Deterministic multi-frame animated GIF per document — the video
+    * stand-in for the real-codec tier (javax.imageio writes and reads
+    * multi-frame GIF with no external codec, the PNG/WAV pattern
+    * extended to a frame SEQUENCE). The clip is a few solid-color
+    * "scenes": frame f belongs to scene f div seg, and every scene has
+    * a formula color. Frames are TYPE_BYTE_INDEXED over an explicit
+    * palette holding exactly the scene colors, so the GIF round-trip is
+    * lossless BY CONSTRUCTION (no quantizer in the loop) and the oracle
+    * replays the decoded rasters from the formula alone.
+    */
+  private[graft] def synthGif(docId: Long): Array[Byte] = {
+    val w = 4 + (docId % 5).toInt
+    val h = 4 + ((docId * 3) % 5).toInt
+    val nFrames = 4 + (docId % 5).toInt
+    val seg = 2 + (docId % 3).toInt
+    val nScenes = (nFrames + seg - 1) / seg
+    val size = math.max(2, nScenes)
+    val reds = new Array[Byte](size)
+    val greens = new Array[Byte](size)
+    val blues = new Array[Byte](size)
+    var s = 0
+    while (s < nScenes) {
+      reds(s) = ((docId * 31 + s * 97) % 256).toByte
+      greens(s) = ((docId * 17 + s * 53) % 256).toByte
+      blues(s) = ((docId * 7 + s * 29) % 256).toByte
+      s += 1
+    }
+    val icm = new java.awt.image.IndexColorModel(8, size, reds, greens, blues)
+    val out = new java.io.ByteArrayOutputStream()
+    val ios = javax.imageio.ImageIO.createImageOutputStream(out)
+    val writer = javax.imageio.ImageIO.getImageWritersByFormatName("gif").next()
+    writer.setOutput(ios)
+    // MODE_DISABLED turns OFF GIF interlacing — the writer's default
+    // (interlaced) trips a JDK sequence-reader row-reorder bug on tiny
+    // rasters (last row comes back as palette slot 0), observed in-round
+    val param = writer.getDefaultWriteParam
+    param.setProgressiveMode(javax.imageio.ImageWriteParam.MODE_DISABLED)
+    writer.prepareWriteSequence(null)
+    var f = 0
+    while (f < nFrames) {
+      val img = new java.awt.image.BufferedImage(
+        w, h, java.awt.image.BufferedImage.TYPE_BYTE_INDEXED, icm)
+      val scene = f / seg
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) { img.getRaster.setSample(x, y, 0, scene); x += 1 }
+        y += 1
+      }
+      writer.writeToSequence(new javax.imageio.IIOImage(img, null, null), param)
+      f += 1
+    }
+    writer.endWriteSequence()
+    writer.dispose()
+    ios.close()
+    out.toByteArray
+  }
+
+  /** REAL-codec scene-cut detection — the video twin of [[decodePng]]:
+    * synthesize an animated GIF per document, decode EVERY frame back
+    * through javax.imageio's sequence reader at the batched
+    * `mapPartitions` seam, fingerprint each frame with its exact
+    * integer luma sum, and detect cuts with a per-doc LAG exactly as
+    * the stub tier ([[sceneCuts]]) does — the decode is the only part
+    * that changed tiers. Output per doc: frame count, cut count, first
+    * cut index, and the total decoded luma (the whole-pipeline
+    * integrity check: one flipped pixel anywhere moves it).
+    *
+    * Scale shape: codec work is per-row CPU via [[codecIds]]' spread,
+    * the cut LAG is a doc-partitioned window over per-doc-bounded frame
+    * counts, and the rollup is one key aggregation — linear end to end.
+    */
+  def sceneCutsReal(t: Tables): DataFrame = {
+    val spark = t.spark
+    import spark.implicits._
+    val frames = codecIds(t)
+      .mapPartitions { it =>
+        it.grouped(BatchSize).flatMap { batch =>
+          batch.flatMap { id =>
+            val reader =
+              javax.imageio.ImageIO.getImageReadersByFormatName("gif").next()
+            val iis = javax.imageio.ImageIO.createImageInputStream(
+              new java.io.ByteArrayInputStream(synthGif(id)))
+            reader.setInput(iis)
+            val n = reader.getNumImages(true)
+            val rows = (0 until n).map { f =>
+              val img = reader.read(f)
+              var sum = 0L
+              var y = 0
+              while (y < img.getHeight) {
+                var x = 0
+                while (x < img.getWidth) {
+                  val rgb = img.getRGB(x, y)
+                  sum += ((rgb >> 16) & 0xFF) + ((rgb >> 8) & 0xFF) + (rgb & 0xFF)
+                  x += 1
+                }
+                y += 1
+              }
+              GifFrame(id, f, sum)
+            }
+            reader.dispose()
+            iis.close()
+            rows
+          }
+        }
+      }
+      .toDF()
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy("frame_idx")
+    val isCut = col("prev").isNotNull && col("prev") =!= col("luma_sum")
+    frames
+      .withColumn("prev", lag(col("luma_sum"), 1).over(w))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_frames"),
+        sum(when(isCut, 1L).otherwise(0L)).as("n_cuts"),
+        min(when(isCut, col("frame_idx"))).as("first_cut_idx"),
+        sum(col("luma_sum")).as("luma_total"))
+      .orderBy("doc_id")
+  }
+
+  /** Oracle for [[sceneCutsReal]]: frames and their solid-color luma
+    * sums replayed from the synthesis formula (lossless palette GIF, so
+    * decoded pixels ARE the formula pixels), then the identical
+    * LAG-based cut detection. All nonnegative integer arithmetic.
+    */
+  val sceneCutsRealSql: String =
+    """WITH p AS (
+      |  SELECT doc_id,
+      |    4 + doc_id % 5 AS w, 4 + (doc_id * 3) % 5 AS h,
+      |    4 + doc_id % 5 AS nf, 2 + doc_id % 3 AS seg
+      |  FROM documents),
+      |f AS (
+      |  SELECT doc_id, w, h, seg,
+      |    CAST(unnest(range(0, nf)) AS BIGINT) AS fi
+      |  FROM p),
+      |s AS (
+      |  SELECT doc_id, fi,
+      |    ((doc_id * 31 + (fi // seg) * 97) % 256
+      |     + (doc_id * 17 + (fi // seg) * 53) % 256
+      |     + (doc_id * 7 + (fi // seg) * 29) % 256) * w * h AS luma_sum
+      |  FROM f),
+      |l AS (
+      |  SELECT doc_id, fi, luma_sum,
+      |    LAG(luma_sum) OVER (PARTITION BY doc_id ORDER BY fi) AS prev
+      |  FROM s)
+      |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_frames,
+      |  CAST(SUM(CASE WHEN prev IS NOT NULL AND prev <> luma_sum
+      |    THEN 1 ELSE 0 END) AS BIGINT) AS n_cuts,
+      |  CAST(MIN(CASE WHEN prev IS NOT NULL AND prev <> luma_sum
+      |    THEN fi END) AS INT) AS first_cut_idx,
+      |  CAST(SUM(luma_sum) AS BIGINT) AS luma_total
+      |FROM l GROUP BY doc_id
+      |ORDER BY doc_id""".stripMargin
+
   /** Perceptual-hash (average-hash) image near-dup: 16 "pixels" sampled
     * at evenly spaced payload offsets stand in for the 4×4 downsampled
     * grayscale raster a real aHash computes after decode — each is

@@ -257,6 +257,42 @@ class MultimodalSpec extends SparkSpec {
     assert(png.take(8).toSeq == Seq(0x89, 0x50, 0x4E, 0x47, 0x0D, 0x0A, 0x1A, 0x0A).map(_.toByte))
   }
 
+  test("scene_cuts_real decodes every GIF frame and replays cuts from the scene formula") {
+    val got = Multimodal.sceneCutsReal(sf).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2),
+          if (r.isNullAt(3)) -1 else r.getInt(3), r.getLong(4))))
+      .toMap
+    assert(got.size == sf.documents.count().toInt)
+    got.foreach { case (id, (nf, nc, fci, lt)) =>
+      val (w, h) = (4 + (id % 5).toInt, 4 + ((id * 3) % 5).toInt)
+      val enf = 4 + (id % 5).toInt
+      val seg = 2 + (id % 3).toInt
+      def luma(f: Int): Long = {
+        val s = f / seg
+        ((id * 31 + s * 97) % 256 + (id * 17 + s * 53) % 256 +
+          (id * 7 + s * 29) % 256) * w * h
+      }
+      val lumas = (0 until enf).map(luma)
+      val cuts = (1 until enf).filter(f => lumas(f) != lumas(f - 1))
+      assert(nf == enf.toLong, s"doc $id n_frames $nf vs $enf")
+      assert(nc == cuts.length.toLong, s"doc $id n_cuts")
+      assert(fci == cuts.headOption.getOrElse(-1), s"doc $id first_cut_idx")
+      assert(lt == lumas.sum, s"doc $id luma_total: lossless GIF must replay")
+    }
+    // both outcomes present: clips with cuts and single-scene clips
+    assert(got.values.exists(_._2 > 0) && got.values.exists(_._2 == 0))
+    // the payload really is an animated GIF: magic + >1 frame standalone
+    val gif = Multimodal.synthGif(5L)
+    assert(new String(gif.take(6), "US-ASCII") == "GIF89a")
+    val reader = javax.imageio.ImageIO.getImageReadersByFormatName("gif").next()
+    val iis = javax.imageio.ImageIO.createImageInputStream(
+      new java.io.ByteArrayInputStream(gif))
+    reader.setInput(iis)
+    assert(reader.getNumImages(true) == 4 + (5L % 5).toInt)
+    reader.dispose(); iis.close()
+  }
+
   test("dhash bits replay from the pixel formula without the codec") {
     val got = Multimodal.dhashReal(sf).collect()
       .map(r => r.getLong(0) -> ((r.getInt(1), r.getInt(2), r.getLong(3)))).toMap
