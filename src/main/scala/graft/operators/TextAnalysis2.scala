@@ -93,6 +93,120 @@ object TextAnalysis2 {
        |FROM documents d LEFT JOIN p USING (doc_id)
        |ORDER BY doc_id""".stripMargin
 
+  /** Arbitrary-alignment exact substring dedup — the span-level recipe
+    * of Lee et al. 2022 ("Deduplicating Training Data Makes Language
+    * Models Better", public knowledge) re-expressed for Spark: instead
+    * of a corpus suffix array, every [[SpanLen]]-token gram at EVERY
+    * start offset is fingerprinted, grams whose corpus-wide occurrence
+    * count exceeds one (cross-doc OR repeated within a doc) mark the
+    * token positions they cover, and the per-doc coverage bitmap is
+    * stitched row-locally into MAXIMAL duplicated spans — so a 57-token
+    * duplicated passage reports as one span at its true boundaries, at
+    * any alignment, never as 48 overlapping grams ([[substringDedup]]
+    * reports gram-level counts only). Output per doc: span inventory
+    * ("start-end,…" 1-based inclusive), covered-token count/fraction,
+    * and the REWRITTEN text with every duplicated span dropped (the
+    * conservative remove-all-copies policy; keeping one canonical copy
+    * per cluster is a downstream choice).
+    *
+    * Scale shape: linear in total grams — per-(doc, gram) position
+    * lists pre-aggregate BEFORE the frequency join (the
+    * [[substringDedup]] skew bound: a boilerplate gram's join partition
+    * holds one row per containing doc, not per occurrence), the
+    * frequency table is one two-phase count, and ALL span logic
+    * (coverage, stitching, rewrite) is row-local HOF arithmetic bounded
+    * by document length. Grams shuffle as xxhash64 longs; a collision
+    * could only over-mark one span (never loses one) and the
+    * string-gram oracle confirms zero at test scale.
+    */
+  def spanDedup(t: Tables): DataFrame = {
+    val k = SpanLen
+    val spans = t.documents
+      .select(col("doc_id"), toks.as("w"))
+      .select(
+        col("doc_id"),
+        expr(s"""CASE WHEN size(w) >= $k
+                |THEN transform(sequence(1, size(w) - ${k - 1}),
+                |  i -> struct(i AS i,
+                |    xxhash64(concat_ws(' ', slice(w, i, $k))) AS g))
+                |ELSE CAST(array() AS ARRAY<STRUCT<i: INT, g: BIGINT>>) END"""
+          .stripMargin).as("sp"))
+    val ex = spans.select(col("doc_id"), explode(col("sp")).as("s"))
+      .select(col("doc_id"), col("s.i").as("i"), col("s.g").as("g"))
+    val pg = ex.groupBy("doc_id", "g").agg(collect_list(col("i")).as("ps"))
+    val gf = pg.groupBy("g").agg(sum(size(col("ps"))).as("cnt"))
+    val ds = pg.join(gf.where(col("cnt") > 1), Seq("g"))
+      .groupBy("doc_id")
+      .agg(sort_array(flatten(collect_list(col("ps")))).as("ds"))
+    t.documents
+      .select(col("doc_id"), toks.as("w"))
+      .join(ds, Seq("doc_id"), "left")
+      .withColumn("ds", coalesce(col("ds"), expr("CAST(array() AS ARRAY<INT>)")))
+      .withColumn("n", size(col("w")))
+      // covered positions, ascending (sequence is ascending; n >= 1
+      // always — split of even an empty string yields one token)
+      .withColumn("cp", expr(
+        s"filter(sequence(1, n), p -> exists(ds, s -> p >= s AND p <= s + ${k - 1}))"))
+      .withColumn("ss", expr("filter(cp, p -> NOT array_contains(cp, p - 1))"))
+      .withColumn("ee", expr("filter(cp, p -> NOT array_contains(cp, p + 1))"))
+      .select(
+        col("doc_id"),
+        size(col("ss")).cast("long").as("n_spans"),
+        size(col("cp")).cast("long").as("n_dup_tokens"),
+        (size(col("cp")).cast("double") / col("n")).as("dup_token_frac"),
+        expr("""array_join(zip_with(ss, ee,
+                |  (a, b) -> concat(cast(a AS STRING), '-', cast(b AS STRING))),
+                |  ',')""".stripMargin).as("spans"),
+        expr("""concat_ws(' ',
+                |  transform(filter(sequence(1, n),
+                |    p -> NOT array_contains(cp, p)), p -> w[p - 1]))"""
+          .stripMargin).as("clean_text"))
+      .orderBy("doc_id")
+  }
+
+  val spanDedupSql: String =
+    s"""WITH tw AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+       |sp AS (
+       | SELECT doc_id,
+       |  CASE WHEN len(w) >= $SpanLen
+       |  THEN list_transform(range(1, len(w) - ${SpanLen - 2}),
+       |    i -> struct_pack(i := i,
+       |      g := array_to_string(w[i:i+${SpanLen - 1}], ' ')))
+       |  ELSE [] END AS sp
+       | FROM tw),
+       |e0 AS (SELECT doc_id, unnest(sp) AS s FROM sp),
+       |e AS (SELECT doc_id, s.i AS i, s.g AS g FROM e0),
+       |pg AS (SELECT doc_id, g, list(i) AS ps FROM e GROUP BY doc_id, g),
+       |gf AS (SELECT g, SUM(len(ps)) AS cnt FROM pg GROUP BY g),
+       |dsx AS (
+       | SELECT doc_id, list_sort(flatten(list(ps))) AS ds
+       | FROM pg JOIN gf USING (g) WHERE cnt > 1 GROUP BY doc_id),
+       |f AS (
+       | SELECT tw.doc_id, tw.w, len(tw.w) AS n, COALESCE(dsx.ds, []) AS ds
+       | FROM tw LEFT JOIN dsx USING (doc_id)),
+       |c AS (
+       | SELECT doc_id, w, n,
+       |  list_filter(range(1, n + 1),
+       |    p -> len(list_filter(ds,
+       |      s -> p >= s AND p <= s + ${SpanLen - 1})) > 0) AS cp
+       | FROM f),
+       |r AS (
+       | SELECT doc_id, w, n, cp,
+       |  list_filter(cp, p -> NOT list_contains(cp, p - 1)) AS ss,
+       |  list_filter(cp, p -> NOT list_contains(cp, p + 1)) AS ee
+       | FROM c)
+       |SELECT doc_id,
+       | CAST(len(ss) AS BIGINT) AS n_spans,
+       | CAST(len(cp) AS BIGINT) AS n_dup_tokens,
+       | CAST(len(cp) AS DOUBLE) / n AS dup_token_frac,
+       | COALESCE(array_to_string(list_transform(range(1, len(ss) + 1),
+       |   k -> ss[k] || '-' || ee[k]), ','), '') AS spans,
+       | COALESCE(array_to_string(list_transform(
+       |   list_filter(range(1, n + 1), p -> NOT list_contains(cp, p)),
+       |   p -> w[p]), ' '), '') AS clean_text
+       |FROM r
+       |ORDER BY doc_id""".stripMargin
+
   private val GopherStopwords = Seq("the", "a", "of", "and", "to", "in", "is")
 
   // single source of truth for the rule thresholds — interpolated into

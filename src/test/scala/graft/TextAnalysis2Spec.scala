@@ -21,6 +21,70 @@ class TextAnalysis2Spec extends SparkSpec {
     assert(rows.exists(r => r.getLong(1) > 0 && r.getLong(2) == 0))
   }
 
+  test("span dedup stitches maximal spans at arbitrary alignments and rewrites text") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-span").toString
+    // a 14-token passage shared by docs 0 and 1 at DIFFERENT offsets
+    // (alignment 3 vs 0 — the case fixed-chunk dedup misses), unique
+    // padding everywhere else, and a fully unique doc 2
+    val dup = (0 until 14).map(i => s"dup$i").mkString(" ")
+    def pad(tag: String, n: Int) = (0 until n).map(i => s"$tag$i").mkString(" ")
+    val d0 = s"${pad("a", 3)} $dup ${pad("b", 5)}"
+    val d1 = s"$dup ${pad("c", 7)}"
+    val d2 = pad("u", 30)
+    val docs = Seq((0L, d0, "en", "s", d0.length.toLong),
+      (1L, d1, "en", "s", d1.length.toLong),
+      (2L, d2, "en", "s", d2.length.toLong))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    docs.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val rows = TextAnalysis2.spanDedup(Tables(spark, dir)).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3),
+        r.getString(4), r.getString(5)))).toMap
+    // doc 0: the dup passage occupies 1-based tokens 4..17 — ONE maximal
+    // span at its true boundaries, not 5 overlapping 10-gram reports
+    val (s0, t0, _, sp0, ct0) = rows(0L)
+    assert(s0 == 1L && t0 == 14L && sp0 == "4-17", s"doc0: ${rows(0L)}")
+    assert(ct0 == s"${pad("a", 3)} ${pad("b", 5)}", s"doc0 rewrite: $ct0")
+    // doc 1: same passage at offset 0 → span 1-14
+    val (s1, t1, _, sp1, ct1) = rows(1L)
+    assert(s1 == 1L && t1 == 14L && sp1 == "1-14", s"doc1: ${rows(1L)}")
+    assert(ct1 == pad("c", 7), s"doc1 rewrite: $ct1")
+    // doc 2: untouched
+    assert(rows(2L) == ((0L, 0L, 0.0, "", d2)), s"doc2: ${rows(2L)}")
+  }
+
+  test("span dedup on the corpus: stats are consistent and both outcomes occur") {
+    val rows = TextAnalysis2.spanDedup(sf).collect()
+    assert(rows.length == sf.documents.count())
+    val nTok = sf.documents.collect()
+      .map(r => r.getLong(0) -> tokensOf(r.getString(1)).length).toMap
+    rows.foreach { r =>
+      val (id, ns, nd, frac) =
+        (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))
+      assert(nd >= 0 && nd <= nTok(id))
+      assert(frac == nd.toDouble / nTok(id))
+      // every maximal span is at least one gram long
+      if (ns > 0) assert(nd >= 10 * ns - 9 * (ns - 1) || nd >= 10,
+        s"doc $id: $ns spans but only $nd tokens")
+      // span inventory parses and its lengths sum to the covered count
+      val spans = r.getString(4)
+      if (ns == 0) assert(spans.isEmpty)
+      else {
+        val parts = spans.split(",").map { s =>
+          val Array(a, b) = s.split("-").map(_.toInt); (a, b)
+        }
+        assert(parts.length == ns)
+        assert(parts.map { case (a, b) => b - a + 1 }.sum.toLong == nd)
+        parts.foreach { case (a, b) => assert(a >= 1 && b >= a + 9) }
+      }
+      // rewrite drops exactly the covered tokens
+      val kept = r.getString(5)
+      val keptLen = if (kept.isEmpty) 0 else kept.split(" ").length
+      assert(keptLen == nTok(id) - nd, s"doc $id rewrite length")
+    }
+    assert(rows.exists(_.getLong(1) > 0) && rows.exists(_.getLong(1) == 0))
+  }
+
   test("substring dedup span counts equal max(0, n_tokens - 9)") {
     val expected = sf.documents.collect()
       .map(r => r.getLong(0) -> math.max(0, tokensOf(r.getString(1)).length - 9).toLong)
