@@ -624,6 +624,67 @@ object Streams {
         }
       }
 
+  /** Late-data observability tap — the streaming twin of
+    * `etl_quarantine`'s "rows never vanish" rule: every watermarked
+    * stateful stream in this library silently DROPS events older than
+    * the watermark (correct for state cleanup, invisible to
+    * operations). This tap makes the drop observable and recoverable:
+    * per micro-batch it replays Spark's own watermark rule — the
+    * watermark entering a batch is (max event time seen in PREVIOUS
+    * batches − allowed lateness), exactly when Spark applies it — and
+    * routes each event to `kept/` or the `late/` dead-letter table,
+    * appending one monitor row (batch id, event count, late count, the
+    * watermark applied) per batch. kept ∪ late is the input, row for
+    * row; a downstream watermarked agg over `kept` sees exactly what it
+    * would have kept, and the `late/` table is the backfill feed.
+    *
+    * All three tables use the batch-id-partitioned overwrite convention
+    * ([[driftGateStream]]) so replays are idempotent. The running max
+    * event time is driver state of ONE long, advanced monotonically
+    * after each batch — the same quantity Spark tracks in the query
+    * checkpoint; a production deploy would persist it there (restart
+    * from a cold driver starts permissive, never drops to `late/` what
+    * a warm run would have kept... it keeps MORE, the safe direction).
+    */
+  def lateDataTapStream(events: DataFrame, outPath: String,
+      latenessMs: Long = 10 * 60 * 1000L)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
+    val maxSeenMs = new java.util.concurrent.atomic.AtomicLong(Long.MinValue)
+    events.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (!batch.isEmpty) {
+          val spark = batch.sparkSession
+          import spark.implicits._
+          val wmMs =
+            if (maxSeenMs.get() == Long.MinValue) Long.MinValue
+            else maxSeenMs.get() - latenessMs
+          // pin: the batch frame feeds three consumers (two routed
+          // writes + the stats row) and must not recompute per action
+          val pinned = batch.withColumn("_ts_ms", unix_millis(col("ts")))
+            .localCheckpoint(true)
+          val late = pinned.where(col("_ts_ms") < wmMs)
+          val kept = pinned.where(col("_ts_ms") >= wmMs)
+          kept.drop("_ts_ms").coalesce(1)
+            .write.mode("overwrite").parquet(s"$outPath/kept/batch_id=$batchId")
+          val nLate = late.count()
+          if (nLate > 0)
+            late.drop("_ts_ms").coalesce(1)
+              .write.mode("overwrite").parquet(s"$outPath/late/batch_id=$batchId")
+          val agg = pinned
+            .agg(count(lit(1)).as("n"), max(col("_ts_ms")).as("mx"))
+            .head()
+          Seq((agg.getLong(0), nLate,
+            if (wmMs == Long.MinValue) -1L else wmMs))
+            .toDF("n_events", "n_late", "watermark_ms")
+            .coalesce(1)
+            .write.mode("overwrite").parquet(s"$outPath/monitor/batch_id=$batchId")
+          maxSeenMs.accumulateAndGet(agg.getLong(1), Math.max(_, _))
+          ()
+        }
+      }
+  }
+
   /** Streaming decontamination gate — the train-batch / score-stream
     * pattern for BENCHMARK LEAKAGE: the held-out benchmark corpus
     * (static) collapses to ONE row holding its distinct hashed word-

@@ -749,6 +749,44 @@ class StreamingSpec extends SparkSpec {
     assert(chi1 == expChi, s"chi2 $chi1 vs $expChi")
   }
 
+  test("late-data tap routes watermark-late rows to the dead letter and counts them") {
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("latetap").toString
+    val input = MemoryStream[Event]
+    // batch 0: no watermark yet — everything kept, monitor says wm = -1
+    input.addData(Event(1, ts(0), "a", 1.0), Event(2, ts(30), "b", 1.0))
+    val q = Streams.lateDataTapStream(input.toDF(), dir)
+      .option("checkpointLocation", s"$dir-ckpt").start()
+    q.processAllAvailable()
+    // batch 1: watermark = 10:30 − 10min = 10:20. The 10:05 event is
+    // LATE (would be silently dropped by a stateful agg); 10:25 and
+    // 10:45 are on time
+    input.addData(Event(3, ts(5), "late", 1.0), Event(4, ts(25), "c", 1.0),
+      Event(5, ts(45), "d", 1.0))
+    q.processAllAvailable()
+    // batch 2: watermark advances to 10:45 − 10min = 10:35; 10:33 late
+    input.addData(Event(6, ts(33), "late2", 1.0), Event(7, ts(50), "e", 1.0))
+    q.processAllAvailable()
+    q.stop()
+    val monitor = spark.read.parquet(s"$dir/monitor").collect()
+      .map(r => r.getAs[Int]("batch_id") ->
+        ((r.getAs[Long]("n_events"), r.getAs[Long]("n_late"),
+          r.getAs[Long]("watermark_ms")))).toMap
+    assert(monitor(0) == ((2L, 0L, -1L)), s"batch 0: $monitor")
+    val wm1 = ts(20).getTime
+    assert(monitor(1) == ((3L, 1L, wm1)), s"batch 1: $monitor")
+    val wm2 = ts(35).getTime
+    assert(monitor(2) == ((2L, 1L, wm2)), s"batch 2: $monitor")
+    // dead letter holds exactly the two late events
+    val late = spark.read.parquet(s"$dir/late").collect()
+      .map(_.getAs[Long]("user_id")).sorted.toSeq
+    assert(late == Seq(3L, 6L), s"late: $late")
+    // nothing vanished: kept + late partition the input
+    val kept = spark.read.parquet(s"$dir/kept").collect()
+      .map(_.getAs[Long]("user_id")).sorted.toSeq
+    assert(kept == Seq(1L, 2L, 4L, 5L, 7L), s"kept: $kept")
+  }
+
   test("lsh dedup gate: stream keeps equal the batch incremental-dedup keeps") {
     implicit val sqlCtx = spark.sqlContext
     // the daily batch (doc_id % 5 = 0) arrives as a stream and probes the
