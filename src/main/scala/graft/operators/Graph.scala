@@ -884,6 +884,159 @@ object Graph {
        |GROUP BY seed
        |ORDER BY harmonic_milli DESC, p_partkey""".stripMargin
 
+  /** Fixed BFS horizon for [[betweenness]] — shared with the oracle's
+    * unrolled rounds, so both engines truncate identically.
+    */
+  private val BcDepth = 6
+  /** Sampled sources (smallest node ids — deterministic). */
+  private val BcSources = 4
+  /** Dependency scores carry 10⁶-scaled integers (micro units). */
+  private val BcScale = 1000000L
+  private val BcTopK = 100
+
+  /** Sampled betweenness centrality (Brandes 1:2001, sampled per
+    * Bader/Brandes-style pivoting — both public knowledge): dependency
+    * scores accumulated from [[BcSources]] deterministic source BFS
+    * trees, the standard "who sits on the shortest paths" ranking for
+    * bridge detection. Forward phase: ONE level-synchronous BFS carries
+    * all sources at once (state keyed (source, node) — k× rows, same
+    * round count), per level one edge join + one sigma sum-fold
+    * (σ(w) = Σ σ(pred)) with an anti-join against the visited set, to
+    * the fixed [[BcDepth]] horizon. Backward phase: Brandes'
+    * accumulation δ(v) = Σ_{w∈succ} σ(v)/σ(w)·(1+δ(w)) evaluated in
+    * EXACT INTEGER MICROS — each term is `(σ_v·(10⁶+δ_w)) div σ_w`, so
+    * per-node sums are order-free integer adds and the score is
+    * engine-portable bit-for-bit (the graph_hits femto convention; a
+    * double Σ here would be partitioning-dependent). Every level pins
+    * via localCheckpoint (the fixpoint convention — two consumers per
+    * level: the next round and the final union).
+    *
+    * Scale: 2·[[BcDepth]] edge-linear shuffles, state ≤ sources ×
+    * nodes, no pair space; the sampled-sources design is exactly how
+    * betweenness is run on big graphs (exact all-pairs is O(nm)).
+    */
+  def betweenness(t: Tables): DataFrame = {
+    val spark = t.spark
+    import spark.implicits._
+    val edges = Relational7.basketPairsRaw(t, EdgeSupport)
+      .select(explode(array(
+        struct(col("a_part").as("u"), col("b_part").as("v")),
+        struct(col("b_part").as("u"), col("a_part").as("v")))).as("e"))
+      .select(col("e.u").as("u"), col("e.v").as("v"))
+      .localCheckpoint(true)
+    val srcs = edges.select(col("u")).distinct().orderBy("u")
+      .limit(BcSources).as[Long].collect().toSeq
+    if (srcs.isEmpty)
+      return Seq.empty[(Long, Long, Double)]
+        .toDF("p_partkey", "bc_micros", "bc")
+    val f0 = srcs.map(s => (s, s, 1L)).toDF("s", "node", "sigma")
+      .withColumn("dist", lit(0)).localCheckpoint(true)
+    var levels = Vector(f0)
+    var visited = f0.select("s", "node").localCheckpoint(true)
+    for (r <- 1 to BcDepth) {
+      val expanded = levels.last
+        .join(edges, col("node") === col("u"))
+        .select(col("s"), col("v").as("nnode"), col("sigma"))
+      val fresh = expanded
+        .join(visited.withColumnRenamed("node", "nnode"),
+          Seq("s", "nnode"), "left_anti")
+        .groupBy(col("s"), col("nnode"))
+        .agg(sum(col("sigma")).as("sigma"))
+        .select(col("s"), col("nnode").as("node"), col("sigma"))
+        .withColumn("dist", lit(r))
+        .localCheckpoint(true)
+      levels :+= fresh
+      visited = visited.union(fresh.select("s", "node")).localCheckpoint(true)
+    }
+    // backward: each iteration consumes ONLY the immediately deeper
+    // level's deltas (successors of a dist-l node on a shortest path
+    // sit at dist l+1 by construction)
+    var deltas = levels(BcDepth)
+      .select(col("s"), col("node"), col("sigma"), col("dist"),
+        lit(0L).as("delta"))
+    val acc = scala.collection.mutable.ArrayBuffer(deltas)
+    for (l <- BcDepth - 1 to 0 by -1) {
+      val succTerms = levels(l)
+        .join(edges, col("node") === col("u"))
+        .select(col("s"), col("node"), col("sigma"), col("v"))
+        .join(deltas.select(col("s"), col("node").as("v"),
+          col("sigma").as("wsig"), col("delta").as("wdelta")), Seq("s", "v"))
+        .select(col("s"), col("node"),
+          expr(s"(sigma * ($BcScale + wdelta)) div wsig").as("term"))
+        .groupBy("s", "node").agg(sum(col("term")).as("accTerm"))
+      deltas = levels(l)
+        .join(succTerms, Seq("s", "node"), "left")
+        .select(col("s"), col("node"), col("sigma"), col("dist"),
+          coalesce(col("accTerm"), lit(0L)).as("delta"))
+        .localCheckpoint(true)
+      acc += deltas
+    }
+    acc.reduce(_ unionByName _)
+      .where(col("dist") > 0)
+      .groupBy("node")
+      .agg(sum(col("delta")).cast("long").as("bc_micros"))
+      .select(col("node").as("p_partkey"), col("bc_micros"),
+        (col("bc_micros").cast("double") / lit(1.0e6)).as("bc"))
+      .orderBy(col("bc_micros").desc, col("p_partkey"))
+      .limit(BcTopK)
+  }
+
+  /** Oracle: the identical level-synchronous forward rounds and
+    * integer-micro backward accumulation, unrolled as materialized
+    * CTEs ([[pageRankSql]] convention — every level is referenced
+    * twice, so inlining would re-derive the chain exponentially).
+    */
+  val betweennessSql: String = {
+    val fwd = (1 to BcDepth).map { r =>
+      s"""f$r AS MATERIALIZED (
+         | SELECT x.s, x.node, SUM(x.sigma) AS sigma FROM (
+         |   SELECT f.s, e.v AS node, f.sigma
+         |   FROM f${r - 1} f JOIN edges e ON e.u = f.node) x
+         | LEFT JOIN v${r - 1} vv ON vv.s = x.s AND vv.node = x.node
+         | WHERE vv.node IS NULL
+         | GROUP BY 1, 2),
+         |v$r AS MATERIALIZED (
+         | SELECT * FROM v${r - 1}
+         | UNION ALL SELECT s, node FROM f$r)""".stripMargin
+    }.mkString(",\n")
+    val bwd = (BcDepth - 1 to 0 by -1).map { l =>
+      s"""d$l AS MATERIALIZED (
+         | SELECT g.s, g.node, g.sigma,
+         |  COALESCE(SUM((g.sigma * ($BcScale + n.delta)) // n.sigma), 0)
+         |    AS delta
+         | FROM f$l g
+         | LEFT JOIN edges e ON e.u = g.node
+         | LEFT JOIN d${l + 1} n ON n.s = g.s AND n.node = e.v
+         | GROUP BY 1, 2, 3)""".stripMargin
+    }.mkString(",\n")
+    val nonSrc = (1 to BcDepth)
+      .map(l => s"SELECT node, delta FROM d$l").mkString("\n  UNION ALL ")
+    s"""WITH items AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+       |cp AS (
+       |  SELECT a.l_partkey AS a, b.l_partkey AS b
+       |  FROM items a JOIN items b
+       |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+       |  GROUP BY 1, 2 HAVING COUNT(*) >= $EdgeSupport),
+       |edges AS (SELECT a AS u, b AS v FROM cp
+       |          UNION ALL SELECT b AS u, a AS v FROM cp),
+       |srcs AS (SELECT DISTINCT u AS s FROM edges ORDER BY s LIMIT $BcSources),
+       |f0 AS (SELECT s, s AS node, CAST(1 AS BIGINT) AS sigma FROM srcs),
+       |v0 AS (SELECT s, node FROM f0),
+       |$fwd,
+       |d$BcDepth AS (
+       | SELECT s, node, sigma, CAST(0 AS BIGINT) AS delta FROM f$BcDepth),
+       |$bwd,
+       |bc AS (
+       | SELECT node, CAST(SUM(delta) AS BIGINT) AS bc_micros
+       | FROM ($nonSrc)
+       | GROUP BY node)
+       |SELECT node AS p_partkey, bc_micros,
+       | CAST(bc_micros AS DOUBLE) / 1e6 AS bc
+       |FROM bc
+       |ORDER BY bc_micros DESC, p_partkey
+       |LIMIT $BcTopK""".stripMargin
+  }
+
   private val NodeSimThreshold = 0.2
 
   /** Structural node similarity on the co-purchase graph: Jaccard of

@@ -96,10 +96,21 @@ object Tokenizer {
     merges.toSeq
   }
 
+  /** Session-scoped merge-table memo per (session, dir) — the trained
+    * BPE model is bounded driver state ([[BpeMerges]] rows of short
+    * strings) consumed by BOTH [[bpeTrain]] and [[bpeApply]]; the
+    * [[graft.SessionMemo]] convention trains it once.
+    */
+  private val mergesMemo =
+    new graft.SessionMemo[Seq[(Int, String, String, String, Long)]]
+
+  private def learnMergesShared(t: Tables): Seq[(Int, String, String, String, Long)] =
+    mergesMemo.getOrCompute(t.spark, t.dir)(learnMerges(t))
+
   def bpeTrain(t: Tables): DataFrame = {
     val spark = t.spark
     import spark.implicits._
-    learnMerges(t)
+    learnMergesShared(t)
       .toDF("merge_rank", "lhs", "rhs", "merged", "pair_count")
       .orderBy("merge_rank")
   }
@@ -114,7 +125,7 @@ object Tokenizer {
     * post-merge token count next to the pre-merge symbol count.
     */
   def bpeApply(t: Tables): DataFrame = {
-    val merges = learnMerges(t)
+    val merges = learnMergesShared(t)
     val repr = t.documents.select(
       col("doc_id"),
       expr(

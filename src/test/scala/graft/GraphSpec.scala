@@ -164,6 +164,70 @@ class GraphSpec extends SparkSpec {
     assert(got == distExp.toMap)
   }
 
+  /** In-memory replay of the sampled-Brandes integer-micro recipe
+    * (4 smallest sources, depth 6, term = (σ_v·(10⁶+δ_w)) div σ_w).
+    */
+  private def bcReplay(adj: Map[Long, Seq[Long]]): Map[Long, Long] = {
+    val bc = scala.collection.mutable.Map.empty[Long, Long].withDefaultValue(0L)
+    val srcs = adj.keys.toSeq.sorted.take(4)
+    for (s <- srcs) {
+      val dist = scala.collection.mutable.Map(s -> 0)
+      val sigma = scala.collection.mutable.Map(s -> 1L)
+      var frontier = Seq(s)
+      for (d <- 1 to 6) {
+        val nxt = scala.collection.mutable.Map.empty[Long, Long]
+        for (v <- frontier; w <- adj.getOrElse(v, Nil) if !dist.contains(w))
+          nxt(w) = nxt.getOrElse(w, 0L) + sigma(v)
+        for ((w, sg) <- nxt) { dist(w) = d; sigma(w) = sg }
+        frontier = nxt.keys.toSeq
+      }
+      val delta = scala.collection.mutable.Map.empty[Long, Long].withDefaultValue(0L)
+      for (d <- 5 to 0 by -1; v <- dist.keys.toSeq.sorted if dist(v) == d) {
+        var acc = 0L
+        for (w <- adj.getOrElse(v, Nil) if dist.get(w).contains(d + 1))
+          acc += sigma(v) * (1000000L + delta(w)) / sigma(w)
+        delta(v) = acc
+        if (d > 0) bc(v) += acc
+      }
+    }
+    bc.toMap
+  }
+
+  test("betweenness: path-graph bridge scores match the integer replay, center on top") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-bc").toString
+    // support-2 path 1-2-3-4-5: node 3 carries the most shortest paths
+    def order(o: Long, parts: Long*) = parts.map(p => (o, p))
+    ((10L to 11L).flatMap(order(_, 1, 2)) ++ (12L to 13L).flatMap(order(_, 2, 3)) ++
+      (14L to 15L).flatMap(order(_, 3, 4)) ++ (16L to 17L).flatMap(order(_, 4, 5)))
+      .toDF("l_orderkey", "l_partkey")
+      .write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+    val got = Graph.betweenness(Tables(spark, dir)).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val adj = Map(1L -> Seq(2L), 2L -> Seq(1L, 3L), 3L -> Seq(2L, 4L),
+      4L -> Seq(3L, 5L), 5L -> Seq(4L))
+    assert(got == bcReplay(adj), s"got $got expected ${bcReplay(adj)}")
+    assert(got.maxBy(_._2)._1 == 3L, s"center must rank first: $got")
+  }
+
+  test("betweenness on the sf graph matches the in-memory Brandes replay") {
+    val items = sf.lineitem.select("l_orderkey", "l_partkey").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).distinct
+    val pairs = items.groupBy(_._1).values.toSeq
+      .flatMap(es => { val ps = es.map(_._2).toSet
+        for (a <- ps; b <- ps if a < b) yield (a, b) })
+      .groupBy(identity).view.mapValues(_.size).filter(_._2 >= 2).keys.toSeq
+    val adj = (pairs ++ pairs.map(p => (p._2, p._1)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSeq).toMap
+    val exp = bcReplay(adj).toSeq
+      .sortBy { case (id, bc) => (-bc, id) }.take(100)
+    val got = Graph.betweenness(sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(got == exp, s"first diff: ${got.zip(exp).find(p => p._1 != p._2)}")
+    // scores really separate on this corpus
+    assert(got.exists(_._2 > 0L))
+  }
+
   test("components on the sf graph matches a union-find replay over the mined pairs") {
     val items = sf.lineitem.select("l_orderkey", "l_partkey").collect()
       .map(r => (r.getLong(0), r.getLong(1))).distinct

@@ -76,7 +76,7 @@ class Relational10Spec extends SparkSpec {
     }
     rows.foreach { r =>
       val n = r.getString(0)
-      def bd(i: Int) = BigInt(r.getDecimal(i).toBigInteger)
+      def bd(i: Int) = BigInt(r.getLong(i))
       assert(bd(1) == cells((n, true, false)), s"$n t_pre")
       assert(bd(2) == cells((n, true, true)), s"$n t_post")
       assert(bd(3) == cells((n, false, false)), s"$n c_pre")
@@ -88,8 +88,7 @@ class Relational10Spec extends SparkSpec {
     val df = Relational10.topMovers(sf)
     val rows = df.collect()
       .map(r => (r.getLong(0), r.getDate(1).toLocalDate,
-        BigInt(r.getDecimal(2).toBigInteger), BigInt(r.getDecimal(3).toBigInteger),
-        BigInt(r.getDecimal(4).toBigInteger)))
+        BigInt(r.getLong(2)), BigInt(r.getLong(3)), BigInt(r.getLong(4))))
     assert(rows.length == 20)
     rows.foreach { case (_, _, prev, cur, ch) => assert(ch == cur - prev) }
     // ordering is abs-change desc with deterministic tie-breaks
@@ -149,7 +148,7 @@ class Relational10Spec extends SparkSpec {
     import org.apache.spark.sql.functions.col
     val rows = Relational10.supplierScorecard(sf).collect()
       .map(r => r.getLong(0) -> (r.getString(1), r.getLong(2),
-        BigInt(r.getDecimal(3).toBigInteger), r.getDouble(4), r.getDouble(5)))
+        BigInt(r.getLong(3)), r.getDouble(4), r.getDouble(5)))
       .toMap
     assert(rows.nonEmpty)
     val byOrder = sf.orders.select("o_orderkey", "o_orderdate").collect()

@@ -559,7 +559,7 @@ class Similarity2Spec extends SparkSpec {
   test("snapshot diff covers all change classes with consistent values") {
     val rows = graft.operators.Etl.snapshotDiff(sf).collect()
       .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3),
-        BigDecimal(r.getDecimal(4)), BigDecimal(r.getDecimal(5))))
+        BigDecimal(r.getLong(4)), BigDecimal(r.getLong(5))))
     val byType = rows.groupBy(_._2)
     assert(Set("added", "removed", "changed", "unchanged").subsetOf(byType.keySet))
     rows.foreach { case (k, ct, ao, bo, at, bt) =>
