@@ -463,4 +463,75 @@ object TextAnalysis3 {
       |            - (84600 * n_syllables) // n_words >= 30000 THEN 'hard'
       |      ELSE 'very_hard' END AS band
       |FROM c ORDER BY doc_id""".stripMargin
+
+  // OCR-artifact thresholds — single source of truth for the Scala
+  // projection and the SQL twin. frac_single tuned so the flag splits
+  // this corpus (p75 ≈ 0.047); the other two catch only genuinely
+  // damaged text (zero on clean input, spec plants offenders).
+  private val OcrMaxSingleFrac = 0.05
+  private val OcrMaxConsRunFrac = 0.1
+  private val OcrMaxNonAlphaFrac = 0.05
+
+  /** OCR/scan-damage artifact gate — the digitized-corpus quality
+    * filter every public pretrain recipe applies before OCR-heavy
+    * sources (fragmented words, merge junk, and stray symbols are the
+    * three canonical OCR failure modes): per doc, the share of
+    * single-character tokens ("t h e" fragmentation), the share of
+    * tokens containing a ≥4-consonant run ("tlhe"/"rnrn" merge
+    * artifacts — English phonotactics makes real runs that long rare),
+    * and the share of characters outside [a-z ] (speckle symbols).
+    * A fixed-op-order artifact score (0.5·single + 0.3·consrun +
+    * 0.2·nonalpha — identical left-associated IEEE sequence in both
+    * engines) plus a keep decision with per-signal thresholds. Pure
+    * row-local projection — one scan at 100 TB.
+    */
+  def ocrArtifacts(t: Tables): DataFrame =
+    t.documents
+      .select(col("doc_id"), col("text"), split(col("text"), " ").as("w"))
+      .withColumn("n_tokens", size(col("w")).cast("long"))
+      .withColumn("frac_single",
+        size(expr("filter(w, x -> length(x) = 1)")).cast("double") /
+          col("n_tokens"))
+      .withColumn("frac_consrun",
+        size(expr("filter(w, x -> x rlike '[bcdfghjklmnpqrstvwxz]{4}')"))
+          .cast("double") / col("n_tokens"))
+      .withColumn("frac_nonalpha",
+        when(length(col("text")) === 0, lit(0.0)).otherwise(
+          (length(col("text")) -
+            length(regexp_replace(col("text"), "[^a-z ]", ""))).cast("double") /
+            length(col("text"))))
+      .withColumn("artifact_score",
+        col("frac_single") * 0.5 + col("frac_consrun") * 0.3 +
+          col("frac_nonalpha") * 0.2)
+      .withColumn("keep",
+        col("frac_single") <= OcrMaxSingleFrac &&
+          col("frac_consrun") <= OcrMaxConsRunFrac &&
+          col("frac_nonalpha") <= OcrMaxNonAlphaFrac)
+      .select("doc_id", "n_tokens", "frac_single", "frac_consrun",
+        "frac_nonalpha", "artifact_score", "keep")
+      .orderBy("doc_id")
+
+  val ocrArtifactsSql: String =
+    s"""WITH c AS (
+       | SELECT doc_id, text, string_split(text, ' ') AS w,
+       |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+       | FROM documents),
+       |m AS (
+       | SELECT doc_id, n_tokens,
+       |  CAST(len(list_filter(w, x -> len(x) = 1)) AS DOUBLE) / n_tokens
+       |    AS frac_single,
+       |  CAST(len(list_filter(w,
+       |    x -> regexp_matches(x, '[bcdfghjklmnpqrstvwxz]{4}'))) AS DOUBLE)
+       |    / n_tokens AS frac_consrun,
+       |  CASE WHEN len(text) = 0 THEN 0.0 ELSE
+       |    CAST(len(text) - len(regexp_replace(text, '[^a-z ]', '', 'g'))
+       |      AS DOUBLE) / len(text) END AS frac_nonalpha
+       | FROM c)
+       |SELECT doc_id, n_tokens, frac_single, frac_consrun, frac_nonalpha,
+       | frac_single * 0.5 + frac_consrun * 0.3 + frac_nonalpha * 0.2
+       |   AS artifact_score,
+       | frac_single <= $OcrMaxSingleFrac AND
+       |   frac_consrun <= $OcrMaxConsRunFrac AND
+       |   frac_nonalpha <= $OcrMaxNonAlphaFrac AS keep
+       |FROM m ORDER BY doc_id""".stripMargin
 }

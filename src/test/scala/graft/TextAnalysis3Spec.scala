@@ -198,4 +198,39 @@ class TextAnalysis3Spec extends SparkSpec {
       assert(band == expBand)
     }
   }
+
+  test("ocr artifacts gate flags planted fragmentation, merge junk, and speckle") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-ocr").toString
+    val clean = "the quiet morning light settled over the harbor as fishermen prepared their nets"
+    val fragmented = "t h e q u i e t morning light settled over the harbor again today"
+    val merged = "tlhe qttrn morning lsrtght settled over the harbor as fishermen prepared"
+    val speckled = "the qu#et m*rn@ng li?ht settled %ver the harb§r as f!shermen prepared"
+    val docs = Seq((0L, clean), (1L, fragmented), (2L, merged), (3L, speckled))
+      .map { case (id, tx) => (id, tx, "en", "s", tx.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    docs.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val rows = TextAnalysis3.ocrArtifacts(Tables(spark, dir)).collect()
+      .map(r => r.getLong(0) -> ((r.getDouble(2), r.getDouble(3),
+        r.getDouble(4), r.getDouble(5), r.getBoolean(6)))).toMap
+    val (fs0, fc0, fn0, _, k0) = rows(0L)
+    assert(k0 && fs0 == 0.0 && fc0 == 0.0 && fn0 == 0.0, s"clean: ${rows(0L)}")
+    assert(!rows(1L)._5 && rows(1L)._1 > 0.05, s"fragmented: ${rows(1L)}")
+    assert(!rows(2L)._5 && rows(2L)._2 > 0.1, s"merged: ${rows(2L)}")
+    assert(!rows(3L)._5 && rows(3L)._3 > 0.05, s"speckled: ${rows(3L)}")
+    // score replays the fixed op order on a sample row
+    val r1 = rows(1L)
+    assert(r1._4 == r1._1 * 0.5 + r1._2 * 0.3 + r1._3 * 0.2)
+  }
+
+  test("ocr artifacts gate splits the sf corpus on the single-char signal") {
+    val rows = TextAnalysis3.ocrArtifacts(sf).collect()
+    assert(rows.length == sf.documents.count())
+    assert(rows.exists(_.getBoolean(6)) && rows.exists(!_.getBoolean(6)),
+      "thresholds must split the corpus")
+    // clean synthetic corpus: only the fragmentation signal fires
+    rows.foreach { r =>
+      assert(r.getDouble(3) == 0.0 && r.getDouble(4) == 0.0)
+    }
+  }
 }
