@@ -933,7 +933,13 @@ object Graph {
       .withColumn("dist", lit(0)).localCheckpoint(true)
     var levels = Vector(f0)
     var visited = f0.select("s", "node").localCheckpoint(true)
-    for (r <- 1 to BcDepth) {
+    // early exit once every source's frontier drains — an empty level
+    // contributes nothing to either phase, so the result is identical
+    // to running the oracle's full fixed unroll, but a small-diameter
+    // graph skips the dead rounds' job latency (the dominant cost here)
+    var r = 1
+    var drained = false
+    while (r <= BcDepth && !drained) {
       val expanded = levels.last
         .join(edges, col("node") === col("u"))
         .select(col("s"), col("v").as("nnode"), col("sigma"))
@@ -945,17 +951,22 @@ object Graph {
         .select(col("s"), col("nnode").as("node"), col("sigma"))
         .withColumn("dist", lit(r))
         .localCheckpoint(true)
-      levels :+= fresh
-      visited = visited.union(fresh.select("s", "node")).localCheckpoint(true)
+      if (fresh.isEmpty) drained = true
+      else {
+        levels :+= fresh
+        visited = visited.union(fresh.select("s", "node")).localCheckpoint(true)
+      }
+      r += 1
     }
+    val maxL = levels.size - 1
     // backward: each iteration consumes ONLY the immediately deeper
     // level's deltas (successors of a dist-l node on a shortest path
     // sit at dist l+1 by construction)
-    var deltas = levels(BcDepth)
+    var deltas = levels(maxL)
       .select(col("s"), col("node"), col("sigma"), col("dist"),
         lit(0L).as("delta"))
     val acc = scala.collection.mutable.ArrayBuffer(deltas)
-    for (l <- BcDepth - 1 to 0 by -1) {
+    for (l <- maxL - 1 to 0 by -1) {
       val succTerms = levels(l)
         .join(edges, col("node") === col("u"))
         .select(col("s"), col("node"), col("sigma"), col("v"))
