@@ -780,6 +780,152 @@ object Similarity {
        |QUALIFY nn_rank <= $KnnK
        |ORDER BY vec_id, nn_rank""".stripMargin
 
+  /** Beam width for [[graphSearch]]. */
+  private val SearchBeam = 8
+  /** Fixed greedy-expansion rounds for [[graphSearch]] — shared with
+    * the oracle's unrolled CTEs.
+    */
+  private val SearchRounds = 3
+  /** Results returned per query by [[graphSearch]]. */
+  private val SearchK = 5
+  /** Indexed (base) fraction for [[graphSearch]]'s hash split. */
+  private val SearchBaseFrac = 0.8
+
+  /** Graph-based ANN search — the HNSW/NSG base-layer search pattern
+    * (Malkov & Yashunin 2018, public knowledge) expressed as bounded
+    * relational rounds: the INDEX is the top-[[KnnK]] LSH-kNN graph
+    * over the base split (what a production build ships to disk), and a
+    * QUERY greedily walks it — start every query's beam at one
+    * deterministic entry point (the minimum base id, the HNSW
+    * fixed-entry convention), then [[SearchRounds]] rounds of
+    * expand-neighbours → exact-cosine score → keep the best
+    * [[SearchBeam]] per query, finishing with the top-[[SearchK]] cut.
+    *
+    * Spark shape per round: one join of the beam against the graph
+    * adjacency (candidate-keyed — work is queries × beam × degree,
+    * never queries × corpus), a distinct, one score join against the
+    * base vectors, and the bounded-state [[graft.plans.TopKPerKey]]
+    * beam cut; each round's beam pins via localCheckpoint. Unlike
+    * [[lshTopK]] (probe buckets) and [[ivfTopK]] (probe cells), the
+    * candidate set ADAPTS to what the query has already seen — the
+    * property that makes graph indexes the recall/latency frontier.
+    * Approximate by construction; the oracle replays the identical
+    * graph, entry, rounds, beam cuts, and tie-breaks, so the contract
+    * is exact.
+    */
+  def graphSearch(t: Tables): DataFrame = {
+    val spark = t.spark
+    import spark.implicits._
+    val split = Sampling.unitHash(col("vec_id")) < SearchBaseFrac
+    val base = vectors(t).where(split)
+      .withColumn("nrm", sqrt(graft.functions.DotProduct(col("v"), col("v"))))
+      .localCheckpoint(true)
+    val queries = vectors(t).where(!split)
+      .withColumn("qn", sqrt(graft.functions.DotProduct(col("v"), col("v"))))
+      .select(col("vec_id"), col("v").as("qv"), col("qn"))
+      .localCheckpoint(true)
+    val entryRow = base.agg(min(col("vec_id"))).head()
+    if (entryRow.isNullAt(0))
+      return Seq.empty[(Long, Long, Double, Int)]
+        .toDF("vec_id", "nb_id", "cosine", "nn_rank")
+    val entryId = entryRow.getLong(0)
+    val graph = topKUnsorted(
+      lshCandidates(t)
+        .join(base.select(col("vec_id")), Seq("vec_id"))
+        .join(base.select(col("vec_id").as("nb_id")), Seq("nb_id")))
+      .select(col("vec_id").as("u"), col("nb_id").as("nb"))
+      .localCheckpoint(true)
+    def score(cands: DataFrame): DataFrame = cands
+      .join(queries, Seq("vec_id"))
+      .join(base.select(col("vec_id").as("cand"), col("v").as("nv"),
+        col("nrm").as("nn")), Seq("cand"))
+      .select(col("vec_id"), col("cand"),
+        (graft.functions.DotProduct(col("qv"), col("nv")) /
+          (col("qn") * col("nn"))).as("cosine"))
+    var beam = score(
+      queries.select(col("vec_id")).withColumn("cand", lit(entryId)))
+      .localCheckpoint(true)
+    for (_ <- 1 to SearchRounds) {
+      val expanded = beam.select(col("vec_id"), col("cand"))
+        .join(graph, col("cand") === col("u"))
+        .select(col("vec_id"), col("nb").as("cand"))
+        .distinct()
+      // beam ∪ expansion dedups by MAX (identical cosines — the dot
+      // fold is deterministic per pair), then the heap cut keeps the
+      // per-query state bounded at SearchBeam rows
+      beam = graft.plans.TopKPerKey(
+        beam.unionByName(score(expanded))
+          .groupBy("vec_id", "cand").agg(max(col("cosine")).as("cosine")),
+        Seq("vec_id"), Seq(("cosine", false), ("cand", true)), SearchBeam)
+        .localCheckpoint(true)
+    }
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("vec_id").orderBy(col("cosine").desc, col("cand"))
+    beam.withColumn("nn_rank", row_number().over(w))
+      .where(col("nn_rank") <= SearchK)
+      .select(col("vec_id"), col("cand").as("nb_id"), col("cosine"),
+        col("nn_rank"))
+      .orderBy("vec_id", "nn_rank")
+  }
+
+  /** Oracle: full replay — shared LSH candidate stage filtered to the
+    * base split, the identical top-[[KnnK]] graph, entry point, and
+    * [[SearchRounds]] unrolled beam rounds (MATERIALIZED — each beam is
+    * referenced by the next round's expansion AND its own union).
+    */
+  lazy val graphSearchSql: String = {
+    val u = Sampling.unitHashSqlFmt.format("vec_id")
+    val rounds = (1 to SearchRounds).map { r =>
+      s"""x$r AS (
+         | SELECT DISTINCT bm.vec_id, g.nb AS cand
+         | FROM bm${r - 1} bm JOIN graph g ON g.u = bm.cand),
+         |s$r AS (
+         | SELECT x.vec_id, x.cand,
+         |  list_dot_product(q.v, bv.v) /
+         |    (sqrt(list_dot_product(q.v, q.v)) *
+         |     sqrt(list_dot_product(bv.v, bv.v))) AS cosine
+         | FROM x$r x JOIN q ON q.vec_id = x.vec_id
+         | JOIN bv ON bv.vec_id = x.cand),
+         |bm$r AS MATERIALIZED (
+         | SELECT vec_id, cand, cosine FROM (
+         |  SELECT vec_id, cand, cosine, row_number() OVER (
+         |    PARTITION BY vec_id ORDER BY cosine DESC, cand) AS rk
+         |  FROM (
+         |   SELECT vec_id, cand, MAX(cosine) AS cosine
+         |   FROM (SELECT * FROM bm${r - 1} UNION ALL SELECT * FROM s$r)
+         |   GROUP BY vec_id, cand))
+         | WHERE rk <= $SearchBeam)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH $knnLshCoreSql,
+       |sp AS (SELECT vec_id, $u < $SearchBaseFrac AS is_base FROM embeddings),
+       |bv AS (SELECT e.vec_id, e.v FROM e JOIN sp USING (vec_id) WHERE is_base),
+       |q AS (SELECT e.vec_id, e.v FROM e JOIN sp USING (vec_id) WHERE NOT is_base),
+       |gc AS (
+       | SELECT c.vec_id, c.nb_id, c.cosine FROM cand c
+       | JOIN sp a ON a.vec_id = c.vec_id
+       | JOIN sp b2 ON b2.vec_id = c.nb_id
+       | WHERE a.is_base AND b2.is_base),
+       |graph AS MATERIALIZED (
+       | SELECT vec_id AS u, nb_id AS nb FROM (
+       |  SELECT vec_id, nb_id, row_number() OVER (PARTITION BY vec_id
+       |    ORDER BY cosine DESC, nb_id) AS rk FROM gc)
+       | WHERE rk <= $KnnK),
+       |ent AS (SELECT MIN(vec_id) AS eid FROM bv),
+       |bm0 AS MATERIALIZED (
+       | SELECT q.vec_id, ent.eid AS cand,
+       |  list_dot_product(q.v, bv.v) /
+       |    (sqrt(list_dot_product(q.v, q.v)) *
+       |     sqrt(list_dot_product(bv.v, bv.v))) AS cosine
+       | FROM q CROSS JOIN ent JOIN bv ON bv.vec_id = ent.eid),
+       |$rounds
+       |SELECT vec_id, cand AS nb_id, cosine,
+       | CAST(row_number() OVER (PARTITION BY vec_id
+       |   ORDER BY cosine DESC, cand) AS INT) AS nn_rank
+       |FROM bm$SearchRounds
+       |QUALIFY nn_rank <= $SearchK
+       |ORDER BY vec_id, nn_rank""".stripMargin
+  }
+
   /** Train fraction for [[knnClassify]]'s hash split. */
   private val ClassifyTrainFrac = 0.8
 

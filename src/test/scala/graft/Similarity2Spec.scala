@@ -598,4 +598,59 @@ class Similarity2Spec extends SparkSpec {
       }
     }
   }
+
+  test("graph search: split, ranks, and greedy-walk invariants hold") {
+    def unitHash(id: Long): Double = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest(id.toString.getBytes("UTF-8"))
+      val hex = md.map("%02x".format(_)).mkString.take(15)
+      java.lang.Long.parseLong(hex, 16).toDouble / 1152921504606846976.0
+    }
+    val vecs = sf.embeddings
+      .selectExpr("vec_id", "cast(embedding as array<double>) AS embedding")
+      .collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).toMap
+    val baseIds = vecs.keySet.filter(id => unitHash(id) < 0.8)
+    val queryIds = vecs.keySet -- baseIds
+    val entry = baseIds.min
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0
+      for (i <- a.indices) { d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i) }
+      d / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val rows = Similarity.graphSearch(sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
+    val byQ = rows.groupBy(_._1)
+    // every query gets results; only queries are queried; only base
+    // vectors are returned
+    assert(byQ.keySet == queryIds, s"queried ${byQ.keySet.size} vs ${queryIds.size}")
+    rows.foreach { case (q, nb, _, _) =>
+      assert(!baseIds.contains(q) && baseIds.contains(nb), s"split violated: $q -> $nb")
+    }
+    byQ.foreach { case (q, nbs) =>
+      val sorted = nbs.sortBy(_._4)
+      // contiguous ranks from 1, at most SearchK, descending cosine with
+      // the nb_id tie-break, no duplicate results
+      assert(sorted.map(_._4).sameElements(1 to sorted.length))
+      assert(sorted.length <= 5)
+      assert(sorted.map(_._2).distinct.length == sorted.length)
+      sorted.sliding(2).foreach {
+        case Array(a, b) =>
+          assert(a._3 > b._3 || (a._3 == b._3 && a._2 < b._2), s"order: $a vs $b")
+        case _ =>
+      }
+      // the cosine column is the exact cosine of the claimed pair
+      nbs.foreach { case (_, nb, c, _) => assert(c == cos(vecs(q), vecs(nb))) }
+      // greedy monotonicity: the beam always retains its best-ever
+      // candidate, and it starts at the entry — so rank 1 can never be
+      // worse than the entry point itself
+      assert(sorted.head._3 >= cos(vecs(q), vecs(entry)),
+        s"query $q rank-1 worse than entry")
+    }
+    // the walk genuinely moves: some query must find a better neighbour
+    // than the shared entry point
+    assert(byQ.exists { case (q, nbs) =>
+      nbs.exists(r => r._3 > cos(vecs(q), vecs(entry)))
+    }, "no query improved over the entry — the walk never expanded")
+  }
 }
