@@ -780,6 +780,80 @@ object Similarity {
        |QUALIFY nn_rank <= $KnnK
        |ORDER BY vec_id, nn_rank""".stripMargin
 
+  /** Cosine threshold for [[semDedup]] (the [[Dedup.embeddingCosine]]
+    * family threshold, so the tiers report comparable duplicates).
+    */
+  private val SemDedupTau = 0.4
+
+  /** SemDeDup — semantic deduplication by k-means cell blocking (Abbas
+    * et al. 2023, public knowledge): embed → cluster → compare ONLY
+    * within a cluster → drop all but the lowest-id member of each
+    * near-dup neighbourhood. This is the published recipe for semantic
+    * dedup at web scale, and the third rung of the embedding-dedup
+    * ladder here: [[Dedup.embeddingCosine]] is the exact O(n²/G)
+    * baseline, [[Dedup.embeddingLsh]] blocks by sign buckets, this
+    * blocks by the SHARED k-means cells (the memoized coarse quantizer
+    * every ANN consumer already uses — one more consumer, zero extra
+    * training). Pair work is Σ|cell|², never n²; a duplicate is any
+    * vector with an EARLIER (lower vec_id) same-cell vector at cosine ≥
+    * [[SemDedupTau]] (the incremental-dedup keep-first convention).
+    * Output per vector: cell, count of earlier near-dups, the max such
+    * cosine (0.0 for keepers — the documented sentinel), keep flag.
+    */
+  def semDedup(t: Tables): DataFrame = {
+    val vecs = vectors(t).cache()
+    val (cents, _) = trainKmeansShared(t, vecs)
+    val assigned = assignCells(vecs, cents)
+      .select(col("vec_id"), col("cell"), col("v"))
+    val dups = assigned.select(col("cell"), col("vec_id").as("a_id"),
+        col("v").as("va"))
+      .join(assigned.select(col("cell"), col("vec_id").as("b_id"),
+        col("v").as("vb")), Seq("cell"))
+      .where(col("a_id") < col("b_id"))
+      .withColumn("cosine", cosine(col("va"), col("vb")))
+      .where(col("cosine") >= SemDedupTau)
+      .groupBy(col("b_id").as("vec_id"))
+      .agg(count(lit(1)).as("n_dups_earlier"),
+        max(col("cosine")).as("max_cosine"))
+    val out = assigned.select("vec_id", "cell")
+      .join(dups, Seq("vec_id"), "left")
+      .select(col("vec_id"), col("cell"),
+        coalesce(col("n_dups_earlier"), lit(0L)).as("n_dups_earlier"),
+        coalesce(col("max_cosine"), lit(0.0)).as("max_cosine"),
+        col("n_dups_earlier").isNull.as("keep"))
+      .orderBy("vec_id")
+    vecs.unpersist(false)
+    out
+  }
+
+  /** Oracle: the shared 2-round Lloyd replay, then the within-cell
+    * ordered pair scan with the identical cosine and threshold.
+    */
+  val semDedupSql: String =
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |c0 AS (SELECT CAST(vec_id AS INT) AS cell, v AS c FROM e WHERE vec_id < $NumCells),
+       |a1 AS (${assignSql("e", "c0")}),
+       |c1 AS (${meansSql("a1")}),
+       |a2 AS (${assignSql("e", "c1")}),
+       |c2 AS (${meansSql("a2")}),
+       |a3 AS (${assignSql("e", "c2")}),
+       |p AS (
+       | SELECT y.vec_id,
+       |  list_dot_product(x.v, y.v) /
+       |    (sqrt(list_dot_product(x.v, x.v)) *
+       |     sqrt(list_dot_product(y.v, y.v))) AS cosine
+       | FROM a3 x JOIN a3 y ON x.cell = y.cell AND x.vec_id < y.vec_id),
+       |d AS (
+       | SELECT vec_id, CAST(COUNT(*) AS BIGINT) AS n_dups_earlier,
+       |  MAX(cosine) AS max_cosine
+       | FROM p WHERE cosine >= $SemDedupTau GROUP BY vec_id)
+       |SELECT a3.vec_id, a3.cell,
+       | COALESCE(d.n_dups_earlier, 0) AS n_dups_earlier,
+       | COALESCE(d.max_cosine, 0.0) AS max_cosine,
+       | d.n_dups_earlier IS NULL AS keep
+       |FROM a3 LEFT JOIN d USING (vec_id)
+       |ORDER BY a3.vec_id""".stripMargin
+
   /** Beam width for [[graphSearch]]. */
   private val SearchBeam = 8
   /** Fixed greedy-expansion rounds for [[graphSearch]] — shared with

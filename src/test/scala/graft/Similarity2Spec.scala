@@ -599,6 +599,23 @@ class Similarity2Spec extends SparkSpec {
     }
   }
 
+  test("semdedup: keep-first within cells, sentinel and flag consistency") {
+    val rows = Similarity.semDedup(sf).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3),
+        r.getBoolean(4)))
+    assert(rows.length == sf.embeddings.count().toInt)
+    rows.foreach { case (_, _, n, mc, keep) =>
+      assert(keep == (n == 0L))
+      if (keep) assert(mc == 0.0) else assert(mc >= 0.4 && n >= 1)
+    }
+    assert(rows.exists(_._5) && rows.exists(!_._5), "threshold must split")
+    // the lowest id of every cell has no earlier same-cell vector
+    rows.groupBy(_._2).foreach { case (cell, members) =>
+      val first = members.minBy(_._1)
+      assert(first._5, s"cell $cell lowest id ${first._1} must be kept")
+    }
+  }
+
   test("graph search: split, ranks, and greedy-walk invariants hold") {
     def unitHash(id: Long): Double = {
       val md = java.security.MessageDigest.getInstance("MD5")
