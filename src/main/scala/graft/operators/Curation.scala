@@ -784,4 +784,61 @@ object Curation {
        |   AS chunk_md5
        |FROM st
        |ORDER BY doc_id, chunk_idx""".stripMargin
+
+  /** Tiered dedup funnel — the per-document verdict sheet of the THREE
+    * dedup families run as one pipeline, answering the operational
+    * question "which tier kills this doc": exact (lowest id per
+    * byte-identical content hash wins), near-dup
+    * ([[Dedup.keepBestShared]] — the Jaccard-cluster best
+    * representative, the shared memoized stage frame), and semantic
+    * ([[Similarity.semDedup]] — SemDeDup cell-blocked cosine, lowest id
+    * wins). A doc ships iff all three keep it; each tier's verdict is a
+    * column so the funnel's per-stage yield is auditable (the
+    * [[curateCorpus]] convention applied to dedup). The tiers
+    * deliberately overlap (an exact dup is also a near-dup): the report
+    * shows WHICH tier is doing the work at each severity, which is what
+    * decides a production cascade's thresholds.
+    *
+    * Plan: one window over the content hash, two joins against
+    * already-memoized/green stage outputs. The embeddings table is
+    * id-aligned with documents (vec_id = doc_id).
+    */
+  def dedupPipeline(t: Tables): DataFrame = {
+    val wExact = org.apache.spark.sql.expressions.Window
+      .partitionBy(md5(col("text")))
+    val ex = t.documents.select(col("doc_id"), col("text"))
+      .select(col("doc_id"),
+        (col("doc_id") === min(col("doc_id")).over(wExact)).as("keep_exact"))
+    val kb = Dedup.keepBestShared(t)
+      .select(col("doc_id"), col("keep_best").as("keep_neardup"))
+    val sem = Similarity.semDedup(t)
+      .select(col("vec_id").as("doc_id"), col("keep").as("keep_semantic"))
+    ex.join(kb, Seq("doc_id"))
+      .join(sem, Seq("doc_id"))
+      .withColumn("kept",
+        col("keep_exact") && col("keep_neardup") && col("keep_semantic"))
+      .orderBy("doc_id")
+  }
+
+  /** Oracle: the exact-hash window, the cluster chain's keep-best rank,
+    * and the sd-prefixed SemDeDup chain composed in one WITH.
+    */
+  val dedupPipelineSql: String =
+    s"""${graft.operators.Dedup.clustersCte},
+       |kb AS (
+       | SELECT l3.id AS doc_id,
+       |  ${graft.operators.Dedup.keepBestRankSql} AS keep_neardup
+       | FROM l3 JOIN documents d ON l3.id = d.doc_id),
+       |ex0 AS (
+       | SELECT doc_id,
+       |  doc_id = MIN(doc_id) OVER (PARTITION BY md5(text)) AS keep_exact
+       | FROM documents),
+       |${graft.operators.Similarity.semDedupKeepCtes("sd")}
+       |SELECT ex0.doc_id, ex0.keep_exact, kb.keep_neardup,
+       | sdkeep.keep AS keep_semantic,
+       | ex0.keep_exact AND kb.keep_neardup AND sdkeep.keep AS kept
+       |FROM ex0
+       |JOIN kb USING (doc_id)
+       |JOIN sdkeep ON sdkeep.vec_id = ex0.doc_id
+       |ORDER BY ex0.doc_id""".stripMargin
 }

@@ -854,6 +854,34 @@ object Similarity {
        |FROM a3 LEFT JOIN d USING (vec_id)
        |ORDER BY a3.vec_id""".stripMargin
 
+  /** Prefix-renamed oracle CTE chain for [[semDedup]]'s keep verdict,
+    * ending in `<p>keep(vec_id, keep)` — for compositions whose WITH
+    * block already uses the default e/c0/a1… names (the dc*-rename
+    * convention of [[Curation.pretrainPipelineSql]]).
+    */
+  private[operators] def semDedupKeepCtes(p: String): String =
+    s"""${p}e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |${p}c0 AS (SELECT CAST(vec_id AS INT) AS cell, v AS c FROM ${p}e
+       |  WHERE vec_id < $NumCells),
+       |${p}a1 AS (${assignSql(s"${p}e", s"${p}c0")}),
+       |${p}c1 AS (${meansSql(s"${p}a1")}),
+       |${p}a2 AS (${assignSql(s"${p}e", s"${p}c1")}),
+       |${p}c2 AS (${meansSql(s"${p}a2")}),
+       |${p}a3 AS (${assignSql(s"${p}e", s"${p}c2")}),
+       |${p}p AS (
+       | SELECT y.vec_id,
+       |  list_dot_product(x.v, y.v) /
+       |    (sqrt(list_dot_product(x.v, x.v)) *
+       |     sqrt(list_dot_product(y.v, y.v))) AS cosine
+       | FROM ${p}a3 x JOIN ${p}a3 y
+       |   ON x.cell = y.cell AND x.vec_id < y.vec_id),
+       |${p}d AS (
+       | SELECT vec_id FROM ${p}p WHERE cosine >= $SemDedupTau
+       | GROUP BY vec_id),
+       |${p}keep AS (
+       | SELECT ${p}a3.vec_id, ${p}d.vec_id IS NULL AS keep
+       | FROM ${p}a3 LEFT JOIN ${p}d USING (vec_id))""".stripMargin
+
   /** Beam width for [[graphSearch]]. */
   private val SearchBeam = 8
   /** Fixed greedy-expansion rounds for [[graphSearch]] — shared with

@@ -121,6 +121,33 @@ class CurationSpec extends SparkSpec {
     assert(rows.exists(_._6) && rows.exists(!_._6))
   }
 
+  test("dedup pipeline: tier flags match the standalone operators") {
+    val rows = Curation.dedupPipeline(sf).collect()
+      .map(r => (r.getLong(0), r.getBoolean(1), r.getBoolean(2),
+        r.getBoolean(3), r.getBoolean(4)))
+    assert(rows.length == sf.documents.count())
+    rows.foreach { case (id, e, n, s, kept) =>
+      assert(kept == (e && n && s), s"doc $id conjunction")
+    }
+    // exact tier: min id per identical text wins
+    val texts = sf.documents.select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val minByText = texts.groupBy(_._2).map { case (_, ds) => ds.map(_._1).min }.toSet
+    rows.foreach { case (id, e, _, _, _) =>
+      assert(e == minByText.contains(id), s"doc $id exact flag")
+    }
+    // near-dup tier equals keepBest, semantic tier equals semDedup
+    val kb = graft.operators.Dedup.keepBest(sf).collect()
+      .map(r => r.getLong(0) -> r.getBoolean(3)).toMap
+    val sd = graft.operators.Similarity.semDedup(sf).collect()
+      .map(r => r.getLong(0) -> r.getBoolean(4)).toMap
+    rows.foreach { case (id, _, n, s, _) =>
+      assert(n == kb(id), s"doc $id neardup flag")
+      assert(s == sd(id), s"doc $id semantic flag")
+    }
+    assert(rows.exists(_._5) && rows.exists(!_._5))
+  }
+
   test("q15 top supplier: every returned supplier has the max revenue") {
     val rows = Relational5.topSupplier(sf).collect()
     assert(rows.nonEmpty)
