@@ -41,6 +41,23 @@ object Graph {
     */
   private val EdgeSupport = 2
 
+  /** Session-shared mined co-purchase pair frame (a_part, b_part) at
+    * support [[EdgeSupport]] — the signal graph EVERY graph analytic
+    * here derives from. §4's design note ("a production pipeline
+    * materializes that signal graph once and runs every graph analytic
+    * from it") applied literally via the [[graft.SessionMemo]]
+    * convention: the mining pass (fact distinct + per-basket expansion
+    * + support count) runs once per (session, dir), the frame pins via
+    * localCheckpoint, and all ~15 graph operators join the pinned
+    * blocks instead of re-scanning the fact table. Deterministic, so
+    * results are unchanged.
+    */
+  private val minedPairsMemo = new graft.SessionMemo[DataFrame]
+
+  private def minedPairsShared(t: Tables): DataFrame =
+    minedPairsMemo.getOrCompute(t.spark, t.dir)(
+      Relational7.basketPairsRaw(t, EdgeSupport).localCheckpoint(true))
+
   /** Total rank mass in femto-units: 10¹⁵ (< 2⁵³, so the final
     * femto→double division is exact in both engines).
     */
@@ -69,7 +86,7 @@ object Graph {
     * lifetime, as with the shared shingle projections in [[Dedup]].
     */
   def pageRank(t: Tables): DataFrame = {
-    val edges = Relational7.basketPairsRaw(t, EdgeSupport)
+    val edges = minedPairsShared(t)
       .select(explode(array(
         struct(col("a_part").as("u"), col("b_part").as("v")),
         struct(col("b_part").as("u"), col("a_part").as("v")))).as("e"))
@@ -125,7 +142,7 @@ object Graph {
     * numerator (one correctly-rounded double division, engine-portable).
     */
   def triangles(t: Tables): DataFrame = {
-    val cp = Relational7.basketPairsRaw(t, EdgeSupport)
+    val cp = minedPairsShared(t)
       .select(col("a_part").as("a"), col("b_part").as("b"))
       .persist()
     val tri = cp.select(col("a").as("x"), col("b").as("y"))
@@ -188,7 +205,7 @@ object Graph {
   def recommend(t: Tables): DataFrame = {
     val n = t.lineitem.select("l_orderkey", "l_partkey").distinct()
       .groupBy("l_partkey").agg(count(lit(1)).as("np"))
-    val sym = Relational7.basketPairsRaw(t, EdgeSupport)
+    val sym = minedPairsShared(t)
       .select(explode(array(
         struct(col("a_part").as("part"), col("b_part").as("rec"), col("support")),
         struct(col("b_part").as("part"), col("a_part").as("rec"), col("support"))))
@@ -241,7 +258,7 @@ object Graph {
     */
   def degreeDistribution(t: Tables): DataFrame = {
     val wAll = org.apache.spark.sql.expressions.Window.partitionBy()
-    Relational7.basketPairsRaw(t, EdgeSupport)
+    minedPairsShared(t)
       .select(explode(array(col("a_part"), col("b_part"))).as("node"))
       .groupBy("node").agg(count(lit(1)).as("degree"))
       .groupBy("degree").agg(count(lit(1)).as("n_nodes"))
@@ -316,7 +333,7 @@ object Graph {
     * with one window over the labels (no second join).
     */
   def components(t: Tables): DataFrame = {
-    val pairs = Relational7.basketPairsRaw(t, EdgeSupport)
+    val pairs = minedPairsShared(t)
       .select(col("a_part").as("a_id"), col("b_part").as("b_id"))
     val w = org.apache.spark.sql.expressions.Window.partitionBy("lbl")
     Dedup.propagateLabels(t.part.select(col("p_partkey").as("id")), pairs)
@@ -339,7 +356,7 @@ object Graph {
     * proportional to the reachable component, never the part table.
     */
   def bfsHops(t: Tables): DataFrame = {
-    val edges = Relational7.basketPairsRaw(t, EdgeSupport)
+    val edges = minedPairsShared(t)
       .select(explode(array(
         struct(col("a_part").as("u"), col("b_part").as("v")),
         struct(col("b_part").as("u"), col("a_part").as("v")))).as("e"))
@@ -460,7 +477,7 @@ object Graph {
     * round's membership.
     */
   def kcore(t: Tables): DataFrame = {
-    val edges = Relational7.basketPairsRaw(t, EdgeSupport)
+    val edges = minedPairsShared(t)
       .select(explode(array(
         struct(col("a_part").as("u"), col("b_part").as("v")),
         struct(col("b_part").as("u"), col("a_part").as("v")))).as("e"))
@@ -584,7 +601,7 @@ object Graph {
     // (memoized for modularity's label-attach joins), so its blocks must
     // survive catalog.clearCache; eager, so every LPA round's join reads
     // pinned blocks instead of re-mining
-    val edges = Relational7.basketPairsRaw(t, EdgeSupport)
+    val edges = minedPairsShared(t)
       .select(explode(array(
         struct(col("a_part").as("u"), col("b_part").as("v")),
         struct(col("b_part").as("u"), col("a_part").as("v")))).as("e"))
@@ -741,7 +758,7 @@ object Graph {
   def assortativity(t: Tables): DataFrame = {
     import org.apache.spark.sql.types.DecimalType
     val d38 = DecimalType(38, 0)
-    val edges = Relational7.basketPairsRaw(t, EdgeSupport)
+    val edges = minedPairsShared(t)
       .select(explode(array(
         struct(col("a_part").as("u"), col("b_part").as("v")),
         struct(col("b_part").as("u"), col("a_part").as("v")))).as("e"))
@@ -822,7 +839,7 @@ object Graph {
     * min-fold, both keyed (seed, node).
     */
   def closeness(t: Tables): DataFrame = {
-    val edges = Relational7.basketPairsRaw(t, EdgeSupport)
+    val edges = minedPairsShared(t)
       .select(explode(array(
         struct(col("a_part").as("u"), col("b_part").as("v")),
         struct(col("b_part").as("u"), col("a_part").as("v")))).as("e"))
@@ -918,7 +935,7 @@ object Graph {
   def betweenness(t: Tables): DataFrame = {
     val spark = t.spark
     import spark.implicits._
-    val edges = Relational7.basketPairsRaw(t, EdgeSupport)
+    val edges = minedPairsShared(t)
       .select(explode(array(
         struct(col("a_part").as("u"), col("b_part").as("v")),
         struct(col("b_part").as("u"), col("a_part").as("v")))).as("e"))
@@ -1068,7 +1085,7 @@ object Graph {
     * threshold (J > 0 ⟺ a shared neighbor exists).
     */
   def nodeSimilarity(t: Tables): DataFrame = {
-    val edges = Relational7.basketPairsRaw(t, EdgeSupport)
+    val edges = minedPairsShared(t)
       .select(explode(array(
         struct(col("a_part").as("u"), col("b_part").as("v")),
         struct(col("b_part").as("u"), col("a_part").as("v")))).as("e"))
@@ -1130,7 +1147,7 @@ object Graph {
     * new-link candidates, TakeOrdered top-[[LinkPredictTopK]].
     */
   def linkPredict(t: Tables): DataFrame = {
-    val edges = Relational7.basketPairsRaw(t, EdgeSupport)
+    val edges = minedPairsShared(t)
       .select(explode(array(
         struct(col("a_part").as("u"), col("b_part").as("v")),
         struct(col("b_part").as("u"), col("a_part").as("v")))).as("e"))
@@ -1251,7 +1268,7 @@ object Graph {
     * graph), one distinct, one count — no iteration, no driver state.
     */
   def twoHopReach(t: Tables): DataFrame = {
-    val edges = Relational7.basketPairsRaw(t, EdgeSupport)
+    val edges = minedPairsShared(t)
       .select(explode(array(
         struct(col("a_part").as("u"), col("b_part").as("v")),
         struct(col("b_part").as("u"), col("a_part").as("v")))).as("e"))
@@ -1315,7 +1332,7 @@ object Graph {
     * carries). Walks backtrack freely (standard for DeepWalk corpora).
     */
   def randomWalks(t: Tables): DataFrame = {
-    val edges = Relational7.basketPairsRaw(t, EdgeSupport)
+    val edges = minedPairsShared(t)
       .select(explode(array(
         struct(col("a_part").as("u"), col("b_part").as("v")),
         struct(col("b_part").as("u"), col("a_part").as("v")))).as("e"))
