@@ -129,8 +129,19 @@ object Relational7 {
     * once.
     */
   private[operators] def baskets(t: Tables): DataFrame =
-    t.lineitem.groupBy("l_orderkey")
-      .agg(array_sort(collect_set(col("l_partkey"))).as("parts"))
+    basketsMemo.getOrCompute(t.spark, t.dir)(
+      t.lineitem.groupBy("l_orderkey")
+        .agg(array_sort(collect_set(col("l_partkey"))).as("parts"))
+        .localCheckpoint(true))
+
+  /** Session memo for [[baskets]] — the basket gather is the shared
+    * front-end of every co-purchase analytic (pairs, triples, lift, and
+    * the whole graph family through [[Graph]]'s mined-pairs memo), so
+    * the fact-table shuffle runs once per (session, dir) and every
+    * consumer reads the pinned frame (the [[graft.SessionMemo]]
+    * convention; deterministic, results unchanged).
+    */
+  private val basketsMemo = new graft.SessionMemo[DataFrame]
 
   private[operators] def pairsFromBaskets(b: DataFrame, minSupport: Int): DataFrame =
     b.select(explode(expr(
