@@ -152,7 +152,9 @@ object Analytics {
       .select(col("user_id"),
         datediff(to_date(col("max_ts")), to_date(col("last_ts"))).as("recency_days"),
         col("frequency"), col("monetary"))
-      .persist() // the fused rank pass + the final join both read it
+      // pinned for the fused rank pass + final join (localCheckpoint,
+      // not persist — the cached-plan/AQE rule)
+      .localCheckpoint(true)
     // all three orderings ranked in ONE range shuffle (descending metrics
     // negated; ties fall to user_id ascending, matching the NTILE oracle)
     val (ranks, n) = Ranks.withGlobalRanksFused(base, "user_id", Seq(

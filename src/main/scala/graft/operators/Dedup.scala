@@ -78,12 +78,13 @@ object Dedup {
     * [[keepBest]]) read this directly and skip the global sort exchange.
     */
   private[graft] def ngramJaccardPairs(t: Tables): DataFrame = {
-    // persisted: the gram projection feeds the frequency ranking and both
+    // pinned: the gram projection feeds the frequency ranking and both
     // sides of the verify join; without it WordNGrams runs once per
-    // branch. MEMORY_AND_DISK, so at scale it spills instead of OOM.
-    // (Verify/long-lived sessions release via catalog.clearCache between
-    // queries — the cache lives exactly as long as its plan is useful.)
-    val g = Shingles.gramsOf(t.documents).persist()
+    // branch. localCheckpoint, not persist — a cacheManager entry would
+    // build every consumer as a CACHED plan with AQE restricted and
+    // leak past the query (the r10-r12 audit mechanism; PlanAuditSpec
+    // now guards the whole inventory).
+    val g = Shingles.gramsOf(t.documents).localCheckpoint(true)
     val ex = hashedExplode(g)
     val pref = dfRankedPrefix(ex, JaccardThreshold)
     // sound length filter: J ≥ t ⟹ min(|A|,|B|) ≥ t·max(|A|,|B|) —
@@ -121,7 +122,7 @@ object Dedup {
       .select(col("doc_id"), xxhash64(col("gs")).as("gram"))
 
   def containment(t: Tables): DataFrame = {
-    val g = Shingles.gramsOf(t.documents).persist()
+    val g = Shingles.gramsOf(t.documents).localCheckpoint(true)
     val ex = hashedExplode(g)
     // sound length filter: C(A→B) ≥ t ⟹ |A∩B| ≥ t·|A| and |A∩B| ≤ |B|,
     // so |B| ≥ t·|A| — prune before the distinct + verify shuffles
@@ -275,7 +276,7 @@ object Dedup {
 
   def minhashLsh(t: Tables): DataFrame = {
     // persisted: feeds the signature build + the verify join
-    val g = Shingles.gramsOf(t.documents).persist()
+    val g = Shingles.gramsOf(t.documents).localCheckpoint(true)
     val bands = bandsOf(g)
     val ca = bands.select(col("doc_id").as("a_id"), col("sz").as("a_sz"),
       col("band_idx"), col("band_hash"))
@@ -303,7 +304,7 @@ object Dedup {
     * pair involving a batch doc (batch↔corpus and batch↔batch).
     */
   def incrementalDedup(t: Tables): DataFrame = {
-    val g = Shingles.gramsOf(t.documents).persist()
+    val g = Shingles.gramsOf(t.documents).localCheckpoint(true)
     val bands = bandsOf(g)
     val isBatch = (c: Column) => pmod(c, lit(5)) === 0
     val nb = bands.where(isBatch(col("doc_id")))
@@ -496,11 +497,11 @@ object Dedup {
         .join(broadcast(labelDf), Seq("id"), "left")
         .select(col("id"), coalesce(col("graph_lbl"), col("id")).as("lbl"))
     }
-    // distributed path: cache the undoubled pair list NOW (every round
-    // re-reads it; recomputing the pair pipeline once more to populate
-    // the cache is the accepted cost of an oversize graph), then double
-    // it into both edge directions
-    val ep = src.cache()
+    // distributed path: pin the undoubled pair list NOW (every round
+    // re-reads it) — localCheckpoint, not cache: a cacheManager entry
+    // builds the result as a CACHED plan with AQE restricted and leaks
+    // past the query (the r10-r12 audit mechanism)
+    val ep = src.localCheckpoint(true)
     val edges = ep
       .select(explode(array(
         struct(col("x"), col("y")),
@@ -547,7 +548,6 @@ object Dedup {
       s"propagateLabels did not converge after $maxRounds rounds " +
         s"($changed labels still changing) — component diameter exceeds " +
         "maxRounds; raise it")
-    ep.unpersist(false)
     // isolated nodes label themselves; one broadcast-able join back
     nodes.select(col("id"))
       .join(labels.withColumnRenamed("lbl", "graph_lbl"), Seq("id"), "left")

@@ -58,6 +58,23 @@ object Graph {
     minedPairsMemo.getOrCompute(t.spark, t.dir)(
       Relational7.basketPairsRaw(t, EdgeSupport).localCheckpoint(true))
 
+  /** The mined pairs doubled into both edge directions (u, v) — the form
+    * every traversal operator consumes, pinned once per (session, dir)
+    * like [[minedPairsShared]] (it feeds per-round joins in six
+    * fixpoint/level loops, so per-operator persists are replaced by one
+    * shared leaf).
+    */
+  private val edgesMemo = new graft.SessionMemo[DataFrame]
+
+  private def edgesShared(t: Tables): DataFrame =
+    edgesMemo.getOrCompute(t.spark, t.dir)(
+      minedPairsShared(t)
+        .select(explode(array(
+          struct(col("a_part").as("u"), col("b_part").as("v")),
+          struct(col("b_part").as("u"), col("a_part").as("v")))).as("e"))
+        .select(col("e.u").as("u"), col("e.v").as("v"))
+        .localCheckpoint(true))
+
   /** Total rank mass in femto-units: 10¹⁵ (< 2⁵³, so the final
     * femto→double division is exact in both engines).
     */
@@ -86,12 +103,7 @@ object Graph {
     * lifetime, as with the shared shingle projections in [[Dedup]].
     */
   def pageRank(t: Tables): DataFrame = {
-    val edges = minedPairsShared(t)
-      .select(explode(array(
-        struct(col("a_part").as("u"), col("b_part").as("v")),
-        struct(col("b_part").as("u"), col("a_part").as("v")))).as("e"))
-      .select(col("e.u").as("u"), col("e.v").as("v"))
-      .persist()
+    val edges = edgesShared(t)
     val deg = edges.groupBy("u").agg(count(lit(1)).as("d"))
     val nRow = deg.agg(count(lit(1)).as("n"))
     // each edge carries its RECEIVER's degree, attached once before the
@@ -100,7 +112,10 @@ object Graph {
     val edgesD = edges
       .join(deg.select(col("u").as("dv"), col("d").as("vd")), col("v") === col("dv"))
       .select(col("u"), col("v"), col("vd"))
-      .persist()
+      // localCheckpoint, not persist: every superstep joins this frame
+      // (the fixpoint-loop pin convention; a cacheManager entry would
+      // run the loop over a CACHED plan and leak past the query)
+      .localCheckpoint(true)
 
     // the per-node share (Mass div N) seeds rank AND derives the teleport
     // term; it rides along as a column (`sh`) so no superstep needs the
@@ -142,9 +157,10 @@ object Graph {
     * numerator (one correctly-rounded double division, engine-portable).
     */
   def triangles(t: Tables): DataFrame = {
+    // no pin needed: the three wedge-join consumers each read a cheap
+    // row-local projection of the already-pinned mined pair frame
     val cp = minedPairsShared(t)
       .select(col("a_part").as("a"), col("b_part").as("b"))
-      .persist()
     val tri = cp.select(col("a").as("x"), col("b").as("y"))
       .join(cp.select(col("a").as("y2"), col("b").as("z")), col("y") === col("y2"))
       .join(cp.select(col("a").as("x2"), col("b").as("z2")),
@@ -356,12 +372,7 @@ object Graph {
     * proportional to the reachable component, never the part table.
     */
   def bfsHops(t: Tables): DataFrame = {
-    val edges = minedPairsShared(t)
-      .select(explode(array(
-        struct(col("a_part").as("u"), col("b_part").as("v")),
-        struct(col("b_part").as("u"), col("a_part").as("v")))).as("e"))
-      .select(col("e.u").as("u"), col("e.v").as("v"))
-      .persist()
+    val edges = edgesShared(t)
     // one driver scalar (the source id), same bounded convention as the
     // convergence probes. An EMPTY mined edge set (no pair reaches
     // EdgeSupport) has no source: return the empty hop frame instead of
@@ -371,7 +382,6 @@ object Graph {
     val spark = t.spark
     import spark.implicits._
     if (srcRow.isNullAt(0)) {
-      edges.unpersist(false)
       return Seq.empty[(Long, Long)].toDF("node", "hops")
         .select(col("node").as("p_partkey"), col("hops"))
     }
@@ -401,7 +411,6 @@ object Graph {
       dist = step
       round += 1
     }
-    edges.unpersist(false)
     dist.select(col("node").as("p_partkey"), col("hops"))
       .orderBy("p_partkey")
   }
@@ -477,12 +486,7 @@ object Graph {
     * round's membership.
     */
   def kcore(t: Tables): DataFrame = {
-    val edges = minedPairsShared(t)
-      .select(explode(array(
-        struct(col("a_part").as("u"), col("b_part").as("v")),
-        struct(col("b_part").as("u"), col("a_part").as("v")))).as("e"))
-      .select(col("e.u").as("u"), col("e.v").as("v"))
-      .persist()
+    val edges = edgesShared(t)
     def degrees(members: DataFrame): DataFrame =
       edges
         .join(members.select(col("id").as("mu")), col("u") === col("mu"), "left_semi")
@@ -512,7 +516,6 @@ object Graph {
     val out = degrees(members)
       .select(col("u").as("p_partkey"), col("deg").as("core_degree"))
       .orderBy("p_partkey")
-    edges.unpersist(false)
     out
   }
 
@@ -601,12 +604,7 @@ object Graph {
     // (memoized for modularity's label-attach joins), so its blocks must
     // survive catalog.clearCache; eager, so every LPA round's join reads
     // pinned blocks instead of re-mining
-    val edges = minedPairsShared(t)
-      .select(explode(array(
-        struct(col("a_part").as("u"), col("b_part").as("v")),
-        struct(col("b_part").as("u"), col("a_part").as("v")))).as("e"))
-      .select(col("e.u").as("u"), col("e.v").as("v"))
-      .localCheckpoint(true)
+    val edges = edgesShared(t)
     val nodes = t.part.select(col("p_partkey").as("id"))
     var labels = nodes.select(col("id"), col("id").as("lbl"))
     for (r <- 1 to LpaRounds) {
@@ -758,12 +756,7 @@ object Graph {
   def assortativity(t: Tables): DataFrame = {
     import org.apache.spark.sql.types.DecimalType
     val d38 = DecimalType(38, 0)
-    val edges = minedPairsShared(t)
-      .select(explode(array(
-        struct(col("a_part").as("u"), col("b_part").as("v")),
-        struct(col("b_part").as("u"), col("a_part").as("v")))).as("e"))
-      .select(col("e.u").as("u"), col("e.v").as("v"))
-      .persist()
+    val edges = edgesShared(t)
     val deg = edges.groupBy("u").agg(count(lit(1)).as("d"))
     val du = deg.select(col("u"), col("d").as("x"))
     val dv = deg.select(col("u").as("v"), col("d").as("y"))
@@ -839,12 +832,7 @@ object Graph {
     * min-fold, both keyed (seed, node).
     */
   def closeness(t: Tables): DataFrame = {
-    val edges = minedPairsShared(t)
-      .select(explode(array(
-        struct(col("a_part").as("u"), col("b_part").as("v")),
-        struct(col("b_part").as("u"), col("a_part").as("v")))).as("e"))
-      .select(col("e.u").as("u"), col("e.v").as("v"))
-      .persist()
+    val edges = edgesShared(t)
     val seeds = edges.groupBy("u").agg(count(lit(1)).as("deg"))
       .orderBy(col("deg").desc, col("u"))
       .limit(ClosenessSeeds)
@@ -935,12 +923,7 @@ object Graph {
   def betweenness(t: Tables): DataFrame = {
     val spark = t.spark
     import spark.implicits._
-    val edges = minedPairsShared(t)
-      .select(explode(array(
-        struct(col("a_part").as("u"), col("b_part").as("v")),
-        struct(col("b_part").as("u"), col("a_part").as("v")))).as("e"))
-      .select(col("e.u").as("u"), col("e.v").as("v"))
-      .localCheckpoint(true)
+    val edges = edgesShared(t)
     val srcs = edges.select(col("u")).distinct().orderBy("u")
       .limit(BcSources).as[Long].collect().toSeq
     if (srcs.isEmpty)
@@ -1085,16 +1068,7 @@ object Graph {
     * threshold (J > 0 ⟺ a shared neighbor exists).
     */
   def nodeSimilarity(t: Tables): DataFrame = {
-    val edges = minedPairsShared(t)
-      .select(explode(array(
-        struct(col("a_part").as("u"), col("b_part").as("v")),
-        struct(col("b_part").as("u"), col("a_part").as("v")))).as("e"))
-      .select(col("e.u").as("u"), col("e.v").as("v"))
-      // localCheckpoint, not persist: three consumers (deg + both wedge
-      // sides) reuse the mined edges without forcing the upstream
-      // pipeline into a CACHED plan (AQE-restricted, the r10/r11
-      // ProfileJaccard finding), and no cache entry outlives the query
-      .localCheckpoint(true)
+    val edges = edgesShared(t)
     val deg = edges.groupBy("u").agg(count(lit(1)).as("d"))
     val common = edges.select(col("v").as("w"), col("u").as("a"))
       .join(edges.select(col("v").as("w"), col("u").as("b")), Seq("w"))
@@ -1147,13 +1121,7 @@ object Graph {
     * new-link candidates, TakeOrdered top-[[LinkPredictTopK]].
     */
   def linkPredict(t: Tables): DataFrame = {
-    val edges = minedPairsShared(t)
-      .select(explode(array(
-        struct(col("a_part").as("u"), col("b_part").as("v")),
-        struct(col("b_part").as("u"), col("a_part").as("v")))).as("e"))
-      .select(col("e.u").as("u"), col("e.v").as("v"))
-      // localCheckpoint for the same reason as nodeSimilarity above
-      .localCheckpoint(true)
+    val edges = edgesShared(t)
     val deg = edges.groupBy("u").agg(count(lit(1)).as("d"))
     val wedgeScores = edges.select(col("v").as("w"), col("u").as("a"))
       .join(edges.select(col("v").as("w"), col("u").as("b")), Seq("w"))
@@ -1268,12 +1236,7 @@ object Graph {
     * graph), one distinct, one count — no iteration, no driver state.
     */
   def twoHopReach(t: Tables): DataFrame = {
-    val edges = minedPairsShared(t)
-      .select(explode(array(
-        struct(col("a_part").as("u"), col("b_part").as("v")),
-        struct(col("b_part").as("u"), col("a_part").as("v")))).as("e"))
-      .select(col("e.u").as("u"), col("e.v").as("v"))
-      .localCheckpoint(true)
+    val edges = edgesShared(t)
     val oneHop = edges.groupBy("u").agg(count(lit(1)).as("n1"))
     val twoHop = edges.as("a")
       .join(edges.select(col("u").as("m"), col("v").as("w")).as("b"),
@@ -1332,16 +1295,7 @@ object Graph {
     * carries). Walks backtrack freely (standard for DeepWalk corpora).
     */
   def randomWalks(t: Tables): DataFrame = {
-    val edges = minedPairsShared(t)
-      .select(explode(array(
-        struct(col("a_part").as("u"), col("b_part").as("v")),
-        struct(col("b_part").as("u"), col("a_part").as("v")))).as("e"))
-      .select(col("e.u").as("u"), col("e.v").as("v"))
-      // localCheckpoint, not persist: four consumers (walk seed + one
-      // join per step) and the mined signal graph is small, while a
-      // cacheManager persist would build the whole basket-mining
-      // pipeline as a CACHED plan with AQE restricted
-      .localCheckpoint(true)
+    val edges = edgesShared(t)
     var walks = edges.select(col("u")).distinct()
       .select(col("u").as("walk_id"), col("u").as("cur"),
         col("u").cast("string").as("path"))

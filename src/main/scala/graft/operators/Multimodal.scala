@@ -1339,7 +1339,8 @@ object Multimodal {
     * frame is persisted so the codec runs once, not once per side.
     */
   def dedupDhash(t: Tables): DataFrame = {
-    val hashed = dhashReal(t).select(col("doc_id"), col("dhash")).persist()
+    val hashed = dhashReal(t).select(col("doc_id"), col("dhash"))
+      .localCheckpoint(true)
     val banded = hashed.select(col("doc_id"), col("dhash"),
       posexplode(expr(
         "transform(sequence(0, 3), b -> shiftright(dhash, b * 16) & 65535)"))

@@ -32,7 +32,7 @@ object Ranks {
       .withColumn("_pid", spark_partition_id())
     val local = sorted.withColumn("_lrn",
       row_number().over(Window.partitionBy("_pid").orderBy(sortCols: _*)))
-      .persist()
+      .localCheckpoint(true)
     // per-partition counts: #shuffle-partitions rows — bounded driver state
     val counts = local.groupBy("_pid").agg(count(lit(1)).as("_n"))
       .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
@@ -90,7 +90,7 @@ object Ranks {
       .sortWithinPartitions(col("_m"), col("_v"), col("_key"))
       .withColumn("_pid", spark_partition_id())
       .withColumn("_mid", monotonically_increasing_id())
-      .persist()
+      .localCheckpoint(true)
     // (partition, metric) → run length + first id: bounded driver state
     val stats = local.groupBy("_pid", "_m")
       .agg(count(lit(1)).as("_n"), min(col("_mid")).as("_first"))

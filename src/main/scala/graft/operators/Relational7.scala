@@ -41,7 +41,7 @@ object Relational7 {
     val ranged = rev
       .repartitionByRange(32, col("rev").desc, col("l_partkey"))
       .withColumn("bucket", spark_partition_id())
-      .persist()
+      .localCheckpoint(true)
     val wLocal = Window.partitionBy("bucket")
       .orderBy(col("rev").desc, col("l_partkey"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)

@@ -265,7 +265,7 @@ object Relational9 {
     val ranged = deltas
       .repartitionByRange(32, col("ts"), col("d").desc)
       .withColumn("bucket", spark_partition_id())
-      .persist()
+      .localCheckpoint(true)
     val wLocal = Window.partitionBy("bucket")
       .orderBy(col("ts"), col("d").desc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)

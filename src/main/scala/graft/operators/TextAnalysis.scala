@@ -293,7 +293,7 @@ object TextAnalysis {
     val spark = t.documents.sparkSession
     import spark.implicits._
     val ex = graft.functions.Shingles.gramsOf(t.documents)
-      .select(explode(col("grams")).as("gram")).persist()
+      .select(explode(col("grams")).as("gram")).localCheckpoint(true)
     val mg = new graft.functions.MisraGries(HhK)
     val candidates = ex.as[String].select(mg.toColumn.name("cands")).head()
     val out = ex.where(col("gram").isin(candidates: _*))

@@ -608,7 +608,8 @@ object TimeSeries {
       .select(
         datediff(col("d"), to_date(lit("1970-01-01"))).cast("long").as("ed"),
         (col("rev") * 1000000).cast("long").as("v"))
-      .persist() // read by the span probe, both join sides, and residuals
+      // pinned (localCheckpoint, not persist — the cached-plan/AQE rule)
+      .localCheckpoint(true)
     val span = daily.agg(max(col("ed")).as("mxd"))
     // per-row probe bound: day d only emits gaps up to mxd − d, halving
     // the probe rows vs a uniform global span
@@ -624,7 +625,7 @@ object TimeSeries {
     // = per-bucket row_number + broadcast offsets of preceding buckets
     val ranged = slopes.repartitionByRange(32, col("s"))
       .withColumn("bucket", spark_partition_id())
-      .persist()
+      .localCheckpoint(true)
     val counts = ranged.groupBy("bucket").agg(count(lit(1)).as("bn"))
     val wB = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, -1)
     val offsets = counts

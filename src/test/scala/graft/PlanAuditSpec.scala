@@ -26,6 +26,28 @@ class PlanAuditSpec extends SparkSpec {
     assert(offenders.isEmpty, s"cartesian plans: $offenders")
   }
 
+  test("no registered query's RESULT plan reads a cached relation") {
+    // the r10/r11 lesson, regression-proofed: a cacheManager cache in
+    // the result path builds the query as a CACHED plan with AQE
+    // re-planning restricted (+25-35% task CPU measured) and leaks the
+    // entry past the query. Training-time caches are fine ONLY if
+    // released before the result frame is handed back; cross-consumer
+    // reuse must ride localCheckpoint or a SessionMemo frame instead.
+    spark.catalog.clearCache()
+    val offenders = SparkEntry.queries.toSeq.flatMap { case (name, fn) =>
+      val df = fn(spark, dir)
+      val cached = df.queryExecution.executedPlan.toString
+        .contains("InMemoryTableScan")
+      // every operator must also leave the cache EMPTY once its frame
+      // is built (leaked entries pile up across a 300-query session)
+      val leaked = !spark.sharedState.cacheManager.isEmpty
+      spark.catalog.clearCache()
+      (if (cached) Seq(s"$name plans InMemoryTableScan") else Nil) ++
+        (if (leaked) Seq(s"$name leaks a cache entry") else Nil)
+    }
+    assert(offenders.isEmpty, s"cached-plan offenders:\n${offenders.mkString("\n")}")
+  }
+
   test("every events/lineitem/documents scan prunes columns") {
     val tableWidths = Map(
       "events" -> sf.events.schema.size,
