@@ -1462,4 +1462,101 @@ object Graph {
        |  SELECT 'hub', c, h FROM h$HitsIters)
        |ORDER BY role, score_femto DESC, node_id""".stripMargin
   }
+
+  /** Truss order: an edge survives while it closes ≥ [[KtrussK]]−2
+    * triangles among surviving edges.
+    */
+  private val KtrussK = 3
+
+  /** Fixed unroll bound shared with the oracle — peeling is monotone
+    * (edges only leave), so rounds after convergence are no-ops and the
+    * oracle's full unroll equals the operator's early-exited fixpoint.
+    * Both SFs converge in 2 rounds; 6 is the fail-loud backstop.
+    */
+  private val KtrussMaxRounds = 6
+
+  /** K-truss decomposition of the co-purchase graph (edge-level sibling
+    * of [[kcore]]): iteratively peel every edge whose triangle support —
+    * the number of common neighbors of its endpoints among SURVIVING
+    * edges — falls below K−2, until fixpoint; emit the surviving edges
+    * with their final support. The truss is the standard dense-subgraph
+    * primitive one level stronger than k-core (every truss edge sits in
+    * K−2 triangles, so truss communities are cohesive, not just
+    * well-connected). Reference scope: the co-purchase mining family
+    * (analyze.py:60-102); the truss refinement is standard public
+    * knowledge (Cohen 2008).
+    *
+    * Scale: each round is one wedge join bounded by Σdeg(v)² over the
+    * mined SIGNAL graph (support-thresholded, orders of magnitude
+    * smaller than the fact table) plus a group-by — the same per-round
+    * shape as [[kcore]]'s degree filter, shuffling on edge keys. Rounds
+    * are data-dependent but bounded; each round's survivor set is
+    * localCheckpoint-pinned so round r+1 reads pinned blocks instead of
+    * replaying rounds 1..r.
+    */
+  def ktruss(t: Tables): DataFrame = {
+    val canon = minedPairsShared(t)
+      .select(col("a_part").as("a"), col("b_part").as("b"))
+    def support(cur: DataFrame): DataFrame = {
+      val dbl = cur.select(col("a").as("u"), col("b").as("v"))
+        .union(cur.select(col("b").as("u"), col("a").as("v")))
+      cur
+        .join(dbl.select(col("u").as("a"), col("v").as("w")), Seq("a"))
+        .join(dbl.select(col("u").as("b"), col("v").as("w")), Seq("b", "w"))
+        .groupBy("a", "b").agg(count(lit(1)).as("sup"))
+    }
+    var cur = canon.localCheckpoint(true)
+    var prev = cur.count()
+    var changed = prev // an empty mined graph skips the loop entirely
+    var round = 0
+    while (changed > 0 && round < KtrussMaxRounds) {
+      val next = support(cur)
+        .where(col("sup") >= KtrussK - 2)
+        .select("a", "b")
+        .localCheckpoint(true)
+      val n = next.count()
+      changed = prev - n
+      prev = n
+      cur = next
+      round += 1
+    }
+    require(changed == 0,
+      s"ktruss did not converge in $KtrussMaxRounds rounds; raise the backstop")
+    support(cur)
+      .select(col("a").as("a_part"), col("b").as("b_part"),
+        col("sup").cast("long").as("truss_support"))
+      .orderBy("a_part", "b_part")
+  }
+
+  /** Oracle: [[KtrussMaxRounds]] unrolled peel rounds over materialized
+    * survivor sets (the [[kcoreSql]] convention — no-ops after
+    * convergence, so the fixed unroll is exact), then the final support
+    * recomputed on the surviving set.
+    */
+  val ktrussSql: String = {
+    def supSql(tn: String, dn: String): String =
+      s"""SELECT t.a, t.b, COUNT(*) AS sup FROM $tn t
+         | JOIN $dn x ON x.u = t.a
+         | JOIN $dn y ON y.u = t.b AND y.v = x.v
+         | GROUP BY t.a, t.b""".stripMargin
+    val rounds = (1 to KtrussMaxRounds).map { r =>
+      s"""t$r AS MATERIALIZED (
+         | SELECT a, b FROM (${supSql(s"t${r - 1}", s"d${r - 1}")})
+         | WHERE sup >= ${KtrussK - 2}),
+         |d$r AS MATERIALIZED (SELECT a AS u, b AS v FROM t$r
+         |  UNION ALL SELECT b, a FROM t$r)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH items AS MATERIALIZED (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+       |t0 AS MATERIALIZED (
+       |  SELECT a.l_partkey AS a, b.l_partkey AS b
+       |  FROM items a JOIN items b
+       |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+       |  GROUP BY 1, 2 HAVING COUNT(*) >= $EdgeSupport),
+       |d0 AS MATERIALIZED (SELECT a AS u, b AS v FROM t0
+       |  UNION ALL SELECT b, a FROM t0),
+       |$rounds
+       |SELECT a AS a_part, b AS b_part, CAST(sup AS BIGINT) AS truss_support
+       |FROM (${supSql(s"t$KtrussMaxRounds", s"d$KtrussMaxRounds")})
+       |ORDER BY a_part, b_part""".stripMargin
+  }
 }

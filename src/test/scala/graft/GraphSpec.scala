@@ -543,4 +543,48 @@ class GraphSpec extends SparkSpec {
       assert(math.abs(exp - n2.toDouble / n1) < 1e-12)
     }
   }
+
+  test("ktruss peels triangle-free edges and keeps shared-edge supports") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-ktruss").toString
+    // two triangles sharing edge (2,3) + a pendant edge (4,5): the
+    // pendant closes no triangle and peels in round 1; every remaining
+    // edge sits in ≥1 triangle; (2,3) sits in both
+    val edges = Seq((1L, 2L), (1L, 3L), (2L, 3L), (2L, 4L), (3L, 4L), (4L, 5L))
+    edges.zipWithIndex.flatMap { case ((a, b), i) =>
+      Seq((100L + 2 * i, a), (100L + 2 * i, b),
+        (101L + 2 * i, a), (101L + 2 * i, b))
+    }.toDF("l_orderkey", "l_partkey")
+      .write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+    val got = Graph.ktruss(Tables(spark, dir)).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got == Seq(
+      (1L, 2L, 1L), (1L, 3L, 1L), (2L, 3L, 2L),
+      (2L, 4L, 1L), (3L, 4L, 1L)), s"got $got")
+  }
+
+  test("ktruss on the sf graph matches an in-memory peeling replay") {
+    val items = sf.lineitem.select("l_orderkey", "l_partkey").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).distinct
+    val baskets = items.groupBy(_._1).view.mapValues(_.map(_._2).toSet)
+    val pairSupport = baskets.values.toSeq
+      .flatMap(ps => for (a <- ps; b <- ps if a < b) yield (a, b))
+      .groupBy(identity).view.mapValues(_.size)
+    var cur = pairSupport.filter(_._2 >= 2).keys.toSet
+    def supports(es: Set[(Long, Long)]): Map[(Long, Long), Long] = {
+      val adj = (es ++ es.map { case (a, b) => (b, a) })
+        .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+      es.iterator.map(e => e -> (adj(e._1) & adj(e._2)).size.toLong).toMap
+    }
+    var done = false
+    while (!done) {
+      val next = supports(cur).filter(_._2 >= 1L).keySet
+      done = next == cur
+      cur = next
+    }
+    val exp = supports(cur)
+    val got = Graph.ktruss(sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(got == exp, s"sizes: got ${got.size} exp ${exp.size}")
+  }
 }
