@@ -427,4 +427,108 @@ object Relational10 {
       |JOIN supplier ON l_suppkey = s_suppkey
       |JOIN nation ON s_nationkey = n_nationkey
       |ORDER BY s_suppkey""".stripMargin
+
+  /** Years bridged by [[priceVolumeBridge]] — both fully inside the
+    * lineitem span (1995-2001).
+    */
+  private val BridgeY1 = 1996
+  private val BridgeY2 = 1997
+
+  /** Price/volume/mix revenue bridge (the "waterfall" at the top of
+    * every finance review): decompose per-brand revenue change between
+    * [[BridgeY1]] and [[BridgeY2]] into volume effect (quantity change
+    * at the OLD per-unit price), price effect (the exact residual on
+    * parts sold in both years — residual attribution keeps the bridge
+    * additive by construction), and new/lost-part effects. All exact
+    * integer micros: per-part old price = r1 div q1 over positive longs
+    * (truncating div ≡ DuckDB's floor `//` on positives), so
+    * rev1 + volume + price + new − lost ≡ rev2 row-for-row.
+    *
+    * Scale: one filtered fact aggregation keyed by part (map-side
+    * combine on the year split), a broadcast brand attach, one brand
+    * roll-up — two narrow shuffles, no windows, no driver state. Sums
+    * ride DECIMAL(38,0) internally (overflow-safe at 100 TB), BIGINT at
+    * the output seam (house rule). Reference scope: transform.py's
+    * revenue roll-ups (transform.py:60-96); the bridge decomposition is
+    * standard public finance methodology.
+    */
+  def priceVolumeBridge(t: Tables): DataFrame = {
+    val d19 = org.apache.spark.sql.types.DecimalType(19, 0)
+    val d38 = org.apache.spark.sql.types.DecimalType(38, 0)
+    val micros = (graft.functions.Exact.discPrice(
+      col("l_extendedprice"), col("l_discount")) * lit(1000000)).cast(d19)
+    val li = t.lineitem
+      .select(col("l_partkey"), year(col("l_shipdate")).as("yr"),
+        micros.as("m"), (col("l_quantity") * 100).cast("long").as("qc"))
+      .where(col("yr").isin(BridgeY1, BridgeY2))
+    val per = li.groupBy("l_partkey").agg(
+      sum(when(col("yr") === BridgeY1, col("m")).cast(d38))
+        .cast("long").as("r1"),
+      sum(when(col("yr") === BridgeY1, col("qc")).cast(d38))
+        .cast("long").as("q1"),
+      sum(when(col("yr") === BridgeY2, col("m")).cast(d38))
+        .cast("long").as("r2"),
+      sum(when(col("yr") === BridgeY2, col("qc")).cast(d38))
+        .cast("long").as("q2"))
+    val eff = per
+      .withColumn("common", col("r1").isNotNull && col("r2").isNotNull)
+      .withColumn("vol", when(col("common"),
+        (col("q2") - col("q1")) * expr("r1 div q1")).otherwise(lit(0L)))
+      .withColumn("prc", when(col("common"),
+        col("r2") - col("r1") - col("vol")).otherwise(lit(0L)))
+      .withColumn("newr", when(col("r1").isNull, col("r2")).otherwise(lit(0L)))
+      .withColumn("lost", when(col("r2").isNull, col("r1")).otherwise(lit(0L)))
+    eff.join(broadcast(t.part.select(col("p_partkey"), col("p_brand"))),
+        col("l_partkey") === col("p_partkey"))
+      .groupBy("p_brand")
+      .agg(
+        sum(coalesce(col("r1"), lit(0L)).cast(d38)).cast("long")
+          .as("rev1_micros"),
+        sum(col("vol").cast(d38)).cast("long").as("volume_micros"),
+        sum(col("prc").cast(d38)).cast("long").as("price_micros"),
+        sum(col("newr").cast(d38)).cast("long").as("new_micros"),
+        sum(col("lost").cast(d38)).cast("long").as("lost_micros"),
+        sum(coalesce(col("r2"), lit(0L)).cast(d38)).cast("long")
+          .as("rev2_micros"))
+      .orderBy("p_brand")
+  }
+
+  /** Oracle: the identical year split, per-part truncating old-price
+    * division (`//` ≡ `div` on positives), residual price effect, and
+    * brand roll-up.
+    */
+  val priceVolumeBridgeSql: String =
+    s"""WITH li AS (
+       | SELECT l_partkey, year(CAST(l_shipdate AS DATE)) AS yr,
+       |  CAST(CAST(l_extendedprice AS DECIMAL(12,2)) *
+       |    CAST(1 - CAST(l_discount AS DECIMAL(4,2)) AS DECIMAL(8,4))
+       |    * 1000000 AS DECIMAL(19,0)) AS m,
+       |  CAST(l_quantity * 100 AS BIGINT) AS qc
+       | FROM lineitem
+       | WHERE year(CAST(l_shipdate AS DATE)) IN ($BridgeY1, $BridgeY2)),
+       |per AS (
+       | SELECT l_partkey,
+       |  CAST(SUM(CASE WHEN yr = $BridgeY1 THEN m END) AS BIGINT) AS r1,
+       |  CAST(SUM(CASE WHEN yr = $BridgeY1 THEN qc END) AS BIGINT) AS q1,
+       |  CAST(SUM(CASE WHEN yr = $BridgeY2 THEN m END) AS BIGINT) AS r2,
+       |  CAST(SUM(CASE WHEN yr = $BridgeY2 THEN qc END) AS BIGINT) AS q2
+       | FROM li GROUP BY 1),
+       |eff AS (
+       | SELECT l_partkey, r1, r2,
+       |  CASE WHEN r1 IS NOT NULL AND r2 IS NOT NULL
+       |       THEN (q2 - q1) * (r1 // q1) ELSE 0 END AS vol,
+       |  CASE WHEN r1 IS NOT NULL AND r2 IS NOT NULL
+       |       THEN r2 - r1 - (q2 - q1) * (r1 // q1) ELSE 0 END AS prc,
+       |  CASE WHEN r1 IS NULL THEN r2 ELSE 0 END AS newr,
+       |  CASE WHEN r2 IS NULL THEN r1 ELSE 0 END AS lost
+       | FROM per)
+       |SELECT p_brand,
+       | CAST(SUM(COALESCE(r1, 0)) AS BIGINT) AS rev1_micros,
+       | CAST(SUM(vol) AS BIGINT) AS volume_micros,
+       | CAST(SUM(prc) AS BIGINT) AS price_micros,
+       | CAST(SUM(newr) AS BIGINT) AS new_micros,
+       | CAST(SUM(lost) AS BIGINT) AS lost_micros,
+       | CAST(SUM(COALESCE(r2, 0)) AS BIGINT) AS rev2_micros
+       |FROM eff JOIN part ON p_partkey = l_partkey
+       |GROUP BY 1 ORDER BY 1""".stripMargin
 }

@@ -178,4 +178,26 @@ class Relational10Spec extends SparkSpec {
       assert(math.abs(msd - ls.map(_._3).sum.toDouble / n) < 1e-12)
     }
   }
+
+  test("price/volume bridge is additive and matches year totals") {
+    import org.apache.spark.sql.functions._
+    val rows = Relational10.priceVolumeBridge(sf).collect()
+    assert(rows.nonEmpty)
+    // per brand: rev1 + volume + price + new - lost == rev2 EXACTLY
+    rows.foreach { r =>
+      val Seq(r1, vol, prc, nw, lost, r2) = (1 to 6).map(r.getLong)
+      assert(r1 + vol + prc + nw - lost == r2, s"bridge not additive: $r")
+    }
+    // grand totals match an independent per-year revenue aggregation
+    val d38 = org.apache.spark.sql.types.DecimalType(38, 0)
+    val byYear = sf.lineitem
+      .where(year(col("l_shipdate")).isin(1996, 1997))
+      .groupBy(year(col("l_shipdate")).as("yr"))
+      .agg(sum((graft.functions.Exact.discPrice(
+        col("l_extendedprice"), col("l_discount")) * lit(1000000))
+        .cast(d38)).cast("long").as("m"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(rows.map(_.getLong(1)).sum == byYear(1996))
+    assert(rows.map(_.getLong(6)).sum == byYear(1997))
+  }
 }
