@@ -214,4 +214,97 @@ object Tokenizer {
        |    x -> x <> '|' AND x <> '')) AS BIGINT) AS n_tokens
        |FROM d$BpeMerges ORDER BY doc_id""".stripMargin
   }
+
+  /** Tokenizer fertility report — the standard multilingual tokenizer
+    * evaluation (how many subword tokens a word costs per language, and
+    * how much text a token carries): the corpus tokenized through the
+    * SAME learned merge list as [[bpeApply]] (one training per session
+    * via the merges memo), then per-language exact integer ratios —
+    * tokens-per-word and chars-per-token in micros (`div` over positive
+    * sums ≡ DuckDB `//`). High fertility on a language = the vocabulary
+    * underserves it — the report that decides whether a tokenizer is
+    * fair across the data mix. Reference scope: the reference's
+    * token-count summaries (transform.py:60-96) extended with the
+    * public fertility metric (Scao et al. 2022, BLOOM §3.1 — public
+    * knowledge).
+    *
+    * Scale: the merge fold is row-local narrow projections; the only
+    * shuffles are training's vocabulary aggregations (memoized per
+    * session/dir) and one per-language roll-up of four integer sums.
+    */
+  def fertility(t: Tables): DataFrame = {
+    val merges = learnMergesShared(t)
+    val base = t.documents.select(col("doc_id"), col("lang"),
+      expr("regexp_extract_all(lower(text), '[a-z]+', 0)").as("ws"))
+      .select(col("lang"),
+        size(col("ws")).cast("long").as("n_words"),
+        expr("aggregate(ws, CAST(0 AS BIGINT), (a, w) -> a + length(w))")
+          .as("n_chars"),
+        expr(
+          """concat(' ', array_join(transform(ws,
+            |  w -> trim(regexp_replace(w, '(.)', '$1 '))), ' | '), ' ')"""
+            .stripMargin).as("u"))
+    val folded = merges.foldLeft(base) { case (df, (_, l, r, _, _)) =>
+      df.withColumn("u", expr(s"replace(u, ' $l $r ', ' $l$r ')"))
+    }
+    folded.select(col("lang"), col("n_words"), col("n_chars"),
+        size(expr(
+          "filter(split(trim(u), ' '), x -> x != '|' and x != '')"))
+          .cast("long").as("n_tokens"))
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_words")).as("words"),
+        sum(col("n_tokens")).as("tokens"),
+        sum(col("n_chars")).as("chars"))
+      .where(col("words") > 0 && col("tokens") > 0)
+      .select(col("lang"), col("n_docs").cast("long").as("n_docs"),
+        col("words").cast("long").as("n_words"),
+        col("tokens").cast("long").as("n_tokens"),
+        expr("(tokens * 1000000) div words").as("tokens_per_word_micros"),
+        expr("(chars * 1000000) div tokens").as("chars_per_token_micros"))
+      .orderBy("lang")
+  }
+
+  /** Oracle: the training chain + merge fold with lang/word/char
+    * counts carried through each round, then the identical per-language
+    * integer ratio roll-up.
+    */
+  val fertilitySql: String = {
+    def applyRound(i: Int, prev: String): String =
+      s"""e$i AS MATERIALIZED (
+         |  SELECT lang, n_words, n_chars, replace(u,
+         |    COALESCE((SELECT ' '||l||' '||r||' ' FROM b$i), chr(1)),
+         |    COALESCE((SELECT ' '||l||r||' ' FROM b$i), chr(1))) AS u
+         |  FROM $prev)""".stripMargin
+    val applies = (1 to BpeMerges).map(i => applyRound(i, s"e${i - 1}")).mkString(",\n")
+    s"""WITH $trainRoundsSql,
+       |e0 AS MATERIALIZED (
+       |  SELECT lang,
+       |    CAST(len(regexp_extract_all(lower(text), '[a-z]+')) AS BIGINT)
+       |      AS n_words,
+       |    CAST(COALESCE(list_sum(list_transform(
+       |      regexp_extract_all(lower(text), '[a-z]+'), w -> len(w))), 0)
+       |      AS BIGINT) AS n_chars,
+       |    ' ' || array_to_string(list_transform(
+       |      regexp_extract_all(lower(text), '[a-z]+'),
+       |      w -> trim(regexp_replace(w, '(.)', '\\1 ', 'g'))), ' | ') || ' ' AS u
+       |  FROM documents),
+       |$applies,
+       |per AS (
+       |  SELECT lang, n_words, n_chars,
+       |    CAST(len(list_filter(string_split(trim(u), ' '),
+       |      x -> x <> '|' AND x <> '')) AS BIGINT) AS n_tokens
+       |  FROM e$BpeMerges),
+       |g AS (
+       |  SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       |    CAST(SUM(n_words) AS BIGINT) AS words,
+       |    CAST(SUM(n_tokens) AS BIGINT) AS tokens,
+       |    CAST(SUM(n_chars) AS BIGINT) AS chars
+       |  FROM per GROUP BY 1)
+       |SELECT lang, n_docs, words AS n_words, tokens AS n_tokens,
+       |  (tokens * 1000000) // words AS tokens_per_word_micros,
+       |  (chars * 1000000) // tokens AS chars_per_token_micros
+       |FROM g WHERE words > 0 AND tokens > 0
+       |ORDER BY lang""".stripMargin
+  }
 }

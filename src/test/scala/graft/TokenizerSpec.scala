@@ -76,4 +76,31 @@ class TokenizerSpec extends SparkSpec {
       assert(l.nonEmpty && r.nonEmpty && (l + r).matches("[a-z]+"))
     }
   }
+
+  test("fertility aggregates bpe_apply token counts with exact integer ratios") {
+    import org.apache.spark.sql.functions._
+    val sf = Tables(spark, "/root/testdata/sf0.001")
+    val got = Tokenizer.fertility(sf).collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))
+      .toMap
+    assert(got.nonEmpty)
+    // independent per-doc tokens from bpeApply + direct word/char counts
+    val tokens = Tokenizer.bpeApply(sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val docs = sf.documents.select(col("doc_id"), col("lang"),
+        expr("regexp_extract_all(lower(text), '[a-z]+', 0)").as("ws"))
+      .collect().map { r =>
+        val ws = r.getSeq[String](2)
+        (r.getString(1), ws.size.toLong, ws.map(_.length.toLong).sum,
+          tokens(r.getLong(0)))
+      }
+    docs.groupBy(_._1).foreach { case (lang, ds) =>
+      val (nd, nw, nt, tpw, cpt) = got(lang)
+      val (w, c, tk) = (ds.map(_._2).sum, ds.map(_._3).sum, ds.map(_._4).sum)
+      assert(nd == ds.length && nw == w && nt == tk, s"$lang counts")
+      assert(tpw == tk * 1000000L / w, s"$lang tokens/word")
+      assert(cpt == c * 1000000L / tk, s"$lang chars/token")
+    }
+  }
 }
