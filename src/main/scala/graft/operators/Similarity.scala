@@ -1650,4 +1650,78 @@ object Similarity {
        |SELECT label, rank, vec_id, cosine
        |FROM rk WHERE rank <= $FilteredK
        |ORDER BY label, rank""".stripMargin
+
+  /** Anchor sample modulus for [[twoNn]] — every 4th vector anchors the
+    * estimate (TwoNN needs only a stable SAMPLE of anchor points, so
+    * the scale cost is |sample|×n, not n²).
+    */
+  private val TwoNnAnchorMod = 4
+
+  /** TwoNN intrinsic-dimension diagnostic (Facco et al. 2017, public
+    * knowledge): for each sampled anchor, the exact first- and
+    * second-nearest Euclidean distances and their ratio µ = d₂/d₁ — the
+    * statistic whose distribution estimates the manifold's intrinsic
+    * dimension (µ concentrated near 1 ⇒ high ID: neighbors
+    * indistinguishable, ANN recall will degrade; heavy µ tail ⇒ low ID:
+    * indexing will work). Emitted per anchor so any estimator can
+    * consume the raw ratios; the ln-based ML estimate is left to the
+    * consumer (ln is not correctly-rounded across engines — the
+    * engine-portable seam is the ratio itself). Degenerate anchors with
+    * an exact duplicate (d₁ = 0) are excluded — µ is undefined there.
+    *
+    * Scale: anchors are a deterministic hash sample broadcast against
+    * the full corpus — |sample|×n distance pairs, a per-anchor
+    * partitioned window (never global), one 2-row pivot per anchor.
+    * d² = a·a + c·c − 2·a·c with the shared left-fold dot product, so
+    * every distance pairs bit-identically with the oracle.
+    */
+  def twoNn(t: Tables): DataFrame = {
+    import graft.functions.DotProduct
+    val anchors = vectors(t)
+      .where(pmod(col("vec_id"), lit(TwoNnAnchorMod)) === 0)
+      .select(col("vec_id").as("a_id"), col("v").as("av"))
+    val dsq = vectors(t)
+      .select(col("vec_id").as("c_id"), col("v").as("cv"))
+      .join(broadcast(anchors), col("c_id") =!= col("a_id"))
+      .select(col("a_id"), col("c_id"),
+        (DotProduct(col("av"), col("av")) + DotProduct(col("cv"), col("cv"))
+          - lit(2.0) * DotProduct(col("av"), col("cv"))).as("dsq"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("a_id").orderBy(col("dsq"), col("c_id"))
+    dsq.withColumn("rn", row_number().over(w)).where(col("rn") <= 2)
+      .groupBy("a_id")
+      .agg(max(when(col("rn") === 1, col("dsq"))).as("d1_sq"),
+        max(when(col("rn") === 2, col("dsq"))).as("d2_sq"))
+      .where(col("d1_sq") > 0)
+      .select(col("a_id").as("vec_id"),
+        sqrt(col("d1_sq")).as("d1"), sqrt(col("d2_sq")).as("d2"),
+        (sqrt(col("d2_sq")) / sqrt(col("d1_sq"))).as("mu"))
+      .orderBy("vec_id")
+  }
+
+  /** Oracle: the identical anchor sample, d² expression tree, ranked
+    * 2-NN pivot, and µ ratio.
+    */
+  val twoNnSql: String =
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |a AS (SELECT vec_id AS a_id, v AS av FROM e
+       |      WHERE vec_id % $TwoNnAnchorMod = 0),
+       |d AS (
+       | SELECT a.a_id, e.vec_id AS c_id,
+       |  list_dot_product(a.av, a.av) + list_dot_product(e.v, e.v)
+       |    - 2.0 * list_dot_product(a.av, e.v) AS dsq
+       | FROM e JOIN a ON e.vec_id <> a.a_id),
+       |r AS (
+       | SELECT a_id, c_id, dsq,
+       |  ROW_NUMBER() OVER (PARTITION BY a_id ORDER BY dsq, c_id) AS rn
+       | FROM d),
+       |g AS (
+       | SELECT a_id,
+       |  MAX(CASE WHEN rn = 1 THEN dsq END) AS d1_sq,
+       |  MAX(CASE WHEN rn = 2 THEN dsq END) AS d2_sq
+       | FROM r WHERE rn <= 2 GROUP BY 1)
+       |SELECT a_id AS vec_id, sqrt(d1_sq) AS d1, sqrt(d2_sq) AS d2,
+       | sqrt(d2_sq) / sqrt(d1_sq) AS mu
+       |FROM g WHERE d1_sq > 0
+       |ORDER BY vec_id""".stripMargin
 }

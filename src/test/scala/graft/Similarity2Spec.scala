@@ -670,4 +670,35 @@ class Similarity2Spec extends SparkSpec {
       nbs.exists(r => r._3 > cos(vecs(q), vecs(entry)))
     }, "no query improved over the entry — the walk never expanded")
   }
+
+  test("two_nn matches an exact in-memory 2-NN replay") {
+    import spark.implicits._
+    val vecs = sf.embeddings
+      .select($"vec_id", $"embedding".cast("array<double>"))
+      .collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).toMap
+    def dsq(a: Array[Double], b: Array[Double]): Double = {
+      def dot(x: Array[Double], y: Array[Double]): Double = {
+        var s = 0.0; var i = 0
+        while (i < x.length) { s += x(i) * y(i); i += 1 }; s
+      }
+      dot(a, a) + dot(b, b) - 2.0 * dot(a, b)
+    }
+    val got = Similarity.twoNn(sf).collect()
+      .map(r => r.getLong(0) -> (r.getDouble(1), r.getDouble(2), r.getDouble(3)))
+      .toMap
+    val anchors = vecs.keys.filter(_ % 4 == 0)
+    anchors.foreach { a =>
+      val ds = vecs.toSeq.filter(_._1 != a)
+        .map { case (c, v) => (dsq(vecs(a), v), c) }.sorted.take(2)
+      val (d1s, d2s) = (ds(0)._1, ds(1)._1)
+      if (d1s > 0) {
+        val (d1, d2, mu) = got(a)
+        assert(math.abs(d1 - math.sqrt(d1s)) < 1e-9, s"anchor $a d1")
+        assert(math.abs(d2 - math.sqrt(d2s)) < 1e-9, s"anchor $a d2")
+        assert(mu >= 1.0 && math.abs(mu - d2 / d1) < 1e-12, s"anchor $a mu")
+      } else assert(!got.contains(a), s"degenerate anchor $a not excluded")
+    }
+    assert(got.keySet.subsetOf(anchors.toSet))
+  }
 }
