@@ -109,6 +109,63 @@ object Quality {
       | FROM events WHERE user_id < 20)
       |ORDER BY user_id, valid_from, event_id""".stripMargin
 
+  /** Point-in-time (as-of-event-time) join against an SCD2 dimension —
+    * the query every versioned warehouse must answer correctly: each
+    * fact row joins the dimension VERSION that was valid at the fact's
+    * event time, never the current one (joining current state into
+    * historical facts is the classic leakage bug). Dimension versions
+    * here are the per-user `view` event stream turned into contiguous
+    * [valid_from, valid_to) intervals ([[scd2]]'s construction); facts
+    * are the `purchase` events; a purchase before the user's first
+    * version keeps NULL dim columns (left join — facts never vanish).
+    * Interval disjointness makes the match unique by construction, so
+    * the join can't fan out. Reference scope: transform.py:21-58's
+    * enrichment joins, upgraded to version-correct semantics (Kimball
+    * SCD type 2, public methodology).
+    *
+    * Scale: an equi-join on the user key carrying a range residual —
+    * shuffles both sides by user exactly once; version chains ride the
+    * same partition so the interval filter is local. The streaming twin
+    * is [[graft.streaming.Streams.scd2EnrichStream]].
+    */
+  def pitJoin(t: Tables): DataFrame = {
+    val base = t.events.where(col("event_type") === "view")
+      .select(col("user_id"), col("event_id").as("version_id"),
+        col("value").as("state_value"), col("ts").as("valid_from"))
+    val wd = Window.partitionBy("user_id").orderBy("valid_from", "version_id")
+    val dim = base.withColumn("valid_to", lead(col("valid_from"), 1).over(wd))
+    val facts = t.events.where(col("event_type") === "purchase")
+      .select(col("event_id").as("fact_id"), col("user_id").as("f_user"),
+        col("ts").as("fact_ts"), col("value").as("amount"))
+    facts.join(dim,
+        col("f_user") === col("user_id") &&
+          col("fact_ts") >= col("valid_from") &&
+          (col("valid_to").isNull || col("fact_ts") < col("valid_to")),
+        "left")
+      .select(col("fact_id"), col("f_user").as("user_id"), col("fact_ts"),
+        col("amount"), col("version_id"), col("state_value"))
+      .orderBy("fact_id")
+  }
+
+  /** Oracle: identical interval construction and PIT predicate. */
+  val pitJoinSql: String =
+    """WITH dim AS (
+      | SELECT user_id, event_id AS version_id, value AS state_value,
+      |  CAST(ts AS TIMESTAMP) AS valid_from,
+      |  LEAD(CAST(ts AS TIMESTAMP), 1) OVER (PARTITION BY user_id
+      |    ORDER BY CAST(ts AS TIMESTAMP), event_id) AS valid_to
+      | FROM events WHERE event_type = 'view'),
+      |facts AS (
+      | SELECT event_id AS fact_id, user_id,
+      |  CAST(ts AS TIMESTAMP) AS fact_ts, value AS amount
+      | FROM events WHERE event_type = 'purchase')
+      |SELECT f.fact_id, f.user_id, f.fact_ts, f.amount,
+      | d.version_id, d.state_value
+      |FROM facts f LEFT JOIN dim d
+      |  ON f.user_id = d.user_id AND f.fact_ts >= d.valid_from
+      | AND (d.valid_to IS NULL OR f.fact_ts < d.valid_to)
+      |ORDER BY fact_id""".stripMargin
+
   /** Key-collision dedup end-to-end: fingerprint groups with keeper and
     * member list (the group-forming step after
     * [[TextAnalysis.fingerprint]]).

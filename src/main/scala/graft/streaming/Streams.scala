@@ -58,6 +58,29 @@ object Streams {
       joinCol: String): DataFrame =
     events.join(broadcast(dims), Seq(joinCol), "left")
 
+  /** Point-in-time SCD2 enrich on a stream — the streaming twin of
+    * [[graft.operators.Quality.pitJoin]]: each fact joins the dimension
+    * VERSION valid at its EVENT time (`ts` ∈ [valid_from, valid_to)),
+    * never the current one, so an out-of-order or late fact still
+    * enriches against the state the world was in when it happened —
+    * replay and live ingestion agree byte-for-byte. Stream-static left
+    * join: stateless (no watermark, no state store — the static side is
+    * re-read per micro-batch, so a dimension refresh between batches is
+    * picked up), and facts with no valid version keep NULL dim columns
+    * rather than vanishing. `dim` needs (user_id, version_id,
+    * state_value, valid_from, valid_to); facts need (user_id, ts).
+    */
+  def scd2EnrichStream(facts: DataFrame, dim: DataFrame): DataFrame = {
+    val d = dim.select(col("user_id").as("d_user"), col("version_id"),
+      col("state_value"), col("valid_from"), col("valid_to"))
+    facts.join(broadcast(d),
+        col("user_id") === col("d_user") &&
+          col("ts") >= col("valid_from") &&
+          (col("valid_to").isNull || col("ts") < col("valid_to")),
+        "left")
+      .drop("d_user", "valid_from", "valid_to")
+  }
+
   /** Sliding event-time window agg (1 h window, 15 min slide) — the
     * overlapping-window twin of [[tumblingCounts]]; each event lands in
     * four open windows, watermark still bounds state.

@@ -30,6 +30,65 @@ class StreamingSpec extends SparkSpec {
     assert(byUser(7L) == null) // left join keeps unmatched events
   }
 
+  test("pit join enriches facts with the event-time version; stream twin agrees") {
+    import org.apache.spark.sql.functions.{expr, lead}
+    import org.apache.spark.sql.expressions.Window
+    // planted events: user 1 has versions (view) at :10 and :20;
+    // purchases land before any version (:05), inside v100 (:15), ON
+    // the v101 boundary (:20), and inside v101 (:25)
+    val dir = java.nio.file.Files.createTempDirectory("graft-pit").toString
+    Seq(
+      (100L, ts(10), 1L, "view", 1.0, "{}"),
+      (101L, ts(20), 1L, "view", 2.0, "{}"),
+      (1L, ts(5), 1L, "purchase", 9.0, "{}"),
+      (2L, ts(15), 1L, "purchase", 8.0, "{}"),
+      (3L, ts(20), 1L, "purchase", 7.0, "{}"),
+      (4L, ts(25), 1L, "purchase", 6.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val batch = graft.operators.Quality.pitJoin(Tables(spark, dir)).collect()
+      .map(r => (r.getLong(0),
+        Option(r.get(4)).map(_.asInstanceOf[Long]),
+        Option(r.get(5)).map(_.asInstanceOf[Double])))
+    assert(batch.toSeq == Seq(
+      (1L, None, None),
+      (2L, Some(100L), Some(1.0)),
+      (3L, Some(101L), Some(2.0)),
+      (4L, Some(101L), Some(2.0))), s"batch got ${batch.toList}")
+
+    // stream twin: the same dimension frame, facts arriving OUT OF
+    // ORDER across two micro-batches — event-time versioning must hold
+    val events = Tables(spark, dir).events
+    val base = events.where(col("event_type") === "view")
+      .select(col("user_id"), col("event_id").as("version_id"),
+        col("value").as("state_value"), col("ts").as("valid_from"))
+    val dim = base.withColumn("valid_to",
+      lead(col("valid_from"), 1).over(
+        Window.partitionBy("user_id").orderBy("valid_from", "version_id")))
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Event]
+    val q = Streams.scd2EnrichStream(input.toDF(), dim)
+      .writeStream.format("memory").queryName("pit_stream")
+      .outputMode("append").start()
+    input.addData(Event(1, ts(25), "purchase", 6.0))
+    q.processAllAvailable()
+    // late arrivals: facts OLDER than the already-seen :25 still enrich
+    // against their own event-time versions
+    input.addData(Event(1, ts(15), "purchase", 8.0),
+      Event(1, ts(5), "purchase", 9.0))
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("pit_stream").collect()
+      .map(r => (r.getAs[Double]("value"),
+        Option(r.getAs[Any]("version_id")).map(_.asInstanceOf[Long]),
+        Option(r.getAs[Any]("state_value")).map(_.asInstanceOf[Double])))
+      .sortBy(-_._1)
+    assert(got.toSeq == Seq(
+      (9.0, None, None),
+      (8.0, Some(100L), Some(1.0)),
+      (6.0, Some(101L), Some(2.0))), s"stream got ${got.toList}")
+  }
+
   test("tumbling window aggregate over a stream matches the batch twin") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[Event]
