@@ -219,6 +219,58 @@ object Analytics {
       |FROM c
       |ORDER BY src, dst""".stripMargin
 
+  /** Sequential-pattern support (the a-priori 2-sequence step, Agrawal
+    * & Srikant 1995): for every ordered event-type pair (a, b), how
+    * many users performed SOME a before SOME b — at any distance, which
+    * is what distinguishes sequence mining from [[markovTransitions]]'s
+    * adjacent-step matrix. A user supports (a, b) iff their earliest a
+    * precedes their latest b (strict), so the per-user check collapses
+    * to two extremes per type — no pair scan over events.
+    *
+    * Scale: one (user, type) aggregation (≤|types| rows per user,
+    * map-side combined), a per-user self-join bounded by |types|² per
+    * user (type domain is a property of the schema, not the data
+    * volume), one pair roll-up, and a broadcast 1-row total for the
+    * share. Linear in events; no windows.
+    */
+  def sequentialPairs(t: Tables): DataFrame = {
+    val stats = t.events.groupBy("user_id", "event_type")
+      .agg(min(col("ts")).as("mn"), max(col("ts")).as("mx"))
+    val total = t.events.agg(
+      countDistinct(col("user_id")).cast("long").as("n_total"))
+    stats.select(col("user_id"), col("event_type").as("a_type"), col("mn"))
+      .join(stats.select(col("user_id"), col("event_type").as("b_type"),
+        col("mx")), Seq("user_id"))
+      .where(col("a_type") =!= col("b_type") && col("mn") < col("mx"))
+      .groupBy("a_type", "b_type")
+      .agg(count(lit(1)).as("n_users"))
+      .crossJoin(broadcast(total))
+      .select(col("a_type"), col("b_type"), col("n_users"),
+        (col("n_users").cast("double") / col("n_total")).as("user_share"))
+      .orderBy("a_type", "b_type")
+  }
+
+  /** Oracle: identical per-user type extremes, ordered-pair predicate,
+    * and share division.
+    */
+  val sequentialPairsSql: String =
+    """WITH s AS (
+      | SELECT user_id, event_type,
+      |  MIN(CAST(ts AS TIMESTAMP)) AS mn, MAX(CAST(ts AS TIMESTAMP)) AS mx
+      | FROM events GROUP BY 1, 2),
+      |tot AS (SELECT CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_total
+      |        FROM events),
+      |p AS (
+      | SELECT a.event_type AS a_type, b.event_type AS b_type,
+      |  CAST(COUNT(*) AS BIGINT) AS n_users
+      | FROM s a JOIN s b ON a.user_id = b.user_id
+      |  AND a.event_type <> b.event_type AND a.mn < b.mx
+      | GROUP BY 1, 2)
+      |SELECT a_type, b_type, n_users,
+      | CAST(n_users AS DOUBLE) / n_total AS user_share
+      |FROM p CROSS JOIN tot
+      |ORDER BY a_type, b_type""".stripMargin
+
   val anomalyZscoreSql: String =
     """WITH s AS (
       | SELECT o_orderpriority, COUNT(*) AS n,

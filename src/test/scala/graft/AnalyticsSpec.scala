@@ -579,4 +579,40 @@ class AnalyticsSpec extends SparkSpec {
       assert(math.abs(rate - nChurned.toDouble / nActive) < 1e-12)
     }
   }
+
+  test("sequential pattern support matches an in-memory any-distance replay") {
+    val rows = graft.operators.Analytics.sequentialPairs(sf).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> (r.getLong(2), r.getDouble(3)))
+      .toMap
+    assert(rows.nonEmpty)
+    val events = sf.events.select("user_id", "event_type", "ts").collect()
+      .map { r =>
+        // micros, not millis — a strict < on truncated millis could
+        // disagree with the operator's full-precision comparison
+        val t = r.get(2) match {
+          case ldt: java.time.LocalDateTime =>
+            val x = java.sql.Timestamp.valueOf(ldt)
+            x.getTime * 1000 + (x.getNanos % 1000000) / 1000
+          case ts: java.sql.Timestamp =>
+            ts.getTime * 1000 + (ts.getNanos % 1000000) / 1000
+        }
+        (r.getLong(0), r.getString(1), t)
+      }
+    val users = events.map(_._1).distinct
+    val types = events.map(_._2).distinct
+    val exp = (for {
+      a <- types; b <- types if a != b
+      n = users.count { u =>
+        val ue = events.filter(_._1 == u)
+        val as = ue.filter(_._2 == a).map(_._3)
+        val bs = ue.filter(_._2 == b).map(_._3)
+        as.nonEmpty && bs.nonEmpty && as.min < bs.max
+      } if n > 0
+    } yield (a, b) -> n.toLong).toMap
+    assert(rows.keySet == exp.keySet)
+    exp.foreach { case (k, n) =>
+      assert(rows(k)._1 == n, s"pair $k")
+      assert(math.abs(rows(k)._2 - n.toDouble / users.length) < 1e-12)
+    }
+  }
 }
