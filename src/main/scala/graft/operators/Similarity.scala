@@ -1651,6 +1651,96 @@ object Similarity {
        |FROM rk WHERE rank <= $FilteredK
        |ORDER BY label, rank""".stripMargin
 
+  /** nprobe values swept by [[ivfSweep]]. */
+  private val SweepProbes = Seq(1, 2, 3, 4)
+
+  /** IVF nprobe operating-characteristic sweep — the tuning report that
+    * DECIDES an IVF deployment instead of assuming one (the ANN sibling
+    * of [[Dedup.tierEval]]): for each nprobe, how many candidates the
+    * probe set scans (the cost axis) and recall@10 against the exact
+    * brute-force truth (the quality axis). Cells are ranked by the same
+    * probe distance form as [[ivfTopK]] (c·c − 2q·c, bit-identical
+    * folds), every vector is tagged with its cell's probe rank once,
+    * and each sweep point is a filter + TakeOrdered top-10 over that
+    * shared tagged frame — the whole curve costs one assignment pass
+    * plus four heap cuts, not four index rebuilds.
+    *
+    * Scale: training is the memoized shared k-means model; the tagged
+    * frame is one narrow projection of the assignment (pinned — four
+    * consumers); each sweep point is a TakeOrdered (per-partition heap,
+    * driver merges 10 rows) plus a 1-row count — no global sorts.
+    */
+  def ivfSweep(t: Tables): DataFrame = {
+    val vecs = vectors(t)
+    val (cents, init) = trainKmeansShared(t, vecs)
+    val qv = init.find(_._1 == 0).map(_._2).getOrElse(
+      vecs.where(col("vec_id") === 0).select(col("v"))
+        .collect()(0).getSeq[Double](0))
+    val rankedCells = cents.map { case (id, c) =>
+        val cc = c.map(x => x * x).sum
+        val qc = c.zip(qv).map { case (a, b) => a * b }.sum
+        (id, cc - 2.0 * qc)
+      }.sortBy(p => (p._2, p._1)).zipWithIndex
+      .map { case ((id, _), i) => (id, i + 1) }.toMap
+    val assigned = assignCells(vecs, cents).drop("d")
+      .where(col("vec_id") =!= 0)
+      .withColumn("cell_rank", element_at(typedLit(rankedCells), col("cell")))
+      .withColumn("cosine", cosine(col("v"), typedLit(qv)))
+      .select("vec_id", "cell_rank", "cosine")
+      .localCheckpoint(true)
+    val truth = bruteForceTopK(t).select(col("vec_id")).localCheckpoint(true)
+    SweepProbes.map { p =>
+      val cand = assigned.where(col("cell_rank") <= p)
+      val hits = cand.orderBy(col("cosine").desc, col("vec_id")).limit(10)
+        .join(truth, Seq("vec_id"), "left_semi")
+      cand.agg(count(lit(1)).as("n_candidates"))
+        .crossJoin(hits.agg(count(lit(1)).as("n_hits")))
+        .select(lit(p).as("nprobe"), col("n_candidates"),
+          (col("n_hits").cast("double") / lit(10.0)).as("recall_at_10"))
+    }.reduce(_ union _).orderBy("nprobe")
+  }
+
+  /** Oracle: the k-means replay chain, cell probe ranks by the same
+    * distance form, and per-nprobe candidate counts + top-10 ∩ truth.
+    */
+  val ivfSweepSql: String = {
+    val points = SweepProbes.map { p =>
+      s"""SELECT $p AS nprobe,
+         | (SELECT CAST(COUNT(*) AS BIGINT) FROM av WHERE cell_rank <= $p)
+         |   AS n_candidates,
+         | CAST((SELECT COUNT(*) FROM (
+         |    SELECT vec_id FROM av WHERE cell_rank <= $p
+         |    ORDER BY cosine DESC, vec_id LIMIT 10) x
+         |   JOIN truth USING (vec_id)) AS DOUBLE) / 10.0 AS recall_at_10"""
+        .stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |c0 AS (SELECT CAST(vec_id AS INT) AS cell, v AS c FROM e WHERE vec_id < $NumCells),
+       |a1 AS (${assignSql("e", "c0")}),
+       |c1 AS (${meansSql("a1")}),
+       |a2 AS (${assignSql("e", "c1")}),
+       |c2 AS (${meansSql("a2")}),
+       |q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
+       |pr AS (
+       | SELECT cell, CAST(ROW_NUMBER() OVER (
+       |   ORDER BY list_dot_product(c, c) - 2 * list_dot_product(qv, c),
+       |     cell) AS INT) AS cell_rank
+       | FROM c2, q),
+       |a3 AS (${assignSql("e", "c2")}),
+       |av AS MATERIALIZED (
+       | SELECT a3.vec_id, pr.cell_rank,
+       |  list_dot_product(a3.v, q.qv) /
+       |    (sqrt(list_dot_product(a3.v, a3.v)) *
+       |     sqrt(list_dot_product(q.qv, q.qv))) AS cosine
+       | FROM a3 JOIN pr USING (cell), q
+       | WHERE a3.vec_id <> 0),
+       |truth AS MATERIALIZED (
+       | SELECT vec_id FROM av ORDER BY cosine DESC, vec_id LIMIT 10)
+       |SELECT nprobe, n_candidates, recall_at_10 FROM (
+       |$points)
+       |ORDER BY nprobe""".stripMargin
+  }
+
   /** Anchor sample modulus for [[twoNn]] — every 4th vector anchors the
     * estimate (TwoNN needs only a stable SAMPLE of anchor points, so
     * the scale cost is |sample|×n, not n²).

@@ -671,6 +671,30 @@ class Similarity2Spec extends SparkSpec {
     }, "no query improved over the entry — the walk never expanded")
   }
 
+  test("ivf sweep: monotone candidates and recall, nprobe=NumProbes ⊇ ivf_topk") {
+    val rows = Similarity.ivfSweep(sf).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getDouble(2)))
+    assert(rows.map(_._1).toSeq == Seq(1, 2, 3, 4))
+    // more probes can only widen the candidate set and never lose recall
+    rows.sliding(2).foreach {
+      case Array((_, c1, r1), (_, c2, r2)) =>
+        assert(c2 >= c1, "candidates must be monotone in nprobe")
+        assert(r2 >= r1 - 1e-12, "recall must be monotone in nprobe")
+      case _ =>
+    }
+    rows.foreach { case (_, c, r) =>
+      assert(r >= 0.0 && r <= 1.0)
+      assert(c >= 0L && c < sf.embeddings.count())
+    }
+    // the nprobe=4 sweep point reproduces ivfTopK's recall@10 exactly:
+    // same probe set, same rerank
+    val truth = Similarity.bruteForceTopK(sf).collect().map(_.getLong(0)).toSet
+    val ivf10 = Similarity.ivfTopK(sf).collect().map(_.getLong(0)).toSet
+    val expected = ivf10.count(truth).toDouble / 10.0
+    assert(math.abs(rows.last._3 - expected) < 1e-12,
+      s"sweep@4 ${rows.last._3} vs ivf_topk $expected")
+  }
+
   test("two_nn matches an exact in-memory 2-NN replay") {
     import spark.implicits._
     val vecs = sf.embeddings
