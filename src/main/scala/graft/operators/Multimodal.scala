@@ -1924,4 +1924,140 @@ object Multimodal {
        |    - CAST(lap_sum AS HUGEINT) * lap_sum AS DOUBLE)
        |    / (CAST(n_interior AS DOUBLE) * n_interior) < $BlurVarMin AS is_blurry
        |FROM m ORDER BY doc_id""".stripMargin
+
+  /** Luma sum (r+g+b) below which a pixel counts as "black" for border
+    * detection — interior synthesis floors every channel at 32 (luma
+    * ≥ 96), so the classes are cleanly separable.
+    */
+  private[graft] val LbLumaT = 48
+
+  /** Bordered synthetic raster for [[letterbox]]: deterministic black
+    * bars on all four sides (sizes from the doc id, each < dim/2 by
+    * construction) around an interior whose channels are floored at 32
+    * — the decode tier then has to FIND the bars from pixels, exactly
+    * as it would on real frames.
+    */
+  private[graft] def synthLetterboxPng(docId: Long): Array[Byte] = {
+    val w = 8 + (docId % 9).toInt
+    val h = 8 + ((docId * 3) % 9).toInt
+    val top = (docId % 4).toInt
+    val bottom = ((docId * 5 + 1) % 4).toInt
+    val left = ((docId * 3) % 4).toInt
+    val right = ((docId * 7 + 2) % 4).toInt
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val rgb =
+          if (y < top || y >= h - bottom || x < left || x >= w - right) 0
+          else {
+            val r = 32 + ((docId + 7 * x + 13 * y) % 224).toInt
+            val g = 32 + ((2 * docId + 11 * x + 3 * y) % 224).toInt
+            val b = 32 + ((3 * docId + 5 * x + 17 * y) % 224).toInt
+            (r << 16) | (g << 8) | b
+          }
+        img.setRGB(x, y, rgb)
+        x += 1
+      }
+      y += 1
+    }
+    val out = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", out)
+    out.toByteArray
+  }
+
+  final case class LetterboxRow(doc_id: Long, width: Int, height: Int,
+    top_border: Int, bottom_border: Int, left_border: Int, right_border: Int,
+    letterboxed: Boolean, pillarboxed: Boolean)
+
+  /** Letterbox / pillarbox detection through the REAL PNG decode path —
+    * the frame-geometry gate every video/image training pipeline runs
+    * before cropping (bars waste tokens and skew aspect-bucketing;
+    * reference scope: the media metadata pass in extractors.py:24-108,
+    * upgraded to pixel-derived geometry). Border widths are DERIVED
+    * from decoded pixels: a row/column is "black" while its max luma
+    * stays under [[LbLumaT]]; the leading/trailing black run counts are
+    * the bars. `letterboxed` = bars on BOTH horizontal edges,
+    * `pillarboxed` = both vertical edges (the standard definitions).
+    *
+    * Scale: row-local at the batched codec seam ([[codecIds]] spread);
+    * one pass over each raster, integer math only, no shuffle beyond
+    * the output sort.
+    */
+  def letterbox(t: Tables): DataFrame = {
+    val spark = t.spark
+    import spark.implicits._
+    codecIds(t)
+      .mapPartitions { it =>
+        it.grouped(BatchSize).flatMap { batch =>
+          batch.map { id =>
+            val img = javax.imageio.ImageIO.read(
+              new java.io.ByteArrayInputStream(synthLetterboxPng(id)))
+            require(img != null, s"doc $id: synthesized PNG failed to decode")
+            val w = img.getWidth
+            val h = img.getHeight
+            def lum(x: Int, y: Int): Int = {
+              val rgb = img.getRGB(x, y)
+              ((rgb >> 16) & 0xFF) + ((rgb >> 8) & 0xFF) + (rgb & 0xFF)
+            }
+            def rowLit(y: Int): Boolean =
+              (0 until w).exists(x => lum(x, y) >= LbLumaT)
+            def colLit(x: Int): Boolean =
+              (0 until h).exists(y => lum(x, y) >= LbLumaT)
+            var top = 0
+            while (top < h && !rowLit(top)) top += 1
+            var bottom = 0
+            while (bottom < h - top && !rowLit(h - 1 - bottom)) bottom += 1
+            var left = 0
+            while (left < w && !colLit(left)) left += 1
+            var right = 0
+            while (right < w - left && !colLit(w - 1 - right)) right += 1
+            LetterboxRow(id, w, h, top, bottom, left, right,
+              top > 0 && bottom > 0, left > 0 && right > 0)
+          }
+        }
+      }
+      .toDF()
+      .orderBy("doc_id")
+  }
+
+  /** Oracle for [[letterbox]]: the synthesis formula rebuilds the luma
+    * plane, then borders are derived from row/column max-luma runs —
+    * the same pixel-first derivation, never the planted bar sizes.
+    */
+  val letterboxSql: String =
+    s"""WITH p AS (
+       |  SELECT doc_id, 8 + doc_id % 9 AS w, 8 + (doc_id * 3) % 9 AS h,
+       |    doc_id % 4 AS tb, (doc_id * 5 + 1) % 4 AS bb,
+       |    (doc_id * 3) % 4 AS lb, (doc_id * 7 + 2) % 4 AS rb
+       |  FROM documents),
+       |xs AS (SELECT *, unnest(range(0, w)) AS x FROM p),
+       |xy AS (SELECT *, unnest(range(0, h)) AS y FROM xs),
+       |px AS (
+       |  SELECT doc_id, w, h, x, y,
+       |    CASE WHEN y < tb OR y >= h - bb OR x < lb OR x >= w - rb THEN 0
+       |         ELSE (32 + (doc_id + 7*x + 13*y) % 224)
+       |            + (32 + (2*doc_id + 11*x + 3*y) % 224)
+       |            + (32 + (3*doc_id + 5*x + 17*y) % 224) END AS lum
+       |  FROM xy),
+       |rl AS (
+       |  SELECT doc_id, MIN(y) AS fy, MAX(y) AS ly
+       |  FROM (SELECT doc_id, y, MAX(lum) AS ml FROM px GROUP BY 1, 2)
+       |  WHERE ml >= $LbLumaT GROUP BY 1),
+       |cl AS (
+       |  SELECT doc_id, MIN(x) AS fx, MAX(x) AS lx
+       |  FROM (SELECT doc_id, x, MAX(lum) AS ml FROM px GROUP BY 1, 2)
+       |  WHERE ml >= $LbLumaT GROUP BY 1)
+       |SELECT p.doc_id, CAST(w AS INT) AS width, CAST(h AS INT) AS height,
+       |  CAST(fy AS INT) AS top_border,
+       |  CAST(h - 1 - ly AS INT) AS bottom_border,
+       |  CAST(fx AS INT) AS left_border,
+       |  CAST(w - 1 - lx AS INT) AS right_border,
+       |  fy > 0 AND h - 1 - ly > 0 AS letterboxed,
+       |  fx > 0 AND w - 1 - lx > 0 AS pillarboxed
+       |FROM p JOIN rl ON p.doc_id = rl.doc_id
+       |JOIN cl ON p.doc_id = cl.doc_id
+       |ORDER BY p.doc_id""".stripMargin
 }

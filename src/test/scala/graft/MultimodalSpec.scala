@@ -426,4 +426,23 @@ class MultimodalSpec extends SparkSpec {
       assert(math.abs(r.getDouble(4) - cnt.toDouble / n) < 1e-12)
     }
   }
+
+  test("letterbox recovers the planted border geometry from decoded pixels") {
+    val rows = graft.operators.Multimodal.letterbox(sf).collect()
+    assert(rows.length == sf.documents.count())
+    rows.foreach { r =>
+      val id = r.getLong(0)
+      val (w, h) = ((8 + id % 9).toInt, (8 + id * 3 % 9).toInt)
+      val (tb, bb) = ((id % 4).toInt, ((id * 5 + 1) % 4).toInt)
+      val (lb, rb) = (((id * 3) % 4).toInt, ((id * 7 + 2) % 4).toInt)
+      assert(r.getInt(1) == w && r.getInt(2) == h, s"doc $id dims")
+      assert(r.getInt(3) == tb && r.getInt(4) == bb, s"doc $id h-bars")
+      assert(r.getInt(5) == lb && r.getInt(6) == rb, s"doc $id v-bars")
+      assert(r.getBoolean(7) == (tb > 0 && bb > 0), s"doc $id letterbox flag")
+      assert(r.getBoolean(8) == (lb > 0 && rb > 0), s"doc $id pillarbox flag")
+    }
+    // the synthesis exercises all classes
+    assert(rows.exists(_.getBoolean(7)) && rows.exists(!_.getBoolean(7)))
+    assert(rows.exists(_.getBoolean(8)) && rows.exists(!_.getBoolean(8)))
+  }
 }
