@@ -831,24 +831,36 @@ object Graph {
     * [[bfsHops]] convention. Per round: one join along edges + one
     * min-fold, both keyed (seed, node).
     */
-  def closeness(t: Tables): DataFrame = {
-    val edges = edgesShared(t)
-    val seeds = edges.groupBy("u").agg(count(lit(1)).as("deg"))
-      .orderBy(col("deg").desc, col("u"))
-      .limit(ClosenessSeeds)
-      .select(col("u").as("seed"))
-    var dist = seeds.select(col("seed"), col("seed").as("node"), lit(0L).as("hops"))
-      .localCheckpoint(true)
-    for (r <- 1 to ClosenessRadius) {
-      val relaxed = dist
-        .join(edges.select(col("u").as(s"eu$r"), col("v").as(s"ev$r")),
-          col("node") === col(s"eu$r"))
-        .select(col("seed"), col(s"ev$r").as("node"), (col("hops") + 1L).as("hops"))
-      dist = dist.union(relaxed)
-        .groupBy("seed", "node").agg(min(col("hops")).as("hops"))
+  /** Per-(seed, node) hop distances from the [[ClosenessSeeds]]
+    * highest-degree seeds, memoized per (session, dir) — the shared
+    * front-end of [[closeness]] and [[effectiveDiameter]] (the BFS is
+    * the whole cost of both; the consumers are one aggregation each).
+    */
+  private val seedDistMemo = new graft.SessionMemo[DataFrame]
+
+  private def seedDistancesShared(t: Tables): DataFrame =
+    seedDistMemo.getOrCompute(t.spark, t.dir) {
+      val edges = edgesShared(t)
+      val seeds = edges.groupBy("u").agg(count(lit(1)).as("deg"))
+        .orderBy(col("deg").desc, col("u"))
+        .limit(ClosenessSeeds)
+        .select(col("u").as("seed"))
+      var dist = seeds.select(col("seed"), col("seed").as("node"), lit(0L).as("hops"))
         .localCheckpoint(true)
+      for (r <- 1 to ClosenessRadius) {
+        val relaxed = dist
+          .join(edges.select(col("u").as(s"eu$r"), col("v").as(s"ev$r")),
+            col("node") === col(s"eu$r"))
+          .select(col("seed"), col(s"ev$r").as("node"), (col("hops") + 1L).as("hops"))
+        dist = dist.union(relaxed)
+          .groupBy("seed", "node").agg(min(col("hops")).as("hops"))
+          .localCheckpoint(true)
+      }
+      dist
     }
-    val out = dist
+
+  def closeness(t: Tables): DataFrame = {
+    val out = seedDistancesShared(t)
       .where(col("hops") > 0)
       .groupBy("seed")
       .agg(count(lit(1)).as("n_reached"),
@@ -888,6 +900,71 @@ object Graph {
        |FROM dist WHERE hops > 0
        |GROUP BY seed
        |ORDER BY harmonic_milli DESC, p_partkey""".stripMargin
+
+  /** Hop-plot / effective-diameter report (the ANF family, Palmer et
+    * al. 2002 — here the sampled-seed exact variant): from the shared
+    * seed BFS, the distance histogram N(h) over (seed, node) pairs,
+    * cumulative reach, and the 90%-threshold flag whose first true row
+    * IS the effective diameter — the "how many hops until the graph is
+    * basically covered" curve that sizes every fixed-depth traversal
+    * bound in this file. Same seeds/radius as [[closeness]]; both
+    * consumers read the memoized [[seedDistancesShared]] frame, so the
+    * BFS runs once per session.
+    *
+    * Scale: the BFS is radius× edge-linear (shared); this report is one
+    * histogram aggregation plus a window over the ≤radius-row hop
+    * domain (bounded, never data-sized). The 90% cut compares integers
+    * (cum·10 ≥ total·9) — no double-threshold ambiguity at the seam.
+    */
+  def effectiveDiameter(t: Tables): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val d = seedDistancesShared(t).where(col("hops") > 0)
+    val w = Window.orderBy("hops")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    d.groupBy("hops").agg(count(lit(1)).as("n_pairs"))
+      .withColumn("cum_pairs", sum(col("n_pairs")).over(w))
+      .crossJoin(broadcast(d.agg(count(lit(1)).as("total"))))
+      .select(col("hops"), col("n_pairs").cast("long").as("n_pairs"),
+        col("cum_pairs").cast("long").as("cum_pairs"),
+        (col("cum_pairs").cast("double") / col("total")).as("cum_frac"),
+        (col("cum_pairs") * 10 >= col("total") * 9).as("reaches_90pct"))
+      .orderBy("hops")
+  }
+
+  /** Oracle: the closeness walk's recursive CTE + the identical
+    * histogram / cumulative / integer-threshold chain.
+    */
+  val effectiveDiameterSql: String =
+    s"""WITH RECURSIVE
+       |items AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+       |cp AS (
+       |  SELECT a.l_partkey AS a, b.l_partkey AS b
+       |  FROM items a JOIN items b
+       |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+       |  GROUP BY 1, 2 HAVING COUNT(*) >= $EdgeSupport),
+       |edges AS (SELECT a AS u, b AS v FROM cp
+       |          UNION ALL SELECT b AS u, a AS v FROM cp),
+       |deg AS (SELECT u, CAST(COUNT(*) AS BIGINT) AS deg FROM edges GROUP BY u),
+       |seeds AS (SELECT u AS seed FROM deg
+       |          ORDER BY deg DESC, u LIMIT $ClosenessSeeds),
+       |walk(seed, node, d) AS (
+       |  SELECT seed, seed, CAST(0 AS BIGINT) FROM seeds
+       |  UNION
+       |  SELECT w.seed, e.v, w.d + 1 FROM walk w JOIN edges e ON e.u = w.node
+       |  WHERE w.d < $ClosenessRadius),
+       |dist AS (
+       |  SELECT seed, node, MIN(d) AS hops FROM walk GROUP BY seed, node),
+       |hist AS (
+       |  SELECT hops, CAST(COUNT(*) AS BIGINT) AS n_pairs
+       |  FROM dist WHERE hops > 0 GROUP BY hops),
+       |tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS total
+       |        FROM dist WHERE hops > 0)
+       |SELECT hops, n_pairs,
+       | CAST(SUM(n_pairs) OVER (ORDER BY hops) AS BIGINT) AS cum_pairs,
+       | CAST(SUM(n_pairs) OVER (ORDER BY hops) AS DOUBLE) / total AS cum_frac,
+       | SUM(n_pairs) OVER (ORDER BY hops) * 10 >= total * 9 AS reaches_90pct
+       |FROM hist CROSS JOIN tot
+       |ORDER BY hops""".stripMargin
 
   /** Fixed BFS horizon for [[betweenness]] — shared with the oracle's
     * unrolled rounds, so both engines truncate identically.

@@ -587,4 +587,25 @@ class GraphSpec extends SparkSpec {
       .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
     assert(got == exp, s"sizes: got ${got.size} exp ${exp.size}")
   }
+
+  test("effective diameter histogram is consistent with closeness reach") {
+    val rows = Graph.effectiveDiameter(sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3),
+        r.getBoolean(4)))
+    assert(rows.nonEmpty)
+    // hops contiguous from 1, histogram sums to the cumulative column
+    assert(rows.map(_._1).toSeq == (1L to rows.length).toSeq)
+    var cum = 0L
+    rows.foreach { case (_, n, c, f, flag) =>
+      cum += n
+      assert(c == cum)
+      assert(math.abs(f - c.toDouble / rows.last._3) < 1e-12)
+      assert(flag == (c * 10 >= rows.last._3 * 9))
+    }
+    // final row covers everything
+    assert(math.abs(rows.last._4 - 1.0) < 1e-12 && rows.last._5)
+    // total pairs equals closeness's n_reached sum (same shared BFS)
+    val reach = Graph.closeness(sf).collect().map(_.getLong(1)).sum
+    assert(rows.last._3 == reach)
+  }
 }
