@@ -219,6 +219,48 @@ object Analytics {
       |FROM c
       |ORDER BY src, dst""".stripMargin
 
+  /** Journey steps kept by [[flowMatrix]]. */
+  private val FlowSteps = 5
+
+  /** Step-indexed flow matrix — the Sankey-diagram data behind every
+    * "user journey" visual: transition counts (src → dst) broken out BY
+    * POSITION in the journey (step 1→2, 2→3, …), which is what
+    * [[markovTransitions]]'s position-blind matrix can't show (a
+    * view→purchase edge at step 1 and at step 5 are different
+    * behaviors). Journeys are per-user event sequences ordered by
+    * (ts, event_id); only the first [[FlowSteps]] transitions count —
+    * the visual's depth bound AND the state bound.
+    *
+    * Scale: one user-partitioned window (lead + row_number — never
+    * global), a filter to the bounded step domain, one (step, src, dst)
+    * roll-up over ≤ |types|²·steps groups. Linear in events.
+    */
+  def flowMatrix(t: Tables): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    t.events
+      .select(col("user_id"), col("event_type").as("src"),
+        lead(col("event_type"), 1).over(w).as("dst"),
+        row_number().over(w).as("step"))
+      .where(col("dst").isNotNull && col("step") <= FlowSteps)
+      .groupBy("step", "src", "dst")
+      .agg(count(lit(1)).as("n"))
+      .orderBy("step", "src", "dst")
+  }
+
+  /** Oracle: identical per-user ordering, step cut, and roll-up. */
+  val flowMatrixSql: String =
+    s"""WITH j AS (
+       | SELECT user_id, event_type AS src,
+       |  LEAD(event_type, 1) OVER (PARTITION BY user_id
+       |    ORDER BY CAST(ts AS TIMESTAMP), event_id) AS dst,
+       |  CAST(ROW_NUMBER() OVER (PARTITION BY user_id
+       |    ORDER BY CAST(ts AS TIMESTAMP), event_id) AS INT) AS step
+       | FROM events)
+       |SELECT step, src, dst, CAST(COUNT(*) AS BIGINT) AS n
+       |FROM j WHERE dst IS NOT NULL AND step <= $FlowSteps
+       |GROUP BY 1, 2, 3
+       |ORDER BY step, src, dst""".stripMargin
+
   /** Sequential-pattern support (the a-priori 2-sequence step, Agrawal
     * & Srikant 1995): for every ordered event-type pair (a, b), how
     * many users performed SOME a before SOME b — at any distance, which

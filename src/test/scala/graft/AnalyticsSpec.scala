@@ -580,6 +580,20 @@ class AnalyticsSpec extends SparkSpec {
     }
   }
 
+  test("flow matrix: per-step totals are bounded by journey counts and sum to markov totals over shared steps") {
+    val rows = graft.operators.Analytics.flowMatrix(sf).collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3)))
+    assert(rows.nonEmpty)
+    assert(rows.forall(r => r._1 >= 1 && r._1 <= 5))
+    // step s transitions can't exceed users with > s events
+    val perUser = sf.events.groupBy("user_id").count().collect()
+      .map(r => r.getLong(1))
+    (1 to 5).foreach { s =>
+      val n = rows.filter(_._1 == s).map(_._4).sum
+      assert(n == perUser.count(_ > s), s"step $s total")
+    }
+  }
+
   test("sequential pattern support matches an in-memory any-distance replay") {
     val rows = graft.operators.Analytics.sequentialPairs(sf).collect()
       .map(r => (r.getString(0), r.getString(1)) -> (r.getLong(2), r.getDouble(3)))
