@@ -583,4 +583,115 @@ object Relational9 {
        | ${graft.functions.Exact.decToDoubleSql("num")}
        |   / ${graft.functions.Exact.decToDoubleSql("den")} AS laspeyres_index
        |FROM idx ORDER BY ym""".stripMargin
+
+  /** Equi-width buckets held by the [[quantileSketchAudit]] histogram —
+    * the sketch's whole memory footprint, independent of data volume.
+    */
+  private val QsBuckets = 256
+
+  /** Percentiles audited by [[quantileSketchAudit]]. */
+  private val QsPcts = Seq(10, 25, 50, 75, 90, 99)
+
+  /** Quantile-sketch accuracy audit — the report that DECIDES whether a
+    * bounded-memory quantile estimate is good enough to replace the
+    * exact global rank at 100 TB (the numeric sibling of
+    * [[graft.operators.Dedup.tierEval]]): a [[QsBuckets]]-bucket
+    * equi-width histogram (two narrow passes: min/max, then counts —
+    * the classic fixed-memory sketch) estimates each percentile by
+    * integer interpolation inside its bucket, and each estimate is
+    * scored against the EXACT value at the same rank from the
+    * distributed two-level rank. All integer cents: width, bucket,
+    * target rank, and interpolation use truncating `div` over
+    * nonnegative operands (≡ DuckDB `//`), so the audit is
+    * engine-portable to the bit.
+    *
+    * Scale: the exact side is one range shuffle ([[Ranks]]); the sketch
+    * side is two aggregations and a window over the 256-row bucket
+    * domain. The audit itself joins 6 target rows — nothing data-sized
+    * moves twice.
+    */
+  def quantileSketchAudit(t: Tables): DataFrame = {
+    val spark = t.spark
+    import spark.implicits._
+    // through DECIMAL(12,2) first: the raw column is a parquet double,
+    // and double×100 → long TRUNCATES in Spark but ROUNDS in DuckDB
+    val v = t.lineitem.select(
+      (col("l_extendedprice")
+        .cast(org.apache.spark.sql.types.DecimalType(12, 2)) * 100)
+        .cast("long").as("c"),
+      col("l_orderkey"), col("l_linenumber"))
+    val st = v.agg(count(lit(1)).as("n"), min(col("c")).as("mn"),
+        max(col("c")).as("mx"))
+      .withColumn("w", expr(s"((mx - mn) div $QsBuckets) + 1"))
+      .localCheckpoint(true) // 1 row; read by histogram, targets, est
+    val hist = v.crossJoin(broadcast(st.select("mn", "w")))
+      .select(expr("(c - mn) div w").as("b"))
+      .groupBy("b").agg(count(lit(1)).as("cnt"))
+    val wb = Window.orderBy("b")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val hc = hist.withColumn("cum", sum(col("cnt")).over(wb))
+    val targets = QsPcts.toDF("pct")
+      .crossJoin(broadcast(st))
+      .select(col("pct"), expr("((n - 1) * pct) div 100").as("tgt"),
+        col("mn"), col("w"))
+    val est = targets.join(hc,
+        col("cum") > col("tgt") && col("cum") - col("cnt") <= col("tgt"))
+      .select(col("pct"), col("tgt"),
+        expr("mn + b * w + ((tgt - (cum - cnt)) * w) div cnt").as("est_cents"))
+    val (ranked, _) = graft.operators.Ranks.withGlobalRank(
+      v, "rk", col("c"), col("l_orderkey"), col("l_linenumber"))
+    val exact = ranked.join(
+        broadcast(est.select(col("pct").as("e_pct"), col("tgt") + 1L as "trk",
+          col("est_cents"))),
+        col("rk") === col("trk"))
+      .select(col("e_pct").as("pct"), col("c").as("exact_cents"),
+        col("est_cents"))
+    exact.select(col("pct"), col("exact_cents"), col("est_cents"),
+        abs(col("est_cents") - col("exact_cents")).as("err_cents"),
+        (abs(col("est_cents") - col("exact_cents")).cast("double") /
+          col("exact_cents")).as("err_frac"))
+      .orderBy("pct")
+  }
+
+  /** Oracle: identical sketch construction (width, buckets, cumulative
+    * crossing, integer interpolation) + a full-sort exact rank.
+    */
+  val quantileSketchAuditSql: String = {
+    val pctList = QsPcts.mkString(", ")
+    s"""WITH v AS (
+       | SELECT CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * 100 AS BIGINT)
+       |   AS c,
+       |  l_orderkey, l_linenumber
+       | FROM lineitem),
+       |st AS (
+       | SELECT CAST(COUNT(*) AS BIGINT) AS n, MIN(c) AS mn, MAX(c) AS mx
+       | FROM v),
+       |wd AS (SELECT n, mn, mx, ((mx - mn) // $QsBuckets) + 1 AS w FROM st),
+       |hb AS (
+       | SELECT (c - mn) // w AS b, CAST(COUNT(*) AS BIGINT) AS cnt
+       | FROM v, wd GROUP BY 1),
+       |hc AS (
+       | SELECT b, cnt, CAST(SUM(cnt) OVER (ORDER BY b) AS BIGINT) AS cum
+       | FROM hb),
+       |rk AS (
+       | SELECT c, ROW_NUMBER() OVER (ORDER BY c, l_orderkey, l_linenumber)
+       |   AS r
+       | FROM v),
+       |tr AS (
+       | SELECT pct, ((n - 1) * pct) // 100 AS tgt, mn, w
+       | FROM (SELECT unnest([$pctList]) AS pct), wd),
+       |est AS (
+       | SELECT pct, tgt,
+       |  CAST(mn + b * w + ((tgt - (cum - cnt)) * w) // cnt AS BIGINT)
+       |    AS est_cents
+       | FROM tr JOIN hc ON cum > tgt AND cum - cnt <= tgt),
+       |ex AS (SELECT pct, tgt, c AS exact_cents
+       |       FROM tr JOIN rk ON r = tgt + 1)
+       |SELECT pct, exact_cents, est_cents,
+       | ABS(est_cents - exact_cents) AS err_cents,
+       | CAST(ABS(est_cents - exact_cents) AS DOUBLE) / exact_cents
+       |   AS err_frac
+       |FROM ex JOIN est USING (pct)
+       |ORDER BY pct""".stripMargin
+  }
 }

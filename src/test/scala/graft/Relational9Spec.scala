@@ -203,5 +203,26 @@ class Relational9Spec extends SparkSpec {
     assert(!rows.keySet.exists(_._1 == "F"))
   }
 
+  test("quantile sketch audit: exact ranks replay, estimates bounded by one bucket width") {
+    val rows = graft.operators.Relational9.quantileSketchAudit(sf).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4)))
+    assert(rows.map(_._1).toSeq == Seq(10, 25, 50, 75, 90, 99))
+    val cents = sf.lineitem
+      .selectExpr(
+        "CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * 100 AS LONG) AS c")
+      .collect().map(_.getLong(0)).sorted
+    val n = cents.length
+    val width = (cents.last - cents.head) / 256 + 1
+    rows.foreach { case (pct, exact, est, err, frac) =>
+      val tgt = ((n - 1).toLong * pct) / 100
+      assert(exact == cents(tgt.toInt), s"p$pct exact")
+      assert(err == math.abs(est - exact), s"p$pct err")
+      // interpolation can't leave the bucket the rank falls in
+      assert(err <= width, s"p$pct: err $err exceeds bucket width $width")
+      assert(math.abs(frac - err.toDouble / exact) < 1e-12)
+    }
+  }
+
   private def col(n: String) = org.apache.spark.sql.functions.col(n)
 }
