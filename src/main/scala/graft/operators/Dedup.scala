@@ -943,4 +943,90 @@ object Dedup {
        |   AS recall_ppm
        |FROM c""".stripMargin
   }
+
+  /** Signature components audited by [[minhashAudit]] — deliberately
+    * SMALL (a 16-component sketch is what you'd actually ship per doc
+    * at 100 TB if the estimate were accurate enough; the audit answers
+    * whether it is).
+    */
+  private val AuditK = 16
+
+  /** MinHash estimator-accuracy audit — the third sketch audit (with
+    * [[tierEval]] for SimHash and the quantile-sketch audit): on every
+    * verified near-dup pair, an [[AuditK]]-component MinHash estimate
+    * (matching-component fraction — the textbook unbiased Jaccard
+    * estimator, Broder 1997) scored against the EXACT Jaccard the
+    * verify stage already computed. Components use an md5-derived
+    * per-permutation hash (index-salted), so the oracle rebuilds the
+    * identical signatures in SQL — unlike the production 128-permutation
+    * [[graft.functions.MinHashSig]] (xxhash64, engine-private), whose
+    * banding is only ever candidate GENERATION and never a reported
+    * number. The audit is what justifies (or rejects) trusting a small
+    * signature as the similarity itself.
+    *
+    * Scale: signatures are row-local array folds (no shuffle); the
+    * audit joins signatures onto the already-linear verified pair set.
+    */
+  def minhashAudit(t: Tables): DataFrame = {
+    val g = Shingles.gramsOf(t.documents)
+    val sigCols = (0 until AuditK).map { i =>
+      expr(s"""array_min(transform(grams, gr ->
+              |  CAST(conv(substring(md5(concat('$i', '|', gr)), 1, 15),
+              |    16, 10) AS LONG)))""".stripMargin).as(s"s$i")
+    }
+    val sigs = g.where(size(col("grams")) > 0)
+      .select(col("doc_id") +: sigCols: _*)
+    val matches = (0 until AuditK).map(i =>
+      when(col(s"a_s$i") === col(s"b_s$i"), 1).otherwise(0))
+      .reduce[Column](_ + _)
+    ngramJaccardPairs(t)
+      .join(sigs.select(col("doc_id").as("a_id") +:
+        (0 until AuditK).map(i => col(s"s$i").as(s"a_s$i")): _*), Seq("a_id"))
+      .join(sigs.select(col("doc_id").as("b_id") +:
+        (0 until AuditK).map(i => col(s"s$i").as(s"b_s$i")): _*), Seq("b_id"))
+      .select(col("a_id"), col("b_id"), col("jaccard"),
+        matches.cast("long").as("n_matches"))
+      .withColumn("est_jaccard",
+        col("n_matches").cast("double") / lit(AuditK))
+      .withColumn("err", abs(col("est_jaccard") - col("jaccard")))
+      .orderBy("a_id", "b_id")
+  }
+
+  /** Oracle: brute-force exact pairs + the identical md5-salted
+    * signature rebuild and match count.
+    */
+  val minhashAuditSql: String = {
+    val sigList = (0 until AuditK).map { i =>
+      s"""list_min(list_transform(grams, gr ->
+         |    CAST('0x' || substr(md5('$i|' || gr), 1, 15) AS BIGINT)))
+         |   AS s$i""".stripMargin
+    }.mkString(",\n  ")
+    val matchSum = (0 until AuditK)
+      .map(i => s"(CASE WHEN sa.s$i = sb.s$i THEN 1 ELSE 0 END)")
+      .mkString(" + ")
+    s"""WITH g AS (
+       | SELECT doc_id, ${Shingles.grams3Sql("text")} AS grams
+       | FROM documents),
+       |gg AS (SELECT doc_id, grams FROM g WHERE len(grams) > 0),
+       |sig AS (
+       | SELECT doc_id,
+       |  $sigList
+       | FROM gg),
+       |p AS (
+       | SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+       |  CAST(len(list_distinct(list_intersect(a.grams, b.grams))) AS DOUBLE)
+       |    / len(list_distinct(list_concat(a.grams, b.grams))) AS jaccard
+       | FROM gg a JOIN gg b ON a.doc_id < b.doc_id
+       | WHERE CAST(len(list_distinct(list_intersect(a.grams, b.grams))) AS DOUBLE)
+       |    / len(list_distinct(list_concat(a.grams, b.grams)))
+       |   >= $JaccardThreshold)
+       |SELECT a_id, b_id, jaccard,
+       | CAST($matchSum AS BIGINT) AS n_matches,
+       | CAST($matchSum AS DOUBLE) / $AuditK AS est_jaccard,
+       | ABS(CAST($matchSum AS DOUBLE) / $AuditK - jaccard) AS err
+       |FROM p
+       |JOIN sig sa ON sa.doc_id = a_id
+       |JOIN sig sb ON sb.doc_id = b_id
+       |ORDER BY a_id, b_id""".stripMargin
+  }
 }

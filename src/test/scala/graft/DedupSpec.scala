@@ -262,4 +262,25 @@ class DedupSpec extends SparkSpec {
     // more than one cluster is actually populated
     assert(byCell.size > 1)
   }
+
+  test("minhash audit covers every verified pair with a sane small-sketch estimate") {
+    val pairs = Dedup.ngramJaccard(sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val rows = Dedup.minhashAudit(sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getDouble(2), r.getLong(3), r.getDouble(4), r.getDouble(5)))
+      .toMap
+    // audit rows ≡ verified near-dup pairs, exact jaccard carried over
+    assert(rows.keySet == pairs.keySet)
+    rows.foreach { case (k, (j, m, est, err)) =>
+      assert(math.abs(j - pairs(k)) < 1e-12, s"pair $k jaccard")
+      assert(m >= 0 && m <= 16, s"pair $k matches")
+      assert(math.abs(est - m / 16.0) < 1e-12, s"pair $k est")
+      assert(math.abs(err - math.abs(est - j)) < 1e-12, s"pair $k err")
+    }
+    // on true near-dups (J ≥ 0.6) the 16-component estimator should be
+    // informative: mean estimate comfortably above the corpus noise floor
+    val ests = rows.values.map(_._3)
+    assert(ests.sum / ests.size > 0.4, s"mean est ${ests.sum / ests.size}")
+  }
 }
