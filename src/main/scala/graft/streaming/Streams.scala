@@ -94,6 +94,25 @@ object Streams {
         col("window.start").as("win_start"),
         col("event_type"), col("n"), col("total_value"))
 
+  /** Streaming windowed distinct-user counts — the sketch twin of the
+    * batch [[graft.operators.Relational6.slidingDistinct]] family:
+    * exact per-window distinct users needs per-window key state
+    * (unbounded on a high-cardinality stream), so the HLL++ sketch
+    * (`approx_count_distinct`) keeps per-(window, type) state CONSTANT
+    * — the only way a distinct count survives an unbounded feed. The
+    * sketch is order-independent (max-merge), so a live stream and a
+    * batch backfill over the same events produce the identical
+    * estimate, which the spec pins. Watermark bounds window state.
+    */
+  def distinctCountsStream(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "2 hours")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(approx_count_distinct(col("user_id")).as("approx_users"),
+        count(lit(1)).as("n_events"))
+      .select(col("window.start").as("win_start"), col("event_type"),
+        col("approx_users"), col("n_events"))
+
   /** Streaming exact dedup: drop events whose key was already seen within
     * the watermark horizon — the streaming twin of `Dedup.exact`. State
     * is bounded by the watermark (old keys age out), which is what makes

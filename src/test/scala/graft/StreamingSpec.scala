@@ -108,6 +108,32 @@ class StreamingSpec extends SparkSpec {
     assert(views.getLong(2) == 1)
   }
 
+  test("windowed distinct-user sketch: stream estimate equals the batch sketch") {
+    implicit val sqlCtx = spark.sqlContext
+    val events = Seq(
+      Event(1, ts(5), "click", 1.0), Event(2, ts(10), "click", 1.0),
+      Event(1, ts(12), "click", 1.0), // repeat user inside the window
+      Event(3, ts(20), "view", 1.0), Event(3, ts(25), "view", 1.0))
+    val input = MemoryStream[Event]
+    input.addData(events: _*)
+    val q = Streams.distinctCountsStream(input.toDF())
+      .writeStream.format("memory").queryName("dcounts")
+      .outputMode("update").start()
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("dcounts").collect()
+      .map(r => r.getString(1) -> (r.getLong(2), r.getLong(3))).toMap
+    // batch twin over the same rows — identical sketch estimate
+    val batch = events.toDF()
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(org.apache.spark.sql.functions.approx_count_distinct(col("user_id"))
+        .as("au"), count(lit(1)).as("n"))
+      .collect().map(r => r.getString(1) -> (r.getLong(2), r.getLong(3))).toMap
+    assert(got == batch, s"stream $got vs batch $batch")
+    // tiny cardinalities: the sketch is exact here
+    assert(got("click") == ((2L, 3L)) && got("view") == ((1L, 2L)))
+  }
+
   test("file-source stream: new JSONL files flow through the windowed agg") {
     val dir = java.nio.file.Files.createTempDirectory("graft-stream").toString
     java.nio.file.Files.writeString(java.nio.file.Paths.get(dir, "batch1.jsonl"),
