@@ -655,6 +655,35 @@ object Dedup {
        |FROM l3
        |ORDER BY doc_id""".stripMargin
 
+  /** Leak-proof train/test split: the split key is the near-dup CLUSTER
+    * label, not the document — a plain per-doc hash split
+    * ([[TextRank.trainTestSplit]]) puts two near-copies of the same
+    * page on opposite sides of the split, and the eval set silently
+    * leaks into training (the contamination mode near-dup dedup exists
+    * to prevent). Hashing the propagated cluster label sends every
+    * member of a cluster to the SAME side by construction (80/20 via an
+    * md5-derived digit — engine-portable, unlike xxhash). Reads the
+    * memoized cluster labels; cost beyond them is one row-local hash.
+    */
+  def leakproofSplit(t: Tables): DataFrame =
+    keepBestShared(t).select(col("doc_id"), col("cluster_id"))
+      .withColumn("h", pmod(expr(
+        "CAST(conv(substring(md5(cast(cluster_id AS STRING)), 1, 15), 16, 10) AS LONG)"),
+        lit(10)))
+      .select(col("doc_id"), col("cluster_id"),
+        when(col("h") < 8, "train").otherwise("test").as("split"))
+      .orderBy("doc_id")
+
+  /** Oracle: the cluster chain + the identical md5-digit assignment. */
+  val leakproofSplitSql: String =
+    s"""$clustersCte
+       |SELECT id AS doc_id, lbl AS cluster_id,
+       | CASE WHEN CAST('0x' || substr(md5(CAST(lbl AS VARCHAR)), 1, 15)
+       |        AS BIGINT) % 10 < 8
+       |      THEN 'train' ELSE 'test' END AS split
+       |FROM l3
+       |ORDER BY doc_id""".stripMargin
+
   /** Fuzzy value clustering: edit-distance pairs over the DISTINCT values
     * of a key column (the OpenRefine "cluster & edit" shape for messy
     * dimension keys). Distinct-first keeps the pair space tiny even when

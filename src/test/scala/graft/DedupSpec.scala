@@ -263,6 +263,27 @@ class DedupSpec extends SparkSpec {
     assert(byCell.size > 1)
   }
 
+  test("leakproof split: clusters never straddle the split, near-dup pairs co-located") {
+    val rows = Dedup.leakproofSplit(sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    assert(rows.length == sf.documents.count())
+    // one split per cluster
+    rows.groupBy(_._2).foreach { case (c, ds) =>
+      assert(ds.map(_._3).distinct.length == 1, s"cluster $c straddles")
+    }
+    // every verified near-dup pair lands on the same side
+    val side = rows.map(r => r._1 -> r._3).toMap
+    Dedup.ngramJaccard(sf).collect().foreach { p =>
+      assert(side(p.getLong(0)) == side(p.getLong(1)),
+        s"near-dup pair ${p.getLong(0)},${p.getLong(1)} split apart")
+    }
+    // both sides populated, train is the large side
+    val n = rows.length.toDouble
+    val train = rows.count(_._3 == "train")
+    assert(train > 0 && train < rows.length)
+    assert(train / n > 0.5, s"train share ${train / n}")
+  }
+
   test("minhash audit covers every verified pair with a sane small-sketch estimate") {
     val pairs = Dedup.ngramJaccard(sf).collect()
       .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
