@@ -1741,6 +1741,50 @@ object Similarity {
        |ORDER BY nprobe""".stripMargin
   }
 
+  /** IVF cell-balance report — the "why is my ANN index slow" skew
+    * audit: per-cell population of the shared k-means coarse quantizer,
+    * each cell's share of the corpus, and its load factor (n·cells /
+    * total — 1.0 is perfectly balanced). A hot cell is scanned by every
+    * query that probes it, so one 10× cell costs ~10× probe latency
+    * regardless of nprobe; this report is what tells you to re-train or
+    * sub-split before blaming the query path. Complements
+    * [[ivfSweep]]'s per-query curve with the index-side view.
+    *
+    * Scale: training is the memoized shared model; the report is one
+    * assignment pass + a [[NumCells]]-row aggregation.
+    */
+  def cellBalance(t: Tables): DataFrame = {
+    val vecs = vectors(t)
+    val (cents, _) = trainKmeansShared(t, vecs)
+    val assigned = assignCells(vecs, cents)
+    val total = assigned.agg(count(lit(1)).as("total"))
+    assigned.groupBy("cell").agg(count(lit(1)).as("n_vectors"))
+      .crossJoin(broadcast(total))
+      .select(col("cell"),
+        col("n_vectors").cast("long").as("n_vectors"),
+        (col("n_vectors").cast("double") / col("total")).as("share"),
+        (col("n_vectors").cast("double") * lit(NumCells) / col("total"))
+          .as("load_factor"))
+      .orderBy("cell")
+  }
+
+  /** Oracle: the k-means replay + per-cell counts and ratios. */
+  val cellBalanceSql: String =
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |c0 AS (SELECT CAST(vec_id AS INT) AS cell, v AS c FROM e WHERE vec_id < $NumCells),
+       |a1 AS (${assignSql("e", "c0")}),
+       |c1 AS (${meansSql("a1")}),
+       |a2 AS (${assignSql("e", "c1")}),
+       |c2 AS (${meansSql("a2")}),
+       |a3 AS (${assignSql("e", "c2")}),
+       |tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS total FROM a3)
+       |SELECT cell, CAST(COUNT(*) AS BIGINT) AS n_vectors,
+       | CAST(COUNT(*) AS DOUBLE) / total AS share,
+       | CAST(COUNT(*) AS DOUBLE) * $NumCells / total AS load_factor
+       |FROM a3 CROSS JOIN tot
+       |GROUP BY cell, total
+       |ORDER BY cell""".stripMargin
+
   /** Anchor sample modulus for [[twoNn]] — every 4th vector anchors the
     * estimate (TwoNN needs only a stable SAMPLE of anchor points, so
     * the scale cost is |sample|×n, not n²).

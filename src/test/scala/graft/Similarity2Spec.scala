@@ -695,6 +695,22 @@ class Similarity2Spec extends SparkSpec {
       s"sweep@4 ${rows.last._3} vs ivf_topk $expected")
   }
 
+  test("cell balance sums to the corpus and agrees with kmeans cluster sizes") {
+    val rows = Similarity.cellBalance(sf).collect()
+      .map(r => r.getInt(0) -> (r.getLong(1), r.getDouble(2), r.getDouble(3)))
+      .toMap
+    val n = sf.embeddings.count()
+    assert(rows.values.map(_._1).sum == n)
+    rows.foreach { case (c, (cnt, share, lf)) =>
+      assert(math.abs(share - cnt.toDouble / n) < 1e-12, s"cell $c share")
+      assert(math.abs(lf - cnt.toDouble * 16 / n) < 1e-12, s"cell $c lf")
+    }
+    // same partition as the kmeans clusters query (shared model)
+    val sizes = Similarity.kmeansClusters(sf).collect()
+      .groupBy(_.getInt(1)).view.mapValues(_.length.toLong).toMap
+    assert(rows.map { case (c, v) => c -> v._1 } == sizes)
+  }
+
   test("two_nn matches an exact in-memory 2-NN replay") {
     import spark.implicits._
     val vecs = sf.embeddings
