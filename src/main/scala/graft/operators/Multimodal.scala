@@ -1925,6 +1925,86 @@ object Multimodal {
        |    / (CAST(n_interior AS DOUBLE) * n_interior) < $BlurVarMin AS is_blurry
        |FROM m ORDER BY doc_id""".stripMargin
 
+  /** Target aspect ratios for [[aspectBuckets]] — the standard
+    * square/landscape/portrait/wide set an aspect-bucketed image
+    * trainer groups by (SDXL-style bucketing, public methodology).
+    */
+  private val AspectTargets: Seq[(String, Int, Int)] = Seq(
+    ("1:1", 1, 1), ("4:3", 4, 3), ("3:4", 3, 4),
+    ("16:9", 16, 9), ("9:16", 9, 16))
+
+  final case class ImgDims(doc_id: Long, w: Int, h: Int)
+
+  /** Aspect-ratio bucketing through the REAL decode path — the
+    * batch-shape planner for image training (mixed aspect ratios in one
+    * batch force destructive square crops; bucketing groups compatible
+    * shapes so crops stay minimal): each decoded raster is assigned the
+    * target whose cross-multiplied distance |w·bh − h·bw| is smallest
+    * (exact integers — no float aspect compare), ties to the earlier
+    * target. Report: per-bucket population and the exact aspect range
+    * (micros, `div` on positives) it absorbed — wide ranges mean the
+    * bucket set needs splitting.
+    *
+    * Scale: dims come from the batched codec seam (row-local); the
+    * report is one aggregation over the fixed bucket domain.
+    */
+  def aspectBuckets(t: Tables): DataFrame = {
+    val spark = t.spark
+    import spark.implicits._
+    val dims = codecIds(t)
+      .mapPartitions { it =>
+        it.grouped(BatchSize).flatMap { batch =>
+          batch.map { id =>
+            val img = javax.imageio.ImageIO.read(
+              new java.io.ByteArrayInputStream(synthPng(id)))
+            require(img != null, s"doc $id: synthesized PNG failed to decode")
+            ImgDims(id, img.getWidth, img.getHeight)
+          }
+        }
+      }
+      .toDF()
+    val costs = AspectTargets.zipWithIndex.map { case ((_, bw, bh), i) =>
+      abs(col("w") * bh - col("h") * bw).as(s"c$i")
+    }
+    val minCost = least(AspectTargets.indices.map(i => col(s"c$i")): _*)
+    val bucket = AspectTargets.zipWithIndex.foldRight(lit(null: String)) {
+      case (((name, _, _), i), rest) =>
+        when(col(s"c$i") === minCost, lit(name)).otherwise(rest)
+    }
+    dims.select(col("doc_id") +:
+        expr("(CAST(w AS LONG) * 1000000) div h").as("aspect") +:
+        costs: _*)
+      .withColumn("bucket", bucket)
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n_images"),
+        min(col("aspect")).as("min_aspect_micros"),
+        max(col("aspect")).as("max_aspect_micros"))
+      .orderBy("bucket")
+  }
+
+  /** Oracle: dims from the synthesis formula, the identical
+    * cross-multiplied argmin (first-target ties), and the roll-up.
+    */
+  val aspectBucketsSql: String = {
+    val costs = AspectTargets.zipWithIndex.map { case ((_, bw, bh), i) =>
+      s"ABS(w * $bh - h * $bw) AS c$i"
+    }.mkString(", ")
+    val minExpr = "LEAST(" + AspectTargets.indices.map(i => s"c$i").mkString(", ") + ")"
+    val bucketCase = AspectTargets.zipWithIndex.map { case ((name, _, _), i) =>
+      s"WHEN c$i = $minExpr THEN '$name'"
+    }.mkString(" ")
+    s"""WITH p AS (
+       |  SELECT doc_id, 8 + doc_id % 9 AS w, 8 + (doc_id * 3) % 9 AS h
+       |  FROM documents),
+       |c AS (SELECT doc_id, w, h, (w * 1000000) // h AS aspect, $costs FROM p),
+       |b AS (SELECT doc_id, aspect, CASE $bucketCase END AS bucket FROM c)
+       |SELECT bucket, CAST(COUNT(*) AS BIGINT) AS n_images,
+       | CAST(MIN(aspect) AS BIGINT) AS min_aspect_micros,
+       | CAST(MAX(aspect) AS BIGINT) AS max_aspect_micros
+       |FROM b GROUP BY bucket
+       |ORDER BY bucket""".stripMargin
+  }
+
   /** Luma sum (r+g+b) below which a pixel counts as "black" for border
     * detection — interior synthesis floors every channel at 32 (luma
     * ≥ 96), so the classes are cleanly separable.

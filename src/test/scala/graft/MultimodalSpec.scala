@@ -427,6 +427,29 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("aspect buckets: argmin assignment replays and populations sum") {
+    val rows = graft.operators.Multimodal.aspectBuckets(sf).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toMap
+    val targets = Seq(("1:1", 1, 1), ("4:3", 4, 3), ("3:4", 3, 4),
+      ("16:9", 16, 9), ("9:16", 9, 16))
+    val n = sf.documents.count()
+    assert(rows.values.map(_._1).sum == n)
+    // replay the assignment from the dim formula
+    val exp = (0L until n).map { id =>
+      val (w, h) = ((8 + id % 9).toInt, (8 + id * 3 % 9).toInt)
+      val costs = targets.map { case (_, bw, bh) => math.abs(w * bh - h * bw) }
+      val b = targets(costs.indexOf(costs.min))._1
+      (b, w.toLong * 1000000 / h)
+    }
+    exp.groupBy(_._1).foreach { case (b, as) =>
+      val (cnt, mn, mx) = rows(b)
+      assert(cnt == as.length, s"bucket $b count")
+      assert(mn == as.map(_._2).min && mx == as.map(_._2).max, s"bucket $b range")
+    }
+    assert(rows.keySet == exp.map(_._1).toSet)
+  }
+
   test("letterbox recovers the planted border geometry from decoded pixels") {
     val rows = graft.operators.Multimodal.letterbox(sf).collect()
     assert(rows.length == sf.documents.count())
