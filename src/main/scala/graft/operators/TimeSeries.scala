@@ -958,4 +958,71 @@ object TimeSeries {
        |  / ${graft.functions.Exact.decToDoubleSql("(n * sxx - sx * sx)")}
        |  AS qty_per_cent_slope
        |FROM agg ORDER BY p_brand""".stripMargin
+
+  /** Trailing days feeding each [[forecastBacktest]] forecast. */
+  private val BacktestWindow = 8
+
+  /** Rolling-origin forecast backtest — the harness that DECIDES a
+    * forecasting method instead of assuming one (the time-series
+    * sibling of the recall/tier/quantile audits): for EVERY day with a
+    * full trailing window, a 1-step-ahead forecast built ONLY from the
+    * [[BacktestWindow]] prior days (an integer halving fold — the exact
+    * EWMA-α½ shape [[ewmaSmooth]] uses, kept in micros so the fold is
+    * engine-exact), scored against the day's actual: absolute error
+    * and APE in exact ppm. Per-origin rows, so the consumer can slice
+    * error by regime (spikes vs quiet) — a single MAE would hide
+    * exactly what a backtest exists to show.
+    *
+    * Scale: the daily series is calendar-bounded (the global trailing
+    * window runs over ~2500 rows regardless of corpus size — the
+    * bounded-domain exception every daily operator here shares); one
+    * fact aggregation feeds it.
+    */
+  def forecastBacktest(t: Tables): DataFrame = {
+    val d19 = DecimalType(19, 0)
+    val d38 = DecimalType(38, 0)
+    val daily = t.lineitem
+      .groupBy(to_date(col("l_shipdate")).as("d"))
+      .agg(sum((discPrice(col("l_extendedprice"), col("l_discount"))
+        * lit(1000000)).cast(d19)).cast(d38).cast("long").as("v"))
+    val w = Window.orderBy("d").rowsBetween(-BacktestWindow, -1)
+    daily
+      .withColumn("vals", collect_list(col("v")).over(w))
+      .where(size(col("vals")) === BacktestWindow)
+      .select(col("d"), col("v").as("actual_micros"),
+        expr(s"""aggregate(slice(vals, 2, ${BacktestWindow - 1}), vals[0],
+                |  (a, x) -> (a + x) div 2)""".stripMargin)
+          .as("forecast_micros"))
+      .withColumn("err_micros",
+        abs(col("actual_micros") - col("forecast_micros")))
+      .withColumn("ape_ppm",
+        expr("(err_micros * 1000000) div actual_micros"))
+      .orderBy("d")
+  }
+
+  /** Oracle: identical daily micros, trailing-window list, halving
+    * fold (`list_reduce` seeds with the first element, matching the
+    * `aggregate(slice(2..), vals[0], …)` form), and ppm division.
+    */
+  val forecastBacktestSql: String =
+    s"""WITH daily AS (
+       | SELECT CAST(l_shipdate AS DATE) AS d,
+       |  CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(12,2)) *
+       |    CAST(1 - CAST(l_discount AS DECIMAL(4,2)) AS DECIMAL(8,4))
+       |    * 1000000 AS DECIMAL(19,0))) AS BIGINT) AS v
+       | FROM lineitem GROUP BY 1),
+       |wnd AS (
+       | SELECT d, v, list(v) OVER (ORDER BY d
+       |   ROWS BETWEEN $BacktestWindow PRECEDING AND 1 PRECEDING) AS vals
+       | FROM daily),
+       |f AS (
+       | SELECT d, v AS actual_micros,
+       |  CAST(list_reduce(vals, (a, x) -> (a + x) // 2) AS BIGINT)
+       |    AS forecast_micros
+       | FROM wnd WHERE len(vals) = $BacktestWindow)
+       |SELECT d, actual_micros, forecast_micros,
+       | ABS(actual_micros - forecast_micros) AS err_micros,
+       | CAST((ABS(actual_micros - forecast_micros) * 1000000)
+       |   // actual_micros AS BIGINT) AS ape_ppm
+       |FROM f ORDER BY d""".stripMargin
 }

@@ -7,6 +7,28 @@ import graft.operators.{Curation, Graph, Relational7, Relational9, TimeSeries}
   */
 class Round11Spec extends SparkSpec {
 
+  test("forecast backtest: halving fold replays from the daily series") {
+    val rows = TimeSeries.forecastBacktest(sf).collect()
+      .map(r => (r.get(0).toString, r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))
+    assert(rows.nonEmpty)
+    val daily = sf.lineitem
+      .groupBy(org.apache.spark.sql.functions.expr("CAST(l_shipdate AS DATE)").as("d"))
+      .agg(org.apache.spark.sql.functions.expr(
+        "CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(1 - CAST(l_discount AS DECIMAL(4,2)) AS DECIMAL(8,4)) * 1000000 AS DECIMAL(19,0))) AS LONG)").as("v"))
+      .collect().map(x => (x.get(0).toString, x.getLong(1))).sortBy(_._1)
+    assert(rows.length == daily.length - 8)
+    val byDay = daily.zipWithIndex.map { case ((d, _), i) => d -> i }.toMap
+    rows.foreach { case (d, actual, forecast, err, ape) =>
+      val i = byDay(d)
+      assert(actual == daily(i)._2, s"$d actual")
+      val exp = daily.slice(i - 8, i).map(_._2).reduce((a, x) => (a + x) / 2)
+      assert(forecast == exp, s"$d forecast")
+      assert(err == math.abs(actual - forecast))
+      assert(ape == err * 1000000L / actual)
+    }
+  }
+
   test("theil-sen: slope/intercept are the exact lower medians of the replay") {
     val r = TimeSeries.theilSen(sf).collect()
     assert(r.length == 1)
