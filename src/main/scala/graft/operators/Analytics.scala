@@ -219,6 +219,57 @@ object Analytics {
       |FROM c
       |ORDER BY src, dst""".stripMargin
 
+  /** Cumulative reach curve — "how many distinct users have we EVER
+    * seen, by day" (the campaign/launch reach chart): each user
+    * collapses to their FIRST event day (one aggregation — the
+    * distinct-to-date count never materializes per-day user sets), then
+    * new-user counts per day accumulate over the calendar-bounded day
+    * domain. Also emits the daily active count so the chart shows
+    * reach vs activity on one axis.
+    *
+    * Scale: two aggregations (per-user min, per-day counts) + a window
+    * over days (calendar-bounded — never data-sized). The naive
+    * per-day COUNT(DISTINCT user WHERE ts ≤ d) is quadratic; first-seen
+    * collapse is the standard linear rewrite.
+    */
+  def cumulativeReach(t: Tables): DataFrame = {
+    val firstSeen = t.events.groupBy("user_id")
+      .agg(min(to_date(col("ts"))).as("d"))
+      .groupBy("d").agg(count(lit(1)).as("new_users"))
+    val active = t.events
+      .groupBy(to_date(col("ts")).as("d"))
+      .agg(countDistinct(col("user_id")).as("active_users"))
+    val w = Window.orderBy("d")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    active.join(firstSeen, Seq("d"), "left")
+      .select(col("d"), coalesce(col("new_users"), lit(0L)).as("new_users"),
+        col("active_users"))
+      .withColumn("cum_reach", sum(col("new_users")).over(w))
+      .select(col("d"), col("new_users").cast("long").as("new_users"),
+        col("active_users").cast("long").as("active_users"),
+        col("cum_reach").cast("long").as("cum_reach"))
+      .orderBy("d")
+  }
+
+  /** Oracle: identical first-seen collapse, day counts, and running
+    * sum over the day domain.
+    */
+  val cumulativeReachSql: String =
+    """WITH fs AS (
+      | SELECT user_id, MIN(CAST(CAST(ts AS TIMESTAMP) AS DATE)) AS d
+      | FROM events GROUP BY 1),
+      |nu AS (SELECT d, CAST(COUNT(*) AS BIGINT) AS new_users
+      |       FROM fs GROUP BY 1),
+      |au AS (
+      | SELECT CAST(CAST(ts AS TIMESTAMP) AS DATE) AS d,
+      |  CAST(COUNT(DISTINCT user_id) AS BIGINT) AS active_users
+      | FROM events GROUP BY 1)
+      |SELECT au.d, COALESCE(nu.new_users, 0) AS new_users, au.active_users,
+      | CAST(SUM(COALESCE(nu.new_users, 0)) OVER (ORDER BY au.d) AS BIGINT)
+      |   AS cum_reach
+      |FROM au LEFT JOIN nu ON au.d = nu.d
+      |ORDER BY au.d""".stripMargin
+
   /** Journey steps kept by [[flowMatrix]]. */
   private val FlowSteps = 5
 

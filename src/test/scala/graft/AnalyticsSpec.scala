@@ -580,6 +580,23 @@ class AnalyticsSpec extends SparkSpec {
     }
   }
 
+  test("cumulative reach: final value = total distinct users, first-seen replay") {
+    val rows = graft.operators.Analytics.cumulativeReach(sf).collect()
+      .map(r => (r.get(0).toString, r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(rows.nonEmpty)
+    val totalUsers = sf.events.select("user_id").distinct().count()
+    assert(rows.last._4 == totalUsers)
+    // monotone reach; actives never exceed reach-to-date
+    rows.sliding(2).foreach {
+      case Array(a, b) => assert(b._4 == a._4 + b._2)
+      case _ =>
+    }
+    rows.foreach { case (_, nu, au, cum) =>
+      assert(au >= nu && cum >= au)
+    }
+    assert(rows.map(_._2).sum == totalUsers)
+  }
+
   test("flow matrix: per-step totals are bounded by journey counts and sum to markov totals over shared steps") {
     val rows = graft.operators.Analytics.flowMatrix(sf).collect()
       .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3)))
