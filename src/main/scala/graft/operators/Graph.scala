@@ -1636,4 +1636,73 @@ object Graph {
        |FROM (${supSql(s"t$KtrussMaxRounds", s"d$KtrussMaxRounds")})
        |ORDER BY a_part, b_part""".stripMargin
   }
+
+  /** Degree thresholds probed by [[richClub]]. */
+  private val RichClubKs = Seq(1L, 2L, 4L, 8L, 16L)
+
+  /** Rich-club coefficient curve — "do the hubs preferentially connect
+    * to each other" (Colizza et al., public knowledge), the one-number-
+    * per-threshold summary that separates a hub-backbone topology from
+    * a flat one: for each degree threshold k, take the club of nodes
+    * with degree > k, count the mined edges with BOTH endpoints in the
+    * club, and report the club's edge density
+    * φ(k) = 2·E_k / (N_k·(N_k−1)) in exact ppm
+    * (integer-scaled division — engine-portable, no float sums).
+    *
+    * Scale: degrees come off the shared mined-pair frame (one
+    * aggregation); each of the |[[RichClubKs]]| thresholds is two
+    * broadcast-able semi-joins of the edge list against the club's
+    * node set plus one count — the whole curve is a bounded family of
+    * linear passes over the SIGNAL graph, never the raw pair space.
+    */
+  def richClub(t: Tables): DataFrame = {
+    val cp = minedPairsShared(t)
+      .select(col("a_part").as("a"), col("b_part").as("b"))
+    val deg = cp.select(explode(array(col("a"), col("b"))).as("node"))
+      .groupBy("node").agg(count(lit(1)).as("d"))
+      .localCheckpoint(true)
+    val perK = RichClubKs.map { k =>
+      val club = deg.where(col("d") > k).select(col("node"))
+      val nNodes = club.agg(count(lit(1)).as("n_nodes"))
+      val nEdges = cp
+        .join(club.select(col("node").as("a")), Seq("a"), "left_semi")
+        .join(club.select(col("node").as("b")), Seq("b"), "left_semi")
+        .agg(count(lit(1)).as("n_edges"))
+      nNodes.crossJoin(nEdges).select(lit(k).as("k"),
+        col("n_nodes").cast("long").as("n_nodes"),
+        col("n_edges").cast("long").as("n_edges"),
+        when(col("n_nodes") >= 2,
+          expr("(n_edges * 2000000L) div (n_nodes * (n_nodes - 1))"))
+          .otherwise(lit(0L)).as("phi_ppm"))
+    }
+    perK.reduce(_ unionAll _).orderBy("k")
+  }
+
+  /** Oracle: the shared cp CTE + per-threshold club density, unioned
+    * over the bounded threshold list.
+    */
+  val richClubSql: String = {
+    val blocks = RichClubKs.map { k =>
+      s"""SELECT $k AS k,
+         | (SELECT CAST(COUNT(*) AS BIGINT) FROM deg WHERE d > $k) AS n_nodes,
+         | (SELECT CAST(COUNT(*) AS BIGINT) FROM cp
+         |   WHERE a IN (SELECT node FROM deg WHERE d > $k)
+         |     AND b IN (SELECT node FROM deg WHERE d > $k)) AS n_edges""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"""WITH items AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+       |cp AS MATERIALIZED (
+       |  SELECT a.l_partkey AS a, b.l_partkey AS b
+       |  FROM items a JOIN items b
+       |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+       |  GROUP BY 1, 2 HAVING COUNT(*) >= $EdgeSupport),
+       |deg AS MATERIALIZED (
+       |  SELECT node, CAST(COUNT(*) AS BIGINT) AS d FROM (
+       |   SELECT a AS node FROM cp UNION ALL SELECT b FROM cp) GROUP BY 1),
+       |curve AS ($blocks)
+       |SELECT k, n_nodes, n_edges,
+       | CASE WHEN n_nodes >= 2
+       |      THEN (n_edges * 2000000) // (n_nodes * (n_nodes - 1))
+       |      ELSE 0 END AS phi_ppm
+       |FROM curve ORDER BY k""".stripMargin
+  }
 }

@@ -2140,4 +2140,243 @@ object Multimodal {
        |FROM p JOIN rl ON p.doc_id = rl.doc_id
        |JOIN cl ON p.doc_id = cl.doc_id
        |ORDER BY p.doc_id""".stripMargin
+
+  final case class SnrStats(
+      doc_id: Long, n_full_frames: Int, e_hi: Long, e_lo: Long,
+      snr_ratio_micros: Long)
+
+  /** Dynamic-range screen through the REAL codec — the "is there any
+    * signal above the noise floor" gate an audio pipeline runs before
+    * spending transcription compute (a clip whose loudest frame barely
+    * clears its quietest is hum or silence, not speech): the RIFF/WAVE
+    * chunk walk ([[wavPcm]], shared with [[decodeWav]]) yields PCM,
+    * FULL [[VadFrame]]-sample frames score exact integer energies, and
+    * the max/min frame energy ratio reports in exact micros
+    * (`e_hi·10⁶ div (e_lo+1)` — the +1 guards all-zero frames; no
+    * log10, which is NOT correctly-rounded libm and would break
+    * bit-portability — a dB view is one driver-side log away).
+    * Ragged tail frames are excluded (a short tail's low energy would
+    * fake headroom). Row-local per doc; no shuffle.
+    */
+  def audioSnr(t: Tables): DataFrame = {
+    val spark = t.spark
+    import spark.implicits._
+    codecIds(t)
+      .mapPartitions { it =>
+        it.grouped(BatchSize).flatMap { batch =>
+          batch.map { id =>
+            val w = wavPcm(MediaRecord(id, synthWav(id)))
+            val nFull = w.frames / VadFrame
+            var (eHi, eLo) = (Long.MinValue, Long.MaxValue)
+            var f = 0
+            while (f < nFull) {
+              var e = 0L
+              var i = f * VadFrame
+              val hi = i + VadFrame
+              while (i < hi) { e += w.sample(i) * w.sample(i); i += 1 }
+              if (e > eHi) eHi = e
+              if (e < eLo) eLo = e
+              f += 1
+            }
+            SnrStats(id, nFull, eHi, eLo, eHi * 1000000L / (eLo + 1))
+          }
+        }
+      }
+      .toDF()
+      .orderBy("doc_id")
+  }
+
+  /** Oracle for [[audioSnr]]: the synthesis formula replays the frame
+    * energies over full frames and the identical micros ratio (both
+    * operands nonnegative, so `div` ≡ `//`).
+    */
+  val audioSnrSql: String =
+    s"""WITH p AS (
+       |  SELECT doc_id, 64 + doc_id % 64 AS n FROM documents),
+       |sm AS (
+       |  SELECT doc_id, j // $VadFrame AS f,
+       |    ((doc_id * 7919 + j * 104729) % 65536) - 32768 AS v
+       |  FROM (SELECT doc_id, n, unnest(range(0, (n // $VadFrame) * $VadFrame)) AS j
+       |        FROM p)),
+       |fr AS (
+       |  SELECT doc_id, f, SUM(v * v) AS e FROM sm GROUP BY doc_id, f),
+       |agg AS (
+       |  SELECT doc_id, CAST(MAX(e) AS BIGINT) AS e_hi,
+       |    CAST(MIN(e) AS BIGINT) AS e_lo
+       |  FROM fr GROUP BY doc_id)
+       |SELECT p.doc_id, CAST(n // $VadFrame AS INT) AS n_full_frames,
+       |  e_hi, e_lo,
+       |  CAST(e_hi * 1000000 // (e_lo + 1) AS BIGINT) AS snr_ratio_micros
+       |FROM p JOIN agg USING (doc_id)
+       |ORDER BY p.doc_id""".stripMargin
+
+  final case class TrimStats(
+      doc_id: Long, n_samples: Int, first_active: Int, last_active: Int,
+      lead_samples: Long, trail_samples: Long, kept_samples: Long)
+
+  /** Silence trim points through the REAL codec — the edit a speech
+    * pipeline applies before chunking (leading/trailing room tone
+    * wastes tokens and skews VAD statistics): frames score the same
+    * energy test as [[audioVad]] (threshold [[VadMeanSq]] per sample,
+    * ragged tail included at its own length), the first and last
+    * active frames mark the keep region, and the trim reports in exact
+    * sample counts (lead = samples before the first active frame,
+    * trail = samples after the last, kept = the rest; an all-silent
+    * clip trims entirely: first/last = −1, lead = n, kept = 0).
+    * Sample counts, not milliseconds — exact integers; ms is one
+    * division by the already-emitted rate away. Row-local per doc.
+    */
+  def silenceTrim(t: Tables): DataFrame = {
+    val spark = t.spark
+    import spark.implicits._
+    codecIds(t)
+      .mapPartitions { it =>
+        it.grouped(BatchSize).flatMap { batch =>
+          batch.map { id =>
+            val w = wavPcm(MediaRecord(id, synthWav(id)))
+            val nFrames = (w.frames + VadFrame - 1) / VadFrame
+            var (first, last) = (-1, -1)
+            var f = 0
+            while (f < nFrames) {
+              val lo = f * VadFrame
+              val hi = math.min(lo + VadFrame, w.frames)
+              var e = 0L
+              var i = lo
+              while (i < hi) { e += w.sample(i) * w.sample(i); i += 1 }
+              if (e >= VadMeanSq * (hi - lo)) {
+                if (first < 0) first = f
+                last = f
+              }
+              f += 1
+            }
+            val lead =
+              if (first < 0) w.frames.toLong
+              else first.toLong * VadFrame
+            val trail =
+              if (first < 0) 0L
+              else w.frames.toLong -
+                math.min((last + 1).toLong * VadFrame, w.frames.toLong)
+            TrimStats(id, w.frames, first, last, lead, trail,
+              w.frames - lead - trail)
+          }
+        }
+      }
+      .toDF()
+      .orderBy("doc_id")
+  }
+
+  /** Oracle for [[silenceTrim]]: frame energies from the synthesis
+    * formula (ragged tail at its own length), min/max active frame,
+    * and the identical trim arithmetic with the all-silent fallback.
+    */
+  val silenceTrimSql: String =
+    s"""WITH p AS (
+       |  SELECT doc_id, 64 + doc_id % 64 AS n FROM documents),
+       |sm AS (
+       |  SELECT doc_id, j // $VadFrame AS f,
+       |    ((doc_id * 7919 + j * 104729) % 65536) - 32768 AS v
+       |  FROM (SELECT doc_id, n, unnest(range(0, n)) AS j FROM p)),
+       |fr AS (
+       |  SELECT doc_id, f, SUM(v * v) AS e, COUNT(*) AS fl
+       |  FROM sm GROUP BY doc_id, f),
+       |act AS (
+       |  SELECT doc_id, CAST(MIN(f) AS INT) AS first_active,
+       |    CAST(MAX(f) AS INT) AS last_active
+       |  FROM fr WHERE e >= $VadMeanSq * fl GROUP BY doc_id)
+       |SELECT p.doc_id, CAST(n AS INT) AS n_samples,
+       |  COALESCE(first_active, -1) AS first_active,
+       |  COALESCE(last_active, -1) AS last_active,
+       |  CAST(CASE WHEN first_active IS NULL THEN n
+       |       ELSE first_active * $VadFrame END AS BIGINT) AS lead_samples,
+       |  CAST(CASE WHEN first_active IS NULL THEN 0
+       |       ELSE n - least((last_active + 1) * $VadFrame, n) END AS BIGINT)
+       |    AS trail_samples,
+       |  CAST(CASE WHEN first_active IS NULL THEN 0
+       |       ELSE least((last_active + 1) * $VadFrame, n)
+       |            - first_active * $VadFrame END AS BIGINT) AS kept_samples
+       |FROM p LEFT JOIN act ON p.doc_id = act.doc_id
+       |ORDER BY p.doc_id""".stripMargin
+
+  /** Tonal-diversity histogram stats over the stub luma plane — the
+    * flat-image screen a vision pipeline uses to drop blank frames,
+    * solid fills, and test cards before feature compute: per document,
+    * the 8-bit gray histogram (ITU-601 integer luma
+    * `(299r + 587g + 114b) div 1000` over the deterministic stub
+    * raster) reduces to distinct-level count, the modal level (ties →
+    * smallest level, deterministic), and the Gini-Simpson impurity in
+    * exact ppm (`10⁶ − Σcnt²·10⁶ div n²` — the entropy-like diversity
+    * number with NO libm log, so it replays bit-exactly; a near-0
+    * impurity is a near-solid image). Pure DataFrame fan-out (explode
+    * over the bounded pixel grid) with map-side combine — the stub
+    * twin of the real-raster tiers, same plumbing shape as
+    * [[imageStats]]. Per-doc state is ≤256 histogram rows; linear.
+    */
+  def lumaHistogram(t: Tables): DataFrame = {
+    val p = t.documents.select(col("doc_id"),
+      (lit(8) + pmod(col("doc_id"), lit(9))).cast("int").as("w"),
+      (lit(8) + pmod(col("doc_id") * 3, lit(9))).cast("int").as("h"))
+    val px = p
+      .select(col("doc_id"), col("w"), col("h"),
+        explode(sequence(lit(0), col("w") - 1)).as("x"))
+      .select(col("doc_id"), col("w"), col("h"), col("x"),
+        explode(sequence(lit(0), col("h") - 1)).as("y"))
+      .select(col("doc_id"),
+        expr("""(299 * ((doc_id + 7*x + 13*y) % 256)
+               | + 587 * ((2*doc_id + 11*x + 3*y) % 256)
+               | + 114 * ((3*doc_id + 5*x + 17*y) % 256)) div 1000""".stripMargin)
+          .as("gray"))
+    val hist = px.groupBy("doc_id", "gray").agg(count(lit(1)).as("cnt"))
+    val mode = hist
+      .withColumn("rk", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("doc_id")
+          .orderBy(col("cnt").desc, col("gray"))))
+      .where(col("rk") === 1)
+      .select(col("doc_id"), col("gray").as("mode_gray"),
+        col("cnt").as("mode_count"))
+    hist.groupBy("doc_id")
+      .agg(sum(col("cnt")).cast("long").as("n_pixels"),
+        count(lit(1)).cast("long").as("n_levels"),
+        sum(col("cnt") * col("cnt")).cast("long").as("sumsq"))
+      .join(mode, Seq("doc_id"))
+      .select(col("doc_id"), col("n_pixels"), col("n_levels"),
+        col("mode_gray").cast("long").as("mode_gray"),
+        col("mode_count").cast("long").as("mode_count"),
+        expr("1000000L - (sumsq * 1000000L) div (n_pixels * n_pixels)")
+          .as("impurity_ppm"))
+      .orderBy("doc_id")
+  }
+
+  /** Oracle for [[lumaHistogram]]: identical stub luma, histogram,
+    * deterministic mode tie-break, and exact ppm impurity.
+    */
+  val lumaHistogramSql: String =
+    """WITH p AS (
+      |  SELECT doc_id, 8 + doc_id % 9 AS w, 8 + (doc_id * 3) % 9 AS h
+      |  FROM documents),
+      |xs AS (SELECT doc_id, w, h, unnest(range(0, w)) AS x FROM p),
+      |xy AS (SELECT doc_id, x, unnest(range(0, h)) AS y FROM xs),
+      |px AS (
+      |  SELECT doc_id,
+      |    (299 * ((doc_id + 7*x + 13*y) % 256)
+      |     + 587 * ((2*doc_id + 11*x + 3*y) % 256)
+      |     + 114 * ((3*doc_id + 5*x + 17*y) % 256)) // 1000 AS gray
+      |  FROM xy),
+      |hist AS (
+      |  SELECT doc_id, gray, CAST(COUNT(*) AS BIGINT) AS cnt
+      |  FROM px GROUP BY 1, 2),
+      |mode AS (
+      |  SELECT doc_id, gray AS mode_gray, cnt AS mode_count FROM (
+      |   SELECT doc_id, gray, cnt, ROW_NUMBER() OVER (PARTITION BY doc_id
+      |     ORDER BY cnt DESC, gray) AS rk FROM hist)
+      |  WHERE rk = 1),
+      |agg AS (
+      |  SELECT doc_id, CAST(SUM(cnt) AS BIGINT) AS n_pixels,
+      |    CAST(COUNT(*) AS BIGINT) AS n_levels,
+      |    CAST(SUM(cnt * cnt) AS BIGINT) AS sumsq
+      |  FROM hist GROUP BY 1)
+      |SELECT agg.doc_id, n_pixels, n_levels,
+      |  CAST(mode_gray AS BIGINT) AS mode_gray, mode_count,
+      |  1000000 - (sumsq * 1000000) // (n_pixels * n_pixels) AS impurity_ppm
+      |FROM agg JOIN mode ON agg.doc_id = mode.doc_id
+      |ORDER BY agg.doc_id""".stripMargin
 }

@@ -208,4 +208,65 @@ object TextRank {
        |FROM exf LEFT JOIN voc ON exf.token = voc.token
        |GROUP BY doc_id
        |ORDER BY doc_id""".stripMargin
+
+  /** Power-of-two ranks probed by [[zipfProfile]]. */
+  private val ZipfRanks = (0 to 9).map(1L << _) // 1..512
+
+  /** Zipf rank-frequency profile of the corpus vocabulary — the
+    * distribution-shape fingerprint that tells a curation pipeline
+    * whether a corpus looks like natural language (halving the rank
+    * roughly doubles the frequency, slope ≈ −1 on log-log), machine
+    * output (flat head), or boilerplate spam (cliff after a tiny
+    * head): token frequencies at the power-of-two ranks 1..512, each
+    * with its frequency ratio to the DOUBLED rank in exact micros
+    * (`cnt[r]·10⁶ div cnt[2r]` ≈ 2·10⁶ under Zipf-1) — the discrete
+    * log-log slope with no logs, so it replays bit-exactly. The
+    * whitespace tokenization is [[vocab]]'s.
+    *
+    * Scale: one token-count aggregation; the rank cut is a bounded
+    * TakeOrdered (top-1024 rows), and the probe/double-rank join runs
+    * on the 10-row probe list. Linear in corpus tokens.
+    */
+  def zipfProfile(t: Tables): DataFrame = {
+    val maxRank = (ZipfRanks.last * 2).toInt
+    val ranked = t.documents
+      .select(explode(split(col("text"), " ")).as("token"))
+      .where(length(col("token")) > 0)
+      .groupBy("token").agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("token")).limit(maxRank)
+      .withColumn("rank",
+        row_number().over(Window.orderBy(col("cnt").desc, col("token"))))
+      .localCheckpoint(true)
+    ranked
+      .where(col("rank").isInCollection(ZipfRanks.map(_.toInt)))
+      .join(ranked.select(col("rank").as("rank2"), col("cnt").as("cnt2")),
+        col("rank2") === col("rank") * 2, "left")
+      .select(col("rank").cast("long").as("rank"), col("token"),
+        col("cnt").cast("long").as("cnt"),
+        when(col("cnt2").isNotNull,
+          expr("(cnt * 1000000L) div cnt2")).as("halving_ratio_micros"))
+      .orderBy("rank")
+  }
+
+  /** Oracle: identical tokenization, ranked counts, probe ranks, and
+    * the doubled-rank self-join ratio.
+    */
+  val zipfProfileSql: String = {
+    val probes = ZipfRanks.mkString(", ")
+    s"""WITH c AS (
+       | SELECT token, CAST(COUNT(*) AS BIGINT) AS cnt
+       | FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents)
+       | WHERE length(token) > 0
+       | GROUP BY token),
+       |r AS (
+       | SELECT token, cnt,
+       |  ROW_NUMBER() OVER (ORDER BY cnt DESC, token) AS rank
+       | FROM c QUALIFY rank <= ${ZipfRanks.last * 2})
+       |SELECT CAST(a.rank AS BIGINT) AS rank, a.token, a.cnt,
+       | CASE WHEN b.cnt IS NOT NULL
+       |      THEN (a.cnt * 1000000) // b.cnt END AS halving_ratio_micros
+       |FROM r a LEFT JOIN r b ON b.rank = a.rank * 2
+       |WHERE a.rank IN ($probes)
+       |ORDER BY a.rank""".stripMargin
+  }
 }

@@ -1025,4 +1025,154 @@ object TimeSeries {
        | CAST((ABS(actual_micros - forecast_micros) * 1000000)
        |   // actual_micros AS BIGINT) AS ape_ppm
        |FROM f ORDER BY d""".stripMargin
+
+  /** Centered moving-average window (±3 days = weekly) for [[stlDecompose]]. */
+  private val StlHalf = 3
+
+  /** STL-style seasonal decomposition of the daily revenue series —
+    * value = trend + seasonal + residual, the first chart any demand
+    * or capacity analysis draws (classical additive decomposition;
+    * full STL's loess smoother reduces to the centered moving average
+    * when the series has one seasonal period):
+    *   - trend: centered 7-day moving average, EXACT — the 7-term
+    *     integer micro sum floor-divides by 7, emitted only where the
+    *     window is full (edges stay null rather than biased);
+    *   - seasonal: per weekday mean of the detrended series — a SIGNED
+    *     exact long sum (|Σ| < 2⁵³, so the one double division is
+    *     bit-portable);
+    *   - residual: what's left, two exact subtractions in doubles.
+    *
+    * Scale: one fact aggregation to the calendar-bounded day domain,
+    * one ±[[StlHalf]]-row window and one 7-row weekday roll-up over
+    * it — the window never sees fact-table cardinality, so the
+    * single-partition ordered window is a bounded-domain pass (the
+    * [[forecastBacktest]] convention), not a global data sort.
+    */
+  def stlDecompose(t: Tables): DataFrame = {
+    val daily = t.lineitem
+      .groupBy(col("l_shipdate").cast("date").as("d"))
+      .agg(sum((discPrice(col("l_extendedprice"), col("l_discount")) *
+        lit(1000000)).cast(DecimalType(19, 0))).cast("long").as("v"))
+    val w = Window.orderBy("d").rowsBetween(-StlHalf, StlHalf)
+    val trended = daily
+      .withColumn("wsum", sum(col("v")).over(w))
+      .withColumn("wcnt", count(lit(1)).over(w))
+      .withColumn("trend_micros",
+        when(col("wcnt") === 2 * StlHalf + 1, expr("wsum div 7")))
+      .withColumn("dow",
+        pmod(datediff(col("d"), to_date(lit("1970-01-01"))), lit(7))
+          .cast("int"))
+    val seasonal = trended
+      .where(col("trend_micros").isNotNull)
+      .groupBy("dow")
+      .agg((sum(col("v") - col("trend_micros")).cast("double") /
+        count(lit(1))).as("seasonal"))
+    trended
+      .join(broadcast(seasonal), Seq("dow"))
+      .select(col("d"), col("v").as("v_micros"), col("trend_micros"),
+        col("dow"), col("seasonal"),
+        ((col("v") - col("trend_micros")).cast("double") - col("seasonal"))
+          .as("resid"))
+      .orderBy("d")
+  }
+
+  /** Oracle: identical exact daily micros, full-window moving average,
+    * signed-sum weekday means, and residual subtraction.
+    */
+  val stlDecomposeSql: String =
+    s"""WITH daily AS (
+       | SELECT CAST(l_shipdate AS DATE) AS d,
+       |  CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(12,2)) *
+       |    CAST(1 - CAST(l_discount AS DECIMAL(4,2)) AS DECIMAL(8,4))
+       |    * 1000000 AS DECIMAL(19,0))) AS BIGINT) AS v
+       | FROM lineitem GROUP BY 1),
+       |tr AS (
+       | SELECT d, v,
+       |  CASE WHEN COUNT(*) OVER w = ${2 * StlHalf + 1}
+       |       THEN CAST(SUM(v) OVER w AS BIGINT) // 7 END AS trend_micros,
+       |  CAST(date_diff('day', DATE '1970-01-01', d) % 7 AS INT) AS dow
+       | FROM daily
+       | WINDOW w AS (ORDER BY d ROWS BETWEEN $StlHalf PRECEDING
+       |   AND $StlHalf FOLLOWING)),
+       |se AS (
+       | SELECT dow,
+       |  CAST(SUM(v - trend_micros) AS DOUBLE) / COUNT(*) AS seasonal
+       | FROM tr WHERE trend_micros IS NOT NULL GROUP BY 1)
+       |SELECT d, v AS v_micros, trend_micros, tr.dow, seasonal,
+       | CAST(v - trend_micros AS DOUBLE) - seasonal AS resid
+       |FROM tr JOIN se ON tr.dow = se.dow
+       |ORDER BY d""".stripMargin
+
+  /** SAX word length reported by [[saxSymbols]]. */
+  private val SaxWordLen = 64
+
+  /** SAX symbolization of per-nation daily revenue — the symbolic
+    * shape-index that makes motif search, shape clustering, and
+    * anomaly grep WORK on time series (Lin et al.'s Symbolic Aggregate
+    * approXimation, public knowledge): each nation's daily order
+    * revenue discretizes into 4 symbols. Where classic SAX cuts at
+    * Gaussian breakpoints of a z-normalized series (two libm hazards:
+    * mean/σ division and irrational cut points), this uses the
+    * EMPIRICAL quartiles — `ntile(4)` over (value, day) per nation —
+    * which is the same equal-mass discretization, exactly rank-based,
+    * and therefore bit-exact in any engine with no float in sight.
+    * Output per nation: series length, the first [[SaxWordLen]]
+    * symbols as the SAX word (chronological), and the per-symbol day
+    * counts (equal ±1 by construction — the built-in sanity check).
+    *
+    * Scale: one fact aggregation to the (nation × day) bounded grid;
+    * the ntile window and the word assembly run per nation over
+    * calendar-bounded arrays.
+    */
+  def saxSymbols(t: Tables): DataFrame = {
+    val daily = t.orders
+      .join(t.customer.select("c_custkey", "c_nationkey"),
+        col("o_custkey") === col("c_custkey"))
+      .join(broadcast(t.nation.select("n_nationkey", "n_name")),
+        col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name"), col("o_orderdate").cast("date").as("d"))
+      .agg(sum((graft.functions.Exact.dec(col("o_totalprice")) *
+        lit(1000000)).cast(DecimalType(19, 0))).cast("long").as("v"))
+    val sym = daily.withColumn("sym",
+      ntile(4).over(Window.partitionBy("n_name").orderBy("v", "d")))
+    sym.groupBy("n_name")
+      .agg(count(lit(1)).as("n_days"),
+        sort_array(collect_list(struct(col("d"), col("sym")))).as("arr"),
+        sum(when(col("sym") === 1, 1L).otherwise(0L)).as("n1"),
+        sum(when(col("sym") === 2, 1L).otherwise(0L)).as("n2"),
+        sum(when(col("sym") === 3, 1L).otherwise(0L)).as("n3"),
+        sum(when(col("sym") === 4, 1L).otherwise(0L)).as("n4"))
+      .select(col("n_name"), col("n_days"),
+        expr(s"substring(array_join(transform(arr," +
+          s" x -> cast(x.sym as string)), ''), 1, $SaxWordLen)").as("sax_word"),
+        col("n1").cast("long").as("n1"), col("n2").cast("long").as("n2"),
+        col("n3").cast("long").as("n3"), col("n4").cast("long").as("n4"))
+      .orderBy("n_name")
+  }
+
+  /** Oracle: identical exact micros, the same rank-based ntile
+    * discretization, and a chronological string_agg word.
+    */
+  val saxSymbolsSql: String =
+    s"""WITH daily AS (
+       | SELECT n_name, CAST(o_orderdate AS DATE) AS d,
+       |  CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 1000000
+       |    AS DECIMAL(19,0))) AS BIGINT) AS v
+       | FROM orders
+       | JOIN customer ON o_custkey = c_custkey
+       | JOIN nation ON c_nationkey = n_nationkey
+       | GROUP BY 1, 2),
+       |sym AS (
+       | SELECT n_name, d, v,
+       |  ntile(4) OVER (PARTITION BY n_name ORDER BY v, d) AS sym
+       | FROM daily)
+       |SELECT n_name, CAST(COUNT(*) AS BIGINT) AS n_days,
+       | substr(string_agg(CAST(sym AS VARCHAR), '' ORDER BY d), 1,
+       |   $SaxWordLen) AS sax_word,
+       | CAST(SUM(CASE WHEN sym = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+       | CAST(SUM(CASE WHEN sym = 2 THEN 1 ELSE 0 END) AS BIGINT) AS n2,
+       | CAST(SUM(CASE WHEN sym = 3 THEN 1 ELSE 0 END) AS BIGINT) AS n3,
+       | CAST(SUM(CASE WHEN sym = 4 THEN 1 ELSE 0 END) AS BIGINT) AS n4
+       |FROM sym GROUP BY n_name
+       |ORDER BY n_name""".stripMargin
 }

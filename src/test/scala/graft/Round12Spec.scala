@@ -1,0 +1,311 @@
+package graft
+
+import graft.operators.{Graph, Multimodal, Relational11, TextRank, TimeSeries}
+import org.apache.spark.sql.functions._
+
+/** Specs for the round-12 widening batch: rich-club curve, Poisson
+  * bootstrap, SRM audit, Cramér's V, Zipf profile, STL decomposition,
+  * SAX words, and the three new multimodal screens.
+  */
+class Round12Spec extends SparkSpec {
+
+  test("rich club: curve is monotone in the club and internally consistent") {
+    val rows = Graph.richClub(sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(rows.map(_._1).toSeq == Seq(1L, 2L, 4L, 8L, 16L))
+    // clubs shrink as the threshold rises; so must their internal edges
+    rows.sliding(2).foreach { case Array((_, n1, e1, _), (_, n2, e2, _)) =>
+      assert(n2 <= n1); assert(e2 <= e1)
+    }
+    rows.foreach { case (_, n, e, phi) =>
+      assert(e <= n * (n - 1) / 2, "edge count exceeds club capacity")
+      val expected = if (n >= 2) e * 2000000L / (n * (n - 1)) else 0L
+      assert(phi == expected)
+      assert(phi <= 1000000L)
+    }
+  }
+
+  test("bootstrap CI: point stats exact, interval ordered and covering") {
+    val rows = Relational11.bootstrapCi(sf).collect()
+    assert(rows.nonEmpty)
+    val direct = sf.orders
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n"),
+        sum(expr("CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 1000000 AS LONG)"))
+          .as("sx"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    rows.foreach { r =>
+      val (n, sx) = direct(r.getString(0))
+      assert(r.getLong(1) == n)
+      assert(math.abs(r.getDouble(2) - sx.toDouble / n) < 1e-9)
+      val (lo, hi) = (r.getDouble(3), r.getDouble(4))
+      assert(lo <= hi)
+      // a 94% percentile interval over hundreds of orders straddles the mean
+      assert(lo <= r.getDouble(2) && r.getDouble(2) <= hi)
+    }
+  }
+
+  test("SRM check: arms partition distinct users, chi2 exact") {
+    val rows = Relational11.srmCheck(sf).collect()
+    assert(rows.nonEmpty)
+    val users = sf.events.select("event_type", "user_id").distinct()
+      .groupBy("event_type").agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    rows.foreach { r =>
+      val (a, b) = (r.getLong(1), r.getLong(2))
+      assert(a + b == users(r.getString(0)))
+      val chi2 = (a - b) * (a - b) * 1000000L / (a + b)
+      assert(r.getLong(3) == chi2)
+      assert(r.getBoolean(4) == chi2 > 3841459L)
+    }
+  }
+
+  test("Cramér's V: bounded in [0,1], chi2 matches a naive recompute") {
+    val rows = Relational11.cramersV(sf).collect()
+    assert(rows.length == 3)
+    rows.foreach { r =>
+      assert(r.getDouble(5) >= 0.0 && r.getDouble(5) <= 1.0 + 1e-12)
+    }
+    // independent dense recompute of the status × priority pair
+    val cells = sf.orders.groupBy("o_orderstatus", "o_orderpriority")
+      .agg(count(lit(1)).as("o")).collect()
+      .map(r => ((r.getString(0), r.getString(1)), r.getLong(2)))
+    val n = cells.map(_._2).sum.toDouble
+    val rt = cells.groupBy(_._1._1).map { case (k, v) => k -> v.map(_._2).sum }
+    val ct = cells.groupBy(_._1._2).map { case (k, v) => k -> v.map(_._2).sum }
+    val chi2 = cells.map { case ((x, y), o) =>
+      val e = rt(x) * ct(y) / n
+      (o - e) * (o - e) / e
+    }.sum
+    val row = rows.find(_.getString(0) == "status_x_priority").get
+    assert(math.abs(row.getDouble(4) - chi2) < 1e-6 * math.max(1.0, chi2))
+    assert(row.getLong(2) == rt.size && row.getLong(3) == ct.size)
+  }
+
+  test("Zipf profile: probe rows replay from a direct token count") {
+    val rows = TextRank.zipfProfile(sf).collect()
+    assert(rows.nonEmpty)
+    val counts = sf.documents
+      .select(explode(split(col("text"), " ")).as("t"))
+      .where(length(col("t")) > 0)
+      .groupBy("t").agg(count(lit(1)).as("c"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+      .sortBy { case (t, c) => (-c, t) }
+    rows.foreach { r =>
+      val rank = r.getLong(0).toInt
+      val (tok, cnt) = counts(rank - 1)
+      assert(r.getString(1) == tok, s"rank $rank token")
+      assert(r.getLong(2) == cnt, s"rank $rank count")
+      if (counts.length >= rank * 2) {
+        val cnt2 = counts(rank * 2 - 1)._2
+        assert(r.getLong(3) == cnt * 1000000L / cnt2)
+      } else assert(r.isNullAt(3))
+    }
+  }
+
+  test("STL: additive identity holds, trend nulls only at the edges") {
+    val rows = TimeSeries.stlDecompose(sf).collect()
+    assert(rows.length > 100)
+    val nullTrend = rows.zipWithIndex.filter(_._1.isNullAt(2)).map(_._2)
+    // exactly the first 3 and last 3 days lack a full centered window
+    assert(nullTrend.toSeq ==
+      Seq(0, 1, 2, rows.length - 3, rows.length - 2, rows.length - 1))
+    rows.filterNot(_.isNullAt(2)).foreach { r =>
+      val recon = r.getLong(2).toDouble + r.getDouble(4) + r.getDouble(5)
+      assert(math.abs(recon - r.getLong(1).toDouble) < 1e-3)
+    }
+    // trend replays as the floor-divided 7-day sum of the raw series
+    val v = rows.map(_.getLong(1))
+    rows.zipWithIndex.filterNot(_._1.isNullAt(2)).foreach { case (r, i) =>
+      assert(r.getLong(2) == (i - 3 to i + 3).map(v).sum / 7, s"day $i trend")
+    }
+  }
+
+  test("SAX: equal-mass symbols, chronological word") {
+    val rows = TimeSeries.saxSymbols(sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val nDays = r.getLong(1)
+      val ns = (3 to 6).map(r.getLong)
+      assert(ns.sum == nDays)
+      // ntile guarantees bucket sizes within 1 of each other
+      assert(ns.max - ns.min <= 1)
+      val word = r.getString(2)
+      assert(word.length == math.min(64L, nDays))
+      assert(word.forall(c => c >= '1' && c <= '4'))
+    }
+  }
+
+  test("audio SNR: frame energies replay from the synthesis formula") {
+    val rows = Multimodal.audioSnr(sf).collect()
+    assert(rows.length > 100)
+    rows.foreach { r =>
+      val id = r.getLong(0)
+      val n = 64 + (id % 64).toInt
+      assert(r.getInt(1) == n / 16)
+      assert(r.getLong(2) >= r.getLong(3))
+      assert(r.getLong(4) == r.getLong(2) * 1000000L / (r.getLong(3) + 1))
+    }
+    // full recompute for a handful of docs
+    rows.take(5).foreach { r =>
+      val id = r.getLong(0)
+      val n = 64 + (id % 64).toInt
+      val nFull = n / 16
+      val es = (0 until nFull).map { f =>
+        (f * 16 until (f + 1) * 16).map { j =>
+          val v = ((id * 7919 + j * 104729) % 65536) - 32768
+          v * v
+        }.sum
+      }
+      assert(r.getLong(2) == es.max && r.getLong(3) == es.min)
+    }
+  }
+
+  test("silence trim: sample accounting is exact") {
+    val rows = Multimodal.silenceTrim(sf).collect()
+    assert(rows.length > 100)
+    rows.foreach { r =>
+      val n = r.getInt(1).toLong
+      val (first, last) = (r.getInt(2), r.getInt(3))
+      val (lead, trail, kept) = (r.getLong(4), r.getLong(5), r.getLong(6))
+      assert(lead + trail + kept == n)
+      if (first < 0) { assert(last < 0 && kept == 0 && lead == n) }
+      else {
+        assert(first <= last)
+        assert(lead == first.toLong * 16)
+        assert(kept > 0)
+      }
+    }
+  }
+
+  test("ANOVA: sums of squares replay from a driver-side recompute") {
+    val r = Relational11.anova(sf).collect().head
+    val xs = sf.orders
+      .select(expr("CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 1000000 AS LONG)")
+        .as("x"), col("o_orderpriority").as("g"))
+      .collect().map(row => (row.getString(1), row.getLong(0)))
+    val n = xs.length.toLong
+    val k = xs.map(_._1).distinct.length.toLong
+    assert(r.getLong(0) == n && r.getLong(1) == k)
+    val mean = xs.map(_._2).sum.toDouble / n
+    val ssb = xs.groupBy(_._1).values.map { g =>
+      val gm = g.map(_._2).sum.toDouble / g.length
+      g.length * (gm - mean) * (gm - mean)
+    }.sum
+    val ssw = xs.groupBy(_._1).values.map { g =>
+      val gm = g.map(_._2).sum.toDouble / g.length
+      g.map(v => (v._2 - gm) * (v._2 - gm)).sum
+    }.sum
+    assert(math.abs(r.getDouble(2) - ssb) < 1e-6 * ssb)
+    assert(math.abs(r.getDouble(3) - ssw) < 1e-6 * ssw)
+    assert(r.getLong(4) == k - 1 && r.getLong(5) == n - k)
+    val f = (r.getDouble(2) / (k - 1)) / (r.getDouble(3) / (n - k))
+    assert(math.abs(r.getDouble(6) - f) < 1e-9 * math.max(1.0, f))
+  }
+
+  test("Tukey fences: quartiles exact by rank, outlier counts replay") {
+    val rows = Relational11.tukeyOutliers(sf).collect()
+    assert(rows.nonEmpty)
+    val byseg = sf.orders
+      .join(sf.customer.select("c_custkey", "c_mktsegment"),
+        col("o_custkey") === col("c_custkey"))
+      .select(col("c_mktsegment"),
+        expr("CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 1000000 AS LONG)")
+          .as("v"), col("o_orderkey"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      .groupBy(_._1)
+    rows.foreach { r =>
+      val seg = r.getString(0)
+      val vs = byseg(seg).sortBy(t => (t._2, t._3)).map(_._2)
+      val n = vs.length
+      assert(r.getLong(1) == n.toLong)
+      val q1 = vs(((n + 3) / 4) - 1)
+      val q3 = vs(((3 * n + 3) / 4) - 1)
+      assert(r.getLong(2) == q1 && r.getLong(3) == q3)
+      val iqr = q3 - q1
+      val (lo, hi) = (q1 - (3 * iqr) / 2, q3 + (3 * iqr) / 2)
+      assert(r.getLong(4) == lo && r.getLong(5) == hi)
+      assert(r.getLong(6) == vs.count(_ < lo).toLong)
+      assert(r.getLong(7) == vs.count(_ > hi).toLong)
+      assert(r.getLong(8) ==
+        (r.getLong(6) + r.getLong(7)) * 1000000L / n)
+    }
+  }
+
+  test("Q-Q compare: deciles are exact type-1 ranks for both segments") {
+    val rows = Relational11.qqCompare(sf).collect()
+    assert(rows.map(_.getLong(0)).toSeq == (1 to 9).map(_ * 10L))
+    val data = sf.orders
+      .join(sf.customer.select("c_custkey", "c_mktsegment"),
+        col("o_custkey") === col("c_custkey"))
+      .where(col("c_mktsegment").isin("BUILDING", "MACHINERY"))
+      .select(col("c_mktsegment"),
+        expr("CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 1000000 AS LONG)")
+          .as("v"), col("o_orderkey"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      .groupBy(_._1).map { case (s, g) =>
+        s -> g.sortBy(t => (t._2, t._3)).map(_._2)
+      }
+    rows.foreach { r =>
+      val p = r.getLong(0)
+      def dec(vs: IndexedSeq[Long]): Long =
+        vs((((p * vs.length + 99) / 100) - 1).toInt)
+      val b = dec(data("BUILDING").toIndexedSeq)
+      val m = dec(data("MACHINERY").toIndexedSeq)
+      assert(r.getLong(1) == b && r.getLong(2) == m)
+      assert(r.getLong(3) == b - m)
+      assert(r.getLong(4) == b * 1000000L / m ||
+        (b < 0 && r.getLong(4) == Math.floorDiv(b * 1000000L, m)))
+    }
+  }
+
+  test("allocation: quotas floor-exact, leftovers to largest remainders, sum = B") {
+    val rows = Relational11.allocation(sf).collect()
+    assert(rows.nonEmpty)
+    val budget = 1000000L
+    assert(rows.map(_.getLong(4)).sum == budget)
+    val total = rows.map(_.getLong(1)).sum
+    rows.foreach { r =>
+      assert(r.getLong(2) == budget * r.getLong(1) / total)
+      assert(r.getLong(4) == r.getLong(2) + r.getLong(3))
+      assert(r.getLong(3) == 0L || r.getLong(3) == 1L)
+    }
+    // extras go exactly to the largest remainders (name-tiebroken)
+    val leftover = budget - rows.map(_.getLong(2)).sum
+    val ranked = rows.map(r =>
+        (r.getString(0), budget * r.getLong(1) % total, r.getLong(3)))
+      .sortBy { case (name, rem, _) => (-rem, name) }
+    ranked.zipWithIndex.foreach { case ((_, _, extra), i) =>
+      assert(extra == (if (i < leftover) 1L else 0L))
+    }
+  }
+
+  test("luma histogram: pixel accounting and impurity replay") {
+    val rows = Multimodal.lumaHistogram(sf).collect()
+    assert(rows.length > 100)
+    rows.foreach { r =>
+      val id = r.getLong(0)
+      val (w, h) = (8 + (id % 9).toInt, 8 + (id * 3 % 9).toInt)
+      assert(r.getLong(1) == w.toLong * h)
+      assert(r.getLong(2) <= 256 && r.getLong(2) >= 1)
+      // the mode is at least the mean bucket size
+      assert(r.getLong(4) * r.getLong(2) >= r.getLong(1))
+      assert(r.getLong(5) >= 0 && r.getLong(5) < 1000000L)
+    }
+    rows.take(3).foreach { r =>
+      val id = r.getLong(0)
+      val (w, h) = (8 + (id % 9).toInt, 8 + (id * 3 % 9).toInt)
+      val hist = (for (x <- 0 until w; y <- 0 until h) yield {
+        (299 * ((id + 7 * x + 13 * y) % 256)
+          + 587 * ((2 * id + 11 * x + 3 * y) % 256)
+          + 114 * ((3 * id + 5 * x + 17 * y) % 256)) / 1000
+      }).groupBy(identity).map { case (g, v) => (g, v.size.toLong) }
+      assert(r.getLong(2) == hist.size)
+      val (mg, mc) = hist.toSeq.sortBy { case (g, c) => (-c, g) }.head
+      assert(r.getLong(3) == mg && r.getLong(4) == mc)
+      val np = w.toLong * h
+      val sumsq = hist.values.map(c => c * c).sum
+      assert(r.getLong(5) == 1000000L - sumsq * 1000000L / (np * np))
+    }
+  }
+}
