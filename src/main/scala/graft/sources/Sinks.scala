@@ -564,4 +564,21 @@ object Sinks {
       .option("maxRecordsPerFile", maxRecordsPerFile.toString)
     (if (gzip) w.option("compression", "gzip") else w).csv(path)
   }
+
+  /** XML export through Spark 4's native xml datasource — the feed
+    * hand-off for systems that still speak XML (B2B interchange,
+    * sitemap/catalog feeds): each row becomes one `rowTag` element
+    * under a `rootTag` document root, structs nest as child elements,
+    * and a declaration header lands per file. One XML document per
+    * output file, so partition count controls feed granularity —
+    * repartition upstream for the file layout the consumer expects.
+    */
+  def writeXml(df: DataFrame, path: String,
+      rowTag: String = "row", rootTag: String = "rows"): Unit =
+    df.write.mode("overwrite")
+      .format("xml")
+      .option("rowTag", rowTag)
+      .option("rootTag", rootTag)
+      .option("declaration", "version=\"1.0\" encoding=\"UTF-8\"")
+      .save(path)
 }

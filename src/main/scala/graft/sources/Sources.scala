@@ -66,6 +66,21 @@ object Sources {
     schema.fold(spark.read)(spark.read.schema)
       .option("multiLine", "true").json(path)
 
+  /** XML feed read through Spark 4's NATIVE xml datasource (the
+    * spark-xml package merged into core — no extra jar): `rowTag`
+    * names the repeated element that becomes one row; nested elements
+    * land as structs/arrays and attributes as `_attr` columns, so the
+    * sitemap/RSS/export-feed shape a crawler meets parses without a
+    * hand-rolled parser. Schema inference is one extra pass — pass
+    * `schema` in production (same rule as [[jsonLines]]). Files split
+    * per-file (one XML document is one parse unit), so TB-scale feeds
+    * should arrive as many files — which is how feed dumps ship.
+    */
+  def xml(spark: SparkSession, path: String, rowTag: String,
+      schema: Option[StructType] = None): DataFrame =
+    schema.fold(spark.read)(spark.read.schema)
+      .format("xml").option("rowTag", rowTag).load(path)
+
   /** Columnar scan with pushdown (assertions in SourcesSpec check
     * PushedFilters/ReadSchema reach the parquet reader).
     */

@@ -727,6 +727,61 @@ object Streams {
       }
   }
 
+  /** Streaming sample-ratio-mismatch monitor — the live twin of
+    * `q_srm_check` (same portable hash arm, same exact-integer 1-dof
+    * χ²·10⁶ = (a−b)²·10⁶ div (a+b) against the 3.841459 p=0.05
+    * critical value): every micro-batch's exposure events split into
+    * deterministic 50/50 arms per (user, experiment), counts ADD into
+    * a driver-held cumulative tally (bounded: |experiments| × two
+    * longs — the [[lateDataTapStream]] driver-state convention), and
+    * one monitor row per (batch, experiment) lands with the CUMULATIVE
+    * counts, χ², and the srm flag — so operations sees a biased
+    * assignment the batch it starts, not at the nightly batch audit.
+    *
+    * Unit note: the stream tallies EXPOSURE EVENTS (each arrival);
+    * the batch audit tallies distinct users. A real platform watches
+    * both — per-user dedup needs keyed state that grows with the user
+    * population, which belongs to the batch side; event-balance drift
+    * is the cheap live alarm that catches the same assignment bugs.
+    * Batch-id-partitioned overwrite keeps replays idempotent
+    * ([[driftGateStream]]).
+    */
+  def srmGateStream(events: DataFrame, outPath: String)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
+    val tally = new java.util.concurrent.ConcurrentHashMap[String, (Long, Long)]()
+    events.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (!batch.isEmpty) {
+          val spark = batch.sparkSession
+          import spark.implicits._
+          val counts = batch
+            .select(col("event_type").as("experiment"), col("user_id"))
+            .withColumn("arm",
+              pmod(graft.functions.PortableHash.hash60(
+                concat(col("user_id").cast("string"), lit(":"),
+                  col("experiment"))), lit(2L)))
+            .groupBy("experiment")
+            .agg(sum(when(col("arm") === 0, 1L).otherwise(0L)).as("a"),
+              sum(when(col("arm") === 1, 1L).otherwise(0L)).as("b"))
+            .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+          val rows = counts.map { case (exp, ba, bb) =>
+            val (ca, cb) = tally.compute(exp, (_, prev) => prev match {
+              case null => (ba, bb)
+              case (pa, pb) => (pa + ba, pb + bb)
+            })
+            val chi2 = (ca - cb) * (ca - cb) * 1000000L / (ca + cb)
+            (exp, ca, cb, chi2, chi2 > 3841459L)
+          }
+          rows.toSeq
+            .toDF("experiment", "arm_a", "arm_b", "chi2_micros", "srm")
+            .coalesce(1)
+            .write.mode("overwrite").parquet(s"$outPath/batch_id=$batchId")
+          ()
+        }
+      }
+  }
+
   /** Streaming decontamination gate — the train-batch / score-stream
     * pattern for BENCHMARK LEAKAGE: the held-out benchmark corpus
     * (static) collapses to ONE row holding its distinct hashed word-

@@ -872,6 +872,55 @@ class StreamingSpec extends SparkSpec {
     assert(kept == Seq(1L, 2L, 4L, 5L, 7L), s"kept: $kept")
   }
 
+  test("srm gate: cumulative arm tallies match the batch hash replay, chi2 exact") {
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("srmgate").toString
+    val input = MemoryStream[Event]
+    val b0 = (1 to 20).map(i => Event(i.toLong, ts(1), "click", 1.0)) ++
+      (1 to 8).map(i => Event(i.toLong, ts(2), "view", 1.0))
+    input.addData(b0: _*)
+    val q = Streams.srmGateStream(input.toDF(), dir)
+      .option("checkpointLocation", s"$dir-ckpt").start()
+    q.processAllAvailable()
+    // batch 1: repeat exposures for some users — the stream tallies
+    // EVENTS, so these add again; plus fresh users on view
+    val b1 = (1 to 5).map(i => Event(i.toLong, ts(3), "click", 1.0)) ++
+      (9 to 14).map(i => Event(i.toLong, ts(4), "view", 1.0))
+    input.addData(b1: _*)
+    q.processAllAvailable()
+    q.stop()
+    // replay the arm assignment with the library's own portable hash
+    def arms(evs: Seq[Event]): Map[(String, Long), Long] =
+      evs.map(e => (e.event_type, e.user_id)).toDF("experiment", "user_id")
+        .withColumn("arm", org.apache.spark.sql.functions.pmod(
+          graft.functions.PortableHash.hash60(
+            org.apache.spark.sql.functions.concat(
+              col("user_id").cast("string"), lit(":"), col("experiment"))),
+          lit(2L)))
+        .groupBy("experiment", "arm").agg(count(lit(1)).as("c"))
+        .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2))
+        .toMap.withDefaultValue(0L)
+    val a0 = arms(b0)
+    val aAll = arms(b0 ++ b1)
+    val rows = spark.read.parquet(dir).collect()
+      .map(r => (r.getAs[Int]("batch_id"), r.getAs[String]("experiment")) ->
+        ((r.getAs[Long]("arm_a"), r.getAs[Long]("arm_b"),
+          r.getAs[Long]("chi2_micros"), r.getAs[Boolean]("srm"))))
+      .toMap
+    assert(rows.size == 4, s"2 batches x 2 experiments: $rows")
+    Seq("click", "view").foreach { exp =>
+      val (a, b, chi2, flag) = rows((0, exp))
+      assert(a == a0((exp, 0L)) && b == a0((exp, 1L)), s"batch0 $exp")
+      assert(chi2 == (a - b) * (a - b) * 1000000L / (a + b))
+      assert(flag == chi2 > 3841459L)
+      // batch 1 rows carry the CUMULATIVE tally
+      val (ca, cb, cchi2, cflag) = rows((1, exp))
+      assert(ca == aAll((exp, 0L)) && cb == aAll((exp, 1L)), s"batch1 $exp")
+      assert(cchi2 == (ca - cb) * (ca - cb) * 1000000L / (ca + cb))
+      assert(cflag == cchi2 > 3841459L)
+    }
+  }
+
   test("lsh dedup gate: stream keeps equal the batch incremental-dedup keeps") {
     implicit val sqlCtx = spark.sqlContext
     // the daily batch (doc_id % 5 = 0) arrives as a stream and probes the
