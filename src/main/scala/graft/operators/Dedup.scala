@@ -973,6 +973,91 @@ object Dedup {
        |FROM c""".stripMargin
   }
 
+  /** Capture-recapture estimate of the TOTAL near-dup pair population —
+    * the ecology estimator (Lincoln-Petersen with Chapman's small-sample
+    * correction, public knowledge) applied to dedup OPERATIONS: when
+    * ground truth is unaffordable (at 100 TB it always is), run two
+    * independent imperfect detectors — here the verified MinHash-LSH
+    * tier ([[minhashLsh]]) and the SimHash hamming≤3 tier ([[simhash]])
+    * — and estimate how many dup pairs exist INCLUDING the ones neither
+    * caught: N̂ = (n₁+1)(n₂+1) div (m+1) − 1 over the pair-set overlap
+    * m, exact integers throughout. Each tier's coverage ratio against
+    * N̂ lands in exact ppm — the "what fraction of the dup problem does
+    * my config even see" number that decides whether to add a tier.
+    *
+    * Scale: both tiers are the already-audited Σ|bucket|² pipelines;
+    * the overlap is a semi-join of two dup-pair lists (tiny by
+    * construction). Everything after is 1-row arithmetic.
+    */
+  def captureRecapture(t: Tables): DataFrame = {
+    // pinned: each list feeds its own count AND the overlap semi-join
+    val lsh = minhashLsh(t).select("a_id", "b_id").localCheckpoint(true)
+    val sim = simhash(t).select("a_id", "b_id").localCheckpoint(true)
+    val n1 = lsh.count()
+    val n2 = sim.count()
+    val m = lsh.join(sim, Seq("a_id", "b_id"), "left_semi").count()
+    val est = (n1 + 1) * (n2 + 1) / (m + 1) - 1
+    val spark = t.spark
+    import spark.implicits._
+    Seq((n1, n2, m, est,
+      if (est > 0) n1 * 1000000L / est else 0L,
+      if (est > 0) n2 * 1000000L / est else 0L))
+      .toDF("n_lsh", "n_simhash", "n_both", "chapman_est",
+        "lsh_coverage_ppm", "simhash_coverage_ppm")
+  }
+
+  /** Oracle: both tiers' published oracle chains (brute-force truth for
+    * the verified-LSH tier — its banding is complete at the data's
+    * similarity gap — and the rebuilt 60-bit signatures for SimHash)
+    * composed with the same Chapman arithmetic.
+    */
+  lazy val captureRecaptureSql: String = {
+    val bitSums = (0 until SimBits)
+      .map(j => s"SUM(CASE WHEN (h >> $j) & 1 = 1 THEN 1 ELSE -1 END) AS b$j")
+      .mkString(",\n   ")
+    val sigBits = (0 until SimBits)
+      .map(j => s"(CASE WHEN b$j > 0 THEN (CAST(1 AS BIGINT) << $j) ELSE 0 END)")
+      .mkString(" | ")
+    s"""WITH g AS (
+       | SELECT doc_id, ${Shingles.grams3Sql("text")} AS grams
+       | FROM documents),
+       |lsh AS (
+       | SELECT a.doc_id AS a_id, b.doc_id AS b_id
+       | FROM g a JOIN g b ON a.doc_id < b.doc_id
+       | WHERE CAST(len(list_distinct(list_intersect(a.grams, b.grams))) AS DOUBLE)
+       |    / len(list_distinct(list_concat(a.grams, b.grams))) >= 0.6),
+       |she AS (SELECT doc_id, unnest(grams) AS gram FROM g),
+       |shh AS (
+       | SELECT doc_id,
+       |  CAST('0x' || substr(md5(gram), 1, 15) AS BIGINT) AS h
+       | FROM she),
+       |shb AS (
+       | SELECT doc_id,
+       |   $bitSums
+       | FROM shh GROUP BY doc_id),
+       |shs AS (SELECT doc_id, $sigBits AS sig FROM shb),
+       |sim AS (
+       | SELECT a.doc_id AS a_id, b.doc_id AS b_id
+       | FROM shs a JOIN shs b ON a.doc_id < b.doc_id
+       | WHERE bit_count(xor(a.sig, b.sig)) <= 3),
+       |ovl AS (
+       | SELECT * FROM lsh WHERE EXISTS (
+       |  SELECT 1 FROM sim WHERE sim.a_id = lsh.a_id AND sim.b_id = lsh.b_id)),
+       |c AS (
+       | SELECT (SELECT COUNT(*) FROM lsh) AS n1,
+       |  (SELECT COUNT(*) FROM sim) AS n2,
+       |  (SELECT COUNT(*) FROM ovl) AS m),
+       |e AS (
+       | SELECT n1, n2, m, (n1 + 1) * (n2 + 1) // (m + 1) - 1 AS est FROM c)
+       |SELECT CAST(n1 AS BIGINT) AS n_lsh, CAST(n2 AS BIGINT) AS n_simhash,
+       | CAST(m AS BIGINT) AS n_both, CAST(est AS BIGINT) AS chapman_est,
+       | CAST(CASE WHEN est > 0 THEN (n1 * 1000000) // est ELSE 0 END AS BIGINT)
+       |   AS lsh_coverage_ppm,
+       | CAST(CASE WHEN est > 0 THEN (n2 * 1000000) // est ELSE 0 END AS BIGINT)
+       |   AS simhash_coverage_ppm
+       |FROM e""".stripMargin
+  }
+
   /** Signature components audited by [[minhashAudit]] — deliberately
     * SMALL (a 16-component sketch is what you'd actually ship per doc
     * at 100 TB if the estimate were accurate enough; the audit answers

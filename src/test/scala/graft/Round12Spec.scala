@@ -384,6 +384,25 @@ class Round12Spec extends SparkSpec {
     }
   }
 
+  test("capture-recapture: counts tie to the tier outputs, Chapman exact") {
+    val r = graft.operators.Dedup.captureRecapture(sf).collect().head
+    val lsh = graft.operators.Dedup.minhashLsh(sf)
+      .select("a_id", "b_id").collect()
+      .map(x => (x.getLong(0), x.getLong(1))).toSet
+    val sim = graft.operators.Dedup.simhash(sf)
+      .select("a_id", "b_id").collect()
+      .map(x => (x.getLong(0), x.getLong(1))).toSet
+    val (n1, n2, m) = (lsh.size.toLong, sim.size.toLong,
+      (lsh intersect sim).size.toLong)
+    assert(r.getLong(0) == n1 && r.getLong(1) == n2 && r.getLong(2) == m)
+    val est = (n1 + 1) * (n2 + 1) / (m + 1) - 1
+    assert(r.getLong(3) == est)
+    // the estimate can never fall below either observed list
+    assert(est >= math.max(n1, n2) - 1)
+    assert(r.getLong(4) == (if (est > 0) n1 * 1000000L / est else 0L))
+    assert(r.getLong(5) == (if (est > 0) n2 * 1000000L / est else 0L))
+  }
+
   test("luma histogram: pixel accounting and impurity replay") {
     val rows = Multimodal.lumaHistogram(sf).collect()
     assert(rows.length > 100)
