@@ -1126,4 +1126,97 @@ object Analytics {
       |SELECT week, n_active, n_churned,
       | CAST(n_churned AS DOUBLE) / n_active AS churn_rate
       |FROM g ORDER BY week""".stripMargin
+
+  /** Daily growth accounting — the standard four-way decomposition of
+    * active-user change (the "growth accounting" identity every
+    * product-analytics stack publishes): per day,
+    * active = new + retained + resurrected, and
+    * active(d) − active(d−1) = new + resurrected − churned, where new
+    * users see their first-ever day, retained were active yesterday,
+    * resurrected return after a gap, and churned were active yesterday
+    * but not today (attributed to today). The quick ratio
+    * (new+resurrected)·10⁶ div churned in exact ppm is the summary
+    * health number. Daily grain because events span 30 days
+    * (TESTDATA rule).
+    *
+    * Scale: one distinct (user, day) aggregation, one per-user min
+    * (first day), and two self-equi-joins on (user, day±1) — all
+    * shuffles on the user key, no windows over the user population.
+    * The output is calendar-bounded.
+    */
+  def growthAccounting(t: Tables): DataFrame = {
+    val ud = t.events
+      .select(col("user_id").as("u"), to_date(col("ts")).as("d"))
+      .distinct()
+      .localCheckpoint(true) // feeds first-day agg + both shifted joins
+    val first = ud.groupBy("u").agg(min(col("d")).as("fd"))
+    val wasPrev = ud.select(col("u"), date_add(col("d"), 1).as("d"),
+      lit(1).as("wp"))
+    val flags = ud
+      .join(first, Seq("u"))
+      .join(wasPrev, Seq("u", "d"), "left")
+    val daily = flags.groupBy("d")
+      .agg(count(lit(1)).cast("long").as("n_active"),
+        sum(when(col("d") === col("fd"), 1L).otherwise(0L)).cast("long")
+          .as("n_new"),
+        sum(when(col("wp").isNotNull, 1L).otherwise(0L)).cast("long")
+          .as("n_retained"),
+        sum(when(col("wp").isNull && col("d") > col("fd"), 1L).otherwise(0L))
+          .cast("long").as("n_resurrected"))
+    // churned(d): active on d−1, absent on d — bounded to the calendar
+    val maxDay = ud.agg(max(col("d")).as("mx"))
+    val churned = ud.select(col("u"), date_add(col("d"), 1).as("d"))
+      .crossJoin(broadcast(maxDay))
+      .where(col("d") <= col("mx"))
+      .join(ud.select(col("u").as("u2"), col("d").as("d2")),
+        col("u") === col("u2") && col("d") === col("d2"), "left_anti")
+      .groupBy("d").agg(count(lit(1)).cast("long").as("n_churned"))
+    daily.join(churned, Seq("d"), "left")
+      .na.fill(0L, Seq("n_churned"))
+      .select(col("d").as("day"), col("n_active"), col("n_new"),
+        col("n_retained"), col("n_resurrected"), col("n_churned"),
+        when(col("n_churned") > 0,
+          expr("((n_new + n_resurrected) * 1000000L) div n_churned"))
+          .otherwise(lit(0L)).as("quick_ratio_ppm"))
+      .orderBy("day")
+  }
+
+  /** Oracle: identical distinct user-days, first-day join, shifted
+    * membership joins, and the same exact ppm quick ratio.
+    */
+  val growthAccountingSql: String =
+    """WITH ud AS (
+      | SELECT DISTINCT user_id AS u, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS d
+      | FROM events),
+      |f AS (SELECT u, MIN(d) AS fd FROM ud GROUP BY 1),
+      |wp AS (SELECT u, d + INTERVAL 1 DAY AS d FROM ud),
+      |flags AS (
+      | SELECT ud.u, ud.d, f.fd,
+      |  EXISTS (SELECT 1 FROM wp WHERE wp.u = ud.u
+      |          AND CAST(wp.d AS DATE) = ud.d) AS was_prev
+      | FROM ud JOIN f ON ud.u = f.u),
+      |daily AS (
+      | SELECT d,
+      |  CAST(COUNT(*) AS BIGINT) AS n_active,
+      |  CAST(SUM(CASE WHEN d = fd THEN 1 ELSE 0 END) AS BIGINT) AS n_new,
+      |  CAST(SUM(CASE WHEN was_prev THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_retained,
+      |  CAST(SUM(CASE WHEN NOT was_prev AND d > fd THEN 1 ELSE 0 END)
+      |    AS BIGINT) AS n_resurrected
+      | FROM flags GROUP BY 1),
+      |mx AS (SELECT MAX(d) AS mx FROM ud),
+      |ch AS (
+      | SELECT CAST(s.d AS DATE) AS d, CAST(COUNT(*) AS BIGINT) AS n_churned
+      | FROM (SELECT u, d + INTERVAL 1 DAY AS d FROM ud) s, mx
+      | WHERE CAST(s.d AS DATE) <= mx.mx
+      |  AND NOT EXISTS (SELECT 1 FROM ud
+      |                  WHERE ud.u = s.u AND ud.d = CAST(s.d AS DATE))
+      | GROUP BY 1)
+      |SELECT daily.d AS day, n_active, n_new, n_retained, n_resurrected,
+      | COALESCE(n_churned, 0) AS n_churned,
+      | CAST(CASE WHEN COALESCE(n_churned, 0) > 0
+      |  THEN ((n_new + n_resurrected) * 1000000) // n_churned
+      |  ELSE 0 END AS BIGINT) AS quick_ratio_ppm
+      |FROM daily LEFT JOIN ch ON daily.d = ch.d
+      |ORDER BY day""".stripMargin
 }

@@ -2456,4 +2456,71 @@ object Multimodal {
        |  max_run AS max_same_sign_run
        |FROM p JOIN cr USING (doc_id) JOIN runs USING (doc_id)
        |ORDER BY p.doc_id""".stripMargin
+
+  final case class ProbeRow(
+      doc_id: Long, sniffed_format: String, magic_ok: Boolean,
+      structure_ok: Boolean)
+
+  /** Container triage by magic bytes + structural walk — the front door
+    * of a multimodal crawl (before ANY decode is scheduled, every blob
+    * must be binned by what it claims to be and sanity-checked so a
+    * truncated or mislabeled payload never reaches a codec worker):
+    * each payload (round-robin PNG/WAV/GIF from the real synthesizers,
+    * so all three REAL container layouts are probed) is sniffed from
+    * its BYTES — PNG's 8-byte signature, RIFF....WAVE, GIF8 — and then
+    * structurally walked: PNG must open with IHDR and end with IEND,
+    * RIFF's size field must equal len−8 (the [[wavPcm]] invariant),
+    * GIF must end with the 0x3B trailer. The oracle replays the
+    * doc_id→format rule; the VALUE is that real sniffing and real
+    * synthesis agree byte-for-byte — the [[decodePng]] convention
+    * applied to container headers. Row-local; no shuffle.
+    */
+  def containerProbe(t: Tables): DataFrame = {
+    val spark = t.spark
+    import spark.implicits._
+    codecIds(t)
+      .mapPartitions { it =>
+        it.grouped(BatchSize).flatMap { batch =>
+          batch.map { id =>
+            val p = (id % 3) match {
+              case 0 => synthPng(id)
+              case 1 => synthWav(id)
+              case _ => synthGif(id)
+            }
+            def ascii(off: Int, s: String): Boolean =
+              p.length >= off + s.length &&
+                s.getBytes("US-ASCII").zipWithIndex
+                  .forall { case (b, i) => p(off + i) == b }
+            val (fmt, magicOk, structOk) =
+              if (p.length >= 8 && (p(0) & 0xff) == 0x89 && ascii(1, "PNG")) {
+                // IHDR is the first chunk (offset 12); IEND closes the file
+                val iend = p.length >= 12 &&
+                  ascii(p.length - 8, "IEND")
+                ("png", true, ascii(12, "IHDR") && iend)
+              } else if (ascii(0, "RIFF") && ascii(8, "WAVE")) {
+                val riffLen = java.nio.ByteBuffer.wrap(p, 4, 4)
+                  .order(java.nio.ByteOrder.LITTLE_ENDIAN).getInt
+                ("wav", true, riffLen == p.length - 8)
+              } else if (ascii(0, "GIF8")) {
+                ("gif", true, (p(p.length - 1) & 0xff) == 0x3b)
+              } else ("unknown", false, false)
+            ProbeRow(id, fmt, magicOk, structOk)
+          }
+        }
+      }
+      .toDF()
+      .orderBy("doc_id")
+  }
+
+  /** Oracle for [[containerProbe]]: the synthesis routing rule — the
+    * sniffed format must equal what was synthesized, and both checks
+    * must hold on every real container the writers produce.
+    */
+  val containerProbeSql: String =
+    """SELECT doc_id,
+      | CASE doc_id % 3 WHEN 0 THEN 'png' WHEN 1 THEN 'wav'
+      |  ELSE 'gif' END AS sniffed_format,
+      | TRUE AS magic_ok, TRUE AS structure_ok
+      |FROM documents
+      |ORDER BY doc_id""".stripMargin
 }

@@ -403,6 +403,52 @@ class Round12Spec extends SparkSpec {
     assert(r.getLong(5) == (if (est > 0) n2 * 1000000L / est else 0L))
   }
 
+  test("growth accounting: four-way identity holds and replays from user-days") {
+    val rows = graft.operators.Analytics.growthAccounting(sf).collect()
+    assert(rows.length >= 28) // 30-day event span
+    rows.foreach { r =>
+      assert(r.getLong(1) == r.getLong(2) + r.getLong(3) + r.getLong(4),
+        s"active = new + retained + resurrected on ${r.get(0)}")
+    }
+    // day 1: everyone is new, nobody churned into it
+    val first = rows.head
+    assert(first.getLong(1) == first.getLong(2))
+    assert(first.getLong(3) == 0L && first.getLong(4) == 0L &&
+      first.getLong(5) == 0L)
+    // driver replay of one mid-series day
+    val ud = sf.events.select(col("user_id"), to_date(col("ts")).as("d"))
+      .distinct().collect()
+      .map(r => (r.getLong(0), r.getDate(1).toLocalDate))
+    val firstDay = ud.groupBy(_._1).map { case (u, g) => u -> g.map(_._2).min }
+    val byDay = ud.groupBy(_._2).map { case (d, g) => d -> g.map(_._1).toSet }
+    val mid = rows(rows.length / 2)
+    val d = mid.get(0) match {
+      case dt: java.sql.Date => dt.toLocalDate
+      case ld: java.time.LocalDate => ld
+    }
+    val (today, yday) = (byDay(d), byDay.getOrElse(d.minusDays(1), Set.empty[Long]))
+    assert(mid.getLong(1) == today.size.toLong)
+    assert(mid.getLong(2) == today.count(firstDay(_) == d).toLong)
+    assert(mid.getLong(3) == (today intersect yday).size.toLong)
+    assert(mid.getLong(5) == (yday diff today).size.toLong)
+    val exp = mid.getLong(2) + mid.getLong(4)
+    assert(mid.getLong(6) ==
+      (if (mid.getLong(5) > 0) exp * 1000000L / mid.getLong(5) else 0L))
+  }
+
+  test("container probe: real containers sniff to their synthesized format") {
+    val rows = Multimodal.containerProbe(sf).collect()
+    assert(rows.length > 100)
+    rows.foreach { r =>
+      val expected = (r.getLong(0) % 3) match {
+        case 0 => "png"; case 1 => "wav"; case _ => "gif"
+      }
+      assert(r.getString(1) == expected, s"doc ${r.getLong(0)}")
+      assert(r.getBoolean(2), "magic bytes must validate")
+      assert(r.getBoolean(3), "structural walk must validate")
+    }
+  }
+
   test("luma histogram: pixel accounting and impurity replay") {
     val rows = Multimodal.lumaHistogram(sf).collect()
     assert(rows.length > 100)
