@@ -734,6 +734,121 @@ object Relational11 {
        |FROM c GROUP BY grp
        |ORDER BY grp""".stripMargin
 
+  /** Mix-shift decomposition of month-over-month mean order value —
+    * the Oaxaca/Laspeyres-style answer to "did the average move because
+    * CUSTOMERS changed or because SEGMENTS changed size": with
+    * per-segment weights w_g = n_g/N and means m_g,
+    * Δmean = Σ(w_t − w_{t−1})·m_{t−1}  (mix effect: composition shift
+    * valued at old rates) + Σw_t·(m_t − m_{t−1})  (rate effect:
+    * within-segment change at new weights) — an exact identity, the
+    * split every "why did our average drop" review needs before anyone
+    * blames a segment. Per-cell stats are exact integers (n, Σmicros);
+    * the three folds run in segment order over the ≤|segments| cell
+    * list per month pair (the chiSquare ordered-fold convention), so
+    * every double is reproducible.
+    *
+    * Scale: one fact aggregation to the (month × segment) bounded grid;
+    * consecutive months pair by an equi-join on the bounded month list.
+    */
+  def mixShift(t: Tables): DataFrame = {
+    val cells = t.orders
+      .join(t.customer.select("c_custkey", "c_mktsegment"),
+        col("o_custkey") === col("c_custkey"))
+      .groupBy(date_trunc("month", col("o_orderdate")).cast("date").as("month"),
+        col("c_mktsegment").as("seg"))
+      .agg(count(lit(1)).as("n"),
+        sum((graft.functions.Exact.dec(col("o_totalprice")) * lit(1000000))
+          .cast(org.apache.spark.sql.types.DecimalType(19, 0)).cast("long"))
+          .cast("long").as("s1"))
+    val pinned = cells.localCheckpoint(true) // both sides of the pair join
+    // full-outer cell pairing: a segment active in only ONE of the two
+    // months still participates (weight 0 on the absent side; its rate
+    // pins to the present side's mean) — the identity then closes over
+    // the SEGMENT UNION, not just the intersection
+    val cur = pinned.select(col("month"), col("seg"),
+      col("n").as("nc"), col("s1").as("sc"))
+    val prv = pinned.select(add_months(col("month"), 1).as("month"),
+      col("seg"), col("n").as("np_g"), col("s1").as("sp_g"))
+    val paired = cur.join(prv, Seq("month", "seg"), "full_outer")
+      .na.fill(0L, Seq("nc", "sc", "np_g", "sp_g"))
+    // months with no previous month (the series head) drop via the
+    // total join below; per-month totals come from the paired list so
+    // union-only segments count on their side
+    val monthly = paired.groupBy("month")
+      .agg(sum(col("nc")).cast("long").as("nm"),
+        sum(col("sc")).cast("long").as("sm"),
+        sum(col("np_g")).cast("long").as("np"),
+        sum(col("sp_g")).cast("long").as("sp"),
+        sort_array(collect_list(struct(col("seg"), col("nc"), col("sc"),
+          col("np_g"), col("sp_g")))).as("gs"))
+      .where(col("np") > 0 && col("nm") > 0)
+    monthly
+      .withColumn("mean_prev", col("sp").cast("double") / col("np"))
+      .withColumn("mean_cur", col("sm").cast("double") / col("nm"))
+      .withColumn("mix_effect", expr(
+        """aggregate(gs, CAST(0.0 AS DOUBLE), (acc, g) ->
+          | acc + (CAST(g.nc AS DOUBLE) / nm - CAST(g.np_g AS DOUBLE) / np)
+          |  * (CASE WHEN g.np_g > 0 THEN CAST(g.sp_g AS DOUBLE) / g.np_g
+          |     ELSE CAST(g.sc AS DOUBLE) / g.nc END))""".stripMargin))
+      .withColumn("rate_effect", expr(
+        """aggregate(gs, CAST(0.0 AS DOUBLE), (acc, g) ->
+          | acc + (CAST(g.nc AS DOUBLE) / nm)
+          |  * (CASE WHEN g.nc > 0 AND g.np_g > 0
+          |     THEN CAST(g.sc AS DOUBLE) / g.nc - CAST(g.sp_g AS DOUBLE) / g.np_g
+          |     ELSE CAST(0.0 AS DOUBLE) END))""".stripMargin))
+      .select(col("month"), col("nm").as("n_orders"),
+        col("mean_prev"), col("mean_cur"),
+        (col("mean_cur") - col("mean_prev")).as("delta"),
+        col("mix_effect"), col("rate_effect"))
+      .orderBy("month")
+  }
+
+  /** Oracle: identical bounded grid, full-outer cell pairing, and
+    * segment-ordered folds (list comprehensions + list_reduce with a
+    * zero seed — the same addition order).
+    */
+  val mixShiftSql: String =
+    """WITH cells AS (
+      | SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS month,
+      |  c_mktsegment AS seg, CAST(COUNT(*) AS BIGINT) AS n,
+      |  CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 1000000
+      |    AS BIGINT)) AS BIGINT) AS s1
+      | FROM orders JOIN customer ON o_custkey = c_custkey
+      | GROUP BY 1, 2),
+      |paired AS (
+      | SELECT COALESCE(cur.month, prv.month) AS month,
+      |  COALESCE(cur.seg, prv.seg) AS seg,
+      |  COALESCE(cur.n, 0) AS nc, COALESCE(cur.s1, 0) AS sc,
+      |  COALESCE(prv.n, 0) AS np_g, COALESCE(prv.s1, 0) AS sp_g
+      | FROM cells cur FULL JOIN
+      |  (SELECT month + INTERVAL 1 MONTH AS month, seg, n, s1 FROM cells) prv
+      |  ON cur.month = prv.month AND cur.seg = prv.seg),
+      |monthly AS (
+      | SELECT month, CAST(SUM(nc) AS BIGINT) AS nm,
+      |  CAST(SUM(sc) AS BIGINT) AS sm,
+      |  CAST(SUM(np_g) AS BIGINT) AS np, CAST(SUM(sp_g) AS BIGINT) AS sp,
+      |  list({'seg': seg, 'nc': nc, 'sc': sc, 'np_g': np_g, 'sp_g': sp_g}
+      |    ORDER BY seg) AS gs
+      | FROM paired GROUP BY 1
+      | HAVING SUM(np_g) > 0 AND SUM(nc) > 0)
+      |SELECT CAST(month AS DATE) AS month, nm AS n_orders,
+      | CAST(sp AS DOUBLE) / np AS mean_prev,
+      | CAST(sm AS DOUBLE) / nm AS mean_cur,
+      | CAST(sm AS DOUBLE) / nm - CAST(sp AS DOUBLE) / np AS delta,
+      | list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+      |  [(CAST(g.nc AS DOUBLE) / nm - CAST(g.np_g AS DOUBLE) / np)
+      |   * (CASE WHEN g.np_g > 0 THEN CAST(g.sp_g AS DOUBLE) / g.np_g
+      |      ELSE CAST(g.sc AS DOUBLE) / g.nc END)
+      |   FOR g IN gs]), (a, v) -> a + v) AS mix_effect,
+      | list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+      |  [(CAST(g.nc AS DOUBLE) / nm)
+      |   * (CASE WHEN g.nc > 0 AND g.np_g > 0
+      |      THEN CAST(g.sc AS DOUBLE) / g.nc - CAST(g.sp_g AS DOUBLE) / g.np_g
+      |      ELSE CAST(0.0 AS DOUBLE) END)
+      |   FOR g IN gs]), (a, v) -> a + v) AS rate_effect
+      |FROM monthly
+      |ORDER BY month""".stripMargin
+
   /** Units allocated by [[allocation]]. */
   private val AllocBudget = 1000000L
 

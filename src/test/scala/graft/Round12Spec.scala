@@ -449,6 +449,33 @@ class Round12Spec extends SparkSpec {
     }
   }
 
+  test("mix shift: decomposition identity closes, means replay") {
+    val rows = Relational11.mixShift(sf).collect()
+    assert(rows.length > 50)
+    rows.foreach { r =>
+      val (mp, mc) = (r.getDouble(2), r.getDouble(3))
+      val delta = r.getDouble(4)
+      assert(math.abs(delta - (mc - mp)) < 1e-9)
+      // the Laspeyres split is an exact identity up to float association
+      assert(math.abs((r.getDouble(5) + r.getDouble(6)) - delta) <
+        1e-6 * math.max(1.0, math.abs(delta)),
+        s"mix+rate must reconstruct delta on ${r.get(0)}")
+    }
+    // overall means replay for one mid-series month
+    val mid = rows(rows.length / 2)
+    val month = mid.get(0).toString.take(7)
+    val xs = sf.orders
+      .join(sf.customer.select("c_custkey", "c_mktsegment"),
+        col("o_custkey") === col("c_custkey"))
+      .select(date_format(col("o_orderdate"), "yyyy-MM").as("m"),
+        expr("CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 1000000 AS LONG)"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    val cur = xs.filter(_._1 == month).map(_._2)
+    assert(mid.getLong(1) == cur.length.toLong)
+    assert(math.abs(mid.getDouble(3) -
+      cur.map(_.toDouble).sum / cur.length) < 1e-6 * mid.getDouble(3))
+  }
+
   test("luma histogram: pixel accounting and impurity replay") {
     val rows = Multimodal.lumaHistogram(sf).collect()
     assert(rows.length > 100)
