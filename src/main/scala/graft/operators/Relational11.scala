@@ -596,7 +596,7 @@ object Relational11 {
       col("mean").as("mean_a"), col("variance").as("var_a"))
     val b = st.select(col("seg").as("seg_b"), col("n").as("n_b"),
       col("mean").as("mean_b"), col("variance").as("var_b"))
-    a.join(b, col("seg_a") < col("seg_b"))
+    a.join(broadcast(b), col("seg_a") < col("seg_b"))
       .withColumn("s_pooled", sqrt(expr(
         "((n_a - 1) * var_a + (n_b - 1) * var_b) / (n_a + n_b - 2)")))
       .select(col("seg_a"), col("seg_b"), col("n_a"), col("n_b"),
