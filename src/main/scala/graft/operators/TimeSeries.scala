@@ -1103,6 +1103,103 @@ object TimeSeries {
        |FROM tr JOIN se ON tr.dow = se.dow
        |ORDER BY d""".stripMargin
 
+  /** Seasonal/trend strength of the daily revenue series (Hyndman &
+    * Athanasopoulos' STL-based decision numbers, public knowledge):
+    * F_seasonal = max(0, 1 − Var(R)/Var(S+R)) and
+    * F_trend = max(0, 1 − Var(R)/Var(T+R)) — the screen that says
+    * whether a seasonal model is even worth fitting, run on the
+    * [[stlDecompose]] components (S+R is exactly the detrended series
+    * v−T; T+R is the deseasonalized v−S). Variances are population
+    * moments accumulated by ONE day-ordered fold over the
+    * calendar-bounded interior-day list (the chiSquare ordered-fold
+    * convention — double addition order fixed, so both engines see the
+    * identical accumulation sequence), and every division is the same
+    * fixed-parenthesization expression on both sides.
+    *
+    * Scale: everything after [[stlDecompose]]'s one fact aggregation
+    * runs on the bounded day domain; the fold list is ≤ the calendar.
+    */
+  def seasonalStrength(t: Tables): DataFrame = {
+    val parts = stlDecompose(t)
+      .where(col("trend_micros").isNotNull)
+      .select(col("d"), col("resid").as("r"),
+        (col("v_micros") - col("trend_micros")).cast("double").as("sr"),
+        (col("v_micros").cast("double") - col("seasonal")).as("tr"))
+    parts
+      .agg(count(lit(1)).cast("long").as("n"),
+        sort_array(collect_list(struct(col("d"), col("r"), col("sr"),
+          col("tr")))).as("gs"))
+      .withColumn("acc", expr(
+        """aggregate(gs,
+          | named_struct('s1', 0.0d, 'q1', 0.0d, 's2', 0.0d, 'q2', 0.0d,
+          |              's3', 0.0d, 'q3', 0.0d),
+          | (a, g) -> named_struct(
+          |  's1', a.s1 + g.r,  'q1', a.q1 + g.r * g.r,
+          |  's2', a.s2 + g.sr, 'q2', a.q2 + g.sr * g.sr,
+          |  's3', a.s3 + g.tr, 'q3', a.q3 + g.tr * g.tr))""".stripMargin))
+      .withColumn("var_resid", expr("(acc.q1 - acc.s1 * acc.s1 / n) / n"))
+      .withColumn("var_detrended", expr("(acc.q2 - acc.s2 * acc.s2 / n) / n"))
+      .withColumn("var_deseasonalized",
+        expr("(acc.q3 - acc.s3 * acc.s3 / n) / n"))
+      .select(col("n").as("n_days"), col("var_resid"), col("var_detrended"),
+        col("var_deseasonalized"),
+        greatest(lit(0.0), lit(1.0) - col("var_resid") / col("var_detrended"))
+          .as("seasonal_strength"),
+        greatest(lit(0.0),
+          lit(1.0) - col("var_resid") / col("var_deseasonalized"))
+          .as("trend_strength"))
+  }
+
+  /** Oracle: the [[stlDecomposeSql]] chain + the identical day-ordered
+    * struct fold and fixed-parenthesization variances.
+    */
+  val seasonalStrengthSql: String =
+    s"""WITH daily AS (
+       | SELECT CAST(l_shipdate AS DATE) AS d,
+       |  CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(12,2)) *
+       |    CAST(1 - CAST(l_discount AS DECIMAL(4,2)) AS DECIMAL(8,4))
+       |    * 1000000 AS DECIMAL(19,0))) AS BIGINT) AS v
+       | FROM lineitem GROUP BY 1),
+       |tr AS (
+       | SELECT d, v,
+       |  CASE WHEN COUNT(*) OVER w = ${2 * StlHalf + 1}
+       |       THEN CAST(SUM(v) OVER w AS BIGINT) // 7 END AS trend_micros,
+       |  CAST(date_diff('day', DATE '1970-01-01', d) % 7 AS INT) AS dow
+       | FROM daily
+       | WINDOW w AS (ORDER BY d ROWS BETWEEN $StlHalf PRECEDING
+       |   AND $StlHalf FOLLOWING)),
+       |se AS (
+       | SELECT dow,
+       |  CAST(SUM(v - trend_micros) AS DOUBLE) / COUNT(*) AS seasonal
+       | FROM tr WHERE trend_micros IS NOT NULL GROUP BY 1),
+       |parts AS (
+       | SELECT d,
+       |  CAST(v - trend_micros AS DOUBLE) - seasonal AS r,
+       |  CAST(v - trend_micros AS DOUBLE) AS sr,
+       |  CAST(v AS DOUBLE) - seasonal AS tr_
+       | FROM tr JOIN se ON tr.dow = se.dow
+       | WHERE trend_micros IS NOT NULL),
+       |folded AS (
+       | SELECT CAST(COUNT(*) AS BIGINT) AS n,
+       |  list_reduce(list_prepend(
+       |    {'s1': 0.0, 'q1': 0.0, 's2': 0.0, 'q2': 0.0, 's3': 0.0, 'q3': 0.0},
+       |    list({'s1': r, 'q1': r, 's2': sr, 'q2': sr, 's3': tr_, 'q3': tr_}
+       |         ORDER BY d)),
+       |   (a, g) -> {'s1': a.s1 + g.s1, 'q1': a.q1 + g.q1 * g.q1,
+       |              's2': a.s2 + g.s2, 'q2': a.q2 + g.q2 * g.q2,
+       |              's3': a.s3 + g.s3, 'q3': a.q3 + g.q3 * g.q3}) AS acc
+       | FROM parts),
+       |v AS (
+       | SELECT n,
+       |  (acc.q1 - acc.s1 * acc.s1 / n) / n AS var_resid,
+       |  (acc.q2 - acc.s2 * acc.s2 / n) / n AS var_detrended,
+       |  (acc.q3 - acc.s3 * acc.s3 / n) / n AS var_deseasonalized
+       | FROM folded)
+       |SELECT n AS n_days, var_resid, var_detrended, var_deseasonalized,
+       | greatest(0.0, 1.0 - var_resid / var_detrended) AS seasonal_strength,
+       | greatest(0.0, 1.0 - var_resid / var_deseasonalized) AS trend_strength
+       |FROM v""".stripMargin
+
   /** SAX word length reported by [[saxSymbols]]. */
   private val SaxWordLen = 64
 

@@ -476,6 +476,29 @@ class Round12Spec extends SparkSpec {
       cur.map(_.toDouble).sum / cur.length) < 1e-6 * mid.getDouble(3))
   }
 
+  test("seasonal strength: bounded in [0,1], variances replay from STL parts") {
+    val r = TimeSeries.seasonalStrength(sf).collect().head
+    val parts = TimeSeries.stlDecompose(sf).collect()
+      .filterNot(_.isNullAt(2))
+      .map(p => (p.getDate(0), p.getDouble(5),
+        (p.getLong(1) - p.getLong(2)).toDouble,
+        p.getLong(1).toDouble - p.getDouble(4)))
+      .sortBy(_._1.toString)
+    assert(r.getLong(0) == parts.length.toLong)
+    def popVar(xs: Seq[Double]): Double = {
+      val n = xs.length; val m = xs.sum / n
+      xs.map(x => (x - m) * (x - m)).sum / n
+    }
+    val (vr, vd, vt) = (popVar(parts.map(_._2).toSeq),
+      popVar(parts.map(_._3).toSeq), popVar(parts.map(_._4).toSeq))
+    assert(math.abs(r.getDouble(1) - vr) < 1e-6 * vr)
+    assert(math.abs(r.getDouble(2) - vd) < 1e-6 * vd)
+    assert(math.abs(r.getDouble(3) - vt) < 1e-6 * vt)
+    val fs = r.getDouble(4); val ft = r.getDouble(5)
+    assert(fs >= 0.0 && fs <= 1.0 && ft >= 0.0 && ft <= 1.0)
+    assert(math.abs(fs - math.max(0.0, 1.0 - vr / vd)) < 1e-9)
+  }
+
   test("luma histogram: pixel accounting and impurity replay") {
     val rows = Multimodal.lumaHistogram(sf).collect()
     assert(rows.length > 100)
