@@ -973,6 +973,96 @@ object Dedup {
        |FROM c""".stripMargin
   }
 
+  /** Operating points probed by [[thresholdSweep]], in permille. */
+  private val SweepPermille = Seq(500L, 600L, 700L, 800L)
+
+  /** Jaccard-threshold operating curve — the tuning report that decides
+    * WHERE to set the dedup cut before committing a 100 TB run: pair
+    * counts, distinct docs involved, and corpus dup share in exact ppm
+    * at thresholds 0.5/0.6/0.7/0.8, all sliced from ONE
+    * blocking+verify pass run at the LOOSEST threshold (the df-ranked
+    * prefix filter is sound at its configured t, so candidates at
+    * t=0.5 contain every pair any higher cut keeps — four thresholds
+    * cost one pipeline, not four). Threshold constants derive as
+    * permille div 1000.0 in BOTH engines so the boundary comparisons
+    * are bit-identical.
+    *
+    * Scale: the t=0.5 prefix filter admits more candidates than the
+    * production 0.6 cut (that is the point — the sweep maps the
+    * frontier), but candidate work stays Σ|posting|² on df-ranked
+    * prefixes, never the pair space.
+    */
+  def thresholdSweep(t: Tables): DataFrame = {
+    val tMin = SweepPermille.min.toDouble / 1000.0
+    val g = Shingles.gramsOf(t.documents).localCheckpoint(true)
+    val ex = hashedExplode(g)
+    val pref = dfRankedPrefix(ex, tMin)
+    val candidates = pref
+      .select(col("doc_id").as("a_id"), col("sz").as("a_sz"), col("pg"))
+      .join(pref.select(col("doc_id").as("b_id"), col("sz").as("b_sz"),
+        col("pg")), Seq("pg"))
+      .where(col("a_id") < col("b_id") &&
+        least(col("a_sz"), col("b_sz")).cast("double") >=
+          lit(tMin) * greatest(col("a_sz"), col("b_sz")))
+      .select("a_id", "b_id")
+      .distinct()
+    val scored = scoreCandidates(candidates, hashedGramsOf(g))(
+      graft.functions.SortedLongJaccard(_, _))
+      .withColumnRenamed("score", "jaccard")
+      .where(col("jaccard") >= lit(tMin))
+      .localCheckpoint(true) // feeds the pair and doc counts per cut
+    val nDocs = t.documents.agg(count(lit(1)).as("n_total"))
+    val fan = scored.select(col("a_id"), col("b_id"), col("jaccard"),
+        explode(array(SweepPermille.map(p => lit(p)): _*)).as("thr_permille"))
+      .where(col("jaccard") >= col("thr_permille").cast("double") / lit(1000.0))
+    val pairs = fan.groupBy("thr_permille")
+      .agg(count(lit(1)).cast("long").as("n_pairs"))
+    val docs = fan
+      .select(col("thr_permille"),
+        explode(array(col("a_id"), col("b_id"))).as("doc"))
+      .groupBy("thr_permille")
+      .agg(countDistinct(col("doc")).cast("long").as("n_docs"))
+    pairs.join(docs, Seq("thr_permille"))
+      .crossJoin(broadcast(nDocs))
+      .select(col("thr_permille").cast("long").as("thr_permille"),
+        col("n_pairs"), col("n_docs"),
+        expr("(n_docs * 1000000L) div n_total").as("dup_doc_ppm"))
+      .orderBy("thr_permille")
+  }
+
+  /** Oracle: unblocked brute-force pair scan (sound blocking ⟹ equal),
+    * identical permille-derived cuts and exact ppm share.
+    */
+  val thresholdSweepSql: String = {
+    val permilles = SweepPermille.mkString(", ")
+    s"""WITH g AS (
+       | SELECT doc_id, ${Shingles.grams3Sql("text")} AS grams
+       | FROM documents),
+       |p AS (
+       | SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+       |  CAST(len(list_distinct(list_intersect(a.grams, b.grams))) AS DOUBLE)
+       |    / len(list_distinct(list_concat(a.grams, b.grams))) AS jaccard
+       | FROM g a JOIN g b ON a.doc_id < b.doc_id),
+       |fan AS (
+       | SELECT a_id, b_id, jaccard, thr_permille
+       | FROM p, (SELECT unnest([$permilles]) AS thr_permille)
+       | WHERE jaccard >= thr_permille / 1000.0),
+       |pc AS (
+       | SELECT thr_permille, CAST(COUNT(*) AS BIGINT) AS n_pairs
+       | FROM fan GROUP BY 1),
+       |dc AS (
+       | SELECT thr_permille, CAST(COUNT(DISTINCT doc) AS BIGINT) AS n_docs
+       | FROM (SELECT thr_permille, a_id AS doc FROM fan
+       |       UNION ALL SELECT thr_permille, b_id FROM fan)
+       | GROUP BY 1),
+       |nt AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_total FROM documents)
+       |SELECT CAST(pc.thr_permille AS BIGINT) AS thr_permille,
+       | n_pairs, n_docs,
+       | (n_docs * 1000000) // n_total AS dup_doc_ppm
+       |FROM pc JOIN dc ON pc.thr_permille = dc.thr_permille, nt
+       |ORDER BY thr_permille""".stripMargin
+  }
+
   /** Capture-recapture estimate of the TOTAL near-dup pair population —
     * the ecology estimator (Lincoln-Petersen with Chapman's small-sample
     * correction, public knowledge) applied to dedup OPERATIONS: when

@@ -499,6 +499,24 @@ class Round12Spec extends SparkSpec {
     assert(math.abs(fs - math.max(0.0, 1.0 - vr / vd)) < 1e-9)
   }
 
+  test("threshold sweep: monotone curve, 0.6 point equals the registered tier") {
+    val rows = graft.operators.Dedup.thresholdSweep(sf).collect()
+    assert(rows.map(_.getLong(0)).toSeq == Seq(500L, 600L, 700L, 800L))
+    // tightening the cut can only shed pairs and docs
+    rows.sliding(2).foreach { case Array(lo, hi) =>
+      assert(hi.getLong(1) <= lo.getLong(1))
+      assert(hi.getLong(2) <= lo.getLong(2))
+    }
+    // the 0.6 operating point must agree with the production tier
+    val tier = graft.operators.Dedup.ngramJaccard(sf).collect()
+    val at600 = rows.find(_.getLong(0) == 600L).get
+    assert(at600.getLong(1) == tier.length.toLong)
+    val docs = tier.flatMap(r => Seq(r.getLong(0), r.getLong(1))).distinct
+    assert(at600.getLong(2) == docs.length.toLong)
+    val total = sf.documents.count()
+    rows.foreach(r => assert(r.getLong(3) == r.getLong(2) * 1000000L / total))
+  }
+
   test("luma histogram: pixel accounting and impurity replay") {
     val rows = Multimodal.lumaHistogram(sf).collect()
     assert(rows.length > 100)
