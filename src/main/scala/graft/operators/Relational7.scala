@@ -97,6 +97,115 @@ object Relational7 {
       |FROM c
       |ORDER BY revenue DESC, l_partkey""".stripMargin
 
+  /** Period boundary for [[abcMigration]]. */
+  private val AbcSplitDate = "1998-01-01"
+
+  /** ABC class-migration matrix — the period-over-period transition
+    * report that turns a static ABC ranking into an OPERATIONS signal
+    * (a part sliding A→C quietly strands its safety stock; C→A starves
+    * it): parts classify independently in two calendar halves (ship
+    * date before/after [[AbcSplitDate]]) with the same 60/85 cumulative-
+    * share cuts as [[abcAnalysis]], absent-in-a-period parts class 'N',
+    * and the ≤4×4 transition matrix reports counts + share of the part
+    * universe in exact ppm.
+    *
+    * Scale: the [[abcAnalysis]] distributed two-level prefix, keyed by
+    * (period, bucket) — range partitions ordered (period, rev desc,
+    * key), local prefixes inside each (period, bucket), per-period
+    * broadcast offsets of preceding buckets — so neither period's part
+    * dimension ever sorts in one partition; exact decimal sums keep
+    * the result independent of where the sampler drops boundaries.
+    */
+  def abcMigration(t: Tables): DataFrame = {
+    val rev = t.lineitem
+      .withColumn("period",
+        when(col("l_shipdate").cast("date") < to_date(lit(AbcSplitDate)),
+          "P1").otherwise("P2"))
+      .groupBy("period", "l_partkey")
+      .agg(sum(discPrice(col("l_extendedprice"), col("l_discount"))).as("rev"))
+    val ranged = rev
+      .repartitionByRange(32, col("period"), col("rev").desc, col("l_partkey"))
+      .withColumn("bucket", spark_partition_id())
+      .localCheckpoint(true)
+    val wLocal = Window.partitionBy("period", "bucket")
+      .orderBy(col("rev").desc, col("l_partkey"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wBuckets = Window.partitionBy("period").orderBy("bucket")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val bucketTotals = ranged.groupBy("period", "bucket")
+      .agg(sum(col("rev")).as("bucket_total"))
+    val offsets = bucketTotals
+      .withColumn("bucket_offset", sum(col("bucket_total")).over(wBuckets))
+      .select("period", "bucket", "bucket_offset")
+    val totals = bucketTotals.groupBy("period")
+      .agg(sum(col("bucket_total")).as("total_rev"))
+    val classed = ranged
+      .withColumn("local_cum", sum(col("rev")).over(wLocal))
+      .join(broadcast(offsets), Seq("period", "bucket"))
+      .withColumn("cum_rev",
+        when(col("bucket_offset").isNull, col("local_cum"))
+          .otherwise(col("bucket_offset") + col("local_cum")))
+      .join(broadcast(totals), Seq("period"))
+      .withColumn("cum_share",
+        col("cum_rev").cast("double") / col("total_rev").cast("double"))
+      .withColumn("cls",
+        when(col("cum_share") <= 0.60, "A")
+          .when(col("cum_share") <= 0.85, "B")
+          .otherwise("C"))
+      .select("period", "l_partkey", "cls")
+    val p1 = classed.where(col("period") === "P1")
+      .select(col("l_partkey"), col("cls").as("class_p1"))
+    val p2 = classed.where(col("period") === "P2")
+      .select(col("l_partkey"), col("cls").as("class_p2"))
+    val universe = p1.join(p2, Seq("l_partkey"), "full_outer")
+      .na.fill("N", Seq("class_p1", "class_p2"))
+      .localCheckpoint(true) // feeds the matrix AND the universe count
+    val total = universe.agg(count(lit(1)).as("n_universe"))
+    universe.groupBy("class_p1", "class_p2")
+      .agg(count(lit(1)).cast("long").as("n_parts"))
+      .crossJoin(broadcast(total))
+      .select(col("class_p1"), col("class_p2"), col("n_parts"),
+        expr("(n_parts * 1000000L) div n_universe").as("share_ppm"))
+      .orderBy("class_p1", "class_p2")
+  }
+
+  /** Oracle: per-period window-prefix classification (the exact decimal
+    * sums make the distributed rewrite equal), full-outer class join
+    * with 'N' fill, identical ppm share.
+    */
+  val abcMigrationSql: String =
+    s"""WITH rev AS (
+       | SELECT CASE WHEN CAST(l_shipdate AS DATE) < DATE '$AbcSplitDate'
+       |   THEN 'P1' ELSE 'P2' END AS period, l_partkey,
+       |  SUM(CAST(l_extendedprice AS DECIMAL(12,2)) *
+       |      CAST(1 - CAST(l_discount AS DECIMAL(4,2)) AS DECIMAL(8,4))) AS rev
+       | FROM lineitem GROUP BY 1, 2),
+       |c AS (
+       | SELECT period, l_partkey,
+       |  SUM(rev) OVER (PARTITION BY period ORDER BY rev DESC, l_partkey
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_rev,
+       |  SUM(rev) OVER (PARTITION BY period) AS total_rev
+       | FROM rev),
+       |cl AS (
+       | SELECT period, l_partkey,
+       |  CASE WHEN CAST(cum_rev AS DOUBLE) / CAST(total_rev AS DOUBLE) <= 0.60
+       |    THEN 'A'
+       |   WHEN CAST(cum_rev AS DOUBLE) / CAST(total_rev AS DOUBLE) <= 0.85
+       |    THEN 'B'
+       |   ELSE 'C' END AS cls
+       | FROM c),
+       |u AS (
+       | SELECT COALESCE(p1.l_partkey, p2.l_partkey) AS l_partkey,
+       |  COALESCE(p1.cls, 'N') AS class_p1, COALESCE(p2.cls, 'N') AS class_p2
+       | FROM (SELECT * FROM cl WHERE period = 'P1') p1
+       | FULL JOIN (SELECT * FROM cl WHERE period = 'P2') p2
+       |   ON p1.l_partkey = p2.l_partkey),
+       |n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_universe FROM u)
+       |SELECT class_p1, class_p2, CAST(COUNT(*) AS BIGINT) AS n_parts,
+       | (CAST(COUNT(*) AS BIGINT) * 1000000) // n_universe AS share_ppm
+       |FROM u, n GROUP BY class_p1, class_p2, n_universe
+       |ORDER BY class_p1, class_p2""".stripMargin
+
   private val MinSupport = 3
 
   /** Market-basket pair mining: part pairs co-purchased in the same

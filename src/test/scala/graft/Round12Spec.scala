@@ -517,6 +517,46 @@ class Round12Spec extends SparkSpec {
     rows.foreach(r => assert(r.getLong(3) == r.getLong(2) * 1000000L / total))
   }
 
+  test("abc migration: matrix covers the part universe, P1 classes match a replay") {
+    val rows = graft.operators.Relational7.abcMigration(sf).collect()
+    val total = rows.map(_.getLong(2)).sum
+    // the universe is every part that shipped in either period
+    val universe = sf.lineitem.select("l_partkey").distinct().count()
+    assert(total == universe)
+    rows.foreach { r =>
+      assert(Set("A", "B", "C", "N")(r.getString(0)))
+      assert(Set("A", "B", "C", "N")(r.getString(1)))
+      assert(r.getLong(3) == r.getLong(2) * 1000000L / total)
+    }
+    // ('N','N') is impossible: membership requires shipping SOMEWHERE
+    assert(!rows.exists(r => r.getString(0) == "N" && r.getString(1) == "N"))
+    // replay the P1 class counts from a driver-side cumulative share
+    val p1 = sf.lineitem
+      .where(col("l_shipdate").cast("date") < to_date(lit("1998-01-01")))
+      .groupBy("l_partkey")
+      .agg(sum(expr(
+        "CAST(l_extendedprice AS DECIMAL(12,2)) * " +
+          "CAST(1 - CAST(l_discount AS DECIMAL(4,2)) AS DECIMAL(8,4))"))
+        .as("rev"))
+      .collect().map(r => (r.getLong(0), r.getDecimal(1)))
+      .sortBy { case (k, v) => (v.negate, k) }
+    val totRev = p1.map(_._2.doubleValue).sum
+    var cum = 0.0
+    val classCounts = scala.collection.mutable.Map[String, Long]()
+    p1.foreach { case (_, v) =>
+      cum += v.doubleValue
+      val c = if (cum / totRev <= 0.60) "A"
+        else if (cum / totRev <= 0.85) "B" else "C"
+      classCounts(c) = classCounts.getOrElse(c, 0L) + 1
+    }
+    val gotP1 = rows.groupBy(_.getString(0)).map { case (c, g) =>
+      c -> g.map(_.getLong(2)).sum
+    }
+    classCounts.foreach { case (c, n) =>
+      assert(gotP1(c) == n, s"P1 class $c")
+    }
+  }
+
   test("luma histogram: pixel accounting and impurity replay") {
     val rows = Multimodal.lumaHistogram(sf).collect()
     assert(rows.length > 100)
