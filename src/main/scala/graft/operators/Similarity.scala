@@ -235,14 +235,14 @@ object Similarity {
       : (Seq[(Int, Seq[Double])], Seq[(Int, Seq[Double])]) =
     kmeansMemo.getOrCompute(t.spark, t.dir)(trainKmeans(vecs))
 
-  private def trainKmeans(vecs: DataFrame)
-      : (Seq[(Int, Seq[Double])], Seq[(Int, Seq[Double])]) = {
-    val init: Seq[(Int, Seq[Double])] = vecs
-      .where(col("vec_id") < NumCells)
-      .orderBy("vec_id")
-      .collect()
-      .map(r => (r.getLong(0).toInt, r.getSeq[Double](1)))
-      .toSeq
+  /** [[Iters]] Lloyd assignment/mean rounds from an explicit seed set —
+    * the training loop factored out so half-corpus trainers
+    * ([[clusterStability]]) run the IDENTICAL rounds as the shared
+    * quantizer. Cells that lose every member vanish from the model
+    * (matching the SQL replay's GROUP BY).
+    */
+  private def lloyd(vecs: DataFrame,
+                    init: Seq[(Int, Seq[Double])]): Seq[(Int, Seq[Double])] = {
     var cents = init
     for (_ <- 0 until Iters) {
       cents = assignCells(vecs, cents)
@@ -257,7 +257,18 @@ object Similarity {
         .toSeq
         .sortBy(_._1)
     }
-    (cents, init)
+    cents
+  }
+
+  private def trainKmeans(vecs: DataFrame)
+      : (Seq[(Int, Seq[Double])], Seq[(Int, Seq[Double])]) = {
+    val init: Seq[(Int, Seq[Double])] = vecs
+      .where(col("vec_id") < NumCells)
+      .orderBy("vec_id")
+      .collect()
+      .map(r => (r.getLong(0).toInt, r.getSeq[Double](1)))
+      .toSeq
+    (lloyd(vecs, init), init)
   }
 
   /** The bounded driver model a STREAMING ANN gate broadcasts: the
@@ -1858,4 +1869,100 @@ object Similarity {
        | sqrt(d2_sq) / sqrt(d1_sq) AS mu
        |FROM g WHERE d1_sq > 0
        |ORDER BY vec_id""".stripMargin
+
+  /** Cluster-count stability check (Ben-Hur et al.'s resampled-
+    * clustering stability, public knowledge, in its cheapest honest
+    * form): train the SAME Lloyd recipe independently on the two
+    * id-parity halves of the corpus, assign EVERY vector to both
+    * models, and score agreement as the RAND INDEX from the bounded
+    * k×k contingency grid in EXACT INTEGERS — RI·10⁶ =
+    * (C(n,2) + 2·Σ_ij C(n_ij,2) − Σ_i C(a_i,2) − Σ_j C(b_j,2))·10⁶
+    * div C(n,2). A k that carves real structure re-finds the same
+    * partition from either half (RI → 1); a k slicing noise lands
+    * arbitrary boundaries (RI drops) — the "is k right" screen that
+    * runs BEFORE committing a 100 TB index build to a cell count.
+    *
+    * Scale: two half-corpus Lloyd runs (each the audited k-means
+    * shape), two full assignment passes, one k²-bounded contingency
+    * aggregation; the Rand arithmetic never touches a float.
+    */
+  def clusterStability(t: Tables): DataFrame = {
+    // pinned: feeds two trainings (each Iters+1 passes) + two assigns
+    val vecs = vectors(t).localCheckpoint(true)
+    def seeds(h: DataFrame): Seq[(Int, Seq[Double])] = h
+      .orderBy("vec_id").limit(NumCells).collect()
+      .map(_.getSeq[Double](1)).zipWithIndex
+      .map { case (v, i) => (i, v) }.toSeq
+    val hA = vecs.where(pmod(col("vec_id"), lit(2)) === 0)
+    val hB = vecs.where(pmod(col("vec_id"), lit(2)) === 1)
+    val cA = lloyd(hA, seeds(hA))
+    val cB = lloyd(hB, seeds(hB))
+    val cont = assignCells(vecs, cA)
+      .select(col("vec_id"), col("cell").as("cell_a"))
+      .join(assignCells(vecs, cB)
+        .select(col("vec_id").as("vid2"), col("cell").as("cell_b")),
+        col("vec_id") === col("vid2"))
+      .groupBy("cell_a", "cell_b")
+      .agg(count(lit(1)).cast("long").as("c"))
+      .localCheckpoint(true) // k²-bounded; feeds three integer folds
+    val inSums = cont.agg(sum(col("c")).cast("long").as("n"),
+      countDistinct(col("cell_a")).cast("long").as("k_a"),
+      countDistinct(col("cell_b")).cast("long").as("k_b"),
+      sum(expr("(c * (c - 1)) div 2")).cast("long").as("s_in"))
+    val rowSums = cont.groupBy("cell_a")
+      .agg(sum(col("c")).as("ra"))
+      .agg(sum(expr("(ra * (ra - 1)) div 2")).cast("long").as("s_a"))
+    val colSums = cont.groupBy("cell_b")
+      .agg(sum(col("c")).as("rb"))
+      .agg(sum(expr("(rb * (rb - 1)) div 2")).cast("long").as("s_b"))
+    inSums.crossJoin(broadcast(rowSums)).crossJoin(broadcast(colSums))
+      .withColumn("pairs_total", expr("(n * (n - 1)) div 2"))
+      .select(col("n").as("n_vectors"), col("k_a"), col("k_b"),
+        col("s_in"), col("s_a"), col("s_b"),
+        expr("((pairs_total + 2 * s_in - s_a - s_b) * 1000000L)" +
+          " div pairs_total").as("rand_index_ppm"))
+  }
+
+  /** Oracle: both half Lloyd chains replayed with prefixed CTEs
+    * (rank-based seeds per half), full-corpus assignment to each final
+    * codebook, and the identical exact-integer Rand arithmetic.
+    */
+  val clusterStabilitySql: String = {
+    def half(p: String, src: String): String =
+      s"""${p}c0 AS (
+         | SELECT CAST(rn - 1 AS INT) AS cell, v AS c FROM (
+         |  SELECT ROW_NUMBER() OVER (ORDER BY vec_id) AS rn, v FROM $src)
+         | WHERE rn <= $NumCells),
+         |${p}a1 AS (${assignSql(src, s"${p}c0")}),
+         |${p}c1 AS (${meansSql(s"${p}a1")}),
+         |${p}a2 AS (${assignSql(src, s"${p}c1")}),
+         |${p}c2 AS (${meansSql(s"${p}a2")})""".stripMargin
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |ea AS (SELECT vec_id, v FROM e WHERE vec_id % 2 = 0),
+       |eb AS (SELECT vec_id, v FROM e WHERE vec_id % 2 = 1),
+       |${half("A", "ea")},
+       |${half("B", "eb")},
+       |fa AS (${assignSql("e", "Ac2")}),
+       |fb AS (${assignSql("e", "Bc2")}),
+       |cont AS (
+       | SELECT fa.cell AS cell_a, fb.cell AS cell_b,
+       |  CAST(COUNT(*) AS BIGINT) AS c
+       | FROM fa JOIN fb USING (vec_id) GROUP BY 1, 2),
+       |si AS (
+       | SELECT CAST(SUM(c) AS BIGINT) AS n,
+       |  CAST(COUNT(DISTINCT cell_a) AS BIGINT) AS k_a,
+       |  CAST(COUNT(DISTINCT cell_b) AS BIGINT) AS k_b,
+       |  CAST(SUM((c * (c - 1)) // 2) AS BIGINT) AS s_in
+       | FROM cont),
+       |sa AS (
+       | SELECT CAST(SUM((ra * (ra - 1)) // 2) AS BIGINT) AS s_a FROM (
+       |  SELECT CAST(SUM(c) AS BIGINT) AS ra FROM cont GROUP BY cell_a)),
+       |sb AS (
+       | SELECT CAST(SUM((rb * (rb - 1)) // 2) AS BIGINT) AS s_b FROM (
+       |  SELECT CAST(SUM(c) AS BIGINT) AS rb FROM cont GROUP BY cell_b))
+       |SELECT n AS n_vectors, k_a, k_b, s_in, s_a, s_b,
+       | (((n * (n - 1)) // 2 + 2 * s_in - s_a - s_b) * 1000000)
+       |   // ((n * (n - 1)) // 2) AS rand_index_ppm
+       |FROM si, sa, sb""".stripMargin
+  }
 }

@@ -557,6 +557,21 @@ class Round12Spec extends SparkSpec {
     }
   }
 
+  test("cluster stability: Rand arithmetic exact, index in range") {
+    val r = graft.operators.Similarity.clusterStability(sf).collect().head
+    val n = r.getLong(0)
+    assert(n == sf.embeddings.count())
+    val (sIn, sA, sB) = (r.getLong(3), r.getLong(4), r.getLong(5))
+    // Cauchy-Schwarz-ish sanity: joint refinement can't exceed marginals
+    assert(sIn <= math.min(sA, sB))
+    val pairs = n * (n - 1) / 2
+    val expected = (pairs + 2 * sIn - sA - sB) * 1000000L / pairs
+    assert(r.getLong(6) == expected)
+    assert(r.getLong(6) >= 0L && r.getLong(6) <= 1000000L)
+    // k bounds: models never exceed the seed count
+    assert(r.getLong(1) <= 16L && r.getLong(2) <= 16L)
+  }
+
   test("luma histogram: pixel accounting and impurity replay") {
     val rows = Multimodal.lumaHistogram(sf).collect()
     assert(rows.length > 100)
