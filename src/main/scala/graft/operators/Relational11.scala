@@ -849,6 +849,93 @@ object Relational11 {
       |FROM monthly
       |ORDER BY month""".stripMargin
 
+  /** Tukey median polish of the weekday × month revenue grid — the
+    * robust two-way decomposition (EDA classic, public knowledge) that
+    * splits a cross-classified table into row effects + column effects
+    * + residuals WITHOUT letting one outlier cell drag the fit the way
+    * a two-way ANOVA mean fit would: two alternating row/column sweeps,
+    * each subtracting the LOWER MEDIAN (exact integer rank pick,
+    * deterministic (value, key) ties) of the current residuals. The
+    * identity v = row_eff + col_eff + resid holds EXACTLY in long
+    * micros — no float enters at any step. Residuals far from 0 mark
+    * (weekday, month) interactions the additive model can't explain.
+    *
+    * Scale: one fact aggregation to the 7×12-bounded grid; every sweep
+    * is a window over ≤12-cell partitions of an 84-row frame.
+    */
+  def medianPolish(t: Tables): DataFrame = {
+    def lowerMedian(df: DataFrame, part: String, tie: String,
+        valCol: String, out: String): DataFrame = {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(part).orderBy(col(valCol), col(tie))
+      df.withColumn("_rn", row_number().over(w))
+        .withColumn("_n", count(lit(1)).over(
+          org.apache.spark.sql.expressions.Window.partitionBy(part)))
+        .withColumn(out,
+          max(when(col("_rn") === expr("(_n + 1) div 2"), col(valCol)))
+            .over(org.apache.spark.sql.expressions.Window.partitionBy(part)))
+        .drop("_rn", "_n")
+    }
+    val cells = t.lineitem
+      .groupBy(
+        pmod(datediff(col("l_shipdate").cast("date"),
+          to_date(lit("1970-01-01"))), lit(7)).cast("int").as("dow"),
+        month(col("l_shipdate").cast("date")).cast("int").as("mon"))
+      .agg(sum((graft.functions.Exact.discPrice(
+        col("l_extendedprice"), col("l_discount")) * lit(1000000))
+        .cast(org.apache.spark.sql.types.DecimalType(19, 0)))
+        .cast("long").as("v"))
+    val s1 = lowerMedian(cells, "dow", "mon", "v", "rm1")
+      .withColumn("r1", col("v") - col("rm1"))
+    val s2 = lowerMedian(s1, "mon", "dow", "r1", "cm1")
+      .withColumn("r2", col("r1") - col("cm1"))
+    val s3 = lowerMedian(s2, "dow", "mon", "r2", "rm2")
+      .withColumn("r3", col("r2") - col("rm2"))
+    val s4 = lowerMedian(s3, "mon", "dow", "r3", "cm2")
+      .withColumn("resid", col("r3") - col("cm2"))
+    s4.select(col("dow"), col("mon"), col("v").as("v_micros"),
+        (col("rm1") + col("rm2")).as("row_eff"),
+        (col("cm1") + col("cm2")).as("col_eff"),
+        col("resid"))
+      .orderBy("dow", "mon")
+  }
+
+  /** Oracle: identical grid, four unrolled sweep CTEs with the same
+    * rank-based lower medians and tie-breaks.
+    */
+  val medianPolishSql: String = {
+    def sweep(src: String, part: String, tie: String, v: String,
+        med: String, res: String): String =
+      s"""SELECT *, $v - $med AS $res FROM (
+         | SELECT *,
+         |  MAX(CASE WHEN rn_ = (n_ + 1) // 2 THEN $v END)
+         |    OVER (PARTITION BY $part) AS $med
+         | FROM (
+         |  SELECT *,
+         |   ROW_NUMBER() OVER (PARTITION BY $part ORDER BY $v, $tie) AS rn_,
+         |   COUNT(*) OVER (PARTITION BY $part) AS n_
+         |  FROM $src))""".stripMargin
+    s"""WITH cells AS (
+       | SELECT CAST(date_diff('day', DATE '1970-01-01',
+       |    CAST(l_shipdate AS DATE)) % 7 AS INT) AS dow,
+       |  CAST(month(CAST(l_shipdate AS DATE)) AS INT) AS mon,
+       |  CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(12,2)) *
+       |    CAST(1 - CAST(l_discount AS DECIMAL(4,2)) AS DECIMAL(8,4))
+       |    * 1000000 AS DECIMAL(19,0))) AS BIGINT) AS v
+       | FROM lineitem GROUP BY 1, 2),
+       |s1 AS (${sweep("cells", "dow", "mon", "v", "rm1", "r1")}),
+       |s2 AS (${sweep("(SELECT dow, mon, v, rm1, r1 FROM s1)",
+                       "mon", "dow", "r1", "cm1", "r2")}),
+       |s3 AS (${sweep("(SELECT dow, mon, v, rm1, cm1, r2 FROM s2)",
+                       "dow", "mon", "r2", "rm2", "r3")}),
+       |s4 AS (${sweep("(SELECT dow, mon, v, rm1, cm1, rm2, r3 FROM s3)",
+                       "mon", "dow", "r3", "cm2", "resid")})
+       |SELECT dow, mon, v AS v_micros,
+       | rm1 + rm2 AS row_eff, cm1 + cm2 AS col_eff, resid
+       |FROM s4
+       |ORDER BY dow, mon""".stripMargin
+  }
+
   /** Units allocated by [[allocation]]. */
   private val AllocBudget = 1000000L
 

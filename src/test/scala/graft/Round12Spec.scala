@@ -572,6 +572,25 @@ class Round12Spec extends SparkSpec {
     assert(r.getLong(1) <= 16L && r.getLong(2) <= 16L)
   }
 
+  test("median polish: exact additive identity, sweeps leave median-0 slices") {
+    val rows = Relational11.medianPolish(sf).collect()
+    assert(rows.length == 84) // 7 weekdays x 12 months
+    rows.foreach { r =>
+      assert(r.getLong(2) == r.getLong(3) + r.getLong(4) + r.getLong(5),
+        s"identity at (${r.getInt(0)}, ${r.getInt(1)})")
+    }
+    // after the final column sweep, every month's residual lower median
+    // is exactly zero
+    rows.groupBy(_.getInt(1)).values.foreach { g =>
+      val sorted = g.map(_.getLong(5)).sorted
+      assert(sorted((sorted.length + 1) / 2 - 1) == 0L)
+    }
+    // residuals are centered: magnitudes collapse vs the raw cells
+    val vSpread = rows.map(_.getLong(2)).max - rows.map(_.getLong(2)).min
+    val rSpread = rows.map(_.getLong(5)).max - rows.map(_.getLong(5)).min
+    assert(rSpread < vSpread)
+  }
+
   test("luma histogram: pixel accounting and impurity replay") {
     val rows = Multimodal.lumaHistogram(sf).collect()
     assert(rows.length > 100)
