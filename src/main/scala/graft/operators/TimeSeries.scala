@@ -1200,6 +1200,120 @@ object TimeSeries {
        | greatest(0.0, 1.0 - var_resid / var_deseasonalized) AS trend_strength
        |FROM v""".stripMargin
 
+  /** Lags probed by [[residualAcf]]. */
+  private val LbLags = 7
+
+  /** χ² critical value at p=0.05, df=[[LbLags]] (14.067140) — a fixed
+    * public constant so the verdict needs no χ² CDF libm.
+    */
+  private val LbCrit = 14.067140
+
+  /** Ljung-Box residual-whiteness test on the [[stlDecompose]]
+    * residuals — the model-adequacy check that closes the decomposition
+    * story (F_s/F_t say the components MATTER; this says whether
+    * structure REMAINS in what the model discarded): per lag k ≤
+    * [[LbLags]], the residual autocorrelation r_k from day-ordered
+    * folds (mean, denominator, and each lag's cross-products all
+    * accumulate in the identical ascending-day order in both engines),
+    * the Ljung-Box running statistic Q_k = n(n+2)·Σ_{j≤k} r_j²/(n−j),
+    * and at the final lag the p=0.05 verdict against the fixed
+    * [[LbCrit]] literal. A rejected test says the weekday-additive
+    * model is leaving autocorrelated signal on the table.
+    *
+    * Scale: the STL chain's one fact aggregation; the fold list is the
+    * calendar-bounded interior-day residual array, and the 7-lag
+    * fan-out is an in-task explode against that one array.
+    */
+  def residualAcf(t: Tables): DataFrame = {
+    val arr = stlDecompose(t)
+      .where(col("trend_micros").isNotNull)
+      .agg(count(lit(1)).cast("long").as("n"),
+        expr("transform(sort_array(collect_list(struct(d, resid)))," +
+          " s -> s.resid)").as("a"))
+      .withColumn("m", expr(
+        "aggregate(a, CAST(0.0 AS DOUBLE), (acc, x) -> acc + x) / n"))
+      .withColumn("den", expr(
+        "aggregate(a, CAST(0.0 AS DOUBLE), (acc, x) -> acc + (x - m) * (x - m))"))
+    val perLag = arr
+      .select(col("n"), col("a"), col("m"), col("den"),
+        explode(sequence(lit(1), lit(LbLags))).as("k"))
+      .withColumn("num", expr(
+        """aggregate(zip_with(slice(a, 1, CAST(n - k AS INT)),
+          |                   slice(a, k + 1, CAST(n - k AS INT)),
+          |                   (x, y) -> (x - m) * (y - m)),
+          | CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)""".stripMargin))
+      .withColumn("r_k", col("num") / col("den"))
+      .withColumn("term", expr("r_k * r_k / (n - k)"))
+    val wK = org.apache.spark.sql.expressions.Window.orderBy("k")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    perLag
+      .withColumn("q_stat",
+        expr("CAST(n AS DOUBLE) * (n + 2)") * sum(col("term")).over(wK))
+      .select(col("k"), col("n").as("n_days"), col("r_k"), col("q_stat"),
+        when(col("k") === LbLags, col("q_stat") > lit(LbCrit)).as("reject_at_05"))
+      .orderBy("k")
+  }
+
+  /** Oracle: the STL chain + the identical ascending-day folds (list
+    * comprehension order = day order), running Q, fixed critical value.
+    */
+  val residualAcfSql: String =
+    s"""WITH daily AS (
+       | SELECT CAST(l_shipdate AS DATE) AS d,
+       |  CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(12,2)) *
+       |    CAST(1 - CAST(l_discount AS DECIMAL(4,2)) AS DECIMAL(8,4))
+       |    * 1000000 AS DECIMAL(19,0))) AS BIGINT) AS v
+       | FROM lineitem GROUP BY 1),
+       |tr AS (
+       | SELECT d, v,
+       |  CASE WHEN COUNT(*) OVER w = ${2 * StlHalf + 1}
+       |       THEN CAST(SUM(v) OVER w AS BIGINT) // 7 END AS trend_micros,
+       |  CAST(date_diff('day', DATE '1970-01-01', d) % 7 AS INT) AS dow
+       | FROM daily
+       | WINDOW w AS (ORDER BY d ROWS BETWEEN $StlHalf PRECEDING
+       |   AND $StlHalf FOLLOWING)),
+       |se AS (
+       | SELECT dow,
+       |  CAST(SUM(v - trend_micros) AS DOUBLE) / COUNT(*) AS seasonal
+       | FROM tr WHERE trend_micros IS NOT NULL GROUP BY 1),
+       |res AS (
+       | SELECT d, CAST(v - trend_micros AS DOUBLE) - seasonal AS r
+       | FROM tr JOIN se ON tr.dow = se.dow
+       | WHERE trend_micros IS NOT NULL),
+       |arr AS (
+       | SELECT CAST(COUNT(*) AS BIGINT) AS n, list(r ORDER BY d) AS a
+       | FROM res),
+       |base AS (
+       | SELECT n, a,
+       |  list_reduce(list_prepend(CAST(0.0 AS DOUBLE), a),
+       |    (acc, x) -> acc + x) / n AS m
+       | FROM arr),
+       |base2 AS (
+       | SELECT n, a, m,
+       |  list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+       |    [(x - m) * (x - m) FOR x IN a]), (acc, v) -> acc + v) AS den
+       | FROM base),
+       |lags AS (
+       | SELECT n, a, m, den, unnest(range(1, ${LbLags + 1})) AS k
+       | FROM base2),
+       |rk AS (
+       | SELECT n, CAST(k AS INT) AS k,
+       |  list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+       |    [(a[i] - m) * (a[i + k] - m)
+       |     FOR i IN range(1, CAST(n - k + 1 AS INT))]),
+       |    (acc, v) -> acc + v) / den AS r_k
+       | FROM lags),
+       |q AS (
+       | SELECT k, n, r_k,
+       |  CAST(n AS DOUBLE) * (n + 2) *
+       |   SUM(r_k * r_k / (n - k)) OVER (ORDER BY k
+       |     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS q_stat
+       | FROM rk)
+       |SELECT k, n AS n_days, r_k, q_stat,
+       | CASE WHEN k = $LbLags THEN q_stat > $LbCrit END AS reject_at_05
+       |FROM q ORDER BY k""".stripMargin
+
   /** SAX word length reported by [[saxSymbols]]. */
   private val SaxWordLen = 64
 

@@ -591,6 +591,33 @@ class Round12Spec extends SparkSpec {
     assert(rSpread < vSpread)
   }
 
+  test("residual ACF: autocorrelations replay, Q monotone, flag only at lag 7") {
+    val rows = TimeSeries.residualAcf(sf).collect()
+    assert(rows.map(_.getInt(0)).toSeq == (1 to 7))
+    // r_k bounded, Q strictly increasing in k
+    rows.foreach(r => assert(math.abs(r.getDouble(2)) <= 1.0 + 1e-12))
+    rows.sliding(2).foreach { case Array(a, b) =>
+      assert(b.getDouble(3) > a.getDouble(3))
+    }
+    assert(rows.init.forall(_.isNullAt(4)) && !rows.last.isNullAt(4))
+    // replay r_1 and Q_7 from the collected residual series
+    val xs = TimeSeries.stlDecompose(sf).collect()
+      .filterNot(_.isNullAt(2))
+      .map(p => (p.getDate(0), p.getDouble(5))).sortBy(_._1.toString)
+      .map(_._2)
+    val n = xs.length
+    val m = xs.sum / n
+    val den = xs.map(x => (x - m) * (x - m)).sum
+    val r1 = (0 until n - 1).map(i => (xs(i) - m) * (xs(i + 1) - m)).sum / den
+    assert(math.abs(rows.head.getDouble(2) - r1) < 1e-9)
+    val q7 = n.toDouble * (n + 2) * (1 to 7).map { k =>
+      val rk = (0 until n - k).map(i => (xs(i) - m) * (xs(i + k) - m)).sum / den
+      rk * rk / (n - k)
+    }.sum
+    assert(math.abs(rows.last.getDouble(3) - q7) < 1e-6 * math.max(1.0, q7))
+    assert(rows.last.getBoolean(4) == q7 > 14.067140)
+  }
+
   test("luma histogram: pixel accounting and impurity replay") {
     val rows = Multimodal.lumaHistogram(sf).collect()
     assert(rows.length > 100)
