@@ -2461,6 +2461,31 @@ object Multimodal {
       doc_id: Long, sniffed_format: String, magic_ok: Boolean,
       structure_ok: Boolean)
 
+  /** Container triage core shared by [[containerProbe]] and the
+    * streaming gate ([[graft.streaming.Streams.containerGateStream]]):
+    * (format, magic bytes valid, structural walk valid). Pure byte
+    * inspection — PNG signature + leading IHDR + trailing IEND, RIFF
+    * size-field invariant + WAVE tag, GIF8 magic + 0x3B trailer.
+    */
+  private[graft] def sniffContainer(p: Array[Byte])
+      : (String, Boolean, Boolean) = {
+    def ascii(off: Int, s: String): Boolean =
+      off >= 0 && p.length >= off + s.length &&
+        s.getBytes("US-ASCII").zipWithIndex
+          .forall { case (b, i) => p(off + i) == b }
+    if (p.length >= 8 && (p(0) & 0xff) == 0x89 && ascii(1, "PNG")) {
+      // IHDR is the first chunk (offset 12); IEND closes the file
+      val iend = p.length >= 12 && ascii(p.length - 8, "IEND")
+      ("png", true, ascii(12, "IHDR") && iend)
+    } else if (ascii(0, "RIFF") && ascii(8, "WAVE")) {
+      val riffLen = java.nio.ByteBuffer.wrap(p, 4, 4)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN).getInt
+      ("wav", true, riffLen == p.length - 8)
+    } else if (ascii(0, "GIF8")) {
+      ("gif", true, p.nonEmpty && (p(p.length - 1) & 0xff) == 0x3b)
+    } else ("unknown", false, false)
+  }
+
   /** Container triage by magic bytes + structural walk — the front door
     * of a multimodal crawl (before ANY decode is scheduled, every blob
     * must be binned by what it claims to be and sanity-checked so a
@@ -2487,23 +2512,7 @@ object Multimodal {
               case 1 => synthWav(id)
               case _ => synthGif(id)
             }
-            def ascii(off: Int, s: String): Boolean =
-              p.length >= off + s.length &&
-                s.getBytes("US-ASCII").zipWithIndex
-                  .forall { case (b, i) => p(off + i) == b }
-            val (fmt, magicOk, structOk) =
-              if (p.length >= 8 && (p(0) & 0xff) == 0x89 && ascii(1, "PNG")) {
-                // IHDR is the first chunk (offset 12); IEND closes the file
-                val iend = p.length >= 12 &&
-                  ascii(p.length - 8, "IEND")
-                ("png", true, ascii(12, "IHDR") && iend)
-              } else if (ascii(0, "RIFF") && ascii(8, "WAVE")) {
-                val riffLen = java.nio.ByteBuffer.wrap(p, 4, 4)
-                  .order(java.nio.ByteOrder.LITTLE_ENDIAN).getInt
-                ("wav", true, riffLen == p.length - 8)
-              } else if (ascii(0, "GIF8")) {
-                ("gif", true, (p(p.length - 1) & 0xff) == 0x3b)
-              } else ("unknown", false, false)
+            val (fmt, magicOk, structOk) = sniffContainer(p)
             ProbeRow(id, fmt, magicOk, structOk)
           }
         }

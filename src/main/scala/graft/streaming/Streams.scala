@@ -782,6 +782,36 @@ object Streams {
       }
   }
 
+  /** Streaming container-triage gate — the live front door of a
+    * multimodal ingest (the stream twin of `mm_container_probe`): each
+    * arriving blob is sniffed and structurally walked by the SAME byte
+    * inspection as the batch op ([[graft.operators.Multimodal
+    * .sniffContainer]] — one definition, so live routing and batch
+    * backfill can never disagree on what "valid" means), and the frame
+    * gains (sniffed_format, magic_ok, structure_ok, keep). Truncated,
+    * mislabeled, or unknown blobs flag keep=false BEFORE any codec
+    * worker is scheduled. Stateless — no watermark, no state store;
+    * the inspection is row-local bytes-in, verdict-out.
+    */
+  def containerGateStream(blobs: DataFrame): DataFrame = {
+    blobs.mapPartitions { it =>
+      it.map { row =>
+        val p = row.getAs[Array[Byte]]("payload")
+        val (fmt, magicOk, structOk) =
+          graft.operators.Multimodal.sniffContainer(p)
+        ContainerVerdict(row.getAs[Long]("doc_id"),
+          row.getAs[java.sql.Timestamp]("ts"),
+          fmt, magicOk, structOk, magicOk && structOk)
+      }
+    }(org.apache.spark.sql.Encoders.product[ContainerVerdict])
+      .toDF()
+  }
+
+  /** Output row of [[containerGateStream]]. */
+  final case class ContainerVerdict(
+      doc_id: Long, ts: java.sql.Timestamp, sniffed_format: String,
+      magic_ok: Boolean, structure_ok: Boolean, keep: Boolean)
+
   /** Streaming decontamination gate — the train-batch / score-stream
     * pattern for BENCHMARK LEAKAGE: the held-out benchmark corpus
     * (static) collapses to ONE row holding its distinct hashed word-

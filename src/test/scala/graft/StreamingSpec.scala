@@ -921,6 +921,38 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("container gate: real blobs keep, truncated and alien blobs flag") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[BlobEvent]
+    val png = graft.operators.Multimodal.synthPng(3L)
+    val wav = graft.operators.Multimodal.synthWav(4L)
+    val gif = graft.operators.Multimodal.synthGif(5L)
+    // corruption classes: truncated PNG (IEND gone), WAV whose RIFF size
+    // field lies (one byte chopped), and an alien blob
+    val cutPng = png.take(png.length - 10)
+    val lyingWav = wav.take(wav.length - 1)
+    val alien = "not a container at all".getBytes("UTF-8")
+    input.addData(
+      BlobEvent(1, ts(1), png), BlobEvent(2, ts(1), wav),
+      BlobEvent(3, ts(2), gif), BlobEvent(4, ts(2), cutPng),
+      BlobEvent(5, ts(3), lyingWav), BlobEvent(6, ts(3), alien))
+    val q = Streams.containerGateStream(input.toDF())
+      .writeStream.format("memory").queryName("containergate")
+      .outputMode("append").start()
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.table("containergate").collect()
+      .map(r => r.getLong(0) -> ((r.getString(2), r.getBoolean(3),
+        r.getBoolean(4), r.getBoolean(5)))).toMap
+    assert(rows(1L) == (("png", true, true, true)))
+    assert(rows(2L) == (("wav", true, true, true)))
+    assert(rows(3L) == (("gif", true, true, true)))
+    // magic still reads, the structural walk catches the damage
+    assert(rows(4L) == (("png", true, false, false)))
+    assert(rows(5L) == (("wav", true, false, false)))
+    assert(rows(6L) == (("unknown", false, false, false)))
+  }
+
   test("lsh dedup gate: stream keeps equal the batch incremental-dedup keeps") {
     implicit val sqlCtx = spark.sqlContext
     // the daily batch (doc_id % 5 = 0) arrives as a stream and probes the
@@ -1038,3 +1070,5 @@ final case class VecEvent(vec_id: Long, v: Seq[Double])
 
 /** Document arrival for the streaming LSH dedup gate spec. */
 final case class DocEvent(doc_id: Long, ts: Timestamp, text: String)
+
+final case class BlobEvent(doc_id: Long, ts: Timestamp, payload: Array[Byte])
