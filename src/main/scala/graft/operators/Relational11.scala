@@ -936,6 +936,94 @@ object Relational11 {
        |ORDER BY dow, mon""".stripMargin
   }
 
+  /** Period boundary for [[rankStability]] (the q_abc_migration split). */
+  private val RankSplitDate = "1998-01-01"
+
+  /** Rank stability of the part-revenue ordering between two calendar
+    * halves — the assortment-churn number behind `q_abc_migration`'s
+    * class view: for parts that sold in BOTH halves, Spearman's
+    * footrule Σ|r₁−r₂| (exact longs, normalized in ppm against the
+    * permutation maximum ⌊n²/2⌋) and Spearman's ρ = 1 − 6Σd²/(n(n²−1))
+    * with Σd² widened in DECIMAL(38,0) (n³ magnitudes pass 2⁶³ at
+    * catalog scale) and converted through the exact hi/lo split. A ρ
+    * near 1 says the ranking is stable and last period's ABC plan
+    * still holds; near 0 says re-plan.
+    *
+    * Scale: one fact aggregation to (period, part), and BOTH global
+    * rankings come from ONE fused range shuffle
+    * ([[Ranks.withGlobalRanksFused]]) — never an unpartitioned window
+    * over the part dimension.
+    */
+  def rankStability(t: Tables): DataFrame = {
+    val rev = t.lineitem
+      .withColumn("period",
+        when(col("l_shipdate").cast("date") < to_date(lit(RankSplitDate)),
+          "P1").otherwise("P2"))
+      .groupBy("period", "l_partkey")
+      .agg(sum((graft.functions.Exact.discPrice(
+        col("l_extendedprice"), col("l_discount")) * lit(1000000))
+        .cast(org.apache.spark.sql.types.DecimalType(19, 0)))
+        .cast("long").as("rev"))
+    val p1 = rev.where(col("period") === "P1")
+      .select(col("l_partkey"), col("rev").as("rev1"))
+    val p2 = rev.where(col("period") === "P2")
+      .select(col("l_partkey"), col("rev").as("rev2"))
+    val both = p1.join(p2, Seq("l_partkey"))
+    // one range shuffle ranks both orderings (rev desc, key asc ties)
+    val (ranked, _) = Ranks.withGlobalRanksFused(both, "l_partkey", Seq(
+      ("r1", -col("rev1").cast("double")),
+      ("r2", -col("rev2").cast("double"))))
+    val d38 = org.apache.spark.sql.types.DecimalType(38, 0)
+    ranked
+      .withColumn("d", col("r1") - col("r2"))
+      .agg(count(lit(1)).cast("long").as("n_parts"),
+        sum(abs(col("d"))).cast("long").as("footrule"),
+        sum((col("d").cast(d38) * col("d").cast(d38))).cast(d38).as("sd2"))
+      .select(col("n_parts"), col("footrule"),
+        expr("(footrule * 1000000L) div ((n_parts * n_parts) div 2)")
+          .as("footrule_norm_ppm"),
+        (lit(1.0) - lit(6.0) * graft.functions.Exact.decToDouble(col("sd2")) /
+          (col("n_parts").cast("double") *
+            (col("n_parts").cast("double") * col("n_parts").cast("double")
+              - lit(1.0)))).as("spearman_rho"))
+  }
+
+  /** Oracle: window ranks per half (exact integer revenues make the
+    * fused distributed rank equal), HUGEINT Σd² through the hi/lo
+    * split, identical fixed-order ρ expression.
+    */
+  val rankStabilitySql: String =
+    s"""WITH rev AS (
+       | SELECT CASE WHEN CAST(l_shipdate AS DATE) < DATE '$RankSplitDate'
+       |   THEN 'P1' ELSE 'P2' END AS period, l_partkey,
+       |  CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(12,2)) *
+       |    CAST(1 - CAST(l_discount AS DECIMAL(4,2)) AS DECIMAL(8,4))
+       |    * 1000000 AS DECIMAL(19,0))) AS BIGINT) AS rev
+       | FROM lineitem GROUP BY 1, 2),
+       |b AS (
+       | SELECT p1.l_partkey, p1.rev AS rev1, p2.rev AS rev2
+       | FROM (SELECT l_partkey, rev FROM rev WHERE period = 'P1') p1
+       | JOIN (SELECT l_partkey, rev FROM rev WHERE period = 'P2') p2
+       |  USING (l_partkey)),
+       |r AS (
+       | SELECT l_partkey,
+       |  CAST(ROW_NUMBER() OVER (ORDER BY rev1 DESC, l_partkey) AS BIGINT) AS r1,
+       |  CAST(ROW_NUMBER() OVER (ORDER BY rev2 DESC, l_partkey) AS BIGINT) AS r2
+       | FROM b),
+       |s AS (
+       | SELECT CAST(COUNT(*) AS BIGINT) AS n_parts,
+       |  CAST(SUM(ABS(r1 - r2)) AS BIGINT) AS footrule,
+       |  SUM(CAST(r1 - r2 AS HUGEINT) * (r1 - r2)) AS sd2
+       | FROM r)
+       |SELECT n_parts, footrule,
+       | (footrule * 1000000) // ((n_parts * n_parts) // 2)
+       |   AS footrule_norm_ppm,
+       | 1.0 - 6.0 * ${graft.functions.Exact.decToDoubleSql("sd2")} /
+       |  (CAST(n_parts AS DOUBLE) *
+       |   (CAST(n_parts AS DOUBLE) * CAST(n_parts AS DOUBLE) - 1.0))
+       |   AS spearman_rho
+       |FROM s""".stripMargin
+
   /** Units allocated by [[allocation]]. */
   private val AllocBudget = 1000000L
 

@@ -618,6 +618,35 @@ class Round12Spec extends SparkSpec {
     assert(rows.last.getBoolean(4) == q7 > 14.067140)
   }
 
+  test("rank stability: footrule and rho replay from driver-side ranks") {
+    val r = Relational11.rankStability(sf).collect().head
+    val rev = sf.lineitem
+      .withColumn("p", expr("CAST(l_shipdate AS DATE) < DATE'1998-01-01'"))
+      .groupBy("p", "l_partkey")
+      .agg(sum(expr(
+        "CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * " +
+          "CAST(1 - CAST(l_discount AS DECIMAL(4,2)) AS DECIMAL(8,4)) " +
+          "* 1000000 AS DECIMAL(19,0))")).cast("long").as("rev"))
+      .collect().map(x => (x.getBoolean(0), x.getLong(1), x.getLong(2)))
+    val p1 = rev.filter(_._1).map(x => x._2 -> x._3).toMap
+    val p2 = rev.filterNot(_._1).map(x => x._2 -> x._3).toMap
+    val keys = (p1.keySet intersect p2.keySet).toSeq
+    def ranks(m: Map[Long, Long]): Map[Long, Long] =
+      keys.sortBy(k => (-m(k), k)).zipWithIndex
+        .map { case (k, i) => k -> (i + 1L) }.toMap
+    val (r1, r2) = (ranks(p1), ranks(p2))
+    val n = keys.length.toLong
+    assert(r.getLong(0) == n)
+    val foot = keys.map(k => math.abs(r1(k) - r2(k))).sum
+    assert(r.getLong(1) == foot)
+    assert(r.getLong(2) == foot * 1000000L / (n * n / 2))
+    val sd2 = keys.map(k => (r1(k) - r2(k)).toDouble *
+      (r1(k) - r2(k))).sum
+    val rho = 1.0 - 6.0 * sd2 / (n.toDouble * (n.toDouble * n - 1.0))
+    assert(math.abs(r.getDouble(3) - rho) < 1e-9)
+    assert(r.getDouble(3) >= -1.0 - 1e-12 && r.getDouble(3) <= 1.0 + 1e-12)
+  }
+
   test("luma histogram: pixel accounting and impurity replay") {
     val rows = Multimodal.lumaHistogram(sf).collect()
     assert(rows.length > 100)
