@@ -195,9 +195,12 @@ object Embeddings {
     */
   def pqEncode(t: Tables): DataFrame = {
     import graft.functions.DotProduct
+    // localCheckpoint, not persist: a cacheManager entry would build the
+    // result as a CACHED plan (AQE re-planning restricted) and leak past
+    // the query; pinned RDD blocks give the same reuse without either
     val vecs = t.embeddings
       .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
-      .persist()
+      .localCheckpoint(true)
     val cents = trainPqShared(t, vecs)
     val out = withBest(cents)(subExplode(vecs))
       .withColumn("dt", col("best.d") + DotProduct(col("sv"), col("sv")))
@@ -212,7 +215,6 @@ object Embeddings {
         ((sum(col("dt").cast(DecimalType(38, 30))).cast("double") /
           lit(PqSubs * PqDims)).cast(DecimalType(24, 12)).cast("double")).as("mse"))
       .orderBy("vec_id")
-    vecs.unpersist(false)
     out
   }
 
@@ -399,17 +401,17 @@ object Embeddings {
   }
 
   def pqAdcTopK(t: Tables): DataFrame = {
+    // localCheckpoint, not persist — same cached-plan/AQE rationale as
+    // [[pqEncode]]; two consumers (query subvectors + corpus explode)
     val vecs = t.embeddings
       .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
-      .persist()
+      .localCheckpoint(true)
     val cents = trainPqShared(t, vecs)
     val qsubs = querySubvectors(vecs)
-    val out = adcScores(
+    adcScores(
         subExplode(vecs.where(col("vec_id") =!= 0)), qsubs, cents)
       .orderBy(col("adc_dist"), col("vec_id"))
       .limit(AdcTopK)
-    vecs.unpersist(false)
-    out
   }
 
   /** Oracle: the shared PQ CTE replay plus the ADC scoring — query

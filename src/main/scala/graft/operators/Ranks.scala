@@ -117,6 +117,92 @@ object Ranks {
     (ranked, total)
   }
 
+  /** Exact global PREFIX AGGREGATES (running sum / running min in sort
+    * order) without an unpartitioned window — the scan twin of
+    * [[withGlobalRank]] for cumulative-CDF / running-extremum shapes.
+    *
+    * Same two-level mechanics: range-repartition on the sort key, run
+    * the window locally PARTITIONED BY the physical partition id, then
+    * combine each partition's local value with a driver-computed
+    * exclusive prefix over the per-partition totals (one bounded
+    * collect: #partitions rows), rejoined as a broadcast. For `sum` the
+    * combine is `local + offset`; for `min` it is a null-skipping
+    * `least(local, offset)` (Spark's `least` ignores nulls, so the
+    * global first rows keep the exclusive-window NULL contract).
+    *
+    * `aggs` entries are `(outCol, valueCol, fn, inclusive)` with
+    * `fn ∈ {sum, min}`; values are cast to long (all call sites carry
+    * exact integer micros/counts). `inclusive=false` gives the
+    * `ROWS UNBOUNDED PRECEDING TO 1 PRECEDING` frame (NULL on each
+    * partition-0 first row, exactly like the single-partition window it
+    * replaces). Sort keys must be unique per row — same determinism
+    * contract as [[withGlobalRank]].
+    */
+  def withGlobalPrefixAggs(df: DataFrame, sortCols: Seq[Column],
+                           aggs: Seq[(String, Column, String, Boolean)]): DataFrame = {
+    require(aggs.nonEmpty)
+    val sorted = df
+      .repartitionByRange(sortCols: _*)
+      .withColumn("_pid", spark_partition_id())
+    val base = Window.partitionBy("_pid").orderBy(sortCols: _*)
+    val wIncl = base.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wExcl = base.rowsBetween(Window.unboundedPreceding, -1)
+    val withLocal = aggs.zipWithIndex.foldLeft(sorted) {
+      case (acc, ((_, value, fn, inclusive), i)) =>
+        val w = if (inclusive) wIncl else wExcl
+        val c = fn match {
+          case "sum" => sum(value.cast("long")).over(w)
+          case "min" => min(value.cast("long")).over(w)
+          case other => throw new IllegalArgumentException(s"fn=$other")
+        }
+        acc.withColumn(s"_loc$i", c)
+    }
+    val pinned = withLocal.localCheckpoint(true)
+    // per-partition totals: #partitions rows — bounded driver state
+    val totAggs = aggs.zipWithIndex.map { case ((_, value, fn, _), i) =>
+      (fn match {
+        case "sum" => sum(value.cast("long"))
+        case _     => min(value.cast("long"))
+      }).as(s"_t$i")
+    }
+    val totals = pinned.groupBy("_pid").agg(totAggs.head, totAggs.tail: _*)
+      .collect().map(r => (r.getInt(0), aggs.indices.map(i => r.getLong(i + 1))))
+      .sortBy(_._1)
+    // exclusive prefix across partitions, per aggregate
+    val offsets = scala.collection.mutable.ArrayBuffer.empty[(Int, Seq[Option[Long]])]
+    val acc = Array.fill[Option[Long]](aggs.size)(None)
+    totals.foreach { case (pid, vals) =>
+      offsets += ((pid, acc.toSeq))
+      aggs.zipWithIndex.foreach { case ((_, _, fn, _), i) =>
+        acc(i) = fn match {
+          case "sum" => Some(acc(i).getOrElse(0L) + vals(i))
+          case _     => Some(acc(i).fold(vals(i))(math.min(_, vals(i))))
+        }
+      }
+    }
+    val spark = df.sparkSession
+    import spark.implicits._
+    val offsetDf = offsets.toSeq
+      .map { case (pid, os) => (pid, os.map(_.map(Long.box).orNull)) }
+      .toDF("_pid", "_os")
+    val combined = aggs.zipWithIndex.foldLeft(
+      pinned.join(broadcast(offsetDf), Seq("_pid"))) {
+      case (acc2, ((out, _, fn, _), i)) =>
+        val off = col("_os").getItem(i)
+        val c = fn match {
+          case "sum" => coalesce(col(s"_loc$i"), lit(0L)) + coalesce(off, lit(0L))
+          case _     => least(col(s"_loc$i"), off) // null-skipping by contract
+        }
+        // an all-null exclusive-sum (global first row, no offset) must
+        // stay NULL like the window it replaces, not become 0
+        val guarded = if (fn == "sum")
+          when(col(s"_loc$i").isNull && off.isNull, lit(null)).otherwise(c)
+        else c
+        acc2.withColumn(out, guarded)
+    }
+    combined.drop("_pid" +: "_os" +: aggs.indices.map(i => s"_loc$i"): _*)
+  }
+
   /** Exact SQL NTILE(k) from a 1-based global rank over `total` rows:
     * with q = total div k and r = total mod k, the FIRST r buckets get
     * q+1 rows and the rest q — so ranks ≤ r·(q+1) land in bucket

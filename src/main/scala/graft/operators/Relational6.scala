@@ -268,18 +268,20 @@ object Relational6 {
     * n² dominance test collapses to sort-order algebra: group to one row
     * per price (min size), take the running minimum over STRICTLY
     * cheaper prices, and a part survives iff it has its price group's
-    * minimal size and beats that running minimum. The only global
-    * ordering runs over DISTINCT prices (bounded by price cardinality,
-    * not row count); rows themselves just equi-join back on price. The
-    * oracle runs the literal NOT EXISTS dominance scan, so the rewrite
-    * is what's verified.
+    * minimal size and beats that running minimum. The running minimum
+    * rides the distributed two-level prefix scan
+    * ([[Ranks.withGlobalPrefixAggs]]: range repartition + local window
+    * + broadcast offsets) — the distinct-price domain never funnels
+    * through one task; rows themselves just equi-join back on price.
+    * The oracle runs the literal NOT EXISTS dominance scan, so the
+    * rewrite is what's verified.
     */
   def skyline(t: Tables): DataFrame = {
     val perPrice = t.part.groupBy("p_retailprice")
       .agg(min(col("p_size")).as("grp_min"))
-    val w = Window.orderBy("p_retailprice")
-      .rowsBetween(Window.unboundedPreceding, -1)
-    val withPrev = perPrice.withColumn("prev_min", min(col("grp_min")).over(w))
+    val withPrev = Ranks.withGlobalPrefixAggs(perPrice,
+      Seq(col("p_retailprice")),
+      Seq(("prev_min", col("grp_min"), "min", false)))
     t.part.join(withPrev, Seq("p_retailprice"))
       .where(col("p_size") === col("grp_min") &&
         (col("prev_min").isNull || col("prev_min") > col("p_size")))

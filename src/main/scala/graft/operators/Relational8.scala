@@ -218,9 +218,10 @@ object Relational8 {
     * the argmax runs on exact longs and the single division happens
     * once at the end. CDFs step at DISTINCT values (per-value group
     * counts first — evaluating mid-tie would manufacture spurious
-    * gaps). The cumulative window runs over one row per distinct
-    * part-revenue value (dim-bounded, the skyline/ABC precedent); the
-    * heavy pass is the one fact aggregation.
+    * gaps). The cumulative counts ride the distributed two-level
+    * prefix scan ([[Ranks.withGlobalPrefixAggs]]) — the distinct-value
+    * domain never funnels through one task; the heavy pass is the one
+    * fact aggregation.
     */
   def ksTest(t: Tables): DataFrame = {
     val perPart = t.lineitem
@@ -234,11 +235,11 @@ object Relational8 {
       .agg(sum(col("promo")).as("a"), sum(lit(1L) - col("promo")).as("b"))
     val tot = perPart.agg(
       sum(col("promo")).as("n1"), sum(lit(1L) - col("promo")).as("n2"))
-    val w = org.apache.spark.sql.expressions.Window.orderBy("units")
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    byValue
-      .withColumn("c1", sum(col("a")).over(w))
-      .withColumn("c2", sum(col("b")).over(w))
+    // cumulative CDF counts via the distributed two-level prefix scan
+    // (range repartition + local window + broadcast offsets) — never an
+    // unpartitioned window over the distinct-value domain
+    Ranks.withGlobalPrefixAggs(byValue, Seq(col("units")),
+        Seq(("c1", col("a"), "sum", true), ("c2", col("b"), "sum", true)))
       .crossJoin(broadcast(tot))
       .withColumn("diff", abs(col("c1") * col("n2") - col("c2") * col("n1")))
       .groupBy()
@@ -296,7 +297,7 @@ object Relational8 {
     * longs and U₂ = 2U = Σ2R₁ − n₁(n₁+1) stays integral; the normal
     * z-score divides once in double (no tie-variance correction — the
     * classic large-sample form, stated in the column name). Same
-    * dim-bounded distinct-value window as the KS scan; one fact
+    * distributed two-level prefix scan as the KS CDF; one fact
     * aggregation does the heavy lifting.
     */
   def mannWhitney(t: Tables): DataFrame = {
@@ -309,12 +310,13 @@ object Relational8 {
       .withColumn("promo", (col("p_type") === "PROMO").cast("long"))
     val byValue = perPart.groupBy("units")
       .agg(sum(col("promo")).as("a"), count(lit(1)).as("c"))
-    val w = org.apache.spark.sql.expressions.Window.orderBy("units")
-      .rowsBetween(Window.unboundedPreceding, -1)
     val tot = perPart.agg(
       sum(col("promo")).as("n1"), sum(lit(1L) - col("promo")).as("n2"))
-    byValue
-      .withColumn("s", coalesce(sum(col("c")).over(w), lit(0L)))
+    // exclusive predecessor counts via the distributed two-level prefix
+    // scan — same scale contract as [[ksTest]]'s CDF
+    Ranks.withGlobalPrefixAggs(byValue, Seq(col("units")),
+        Seq(("_s0", col("c"), "sum", false)))
+      .withColumn("s", coalesce(col("_s0"), lit(0L)))
       .withColumn("r2", col("a") * (lit(2L) * col("s") + col("c") + lit(1L)))
       .groupBy()
       .agg(sum(col("r2")).as("sum2r1"))

@@ -415,21 +415,26 @@ object Relational9 {
   /** Equi-DEPTH histogram of per-part revenue (deciles by part count):
     * each bucket holds ~the same number of parts, exposing the shape
     * equi-width buckets flatten (one whale makes 9 empty width
-    * buckets). NTILE over the one-row-per-part aggregate (dim-bounded
-    * window, the ABC precedent); per bucket: exact part count, integer
-    * micro bounds, and exact decimal revenue share surfaced as one
-    * double division. NTILE's remainder rule (first buckets get the
-    * extra rows) is identical in both engines; (units, partkey)
-    * ordering makes bucket assignment deterministic under ties.
+    * buckets). Bucket assignment rides the DISTRIBUTED two-level rank
+    * ([[Ranks.withGlobalRank]]: range repartition + local rank +
+    * broadcast offsets) plus [[Ranks.ntileOf]]'s exact remainder rule —
+    * no single-partition NTILE window ever materializes the part
+    * dimension in one task. Per bucket: exact part count, integer micro
+    * bounds, and exact decimal revenue share surfaced as one double
+    * division. NTILE's remainder rule (first buckets get the extra
+    * rows) is identical in both engines; (units, partkey) ordering
+    * makes bucket assignment deterministic under ties.
     */
   def equidepthHist(t: Tables): DataFrame = {
     val perPart = t.lineitem
       .groupBy("l_partkey")
       .agg((sum(discPrice(col("l_extendedprice"), col("l_discount")))
         * 1000000).cast("long").as("units"))
-    val w = Window.orderBy(col("units"), col("l_partkey"))
-    perPart
-      .withColumn("bucket", ntile(EqDepthBuckets).over(w).cast("long"))
+    val (ranked, total) = Ranks.withGlobalRank(
+      perPart, "_grk", col("units"), col("l_partkey"))
+    ranked
+      .withColumn("bucket",
+        Ranks.ntileOf(EqDepthBuckets, col("_grk"), total).cast("long"))
       .groupBy("bucket")
       .agg(
         count(lit(1)).as("n_parts"),
