@@ -144,6 +144,123 @@ object Graph {
       .orderBy(col("rank_femto").desc, col("p_partkey"))
   }
 
+  /** PERSONALIZED PageRank over the same repeat-co-purchase network —
+    * the "also bought for THIS customer" recommendation surface: the
+    * teleport distribution concentrates on one customer's purchased
+    * parts (the customer holding the MOST distinct graph-node parts,
+    * tie-broken by min custkey — a deterministic, plan-side pick), so
+    * rank mass diffuses outward from their basket instead of spreading
+    * uniformly. Same one-join + one-aggregation superstep as
+    * [[pageRank]]; the per-receiver teleport mass rides the edge
+    * relation exactly like the receiver degree, so the loop body is
+    * unchanged in shape. Seed = the teleport distribution itself
+    * (`Mass div |S|` on teleport nodes, 0 elsewhere); update
+    * `r_v = (15·tm_v) div 100 + (85·Σ r_u div d_u) div 100` in exact
+    * femto-longs, replayed verbatim by the unrolled-CTE oracle.
+    *
+    * Scale: the customer-parts frame semi-joins the fact table against
+    * the BROADCAST node set (the support-mined graph is orders of
+    * magnitude smaller than the part dimension); the top-1 customer is
+    * a TakeOrdered, never a driver sort.
+    */
+  def personalPageRank(t: Tables): DataFrame = {
+    val edges = edgesShared(t)
+    val deg = edges.groupBy("u").agg(count(lit(1)).as("d"))
+    // distinct (customer, part) pairs restricted to graph nodes
+    val cparts = t.orders.select(col("o_custkey"), col("o_orderkey"))
+      .join(t.lineitem.select(col("l_orderkey"), col("l_partkey")),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(deg.select(col("u").as("gn"))), col("l_partkey") === col("gn"))
+      .select(col("o_custkey"), col("l_partkey")).distinct()
+    val pick = cparts.groupBy("o_custkey").agg(count(lit(1)).as("np"))
+      .orderBy(col("np").desc, col("o_custkey")).limit(1)
+      .select(col("o_custkey").as("pc"))
+    val tele = cparts.join(broadcast(pick), col("o_custkey") === col("pc"))
+      .select(col("l_partkey").as("tnode"))
+    val sRow = tele.agg(count(lit(1)).as("s"))
+    // per-node teleport mass: Mass div |S| on teleport nodes, else 0
+    val tm = deg.join(tele, col("u") === col("tnode"), "left")
+      .crossJoin(broadcast(sRow))
+      .select(col("u").as("node"), col("d"),
+        when(col("tnode").isNotNull, expr(s"${Mass}L div s"))
+          .otherwise(lit(0L)).as("tm"))
+    // receiver degree AND receiver teleport mass ride the edges
+    val edgesD = edges
+      .join(tm.select(col("node").as("dv"), col("d").as("vd"),
+        col("tm").as("vtm")), col("v") === col("dv"))
+      .select(col("u"), col("v"), col("vd"), col("vtm"))
+      .localCheckpoint(true)
+    var ranks = tm.select(col("node"), col("d"), col("tm").as("r"))
+    for (i <- 1 to Iters) {
+      val contrib = ranks.select(col("node").as(s"cu$i"),
+        expr("r div d").as(s"c$i"))
+      ranks = edgesD.join(contrib, col("u") === col(s"cu$i"))
+        .groupBy(col("v"))
+        .agg(sum(col(s"c$i")).as(s"s$i"), first(col("vd")).as("d"),
+          first(col("vtm")).as("tm"))
+        .select(col("v").as("node"), col("d"),
+          expr(s"(15L * tm) div 100L + (85L * s$i) div 100L").as("r"),
+          col("tm"))
+        .select(col("node"), col("d"), col("r"), col("tm"))
+    }
+    ranks
+      .select(col("node").as("p_partkey"),
+        (col("tm") > 0).cast("long").as("in_teleport"),
+        col("r").as("rank_femto"),
+        (col("r").cast("double") / lit(1e15)).as("rank"))
+      .orderBy(col("rank_femto").desc, col("p_partkey"))
+  }
+
+  /** Oracle: the personalized teleport pick + five unrolled supersteps
+    * as CTEs — the [[pageRankSql]] convention with the per-receiver
+    * teleport mass joined in place of the uniform share.
+    */
+  val personalPageRankSql: String = {
+    val mass = Mass.toString
+    def iter(i: Int, prev: String): String =
+      s"""it$i AS (
+         |  SELECT e.v AS node,
+         |    CAST((15 * tmv.tm) // 100
+         |      + (85 * SUM(r.r // deg.d)) // 100 AS BIGINT) AS r
+         |  FROM edges e JOIN $prev r ON r.node = e.u
+         |  JOIN deg ON deg.u = e.u
+         |  JOIN tm tmv ON tmv.node = e.v
+         |  GROUP BY e.v, tmv.tm)""".stripMargin
+    val iters = (1 to Iters).map(i => iter(i, if (i == 1) "r0" else s"it${i - 1}"))
+      .mkString(",\n")
+    s"""WITH items AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+       |cp AS (
+       |  SELECT a.l_partkey AS a, b.l_partkey AS b
+       |  FROM items a JOIN items b
+       |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+       |  GROUP BY 1, 2 HAVING COUNT(*) >= $EdgeSupport),
+       |edges AS (SELECT a AS u, b AS v FROM cp
+       |          UNION ALL SELECT b AS u, a AS v FROM cp),
+       |deg AS (SELECT u, CAST(COUNT(*) AS BIGINT) AS d FROM edges GROUP BY u),
+       |cparts AS (
+       |  SELECT DISTINCT o.o_custkey, l.l_partkey
+       |  FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+       |  JOIN deg ON deg.u = l.l_partkey),
+       |pick AS (SELECT o_custkey FROM cparts GROUP BY 1
+       |         ORDER BY COUNT(*) DESC, o_custkey LIMIT 1),
+       |tele AS (SELECT c.l_partkey AS tnode FROM cparts c
+       |         JOIN pick p ON p.o_custkey = c.o_custkey),
+       |ts AS (SELECT CAST(COUNT(*) AS BIGINT) AS s FROM tele),
+       |tm AS (
+       |  SELECT deg.u AS node,
+       |    CAST(CASE WHEN tele.tnode IS NOT NULL
+       |      THEN $mass // ts.s ELSE 0 END AS BIGINT) AS tm
+       |  FROM deg LEFT JOIN tele ON tele.tnode = deg.u, ts),
+       |r0 AS (SELECT node, tm AS r FROM tm),
+       |$iters
+       |SELECT f.node AS p_partkey,
+       |  CAST(CASE WHEN tmf.tm > 0 THEN 1 ELSE 0 END AS BIGINT) AS in_teleport,
+       |  f.r AS rank_femto,
+       |  CAST(f.r AS DOUBLE) / 1e15 AS rank
+       |FROM it$Iters f JOIN tm tmf ON tmf.node = f.node
+       |ORDER BY rank_femto DESC, p_partkey""".stripMargin
+  }
+
   /** Per-node triangle count + local clustering coefficient over the
     * same repeat-co-purchase network as [[pageRank]] — the cohesion
     * analytics (how clique-like is each part's neighbourhood). The
