@@ -1063,6 +1063,70 @@ class StreamingSpec extends SparkSpec {
     stream.zip(batch).foreach { case (sv, bv) => assert(sv == bv, s"$sv vs $bv") }
     assert(stream.exists(_._4) && stream.exists(!_._4))
   }
+
+  test("foreachBatch monitors: replaying batch 0 with the same batchId is idempotent") {
+    implicit val sqlCtx = spark.sqlContext
+    // the restart contract the batch-id-partitioned overwrites exist
+    // for, made load-bearing: run batch 0, delete its COMMIT marker
+    // (the crash window between the sink writes and the commit-log
+    // write), restart from the same checkpoint with a fresh source
+    // holding the same data — Spark re-executes batch 0 with the SAME
+    // batchId, and every monitor/sink table must come out unchanged
+    // (an append-mode sink would double its rows here)
+    def replayed(name: String,
+        mk: org.apache.spark.sql.DataFrame => org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row],
+        data: Seq[Event], tables: Seq[String]): Unit = {
+      val ckpt = java.nio.file.Files.createTempDirectory(s"replay-$name")
+        .toString + "/ckpt"
+      def runOnce(): Unit = {
+        val input = MemoryStream[Event]
+        input.addData(data: _*)
+        val q = mk(input.toDF()).option("checkpointLocation", ckpt).start()
+        q.processAllAvailable(); q.stop(); q.awaitTermination()
+      }
+      def snapshot(): Seq[Seq[String]] = tables.map { t =>
+        spark.read.parquet(t).collect().map(_.toString).sorted.toSeq
+      }
+      runOnce()
+      val before = snapshot()
+      assert(before.exists(_.nonEmpty), s"$name wrote nothing")
+      assert(new java.io.File(s"$ckpt/commits/0").delete(),
+        s"$name: no commit marker to drop")
+      // the local-FS checksum sidecar must go with it, or the replay's
+      // commit rename trips FileAlreadyExistsException
+      new java.io.File(s"$ckpt/commits/.0.crc").delete()
+      runOnce()
+      assert(snapshot() == before, s"$name: replay changed a table")
+    }
+
+    val dq = java.nio.file.Files.createTempDirectory("replay-out-q").toString
+    replayed("quarantine",
+      df => Streams.quarantineStream(df, s"$dq/good", s"$dq/bad"),
+      Seq(Event(1, ts(0), "view", 10.0), Event(2, ts(1), "error", 10.0),
+        Event(3, ts(2), "purchase", 99.5)),
+      Seq(s"$dq/good", s"$dq/bad"))
+
+    val dd = java.nio.file.Files.createTempDirectory("replay-out-d").toString
+    replayed("drift",
+      df => Streams.driftGateStream(df,
+        Map("view" -> 0.5, "click" -> 0.5), s"$dd/drift"),
+      Seq(Event(1, ts(0), "view", 1.0), Event(2, ts(1), "click", 2.0),
+        Event(3, ts(2), "error", 3.0)),
+      Seq(s"$dd/drift"))
+
+    val ds = java.nio.file.Files.createTempDirectory("replay-out-s").toString
+    replayed("srm",
+      df => Streams.srmGateStream(df, s"$ds/srm"),
+      (1 to 12).map(i => Event(i.toLong, ts(1), "click", 1.0)) ++
+        (1 to 6).map(i => Event(i.toLong, ts(2), "view", 1.0)),
+      Seq(s"$ds/srm"))
+
+    val dl = java.nio.file.Files.createTempDirectory("replay-out-l").toString
+    replayed("latetap",
+      df => Streams.lateDataTapStream(df, s"$dl/tap"),
+      Seq(Event(1, ts(0), "a", 1.0), Event(2, ts(30), "b", 1.0)),
+      Seq(s"$dl/tap/kept", s"$dl/tap/monitor"))
+  }
 }
 
 /** Embedding arrival for the streaming ANN gate spec. */
