@@ -257,6 +257,29 @@ class MultimodalSpec extends SparkSpec {
     assert(png.take(8).toSeq == Seq(0x89, 0x50, 0x4E, 0x47, 0x0D, 0x0A, 0x1A, 0x0A).map(_.toByte))
   }
 
+  test("decode_jpeg runs the real lossy codec: dims exact, luma mean in band, deterministic") {
+    val got = Multimodal.decodeJpeg(sf).collect()
+      .map(r => r.getLong(0) -> ((r.getInt(1), r.getInt(2), r.getInt(3), r.getLong(4))))
+      .toMap
+    assert(got.size == sf.documents.count().toInt)
+    got.foreach { case (id, (w, h, ch, lumaMilli)) =>
+      val (ew, eh) = (16 + (id % 17).toInt, 16 + ((id * 5) % 17).toInt)
+      assert(w == ew && h == eh && ch == 3, s"doc $id dims/channels")
+      // lossy band: decoded mean luma within 2 luma units (2000 milli)
+      // of the synthesis raster's mean — gradients survive DCT well
+      val src = Multimodal.synthJpegRaster(id)
+      val expected = Multimodal.lumaMilliSum(src) / (ew.toLong * eh)
+      assert(math.abs(lumaMilli - expected) <= 2000,
+        s"doc $id luma: decoded $lumaMilli vs source $expected")
+    }
+    // the payload really is JPEG: SOI + JFIF/EXIF marker, decodable standalone
+    val jpg = Multimodal.synthJpeg(3L)
+    assert((jpg(0) & 0xFF) == 0xFF && (jpg(1) & 0xFF) == 0xD8, "JPEG SOI magic")
+    // determinism: the encode→decode pipeline is replayable
+    val again = Multimodal.decodeJpeg(sf).collect().map(_.toString).sorted
+    assert(again.sameElements(Multimodal.decodeJpeg(sf).collect().map(_.toString).sorted))
+  }
+
   test("scene_cuts_real decodes every GIF frame and replays cuts from the scene formula") {
     val got = Multimodal.sceneCutsReal(sf).collect()
       .map(r => r.getLong(0) ->
