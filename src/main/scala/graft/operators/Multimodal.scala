@@ -731,6 +731,87 @@ object Multimodal {
       |FROM p JOIN s ON p.doc_id = s.doc_id
       |ORDER BY p.doc_id""".stripMargin
 
+  final case class GradientStats(
+      doc_id: Long, width: Int, height: Int, grad_energy: Long)
+
+  /** Gradient energy (sharpness / edge-content proxy) of each decoded
+    * raster: Σ |Δluma_x| + Σ |Δluma_y| in exact integer milli-luma
+    * (299R+587G+114B) over the REAL-codec decode of the deterministic
+    * PNG — the blur/flat-image screen a production image-curation
+    * pipeline runs after decode (low energy ⇒ flat or defocused).
+    * PNG losslessness means the decoded raster equals the synthesis
+    * formula, so the oracle replays the exact energy from the pixel
+    * formulas while the registered query exercises the codec —
+    * the [[decodePng]] contract applied to a neighbor-difference
+    * statistic. Row-local; the only shuffle is the final sort.
+    */
+  def gradientEnergy(t: Tables): DataFrame = {
+    val spark = t.spark
+    import spark.implicits._
+    codecIds(t)
+      .mapPartitions { it =>
+        it.grouped(BatchSize).flatMap { batch =>
+          batch.map { id =>
+            val img = javax.imageio.ImageIO.read(
+              new java.io.ByteArrayInputStream(synthPng(id)))
+            require(img != null, s"doc $id: synthesized PNG failed to decode")
+            val w = img.getWidth; val h = img.getHeight
+            def luma(x: Int, y: Int): Long = {
+              val rgb = img.getRGB(x, y)
+              299L * ((rgb >> 16) & 0xFF) + 587L * ((rgb >> 8) & 0xFF) +
+                114L * (rgb & 0xFF)
+            }
+            var e = 0L
+            var y = 0
+            while (y < h) {
+              var x = 0
+              while (x < w) {
+                if (x > 0) e += math.abs(luma(x, y) - luma(x - 1, y))
+                if (y > 0) e += math.abs(luma(x, y) - luma(x, y - 1))
+                x += 1
+              }
+              y += 1
+            }
+            GradientStats(id, w, h, e)
+          }
+        }
+      }
+      .toDF()
+      .orderBy("doc_id")
+  }
+
+  /** Oracle for [[gradientEnergy]]: the pixel formula differentiated
+    * directly — luma(x,y) and luma(x−1,y)/luma(x,y−1) are both closed
+    * forms of (doc, x, y), so the energy sums with no join.
+    */
+  val gradientEnergySql: String =
+    """WITH p AS (
+      |  SELECT doc_id, 8 + doc_id % 9 AS w, 8 + (doc_id * 3) % 9 AS h
+      |  FROM documents),
+      |xs AS (SELECT doc_id, w, h, unnest(range(0, w)) AS x FROM p),
+      |xy AS (SELECT doc_id, w, h, x, unnest(range(0, h)) AS y FROM xs),
+      |l AS (
+      |  SELECT doc_id, w, h, x, y,
+      |    299 * ((doc_id + 7*x + 13*y) % 256)
+      |      + 587 * ((2*doc_id + 11*x + 3*y) % 256)
+      |      + 114 * ((3*doc_id + 5*x + 17*y) % 256) AS lum,
+      |    CASE WHEN x > 0 THEN
+      |      299 * ((doc_id + 7*(x-1) + 13*y) % 256)
+      |        + 587 * ((2*doc_id + 11*(x-1) + 3*y) % 256)
+      |        + 114 * ((3*doc_id + 5*(x-1) + 17*y) % 256) END AS lum_l,
+      |    CASE WHEN y > 0 THEN
+      |      299 * ((doc_id + 7*x + 13*(y-1)) % 256)
+      |        + 587 * ((2*doc_id + 11*x + 3*(y-1)) % 256)
+      |        + 114 * ((3*doc_id + 5*x + 17*(y-1)) % 256) END AS lum_u
+      |  FROM xy)
+      |SELECT doc_id,
+      |  CAST(MIN(w) AS INT) AS width,
+      |  CAST(MIN(h) AS INT) AS height,
+      |  CAST(SUM(COALESCE(abs(lum - lum_l), 0)
+      |    + COALESCE(abs(lum - lum_u), 0)) AS BIGINT) AS grad_energy
+      |FROM l GROUP BY doc_id
+      |ORDER BY doc_id""".stripMargin
+
   final case class JpegStats(
       doc_id: Long, width: Int, height: Int, channels: Int, luma_milli: Long)
 

@@ -366,4 +366,65 @@ object Sampling {
        |WHERE rk <= $NegK
        |ORDER BY user_id, draw, neg_part""".stripMargin
   }
+
+  /** Horvitz–Thompson weight scale: inclusion probability
+    * p = min(1, n_chars / HtScale) — long documents are (near-)certain,
+    * short ones enter with probability ∝ length.
+    */
+  private val HtScale = 600.0
+
+  /** Horvitz–Thompson estimation audit: sample documents with
+    * length-proportional inclusion probability (hash-decided, shuffle-
+    * free, rerun-exact) and compare the HT estimator Σ nᵢ/pᵢ of total
+    * characters per source against the TRUE total — the design-based
+    * "is my weighted sample unbiased" check every sampled-pipeline
+    * report needs. Per-source true totals are exact integer sums; the
+    * HT sum accumulates its double terms through a scale-30 decimal
+    * (order-independent) with the portable 12-decimal final rounding,
+    * so both engines hash-match. One scan, one groupBy on the source
+    * dim.
+    */
+  def horvitzThompson(t: Tables): DataFrame = {
+    // p = min(1, n/S) makes the HT term n/p ALGEBRAICALLY greatest(n, S)
+    // — computed that way it is an exact integer (S integral), so the
+    // estimator is an exact long sum instead of a double accumulation
+    // (the numeric n/(n/S) round-trip loses ulps that differ at the
+    // decimal seam). Only the keep DECISION touches doubles, and that
+    // double formula is identical in both engines.
+    val scored = t.documents
+      .withColumn("p_keep",
+        least(lit(1.0), col("n_chars").cast("double") / lit(HtScale)))
+      .withColumn("kept", (unitHash(col("doc_id")) < col("p_keep")).cast("long"))
+      .withColumn("ht_term",
+        col("kept") * greatest(col("n_chars"), lit(HtScale.toLong)))
+    scored.groupBy("source")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("kept")).as("n_kept"),
+        sum(col("n_chars")).as("true_chars"),
+        sum(col("ht_term")).cast("double").as("ht_estimate"))
+      .withColumn("rel_err",
+        (col("ht_estimate") - col("true_chars").cast("double")) /
+          col("true_chars").cast("double"))
+      .orderBy("source")
+  }
+
+  val horvitzThompsonSql: String = {
+    val u = unitHashSqlFmt.format("doc_id")
+    s"""WITH scored AS (
+       | SELECT source, n_chars,
+       |  CASE WHEN $u < LEAST(1.0, CAST(n_chars AS DOUBLE) / $HtScale)
+       |    THEN 1 ELSE 0 END AS kept
+       | FROM documents)
+       |SELECT source,
+       | CAST(COUNT(*) AS BIGINT) AS n_docs,
+       | CAST(SUM(kept) AS BIGINT) AS n_kept,
+       | CAST(SUM(n_chars) AS BIGINT) AS true_chars,
+       | CAST(SUM(kept * GREATEST(n_chars, ${HtScale.toLong})) AS DOUBLE)
+       |   AS ht_estimate,
+       | (CAST(SUM(kept * GREATEST(n_chars, ${HtScale.toLong})) AS DOUBLE)
+       |   - CAST(SUM(n_chars) AS DOUBLE)) / CAST(SUM(n_chars) AS DOUBLE)
+       |   AS rel_err
+       |FROM scored GROUP BY 1 ORDER BY 1""".stripMargin
+  }
 }

@@ -534,4 +534,68 @@ object TextAnalysis3 {
        |   frac_consrun <= $OcrMaxConsRunFrac AND
        |   frac_nonalpha <= $OcrMaxNonAlphaFrac AS keep
        |FROM m ORDER BY doc_id""".stripMargin
+
+  /** Per-source unigram KL divergence from the corpus distribution —
+    * KL(p_src ‖ p_corpus) = Σ_t (c_st/T_s)·ln(c_st·T / (T_s·C_t)),
+    * the "which ingestion source drifted off the corpus language" score
+    * a mixture curator watches (a source whose token distribution
+    * diverges is re-weighted or quarantined before it skews training).
+    * The heavy pass is one token explode; everything after runs on
+    * (source × vocab)-bounded count frames. Every count is an exact
+    * long; each KL term is a fixed double formula of four longs
+    * (identical in both engines), and the term sum rides a scale-30
+    * decimal with the portable 12-decimal final rounding.
+    */
+  def klSourceDrift(t: Tables): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val toks = t.documents
+      .select(col("source"), explode(split(col("text"), " ")).as("token"))
+      .where(length(col("token")) > 0)
+    val st = toks.groupBy("source", "token").agg(count(lit(1)).as("c_st"))
+      .localCheckpoint(true)
+    val srcTot = st.groupBy("source").agg(sum(col("c_st")).as("t_s"))
+    val tokTot = st.groupBy("token").agg(sum(col("c_st")).as("c_t"))
+    val tot = st.agg(sum(col("c_st")).as("t"))
+    st
+      .join(broadcast(srcTot), Seq("source"))
+      .join(broadcast(tokTot), Seq("token"))
+      .crossJoin(broadcast(tot))
+      .withColumn("term",
+        (col("c_st").cast("double") / col("t_s").cast("double")) *
+          log((col("c_st").cast("double") * col("t").cast("double")) /
+            (col("t_s").cast("double") * col("c_t").cast("double"))))
+      .groupBy("source")
+      .agg(
+        first(col("t_s")).as("n_tokens"),
+        countDistinct(col("token")).as("n_types"),
+        sum(col("term").cast(DecimalType(38, 30))).cast("double")
+          .cast(DecimalType(24, 12)).cast("double").as("kl_nats"))
+      .orderBy("source")
+  }
+
+  val klSourceDriftSql: String =
+    """WITH toks AS (
+      | SELECT source, unnest(string_split(text, ' ')) AS token
+      | FROM documents),
+      |st AS (
+      | SELECT source, token, CAST(COUNT(*) AS BIGINT) AS c_st
+      | FROM toks WHERE length(token) > 0 GROUP BY 1, 2),
+      |src_tot AS (SELECT source, CAST(SUM(c_st) AS BIGINT) AS t_s
+      |            FROM st GROUP BY 1),
+      |tok_tot AS (SELECT token, CAST(SUM(c_st) AS BIGINT) AS c_t
+      |            FROM st GROUP BY 1),
+      |tot AS (SELECT CAST(SUM(c_st) AS BIGINT) AS t FROM st),
+      |terms AS (
+      | SELECT st.source, st.token, st.c_st, t_s, c_t, t,
+      |  (CAST(c_st AS DOUBLE) / CAST(t_s AS DOUBLE)) *
+      |    ln((CAST(c_st AS DOUBLE) * CAST(t AS DOUBLE)) /
+      |       (CAST(t_s AS DOUBLE) * CAST(c_t AS DOUBLE))) AS term
+      | FROM st JOIN src_tot USING (source) JOIN tok_tot USING (token)
+      | CROSS JOIN tot)
+      |SELECT source,
+      | CAST(MIN(t_s) AS BIGINT) AS n_tokens,
+      | CAST(COUNT(DISTINCT token) AS BIGINT) AS n_types,
+      | CAST(CAST(CAST(SUM(CAST(term AS DECIMAL(38,30))) AS DOUBLE)
+      |   AS DECIMAL(24,12)) AS DOUBLE) AS kl_nats
+      |FROM terms GROUP BY 1 ORDER BY 1""".stripMargin
 }

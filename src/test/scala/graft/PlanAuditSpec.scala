@@ -84,6 +84,7 @@ class PlanAuditSpec extends SparkSpec {
     "q_benford" -> "9 leading-digit rows",
     "q_ratio_to_parent" -> "region/nation hierarchy dims",
     "q_allocation" -> "nation dimension (25 rows)",
+    "q_benjamini_hochberg" -> "25-brand test family rank window",
     "q_equidepth_hist" -> "10-bucket post-agg revenue-share frame",
     "q_quantile_sketch_audit" -> "fixed-width sketch bucket histogram",
     "graph_degree_dist" -> "distinct-degree histogram rows",
