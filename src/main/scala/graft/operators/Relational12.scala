@@ -425,6 +425,99 @@ object Relational12 {
 
   private def pow10(j: Int): Long = { var r = 1L; (1 to j).foreach(_ => r *= 10); r }
 
+  /** Order backlog curve: per calendar day, cumulative orders placed
+    * minus cumulative order-lines fully shipped — the operational
+    * work-in-flight series, plus the peak-backlog day. Placements and
+    * completions are two calendar-bounded daily counts unioned into one
+    * ±delta stream; the cumulative sum rides
+    * [[Ranks.withGlobalPrefixAggs]] (range repartition + local window +
+    * broadcast offsets), so no unpartitioned window exists at any
+    * scale. An order counts as shipped on its LAST ship date (max over
+    * its lines — one fact aggregation).
+    */
+  def backlogCurve(t: Tables): DataFrame = {
+    val placed = t.orders
+      .groupBy(datediff(col("o_orderdate").cast("date"),
+        to_date(lit("1970-01-01"))).cast("long").as("ed"))
+      .agg(count(lit(1)).as("delta"))
+    val shipped = t.lineitem
+      .groupBy("l_orderkey")
+      .agg(max(datediff(col("l_shipdate").cast("date"),
+        to_date(lit("1970-01-01"))).cast("long")).as("ed"))
+      .groupBy("ed").agg((-count(lit(1))).as("delta"))
+    val deltas = placed.unionByName(shipped)
+      .groupBy("ed").agg(sum(col("delta")).as("delta"))
+    Ranks.withGlobalPrefixAggs(deltas, Seq(col("ed")),
+        Seq(("backlog", col("delta"), "sum", true)))
+      .select(col("ed"), col("delta"), col("backlog"))
+      .orderBy("ed")
+  }
+
+  val backlogCurveSql: String =
+    """WITH placed AS (
+      | SELECT CAST(date_diff('day', DATE '1970-01-01',
+      |    CAST(o_orderdate AS DATE)) AS BIGINT) AS ed,
+      |  CAST(COUNT(*) AS BIGINT) AS delta
+      | FROM orders GROUP BY 1),
+      |shipped AS (
+      | SELECT ed, CAST(-COUNT(*) AS BIGINT) AS delta FROM (
+      |  SELECT l_orderkey,
+      |   MAX(CAST(date_diff('day', DATE '1970-01-01',
+      |     CAST(l_shipdate AS DATE)) AS BIGINT)) AS ed
+      |  FROM lineitem GROUP BY 1)
+      | GROUP BY 1),
+      |deltas AS (
+      | SELECT ed, CAST(SUM(delta) AS BIGINT) AS delta
+      | FROM (SELECT * FROM placed UNION ALL SELECT * FROM shipped)
+      | GROUP BY 1)
+      |SELECT ed, delta,
+      | CAST(SUM(delta) OVER (ORDER BY ed
+      |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+      |   AS backlog
+      |FROM deltas ORDER BY ed""".stripMargin
+
+  /** Seasonal-naive MASE: the forecast-quality floor every model must
+    * beat — MAE of the "same day last week" forecast over MAE of the
+    * one-day naive, on the daily revenue series. Both numerator and
+    * denominator are exact integer |Δ| sums built by EQUI-JOINING the
+    * calendar-bounded daily frame against itself at lags 7 and 1 (no
+    * window at all); one final double ratio. MASE < 1 means weekly
+    * seasonality carries real signal.
+    */
+  def maseSeasonalNaive(t: Tables): DataFrame = {
+    val daily = dailyRevCnt(t).select(col("ed"), col("x")).localCheckpoint(true)
+    def lagJoin(lag: Int): DataFrame = daily
+      .join(daily.select((col("ed") + lag).as("ed"), col("x").as("xl")), Seq("ed"))
+      .select(abs(col("x") - col("xl")).as("ae"))
+    val season = lagJoin(7).agg(count(lit(1)).as("n7"), sum(col("ae")).as("s7"))
+    val naive = lagJoin(1).agg(count(lit(1)).as("n1"), sum(col("ae")).as("s1"))
+    season.crossJoin(broadcast(naive))
+      .select(col("n7"), col("s7"), col("n1"), col("s1"),
+        ((col("s7").cast("double") / col("n7").cast("double")) /
+          (col("s1").cast("double") / col("n1").cast("double"))).as("mase"))
+  }
+
+  val maseSeasonalNaiveSql: String =
+    """WITH daily AS (
+      | SELECT CAST(date_diff('day', DATE '1970-01-01',
+      |    CAST(l_shipdate AS DATE)) AS BIGINT) AS ed,
+      |  CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) *
+      |    CAST(1 - CAST(l_discount AS DECIMAL(4,2)) AS DECIMAL(8,4)))
+      |    * 1000000 AS HUGEINT) // 1000000 AS BIGINT) AS x
+      | FROM lineitem GROUP BY 1),
+      |s7 AS (
+      | SELECT CAST(COUNT(*) AS BIGINT) AS n7,
+      |  CAST(SUM(abs(a.x - b.x)) AS BIGINT) AS s7
+      | FROM daily a JOIN daily b ON a.ed = b.ed + 7),
+      |s1 AS (
+      | SELECT CAST(COUNT(*) AS BIGINT) AS n1,
+      |  CAST(SUM(abs(a.x - b.x)) AS BIGINT) AS s1
+      | FROM daily a JOIN daily b ON a.ed = b.ed + 1)
+      |SELECT n7, s7, n1, s1,
+      | (CAST(s7 AS DOUBLE) / CAST(n7 AS DOUBLE)) /
+      |   (CAST(s1 AS DOUBLE) / CAST(n1 AS DOUBLE)) AS mase
+      |FROM s7 CROSS JOIN s1""".stripMargin
+
   val hierarchyRollupSql: String = {
     val terms = (0 to 13).map(j => s"l_partkey // ${pow10(j)}").mkString(", ")
     s"""WITH per_part AS (
