@@ -578,11 +578,10 @@ object TimeSeries {
        |FROM f WHERE i = len(vals)
        |ORDER BY user_id""".stripMargin
 
-  /** Bias making truncating integer division equal FLOOR division for
-    * the slope quotient: numerator + Bias·Δd is always positive, so
-    * Spark's truncate-toward-zero `div` and DuckDB's floor `//` agree.
-    */
-  private val SlopeBias = 1L << 50
+  // (the former SlopeBias trick — add 2⁵⁰·Δd to make the numerator
+  // positive before a truncating div — capped the value·span product at
+  // 2⁶³ and OVERFLOWED on long-span/high-volume series, found by the
+  // r13 sf1 scaling run; the floor is now computed bias-free below)
 
   /** Theil–Sen robust trend of the daily revenue series — the
     * median-of-pairwise-slopes estimator (breakdown point 29%, vs OLS's
@@ -619,8 +618,12 @@ object TimeSeries {
         explode(expr("sequence(1, mxd - ed)")).as("g"))
       .withColumn("d2", col("d1") + col("g"))
       .join(daily.select(col("ed").as("d2"), col("v").as("v2")), Seq("d2"))
-      .select(expr(s"((v2 - v1) + $SlopeBias * (d2 - d1)) div (d2 - d1)" +
-        s" - $SlopeBias").as("s"))
+      // bias-free FLOOR division in pure long math: truncate-toward-zero
+      // `div`, minus 1 when a negative numerator leaves a remainder —
+      // overflow-free for ANY (value, span) magnitudes, unlike the
+      // former +Bias·Δd trick (Bias·span crossed 2⁶³ on an 11k-day span)
+      .select(expr("(v2 - v1) div (d2 - d1) - (CASE WHEN (v2 - v1) % (d2 - d1)" +
+        " != 0 AND v2 < v1 THEN 1 ELSE 0 END)").as("s"))
     // exact lower median of the slope multiset, distributed: global rank
     // = per-bucket row_number + broadcast offsets of preceding buckets
     val ranged = slopes.repartitionByRange(32, col("s"))
@@ -642,17 +645,27 @@ object TimeSeries {
     // intercept: lower median of per-DAY residuals (bounded domain)
     val wD = Window.orderBy("r")
     val out = daily.crossJoin(broadcast(slope))
-      .select(col("np"), col("slope"), (col("v") - col("slope") * col("ed")).as("r"))
+      // residual in DECIMAL(38,0): slope·ed can cross 2⁶³ on long-span
+      // high-volume series even when slope and v individually fit longs
+      .select(col("np"), col("slope"),
+        (col("v").cast(org.apache.spark.sql.types.DecimalType(38, 0)) -
+          col("slope").cast(org.apache.spark.sql.types.DecimalType(19, 0)) *
+            col("ed").cast(org.apache.spark.sql.types.DecimalType(19, 0))).as("r"))
       .withColumn("rk", row_number().over(wD))
       .withColumn("nd", count(lit(1)).over(Window.partitionBy(lit(1))))
       .where(col("rk") === expr("(nd + 1) div 2"))
       .select(col("nd").cast("long").as("n_days"), col("np").as("n_pairs"),
-        col("slope").as("ts_slope_micros"), col("r").as("ts_intercept_micros"))
+        col("slope").as("ts_slope_micros"),
+        // the MEDIAN residual is day-scale micros — long-safe even when
+        // intermediate residuals needed decimal headroom
+        col("r").cast("long").as("ts_intercept_micros"))
     out
   }
 
   /** Oracle: brute-force day-pair slopes + ORDER BY/OFFSET medians —
-    * same bias trick so `//` floor matches the rewrite's `div`.
+    * DuckDB's integer `//` truncates toward zero exactly like Spark's
+    * `div`, so BOTH sides apply the same remainder-based floor
+    * adjustment; residual in HUGEINT for the slope·ed headroom.
     */
   val theilSenSql: String =
     s"""WITH daily AS (
@@ -663,15 +676,17 @@ object TimeSeries {
        |    * 1000000 AS BIGINT) AS v
        | FROM lineitem GROUP BY 1),
        |sl AS (
-       | SELECT ((b.v - a.v) + $SlopeBias * (b.ed - a.ed)) // (b.ed - a.ed)
-       |   - $SlopeBias AS s
+       | SELECT (b.v - a.v) // (b.ed - a.ed)
+       |   - (CASE WHEN (b.v - a.v) % (b.ed - a.ed) != 0 AND b.v < a.v
+       |      THEN 1 ELSE 0 END) AS s
        | FROM daily a JOIN daily b ON a.ed < b.ed),
        |np AS (SELECT CAST(COUNT(*) AS BIGINT) AS np FROM sl),
        |med AS (
        | SELECT s AS slope FROM sl, np
        | ORDER BY s LIMIT 1 OFFSET (SELECT (np + 1) // 2 - 1 FROM np)),
        |res AS (
-       | SELECT d.v - m.slope * d.ed AS r, m.slope
+       | SELECT CAST(CAST(d.v AS HUGEINT) - CAST(m.slope AS HUGEINT) * d.ed
+       |   AS BIGINT) AS r, m.slope
        | FROM daily d CROSS JOIN med m),
        |nd AS (SELECT CAST(COUNT(*) AS BIGINT) AS nd FROM daily),
        |imed AS (

@@ -33,6 +33,9 @@ N_DOC = int(5000 * rel)
 N_EMB = int(2000 * rel)
 
 DAY = np.timedelta64(1, "D")
+# NOTE: datetime64[D] arrays MUST be .astype("datetime64[us]") before
+# pa.array(..., timestamp("us")) — the direct conversion mis-reads the
+# day-width buffer and interleaves 1970 epochs.
 US = np.timedelta64(1, "us")
 
 
@@ -91,7 +94,7 @@ write("orders", {
     "o_custkey": pa.array(rng.integers(0, N_CUST, N_ORD), pa.int64()),
     "o_orderstatus": [STATUS[i] for i in rng.integers(0, 3, N_ORD)],
     "o_totalprice": np.round(rng.uniform(1000, 500000, N_ORD), 2),
-    "o_orderdate": pa.array(base + odate_days * DAY, pa.timestamp("us")),
+    "o_orderdate": pa.array((base + odate_days * DAY).astype("datetime64[us]"), pa.timestamp("us")),
     "o_orderpriority": [PRIO[i] for i in rng.integers(0, 5, N_ORD)],
 })
 
@@ -112,7 +115,7 @@ write("lineitem", {
     "l_tax": np.round(rng.integers(0, 9, n_li) / 100.0, 2),
     "l_returnflag": [["N", "A", "R"][i] for i in rng.integers(0, 3, n_li)],
     "l_linestatus": [["O", "F"][i] for i in rng.integers(0, 2, n_li)],
-    "l_shipdate": pa.array(ship, pa.timestamp("us")),
+    "l_shipdate": pa.array(ship.astype("datetime64[us]"), pa.timestamp("us")),
 })
 
 # --- events -----------------------------------------------------------
