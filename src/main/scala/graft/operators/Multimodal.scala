@@ -1501,6 +1501,45 @@ object Multimodal {
 
   private val DhashHammingMax = 3
 
+  /** Near-dup pair mining factored through DISTINCT fingerprint values
+    * — the r13 scaling fix: on duplicate-heavy corpora (the sf1 run
+    * measured 36-85× growth at 10× data) the banded join over doc rows
+    * pays Σ|bucket|² in both candidates AND hamming verifies, where
+    * buckets are whole duplicate groups. Mining over the distinct
+    * VALUES instead runs the banded join and every `bit_count` verify
+    * on the (tiny) value domain, then expands value pairs back to doc
+    * pairs with two equi-joins — work linear in the OUTPUT, which is
+    * the lower bound for a pair-list contract. Same-value pairs
+    * (hamming 0) come from one self-join on the fingerprint.
+    *
+    * `hashed` must carry (doc_id, fp); `bands` is an array expression
+    * over `fp` whose equality blocks are pigeonhole-complete at
+    * `maxHamming`.
+    */
+  private def mineNearPairs(hashed: DataFrame, bands: org.apache.spark.sql.Column,
+                            maxHamming: Int): DataFrame = {
+    val fps = hashed.select("fp").distinct()
+    val banded = fps.select(col("fp"), posexplode(bands).as(Seq("band", "bv")))
+    val va = banded.select(col("fp").as("a_fp"), col("band"), col("bv"))
+    val vb = banded.select(col("fp").as("b_fp"), col("band"), col("bv"))
+    val candVals = va.join(vb, Seq("band", "bv"))
+      .where(col("a_fp") < col("b_fp"))
+      .select("a_fp", "b_fp").distinct() // a pair may agree on several bands
+      .withColumn("hamming",
+        bit_count(col("a_fp").bitwiseXOR(col("b_fp"))).cast("long"))
+      .where(col("hamming") <= maxHamming)
+    val neq = candVals
+      .join(hashed.select(col("doc_id").as("ia"), col("fp").as("a_fp")), Seq("a_fp"))
+      .join(hashed.select(col("doc_id").as("ib"), col("fp").as("b_fp")), Seq("b_fp"))
+      .select(least(col("ia"), col("ib")).as("a_id"),
+        greatest(col("ia"), col("ib")).as("b_id"), col("hamming"))
+    val eq = hashed.select(col("doc_id").as("ia"), col("fp"))
+      .join(hashed.select(col("doc_id").as("ib"), col("fp")), Seq("fp"))
+      .where(col("ia") < col("ib"))
+      .select(col("ia").as("a_id"), col("ib").as("b_id"), lit(0L).as("hamming"))
+    eq.unionByName(neq)
+  }
+
   /** Image near-dup PAIR MINING over the real-codec [[dhashReal]]
     * fingerprints — the banded-blocking step that makes perceptual
     * dedup scale: the 63-bit dHash splits into four 16-bit bands, and
@@ -1513,25 +1552,12 @@ object Multimodal {
     * frame is persisted so the codec runs once, not once per side.
     */
   def dedupDhash(t: Tables): DataFrame = {
-    val hashed = dhashReal(t).select(col("doc_id"), col("dhash"))
+    val hashed = dhashReal(t).select(col("doc_id"), col("dhash").as("fp"))
       .localCheckpoint(true)
-    val banded = hashed.select(col("doc_id"), col("dhash"),
-      posexplode(expr(
-        "transform(sequence(0, 3), b -> shiftright(dhash, b * 16) & 65535)"))
-        .as(Seq("band", "bv")))
-    val a = banded.select(col("doc_id").as("a_id"), col("dhash").as("a_fp"),
-      col("band"), col("bv"))
-    val b = banded.select(col("doc_id").as("b_id"), col("dhash").as("b_fp"),
-      col("band"), col("bv"))
-    val out = a.join(b, Seq("band", "bv"))
-      .where(col("a_id") < col("b_id"))
-      .select(col("a_id"), col("b_id"), col("a_fp"), col("b_fp"))
-      .distinct() // a pair may agree on several bands
-      .withColumn("hamming", expr("bit_count(a_fp ^ b_fp)").cast("long"))
-      .where(col("hamming") <= DhashHammingMax)
-      .select(col("a_id"), col("b_id"), col("hamming"))
+    mineNearPairs(hashed,
+      expr("transform(sequence(0, 3), b -> shiftright(fp, b * 16) & 65535)"),
+      DhashHammingMax)
       .orderBy("a_id", "b_id")
-    out
   }
 
   /** Oracle: shared fingerprint CTEs + an explicit pair join with the
@@ -1820,24 +1846,14 @@ object Multimodal {
     * join work, never n².
     */
   def dedupPhash(t: Tables): DataFrame = {
-    val sig = phash(t)
+    val hashed = phash(t).select(col("doc_id"), col("phash").as("fp"))
+      .localCheckpoint(true)
     val offs = PhashSegBits.scanLeft(0)(_ + _).init
-    val seg = sig.select(
-      col("doc_id"), col("phash"),
-      posexplode(array(PhashSegBits.zip(offs).map { case (bits, off) =>
-        shiftrightunsigned(col("phash"), off)
-          .bitwiseAND((1L << bits) - 1)
-      }: _*)).as(Seq("seg_idx", "seg_val")))
-    val a = seg.select(col("doc_id").as("a_id"), col("phash").as("a_sig"),
-      col("seg_idx"), col("seg_val"))
-    val b = seg.select(col("doc_id").as("b_id"), col("phash").as("b_sig"),
-      col("seg_idx"), col("seg_val"))
-    a.join(b, Seq("seg_idx", "seg_val"))
-      .where(col("a_id") < col("b_id"))
-      .select(col("a_id"), col("b_id"),
-        bit_count(col("a_sig").bitwiseXOR(col("b_sig"))).as("hamming"))
-      .distinct()
-      .where(col("hamming") <= 3)
+    val bands = array(PhashSegBits.zip(offs).map { case (bits, off) =>
+      shiftrightunsigned(col("fp"), off).bitwiseAND((1L << bits) - 1)
+    }: _*)
+    mineNearPairs(hashed, bands, 3)
+      .withColumn("hamming", col("hamming").cast("int"))
       .orderBy("a_id", "b_id")
   }
 

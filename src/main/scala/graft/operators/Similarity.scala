@@ -1796,11 +1796,15 @@ object Similarity {
        |GROUP BY cell, total
        |ORDER BY cell""".stripMargin
 
-  /** Anchor sample modulus for [[twoNn]] — every 4th vector anchors the
-    * estimate (TwoNN needs only a stable SAMPLE of anchor points, so
-    * the scale cost is |sample|×n, not n²).
+  /** Target anchor COUNT for [[twoNn]]. The anchor stride derives from
+    * the corpus size (`mod = max(1, n div target)`), so the sample stays
+    * ~fixed-size and the distance work stays LINEAR in n — the r13 sf1
+    * scaling run measured the former fixed-stride version (every 4th
+    * vector ⇒ n²/4 pairs) growing 15× on 10× data. TwoNN only needs a
+    * stable sample of anchors; ~128 gives the µ distribution plenty of
+    * support at any corpus size.
     */
-  private val TwoNnAnchorMod = 4
+  private val TwoNnAnchorTarget = 128
 
   /** TwoNN intrinsic-dimension diagnostic (Facco et al. 2017, public
     * knowledge): for each sampled anchor, the exact first- and
@@ -1822,8 +1826,11 @@ object Similarity {
     */
   def twoNn(t: Tables): DataFrame = {
     import graft.functions.DotProduct
+    val nRow = vectors(t).agg(count(lit(1)).as("nv"))
     val anchors = vectors(t)
-      .where(pmod(col("vec_id"), lit(TwoNnAnchorMod)) === 0)
+      .crossJoin(broadcast(nRow))
+      .where(pmod(col("vec_id"),
+        greatest(lit(1L), expr(s"nv div $TwoNnAnchorTarget"))) === 0)
       .select(col("vec_id").as("a_id"), col("v").as("av"))
     val dsq = vectors(t)
       .select(col("vec_id").as("c_id"), col("v").as("cv"))
@@ -1849,8 +1856,9 @@ object Similarity {
     */
   val twoNnSql: String =
     s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-       |a AS (SELECT vec_id AS a_id, v AS av FROM e
-       |      WHERE vec_id % $TwoNnAnchorMod = 0),
+       |nv AS (SELECT GREATEST(1, COUNT(*) // $TwoNnAnchorTarget) AS m FROM e),
+       |a AS (SELECT vec_id AS a_id, v AS av FROM e, nv
+       |      WHERE vec_id % nv.m = 0),
        |d AS (
        | SELECT a.a_id, e.vec_id AS c_id,
        |  list_dot_product(a.av, a.av) + list_dot_product(e.v, e.v)
