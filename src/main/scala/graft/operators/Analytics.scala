@@ -919,6 +919,83 @@ object Analytics {
        |FROM km WHERE d > 0
        |ORDER BY t_days""".stripMargin
 
+  /** Nelson–Aalen cumulative hazard on the same churn-duration data as
+    * [[kaplanMeier]] — H(t) = Σ_{s≤t} d_s/n_s, the non-parametric
+    * hazard accumulator whose slope changes read as risk-regime shifts
+    * (KM answers "how many survive", NA answers "how fast are they
+    * dying"). Same risk-set machinery: one customer aggregation, one
+    * duration-grouped count frame, the exclusive-window removal count
+    * — then one cumulative window over the DISTINCT-duration domain
+    * (calendar-span bounded). Each hazard term is one double division
+    * of exact longs; the cumulative sum runs in ascending-t frame
+    * order, so both engines accumulate in the identical sequence.
+    */
+  def nelsonAalen(t: Tables): DataFrame = {
+    val perCust = t.orders
+      .groupBy("o_custkey")
+      .agg(min(col("o_orderdate").cast("date")).as("f"),
+        max(col("o_orderdate").cast("date")).as("l"))
+    val end = t.orders.agg(max(col("o_orderdate").cast("date")).as("e"))
+    val durations = perCust.crossJoin(broadcast(end))
+      .select(
+        datediff(col("l"), col("f")).cast("long").as("t"),
+        (datediff(col("e"), col("l")) >= ChurnGapDays).cast("long").as("ev"))
+    val byT = durations.groupBy("t")
+      .agg(sum(col("ev")).as("d"), count(lit(1)).as("all_t"))
+    val tot = durations.agg(count(lit(1)).as("total"))
+    val wPrev = Window.orderBy("t").rowsBetween(Window.unboundedPreceding, -1)
+    val wCum = Window.orderBy("t")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    byT.crossJoin(broadcast(tot))
+      .withColumn("removed", coalesce(sum(col("all_t")).over(wPrev), lit(0L)))
+      .withColumn("n", col("total") - col("removed"))
+      .withColumn("term", col("d").cast("double") / col("n").cast("double"))
+      // portable cumulative sum: scale-30 decimal accumulation (exact,
+      // order-independent) + 12-decimal final rounding — a plain double
+      // window cumsum drifted at the last ulp between engines
+      .withColumn("cum_hazard",
+        sum(col("term").cast(org.apache.spark.sql.types.DecimalType(38, 30)))
+          .over(wCum).cast("double")
+          .cast(org.apache.spark.sql.types.DecimalType(24, 12)).cast("double"))
+      .where(col("d") > 0)
+      .select(col("t").as("t_days"), col("n").as("n_risk"),
+        col("d").as("d_events"), col("cum_hazard"))
+      .orderBy("t_days")
+  }
+
+  val nelsonAalenSql: String =
+    s"""WITH per_cust AS (
+       | SELECT o_custkey, MIN(CAST(o_orderdate AS DATE)) AS f,
+       |  MAX(CAST(o_orderdate AS DATE)) AS l
+       | FROM orders GROUP BY 1),
+       |e AS (SELECT MAX(CAST(o_orderdate AS DATE)) AS e FROM orders),
+       |durations AS (
+       | SELECT CAST(date_diff('day', f, l) AS BIGINT) AS t,
+       |  CASE WHEN date_diff('day', l, e.e) >= $ChurnGapDays
+       |       THEN 1 ELSE 0 END AS ev
+       | FROM per_cust CROSS JOIN e),
+       |by_t AS (
+       | SELECT t, CAST(SUM(ev) AS BIGINT) AS d,
+       |  CAST(COUNT(*) AS BIGINT) AS all_t
+       | FROM durations GROUP BY 1),
+       |tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS total FROM durations),
+       |risk AS (
+       | SELECT t, d,
+       |  tot.total - CAST(COALESCE(SUM(all_t) OVER (ORDER BY t
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+       |    AS n
+       | FROM by_t, tot),
+       |h AS (
+       | SELECT t, n, d,
+       |  CAST(CAST(CAST(SUM(CAST(CAST(d AS DOUBLE) / CAST(n AS DOUBLE)
+       |      AS DECIMAL(38,30))) OVER (ORDER BY t
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+       |    AS DECIMAL(24,12)) AS DOUBLE) AS cum_hazard
+       | FROM risk)
+       |SELECT t AS t_days, n AS n_risk, d AS d_events, cum_hazard
+       |FROM h WHERE d > 0
+       |ORDER BY t_days""".stripMargin
+
   /** Cohort LTV curves — the revenue view of [[cohorts]]: customers
     * cohorted by FIRST-ORDER month, each cohort's revenue accumulated
     * by account age in months, normalized per cohort member — the

@@ -573,6 +573,55 @@ object TextAnalysis3 {
       .orderBy("source")
   }
 
+  /** Good–Turing coverage estimate per source: from the token frequency
+    * spectrum (f₁ singletons, f₂ doubletons), the unseen-probability
+    * mass p₀ = f₁/N and the Chao1 richness estimate
+    * V + f₁·(f₁−1)/(2·(f₂+1)) — "how much vocabulary has this source
+    * NOT shown us yet", the coverage question a crawl scheduler asks
+    * before spending more budget on a domain. Two bounded aggregations
+    * after the one token explode: (source, token) counts, then the
+    * spectrum per source. All counts exact longs; the two estimates are
+    * fixed double formulas of those longs.
+    */
+  def goodTuring(t: Tables): DataFrame = {
+    val st = t.documents
+      .select(col("source"), explode(split(col("text"), " ")).as("token"))
+      .where(length(col("token")) > 0)
+      .groupBy("source", "token").agg(count(lit(1)).as("c"))
+    st.groupBy("source")
+      .agg(
+        sum(col("c")).as("n_tokens"),
+        count(lit(1)).as("v_types"),
+        sum(when(col("c") === 1, 1L).otherwise(0L)).as("f1"),
+        sum(when(col("c") === 2, 1L).otherwise(0L)).as("f2"))
+      .withColumn("p_unseen",
+        col("f1").cast("double") / col("n_tokens").cast("double"))
+      .withColumn("chao1",
+        col("v_types").cast("double") +
+          (col("f1") * (col("f1") - 1)).cast("double") /
+            (lit(2.0) * (col("f2") + lit(1)).cast("double")))
+      .orderBy("source")
+  }
+
+  val goodTuringSql: String =
+    """WITH st AS (
+      | SELECT source, token, CAST(COUNT(*) AS BIGINT) AS c
+      | FROM (SELECT source, unnest(string_split(text, ' ')) AS token
+      |       FROM documents)
+      | WHERE length(token) > 0 GROUP BY 1, 2),
+      |g AS (
+      | SELECT source,
+      |  CAST(SUM(c) AS BIGINT) AS n_tokens,
+      |  CAST(COUNT(*) AS BIGINT) AS v_types,
+      |  CAST(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS f1,
+      |  CAST(SUM(CASE WHEN c = 2 THEN 1 ELSE 0 END) AS BIGINT) AS f2
+      | FROM st GROUP BY 1)
+      |SELECT source, n_tokens, v_types, f1, f2,
+      | CAST(f1 AS DOUBLE) / CAST(n_tokens AS DOUBLE) AS p_unseen,
+      | CAST(v_types AS DOUBLE) + CAST(f1 * (f1 - 1) AS DOUBLE)
+      |   / (2.0 * CAST(f2 + 1 AS DOUBLE)) AS chao1
+      |FROM g ORDER BY source""".stripMargin
+
   val klSourceDriftSql: String =
     """WITH toks AS (
       | SELECT source, unnest(string_split(text, ' ')) AS token

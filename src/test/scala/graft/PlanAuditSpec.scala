@@ -75,6 +75,7 @@ class PlanAuditSpec extends SparkSpec {
     "q_runs_test" -> "calendar-day sign series",
     "q_forecast_backtest" -> "calendar-month series",
     "q_kaplan_meier" -> "distinct duration days (calendar-span bounded)",
+    "q_nelson_aalen" -> "distinct duration days (calendar-span bounded)",
     "q_gap_histogram" -> "distinct gap lengths (calendar-span bounded)",
     "graph_eff_diameter" -> "hop-count rows (≤ BFS rounds)",
     // small-dimension / post-aggregation frames

@@ -266,6 +266,60 @@ class Round13Spec extends SparkSpec {
     assert(math.abs(row.getDouble(4) - mase) < 1e-12)
   }
 
+  test("nelson-aalen: hazard increments match d/n and bound -ln(KM survival)") {
+    val na = graft.operators.Analytics.nelsonAalen(sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(na.nonEmpty)
+    // cumulative hazard strictly increases by d/n at each event time
+    var prev = 0.0
+    na.foreach { case (_, n, d, h) =>
+      assert(d >= 1 && n >= d)
+      val inc = d.toDouble / n
+      assert(math.abs(h - (prev + inc)) < 1e-9, s"increment mismatch at h=$h")
+      prev = h
+    }
+    // H(t) >= -ln(S_km(t)) is false in general, but H <= -ln(S) holds
+    // for the discrete estimators (1-x <= e^-x); check at the last time
+    val km = graft.operators.Analytics.kaplanMeier(sf).collect()
+      .map(r => r.getDouble(3)).last
+    assert(na.last._4 <= -math.log(km) + 1e-9)
+  }
+
+  test("good-turing: spectrum identities per source") {
+    val rows = graft.operators.TextAnalysis3.goodTuring(sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getDouble(5), r.getDouble(6)))
+    assert(rows.length == 20)
+    rows.foreach { case (_, n, v, f1, f2, p0, chao1) =>
+      assert(f1 + f2 <= v && v <= n)
+      assert(math.abs(p0 - f1.toDouble / n) < 1e-15)
+      assert(chao1 >= v.toDouble, "Chao1 never below observed richness")
+    }
+  }
+
+  test("mm pair mining: value-factored miner equals brute force at spec scale") {
+    val pairs = Multimodal.dedupDhash(sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sorted
+    // brute force over the same fingerprints
+    val fps = Multimodal.dhashReal(sf).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("dhash"))).sortBy(_._1)
+    val brute = for {
+      i <- fps.indices; j <- (i + 1) until fps.length
+      h = java.lang.Long.bitCount(fps(i)._2 ^ fps(j)._2)
+      if h <= 3
+    } yield (fps(i)._1, fps(j)._1, h.toLong)
+    assert(pairs.toSeq == brute.sorted.toSeq)
+  }
+
+  test("two-nn: anchor count tracks the fixed target, not the corpus size") {
+    val n = sf.embeddings.count()
+    val anchors = graft.operators.Similarity.twoNn(sf).count()
+    val mod = math.max(1L, n / 128)
+    // every mod-th id is an anchor (minus any d1=0 exclusions)
+    assert(anchors <= n / mod + 1)
+    assert(anchors >= math.min(n, 64L), s"anchors=$anchors of n=$n")
+  }
+
   test("personal pagerank: teleport set non-empty, teleport floor holds, full node set") {
     val rows = Graph.personalPageRank(sf).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
