@@ -727,7 +727,10 @@ class Similarity2Spec extends SparkSpec {
     val got = Similarity.twoNn(sf).collect()
       .map(r => r.getLong(0) -> (r.getDouble(1), r.getDouble(2), r.getDouble(3)))
       .toMap
-    val anchors = vecs.keys.filter(_ % 4 == 0)
+    // anchor stride derives from the corpus count (~128-anchor target,
+    // the r13 linear-work rule)
+    val mod = math.max(1L, vecs.size / 128)
+    val anchors = vecs.keys.filter(_ % mod == 0)
     anchors.foreach { a =>
       val ds = vecs.toSeq.filter(_._1 != a)
         .map { case (c, v) => (dsq(vecs(a), v), c) }.sorted.take(2)
