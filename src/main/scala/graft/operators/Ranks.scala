@@ -141,7 +141,12 @@ object Ranks {
   def withGlobalPrefixAggs(df: DataFrame, sortCols: Seq[Column],
                            aggs: Seq[(String, Column, String, Boolean)]): DataFrame = {
     require(aggs.nonEmpty)
-    val sorted = df
+    // pin the input FIRST: repartitionByRange runs a separate sampling
+    // job over its child, so an unpinned upstream (typically a full
+    // fact aggregation at the call sites) would execute twice — the
+    // r13 bench measured q_mann_whitney 6× slower from exactly that
+    val pinned0 = df.localCheckpoint(true)
+    val sorted = pinned0
       .repartitionByRange(sortCols: _*)
       .withColumn("_pid", spark_partition_id())
     val base = Window.partitionBy("_pid").orderBy(sortCols: _*)

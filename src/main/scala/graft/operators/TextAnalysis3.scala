@@ -573,6 +573,44 @@ object TextAnalysis3 {
       .orderBy("source")
   }
 
+  /** Heaps'-law checkpoints for [[heapsCurve]] (corpus prefix sizes). */
+  private val HeapsCheckpoints: Seq[Long] = Seq(50, 100, 200, 500, 1000, 2000, 5000)
+
+  /** Heaps'-law vocabulary growth curve: distinct vocabulary size after
+    * the first k documents (doc-id order), for a fixed checkpoint
+    * ladder — the "is vocabulary still growing or has the crawl
+    * saturated" curve that pairs with [[goodTuring]]'s spectrum view.
+    * Each token's FIRST document is one min-aggregation; the curve is
+    * then a broadcast checkpoint join + count — no prefix windows, no
+    * per-document state, any corpus size. Checkpoints beyond the corpus
+    * report the full vocabulary (curve flattens by construction).
+    */
+  def heapsCurve(t: Tables): DataFrame = {
+    val spark = t.spark
+    import spark.implicits._
+    val firstSeen = t.documents
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
+      .where(length(col("token")) > 0)
+      .groupBy("token").agg(min(col("doc_id")).as("first_doc"))
+    val cps = HeapsCheckpoints.toDF("k")
+    firstSeen.join(broadcast(cps), col("first_doc") < col("k"))
+      .groupBy("k").agg(count(lit(1)).as("v_types"))
+      .orderBy("k")
+  }
+
+  val heapsCurveSql: String = {
+    val cps = HeapsCheckpoints.mkString(", ")
+    s"""WITH fs AS (
+       | SELECT token, MIN(doc_id) AS first_doc
+       | FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS token
+       |       FROM documents)
+       | WHERE length(token) > 0 GROUP BY 1),
+       |cps AS (SELECT unnest([$cps]) AS k)
+       |SELECT CAST(k AS BIGINT) AS k, CAST(COUNT(*) AS BIGINT) AS v_types
+       |FROM fs JOIN cps ON first_doc < k
+       |GROUP BY 1 ORDER BY 1""".stripMargin
+  }
+
   /** Good–Turing coverage estimate per source: from the token frequency
     * spectrum (f₁ singletons, f₂ doubletons), the unseen-probability
     * mass p₀ = f₁/N and the Chao1 richness estimate
