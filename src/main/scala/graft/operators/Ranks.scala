@@ -162,7 +162,11 @@ object Ranks {
         }
         acc.withColumn(s"_loc$i", c)
     }
-    val pinned = withLocal.localCheckpoint(true)
+    // no second pin: both consumers below rebuild the local window from
+    // the pinned input blocks — one cheap dim-bounded window exec beats
+    // an extra eager materialization barrier (each localCheckpoint is a
+    // full blocking job; the helper's latency is barrier-dominated)
+    val pinned = withLocal
     // per-partition totals: #partitions rows — bounded driver state
     val totAggs = aggs.zipWithIndex.map { case ((_, value, fn, _), i) =>
       (fn match {
