@@ -320,6 +320,19 @@ class Round13Spec extends SparkSpec {
     assert(anchors >= math.min(n, 64L), s"anchors=$anchors of n=$n")
   }
 
+  test("heaps curve: monotone growth, saturates at the full vocabulary") {
+    val rows = TextAnalysis3.heapsCurve(sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+    assert(rows.nonEmpty)
+    rows.sliding(2).foreach { case Array((_, v1), (_, v2)) => assert(v2 >= v1) }
+    val fullVocab = sf.documents
+      .select(explode(split(col("text"), " ")).as("t"))
+      .where(length(col("t")) > 0).select("t").distinct().count()
+    val nDocs = sf.documents.count()
+    // every checkpoint past the corpus size reports the whole vocabulary
+    rows.filter(_._1 > nDocs).foreach { case (_, v) => assert(v == fullVocab) }
+  }
+
   test("personal pagerank: teleport set non-empty, teleport floor holds, full node set") {
     val rows = Graph.personalPageRank(sf).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
