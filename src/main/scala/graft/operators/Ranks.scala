@@ -146,37 +146,71 @@ object Ranks {
     // fact aggregation at the call sites) would execute twice — the
     // r13 bench measured q_mann_whitney 6× slower from exactly that
     val pinned0 = df.localCheckpoint(true)
-    val sorted = pinned0
-      .repartitionByRange(sortCols: _*)
-      .withColumn("_pid", spark_partition_id())
+    // materialize the cast agg values as real columns so the totals pass
+    // below can read them positionally from the shared RDD rows
+    val sorted = aggs.zipWithIndex.foldLeft(
+      pinned0
+        .repartitionByRange(sortCols: _*)
+        .withColumn("_pid", spark_partition_id())) {
+      case (acc, ((_, value, _, _), i)) =>
+        acc.withColumn(s"_val$i", value.cast("long"))
+    }
     val base = Window.partitionBy("_pid").orderBy(sortCols: _*)
     val wIncl = base.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val wExcl = base.rowsBetween(Window.unboundedPreceding, -1)
     val withLocal = aggs.zipWithIndex.foldLeft(sorted) {
-      case (acc, ((_, value, fn, inclusive), i)) =>
+      case (acc, ((_, _, fn, inclusive), i)) =>
         val w = if (inclusive) wIncl else wExcl
         val c = fn match {
-          case "sum" => sum(value.cast("long")).over(w)
-          case "min" => min(value.cast("long")).over(w)
+          case "sum" => sum(col(s"_val$i")).over(w)
+          case "min" => min(col(s"_val$i")).over(w)
           case other => throw new IllegalArgumentException(s"fn=$other")
         }
         acc.withColumn(s"_loc$i", c)
     }
-    // no second pin: both consumers below rebuild the local window from
-    // the pinned input blocks — one cheap dim-bounded window exec beats
-    // an extra eager materialization barrier (each localCheckpoint is a
-    // full blocking job; the helper's latency is barrier-dominated)
-    val pinned = withLocal
-    // per-partition totals: #partitions rows — bounded driver state
-    val totAggs = aggs.zipWithIndex.map { case ((_, value, fn, _), i) =>
-      (fn match {
-        case "sum" => sum(value.cast("long"))
-        case _     => min(value.cast("long"))
-      }).as(s"_t$i")
-    }
-    val totals = pinned.groupBy("_pid").agg(totAggs.head, totAggs.tail: _*)
-      .collect().map(r => (r.getInt(0), aggs.indices.map(i => r.getLong(i + 1))))
-      .sortBy(_._1)
+    // Build the physical plan ONCE and share the resulting RDD graph
+    // between the totals job and the output job. This is the load-bearing
+    // line: RangePartitioner samples its bounds when the shuffle
+    // dependency is constructed (here), so both jobs see ONE set of
+    // bounds and ONE set of shuffle map files (the scheduler skips the
+    // map stage on the second job). Re-planning per action — two
+    // DataFrame actions over the same lazy plan — would re-sample with a
+    // different rdd.id seed and could assign rows a different _pid in
+    // the output job than the one the offsets were computed from.
+    // Compared to a second localCheckpoint this shares the shuffle files
+    // instead of paying an extra eager block-materialization barrier.
+    val localRdd = withLocal.rdd
+    val schema = withLocal.schema
+    val pidIdx = schema.fieldIndex("_pid")
+    val valIdx = aggs.indices.map(i => schema.fieldIndex(s"_val$i")).toArray
+    val fns = aggs.map(_._3).toArray
+    // per-partition totals: one boundary fold per partition, #partitions
+    // rows to the driver — bounded driver state
+    val nAggs = aggs.size
+    val totals = localRdd.mapPartitions { it =>
+      val sums = new Array[Long](nAggs)
+      val mins = new Array[Long](nAggs)
+      val seen = new Array[Boolean](nAggs)
+      var pid = -1
+      it.foreach { row =>
+        if (pid < 0) pid = row.getInt(pidIdx)
+        var i = 0
+        while (i < nAggs) {
+          if (!row.isNullAt(valIdx(i))) {
+            val v = row.getLong(valIdx(i))
+            sums(i) += v
+            mins(i) = if (seen(i)) math.min(mins(i), v) else v
+            seen(i) = true
+          }
+          i += 1
+        }
+      }
+      if (pid < 0) Iterator.empty
+      else Iterator.single((pid, Array.tabulate(nAggs) { i =>
+        if (fns(i) == "sum") Some(sums(i))
+        else if (seen(i)) Some(mins(i)) else None
+      }))
+    }.collect().sortBy(_._1)
     // exclusive prefix across partitions, per aggregate
     val offsets = scala.collection.mutable.ArrayBuffer.empty[(Int, Seq[Option[Long]])]
     val acc = Array.fill[Option[Long]](aggs.size)(None)
@@ -184,8 +218,9 @@ object Ranks {
       offsets += ((pid, acc.toSeq))
       aggs.zipWithIndex.foreach { case ((_, _, fn, _), i) =>
         acc(i) = fn match {
-          case "sum" => Some(acc(i).getOrElse(0L) + vals(i))
-          case _     => Some(acc(i).fold(vals(i))(math.min(_, vals(i))))
+          case "sum" => Some(acc(i).getOrElse(0L) + vals(i).getOrElse(0L))
+          case _     => Seq(acc(i), vals(i)).flatten
+            .reduceOption((a, b) => math.min(a, b))
         }
       }
     }
@@ -194,8 +229,10 @@ object Ranks {
     val offsetDf = offsets.toSeq
       .map { case (pid, os) => (pid, os.map(_.map(Long.box).orNull)) }
       .toDF("_pid", "_os")
+    // the output job reads the SAME RDD (shuffle map output reused)
+    val local2 = spark.createDataFrame(localRdd, schema)
     val combined = aggs.zipWithIndex.foldLeft(
-      pinned.join(broadcast(offsetDf), Seq("_pid"))) {
+      local2.join(broadcast(offsetDf), Seq("_pid"))) {
       case (acc2, ((out, _, fn, _), i)) =>
         val off = col("_os").getItem(i)
         val c = fn match {
@@ -209,7 +246,8 @@ object Ranks {
         else c
         acc2.withColumn(out, guarded)
     }
-    combined.drop("_pid" +: "_os" +: aggs.indices.map(i => s"_loc$i"): _*)
+    combined.drop("_pid" +: "_os" +:
+      (aggs.indices.map(i => s"_loc$i") ++ aggs.indices.map(i => s"_val$i")): _*)
   }
 
   /** Exact SQL NTILE(k) from a 1-based global rank over `total` rows:

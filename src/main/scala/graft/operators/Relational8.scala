@@ -233,13 +233,16 @@ object Relational8 {
       .withColumn("promo", (col("p_type") === "PROMO").cast("long"))
     val byValue = perPart.groupBy("units")
       .agg(sum(col("promo")).as("a"), sum(lit(1L) - col("promo")).as("b"))
-    val tot = perPart.agg(
-      sum(col("promo")).as("n1"), sum(lit(1L) - col("promo")).as("n2"))
     // cumulative CDF counts via the distributed two-level prefix scan
     // (range repartition + local window + broadcast offsets) — never an
     // unpartitioned window over the distinct-value domain
-    Ranks.withGlobalPrefixAggs(byValue, Seq(col("units")),
-        Seq(("c1", col("a"), "sum", true), ("c2", col("b"), "sum", true)))
+    val scanned = Ranks.withGlobalPrefixAggs(byValue, Seq(col("units")),
+      Seq(("c1", col("a"), "sum", true), ("c2", col("b"), "sum", true)))
+    // group totals fall out of the scan itself (inclusive counts are
+    // monotone, so max = last = total) — re-reading the scan's pinned
+    // blocks beats re-running the whole fact aggregation for a 2-long agg
+    val tot = scanned.agg(max(col("c1")).as("n1"), max(col("c2")).as("n2"))
+    scanned
       .crossJoin(broadcast(tot))
       .withColumn("diff", abs(col("c1") * col("n2") - col("c2") * col("n1")))
       .groupBy()
@@ -310,17 +313,17 @@ object Relational8 {
       .withColumn("promo", (col("p_type") === "PROMO").cast("long"))
     val byValue = perPart.groupBy("units")
       .agg(sum(col("promo")).as("a"), count(lit(1)).as("c"))
-    val tot = perPart.agg(
-      sum(col("promo")).as("n1"), sum(lit(1L) - col("promo")).as("n2"))
     // exclusive predecessor counts via the distributed two-level prefix
-    // scan — same scale contract as [[ksTest]]'s CDF
+    // scan — same scale contract as [[ksTest]]'s CDF. Group totals fold
+    // into the SAME final aggregation (n1 = Σa, n2 = Σc − Σa) instead of
+    // re-running the fact aggregation for a 2-long frame.
     Ranks.withGlobalPrefixAggs(byValue, Seq(col("units")),
         Seq(("_s0", col("c"), "sum", false)))
       .withColumn("s", coalesce(col("_s0"), lit(0L)))
       .withColumn("r2", col("a") * (lit(2L) * col("s") + col("c") + lit(1L)))
       .groupBy()
-      .agg(sum(col("r2")).as("sum2r1"))
-      .crossJoin(broadcast(tot))
+      .agg(sum(col("r2")).as("sum2r1"), sum(col("a")).as("n1"),
+        (sum(col("c")) - sum(col("a"))).as("n2"))
       .select(col("n1"), col("n2"),
         (col("sum2r1") - col("n1") * (col("n1") + lit(1L))).as("u2"),
         expr("""(CAST(sum2r1 - n1 * (n1 + 1) AS DOUBLE) / 2
