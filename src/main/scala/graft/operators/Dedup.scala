@@ -107,12 +107,17 @@ object Dedup {
     * pages, boilerplate-wrapped copies — a first-class corpus-curation
     * case).
     *
-    * Blocking is the containment prefix filter: C ≥ t ⟹ |A∩B| ≥ ⌈t·|A|⌉,
-    * so A's first `|A| − ⌈t·|A|⌉ + 1` grams (df-ranked global order) must
-    * intersect B SOMEWHERE — an equi-join of A-prefix keys against B's
-    * full posting list. Sound, so the oracle is the unblocked brute
-    * force. Verification divides the codegen'd merge-intersection count
-    * by |A|.
+    * Blocking is a GRAM-PAIR (2-prefix) filter — see the inline notes:
+    * C ≥ t ⟹ at least TWO shared grams sit in A's first
+    * `|A| − ⌈t·|A|⌉ + 2` df-ranked grams, so candidates come from an
+    * equi-join on ordered gram PAIRS, whose co-occurrence frequency
+    * stays duplicate-shaped even when the single-gram df saturates
+    * (the r13 10×-data run measured the single-gram prefix join at
+    * corpus²/vocab on a vocabulary-saturating corpus). The price is a
+    * bounded ~(gram-count/2)× pair-explode constant on the posting
+    * volume — linear at scale because document gram counts are bounded.
+    * Sound, so the oracle is the unblocked brute force. Verification
+    * divides the codegen'd merge-intersection count by |A|.
     */
   /** (doc_id, gram) posting rows with the gram text hashed to a 64-bit
     * long — the narrow representation every blocking join runs on.
@@ -124,17 +129,76 @@ object Dedup {
   def containment(t: Tables): DataFrame = {
     val g = Shingles.gramsOf(t.documents).localCheckpoint(true)
     val ex = hashedExplode(g)
-    // sound length filter: C(A→B) ≥ t ⟹ |A∩B| ≥ t·|A| and |A∩B| ≤ |B|,
-    // so |B| ≥ t·|A| — prune before the distinct + verify shuffles
-    val bsz = g.select(col("doc_id").as("b_id"), size(col("grams")).as("b_sz"))
-    val candidates = dfRankedPrefix(ex, ContainmentThreshold)
-      .select(col("doc_id").as("a_id"), col("sz").as("a_sz"), col("pg").as("gram"))
+    val gramDf = ex.groupBy("gram").agg(count(lit(1)).as("df"))
+    // per-doc df-ranked gram array (global order: ascending df, ties by
+    // hashed gram — consistent across docs). Pinned: feeds the A-pair,
+    // B-pair, and single-gram channels.
+    val ranked = ex.join(gramDf, Seq("gram"))
+      .groupBy("doc_id")
+      .agg(sort_array(collect_list(struct(col("df"), col("gram")))).as("rg0"))
+      .select(col("doc_id"),
+        expr("transform(rg0, x -> x.gram)").as("rg"))
+      .withColumn("sz", size(col("rg")))
+      .localCheckpoint(true)
+    // GRAM-PAIR blocking (2-prefix pigeonhole): C ≥ t means
+    // |A∩B| ≥ α = ⌈t·|A|⌉, and of those shared grams at most α−2 fit in
+    // A's suffix beyond its first p = |A|−α+2 grams — so at least TWO
+    // shared grams sit in that extended prefix. Joining on ORDERED GRAM
+    // PAIRS (g1 < g2 in the global order) instead of single grams makes
+    // the join key the CO-OCCURRENCE of two grams, whose df is ~df²/N —
+    // on a corpus whose vocabulary saturates (df grows with corpus), the
+    // single-gram join degenerates to corpus²/vocab candidates while
+    // pair keys stay near the true-duplicate set (r13 scaling finding,
+    // measured 10.3× on 10× data; the pair join is output-shaped). Doc
+    // gram counts are bounded (chunk-level docs), so the per-doc pair
+    // explode is a constant factor on posting volume, linear at scale.
+    val aPairs = ranked.where(col("sz") >= 2)
+      .withColumn("p",
+        least((col("sz") - ceil(lit(ContainmentThreshold) * col("sz")) + 2)
+          .cast("int"), col("sz")))
+      .select(col("doc_id").as("a_id"), col("sz").as("a_sz"),
+        explode(expr(
+          """flatten(transform(slice(rg, 1, p), (x, i) ->
+            |  transform(slice(rg, i + 2, p - i - 1), (y, j) ->
+            |    struct(x AS g1, y AS g2, i + j + 1 AS i2))))""".stripMargin))
+          .as("pr"))
+      .select(col("a_id"), col("a_sz"),
+        col("pr.g1").as("g1"), col("pr.g2").as("g2"), col("pr.i2").as("i2"))
+    val bPairs = ranked.where(col("sz") >= 2)
+      .select(col("doc_id").as("b_id"), col("sz").as("b_sz"),
+        explode(expr(
+          """flatten(transform(rg, (x, i) ->
+            |  transform(slice(rg, i + 2, size(rg) - i - 1), (y, j) ->
+            |    struct(x AS g1, y AS g2, i + j + 1 AS j2))))""".stripMargin))
+          .as("pr"))
+      .select(col("b_id"), col("b_sz"),
+        col("pr.g1").as("g1"), col("pr.g2").as("g2"), col("pr.j2").as("j2"))
+    // ppjoin-style positional filter at the pair's first-two shared
+    // grams: exactly one shared gram (g1) precedes g2 in either list, so
+    // |A∩B| ≤ 2 + min(|A|−i2−1, |B|−j2−1); C ≥ t needs that ≥ α. A
+    // truly-qualifying pair always passes at its first-two row, so
+    // keeping pairs with ANY passing row is sound. The length filter
+    // |B| ≥ α (|A∩B| ≤ |B|) rides along.
+    val alpha = ceil(lit(ContainmentThreshold) * col("a_sz"))
+    // shuffle_hash, not broadcast: both sides are explodes whose row
+    // counts the static planner cannot estimate (it sizes them by the
+    // pre-explode child, so it would happily "broadcast" the ~30×-wider
+    // B-pair side — a guaranteed OOM at scale). The hinted side builds
+    // per-partition hash maps from the smaller A-prefix pairs.
+    val pairCands = aPairs.hint("shuffle_hash").join(bPairs, Seq("g1", "g2"))
+      .where(col("a_id") =!= col("b_id") &&
+        col("b_sz") >= alpha &&
+        (col("a_sz") - col("i2") - 1) >= alpha - 2 &&
+        (col("b_sz") - col("j2") - 1) >= alpha - 2)
+      .select("a_id", "b_id")
+    // single-gram docs (α = 1): the pair channel can't see them; their
+    // one gram must appear in B — the plain prefix filter, tiny side
+    val singles = ranked.where(col("sz") === 1)
+      .select(col("doc_id").as("a_id"), col("rg").getItem(0).as("gram"))
       .join(ex.select(col("doc_id").as("b_id"), col("gram")), Seq("gram"))
       .where(col("a_id") =!= col("b_id"))
-      .join(bsz, Seq("b_id"))
-      .where(col("b_sz").cast("double") >= lit(ContainmentThreshold) * col("a_sz"))
       .select("a_id", "b_id")
-      .distinct()
+    val candidates = pairCands.unionByName(singles).distinct()
     scoreCandidates(candidates, hashedGramsOf(g)) {
       (aHg, bHg) =>
         graft.functions.SortedLongOverlap(aHg, bHg).cast("double") / size(aHg)
