@@ -408,6 +408,11 @@ object Relational12 {
     * fact aggregation, one bounded ancestor explode (≤ 14 rows per
     * part at any key width), and one re-aggregation — zero self-joins,
     * zero iteration, any depth.
+    *
+    * Node revenue reports in WHOLE currency units (per-part micros
+    * integer-divided before the subtree sum, the dailyRevCnt
+    * convention): the root aggregates the entire corpus, and a micros
+    * sum would overflow BIGINT around sf30 (r13 ADVICE).
     */
   def hierarchyRollup(t: Tables): DataFrame = {
     val perPart = t.lineitem
@@ -416,10 +421,10 @@ object Relational12 {
         * 1000000).cast("long").as("units"))
     val ancestors = (0 to 13).map(j => expr(s"l_partkey div ${pow10(j)}L"))
     perPart
-      .select(col("units"),
+      .select(expr("units div 1000000L").as("rev1"),
         explode(array_distinct(array(ancestors: _*))).as("node"))
       .groupBy("node")
-      .agg(count(lit(1)).as("n_parts"), sum(col("units")).as("rev_micros"))
+      .agg(count(lit(1)).as("n_parts"), sum(col("rev1")).as("rev"))
       .orderBy("node")
   }
 
@@ -527,11 +532,12 @@ object Relational12 {
        |    * 1000000 AS HUGEINT) AS BIGINT) AS units
        | FROM lineitem GROUP BY 1),
        |anc AS (
-       | SELECT units, unnest(list_distinct([$terms])) AS node
+       | SELECT units // 1000000 AS rev1,
+       |  unnest(list_distinct([$terms])) AS node
        | FROM per_part)
        |SELECT CAST(node AS BIGINT) AS node,
        | CAST(COUNT(*) AS BIGINT) AS n_parts,
-       | CAST(SUM(units) AS BIGINT) AS rev_micros
+       | CAST(SUM(rev1) AS BIGINT) AS rev
        |FROM anc GROUP BY 1 ORDER BY 1""".stripMargin
   }
 }

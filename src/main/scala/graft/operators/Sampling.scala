@@ -378,11 +378,12 @@ object Sampling {
     * free, rerun-exact) and compare the HT estimator Σ nᵢ/pᵢ of total
     * characters per source against the TRUE total — the design-based
     * "is my weighted sample unbiased" check every sampled-pipeline
-    * report needs. Per-source true totals are exact integer sums; the
-    * HT sum accumulates its double terms through a scale-30 decimal
-    * (order-independent) with the portable 12-decimal final rounding,
-    * so both engines hash-match. One scan, one groupBy on the source
-    * dim.
+    * report needs. Per-source true totals are exact integer sums — and
+    * so is the HT sum itself: with p = min(1, n/S) the term n/p is
+    * ALGEBRAICALLY greatest(n, S) (see inline note), an exact long, so
+    * the estimator accumulates as a plain integer sum with ONE final
+    * double cast at the output seam. No decimal accumulator anywhere.
+    * One scan, one groupBy on the source dim.
     */
   def horvitzThompson(t: Tables): DataFrame = {
     // p = min(1, n/S) makes the HT term n/p ALGEBRAICALLY greatest(n, S)

@@ -29,11 +29,11 @@ object TextAnalysis3 {
     * Scale shape: bigrams expand IN-ROW (zip_with over the token array,
     * no self-join), one hash aggregation keyed on the pair, min-count
     * pruned BEFORE the marginal attach; unigram marginals are a
-    * vocabulary-sized aggregate attached with broadcast joins (a
-    * min-count-pruned natural-language vocabulary is millions of rows,
-    * comfortably broadcastable; drop the hint and AQE shuffles it if a
-    * corpus proves otherwise). The final global sort is a
-    * TakeOrdered top-[[TopK]], never a full sort.
+    * VOCABULARY-sized aggregate, so they attach through plain equi-joins
+    * — AQE broadcasts them when the measured size is small and shuffles
+    * when a corpus proves otherwise (a forced hint would override the
+    * size check and OOM on web-scale vocabularies). The final global
+    * sort is a TakeOrdered top-[[TopK]], never a full sort.
     */
   def collocations(t: Tables): DataFrame = {
     val tk = t.documents.select(split(col("text"), " ").as("tk"))
@@ -47,9 +47,13 @@ object TextAnalysis3 {
       .groupBy(col("bg.w1").as("w1"), col("bg.w2").as("w2"))
       .agg(count(lit(1)).as("n_pair"))
       .where(col("n_pair") >= MinPair)
+    // unigram marginals are vocabulary-sized (grow with the corpus) —
+    // plain equi-joins, no broadcast hint: AQE broadcasts them when the
+    // runtime size is actually small, and shuffles when it isn't. Only
+    // the 1-row total keeps a hint.
     bi
-      .join(broadcast(uni.select(col("w").as("w1"), col("cnt").as("n_w1"))), Seq("w1"))
-      .join(broadcast(uni.select(col("w").as("w2"), col("cnt").as("n_w2"))), Seq("w2"))
+      .join(uni.select(col("w").as("w1"), col("cnt").as("n_w1")), Seq("w1"))
+      .join(uni.select(col("w").as("w2"), col("cnt").as("n_w2")), Seq("w2"))
       .crossJoin(broadcast(tot))
       .select(col("w1"), col("w2"), col("n_pair"), col("n_w1"), col("n_w2"),
         floor(floor(col("n_pair").cast("double") * lit(PmiScale) /
@@ -556,9 +560,14 @@ object TextAnalysis3 {
     val srcTot = st.groupBy("source").agg(sum(col("c_st")).as("t_s"))
     val tokTot = st.groupBy("token").agg(sum(col("c_st")).as("c_t"))
     val tot = st.agg(sum(col("c_st")).as("t"))
+    // srcTot (source-dim) and tot (1 row) are bounded — broadcast hints
+    // are safe. tokTot is VOCABULARY-sized and grows with the corpus
+    // (Heaps' law: 10⁸–10⁹ types on web-scale text), so it gets a plain
+    // equi-join: AQE still broadcasts it when a corpus is actually
+    // small, without a hint overriding the size check into an OOM.
     st
       .join(broadcast(srcTot), Seq("source"))
-      .join(broadcast(tokTot), Seq("token"))
+      .join(tokTot, Seq("token"))
       .crossJoin(broadcast(tot))
       .withColumn("term",
         (col("c_st").cast("double") / col("t_s").cast("double")) *
@@ -573,17 +582,37 @@ object TextAnalysis3 {
       .orderBy("source")
   }
 
-  /** Heaps'-law checkpoints for [[heapsCurve]] (corpus prefix sizes). */
-  private val HeapsCheckpoints: Seq[Long] = Seq(50, 100, 200, 500, 1000, 2000, 5000)
+  /** Smallest checkpoint the [[heapsCurve]] ladder keeps (besides the
+    * full corpus itself) — below this a vocabulary count is noise.
+    */
+  private val HeapsMinCheckpoint = 25L
+
+  /** Heaps'-law geometric checkpoint ladder, DERIVED FROM THE CORPUS
+    * SIZE: distinct values of ⌈n/2ʲ⌉ down to [[HeapsMinCheckpoint]],
+    * topped by the corpus itself (j = 0) — so the top rung always sits
+    * at n and the curve measures the WHOLE corpus at any scale (a fixed
+    * ladder saturates at its largest constant and stops being a
+    * saturation diagnostic once the corpus outgrows it — the r13
+    * constant-vs-corpus-derived bug class). Division of a ≤2⁵³ integer
+    * by a power of two is exact in doubles, so the oracle replays the
+    * identical arithmetic.
+    */
+  private[graft] def heapsLadder(n: Long): Seq[Long] =
+    (0 until 40).iterator
+      .map(j => math.ceil(n.toDouble / math.pow(2, j)).toLong)
+      .zipWithIndex
+      .collect { case (k, j) if k >= HeapsMinCheckpoint || j == 0 => k }
+      .toSeq.distinct.sorted
 
   /** Heaps'-law vocabulary growth curve: distinct vocabulary size after
-    * the first k documents (doc-id order), for a fixed checkpoint
-    * ladder — the "is vocabulary still growing or has the crawl
-    * saturated" curve that pairs with [[goodTuring]]'s spectrum view.
-    * Each token's FIRST document is one min-aggregation; the curve is
-    * then a broadcast checkpoint join + count — no prefix windows, no
-    * per-document state, any corpus size. Checkpoints beyond the corpus
-    * report the full vocabulary (curve flattens by construction).
+    * the first k documents (doc-id order), for the corpus-derived
+    * geometric ladder [[heapsLadder]] — the "is vocabulary still growing
+    * or has the crawl saturated" curve that pairs with [[goodTuring]]'s
+    * spectrum view. Each token's FIRST document is one min-aggregation;
+    * the curve is then a broadcast checkpoint join + count (the ladder
+    * is ≤40 rows — bounded) — no prefix windows, no per-document state,
+    * any corpus size. The one driver-side `count()` sizes the ladder,
+    * bounded model state by construction.
     */
   def heapsCurve(t: Tables): DataFrame = {
     val spark = t.spark
@@ -592,24 +621,26 @@ object TextAnalysis3 {
       .select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
       .where(length(col("token")) > 0)
       .groupBy("token").agg(min(col("doc_id")).as("first_doc"))
-    val cps = HeapsCheckpoints.toDF("k")
+    val cps = heapsLadder(t.documents.count()).toDF("k")
     firstSeen.join(broadcast(cps), col("first_doc") < col("k"))
       .groupBy("k").agg(count(lit(1)).as("v_types"))
       .orderBy("k")
   }
 
-  val heapsCurveSql: String = {
-    val cps = HeapsCheckpoints.mkString(", ")
-    s"""WITH fs AS (
+  val heapsCurveSql: String =
+    s"""WITH n AS (SELECT COUNT(*) AS c FROM documents),
+       |cps AS (
+       | SELECT DISTINCT CAST(ceil(c / pow(2, j)) AS BIGINT) AS k
+       | FROM n, (SELECT unnest(range(0, 40)) AS j)
+       | WHERE ceil(c / pow(2, j)) >= $HeapsMinCheckpoint OR j = 0),
+       |fs AS (
        | SELECT token, MIN(doc_id) AS first_doc
        | FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS token
        |       FROM documents)
-       | WHERE length(token) > 0 GROUP BY 1),
-       |cps AS (SELECT unnest([$cps]) AS k)
+       | WHERE length(token) > 0 GROUP BY 1)
        |SELECT CAST(k AS BIGINT) AS k, CAST(COUNT(*) AS BIGINT) AS v_types
        |FROM fs JOIN cps ON first_doc < k
        |GROUP BY 1 ORDER BY 1""".stripMargin
-  }
 
   /** Good–Turing coverage estimate per source: from the token frequency
     * spectrum (f₁ singletons, f₂ doubletons), the unseen-probability

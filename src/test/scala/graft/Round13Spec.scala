@@ -161,11 +161,15 @@ class Round13Spec extends SparkSpec {
     val leafParts = sf.lineitem.select(countDistinct(col("l_partkey")))
       .collect().head.getLong(0)
     assert(root._2 == leafParts, "root counts every revenue-bearing part")
-    val totalRev = sf.lineitem.agg(
-      sum(expr("CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * " +
+    // root revenue = Σ over parts of (part micros div 10⁶): whole
+    // currency units per part BEFORE the corpus-wide sum, the overflow-
+    // safe convention (micros at the root would overflow BIGINT ~sf30)
+    val totalRev = sf.lineitem
+      .groupBy("l_partkey")
+      .agg(expr("CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * " +
         "CAST(1 - CAST(l_discount AS DECIMAL(4,2)) AS DECIMAL(8,4)) " +
-        "AS DECIMAL(38,6))")).as("r"))
-      .select(expr("CAST(r * 1000000 AS BIGINT)")).collect().head.getLong(0)
+        "AS DECIMAL(38,6))) * 1000000 AS BIGINT) div 1000000").as("r1"))
+      .agg(sum(col("r1"))).collect().head.getLong(0)
     assert(root._3 == totalRev, "root subtree revenue is the corpus total")
     // every part with key >= 1 has exactly one level-1 ancestor (its
     // most significant digit); part 0 rolls up only to the root
@@ -320,7 +324,7 @@ class Round13Spec extends SparkSpec {
     assert(anchors >= math.min(n, 64L), s"anchors=$anchors of n=$n")
   }
 
-  test("heaps curve: monotone growth, saturates at the full vocabulary") {
+  test("heaps curve: monotone growth, top rung at corpus size, full vocabulary") {
     val rows = TextAnalysis3.heapsCurve(sf).collect()
       .map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
     assert(rows.nonEmpty)
@@ -329,8 +333,14 @@ class Round13Spec extends SparkSpec {
       .select(explode(split(col("text"), " ")).as("t"))
       .where(length(col("t")) > 0).select("t").distinct().count()
     val nDocs = sf.documents.count()
-    // every checkpoint past the corpus size reports the whole vocabulary
-    rows.filter(_._1 > nDocs).foreach { case (_, v) => assert(v == fullVocab) }
+    // corpus-derived ladder: the TOP rung sits exactly at the corpus
+    // size (the r13 fixed ladder measured only its largest constant),
+    // and there it reports the whole vocabulary
+    assert(rows.last._1 == nDocs, s"top rung ${rows.last._1} != corpus $nDocs")
+    assert(rows.last._2 == fullVocab)
+    // ladder matches the shared derivation exactly
+    assert(rows.map(_._1).toSeq == TextAnalysis3.heapsLadder(nDocs)
+      .filter(_ > 0))
   }
 
   test("personal pagerank: teleport set non-empty, teleport floor holds, full node set") {
