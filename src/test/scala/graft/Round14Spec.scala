@@ -1,6 +1,6 @@
 package graft
 
-import graft.operators.Ranks
+import graft.operators.{Ranks, Relational13}
 import org.apache.spark.sql.functions._
 
 /** Specs for the round-14 fixes: the shared-RDD prefix-scan helper and
@@ -43,6 +43,117 @@ class Round14Spec extends SparkSpec {
       mn = Some(mn.fold(v)(math.min(_, v)))
       assert(cs == run, s"incl sum at $k: $cs vs $run")
       k += 1
+    }
+  }
+
+  test("spearman: rho matches a driver recompute with tie-averaged ranks") {
+    val got = Relational13.spearman(sf).collect().head
+    val per = sf.lineitem
+      .groupBy("l_partkey")
+      .agg(expr("CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * " +
+          "CAST(1 - CAST(l_discount AS DECIMAL(4,2)) AS DECIMAL(8,4))) " +
+          "* 1000000 AS DECIMAL(19,0)) AS BIGINT)").as("ux"),
+        expr("CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) * 100 AS BIGINT)").as("uy"))
+      .collect().map(r => (r.getLong(1), r.getLong(2)))
+    def ranks2(vs: Array[Long]): Map[Long, Long] = {
+      val sorted = vs.sorted
+      val grouped = sorted.groupBy(identity).map { case (v, g) =>
+        val s = sorted.indexWhere(_ == v) // predecessors = first index
+        v -> (2L * s + g.length + 1)
+      }
+      grouped
+    }
+    val rx = ranks2(per.map(_._1)); val ry = ranks2(per.map(_._2))
+    val xs = per.map(p => rx(p._1).toDouble); val ys = per.map(p => ry(p._2).toDouble)
+    val n = per.length.toDouble
+    val num = n * xs.zip(ys).map(p => p._1 * p._2).sum - xs.sum * ys.sum
+    val den = math.sqrt((n * xs.map(x => x * x).sum - xs.sum * xs.sum) *
+      (n * ys.map(y => y * y).sum - ys.sum * ys.sum))
+    assert(got.getLong(0) == per.length)
+    assert(math.abs(got.getDouble(1) - num / den) < 1e-9,
+      s"${got.getDouble(1)} vs ${num / den}")
+  }
+
+  test("hill tail: threshold is the (k+1)-th largest order value, alpha positive") {
+    val got = Relational13.hillTail(sf).collect().head
+    val n = got.getLong(0); val k = got.getLong(1)
+    assert(k == Relational13.hillK(n).toLong)
+    val vals = sf.orders
+      .select(expr("CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 1000000 AS BIGINT)"))
+      .collect().map(_.getLong(0)).sorted(Ordering[Long].reverse)
+    assert(got.getLong(2) == vals(k.toInt), "threshold = (k+1)-th order stat")
+    assert(got.getAs[Double]("alpha") > 0)
+    // driver fold of the same ratio sum
+    val sl = (0 until k.toInt).map(i => math.log(vals(i).toDouble / vals(k.toInt))).sum
+    assert(math.abs(got.getAs[Double]("sum_log") - sl) < 1e-6)
+  }
+
+  test("theil index: decomposition reconstructs the overall index, shares sum to 1") {
+    val rows = Relational13.theilIndex(sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getDouble(4), r.getDouble(5)))
+    assert(rows.nonEmpty)
+    assert(math.abs(rows.map(_._5).sum - 1.0) < 1e-9, "shares sum to 1")
+    rows.foreach { case (nm, nc, _, tw, s, _) =>
+      assert(nc >= 1 && s > 0 && tw >= -1e-12, s"$nm within-Theil $tw") }
+    // T_total = T_between + Σ s_g · T_g against a driver recompute
+    val per = sf.orders.groupBy("o_custkey")
+      .agg(expr("CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) " +
+        "* 1000000 AS DECIMAL(19,0)) AS BIGINT)").as("x"))
+      .collect().map(_.getLong(1))
+    val mu = per.map(_.toDouble).sum / per.length
+    val tTotal = per.map { x => (x / mu / per.length) * math.log(x / mu) }.sum
+    val reconstructed = rows.map(_._6).sum +
+      rows.map(r => r._5 * r._4).sum
+    assert(math.abs(tTotal - reconstructed) < 1e-6, s"$tTotal vs $reconstructed")
+  }
+
+  test("shannon entropy: bounded by ln(classes), perplexity consistent") {
+    val rows = Relational13.shannonEntropy(sf).collect()
+      .map(r => (r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (n, c, h, p) =>
+      assert(n >= c && h >= -1e-12 && h <= math.log(c.toDouble) + 1e-9)
+      assert(math.abs(p - math.exp(h)) < 1e-6)
+    }
+  }
+
+  test("mutual information: nonnegative, bounded by marginal entropies, nmi in [0,1]") {
+    val r = Relational13.mutualInformation(sf).collect().head
+    val mi = r.getAs[Double]("mi_nats")
+    val hx = r.getAs[Double]("h_type"); val hy = r.getAs[Double]("h_dow")
+    assert(mi >= -1e-9 && mi <= math.min(hx, hy) + 1e-9)
+    val nmi = r.getAs[Double]("nmi")
+    assert(nmi >= -1e-9 && nmi <= 1.0 + 1e-9)
+  }
+
+  test("propensity match: every pair within caliper and truly nearest") {
+    val rows = Relational13.propensityMatch(sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(rows.nonEmpty)
+    val c = sf.customer.select(col("c_custkey"),
+        expr("CAST(CAST(c_acctbal AS DECIMAL(12,2)) * 100 AS BIGINT)"),
+        col("c_mktsegment") === "BUILDING")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
+    val controls = c.filter(!_._3)
+    rows.foreach { case (tk, tc, ck, cc, d) =>
+      assert(d == math.abs(tc - cc) && d <= 1000)
+      val best = controls.map(x => (math.abs(tc - x._2), x._1)).min
+      assert((d, ck) == best, s"treated $tk matched ($d,$ck) vs best $best")
+    }
+    // every treated customer with an in-caliper control is matched
+    val treated = c.filter(_._3)
+    val expected = treated.count(t => controls.exists(x => math.abs(t._2 - x._2) <= 1000))
+    assert(rows.length == expected)
+  }
+
+  test("seasonal MK: 12 seasons, |S| bounded by year pairs, variance nonnegative") {
+    val rows = Relational13.seasonalMk(sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(rows.map(_._1).toSeq == (1L to 12L))
+    rows.foreach { case (_, ny, s, v18) =>
+      assert(math.abs(s) <= ny * (ny - 1) / 2)
+      assert(v18 >= 0)
     }
   }
 }
