@@ -954,4 +954,105 @@ object Embeddings {
        | dim_a, dim_b
        |LIMIT $DimCorrK""".stripMargin
   }
+
+  /** Participation ratio — the embedding space's EFFECTIVE
+    * dimensionality PR = tr(C)² / ‖C‖²_F over the mean-centered
+    * covariance C, computed WITHOUT any eigendecomposition (tr C = Σλ
+    * and ‖C‖²_F = Σλ², so PR = (Σλ)²/Σλ² — the inverse-HHI of the
+    * variance spectrum; PR ≪ d means the embedding collapsed onto a
+    * few directions, the representation-health twin of [[abtt]]'s
+    * dominant-direction removal and the global view next to
+    * [[Similarity.twoNn]]'s local intrinsic dimension). One linear
+    * pass emits each vector's d(d+1)/2 upper-triangle products; cell
+    * sums ride the scale-30 decimal recipe (map-side combined into a
+    * d²-bounded grid), and the two spectral sums fold over the sorted
+    * bounded cell list. d is the data's fixed 64 (the PQ subspace
+    * convention).
+    */
+  def participationRatio(t: Tables): DataFrame = {
+    val vecs = t.embeddings
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    val pairs = vecs.select(explode(expr(
+        """flatten(transform(v, (xj, j) ->
+          |  transform(slice(v, j + 1, size(v) - j), (xk, kk) ->
+          |    struct(j AS j, j + kk AS k, xj * xk AS p))))""".stripMargin))
+        .as("c"))
+      .select(col("c.j").as("j"), col("c.k").as("k"), col("c.p").as("p"))
+    val cells = pairs.groupBy("j", "k")
+      .agg(count(lit(1)).as("n"),
+        sum(col("p").cast(DecimalType(38, 30))).cast("double")
+          .cast(DecimalType(24, 12)).cast("double").as("sp"))
+    val means = t.embeddings
+      .select(posexplode(col("embedding").cast("array<double>"))
+        .as(Seq("pos", "x")))
+      .groupBy("pos")
+      .agg(sum(col("x").cast(DecimalType(38, 30))).cast("double")
+        .cast(DecimalType(24, 12)).cast("double").as("sx"))
+    val cov = cells
+      .join(means.select(col("pos").as("j"), col("sx").as("sj")), Seq("j"))
+      .join(means.select(col("pos").as("k"), col("sx").as("sk")), Seq("k"))
+      .withColumn("c",
+        ((col("sp") - col("sj") * col("sk") / col("n")) / (col("n") - 1))
+          .cast(DecimalType(24, 12)).cast("double"))
+    cov
+      .agg(first(col("n")).as("n"),
+        sort_array(collect_list(struct(col("j"), col("k"),
+          when(col("j") === col("k"), col("c")).otherwise(lit(0.0)).as("d"),
+          (col("c") * col("c") *
+            when(col("j") === col("k"), lit(1.0)).otherwise(lit(2.0)))
+            .as("f")))).as("arr"))
+      .select(col("n").cast("long").as("n"),
+        expr("aggregate(arr, CAST(0.0 AS DOUBLE), (a, x) -> a + x.d)")
+          .cast(DecimalType(24, 12)).cast("double").as("trace"),
+        expr("aggregate(arr, CAST(0.0 AS DOUBLE), (a, x) -> a + x.f)")
+          .cast(DecimalType(24, 12)).cast("double").as("fro2"))
+      .select(col("n"), col("trace"), col("fro2"),
+        ((col("trace") * col("trace")) / col("fro2"))
+          .cast(DecimalType(24, 12)).cast("double")
+          .as("participation_ratio"))
+  }
+
+  /** Oracle: the 64-dim upper triangle replays through a range cross
+    * join (DuckDB lists are 1-based), identical decimal sums and fold
+    * order.
+    */
+  val participationRatioSql: String =
+    """WITH vecs AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+      |pairs AS (
+      | SELECT j, k, v[CAST(j AS INT) + 1] * v[CAST(k AS INT) + 1] AS p
+      | FROM vecs,
+      |  (SELECT unnest(range(0, 64)) AS j),
+      |  (SELECT unnest(range(0, 64)) AS k)
+      | WHERE k >= j),
+      |cells AS (
+      | SELECT j, k, CAST(COUNT(*) AS BIGINT) AS n,
+      |  CAST(CAST(CAST(SUM(CAST(p AS DECIMAL(38,30))) AS DOUBLE)
+      |    AS DECIMAL(24,12)) AS DOUBLE) AS sp
+      | FROM pairs GROUP BY 1, 2),
+      |means AS (
+      | SELECT pos, CAST(CAST(CAST(SUM(CAST(x AS DECIMAL(38,30))) AS DOUBLE)
+      |   AS DECIMAL(24,12)) AS DOUBLE) AS sx
+      | FROM (SELECT unnest(range(len(v))) AS pos, unnest(v) AS x FROM vecs)
+      | GROUP BY 1),
+      |cov AS (
+      | SELECT j, k, n,
+      |  CAST(CAST((sp - mj.sx * mk.sx / n) / (n - 1) AS DECIMAL(24,12))
+      |    AS DOUBLE) AS c
+      | FROM cells
+      | JOIN means mj ON mj.pos = cells.j
+      | JOIN means mk ON mk.pos = cells.k),
+      |folded AS (
+      | SELECT CAST(MIN(n) AS BIGINT) AS n,
+      |  CAST(CAST(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+      |    list(CASE WHEN j = k THEN c ELSE 0.0 END ORDER BY j, k)),
+      |    (a, x) -> a + x) AS DECIMAL(24,12)) AS DOUBLE) AS trace,
+      |  CAST(CAST(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+      |    list(c * c * (CASE WHEN j = k THEN 1.0 ELSE 2.0 END)
+      |      ORDER BY j, k)), (a, x) -> a + x) AS DECIMAL(24,12)) AS DOUBLE)
+      |    AS fro2
+      | FROM cov)
+      |SELECT n, trace, fro2,
+      | CAST(CAST((trace * trace) / fro2 AS DECIMAL(24,12)) AS DOUBLE)
+      |   AS participation_ratio
+      |FROM folded""".stripMargin
 }

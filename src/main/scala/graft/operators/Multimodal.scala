@@ -2722,4 +2722,79 @@ object Multimodal {
       | TRUE AS magic_ok, TRUE AS structure_ok
       |FROM documents
       |ORDER BY doc_id""".stripMargin
+
+  /** Shannon entropy of the 8-bit luma histogram per image (bits), with
+    * the dynamic range — the information-content screen next to
+    * [[lumaHistogram]]'s log-free Gini-Simpson impurity: entropy
+    * separates "few busy levels" from "many near-empty levels", which
+    * impurity conflates, and 2^H is the image's effective level count.
+    * Same deterministic stub raster and ITU-601 integer luma; each
+    * doc's −Σ p·log₂ p folds over its ≤256 histogram cells in gray
+    * order (bounded per-doc list), and the log-bearing output takes the
+    * portable 12-decimal rounding (log₂ written as ln/ln 2 so both
+    * engines run the identical libm calls; 2^H — the effective level
+    * count — is left to the reader because pow itself differs at the
+    * ulp between libm implementations).
+    */
+  def histogramEntropy(t: Tables): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val p = t.documents.select(col("doc_id"),
+      (lit(8) + pmod(col("doc_id"), lit(9))).cast("int").as("w"),
+      (lit(8) + pmod(col("doc_id") * 3, lit(9))).cast("int").as("h"))
+    val px = p
+      .select(col("doc_id"), col("w"), col("h"),
+        explode(sequence(lit(0), col("w") - 1)).as("x"))
+      .select(col("doc_id"), col("w"), col("h"), col("x"),
+        explode(sequence(lit(0), col("h") - 1)).as("y"))
+      .select(col("doc_id"),
+        expr("""(299 * ((doc_id + 7*x + 13*y) % 256)
+               | + 587 * ((2*doc_id + 11*x + 3*y) % 256)
+               | + 114 * ((3*doc_id + 5*x + 17*y) % 256)) div 1000""".stripMargin)
+          .as("gray"))
+    val hist = px.groupBy("doc_id", "gray").agg(count(lit(1)).as("cnt"))
+    val withN = hist.groupBy("doc_id")
+      .agg(sum(col("cnt")).as("np"), count(lit(1)).as("n_levels"),
+        min(col("gray")).as("min_gray"), max(col("gray")).as("max_gray"),
+        sort_array(collect_list(struct(col("gray"), col("cnt")))).as("arr"))
+    withN
+      .select(col("doc_id"), col("np").cast("long").as("n_pixels"),
+        col("n_levels").cast("long").as("n_levels"),
+        col("min_gray").cast("long").as("min_gray"),
+        col("max_gray").cast("long").as("max_gray"),
+        expr("""aggregate(arr, CAST(0.0 AS DOUBLE), (a, e) ->
+          | a - (CAST(e.cnt AS DOUBLE) / np) *
+          |     ln(CAST(e.cnt AS DOUBLE) / np) / ln(2.0))""".stripMargin)
+          .cast(DecimalType(24, 12)).cast("double").as("entropy_bits"))
+      .orderBy("doc_id")
+  }
+
+  val histogramEntropySql: String =
+    """WITH p AS (
+      |  SELECT doc_id, 8 + doc_id % 9 AS w, 8 + (doc_id * 3) % 9 AS h
+      |  FROM documents),
+      |xs AS (SELECT doc_id, w, h, unnest(range(0, w)) AS x FROM p),
+      |xy AS (SELECT doc_id, x, unnest(range(0, h)) AS y FROM xs),
+      |px AS (
+      |  SELECT doc_id,
+      |    (299 * ((doc_id + 7*x + 13*y) % 256)
+      |     + 587 * ((2*doc_id + 11*x + 3*y) % 256)
+      |     + 114 * ((3*doc_id + 5*x + 17*y) % 256)) // 1000 AS gray
+      |  FROM xy),
+      |hist AS (
+      |  SELECT doc_id, gray, CAST(COUNT(*) AS BIGINT) AS cnt
+      |  FROM px GROUP BY 1, 2),
+      |tot AS (
+      |  SELECT doc_id, CAST(SUM(cnt) AS BIGINT) AS np FROM hist GROUP BY 1),
+      |agg AS (
+      |  SELECT doc_id, CAST(MIN(np) AS BIGINT) AS n_pixels,
+      |    CAST(COUNT(*) AS BIGINT) AS n_levels,
+      |    CAST(MIN(gray) AS BIGINT) AS min_gray,
+      |    CAST(MAX(gray) AS BIGINT) AS max_gray,
+      |    CAST(CAST(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+      |      list(-(CAST(cnt AS DOUBLE) / np) * ln(CAST(cnt AS DOUBLE) / np)
+      |        / ln(2.0) ORDER BY gray)), (a, x) -> a + x)
+      |      AS DECIMAL(24,12)) AS DOUBLE) AS entropy_bits
+      |  FROM hist JOIN tot USING (doc_id) GROUP BY doc_id)
+      |SELECT doc_id, n_pixels, n_levels, min_gray, max_gray, entropy_bits
+      |FROM agg ORDER BY doc_id""".stripMargin
 }

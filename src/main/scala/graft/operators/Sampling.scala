@@ -1,8 +1,10 @@
 package graft.operators
 
 import graft.Tables
+import graft.functions.Exact.{decToDouble, decToDoubleSql}
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
 
 /** Deterministic, engine-portable sampling for training-data pipelines.
   *
@@ -427,5 +429,46 @@ object Sampling {
        |   - CAST(SUM(n_chars) AS DOUBLE)) / CAST(SUM(n_chars) AS DOUBLE)
        |   AS rel_err
        |FROM scored GROUP BY 1 ORDER BY 1""".stripMargin
+  }
+
+  /** Effective sample size of length-proportional importance weights,
+    * per source: ESS = (Σw)²/Σw² with w = n_chars — "how many
+    * equal-weight documents is this weighted sample worth", the
+    * degeneracy audit run before trusting any weighted estimate
+    * ([[horvitzThompson]]'s design-check companion; ESS/n ≪ 1 means a
+    * few huge documents dominate the source). Both power sums are
+    * exact DECIMAL(38,0) integers in one aggregation; the two
+    * divisions convert through the hi/lo split and take the portable
+    * 12-decimal rounding.
+    */
+  def sampleEss(t: Tables): DataFrame =
+    t.documents.groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_chars").cast(DecimalType(38, 0))).as("sw"),
+        sum((col("n_chars") * col("n_chars")).cast(DecimalType(38, 0)))
+          .as("sw2"))
+      .select(col("source"), col("n_docs"),
+        col("sw").cast("long").as("sum_w"),
+        ((decToDouble(col("sw")) * decToDouble(col("sw"))) /
+          decToDouble(col("sw2")))
+          .cast(DecimalType(24, 12)).cast("double").as("ess"),
+        (((decToDouble(col("sw")) * decToDouble(col("sw"))) /
+          decToDouble(col("sw2"))) / col("n_docs"))
+          .cast(DecimalType(24, 12)).cast("double").as("ess_ratio"))
+      .orderBy("source")
+
+  val sampleEssSql: String = {
+    val swD = decToDoubleSql("sw")
+    val sw2D = decToDoubleSql("sw2")
+    s"""WITH s AS (
+       | SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       |  CAST(SUM(n_chars) AS HUGEINT) AS sw,
+       |  CAST(SUM(n_chars * n_chars) AS HUGEINT) AS sw2
+       | FROM documents GROUP BY 1)
+       |SELECT source, n_docs, CAST(sw AS BIGINT) AS sum_w,
+       | CAST(CAST(($swD * $swD) / $sw2D AS DECIMAL(24,12)) AS DOUBLE) AS ess,
+       | CAST(CAST((($swD * $swD) / $sw2D) / n_docs AS DECIMAL(24,12))
+       |   AS DOUBLE) AS ess_ratio
+       |FROM s ORDER BY source""".stripMargin
   }
 }

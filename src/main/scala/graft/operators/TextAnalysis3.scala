@@ -716,4 +716,66 @@ object TextAnalysis3 {
       | CAST(CAST(CAST(SUM(CAST(term AS DECIMAL(38,30))) AS DOUBLE)
       |   AS DECIMAL(24,12)) AS DOUBLE) AS kl_nats
       |FROM terms GROUP BY 1 ORDER BY 1""".stripMargin
+
+  /** Top TF-IDF terms per ingestion source: tf(source, token) weighted
+    * by the smoothed inverse source frequency ln((S+1)/(df+1)) and cut
+    * to the top [[TfidfTopK]] per source — "what is each source
+    * actually about", the routing/tagging signal a mixture curator
+    * reads next to [[klSourceDrift]]'s divergence score. Two
+    * vocabulary-sized aggregations and one plain equi-join (NO
+    * broadcast hint — the vocabulary grows with the corpus, the r14
+    * convention), then a per-source top-k window (partitioned — never
+    * global). Scores are doubles off exact integer counts with the
+    * portable 12-decimal rounding; ties break on the token text.
+    */
+  def tfidfTopTerms(t: Tables): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val tf = t.documents
+      .select(col("source"), explode(split(col("text"), " ")).as("token"))
+      .where(length(col("token")) > 0)
+      .groupBy("source", "token").agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy("token").agg(count(lit(1)).as("df"))
+    val nSrc = tf.agg(countDistinct(col("source")).as("s"))
+    val scored = tf
+      .join(df, Seq("token"))
+      .crossJoin(broadcast(nSrc))
+      .withColumn("tfidf",
+        (col("tf").cast("double") *
+          log((col("s").cast("double") + 1.0) / (col("df").cast("double") + 1.0)))
+          .cast(DecimalType(24, 12)).cast("double"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("source").orderBy(col("tfidf").desc, col("token"))
+    scored
+      .withColumn("rk", row_number().over(w))
+      .where(col("rk") <= TfidfTopK)
+      .select(col("source"), col("rk").cast("long").as("rk"), col("token"),
+        col("tf"), col("df"), col("tfidf"))
+      .orderBy("source", "rk")
+  }
+
+  private val TfidfTopK = 5
+
+  val tfidfTopTermsSql: String =
+    s"""WITH toks AS (
+       | SELECT source, unnest(string_split(text, ' ')) AS token
+       | FROM documents),
+       |tf AS (
+       | SELECT source, token, CAST(COUNT(*) AS BIGINT) AS tf
+       | FROM toks WHERE length(token) > 0 GROUP BY 1, 2),
+       |df AS (SELECT token, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+       |ns AS (SELECT CAST(COUNT(DISTINCT source) AS BIGINT) AS s FROM tf),
+       |scored AS (
+       | SELECT source, token, tf, df,
+       |  CAST(CAST(CAST(tf AS DOUBLE) *
+       |    ln((CAST(s AS DOUBLE) + 1.0) / (CAST(df AS DOUBLE) + 1.0))
+       |    AS DECIMAL(24,12)) AS DOUBLE) AS tfidf
+       | FROM tf JOIN df USING (token) CROSS JOIN ns),
+       |ranked AS (
+       | SELECT source, token, tf, df, tfidf,
+       |  CAST(ROW_NUMBER() OVER (PARTITION BY source
+       |    ORDER BY tfidf DESC, token) AS BIGINT) AS rk
+       | FROM scored)
+       |SELECT source, rk, token, tf, df, tfidf
+       |FROM ranked WHERE rk <= $TfidfTopK
+       |ORDER BY source, rk""".stripMargin
 }

@@ -147,6 +147,70 @@ class Round14Spec extends SparkSpec {
     assert(rows.length == expected)
   }
 
+  test("sample ESS: bounded by n, equals n on equal weights") {
+    val rows = graft.operators.Sampling.sampleEss(sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(3), r.getDouble(4)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (src, n, ess, ratio) =>
+      assert(ess > 0 && ess <= n + 1e-9, s"$src ESS $ess of $n")
+      assert(math.abs(ratio - ess / n) < 1e-9)
+    }
+    // driver recompute for one source
+    val (src0, _, ess0, _) = rows.head
+    val w = sf.documents.where(col("source") === src0)
+      .select("n_chars").collect().map(_.getLong(0).toDouble)
+    val expect = w.sum * w.sum / w.map(x => x * x).sum
+    assert(math.abs(ess0 - expect) < 1e-6, s"$ess0 vs $expect")
+  }
+
+  test("tfidf top terms: 5 per source, scores non-increasing, counts exact") {
+    val rows = graft.operators.TextAnalysis3.tfidfTopTerms(sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getString(2),
+        r.getLong(3), r.getLong(4), r.getDouble(5)))
+    val bySrc = rows.groupBy(_._1)
+    bySrc.foreach { case (src, rs) =>
+      assert(rs.map(_._2).sorted.toSeq == (1L to rs.length) && rs.length <= 5)
+      rs.sortBy(_._2).sliding(2).foreach {
+        case Array(a, b) => assert(a._6 >= b._6 - 1e-12, s"$src rank order")
+        case _ =>
+      }
+    }
+    // spot-check one (source, token) tf against a direct count
+    val (s0, _, tok0, tf0, _, _) = rows.head
+    val direct = sf.documents.where(col("source") === s0)
+      .select(explode(split(col("text"), " ")).as("t"))
+      .where(col("t") === tok0).count()
+    assert(tf0 == direct)
+  }
+
+  test("participation ratio: in [1, d], matches a driver eigen-free recompute") {
+    val r = graft.operators.Embeddings.participationRatio(sf).collect().head
+    val pr = r.getAs[Double]("participation_ratio")
+    assert(pr >= 1.0 - 1e-9 && pr <= 64.0 + 1e-9, s"PR $pr")
+    // driver recompute: covariance trace and Frobenius norm
+    val vecs = sf.embeddings.select(col("embedding").cast("array<double>"))
+      .collect().map(_.getSeq[Double](0).toArray)
+    val n = vecs.length; val d = vecs.head.length
+    val mean = Array.tabulate(d)(j => vecs.map(_(j)).sum / n)
+    var tr = 0.0; var fro = 0.0
+    for (j <- 0 until d; k <- j until d) {
+      val c = vecs.map(v => (v(j) - mean(j)) * (v(k) - mean(k))).sum / (n - 1)
+      if (j == k) { tr += c; fro += c * c } else fro += 2 * c * c
+    }
+    assert(math.abs(pr - tr * tr / fro) < 1e-6, s"$pr vs ${tr * tr / fro}")
+  }
+
+  test("histogram entropy: bounded by log2(levels), solid image would be zero") {
+    val rows = graft.operators.Multimodal.histogramEntropy(sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(5)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (id, np, lv, h) =>
+      assert(h >= -1e-12 && h <= math.log(lv.toDouble) / math.log(2.0) + 1e-9,
+        s"doc $id entropy $h levels $lv")
+      assert(np >= lv)
+    }
+  }
+
   test("seasonal MK: 12 seasons, |S| bounded by year pairs, variance nonnegative") {
     val rows = Relational13.seasonalMk(sf).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
