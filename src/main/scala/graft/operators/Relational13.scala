@@ -550,4 +550,265 @@ object Relational13 {
        |       ${decToDoubleSql("(n * syy - sy * sy)")}) AS spearman_rho
        |FROM sums""".stripMargin
   }
+
+  // ------------------------------------------------- Kruskal-Wallis
+
+  /** Kruskal–Wallis rank test of customer revenue across market
+    * segments — the >2-group non-parametric ANOVA completing the
+    * hypothesis battery ([[Relational11.anova]] assumes normality;
+    * [[Relational8.mannWhitney]] handles two groups). Tie-averaged
+    * ranks stay exact in DOUBLED form (2R = 2s+c+1 per value group, the
+    * mannWhitney identity) over ONE distributed prefix scan of the
+    * value domain; each group's rank sum is then Σ cnt_{g,v}·2R(v) in
+    * exact DECIMAL(38,0). H folds over the ≤#segments group terms in
+    * segment order; the tie correction 1 − Σ(t³−t)/(N³−N) uses exact
+    * integer tie counts. All log-free doubles take the 12-dec rounding.
+    */
+  def kruskalWallis(t: Tables): DataFrame = {
+    val perCust = t.orders
+      .groupBy("o_custkey")
+      .agg(microUnits(sum(dec(col("o_totalprice")))).cast("long").as("x"))
+      .join(broadcast(t.customer.select("c_custkey", "c_mktsegment")),
+        col("o_custkey") === col("c_custkey"))
+      .select(col("c_mktsegment").as("seg"), col("x"))
+    val byValue = perCust.groupBy("x").agg(count(lit(1)).as("c"))
+    val scanned = Ranks.withGlobalPrefixAggs(byValue, Seq(col("x")),
+      Seq(("s0", col("c"), "sum", false)))
+    val ranks = scanned.select(col("x"),
+      (lit(2) * coalesce(col("s0"), lit(0L)) + col("c") + 1).as("r2"),
+      col("c"))
+    val bySegVal = perCust.groupBy("seg", "x").agg(count(lit(1)).as("cnt"))
+    val groupSums = bySegVal.join(ranks, Seq("x"))
+      .groupBy("seg")
+      .agg(sum(col("cnt")).cast("long").as("n_g"),
+        sum((col("cnt") * col("r2")).cast(d38)).as("sum2r"))
+    val ties = byValue.agg(
+      sum(col("c")).cast("long").as("n"),
+      sum((col("c") * col("c") * col("c") - col("c")).cast(d38)).as("tie3"))
+    groupSums
+      .withColumn("term",
+        (decToDouble(col("sum2r")) * decToDouble(col("sum2r")) /
+          (lit(4.0) * col("n_g").cast("double"))))
+      .agg(count(lit(1)).as("k_groups"),
+        sort_array(collect_list(struct(col("seg"), col("term")))).as("arr"))
+      .select(col("k_groups").cast("long").as("k_groups"),
+        expr("aggregate(slice(arr, 2, size(arr) - 1), arr[0].term," +
+          " (a, x) -> a + x.term)").as("rsum"))
+      .crossJoin(broadcast(ties))
+      .select(col("n"), col("k_groups"),
+        ((lit(12.0) / (col("n").cast("double") * (col("n").cast("double") + 1)))
+          * col("rsum") - lit(3.0) * (col("n").cast("double") + 1))
+          .cast(DecimalType(24, 12)).cast("double").as("h"),
+        (((lit(12.0) / (col("n").cast("double") * (col("n").cast("double") + 1)))
+          * col("rsum") - lit(3.0) * (col("n").cast("double") + 1)) /
+          (lit(1.0) - decToDouble(col("tie3")) /
+            (col("n").cast("double") * col("n").cast("double")
+              * col("n").cast("double") - col("n").cast("double"))))
+          .cast(DecimalType(24, 12)).cast("double").as("h_tie_corrected"))
+  }
+
+  val kruskalWallisSql: String = {
+    val s2rD = decToDoubleSql("sum2r")
+    val tie3D = decToDoubleSql("tie3")
+    s"""WITH per_cust AS (
+       | SELECT c_mktsegment AS seg,
+       |  CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) * 1000000
+       |    AS HUGEINT) AS BIGINT) AS x
+       | FROM orders JOIN customer ON o_custkey = c_custkey
+       | GROUP BY seg, o_custkey),
+       |ranked AS (
+       | SELECT seg, x,
+       |  2 * (RANK() OVER (ORDER BY x) - 1)
+       |   + CAST(COUNT(*) OVER (PARTITION BY x) AS BIGINT) + 1 AS r2
+       | FROM per_cust),
+       |grp AS (
+       | SELECT seg, CAST(COUNT(*) AS BIGINT) AS n_g,
+       |  CAST(SUM(r2) AS HUGEINT) AS sum2r
+       | FROM ranked GROUP BY 1),
+       |ties AS (
+       | SELECT CAST(SUM(c) AS BIGINT) AS n,
+       |  CAST(SUM(CAST(c AS HUGEINT) * c * c - c) AS HUGEINT) AS tie3
+       | FROM (SELECT x, CAST(COUNT(*) AS BIGINT) AS c
+       |       FROM per_cust GROUP BY 1)),
+       |folded AS (
+       | SELECT CAST(COUNT(*) AS BIGINT) AS k_groups,
+       |  list_reduce(list($s2rD * $s2rD / (4.0 * CAST(n_g AS DOUBLE))
+       |    ORDER BY seg), (a, x) -> a + x) AS rsum
+       | FROM grp)
+       |SELECT n, k_groups,
+       | CAST(CAST((12.0 / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) + 1)))
+       |   * rsum - 3.0 * (CAST(n AS DOUBLE) + 1) AS DECIMAL(24,12))
+       |   AS DOUBLE) AS h,
+       | CAST(CAST(((12.0 / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) + 1)))
+       |   * rsum - 3.0 * (CAST(n AS DOUBLE) + 1)) /
+       |   (1.0 - $tie3D / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)
+       |     * CAST(n AS DOUBLE) - CAST(n AS DOUBLE)))
+       |   AS DECIMAL(24,12)) AS DOUBLE) AS h_tie_corrected
+       |FROM folded CROSS JOIN ties""".stripMargin
+  }
+
+  // ---------------------------------------------------- Friedman test
+
+  /** Friedman rank test: do the 12 calendar months rank consistently
+    * across COMPLETE years — the repeated-measures companion to
+    * [[seasonalMk]] (MK asks "monotone across years per season",
+    * Friedman asks "is there ANY consistent month effect"). Blocks =
+    * years with all 12 months observed; ranks are tie-averaged DOUBLED
+    * ranks WITHIN each year (a bounded 12-row window partitioned by
+    * year — never global); χ²_F = 12/(n·k·(k+1))·ΣR_j² − 3n(k+1) folds
+    * over the 12 month terms in month order.
+    */
+  def friedmanTest(t: Tables): DataFrame = {
+    val monthly = t.lineitem
+      .groupBy(trunc(col("l_shipdate"), "month").as("mon"))
+      .agg(sum(microUnits(discPrice(col("l_extendedprice"), col("l_discount")))
+        .cast(d38)).as("units"))
+      .select(year(col("mon")).cast("long").as("yr"),
+        month(col("mon")).cast("long").as("moy"), col("units"))
+    val complete = monthly.groupBy("yr").agg(count(lit(1)).as("km"))
+      .where(col("km") === 12).select("yr")
+    val inBlocks = monthly.join(broadcast(complete), Seq("yr"))
+    val wRank = org.apache.spark.sql.expressions.Window
+      .partitionBy("yr").orderBy("units")
+    val wTies = org.apache.spark.sql.expressions.Window
+      .partitionBy("yr", "units")
+    val ranked = inBlocks
+      .withColumn("r2", lit(2) * (rank().over(wRank) - 1)
+        + count(lit(1)).over(wTies) + 1)
+    val perMonth = ranked.groupBy("moy")
+      .agg(count(lit(1)).as("n_b"), sum(col("r2")).cast("long").as("r2sum"))
+    perMonth
+      .agg(first(col("n_b")).as("n_blocks"), count(lit(1)).as("k"),
+        sort_array(collect_list(struct(col("moy"),
+          (col("r2sum").cast("double") * col("r2sum").cast("double") / 4.0)
+            .as("term")))).as("arr"))
+      .select(col("n_blocks").cast("long").as("n_blocks"),
+        col("k").cast("long").as("k"),
+        expr("aggregate(slice(arr, 2, size(arr) - 1), arr[0].term," +
+          " (a, x) -> a + x.term)").as("rsum"))
+      .select(col("n_blocks"), col("k"),
+        ((lit(12.0) / (col("n_blocks").cast("double") * col("k").cast("double")
+          * (col("k").cast("double") + 1))) * col("rsum")
+          - lit(3.0) * col("n_blocks").cast("double") * (col("k").cast("double") + 1))
+          .cast(DecimalType(24, 12)).cast("double").as("chi2_f"))
+  }
+
+  val friedmanTestSql: String =
+    """WITH monthly AS (
+      | SELECT CAST(year(date_trunc('month', CAST(l_shipdate AS DATE)))
+      |    AS BIGINT) AS yr,
+      |  CAST(month(date_trunc('month', CAST(l_shipdate AS DATE)))
+      |    AS BIGINT) AS moy,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) *
+      |    CAST(1 - CAST(l_discount AS DECIMAL(4,2)) AS DECIMAL(8,4)))
+      |    * 1000000 AS HUGEINT) AS units
+      | FROM lineitem GROUP BY 1, 2),
+      |complete AS (
+      | SELECT yr FROM monthly GROUP BY yr HAVING COUNT(*) = 12),
+      |ranked AS (
+      | SELECT moy,
+      |  2 * (RANK() OVER (PARTITION BY yr ORDER BY units) - 1)
+      |   + CAST(COUNT(*) OVER (PARTITION BY yr, units) AS BIGINT) + 1 AS r2
+      | FROM monthly JOIN complete USING (yr)),
+      |per_month AS (
+      | SELECT moy, CAST(COUNT(*) AS BIGINT) AS n_b,
+      |  CAST(SUM(r2) AS BIGINT) AS r2sum
+      | FROM ranked GROUP BY 1),
+      |folded AS (
+      | SELECT CAST(MIN(n_b) AS BIGINT) AS n_blocks,
+      |  CAST(COUNT(*) AS BIGINT) AS k,
+      |  list_reduce(list(CAST(r2sum AS DOUBLE) * CAST(r2sum AS DOUBLE) / 4.0
+      |    ORDER BY moy), (a, x) -> a + x) AS rsum
+      | FROM per_month)
+      |SELECT n_blocks, k,
+      | CAST(CAST((12.0 / (CAST(n_blocks AS DOUBLE) * CAST(k AS DOUBLE)
+      |   * (CAST(k AS DOUBLE) + 1))) * rsum
+      |   - 3.0 * CAST(n_blocks AS DOUBLE) * (CAST(k AS DOUBLE) + 1)
+      |   AS DECIMAL(24,12)) AS DOUBLE) AS chi2_f
+      |FROM folded""".stripMargin
+
+  // ------------------------------------------------- extreme value
+
+  /** Euler–Mascheroni constant for the Gumbel moment fit. */
+  private val EulerGamma = 0.5772156649015329
+
+  /** Extreme-value (Gumbel) fit of monthly-maximum daily revenue by the
+    * method of moments — "how bad can a peak day get": block maxima
+    * (calendar months) reduce the fact table twice (daily totals, then
+    * monthly maxima — both calendar-bounded), the sample mean/std of
+    * the maxima come from exact integer power sums, and
+    * β = s·√6/π, μ = m − γ·β give the 100-block return level
+    * μ − β·ln(−ln(1 − 1/100)). Every double is a fixed formula of
+    * exact integers (constants as literals), 12-dec rounded.
+    */
+  def extremeValue(t: Tables): DataFrame = {
+    // WHOLE currency units (micros div 10⁶), not micros: Σmx² must stay
+    // inside decToDouble's exactness envelope (hi < 2⁵³, i.e. sums
+    // < ~9·10²⁴ — micros squared blow past it and the hi conversion
+    // rounding is then engine-specific)
+    val daily = t.lineitem
+      .groupBy(col("l_shipdate").cast("date").as("d"))
+      .agg(expr("CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * " +
+        "CAST(1 - CAST(l_discount AS DECIMAL(4,2)) AS DECIMAL(8,4)) " +
+        "AS DECIMAL(38,6))) * 1000000 AS DECIMAL(38,0)) div 1000000")
+        .cast(d38).as("units"))
+    val monthlyMax = daily
+      .groupBy(trunc(col("d"), "month").as("mon"))
+      .agg(max(col("units")).as("mx"))
+    monthlyMax
+      .agg(count(lit(1)).as("n_blocks"),
+        sum(col("mx")).as("sx"),
+        sum(col("mx") * col("mx")).as("sxx"))
+      .select(col("n_blocks").cast("long").as("n_blocks"),
+        (decToDouble(col("sx")) / col("n_blocks")).as("m"),
+        sqrt((decToDouble(col("sxx")) -
+          decToDouble(col("sx")) * decToDouble(col("sx")) / col("n_blocks")) /
+          (col("n_blocks") - 1)).as("s"))
+      .select(col("n_blocks"),
+        col("m").cast(DecimalType(24, 12)).cast("double").as("mean_max"),
+        col("s").cast(DecimalType(24, 12)).cast("double").as("std_max"),
+        (col("s") * sqrt(lit(6.0)) / lit(math.Pi))
+          .cast(DecimalType(24, 12)).cast("double").as("gumbel_beta"),
+        (col("m") - lit(EulerGamma) * col("s") * sqrt(lit(6.0)) / lit(math.Pi))
+          .cast(DecimalType(24, 12)).cast("double").as("gumbel_mu"),
+        ((col("m") - lit(EulerGamma) * col("s") * sqrt(lit(6.0)) / lit(math.Pi))
+          - (col("s") * sqrt(lit(6.0)) / lit(math.Pi))
+            * log(-log(lit(1.0) - lit(0.01))))
+          .cast(DecimalType(24, 12)).cast("double").as("return_level_100"))
+  }
+
+  val extremeValueSql: String = {
+    val sxD = decToDoubleSql("sx")
+    val sxxD = decToDoubleSql("sxx")
+    s"""WITH daily AS (
+       | SELECT CAST(l_shipdate AS DATE) AS d,
+       |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) *
+       |    CAST(1 - CAST(l_discount AS DECIMAL(4,2)) AS DECIMAL(8,4)))
+       |    * 1000000 AS HUGEINT) // 1000000 AS units
+       | FROM lineitem GROUP BY 1),
+       |mm AS (
+       | SELECT date_trunc('month', d) AS mon, MAX(units) AS mx
+       | FROM daily GROUP BY 1),
+       |agg AS (
+       | SELECT CAST(COUNT(*) AS BIGINT) AS n_blocks,
+       |  CAST(SUM(mx) AS HUGEINT) AS sx,
+       |  CAST(SUM(mx * mx) AS HUGEINT) AS sxx
+       | FROM mm),
+       |stats AS (
+       | SELECT n_blocks,
+       |  $sxD / n_blocks AS m,
+       |  sqrt(($sxxD - $sxD * $sxD / n_blocks) / (n_blocks - 1)) AS s
+       | FROM agg)
+       |SELECT n_blocks,
+       | CAST(CAST(m AS DECIMAL(24,12)) AS DOUBLE) AS mean_max,
+       | CAST(CAST(s AS DECIMAL(24,12)) AS DOUBLE) AS std_max,
+       | CAST(CAST(s * sqrt(6.0) / pi() AS DECIMAL(24,12)) AS DOUBLE)
+       |   AS gumbel_beta,
+       | CAST(CAST(m - $EulerGamma * s * sqrt(6.0) / pi()
+       |   AS DECIMAL(24,12)) AS DOUBLE) AS gumbel_mu,
+       | CAST(CAST((m - $EulerGamma * s * sqrt(6.0) / pi())
+       |   - (s * sqrt(6.0) / pi()) * ln(-ln(1.0 - 0.01))
+       |   AS DECIMAL(24,12)) AS DOUBLE) AS return_level_100
+       |FROM stats""".stripMargin
+  }
 }

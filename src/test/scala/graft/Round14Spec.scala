@@ -147,6 +147,54 @@ class Round14Spec extends SparkSpec {
     assert(rows.length == expected)
   }
 
+  test("kruskal-wallis: H matches a driver tie-rank recompute") {
+    val r = Relational13.kruskalWallis(sf).collect().head
+    val per = sf.orders.groupBy("o_custkey")
+      .agg(expr("CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) " +
+        "* 1000000 AS DECIMAL(19,0)) AS BIGINT)").as("x"))
+      .join(sf.customer, col("o_custkey") === col("c_custkey"))
+      .select("c_mktsegment", "x")
+      .collect().map(rr => (rr.getString(0), rr.getLong(1)))
+    val n = per.length
+    val sorted = per.map(_._2).sorted
+    val rank2 = sorted.groupBy(identity).map { case (v, g) =>
+      v -> (2L * sorted.indexWhere(_ == v) + g.length + 1) }
+    val groups = per.groupBy(_._1)
+    val rsum = groups.values.map { g =>
+      val s2 = g.map(p => rank2(p._2)).sum.toDouble
+      s2 * s2 / (4.0 * g.length) }.sum
+    val h = 12.0 / (n.toDouble * (n + 1)) * rsum - 3.0 * (n + 1)
+    assert(r.getLong(0) == n && r.getLong(1) == groups.size)
+    assert(math.abs(r.getAs[Double]("h") - h) < 1e-6,
+      s"${r.getAs[Double]("h")} vs $h")
+    assert(r.getAs[Double]("h_tie_corrected") >= r.getAs[Double]("h") - 1e-9)
+  }
+
+  test("friedman: complete blocks only, k = 12, chi2 nonnegative") {
+    val r = Relational13.friedmanTest(sf).collect().head
+    assert(r.getLong(1) == 12)
+    assert(r.getLong(0) >= 1)
+    assert(r.getAs[Double]("chi2_f") >= -1e-9)
+  }
+
+  test("extreme value: moments match a driver recompute, return level above the mean") {
+    val r = Relational13.extremeValue(sf).collect().head
+    val mx = sf.lineitem
+      .groupBy(col("l_shipdate").cast("date").as("d"))
+      .agg(expr("CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * " +
+        "CAST(1 - CAST(l_discount AS DECIMAL(4,2)) AS DECIMAL(8,4)) " +
+        "AS DECIMAL(38,6))) * 1000000 AS DECIMAL(38,0)) div 1000000").as("u"))
+      .groupBy(trunc(col("d"), "month")).agg(max(col("u")).as("mx"))
+      .collect().map(_.getLong(1).toDouble)
+    val m = mx.sum / mx.length
+    val s = math.sqrt(mx.map(x => (x - m) * (x - m)).sum / (mx.length - 1))
+    assert(r.getLong(0) == mx.length)
+    assert(math.abs(r.getAs[Double]("mean_max") - m) < 1e-4 * m)
+    assert(math.abs(r.getAs[Double]("std_max") - s) < 1e-4 * s + 1e-6)
+    assert(r.getAs[Double]("gumbel_beta") > 0)
+    assert(r.getAs[Double]("return_level_100") > r.getAs[Double]("mean_max"))
+  }
+
   test("sample ESS: bounded by n, equals n on equal weights") {
     val rows = graft.operators.Sampling.sampleEss(sf).collect()
       .map(r => (r.getString(0), r.getLong(1), r.getDouble(3), r.getDouble(4)))
