@@ -29,7 +29,12 @@ import shutil
 import subprocess
 import sys
 
-THRESHOLD = 8.0
+# A mechanically LINEAR query approaches the data factor (10x) as its
+# fixed costs wash out, so the fail line sits just under it: genuinely
+# super-linear plans (r13: containment 10.3x, dhash 84x, two_nn 15x)
+# clear 9x decisively, while scan-bound linear queries (nb_classify
+# 8.5x) don't get flagged for being cheap at the small SF.
+THRESHOLD = 9.0
 FACTOR = 10.0
 # documented exact-baseline tiers: quadratic BY CONTRACT, each with a
 # sub-linear scale twin that is the 100 TB path
