@@ -2797,4 +2797,114 @@ object Multimodal {
       |  FROM hist JOIN tot USING (doc_id) GROUP BY doc_id)
       |SELECT doc_id, n_pixels, n_levels, min_gray, max_gray, entropy_bits
       |FROM agg ORDER BY doc_id""".stripMargin
+
+  final case class ColorfulnessSums(
+      doc_id: Long, w: Int, h: Int,
+      srg: Long, srg2: Long, syb: Long, syb2: Long)
+
+  /** Hasler–Süsstrunk colorfulness through the REAL PNG codec — the
+    * standard one-number "how vivid is this image" screen a vision
+    * curation pipeline runs next to blur/exposure gates (grayscale-ish
+    * frames score near 0 and get routed away from color-sensitive
+    * training mixes). Per pixel the opponent axes rg = R−G and
+    * yb = (R+G)/2 − B reduce to EXACT integer power sums (yb kept
+    * DOUBLED as R+G−2B so nothing truncates); the metric
+    * C = √(σ²_rg + σ²_yb) + 0.3·√(μ²_rg + μ²_yb) is one double formula
+    * of those integers, 12-dec rounded, and PNG losslessness lets the
+    * oracle replay the identical integers straight from the synthesis
+    * formula. Row-local per doc; no shuffle.
+    */
+  def colorfulness(t: Tables): DataFrame = {
+    val spark = t.spark
+    import spark.implicits._
+    codecIds(t)
+      .mapPartitions { it =>
+        it.grouped(BatchSize).flatMap { batch =>
+          batch.map { id =>
+            val img = javax.imageio.ImageIO.read(
+              new java.io.ByteArrayInputStream(synthPng(id)))
+            require(img != null, s"doc $id: synthesized PNG failed to decode")
+            var (srg, srg2, syb, syb2) = (0L, 0L, 0L, 0L)
+            var y = 0
+            while (y < img.getHeight) {
+              var x = 0
+              while (x < img.getWidth) {
+                val rgb = img.getRGB(x, y)
+                val r = (rgb >> 16) & 0xFF
+                val g = (rgb >> 8) & 0xFF
+                val b = rgb & 0xFF
+                val rg = r - g
+                val yb2v = r + g - 2 * b
+                srg += rg; srg2 += rg.toLong * rg
+                syb += yb2v; syb2 += yb2v.toLong * yb2v
+                x += 1
+              }
+              y += 1
+            }
+            ColorfulnessSums(id, img.getWidth, img.getHeight,
+              srg, srg2, syb, syb2)
+          }
+        }
+      }
+      .toDF()
+      .select(col("doc_id"), col("w"), col("h"),
+        ((col("w") * col("h")).cast("long")).as("n"),
+        col("srg"), col("srg2"), col("syb"), col("syb2"))
+      // floor-truncate at 1e-6 instead of the usual DECIMAL(24,12)
+      // rounding: the small-integer pixel ratios land EXACTLY on decimal
+      // rounding boundaries often enough that the engines' tie rules
+      // (HALF_UP vs round-half-even) diverge — floor of the identical
+      // IEEE double is tie-free and bit-identical in both
+      .withColumn("colorfulness",
+        floor((sqrt(
+          (col("srg2").cast("double") / col("n") -
+            (col("srg").cast("double") / col("n")) *
+              (col("srg").cast("double") / col("n"))) +
+          (col("syb2").cast("double") / col("n") -
+            (col("syb").cast("double") / col("n")) *
+              (col("syb").cast("double") / col("n"))) / lit(4.0)) +
+          lit(0.3) * sqrt(
+            (col("srg").cast("double") / col("n")) *
+              (col("srg").cast("double") / col("n")) +
+            (col("syb").cast("double") / col("n")) *
+              (col("syb").cast("double") / col("n")) / lit(4.0)))
+          * lit(1000000.0)) / lit(1000000.0))
+      .drop("n", "srg", "srg2", "syb", "syb2")
+      .orderBy("doc_id")
+  }
+
+  /** Oracle for [[colorfulness]]: the pixel-synthesis formula replays
+    * the exact opponent-axis integer sums (imageStats convention).
+    */
+  val colorfulnessSql: String =
+    """WITH p AS (
+      |  SELECT doc_id, 8 + doc_id % 9 AS w, 8 + (doc_id * 3) % 9 AS h
+      |  FROM documents),
+      |xs AS (SELECT doc_id, w, h, unnest(range(0, w)) AS x FROM p),
+      |xy AS (SELECT doc_id, w, h, x, unnest(range(0, h)) AS y FROM xs),
+      |px AS (
+      |  SELECT doc_id, w, h,
+      |    (doc_id + 7*x + 13*y) % 256 - (2*doc_id + 11*x + 3*y) % 256 AS rg,
+      |    (doc_id + 7*x + 13*y) % 256 + (2*doc_id + 11*x + 3*y) % 256
+      |      - 2 * ((3*doc_id + 5*x + 17*y) % 256) AS yb2
+      |  FROM xy),
+      |s AS (
+      |  SELECT doc_id, CAST(MIN(w) AS INT) AS w, CAST(MIN(h) AS INT) AS h,
+      |    CAST(COUNT(*) AS BIGINT) AS n,
+      |    CAST(SUM(rg) AS BIGINT) AS srg,
+      |    CAST(SUM(rg * rg) AS BIGINT) AS srg2,
+      |    CAST(SUM(yb2) AS BIGINT) AS syb,
+      |    CAST(SUM(yb2 * yb2) AS BIGINT) AS syb2
+      |  FROM px GROUP BY doc_id)
+      |SELECT doc_id, w, h,
+      |  floor((sqrt(
+      |    (CAST(srg2 AS DOUBLE) / n - (CAST(srg AS DOUBLE) / n)
+      |      * (CAST(srg AS DOUBLE) / n)) +
+      |    (CAST(syb2 AS DOUBLE) / n - (CAST(syb AS DOUBLE) / n)
+      |      * (CAST(syb AS DOUBLE) / n)) / 4.0) +
+      |   0.3 * sqrt(
+      |    (CAST(srg AS DOUBLE) / n) * (CAST(srg AS DOUBLE) / n) +
+      |    (CAST(syb AS DOUBLE) / n) * (CAST(syb AS DOUBLE) / n) / 4.0))
+      |   * 1000000.0) / 1000000.0 AS colorfulness
+      |FROM s ORDER BY doc_id""".stripMargin
 }

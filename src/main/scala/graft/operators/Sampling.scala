@@ -471,4 +471,85 @@ object Sampling {
        |   AS DOUBLE) AS ess_ratio
        |FROM s ORDER BY source""".stripMargin
   }
+
+  /** Cap and divisor for the systematic-PPS sample size
+    * m = min([[PpsMaxDraws]], ⌈n/[[PpsEveryN]]⌉) — corpus-derived up to a
+    * bounded cap (the hillK / heapsLadder convention). */
+  private val PpsMaxDraws = 500L
+  private val PpsEveryN = 20L
+
+  private[graft] def ppsDraws(n: Long): Long =
+    math.min(PpsMaxDraws, math.ceil(n / PpsEveryN.toDouble).toLong)
+
+  /** Systematic probability-proportional-to-size sampling (Madow's
+    * method) of documents by character length — the classic
+    * zero-randomness PPS design: lay m equally spaced points on the
+    * cumulative-weight line (at the half-step offsets (2j−1)·T/(2m))
+    * and keep every document whose weight interval contains a point. A
+    * long document can catch several points (`hits` — its exact
+    * multiplicity); every comparison is EXACT INTEGER arithmetic
+    * (2m·cum vs (2j−1)·T, never a float grid), so the sample is
+    * bit-reproducible on any engine. The cumulative weights come from
+    * ONE distributed prefix scan in doc-id order
+    * ([[Ranks.withGlobalPrefixAggs]] — no single-partition window, the
+    * scale path a 100 TB systematic sampler needs); everything after is
+    * row-local. The HT weight T/(m·w) is the design's inverse
+    * inclusion intensity, 12-dec rounded.
+    */
+  def ppsSystematic(t: Tables): DataFrame = {
+    val n = t.documents.count()
+    val m = ppsDraws(n)
+    val docs = t.documents.select(col("doc_id"),
+      greatest(col("n_chars").cast("long"), lit(1L)).as("w"))
+    val scanned = Ranks.withGlobalPrefixAggs(docs, Seq(col("doc_id")),
+      Seq(("cum0", col("w"), "sum", false)))
+    val tot = docs.agg(sum(col("w")).cast("long").as("tw"))
+    scanned.crossJoin(broadcast(tot))
+      .withColumn("a", lit(2L * m) * coalesce(col("cum0"), lit(0L)))
+      .withColumn("b",
+        lit(2L * m) * (coalesce(col("cum0"), lit(0L)) + col("w")))
+      // j-th grid point (2j−1)·T lands in [a, b) ⇔ jmin ≤ j ≤ jmax,
+      // with ceil-division folded into integer div (a, b, tw ≥ 0)
+      .withColumn("jmin", expr("((a + tw - 1) div tw + 2) div 2"))
+      .withColumn("jmax", expr("((b + tw - 1) div tw) div 2"))
+      .withColumn("hits", greatest(lit(0L), col("jmax") - col("jmin") + 1))
+      .where(col("hits") > 0)
+      .select(col("doc_id"), col("w").as("w_chars"), col("hits"),
+        lit(m).as("m_target"),
+        (col("tw").cast("double") / (lit(m.toDouble) * col("w").cast("double")))
+          .cast(DecimalType(24, 12)).cast("double").as("ht_weight"))
+      .orderBy("doc_id")
+  }
+
+  /** Oracle: replays the identical min(cap, ⌈n/20⌉) draw rule and the
+    * exact integer grid containment over a window cumulative sum.
+    */
+  val ppsSystematicSql: String =
+    s"""WITH nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM documents),
+       |mm AS (SELECT CAST(LEAST($PpsMaxDraws, CEIL(n / $PpsEveryN.0))
+       |         AS BIGINT) AS m FROM nn),
+       |docs AS (
+       | SELECT doc_id, GREATEST(CAST(n_chars AS BIGINT), 1) AS w
+       | FROM documents),
+       |tt AS (SELECT CAST(SUM(w) AS BIGINT) AS tw FROM docs),
+       |cum AS (
+       | SELECT doc_id, w,
+       |  CAST(COALESCE(SUM(w) OVER (ORDER BY doc_id
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+       |    AS c0
+       | FROM docs),
+       |h AS (
+       | SELECT doc_id, w, m, tw,
+       |  2 * m * c0 AS a, 2 * m * (c0 + w) AS b
+       | FROM cum CROSS JOIN mm CROSS JOIN tt),
+       |j AS (
+       | SELECT doc_id, w, m, tw,
+       |  ((a + tw - 1) // tw + 2) // 2 AS jmin,
+       |  ((b + tw - 1) // tw) // 2 AS jmax
+       | FROM h)
+       |SELECT doc_id, w AS w_chars,
+       | GREATEST(0, jmax - jmin + 1) AS hits, m AS m_target,
+       | CAST(CAST(CAST(tw AS DOUBLE) / (CAST(m AS DOUBLE) * CAST(w AS DOUBLE))
+       |   AS DECIMAL(24,12)) AS DOUBLE) AS ht_weight
+       |FROM j WHERE jmax - jmin + 1 > 0 ORDER BY doc_id""".stripMargin
 }

@@ -778,4 +778,104 @@ object TextAnalysis3 {
        |SELECT source, rk, token, tf, df, tfidf
        |FROM ranked WHERE rk <= $TfidfTopK
        |ORDER BY source, rk""".stripMargin
+
+  /** ln 2 as the shared literal both engines splice verbatim. */
+  private val Ln2 = 0.6931471805599453
+
+  /** Per-source Jensen–Shannon divergence from the corpus unigram
+    * distribution — [[klSourceDrift]]'s SYMMETRIC, always-finite
+    * sibling (KL blows up when a source misses corpus tokens weighted
+    * heavily; JSD is bounded by ln 2, so sources are comparable on one
+    * scale). The closed form needs NO source x vocabulary grid: with
+    * p = source distribution, q = corpus, m = (p+q)/2, tokens ABSENT
+    * from the source contribute exactly q·ln 2, so
+    * JSD = ½Σ_present p·ln(2p/(p+q)) + ½[Σ_present q·ln(2q/(p+q)) +
+    * ln2·(1 − Q_present)], and Q_present's numerator is an exact
+    * integer sum of corpus counts over the source's own tokens. The
+    * vocabulary-sized marginal attaches by a PLAIN equi-join (r14
+    * convention: no broadcast hint on Heaps-law frames); both
+    * corpus-sized term sums ride scale-30 decimals with one final
+    * 12-dec rounding.
+    */
+  def jsSourceDivergence(t: Tables): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val toks = t.documents
+      .select(col("source"), explode(split(col("text"), " ")).as("token"))
+      .where(length(col("token")) > 0)
+    val st = toks.groupBy("source", "token").agg(count(lit(1)).as("c_st"))
+      .localCheckpoint(true)
+    val srcTot = st.groupBy("source").agg(sum(col("c_st")).as("t_s"))
+    val tokTot = st.groupBy("token").agg(sum(col("c_st")).as("c_t"))
+    val tot = st.agg(sum(col("c_st")).as("t"))
+    val px = col("c_st").cast("double") / col("t_s").cast("double")
+    val qx = col("c_t").cast("double") / col("t").cast("double")
+    st
+      .join(broadcast(srcTot), Seq("source")) // source-dim: bounded
+      .join(tokTot, Seq("token"))             // vocab-sized: plain join
+      .crossJoin(broadcast(tot))              // 1 row
+      .withColumn("term_p", px * log(lit(2.0) * px / (px + qx)))
+      .withColumn("term_q", qx * log(lit(2.0) * qx / (px + qx)))
+      .groupBy("source")
+      .agg(
+        first(col("t_s")).as("n_tokens"),
+        first(col("t")).as("t"),
+        countDistinct(col("token")).as("n_types"),
+        sum(col("c_t").cast(DecimalType(38, 0))).as("c_pres"),
+        sum(col("term_p").cast(DecimalType(38, 30))).cast("double").as("sum_p"),
+        sum(col("term_q").cast(DecimalType(38, 30))).cast("double").as("sum_q"))
+      .select(col("source"), col("n_tokens").cast("long").as("n_tokens"),
+        col("n_types"),
+        (lit(0.5) * col("sum_p") + lit(0.5) * (col("sum_q") +
+          lit(Ln2) * (lit(1.0) -
+            graft.functions.Exact.decToDouble(col("c_pres")) /
+              col("t").cast("double"))))
+          .cast(DecimalType(24, 12)).cast("double").as("jsd_nats"))
+      .withColumn("jsd_norm", (col("jsd_nats") / lit(Ln2))
+        .cast(DecimalType(24, 12)).cast("double"))
+      .orderBy("source")
+  }
+
+  val jsSourceDivergenceSql: String = {
+    val cPresD = graft.functions.Exact.decToDoubleSql("c_pres")
+    s"""WITH toks AS (
+       | SELECT source, unnest(string_split(text, ' ')) AS token
+       | FROM documents),
+       |st AS (
+       | SELECT source, token, CAST(COUNT(*) AS BIGINT) AS c_st
+       | FROM toks WHERE length(token) > 0 GROUP BY 1, 2),
+       |src_tot AS (SELECT source, CAST(SUM(c_st) AS BIGINT) AS t_s
+       |            FROM st GROUP BY 1),
+       |tok_tot AS (SELECT token, CAST(SUM(c_st) AS BIGINT) AS c_t
+       |            FROM st GROUP BY 1),
+       |tot AS (SELECT CAST(SUM(c_st) AS BIGINT) AS t FROM st),
+       |terms AS (
+       | SELECT st.source, st.token, t_s, c_t, t,
+       |  (CAST(c_st AS DOUBLE) / CAST(t_s AS DOUBLE)) *
+       |   ln(2.0 * (CAST(c_st AS DOUBLE) / CAST(t_s AS DOUBLE)) /
+       |      ((CAST(c_st AS DOUBLE) / CAST(t_s AS DOUBLE)) +
+       |       (CAST(c_t AS DOUBLE) / CAST(t AS DOUBLE)))) AS term_p,
+       |  (CAST(c_t AS DOUBLE) / CAST(t AS DOUBLE)) *
+       |   ln(2.0 * (CAST(c_t AS DOUBLE) / CAST(t AS DOUBLE)) /
+       |      ((CAST(c_st AS DOUBLE) / CAST(t_s AS DOUBLE)) +
+       |       (CAST(c_t AS DOUBLE) / CAST(t AS DOUBLE)))) AS term_q
+       | FROM st JOIN src_tot USING (source) JOIN tok_tot USING (token)
+       | CROSS JOIN tot),
+       |agg AS (
+       | SELECT source, CAST(MIN(t_s) AS BIGINT) AS n_tokens,
+       |  CAST(MIN(t) AS BIGINT) AS t,
+       |  CAST(COUNT(DISTINCT token) AS BIGINT) AS n_types,
+       |  CAST(SUM(c_t) AS HUGEINT) AS c_pres,
+       |  CAST(SUM(CAST(term_p AS DECIMAL(38,30))) AS DOUBLE) AS sum_p,
+       |  CAST(SUM(CAST(term_q AS DECIMAL(38,30))) AS DOUBLE) AS sum_q
+       | FROM terms GROUP BY 1),
+       |out AS (
+       | SELECT source, n_tokens, n_types,
+       |  CAST(CAST(0.5 * sum_p + 0.5 * (sum_q +
+       |    $Ln2 * (1.0 - $cPresD / CAST(t AS DOUBLE)))
+       |    AS DECIMAL(24,12)) AS DOUBLE) AS jsd_nats
+       | FROM agg)
+       |SELECT source, n_tokens, n_types, jsd_nats,
+       | CAST(CAST(jsd_nats / $Ln2 AS DECIMAL(24,12)) AS DOUBLE) AS jsd_norm
+       |FROM out ORDER BY source""".stripMargin
+  }
 }
