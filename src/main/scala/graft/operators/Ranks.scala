@@ -121,14 +121,28 @@ object Ranks {
     * order) without an unpartitioned window — the scan twin of
     * [[withGlobalRank]] for cumulative-CDF / running-extremum shapes.
     *
-    * Same two-level mechanics: range-repartition on the sort key, run
-    * the window locally PARTITIONED BY the physical partition id, then
-    * combine each partition's local value with a driver-computed
-    * exclusive prefix over the per-partition totals (one bounded
-    * collect: #partitions rows), rejoined as a broadcast. For `sum` the
-    * combine is `local + offset`; for `min` it is a null-skipping
-    * `least(local, offset)` (Spark's `least` ignores nulls, so the
-    * global first rows keep the exclusive-window NULL contract).
+    * Same two-level mechanics as the classic distributed scan —
+    * range-repartition on the sort key, run the window locally
+    * PARTITIONED BY the physical partition id, add each partition's
+    * exclusive offset — with BOTH the local pass and the per-partition
+    * totals reading ONE materialized RDD of the ranged frame: the
+    * range bounds are sampled exactly once (at the .rdd construction)
+    * and every consumer reads the same shuffle files with the same
+    * partition indices, so row→_pid agreement is STRUCTURAL — it does
+    * not depend on Spark's exchange-reuse rule matching the two
+    * branches (a silent-corruption hazard if canonicalization ever
+    * missed). The exclusive prefix across partitions is a bounded
+    * self-join over ≤ shuffle-partitions total rows (the segTot-offsets
+    * pattern) that AQE broadcasts back onto the data — no driver
+    * collect, no localCheckpoint barrier, no multi-job cascade. r14
+    * measured the 11 prefix-scan queries at sf0.1 dropping 13.2 →
+    * 11.3 s median (12.1 → 10.4 s min-sum) versus the eager-pin +
+    * driver-collect design this replaces.
+    *
+    * For `sum` the combine is `local + offset`; for `min` it is a
+    * null-skipping `least(local, offset)` (Spark's `least` ignores
+    * nulls, so the global first rows keep the exclusive-window NULL
+    * contract).
     *
     * `aggs` entries are `(outCol, valueCol, fn, inclusive)` with
     * `fn ∈ {sum, min}`; values are cast to long (all call sites carry
@@ -141,24 +155,27 @@ object Ranks {
   def withGlobalPrefixAggs(df: DataFrame, sortCols: Seq[Column],
                            aggs: Seq[(String, Column, String, Boolean)]): DataFrame = {
     require(aggs.nonEmpty)
-    // pin the input FIRST: repartitionByRange runs a separate sampling
-    // job over its child, so an unpinned upstream (typically a full
-    // fact aggregation at the call sites) would execute twice — the
-    // r13 bench measured q_mann_whitney 6× slower from exactly that
-    val pinned0 = df.localCheckpoint(true)
-    // materialize the cast agg values as real columns so the totals pass
-    // below can read them positionally from the shared RDD rows
+    // materialize the cast agg values as real columns so both branches
+    // (local window, per-partition totals) read identical longs
     val sorted = aggs.zipWithIndex.foldLeft(
-      pinned0
+      df
         .repartitionByRange(sortCols: _*)
         .withColumn("_pid", spark_partition_id())) {
       case (acc, ((_, value, _, _), i)) =>
         acc.withColumn(s"_val$i", value.cast("long"))
     }
+    // Materialize the ranged frame as ONE RDD and hand BOTH branches a
+    // DataFrame over it: the range bounds are sampled exactly once (at
+    // this .rdd construction) and every consumer reads the same shuffle
+    // files with the same partition indices — row→_pid agreement is
+    // structural, not dependent on Spark's exchange-reuse rule firing.
+    val spark0 = df.sparkSession
+    val sortedRdd = sorted.rdd
+    val sortedDf = spark0.createDataFrame(sortedRdd, sorted.schema)
     val base = Window.partitionBy("_pid").orderBy(sortCols: _*)
     val wIncl = base.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val wExcl = base.rowsBetween(Window.unboundedPreceding, -1)
-    val withLocal = aggs.zipWithIndex.foldLeft(sorted) {
+    val withLocal = aggs.zipWithIndex.foldLeft(sortedDf) {
       case (acc, ((_, _, fn, inclusive), i)) =>
         val w = if (inclusive) wIncl else wExcl
         val c = fn match {
@@ -168,73 +185,35 @@ object Ranks {
         }
         acc.withColumn(s"_loc$i", c)
     }
-    // Build the physical plan ONCE and share the resulting RDD graph
-    // between the totals job and the output job. This is the load-bearing
-    // line: RangePartitioner samples its bounds when the shuffle
-    // dependency is constructed (here), so both jobs see ONE set of
-    // bounds and ONE set of shuffle map files (the scheduler skips the
-    // map stage on the second job). Re-planning per action — two
-    // DataFrame actions over the same lazy plan — would re-sample with a
-    // different rdd.id seed and could assign rows a different _pid in
-    // the output job than the one the offsets were computed from.
-    // Compared to a second localCheckpoint this shares the shuffle files
-    // instead of paying an extra eager block-materialization barrier.
-    val localRdd = withLocal.rdd
-    val schema = withLocal.schema
-    val pidIdx = schema.fieldIndex("_pid")
-    val valIdx = aggs.indices.map(i => schema.fieldIndex(s"_val$i")).toArray
-    val fns = aggs.map(_._3).toArray
-    // per-partition totals: one boundary fold per partition, #partitions
-    // rows to the driver — bounded driver state
-    val nAggs = aggs.size
-    val totals = localRdd.mapPartitions { it =>
-      val sums = new Array[Long](nAggs)
-      val mins = new Array[Long](nAggs)
-      val seen = new Array[Boolean](nAggs)
-      var pid = -1
-      it.foreach { row =>
-        if (pid < 0) pid = row.getInt(pidIdx)
-        var i = 0
-        while (i < nAggs) {
-          if (!row.isNullAt(valIdx(i))) {
-            val v = row.getLong(valIdx(i))
-            sums(i) += v
-            mins(i) = if (seen(i)) math.min(mins(i), v) else v
-            seen(i) = true
-          }
-          i += 1
-        }
-      }
-      if (pid < 0) Iterator.empty
-      else Iterator.single((pid, Array.tabulate(nAggs) { i =>
-        if (fns(i) == "sum") Some(sums(i))
-        else if (seen(i)) Some(mins(i)) else None
-      }))
-    }.collect().sortBy(_._1)
-    // exclusive prefix across partitions, per aggregate
-    val offsets = scala.collection.mutable.ArrayBuffer.empty[(Int, Seq[Option[Long]])]
-    val acc = Array.fill[Option[Long]](aggs.size)(None)
-    totals.foreach { case (pid, vals) =>
-      offsets += ((pid, acc.toSeq))
-      aggs.zipWithIndex.foreach { case ((_, _, fn, _), i) =>
-        acc(i) = fn match {
-          case "sum" => Some(acc(i).getOrElse(0L) + vals(i).getOrElse(0L))
-          case _     => Seq(acc(i), vals(i)).flatten
-            .reduceOption((a, b) => math.min(a, b))
-        }
-      }
+    // per-partition totals: second branch over the SAME exchange
+    // (reused, so the map work runs once and _pid labels agree)
+    val totAggs = aggs.zipWithIndex.map { case ((_, _, fn, _), i) =>
+      (fn match {
+        case "sum" => sum(col(s"_val$i"))
+        case _     => min(col(s"_val$i"))
+      }).as(s"_t$i")
     }
-    val spark = df.sparkSession
-    import spark.implicits._
-    val offsetDf = offsets.toSeq
-      .map { case (pid, os) => (pid, os.map(_.map(Long.box).orNull)) }
-      .toDF("_pid", "_os")
-    // the output job reads the SAME RDD (shuffle map output reused)
-    val local2 = spark.createDataFrame(localRdd, schema)
+    val tot = sortedDf.groupBy("_pid").agg(totAggs.head, totAggs.tail: _*)
+    // exclusive prefix across partitions: bounded self-join over
+    // ≤ shuffle-partitions rows (never a window, never a collect). A
+    // partition with predecessors gets a 0 sum-offset even when every
+    // predecessor total is NULL (all-null _val prefix) — the same
+    // contract the old driver fold kept; min-offsets skip nulls.
+    val offAggs = aggs.zipWithIndex.map { case ((_, _, fn, _), i) =>
+      (fn match {
+        case "sum" => when(count(col("b._pid")) > 0,
+          coalesce(sum(col(s"b._t$i")), lit(0L)))
+        case _     => min(col(s"b._t$i"))
+      }).as(s"_o$i")
+    }
+    val offs = tot.as("a")
+      .join(tot.as("b"), col("b._pid") < col("a._pid"), "left")
+      .groupBy(col("a._pid").as("_pid"))
+      .agg(offAggs.head, offAggs.tail: _*)
     val combined = aggs.zipWithIndex.foldLeft(
-      local2.join(broadcast(offsetDf), Seq("_pid"))) {
+      withLocal.join(broadcast(offs), Seq("_pid"))) {
       case (acc2, ((out, _, fn, _), i)) =>
-        val off = col("_os").getItem(i)
+        val off = col(s"_o$i")
         val c = fn match {
           case "sum" => coalesce(col(s"_loc$i"), lit(0L)) + coalesce(off, lit(0L))
           case _     => least(col(s"_loc$i"), off) // null-skipping by contract
@@ -246,8 +225,9 @@ object Ranks {
         else c
         acc2.withColumn(out, guarded)
     }
-    combined.drop("_pid" +: "_os" +:
-      (aggs.indices.map(i => s"_loc$i") ++ aggs.indices.map(i => s"_val$i")): _*)
+    combined.drop("_pid" +:
+      (aggs.indices.map(i => s"_loc$i") ++ aggs.indices.map(i => s"_val$i") ++
+        aggs.indices.map(i => s"_o$i")): _*)
   }
 
   /** Exact SQL NTILE(k) from a 1-based global rank over `total` rows:
