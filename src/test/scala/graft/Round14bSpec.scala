@@ -1,6 +1,6 @@
 package graft
 
-import graft.operators.{Multimodal, Relational14, Sampling, TextAnalysis3}
+import graft.operators.{Multimodal, Relational14, Relational15, Sampling, TextAnalysis3}
 import org.apache.spark.sql.functions._
 
 /** Adversarial driver recomputes for the round-14 wave-2 operators:
@@ -303,5 +303,121 @@ class Round14bSpec extends SparkSpec {
       assert(math.abs(got(id) - math.floor(c * 1e6) / 1e6) < 1e-9,
         s"doc $id")
     }
+  }
+
+  test("welch_ttest matches a driver recompute") {
+    val got = Relational15.welchTtest(sf).collect().head
+    val per = sf.orders
+      .groupBy("o_custkey")
+      .agg(expr("CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) " +
+        "* 1000000 AS DECIMAL(38,0)) div 1000000 AS BIGINT)").as("x"))
+      .join(sf.customer.select("c_custkey", "c_mktsegment"),
+        col("o_custkey") === col("c_custkey"))
+      .collect().map(r => (r.getString(3) == "BUILDING", r.getLong(1)))
+    def stats(g: Boolean): (Long, Double, Double) = {
+      val vs = per.filter(_._1 == g).map(_._2.toDouble)
+      val n = vs.length.toLong
+      val m = vs.sum / n
+      val v = vs.map(x => (x - m) * (x - m)).sum / (n - 1)
+      (n, m, v)
+    }
+    val (n1, m1, v1) = stats(true)
+    val (n0, m0, v0) = stats(false)
+    assert(got.getAs[Long]("n_treat") == n1 && got.getAs[Long]("n_ctrl") == n0)
+    val (se1, se0) = (v1 / n1, v0 / n0)
+    val t = (m1 - m0) / math.sqrt(se1 + se0)
+    val df = (se1 + se0) * (se1 + se0) /
+      (se1 * se1 / (n1 - 1) + se0 * se0 / (n0 - 1))
+    assert(math.abs(got.getAs[Double]("t_welch") - t) < 1e-6)
+    assert(math.abs(got.getAs[Double]("df_ws") - df) < 1e-4 * df)
+    assert(df >= math.min(n1, n0) - 1 && df <= n1 + n0 - 2)
+  }
+
+  test("icc: matches a driver recompute on the balanced grid") {
+    val got = Relational15.icc(sf).collect().head
+    val cell = sf.lineitem
+      .join(sf.part.select("p_partkey", "p_brand"),
+        col("l_partkey") === col("p_partkey"))
+      .groupBy(col("p_brand"), trunc(col("l_shipdate"), "month").as("mon"))
+      .agg(expr("CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * " +
+        "CAST(1 - CAST(l_discount AS DECIMAL(4,2)) AS DECIMAL(8,4))) " +
+        "AS BIGINT)").as("x"))
+      .collect().map(r => (r.getString(0), r.getDate(1).toString, r.getLong(2)))
+    val nb = cell.map(_._1).distinct.length
+    val fullMons = cell.groupBy(_._2).filter(_._2.length == nb).keySet
+    val bal = cell.filter(c => fullMons(c._2))
+    val k = bal.count(_._1 == bal.head._1)
+    val grand = bal.map(_._3.toDouble).sum / bal.length
+    val byBrand = bal.groupBy(_._1).view.mapValues(_.map(_._3.toDouble)).toMap
+    val msb = byBrand.values.map { vs =>
+      val m = vs.sum / vs.length; k * (m - grand) * (m - grand) }.sum / (nb - 1)
+    val msw = byBrand.values.map { vs =>
+      val m = vs.sum / vs.length; vs.map(x => (x - m) * (x - m)).sum }.sum /
+      (nb.toDouble * (k - 1))
+    val icc = (msb - msw) / (msb + (k - 1) * msw)
+    assert(got.getAs[Long]("n_brands") == nb && got.getAs[Long]("k_months") == k)
+    assert(math.abs(got.getAs[Double]("icc1") - icc) < 1e-6)
+    assert(math.abs(got.getAs[Double]("f_ratio") - msb / msw) <
+      1e-6 * math.max(1.0, msb / msw))
+  }
+
+  test("demand_classes: census matches a per-part driver classification") {
+    val rows = Relational15.demandClasses(sf).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getAs[Long]("n_parts"))
+      .toMap
+    val monthly = sf.lineitem
+      .join(sf.part.select("p_partkey", "p_brand"),
+        col("l_partkey") === col("p_partkey"))
+      .groupBy(col("p_brand"), col("l_partkey"),
+        trunc(col("l_shipdate"), "month").as("mon"))
+      .agg(expr("CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) * 100 AS BIGINT)")
+        .as("d"))
+      .collect()
+      .map(r => ((r.getString(0), r.getLong(1)), r.getDate(2).toLocalDate, r.getLong(3)))
+    val expect = monthly.groupBy(_._1).toSeq.map { case ((brand, _), ms) =>
+      val nz = ms.length.toLong
+      val span = java.time.temporal.ChronoUnit.MONTHS.between(
+        ms.map(_._2).min, ms.map(_._2).max) + 1
+      val ds = ms.map(_._3.toDouble)
+      val cv2 = nz * ds.map(d => d * d).sum / (ds.sum * ds.sum) - 1.0
+      val cls =
+        if (span * 100 <= nz * 132)
+          if (cv2 <= 0.49) "smooth" else "erratic"
+        else if (cv2 <= 0.49) "intermittent" else "lumpy"
+      (brand, cls)
+    }.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    assert(rows == expect)
+  }
+
+  test("granger_lag1 matches a driver OLS recompute, F nonnegative") {
+    val got = Relational15.grangerLag1(sf).collect().head
+    val daily = sf.lineitem
+      .groupBy(col("l_shipdate").cast("date").as("d"))
+      .agg(expr("CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * " +
+        "CAST(1 - CAST(l_discount AS DECIMAL(4,2)) AS DECIMAL(8,4))) " +
+        "AS BIGINT)").as("x"),
+        count(lit(1)).as("y"))
+      .select(datediff(col("d"), to_date(lit("1970-01-01"))).as("ed"),
+        col("x"), col("y"))
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
+    val byDay = daily.map(d => d._1 -> (d._2, d._3)).toMap
+    val pairs = daily.flatMap { case (ed, x, _) =>
+      byDay.get(ed - 1).map { case (x1, y1) => (x.toDouble, x1.toDouble, y1.toDouble) } }
+    val n = pairs.length.toDouble
+    def c(a: Array[Double], b: Array[Double]): Double =
+      a.zip(b).map { case (p, q) => p * q }.sum - a.sum * b.sum / n
+    val (xs, as_, bs) = (pairs.map(_._1), pairs.map(_._2), pairs.map(_._3))
+    val (cxx, caa, cbb) = (c(xs, xs), c(as_, as_), c(bs, bs))
+    val (cxa, cxb, cab) = (c(xs, as_), c(xs, bs), c(as_, bs))
+    val det = caa * cbb - cab * cab
+    val bU = (cxa * cbb - cxb * cab) / det
+    val cU = (cxb * caa - cxa * cab) / det
+    val rssR = cxx - cxa * cxa / caa
+    val rssU = cxx - (bU * cxa + cU * cxb)
+    val f = (rssR - rssU) * (n - 3) / rssU
+    assert(got.getAs[Long]("n_pairs") == pairs.length)
+    assert(math.abs(got.getAs[Double]("beta_lag_rev") - bU) < 1e-6)
+    assert(math.abs(got.getAs[Double]("f_granger") - f) < 1e-4 * math.max(1.0, f))
+    assert(got.getAs[Double]("f_granger") >= -1e-9)
   }
 }
