@@ -398,4 +398,260 @@ object Relational15 {
        |   AS DECIMAL(24,12)) AS DOUBLE) AS f_granger
        |FROM sol""".stripMargin
   }
+
+  // ------------------------------------------- Shapley attribution
+
+  /** The four touch channels, alphabetical, with their bit positions —
+    * a SCHEMA constant of the events feed (not corpus-derived): the
+    * generator emits exactly these non-conversion types. A type absent
+    * at some SF simply never sets its bit and its Shapley value is 0.
+    */
+  private val ShapleyChannels = Seq("click", "error", "signup", "view")
+
+  /** s!(k−1−s)!/k! coalition weights for k = 4, indexed by |S|. */
+  private val ShapleyW = Seq(0.25, 1.0 / 12, 1.0 / 12, 0.25)
+
+  /** Shapley-value channel attribution over user-day touch sets — the
+    * game-theoretic split of conversion credit that last-touch/linear
+    * ([[Analytics.attribution]]) only approximate: each user-day is a
+    * coalition of the channels seen that day, v(S) = conversion rate
+    * of days whose EXACT touch set is S (0 for unobserved coalitions,
+    * the Zhao et al. simplified-Shapley convention), and
+    * φᵢ = Σ_{S∌i} |S|!(k−1−|S|)!/k! · (v(S∪i) − v(S)). The fact table
+    * collapses to ≤2ᵏ coalition rows FIRST (one aggregation); the
+    * whole Shapley evaluation is a 16-row grid self-join with literal
+    * factorial weights and per-channel folds in mask order — bounded
+    * at any corpus size. Conversion counts are exact longs; each v is
+    * one double division, φ 12-dec rounded.
+    */
+  def shapleyAttribution(t: Tables): DataFrame = {
+    val spark = t.spark
+    import spark.implicits._
+    val bits = ShapleyChannels.zipWithIndex.map { case (c, i) =>
+      when(col("event_type") === c, lit(1L << i)).otherwise(lit(0L))
+    }.reduce(_.bitwiseOR(_))
+    val days = t.events
+      .select(col("user_id"), col("ts").cast("date").as("d"),
+        bits.as("bit"),
+        (col("event_type") === "purchase").cast("long").as("conv"))
+      .groupBy("user_id", "d")
+      .agg(expr("bit_or(bit)").as("mask"), max(col("conv")).as("cv"))
+    val byMask = days.groupBy("mask")
+      .agg(count(lit(1)).as("n"), sum(col("cv")).as("c"))
+    val grid = spark.range(1L << ShapleyChannels.size).toDF("mask")
+      .join(byMask, Seq("mask"), "left")
+      .select(col("mask"),
+        coalesce(col("c").cast("double") / col("n"), lit(0.0)).as("v"))
+      .localCheckpoint(true) // 16 rows; both sides of the marginal join
+    val wCase = ShapleyW.zipWithIndex.tail.foldLeft(
+      when(expr("bit_count(s.mask)") === 0, lit(ShapleyW.head))) {
+      case (acc, (w, s)) => acc.when(expr("bit_count(s.mask)") === s, lit(w))
+    }
+    val terms = grid.as("s")
+      .crossJoin(broadcast(
+        ShapleyChannels.zipWithIndex.toDF("channel", "i")))
+      .where(expr("(s.mask & (1 << i)) = 0"))
+      .join(broadcast(grid.as("t")),
+        expr("t.mask = (s.mask | (1 << i))"))
+      .select(col("channel"), col("s.mask").as("mask"),
+        (wCase * (col("t.v") - col("s.v"))).as("term"))
+    terms.groupBy("channel")
+      .agg(sort_array(collect_list(struct(col("mask"), col("term")))).as("arr"))
+      .select(col("channel"),
+        expr("aggregate(slice(arr, 2, size(arr) - 1), arr[0].term," +
+          " (a, x) -> a + x.term)")
+          .cast(DecimalType(24, 12)).cast("double").as("shapley"))
+      .orderBy("channel")
+  }
+
+  val shapleyAttributionSql: String = {
+    val chans = ShapleyChannels.zipWithIndex
+      .map { case (c, i) => s"SELECT '$c' AS channel, $i AS i" }
+      .mkString(" UNION ALL ")
+    val bitExpr = ShapleyChannels.zipWithIndex
+      .map { case (c, i) => s"CASE WHEN event_type = '$c' THEN ${1L << i} ELSE 0 END" }
+      .mkString(" | ")
+    val wCase = ShapleyW.zipWithIndex
+      .map { case (w, s) => s"WHEN bit_count(s.mask) = $s THEN $w" }
+      .mkString("CASE ", " ", " END")
+    s"""WITH days AS (
+       | SELECT user_id, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS d,
+       |  bit_or($bitExpr) AS mask,
+       |  MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS cv
+       | FROM events GROUP BY 1, 2),
+       |by_mask AS (
+       | SELECT mask, CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(cv) AS BIGINT) AS c
+       | FROM days GROUP BY 1),
+       |grid AS (
+       | SELECT g.mask, COALESCE(CAST(c AS DOUBLE) / n, 0.0) AS v
+       | FROM (SELECT unnest(range(0, ${1L << ShapleyChannels.size})) AS mask) g
+       | LEFT JOIN by_mask ON by_mask.mask = g.mask),
+       |chan AS ($chans),
+       |terms AS (
+       | SELECT chan.channel, s.mask,
+       |  ($wCase) * (t.v - s.v) AS term
+       | FROM grid s CROSS JOIN chan
+       | JOIN grid t ON t.mask = (s.mask | (1 << chan.i))
+       | WHERE (s.mask & (1 << chan.i)) = 0)
+       |SELECT channel,
+       | CAST(CAST(list_reduce(list(term ORDER BY mask), (a, x) -> a + x)
+       |   AS DECIMAL(24,12)) AS DOUBLE) AS shapley
+       |FROM terms GROUP BY 1 ORDER BY 1""".stripMargin
+  }
+
+  // ------------------------------------------------- overdispersion
+
+  /** Overdispersion diagnostic of per-customer order counts — is the
+    * demand process Poisson (index ≈ 1) or clumped, and if clumped,
+    * the method-of-moments negative-binomial fit (r, p) a demand
+    * simulator would use. Customers with ZERO orders count (left
+    * join against the customer dim — dropping them biases the index
+    * up). All moments are exact DECIMAL(38,0) sums of small counts;
+    * the index and NB parameters are dimensionless double formulas,
+    * 12-dec rounded.
+    */
+  def overdispersion(t: Tables): DataFrame = {
+    val per = t.customer.select(col("c_custkey").as("k"))
+      .join(t.orders.groupBy("o_custkey").agg(count(lit(1)).as("cnt")),
+        col("k") === col("o_custkey"), "left")
+      .select(coalesce(col("cnt"), lit(0L)).as("x"))
+    per.agg(count(lit(1)).as("n"),
+        sum(col("x").cast(d38)).as("s"),
+        sum(col("x").cast(d38) * col("x")).as("q"))
+      .select(col("n").cast("long").as("n_customers"),
+        (decToDouble(col("s")) / col("n")).as("m"),
+        ((decToDouble(col("q")) -
+          decToDouble(col("s")) * decToDouble(col("s")) / col("n")) /
+          (col("n") - 1)).as("v"))
+      .select(col("n_customers"),
+        col("m").cast(DecimalType(24, 12)).cast("double").as("mean_orders"),
+        col("v").cast(DecimalType(24, 12)).cast("double").as("var_orders"),
+        (col("v") / col("m")).cast(DecimalType(24, 12)).cast("double")
+          .as("dispersion_index"),
+        (col("m") * col("m") / (col("v") - col("m")))
+          .cast(DecimalType(24, 12)).cast("double").as("nb_r"),
+        (col("m") / col("v")).cast(DecimalType(24, 12)).cast("double")
+          .as("nb_p"))
+  }
+
+  val overdispersionSql: String = {
+    val sD = decToDoubleSql("s")
+    val qD = decToDoubleSql("q")
+    s"""WITH per AS (
+       | SELECT COALESCE(cnt, 0) AS x
+       | FROM customer LEFT JOIN (
+       |  SELECT o_custkey, CAST(COUNT(*) AS BIGINT) AS cnt
+       |  FROM orders GROUP BY 1) o ON c_custkey = o_custkey),
+       |mom AS (
+       | SELECT CAST(COUNT(*) AS BIGINT) AS n,
+       |  CAST(SUM(x) AS HUGEINT) AS s,
+       |  CAST(SUM(CAST(x AS HUGEINT) * x) AS HUGEINT) AS q
+       | FROM per),
+       |mv AS (
+       | SELECT n, $sD / n AS m,
+       |  ($qD - $sD * $sD / n) / (n - 1) AS v
+       | FROM mom)
+       |SELECT n AS n_customers,
+       | CAST(CAST(m AS DECIMAL(24,12)) AS DOUBLE) AS mean_orders,
+       | CAST(CAST(v AS DECIMAL(24,12)) AS DOUBLE) AS var_orders,
+       | CAST(CAST(v / m AS DECIMAL(24,12)) AS DOUBLE) AS dispersion_index,
+       | CAST(CAST(m * m / (v - m) AS DECIMAL(24,12)) AS DOUBLE) AS nb_r,
+       | CAST(CAST(m / v AS DECIMAL(24,12)) AS DOUBLE) AS nb_p
+       |FROM mv""".stripMargin
+  }
+
+  // ---------------------------------------------- peaks over threshold
+
+  /** Exceedance count for the POT fit: k = min(2000, ⌈n/50⌉) —
+    * corpus-derived up to a bounded cap (hillK convention). */
+  private[graft] def potK(n: Long): Int =
+    math.min(2000L, math.ceil(n / 50.0).toLong).toInt
+
+  /** Peaks-over-threshold GPD fit of order totals — the tail model
+    * that uses EVERY large observation ([[Relational13.extremeValue]]'s
+    * block-maxima Gumbel throws away all but one per month;
+    * [[Relational13.hillTail]] assumes a pure power law, POT does
+    * not): threshold u = the (k+1)-th largest order value, exceedances
+    * y = x − u for the k above it, and the method-of-moments GPD
+    * shape/scale ξ = ½(1 − m²/v), β = ½m(m²/v + 1). The top-(k+1)
+    * reduction is a TakeOrderedAndProject (never a global sort); the
+    * ≤2001 survivors fold their exact integer moment sums in rank
+    * order inside one bounded array.
+    */
+  def potGpd(t: Tables): DataFrame = {
+    val n = t.orders.count()
+    val k = potK(n)
+    val top = t.orders
+      .select(expr("CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 1000000 " +
+        "AS DECIMAL(38,0)) div 1000000").cast("long").as("u"),
+        col("o_orderkey").as("ok"))
+      .orderBy(col("u").desc, col("ok"))
+      .limit(k + 1)
+    top
+      .agg(sort_array(collect_list(struct((-col("u")).as("nu"), col("ok"))))
+        .as("arr"))
+      .select(lit(n).as("n"), lit(k.toLong).as("k"),
+        expr(s"CAST(-arr[$k].nu AS BIGINT)").as("thr_units"),
+        expr(s"""aggregate(slice(arr, 1, $k), CAST(0 AS BIGINT),
+          | (a, x) -> a + ((-x.nu) - (-arr[$k].nu)))""".stripMargin).as("sy"),
+        expr(s"""aggregate(slice(arr, 1, $k), CAST(0 AS BIGINT),
+          | (a, x) -> a + ((-x.nu) - (-arr[$k].nu))
+          |             * ((-x.nu) - (-arr[$k].nu)))""".stripMargin)
+          .as("syy"))
+      .select(col("n"), col("k"), col("thr_units"),
+        (col("sy").cast("double") / col("k")).as("m"),
+        ((col("syy").cast("double") -
+          col("sy").cast("double") * col("sy").cast("double") / col("k")) /
+          (col("k") - 1)).as("v"))
+      .select(col("n"), col("k"), col("thr_units"),
+        col("m").cast(DecimalType(24, 12)).cast("double").as("mean_excess"),
+        (lit(0.5) * (lit(1.0) - col("m") * col("m") / col("v")))
+          .cast(DecimalType(24, 12)).cast("double").as("gpd_xi"),
+        (lit(0.5) * col("m") * (col("m") * col("m") / col("v") + lit(1.0)))
+          .cast(DecimalType(24, 12)).cast("double").as("gpd_beta"))
+  }
+
+  /** Oracle: identical k rule, identical rank-ordered integer folds
+    * (1-based DuckDB lists; threshold at arr[k+1]).
+    */
+  val potGpdSql: String =
+    """WITH nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM orders),
+      |kk AS (SELECT n, CAST(LEAST(2000, CEIL(n / 50.0)) AS BIGINT) AS k
+      |       FROM nn),
+      |vals AS (
+      | SELECT CAST(CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 1000000
+      |   AS HUGEINT) // 1000000 AS BIGINT) AS u, o_orderkey AS ok
+      | FROM orders),
+      |top AS (
+      | SELECT u, ok, ROW_NUMBER() OVER (ORDER BY u DESC, ok) AS rn
+      | FROM vals QUALIFY rn <= (SELECT k + 1 FROM kk)),
+      |packed AS (
+      | SELECT list(struct_pack(nu := -u, ok := ok) ORDER BY -u, ok) AS arr
+      | FROM top),
+      |folded AS (
+      | SELECT n, k,
+      |  CAST(-arr[CAST(k AS INT) + 1].nu AS BIGINT) AS thr_units,
+      |  list_reduce(list_prepend(CAST(0 AS BIGINT),
+      |    list_transform(arr[1:CAST(k AS INT)],
+      |      x -> ((-x.nu) - (-arr[CAST(k AS INT) + 1].nu)))),
+      |    (a, x) -> a + x) AS sy,
+      |  list_reduce(list_prepend(CAST(0 AS BIGINT),
+      |    list_transform(arr[1:CAST(k AS INT)],
+      |      x -> ((-x.nu) - (-arr[CAST(k AS INT) + 1].nu))
+      |         * ((-x.nu) - (-arr[CAST(k AS INT) + 1].nu)))),
+      |    (a, x) -> a + x) AS syy
+      | FROM packed CROSS JOIN kk),
+      |mv AS (
+      | SELECT n, k, thr_units,
+      |  CAST(sy AS DOUBLE) / k AS m,
+      |  (CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) / k)
+      |    / (k - 1) AS v
+      | FROM folded)
+      |SELECT n, k, thr_units,
+      | CAST(CAST(m AS DECIMAL(24,12)) AS DOUBLE) AS mean_excess,
+      | CAST(CAST(0.5 * (1.0 - m * m / v) AS DECIMAL(24,12)) AS DOUBLE)
+      |   AS gpd_xi,
+      | CAST(CAST(0.5 * m * (m * m / v + 1.0) AS DECIMAL(24,12)) AS DOUBLE)
+      |   AS gpd_beta
+      |FROM mv""".stripMargin
 }

@@ -420,4 +420,66 @@ class Round14bSpec extends SparkSpec {
     assert(math.abs(got.getAs[Double]("f_granger") - f) < 1e-4 * math.max(1.0, f))
     assert(got.getAs[Double]("f_granger") >= -1e-9)
   }
+
+  test("shapley attribution matches a driver coalition recompute, efficiency holds") {
+    val got = Relational15.shapleyAttribution(sf).collect()
+      .map(r => r.getString(0) -> r.getAs[Double]("shapley")).toMap
+    val chans = Seq("click", "error", "signup", "view")
+    val days = sf.events
+      .select(col("user_id"), col("ts").cast("date").as("d"),
+        col("event_type"))
+      .collect().map(r => ((r.getLong(0), r.getDate(1).toString), r.getString(2)))
+      .groupBy(_._1).values.map { evs =>
+        val types = evs.map(_._2).toSet
+        val mask = chans.zipWithIndex.collect {
+          case (c, i) if types(c) => 1 << i }.sum
+        (mask, if (types("purchase")) 1 else 0)
+      }.toSeq
+    val v = (0 until 16).map { m =>
+      val g = days.filter(_._1 == m)
+      m -> (if (g.isEmpty) 0.0 else g.map(_._2).sum.toDouble / g.size)
+    }.toMap
+    def fact(x: Int): Double = (1 to x).product.toDouble.max(1.0)
+    val k = 4
+    chans.zipWithIndex.foreach { case (c, i) =>
+      val phi = (0 until 16).filter(m => (m & (1 << i)) == 0).map { m =>
+        val s = Integer.bitCount(m)
+        fact(s) * fact(k - 1 - s) / fact(k) * (v(m | (1 << i)) - v(m))
+      }.sum
+      assert(math.abs(got(c) - phi) < 1e-9, s"channel $c")
+    }
+    // efficiency: the shares add up to v(all channels) - v(none)
+    assert(math.abs(got.values.sum - (v(15) - v(0))) < 1e-9)
+  }
+
+  test("overdispersion matches a driver recompute including zero-order customers") {
+    val got = Relational15.overdispersion(sf).collect().head
+    val counts = sf.orders.groupBy("o_custkey").agg(count(lit(1)).as("c"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val all = sf.customer.select("c_custkey").collect()
+      .map(r => counts.getOrElse(r.getLong(0), 0L).toDouble)
+    val n = all.length
+    val m = all.sum / n
+    val v = all.map(x => (x - m) * (x - m)).sum / (n - 1)
+    assert(got.getAs[Long]("n_customers") == n)
+    assert(math.abs(got.getAs[Double]("dispersion_index") - v / m) < 1e-6)
+    assert(math.abs(got.getAs[Double]("nb_p") - m / v) < 1e-6)
+  }
+
+  test("pot_gpd: threshold is the (k+1)-th largest, moments match a recompute") {
+    val got = Relational15.potGpd(sf).collect().head
+    val vals = sf.orders
+      .select(expr("CAST(CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 1000000 " +
+        "AS DECIMAL(38,0)) div 1000000 AS BIGINT)"))
+      .collect().map(_.getLong(0)).sorted(Ordering[Long].reverse)
+    val k = Relational15.potK(vals.length.toLong)
+    assert(got.getAs[Long]("k") == k)
+    assert(got.getAs[Long]("thr_units") == vals(k))
+    val ys = vals.take(k).map(x => (x - vals(k)).toDouble)
+    val m = ys.sum / k
+    val vv = ys.map(y => (y - m) * (y - m)).sum / (k - 1)
+    assert(math.abs(got.getAs[Double]("mean_excess") - m) < 1e-6)
+    assert(math.abs(got.getAs[Double]("gpd_xi") - 0.5 * (1 - m * m / vv)) < 1e-6)
+    assert(got.getAs[Double]("gpd_xi") < 0.5)
+  }
 }
