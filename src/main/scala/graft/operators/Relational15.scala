@@ -654,4 +654,112 @@ object Relational15 {
       | CAST(CAST(0.5 * m * (m * m / v + 1.0) AS DECIMAL(24,12)) AS DOUBLE)
       |   AS gpd_beta
       |FROM mv""".stripMargin
+
+  // ------------------------------------------------- Hurst exponent
+
+  /** Block sizes for the aggregated-variance Hurst fit, with ln m as
+    * SHARED LITERALS (both engines splice the identical doubles — no
+    * libm ln of an integer at runtime). */
+  private val HurstBlocks = Seq((1L, 0.0), (2L, 0.6931471805599453), (4L, 1.3862943611198906), (8L, 2.0794415416798357), (16L, 2.772588722239781), (32L, 3.4657359027997265), (64L, 4.1588830833596715))
+
+  /** Hurst exponent of daily revenue by the AGGREGATED-VARIANCE method
+    * — long-range dependence in one number (H ≈ 0.5 memoryless,
+    * H > 0.5 persistent trends, the regime where every naive forecast
+    * interval is too narrow). Var(block sum over m days) ~ m^{2H}, so
+    * H = slope/2 of ln Var vs ln m over block sizes 1..64. Unlike R/S
+    * this needs NO sequential scan: blocks are `epoch_day div m`
+    * groupings (pure aggregation at every level), partial calendar
+    * blocks are dropped by an exact day-count filter, and each scale's
+    * variance comes from DECIMAL(38,0) sums of whole-unit block totals
+    * (envelope holds through ~sf10³). ln Var is 12-dec rounded BEFORE
+    * the fit so both engines regress identical inputs; the ≤7-point
+    * OLS folds in block-size order.
+    */
+  def hurst(t: Tables): DataFrame = {
+    val spark = t.spark
+    import spark.implicits._
+    val daily = t.lineitem
+      .groupBy(col("l_shipdate").cast("date").as("d"))
+      .agg(wholeUnits(sum(discPrice(col("l_extendedprice"), col("l_discount"))))
+        .as("v"))
+      .select(datediff(col("d"), to_date(lit("1970-01-01")))
+        .cast("long").as("ed"), col("v"))
+      .localCheckpoint(true) // one scan feeds all 7 scales
+    val scales = HurstBlocks.toDF("m", "lnm")
+    val blocks = daily
+      .crossJoin(broadcast(scales))
+      .groupBy(col("m"), col("lnm"), expr("ed div m").as("blk"))
+      .agg(count(lit(1)).as("days"), sum(col("v")).as("s"))
+      .where(col("days") === col("m")) // complete calendar blocks only
+    val perScale = blocks.groupBy("m", "lnm")
+      .agg(count(lit(1)).as("nb"),
+        sum(col("s").cast(d38)).as("ss"),
+        sum(col("s").cast(d38) * col("s")).as("sq"))
+      .where(col("nb") >= 2)
+      .select(col("m"), col("lnm"), col("nb"),
+        log((decToDouble(col("sq")) -
+          decToDouble(col("ss")) * decToDouble(col("ss")) / col("nb")) /
+          (col("nb") - 1))
+          .cast(DecimalType(24, 12)).cast("double").as("lv"))
+    perScale
+      .agg(count(lit(1)).as("k"),
+        sort_array(collect_list(struct(col("m"), col("lnm"), col("lv"))))
+          .as("arr"))
+      .select(col("k").cast("long").as("n_scales"),
+        expr("""aggregate(arr, CAST(0.0 AS DOUBLE), (a, x) -> a + x.lnm)""")
+          .as("sx"),
+        expr("""aggregate(arr, CAST(0.0 AS DOUBLE), (a, x) -> a + x.lv)""")
+          .as("sy"),
+        expr("""aggregate(arr, CAST(0.0 AS DOUBLE),
+          | (a, x) -> a + x.lnm * x.lnm)""".stripMargin).as("sxx"),
+        expr("""aggregate(arr, CAST(0.0 AS DOUBLE),
+          | (a, x) -> a + x.lnm * x.lv)""".stripMargin).as("sxy"))
+      .select(col("n_scales"),
+        ((col("n_scales") * col("sxy") - col("sx") * col("sy")) /
+          (col("n_scales") * col("sxx") - col("sx") * col("sx")))
+          .cast(DecimalType(24, 12)).cast("double").as("var_slope"))
+      .withColumn("hurst_h",
+        (col("var_slope") / 2.0).cast(DecimalType(24, 12)).cast("double"))
+  }
+
+  val hurstSql: String =
+    """WITH daily AS (
+      | SELECT CAST(date_diff('day', DATE '1970-01-01',
+      |    CAST(l_shipdate AS DATE)) AS BIGINT) AS ed,
+      |  CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) *
+      |    CAST(1 - CAST(l_discount AS DECIMAL(4,2)) AS DECIMAL(8,4)))
+      |    * 1000000 AS HUGEINT) // 1000000 AS BIGINT) AS v
+      | FROM lineitem GROUP BY 1),
+      |scales(m, lnm) AS (VALUES (1, 0.0e0), (2, 0.6931471805599453e0), (4, 1.3862943611198906e0), (8, 2.0794415416798357e0), (16, 2.772588722239781e0), (32, 3.4657359027997265e0), (64, 4.1588830833596715e0)),
+      |blocks AS (
+      | SELECT m, lnm, ed // m AS blk,
+      |  CAST(COUNT(*) AS BIGINT) AS days, CAST(SUM(v) AS BIGINT) AS s
+      | FROM daily CROSS JOIN scales GROUP BY 1, 2, 3),
+      |complete AS (SELECT * FROM blocks WHERE days = m),
+      |per_scale AS (
+      | SELECT m, lnm, CAST(COUNT(*) AS BIGINT) AS nb,
+      |  CAST(SUM(s) AS HUGEINT) AS ss,
+      |  CAST(SUM(CAST(s AS HUGEINT) * s) AS HUGEINT) AS sq
+      | FROM complete GROUP BY 1, 2),
+      |lvs AS (
+      | SELECT m, lnm,
+      |  CAST(CAST(ln((DTOD_SQ - DTOD_SS * DTOD_SS / nb) / (nb - 1))
+      |    AS DECIMAL(24,12)) AS DOUBLE) AS lv
+      | FROM per_scale WHERE nb >= 2),
+      |fit AS (
+      | SELECT CAST(COUNT(*) AS BIGINT) AS k,
+      |  list_reduce(list(lnm ORDER BY m), (a, x) -> a + x) AS sx,
+      |  list_reduce(list(lv ORDER BY m), (a, x) -> a + x) AS sy,
+      |  list_reduce(list(lnm * lnm ORDER BY m), (a, x) -> a + x) AS sxx,
+      |  list_reduce(list(lnm * lv ORDER BY m), (a, x) -> a + x) AS sxy
+      | FROM lvs)
+      |SELECT k AS n_scales,
+      | CAST(CAST((k * sxy - sx * sy) / (k * sxx - sx * sx)
+      |   AS DECIMAL(24,12)) AS DOUBLE) AS var_slope,
+      | CAST(CAST(CAST(CAST((k * sxy - sx * sy) / (k * sxx - sx * sx)
+      |     AS DECIMAL(24,12)) AS DOUBLE) / 2.0
+      |   AS DECIMAL(24,12)) AS DOUBLE) AS hurst_h
+      |FROM fit""".stripMargin
+      .replace("DTOD_SQ", graft.functions.Exact.decToDoubleSql("sq"))
+      .replace("DTOD_SS", graft.functions.Exact.decToDoubleSql("ss"))
 }

@@ -552,4 +552,99 @@ object Sampling {
        | CAST(CAST(CAST(tw AS DOUBLE) / (CAST(m AS DOUBLE) * CAST(w AS DOUBLE))
        |   AS DECIMAL(24,12)) AS DOUBLE) AS ht_weight
        |FROM j WHERE jmax - jmin + 1 > 0 ORDER BY doc_id""".stripMargin
+
+  /** Cumulative Poisson(1) CDF thresholds for replicate weights 0..7
+    * (weight 8 beyond) — literal doubles so both engines compare the
+    * identical constants. */
+  private val PoissonCum = Seq(0.36787944117144233, 0.7357588823428847, 0.9196986029286058, 0.9810118431238463, 0.9963401531726563, 0.9994058151824183, 0.999916758850712, 0.9999897508033253)
+
+  /** Bootstrap replicates drawn per document. */
+  private val BootReps = 8
+
+  /** Poisson bootstrap of the per-source mean document length — the
+    * shuffle-free, resample-free bootstrap a distributed pipeline can
+    * actually run (Chamandy et al.: give every row an independent
+    * Poisson(1) weight per replicate instead of materializing
+    * resamples). Weights are DETERMINISTIC — the (doc_id, replicate)
+    * hash drives the inverse Poisson CDF through literal thresholds —
+    * so reruns and the oracle reproduce the exact sample. Each
+    * replicate's weighted mean is one double division of exact
+    * integer sums; the bootstrap SE folds over the [[BootReps]]
+    * replicate estimates in replicate order (bounded), 12-dec.
+    */
+  def poissonBootstrap(t: Tables): DataFrame = {
+    val reps = t.documents
+      .select(col("source"), col("doc_id"), col("n_chars").cast("long").as("w"))
+      .withColumn("r", explode(array((0 until BootReps).map(i => lit(i.toLong)): _*)))
+      .withColumn("u", unitHash(
+        concat(col("doc_id").cast("string"), lit(":"), col("r").cast("string"))))
+      .withColumn("pw", PoissonCum.zipWithIndex.foldRight(lit(BootReps.toLong)) {
+        case ((thr, k), tail) => when(col("u") < thr, lit(k.toLong)).otherwise(tail)
+      })
+    val byRep = reps.groupBy("source", "r")
+      .agg(sum(col("pw")).as("nw"),
+        sum(col("pw") * col("w")).as("sw"))
+      .withColumn("est", col("sw").cast("double") / col("nw").cast("double"))
+    val base = t.documents.groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        (sum(col("n_chars").cast(DecimalType(38, 0))).cast("double") /
+          count(lit(1))).cast(DecimalType(24, 12)).cast("double")
+          .as("mean_chars"))
+    byRep.groupBy("source")
+      .agg(sort_array(collect_list(struct(col("r"), col("est")))).as("arr"))
+      .withColumn("eb", expr(
+        "aggregate(slice(arr, 2, size(arr) - 1), arr[0].est," +
+          " (a, x) -> a + x.est)") / lit(BootReps.toDouble))
+      .withColumn("ss", expr(
+        "aggregate(arr, CAST(0.0 AS DOUBLE)," +
+          " (a, x) -> a + (x.est - eb) * (x.est - eb))"))
+      .join(base, Seq("source"))
+      .select(col("source"), col("n_docs"), col("mean_chars"),
+        col("eb").cast(DecimalType(24, 12)).cast("double").as("boot_mean"),
+        sqrt(col("ss") / lit((BootReps - 1).toDouble))
+          .cast(DecimalType(24, 12)).cast("double").as("boot_se"))
+      .orderBy("source")
+  }
+
+  val poissonBootstrapSql: String = {
+    val u = unitHashSqlFmt.format(
+      "(CAST(doc_id AS VARCHAR) || ':' || CAST(r AS VARCHAR))")
+    val ladder = PoissonCum.zipWithIndex
+      .map { case (thr, k) => s"WHEN $u < $thr THEN $k" }
+      .mkString("CASE ", " ", s" ELSE $BootReps END")
+    s"""WITH reps AS (
+       | SELECT source, doc_id, CAST(n_chars AS BIGINT) AS w,
+       |  unnest(range(0, $BootReps)) AS r
+       | FROM documents),
+       |weighted AS (
+       | SELECT source, r, w, CAST($ladder AS BIGINT) AS pw
+       | FROM reps),
+       |by_rep AS (
+       | SELECT source, r,
+       |  CAST(SUM(pw * w) AS DOUBLE) / CAST(SUM(pw) AS DOUBLE) AS est
+       | FROM weighted GROUP BY 1, 2),
+       |folded AS (
+       | SELECT source,
+       |  list_reduce(list(est ORDER BY r), (a, x) -> a + x)
+       |    / $BootReps.0 AS eb,
+       |  list(est ORDER BY r) AS l
+       | FROM by_rep GROUP BY 1),
+       |ss AS (
+       | SELECT source, eb,
+       |  list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+       |    list_transform(l, x -> (x - eb) * (x - eb))),
+       |    (a, x) -> a + x) AS ss
+       | FROM folded),
+       |base AS (
+       | SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       |  CAST(CAST(CAST(SUM(CAST(n_chars AS HUGEINT)) AS DOUBLE) / COUNT(*)
+       |    AS DECIMAL(24,12)) AS DOUBLE) AS mean_chars
+       | FROM documents GROUP BY 1)
+       |SELECT base.source, n_docs, mean_chars,
+       | CAST(CAST(eb AS DECIMAL(24,12)) AS DOUBLE) AS boot_mean,
+       | CAST(CAST(sqrt(ss / ${BootReps - 1}.0) AS DECIMAL(24,12)) AS DOUBLE)
+       |   AS boot_se
+       |FROM base JOIN ss ON ss.source = base.source
+       |ORDER BY base.source""".stripMargin
+  }
 }
