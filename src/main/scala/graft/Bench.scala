@@ -52,7 +52,14 @@ object Bench {
       queries: Map[String, (SparkSession, String) => org.apache.spark.sql.DataFrame],
       reps: Int): (Map[String, (Double, Double)], Map[String, String]) = {
     val errs = scala.collection.mutable.LinkedHashMap.empty[String, String]
-    val results = queries.flatMap { case (name, fn) =>
+    // deterministic NAME order, not Map hash order: queries sharing
+    // memoized training frames (the dedup/ANN SessionMemo families)
+    // charge the training to whichever family member runs FIRST, so a
+    // hash order that reshuffles whenever a key is added makes
+    // per-query numbers jump across rounds with no code change (the
+    // r14 gate saw dedup_tier_eval 5.4x -> 9.0x from exactly this).
+    // Alphabetical order pins the first-toucher permanently.
+    val results = queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
       var err: Option[String] = None
       val times = (1 to reps).map { _ =>
         val t0 = System.nanoTime()
@@ -77,7 +84,7 @@ object Bench {
         case None      => Some(name -> (times(times.length / 2), times.head))
       }
     }
-    (results, errs.toMap)
+    (results.toMap, errs.toMap)
   }
 
   def main(args: Array[String]): Unit = {
