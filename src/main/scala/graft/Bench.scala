@@ -60,6 +60,14 @@ object Bench {
     // r14 gate saw dedup_tier_eval 5.4x -> 9.0x from exactly this).
     // Alphabetical order pins the first-toucher permanently.
     val results = queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
+      // measurement hygiene between QUERIES (outside any timed region):
+      // a heavy predecessor (the exact-tier ANN/dedup baselines) leaves
+      // the heap full, and its garbage is then collected DURING the
+      // successor's reps — the r14 gate saw ann_knn_join_lsh's minima
+      // swing 3.0 → 5.0 s with untouched code when name order placed it
+      // right after its 26 s exact twin. One forced full GC per query
+      // drains that debt where it was incurred (the JMH convention).
+      System.gc()
       var err: Option[String] = None
       val times = (1 to reps).map { _ =>
         val t0 = System.nanoTime()
