@@ -134,7 +134,40 @@ object Bench {
     val picked =
       if (args.isEmpty) SparkEntry.queries
       else SparkEntry.queries.filter { case (k, _) => args.contains(k) }
-    val (results, errs) = measure(spark, sfDir, picked, reps)
+    // Force every session-memoized trained artifact BEFORE the query
+    // loop, timed as `_training:<name>` pseudo-rows: per-query numbers
+    // are then MARGINAL cost, stable under key insertions, instead of
+    // charging a family's shared training to its alphabetically-first
+    // member (r14: pipeline_pretrain +5.2 s of pure attribution).
+    // Training is deterministic and memoized, so this changes no result
+    // — only where its one-time cost is recorded. Runs in args-filtered
+    // profiling mode too, for the same marginal-cost semantics.
+    val trainErrs = scala.collection.mutable.LinkedHashMap.empty[String, String]
+    // SPARK_GRAFT_SKIP_TRAINING=1: local profiling aid for queries that
+    // don't read any memoized artifact — skips the ~dozen training jobs.
+    // Never set it for a committed bench/gate run: family members would
+    // re-absorb their training cost into whoever runs first.
+    val skipTraining = sys.env.contains("SPARK_GRAFT_SKIP_TRAINING")
+    val trainRows: Seq[(String, (Double, Double))] =
+      (if (skipTraining) Nil else Training.builders.sortBy(_._1)).flatMap { case (name, f) =>
+        System.gc()
+        val t0 = System.nanoTime()
+        val err =
+          try { f(Tables(spark, sfDir)); None }
+          catch { case e: Throwable =>
+            Some(Option(e.getMessage).getOrElse(e.getClass.getName)
+              .replaceAll("\\s+", " ").take(160))
+          }
+        val dt = (System.nanoTime() - t0) / 1e9
+        spark.catalog.clearCache()
+        err match {
+          case Some(msg) => trainErrs(s"_training:$name") = msg; None
+          case None      => Some(s"_training:$name" -> (dt, dt))
+        }
+      }
+    val (measured, qErrs) = measure(spark, sfDir, picked, reps)
+    val results = trainRows.toMap ++ measured
+    val errs = trainErrs ++ qErrs
     val total = results.values.map(_._1).sum
     val totalMin = results.values.map(_._2).sum
     val all = results.toSeq.sortBy(-_._2._1)

@@ -113,11 +113,13 @@ object Dedup {
     * equi-join on ordered gram PAIRS, whose co-occurrence frequency
     * stays duplicate-shaped even when the single-gram df saturates
     * (the r13 10×-data run measured the single-gram prefix join at
-    * corpus²/vocab on a vocabulary-saturating corpus). The price is a
-    * bounded ~(gram-count/2)× pair-explode constant on the posting
-    * volume — linear at scale because document gram counts are bounded.
-    * Sound, so the oracle is the unblocked brute force. Verification
-    * divides the codegen'd merge-intersection count by |A|.
+    * corpus²/vocab on a vocabulary-saturating corpus). The pair-explode
+    * constant is held down by restricting B's grams to the global
+    * prefix-gram set before pairing (sound — witness pairs are pairs of
+    * A-prefix grams; see the inline note), so the B side pairs only its
+    * rare grams rather than all ~sz²/2 combinations. Sound, so the
+    * oracle is the unblocked brute force. Verification divides the
+    * codegen'd merge-intersection count by |A|.
     */
   /** (doc_id, gram) posting rows with the gram text hashed to a 64-bit
     * long — the narrow representation every blocking join runs on.
@@ -126,20 +128,49 @@ object Dedup {
     g.select(col("doc_id"), explode(col("grams")).as("gs"))
       .select(col("doc_id"), xxhash64(col("gs")).as("gram"))
 
-  def containment(t: Tables): DataFrame = {
-    val g = Shingles.gramsOf(t.documents).localCheckpoint(true)
-    val ex = hashedExplode(g)
-    val gramDf = ex.groupBy("gram").agg(count(lit(1)).as("df"))
-    // per-doc df-ranked gram array (global order: ascending df, ties by
-    // hashed gram — consistent across docs). Pinned: feeds the A-pair,
-    // B-pair, and single-gram channels.
-    val ranked = ex.join(gramDf, Seq("gram"))
+  /** Per-doc df-ranked hashed-gram arrays (doc_id, rg, sz), pinned —
+    * the shared base of the pair-blocked candidate channels. Global
+    * order: ascending document frequency, ties by hashed gram —
+    * consistent across docs, so per-doc array prefixes are comparable.
+    */
+  private def dfRankedArrays(ex: DataFrame): DataFrame =
+    ex.join(ex.groupBy("gram").agg(count(lit(1)).as("df")), Seq("gram"))
       .groupBy("doc_id")
       .agg(sort_array(collect_list(struct(col("df"), col("gram")))).as("rg0"))
       .select(col("doc_id"),
         expr("transform(rg0, x -> x.gram)").as("rg"))
       .withColumn("sz", size(col("rg")))
       .localCheckpoint(true)
+
+  /** 2-prefix ordered gram pairs (doc_id, sz, g1, g2, pos2): all pairs
+    * within the extended prefix `p = sz − ⌈t·sz⌉ + 2` (capped at sz),
+    * `pos2` = g2's 0-based position in the doc's full df-ranked list.
+    * Pigeonhole: if X shares ≥ α = ⌈t·|X|⌉ grams with some doc and the
+    * shared count is ≥ 2, the two globally-smallest shared grams each
+    * have ≥ α−2 shared grams ranked above them, so both sit inside X's
+    * extended prefix — an equi-join of these frames on (g1, g2) is a
+    * sound candidate channel for docs with sz ≥ 2 (the sz = 1 docs need
+    * a separate single-gram channel).
+    */
+  private def prefixPairs(ranked: DataFrame, threshold: Double): DataFrame =
+    ranked.where(col("sz") >= 2)
+      .withColumn("p",
+        least((col("sz") - ceil(lit(threshold) * col("sz")) + 2)
+          .cast("int"), col("sz")))
+      .select(col("doc_id"), col("sz"),
+        explode(expr(
+          """flatten(transform(slice(rg, 1, p), (x, i) ->
+            |  transform(slice(rg, i + 2, p - i - 1), (y, j) ->
+            |    struct(x AS g1, y AS g2, i + j + 1 AS pos2))))""".stripMargin))
+          .as("pr"))
+      .select(col("doc_id"), col("sz"), col("pr.g1").as("g1"),
+        col("pr.g2").as("g2"), col("pr.pos2").as("pos2"))
+
+  def containment(t: Tables): DataFrame = {
+    val g = Shingles.gramsOf(t.documents).localCheckpoint(true)
+    val ex = hashedExplode(g)
+    // pinned: feeds the A-pair, B-pair, and single-gram channels
+    val ranked = dfRankedArrays(ex)
     // GRAM-PAIR blocking (2-prefix pigeonhole): C ≥ t means
     // |A∩B| ≥ α = ⌈t·|A|⌉, and of those shared grams at most α−2 fit in
     // A's suffix beyond its first p = |A|−α+2 grams — so at least TWO
@@ -152,24 +183,39 @@ object Dedup {
     // measured 10.3× on 10× data; the pair join is output-shaped). Doc
     // gram counts are bounded (chunk-level docs), so the per-doc pair
     // explode is a constant factor on posting volume, linear at scale.
-    val aPairs = ranked.where(col("sz") >= 2)
+    val aPairs = prefixPairs(ranked, ContainmentThreshold)
+      .select(col("doc_id").as("a_id"), col("sz").as("a_sz"),
+        col("g1"), col("g2"), col("pos2").as("i2"))
+    // B-side PREFIX-GRAM RESTRICTION before the pair explode: a witness
+    // pair is a pair of A-prefix grams (the two smallest shared grams
+    // s1 < s2 each have ≥ α−2 shared grams above them, so both rank
+    // within A's first |A|−α+2), so B only needs pairs over the grams
+    // that appear in at least ONE doc's extended prefix. Semi-joining
+    // B's postings against that distinct set (linear, 8-byte keys)
+    // before pairing cuts the explode from sz²/2 per doc to r²/2 over
+    // the surviving grams — and the cut GROWS with corpus size, because
+    // prefixes are each doc's rarest grams while a saturating vocabulary
+    // pushes common grams out of every prefix. Original positions ride
+    // along (j), so the positional filter below is unchanged: the
+    // first-two shared row survives restriction by construction.
+    val prefixGrams = ranked.where(col("sz") >= 2)
       .withColumn("p",
         least((col("sz") - ceil(lit(ContainmentThreshold) * col("sz")) + 2)
           .cast("int"), col("sz")))
-      .select(col("doc_id").as("a_id"), col("sz").as("a_sz"),
-        explode(expr(
-          """flatten(transform(slice(rg, 1, p), (x, i) ->
-            |  transform(slice(rg, i + 2, p - i - 1), (y, j) ->
-            |    struct(x AS g1, y AS g2, i + j + 1 AS i2))))""".stripMargin))
-          .as("pr"))
-      .select(col("a_id"), col("a_sz"),
-        col("pr.g1").as("g1"), col("pr.g2").as("g2"), col("pr.i2").as("i2"))
+      .select(explode(expr("slice(rg, 1, p)")).as("gram"))
+      .distinct()
     val bPairs = ranked.where(col("sz") >= 2)
       .select(col("doc_id").as("b_id"), col("sz").as("b_sz"),
+        posexplode(col("rg")).as(Seq("j", "gram")))
+      .join(prefixGrams, Seq("gram"))
+      .groupBy("b_id", "b_sz")
+      .agg(sort_array(collect_list(struct(col("j").cast("int").as("j"),
+        col("gram")))).as("rj"))
+      .select(col("b_id"), col("b_sz"),
         explode(expr(
-          """flatten(transform(rg, (x, i) ->
-            |  transform(slice(rg, i + 2, size(rg) - i - 1), (y, j) ->
-            |    struct(x AS g1, y AS g2, i + j + 1 AS j2))))""".stripMargin))
+          """flatten(transform(rj, (x, i) ->
+            |  transform(slice(rj, i + 2, size(rj) - i - 1), y ->
+            |    struct(x.gram AS g1, y.gram AS g2, y.j AS j2))))""".stripMargin))
           .as("pr"))
       .select(col("b_id"), col("b_sz"),
         col("pr.g1").as("g1"), col("pr.g2").as("g2"), col("pr.j2").as("j2"))
@@ -1053,23 +1099,71 @@ object Dedup {
     *
     * Scale: the t=0.5 prefix filter admits more candidates than the
     * production 0.6 cut (that is the point — the sweep maps the
-    * frontier), but candidate work stays Σ|posting|² on df-ranked
-    * prefixes, never the pair space.
+    * frontier). On a vocabulary-saturating corpus a plain single-gram
+    * prefix join's DISTINCT candidate set grows as corpus²/vocab (the
+    * r14 gate measured the sweep at 8.1× on 10× data: the dominant
+    * cost was verifying ~30M mostly-junk candidates at gen-sf1), so
+    * the channel here is a COUNTED k=2 prefix join: postings come from
+    * the EXTENDED prefix `sz − ⌈t·sz⌉ + 2`, each joined row carries a
+    * per-row positional bound, and a pair must collect ≥ 2 surviving
+    * rows to become a candidate. Sound: a qualifying pair shares
+    * α(A,B) = ⌈t/(1+t)·(|A|+|B|)⌉ ≥ 2 grams (both sz ≥ 2 under the
+    * min ≥ t·max length filter ⟹ a+b ≥ 4), and its two
+    * globally-smallest shared grams s1 < s2 sit in BOTH extended
+    * prefixes (each has ≥ α−2 shared grams ranked above it); both rows
+    * pass the m=2 positional bound |A∩B| ≤ 2 + min(tails), so the
+    * count-≥-2 gate keeps every qualifying pair while cutting the
+    * verify set ~23× at gen-sf1 (1.33M vs 30.2M measured). sz = 1 docs
+    * ride a single-gram side channel against the only partners the
+    * length filter allows (sz ≤ 1/t).
     */
   def thresholdSweep(t: Tables): DataFrame = {
     val tMin = SweepPermille.min.toDouble / 1000.0
     val g = Shingles.gramsOf(t.documents).localCheckpoint(true)
     val ex = hashedExplode(g)
-    val pref = dfRankedPrefix(ex, tMin)
-    val candidates = pref
-      .select(col("doc_id").as("a_id"), col("sz").as("a_sz"), col("pg"))
-      .join(pref.select(col("doc_id").as("b_id"), col("sz").as("b_sz"),
-        col("pg")), Seq("pg"))
+    val ranked = dfRankedArrays(ex)
+    // extended (k=2) prefix postings with full-list positions
+    val pref2 = ranked.where(col("sz") >= 2)
+      .withColumn("p",
+        least((col("sz") - ceil(lit(tMin) * col("sz")) + 2)
+          .cast("int"), col("sz")))
+      .select(col("doc_id"), col("sz"),
+        posexplode(expr("slice(rg, 1, p)")).as(Seq("pos", "gram")))
+    // minimum shared-gram count for a qualifying pair; the double
+    // product rounds BELOW the true rational before ceil (1e-9 slack),
+    // so the positional filter can only be weaker than exact — sound
+    val alpha = ceil(
+      (col("a_sz") + col("b_sz")).cast("double") * lit(tMin / (1.0 + tMin))
+        - lit(1e-9))
+    val pairCands = pref2
+      .select(col("doc_id").as("a_id"), col("sz").as("a_sz"),
+        col("pos").as("i"), col("gram"))
+      .hint("shuffle_hash")
+      .join(pref2.select(col("doc_id").as("b_id"), col("sz").as("b_sz"),
+        col("pos").as("j"), col("gram")), Seq("gram"))
       .where(col("a_id") < col("b_id") &&
         least(col("a_sz"), col("b_sz")).cast("double") >=
-          lit(tMin) * greatest(col("a_sz"), col("b_sz")))
+          lit(tMin) * greatest(col("a_sz"), col("b_sz")) &&
+        // m=2 positional bound — holds for BOTH witness rows (for s1,
+        // |A∩B| ≤ 1 + min(tails) is even tighter), so count ≥ 2 below
+        // cannot lose a qualifying pair
+        lit(2) + least(col("a_sz") - col("i") - 1,
+          col("b_sz") - col("j") - 1) >= alpha)
+      .groupBy("a_id", "b_id")
+      .agg(count(lit(1)).as("c"))
+      .where(col("c") >= 2)
       .select("a_id", "b_id")
-      .distinct()
+    // sz = 1 docs: the pair channel needs 2 grams; their only possible
+    // partners have sz ≤ 1/t (length filter), sharing the one gram
+    val singles = ranked.where(col("sz") === 1)
+      .select(col("doc_id").as("s_id"), col("rg").getItem(0).as("gram"))
+      .join(ranked.where(col("sz") <= math.floor(1.0 / tMin).toInt)
+        .select(col("doc_id").as("o_id"), explode(col("rg")).as("gram")),
+        Seq("gram"))
+      .where(col("s_id") =!= col("o_id"))
+      .select(least(col("s_id"), col("o_id")).as("a_id"),
+        greatest(col("s_id"), col("o_id")).as("b_id"))
+    val candidates = pairCands.unionByName(singles).distinct()
     val scored = scoreCandidates(candidates, hashedGramsOf(g))(
       graft.functions.SortedLongJaccard(_, _))
       .withColumnRenamed("score", "jaccard")

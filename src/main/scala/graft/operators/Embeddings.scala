@@ -147,6 +147,14 @@ object Embeddings {
     */
   private val pqMemo = new graft.SessionMemo[Map[(Int, Int), Seq[Double]]]
 
+  /** [[graft.Training]] forcer for the shared PQ codebook. */
+  private[graft] def warmPq(t: graft.Tables): Unit = {
+    val vecs = t.embeddings
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      .cache()
+    try { trainPqShared(t, vecs); () } finally { vecs.unpersist(false) }
+  }
+
   private[operators] def trainPqShared(t: graft.Tables, vecs: DataFrame)
       : Map[(Int, Int), Seq[Double]] =
     pqMemo.getOrCompute(t.spark, t.dir)(trainPq(vecs))

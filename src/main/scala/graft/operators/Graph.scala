@@ -54,6 +54,11 @@ object Graph {
     */
   private val minedPairsMemo = new graft.SessionMemo[DataFrame]
 
+  /** [[graft.Training]] forcer for the mined pair graph + its doubled
+    * edge form.
+    */
+  private[graft] def warmEdges(t: Tables): Unit = { edgesShared(t); () }
+
   private def minedPairsShared(t: Tables): DataFrame =
     minedPairsMemo.getOrCompute(t.spark, t.dir)(
       Relational7.basketPairsRaw(t, EdgeSupport).localCheckpoint(true))
@@ -954,6 +959,11 @@ object Graph {
     * the whole cost of both; the consumers are one aggregation each).
     */
   private val seedDistMemo = new graft.SessionMemo[DataFrame]
+
+  /** [[graft.Training]] forcer for the seed-BFS distance frame (also
+    * forces the mined-pair and edge frames it derives from).
+    */
+  private[graft] def warmSeedDistances(t: Tables): Unit = { seedDistancesShared(t); () }
 
   private def seedDistancesShared(t: Tables): DataFrame =
     seedDistMemo.getOrCompute(t.spark, t.dir) {

@@ -144,6 +144,19 @@ object Ranks {
     * nulls, so the global first rows keep the exclusive-window NULL
     * contract).
     *
+    * '''Call-site contract — pin expensive inputs.''' The `.rdd`
+    * materialization below samples range bounds by EXECUTING `df` once
+    * before the shuffle map executes it again: an unpinned upstream
+    * runs twice. For cheap scans that double read is cheaper than the
+    * localCheckpoint barrier this design replaced (measured net-faster
+    * at sf0.1/sf1 across the 11 scan queries), but a caller whose
+    * input is itself a heavy aggregation/join (mannWhitney, ksTest,
+    * aucRoc, logRank pass full fact aggregations) should
+    * `localCheckpoint(true)` that input BEFORE calling, as leveneBf
+    * and pettitt already do — otherwise the r13 hazard (a 6× wall
+    * regression from re-running an expensive upstream) silently
+    * returns as upstream cost grows.
+    *
     * `aggs` entries are `(outCol, valueCol, fn, inclusive)` with
     * `fn ∈ {sum, min}`; values are cast to long (all call sites carry
     * exact integer micros/counts). `inclusive=false` gives the

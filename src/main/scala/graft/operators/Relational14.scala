@@ -569,6 +569,7 @@ object Relational14 {
           .cast("long").as("td"),
         microUnits(col("rev")).cast(d38).as("vm"))
       .select(col("td"), expr("CAST(vm div 1000000 AS BIGINT)").as("v"))
+      .localCheckpoint(true) // feeds the moment sums AND the collected series
     val sums = daily.agg(count(lit(1)).as("n"),
       sum(col("td").cast(d38)).as("st"),
       sum((col("td") * col("td")).cast(d38)).as("stt"),

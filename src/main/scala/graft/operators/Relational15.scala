@@ -131,6 +131,7 @@ object Relational15 {
       .groupBy(col("p_brand"), trunc(col("l_shipdate"), "month").as("mon"))
       .agg(wholeUnits(sum(discPrice(col("l_extendedprice"), col("l_discount"))))
         .cast("long").as("x"))
+      .localCheckpoint(true) // feeds the completeness count AND the balanced join
     val nBrands = t.part.select("p_brand").distinct().count()
     val complete = cell.groupBy("mon").agg(count(lit(1)).as("nb"))
       .where(col("nb") === nBrands).select("mon")

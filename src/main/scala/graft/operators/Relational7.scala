@@ -237,7 +237,7 @@ object Relational7 {
     * are then identical and Spark's ReuseExchange runs the basket shuffle
     * once.
     */
-  private[operators] def baskets(t: Tables): DataFrame =
+  private[graft] def baskets(t: Tables): DataFrame =
     basketsMemo.getOrCompute(t.spark, t.dir)(
       t.lineitem.groupBy("l_orderkey")
         .agg(array_sort(collect_set(col("l_partkey"))).as("parts"))

@@ -569,8 +569,12 @@ object Sampling {
     * hash drives the inverse Poisson CDF through literal thresholds —
     * so reruns and the oracle reproduce the exact sample. Each
     * replicate's weighted mean is one double division of exact
-    * integer sums; the bootstrap SE folds over the [[BootReps]]
-    * replicate estimates in replicate order (bounded), 12-dec.
+    * integer sums; the bootstrap SE folds over the replicate estimates
+    * in replicate order (bounded), 12-dec. A replicate whose Poisson
+    * weights all drew 0 (probability ~0.37^n_docs per stratum — only
+    * plausible for tiny strata) is DROPPED rather than divided by
+    * zero: both engines drop the identical replicates (weights are
+    * deterministic) and the mean/SE divide by the surviving count.
     */
   def poissonBootstrap(t: Tables): DataFrame = {
     val reps = t.documents
@@ -584,6 +588,7 @@ object Sampling {
     val byRep = reps.groupBy("source", "r")
       .agg(sum(col("pw")).as("nw"),
         sum(col("pw") * col("w")).as("sw"))
+      .where(col("nw") > 0) // all-zero-weight replicate: drop, don't 0/0
       .withColumn("est", col("sw").cast("double") / col("nw").cast("double"))
     val base = t.documents.groupBy("source")
       .agg(count(lit(1)).as("n_docs"),
@@ -594,14 +599,15 @@ object Sampling {
       .agg(sort_array(collect_list(struct(col("r"), col("est")))).as("arr"))
       .withColumn("eb", expr(
         "aggregate(slice(arr, 2, size(arr) - 1), arr[0].est," +
-          " (a, x) -> a + x.est)") / lit(BootReps.toDouble))
+          " (a, x) -> a + x.est)") / size(col("arr")).cast("double"))
       .withColumn("ss", expr(
         "aggregate(arr, CAST(0.0 AS DOUBLE)," +
           " (a, x) -> a + (x.est - eb) * (x.est - eb))"))
       .join(base, Seq("source"))
       .select(col("source"), col("n_docs"), col("mean_chars"),
         col("eb").cast(DecimalType(24, 12)).cast("double").as("boot_mean"),
-        sqrt(col("ss") / lit((BootReps - 1).toDouble))
+        when(size(col("arr")) > 1,
+          sqrt(col("ss") / (size(col("arr")) - 1).cast("double")))
           .cast(DecimalType(24, 12)).cast("double").as("boot_se"))
       .orderBy("source")
   }
@@ -622,15 +628,16 @@ object Sampling {
        |by_rep AS (
        | SELECT source, r,
        |  CAST(SUM(pw * w) AS DOUBLE) / CAST(SUM(pw) AS DOUBLE) AS est
-       | FROM weighted GROUP BY 1, 2),
+       | FROM weighted GROUP BY 1, 2
+       | HAVING SUM(pw) > 0),
        |folded AS (
        | SELECT source,
        |  list_reduce(list(est ORDER BY r), (a, x) -> a + x)
-       |    / $BootReps.0 AS eb,
+       |    / CAST(COUNT(*) AS DOUBLE) AS eb,
        |  list(est ORDER BY r) AS l
        | FROM by_rep GROUP BY 1),
        |ss AS (
-       | SELECT source, eb,
+       | SELECT source, eb, len(l) AS nr,
        |  list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
        |    list_transform(l, x -> (x - eb) * (x - eb))),
        |    (a, x) -> a + x) AS ss
@@ -642,8 +649,8 @@ object Sampling {
        | FROM documents GROUP BY 1)
        |SELECT base.source, n_docs, mean_chars,
        | CAST(CAST(eb AS DECIMAL(24,12)) AS DOUBLE) AS boot_mean,
-       | CAST(CAST(sqrt(ss / ${BootReps - 1}.0) AS DECIMAL(24,12)) AS DOUBLE)
-       |   AS boot_se
+       | CAST(CAST(CASE WHEN nr > 1 THEN sqrt(ss / (nr - 1)) END
+       |   AS DECIMAL(24,12)) AS DOUBLE) AS boot_se
        |FROM base JOIN ss ON ss.source = base.source
        |ORDER BY base.source""".stripMargin
   }

@@ -235,6 +235,15 @@ object Similarity {
       : (Seq[(Int, Seq[Double])], Seq[(Int, Seq[Double])]) =
     kmeansMemo.getOrCompute(t.spark, t.dir)(trainKmeans(vecs))
 
+  /** Force the shared k-means model for [[graft.Training]] — so Bench
+    * charges Lloyd training to an explicit `_training:` row instead of
+    * whichever family member runs first.
+    */
+  private[graft] def warmKmeans(t: graft.Tables): Unit = {
+    val vecs = vectors(t).cache()
+    try { trainKmeansShared(t, vecs); () } finally { vecs.unpersist(false) }
+  }
+
   /** [[Iters]] Lloyd assignment/mean rounds from an explicit seed set —
     * the training loop factored out so half-corpus trainers
     * ([[clusterStability]]) run the IDENTICAL rounds as the shared

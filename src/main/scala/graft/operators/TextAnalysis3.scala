@@ -224,21 +224,24 @@ object TextAnalysis3 {
     * deterministic (score desc, class-id asc) tie-break).
     *
     * Scale shape: one corpus pass for (token, source) counts, one for
-    * per-doc tf; the model is the token×class weight GRID (vocabulary ×
-    * #classes rows — a token-keyed equi-join attach, broadcast only by
-    * AQE's measurement); scores aggregate per (doc, class) with
-    * map-side combine, the argmax is a bounded-width max(struct), and
-    * the confusion matrix is a #classes² output. No driver state, no
-    * pair space: 100 TB-safe.
+    * per-doc tf; the model is ONE ROW PER TOKEN — a class→weight map of
+    * the classes that actually saw the token (≤ #classes entries), so
+    * the corpus join attaches a bounded map instead of fanning every
+    * (doc, token) row out ×#classes (the r14 gate measured that
+    * fan-out at 7.8×/22.6 s on gen-sf1; the map design shuffles the
+    * (doc, token) row count unchanged). Per-class smoothing defaults
+    * `(0+1)·scale div (tot(s)+V)` come from driver-collected totals —
+    * bounded model state, #classes longs + one vocab count, the
+    * k-means-centroid convention. Scores are #classes map-side-combined
+    * long sums per doc (classes = the source dim, bounded); the argmax
+    * is an in-row fold with the (score desc, sid asc) tie-break, and
+    * the confusion matrix is a #classes² output. No pair space:
+    * 100 TB-safe.
     */
   def nbClassify(t: Tables): DataFrame = {
     val docs = t.documents.select(col("doc_id"), col("source"),
       explode(split(col("text"), " ")).as("token"))
       .where(length(col("token")) > 0)
-    // bounded class dim with deterministic ids (lexicographic)
-    val classes = t.documents.select(col("source")).distinct()
-      .withColumn("sid", row_number().over(
-        org.apache.spark.sql.expressions.Window.orderBy("source")))
     // ONE token explode: the per-doc tf frame is pinned and the
     // token x class counts DERIVE from it (sum of tf) - re-exploding
     // the corpus for the counts pass measured ~35% of the operator's
@@ -248,26 +251,42 @@ object TextAnalysis3 {
       .localCheckpoint(true)
     val counts = tf.groupBy(col("token"), col("source").as("c_source"))
       .agg(sum(col("tf")).as("c"))
-    val tots = counts.groupBy("c_source").agg(sum(col("c")).as("tot"))
-    val vocabN = counts.select("token").distinct()
-      .agg(count(lit(1)).as("v"))
-    val grid = counts.select("token").distinct()
-      .crossJoin(broadcast(classes.select(col("source").as("c_source"), col("sid"))))
-      .join(counts, Seq("token", "c_source"), "left")
-      .join(broadcast(tots), Seq("c_source"))
-      .crossJoin(broadcast(vocabN))
-      .select(col("token"), col("c_source"), col("sid"),
-        expr(s"((coalesce(c, 0L) + 1L) * ${NbScale}L) div (tot + v)").as("w"))
+      .localCheckpoint(true) // feeds tots/vocab collects AND the token map
+    // bounded model state on the driver: per-class token totals
+    // (#classes rows — the source dim) and the vocabulary size scalar;
+    // deterministic class ids are lexicographic rank, as before
+    val tots: Map[String, Long] = counts.groupBy("c_source")
+      .agg(sum(col("c")).as("tot")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val vocabV: Long = counts.select("token").distinct().count()
+    val classList = tots.keys.toSeq.sorted // sid = index + 1
+    // per-token model row: map of the classes that saw the token
+    val grid = counts
+      .select(col("token"), col("c_source"), col("c"))
+      .groupBy("token")
+      .agg(map_from_entries(collect_list(struct(col("c_source"), col("c"))))
+        .as("cm"))
+    // absent (token, class) cells fall back to the class's literal
+    // Laplace default — same integer arithmetic as the oracle's grid
+    val perClassScore = classList.map { s =>
+      val denom = tots(s) + vocabV
+      val esc = s.replace("\\", "\\\\").replace("'", "\\'")
+      sum(col("tf") * coalesce(
+        expr(s"(element_at(cm, '$esc') + 1L) * ${NbScale}L div ${denom}L"),
+        lit(NbScale / denom)))
+    }
+    val scoreCols = classList.indices.map(i => perClassScore(i).as(s"_s$i"))
     val scored = tf.join(grid, Seq("token"))
-      .groupBy(col("doc_id"), col("source"), col("c_source"), col("sid"))
-      .agg(sum(col("tf") * col("w")).as("score"))
-    val predicted = scored
       .groupBy(col("doc_id"), col("source"))
-      .agg(max(struct(col("score"), (-col("sid")).as("nsid"))).as("m"))
-      .select(col("doc_id"), col("source"), (-col("m.nsid")).as("psid"))
-    predicted
-      .join(broadcast(classes.select(col("sid").as("psid"),
-        col("source").as("predicted"))), Seq("psid"))
+      .agg(scoreCols.head, scoreCols.tail: _*)
+    // in-row argmax with the (score desc, sid asc) tie-break
+    val argmax = array_max(array(classList.indices.map(i =>
+      struct(col(s"_s$i").as("score"), lit(-(i + 1)).as("nsid"))): _*))
+    val predictedName = element_at(
+      array(classList.map(lit): _*), -col("m.nsid"))
+    scored
+      .withColumn("m", argmax)
+      .select(col("source"), predictedName.as("predicted"))
       .groupBy(col("source"), col("predicted"))
       .agg(count(lit(1)).as("n_docs"))
       .orderBy("source", "predicted")

@@ -107,6 +107,9 @@ object Tokenizer {
   private def learnMergesShared(t: Tables): Seq[(Int, String, String, String, Long)] =
     mergesMemo.getOrCompute(t.spark, t.dir)(learnMerges(t))
 
+  /** [[graft.Training]] forcer for the BPE merge table. */
+  private[graft] def warmMerges(t: Tables): Unit = { learnMergesShared(t); () }
+
   def bpeTrain(t: Tables): DataFrame = {
     val spark = t.spark
     import spark.implicits._

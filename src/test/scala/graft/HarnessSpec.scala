@@ -41,6 +41,18 @@ class HarnessSpec extends SparkSpec {
     assert(failJson.trim == "{}")
   }
 
+  test("every queries entry has an oracle — a correct round's map is never undersized") {
+    // r14 shipped CORRECTNESS_r14.json as a literal `{}` and nothing
+    // in-repo noticed. The artifact is derived from oracle_sql.json, so
+    // the invariant that makes "map size == queries size" checkable at
+    // all is: every registered query carries a SQL oracle. Pin it here;
+    // tools/check_oracle.py --emit refuses to write an undersized map.
+    val missing = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
+    assert(missing.isEmpty, s"queries with no oracle: ${missing.toSeq.sorted}")
+    val orphans = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
+    assert(orphans.isEmpty, s"oracles with no query: ${orphans.toSeq.sorted}")
+  }
+
   test("Bench routes a broken query to the error map, excluded from timings") {
     val (results, errs) = Bench.measure(spark, "/root/testdata/sf0.001",
       Map("ok_query" -> good, "broken_query" -> broken), reps = 2)

@@ -89,7 +89,6 @@ class PlanAuditSpec extends SparkSpec {
     "q_equidepth_hist" -> "10-bucket post-agg revenue-share frame",
     "q_quantile_sketch_audit" -> "fixed-width sketch bucket histogram",
     "graph_degree_dist" -> "distinct-degree histogram rows",
-    "text_nb_classify" -> "source dimension rows",
     // post-limit top-k frames
     "text_vocab" -> "post-limit top-k vocab frame",
     "ann_hybrid_rrf" -> "post-limit top-k fusion frames",

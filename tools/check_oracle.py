@@ -6,11 +6,18 @@ then this script re-runs each oracle SQL in DuckDB over the same sf dir and
 compares: row count, column set, and exact values (columns sorted by name,
 rows sorted by all columns).
 
-Usage: python3 tools/check_oracle.py <sfDir> <verifyOut> [query ...]
+Usage: python3 tools/check_oracle.py <sfDir> <verifyOut> \
+           [--emit CORRECTNESS.json] [query ...]
 
 Optional query names restrict the check (local iteration aid — e.g. the
 sf0.1 sweep, where some oracles are O(n2) in DuckDB and a full pass is
 impractical; the driver's gate runs at sf0.01).
+
+--emit writes the driver-format per-query map (rows_match/schema_match/
+hash_match/spark_rows/oracle_rows/err) so the round's CORRECTNESS_r{N}
+.json can be produced locally. The write FAILS LOUDLY if the map would
+be empty or smaller than oracle_sql.json (round 14 shipped a literal
+`{}` as its correctness artifact and nothing noticed until the judge).
 """
 import json
 import sys
@@ -33,7 +40,7 @@ def canon(df: pd.DataFrame) -> pd.DataFrame:
     return df.reset_index(drop=True)
 
 
-def main(sf_dir: str, out_dir: str, only=()) -> int:
+def main(sf_dir: str, out_dir: str, only=(), emit=None) -> int:
     con = duckdb.connect()
     for t in TABLES:
         con.execute(
@@ -46,12 +53,16 @@ def main(sf_dir: str, out_dir: str, only=()) -> int:
     if only:
         oracle = {k: v for k, v in oracle.items() if k in only}
     n_ok = n_bad = 0
+    report = {}
     for name, sql in sorted(oracle.items()):
         if name in failures:
             # Verify recorded an execution failure — report it as an
             # explicit err row instead of a confusing missing-parquet IO
             # error (or, worse, silence)
             print(f"err  {name}: {failures[name][:200]}")
+            report[name] = {"rows_match": False, "schema_match": False,
+                            "hash_match": False, "spark_rows": None,
+                            "oracle_rows": None, "err": failures[name][:500]}
             n_bad += 1
             continue
         try:
@@ -61,6 +72,9 @@ def main(sf_dir: str, out_dir: str, only=()) -> int:
             want = canon(con.execute(sql).df())
         except Exception as e:  # noqa: BLE001
             print(f"FAIL {name}: {e}")
+            report[name] = {"rows_match": False, "schema_match": False,
+                            "hash_match": False, "spark_rows": None,
+                            "oracle_rows": None, "err": str(e)[:500]}
             n_bad += 1
             continue
         problems = []
@@ -81,6 +95,13 @@ def main(sf_dir: str, out_dir: str, only=()) -> int:
                     problems.append(
                         f"col {c}: first diff row {i}: {a[i]!r} != {b[i]!r} "
                         f"({int(bad.sum())} diffs)")
+        schema_ok = list(got.columns) == list(want.columns)
+        rows_ok = len(got) == len(want)
+        report[name] = {"rows_match": rows_ok, "schema_match": schema_ok,
+                        "hash_match": not problems,
+                        "spark_rows": int(len(got)),
+                        "oracle_rows": int(len(want)),
+                        "err": "; ".join(problems)[:500] or None}
         if problems:
             print(f"FAIL {name}: " + "; ".join(problems))
             n_bad += 1
@@ -88,8 +109,25 @@ def main(sf_dir: str, out_dir: str, only=()) -> int:
             print(f"ok   {name} ({len(got)} rows)")
             n_ok += 1
     print(f"\n{n_ok} ok, {n_bad} failed")
+    if emit:
+        # the r14 lesson: an empty/undersized correctness artifact must be
+        # an ERROR, never a silently-committed {}
+        if not report or len(report) < len(oracle):
+            print(f"REFUSING to write {emit}: map has {len(report)} entries "
+                  f"for {len(oracle)} oracles")
+            return 2
+        with open(emit, "w") as f:
+            json.dump(report, f, indent=0, sort_keys=True)
+            f.write("\n")
+        print(f"wrote {emit} ({len(report)} entries)")
     return 1 if n_bad else 0
 
 
 if __name__ == "__main__":
-    sys.exit(main(sys.argv[1], sys.argv[2], tuple(sys.argv[3:])))
+    argv = sys.argv[1:]
+    emit = None
+    if "--emit" in argv:
+        i = argv.index("--emit")
+        emit = argv[i + 1]
+        argv = argv[:i] + argv[i + 2:]
+    sys.exit(main(argv[0], argv[1], tuple(argv[2:]), emit))
