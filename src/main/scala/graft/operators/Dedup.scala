@@ -35,39 +35,85 @@ object Dedup {
 
   /** Word-3-gram Jaccard near-dup pairs (threshold 0.6).
     *
-    * Candidate generation is SOUND prefix filtering (AllPairs/PPJoin):
-    * with each doc's distinct grams sorted in a global total order, any
-    * pair with J ≥ t shares at least one gram within the first
-    * `|G| − ⌈t·|G|⌉ + 1` grams of BOTH docs — so the equi-join on prefix
-    * grams provably loses no qualifying pair, and the oracle can be the
-    * unblocked brute force. The global order is ASCENDING DOCUMENT
-    * FREQUENCY (ties by gram text): prefixes are then each doc's rarest
-    * grams, which shrinks candidate collisions by orders of magnitude vs
-    * a lexicographic order (the standard AllPairs ordering). Everything
-    * is equi-joins + aggregations; the n² pair space is never shuffled.
+    * Candidate generation is SOUND prefix filtering (AllPairs/PPJoin
+    * family) in the COUNTED k=2 form — see
+    * [[countedPrefixCandidates]]: equi-join on extended df-ranked
+    * prefix grams, per-row positional bound, and a require-two-
+    * surviving-rows gate that provably loses no qualifying pair while
+    * keeping the verify set duplicate-shaped on vocabulary-saturating
+    * corpora. The global order is ASCENDING DOCUMENT FREQUENCY (ties
+    * by hashed gram): prefixes are then each doc's rarest grams, which
+    * shrinks candidate collisions by orders of magnitude vs a
+    * lexicographic order (the standard AllPairs ordering). Everything
+    * is equi-joins + aggregations; the n² pair space is never shuffled,
+    * and the oracle is the unblocked brute force.
     */
-  /** (doc_id, pg): each doc's prefix grams under the df-ranked global
-    * order (ascending document frequency, ties by hashed gram), prefix
-    * length `|G| − ⌈t·|G|⌉ + 1` — the shared sound-blocking front end of
-    * [[ngramJaccard]] and [[containment]]. `ex` columns: (doc_id, gram)
-    * where `gram` is the 64-bit xxhash of the gram text ([[hashedExplode]]):
-    * the df-count, rank collect, and prefix equi-joins all shuffle 8-byte
-    * longs instead of ~30-byte strings. Soundness is unaffected — a hash
-    * collision only MERGES two set elements, which can never lower the
-    * pair's Jaccard/containment below the true-gram value, so every
-    * qualifying pair still shares a prefix key; the verify step scores
-    * candidates exactly afterwards.
+  /** COUNTED k=2 prefix-join candidate channel for symmetric Jaccard at
+    * `threshold` — the shared sound blocking of [[ngramJaccardPairs]]
+    * and [[thresholdSweep]]. Posting rows come from each doc's EXTENDED
+    * df-ranked prefix `sz − ⌈t·sz⌉ + 2` (grams are 64-bit hashes — a
+    * collision only MERGES two set elements, which can never lower a
+    * pair's Jaccard below the true-gram value, and candidates are
+    * verified exactly afterwards); a pair becomes a candidate only if
+    * ≥ 2 joined rows survive the length + positional filters.
+    *
+    * Soundness: J ≥ t ⟹ |A∩B| ≥ α(A,B) = ⌈t/(1+t)·(|A|+|B|)⌉ ≥ 2 for
+    * any length-compatible pair with both sz ≥ 2 (a+b ≥ 4 under
+    * min ≥ t·max for t ≥ 0.5), and the two globally-smallest shared
+    * grams s1 < s2 each have ≥ α−2 shared grams ranked above them, so
+    * both sit in BOTH extended prefixes; both rows pass the m=2
+    * positional bound |A∩B| ≤ 2 + min(tails beyond the gram), so the
+    * count-≥-2 gate keeps every qualifying pair. Versus the classic
+    * 1-prefix join + distinct, the count gate cuts the verify set ~23×
+    * at gen-sf1 (1.33M vs 30.2M measured at t=0.5) on a
+    * vocabulary-saturating corpus where distinct single-gram collisions
+    * grow as corpus²/vocab. sz = 1 docs ride a single-gram side channel
+    * against the only partners the length filter allows (sz ≤ 1/t).
     */
-  private def dfRankedPrefix(ex: DataFrame, threshold: Double): DataFrame = {
-    val gramDf = ex.groupBy("gram").agg(count(lit(1)).as("df"))
-    ex.join(gramDf, Seq("gram"))
-      .groupBy("doc_id")
-      .agg(sort_array(collect_list(struct(col("df"), col("gram")))).as("rg"))
-      .withColumn("plen",
-        (size(col("rg")) - ceil(lit(threshold) * size(col("rg"))) + 1).cast("int"))
-      .select(col("doc_id"), size(col("rg")).as("sz"),
-        explode(expr("slice(rg, 1, plen)")).as("pg"))
-      .select(col("doc_id"), col("sz"), col("pg.gram").as("pg"))
+  private def countedPrefixCandidates(
+      ranked: DataFrame, threshold: Double): DataFrame = {
+    // extended (k=2) prefix postings with full-list positions
+    val pref2 = ranked.where(col("sz") >= 2)
+      .withColumn("p",
+        least((col("sz") - ceil(lit(threshold) * col("sz")) + 2)
+          .cast("int"), col("sz")))
+      .select(col("doc_id"), col("sz"),
+        posexplode(expr("slice(rg, 1, p)")).as(Seq("pos", "gram")))
+    // minimum shared-gram count for a qualifying pair; the double
+    // product rounds BELOW the true rational before ceil (1e-9 slack),
+    // so the positional filter can only be weaker than exact — sound
+    val alpha = ceil(
+      (col("a_sz") + col("b_sz")).cast("double")
+        * lit(threshold / (1.0 + threshold)) - lit(1e-9))
+    val pairCands = pref2
+      .select(col("doc_id").as("a_id"), col("sz").as("a_sz"),
+        col("pos").as("i"), col("gram"))
+      .hint("shuffle_hash")
+      .join(pref2.select(col("doc_id").as("b_id"), col("sz").as("b_sz"),
+        col("pos").as("j"), col("gram")), Seq("gram"))
+      .where(col("a_id") < col("b_id") &&
+        least(col("a_sz"), col("b_sz")).cast("double") >=
+          lit(threshold) * greatest(col("a_sz"), col("b_sz")) &&
+        // m=2 positional bound — holds for BOTH witness rows (for s1,
+        // |A∩B| ≤ 1 + min(tails) is even tighter), so count ≥ 2 below
+        // cannot lose a qualifying pair
+        lit(2) + least(col("a_sz") - col("i") - 1,
+          col("b_sz") - col("j") - 1) >= alpha)
+      .groupBy("a_id", "b_id")
+      .agg(count(lit(1)).as("c"))
+      .where(col("c") >= 2)
+      .select("a_id", "b_id")
+    // sz = 1 docs: the pair channel needs 2 grams; their only possible
+    // partners have sz ≤ 1/t (length filter), sharing the one gram
+    val singles = ranked.where(col("sz") === 1)
+      .select(col("doc_id").as("s_id"), col("rg").getItem(0).as("gram"))
+      .join(ranked.where(col("sz") <= math.floor(1.0 / threshold).toInt)
+        .select(col("doc_id").as("o_id"), explode(col("rg")).as("gram")),
+        Seq("gram"))
+      .where(col("s_id") =!= col("o_id"))
+      .select(least(col("s_id"), col("o_id")).as("a_id"),
+        greatest(col("s_id"), col("o_id")).as("b_id"))
+    pairCands.unionByName(singles).distinct()
   }
 
   def ngramJaccard(t: Tables): DataFrame =
@@ -86,16 +132,7 @@ object Dedup {
     // now guards the whole inventory).
     val g = Shingles.gramsOf(t.documents).localCheckpoint(true)
     val ex = hashedExplode(g)
-    val pref = dfRankedPrefix(ex, JaccardThreshold)
-    // sound length filter: J ≥ t ⟹ min(|A|,|B|) ≥ t·max(|A|,|B|) —
-    // prunes candidate pairs before the distinct + verify shuffles
-    val candidates = pref.select(col("doc_id").as("a_id"), col("sz").as("a_sz"), col("pg"))
-      .join(pref.select(col("doc_id").as("b_id"), col("sz").as("b_sz"), col("pg")), Seq("pg"))
-      .where(col("a_id") < col("b_id") &&
-        least(col("a_sz"), col("b_sz")).cast("double") >=
-          lit(JaccardThreshold) * greatest(col("a_sz"), col("b_sz")))
-      .select("a_id", "b_id")
-      .distinct()
+    val candidates = countedPrefixCandidates(dfRankedArrays(ex), JaccardThreshold)
     verifyJaccard(candidates, hashedGramsOf(g))
   }
 
@@ -1103,67 +1140,15 @@ object Dedup {
     * prefix join's DISTINCT candidate set grows as corpus²/vocab (the
     * r14 gate measured the sweep at 8.1× on 10× data: the dominant
     * cost was verifying ~30M mostly-junk candidates at gen-sf1), so
-    * the channel here is a COUNTED k=2 prefix join: postings come from
-    * the EXTENDED prefix `sz − ⌈t·sz⌉ + 2`, each joined row carries a
-    * per-row positional bound, and a pair must collect ≥ 2 surviving
-    * rows to become a candidate. Sound: a qualifying pair shares
-    * α(A,B) = ⌈t/(1+t)·(|A|+|B|)⌉ ≥ 2 grams (both sz ≥ 2 under the
-    * min ≥ t·max length filter ⟹ a+b ≥ 4), and its two
-    * globally-smallest shared grams s1 < s2 sit in BOTH extended
-    * prefixes (each has ≥ α−2 shared grams ranked above it); both rows
-    * pass the m=2 positional bound |A∩B| ≤ 2 + min(tails), so the
-    * count-≥-2 gate keeps every qualifying pair while cutting the
-    * verify set ~23× at gen-sf1 (1.33M vs 30.2M measured). sz = 1 docs
-    * ride a single-gram side channel against the only partners the
-    * length filter allows (sz ≤ 1/t).
+    * candidates come from the shared COUNTED k=2 prefix channel
+    * ([[countedPrefixCandidates]]) at the loosest cut — measured 1.33M
+    * vs 30.2M candidates at gen-sf1, 10.8 → 9.5 s, ratio 8.1× → 3.0×.
     */
   def thresholdSweep(t: Tables): DataFrame = {
     val tMin = SweepPermille.min.toDouble / 1000.0
     val g = Shingles.gramsOf(t.documents).localCheckpoint(true)
     val ex = hashedExplode(g)
-    val ranked = dfRankedArrays(ex)
-    // extended (k=2) prefix postings with full-list positions
-    val pref2 = ranked.where(col("sz") >= 2)
-      .withColumn("p",
-        least((col("sz") - ceil(lit(tMin) * col("sz")) + 2)
-          .cast("int"), col("sz")))
-      .select(col("doc_id"), col("sz"),
-        posexplode(expr("slice(rg, 1, p)")).as(Seq("pos", "gram")))
-    // minimum shared-gram count for a qualifying pair; the double
-    // product rounds BELOW the true rational before ceil (1e-9 slack),
-    // so the positional filter can only be weaker than exact — sound
-    val alpha = ceil(
-      (col("a_sz") + col("b_sz")).cast("double") * lit(tMin / (1.0 + tMin))
-        - lit(1e-9))
-    val pairCands = pref2
-      .select(col("doc_id").as("a_id"), col("sz").as("a_sz"),
-        col("pos").as("i"), col("gram"))
-      .hint("shuffle_hash")
-      .join(pref2.select(col("doc_id").as("b_id"), col("sz").as("b_sz"),
-        col("pos").as("j"), col("gram")), Seq("gram"))
-      .where(col("a_id") < col("b_id") &&
-        least(col("a_sz"), col("b_sz")).cast("double") >=
-          lit(tMin) * greatest(col("a_sz"), col("b_sz")) &&
-        // m=2 positional bound — holds for BOTH witness rows (for s1,
-        // |A∩B| ≤ 1 + min(tails) is even tighter), so count ≥ 2 below
-        // cannot lose a qualifying pair
-        lit(2) + least(col("a_sz") - col("i") - 1,
-          col("b_sz") - col("j") - 1) >= alpha)
-      .groupBy("a_id", "b_id")
-      .agg(count(lit(1)).as("c"))
-      .where(col("c") >= 2)
-      .select("a_id", "b_id")
-    // sz = 1 docs: the pair channel needs 2 grams; their only possible
-    // partners have sz ≤ 1/t (length filter), sharing the one gram
-    val singles = ranked.where(col("sz") === 1)
-      .select(col("doc_id").as("s_id"), col("rg").getItem(0).as("gram"))
-      .join(ranked.where(col("sz") <= math.floor(1.0 / tMin).toInt)
-        .select(col("doc_id").as("o_id"), explode(col("rg")).as("gram")),
-        Seq("gram"))
-      .where(col("s_id") =!= col("o_id"))
-      .select(least(col("s_id"), col("o_id")).as("a_id"),
-        greatest(col("s_id"), col("o_id")).as("b_id"))
-    val candidates = pairCands.unionByName(singles).distinct()
+    val candidates = countedPrefixCandidates(dfRankedArrays(ex), tMin)
     val scored = scoreCandidates(candidates, hashedGramsOf(g))(
       graft.functions.SortedLongJaccard(_, _))
       .withColumnRenamed("score", "jaccard")
