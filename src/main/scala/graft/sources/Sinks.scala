@@ -517,11 +517,19 @@ object Sinks {
   def readPruned(spark: org.apache.spark.sql.SparkSession, path: String,
       statCol: String, lo: org.apache.spark.sql.Column,
       hi: org.apache.spark.sql.Column): DataFrame = {
-    val mf = spark.read.json(s"$path/_manifest")
+    // recursiveFileLookup serves BOTH layouts: the flat batch table
+    // ([[writeWithManifest]]) and the per-batch subdir layout the
+    // streaming twin maintains ([[graft.streaming.Streams
+    // .manifestAppendStream]]); underscore-prefixed dirs (_manifest)
+    // stay invisible to the data listing either way. distinct() keeps a
+    // duplicated zone row (a defensive invariant, not an expected
+    // state) from reading the same file twice.
+    val mf = spark.read.option("recursiveFileLookup", "true")
+      .json(s"$path/_manifest")
     val keep = mf
       .where(col(s"max_$statCol") >= lo && col(s"min_$statCol") <= hi)
-      .select("file").collect().map(_.getString(0))
-    val full = spark.read.parquet(path)
+      .select("file").distinct().collect().map(_.getString(0))
+    val full = spark.read.option("recursiveFileLookup", "true").parquet(path)
     val pruned =
       if (keep.isEmpty) full.limit(0)
       else spark.read.schema(full.schema).parquet(keep.toIndexedSeq: _*)

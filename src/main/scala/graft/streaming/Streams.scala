@@ -165,6 +165,44 @@ object Streams {
         }
       }
 
+  /** Streaming zone-map maintenance — the incremental twin of
+    * [[graft.sources.Sinks.writeWithManifest]]: each micro-batch writes
+    * its rows into an idempotent per-batch subdir (`b<id>`, overwrite —
+    * the [[quarantineStream]] exactly-once-from-at-least-once
+    * convention) and its one-zone-row-per-file min/max stats into
+    * `_manifest/b<id>`, so [[graft.sources.Sinks.readPruned]] keeps
+    * serving manifest-pruned range scans over the GROWING table with no
+    * rewrite of earlier data files or manifest entries. Stats are
+    * computed by re-reading ONLY the batch's own files (metadata-scale
+    * work per trigger); a replayed batch overwrites its own dirs, never
+    * duplicates. At 100 TB the standing table is never touched — each
+    * trigger costs one batch-sized write plus one batch-sized
+    * aggregation, and range-scan cost stays O(selectivity) as long as
+    * arriving batches are value-clustered (event-time streams are).
+    */
+  def manifestAppendStream(rows: DataFrame, statsCols: Seq[String],
+      path: String, maxRecordsPerFile: Int = 1000000)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    rows.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (!batch.isEmpty) {
+          val spark = batch.sparkSession
+          val dataDir = s"$path/b$batchId"
+          batch.write.mode("overwrite")
+            .option("maxRecordsPerFile", maxRecordsPerFile.toString)
+            .parquet(dataDir)
+          val aggs = statsCols.flatMap(c =>
+            Seq(min(col(c)).as(s"min_$c"), max(col(c)).as(s"max_$c")))
+          spark.read.parquet(dataDir)
+            .groupBy(input_file_name().as("file"))
+            .agg(aggs.head, aggs.tail: _*)
+            .coalesce(1) // zone rows: one tiny JSON file per batch
+            .write.mode("overwrite").json(s"$path/_manifest/b$batchId")
+          ()
+        }
+      }
+
   /** Streaming quality gate: the EXACT batch rule projection
     * ([[graft.operators.TextAnalysis2.gopherColumns]]) applied to an
     * unbounded document stream — row-local, so no watermark and no state

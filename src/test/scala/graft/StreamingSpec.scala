@@ -1127,6 +1127,43 @@ class StreamingSpec extends SparkSpec {
       Seq(Event(1, ts(0), "a", 1.0), Event(2, ts(30), "b", 1.0)),
       Seq(s"$dl/tap/kept", s"$dl/tap/monitor"))
   }
+
+  test("streaming manifest maintenance: growing table stays prunable with exact results") {
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft-mstream").toString + "/t"
+    val input = MemoryStream[Event]
+    val q = Streams.manifestAppendStream(
+        input.toDF(), Seq("value"), dir, maxRecordsPerFile = 3)
+      .option("checkpointLocation", s"$dir-ckpt").start()
+    // two value-clustered batches (the event-time-stream shape that
+    // makes zones tight): 1..8 then 100..108
+    input.addData((1 to 8).map(i => Event(i.toLong, ts(i), "a", i.toDouble)): _*)
+    q.processAllAvailable()
+    input.addData((100 to 108).map(i => Event(i.toLong, ts(i), "b", i.toDouble)): _*)
+    q.processAllAvailable()
+    q.stop()
+    val full = spark.read.option("recursiveFileLookup", "true").parquet(dir)
+    assert(full.count() == 17)
+    // one zone row per data file, carrying that file's exact min/max
+    val mf = spark.read.option("recursiveFileLookup", "true").json(s"$dir/_manifest")
+    assert(mf.select("file").as[String].collect().toSet == full.inputFiles.toSet)
+    // a range inside batch 2: exact rows AND only batch-2 files touched
+    val pruned = graft.sources.Sinks.readPruned(
+      spark, dir, "value", lit(100.0), lit(104.0))
+    assert(pruned.select("user_id").as[Long].collect().sorted.toSeq ==
+      (100L to 104L))
+    assert(pruned.inputFiles.nonEmpty &&
+      pruned.inputFiles.forall(_.contains("/b1/")),
+      s"expected only batch-1-dir files, got ${pruned.inputFiles.toSeq}")
+    assert(pruned.inputFiles.length < full.inputFiles.length)
+    // the batch-layout reader path still serves the whole growing table
+    val all = graft.sources.Sinks.readPruned(
+      spark, dir, "value", lit(0.0), lit(1000.0))
+    assert(all.count() == 17)
+    // an empty range prunes everything and still returns cleanly
+    assert(graft.sources.Sinks.readPruned(
+      spark, dir, "value", lit(-10.0), lit(-1.0)).count() == 0)
+  }
 }
 
 /** Embedding arrival for the streaming ANN gate spec. */
