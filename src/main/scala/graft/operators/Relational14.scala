@@ -569,7 +569,10 @@ object Relational14 {
           .cast("long").as("td"),
         microUnits(col("rev")).cast(d38).as("vm"))
       .select(col("td"), expr("CAST(vm div 1000000 AS BIGINT)").as("v"))
-      .localCheckpoint(true) // feeds the moment sums AND the collected series
+    // NOT pinned (r15): daily feeds the moment sums AND the collected
+    // series, but a localCheckpoint barrier measured 0.23 → 1.1 s at
+    // sf0.1 — the eager materialization job costs more than recomputing
+    // a calendar-bounded aggregation twice (same finding as icc)
     val sums = daily.agg(count(lit(1)).as("n"),
       sum(col("td").cast(d38)).as("st"),
       sum((col("td") * col("td")).cast(d38)).as("stt"),

@@ -131,7 +131,11 @@ object Relational15 {
       .groupBy(col("p_brand"), trunc(col("l_shipdate"), "month").as("mon"))
       .agg(wholeUnits(sum(discPrice(col("l_extendedprice"), col("l_discount"))))
         .cast("long").as("x"))
-      .localCheckpoint(true) // feeds the completeness count AND the balanced join
+    // NOT pinned (r15): cell feeds the completeness count AND the
+    // balanced join; a localCheckpoint barrier was measured (r15) at
+    // no better than the dims-bounded recompute at sf0.1 AND gen-sf1,
+    // so keep the plan without the materialization job (the sibling
+    // durbinWatson measured the pin strictly worse, 0.23 → 1.1 s)
     val nBrands = t.part.select("p_brand").distinct().count()
     val complete = cell.groupBy("mon").agg(count(lit(1)).as("nb"))
       .where(col("nb") === nBrands).select("mon")
