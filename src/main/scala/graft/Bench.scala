@@ -50,8 +50,19 @@ object Bench {
   private[graft] def measure(
       spark: SparkSession, sfDir: String,
       queries: Map[String, (SparkSession, String) => org.apache.spark.sql.DataFrame],
-      reps: Int): (Map[String, (Double, Double)], Map[String, String]) = {
+      reps: Int, calibEvery: Int = 0, cpus: Int = 4)
+      : (Map[String, (Double, Double)], Map[String, String], Seq[Double]) = {
     val errs = scala.collection.mutable.LinkedHashMap.empty[String, String]
+    // Mid-run contention sampling: the start-of-run sentinel cannot see
+    // a contention window that opens later — r15 saw two full-suite
+    // runs each with one ~35-query contiguous alphabetical stretch
+    // inflated 2–6× that vanished on rerun, with `contended: false`
+    // because the box was quiet at t=0. Re-timing the fixed calibration
+    // job every `calibEvery` queries puts the window INTO the artifact
+    // (calib_max / contended_midrun), so a contaminated snapshot flags
+    // itself instead of reading as a code regression.
+    val calibSamples = scala.collection.mutable.ArrayBuffer.empty[Double]
+    var sinceCalib = 0
     // deterministic NAME order, not Map hash order: queries sharing
     // memoized training frames (the dedup/ANN SessionMemo families)
     // charge the training to whichever family member runs FIRST, so a
@@ -60,6 +71,13 @@ object Bench {
     // r14 gate saw dedup_tier_eval 5.4x -> 9.0x from exactly this).
     // Alphabetical order pins the first-toucher permanently.
     val results = queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
+      if (calibEvery > 0) {
+        sinceCalib += 1
+        if (sinceCalib >= calibEvery) {
+          sinceCalib = 0
+          calibSamples += calibrationSec(spark, cpus)
+        }
+      }
       // measurement hygiene between QUERIES (outside any timed region):
       // a heavy predecessor (the exact-tier ANN/dedup baselines) leaves
       // the heap full, and its garbage is then collected DURING the
@@ -92,7 +110,7 @@ object Bench {
         case None      => Some(name -> (times(times.length / 2), times.head))
       }
     }
-    (results.toMap, errs.toMap)
+    (results.toMap, errs.toMap, calibSamples.toSeq)
   }
 
   def main(args: Array[String]): Unit = {
@@ -165,9 +183,17 @@ object Bench {
           case None      => Some(s"_training:$name" -> (dt, dt))
         }
       }
-    val (measured, qErrs) = measure(spark, sfDir, picked, reps)
+    val (measured, qErrs, calibSamples) =
+      measure(spark, sfDir, picked, reps, calibEvery = 50, cpus = cpus.toInt)
     val results = trainRows.toMap ++ measured
     val errs = trainErrs ++ qErrs
+    val calibMax = (calib +: calibSamples).max
+    val contendedMid = calibSamples.exists(_ >= CalibCleanSec * 2)
+    if (contendedMid)
+      System.err.println(
+        f"[bench] WARNING: mid-run calibration peaked at ${calibMax}%.2f s " +
+          f"(clean ${CalibCleanSec}%.2f s) — a contention window opened " +
+          "during the run; affected queries read high, prefer a rerun")
     val total = results.values.map(_._1).sum
     val totalMin = results.values.map(_._2).sum
     val all = results.toSeq.sortBy(-_._2._1)
@@ -181,7 +207,7 @@ object Bench {
     val detailMin = all.map { case (k, (_, mn)) => s"\"$k\":${fmt(mn)}" }.mkString("{", ",", "}")
     val errJson = errs.map { case (k, v) => s"${jq(k)}:${jq(v)}" }.mkString("{", ",", "}")
     val detailJson =
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${all.size},"n_err":${errs.size},"errs":$errJson,"contended":$contended,"calib_sec":${fmt(calib)},"value_min":${fmt(totalMin)},"reps":$reps,"queries":$detail,"queries_min":$detailMin,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${all.size},"n_err":${errs.size},"errs":$errJson,"contended":$contended,"contended_midrun":$contendedMid,"calib_sec":${fmt(calib)},"calib_max":${fmt(calibMax)},"value_min":${fmt(totalMin)},"reps":$reps,"queries":$detail,"queries_min":$detailMin,"sf":"$sfDir"}"""
     println(s"BENCH_DETAIL $detailJson")
     // The FULL per-query map also goes to a file: the collecting harness
     // keeps only the last ~2KB of stdout, which cannot carry 140+ query
@@ -217,7 +243,7 @@ object Bench {
     // errored query NAMES (not messages) on the final line, capped; full
     // messages live in the detail file
     val errNames = errs.keys.take(8).map(k => s"\"$k\"").mkString("[", ",", "]")
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${all.size},"n_err":${errs.size},"err_names":$errNames,"contended":$contended,"calib_sec":${fmt(calib)},"value_min":${fmt(totalMin)},"queries_slowest":$kept,"queries":{${sb.result()}},"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${all.size},"n_err":${errs.size},"err_names":$errNames,"contended":$contended,"contended_midrun":$contendedMid,"calib_sec":${fmt(calib)},"calib_max":${fmt(calibMax)},"value_min":${fmt(totalMin)},"queries_slowest":$kept,"queries":{${sb.result()}},"sf":"$sfDir"}""")
     spark.stop()
   }
 }

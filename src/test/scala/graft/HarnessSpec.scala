@@ -54,7 +54,7 @@ class HarnessSpec extends SparkSpec {
   }
 
   test("Bench routes a broken query to the error map, excluded from timings") {
-    val (results, errs) = Bench.measure(spark, "/root/testdata/sf0.001",
+    val (results, errs, _) = Bench.measure(spark, "/root/testdata/sf0.001",
       Map("ok_query" -> good, "broken_query" -> broken), reps = 2)
     assert(results.keySet == Set("ok_query"))
     assert(errs.keySet == Set("broken_query"))
