@@ -72,6 +72,13 @@ object Dedup {
     */
   private def countedPrefixCandidates(
       ranked: DataFrame, threshold: Double): DataFrame = {
+    // The count-(≥2) gate's soundness argument needs α(A,B) ≥ 2 for
+    // every length-compatible sz ≥ 2 pair, which holds iff t > 1/3
+    // (at t = 1/3 an |A|=|B|=2 pair with one shared gram qualifies but
+    // has α = 1 — a single surviving row, silently dropped). Guard it
+    // so a future sweep entry below the bound fails loudly instead.
+    require(threshold > 1.0 / 3.0,
+      s"countedPrefixCandidates is sound only for threshold > 1/3, got $threshold")
     // extended (k=2) prefix postings with full-list positions
     val pref2 = ranked.where(col("sz") >= 2)
       .withColumn("p",

@@ -271,8 +271,11 @@ object TextAnalysis3 {
     val perClassScore = classList.map { s =>
       val denom = tots(s) + vocabV
       val esc = s.replace("\\", "\\\\").replace("'", "\\'")
+      // try_element_at: explicit null-on-missing-key semantics (plain
+      // element_at raises MAP_KEY_DOES_NOT_EXIST under strict-ANSI
+      // variants, which would break the Laplace coalesce fallback)
       sum(col("tf") * coalesce(
-        expr(s"(element_at(cm, '$esc') + 1L) * ${NbScale}L div ${denom}L"),
+        expr(s"(try_element_at(cm, '$esc') + 1L) * ${NbScale}L div ${denom}L"),
         lit(NbScale / denom)))
     }
     val scoreCols = classList.indices.map(i => perClassScore(i).as(s"_s$i"))

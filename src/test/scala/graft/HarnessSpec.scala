@@ -53,6 +53,38 @@ class HarnessSpec extends SparkSpec {
     assert(orphans.isEmpty, s"oracles with no query: ${orphans.toSeq.sorted}")
   }
 
+  test("Bench.historyMedians: per-query median across rounds, fail-open on bad file") {
+    val f = java.nio.file.Files.createTempFile("graft-hist", ".csv")
+    java.nio.file.Files.write(f,
+      ("round,query,median_sec,min_sec\n" +
+        "r09,q_a,1.0,\n" +        // min_sec column may be empty (r09 rows are)
+        "r10,q_a,3.0,2.9\n" +
+        "r11,q_a,2.0,1.8\n" +
+        "r10,q_b,0.5,0.4\n" +
+        "r11,q_bad,notanumber,\n" // unparseable row is skipped, not fatal
+        ).getBytes("UTF-8"))
+    val hist = Bench.historyMedians(f.toString)
+    assert(hist("q_a") == 2.0)   // median of 1.0, 3.0, 2.0
+    assert(hist("q_b") == 0.5)
+    assert(!hist.contains("q_bad"))
+    // a missing file must not break the bench — empty map, no requeue
+    assert(Bench.historyMedians("/no/such/file.csv").isEmpty)
+  }
+
+  test("Bench.requeueSet: >2.5x history median requeues; new queries never do") {
+    val hist = Map("q_a" -> 1.0, "q_b" -> 1.0)
+    val measured = Map(
+      "q_a" -> (2.6, 2.5),  // 2.6x history -> requeue
+      "q_b" -> (2.4, 2.3),  // under the factor -> keep
+      "q_new" -> (99.0, 98.0)) // no history -> nothing to adjudicate against
+    assert(Bench.requeueSet(measured, hist) == Set("q_a"))
+    // exactly at the factor is NOT a requeue (strict >): a query pinned
+    // at precisely 2.5x forever should not churn the requeue pass
+    assert(Bench.requeueSet(Map("q_a" -> (2.5, 2.5)), hist).isEmpty)
+    // empty history (missing file) -> no requeues at all
+    assert(Bench.requeueSet(measured, Map.empty).isEmpty)
+  }
+
   test("Bench routes a broken query to the error map, excluded from timings") {
     val (results, errs, _) = Bench.measure(spark, "/root/testdata/sf0.001",
       Map("ok_query" -> good, "broken_query" -> broken), reps = 2)

@@ -51,7 +51,11 @@ def times(d):
 
 
 def run_bench(sf_dir, snap_path):
-    env = dict(os.environ, SPARK_GRAFT_SF_DIR=sf_dir, SPARK_GRAFT_CPUS="32")
+    # disable the bench's history-based auto-requeue: history medians are
+    # sf0.1-testdata numbers, meaningless on the gen legs (the 10x leg
+    # would "requeue" the entire suite)
+    env = dict(os.environ, SPARK_GRAFT_SF_DIR=sf_dir, SPARK_GRAFT_CPUS="32",
+               SPARK_GRAFT_BENCH_HISTORY="")
     subprocess.run(["sbt", "-batch", "runMain graft.Bench"], cwd=REPO,
                    env=env, check=True, stdout=subprocess.DEVNULL,
                    stderr=subprocess.DEVNULL)
