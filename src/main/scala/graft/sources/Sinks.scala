@@ -536,6 +536,189 @@ object Sinks {
     pruned.where(col(statCol) >= lo && col(statCol) <= hi)
   }
 
+  /** Streaming-manifest compaction — the maintenance pass that bounds
+    * [[graft.streaming.Streams.manifestAppendStream]]'s one-dir-per-
+    * micro-batch layout. Without it a 1-minute trigger accretes ~525k
+    * `b<id>` dirs a year and every recursive listing (and [[readPruned]]
+    * planning pass) degrades linearly with batch count — a scale-killer
+    * at exactly the horizon the zone map exists for.
+    *
+    * Folds every manifest-referenced dir except the `keepLastBatches`
+    * hottest `b<id>` entries (and any previous `c<gen>` generation —
+    * repeated calls keep exactly one standing generation) into one
+    * re-clustered `c<gen>` dir of ≈`targetFileBytes` files, RANGE-
+    * CLUSTERED on the zone map's first stat column so the rewritten
+    * zones come out tight (compaction is the moment the append-ordered
+    * layout gets re-sorted into the scan-ordered one). Stat columns are
+    * derived from the standing zone rows' schema, so the fold can never
+    * drift from what the stream recorded.
+    *
+    * Reader correctness during the fold rests on one invariant:
+    * [[readPruned]] opens ONLY files named in `_manifest` zone rows, so
+    * data visibility is governed by the manifest, not the dir listing.
+    * The protocol therefore stages everything invisibly and flips the
+    * manifest last:
+    *  1. new data lands under `_staging/` (underscore = invisible), its
+    *     zone rows are computed against the FINAL paths;
+    *  2. the data dir renames into place — unreferenced by any zone row,
+    *     so pruned readers still serve the exact OLD view;
+    *  3. a complete next manifest tree (`_manifest_next`: the new
+    *     generation's zones + carried-over zones of every un-folded
+    *     entry) swaps in via two renames; readers racing the swap window
+    *     should retry (the [[compact]] caveat), and a micro-batch whose
+    *     zone commit lands in the old tree during the swap is recovered
+    *     by the post-swap reconcile (entries present only in the staged-
+    *     out tree are carried over, never lost);
+    *  4. only then are the folded data dirs deleted — recorded first in
+    *     `c<gen>/_pending_delete`, so a crash anywhere resumes cleanup
+    *     on the next call instead of stranding or double-reading data.
+    * A reader that PLANNED against the old manifest and is still reading
+    * folded files when step 4 deletes them must retry — the same
+    * documented race as [[compact]]; production would age the deletes
+    * behind a retention window.
+    *
+    * Returns (manifest entries before, after). No-op (and safe to call
+    * on any schedule) when fewer than two entries are foldable.
+    */
+  def compactManifestTable(
+      spark: org.apache.spark.sql.SparkSession, path: String,
+      targetFileBytes: Long, keepLastBatches: Int = 0,
+      beforeManifestSwap: () => Unit = () => (),
+      beforeCleanup: () => Unit = () => ()): (Int, Int) = {
+    import org.apache.hadoop.fs.{FileUtil, Path}
+    val conf = spark.sessionState.newHadoopConf()
+    val root = new Path(path)
+    val fs = root.getFileSystem(conf)
+    val manifest = new Path(root, "_manifest")
+    val manifestPrev = new Path(root, "_manifest_prev")
+    val manifestNext = new Path(root, "_manifest_next")
+    val staging = new Path(root, "_staging")
+    def children(dir: Path): Seq[org.apache.hadoop.fs.FileStatus] =
+      if (fs.exists(dir)) fs.listStatus(dir).toSeq else Nil
+    def readLines(f: Path): Seq[String] = {
+      val in = fs.open(f)
+      try scala.io.Source.fromInputStream(in, "UTF-8").getLines().toList
+      finally in.close()
+    }
+    // ---- crash recovery (idempotent; runs on every call) ----
+    // died between the two swap renames: restore the staged-out tree
+    if (!fs.exists(manifest) && fs.exists(manifestPrev))
+      require(fs.rename(manifestPrev, manifest),
+        s"compactManifestTable: could not restore $manifestPrev")
+    // a _manifest_next left behind is an incomplete staging (the swap
+    // never started, or was rolled back above) — discard it
+    fs.delete(manifestNext, true)
+    // reconcile a crashed post-swap run FIRST, while the _pending_delete
+    // fold markers are still intact: zone entries present only in the
+    // staged-out tree and NOT folded are committed late batches — carry
+    // them over; folded ones must NOT come back (their data is doomed)
+    val liveEntries0 = children(manifest).map(_.getPath.getName).toSet
+    val pendingFolds: Map[String, Seq[String]] =
+      children(root).filter(st => st.isDirectory &&
+        !st.getPath.getName.startsWith("_") &&
+        fs.exists(new Path(st.getPath, "_pending_delete")))
+        .map(st => st.getPath.getName ->
+          readLines(new Path(st.getPath, "_pending_delete"))).toMap
+    if (fs.exists(manifestPrev)) {
+      val foldedPrev = pendingFolds.collect {
+        case (gen, fold) if liveEntries0.contains(gen) => fold
+      }.flatten.toSet
+      children(manifestPrev).foreach { st =>
+        val name = st.getPath.getName
+        if (!foldedPrev.contains(name) && !fs.exists(new Path(manifest, name)))
+          require(fs.rename(st.getPath, new Path(manifest, name)),
+            s"compactManifestTable: could not reconcile $name")
+      }
+      fs.delete(manifestPrev, true)
+    }
+    // pending deletes: a c<gen> dir listed in the manifest whose
+    // _pending_delete survives is a post-swap crash — finish cleanup;
+    // one NOT in the manifest is pre-swap staging garbage — drop it all
+    pendingFolds.foreach { case (gen, fold) =>
+      if (liveEntries0.contains(gen)) {
+        fold.foreach(n => fs.delete(new Path(root, n), true))
+        fs.delete(new Path(root, s"$gen/_pending_delete"), false)
+      } else fs.delete(new Path(root, gen), true)
+    }
+    fs.delete(staging, true)
+    // ---- snapshot: what to fold ----
+    val entries = children(manifest).map(_.getPath.getName)
+    val batchIds = entries.filter(_.matches("b\\d+"))
+      .map(n => n.drop(1).toLong).sorted
+    val hot = batchIds.takeRight(keepLastBatches).map(i => s"b$i").toSet
+    val folded = entries.filterNot(hot).sorted
+    if (folded.size < 2) return (entries.size, entries.size)
+    val gen = (entries ++ children(root).map(_.getPath.getName))
+      .filter(_.matches("c\\d+")).map(_.drop(1).toLong)
+      .foldLeft(-1L)(math.max) + 1
+    val genName = s"c$gen"
+    // the snapshot's files and stat columns come from the zone rows
+    // themselves — the fold can't drift from what the stream recorded
+    val zones = spark.read
+      .json(folded.map(n => s"$path/_manifest/$n"): _*)
+    val statsCols = zones.schema.fieldNames.toSeq
+      .filter(_.startsWith("min_")).map(_.stripPrefix("min_")).sorted
+    require(statsCols.nonEmpty,
+      s"compactManifestTable: no min_*/max_* stat columns in $manifest")
+    val files = zones.select("file").distinct()
+      .collect().map(_.getString(0)).toIndexedSeq
+    val totalBytes = files.map(f => fs.getFileStatus(new Path(f)).getLen).sum
+    val nFiles = math.max(1, math.ceil(totalBytes.toDouble / targetFileBytes).toInt)
+    // ---- stage the new generation (invisible under _staging/) ----
+    val clusterCol = statsCols.head
+    spark.read.parquet(files: _*)
+      .repartitionByRange(nFiles, col(clusterCol))
+      .sortWithinPartitions(statsCols.map(col): _*)
+      .write.mode("overwrite").parquet(s"$path/_staging/$genName")
+    val aggs = statsCols.flatMap(c =>
+      Seq(min(col(c)).as(s"min_$c"), max(col(c)).as(s"max_$c")))
+    spark.read.parquet(s"$path/_staging/$genName")
+      .groupBy(regexp_replace(input_file_name(), "/_staging/", "/").as("file"))
+      .agg(aggs.head, aggs.tail: _*)
+      .coalesce(1)
+      .write.mode("overwrite").json(s"$path/_staging/zones$gen")
+    // record the fold set INSIDE the staged dir (underscore file —
+    // invisible to parquet readers), then make the data visible; it is
+    // still unreferenced by any zone row, so pruned reads are unchanged
+    val pendOut = fs.create(new Path(staging, s"$genName/_pending_delete"), true)
+    try pendOut.write(folded.mkString("", "\n", "\n").getBytes("UTF-8"))
+    finally pendOut.close()
+    require(fs.rename(new Path(staging, genName), new Path(root, genName)),
+      s"compactManifestTable: could not move $genName into place")
+    // ---- build the complete next manifest tree ----
+    fs.mkdirs(manifestNext)
+    require(fs.rename(new Path(staging, s"zones$gen"),
+      new Path(manifestNext, genName)),
+      s"compactManifestTable: could not stage zone rows for $genName")
+    children(manifest).foreach { st =>
+      val name = st.getPath.getName
+      if (!folded.contains(name))
+        FileUtil.copy(fs, st.getPath, fs, new Path(manifestNext, name),
+          false, conf)
+    }
+    beforeManifestSwap()
+    // ---- swap ----
+    require(fs.rename(manifest, manifestPrev),
+      s"compactManifestTable: could not stage out $manifest")
+    require(fs.rename(manifestNext, manifest),
+      s"compactManifestTable: could not swap in $manifestNext")
+    // reconcile: a micro-batch that committed zones between the copy
+    // above and the swap lives only in the staged-out tree — carry it
+    children(manifestPrev).foreach { st =>
+      val name = st.getPath.getName
+      if (!folded.contains(name) && !fs.exists(new Path(manifest, name)))
+        require(fs.rename(st.getPath, new Path(manifest, name)),
+          s"compactManifestTable: could not carry over late batch $name")
+    }
+    fs.delete(manifestPrev, true)
+    beforeCleanup()
+    // ---- cleanup: drop the folded data dirs ----
+    folded.foreach(n => fs.delete(new Path(root, n), true))
+    fs.delete(new Path(root, s"$genName/_pending_delete"), false)
+    fs.delete(staging, true)
+    (entries.size, children(manifest).size)
+  }
+
   /** JSON-lines export — the interchange twin of
     * [[graft.sources.Sources.jsonLines]] (downstream tools that speak
     * neither parquet nor JDBC almost always speak JSONL). Plain

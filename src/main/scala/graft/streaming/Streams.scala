@@ -203,6 +203,59 @@ object Streams {
         }
       }
 
+  /** Manifest-pruned streaming READ — the consumer twin of
+    * [[manifestAppendStream]]: tail a growing zone-mapped table and
+    * deliver ONLY the rows of a standing range predicate, opening ONLY
+    * the data files whose zone intersects it.
+    *
+    * The streamed source is the MANIFEST, not the data: zone rows are
+    * file-count-sized metadata, so each trigger's streaming work is a
+    * metadata read regardless of table size. New zone rows are
+    * intersected with [lo, hi]; only surviving files are opened (a
+    * micro-batch whose zones all miss never touches a data file), and
+    * the exact predicate re-applies on the rows (zones admit false
+    * positives, never false negatives — the [[graft.sources.Sinks
+    * .readPruned]] contract, tailed). Output lands in idempotent
+    * per-batch dirs (the [[quarantineStream]] replay convention).
+    *
+    * Scope: tails the APPEND phase of a table. A
+    * [[graft.sources.Sinks.compactManifestTable]] fold REWRITES zone
+    * rows (new `c<gen>` manifest entry), which this tail would see as
+    * new files and re-deliver — run folds when the table's live tails
+    * are drained, or dedupe downstream on a row key; exactly-once holds
+    * between folds.
+    */
+  def prunedReadStream(spark: org.apache.spark.sql.SparkSession,
+      path: String, statCol: String,
+      lo: org.apache.spark.sql.Column, hi: org.apache.spark.sql.Column,
+      outPath: String)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
+    // static schemas for the stream, pinned from the standing table (the
+    // seam requires >=1 committed batch — a tail needs a table to tail)
+    val zoneSchema = spark.read.option("recursiveFileLookup", "true")
+      .json(s"$path/_manifest").schema
+    val dataSchema = spark.read.option("recursiveFileLookup", "true")
+      .parquet(path).schema
+    spark.readStream
+      .schema(zoneSchema)
+      .option("recursiveFileLookup", "true")
+      .json(s"$path/_manifest")
+      .writeStream
+      .outputMode("append")
+      .foreachBatch { (zones: DataFrame, batchId: Long) =>
+        val keep = zones
+          .where(col(s"max_$statCol") >= lo && col(s"min_$statCol") <= hi)
+          .select("file").distinct().collect().map(_.getString(0))
+        if (keep.nonEmpty) {
+          zones.sparkSession.read.schema(dataSchema)
+            .parquet(keep.toIndexedSeq: _*)
+            .where(col(statCol) >= lo && col(statCol) <= hi)
+            .write.mode("overwrite").parquet(s"$outPath/batch_id=$batchId")
+        }
+        ()
+      }
+  }
+
   /** Streaming quality gate: the EXACT batch rule projection
     * ([[graft.operators.TextAnalysis2.gopherColumns]]) applied to an
     * unbounded document stream — row-local, so no watermark and no state
