@@ -464,4 +464,97 @@ object Relational3 {
        | e.exact_customers
        |FROM ex e JOIN kmv k USING (r_name)
        |ORDER BY r_name""".stripMargin
+
+  private val KllCap = 512
+
+  /** Two-level MERGEABLE QUANTILE rollup — [[sketchMerge]]'s contract
+    * extended from distinct counts to percentiles, the piece a 100 TB
+    * percentile dashboard needs: per-nation quantile-sketch partials
+    * ([[graft.functions.KllPartial]], hash-leveled KLL-family states)
+    * are built in one aggregation and MERGED per region
+    * ([[graft.functions.KllMergeAgg]]) without revisiting raw rows.
+    * Because the hash-decided state is a pure function of the input
+    * multiset (see [[graft.functions.KllOps]]), the mergeability law
+    * `merge(sketch(A), sketch(B)) = sketch(A ∪ B)` holds EXACTLY, and
+    * the oracle proves it end-to-end by computing each region's sketch
+    * directly from raw rows — hash-equal p50/p90/m/cut means the
+    * nation→region merge was lossless. Work shape: one fact scan, two
+    * bounded-state aggregations (≤ cap entries per group), no raw-row
+    * re-shuffle at level 2.
+    */
+  def sketchQuantiles(t: Tables): DataFrame = {
+    val h = graft.functions.PortableHash.hash60 _
+    val x = t.orders
+      .join(t.customer, col("o_custkey") === col("c_custkey"))
+      .join(broadcast(t.nation), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(t.region), col("n_regionkey") === col("r_regionkey"))
+      .select(col("r_name"), col("n_name"),
+        h(col("o_orderkey")).as("rh"),
+        (dec(col("o_totalprice")) * 100).cast("long").as("cents"))
+    val partial = udaf(
+      new graft.functions.KllPartial(KllCap),
+      org.apache.spark.sql.Encoders.product[graft.functions.KllIn])
+    val merged = udaf(
+      new graft.functions.KllMergeAgg(KllCap),
+      org.apache.spark.sql.Encoders.product[graft.functions.KllPartialIn])
+    x.groupBy("r_name", "n_name")
+      .agg(partial(col("rh"), col("cents")).as("kll"))
+      .groupBy("r_name")
+      .agg(count(lit(1)).as("n_nations"), merged(col("kll")).as("q"))
+      .select(col("r_name"), col("n_nations"),
+        col("q.m").as("m"), col("q.cut").as("cut"),
+        col("q.n_est").as("n_est"),
+        col("q.p50_price").as("p50_price"),
+        col("q.p90_price").as("p90_price"))
+      .orderBy("r_name")
+  }
+
+  /** Oracle: the region sketch built DIRECTLY from raw rows — levels from
+    * exact integer bit math on the shared 60-bit hash (`h & -h` isolates
+    * the lowest set bit; log2 of an exact power of two is exact), the
+    * minimal cutoff from a level-count threshold, and the repo-standard
+    * tenths-of-cents interpolation — equal to the Spark side's merge of
+    * nation partials iff quantile-sketch merging is lossless.
+    */
+  val sketchQuantilesSql: String =
+    s"""WITH x AS (
+       | SELECT r_name, n_name,
+       |  CAST('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 15) AS BIGINT) AS h,
+       |  CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT) AS cents
+       | FROM orders
+       | JOIN customer ON o_custkey = c_custkey
+       | JOIN nation ON c_nationkey = n_nationkey
+       | JOIN region ON n_regionkey = r_regionkey),
+       |lv AS (
+       | SELECT r_name, h, cents,
+       |  CASE WHEN h = 0 THEN 60
+       |       ELSE CAST(floor(log2(h & (-h))) AS INT) END AS lv
+       | FROM x),
+       |cn AS (
+       | SELECT r_name, CAST(COUNT(DISTINCT n_name) AS BIGINT) AS n_nations
+       | FROM x GROUP BY 1),
+       |cge AS (
+       | SELECT r_name, j, COUNT(*) FILTER (WHERE lv >= j) AS c
+       | FROM lv CROSS JOIN generate_series(0, 60) t(j) GROUP BY 1, 2),
+       |cut AS (SELECT r_name, MIN(j) AS L FROM cge WHERE c <= $KllCap GROUP BY 1),
+       |kept AS (
+       | SELECT r_name, cents, L,
+       |  ROW_NUMBER() OVER (PARTITION BY r_name ORDER BY cents, h) - 1 AS i,
+       |  COUNT(*) OVER (PARTITION BY r_name) AS m
+       | FROM lv JOIN cut USING (r_name) WHERE lv >= L),
+       |q AS (
+       | SELECT r_name, MAX(L) AS cut, MAX(m) AS m,
+       |  SUM(CASE WHEN i = ((m-1)*5)//10 THEN cents*(10-((m-1)*5)%10)
+       |           WHEN i = ((m-1)*5)//10 + 1 THEN cents*(((m-1)*5)%10)
+       |           ELSE 0 END) AS p50c10,
+       |  SUM(CASE WHEN i = ((m-1)*9)//10 THEN cents*(10-((m-1)*9)%10)
+       |           WHEN i = ((m-1)*9)//10 + 1 THEN cents*(((m-1)*9)%10)
+       |           ELSE 0 END) AS p90c10
+       | FROM kept GROUP BY 1)
+       |SELECT q.r_name, cn.n_nations, q.m, CAST(q.cut AS INT) AS cut,
+       | CAST(q.m * (CAST(1 AS BIGINT) << q.cut) AS BIGINT) AS n_est,
+       | CAST(q.p50c10 AS DOUBLE) / 1000.0 AS p50_price,
+       | CAST(q.p90c10 AS DOUBLE) / 1000.0 AS p90_price
+       |FROM q JOIN cn USING (r_name)
+       |ORDER BY q.r_name""".stripMargin
 }
