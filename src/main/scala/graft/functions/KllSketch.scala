@@ -156,6 +156,24 @@ class KllPartial(cap: Int) extends Aggregator[KllIn, KllState, Seq[Long]] {
     org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Long]]()
 }
 
+/** State-to-state merge: folds partial wire states into the wire state
+  * of their union WITHOUT finishing — the fold step of an incremental
+  * sketch-state table ([[graft.sources.Sinks.mergeKllState]]), where the
+  * merged state must remain mergeable with tomorrow's batch.
+  */
+class KllMergeState(cap: Int)
+    extends Aggregator[KllPartialIn, KllState, Seq[Long]] {
+  override def zero: KllState = KllState(0, Vector.empty)
+  override def reduce(b: KllState, in: KllPartialIn): KllState =
+    KllOps.merge(cap)(b, KllOps.fromWire(in.s))
+  override def merge(a: KllState, b: KllState): KllState =
+    KllOps.merge(cap)(a, b)
+  override def finish(b: KllState): Seq[Long] = KllOps.toWire(b)
+  override def bufferEncoder: Encoder[KllState] = Encoders.kryo[KllState]
+  override def outputEncoder: Encoder[Seq[Long]] =
+    org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Long]]()
+}
+
 /** Level-2 merge: folds partial states into the state of their union and
   * finishes to the quantile estimates — never revisiting raw rows.
   */

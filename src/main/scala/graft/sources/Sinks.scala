@@ -252,6 +252,70 @@ object Sinks {
     p.getFileSystem(spark.sessionState.newHadoopConf()).exists(p)
   }
 
+  /** Incremental QUANTILE-sketch maintenance — [[mergeAggState]] for
+    * percentiles: keep one hash-leveled KLL-family wire state
+    * ([[graft.functions.KllOps]]) per key on disk and fold each new
+    * batch in by merging states, never re-scanning history. Because the
+    * state is a pure function of the input multiset with an exact
+    * lossless-merge law, `fold(state, sketch(batch))` EQUALS
+    * `sketch(history ∪ batch)` — not approximately, hash-exactly
+    * (spec-asserted) — so a daily 100 TB percentile rollup costs one
+    * batch-sized aggregation plus a key-count-sized state merge, and the
+    * served p50/p90 are identical to a from-scratch rebuild. State per
+    * key is ≤ cap (cents, hash) pairs regardless of history size.
+    *
+    * Same staging caveat as [[mergeAggState]]: the merge materializes
+    * into cache before overwriting the path it read from.
+    */
+  def mergeKllState(spark: org.apache.spark.sql.SparkSession, path: String,
+      batch: DataFrame, keyCols: Seq[String], hashCol: String,
+      valueCol: String, cap: Int): Unit = {
+    val merged = foldKllState(
+      if (fileExists(spark, path)) Some(spark.read.parquet(path)) else None,
+      batch, keyCols, hashCol, valueCol, cap)
+    val staged = merged.cache()
+    staged.count()
+    staged.write.mode("overwrite").parquet(path)
+    staged.unpersist(false)
+  }
+
+  /** The fold itself, shared by the batch path above and the streaming
+    * twin ([[graft.streaming.Streams.quantileStateStream]]): batch rows →
+    * per-key partial sketches, unioned with the previous state and merged
+    * per key. Output schema: keyCols + `kll` (wire array).
+    */
+  private[graft] def foldKllState(prev: Option[DataFrame], batch: DataFrame,
+      keyCols: Seq[String], hashCol: String, valueCol: String,
+      cap: Int): DataFrame = {
+    val partial = udaf(new graft.functions.KllPartial(cap),
+      org.apache.spark.sql.Encoders.product[graft.functions.KllIn])
+    val fold = udaf(new graft.functions.KllMergeState(cap),
+      org.apache.spark.sql.Encoders.product[graft.functions.KllPartialIn])
+    val batchAgg = batch.groupBy(keyCols.map(col): _*)
+      .agg(partial(col(hashCol), col(valueCol)).as("kll"))
+    prev match {
+      case None => batchAgg
+      case Some(p) => p.unionByName(batchAgg)
+        .groupBy(keyCols.map(col): _*)
+        .agg(fold(col("kll")).as("kll"))
+    }
+  }
+
+  /** Serve quantiles from a standing sketch-state table: one bounded
+    * aggregation over the key-count-sized state (one wire row per key →
+    * m/cut/n_est/p50/p90), never touching raw history.
+    */
+  def kllStateQuantiles(state: DataFrame, keyCols: Seq[String],
+      cap: Int): DataFrame = {
+    val finishAgg = udaf(new graft.functions.KllMergeAgg(cap),
+      org.apache.spark.sql.Encoders.product[graft.functions.KllPartialIn])
+    state.groupBy(keyCols.map(col): _*)
+      .agg(finishAgg(col("kll")).as("q"))
+      .select(keyCols.map(col) ++ Seq(col("q.m").as("m"),
+        col("q.cut").as("cut"), col("q.n_est").as("n_est"),
+        col("q.p50_price").as("p50"), col("q.p90_price").as("p90")): _*)
+  }
+
   /** Small-file compaction: rewrite a parquet table into ≈targetBytes
     * files. Streaming/incremental sinks accrete many small files; at
     * 100 TB that degrades every later scan (task-per-file scheduling,

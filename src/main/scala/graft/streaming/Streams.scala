@@ -256,6 +256,66 @@ object Streams {
       }
   }
 
+  /** Streaming incremental quantile-sketch maintenance — the live twin
+    * of [[graft.sources.Sinks.mergeKllState]]: each micro-batch's rows
+    * are sketched per key and merged into the standing KLL-family state,
+    * so a live percentile dashboard reads key-count-sized state
+    * ([[graft.sources.Sinks.kllStateQuantiles]]) instead of history,
+    * and — by the exact lossless-merge law — serves numbers IDENTICAL
+    * to a from-scratch batch rebuild over everything seen.
+    *
+    * Exactly-once from at-least-once WITHOUT markers: state versions are
+    * per-batch snapshot dirs (`v<batchId>`), each computed
+    * deterministically as fold(previous committed version, this batch).
+    * A replayed batch re-reads the same predecessor and overwrites its
+    * own version with byte-identical content — idempotent by
+    * determinism, the property sums-with-markers schemes approximate.
+    * Only the latest two versions are retained (predecessor kept for
+    * in-flight readers / crash recovery), so state storage is
+    * 2 × key-count regardless of stream lifetime.
+    */
+  def quantileStateStream(rows: DataFrame, keyCols: Seq[String],
+      hashCol: String, valueCol: String, statePath: String, cap: Int)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    rows.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val spark = batch.sparkSession
+        val prev = latestKllVersion(spark, statePath, below = Some(batchId))
+          .map(v => spark.read.parquet(s"$statePath/v$v"))
+        graft.sources.Sinks
+          .foldKllState(prev, batch, keyCols, hashCol, valueCol, cap)
+          .write.mode("overwrite").parquet(s"$statePath/v$batchId")
+        // retention: drop all but this version and its predecessor
+        val p = new org.apache.hadoop.fs.Path(statePath)
+        val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+        fs.listStatus(p).foreach { st =>
+          val n = st.getPath.getName
+          if (n.matches("v\\d+") && n.drop(1).toLong < batchId - 1)
+            fs.delete(st.getPath, true)
+        }
+        ()
+      }
+
+  /** Latest COMMITTED state version under `statePath` (dirs `v<id>` with
+    * a `_SUCCESS` marker), optionally restricted to ids strictly below
+    * `below` — a replayed batch must fold from its predecessor, never
+    * from its own partial output.
+    */
+  def latestKllVersion(spark: org.apache.spark.sql.SparkSession,
+      statePath: String, below: Option[Long] = None): Option[Long] = {
+    val p = new org.apache.hadoop.fs.Path(statePath)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(p)) None
+    else fs.listStatus(p).toSeq
+      .map(_.getPath)
+      .filter(q => q.getName.matches("v\\d+") &&
+        fs.exists(new org.apache.hadoop.fs.Path(q, "_SUCCESS")))
+      .map(_.getName.drop(1).toLong)
+      .filter(v => below.forall(v < _))
+      .sorted.lastOption
+  }
+
   /** Streaming quality gate: the EXACT batch rule projection
     * ([[graft.operators.TextAnalysis2.gopherColumns]]) applied to an
     * unbounded document stream — row-local, so no watermark and no state
