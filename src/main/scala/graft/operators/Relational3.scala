@@ -466,6 +466,108 @@ object Relational3 {
        |ORDER BY r_name""".stripMargin
 
   private val KllCap = 512
+  private val CmDepth = 4
+  private val CmWidth = 256
+
+  /** Count-Min frequency-sketch rollup — the third leg of the mergeable
+    * sketch tier (distinct counts: [[sketchMerge]]; quantiles:
+    * [[sketchQuantiles]]; frequencies: here). The sketch is the classic
+    * D×W counter grid held COLUMNAR (one row per non-empty (depth,
+    * bucket) cell — ≤ D·W rows per group regardless of key cardinality,
+    * the property that lets a 100 TB pipeline track per-key frequencies
+    * without shuffling the key set). Counters are a pure function of
+    * the input multiset and merge by addition, so the nation→region
+    * rollup (level-1 partial grids summed per region) EQUALS the grid
+    * built directly from raw rows — the oracle proves it by computing
+    * the region grid from scratch. Each region's top-3 exact keys ride
+    * along as probes: `n_cm = min over depths of counter[d][h_d(key)]`
+    * vs the exact count (CM never under-counts; the spec asserts both
+    * sides of the ε-bound).
+    */
+  def sketchCmFreq(t: Tables): DataFrame = {
+    val h = graft.functions.PortableHash.hash60 _
+    val x = t.orders
+      .join(t.customer, col("o_custkey") === col("c_custkey"))
+      .join(broadcast(t.nation), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(t.region), col("n_regionkey") === col("r_regionkey"))
+      .select(col("r_name"), col("n_name"), col("o_custkey"))
+    def bucket(d: Int, key: org.apache.spark.sql.Column) =
+      pmod(h(concat_ws("#", lit(d), key)), lit(CmWidth.toLong))
+    // depth-exploded rows → level-1 partial grids per nation → level-2
+    // region grid by SUMMING partials (the mergeable rollup under test)
+    val tall = x.select(col("r_name") +: col("n_name") +:
+      (0 until CmDepth).map(d => bucket(d, col("o_custkey")).as(s"_b$d")): _*)
+      .select(col("r_name"), col("n_name"),
+        posexplode(array((0 until CmDepth).map(d => col(s"_b$d")): _*))
+          .as(Seq("d", "bkt")))
+    val lvl1 = tall.groupBy("r_name", "n_name", "d", "bkt")
+      .agg(count(lit(1)).as("c"))
+    val counters = lvl1.groupBy("r_name", "d", "bkt")
+      .agg(sum(col("c")).as("c"))
+    // probes: each region's exact top-3 keys (count desc, key asc) via
+    // the bounded-state heap plan — never a per-region sort of the full
+    // key set (at 100 TB a region's customer list doesn't fit one task's
+    // sort; the heap holds 3 rows per key whatever the cardinality).
+    // The rank window after it runs over ≤3-row partitions.
+    val exact = x.groupBy("r_name", "o_custkey")
+      .agg(count(lit(1)).as("n_exact"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("r_name").orderBy(col("n_exact").desc, col("o_custkey"))
+    val top3 = graft.plans.TopKPerKey(exact, Seq("r_name"),
+        Seq(("n_exact", false), ("o_custkey", true)), 3)
+      .withColumn("rank", row_number().over(w))
+    val probes = top3.select((Seq(col("r_name"), col("o_custkey"),
+        col("n_exact"), col("rank")) ++
+        (0 until CmDepth).map(d => bucket(d, col("o_custkey")).as(s"_b$d"))): _*)
+      .select(col("r_name"), col("o_custkey"), col("n_exact"), col("rank"),
+        posexplode(array((0 until CmDepth).map(d => col(s"_b$d")): _*))
+          .as(Seq("d", "bkt")))
+    probes.join(counters, Seq("r_name", "d", "bkt"))
+      .groupBy("r_name", "o_custkey")
+      .agg(max(col("n_exact")).as("n_exact"), max(col("rank")).as("rank"),
+        min(col("c")).as("n_cm"))
+      .select(col("r_name"), col("rank"), col("o_custkey").as("custkey"),
+        col("n_exact"), col("n_cm"))
+      .orderBy("r_name", "rank")
+  }
+
+  /** Oracle: the region counter grid built DIRECTLY from raw rows (the
+    * merge-law check), same md5-derived bucket hash, same top-3 probes.
+    */
+  val sketchCmFreqSql: String = {
+    def bkt(dExpr: String, key: String): String =
+      s"CAST('0x' || substr(md5(CAST($dExpr AS VARCHAR) || '#' || " +
+        s"CAST($key AS VARCHAR)), 1, 15) AS BIGINT) % $CmWidth"
+    s"""WITH x AS (
+       | SELECT r_name, o_custkey
+       | FROM orders
+       | JOIN customer ON o_custkey = c_custkey
+       | JOIN nation ON c_nationkey = n_nationkey
+       | JOIN region ON n_regionkey = r_regionkey),
+       |tall AS (
+       | SELECT r_name, d, ${bkt("d", "o_custkey")} AS bkt
+       | FROM x CROSS JOIN generate_series(0, ${CmDepth - 1}) t(d)),
+       |counters AS (
+       | SELECT r_name, d, bkt, COUNT(*) AS c FROM tall GROUP BY 1, 2, 3),
+       |exact AS (
+       | SELECT r_name, o_custkey, COUNT(*) AS n_exact FROM x GROUP BY 1, 2),
+       |top3 AS (
+       | SELECT * FROM (
+       |  SELECT r_name, o_custkey, n_exact,
+       |   ROW_NUMBER() OVER (PARTITION BY r_name
+       |    ORDER BY n_exact DESC, o_custkey) AS rank
+       |  FROM exact) WHERE rank <= 3),
+       |probes AS (
+       | SELECT r_name, o_custkey, n_exact, rank, d,
+       |  ${bkt("d", "o_custkey")} AS bkt
+       | FROM top3 CROSS JOIN generate_series(0, ${CmDepth - 1}) t(d))
+       |SELECT p.r_name, MAX(p.rank) AS rank, p.o_custkey AS custkey,
+       | MAX(p.n_exact) AS n_exact, MIN(c.c) AS n_cm
+       |FROM probes p
+       |JOIN counters c ON c.r_name = p.r_name AND c.d = p.d AND c.bkt = p.bkt
+       |GROUP BY p.r_name, p.o_custkey
+       |ORDER BY p.r_name, MAX(p.rank)""".stripMargin
+  }
 
   /** Two-level MERGEABLE QUANTILE rollup — [[sketchMerge]]'s contract
     * extended from distinct counts to percentiles, the piece a 100 TB

@@ -203,6 +203,30 @@ class Round16Spec extends SparkSpec {
     assert(refold == got, "replayed fold must be byte-identical")
   }
 
+  test("cm frequency sketch: never under-counts, epsilon-tight on heavy keys") {
+    val rs = Relational3.sketchCmFreq(sf).collect()
+    assert(rs.length == 15, s"5 regions x top-3 probes, got ${rs.length}")
+    // region row totals for the epsilon bound: overcount per depth is at
+    // most the colliding mass, ~n/W expected; min over D depths on
+    // deterministic data stays within a few multiples
+    val regionN = sf.orders
+      .join(sf.customer, col("o_custkey") === col("c_custkey"))
+      .join(sf.nation, col("c_nationkey") === col("n_nationkey"))
+      .join(sf.region, col("n_regionkey") === col("r_regionkey"))
+      .groupBy("r_name").count().as[(String, Long)].collect().toMap
+    rs.foreach { r =>
+      val region = r.getAs[String]("r_name")
+      val exact = r.getAs[Long]("n_exact")
+      val est = r.getAs[Long]("n_cm")
+      assert(est >= exact, s"CM under-counted $region/${r.get(2)}: $est < $exact")
+      val bound = exact + 8L * regionN(region) / 256 + 3
+      assert(est <= bound, s"CM estimate $est above bound $bound for $region")
+    }
+    // ranks are 1..3 per region with the deterministic tie-break
+    assert(rs.groupBy(_.getAs[String]("r_name"))
+      .forall(_._2.map(_.getAs[Int]("rank")).sorted.sameElements(Seq(1, 2, 3))))
+  }
+
   test("q_sketch_quantiles: one row per region, sane sketch columns") {
     val df = Relational3.sketchQuantiles(sf)
     val rs = df.collect()
