@@ -522,7 +522,10 @@ object Relational3 {
       .select(col("r_name"), col("o_custkey"), col("n_exact"), col("rank"),
         posexplode(array((0 until CmDepth).map(d => col(s"_b$d")): _*))
           .as(Seq("d", "bkt")))
-    probes.join(counters, Seq("r_name", "d", "bkt"))
+    // counters is ≤ regions × D × W rows at ANY data scale — broadcast
+    // by contract, not by AQE's size estimate (which sees an agg output
+    // and guesses)
+    probes.join(broadcast(counters), Seq("r_name", "d", "bkt"))
       .groupBy("r_name", "o_custkey")
       .agg(max(col("n_exact")).as("n_exact"), max(col("rank")).as("rank"),
         min(col("c")).as("n_cm"))
