@@ -301,6 +301,50 @@ object Sinks {
     }
   }
 
+  /** Count-Min fold, shared by the batch and streaming state paths: the
+    * batch's depth-exploded bucket counts, summed with the previous
+    * counter table. Counters merge by ADDITION, so the fold is trivially
+    * the sketch of the union — same lossless-merge contract as
+    * [[foldKllState]], state bounded at keys × depth × width rows.
+    * Output schema: keyCols + `d` + `bkt` + `c`.
+    */
+  private[graft] def foldCmState(prev: Option[DataFrame], batch: DataFrame,
+      keyCols: Seq[String], itemCol: String,
+      depth: Int, width: Int): DataFrame = {
+    val h = graft.functions.PortableHash.hash60 _
+    val tall = batch.select(keyCols.map(col) :+
+      posexplode(array((0 until depth).map(d =>
+        pmod(h(concat_ws("#", lit(d), col(itemCol))), lit(width.toLong))): _*))
+        .as(Seq("d", "bkt")): _*)
+    val grp = keyCols.map(col) ++ Seq(col("d"), col("bkt"))
+    val agg = tall.groupBy(grp: _*).agg(count(lit(1)).as("c"))
+    prev match {
+      case None    => agg
+      case Some(p) => p.unionByName(agg).groupBy(grp: _*)
+        .agg(sum(col("c")).as("c"))
+    }
+  }
+
+  /** Frequency estimates from a standing Count-Min counter table: for
+    * each probe row, `n_cm` = min over depths of the matching counter
+    * (0 when an item's bucket was never touched — CM's exact answer for
+    * a never-seen item under a non-colliding hash, and an overestimate
+    * like any other cell when it collides). The counter side is
+    * broadcast by contract (≤ keys × depth × width rows at any scale).
+    */
+  def cmStateEstimate(state: DataFrame, probes: DataFrame,
+      keyCols: Seq[String], itemCol: String,
+      depth: Int, width: Int): DataFrame = {
+    val h = graft.functions.PortableHash.hash60 _
+    val tall = probes.select((keyCols.map(col) :+ col(itemCol)) :+
+      posexplode(array((0 until depth).map(d =>
+        pmod(h(concat_ws("#", lit(d), col(itemCol))), lit(width.toLong))): _*))
+        .as(Seq("d", "bkt")): _*)
+    tall.join(broadcast(state), keyCols ++ Seq("d", "bkt"), "left")
+      .groupBy((keyCols.map(col) :+ col(itemCol)): _*)
+      .agg(min(coalesce(col("c"), lit(0L))).as("n_cm"))
+  }
+
   /** Serve quantiles from a standing sketch-state table: one bounded
     * aggregation over the key-count-sized state (one wire row per key →
     * m/cut/n_est/p50/p90), never touching raw history.

@@ -286,16 +286,48 @@ object Streams {
         graft.sources.Sinks
           .foldKllState(prev, batch, keyCols, hashCol, valueCol, cap)
           .write.mode("overwrite").parquet(s"$statePath/v$batchId")
-        // retention: drop all but this version and its predecessor
-        val p = new org.apache.hadoop.fs.Path(statePath)
-        val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
-        fs.listStatus(p).foreach { st =>
-          val n = st.getPath.getName
-          if (n.matches("v\\d+") && n.drop(1).toLong < batchId - 1)
-            fs.delete(st.getPath, true)
-        }
+        pruneStateVersions(spark, statePath, batchId)
         ()
       }
+
+  /** Streaming Count-Min maintenance — the frequency twin of
+    * [[quantileStateStream]], completing the live mergeable-sketch set
+    * (quantiles / frequencies; distinct counts fold the same way).
+    * Counters merge by addition, so fold(previous version, batch) is
+    * exactly the sketch of everything seen; the same deterministic
+    * versioned-snapshot protocol gives exactly-once from at-least-once
+    * with state bounded at keys × depth × width rows, 2 versions
+    * retained. Serve with [[graft.sources.Sinks.cmStateEstimate]].
+    */
+  def cmStateStream(rows: DataFrame, keyCols: Seq[String], itemCol: String,
+      statePath: String, depth: Int = 4, width: Int = 256)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    rows.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val spark = batch.sparkSession
+        val prev = latestKllVersion(spark, statePath, below = Some(batchId))
+          .map(v => spark.read.parquet(s"$statePath/v$v"))
+        graft.sources.Sinks
+          .foldCmState(prev, batch, keyCols, itemCol, depth, width)
+          .write.mode("overwrite").parquet(s"$statePath/v$batchId")
+        pruneStateVersions(spark, statePath, batchId)
+        ()
+      }
+
+  /** Retention for versioned state snapshots: keep the current version
+    * and its predecessor, drop everything older.
+    */
+  private def pruneStateVersions(spark: org.apache.spark.sql.SparkSession,
+      statePath: String, batchId: Long): Unit = {
+    val p = new org.apache.hadoop.fs.Path(statePath)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    fs.listStatus(p).foreach { st =>
+      val n = st.getPath.getName
+      if (n.matches("v\\d+") && n.drop(1).toLong < batchId - 1)
+        fs.delete(st.getPath, true)
+    }
+  }
 
   /** Latest COMMITTED state version under `statePath` (dirs `v<id>` with
     * a `_SUCCESS` marker), optionally restricted to ids strictly below

@@ -203,6 +203,65 @@ class Round16Spec extends SparkSpec {
     assert(refold == got, "replayed fold must be byte-identical")
   }
 
+  test("cm state stream: live counters == batch rebuild; estimates bounded; replay deterministic") {
+    import graft.sources.Sinks
+    import graft.streaming.Streams
+    import graft.streaming.Streams.Event
+    implicit val sqlCtx = spark.sqlContext
+    def ts(m: Int) = java.sql.Timestamp.valueOf(f"2025-01-01 11:${m % 60}%02d:00")
+    // skewed item stream: item = user_id % 10, user 0's item dominates
+    def prep(df: org.apache.spark.sql.DataFrame) = df.select(
+      col("event_type"), (col("user_id") % 10).as("item"))
+    val statePath = java.nio.file.Files.createTempDirectory("graft-cmss")
+      .toString + "/s"
+    val input = MemoryStream[Event]
+    val q = Streams.cmStateStream(prep(input.toDF()), Seq("event_type"),
+        "item", statePath, depth = 4, width = 64)
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("graft-cmss-ck").toString)
+      .start()
+    val feeds = (0 until 3).map { b =>
+      (1 to 150).map { i =>
+        val u = if (i % 3 == 0) 0L else (b * 1000 + i).toLong // skew item 0
+        Event(u, ts(b), if (i % 2 == 0) "view" else "click", i * 1.0)
+      }
+    }
+    feeds.foreach { f => input.addData(f: _*); q.processAllAvailable() }
+    q.stop()
+    val v = Streams.latestKllVersion(spark, statePath)
+    assert(v.contains(2L))
+    assert(new java.io.File(statePath).listFiles()
+      .count(_.getName.matches("v\\d+")) <= 2)
+    // live counters == one-shot fold over everything fed (merge law)
+    val allDf = prep(feeds.flatten.toDF())
+    val want = Sinks.foldCmState(None, allDf, Seq("event_type"), "item", 4, 64)
+      .as[(String, Int, Long, Long)].collect().toSet
+    val got = spark.read.parquet(s"$statePath/v${v.get}")
+      .as[(String, Int, Long, Long)].collect().toSet
+    assert(got == want, "stream-folded counters differ from batch rebuild")
+    // estimates: never under the exact count, and a never-seen item
+    // reads 0 unless its buckets collide (left join + coalesce path)
+    val exact = allDf.groupBy("event_type", "item").count()
+      .as[(String, Long, Long)].collect()
+      .map { case (k, i, n) => (k, i) -> n }.toMap
+    val probes = (exact.keys.toSeq :+ (("view", 99L))).toDF("event_type", "item")
+    val est = Sinks.cmStateEstimate(
+      spark.read.parquet(s"$statePath/v${v.get}"), probes,
+      Seq("event_type"), "item", 4, 64)
+      .as[(String, Long, Long)].collect()
+      .map { case (k, i, n) => (k, i) -> n }.toMap
+    exact.foreach { case (ki, n) =>
+      assert(est(ki) >= n, s"CM under-counted $ki: ${est(ki)} < $n")
+    }
+    // replay determinism: refold batch 2 from v1 reproduces v2 exactly
+    val refold = Sinks.foldCmState(
+      Streams.latestKllVersion(spark, statePath, below = Some(2L))
+        .map(j => spark.read.parquet(s"$statePath/v$j")),
+      prep(feeds(2).toDF()), Seq("event_type"), "item", 4, 64)
+      .as[(String, Int, Long, Long)].collect().toSet
+    assert(refold == got)
+  }
+
   test("cm frequency sketch: never under-counts, epsilon-tight on heavy keys") {
     val rs = Relational3.sketchCmFreq(sf).collect()
     assert(rs.length == 15, s"5 regions x top-3 probes, got ${rs.length}")
