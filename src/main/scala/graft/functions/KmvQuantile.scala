@@ -159,3 +159,25 @@ class KmvMerge(k: Int) extends Aggregator[KmvMergeIn, Vector[Long], Long] {
   override def bufferEncoder: Encoder[Vector[Long]] = Encoders.kryo[Vector[Long]]
   override def outputEncoder: Encoder[Long] = Encoders.scalaLong
 }
+
+/** State-preserving sketch-of-sketches: folds partial bottom-k arrays
+  * into the bottom-k of their UNION and finishes to the STATE array
+  * (sorted ascending) instead of the estimate — the fold step of the
+  * standing distinct-count state table
+  * ([[graft.sources.Sinks.foldKmvState]] /
+  * [[graft.streaming.Streams.kmvStateStream]]). The bottom-k of
+  * distinct hashes is a pure function of the hash SET, so the folded
+  * state is order-independent and the lossless-merge law
+  * merge(sketch(A), sketch(B)) = sketch(A ∪ B) holds exactly.
+  */
+class KmvMergeState(k: Int) extends Aggregator[KmvMergeIn, Vector[Long], Seq[Long]] {
+  override def zero: Vector[Long] = Vector.empty
+  override def reduce(b: Vector[Long], in: KmvMergeIn): Vector[Long] =
+    in.hs.foldLeft(b)(KmvOps.insert(k))
+  override def merge(a: Vector[Long], b: Vector[Long]): Vector[Long] =
+    b.foldLeft(a)(KmvOps.insert(k))
+  override def finish(b: Vector[Long]): Seq[Long] = b
+  override def bufferEncoder: Encoder[Vector[Long]] = Encoders.kryo[Vector[Long]]
+  override def outputEncoder: Encoder[Seq[Long]] =
+    org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Long]]()
+}

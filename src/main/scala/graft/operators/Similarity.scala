@@ -923,11 +923,17 @@ object Similarity {
     * expand-neighbours → exact-cosine score → keep the best
     * [[SearchBeam]] per query, finishing with the top-[[SearchK]] cut.
     *
-    * Spark shape per round: one join of the beam against the graph
-    * adjacency (candidate-keyed — work is queries × beam × degree,
-    * never queries × corpus), a distinct, one score join against the
-    * base vectors, and the bounded-state [[graft.plans.TopKPerKey]]
-    * beam cut; each round's beam pins via localCheckpoint. Unlike
+    * Spark shape per round: the id-only beam frontier (≤ queries ×
+    * [[SearchBeam]] pairs of longs — broadcast by construction)
+    * broadcast-joins the graph adjacency and then the base vectors, so
+    * neither corpus-sized relation is re-shuffled across rounds (work
+    * is queries × beam × degree, never queries × corpus); the
+    * expansion is NOT pre-distinct'd — a candidate reachable from
+    * several frontier nodes scores ≤ [[SearchBeam]] duplicate rows
+    * (cheap codegen'd dot products) that the dedup-max groupBy folds
+    * map-side, which beats a whole extra shuffle per round; then the
+    * bounded-state [[graft.plans.TopKPerKey]] beam cut; each round's
+    * beam pins via localCheckpoint. Unlike
     * [[lshTopK]] (probe buckets) and [[ivfTopK]] (probe cells), the
     * candidate set ADAPTS to what the query has already seen — the
     * property that makes graph indexes the recall/latency frontier.
@@ -951,27 +957,36 @@ object Similarity {
       return Seq.empty[(Long, Long, Double, Int)]
         .toDF("vec_id", "nb_id", "cosine", "nn_rank")
     val entryId = entryRow.getLong(0)
+    // base membership is the deterministic hash split, so it filters as
+    // a PREDICATE pushed through the LSH bucket join (both endpoints),
+    // instead of two corpus-sized membership joins AFTER scoring —
+    // non-base pairs are never even scored
     val graph = topKUnsorted(
       lshCandidates(t)
-        .join(base.select(col("vec_id")), Seq("vec_id"))
-        .join(base.select(col("vec_id").as("nb_id")), Seq("nb_id")))
+        .where(Sampling.unitHash(col("vec_id")) < SearchBaseFrac &&
+          Sampling.unitHash(col("nb_id")) < SearchBaseFrac))
       .select(col("vec_id").as("u"), col("nb_id").as("nb"))
       .localCheckpoint(true)
-    def score(cands: DataFrame): DataFrame = cands
-      .join(queries, Seq("vec_id"))
-      .join(base.select(col("vec_id").as("cand"), col("v").as("nv"),
-        col("nrm").as("nn")), Seq("cand"))
-      .select(col("vec_id"), col("cand"),
-        (graft.functions.DotProduct(col("qv"), col("nv")) /
-          (col("qn") * col("nn"))).as("cosine"))
+    // id pairs broadcast into the base join (queries × beam × degree
+    // longs); the queries join is left to AQE — both of its sides are
+    // query-count-bounded, so a shuffle join is the correct shape when
+    // the query set itself is large
+    def score(cands: DataFrame): DataFrame =
+      base.select(col("vec_id").as("cand"), col("v").as("nv"),
+        col("nrm").as("nn"))
+        .join(broadcast(cands), Seq("cand"))
+        .join(queries, Seq("vec_id"))
+        .select(col("vec_id"), col("cand"),
+          (graft.functions.DotProduct(col("qv"), col("nv")) /
+            (col("qn") * col("nn"))).as("cosine"))
     var beam = score(
       queries.select(col("vec_id")).withColumn("cand", lit(entryId)))
       .localCheckpoint(true)
     for (_ <- 1 to SearchRounds) {
-      val expanded = beam.select(col("vec_id"), col("cand"))
-        .join(graph, col("cand") === col("u"))
+      val expanded = graph
+        .join(broadcast(beam.select(col("vec_id"), col("cand"))),
+          col("cand") === col("u"))
         .select(col("vec_id"), col("nb").as("cand"))
-        .distinct()
       // beam ∪ expansion dedups by MAX (identical cosines — the dot
       // fold is deterministic per pair), then the heap cut keeps the
       // per-query state bounded at SearchBeam rows
@@ -1424,36 +1439,49 @@ object Similarity {
     * cover the corpus's extremes instead of oversampling its dominant
     * mode (contrast [[diverseSample]], which quotas k-means cells).
     *
-    * Per round: ONE corpus pass — a broadcast join against the ≤
-    * [[KCenters]] chosen vectors, a min-fold per point (MIN of doubles,
-    * order-free), and a distributed argmax cut (TakeOrdered 1, ties →
-    * smallest vec_id). Driver state is the chosen-id list (bounded
-    * model, the k-means convention); k passes IS the algorithm, each
-    * shuffle-free. Distances are the shared squared-L2 dot form on the
-    * codegen [[graft.functions.DotProduct]] fold, bit-identical to the
-    * oracle's list_dot_product chain.
+    * Per round: ONE pass over a shared narrow cached projection
+    * (vec_id, v, hoisted self-dot — computed once, not per
+    * (point, center) pair per round). The ≤ [[KCenters]] chosen
+    * vectors ride in the plan as literal arrays (the
+    * assignCells/silhouette bounded-model pattern), so the per-point
+    * min-fold is an in-row LEAST over codegen'd dot products — no
+    * join, no shuffle; the round ends in a distributed argmax cut
+    * (TakeOrdered 1, ties → smallest vec_id). Driver state is the
+    * chosen list (bounded model, the k-means convention); k passes IS
+    * the algorithm. Distances are the shared squared-L2 dot form on
+    * the codegen [[graft.functions.DotProduct]] fold; the driver-side
+    * self-dot of a chosen vector uses the identical left-to-right
+    * fold, so values stay bit-identical to the oracle's
+    * list_dot_product chain.
     */
   def kcenterSample(t: Tables): DataFrame = {
     import graft.functions.DotProduct
     val spark = t.spark
     import spark.implicits._
-    val vecs = vectors(t).cache()
+    val vecs = vectors(t)
+      .select(col("vec_id"), col("v"),
+        DotProduct(col("v"), col("v")).as("vv"))
+      .cache()
     var chosen = Vector((1, 0L, 0.0)) // (rank, vec_id, dist at selection)
+    var chosenVecs = Vector(
+      vecs.where(col("vec_id") === 0L).select(col("v"))
+        .head().getSeq[Double](0))
     for (rank <- 2 to KCenters) {
       val ids = chosen.map(_._2)
-      val ch = vecs.where(col("vec_id").isin(ids: _*))
-        .select(col("vec_id").as("c_id"), col("v").as("cv"))
+      val dists = chosenVecs.map { cv =>
+        // driver-side cc = DotProduct(cv, cv): Seq.sum is the same
+        // left-to-right 0.0-seeded fold as the codegen expression
+        val cc = cv.map(x => x * x).sum
+        col("vv") - lit(2.0) * DotProduct(typedLit(cv), col("v")) + lit(cc)
+      }
+      val md = if (dists.size == 1) dists.head else least(dists: _*)
       val next = vecs
         .where(!col("vec_id").isin(ids: _*))
-        .crossJoin(broadcast(ch))
-        .select(col("vec_id"),
-          (DotProduct(col("v"), col("v")) -
-            lit(2.0) * DotProduct(col("cv"), col("v")) +
-            DotProduct(col("cv"), col("cv"))).as("d"))
-        .groupBy("vec_id").agg(min(col("d")).as("md"))
+        .select(col("vec_id"), md.as("md"), col("v"))
         .orderBy(col("md").desc, col("vec_id"))
         .limit(1).collect()(0)
       chosen = chosen :+ ((rank, next.getLong(0), next.getDouble(1)))
+      chosenVecs = chosenVecs :+ next.getSeq[Double](2)
     }
     vecs.unpersist(false)
     chosen.toDF("rank", "vec_id", "dist_to_set").orderBy("rank")

@@ -76,20 +76,87 @@ object Tokenizer {
     val base = vocab(t).coalesce(8).cache()
     var words: DataFrame = base
     val merges = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, String, Long)]
+    def applyMerge(l: String, r: String): Unit =
+      // leftmost non-overlapping merge application — a narrow
+      // projection stacked on the cached vocab (no shuffle); symbols
+      // are [a-z]+ so literal embedding in the expression is safe
+      words = words.withColumn("w",
+        expr(s"trim(replace(concat(' ', w, ' '), ' $l $r ', ' $l$r '))"))
+    // Several merges per SCAN where provably sound (the scan —
+    // pairCounts over the vocabulary — is the round's whole cost, so
+    // each extra sound pick removes one full round). One scan ranks
+    // pairs (cnt DESC, pair ASC); we then select a CONSECUTIVE prefix
+    // of rows greedily, P1, S2, S3, … — row S_j is the true round-j
+    // winner, with its recorded frequency exact, iff:
+    //  (1) S_j shares no symbol (by string) with any previously
+    //      selected pair — then those merges destroy no S_j-adjacency
+    //      and create none (created adjacencies all involve the new
+    //      concatenated symbols), so cnt(S_j) at round j EQUALS its
+    //      round-1 count;
+    //  (2) every collected row that could spawn a new merged-symbol
+    //      pair — an (x, l_i) row feeding (x, l_i r_i) or an (r_i, y)
+    //      row feeding (l_i r_i, y), for ANY previously selected pair
+    //      i; every new-pair instance (cascades included: a chain like
+    //      (l1r1, l2r2) maps back through (r1, l2)) maps injectively
+    //      onto such an old adjacency, so new counts are bounded by
+    //      those rows — counts strictly BELOW cnt(S_j), so no created
+    //      pair can tie or beat S_j under the round-j ordering (for a
+    //      doubled pair (a, a) the row matches its own pattern and
+    //      blocks further picks, which also covers (aa, aa) chains);
+    //  (3) the collected prefix provably contains every row with
+    //      cnt ≥ cnt(S_j) — the last collected row is below it — so
+    //      (2) was checked against the complete candidate set;
+    //  (4) every symbol created earlier in this scan is a FRESH string:
+    //      if some l_i+r_i collides with a symbol any earlier rank
+    //      already created, that replace pours new instances into
+    //      EXISTING (·, l_i r_i)/(l_i r_i, ·) pairs, whose counts could
+    //      then exceed cnt(S_j) without any collected row revealing it
+    //      (count + gain can top the prefix even when both parts sit
+    //      below it) — a collision ends the scan's selection, never
+    //      the merge itself.
+    // Existing unselected pairs can only lose instances to the scan's
+    // merges, and any count-tie at cnt(S_j) already lost the pair-ASC
+    // tie-break in round 1 (it would otherwise BE an earlier selected
+    // row), so S_j wins round j exactly.
+    val ScanDepth = 32
     var exhausted = false
-    for (rank <- 1 to BpeMerges if !exhausted) {
-      val best = pairCounts(words).orderBy(col("cnt").desc, col("pair")).head(1)
-      if (best.isEmpty) exhausted = true // corpus too small for more merges
+    var rank = 1
+    while (rank <= BpeMerges && !exhausted) {
+      val top = pairCounts(words)
+        .orderBy(col("cnt").desc, col("pair")).head(ScanDepth)
+      if (top.isEmpty) exhausted = true // corpus too small for more merges
       else {
-        val pair = best(0).getString(0)
-        val cnt = best(0).getLong(1)
-        val Array(l, r) = pair.split(" ", 2)
-        merges += ((rank, l, r, l + r, cnt))
-        // leftmost non-overlapping merge application — a narrow
-        // projection stacked on the cached vocab (no shuffle); symbols
-        // are [a-z]+ so literal embedding in the expression is safe
-        words = words.withColumn("w",
-          expr(s"trim(replace(concat(' ', w, ' '), ' $l $r ', ' $l$r '))"))
+        var selected = List.empty[(String, String)] // this scan's picks
+        var idx = 0
+        var continue = true
+        while (continue && rank <= BpeMerges && idx < top.length) {
+          val cnt = top(idx).getLong(1)
+          val Array(l, r) = top(idx).getString(0).split(" ", 2)
+          val sound = selected.isEmpty || {
+            val syms = selected.flatMap { case (a, b) => Seq(a, b) }.toSet
+            val disjoint = !syms(l) && !syms(r)
+            val prefixComplete =
+              top.length < ScanDepth || top.last.getLong(1) < cnt
+            val noNewPairThreat = !top.exists { q =>
+              val Array(x, y) = q.getString(0).split(" ", 2)
+              q.getLong(1) >= cnt &&
+                selected.exists { case (li, ri) => y == li || x == ri }
+            }
+            disjoint && prefixComplete && noNewPairThreat
+          }
+          if (sound) {
+            val fresh = !merges.exists(_._4 == l + r) // condition (4)
+            merges += ((rank, l, r, l + r, cnt))
+            applyMerge(l, r)
+            rank += 1
+            idx += 1
+            selected ::= ((l, r))
+            if (!fresh) continue = false
+          } else continue = false
+        }
+        // pin the post-scan state: each scan then reads a materialized
+        // vocabulary instead of re-executing the whole replace stack
+        words = words.localCheckpoint(true)
       }
     }
     base.unpersist(false)

@@ -330,7 +330,10 @@ object Sinks {
     * (0 when an item's bucket was never touched — CM's exact answer for
     * a never-seen item under a non-colliding hash, and an overestimate
     * like any other cell when it collides). The counter side is
-    * broadcast by contract (≤ keys × depth × width rows at any scale).
+    * keys × depth × width rows — state-sized, never history-sized —
+    * but that bound grows with group-key cardinality, so the broadcast
+    * is CHECKED, not assumed: above [[CmBroadcastMaxRows]] the join
+    * falls back to a shuffle instead of OOMing the driver.
     */
   def cmStateEstimate(state: DataFrame, probes: DataFrame,
       keyCols: Seq[String], itemCol: String,
@@ -340,9 +343,71 @@ object Sinks {
       posexplode(array((0 until depth).map(d =>
         pmod(h(concat_ws("#", lit(d), col(itemCol))), lit(width.toLong))): _*))
         .as(Seq("d", "bkt")): _*)
-    tall.join(broadcast(state), keyCols ++ Seq("d", "bkt"), "left")
+    tall.join(maybeBroadcast(state), keyCols ++ Seq("d", "bkt"), "left")
       .groupBy((keyCols.map(col) :+ col(itemCol)): _*)
       .agg(min(coalesce(col("c"), lit(0L))).as("n_cm"))
+  }
+
+  /** Counter tables above this row count are joined with a shuffle
+    * instead of a broadcast: the "bounded by contract" grid is
+    * keys × depth × width, which grows linearly with group-key
+    * cardinality — a high-cardinality caller must not OOM the driver
+    * on an unchecked broadcast (r16 ADVICE).
+    */
+  private[graft] val CmBroadcastMaxRows = 1000000L
+
+  /** Broadcast when the contract bound actually holds, checked against
+    * the data: one count over the (state-sized, never history-sized)
+    * counter table decides. Above [[CmBroadcastMaxRows]] the join
+    * degrades gracefully to a shuffle instead of a driver OOM.
+    */
+  private def maybeBroadcast(state: DataFrame): DataFrame =
+    if (state.count() <= CmBroadcastMaxRows) broadcast(state) else state
+
+  /** KMV (bottom-k distinct hashes) fold, shared by the batch and
+    * streaming state paths — the distinct-count member of the mergeable
+    * sketch trio (quantiles [[foldKllState]] / frequencies
+    * [[foldCmState]] / distincts here). Batch rows hash per item and
+    * sketch per key ([[graft.functions.KmvSketch]]); the previous
+    * state's arrays union in through the state-preserving merge
+    * ([[graft.functions.KmvMergeState]]). The bottom-k of distinct
+    * hashes is a pure function of the hash SET, so
+    * fold(state, sketch(batch)) EQUALS sketch(history ∪ batch)
+    * hash-exactly, and the fold is insensitive to replay of rows
+    * already absorbed (set semantics — the property that makes the
+    * versioned-snapshot replay protocol exact for it). Output schema:
+    * keyCols + `kmv` (sorted array<bigint>, ≤ k entries per key).
+    */
+  private[graft] def foldKmvState(prev: Option[DataFrame], batch: DataFrame,
+      keyCols: Seq[String], itemCol: String, k: Int): DataFrame = {
+    val h = graft.functions.PortableHash.hash60 _
+    val partial = udaf(new graft.functions.KmvSketch(k),
+      org.apache.spark.sql.Encoders.product[graft.functions.KmvIn])
+    val fold = udaf(new graft.functions.KmvMergeState(k),
+      org.apache.spark.sql.Encoders.product[graft.functions.KmvMergeIn])
+    val batchAgg = batch.groupBy(keyCols.map(col): _*)
+      .agg(partial(h(col(itemCol))).as("kmv"))
+    prev match {
+      case None => batchAgg
+      case Some(p) => p.unionByName(batchAgg)
+        .groupBy(keyCols.map(col): _*)
+        .agg(fold(col("kmv")).as("kmv"))
+    }
+  }
+
+  /** Serve distinct-count estimates from a standing KMV state table:
+    * one bounded aggregation over the key-count-sized state (one wire
+    * row per key → `n_distinct_est`), never touching raw history. Uses
+    * the same [[graft.functions.KmvOps.estimate]] finish as the batch
+    * rollups, so a live dashboard and a from-scratch rebuild serve the
+    * identical number.
+    */
+  def kmvStateDistinct(state: DataFrame, keyCols: Seq[String],
+      k: Int): DataFrame = {
+    val finishAgg = udaf(new graft.functions.KmvMerge(k),
+      org.apache.spark.sql.Encoders.product[graft.functions.KmvMergeIn])
+    state.groupBy(keyCols.map(col): _*)
+      .agg(finishAgg(col("kmv")).as("n_distinct_est"))
   }
 
   /** Serve quantiles from a standing sketch-state table: one bounded
@@ -681,9 +746,25 @@ object Sinks {
     *     `c<gen>/_pending_delete`, so a crash anywhere resumes cleanup
     *     on the next call instead of stranding or double-reading data.
     * A reader that PLANNED against the old manifest and is still reading
-    * folded files when step 4 deletes them must retry — the same
-    * documented race as [[compact]]; production would age the deletes
-    * behind a retention window.
+    * folded files when step 4 deletes them must retry — UNLESS the
+    * caller sets `minAgeBeforeDeleteMs`: folded dirs then stay on disk
+    * (unreferenced by any zone row) and are physically deleted only by a
+    * LATER call once the fold is older than the window, so any reader
+    * whose plan+scan fits inside the window completes across folds. A
+    * deferred generation that itself gets folded has its pending list
+    * ADOPTED by the new generation's `_pending_delete` (and garbage
+    * collection skips dirs referenced by a live pending list), so
+    * nothing is stranded however folds and retention interleave.
+    *
+    * Swap-race guard: a live [[graft.streaming.Streams
+    * .manifestAppendStream]] micro-batch that recreates `_manifest`
+    * between the two swap renames would, under HDFS rename semantics,
+    * swallow `_manifest_next` INTO the recreated dir. The swap therefore
+    * re-checks for a recreated `_manifest` immediately before the second
+    * rename — merging any fresh entries into `_manifest_next` — and
+    * afterwards detects-and-unwinds the nested-dir outcome, so the race
+    * converges to the merged manifest on both local-FS and HDFS
+    * semantics.
     *
     * Returns (manifest entries before, after). No-op (and safe to call
     * on any schedule) when fewer than two entries are foldable.
@@ -692,7 +773,9 @@ object Sinks {
       spark: org.apache.spark.sql.SparkSession, path: String,
       targetFileBytes: Long, keepLastBatches: Int = 0,
       beforeManifestSwap: () => Unit = () => (),
-      beforeCleanup: () => Unit = () => ()): (Int, Int) = {
+      beforeCleanup: () => Unit = () => (),
+      betweenSwapRenames: () => Unit = () => (),
+      minAgeBeforeDeleteMs: Long = 0L): (Int, Int) = {
     import org.apache.hadoop.fs.{FileUtil, Path}
     val conf = spark.sessionState.newHadoopConf()
     val root = new Path(path)
@@ -740,13 +823,31 @@ object Sinks {
       fs.delete(manifestPrev, true)
     }
     // pending deletes: a c<gen> dir listed in the manifest whose
-    // _pending_delete survives is a post-swap crash — finish cleanup;
-    // one NOT in the manifest is pre-swap staging garbage — drop it all
+    // _pending_delete survives is either a post-swap crash (age 0) or a
+    // fold deliberately deferred behind the retention window — finish
+    // cleanup once AGED. One NOT in the manifest is pre-swap staging
+    // garbage — drop it all — UNLESS a live generation's pending list
+    // references it (a deferred fold that was itself folded: its
+    // deletion belongs to the adopting generation's clock).
+    val adoptedByLive = pendingFolds.collect {
+      case (gen, fold) if liveEntries0.contains(gen) => fold
+    }.flatten.toSet
     pendingFolds.foreach { case (gen, fold) =>
+      val marker = new Path(root, s"$gen/_pending_delete")
       if (liveEntries0.contains(gen)) {
-        fold.foreach(n => fs.delete(new Path(root, n), true))
-        fs.delete(new Path(root, s"$gen/_pending_delete"), false)
-      } else fs.delete(new Path(root, gen), true)
+        val aged = minAgeBeforeDeleteMs <= 0L ||
+          System.currentTimeMillis() -
+            fs.getFileStatus(marker).getModificationTime >= minAgeBeforeDeleteMs
+        if (aged) {
+          // never delete a name the LIVE manifest references: a stream
+          // restarted with a fresh checkpoint reuses b<id> names, and a
+          // deferred delete must not take out its re-committed data
+          fold.filterNot(liveEntries0.contains)
+            .foreach(n => fs.delete(new Path(root, n), true))
+          fs.delete(marker, false)
+        }
+      } else if (!adoptedByLive.contains(gen))
+        fs.delete(new Path(root, gen), true)
     }
     fs.delete(staging, true)
     // ---- snapshot: what to fold ----
@@ -783,13 +884,27 @@ object Sinks {
     spark.read.parquet(s"$path/_staging/$genName")
       .groupBy(regexp_replace(input_file_name(), "/_staging/", "/").as("file"))
       .agg(aggs.head, aggs.tail: _*)
+      // fold provenance: `src` names the generation, `folded_from` its
+      // constituent entries — [[graft.streaming.Streams
+      // .prunedReadStream]] fences on it (a tail that already delivered
+      // every constituent skips the rewrite instead of re-delivering)
+      .withColumn("src", lit(genName))
+      .withColumn("folded_from", typedLit(folded))
       .coalesce(1)
       .write.mode("overwrite").json(s"$path/_staging/zones$gen")
     // record the fold set INSIDE the staged dir (underscore file —
     // invisible to parquet readers), then make the data visible; it is
-    // still unreferenced by any zone row, so pruned reads are unchanged
+    // still unreferenced by any zone row, so pruned reads are unchanged.
+    // A folded generation whose own deferred pending list still exists
+    // is ADOPTED here: its listed dirs transfer to this generation's
+    // clock, so retention-deferred deletes survive any fold cadence.
+    val adoptedPending = folded.flatMap { n =>
+      val m = new Path(root, s"$n/_pending_delete")
+      if (fs.exists(m)) readLines(m) else Nil
+    }
+    val pendingList = (folded ++ adoptedPending).distinct
     val pendOut = fs.create(new Path(staging, s"$genName/_pending_delete"), true)
-    try pendOut.write(folded.mkString("", "\n", "\n").getBytes("UTF-8"))
+    try pendOut.write(pendingList.mkString("", "\n", "\n").getBytes("UTF-8"))
     finally pendOut.close()
     require(fs.rename(new Path(staging, genName), new Path(root, genName)),
       s"compactManifestTable: could not move $genName into place")
@@ -808,8 +923,44 @@ object Sinks {
     // ---- swap ----
     require(fs.rename(manifest, manifestPrev),
       s"compactManifestTable: could not stage out $manifest")
+    betweenSwapRenames()
+    // swap-race guard (r16 ADVICE): a live appender's micro-batch may
+    // have RECREATED _manifest in the swap window. Merge its fresh
+    // entries into _manifest_next and clear the dir before renaming —
+    // under HDFS rename semantics an existing destination dir would
+    // otherwise swallow _manifest_next as a nested child, silently
+    // hiding the new generation while cleanup deletes its data.
+    var guard = 0
+    while (fs.exists(manifest) && guard < 16) {
+      children(manifest).foreach { st =>
+        val name = st.getPath.getName
+        if (!fs.exists(new Path(manifestNext, name)))
+          require(fs.rename(st.getPath, new Path(manifestNext, name)),
+            s"compactManifestTable: could not merge racing entry $name")
+        else fs.delete(st.getPath, true)
+      }
+      // non-recursive on purpose: an entry committed between the
+      // listing and this delete makes it fail, and the loop re-merges —
+      // a recursive delete would silently destroy that entry's zones
+      fs.delete(manifest, false)
+      guard += 1
+    }
     require(fs.rename(manifestNext, manifest),
       s"compactManifestTable: could not swap in $manifestNext")
+    // belt-and-braces for the unavoidable TOCTOU tail of the guard
+    // above: if a recreate slipped in between the final delete and the
+    // rename on an HDFS-semantics store, the rename nested the staged
+    // tree — detect and unwind by lifting its children up
+    val nested = new Path(manifest, "_manifest_next")
+    if (fs.exists(nested)) {
+      children(nested).foreach { st =>
+        val name = st.getPath.getName
+        if (!fs.exists(new Path(manifest, name)))
+          require(fs.rename(st.getPath, new Path(manifest, name)),
+            s"compactManifestTable: could not unnest $name")
+      }
+      fs.delete(nested, true)
+    }
     // reconcile: a micro-batch that committed zones between the copy
     // above and the swap lives only in the staged-out tree — carry it
     children(manifestPrev).foreach { st =>
@@ -820,9 +971,16 @@ object Sinks {
     }
     fs.delete(manifestPrev, true)
     beforeCleanup()
-    // ---- cleanup: drop the folded data dirs ----
-    folded.foreach(n => fs.delete(new Path(root, n), true))
-    fs.delete(new Path(root, s"$genName/_pending_delete"), false)
+    // ---- cleanup: drop the folded data dirs (deferred behind the
+    // retention window when one is set — a later, aged call deletes).
+    // Same live-name guard as recovery: an entry merged back in by the
+    // swap-race path (or a fresh-checkpoint restart) must survive.
+    if (minAgeBeforeDeleteMs <= 0L) {
+      val liveNow = children(manifest).map(_.getPath.getName).toSet
+      pendingList.filterNot(liveNow.contains)
+        .foreach(n => fs.delete(new Path(root, n), true))
+      fs.delete(new Path(root, s"$genName/_pending_delete"), false)
+    }
     fs.delete(staging, true)
     (entries.size, children(manifest).size)
   }

@@ -197,6 +197,11 @@ object Streams {
           spark.read.parquet(dataDir)
             .groupBy(input_file_name().as("file"))
             .agg(aggs.head, aggs.tail: _*)
+            // provenance stamp: which manifest entry these zones belong
+            // to — the fencing key [[prunedReadStream]]'s delivered
+            // ledger records (compaction stamps its fold output with
+            // `folded_from` so a tail can tell rewrite from new data)
+            .withColumn("src", lit(s"b$batchId"))
             .coalesce(1) // zone rows: one tiny JSON file per batch
             .write.mode("overwrite").json(s"$path/_manifest/b$batchId")
           ()
@@ -218,22 +223,47 @@ object Streams {
     * .readPruned]] contract, tailed). Output lands in idempotent
     * per-batch dirs (the [[quarantineStream]] replay convention).
     *
-    * Scope: tails the APPEND phase of a table. A
-    * [[graft.sources.Sinks.compactManifestTable]] fold REWRITES zone
-    * rows (new `c<gen>` manifest entry), which this tail would see as
-    * new files and re-deliver — run folds when the table's live tails
-    * are drained, or dedupe downstream on a row key; exactly-once holds
-    * between folds.
+    * Fold fencing: a [[graft.sources.Sinks.compactManifestTable]] fold
+    * REWRITES zone rows (new `c<gen>` manifest entry), which the tail's
+    * file source sees as new files. Fold zones carry provenance
+    * (`src` = generation name, `folded_from` = constituent entries),
+    * and the tail keeps a metadata-sized delivered LEDGER
+    * (`<outPath>/_delivered/<batchId>`, written idempotently per
+    * micro-batch): a fold entry whose constituents were ALL already
+    * delivered (transitively — skipping records the fold's own name
+    * too, so folds-of-folds fence correctly) is SKIPPED, so the
+    * fold/tail pair composes without drain choreography and
+    * exactly-once holds across folds for a caught-up tail. A fold that
+    * lands while the tail is MID-TABLE (some constituents undelivered)
+    * is delivered whole — at-least-once for the already-seen part;
+    * dedupe downstream on a row key if tails may lag folds. A fresh
+    * tail (empty ledger) delivers fold entries like any other data.
+    *
+    * Fixed-schema contract: zone and data schemas are pinned ONCE at
+    * stream construction from the standing table (the seam requires
+    * ≥1 committed batch — a tail needs a table to tail). Columns added
+    * by later micro-batches are not picked up for the lifetime of the
+    * stream — restart the tail to adopt a widened schema. (The fencing
+    * columns are force-added to the pin, so fencing works even when the
+    * tailed table has never been folded.)
     */
   def prunedReadStream(spark: org.apache.spark.sql.SparkSession,
       path: String, statCol: String,
       lo: org.apache.spark.sql.Column, hi: org.apache.spark.sql.Column,
       outPath: String)
       : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
-    // static schemas for the stream, pinned from the standing table (the
-    // seam requires >=1 committed batch — a tail needs a table to tail)
-    val zoneSchema = spark.read.option("recursiveFileLookup", "true")
+    import org.apache.spark.sql.types.{ArrayType, StringType, StructType}
+    val standing = spark.read.option("recursiveFileLookup", "true")
       .json(s"$path/_manifest").schema
+    // pin the fencing columns even if this table has never folded (and
+    // so its standing zones lack them): the first fold after stream
+    // start must still be fenceable
+    val zoneSchema = Seq(
+      "src" -> StringType.asInstanceOf[org.apache.spark.sql.types.DataType],
+      "folded_from" -> ArrayType(StringType))
+      .foldLeft(standing) { case (s, (n, t)) =>
+        if (s.fieldNames.contains(n)) s else s.add(n, t, nullable = true)
+      }
     val dataSchema = spark.read.option("recursiveFileLookup", "true")
       .parquet(path).schema
     spark.readStream
@@ -243,14 +273,47 @@ object Streams {
       .writeStream
       .outputMode("append")
       .foreachBatch { (zones: DataFrame, batchId: Long) =>
-        val keep = zones
+        val ss = zones.sparkSession
+        val ledgerDir = new org.apache.hadoop.fs.Path(s"$outPath/_delivered")
+        val fs = ledgerDir.getFileSystem(ss.sessionState.newHadoopConf())
+        def readLedger(): Set[String] =
+          if (!fs.exists(ledgerDir)) Set.empty
+          else fs.listStatus(ledgerDir).toSeq.flatMap { st =>
+            val in = fs.open(st.getPath)
+            try scala.io.Source.fromInputStream(in, "UTF-8").getLines().toList
+            finally in.close()
+          }.toSet
+        val delivered = readLedger()
+        // fence: fold entries whose constituents this tail already has
+        val foldHeads = zones.where(col("folded_from").isNotNull)
+          .select(col("src"), col("folded_from")).distinct().collect()
+          .map(r => r.getString(0) -> r.getSeq[String](1))
+        val skip = foldHeads.collect {
+          case (s, from) if from.nonEmpty && from.forall(delivered) => s
+        }.toSet
+        val act = zones.where(
+          !coalesce(col("src"), lit("")).isin(skip.toSeq: _*))
+        val keep = act
           .where(col(s"max_$statCol") >= lo && col(s"min_$statCol") <= hi)
           .select("file").distinct().collect().map(_.getString(0))
         if (keep.nonEmpty) {
-          zones.sparkSession.read.schema(dataSchema)
+          ss.read.schema(dataSchema)
             .parquet(keep.toIndexedSeq: _*)
             .where(col(statCol) >= lo && col(statCol) <= hi)
             .write.mode("overwrite").parquet(s"$outPath/batch_id=$batchId")
+        }
+        // ledger append (idempotent per batch id, like the data dirs):
+        // every src this batch delivered OR skipped counts as delivered,
+        // and a delivered fold implies its constituents
+        val seen = zones.where(col("src").isNotNull)
+          .select("src").distinct().collect().map(_.getString(0)).toSet ++
+          foldHeads.collect { case (s, from) if !skip(s) => from }.flatten
+        if (seen.nonEmpty) {
+          val out = fs.create(
+            new org.apache.hadoop.fs.Path(ledgerDir, batchId.toString), true)
+          try out.write(seen.toSeq.sorted.mkString("", "\n", "\n")
+            .getBytes("UTF-8"))
+          finally out.close()
         }
         ()
       }
@@ -310,6 +373,34 @@ object Streams {
           .map(v => spark.read.parquet(s"$statePath/v$v"))
         graft.sources.Sinks
           .foldCmState(prev, batch, keyCols, itemCol, depth, width)
+          .write.mode("overwrite").parquet(s"$statePath/v$batchId")
+        pruneStateVersions(spark, statePath, batchId)
+        ()
+      }
+
+  /** Streaming KMV distinct-count maintenance — completes the live
+    * mergeable-sketch trio (quantiles [[quantileStateStream]] /
+    * frequencies [[cmStateStream]] / distincts here). Bottom-k distinct
+    * hashes merge by set-union-and-recut
+    * ([[graft.sources.Sinks.foldKmvState]]), so fold(previous version,
+    * batch) is exactly the sketch of everything seen; the same
+    * deterministic versioned-snapshot protocol gives exactly-once from
+    * at-least-once — for KMV even duplicated ROWS are absorbed (set
+    * semantics), the replay guard matters for batch ATTRIBUTION only —
+    * with state bounded at keys × k hashes, 2 versions retained. Serve
+    * with [[graft.sources.Sinks.kmvStateDistinct]].
+    */
+  def kmvStateStream(rows: DataFrame, keyCols: Seq[String], itemCol: String,
+      statePath: String, k: Int = 64)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    rows.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val spark = batch.sparkSession
+        val prev = latestKllVersion(spark, statePath, below = Some(batchId))
+          .map(v => spark.read.parquet(s"$statePath/v$v"))
+        graft.sources.Sinks
+          .foldKmvState(prev, batch, keyCols, itemCol, k)
           .write.mode("overwrite").parquet(s"$statePath/v$batchId")
         pruneStateVersions(spark, statePath, batchId)
         ()

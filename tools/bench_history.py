@@ -2,8 +2,16 @@
 """Append a round's per-query bench numbers to tools/bench_history.csv.
 
 Makes regression adjudication a diff instead of an archaeology dig:
-each row is (round, query, median_sec, min_sec). Sources:
-  - BENCH_DETAIL.json (full per-query median + min maps), or
+each row is (round, query, median_sec, min_sec, calib_sec, median_wu,
+min_wu). The *_wu columns are WORK UNITS — seconds divided by the
+round's own calibration job — which cancel the host factor: a fresh VM
+shifts every row's seconds but not its work units, so the requeue
+thresholds built from this history stay comparable across hosts
+(r17 fix; pre-r17 rows may carry empty wu columns and the bench then
+falls back to the seconds rule for those queries).
+
+Sources:
+  - BENCH_DETAIL.json (full per-query median + min maps + calib_sec), or
   - BENCH_rNN.json driver snapshots (slowest-64 medians only; min
     column left empty when the round predates minima collection).
 
@@ -15,6 +23,9 @@ import json
 import os
 import sys
 
+COLS = ["round", "query", "median_sec", "min_sec", "calib_sec",
+        "median_wu", "min_wu"]
+
 
 def rows_from(round_tag: str, path: str):
     with open(path) as f:
@@ -23,9 +34,13 @@ def rows_from(round_tag: str, path: str):
         d = d["parsed"]
     meds = d.get("queries", {})
     mins = d.get("queries_min", {})
+    calib = d.get("calib_sec")
     for q in sorted(meds):
+        med_wu = f"{meds[q] / calib:.3f}" if calib else ""
+        min_wu = f"{mins[q] / calib:.3f}" if calib and q in mins else ""
         yield [round_tag, q, f"{meds[q]:.3f}",
-               f"{mins[q]:.3f}" if q in mins else ""]
+               f"{mins[q]:.3f}" if q in mins else "",
+               f"{calib:.3f}" if calib else "", med_wu, min_wu]
 
 
 def main():
@@ -42,7 +57,7 @@ def main():
     new = list(rows_from(round_tag, path))
     with open(csv_path, "w", newline="") as f:
         w = csv.writer(f)
-        w.writerow(["round", "query", "median_sec", "min_sec"])
+        w.writerow(COLS)
         w.writerows(existing)
         w.writerows(new)
     print(f"{csv_path}: {len(existing)} kept, {len(new)} added for {round_tag}")
