@@ -238,6 +238,11 @@ object Streams {
     * is delivered whole — at-least-once for the already-seen part;
     * dedupe downstream on a row key if tails may lag folds. A fresh
     * tail (empty ledger) delivers fold entries like any other data.
+    * The manifest source additionally tolerates the fold's dir SWAP
+    * racing its own listing (`ignoreMissingFiles` on the manifest
+    * read only — see the inline note): a listed entry that a
+    * concurrent fold renames away is skipped losslessly, because its
+    * zones are subsumed by the fold entry the next trigger lists.
     *
     * Fixed-schema contract: zone and data schemas are pinned ONCE at
     * stream construction from the standing table (the seam requires
@@ -269,6 +274,18 @@ object Streams {
     spark.readStream
       .schema(zoneSchema)
       .option("recursiveFileLookup", "true")
+      // A concurrent [[graft.sources.Sinks.compactManifestTable]] fold
+      // SWAPS the _manifest dir between this source's listing and its
+      // read — a listed entry (b*/c*) can legitimately vanish
+      // mid-batch. Skipping it is LOSSLESS by the fold design: an
+      // entry only disappears by being folded, its zones are subsumed
+      // by the fold entry the next listing will surface, and the
+      // delivered ledger decides skip-vs-deliver exactly as if the
+      // entry had never been listed. Data-file reads below stay
+      // STRICT — a missing parquet there means the retention window
+      // (`minAgeBeforeDeleteMs`) was set shorter than tail lag, which
+      // must fail loudly, not drop rows.
+      .option("ignoreMissingFiles", "true")
       .json(s"$path/_manifest")
       .writeStream
       .outputMode("append")
