@@ -27,6 +27,18 @@ object GraftSession {
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.files.maxPartitionBytes", "134217728")
+      // ObjectHashAggregate (collect_set/collect_list/typed-imperative
+      // aggs) falls back to SORT-BASED aggregation once a task's hash map
+      // exceeds this many entries; the Spark default of 128 makes every
+      // multi-group collect aggregation pay a per-task sort. 64k entries
+      // of bounded per-group state (this engine's collects are all
+      // bounded-array model/group state) is well within task memory at
+      // any scale; override via spark.sql.objectHashAggregate.* conf on
+      // clusters with tighter executors (r17 guide §1.2 step-3 config
+      // pass; results are identical either way — only the agg strategy
+      // changes).
+      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold",
+        sys.env.getOrElse("SPARK_GRAFT_OBJ_AGG_FALLBACK", "65536"))
       .config("spark.ui.enabled", "false")
 
   /** Shared session for tests / local runs. */

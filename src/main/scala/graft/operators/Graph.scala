@@ -119,7 +119,10 @@ object Graph {
       .select(col("u"), col("v"), col("vd"))
       // localCheckpoint, not persist: every superstep joins this frame
       // (the fixpoint-loop pin convention; a cacheManager entry would
-      // run the loop over a CACHED plan and leak past the query)
+      // run the loop over a CACHED plan and leak past the query).
+      // NOT pre-partitioned: the mined signal graph is small enough that
+      // every superstep join already broadcasts the rank side (r17
+      // measured a repartition here as a pure regression, +0.3 s)
       .localCheckpoint(true)
 
     // the per-node share (Mass div N) seeds rank AND derives the teleport
@@ -189,11 +192,14 @@ object Graph {
       .select(col("u").as("node"), col("d"),
         when(col("tnode").isNotNull, expr(s"${Mass}L div s"))
           .otherwise(lit(0L)).as("tm"))
-    // receiver degree AND receiver teleport mass ride the edges
+    // receiver degree AND receiver teleport mass ride the edges;
+    // pre-partitioned by the superstep join key so every round's join is
+    // exchange-free (the pageRank convention — see the edgesD note there)
     val edgesD = edges
       .join(tm.select(col("node").as("dv"), col("d").as("vd"),
         col("tm").as("vtm")), col("v") === col("dv"))
       .select(col("u"), col("v"), col("vd"), col("vtm"))
+      .repartition(col("u"))
       .localCheckpoint(true)
     var ranks = tm.select(col("node"), col("d"), col("tm").as("r"))
     for (i <- 1 to Iters) {
@@ -1577,16 +1583,35 @@ object Graph {
     */
   def hits(t: Tables): DataFrame = {
     val d38 = org.apache.spark.sql.types.DecimalType(38, 0)
-    val edges = t.orders.select(col("o_orderkey"), col("o_custkey"))
+    val edges0 = t.orders.select(col("o_orderkey"), col("o_custkey"))
       .join(t.lineitem.select(col("l_orderkey"), col("l_partkey")),
         col("l_orderkey") === col("o_orderkey"))
       .select(col("o_custkey").as("c"), col("l_partkey").as("p"))
-      .distinct()
-      // localCheckpoint, not persist: six consumers (two joins per
-      // round), and a cacheManager persist would force the whole
-      // orders⋈lineitem distinct to build as a CACHED plan with AQE
-      // re-planning restricted (the dedup_clusters/verifyJaccard
-      // mechanism)
+    // TWO pinned ADJACENCY-ARRAY copies of the edge relation (the
+    // classic by-src/by-dst layout): one row per customer with its part
+    // list, one row per part with its customer list. A half-step's join
+    // then matches NODE-count rows (15–20k here) instead of EDGE-count
+    // rows (~580k), and the edge-sized explode happens IN-TASK after the
+    // join, feeding the aggregation's map-side combine directly — the
+    // join side shrinks ~30× and each pin materializes node-count rows
+    // instead of the full pair list (guide §2.3: shuffle/join the
+    // lightweight proxy, expand heavy rows once where they are needed).
+    // Σ-per-receiver arithmetic is unchanged: the explode regenerates
+    // exactly one row per (c,p) edge, so every group sums the identical
+    // multiset in the identical exact type.
+    // localCheckpoint, not persist: six consumers (two joins per
+    // round), and a cacheManager persist would force the whole
+    // orders⋈lineitem distinct to build as a CACHED plan with AQE
+    // re-planning restricted (the dedup_clusters/verifyJaccard
+    // mechanism)
+    // collect_set FUSES the pair dedup into the adjacency build (one
+    // exchange instead of distinct + groupBy); the by-part copy derives
+    // from the pinned by-customer copy, never re-running the fact join
+    val edgesByC = edges0.groupBy("c")
+      .agg(collect_set(col("p")).as("ps")).localCheckpoint(true)
+    val edgesByP = edgesByC
+      .select(col("c"), explode(col("ps")).as("p"))
+      .groupBy("p").agg(collect_list(col("c")).as("cs"))
       .localCheckpoint(true)
     // One L1 normalization per ROUND (on hubs) plus a final one on the
     // output authorities — not per half-step: only relative magnitudes
@@ -1607,14 +1632,17 @@ object Graph {
           expr(s"(CAST($scoreCol AS DECIMAL(38,0)) * ${Mass}L) div t")
             .as(scoreCol))
     }
+    // adjacency rows are one-per-node already — no distinct needed
     var hubs = normalized(
-      edges.select("c").distinct().withColumn("h", lit(1L)), "c", "h")
+      edgesByC.select("c").withColumn("h", lit(1L)), "c", "h")
     var authsRaw: DataFrame = null
     for (_ <- 1 to HitsIters) {
-      authsRaw = edges.join(hubs, Seq("c"))
+      authsRaw = edgesByC.join(hubs, Seq("c"))
+        .select(explode(col("ps")).as("p"), col("h"))
         .groupBy("p").agg(sum(col("h").cast(d38)).as("a"))
       hubs = normalized(
-        edges.join(authsRaw, Seq("p"))
+        edgesByP.join(authsRaw, Seq("p"))
+          .select(explode(col("cs")).as("c"), col("a"))
           .groupBy("c").agg(sum(col("a")).as("h")),
         "c", "h")
     }

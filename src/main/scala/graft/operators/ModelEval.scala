@@ -898,14 +898,24 @@ object ModelEval {
       .agg(sum(dec(col("l_quantity"))).cast("double").as("qv"))
       .withColumn("dn",
         datediff(col("d"), to_date(lit("1970-01-01"))).cast("long"))
-    val wTrail = Window.partitionBy("pk").orderBy("d")
-      .rowsBetween(-(CrostonWindow - 1), Window.currentRow)
+    // Only the LATEST row's trailing window survives the rk = 1 filter,
+    // so don't build a 64-element array per ROW (the r17 before-plan
+    // materialized ~64× the demand-event volume in window buffers and
+    // threw all but one row per part away): rank descending, keep the
+    // last ≤ CrostonWindow events, and collect them ONCE per part in
+    // ascending-day order — the identical multiset the trailing frame
+    // held at the latest row, in the identical order (d is unique per
+    // part by the daily grouping, so the sort is total).
     val wLatest = Window.partitionBy("pk").orderBy(col("d").desc)
     daily
-      .withColumn("qs", collect_list(col("qv")).over(wTrail))
-      .withColumn("ds", collect_list(col("dn")).over(wTrail))
       .withColumn("rk", row_number().over(wLatest))
-      .where(col("rk") === 1 && size(col("qs")) >= CrostonMinEvents)
+      .where(col("rk") <= CrostonWindow)
+      .groupBy("pk")
+      .agg(sort_array(collect_list(struct(col("d"), col("qv"), col("dn"))))
+        .as("ev"))
+      .where(size(col("ev")) >= CrostonMinEvents)
+      .withColumn("qs", expr("transform(ev, e -> e.qv)"))
+      .withColumn("ds", expr("transform(ev, e -> e.dn)"))
       .withColumn("gaps", expr(
         """zip_with(slice(ds, 2, size(ds) - 1), slice(ds, 1, size(ds) - 1),
           | (a, b) -> cast(a - b as double))""".stripMargin))

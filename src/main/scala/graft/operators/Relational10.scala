@@ -205,11 +205,20 @@ object Relational10 {
     */
   def topMovers(t: Tables): DataFrame = {
     val d19 = org.apache.spark.sql.types.DecimalType(19, 0)
+    // ONE exchange for both the aggregation and the window: partitioning
+    // by l_partkey up front satisfies the (l_partkey, mon) aggregation's
+    // clustering requirement AND the window's — the old plan exchanged
+    // the fact rows for the agg and then re-exchanged every monthly row
+    // for the lag window (guide §2.4: two operations keyed the same way
+    // share one exchange)
     val monthly = t.lineitem
-      .groupBy(col("l_partkey"), trunc(col("l_shipdate"), "month").as("mon"))
-      .agg(sum((graft.functions.Exact.discPrice(
-        col("l_extendedprice"), col("l_discount")) * lit(1000000)).cast(d19))
-        .cast("long").as("cur"))
+      .select(col("l_partkey"), trunc(col("l_shipdate"), "month").as("mon"),
+        (graft.functions.Exact.discPrice(
+          col("l_extendedprice"), col("l_discount")) * lit(1000000)).cast(d19)
+          .as("rm"))
+      .repartition(col("l_partkey"))
+      .groupBy(col("l_partkey"), col("mon"))
+      .agg(sum(col("rm")).cast("long").as("cur"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("l_partkey").orderBy("mon")
     monthly

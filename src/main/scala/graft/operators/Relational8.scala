@@ -233,6 +233,10 @@ object Relational8 {
       .withColumn("promo", (col("p_type") === "PROMO").cast("long"))
     val byValue = perPart.groupBy("units")
       .agg(sum(col("promo")).as("a"), sum(lit(1L) - col("promo")).as("b"))
+      // pinned per the withGlobalPrefixAggs call-site contract: the scan
+      // executes its input twice (range-bound sampling + shuffle map),
+      // and this input is a full fact aggregation + dimension join (r17)
+      .localCheckpoint(true)
     // cumulative CDF counts via the distributed two-level prefix scan
     // (range repartition + local window + broadcast offsets) — never an
     // unpartitioned window over the distinct-value domain
@@ -313,6 +317,9 @@ object Relational8 {
       .withColumn("promo", (col("p_type") === "PROMO").cast("long"))
     val byValue = perPart.groupBy("units")
       .agg(sum(col("promo")).as("a"), count(lit(1)).as("c"))
+      // pinned per the withGlobalPrefixAggs call-site contract (the scan
+      // executes its input twice; this one is a fact agg + join) — r17
+      .localCheckpoint(true)
     // exclusive predecessor counts via the distributed two-level prefix
     // scan — same scale contract as [[ksTest]]'s CDF. Group totals fold
     // into the SAME final aggregation (n1 = Σa, n2 = Σc − Σa) instead of

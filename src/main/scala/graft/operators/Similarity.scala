@@ -1934,14 +1934,42 @@ object Similarity {
   def clusterStability(t: Tables): DataFrame = {
     // pinned: feeds two trainings (each Iters+1 passes) + two assigns
     val vecs = vectors(t).localCheckpoint(true)
-    def seeds(h: DataFrame): Seq[(Int, Seq[Double])] = h
-      .orderBy("vec_id").limit(NumCells).collect()
-      .map(_.getSeq[Double](1)).zipWithIndex
-      .map { case (v, i) => (i, v) }.toSeq
     val hA = vecs.where(pmod(col("vec_id"), lit(2)) === 0)
     val hB = vecs.where(pmod(col("vec_id"), lit(2)) === 1)
-    val cA = lloyd(hA, seeds(hA))
-    val cB = lloyd(hB, seeds(hB))
+    // Both halves train in LOCKSTEP: one job fetches both seed sets
+    // (union of two bounded limits) and one job per Lloyd iteration runs
+    // both halves' assignment+means under a `half` tag. The per-group
+    // arithmetic is untouched — tagging adds a group-constant column, so
+    // every (half, cell, pos) group sees exactly the multiset the
+    // separate lloyd() runs saw and portableMean reproduces the same
+    // doubles — while driver round-trips drop from 2·(Iters+1) jobs to
+    // Iters+1 (r17: 2.88 → see OPTIMIZATION_r17.md).
+    def seedRows(h: DataFrame, tag: String): DataFrame =
+      h.orderBy("vec_id").limit(NumCells)
+        .select(lit(tag).as("half"), col("vec_id"), col("v"))
+    val seedRaw = seedRows(hA, "A").unionByName(seedRows(hB, "B"))
+      .collect().groupBy(_.getString(0))
+    def seedsOf(tag: String): Seq[(Int, Seq[Double])] =
+      seedRaw(tag).sortBy(_.getLong(1)).map(_.getSeq[Double](2))
+        .zipWithIndex.map { case (v, i) => (i, v) }.toSeq
+    var cA = seedsOf("A")
+    var cB = seedsOf("B")
+    for (_ <- 0 until Iters) {
+      val next = assignCells(hA, cA).withColumn("half", lit("A"))
+        .unionByName(assignCells(hB, cB).withColumn("half", lit("B")))
+        .select(col("half"), col("cell"), posexplode(col("v")).as(Seq("pos", "x")))
+        .groupBy("half", "cell", "pos")
+        .agg(graft.functions.Exact.portableMean(col("x")).as("m"))
+        .groupBy("half", "cell")
+        .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("pm"))
+        .select(col("half"), col("cell"), expr("transform(pm, s -> s.m)").as("c"))
+        .collect()
+      def centsOf(tag: String): Seq[(Int, Seq[Double])] = next
+        .filter(_.getString(0) == tag)
+        .map(r => (r.getInt(1), r.getSeq[Double](2))).toSeq.sortBy(_._1)
+      cA = centsOf("A")
+      cB = centsOf("B")
+    }
     val cont = assignCells(vecs, cA)
       .select(col("vec_id"), col("cell").as("cell_a"))
       .join(assignCells(vecs, cB)

@@ -254,10 +254,17 @@ object TimeSeries {
     val evT = when(col("is_grid") === 0, col("tus"))
     val evV = when(col("is_grid") === 0, col("value"))
     merged
-      .withColumn("pt", last(evT, ignoreNulls = true).over(wP))
-      .withColumn("pv", last(evV, ignoreNulls = true).over(wP))
-      .withColumn("nt", first(evT, ignoreNulls = true).over(wF))
-      .withColumn("nv", first(evV, ignoreNulls = true).over(wF))
+      // ONE select for all four window columns: stacked withColumns left
+      // four separate Window operators behind interleaved Projects
+      // (CollapseWindow only merges ADJACENT Windows), so the merged
+      // frame was window-scanned four times; a single select groups the
+      // expressions by spec into exactly two Window passes — one per
+      // frame direction (r17 plan pass, 4 Window → 2 in the plan)
+      .select(col("*"),
+        last(evT, ignoreNulls = true).over(wP).as("pt"),
+        last(evV, ignoreNulls = true).over(wP).as("pv"),
+        first(evT, ignoreNulls = true).over(wF).as("nt"),
+        first(evV, ignoreNulls = true).over(wF).as("nv"))
       .where(col("is_grid") === 1 && col("pt").isNotNull && col("nt").isNotNull)
       .select(col("user_id"), expr("timestamp_micros(gus)").as("grid_ts"),
         when(col("pt") === col("nt"), col("pv"))
@@ -624,23 +631,48 @@ object TimeSeries {
       // former +Bias·Δd trick (Bias·span crossed 2⁶³ on an 11k-day span)
       .select(expr("(v2 - v1) div (d2 - d1) - (CASE WHEN (v2 - v1) % (d2 - d1)" +
         " != 0 AND v2 < v1 THEN 1 ELSE 0 END)").as("s"))
-    // exact lower median of the slope multiset, distributed: global rank
-    // = per-bucket row_number + broadcast offsets of preceding buckets
-    val ranged = slopes.repartitionByRange(32, col("s"))
-      .withColumn("bucket", spark_partition_id())
-      .localCheckpoint(true)
-    val counts = ranged.groupBy("bucket").agg(count(lit(1)).as("bn"))
-    val wB = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, -1)
-    val offsets = counts
-      .withColumn("off", coalesce(sum(col("bn")).over(wB), lit(0L)))
-      .select("bucket", "off")
-    val total = counts.agg(sum(col("bn")).as("np"))
-    val wL = Window.partitionBy("bucket").orderBy("s")
-    val slope = ranged
-      .withColumn("rk", row_number().over(wL))
-      .join(broadcast(offsets), Seq("bucket"))
-      .crossJoin(broadcast(total))
-      .where(col("off") + col("rk") === expr("(np + 1) div 2"))
+    // exact lower median of the slope multiset WITHOUT shuffling the
+    // pair space (r17 plan pass — the old shape range-repartitioned,
+    // materialized, and per-bucket-sorted all ~n²/2 slope rows, paying a
+    // sampling pass, a full pair-sized shuffle, a checkpoint write, and
+    // a window sort of pair-sized data). Slopes are instead REGENERATED
+    // from the pinned calendar-bounded daily frame (a codegen'd explode
+    // + broadcast join — no shuffle) for each of three bounded passes:
+    // (1) one 1-row count/min/max aggregation, (2) one fixed-width
+    // histogram (map-side combined, ≤ SlopeBuckets rows at ANY scale),
+    // (3) a row_number over ONLY the target bucket's ~np/SlopeBuckets
+    // rows. The selected element is the same global-rank-((np+1) div 2)
+    // value: value-bucketing preserves order, so local rank + preceding-
+    // bucket cumulative count IS the global rank. Nothing pair-sized is
+    // shuffled, globally sorted, or materialized — strictly less data
+    // motion at 100 TB than the range-shuffle it replaces.
+    val SlopeBuckets = 4096
+    val st = slopes
+      .agg(count(lit(1)).as("np"), min(col("s")).as("mn"), max(col("s")).as("mx"))
+      .withColumn("w", expr(s"((mx - mn) div $SlopeBuckets) + 1"))
+      .localCheckpoint(true) // 1 row; feeds histogram, pick, final scan
+    val hist = slopes.crossJoin(broadcast(st.select("mn", "w")))
+      .select(expr("(s - mn) div w").as("b"))
+      .groupBy("b").agg(count(lit(1)).as("cnt"))
+    val wB = Window.orderBy("b")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // the bucket holding global rank (np+1) div 2, with the element's
+    // local rank inside it — a 1-row pin over the bounded histogram
+    val pick = hist.withColumn("cum", sum(col("cnt")).over(wB))
+      .crossJoin(broadcast(st.select("np")))
+      .where(col("cum") >= expr("(np + 1) div 2") &&
+        col("cum") - col("cnt") < expr("(np + 1) div 2"))
+      .select(col("b").as("tb"),
+        (expr("(np + 1) div 2") - (col("cum") - col("cnt"))).as("lrk"),
+        col("np"))
+      .localCheckpoint(true) // 1 row
+    // rank only the target bucket: ~np/SlopeBuckets rows, one tiny sort
+    val wT = Window.orderBy("s")
+    val slope = slopes.crossJoin(broadcast(st.select("mn", "w")))
+      .crossJoin(broadcast(pick))
+      .where(expr("(s - mn) div w") === col("tb"))
+      .withColumn("rk", row_number().over(wT))
+      .where(col("rk") === col("lrk"))
       .select(col("s").as("slope"), col("np"))
     // intercept: lower median of per-DAY residuals (bounded domain)
     val wD = Window.orderBy("r")

@@ -154,9 +154,14 @@ object Tokenizer {
             if (!fresh) continue = false
           } else continue = false
         }
-        // pin the post-scan state: each scan then reads a materialized
-        // vocabulary instead of re-executing the whole replace stack
-        words = words.localCheckpoint(true)
+        // pin the post-scan state LAZILY: the pin is load-bearing (r17
+        // measured the unpinned replace stack at +1.6 s — re-analyzing
+        // and re-executing a quadratically growing projection stack per
+        // scan costs more than materialization), but an EAGER checkpoint
+        // is a whole extra job per scan; localCheckpoint(false)
+        // materializes inside the NEXT scan's pairCounts job instead,
+        // halving the per-scan job count at identical state.
+        words = words.localCheckpoint(false)
       }
     }
     base.unpersist(false)
