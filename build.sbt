@@ -28,11 +28,22 @@ val jdk17AddOpens = Seq(
   "java.base/sun.nio.ch", "java.base/sun.nio.cs",
   "java.base/sun.security.action", "java.base/sun.util.calendar",
 ).flatMap(p => Seq("--add-opens", s"$p=ALL-UNNAMED"))
+// Default heap derived from the host's physical memory (r17 ADVICE: a
+// flat 24g default OOM-killed the JVM on <24-32 GiB dev/CI hosts):
+// a quarter of RAM, clamped to [4g, 24g]. On the 128 GiB bench sandbox
+// this still lands on 24g (32 concurrent local-mode tasks share the
+// heap; 8g spent the bench's tail in GC). SPARK_DRIVER_MEM overrides.
+val defaultHeapGb: Int = {
+  val physGb =
+    try {
+      val os = java.lang.management.ManagementFactory.getOperatingSystemMXBean
+        .asInstanceOf[com.sun.management.OperatingSystemMXBean]
+      (os.getTotalMemorySize / (1L << 30)).toInt
+    } catch { case _: Throwable => 16 }
+  math.max(4, math.min(24, physGb / 4))
+}
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  // default sized for the 128 GiB sandbox (32 concurrent tasks share
-  // this heap in local mode; 8g spent the bench's tail in GC) — still
-  // env-overridable for smaller hosts
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "24g")}",
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", s"${defaultHeapGb}g")}",
 )

@@ -194,7 +194,11 @@ object Graph {
           .otherwise(lit(0L)).as("tm"))
     // receiver degree AND receiver teleport mass ride the edges;
     // pre-partitioned by the superstep join key so every round's join is
-    // exchange-free (the pageRank convention — see the edgesD note there)
+    // exchange-free. Pre-partitioning pays off HERE because this loop's
+    // rank side is not broadcastable (full node set every round) — the
+    // co-purchase pageRank keeps its edges unpartitioned for the
+    // opposite reason (its superstep joins broadcast the rank side, so
+    // a repartition there measured as a pure regression)
     val edgesD = edges
       .join(tm.select(col("node").as("dv"), col("d").as("vd"),
         col("tm").as("vtm")), col("v") === col("dv"))
